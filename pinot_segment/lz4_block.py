@@ -1,0 +1,161 @@
+"""LZ4 *block* format codec, pure Python, from the public format spec
+(https://github.com/lz4/lz4/blob/dev/doc/lz4_Block_format.md).
+
+The container has no `lz4` wheel, so decompression (needed by the RAW V4
+var-byte reader, reference var_byte.rs:266-316) is implemented here; if the
+C-backed ``lz4.block`` module is importable we use it instead. Compression is
+needed only by the test-only segment writer.
+
+Block format recap: a block is a sequence of *sequences*; each sequence is
+  token(1B: hi-nibble literal len, lo-nibble match len - 4)
+  [literal-len extension bytes of 255 while == 255]
+  literals
+  match offset (2B little-endian, 0 < offset <= 65535)
+  [match-len extension bytes]
+The last sequence contains only literals (no offset/match). Matches may
+overlap their own output (offset < length ⇒ repeated pattern).
+"""
+
+from __future__ import annotations
+
+try:  # pragma: no cover - exercised only when the wheel exists
+    import lz4.block as _c_lz4
+except ImportError:
+    _c_lz4 = None
+
+MIN_MATCH = 4
+# Spec: last 5 bytes are always literals; last match cannot start within the
+# last 12 bytes.
+_LAST_LITERALS = 5
+_MFLIMIT = 12
+
+
+class LZ4Error(ValueError):
+    pass
+
+
+def decompress(src: bytes, uncompressed_size: int | None = None) -> bytes:
+    """Decode one LZ4 block. ``uncompressed_size`` is a validation hint."""
+    if _c_lz4 is not None and uncompressed_size is not None:
+        return _c_lz4.decompress(src, uncompressed_size=uncompressed_size)
+
+    dst = bytearray()
+    i = 0
+    n = len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                if i >= n:
+                    raise LZ4Error("truncated literal length")
+                b = src[i]
+                i += 1
+                lit_len += b
+                if b != 255:
+                    break
+        if i + lit_len > n:
+            raise LZ4Error("truncated literals")
+        dst += src[i : i + lit_len]
+        i += lit_len
+        if i >= n:
+            break  # last sequence: literals only
+        if i + 2 > n:
+            raise LZ4Error("truncated match offset")
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise LZ4Error("zero match offset")
+        match_len = token & 0x0F
+        if match_len == 15:
+            while True:
+                if i >= n:
+                    raise LZ4Error("truncated match length")
+                b = src[i]
+                i += 1
+                match_len += b
+                if b != 255:
+                    break
+        match_len += MIN_MATCH
+        start = len(dst) - offset
+        if start < 0:
+            raise LZ4Error("match offset beyond output start")
+        if offset >= match_len:
+            dst += dst[start : start + match_len]
+        else:
+            # Overlapping match: output repeats the trailing `offset` bytes.
+            pattern = dst[start:]
+            reps, rem = divmod(match_len, offset)
+            dst += pattern * reps + pattern[:rem]
+    if uncompressed_size is not None and len(dst) != uncompressed_size:
+        raise LZ4Error(
+            f"decompressed {len(dst)} bytes, expected {uncompressed_size}"
+        )
+    return bytes(dst)
+
+
+def compress(src: bytes) -> bytes:
+    """Greedy single-pass LZ4 block encoder (hash-table of 4-byte prefixes).
+
+    Produces valid, decently-compressed blocks; used only by the test segment
+    writer, so simplicity beats ratio.
+    """
+    if _c_lz4 is not None:
+        return _c_lz4.compress(src, store_size=False)
+
+    n = len(src)
+    out = bytearray()
+    if n == 0:
+        out.append(0)  # one empty-literal sequence
+        return bytes(out)
+
+    table: dict[bytes, int] = {}
+    anchor = 0  # start of pending literals
+    i = 0
+    match_limit = n - _LAST_LITERALS
+
+    def emit(lit_start: int, lit_end: int, offset: int | None, mlen: int) -> None:
+        lit_len = lit_end - lit_start
+        ml = 0 if offset is None else mlen - MIN_MATCH
+        token_lit = 15 if lit_len >= 15 else lit_len
+        token_ml = 15 if ml >= 15 else ml
+        out.append((token_lit << 4) | token_ml)
+        rest = lit_len - 15
+        while token_lit == 15:
+            if rest >= 255:
+                out.append(255)
+                rest -= 255
+            else:
+                out.append(rest)
+                break
+        out.extend(src[lit_start:lit_end])
+        if offset is None:
+            return
+        out.append(offset & 0xFF)
+        out.append(offset >> 8)
+        rest = ml - 15
+        while token_ml == 15:
+            if rest >= 255:
+                out.append(255)
+                rest -= 255
+            else:
+                out.append(rest)
+                break
+
+    while i < n - _MFLIMIT:
+        key = src[i : i + MIN_MATCH]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or i - cand > 0xFFFF or src[cand : cand + MIN_MATCH] != key:
+            i += 1
+            continue
+        # Extend the match forward (not past the end-of-block safety margin).
+        mlen = MIN_MATCH
+        while i + mlen < match_limit and src[cand + mlen] == src[i + mlen]:
+            mlen += 1
+        emit(anchor, i, i - cand, mlen)
+        i += mlen
+        anchor = i
+    emit(anchor, n, None, 0)  # trailing literals
+    return bytes(out)

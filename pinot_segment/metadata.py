@@ -1,0 +1,208 @@
+"""Parser for a Pinot segment's ``metadata.properties`` file.
+
+Behavioral spec: reference pinot-segment/src/metadata.rs:52-239.
+Java-properties text; keys of interest:
+
+- ``segment.name`` / ``segment.table.name`` / ``segment.total.docs``
+  (metadata.rs:83-97) — all required.
+- column list = union of ``columns`` (older format) and the v3 keys
+  ``segment.dimension.column.names`` / ``segment.metric.column.names`` /
+  ``segment.datetime.column.names`` (metadata.rs:106-119).
+- per-column props ``column.{name}.{prop}`` (metadata.rs:144-172):
+  dataType (required), cardinality, bitsPerElement, hasDictionary,
+  isSorted, lengthOfEachEntry — all defaulted when absent.
+- values carry Java escapes (``\\uXXXX`` ``\\t`` ``\\n`` ``\\r`` ``\\\\``),
+  decoded per metadata.rs:186-239.
+
+Deviation from the reference (deliberate, SURVEY.md §4.3): column order is
+preserved as *declared* (Python dict insertion order), fixing the reference's
+HashMap-iteration-order hazard so every segment of a table agrees on order.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from pathlib import Path
+
+from pinot_segment.errors import ColumnNotFoundError, ParseError
+
+
+class DataType(enum.Enum):
+    """Pinot primitive column types (metadata.rs:7-15)."""
+
+    INT = "INT"
+    LONG = "LONG"
+    FLOAT = "FLOAT"
+    DOUBLE = "DOUBLE"
+    STRING = "STRING"
+    BYTES = "BYTES"
+    BOOLEAN = "BOOLEAN"
+
+    @classmethod
+    def from_string(cls, s: str) -> "DataType":
+        try:
+            return cls(s)
+        except ValueError:
+            raise ParseError(f"Unknown data type: {s}") from None
+
+
+@dataclass(frozen=True)
+class ColumnMetadata:
+    """Per-column segment metadata (metadata.rs:32-42)."""
+
+    name: str
+    data_type: DataType
+    cardinality: int
+    total_docs: int
+    bits_per_element: int
+    has_dictionary: bool
+    is_sorted: bool
+    length_of_each_entry: int
+
+
+def decode_java_string(s: str) -> str:
+    """Decode Java-properties escapes: \\uXXXX, \\t, \\n, \\r, \\\\.
+
+    Mirrors metadata.rs:186-239, including the fallback of emitting the raw
+    text when a \\u escape has bad hex digits.
+    """
+    out: list[str] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if ch != "\\" or i + 1 >= n:
+            out.append(ch)
+            i += 1
+            continue
+        nxt = s[i + 1]
+        if nxt == "u":
+            hexdigits = s[i + 2 : i + 6]
+            try:
+                out.append(chr(int(hexdigits, 16)))
+            except ValueError:
+                out.append("\\u" + hexdigits)
+            i += 2 + len(hexdigits)
+        elif nxt in ("t", "n", "r", "\\"):
+            out.append({"t": "\t", "n": "\n", "r": "\r", "\\": "\\"}[nxt])
+            i += 2
+        else:
+            # Unknown escape: keep the backslash, reprocess the next char.
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _parse_properties(content: str) -> dict[str, str]:
+    props: dict[str, str] = {}
+    for raw in content.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        eq = line.find("=")
+        if eq < 0:
+            continue
+        key = line[:eq].strip()
+        props[key] = decode_java_string(line[eq + 1 :].strip())
+    return props
+
+
+class SegmentMetadata:
+    """Parsed segment metadata: name, table, totalDocs, ordered columns."""
+
+    def __init__(
+        self,
+        segment_name: str,
+        table_name: str,
+        total_docs: int,
+        columns: dict[str, ColumnMetadata],
+    ) -> None:
+        self.segment_name = segment_name
+        self.table_name = table_name
+        self.total_docs = total_docs
+        self.columns = columns  # insertion order == declared order
+
+    @classmethod
+    def from_file(cls, path: str | Path) -> "SegmentMetadata":
+        return cls.parse(Path(path).read_text(encoding="utf-8"))
+
+    @classmethod
+    def parse(cls, content: str) -> "SegmentMetadata":
+        props = _parse_properties(content)
+
+        try:
+            segment_name = props["segment.name"]
+        except KeyError:
+            raise ParseError("Missing segment.name") from None
+        try:
+            table_name = props["segment.table.name"]
+        except KeyError:
+            raise ParseError("Missing segment.table.name") from None
+        try:
+            total_docs = int(props["segment.total.docs"])
+        except KeyError:
+            raise ParseError("Missing segment.total.docs") from None
+        except ValueError as e:
+            raise ParseError(f"Invalid total.docs: {e}") from None
+
+        # Declared column order: `columns` first, then dimension/metric/datetime
+        # lists (metadata.rs:106-119); dedupe while preserving first occurrence.
+        names: list[str] = []
+        for key in (
+            "columns",
+            "segment.dimension.column.names",
+            "segment.metric.column.names",
+            "segment.datetime.column.names",
+        ):
+            if key in props:
+                for part in props[key].split(","):
+                    name = part.strip()
+                    if name and name not in names:
+                        names.append(name)
+
+        columns: dict[str, ColumnMetadata] = {}
+        for name in names:
+            columns[name] = _parse_column(name, props, total_docs)
+
+        return cls(segment_name, table_name, total_docs, columns)
+
+    def get_column(self, name: str) -> ColumnMetadata:
+        try:
+            return self.columns[name]
+        except KeyError:
+            raise ColumnNotFoundError(name) from None
+
+    def column_names(self) -> list[str]:
+        return list(self.columns)
+
+
+def _parse_column(
+    name: str, props: dict[str, str], total_docs: int
+) -> ColumnMetadata:
+    def get(suffix: str) -> str | None:
+        return props.get(f"column.{name}.{suffix}")
+
+    dtype_str = get("dataType")
+    if dtype_str is None:
+        raise ParseError(f"Missing dataType for column {name}")
+
+    def get_int(suffix: str) -> int:
+        v = get(suffix)
+        if v is None:
+            return 0
+        try:
+            return int(v)
+        except ValueError:
+            return 0
+
+    return ColumnMetadata(
+        name=name,
+        data_type=DataType.from_string(dtype_str),
+        cardinality=get_int("cardinality"),
+        total_docs=total_docs,
+        bits_per_element=get_int("bitsPerElement"),
+        has_dictionary=get("hasDictionary") == "true",
+        is_sorted=get("isSorted") == "true",
+        length_of_each_entry=get_int("lengthOfEachEntry"),
+    )

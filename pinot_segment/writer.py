@@ -1,0 +1,246 @@
+"""Test-only Pinot v3 segment *writer*.
+
+The reference has no writer ("Write support (create Pinot segments)" is
+roadmap-only, reference README.md:418); this module exists so the test suite
+can generate byte-exact v3 fixtures without a Pinot/Docker dependency
+(SURVEY.md §5 "rebuild test plan mirror"). It emits exactly the subset of the
+format the reader supports:
+
+- ``metadata.properties`` / ``index_map`` / ``columns.psf`` in one ``v3`` dir
+- sorted dictionaries with the 0xDEADBEEFDEAFBEAD magic, BE-encoded values
+- fixed-bit big-endian packed forward indexes behind an 8-byte magic
+- RAW STRING columns in V4 var-byte chunk format (PASS_THROUGH / LZ4 /
+  LZ4_LENGTH_PREFIXED), incl. huge-value chunks and the 0xFFFFFFFF sentinel
+
+Not part of the parity surface; never imported by the Spark layer.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import numpy as np
+
+from pinot_segment import lz4_block
+from pinot_segment.metadata import DataType
+from pinot_segment.var_byte import LZ4, LZ4_LENGTH_PREFIXED, PASS_THROUGH
+
+_DICT_MAGIC = (0xDEADBEEFDEAFBEAD).to_bytes(8, "big")
+_FWD_MAGIC = (0xDEADBEEFDEAFBEAD).to_bytes(8, "big")
+
+_BE_DTYPES = {
+    DataType.INT: ">i4",
+    DataType.LONG: ">i8",
+    DataType.FLOAT: ">f4",
+    DataType.DOUBLE: ">f8",
+}
+
+
+def _pack_bits(values: list[int], bits: int) -> bytes:
+    """Big-endian bit packing, inverse of fixed_bit.unpack_bits."""
+    bitstream = np.zeros(len(values) * bits, dtype=np.uint8)
+    for i, v in enumerate(values):
+        for j in range(bits):
+            bitstream[i * bits + j] = (v >> (bits - 1 - j)) & 1
+    return np.packbits(bitstream).tobytes()
+
+
+def _bits_needed(cardinality: int) -> int:
+    return max(1, math.ceil(math.log2(cardinality)) if cardinality > 1 else 1)
+
+
+class ColumnSpec:
+    def __init__(
+        self,
+        name: str,
+        data_type: DataType,
+        values: list,
+        raw: bool = False,
+        compression: int = PASS_THROUGH,
+        target_chunk_size: int = 1 << 20,
+        fixed_length_dict: bool = False,
+        with_magic_prefix: bool = False,
+    ) -> None:
+        if raw and data_type is not DataType.STRING:
+            raise ValueError("RAW is only supported for STRING columns")
+        self.name = name
+        self.data_type = data_type
+        self.values = values
+        self.raw = raw
+        self.compression = compression
+        self.target_chunk_size = target_chunk_size
+        self.fixed_length_dict = fixed_length_dict
+        self.with_magic_prefix = with_magic_prefix
+
+
+def _encode_dictionary(spec: ColumnSpec) -> tuple[bytes, list, int]:
+    """Returns (blob, sorted_unique_values, length_of_each_entry)."""
+    uniq = sorted(set(spec.values))
+    out = bytearray(_DICT_MAGIC)
+    length_of_each_entry = 0
+    if spec.data_type in _BE_DTYPES:
+        out += np.asarray(uniq, dtype=_BE_DTYPES[spec.data_type]).tobytes()
+    else:  # STRING
+        encoded = [v.encode("utf-8") for v in uniq]
+        if spec.fixed_length_dict:
+            length_of_each_entry = max((len(e) for e in encoded), default=1)
+            length_of_each_entry = max(length_of_each_entry, 1)
+            for e in encoded:
+                out += e.ljust(length_of_each_entry, b"\x00")
+        else:
+            for e in encoded:
+                out += len(e).to_bytes(4, "big") + e
+    return bytes(out), uniq, length_of_each_entry
+
+
+def _encode_var_byte(spec: ColumnSpec) -> bytes:
+    """V4 var-byte chunk forward index for a RAW STRING column."""
+    payloads = [v.encode("utf-8") for v in spec.values]
+
+    # Split docs into chunks; any value whose payload alone exceeds the target
+    # becomes a huge-value chunk of its own (high docId bit set).
+    chunks: list[tuple[int, bool, bytes]] = []  # (start_doc, huge, decompressed)
+    cur: list[bytes] = []
+    cur_start = 0
+    cur_size = 4  # numDocs field
+
+    def flush(next_doc: int) -> None:
+        nonlocal cur, cur_start, cur_size
+        if not cur:
+            return
+        num = len(cur)
+        header = num.to_bytes(4, "little")
+        offs = bytearray()
+        data = bytearray()
+        base = 4 + 4 * num
+        for p in cur:
+            offs += (base + len(data)).to_bytes(4, "little")
+            data += p
+        chunks.append((cur_start, False, header + bytes(offs) + bytes(data)))
+        cur = []
+        cur_start = next_doc
+        cur_size = 4
+
+    for doc_id, p in enumerate(payloads):
+        if len(p) > spec.target_chunk_size:
+            flush(doc_id)
+            chunks.append((doc_id, True, p))
+            cur_start = doc_id + 1
+            continue
+        if cur and cur_size + 4 + len(p) > spec.target_chunk_size:
+            flush(doc_id)
+        if not cur:
+            cur_start = doc_id
+        cur.append(p)
+        cur_size += 4 + len(p)
+    flush(len(payloads))
+
+    def compress(decompressed: bytes) -> bytes:
+        if spec.compression == PASS_THROUGH:
+            return decompressed
+        body = lz4_block.compress(decompressed)
+        if spec.compression == LZ4_LENGTH_PREFIXED:
+            return len(decompressed).to_bytes(4, "little") + body
+        if spec.compression == LZ4:
+            return body
+        raise ValueError(f"unsupported writer compression {spec.compression}")
+
+    compressed = [compress(c) for _, _, c in chunks]
+
+    # Metadata entries: (docId | hugeFlag, chunkOffset relative to chunks area).
+    meta = bytearray()
+    off = 0
+    for (start_doc, huge, _), comp in zip(chunks, compressed):
+        docid_field = start_doc | (0x80000000 if huge else 0)
+        meta += docid_field.to_bytes(4, "little") + off.to_bytes(4, "little")
+        off += len(comp)
+
+    chunks_start_offset = 16 + len(meta)
+    header = (
+        (4).to_bytes(4, "big")
+        + spec.target_chunk_size.to_bytes(4, "big")
+        + spec.compression.to_bytes(4, "big")
+        + chunks_start_offset.to_bytes(4, "big")
+    )
+    body = header + bytes(meta) + b"".join(compressed)
+    if spec.with_magic_prefix:
+        body = b"\xde\xad\xbe\xef\x00\x00\x00\x00" + body
+    return body
+
+
+def write_segment(
+    segment_dir: str | Path,
+    segment_name: str,
+    table_name: str,
+    columns: list[ColumnSpec],
+) -> Path:
+    """Write one v3 segment; returns the ``.../v3`` directory path."""
+    v3 = Path(segment_dir) / "v3"
+    v3.mkdir(parents=True, exist_ok=True)
+
+    total_docs = len(columns[0].values) if columns else 0
+    for c in columns:
+        if len(c.values) != total_docs:
+            raise ValueError("all columns must have the same row count")
+
+    psf = bytearray()
+    index_lines: list[str] = []
+    meta_lines = [
+        f"segment.name={segment_name}",
+        f"segment.table.name={table_name}",
+        f"segment.total.docs={total_docs}",
+        "columns=" + ",".join(c.name for c in columns),
+    ]
+
+    for spec in columns:
+        if spec.raw:
+            blob = _encode_var_byte(spec)
+            start = len(psf)
+            psf += blob
+            index_lines += [
+                f"{spec.name}.forward_index.startOffset={start}",
+                f"{spec.name}.forward_index.size={len(blob)}",
+            ]
+            meta_lines += [
+                f"column.{spec.name}.dataType={spec.data_type.value}",
+                f"column.{spec.name}.cardinality={len(set(spec.values))}",
+                f"column.{spec.name}.hasDictionary=false",
+                f"column.{spec.name}.isSorted=false",
+                f"column.{spec.name}.bitsPerElement=0",
+                f"column.{spec.name}.lengthOfEachEntry=0",
+            ]
+            continue
+
+        dict_blob, uniq, length_of_each_entry = _encode_dictionary(spec)
+        index_to_id = {v: i for i, v in enumerate(uniq)}
+        dict_ids = [index_to_id[v] for v in spec.values]
+        bits = _bits_needed(len(uniq))
+        fwd_blob = _FWD_MAGIC + _pack_bits(dict_ids, bits)
+
+        start = len(psf)
+        psf += dict_blob
+        index_lines += [
+            f"{spec.name}.dictionary.startOffset={start}",
+            f"{spec.name}.dictionary.size={len(dict_blob)}",
+        ]
+        start = len(psf)
+        psf += fwd_blob
+        index_lines += [
+            f"{spec.name}.forward_index.startOffset={start}",
+            f"{spec.name}.forward_index.size={len(fwd_blob)}",
+        ]
+        meta_lines += [
+            f"column.{spec.name}.dataType={spec.data_type.value}",
+            f"column.{spec.name}.cardinality={len(uniq)}",
+            f"column.{spec.name}.hasDictionary=true",
+            f"column.{spec.name}.isSorted="
+            + ("true" if list(spec.values) == sorted(spec.values) else "false"),
+            f"column.{spec.name}.bitsPerElement={bits}",
+            f"column.{spec.name}.lengthOfEachEntry={length_of_each_entry}",
+        ]
+
+    (v3 / "metadata.properties").write_text("\n".join(meta_lines) + "\n")
+    (v3 / "index_map").write_text("\n".join(index_lines) + "\n")
+    (v3 / "columns.psf").write_bytes(bytes(psf))
+    return v3

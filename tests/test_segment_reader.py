@@ -1,0 +1,141 @@
+"""Segment reader end-to-end tests over writer-generated v3 fixtures.
+
+Mirrors the reference's integration-test tier (SURVEY.md §5) but with
+self-contained fixtures instead of the Docker quickstart segment."""
+
+import numpy as np
+import pytest
+
+from pinot_segment.errors import UnsupportedFeatureError
+from pinot_segment.metadata import DataType
+from pinot_segment.segment_reader import SegmentReader
+from pinot_segment.var_byte import LZ4_LENGTH_PREFIXED, PASS_THROUGH
+from pinot_segment.writer import ColumnSpec, write_segment
+
+
+@pytest.fixture(scope="module")
+def segment(tmp_path_factory):
+    rng = np.random.RandomState(7)
+    n = 1000
+    ints = rng.randint(-50, 300, n).tolist()
+    longs = rng.randint(-(10**12), 10**12, n).tolist()
+    floats = [float(np.float32(x)) for x in rng.randn(n)]
+    doubles = rng.randn(n).tolist()
+    teams = [f"T{j:02d}" for j in rng.randint(0, 30, n)]
+    names = [f"player {j}" for j in rng.randint(0, 200, n)]
+    raw_ids = [f"id{j:06x}-{'pad' * (j % 5)}" for j in range(n)]
+    raw_lz4 = [f"value-{j % 97}-{'rep' * (j % 11)}" for j in range(n)]
+
+    d = tmp_path_factory.mktemp("seg") / "seg0"
+    v3 = write_segment(
+        d,
+        "seg0",
+        "t",
+        [
+            ColumnSpec("i", DataType.INT, ints),
+            ColumnSpec("l", DataType.LONG, longs),
+            ColumnSpec("f", DataType.FLOAT, floats),
+            ColumnSpec("d", DataType.DOUBLE, doubles),
+            ColumnSpec("team", DataType.STRING, teams, fixed_length_dict=True),
+            ColumnSpec("name", DataType.STRING, names),
+            ColumnSpec("rid", DataType.STRING, raw_ids, raw=True,
+                       compression=PASS_THROUGH, target_chunk_size=512),
+            ColumnSpec("rlz", DataType.STRING, raw_lz4, raw=True,
+                       compression=LZ4_LENGTH_PREFIXED, target_chunk_size=256,
+                       with_magic_prefix=True),
+        ],
+    )
+    return v3, dict(i=ints, l=longs, f=floats, d=doubles, team=teams,
+                    name=names, rid=raw_ids, rlz=raw_lz4)
+
+
+def test_metadata_roundtrip(segment):
+    v3, data = segment
+    r = SegmentReader.open(v3)
+    assert r.total_docs() == 1000
+    assert r.column_names() == ["i", "l", "f", "d", "team", "name", "rid", "rlz"]
+
+
+def test_int_column(segment):
+    v3, data = segment
+    assert list(SegmentReader.open(v3).read_int_column("i")) == data["i"]
+
+
+def test_long_column(segment):
+    v3, data = segment
+    assert list(SegmentReader.open(v3).read_long_column("l")) == data["l"]
+
+
+def test_float_column(segment):
+    v3, data = segment
+    got = SegmentReader.open(v3).read_float_column("f")
+    assert np.allclose(got, np.asarray(data["f"], dtype=np.float32), rtol=0, atol=0)
+
+
+def test_double_column(segment):
+    v3, data = segment
+    assert list(SegmentReader.open(v3).read_double_column("d")) == data["d"]
+
+
+def test_fixed_length_string_dictionary(segment):
+    v3, data = segment
+    assert SegmentReader.open(v3).read_string_column("team") == data["team"]
+
+
+def test_var_length_string_dictionary(segment):
+    v3, data = segment
+    assert SegmentReader.open(v3).read_string_column("name") == data["name"]
+
+
+def test_raw_string_passthrough_multichunk(segment):
+    v3, data = segment
+    assert SegmentReader.open(v3).read_string_column("rid") == data["rid"]
+
+
+def test_raw_string_lz4_with_magic(segment):
+    v3, data = segment
+    assert SegmentReader.open(v3).read_string_column("rlz") == data["rlz"]
+
+
+def test_point_reads_match_bulk(segment):
+    from pinot_segment.var_byte import VarByteChunkReader
+
+    v3, data = segment
+    r = SegmentReader.open(v3)
+    loc = r.index_map.get_forward_index("rid")
+    vb = VarByteChunkReader.read(v3 / "columns.psf", loc.start_offset, loc.size, 1000)
+    for doc in [0, 1, 7, 499, 999]:
+        assert vb.get_string(doc) == data["rid"][doc]
+
+
+def test_huge_value_chunk(tmp_path):
+    vals = ["short", "x" * 5000, "another-short", "y" * 4096, "tail"]
+    v3 = write_segment(
+        tmp_path / "huge", "huge", "t",
+        [ColumnSpec("c", DataType.STRING, vals, raw=True,
+                    compression=LZ4_LENGTH_PREFIXED, target_chunk_size=1024)],
+    )
+    assert SegmentReader.open(v3).read_string_column("c") == vals
+
+
+def test_zone_map_min_max(segment):
+    v3, data = segment
+    r = SegmentReader.open(v3)
+    mn, mx = r.column_min_max("i")
+    assert mn == min(data["i"]) and mx == max(data["i"])
+    assert r.column_min_max("rid") is None  # RAW: no stats
+
+
+def test_column_type_mismatch(segment):
+    v3, _ = segment
+    with pytest.raises(Exception):
+        SegmentReader.open(v3).read_int_column("team")
+
+
+def test_arrow_assembly(segment):
+    v3, data = segment
+    t = SegmentReader.open(v3).read_columns_arrow(["i", "team", "rid"])
+    assert t.num_rows == 1000
+    assert t.column_names == ["i", "team", "rid"]
+    assert not t.schema.field("i").nullable
+    assert t.column("team").to_pylist() == data["team"]
