@@ -1,0 +1,200 @@
+"""Catalog / table-discovery layer.
+
+Spark-side equivalent of the reference's CatalogProvider/SchemaProvider +
+MetadataProvider stack (reference datafusion-pinot/src/catalog.rs,
+metadata_provider.rs, controller.rs). Discovery semantics reproduced:
+
+- **Filesystem mode** (metadata_provider.rs:104-212): a data dir contains
+  table dirs named ``{table}_OFFLINE`` / ``{table}_REALTIME``; the suffix is
+  stripped to form the logical name (OFFLINE deduped first, sorted); segment
+  dirs are children having a ``v3`` subdir, skipping ``tmp``, sorted; OFFLINE
+  is preferred over REALTIME when both exist.
+- **Controller mode** (controller.rs:47-143, metadata_provider.rs:235-366):
+  ``GET {base}/tables`` lists tables; ``GET {base}/segments/{t}?type=OFFLINE``
+  (falling back to ``type=REALTIME``) lists segment names, each mapped to a
+  local ``{data_dir}/{t}_{TYPE}/{seg}/v3`` path. HTTP only, no TLS, matching
+  the reference's documented scope (README.md:130-135).
+
+Exactly one schema named ``default`` exists (catalog.rs:74-90); Spark-side
+the catalog registers each table as a temp view backed by the ``pinot`` data
+source, so ``spark.sql("SELECT ... FROM <table>")`` works — the Spark analog
+of ``ctx.register_catalog("pinot", ...)``.
+
+The reference's thread-per-call sync/async bridge (catalog.rs:292-302) has no
+Spark analogue and is deliberately dropped (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+import urllib.request
+
+SCHEMA_NAME = "default"  # the single schema, catalog.rs:74-90
+
+
+class FileSystemMetadataProvider:
+    """Discovers tables/segments by walking a local data directory."""
+
+    def __init__(self, data_dir: str) -> None:
+        self.data_dir = data_dir
+
+    def list_tables(self) -> list[str]:
+        names: list[str] = []
+        for entry in os.listdir(self.data_dir):
+            for suffix in ("_OFFLINE", "_REALTIME"):
+                if entry.endswith(suffix):
+                    name = entry[: -len(suffix)]
+                    if name not in names:
+                        names.append(name)
+        return sorted(names)
+
+    def table_exists(self, name: str) -> bool:
+        return os.path.isdir(os.path.join(self.data_dir, f"{name}_OFFLINE")) or os.path.isdir(
+            os.path.join(self.data_dir, f"{name}_REALTIME")
+        )
+
+    def get_segment_paths(self, table_name: str) -> list[str]:
+        offline = os.path.join(self.data_dir, f"{table_name}_OFFLINE")
+        realtime = os.path.join(self.data_dir, f"{table_name}_REALTIME")
+        if os.path.isdir(offline):
+            table_dir = offline
+        elif os.path.isdir(realtime):
+            table_dir = realtime
+        else:
+            raise FileNotFoundError(
+                f"Table '{table_name}' not found in {self.data_dir}"
+            )
+        segs = []
+        for entry in os.listdir(table_dir):
+            if entry == "tmp":
+                continue
+            v3 = os.path.join(table_dir, entry, "v3")
+            if os.path.isdir(v3):
+                segs.append(v3)
+        if not segs:
+            raise FileNotFoundError(f"No valid segments found in {table_dir}")
+        return sorted(segs)
+
+
+class PinotControllerClient:
+    """Minimal Pinot controller HTTP client (controller.rs:47-143).
+
+    ``http_get`` is injectable for tests (the reference uses wiremock;
+    here a plain callable stub suffices)."""
+
+    def __init__(self, base_url: str, http_get=None, timeout: float = 10.0) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+        self._http_get = http_get or self._urllib_get
+
+    def _urllib_get(self, url: str) -> str:
+        with urllib.request.urlopen(url, timeout=self.timeout) as resp:  # noqa: S310
+            if resp.status != 200:
+                raise RuntimeError(f"HTTP {resp.status} from {url}")
+            return resp.read().decode("utf-8")
+
+    def list_tables(self) -> list[str]:
+        body = self._http_get(f"{self.base_url}/tables")
+        try:
+            payload = json.loads(body)
+        except json.JSONDecodeError as e:
+            raise RuntimeError(f"Invalid JSON from controller: {e}") from None
+        return list(payload.get("tables", []))
+
+    def list_segments(self, table: str, table_type: str) -> list[str]:
+        q = urllib.parse.quote(table)
+        body = self._http_get(f"{self.base_url}/segments/{q}?type={table_type}")
+        try:
+            payload = json.loads(body)
+        except json.JSONDecodeError as e:
+            raise RuntimeError(f"Invalid JSON from controller: {e}") from None
+        # Response shape: [{"OFFLINE": [...]} , {"REALTIME": [...]}] — entries
+        # for types not requested may be absent (controller.rs:156-178).
+        segments: list[str] = []
+        for entry in payload if isinstance(payload, list) else []:
+            if isinstance(entry, dict) and table_type in entry:
+                segments.extend(entry[table_type])
+        return segments
+
+
+class ControllerMetadataProvider:
+    """Hybrid mode: table/segment *names* from the controller, data from the
+    local filesystem (metadata_provider.rs:235-366)."""
+
+    def __init__(self, controller: PinotControllerClient, data_dir: str) -> None:
+        self.controller = controller
+        self.data_dir = data_dir
+
+    def list_tables(self) -> list[str]:
+        return sorted(self.controller.list_tables())
+
+    def table_exists(self, name: str) -> bool:
+        return name in self.controller.list_tables()
+
+    def get_segment_paths(self, table_name: str) -> list[str]:
+        # OFFLINE preferred, REALTIME fallback (metadata_provider.rs:302-319).
+        for table_type in ("OFFLINE", "REALTIME"):
+            names = self.controller.list_segments(table_name, table_type)
+            if names:
+                paths = [
+                    os.path.join(
+                        self.data_dir, f"{table_name}_{table_type}", seg, "v3"
+                    )
+                    for seg in sorted(names)
+                ]
+                missing = [p for p in paths if not os.path.isdir(p)]
+                if missing:
+                    raise FileNotFoundError(
+                        f"Controller lists segments not present locally: {missing}"
+                    )
+                return paths
+        raise FileNotFoundError(f"No segments for table '{table_name}'")
+
+
+class PinotCatalog:
+    """Registers every discovered table as a Spark view over the pinot source.
+
+    Spark analog of ``PinotCatalogBuilder`` + ``register_catalog``
+    (catalog.rs:27-90)."""
+
+    def __init__(self, provider) -> None:
+        self.provider = provider
+
+    @classmethod
+    def filesystem(cls, data_dir: str) -> "PinotCatalog":
+        return cls(FileSystemMetadataProvider(data_dir))
+
+    @classmethod
+    def controller(
+        cls, controller_url: str, data_dir: str, http_get=None
+    ) -> "PinotCatalog":
+        client = PinotControllerClient(controller_url, http_get=http_get)
+        return cls(ControllerMetadataProvider(client, data_dir))
+
+    def schema_names(self) -> list[str]:
+        return [SCHEMA_NAME]
+
+    def table_names(self) -> list[str]:
+        return self.provider.list_tables()
+
+    def table_exists(self, name: str) -> bool:
+        return self.provider.table_exists(name)
+
+    def load_table(self, spark, name: str):
+        segs = self.provider.get_segment_paths(name)
+        from datafusion_pinot_spark.sources.pinot_datasource import PinotDataSource
+
+        spark.dataSource.register(PinotDataSource)
+        return (
+            spark.read.format("pinot").option("segments", ",".join(segs)).load()
+        )
+
+    def register_all(self, spark) -> list[str]:
+        """Create one temp view per table; returns the registered names."""
+        registered = []
+        for name in self.table_names():
+            self.load_table(spark, name).createOrReplaceTempView(name)
+            registered.append(name)
+        return registered

@@ -1,0 +1,301 @@
+"""PySpark Python Data Source for Apache Pinot v3 segments.
+
+Spark-side equivalent of the reference's DataFusion integration
+(reference datafusion-pinot/src/table.rs + exec.rs), re-expressed on the
+PySpark 4 Data Source API:
+
+- one ``InputPartition`` per segment directory — the segment is the unit of
+  parallelism, as in the reference (exec.rs:41 ``num_partitions =
+  segments.len()``);
+- table schema derived from the *first* segment's metadata (table.rs:115-118),
+  in metadata-declared column order (deterministic — fixes the reference's
+  HashMap-order hazard, SURVEY.md §4.3), all columns non-nullable
+  (schema.rs:29-30);
+- the reader materializes each projected column once per partition and yields
+  8,192-row Arrow batches sliced from it (exec.rs:24,65-66,241-248);
+- projection pushdown via the ``columns`` load option (the Python DS API has
+  no pruned-schema callback yet; the reference gets indices from DataFusion,
+  table.rs:161-169);
+- filter pushdown (a rebuild *improvement* — the reference ignores filters,
+  table.rs:163): supported predicates are evaluated (a) per segment against
+  sorted-dictionary min/max zone maps to skip whole segments, and (b) per
+  row with numpy masks before Arrow conversion.
+
+Usage::
+
+    spark.dataSource.register(PinotDataSource)
+    df = spark.read.format("pinot").load("/data/tbl_OFFLINE")
+    df = (spark.read.format("pinot")
+          .option("columns", "playerID,hits")   # projection pushdown
+          .load("/data/tbl_OFFLINE"))
+
+The ``path`` may be a table directory (``*_OFFLINE`` / ``*_REALTIME``), a
+single segment dir (containing ``v3/``), or a ``v3`` dir itself; or pass
+``segments`` as a comma-separated list of segment dirs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+BATCH_ROWS = 8192  # reference exec.rs:24
+
+_SPARK_TYPES = {
+    "INT": IntegerType(),
+    "LONG": LongType(),
+    "FLOAT": FloatType(),
+    "DOUBLE": DoubleType(),
+    "STRING": StringType(),
+    "BYTES": BinaryType(),
+    "BOOLEAN": BooleanType(),
+}
+
+
+def _discover_segments(path: str) -> list[str]:
+    """Resolve a path to a sorted list of v3 segment dirs.
+
+    Accepts a table dir of segment dirs (skipping ``tmp``,
+    metadata_provider.rs:184-199 semantics), a segment dir containing ``v3``,
+    or a ``v3`` dir itself.
+    """
+    if os.path.isfile(os.path.join(path, "metadata.properties")):
+        return [path]
+    v3 = os.path.join(path, "v3")
+    if os.path.isdir(v3):
+        return [v3]
+    segs = []
+    for entry in sorted(os.listdir(path)):
+        if entry == "tmp":
+            continue
+        child_v3 = os.path.join(path, entry, "v3")
+        if os.path.isdir(child_v3):
+            segs.append(child_v3)
+    if not segs:
+        raise ValueError(f"No valid Pinot v3 segments found under {path}")
+    return segs
+
+
+@dataclass
+class PinotInputPartition(InputPartition):
+    segment_dir: str
+    columns: tuple[str, ...]
+    filters: tuple = ()
+
+
+class PinotDataSource(DataSource):
+    """``spark.read.format("pinot")`` entry point."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pinot"
+
+    def _segments(self) -> list[str]:
+        if "segments" in self.options:
+            return [s for s in self.options["segments"].split(",") if s]
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pinot source requires a path or 'segments' option")
+        return _discover_segments(path)
+
+    def schema(self) -> StructType:
+        from pinot_segment import SegmentMetadata
+
+        first = self._segments()[0]
+        md = SegmentMetadata.from_file(os.path.join(first, "metadata.properties"))
+        names = md.column_names()
+        if "columns" in self.options:
+            requested = [c.strip() for c in self.options["columns"].split(",") if c.strip()]
+            missing = [c for c in requested if c not in md.columns]
+            if missing:
+                raise ValueError(f"columns not in segment: {missing}")
+            names = requested
+        fields = [
+            StructField(
+                n, _SPARK_TYPES[md.columns[n].data_type.value], nullable=False
+            )
+            for n in names
+        ]
+        return StructType(fields)
+
+    def reader(self, schema: StructType) -> "PinotDataSourceReader":
+        return PinotDataSourceReader(schema, self._segments())
+
+
+# Filter kinds we can evaluate both as zone-map prunes and row masks.
+_RANGE_FILTERS = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In)
+
+
+class PinotDataSourceReader(DataSourceReader):
+    def __init__(self, schema: StructType, segments: list[str]) -> None:
+        self._schema = schema
+        self._columns = tuple(f.name for f in schema.fields)
+        self._segments = segments
+        self._pushed: list[Filter] = []
+
+    # -- filter pushdown (rebuild improvement over table.rs:163) ------------
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if isinstance(f, _RANGE_FILTERS + (IsNotNull, IsNull)) and len(f.attribute) == 1:
+                self._pushed.append(f)
+            else:
+                yield f  # unsupported → Spark evaluates it above the scan
+
+    # -- planning -----------------------------------------------------------
+
+    def partitions(self) -> list[PinotInputPartition]:
+        pruned = []
+        for seg in self._segments:
+            if self._pushed and _segment_can_be_skipped(seg, self._pushed):
+                continue
+            pruned.append(
+                PinotInputPartition(seg, self._columns, tuple(self._pushed))
+            )
+        if not pruned:
+            # All segments zone-map-pruned. Spark still schedules one task for
+            # an empty partitions list (passing None), so hand it a sentinel.
+            return [PinotInputPartition("", self._columns, ())]
+        return pruned
+
+    # -- execution (runs on executors) --------------------------------------
+
+    def read(self, partition: PinotInputPartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        from pinot_segment import SegmentReader
+
+        if partition is None or not partition.segment_dir:
+            return  # sentinel partition: everything was pruned
+        reader = SegmentReader.open(partition.segment_dir)
+        mask = _row_mask(reader, partition.filters)
+        if mask is not None and not mask.any():
+            return
+        table = reader.read_columns_arrow(list(partition.columns))
+        if mask is not None:
+            table = table.filter(pa.array(mask))
+        # Slice into fixed-size batches (exec.rs:241-248).
+        for batch in table.to_batches(max_chunksize=BATCH_ROWS):
+            yield batch
+
+
+def register_pinot_source(spark) -> None:
+    spark.dataSource.register(PinotDataSource)
+
+
+# -- predicate evaluation helpers -------------------------------------------
+
+
+def _filter_bounds_check(f: Filter, mn, mx) -> bool:
+    """False if the [mn, mx] zone map proves the filter matches no rows."""
+    try:
+        if isinstance(f, EqualTo):
+            return mn <= f.value <= mx
+        if isinstance(f, In):
+            return any(mn <= v <= mx for v in f.value)
+        if isinstance(f, GreaterThan):
+            return mx > f.value
+        if isinstance(f, GreaterThanOrEqual):
+            return mx >= f.value
+        if isinstance(f, LessThan):
+            return mn < f.value
+        if isinstance(f, LessThanOrEqual):
+            return mn <= f.value
+    except TypeError:
+        return True  # incomparable types: cannot prune
+    return True
+
+
+def _segment_can_be_skipped(segment_dir: str, filters: list[Filter]) -> bool:
+    """Zone-map pruning: skip the segment iff some pushed filter is provably
+    unsatisfiable given a column's sorted-dictionary min/max."""
+    from pinot_segment import SegmentReader
+
+    try:
+        reader = SegmentReader.open(segment_dir)
+    except Exception:
+        return False
+    for f in filters:
+        if isinstance(f, IsNull):
+            return True  # Pinot columns are non-nullable → IS NULL = empty
+        if not isinstance(f, _RANGE_FILTERS):
+            continue
+        col = f.attribute[0]
+        if col not in reader.metadata.columns:
+            continue
+        mm = reader.column_min_max(col)
+        if mm is None:
+            continue
+        if not _filter_bounds_check(f, mm[0], mm[1]):
+            return True
+    return False
+
+
+def _row_mask(reader, filters):
+    """AND of pushed filters as a numpy boolean mask, or None if no filters."""
+    import numpy as np
+
+    if not filters:
+        return None
+    mask = None
+    col_cache: dict[str, object] = {}
+
+    def colvals(name):
+        if name not in col_cache:
+            vals = reader.read_column(name)
+            col_cache[name] = np.asarray(vals) if not isinstance(vals, np.ndarray) else vals
+        return col_cache[name]
+
+    n = reader.total_docs()
+    for f in filters:
+        if isinstance(f, IsNotNull):
+            continue  # non-nullable: always true
+        if isinstance(f, IsNull):
+            return np.zeros(n, dtype=bool)
+        vals = colvals(f.attribute[0])
+        if isinstance(f, EqualTo):
+            m = vals == f.value
+        elif isinstance(f, GreaterThan):
+            m = vals > f.value
+        elif isinstance(f, GreaterThanOrEqual):
+            m = vals >= f.value
+        elif isinstance(f, LessThan):
+            m = vals < f.value
+        elif isinstance(f, LessThanOrEqual):
+            m = vals <= f.value
+        elif isinstance(f, In):
+            m = np.isin(vals, list(f.value))
+        else:  # pragma: no cover - pushFilters only accepts the above
+            continue
+        mask = m if mask is None else (mask & m)
+    return mask

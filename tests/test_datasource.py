@@ -1,0 +1,196 @@
+"""Spark-tier tests for the pinot data source + catalog.
+
+Mirrors the reference's SQL test tier (query_tests.rs / catalog_tests.rs —
+SELECT+LIMIT shape, projection shape, COUNT(*), catalog-qualified multi-table
+queries), plus pushdown tests for the rebuild improvements."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_pinot_spark.catalog import PinotCatalog
+from datafusion_pinot_spark.sources.pinot_datasource import PinotDataSource
+
+
+@pytest.fixture(scope="module")
+def baseball(spark, pinot_table_dir):
+    root, expected = pinot_table_dir
+    spark.dataSource.register(PinotDataSource)
+    df = spark.read.format("pinot").load(str(root / "baseball_OFFLINE"))
+    return df, expected
+
+
+def test_schema(baseball):
+    df, _ = baseball
+    assert [f.name for f in df.schema.fields] == ["playerID", "teamID", "hits", "homeRuns"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string", "string", "int", "int",
+    ]
+    assert all(not f.nullable for f in df.schema.fields)
+
+
+def test_count_star(baseball):
+    df, expected = baseball
+    assert df.count() == len(expected["hits"]) == 1000
+
+
+def test_full_scan_values(baseball):
+    df, expected = baseball
+    rows = df.collect()
+    assert [r["playerID"] for r in rows] == expected["playerID"]
+    assert [r["hits"] for r in rows] == expected["hits"]
+
+
+def test_partitions_per_segment(spark, baseball):
+    df, _ = baseball
+    # one task per segment (exec.rs:41 parity)
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_select_limit(baseball):
+    # query_tests.rs:25-35 shape
+    df, _ = baseball
+    rows = df.limit(10).collect()
+    assert len(rows) == 10 and len(rows[0]) == 4
+
+
+def test_projection_option(spark, pinot_table_dir):
+    root, expected = pinot_table_dir
+    spark.dataSource.register(PinotDataSource)
+    df = (
+        spark.read.format("pinot")
+        .option("columns", "teamID,hits")
+        .load(str(root / "baseball_OFFLINE"))
+    )
+    assert df.columns == ["teamID", "hits"]
+    assert df.count() == 1000
+
+
+def test_aggregation_sql(spark, baseball):
+    df, expected = baseball
+    df.createOrReplaceTempView("baseball")
+    row = spark.sql(
+        "SELECT COUNT(*) AS n, SUM(hits) AS s, MAX(homeRuns) AS m FROM baseball"
+    ).collect()[0]
+    assert row["n"] == 1000
+    assert row["s"] == sum(expected["hits"])
+    assert row["m"] == max(expected["homeRuns"])
+
+
+def test_group_by_topk(spark, baseball):
+    df, expected = baseball
+    got = (
+        df.groupBy("teamID")
+        .agg(F.sum("hits").alias("s"))
+        .orderBy(F.desc("s"), "teamID")
+        .limit(5)
+        .collect()
+    )
+    import collections
+
+    agg = collections.defaultdict(int)
+    for t, h in zip(expected["teamID"], expected["hits"]):
+        agg[t] += h
+    want = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["teamID"], r["s"]) for r in got] == want
+
+
+def test_filter_pushdown_correctness(spark, baseball):
+    df, expected = baseball
+    got = df.filter(F.col("hits") > 250).select("playerID", "hits").collect()
+    want = [
+        (p, h) for p, h in zip(expected["playerID"], expected["hits"]) if h > 250
+    ]
+    assert sorted((r["playerID"], r["hits"]) for r in got) == sorted(want)
+
+
+def test_zone_map_segment_pruning(spark, pinot_table_dir):
+    """A filter outside every segment's min/max prunes all partitions."""
+    from datafusion_pinot_spark.sources.pinot_datasource import (
+        PinotDataSourceReader,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    root, _ = pinot_table_dir
+    spark.dataSource.register(PinotDataSource)
+    df = spark.read.format("pinot").load(str(root / "baseball_OFFLINE"))
+    assert df.filter(F.col("hits") > 10_000).count() == 0
+
+    # direct check of the pruning logic
+    src = PinotDataSource({"path": str(root / "baseball_OFFLINE")})
+    reader = PinotDataSourceReader(src.schema(), src._segments())
+    list(reader.pushFilters([EqualTo(("hits",), 100_000)]))
+    parts = reader.partitions()
+    assert len(parts) == 1 and parts[0].segment_dir == ""  # all pruned → sentinel
+
+
+def test_catalog_filesystem_discovery(spark, pinot_table_dir):
+    root, expected = pinot_table_dir
+    cat = PinotCatalog.filesystem(str(root))
+    assert cat.schema_names() == ["default"]
+    assert cat.table_names() == ["baseball", "dimTeams"]
+    assert cat.table_exists("baseball") and not cat.table_exists("nope")
+    # tmp dir skipped; 3 segments discovered
+    assert len(cat.provider.get_segment_paths("baseball")) == 3
+
+    registered = cat.register_all(spark)
+    assert registered == ["baseball", "dimTeams"]
+    # multi-table queries (catalog_tests.rs:37-70 shape)
+    assert spark.sql("SELECT COUNT(*) AS n FROM baseball").collect()[0]["n"] == 1000
+    assert spark.sql("SELECT COUNT(*) AS n FROM dimTeams").collect()[0]["n"] == 30
+    # join across fact + dim — DELEG-U in the reference, free in Spark
+    joined = spark.sql(
+        """
+        SELECT d.teamName, SUM(b.hits) AS s FROM baseball b
+        JOIN dimTeams d ON b.teamID = d.teamID
+        GROUP BY d.teamName ORDER BY s DESC, d.teamName LIMIT 3
+        """
+    ).collect()
+    assert len(joined) == 3
+
+
+def test_controller_catalog_with_stub_http(spark, pinot_table_dir):
+    root, _ = pinot_table_dir
+
+    def fake_get(url: str) -> str:
+        if url.endswith("/tables"):
+            return '{"tables": ["baseball"]}'
+        if "/segments/baseball" in url and "type=OFFLINE" in url:
+            return '[{"OFFLINE": ["seg0", "seg1", "seg2"]}]'
+        if "/segments/baseball" in url and "type=REALTIME" in url:
+            return "[]"
+        raise AssertionError(f"unexpected url {url}")
+
+    cat = PinotCatalog.controller("http://ctrl:9000", str(root), http_get=fake_get)
+    assert cat.table_names() == ["baseball"]
+    paths = cat.provider.get_segment_paths("baseball")
+    assert len(paths) == 3 and all(p.endswith("v3") for p in paths)
+    assert cat.load_table(spark, "baseball").count() == 1000
+
+
+def test_controller_realtime_fallback(pinot_table_dir):
+    root, _ = pinot_table_dir
+
+    def fake_get(url: str) -> str:
+        if url.endswith("/tables"):
+            return '{"tables": ["dimTeams"]}'
+        if "type=OFFLINE" in url:
+            return "[]"
+        if "type=REALTIME" in url:
+            return '[{"REALTIME": ["seg0"]}]'
+        raise AssertionError(url)
+
+    cat = PinotCatalog.controller("http://ctrl:9000", str(root), http_get=fake_get)
+    assert len(cat.provider.get_segment_paths("dimTeams")) == 1
+
+
+def test_controller_error_paths():
+    from datafusion_pinot_spark.catalog import PinotControllerClient
+
+    client = PinotControllerClient("http://x", http_get=lambda u: "not json")
+    with pytest.raises(RuntimeError):
+        client.list_tables()
+
+    client2 = PinotControllerClient(
+        "http://x", http_get=lambda u: '{"other": 1}'
+    )
+    assert client2.list_tables() == []
