@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query; ``queries()`` exposes every
+implemented operator from SURVEY.md §2 (+ the LLM-pipeline extensions) as
+(spark, sf_dir) -> DataFrame callables; ``oracle_sql()`` gives the DuckDB
+equivalent for each deterministic query. Definitions live in
+datafusion_pinot_spark/plans/queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_conf(spark: SparkSession) -> SparkSession:
+    # The pinot data source (if used) needs Python filter pushdown; harmless
+    # for parquet-only queries. Session timezone must be UTC for timestamp
+    # comparisons against DuckDB.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS); read as long + convert
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
+    from datafusion_pinot_spark.plans import QUERIES
+
+    _ensure_conf(spark)
+    return QUERIES["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from datafusion_pinot_spark.plans import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(qdef):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return qdef.fn(_ensure_conf(spark), sf_dir)
+
+        return run
+
+    return {name: wrap(qdef) for name, qdef in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from datafusion_pinot_spark.plans import QUERIES
+
+    return {
+        name: qdef.oracle
+        for name, qdef in QUERIES.items()
+        if qdef.oracle is not None
+    }

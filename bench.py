@@ -1,0 +1,92 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Query set = the seven reference benchmark shapes (BASELINE.md) translated to
+lineitem, plus representative heavier operators (TPC-H Q1, 5-way join,
+window top-k, MinHash-LSH dedup, ANN top-k, tumbling windows, sessionization).
+
+Timing is end-to-end per query: plan construction + execution + result
+materialization via a noop sink (rows fully produced engine-side, no Python
+driver transfer — comparable to the reference's in-process collect of Arrow
+batches, reference benchmark.rs:24-28). Two runs per query, min taken; one
+untimed warmup query first to amortize JVM/session start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # reference parity (BASELINE.md shapes)
+    "count_star",
+    "scan_dict_cols",
+    "scan_raw_cols",
+    "agg_sum_avg_max",
+    "groupby_topk",
+    "groupby_highcard_topk",
+    "projection_limit",
+    # relational surface
+    "q1_pricing_summary",
+    "join_5way_region_revenue",
+    "window_topk_per_group",
+    "events_tumbling_window",
+    "sessionization",
+    # LLM-pipeline operators
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from datafusion_pinot_spark.plans import QUERIES
+    from datafusion_pinot_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
+
+    # warmup: touch the fact table once (file listing + codegen warm)
+    QUERIES["count_star"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        qdef = QUERIES[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(qdef.fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Reusable column-expression helpers (all JVM-side built-ins — no Python
+UDFs in the hot path; SURVEY.md §2.8 notes the reference exposes scalar
+functions purely via its SQL engine, as we do via pyspark.sql.functions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\s+"
+
+
+def as_double_array(col) -> Column:
+    """array<float> → array<double> (exact widening) for stable math."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a, b) -> Column:
+    """Cosine similarity of two array<double> columns (0 when either is 0)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def tokens(text_col) -> Column:
+    """Lower-cased whitespace tokens; empty text → empty array."""
+    trimmed = F.trim(F.lower(text_col))
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, TOKEN_PATTERN)
+    )
+
+
+def word_shingles(tokens_col, n: int = 3) -> Column:
+    """Distinct n-gram word shingles of a token array (space-joined)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - n, F.lit(-1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens_col, i + k + 1) for k in range(n)]
+            ),
+        )
+    )
+
+
+def money(col) -> Column:
+    """Exact decimal representation of a money/quantity double. Aggregating
+    decimals (not doubles) makes SUM order-independent and bit-identical
+    across engines — the basis of the DuckDB-oracle comparison."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return col.cast("decimal(18,2)")
+
+
+def dsum(col, scale: int = 2) -> Column:
+    """Exact decimal SUM surfaced as a rounded double."""
+    return F.round(F.sum(money(col)).cast("double"), scale)
+
+
+def davg(col, scale: int = 4) -> Column:
+    """AVG as exact-decimal sum / count, rounded — engine-stable."""
+    return F.round(
+        (F.sum(money(col)).cast("double") / F.count(col)), scale
+    )

@@ -1,0 +1,214 @@
+"""Deduplication operators for LLM-data pipelines (documents table).
+
+Scale design notes (100 TB):
+
+- *Exact* dedup is a hash groupBy — one shuffle on the content hash, with
+  map-side partial aggregation; AQE handles skew (a viral doc repeated 1e6x).
+- *MinHash-LSH* avoids the O(N^2) pair space: per-doc signatures (narrow map),
+  band keys (narrow map), then ONE shuffle joining docs sharing a band bucket;
+  candidate pairs are verified with exact Jaccard. Cost ~ O(N * bands +
+  candidate_pairs), never N^2.
+- *SimHash* is a narrow per-row map; near-dup lookup joins on rotated
+  fingerprint prefixes (here: exact-fingerprint match).
+- *N-gram Jaccard* (the exact verifier) explodes shingles and self-joins on
+  shingle — O(sum shingle freq^2) ≈ linear for natural text; it is also the
+  DuckDB-checkable oracle for the pipeline.
+- *Embedding near-dup* reuses the similarity operators on a cosine threshold.
+
+MD5 (identical across Spark and DuckDB) is used as the hash family so every
+deterministic stage is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from datafusion_pinot_spark.functions import tokens, word_shingles
+
+MINHASH_K = 4  # hash functions per signature
+LSH_BANDS = 2  # bands of MINHASH_K / LSH_BANDS rows each
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Group by content hash; keep the smallest doc_id as canonical."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup_oracle_sql() -> str:
+    return (
+        "SELECT md5(text) AS h, min(doc_id) AS keep_doc_id, count(*) AS n_copies "
+        "FROM documents GROUP BY md5(text)"
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k-permutation MinHash over the distinct word set, hash family
+    md5(seed || word). Narrow per-row computation; no shuffle."""
+    words = F.array_distinct(tokens(F.col("text")))
+    cols = [
+        F.array_min(
+            F.transform(words, lambda w: F.md5(F.concat(F.lit(f"s{i}|"), w)))
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return docs.select("doc_id", *cols)
+
+
+def minhash_signatures_oracle_sql(k: int = MINHASH_K) -> str:
+    mins = ", ".join(
+        "list_min(list_transform(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), "
+        f"w -> md5('s{i}|' || w))) AS mh{i}"
+        for i in range(k)
+    )
+    return f"SELECT doc_id, {mins} FROM documents"
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on at least one LSH band.
+
+    shingle→minhash→band→bucket-join; returns (doc_a, doc_b, n_bands_matched).
+    """
+    sig = minhash_signatures(docs, k)
+    rows_per_band = k // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    melted = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_idx", "bk.key")
+    left = melted.alias("a")
+    right = melted.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Explode + self-join on shingle (the classic exact near-dup verifier);
+    output (doc_a, doc_b, jaccard) for jaccard ≥ threshold.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")), n)).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_oracle_sql(n: int = 3, threshold: float = 0.2) -> str:
+    # shingles: distinct space-joined n-gram word windows, 1-based list index
+    joined = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - {n - 1}), i -> {joined})) AS s
+  FROM t WHERE len(w) >= {n}
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= {threshold}
+"""
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over the word multiset, built from xxhash64 word hashes.
+
+    Pure built-in expressions: per word, each of the 64 bits contributes ±1;
+    the fingerprint takes the sign of each bit-sum. (xxhash64 is Spark-only,
+    so this operator is rows-only checked — no DuckDB oracle.)
+    """
+    words = tokens(F.col("text"))
+    hashed = docs.select(
+        "doc_id", F.explode(words).alias("w")
+    ).select("doc_id", F.xxhash64("w").alias("h"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(63)
+        ]
+    )
+    fp = sum(
+        (
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(1, 63)
+        ),
+        F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame) -> DataFrame:
+    """Documents sharing an identical 64-bit simhash (hamming distance 0)."""
+    sh = simhash64(docs)
+    w = Window.partitionBy("simhash")
+    return (
+        sh.withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "simhash", "group_size")
+    )

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (embeddings table,
+``embedding array<float>``).
+
+Scale design (100 TB):
+
+- *Brute force* is the correctness baseline: broadcast the (small) query set,
+  score every candidate row (narrow map — no shuffle of the big side), then a
+  per-query top-k via window rank over a shuffle keyed by query id. At k
+  queries x N rows the scan is embarrassingly parallel; only k*N/top-k rows
+  reach the shuffle after the rank pushes TakeOrdered down.
+- *LSH-bucketed* (random hyperplanes, fixed seed): each row maps to a bucket
+  code (narrow); queries probe only their bucket → candidates shrink by
+  ~2^planes; exact cosine re-rank inside the bucket. Trades recall for a
+  bounded candidate set; the standard IVF-ish scale path.
+
+Dot products use built-in higher-order functions (zip_with/aggregate) —
+JVM-side, no Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from datafusion_pinot_spark.functions import as_double_array, cosine_similarity
+
+EMBEDDING_DIM = 64
+LSH_PLANES = 8
+LSH_SEED = 0
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k for each query vector (excluding self)."""
+    emb = embeddings.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = scored.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("q_v"), F.col("v")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "sim", "rnk")
+    )
+
+
+def brute_force_topk_oracle_sql(query_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS q_v FROM emb WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(CASE WHEN sqrt(list_sum(list_transform(q.q_v, x -> x*x)))
+                         * sqrt(list_sum(list_transform(e.v, x -> x*x))) = 0 THEN 0.0
+                    ELSE list_sum(list_transform(generate_series(1, len(e.v)), i -> q.q_v[i] * e.v[i]))
+                         / (sqrt(list_sum(list_transform(q.q_v, x -> x*x)))
+                            * sqrt(list_sum(list_transform(e.v, x -> x*x))))
+               END, 6) AS sim
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, sim, rnk FROM (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""
+
+
+def _hyperplanes(dim: int, planes: int, seed: int):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(planes, dim)
+
+
+def lsh_bucket_code(
+    emb_col, dim: int = EMBEDDING_DIM, planes: int = LSH_PLANES, seed: int = LSH_SEED
+):
+    """Random-hyperplane bucket code (0..2^planes-1) as a column expression.
+
+    The plane matrix is seeded and embedded as literals, so the bucketing is
+    deterministic and JVM-evaluated (no Python worker round-trip).
+    """
+    H = _hyperplanes(dim, planes, seed)
+    code = F.lit(0)
+    for p in range(planes):
+        plane = F.array(*[F.lit(float(x)) for x in H[p]])
+        d = F.aggregate(
+            F.zip_with(emb_col, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        code = code + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return code
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    planes: int = LSH_PLANES,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """ANN top-k: probe only the query's LSH bucket, exact re-rank inside."""
+    emb = embeddings.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    ).withColumn("bucket", lsh_bucket_code(F.col("v"), planes=planes, seed=seed))
+    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = emb.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("q_v"), F.col("v")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "sim", "rnk")
+    )
+
+
+def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding statistics (avg L2 norm, count)."""
+    v = as_double_array("embedding")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        embeddings.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+    )
+
+
+def embedding_norm_stats_oracle_sql() -> str:
+    return """
+WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+)
+SELECT label, count(*) AS n, round(avg(norm), 4) AS avg_norm,
+       round(min(norm), 4) AS min_norm, round(max(norm), 4) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+def embedding_cosine_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, planes: int = LSH_PLANES
+) -> DataFrame:
+    """Near-duplicate detection by embedding cosine ≥ threshold, LSH-bucketed
+    so candidate generation is not O(N^2): pairs must share a bucket."""
+    emb = embeddings.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    ).withColumn("bucket", lsh_bucket_code(F.col("v"), planes=planes))
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+    ).filter(F.col("sim") >= threshold)

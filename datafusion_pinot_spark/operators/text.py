@@ -1,0 +1,151 @@
+"""Text-analysis operators for LLM-data-pipeline use (documents table).
+
+All pure built-in column expressions (JVM-side, codegen'd) — no Python UDFs,
+so each scales linearly with executors at 100 TB: embarrassingly parallel
+per-row maps with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from datafusion_pinot_spark.functions import tokens
+
+# Tiny per-language stopword markers for the heuristic language guesser.
+# (A real pipeline would use fastText/CLD3; those aren't in this container.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "que"],
+}
+
+# Word-ish tokens OR single non-space punctuation — a BPE-ish first cut.
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality stats: lengths, token counts, ratios, score."""
+    toks = tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?'\"()-]", ""))
+    avg_token_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+            / n_tokens,
+            4,
+        )
+    )
+    alpha_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        F.round(n_alpha.cast("double") / n_chars, 4)
+    )
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        F.round(n_punct.cast("double") / n_chars, 4)
+    )
+    # crude quality score: long enough, mostly alphabetic, low punct noise.
+    # Computed in exact decimal arithmetic (n/50 always has ≤2 decimals, the
+    # ratios are 4-decimal-rounded) so the final rounding has no float ties
+    # and matches DuckDB bit-for-bit.
+    lenc = (
+        F.least(n_tokens, F.lit(50)).cast("decimal(6,1)") / 50
+    ).cast("decimal(8,4)")
+    alpha4 = alpha_ratio.cast("decimal(8,4)")
+    punct4 = punct_ratio.cast("decimal(8,4)")
+    quality = F.round(lenc * alpha4 * (F.lit(1).cast("decimal(8,4)") - punct4), 4).cast(
+        "double"
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def text_stats_oracle_sql() -> str:
+    return """
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN length(trim(lower(text))) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens,
+       CASE WHEN length(trim(lower(text))) = 0 THEN 0.0
+            ELSE round(CAST(list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> length(t))) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 4) END AS avg_token_len,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 4) END AS alpha_ratio,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE round(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text), 4) END AS punct_ratio,
+       CAST(round(
+         CAST(CAST(least(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+                              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END, 50) AS DECIMAL(6,1)) / 50 AS DECIMAL(8,4))
+         * CAST(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 4) END AS DECIMAL(8,4))
+         * (CAST(1 AS DECIMAL(8,4)) - CAST(CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE round(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text), 4) END AS DECIMAL(8,4))),
+       4) AS DOUBLE) AS quality
+FROM documents
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language guess (first language whose markers hit ≥ 2
+    distinct words wins, priority order en,fr,de,es; else 'und')."""
+    toks = tokens(F.col("text"))
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        markers = LANG_MARKERS[lang]
+        hits = sum(
+            (F.array_contains(toks, m).cast("int") for m in markers), F.lit(0)
+        )
+        expr = F.when(hits >= 2, F.lit(lang)).otherwise(expr)
+    return docs.select("doc_id", "lang", expr.alias("lang_guess"))
+
+
+def lang_id_oracle_sql() -> str:
+    def hits(markers: list[str]) -> str:
+        return " + ".join(
+            f"CAST(list_contains(regexp_split_to_array(trim(lower(text)), '\\s+'), '{m}') AS INT)"
+            for m in markers
+        )
+
+    cases = " ".join(
+        f"WHEN ({hits(m)}) >= 2 THEN '{lang}'" for lang, m in LANG_MARKERS.items()
+    )
+    return f"SELECT doc_id, lang, CASE {cases} ELSE 'und' END AS lang_guess FROM documents"
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens and BPE-ish regex tokens per document."""
+    ws = F.size(tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0))
+    return docs.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+    )
+
+
+def token_count_oracle_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN length(trim(lower(text))) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe_tokens
+FROM documents
+"""
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Normalization fingerprint: md5 of lowercased, space-collapsed text."""
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def fingerprint_oracle_sql() -> str:
+    return (
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+        "FROM documents"
+    )

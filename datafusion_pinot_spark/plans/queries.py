@@ -1,0 +1,916 @@
+"""The query catalog: every operator capability as a (Spark, DuckDB-oracle)
+pair over the driver's testdata tables.
+
+Sections:
+
+1. *Reference parity* — the seven benchmark query shapes
+   (reference examples/benchmark_cases.rs:9-45) plus WHERE/ORDER BY coverage,
+   translated to the lineitem fact table per FIXTURES.md's mapping.
+2. *Relational surface* — joins (inner/left/semi/anti/multi-way), windows,
+   set ops, distinct aggs, rollup/cube/grouping sets, scalar functions,
+   sessionization, pivot, JSON — the DELEG-U envelope the reference gets from
+   DataFusion and we get from Spark SQL (SURVEY.md §2.3-2.8).
+3. *LLM-pipeline operators* — dedup, similarity, text analysis, multimodal,
+   streaming (SURVEY.md §7.7); implemented in operators/ and streaming/.
+
+Engine-stable numerics: money/quantity aggregates go through exact DECIMAL
+sums (order-independent) surfaced as rounded doubles; derived per-row doubles
+are written with explicit association so Spark and DuckDB produce bit-equal
+inputs to the final rounding. Every computed column is aliased identically in
+both dialects (the driver's hash compare requires it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from datafusion_pinot_spark.functions import money
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The events table stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    # reader rejects; with spark.sql.legacy.parquet.nanosAsLong (set in
+    # session/_ensure_conf) it arrives as a nanosecond LongType — convert to
+    # a microsecond timestamp (same truncation DuckDB applies).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    section: str
+    tags: list[str] = field(default_factory=list)
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: Optional[str], section: str, tags=()):
+    def deco(fn):
+        QUERIES[name] = QueryDef(name, fn, oracle, section, list(tags))
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §1 Reference parity (benchmark_cases.rs shapes on lineitem)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "count_star",
+    "SELECT count(*) AS n FROM lineitem",
+    "parity",
+    ["agg"],
+)
+def q_count_star(spark, sf):
+    # benchmark_cases.rs:10-14 — SELECT COUNT(*)
+    return t(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "scan_dict_cols",
+    "SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem",
+    "parity",
+    ["scan"],
+)
+def q_scan_dict(spark, sf):
+    # benchmark_cases.rs:15-19 — full scan of low-cardinality (dict-like) cols
+    return t(spark, sf, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+
+
+@register(
+    "scan_raw_cols",
+    "SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem",
+    "parity",
+    ["scan"],
+)
+def q_scan_raw(spark, sf):
+    # benchmark_cases.rs:20-24 — full scan incl. high-cardinality (RAW-like)
+    return t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+
+
+@register(
+    "agg_sum_avg_max",
+    """SELECT round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+              round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
+              max(l_extendedprice) AS max_price
+       FROM lineitem""",
+    "parity",
+    ["agg"],
+)
+def q_agg(spark, sf):
+    # benchmark_cases.rs:25-29 — SELECT SUM(..), AVG(..), MAX(..)
+    li = t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.sum(money("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        F.round(
+            F.sum(money("l_discount")).cast("double") / F.count("l_discount"), 4
+        ).alias("avg_disc"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "groupby_topk",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY sum_qty DESC, l_returnflag, l_linestatus LIMIT 10""",
+    "parity",
+    ["agg", "topk"],
+)
+def q_groupby_topk(spark, sf):
+    # benchmark_cases.rs:30-34 — GROUP BY low-card + ORDER BY SUM DESC LIMIT
+    li = t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(money("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("sum_qty"), "l_returnflag", "l_linestatus")
+        .limit(10)
+    )
+
+
+@register(
+    "groupby_highcard_topk",
+    """SELECT l_partkey,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+              count(*) AS n
+       FROM lineitem GROUP BY l_partkey
+       ORDER BY avg_qty DESC, l_partkey LIMIT 10""",
+    "parity",
+    ["agg", "topk"],
+)
+def q_groupby_highcard(spark, sf):
+    # benchmark_cases.rs:35-39 — GROUP BY high-cardinality key (RAW analog)
+    li = t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(money("l_quantity")).cast("double") / F.count("*"), 4
+            ).alias("avg_qty"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(F.desc("avg_qty"), "l_partkey")
+        .limit(10)
+    )
+
+
+@register(
+    "projection_limit",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       ORDER BY l_orderkey, l_linenumber LIMIT 10""",
+    "parity",
+    ["scan", "limit"],
+)
+def q_projection_limit(spark, sf):
+    # benchmark_cases.rs:40-44 — projection + LIMIT (made deterministic with
+    # a unique ORDER BY so Spark and the oracle pick the same rows)
+    return (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+@register(
+    "filter_where",
+    """SELECT count(*) AS n,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount > 0.05 AND l_quantity < 25""",
+    "parity",
+    ["filter"],
+)
+def q_filter_where(spark, sf):
+    # WHERE is DELEG-U in the reference (no repo query uses it, table.rs:163);
+    # exercised here incl. pushdown-friendly range + comparison predicates.
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") > 0.05)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(money("l_extendedprice")).cast("double"), 2).alias(
+                "sum_price"
+            ),
+        )
+    )
+
+
+@register(
+    "orderby_multi",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+    "parity",
+    ["sort", "limit"],
+)
+def q_orderby_multi(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(
+            F.asc("o_orderstatus"), F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2 Relational surface (Spark SQL built-ins; DELEG-U envelope)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
+              round(CAST(sum((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+              round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    "relational",
+    ["agg", "tpch"],
+)
+def q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape. Derived measures are rounded per-row then summed as
+    exact decimals, so both engines aggregate identical values."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    # Exact decimal per-row measures: price(12,2) x (1-disc)(4,2) has true
+    # scale 4, x (1+tax)(4,2) scale 6 — no 38-precision cap, no float
+    # rounding ties across engines (see round-semantics note in module doc).
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = price_d * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(money("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(money("l_extendedprice")).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(
+                F.sum(money("l_quantity")).cast("double") / F.count("*"), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(money("l_discount")).cast("double") / F.count("*"), 4
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "join_orders_customer",
+    """SELECT c_mktsegment,
+              count(*) AS n_orders,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY revenue DESC, c_mktsegment""",
+    "relational",
+    ["join"],
+)
+def q_join_orders_customer(spark, sf):
+    # broadcast the dimension side — at 100 TB the fact side never shuffles
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(money("o_totalprice")).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_mktsegment")
+    )
+
+
+@register(
+    "join_5way_region_revenue",
+    """SELECT r_name, n_name,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue,
+              count(*) AS n_items
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name
+       ORDER BY revenue DESC, r_name, n_name""",
+    "relational",
+    ["join", "tpch"],
+)
+def q_join_5way(spark, sf):
+    """Q5-shaped multi-way join: fact → orders, then broadcast snowflake dims
+    (customer/nation/region) so only the fact-fact join shuffles."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "r_name", "n_name")
+    )
+
+
+@register(
+    "semi_join_exists",
+    """SELECT c_mktsegment, count(*) AS n_customers
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "relational",
+    ["join"],
+)
+def q_semi_join(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "anti_join_not_exists",
+    """SELECT c_mktsegment, count(*) AS n_customers
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "relational",
+    ["join"],
+)
+def q_anti_join(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "left_join_histogram",
+    """SELECT n_urgent, count(*) AS n_customers FROM (
+         SELECT c.c_custkey, count(o.o_orderkey) AS n_urgent
+         FROM customer c
+         LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+           ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_custkey
+       ) GROUP BY n_urgent ORDER BY n_urgent""",
+    "relational",
+    ["join"],
+)
+def q_left_join_histogram(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("n_urgent"))
+    )
+    return (
+        per_cust.groupBy("n_urgent")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_urgent")
+    )
+
+
+@register(
+    "window_topk_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+         FROM orders
+       ) WHERE rnk <= 3""",
+    "relational",
+    ["window"],
+)
+def q_window_topk(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    """SELECT o_custkey, o_orderkey,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_total
+       FROM orders""",
+    "relational",
+    ["window"],
+)
+def q_window_running_sum(spark, sf):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(money("o_totalprice")).over(w).cast("double"), 2).alias(
+            "running_total"
+        ),
+    )
+
+
+@register(
+    "window_lag_delta",
+    """SELECT o_custkey, o_orderkey,
+              round(o_totalprice - lag(o_totalprice)
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+              AS delta_prev
+       FROM orders""",
+    "relational",
+    ["window"],
+)
+def q_window_lag(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("delta_prev"),
+    )
+
+
+@register(
+    "set_ops",
+    """SELECT 'union' AS op, count(*) AS n FROM
+         (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)
+       UNION ALL
+       SELECT 'intersect' AS op, count(*) AS n FROM
+         (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+       UNION ALL
+       SELECT 'except' AS op, count(*) AS n FROM
+         (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)""",
+    "relational",
+    ["setop"],
+)
+def q_set_ops(spark, sf):
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        one("union", c.union(s).distinct())
+        .unionAll(one("intersect", c.distinct().intersect(s.distinct())))
+        .unionAll(one("except", c.distinct().exceptAll(s.distinct())))
+    )
+
+
+@register(
+    "distinct_agg",
+    """SELECT l_returnflag,
+              count(DISTINCT l_partkey) AS distinct_parts,
+              count(DISTINCT l_suppkey) AS distinct_supps,
+              count(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "relational",
+    ["agg"],
+)
+def q_distinct_agg(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "approx_distinct",
+    None,  # approximate: engine-specific sketches, rows-only check
+    "relational",
+    ["agg", "approx"],
+)
+def q_approx_distinct(spark, sf):
+    """HLL-sketch distinct counting — the 100 TB path where exact
+    COUNT(DISTINCT) would shuffle every key. No oracle: sketch estimates are
+    engine-specific by design."""
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "rollup_agg",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "relational",
+    ["agg", "rollup"],
+)
+def q_rollup(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(money("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "cube_agg",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "relational",
+    ["agg", "cube"],
+)
+def q_cube(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "grouping_sets",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "relational",
+    ["agg"],
+)
+def q_grouping_sets(spark, sf):
+    t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+    )
+
+
+@register(
+    "scalar_functions",
+    """SELECT o_orderkey,
+              upper(substr(o_orderpriority, 3)) AS prio_name,
+              concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+              length(o_orderpriority) AS prio_len,
+              CAST(year(o_orderdate) AS INT) AS yr,
+              CAST(month(o_orderdate) AS INT) AS mon,
+              CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.9 AS DECIMAL(2,1)), 2) AS DOUBLE) AS discounted,
+              abs(o_totalprice - 250000.0) AS dist_mid,
+              o_orderkey % 7 AS key_mod
+       FROM orders WHERE o_orderkey % 97 = 0""",
+    "relational",
+    ["scalar"],
+)
+def q_scalar_functions(spark, sf):
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 3, 2_000_000)).alias("prio_name"),
+        F.concat(
+            F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")
+        ).alias("status_prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+        F.round(
+            F.col("o_totalprice").cast("decimal(12,2)") * F.lit(0.9).cast("decimal(2,1)"),
+            2,
+        ).cast("double").alias("discounted"),
+        F.abs(F.col("o_totalprice") - 250000.0).alias("dist_mid"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "case_when_bucketing",
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                   WHEN o_totalprice < 150000 THEN 'mid'
+                   ELSE 'high' END AS bucket,
+              count(*) AS n,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+       FROM orders GROUP BY 1 ORDER BY bucket""",
+    "relational",
+    ["scalar", "agg"],
+)
+def q_case_when(spark, sf):
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+        .alias("bucket")
+    )
+    return (
+        t(spark, sf, "orders")
+        .groupBy(bucket)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(money("o_totalprice")).cast("double"), 2).alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "json_extract_events",
+    """SELECT event_type,
+              count(*) AS n,
+              sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+              min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+              max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "relational",
+    ["scalar", "json"],
+)
+def q_json_extract(spark, sf):
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_tumbling_window",
+    """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
+              event_type, count(*) AS n,
+              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+       FROM events GROUP BY 1, 2""",
+    "relational",
+    ["window", "time"],
+)
+def q_tumbling_window(spark, sf):
+    from datafusion_pinot_spark.streaming.windowed import tumbling_window_agg
+
+    return tumbling_window_agg(t(spark, sf, "events"), "1 hour")
+
+
+@register(
+    "events_sliding_window",
+    """WITH s AS (
+         SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT) AS b30,
+                event_type FROM events
+       ), x AS (
+         SELECT b30 AS bucket_start, event_type FROM s
+         UNION ALL
+         SELECT b30 - 1800 AS bucket_start, event_type FROM s
+       )
+       SELECT bucket_start, event_type, count(*) AS n FROM x GROUP BY 1, 2""",
+    "relational",
+    ["window", "time"],
+)
+def q_sliding_window(spark, sf):
+    from datafusion_pinot_spark.streaming.windowed import sliding_window_agg
+
+    return sliding_window_agg(t(spark, sf, "events"), "1 hour", "30 minutes")
+
+
+@register(
+    "sessionization",
+    """WITH e AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          OR CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+       ), s AS (
+         SELECT user_id, ts, event_id,
+                CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM e
+       )
+       SELECT user_id, session_id, count(*) AS n_events,
+              CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+       FROM s GROUP BY user_id, session_id""",
+    "relational",
+    ["window", "time"],
+)
+def q_sessionization(spark, sf):
+    """Gaps-and-islands sessionization (30-min inactivity gap)."""
+    t(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """WITH e AS (
+             SELECT user_id, ts, event_id,
+                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                              OR unix_timestamp(ts)
+                                 - unix_timestamp(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                         THEN 1 ELSE 0 END AS new_s
+             FROM events
+           ), s AS (
+             SELECT user_id, ts, event_id,
+                    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             FROM e
+           )
+           SELECT user_id, session_id, count(*) AS n_events,
+                  unix_timestamp(max(ts)) - unix_timestamp(min(ts)) AS duration_s
+           FROM s GROUP BY user_id, session_id"""
+    )
+
+
+@register(
+    "pivot_event_types",
+    """SELECT user_id,
+              count(*) FILTER (WHERE event_type = 'click') AS click,
+              count(*) FILTER (WHERE event_type = 'view') AS view,
+              count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+              count(*) FILTER (WHERE event_type = 'signup') AS signup,
+              count(*) FILTER (WHERE event_type = 'error') AS error
+       FROM events GROUP BY user_id ORDER BY user_id""",
+    "relational",
+    ["pivot"],
+)
+def q_pivot(spark, sf):
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §3 LLM-pipeline operators (dedup / text / similarity / multimodal / stream)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, sf):
+    return t(spark, sf, "documents")
+
+
+def _emb(spark, sf):
+    return t(spark, sf, "embeddings")
+
+
+def _register_llm():
+    from datafusion_pinot_spark.operators import dedup, multimodal, similarity, text
+
+    register("dedup_exact", dedup.exact_dedup_oracle_sql(), "llm", ["dedup"])(
+        lambda spark, sf: dedup.exact_dedup(_docs(spark, sf))
+    )
+    register(
+        "minhash_signatures",
+        dedup.minhash_signatures_oracle_sql(),
+        "llm",
+        ["dedup", "minhash"],
+    )(lambda spark, sf: dedup.minhash_signatures(_docs(spark, sf)))
+    register(
+        "minhash_lsh_pairs", None, "llm", ["dedup", "minhash", "lsh"]
+    )(lambda spark, sf: dedup.minhash_lsh_pairs(_docs(spark, sf)))
+    register(
+        "ngram_jaccard_pairs",
+        dedup.ngram_jaccard_pairs_oracle_sql(),
+        "llm",
+        ["dedup", "jaccard"],
+    )(lambda spark, sf: dedup.ngram_jaccard_pairs(_docs(spark, sf)))
+    register("simhash_dup_groups", None, "llm", ["dedup", "simhash"])(
+        lambda spark, sf: dedup.simhash_dup_groups(_docs(spark, sf))
+    )
+
+    register("text_stats", text.text_stats_oracle_sql(), "llm", ["text"])(
+        lambda spark, sf: text.text_stats(_docs(spark, sf))
+    )
+    register("lang_id", text.lang_id_oracle_sql(), "llm", ["text"])(
+        lambda spark, sf: text.lang_id(_docs(spark, sf))
+    )
+    register("token_count", text.token_count_oracle_sql(), "llm", ["text"])(
+        lambda spark, sf: text.token_count(_docs(spark, sf))
+    )
+    register("fingerprint", text.fingerprint_oracle_sql(), "llm", ["text"])(
+        lambda spark, sf: text.fingerprint(_docs(spark, sf))
+    )
+
+    ann_ids = [0, 1, 2, 3, 4]
+    register(
+        "ann_cosine_topk",
+        similarity.brute_force_topk_oracle_sql(ann_ids, 10),
+        "llm",
+        ["similarity"],
+    )(lambda spark, sf: similarity.brute_force_topk(_emb(spark, sf), ann_ids, 10))
+    register("ann_lsh_bucketed", None, "llm", ["similarity", "lsh"])(
+        lambda spark, sf: similarity.lsh_bucketed_topk(_emb(spark, sf), ann_ids, 10)
+    )
+    register(
+        "embedding_norm_stats",
+        similarity.embedding_norm_stats_oracle_sql(),
+        "llm",
+        ["similarity"],
+    )(lambda spark, sf: similarity.embedding_norm_stats(_emb(spark, sf)))
+    register(
+        "embedding_cosine_dup_pairs", None, "llm", ["similarity", "dedup"]
+    )(lambda spark, sf: similarity.embedding_cosine_dup_pairs(_emb(spark, sf), 0.95))
+
+    register(
+        "multimodal_features",
+        multimodal.multimodal_features_oracle_sql(),
+        "llm",
+        ["multimodal"],
+    )(lambda spark, sf: multimodal.multimodal_features(_docs(spark, sf)))
+
+    # Structured Streaming versions — the streaming result must equal the
+    # batch SQL oracle (complete mode drains the whole file source).
+    from datafusion_pinot_spark.streaming import windowed
+
+    register(
+        "streaming_window_agg",
+        QUERIES["events_tumbling_window"].oracle,
+        "llm",
+        ["streaming"],
+    )(
+        lambda spark, sf: windowed.streaming_tumbling_window(
+            spark, f"{sf}/events.parquet", "1 hour"
+        )
+    )
+
+
+_register_llm()
