@@ -41,14 +41,20 @@ def tokens(text_col) -> Column:
 
 
 def word_shingles(tokens_col, n: int = 3) -> Column:
-    """Distinct n-gram word shingles of a token array (space-joined)."""
-    return F.array_distinct(
+    """Distinct n-gram word shingles of a token array (space-joined).
+
+    Fewer than n tokens → empty array (NB: Spark's sequence(0, -1) counts
+    *down*, so the short case must be guarded explicitly)."""
+    shingled = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - n, F.lit(-1))),
+            F.sequence(F.lit(0), F.size(tokens_col) - n),
             lambda i: F.concat_ws(
                 " ", *[F.element_at(tokens_col, i + k + 1) for k in range(n)]
             ),
         )
+    )
+    return F.when(F.size(tokens_col) < n, F.array().cast("array<string>")).otherwise(
+        shingled
     )
 
 

@@ -113,11 +113,14 @@ def lsh_bucketed_topk(
     k: int = 10,
     planes: int = LSH_PLANES,
     seed: int = LSH_SEED,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """ANN top-k: probe only the query's LSH bucket, exact re-rank inside."""
     emb = embeddings.select(
         "vec_id", as_double_array("embedding").alias("v")
-    ).withColumn("bucket", lsh_bucket_code(F.col("v"), planes=planes, seed=seed))
+    ).withColumn(
+        "bucket", lsh_bucket_code(F.col("v"), dim=dim, planes=planes, seed=seed)
+    )
     queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
@@ -170,13 +173,16 @@ FROM n GROUP BY label
 
 
 def embedding_cosine_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, planes: int = LSH_PLANES
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    planes: int = LSH_PLANES,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """Near-duplicate detection by embedding cosine ≥ threshold, LSH-bucketed
     so candidate generation is not O(N^2): pairs must share a bucket."""
     emb = embeddings.select(
         "vec_id", as_double_array("embedding").alias("v")
-    ).withColumn("bucket", lsh_bucket_code(F.col("v"), planes=planes))
+    ).withColumn("bucket", lsh_bucket_code(F.col("v"), dim=dim, planes=planes))
     a, b = emb.alias("a"), emb.alias("b")
     pairs = a.join(
         b,

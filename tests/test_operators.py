@@ -1,0 +1,162 @@
+"""Unit-level semantics tests for the LLM-pipeline operators, on tiny
+hand-checkable data (independent of the DuckDB oracle tier)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from datafusion_pinot_spark.operators.dedup import exact_dedup
+
+    out = {r["keep_doc_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1 and 4 collapse, min id kept
+    assert out[2] == 1 and out[3] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard_exact_values(docs):
+    from datafusion_pinot_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
+    }
+    # doc1 vs doc4 identical → jaccard 1.0
+    assert pairs[(1, 4)] == 1.0
+    # doc1 vs doc2: 7 trigrams each, 6 shared ("...lazy dog" vs "...lazy cat")
+    assert pairs[(1, 2)] == round(6 / 8, 6)
+    assert (1, 3) not in pairs  # no shared trigram
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    from datafusion_pinot_spark.operators.dedup import minhash_signatures
+
+    sigs = {r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"])
+            for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_lsh_finds_exact_dup(docs):
+    from datafusion_pinot_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_bands_matched"]
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert pairs[(1, 4)] == 2  # identical docs agree on every band
+
+
+def test_simhash_identical_docs_equal_and_grouped(docs):
+    from datafusion_pinot_spark.operators.dedup import (
+        simhash64,
+        simhash_dup_groups,
+    )
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sh[1] == sh[4]
+    assert sh[1] >= 0  # sign bit excluded by construction
+    groups = simhash_dup_groups(docs).collect()
+    assert {r["doc_id"] for r in groups} == {1, 4}
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    from datafusion_pinot_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    got = brute_force_topk(df, [0], k=5).collect()
+
+    v = vecs.astype(np.float64)
+    sims = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    sims[0] = -np.inf
+    expect = np.argsort([(-round(s, 6), i) for i, s in enumerate(sims)], axis=0)
+    order = sorted(
+        ((i, round(s, 6)) for i, s in enumerate(sims) if i != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [(r["vec_id"], r["sim"]) for r in got] == order
+
+
+def test_lsh_bucketed_subset_of_bucket(spark):
+    from datafusion_pinot_spark.operators.similarity import (
+        lsh_bucket_code,
+        lsh_bucketed_topk,
+    )
+    from datafusion_pinot_spark.functions import as_double_array
+
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(50, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    out = lsh_bucketed_topk(df, [0, 1], k=3, planes=2, dim=8).collect()
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id",
+            lsh_bucket_code(as_double_array("embedding"), dim=8, planes=2).alias("b"),
+        ).collect()
+    }
+    for r in out:
+        assert buckets[r["vec_id"]] == buckets[r["q_id"]]
+        assert r["vec_id"] != r["q_id"]
+
+
+def test_text_stats_empty_and_basic(spark):
+    from datafusion_pinot_spark.operators.text import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world!"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in text_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 2
+    assert rows[1]["n_chars"] == 13
+    assert rows[2]["n_tokens"] == 0 and rows[2]["quality"] == 0.0
+
+
+def test_token_count_bpe_ish(spark):
+    from datafusion_pinot_spark.operators.text import token_count
+
+    df = spark.createDataFrame([(1, "don't stop, won't stop!")], "doc_id long, text string")
+    r = token_count(df).collect()[0]
+    # ws: ["don't","stop,","won't","stop!"] = 4
+    # bpe-ish: don ' t stop , won ' t stop ! = 10
+    assert r["ws_tokens"] == 4 and r["bpe_tokens"] == 10
+
+
+def test_multimodal_plumbing(spark):
+    from datafusion_pinot_spark.operators.multimodal import (
+        extract_features,
+        multimodal_features,
+        real_decode,
+        with_binary_payload,
+    )
+
+    df = spark.createDataFrame([(7, "abc")], "doc_id long, text string")
+    media = with_binary_payload(df)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = multimodal_features(df).collect()[0]
+    assert feats["n_bytes"] == 3
+    assert feats["checksum"] == ord("a") + ord("b") + ord("c")
+    with pytest.raises(NotImplementedError):
+        real_decode(b"payload")
+    with pytest.raises(Exception):
+        extract_features(media, decode_fn=real_decode).collect()

@@ -1,0 +1,27 @@
+"""Structured Streaming tier: streaming results equal batch results."""
+
+from tests.conftest import SF_SMOKE
+
+
+def test_streaming_equals_batch(spark):
+    from datafusion_pinot_spark.plans.queries import t
+    from datafusion_pinot_spark.streaming.windowed import (
+        streaming_tumbling_window,
+        tumbling_window_agg,
+    )
+
+    batch = tumbling_window_agg(t(spark, SF_SMOKE, "events"), "1 hour")
+    stream = streaming_tumbling_window(spark, f"{SF_SMOKE}/events.parquet", "1 hour")
+
+    key = lambda r: (r["bucket_start"], r["event_type"])
+    b = sorted(((key(r), r["n"], r["sum_value"]) for r in batch.collect()))
+    s = sorted(((key(r), r["n"], r["sum_value"]) for r in stream.collect()))
+    assert b == s and len(b) > 0
+
+
+def test_watermarked_append_shape(spark):
+    from datafusion_pinot_spark.streaming.windowed import watermarked_stream_agg
+
+    df = watermarked_stream_agg(spark, f"{SF_SMOKE}/events.parquet")
+    # append mode: only watermark-passed windows emit; shape must hold
+    assert df.columns == ["bucket_start", "event_type", "n"]
