@@ -25,8 +25,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from datafusion_pinot_spark.functions import tokens, word_shingles
 
-MINHASH_K = 4  # hash functions per signature
-LSH_BANDS = 2  # bands of MINHASH_K / LSH_BANDS rows each
+MINHASH_K = 8  # hash functions per signature
+LSH_BANDS = 2  # bands of MINHASH_K / LSH_BANDS = 4 rows each (selectivity ~J^4)
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -45,42 +45,88 @@ def exact_dedup_oracle_sql() -> str:
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """k-permutation MinHash over the distinct word set, hash family
-    md5(seed || word). Narrow per-row computation; no shuffle."""
-    words = F.array_distinct(tokens(F.col("text")))
+def minhash_signatures(
+    docs: DataFrame, k: int = MINHASH_K, shingle_n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash over the distinct word-``shingle_n``-gram set,
+    hash family md5(seed || shingle). Narrow per-row computation; no shuffle.
+
+    Shingles (not single words) are essential: documents drawn from a small
+    shared vocabulary have near-identical word *sets*, which would make every
+    pair a MinHash candidate; n-gram sequences discriminate. Docs with fewer
+    than ``shingle_n`` tokens get NULL signatures (no shingles)."""
+    shingles = word_shingles(tokens(F.col("text")), shingle_n)
     cols = [
         F.array_min(
-            F.transform(words, lambda w: F.md5(F.concat(F.lit(f"s{i}|"), w)))
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"s{i}|"), s)))
         ).alias(f"mh{i}")
         for i in range(k)
     ]
     return docs.select("doc_id", *cols)
 
 
-def minhash_signatures_oracle_sql(k: int = MINHASH_K) -> str:
+def minhash_signatures_oracle_sql(k: int = MINHASH_K, shingle_n: int = 3) -> str:
+    joined = " || ' ' || ".join(f"w[i+{j}]" for j in range(shingle_n))
+    shingles = (
+        f"CASE WHEN len(w) < {shingle_n} THEN [] "
+        f"ELSE list_distinct(list_transform(generate_series(1, len(w) - {shingle_n - 1}), i -> {joined})) END"
+    )
     mins = ", ".join(
-        "list_min(list_transform(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), "
-        f"w -> md5('s{i}|' || w))) AS mh{i}"
+        f"list_min(list_transform(sh, s -> md5('s{i}|' || s))) AS mh{i}"
         for i in range(k)
     )
-    return f"SELECT doc_id, {mins} FROM documents"
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+), s AS (
+  SELECT doc_id, {shingles} AS sh FROM t
+)
+SELECT doc_id, {mins} FROM s"""
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on at least one LSH band.
 
-    shingle→minhash→band→bucket-join; returns (doc_a, doc_b, n_bands_matched).
+    shingle→minhash→band→bucket→pair generation; returns
+    (doc_a, doc_b, n_bands_matched).
+
+    Scale shape: the signature pipeline runs ONCE (a self-join on the
+    signature subtree would execute it twice); one shuffle groups doc ids per
+    (band, key) bucket; pairs are generated engine-side from each bucket's
+    sorted id array with higher-order functions — no Python, no O(N^2)
+    global join. ``max_bucket_size`` drops degenerate buckets (a viral
+    boilerplate string at 100 TB would otherwise create one quadratic
+    bucket); dropped buckets mean those dups are found by the exact-hash
+    pass instead.
     """
-    sig = minhash_signatures(docs, k)
+    # Fast internal signatures: explode shingles once, hash with codegen'd
+    # xxhash64 (Spark's higher-order array lambdas are interpreted — putting
+    # 8 md5-transform passes inside a projection is ~10x slower), then a
+    # map-side-combined groupBy(min). Docs without shingles (< n tokens)
+    # cannot be near-dups and drop out naturally at the explode.
+    # A single small input file would otherwise pin the (interpreted) shingle
+    # construction to one task; hash-repartition by doc_id engages every core
+    # AND pre-partitions for the groupBy(doc_id) below (no second shuffle).
+    # On a real multi-split 100 TB input this is a cheap no-op reshape.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par, "doc_id").select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")))).alias("s")
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
     rows_per_band = k // bands
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
+        F.xxhash64(
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         ).alias(f"band{b}")
         for b in range(bands)
     ]
@@ -96,18 +142,31 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band_idx", "bk.key")
-    left = melted.alias("a")
-    right = melted.alias("b")
+
+    buckets = (
+        melted.groupBy("band_idx", "key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ids) - 2),
+            lambda i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda j: F.struct(
+                    F.element_at(ids, i + 1).alias("doc_a"), j.alias("doc_b")
+                ),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_bands_matched"))
     )
 
@@ -120,7 +179,8 @@ def ngram_jaccard_pairs(
     Explode + self-join on shingle (the classic exact near-dup verifier);
     output (doc_a, doc_b, jaccard) for jaccard ≥ threshold.
     """
-    sh = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par, "doc_id").select(
         "doc_id", F.explode(word_shingles(tokens(F.col("text")), n)).alias("s")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -182,7 +242,8 @@ def simhash64(docs: DataFrame) -> DataFrame:
     so this operator is rows-only checked — no DuckDB oracle.)
     """
     words = tokens(F.col("text"))
-    hashed = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    hashed = docs.repartition(par, "doc_id").select(
         "doc_id", F.explode(words).alias("w")
     ).select("doc_id", F.xxhash64("w").alias("h"))
     bit_sums = hashed.groupBy("doc_id").agg(
