@@ -37,9 +37,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session/_ensure_conf) it arrives as a nanosecond LongType — convert to
     # a microsecond timestamp (same truncation DuckDB applies).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer div, NOT `/`: ns epoch values exceed double's 53-bit
+        # exactness, so float division is off by ±1us
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df
 
@@ -914,3 +914,128 @@ def _register_llm():
 
 
 _register_llm()
+
+
+# ---------------------------------------------------------------------------
+# §4 Temporal joins + quantiles + LIKE-predicate joins (added coverage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_last_signup",
+    """SELECT e.event_id, e.user_id,
+              s.event_id AS signup_event_id,
+              epoch_us(s.ts) AS signup_ts_us
+       FROM events e
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+         ON e.user_id = s.user_id AND e.ts >= s.ts""",
+    "temporal",
+    ["join", "asof"],
+)
+def q_asof_join(spark, sf):
+    """As-of join (Spark lacks a native one): for each event, the user's most
+    recent signup at or before it. Implemented via the union-and-window
+    operator (operators/temporal.py); the oracle uses DuckDB's native
+    ASOF LEFT JOIN — two independent formulations, one answer."""
+    from datafusion_pinot_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        signups,
+        on="user_id",
+        right_cols=["event_id", "ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_asof").alias("signup_event_id"),
+        F.unix_micros(F.col("ts_asof")).alias("signup_ts_us"),
+    )
+
+
+@register(
+    "range_join_nearby_events",
+    """SELECT e1.event_id, count(*) AS n_nearby
+       FROM events e1 JOIN events e2
+         ON abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 60000000
+        AND e1.event_id <> e2.event_id
+       GROUP BY e1.event_id""",
+    "temporal",
+    ["join", "range"],
+)
+def q_range_join(spark, sf):
+    """Range join (|t1-t2| <= 60s) via bin-bucketed equi-join instead of the
+    broadcast-nested-loop Spark would pick for an inequality join."""
+    from datafusion_pinot_spark.operators.temporal import range_join_count
+
+    ev = t(spark, sf, "events")
+    out = range_join_count(ev, ev, "ts", "ts", 60, "event_id")
+    return out.select("event_id", "n_nearby")
+
+
+@register(
+    "percentiles",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+              round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+              round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "relational",
+    ["agg", "quantile"],
+)
+def q_percentiles(spark, sf):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont, both a + (b-a)*frac)."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(
+                    F.expr(f"percentile(l_extendedprice, {q})"), 4
+                ).alias(f"p{int(q * 100)}")
+                for q in (0.25, 0.5, 0.75, 0.95)
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "part_like_join",
+    """SELECT p_brand, p_type, count(*) AS n_items,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_brand LIKE 'Brand#1%'
+         AND p_type IN ('PROMO', 'ECONOMY')
+         AND p_name NOT LIKE '%grey%'
+       GROUP BY p_brand, p_type
+       ORDER BY p_brand, p_type""",
+    "relational",
+    ["join", "scalar"],
+)
+def q_part_like_join(spark, sf):
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(
+        F.col("p_brand").like("Brand#1%")
+        & F.col("p_type").isin("PROMO", "ECONOMY")
+        & ~F.col("p_name").like("%grey%")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("p_brand", "p_type")
+    )

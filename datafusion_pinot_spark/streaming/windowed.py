@@ -31,9 +31,8 @@ def _file_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
 def _with_ts(events: DataFrame) -> DataFrame:
     """Normalize a nanosAsLong ts column back to a microsecond timestamp."""
     if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer div — float division loses exactness on ns epoch longs
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return events
 
 
