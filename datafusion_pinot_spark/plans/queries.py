@@ -1039,3 +1039,19 @@ def q_part_like_join(spark, sf):
         )
         .orderBy("p_brand", "p_type")
     )
+
+
+@register(
+    "stateful_user_totals",
+    """SELECT user_id, count(*) AS n_events, sum(event_id) AS sum_event_id
+       FROM events GROUP BY user_id""",
+    "llm",
+    ["streaming", "stateful"],
+)
+def q_stateful_user_totals(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    state carried across micro-batches; exact integer totals make even the
+    stateful path hash-checkable against plain GROUP BY SQL."""
+    from datafusion_pinot_spark.streaming.stateful import stateful_user_totals
+
+    return stateful_user_totals(spark, f"{sf}/events.parquet")
