@@ -143,6 +143,88 @@ def lsh_bucketed_topk(
     )
 
 
+def _bucketed_cte_sql(
+    planes: int = LSH_PLANES, seed: int = LSH_SEED, dim: int = EMBEDDING_DIM
+) -> str:
+    """DuckDB CTEs computing the same LSH bucket code as ``lsh_bucket_code``.
+
+    The hyperplane matrix is embedded as literals (same seed → same floats as
+    the Spark side), and the dot product is a ``list_reduce`` left fold —
+    bit-identical to Spark's ``F.aggregate`` fold, so the sign (and therefore
+    the bucket) matches exactly, which makes the LSH queries hash-checkable.
+    """
+    H = _hyperplanes(dim, planes, seed)
+    rows = ",\n    ".join(
+        "({w}, [{vals}]::DOUBLE[])".format(
+            w=1 << p, vals=", ".join(repr(float(x)) for x in H[p])
+        )
+        for p in range(planes)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), planes AS (
+  SELECT * FROM (VALUES
+    {rows}
+  ) AS t(w, h)
+), bucketed AS (
+  SELECT e.vec_id, first(e.v) AS v,
+         CAST(sum(CASE WHEN list_reduce(
+                 list_transform(generate_series(1, {dim}), i -> e.v[i] * p.h[i]),
+                 (a, b) -> a + b) >= 0 THEN p.w ELSE 0 END) AS INT) AS bucket
+  FROM emb e CROSS JOIN planes p
+  GROUP BY e.vec_id
+)"""
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """DuckDB cosine similarity mirroring ``cosine_similarity`` fold-for-fold."""
+    def norm(v):
+        return (
+            f"sqrt(list_reduce(list_transform({v}, x -> x * x), (p, q) -> p + q))"
+        )
+
+    dot = (
+        f"list_reduce(list_transform(generate_series(1, {EMBEDDING_DIM}),"
+        f" i -> {a}[i] * {b}[i]), (p, q) -> p + q)"
+    )
+    return (
+        f"CASE WHEN {norm(a)} * {norm(b)} = 0 THEN 0.0"
+        f" ELSE {dot} / ({norm(a)} * {norm(b)}) END"
+    )
+
+
+def lsh_bucketed_topk_oracle_sql(query_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    sim = _cosine_sql("q.q_v", "e.v")
+    return f"""{_bucketed_cte_sql()}
+, q AS (
+  SELECT vec_id AS q_id, v AS q_v, bucket AS q_bucket FROM bucketed
+  WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT q.q_id, e.vec_id, round({sim}, 6) AS sim
+  FROM bucketed e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, sim, rnk FROM (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""
+
+
+def embedding_cosine_dup_pairs_oracle_sql(threshold: float = 0.95) -> str:
+    sim = _cosine_sql("a.v", "b.v")
+    return f"""{_bucketed_cte_sql()}
+SELECT vec_a, vec_b, sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({sim}, 6) AS sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE sim >= {threshold}
+"""
+
+
 def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
     """Per-label embedding statistics (avg L2 norm, count)."""
     v = as_double_array("embedding")

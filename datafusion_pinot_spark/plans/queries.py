@@ -877,18 +877,27 @@ def _register_llm():
         "llm",
         ["similarity"],
     )(lambda spark, sf: similarity.brute_force_topk(_emb(spark, sf), ann_ids, 10))
-    register("ann_lsh_bucketed", None, "llm", ["similarity", "lsh"])(
-        lambda spark, sf: similarity.lsh_bucketed_topk(_emb(spark, sf), ann_ids, 10)
-    )
+    register(
+        "ann_lsh_bucketed",
+        similarity.lsh_bucketed_topk_oracle_sql(ann_ids, 10),
+        "llm",
+        ["similarity", "lsh"],
+    )(lambda spark, sf: similarity.lsh_bucketed_topk(_emb(spark, sf), ann_ids, 10))
     register(
         "embedding_norm_stats",
         similarity.embedding_norm_stats_oracle_sql(),
         "llm",
         ["similarity"],
     )(lambda spark, sf: similarity.embedding_norm_stats(_emb(spark, sf)))
+    # Threshold 0.3 (not the 0.95 production default): the synthetic random
+    # embeddings top out near cos 0.44, so 0.95 would make the oracle check a
+    # vacuous 0-row match.
     register(
-        "embedding_cosine_dup_pairs", None, "llm", ["similarity", "dedup"]
-    )(lambda spark, sf: similarity.embedding_cosine_dup_pairs(_emb(spark, sf), 0.95))
+        "embedding_cosine_dup_pairs",
+        similarity.embedding_cosine_dup_pairs_oracle_sql(0.3),
+        "llm",
+        ["similarity", "dedup"],
+    )(lambda spark, sf: similarity.embedding_cosine_dup_pairs(_emb(spark, sf), 0.3))
 
     register(
         "multimodal_features",
