@@ -54,15 +54,23 @@ def minhash_signatures(
     Shingles (not single words) are essential: documents drawn from a small
     shared vocabulary have near-identical word *sets*, which would make every
     pair a MinHash candidate; n-gram sequences discriminate. Docs with fewer
-    than ``shingle_n`` tokens get NULL signatures (no shingles)."""
-    shingles = word_shingles(tokens(F.col("text")), shingle_n)
+    than ``shingle_n`` tokens get NULL signatures (no shingles).
+
+    The token and shingle arrays are materialized in their own projections
+    (not inlined into the hash lambdas): higher-order lambdas are interpreted
+    with no subexpression elimination, so an inlined tokens subtree would
+    re-run the regex split per element access — measured ~10x slower."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id", word_shingles(F.col("toks"), shingle_n).alias("sh")
+    )
     cols = [
         F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"s{i}|"), s)))
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"s{i}|"), s)))
         ).alias(f"mh{i}")
         for i in range(k)
     ]
-    return docs.select("doc_id", *cols)
+    return sh.select("doc_id", *cols)
 
 
 def minhash_signatures_oracle_sql(k: int = MINHASH_K, shingle_n: int = 3) -> str:
@@ -114,8 +122,13 @@ def minhash_lsh_pairs(
     # AND pre-partitions for the groupBy(doc_id) below (no second shuffle).
     # On a real multi-split 100 TB input this is a cheap no-op reshape.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.repartition(par, "doc_id").select(
-        "doc_id", F.explode(word_shingles(tokens(F.col("text")))).alias("s")
+    # Tokens materialized in their own projection: inlining the split() tree
+    # into the shingle lambda re-runs the regex per element_at (interpreted
+    # HOFs do no subexpression elimination) — measured 10x slower.
+    sh = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(word_shingles(F.col("toks"))).alias("s"))
     )
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -180,8 +193,10 @@ def ngram_jaccard_pairs(
     output (doc_a, doc_b, jaccard) for jaccard ≥ threshold.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.repartition(par, "doc_id").select(
-        "doc_id", F.explode(word_shingles(tokens(F.col("text")), n)).alias("s")
+    sh = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(word_shingles(F.col("toks"), n)).alias("s"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")

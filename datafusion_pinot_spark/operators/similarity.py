@@ -254,6 +254,130 @@ FROM n GROUP BY label
 """
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 2
+
+
+def _ivf_assignments(emb: DataFrame, n_centroids: int) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments): centroids are the first ``n_centroids``
+    vec_ids (deterministic, data-derived — a stand-in for a k-means pass,
+    which would converge offline and be broadcast the same way); every vector
+    is assigned to its max-cosine centroid.
+
+    Scale shape: centroids are tiny and broadcast; assignment is a narrow
+    N×C map followed by a per-vector argmax — no shuffle of the big side
+    beyond the window's hash partition on vec_id (at 100 TB: replace the
+    window with a groupBy(vec_id).max_by, same shape).
+    """
+    centroids = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("c_v")
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        "c_id",
+        cosine_similarity(F.col("v"), F.col("c_v")).alias("c_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
+    assigned = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "v", "c_id")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize to ``n_centroids`` inverted lists, probe
+    the ``nprobe`` nearest lists per query, exact cosine re-rank inside."""
+    emb = embeddings.select("vec_id", as_double_array("embedding").alias("v"))
+    centroids, assigned = _ivf_assignments(emb, n_centroids)
+
+    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+    )
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        "q_id",
+        "q_v",
+        "c_id",
+        cosine_similarity(F.col("q_v"), F.col("c_v")).alias("c_sim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
+    probes = (
+        qc.withColumn("p", F.row_number().over(wq))
+        .filter(F.col("p") <= nprobe)
+        .select("q_id", "q_v", "c_id")
+    )
+
+    cand = assigned.join(
+        F.broadcast(probes),
+        (assigned["c_id"] == probes["c_id"]) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("q_v"), F.col("v")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "sim", "rnk")
+    )
+
+
+def ivf_topk_oracle_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    """DuckDB mirror of ``ivf_topk``; argmax over bit-identical cosines (same
+    left-fold arithmetic), so list assignment agrees exactly."""
+    ids = ", ".join(str(i) for i in query_ids)
+    sim_vc = _cosine_sql("e.v", "c.c_v")
+    sim_qc = _cosine_sql("q.q_v", "c.c_v")
+    sim_qe = _cosine_sql("p.q_v", "a.v")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), centroids AS (
+  SELECT vec_id AS c_id, v AS c_v FROM emb WHERE vec_id < {n_centroids}
+), assigned AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sim_vc} DESC, c.c_id ASC) AS rnk
+    FROM emb e CROSS JOIN centroids c
+  ) WHERE rnk = 1
+), q AS (
+  SELECT vec_id AS q_id, v AS q_v FROM emb WHERE vec_id IN ({ids})
+), probes AS (
+  SELECT q_id, q_v, c_id FROM (
+    SELECT q.q_id, q.q_v, c.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {sim_qc} DESC, c.c_id ASC) AS p
+    FROM q CROSS JOIN centroids c
+  ) WHERE p <= {nprobe}
+), scored AS (
+  SELECT p.q_id, a.vec_id, round({sim_qe}, 6) AS sim
+  FROM assigned a JOIN probes p ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, sim, rnk FROM (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""
+
+
 def embedding_cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

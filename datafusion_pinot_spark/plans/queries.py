@@ -884,6 +884,12 @@ def _register_llm():
         ["similarity", "lsh"],
     )(lambda spark, sf: similarity.lsh_bucketed_topk(_emb(spark, sf), ann_ids, 10))
     register(
+        "ann_ivf_topk",
+        similarity.ivf_topk_oracle_sql(ann_ids, 10),
+        "llm",
+        ["similarity", "ivf"],
+    )(lambda spark, sf: similarity.ivf_topk(_emb(spark, sf), ann_ids, 10))
+    register(
         "embedding_norm_stats",
         similarity.embedding_norm_stats_oracle_sql(),
         "llm",
