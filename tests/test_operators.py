@@ -160,3 +160,43 @@ def test_multimodal_plumbing(spark):
         real_decode(b"payload")
     with pytest.raises(Exception):
         extract_features(media, decode_fn=real_decode).collect()
+
+
+def test_ivf_topk_matches_numpy(spark):
+    from datafusion_pinot_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    n_centroids, nprobe, k = 4, 2, 3
+    got = [
+        (r["q_id"], r["vec_id"], r["sim"], r["rnk"])
+        for r in ivf_topk(
+            df, [0, 5], k=k, n_centroids=n_centroids, nprobe=nprobe
+        ).collect()
+    ]
+
+    v = vecs.astype(np.float64)
+
+    def cos(a, b):
+        return float(v[a] @ v[b]) / (
+            float(np.linalg.norm(v[a])) * float(np.linalg.norm(v[b]))
+        )
+
+    # assignment: argmax cosine to centroid, ties → lowest centroid id
+    assign = {
+        i: min(range(n_centroids), key=lambda c: (-cos(i, c), c))
+        for i in range(40)
+    }
+    expect = []
+    for q in (0, 5):
+        probes = sorted(range(n_centroids), key=lambda c: (-cos(q, c), c))[:nprobe]
+        cand = [i for i in range(40) if assign[i] in probes and i != q]
+        ranked = sorted(
+            ((i, round(cos(q, i), 6)) for i in cand), key=lambda t: (-t[1], t[0])
+        )[:k]
+        expect += [(q, i, s, r + 1) for r, (i, s) in enumerate(ranked)]
+    assert sorted(got) == sorted(expect)
