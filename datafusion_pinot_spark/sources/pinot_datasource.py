@@ -43,6 +43,7 @@ from typing import TYPE_CHECKING, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -53,6 +54,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -151,6 +153,18 @@ class PinotDataSource(DataSource):
     def reader(self, schema: StructType) -> "PinotDataSourceReader":
         return PinotDataSourceReader(schema, self._segments())
 
+    def writer(self, schema: StructType, overwrite: bool) -> "PinotDataSourceWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pinot sink requires a path (the table directory)")
+        raw = {
+            c.strip()
+            for c in self.options.get("raw", "").split(",")
+            if c.strip()
+        }
+        table = self.options.get("table") or _table_name_from_dir(path)
+        return PinotDataSourceWriter(schema, path, table, raw, overwrite)
+
 
 # Filter kinds we can evaluate both as zone-map prunes and row masks.
 _RANGE_FILTERS = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In)
@@ -211,6 +225,139 @@ class PinotDataSourceReader(DataSourceReader):
 
 def register_pinot_source(spark) -> None:
     spark.dataSource.register(PinotDataSource)
+
+
+# -- write path (beyond parity: reference README.md:418 roadmap item) --------
+
+_WRITE_TYPES = {
+    "int": "INT",
+    "bigint": "LONG",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "string": "STRING",
+}
+
+
+def _table_name_from_dir(path: str) -> str:
+    base = os.path.basename(os.path.normpath(path))
+    for suffix in ("_OFFLINE", "_REALTIME"):
+        if base.endswith(suffix):
+            return base[: -len(suffix)]
+    return base
+
+
+@dataclass
+class PinotWriterCommitMessage(WriterCommitMessage):
+    staged_dir: str = ""
+    segment_name: str = ""
+
+
+class PinotDataSourceWriter(DataSourceWriter):
+    """``df.write.format("pinot")`` — one v3 segment per non-empty partition.
+
+    The reference is read-only ("Write support (create Pinot segments)" is
+    roadmap, reference README.md:418); this sink completes the round trip.
+    Commit protocol: tasks stage segments under ``{path}/tmp/`` — a directory
+    every reader (this repo's discovery and the reference's,
+    metadata_provider.rs:184-199) already skips — and the driver-side
+    ``commit()`` renames them into the table dir, so concurrent readers never
+    observe a partial segment. ``abort()`` removes staged output.
+
+    Scale shape: segment = partition = write task, embarrassingly parallel,
+    no driver data movement; repartition upstream to control segment sizes
+    (reference guidance: segments < 1 GB, README.md:318-321).
+    """
+
+    def __init__(
+        self,
+        schema: StructType,
+        path: str,
+        table: str,
+        raw_columns: set,
+        overwrite: bool,
+    ) -> None:
+        for f in schema.fields:
+            t = f.dataType.simpleString()
+            if t not in _WRITE_TYPES:
+                raise ValueError(
+                    f"pinot sink cannot write column '{f.name}' of type {t}: "
+                    "only INT/LONG/FLOAT/DOUBLE/STRING are readable in the "
+                    "segment format (reference README.md:178-190)"
+                )
+            if f.name in raw_columns and t != "string":
+                raise ValueError(f"raw (no-dictionary) encoding is STRING-only: {f.name}")
+        self._schema = schema
+        self._path = path
+        self._table = table
+        self._raw = raw_columns
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> PinotWriterCommitMessage:
+        import uuid
+
+        from pyspark import TaskContext
+
+        from pinot_segment.metadata import DataType
+        from pinot_segment.var_byte import LZ4_LENGTH_PREFIXED
+        from pinot_segment.writer import ColumnSpec, write_segment
+
+        names = [f.name for f in self._schema.fields]
+        cols: dict[str, list] = {n: [] for n in names}
+        for row in iterator:
+            for n, v in zip(names, row):
+                if v is None:
+                    raise ValueError(
+                        f"NULL in column '{n}': Pinot columns are non-nullable "
+                        "(reference schema.rs:29-30)"
+                    )
+                cols[n].append(v)
+        if not cols[names[0]]:
+            return PinotWriterCommitMessage()  # empty partition → no segment
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        seg_name = f"{self._table}_{pid}_{uuid.uuid4().hex[:8]}"
+        staged = os.path.join(self._path, "tmp", seg_name)
+        specs = []
+        for f in self._schema.fields:
+            dt = DataType(_WRITE_TYPES[f.dataType.simpleString()])
+            if f.name in self._raw:
+                specs.append(
+                    ColumnSpec(
+                        f.name,
+                        dt,
+                        cols[f.name],
+                        raw=True,
+                        compression=LZ4_LENGTH_PREFIXED,
+                    )
+                )
+            else:
+                specs.append(ColumnSpec(f.name, dt, cols[f.name]))
+        write_segment(staged, seg_name, self._table, specs)
+        return PinotWriterCommitMessage(staged_dir=staged, segment_name=seg_name)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        if self._overwrite:
+            for entry in os.listdir(self._path) if os.path.isdir(self._path) else []:
+                if entry == "tmp":
+                    continue
+                if os.path.isdir(os.path.join(self._path, entry, "v3")):
+                    shutil.rmtree(os.path.join(self._path, entry))
+        for m in messages:
+            if m is None or not m.staged_dir:
+                continue
+            os.replace(m.staged_dir, os.path.join(self._path, m.segment_name))
+        tmp = os.path.join(self._path, "tmp")
+        if os.path.isdir(tmp) and not os.listdir(tmp):
+            os.rmdir(tmp)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        for m in messages:
+            if m is not None and m.staged_dir and os.path.isdir(m.staged_dir):
+                shutil.rmtree(m.staged_dir, ignore_errors=True)
 
 
 # -- predicate evaluation helpers -------------------------------------------

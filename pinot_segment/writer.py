@@ -1,10 +1,12 @@
-"""Test-only Pinot v3 segment *writer*.
+"""Pinot v3 segment *writer*.
 
 The reference has no writer ("Write support (create Pinot segments)" is
-roadmap-only, reference README.md:418); this module exists so the test suite
-can generate byte-exact v3 fixtures without a Pinot/Docker dependency
-(SURVEY.md §5 "rebuild test plan mirror"). It emits exactly the subset of the
-format the reader supports:
+roadmap-only, reference README.md:418). This module originated so the test
+suite could generate byte-exact v3 fixtures without a Pinot/Docker
+dependency (SURVEY.md §5 "rebuild test plan mirror"); it now also backs the
+``df.write.format("pinot")`` sink (sources/pinot_datasource.py), completing
+the reference's roadmap item. It emits exactly the subset of the format the
+reader supports:
 
 - ``metadata.properties`` / ``index_map`` / ``columns.psf`` in one ``v3`` dir
 - sorted dictionaries with the 0xDEADBEEFDEAFBEAD magic, BE-encoded values

@@ -194,3 +194,91 @@ def test_controller_error_paths():
         "http://x", http_get=lambda u: '{"other": 1}'
     )
     assert client2.list_tables() == []
+
+
+# -- write path (df.write.format("pinot")) -----------------------------------
+
+
+def test_write_round_trip(spark, tmp_path):
+    """Write a 3-partition DataFrame → 3 segments → read back identical."""
+    out = str(tmp_path / "roundtrip_OFFLINE")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("int").alias("small"),
+        (F.col("id").cast("double") / 3).alias("d"),
+        F.concat(F.lit("name_"), F.col("id")).alias("s"),
+    )
+    spark.dataSource.register(PinotDataSource)
+    df.repartition(3).write.format("pinot").mode("append").save(out)
+
+    back = spark.read.format("pinot").load(out)
+    assert back.rdd.getNumPartitions() == 3
+    assert [f.dataType.simpleString() for f in back.schema.fields] == [
+        "bigint", "int", "double", "string",
+    ]
+    got = sorted((r["k"], r["small"], r["d"], r["s"]) for r in back.collect())
+    want = sorted((r["k"], r["small"], r["d"], r["s"]) for r in df.collect())
+    assert got == want
+    # no leftover staging dir
+    import os
+    assert not os.path.isdir(os.path.join(out, "tmp"))
+
+
+def test_write_overwrite_replaces_segments(spark, tmp_path):
+    out = str(tmp_path / "ow_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    a = spark.range(0, 50).select(F.col("id").alias("k"))
+    b = spark.range(100, 120).select(F.col("id").alias("k"))
+    a.repartition(2).write.format("pinot").mode("append").save(out)
+    b.repartition(1).write.format("pinot").mode("overwrite").save(out)
+    back = spark.read.format("pinot").load(out)
+    assert sorted(r["k"] for r in back.collect()) == list(range(100, 120))
+
+
+def test_write_append_accumulates(spark, tmp_path):
+    out = str(tmp_path / "app_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1).write.format(
+        "pinot"
+    ).mode("append").save(out)
+    spark.range(10, 20).select(F.col("id").alias("k")).coalesce(1).write.format(
+        "pinot"
+    ).mode("append").save(out)
+    back = spark.read.format("pinot").load(out)
+    assert back.rdd.getNumPartitions() == 2
+    assert sorted(r["k"] for r in back.collect()) == list(range(20))
+
+
+def test_write_raw_string_column(spark, tmp_path):
+    out = str(tmp_path / "raw_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    df = spark.range(0, 64).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    df.coalesce(1).write.format("pinot").mode("append").option("raw", "s").save(out)
+    # raw column declared no-dictionary in the segment metadata
+    from pinot_segment import SegmentMetadata
+    import os
+    seg = next(
+        e for e in os.listdir(out)
+        if os.path.isdir(os.path.join(out, e, "v3"))
+    )
+    md = SegmentMetadata.from_file(os.path.join(out, seg, "v3", "metadata.properties"))
+    assert not md.columns["s"].has_dictionary
+    back = spark.read.format("pinot").load(out)
+    assert sorted(r["s"] for r in back.collect()) == sorted(f"v{i}" for i in range(64))
+
+
+def test_write_rejects_nulls_and_bad_types(spark, tmp_path):
+    spark.dataSource.register(PinotDataSource)
+    import pyspark.errors
+
+    nullable = spark.createDataFrame([(1, "a"), (2, None)], "k long, s string")
+    with pytest.raises(Exception, match="non-nullable"):
+        nullable.coalesce(1).write.format("pinot").mode("append").save(
+            str(tmp_path / "n_OFFLINE")
+        )
+
+    boolish = spark.createDataFrame([(1, True)], "k long, b boolean")
+    with pytest.raises(Exception, match="only INT/LONG/FLOAT/DOUBLE/STRING"):
+        boolish.write.format("pinot").mode("append").save(str(tmp_path / "b_OFFLINE"))
