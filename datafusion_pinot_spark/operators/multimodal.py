@@ -71,6 +71,99 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, width int, height int, n_bytes_resized int"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_len int, frame_checksum long"
+
+
+def resize_media(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    resample_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize plumbing: payload → fixed-target payload in ``mapInPandas``.
+
+    The real pixel resample is the stub seam (``resample_fn``; defaults to a
+    deterministic truncate-to-target byte fake). Plumbing — schema, Arrow
+    batching, per-batch streaming — is real: on a cluster each partition
+    streams through Python in bounded batches, payloads never concatenate."""
+
+    def fake_resample(payload: bytes, w: int, h: int) -> bytes:
+        return payload[: w * h // 64]
+
+    fn = resample_fn or fake_resample
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda p: fn(p, width, height))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": width,
+                    "height": height,
+                    "n_bytes_resized": resized.map(len).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def resize_media_oracle_sql(width: int = 64, height: int = 64) -> str:
+    target = width * height // 64
+    return f"""
+SELECT doc_id, {width} AS width, {height} AS height,
+       CAST(least(octet_length(encode(text)), {target}) AS INT) AS n_bytes_resized
+FROM documents
+"""
+
+
+def sample_frames(media: DataFrame, every_k: int = 3) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled frame.
+
+    The deterministic fake frame model splits the payload into
+    ``n_frames = n_bytes % 30 + 1`` contiguous chunks (consistent with
+    ``fake_decode``) and emits every ``every_k``-th chunk's length and byte
+    checksum; a real video pipeline swaps the chunker for an ffmpeg seek.
+    Shape note: output is a row explosion inside ``mapInPandas`` — no
+    driver involvement, no shuffle; downstream ops see a normal DataFrame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"]):
+                n = len(payload)
+                nf = n % 30 + 1
+                for i in range(0, nf, every_k):
+                    lo, hi = i * n // nf, (i + 1) * n // nf
+                    chunk = payload[lo:hi]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_len"].append(hi - lo)
+                    out["frame_checksum"].append(sum(chunk) % (1 << 31))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def sample_frames_oracle_sql(every_k: int = 3) -> str:
+    # ASCII text ⇒ codepoint sum == byte sum (asserted in tests).
+    return f"""
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         octet_length(encode(text)) % 30 + 1 AS nf
+  FROM documents
+), frames AS (
+  SELECT doc_id, text, n, nf, unnest(generate_series(0, nf - 1)) AS i FROM b
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST((i + 1) * n // nf - i * n // nf AS INT) AS frame_len,
+       CAST(coalesce(list_sum(list_transform(
+                generate_series(i * n // nf + 1, (i + 1) * n // nf),
+                j -> unicode(text[j]))), 0) % 2147483648 AS BIGINT) AS frame_checksum
+FROM frames WHERE i % {every_k} = 0
+"""
+
+
 def multimodal_features(docs: DataFrame) -> DataFrame:
     """documents → binary payload → fake-decoded features (end-to-end)."""
     return extract_features(with_binary_payload(docs))

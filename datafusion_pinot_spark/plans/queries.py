@@ -911,6 +911,26 @@ def _register_llm():
         "llm",
         ["multimodal"],
     )(lambda spark, sf: multimodal.multimodal_features(_docs(spark, sf)))
+    register(
+        "multimodal_resize",
+        multimodal.resize_media_oracle_sql(64, 64),
+        "llm",
+        ["multimodal"],
+    )(
+        lambda spark, sf: multimodal.resize_media(
+            multimodal.with_binary_payload(_docs(spark, sf)), 64, 64
+        )
+    )
+    register(
+        "multimodal_frame_sample",
+        multimodal.sample_frames_oracle_sql(3),
+        "llm",
+        ["multimodal"],
+    )(
+        lambda spark, sf: multimodal.sample_frames(
+            multimodal.with_binary_payload(_docs(spark, sf)), 3
+        )
+    )
 
     # Structured Streaming versions — the streaming result must equal the
     # batch SQL oracle (complete mode drains the whole file source).

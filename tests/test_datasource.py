@@ -282,3 +282,35 @@ def test_write_rejects_nulls_and_bad_types(spark, tmp_path):
     boolish = spark.createDataFrame([(1, True)], "k long, b boolean")
     with pytest.raises(Exception, match="only INT/LONG/FLOAT/DOUBLE/STRING"):
         boolish.write.format("pinot").mode("append").save(str(tmp_path / "b_OFFLINE"))
+
+
+def test_stream_reader_picks_up_new_segments(spark, tmp_path):
+    """readStream over a pinot table dir: segments present at start form
+    batch 0; segments landing later (via the sink) arrive in later batches."""
+    out = str(tmp_path / "stream_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    spark.range(0, 40).select(F.col("id").alias("k")).coalesce(1).write.format(
+        "pinot"
+    ).mode("append").save(out)
+
+    stream = spark.readStream.format("pinot").load(out)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pinot_stream_t")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("pinot_stream_t").count() == 40
+
+        spark.range(40, 100).select(F.col("id").alias("k")).coalesce(1).write.format(
+            "pinot"
+        ).mode("append").save(out)
+        q.processAllAvailable()
+        got = sorted(r["k"] for r in spark.table("pinot_stream_t").collect())
+        assert got == list(range(100))
+    finally:
+        q.stop()
