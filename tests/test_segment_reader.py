@@ -139,3 +139,58 @@ def test_arrow_assembly(segment):
     assert t.column_names == ["i", "team", "rid"]
     assert not t.schema.field("i").nullable
     assert t.column("team").to_pylist() == data["team"]
+
+
+# -- whole-segment property round-trip ---------------------------------------
+
+from hypothesis import given, settings, strategies as st
+from pinot_segment.var_byte import LZ4
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.data(),
+    n=st.integers(min_value=1, max_value=200),
+    compression=st.sampled_from([PASS_THROUGH, LZ4, LZ4_LENGTH_PREFIXED]),
+    chunk=st.sampled_from([64, 256, 4096]),
+)
+def test_property_roundtrip_all_types(tmp_path_factory, data, n, compression, chunk):
+    """Any values of every readable type survive write→read bit-exactly."""
+    ints = data.draw(st.lists(st.integers(-(2**31), 2**31 - 1), min_size=n, max_size=n))
+    longs = data.draw(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=n, max_size=n))
+    floats = [
+        float(np.float32(x))
+        for x in data.draw(
+            st.lists(st.floats(allow_nan=False, width=32), min_size=n, max_size=n)
+        )
+    ]
+    doubles = data.draw(
+        st.lists(st.floats(allow_nan=False, allow_infinity=True), min_size=n, max_size=n)
+    )
+    strs = data.draw(
+        st.lists(st.text(max_size=40), min_size=n, max_size=n)
+    )
+    raws = data.draw(st.lists(st.text(max_size=80), min_size=n, max_size=n))
+
+    d = tmp_path_factory.mktemp("prop") / "seg"
+    v3 = write_segment(
+        d,
+        "seg",
+        "t",
+        [
+            ColumnSpec("i", DataType.INT, ints),
+            ColumnSpec("l", DataType.LONG, longs),
+            ColumnSpec("f", DataType.FLOAT, floats),
+            ColumnSpec("d", DataType.DOUBLE, doubles),
+            ColumnSpec("s", DataType.STRING, strs),
+            ColumnSpec("r", DataType.STRING, raws, raw=True,
+                       compression=compression, target_chunk_size=chunk),
+        ],
+    )
+    reader = SegmentReader.open(v3)
+    assert reader.read_column("i").tolist() == ints
+    assert reader.read_column("l").tolist() == longs
+    assert reader.read_column("f").tolist() == [float(np.float32(x)) for x in floats]
+    assert reader.read_column("d").tolist() == doubles
+    assert list(reader.read_column("s")) == strs
+    assert list(reader.read_column("r")) == raws
