@@ -43,9 +43,12 @@ BENCH_QUERIES = [
     "window_topk_per_group",
     "events_tumbling_window",
     "sessionization",
+    "salted_join_revenue",
     # LLM-pipeline operators
     "minhash_lsh_pairs",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "multimodal_frame_sample",
 ]
 
 

@@ -21,7 +21,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from datafusion_pinot_spark.functions import as_double_array, cosine_similarity
+from datafusion_pinot_spark.functions import (
+    as_double_array,
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
+
+
+def _cosine_with_norms(a, b, na, nb):
+    """Cosine using precomputed norm columns — bit-identical to
+    ``cosine_similarity`` (same fold + multiply, the norms are just cached
+    as columns instead of re-folded per pair; interpreted HOF folds are the
+    cost center, see SCALE.md §interpreted-lambdas)."""
+    denom = na * nb
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 EMBEDDING_DIM = 64
 LSH_PLANES = 8
@@ -269,20 +283,26 @@ def _ivf_assignments(emb: DataFrame, n_centroids: int) -> tuple[DataFrame, DataF
     beyond the window's hash partition on vec_id (at 100 TB: replace the
     window with a groupBy(vec_id).max_by, same shape).
     """
-    centroids = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("c_v")
+    emb_n = emb.select("vec_id", "v", l2_norm(F.col("v")).alias("nv"))
+    centroids = emb_n.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("c_v"),
+        F.col("nv").alias("c_nv"),
     )
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
+    scored = emb_n.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "v",
+        "nv",
         "c_id",
-        cosine_similarity(F.col("v"), F.col("c_v")).alias("c_sim"),
+        _cosine_with_norms(
+            F.col("v"), F.col("c_v"), F.col("nv"), F.col("c_nv")
+        ).alias("c_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
     assigned = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
-        .select("vec_id", "v", "c_id")
+        .select("vec_id", "v", "nv", "c_id")
     )
     return centroids, assigned
 
@@ -299,20 +319,25 @@ def ivf_topk(
     emb = embeddings.select("vec_id", as_double_array("embedding").alias("v"))
     centroids, assigned = _ivf_assignments(emb, n_centroids)
 
-    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+    queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nv").alias("q_nv"),
     )
     qc = queries.crossJoin(F.broadcast(centroids)).select(
         "q_id",
         "q_v",
+        "q_nv",
         "c_id",
-        cosine_similarity(F.col("q_v"), F.col("c_v")).alias("c_sim"),
+        _cosine_with_norms(
+            F.col("q_v"), F.col("c_v"), F.col("q_nv"), F.col("c_nv")
+        ).alias("c_sim"),
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
     probes = (
         qc.withColumn("p", F.row_number().over(wq))
         .filter(F.col("p") <= nprobe)
-        .select("q_id", "q_v", "c_id")
+        .select("q_id", "q_v", "q_nv", "c_id")
     )
 
     cand = assigned.join(
@@ -322,7 +347,12 @@ def ivf_topk(
     scored = cand.select(
         "q_id",
         "vec_id",
-        F.round(cosine_similarity(F.col("q_v"), F.col("v")), 6).alias("sim"),
+        F.round(
+            _cosine_with_norms(
+                F.col("q_v"), F.col("v"), F.col("q_nv"), F.col("nv")
+            ),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (

@@ -1090,3 +1090,38 @@ def q_stateful_user_totals(spark, sf):
     from datafusion_pinot_spark.streaming.stateful import stateful_user_totals
 
     return stateful_user_totals(spark, f"{sf}/events.parquet")
+
+
+@register(
+    "salted_join_revenue",
+    """SELECT s.s_nationkey,
+              count(*) AS n_items,
+              round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+                AS revenue
+       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       GROUP BY s.s_nationkey""",
+    "relational",
+    ["join", "skew"],
+)
+def q_salted_join(spark, sf):
+    """Skew-mitigated join: the oracle runs the PLAIN join, so the hash match
+    proves salting preserves join semantics exactly (operators/skew.py)."""
+    from datafusion_pinot_spark.operators.skew import salted_join
+
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    supp = t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, supp, on="suppkey", factor=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+    )

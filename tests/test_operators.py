@@ -200,3 +200,25 @@ def test_ivf_topk_matches_numpy(spark):
         )[:k]
         expect += [(q, i, s, r + 1) for r, (i, s) in enumerate(ranked)]
     assert sorted(got) == sorted(expect)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from datafusion_pinot_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(["hot"] * 50 + ["a", "b", "nomatch"])],
+        "k string, payload long",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("a", 2), ("b", 3), ("unused", 9)], "k string, v long"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["k"], r["payload"], r["v"])
+            for r in salted_join(big, small, on="k", factor=4, how=how).collect()
+        )
+        want = sorted(
+            (r["k"], r["payload"], r["v"])
+            for r in big.join(small, "k", how).select("k", "payload", "v").collect()
+        )
+        assert got == want and len(got) > 0
