@@ -272,11 +272,14 @@ IVF_CENTROIDS = 16
 IVF_NPROBE = 2
 
 
-def _ivf_assignments(emb: DataFrame, n_centroids: int) -> tuple[DataFrame, DataFrame]:
-    """(centroids, assignments): centroids are the first ``n_centroids``
-    vec_ids (deterministic, data-derived — a stand-in for a k-means pass,
-    which would converge offline and be broadcast the same way); every vector
-    is assigned to its max-cosine centroid.
+def _ivf_assignments(
+    emb: DataFrame, n_centroids: int, centroids: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments): centroids default to the first
+    ``n_centroids`` vec_ids (deterministic, data-derived — a stand-in for a
+    k-means pass; pass ``centroids`` with (c_id, c_v) from
+    ``kmeans_centroids`` for the trained variant); every vector is assigned
+    to its max-cosine centroid.
 
     Scale shape: centroids are tiny and broadcast; assignment is a narrow
     N×C map followed by a per-vector argmax — no shuffle of the big side
@@ -284,11 +287,16 @@ def _ivf_assignments(emb: DataFrame, n_centroids: int) -> tuple[DataFrame, DataF
     window with a groupBy(vec_id).max_by, same shape).
     """
     emb_n = emb.select("vec_id", "v", l2_norm(F.col("v")).alias("nv"))
-    centroids = emb_n.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("v").alias("c_v"),
-        F.col("nv").alias("c_nv"),
-    )
+    if centroids is None:
+        centroids = emb_n.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("c_v"),
+            F.col("nv").alias("c_nv"),
+        )
+    else:
+        centroids = centroids.select(
+            "c_id", "c_v", l2_norm(F.col("c_v")).alias("c_nv")
+        )
     scored = emb_n.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "v",
@@ -307,17 +315,64 @@ def _ivf_assignments(emb: DataFrame, n_centroids: int) -> tuple[DataFrame, DataF
     return centroids, assigned
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = IVF_CENTROIDS,
+    iters: int = 3,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, pure DataFrame ops — the
+    offline trainer whose output feeds ``ivf_topk``-style inverted lists.
+
+    Per iteration: centroids (k × dim doubles — tiny) broadcast against the
+    full vector set (narrow map, no shuffle of the big side), per-vector
+    argmin of squared L2 via window rank, then ONE shuffle on c_id where the
+    new centroid is 64 codegen'd ``avg(v[i])`` aggregates (map-side partial
+    avg — no array explode, no interpreted fold in the update step). Init is
+    deterministic (first k vec_ids), so runs are reproducible up to
+    float-sum partition order in the averages.
+
+    The registered IVF *query* keeps static centroids so its DuckDB oracle
+    stays non-iterative; this trainer is numpy-validated in tests instead.
+    """
+    emb = embeddings.select("vec_id", as_double_array("embedding").alias("v"))
+    centroids = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("c_v")
+    )
+    for _ in range(iters):
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c_v"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, z: a + z,
+        )
+        scored = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "v", "c_id", d2.alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_id"))
+        assigned = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("c_id", "v")
+        )
+        centroids = assigned.groupBy("c_id").agg(
+            F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c_v")
+        )
+    return centroids.select("c_id", "c_v")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
     n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: coarse-quantize to ``n_centroids`` inverted lists, probe
-    the ``nprobe`` nearest lists per query, exact cosine re-rank inside."""
+    the ``nprobe`` nearest lists per query, exact cosine re-rank inside.
+    Pass ``centroids`` (from ``kmeans_centroids``) for trained lists."""
     emb = embeddings.select("vec_id", as_double_array("embedding").alias("v"))
-    centroids, assigned = _ivf_assignments(emb, n_centroids)
+    centroids, assigned = _ivf_assignments(emb, n_centroids, centroids)
 
     queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"),

@@ -1125,3 +1125,21 @@ def q_salted_join(spark, sf):
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    None,  # iterative trainer → not SQL-expressible; rows-only check
+    "llm",
+    ["similarity", "ivf", "kmeans"],
+)
+def q_ann_ivf_kmeans(spark, sf):
+    """IVF ANN with k-means-trained centroids (3 Lloyd iterations in pure
+    DataFrame ops, operators/similarity.py::kmeans_centroids). The trainer is
+    numpy-validated in tests; the query is rows-only checked because the
+    iterative float averages are not expressible as a DuckDB oracle."""
+    from datafusion_pinot_spark.operators import similarity
+
+    emb = _emb(spark, sf)
+    cents = similarity.kmeans_centroids(emb, k=16, iters=3)
+    return similarity.ivf_topk(emb, [0, 1, 2, 3, 4], 10, centroids=cents)

@@ -222,3 +222,37 @@ def test_salted_join_equals_plain_join(spark):
             for r in big.join(small, "k", how).select("k", "payload", "v").collect()
         )
         assert got == want and len(got) > 0
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    from datafusion_pinot_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.RandomState(11)
+    n, dim, k, iters = 60, 6, 3, 3
+    vecs = rng.randn(n, dim).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["c_id"]: np.array(r["c_v"])
+        for r in kmeans_centroids(df, k=k, iters=iters, dim=dim).collect()
+    }
+
+    v = vecs.astype(np.float64)
+    cents = {i: v[i].copy() for i in range(k)}
+    for _ in range(iters):
+        assign = {}
+        for i in range(n):
+            d = [(float(((v[i] - cents[c]) ** 2).sum()), c) for c in sorted(cents)]
+            assign[i] = min(d)[1]
+        new = {}
+        for c in sorted(cents):
+            members = [v[i] for i in range(n) if assign[i] == c]
+            if members:
+                new[c] = np.mean(members, axis=0)
+        cents = new
+
+    assert sorted(got) == sorted(cents)
+    for c in cents:
+        assert np.allclose(got[c], cents[c], atol=1e-9), c
