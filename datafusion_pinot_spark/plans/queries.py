@@ -1143,3 +1143,56 @@ def q_ann_ivf_kmeans(spark, sf):
     emb = _emb(spark, sf)
     cents = similarity.kmeans_centroids(emb, k=16, iters=3)
     return similarity.ivf_topk(emb, [0, 1, 2, 3, 4], 10, centroids=cents)
+
+
+def _corpus_clean_oracle() -> str:
+    from datafusion_pinot_spark.operators import text
+
+    return f"""
+WITH q AS ({text.text_stats_oracle_sql()}),
+kept AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE q.quality >= 0.2
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+SELECT k.lang, count(*) AS n_kept, count(c.doc_id) AS n_canonical
+FROM kept k LEFT JOIN canon c ON k.doc_id = c.doc_id
+GROUP BY k.lang
+"""
+
+
+@register(
+    "corpus_clean_pipeline",
+    _corpus_clean_oracle(),
+    "llm",
+    ["text", "dedup", "pipeline"],
+)
+def q_corpus_clean(spark, sf):
+    """End-to-end training-corpus cleaning: quality-score → threshold filter
+    → exact dedup (keep lowest doc_id per content hash) → per-language
+    retention summary. Composes operators/text.py and operators/dedup.py;
+    fully oracle-checked because every stage is deterministic."""
+    from datafusion_pinot_spark.operators import text
+
+    docs = _docs(spark, sf)
+    quality = text.text_stats(docs).select("doc_id", "quality")
+    kept = (
+        docs.join(quality, "doc_id")
+        .filter(F.col("quality") >= 0.2)
+        .select("doc_id", "lang", "text")
+    )
+    canon = (
+        kept.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("is_canon"))
+    )
+    return (
+        kept.join(canon, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.count("is_canon").alias("n_canonical"),
+        )
+    )
