@@ -1196,3 +1196,37 @@ def q_corpus_clean(spark, sf):
             F.count("is_canon").alias("n_canonical"),
         )
     )
+
+
+@register(
+    "unpivot_measures",
+    """SELECT l_returnflag, measure,
+              round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+       FROM (
+         SELECT * FROM (
+           SELECT l_returnflag, l_quantity, l_extendedprice, l_discount
+           FROM lineitem
+         ) UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+       )
+       GROUP BY l_returnflag, measure""",
+    "relational",
+    ["unpivot"],
+)
+def q_unpivot(spark, sf):
+    """Wide→long melt (the inverse of pivot_event_types): three measure
+    columns unpivoted to (measure, value) rows, then re-aggregated. Spark's
+    native unpivot — no UDF, one shuffle for the final groupBy."""
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    melted = li.unpivot(
+        "l_returnflag",
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "total"
+        )
+    )
