@@ -180,13 +180,28 @@ class SegmentReader:
             fields.append(pa.field(n, ARROW_TYPES[col.data_type], nullable=False))
         return pa.schema(fields)
 
+    def _read_column_arrow(self, name: str) -> pa.Array:
+        """One column as a pyarrow array, avoiding per-value Python objects:
+        RAW strings come straight from chunk buffers; dictionary strings use
+        a C++ ``take`` over the decoded dictionary."""
+        col = self.metadata.get_column(name)
+        typ = ARROW_TYPES[col.data_type]
+        if col.data_type is DataType.STRING:
+            if not col.has_dictionary:
+                loc = self.index_map.get_forward_index(name)
+                if loc is None:
+                    raise InvalidFormatError(f"No forward index for {name}")
+                reader = VarByteChunkReader.read(
+                    self._psf, loc.start_offset, loc.size, col.total_docs
+                )
+                return reader.read_all_strings_arrow()
+            values = pa.array(self._dictionary(col).values, type=typ)
+            return values.take(pa.array(self._dict_ids(col)))
+        return pa.array(self.read_column(name), type=typ)
+
     def read_columns_arrow(self, columns: list[str] | None = None) -> pa.Table:
         names = columns if columns is not None else self.column_names()
-        arrays = []
-        for n in names:
-            vals = self.read_column(n)
-            typ = ARROW_TYPES[self.metadata.get_column(n).data_type]
-            arrays.append(pa.array(vals, type=typ))
+        arrays = [self._read_column_arrow(n) for n in names]
         if not names:
             # Empty projection (COUNT(*)): the count comes from metadata
             # (cf. exec.rs:92-95's row-count-only batches) — use total_docs().

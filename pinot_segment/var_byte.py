@@ -170,6 +170,37 @@ class VarByteChunkReader:
     def read_all_strings(self) -> list[str]:
         return [v.decode("utf-8", errors="replace") for v in self._iter_values()]
 
+    def read_all_strings_arrow(self):
+        """All values as a ``pyarrow`` string array built directly from each
+        chunk's (offsets, bytes) layout — no per-value Python objects. The
+        chunk format is already Arrow-shaped (prefix offsets + contiguous
+        value bytes), so this is a buffer cast plus an offset rebase."""
+        import pyarrow as pa
+
+        chunks = []
+        for idx in range(self.num_chunks()):
+            chunk = self._decompressed_chunk(idx)
+            if self.entry_huge[idx]:
+                chunks.append(pa.array([chunk], type=pa.large_binary()))
+                continue
+            if len(chunk) < 8:
+                raise InvalidFormatError("Decompressed chunk too small")
+            num_docs = int.from_bytes(chunk[0:4], "little")
+            offs = np.frombuffer(chunk, dtype="<u4", count=num_docs, offset=4)
+            base = int(offs[0]) if num_docs else 0
+            arrow_offs = np.empty(num_docs + 1, dtype=np.int64)
+            arrow_offs[:-1] = offs
+            arrow_offs[-1] = len(chunk)
+            arrow_offs -= base
+            arr = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(),
+                num_docs,
+                [None, pa.py_buffer(arrow_offs.tobytes()), pa.py_buffer(chunk[base:])],
+            )
+            chunks.append(arr)
+        binary = pa.concat_arrays(chunks) if chunks else pa.array([], pa.large_binary())
+        return binary.cast(pa.large_string()).cast(pa.string())
+
 
 def _slice_value(chunk: bytes, doc_idx: int) -> bytes:
     num_docs = int.from_bytes(chunk[0:4], "little")
