@@ -1230,3 +1230,39 @@ def q_unpivot(spark, sf):
             "total"
         )
     )
+
+
+def _near_dup_groups_oracle() -> str:
+    from datafusion_pinot_spark.operators import dedup
+
+    return f"""
+WITH RECURSIVE pairs AS ({dedup.ngram_jaccard_pairs_oracle_sql(3, 0.2)}),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+)
+SELECT src AS doc_id, least(src, min(dst)) AS group_id
+FROM reach GROUP BY src
+"""
+
+
+@register(
+    "near_dup_groups",
+    _near_dup_groups_oracle(),
+    "llm",
+    ["dedup", "graph"],
+)
+def q_near_dup_groups(spark, sf):
+    """Connected components over n-gram-Jaccard near-dup pairs: iterative
+    min-label propagation to fixpoint (operators/dedup.py::dedup_groups),
+    hash-checked against a DuckDB recursive-CTE transitive closure — an
+    iterative DataFrame algorithm with a full oracle."""
+    from datafusion_pinot_spark.operators import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf), 3, 0.2)
+    return dedup.dedup_groups(pairs)

@@ -256,3 +256,14 @@ def test_kmeans_matches_numpy_lloyd(spark):
     assert sorted(got) == sorted(cents)
     for c in cents:
         assert np.allclose(got[c], cents[c], atol=1e-9), c
+
+
+def test_dedup_groups_connected_components(spark):
+    from datafusion_pinot_spark.operators.dedup import dedup_groups
+
+    # components: {1,2,3,4} (chain), {7,8}, singleton edges only
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["group_id"] for r in dedup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
