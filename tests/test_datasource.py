@@ -314,3 +314,61 @@ def test_stream_reader_picks_up_new_segments(spark, tmp_path):
         assert got == list(range(100))
     finally:
         q.stop()
+
+
+def test_controller_client_over_real_http():
+    """Mirror of the reference's wiremock tier (controller_client_tests.rs):
+    success, 404, 500, and invalid JSON through a real HTTP round trip."""
+    import http.server
+    import threading
+
+    from datafusion_pinot_spark.catalog import PinotControllerClient
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/tables":
+                body = b'{"tables": ["t1", "t2"]}'
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.startswith("/segments/t1"):
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b'[{"OFFLINE": ["s0", "s1"]}]')
+            elif self.path.startswith("/badjson"):
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"not json")
+            elif self.path.startswith("/boom"):
+                self.send_error(500)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = PinotControllerClient(f"http://127.0.0.1:{port}")
+        assert client.list_tables() == ["t1", "t2"]
+        assert client.list_segments("t1", "OFFLINE") == ["s0", "s1"]
+
+        bad = PinotControllerClient(f"http://127.0.0.1:{port}/badjson")
+        with pytest.raises(RuntimeError):
+            bad.list_tables()
+
+        import urllib.error
+
+        boom = PinotControllerClient(f"http://127.0.0.1:{port}/boom")
+        with pytest.raises((RuntimeError, urllib.error.HTTPError)):
+            boom.list_tables()
+
+        gone = PinotControllerClient(f"http://127.0.0.1:{port}/nope")
+        with pytest.raises((RuntimeError, urllib.error.HTTPError)):
+            gone.list_tables()
+    finally:
+        srv.shutdown()
