@@ -1266,3 +1266,67 @@ def q_near_dup_groups(spark, sf):
 
     pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf), 3, 0.2)
     return dedup.dedup_groups(pairs)
+
+
+@register(
+    "window_range_frame",
+    """SELECT event_id, user_id,
+              round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us
+                          RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE), 2) AS rolling_60s
+       FROM (SELECT event_id, user_id, value,
+                    CAST(floor(epoch(ts)) AS BIGINT) * 1000000
+                      + CAST(microsecond(ts) AS BIGINT) % 1000000 AS epoch_us
+             FROM events)""",
+    "relational",
+    ["window", "range-frame"],
+)
+def q_window_range_frame(spark, sf):
+    """RANGE window frame (value-based, not row-based): per-user rolling 60s
+    sum ordered by event time. Exact DECIMAL accumulation keeps the window
+    sum order-independent, so it hash-matches DuckDB despite different
+    frame-evaluation orders."""
+    ev = t(spark, sf, "events").select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("epoch_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_us")
+        .rangeBetween(-60_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("rolling_60s"),
+    )
+
+
+@register(
+    "token_topk",
+    """SELECT token, count(*) AS n FROM (
+         SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+         FROM documents WHERE length(trim(lower(text))) > 0
+       ) GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "llm",
+    ["text", "explode"],
+)
+def q_token_topk(spark, sf):
+    """Corpus-wide token frequency top-k (the canonical explode+count):
+    tokens explode engine-side, one map-side-combined shuffle, top-k via
+    TakeOrderedAndProject."""
+    from datafusion_pinot_spark.functions import tokens
+
+    docs = _docs(spark, sf)
+    toks = docs.select(tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    return (
+        toks.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
