@@ -120,9 +120,9 @@ class VarByteChunkReader:
             # smaller, so decode without enforcing the hint.
             return lz4_block.decompress(data, None)
         if ct == SNAPPY:
-            raise UnsupportedFeatureError("Snappy compression not yet supported")
+            return _snappy_decompress(data)
         if ct == ZSTANDARD:
-            raise UnsupportedFeatureError("Zstandard compression not yet supported")
+            return _zstd_decompress(data)
         raise UnsupportedFeatureError(f"Unknown compression type: {ct}")
 
     def _decompressed_chunk(self, idx: int) -> bytes:
@@ -200,6 +200,62 @@ class VarByteChunkReader:
             chunks.append(arr)
         binary = pa.concat_arrays(chunks) if chunks else pa.array([], pa.large_binary())
         return binary.cast(pa.large_string()).cast(pa.string())
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    """Raw-Snappy decode (beyond the reference, which rejects SNAPPY chunks,
+    var_byte.rs:8-13): the raw format's preamble is the uncompressed length
+    as a varint — parse it, then decode via pyarrow's snappy codec."""
+    import pyarrow as pa
+
+    size, shift, i = 0, 0, 0
+    while True:
+        if i >= len(data):
+            raise InvalidFormatError("truncated snappy varint preamble")
+        b = data[i]
+        size |= (b & 0x7F) << shift
+        i += 1
+        shift += 7
+        if not (b & 0x80):
+            break
+    out = pa.Codec("snappy").decompress(bytes(data), decompressed_size=size)
+    return out.to_pybytes()
+
+
+def _zstd_frame_content_size(data: bytes) -> int:
+    """Frame content size from a zstd frame header (RFC 8878 §3.1.1)."""
+    if len(data) < 5 or data[:4] != b"\x28\xb5\x2f\xfd":
+        raise InvalidFormatError("not a zstd frame")
+    fhd = data[4]
+    fcs_flag = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    dict_flag = fhd & 0x03
+    pos = 5
+    if not single_segment:
+        pos += 1  # window descriptor
+    pos += (0, 1, 2, 4)[dict_flag]
+    if fcs_flag == 0:
+        if not single_segment:
+            raise UnsupportedFeatureError(
+                "zstd frame without declared content size"
+            )
+        return data[pos]
+    if fcs_flag == 1:
+        return int.from_bytes(data[pos : pos + 2], "little") + 256
+    if fcs_flag == 2:
+        return int.from_bytes(data[pos : pos + 4], "little")
+    return int.from_bytes(data[pos : pos + 8], "little")
+
+
+def _zstd_decompress(data: bytes) -> bytes:
+    """Zstandard decode (beyond the reference, which rejects ZSTANDARD
+    chunks): content size comes from the frame header, then pyarrow's zstd
+    codec does the work."""
+    import pyarrow as pa
+
+    size = _zstd_frame_content_size(data)
+    out = pa.Codec("zstd").decompress(bytes(data), decompressed_size=size)
+    return out.to_pybytes()
 
 
 def _slice_value(chunk: bytes, doc_idx: int) -> bytes:

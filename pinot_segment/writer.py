@@ -12,9 +12,9 @@ reader supports:
 - sorted dictionaries with the 0xDEADBEEFDEAFBEAD magic, BE-encoded values
 - fixed-bit big-endian packed forward indexes behind an 8-byte magic
 - RAW STRING columns in V4 var-byte chunk format (PASS_THROUGH / LZ4 /
-  LZ4_LENGTH_PREFIXED), incl. huge-value chunks and the 0xFFFFFFFF sentinel
-
-Not part of the parity surface; never imported by the Spark layer.
+  LZ4_LENGTH_PREFIXED / SNAPPY / ZSTANDARD — the last two exceed the
+  reference, which rejects them), incl. huge-value chunks and the
+  0xFFFFFFFF sentinel
 """
 
 from __future__ import annotations
@@ -26,7 +26,13 @@ import numpy as np
 
 from pinot_segment import lz4_block
 from pinot_segment.metadata import DataType
-from pinot_segment.var_byte import LZ4, LZ4_LENGTH_PREFIXED, PASS_THROUGH
+from pinot_segment.var_byte import (
+    LZ4,
+    LZ4_LENGTH_PREFIXED,
+    PASS_THROUGH,
+    SNAPPY,
+    ZSTANDARD,
+)
 
 _DICT_MAGIC = (0xDEADBEEFDEAFBEAD).to_bytes(8, "big")
 _FWD_MAGIC = (0xDEADBEEFDEAFBEAD).to_bytes(8, "big")
@@ -141,6 +147,12 @@ def _encode_var_byte(spec: ColumnSpec) -> bytes:
     def compress(decompressed: bytes) -> bytes:
         if spec.compression == PASS_THROUGH:
             return decompressed
+        if spec.compression in (SNAPPY, ZSTANDARD):
+            import pyarrow as pa
+
+            name = "snappy" if spec.compression == SNAPPY else "zstd"
+            out = pa.Codec(name).compress(decompressed)
+            return out.to_pybytes() if hasattr(out, "to_pybytes") else bytes(out)
         body = lz4_block.compress(decompressed)
         if spec.compression == LZ4_LENGTH_PREFIXED:
             return len(decompressed).to_bytes(4, "little") + body

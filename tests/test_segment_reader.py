@@ -144,14 +144,16 @@ def test_arrow_assembly(segment):
 # -- whole-segment property round-trip ---------------------------------------
 
 from hypothesis import given, settings, strategies as st
-from pinot_segment.var_byte import LZ4
+from pinot_segment.var_byte import LZ4, SNAPPY, ZSTANDARD
 
 
 @settings(max_examples=25, deadline=None)
 @given(
     data=st.data(),
     n=st.integers(min_value=1, max_value=200),
-    compression=st.sampled_from([PASS_THROUGH, LZ4, LZ4_LENGTH_PREFIXED]),
+    compression=st.sampled_from(
+        [PASS_THROUGH, LZ4, LZ4_LENGTH_PREFIXED, SNAPPY, ZSTANDARD]
+    ),
     chunk=st.sampled_from([64, 256, 4096]),
 )
 def test_property_roundtrip_all_types(tmp_path_factory, data, n, compression, chunk):
@@ -194,3 +196,27 @@ def test_property_roundtrip_all_types(tmp_path_factory, data, n, compression, ch
     assert reader.read_column("d").tolist() == doubles
     assert list(reader.read_column("s")) == strs
     assert list(reader.read_column("r")) == raws
+
+
+def test_snappy_and_zstd_raw_columns(tmp_path):
+    """SNAPPY and ZSTANDARD chunk decode — beyond the reference, which
+    rejects both compression types (var_byte.rs:8-13)."""
+    from pinot_segment.var_byte import SNAPPY, ZSTANDARD
+
+    vals = [f"value-{i}-{'xy' * (i % 9)}" for i in range(5000)]
+    d = tmp_path / "seg"
+    v3 = write_segment(
+        d,
+        "seg",
+        "t",
+        [
+            ColumnSpec("sn", DataType.STRING, vals, raw=True,
+                       compression=SNAPPY, target_chunk_size=1024),
+            ColumnSpec("zs", DataType.STRING, vals, raw=True,
+                       compression=ZSTANDARD, target_chunk_size=1024),
+        ],
+    )
+    r = SegmentReader.open(v3)
+    assert list(r.read_column("sn")) == vals
+    assert list(r.read_column("zs")) == vals
+    assert r.read_columns_arrow(["sn", "zs"]).column("zs").to_pylist() == vals
