@@ -373,6 +373,11 @@ def ivf_topk(
     Pass ``centroids`` (from ``kmeans_centroids``) for trained lists."""
     emb = embeddings.select("vec_id", as_double_array("embedding").alias("v"))
     centroids, assigned = _ivf_assignments(emb, n_centroids, centroids)
+    # The assignment subtree (crossJoin + argmax window) feeds BOTH the
+    # query-probe branch and the candidate branch; materialize it once
+    # instead of executing it twice. At scale the assignment would be a
+    # stored inverted-list table anyway.
+    assigned = assigned.localCheckpoint(eager=True)
 
     queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"),
