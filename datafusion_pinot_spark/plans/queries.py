@@ -1330,3 +1330,64 @@ def q_token_topk(spark, sf):
         .orderBy(F.desc("n"), "token")
         .limit(20)
     )
+
+
+@register(
+    "events_gapfill_hourly",
+    """WITH ev AS (
+         SELECT event_type, epoch_us(ts) // 3600000000 AS bucket_hr, value
+         FROM events
+       ), agg AS (
+         SELECT event_type, bucket_hr, count(*) AS n_events,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+         FROM ev GROUP BY event_type, bucket_hr
+       ), grid AS (
+         SELECT t.event_type, g.bucket_hr
+         FROM (SELECT DISTINCT event_type FROM ev) t
+         CROSS JOIN (
+           SELECT unnest(generate_series((SELECT min(bucket_hr) FROM ev),
+                                         (SELECT max(bucket_hr) FROM ev))) AS bucket_hr
+         ) g
+       )
+       SELECT grid.event_type, grid.bucket_hr,
+              coalesce(agg.n_events, 0) AS n_events,
+              coalesce(agg.sum_value, 0.0) AS sum_value
+       FROM grid LEFT JOIN agg
+         ON grid.event_type = agg.event_type AND grid.bucket_hr = agg.bucket_hr""",
+    "temporal",
+    ["gapfill", "timeseries"],
+)
+def q_events_gapfill(spark, sf):
+    """Dense hourly time series per event type: empty buckets appear with
+    zero counts (gap-fill / resample — the hypertable-rollup pattern). The
+    bucket grid is generated engine-side (sequence + explode over the
+    data-derived min/max hour), then left-joined to the hourly aggregate;
+    the grid is tiny (hours x types) and broadcast."""
+    ev = t(spark, sf, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket_hr"),
+        "value",
+    )
+    agg = ev.groupBy("event_type", "bucket_hr").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+    bounds = ev.agg(
+        F.min("bucket_hr").alias("lo"), F.max("bucket_hr").alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bucket_hr")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(hours)
+    return (
+        F.broadcast(grid)
+        .join(agg, ["event_type", "bucket_hr"], "left")
+        .select(
+            "event_type",
+            "bucket_hr",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
