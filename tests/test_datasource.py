@@ -372,3 +372,21 @@ def test_controller_client_over_real_http():
             gone.list_tables()
     finally:
         srv.shutdown()
+
+
+def test_catalog_error_paths(tmp_path):
+    """Mirror of the reference's builder-validation tests (catalog.rs:423-484):
+    nonexistent data dir, unknown table, table dir with no valid segments."""
+    from datafusion_pinot_spark.catalog import FileSystemMetadataProvider
+
+    with pytest.raises(FileNotFoundError):
+        FileSystemMetadataProvider(str(tmp_path / "nope")).list_tables()
+
+    provider = FileSystemMetadataProvider(str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="not found"):
+        provider.get_segment_paths("ghost")
+
+    # table dir exists but contains no segment with a v3 child
+    (tmp_path / "empty_OFFLINE" / "not_a_segment").mkdir(parents=True)
+    with pytest.raises(FileNotFoundError, match="No valid segments"):
+        provider.get_segment_paths("empty")
