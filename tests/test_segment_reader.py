@@ -220,3 +220,23 @@ def test_snappy_and_zstd_raw_columns(tmp_path):
     assert list(r.read_column("sn")) == vals
     assert list(r.read_column("zs")) == vals
     assert r.read_columns_arrow(["sn", "zs"]).column("zs").to_pylist() == vals
+
+
+def test_boolean_bytes_declared_but_rejected(tmp_path):
+    """BYTES/BOOLEAN are declared types but rejected at read, matching the
+    reference (schema.rs:16 declares them; dictionary.rs:125-134 and
+    exec.rs:136-141 error on read)."""
+    d = tmp_path / "seg"
+    v3 = write_segment(
+        d, "seg", "t", [ColumnSpec("flag", DataType.INT, [0, 1, 1, 0])]
+    )
+    meta_file = v3 / "metadata.properties"
+    meta_file.write_text(
+        meta_file.read_text().replace(
+            "column.flag.dataType=INT", "column.flag.dataType=BOOLEAN"
+        )
+    )
+    r = SegmentReader.open(v3)
+    assert r.metadata.get_column("flag").data_type is DataType.BOOLEAN
+    with pytest.raises(UnsupportedFeatureError):
+        r.read_column("flag")
