@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -171,6 +172,20 @@ class PinotDataSource(DataSource):
         }
         table = self.options.get("table") or _table_name_from_dir(path)
         return PinotDataSourceWriter(schema, path, table, raw, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "PinotStreamWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pinot stream sink requires a path (the table directory)")
+        raw = {
+            c.strip()
+            for c in self.options.get("raw", "").split(",")
+            if c.strip()
+        }
+        table = self.options.get("table") or _table_name_from_dir(path)
+        return PinotStreamWriter(schema, path, table, raw)
 
 
 # Filter kinds we can evaluate both as zone-map prunes and row masks.
@@ -322,6 +337,40 @@ _WRITE_TYPES = {
     "double": "DOUBLE",
     "string": "STRING",
 }
+
+
+class PinotStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("pinot")`` — one segment set per micro-batch.
+
+    Same staged-commit protocol as the batch sink (tasks write under the
+    reader-skipped ``tmp/``, the driver renames on commit), so a concurrent
+    `readStream.format("pinot")` on the same directory observes exactly one
+    new immutable segment set per committed batch — an end-to-end
+    exactly-once segment pipeline. Batch ids are embedded in segment names
+    for traceability; an aborted batch leaves only staged dirs, which
+    readers never see."""
+
+    def __init__(
+        self, schema: StructType, path: str, table: str, raw_columns: set
+    ) -> None:
+        # Delegate validation + the per-task write to the batch writer.
+        self._delegate = PinotDataSourceWriter(
+            schema, path, table, raw_columns, overwrite=False
+        )
+        self._path = path
+
+    def write(self, iterator) -> PinotWriterCommitMessage:
+        return self._delegate.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None or not m.staged_dir:
+                continue
+            final = os.path.join(self._path, f"b{batchId}_{m.segment_name}")
+            os.replace(m.staged_dir, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._delegate.abort(messages)
 
 
 def _table_name_from_dir(path: str) -> str:

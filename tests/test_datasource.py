@@ -390,3 +390,29 @@ def test_catalog_error_paths(tmp_path):
     (tmp_path / "empty_OFFLINE" / "not_a_segment").mkdir(parents=True)
     with pytest.raises(FileNotFoundError, match="No valid segments"):
         provider.get_segment_paths("empty")
+
+
+def test_stream_writer_lands_segments_per_batch(spark, tmp_path):
+    """writeStream.format("pinot"): micro-batches land as committed segment
+    sets; a batch read over the table dir sees exactly the streamed rows."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sw_OFFLINE")
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(PinotDataSource)
+
+    spark.range(0, 500).select(F.col("id").alias("k")).coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("k long").parquet(src)
+    q = (
+        stream.writeStream.format("pinot")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    back = spark.read.format("pinot").load(out)
+    assert sorted(r["k"] for r in back.collect()) == list(range(500))
+    import os
+    segs = [e for e in os.listdir(out) if os.path.isdir(os.path.join(out, e, "v3"))]
+    assert all(e.startswith("b") for e in segs)  # batch-id-prefixed names
