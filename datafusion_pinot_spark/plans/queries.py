@@ -22,6 +22,7 @@ both dialects (the driver's hash compare requires it).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -1390,4 +1391,47 @@ def q_events_gapfill(spark, sf):
             F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
             F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
         )
+    )
+
+
+@register(
+    "pinot_roundtrip_agg",
+    """SELECT l_returnflag AS flag, count(*) AS n,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS sum_price
+       FROM lineitem GROUP BY l_returnflag""",
+    "parity",
+    ["pinot", "storage", "roundtrip"],
+)
+def q_pinot_roundtrip(spark, sf):
+    """The whole storage layer under the correctness gate: lineitem is
+    written to Pinot v3 segments via the sink (dict + RAW columns), read
+    back through the pinot data source, and aggregated; the oracle runs the
+    same aggregate on the original parquet, so a hash match proves the
+    write -> segment-decode -> scan path is value-exact end to end."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="rt_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            "l_extendedprice",
+            F.concat(F.lit("k"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("rk"),
+        )
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "rk")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return back.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_price"),
     )
