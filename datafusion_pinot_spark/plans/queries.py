@@ -1435,3 +1435,43 @@ def q_pinot_roundtrip(spark, sf):
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
         ).alias("sum_price"),
     )
+
+
+@register(
+    "session_window_agg",
+    """WITH o AS (
+         SELECT user_id, ts,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800000000 OR lag(ts)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+       ), s AS (
+         SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+         FROM o
+       )
+       SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+              count(*) AS n_events
+       FROM s GROUP BY user_id, sid""",
+    "temporal",
+    ["streaming", "session-window"],
+)
+def q_session_window(spark, sf):
+    """Spark's NATIVE session_window (gap-merged, 30 min) checked against a
+    manual lag/cumsum sessionization oracle — the two constructions must
+    produce identical session boundaries."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
