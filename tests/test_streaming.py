@@ -44,3 +44,61 @@ def test_stateful_totals_equal_batch_groupby(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode watermarking end-to-end: a row arriving after its window
+    passed the watermark is dropped, not merged into the emitted result."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "wm_src")
+    import os
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, k string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src + "/_tmp_" + name)
+        # move file into the watched dir as one atomic-ish batch
+        import glob, shutil
+        for f in glob.glob(src + "/_tmp_" + name + "/*.parquet"):
+            shutil.move(f, os.path.join(src, name + ".parquet"))
+        shutil.rmtree(src + "/_tmp_" + name)
+
+    import datetime as dt
+    T = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    write_batch("b1", [(T(10, 0), "a"), (T(11, 0), "a")])
+
+    stream = spark.readStream.schema("ts timestamp, k string").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "k")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "k", "n")
+    )
+    name = "wm_test_sink"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark now ~10:50 → the 10:00 window is finalized and emitted
+        first = {
+            (r["ws"], r["k"]): r["n"] for r in spark.table(name).collect()
+        }
+        assert first.get((T(10, 0), "a")) == 1
+
+        # a LATE row for the finalized 10:00 window + an on-time row
+        write_batch("b2", [(T(10, 0), "a"), (T(11, 30), "a")])
+        q.processAllAvailable()
+        rows = [
+            r for r in spark.table(name).collect() if r["ws"] == T(10, 0)
+        ]
+        # the late row was dropped: the emitted 10:00 window still has n=1
+        # and was not re-emitted with n=2
+        assert [r["n"] for r in rows] == [1]
+    finally:
+        q.stop()
