@@ -1475,3 +1475,21 @@ def q_session_window(spark, sf):
             "n_events",
         )
     )
+
+
+@register(
+    "streaming_watermarked_agg",
+    None,  # append mode withholds windows past the watermark by design
+    "llm",
+    ["streaming", "watermark"],
+)
+def q_streaming_watermarked(spark, sf):
+    """Watermarked append-mode windowed count over the events file stream
+    (streaming/windowed.py). Rows-only: append mode intentionally withholds
+    the final windows the watermark has not passed, so the emitted set is a
+    strict prefix of the batch result — correct late-data semantics, not a
+    batch-equal one (the drop behavior itself is pinned by
+    tests/test_streaming.py::test_watermark_drops_late_data)."""
+    from datafusion_pinot_spark.streaming.windowed import watermarked_stream_agg
+
+    return watermarked_stream_agg(spark, f"{sf}/events.parquet")
