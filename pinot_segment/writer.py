@@ -46,12 +46,15 @@ _BE_DTYPES = {
 
 
 def _pack_bits(values: list[int], bits: int) -> bytes:
-    """Big-endian bit packing, inverse of fixed_bit.unpack_bits."""
-    bitstream = np.zeros(len(values) * bits, dtype=np.uint8)
-    for i, v in enumerate(values):
-        for j in range(bits):
-            bitstream[i * bits + j] = (v >> (bits - 1 - j)) & 1
-    return np.packbits(bitstream).tobytes()
+    """Big-endian bit packing, inverse of fixed_bit.unpack_bits.
+
+    Vectorized: the (n, bits) bit matrix comes from one broadcasted
+    shift-and-mask, then ``np.packbits`` folds it to bytes — the per-value
+    Python loop this replaces dominated segment-write time."""
+    v = np.asarray(values, dtype=np.uint64)
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
+    bitstream = ((v[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+    return np.packbits(bitstream.reshape(-1)).tobytes()
 
 
 def _bits_needed(cardinality: int) -> int:
@@ -227,8 +230,10 @@ def write_segment(
             continue
 
         dict_blob, uniq, length_of_each_entry = _encode_dictionary(spec)
-        index_to_id = {v: i for i, v in enumerate(uniq)}
-        dict_ids = [index_to_id[v] for v in spec.values]
+        # value → dictId via binary search on the sorted dictionary (numpy
+        # string comparison is code-point order, same as Python's sort above)
+        uniq_arr = np.asarray(uniq)
+        dict_ids = np.searchsorted(uniq_arr, np.asarray(spec.values, dtype=uniq_arr.dtype))
         bits = _bits_needed(len(uniq))
         fwd_blob = _FWD_MAGIC + _pack_bits(dict_ids, bits)
 
