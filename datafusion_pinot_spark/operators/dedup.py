@@ -184,14 +184,206 @@ def minhash_lsh_pairs(
     )
 
 
+def _bucket_pair_structs():
+    """Engine-side pair generation from a sorted ``ids`` bucket array (all
+    (i, j>i) combinations) — the scale-correct alternative to a bucket
+    self-join."""
+    ids = F.col("ids")
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ids) - 2),
+            lambda i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda j: F.struct(
+                    F.element_at(ids, i + 1).alias("doc_a"), j.alias("doc_b")
+                ),
+            ),
+        )
+    )
+
+
+def minhash_lsh_candidates_md5(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs with the *md5* hash family — bit-identical in
+    DuckDB, so the full LSH→verify dedup pipeline is oracle-checkable.
+
+    Same scale shape as :func:`minhash_lsh_pairs` (banded keys, bucket
+    grouping, engine-side pair generation — never an O(N^2) join); the
+    xxhash64 variant remains the production-speed path (codegen'd long
+    hashes vs md5 hex strings).
+    """
+    sig = minhash_signatures(docs, k, shingle_n).filter(F.col("mh0").isNotNull())
+    rows_per_band = k // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    melted = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_idx", "bk.key")
+    buckets = (
+        melted.groupBy("band_idx", "key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    return (
+        buckets.select(F.explode(_bucket_pair_structs()).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_verify(
+    docs: DataFrame, candidates: DataFrame, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Exact word-n-gram Jaccard computed ONLY for ``candidates`` pairs
+    (doc_a, doc_b) — the verify stage of an LSH dedup pipeline.
+
+    Scale shape: the shingle stream is semi-join-restricted to docs that
+    appear in a candidate pair (at 100 TB the candidate set is orders of
+    magnitude smaller than the corpus), then intersections come from two
+    equi-joins keyed by (doc, shingle) — cost is O(candidate docs' shingles),
+    independent of corpus size. Never run the corpus-wide all-pairs verifier
+    (:func:`ngram_jaccard_pairs`) at scale — SCALE.md §jaccard."""
+    ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.join(ids, "doc_id", "left_semi")
+        .repartition(par, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(word_shingles(F.col("toks"), n)).alias("s"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        candidates.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            sh.alias("b"),
+            (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: md5-MinHash → banded LSH candidates →
+    exact n-gram Jaccard verify. Every stage is deterministic and
+    reproducible in DuckDB, so the whole pipeline hash-checks against
+    :func:`lsh_verified_pairs_oracle_sql`."""
+    return ngram_jaccard_verify(
+        docs, minhash_lsh_candidates_md5(docs, k, bands, n), n, threshold
+    )
+
+
+def lsh_verified_pairs_oracle_sql(
+    k: int = MINHASH_K, bands: int = LSH_BANDS, n: int = 3, threshold: float = 0.2
+) -> str:
+    joined = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    shingles = (
+        f"CASE WHEN len(w) < {n} THEN [] "
+        f"ELSE list_distinct(list_transform(generate_series(1, len(w) - {n - 1}), i -> {joined})) END"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('s{i}|' || s))) AS mh{i}"
+        for i in range(k)
+    )
+    rows_per_band = k // bands
+    melted = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({key}) AS key FROM sig WHERE mh0 IS NOT NULL".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+), s AS (
+  SELECT doc_id, {shingles} AS sh FROM t
+), sig AS (
+  SELECT doc_id, {mins} FROM s
+), melted AS (
+{melted}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM melted a JOIN melted b
+    ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+), sh2 AS (
+  SELECT DISTINCT doc_id, unnest(sh) AS s FROM s
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh2 a ON a.doc_id = c.doc_a
+  JOIN sh2 b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= {threshold}
+"""
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.2
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    """Exact word-n-gram Jaccard similarity for ALL pairs sharing ≥1 shingle.
 
-    Explode + self-join on shingle (the classic exact near-dup verifier);
-    output (doc_a, doc_b, jaccard) for jaccard ≥ threshold.
-    """
+    Explode + self-join on shingle; output (doc_a, doc_b, jaccard) for
+    jaccard ≥ threshold. CORPUS-WIDE — quadratic on boilerplate-heavy
+    corpora; kept as a test oracle / small-data tool only. The registered
+    production path is :func:`lsh_verified_pairs` (verify restricted to LSH
+    candidates)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     sh = (
         docs.repartition(par, "doc_id")

@@ -695,7 +695,7 @@ def q_case_when(spark, sf):
     "json_extract_events",
     """SELECT event_type,
               count(*) AS n,
-              sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
               min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
               max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
        FROM events GROUP BY event_type ORDER BY event_type""",
@@ -848,12 +848,15 @@ def _register_llm():
     register(
         "minhash_lsh_pairs", None, "llm", ["dedup", "minhash", "lsh"]
     )(lambda spark, sf: dedup.minhash_lsh_pairs(_docs(spark, sf)))
+    # Verify stage restricted to md5-LSH candidates (NOT the corpus-wide
+    # all-pairs self-join — quadratic hazard at 100 TB, SCALE.md §jaccard);
+    # md5 hash family keeps the whole LSH→verify pipeline DuckDB-checkable.
     register(
         "ngram_jaccard_pairs",
-        dedup.ngram_jaccard_pairs_oracle_sql(),
+        dedup.lsh_verified_pairs_oracle_sql(),
         "llm",
-        ["dedup", "jaccard"],
-    )(lambda spark, sf: dedup.ngram_jaccard_pairs(_docs(spark, sf)))
+        ["dedup", "jaccard", "lsh"],
+    )(lambda spark, sf: dedup.lsh_verified_pairs(_docs(spark, sf)))
     register("simhash_dup_groups", None, "llm", ["dedup", "simhash"])(
         lambda spark, sf: dedup.simhash_dup_groups(_docs(spark, sf))
     )

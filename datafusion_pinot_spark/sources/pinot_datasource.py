@@ -303,12 +303,25 @@ class PinotStreamReader(DataSourceStreamReader):
 
         seen = set(json.loads(start["seen"]))
         new = [n for n in json.loads(end["seen"]) if n not in seen]
-        parts = [
-            PinotInputPartition(
-                os.path.join(self._path, name, "v3"), self._columns, ()
-            )
-            for name in new
-        ]
+        # Map offset names back to real v3 paths via the same discovery the
+        # offsets came from — `{path}/{name}/v3` reconstruction would be wrong
+        # for the single-segment-dir / bare-v3 layouts _discover_segments also
+        # accepts. Segments are immutable once landed, so a name from
+        # latestOffset() must still resolve here.
+        by_name = {
+            os.path.basename(os.path.dirname(s)): s
+            for s in self._current_segments()
+        }
+        parts = []
+        for name in new:
+            v3 = by_name.get(name)
+            if v3 is None:
+                raise ValueError(
+                    f"segment '{name}' from checkpoint offset no longer exists "
+                    f"under {self._path}; Pinot segments are immutable — was the "
+                    "table directory modified out-of-band?"
+                )
+            parts.append(PinotInputPartition(v3, self._columns, ()))
         # Spark requires ≥1 partition per batch; empty batch → sentinel.
         return parts or [PinotInputPartition("", self._columns, ())]
 

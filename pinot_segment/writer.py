@@ -75,6 +75,16 @@ class ColumnSpec:
     ) -> None:
         if raw and data_type is not DataType.STRING:
             raise ValueError("RAW is only supported for STRING columns")
+        if data_type in (DataType.FLOAT, DataType.DOUBLE):
+            # NaN breaks sorted-dictionary encoding (NaN != NaN inflates the
+            # set; sorted() leaves NaN anywhere, un-sorting the dictionary and
+            # corrupting binary-search ids and zone maps). Mirror the sink's
+            # NULL rejection: refuse NaN up front.
+            if np.isnan(np.asarray(values, dtype=np.float64)).any():
+                raise ValueError(
+                    f"NaN in column '{name}': Pinot sorted dictionaries cannot "
+                    "encode NaN (NaN is unordered); filter or canonicalize first"
+                )
         self.name = name
         self.data_type = data_type
         self.values = values
@@ -94,6 +104,15 @@ def _encode_dictionary(spec: ColumnSpec) -> tuple[bytes, list, int]:
         out += np.asarray(uniq, dtype=_BE_DTYPES[spec.data_type]).tobytes()
     else:  # STRING
         encoded = [v.encode("utf-8") for v in uniq]
+        if spec.fixed_length_dict and any(b"\x00" in e for e in encoded):
+            # The fixed-length dict format pads with NULs and the reader (like
+            # the reference, dictionary.rs:96-98) trims at the first NUL — the
+            # format is inherently lossy for NUL-containing values. Refuse
+            # rather than silently corrupt.
+            raise ValueError(
+                f"column '{spec.name}': fixed-length dictionaries cannot encode "
+                "values containing NUL (\\x00); use var-length (default)"
+            )
         if spec.fixed_length_dict:
             length_of_each_entry = max((len(e) for e in encoded), default=1)
             length_of_each_entry = max(length_of_each_entry, 1)
@@ -230,10 +249,18 @@ def write_segment(
             continue
 
         dict_blob, uniq, length_of_each_entry = _encode_dictionary(spec)
-        # value → dictId via binary search on the sorted dictionary (numpy
-        # string comparison is code-point order, same as Python's sort above)
-        uniq_arr = np.asarray(uniq)
-        dict_ids = np.searchsorted(uniq_arr, np.asarray(spec.values, dtype=uniq_arr.dtype))
+        if spec.data_type in _BE_DTYPES:
+            # value → dictId via binary search on the sorted dictionary
+            uniq_arr = np.asarray(uniq, dtype=_BE_DTYPES[spec.data_type].replace(">", "="))
+            dict_ids = np.searchsorted(uniq_arr, np.asarray(spec.values, dtype=uniq_arr.dtype))
+        else:
+            # STRING: numpy '<U' arrays silently strip trailing U+0000, so a
+            # searchsorted probe maps '\x00' → '' (wrong id). A plain Python
+            # dict lookup is exact for all code points.
+            idx = {v: i for i, v in enumerate(uniq)}
+            dict_ids = np.fromiter(
+                (idx[v] for v in spec.values), dtype=np.int64, count=len(spec.values)
+            )
         bits = _bits_needed(len(uniq))
         fwd_blob = _FWD_MAGIC + _pack_bits(dict_ids, bits)
 

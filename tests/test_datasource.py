@@ -4,6 +4,8 @@ Mirrors the reference's SQL test tier (query_tests.rs / catalog_tests.rs —
 SELECT+LIMIT shape, projection shape, COUNT(*), catalog-qualified multi-table
 queries), plus pushdown tests for the rebuild improvements."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -312,6 +314,38 @@ def test_stream_reader_picks_up_new_segments(spark, tmp_path):
         q.processAllAvailable()
         got = sorted(r["k"] for r in spark.table("pinot_stream_t").collect())
         assert got == list(range(100))
+    finally:
+        q.stop()
+
+
+def test_stream_reader_single_segment_dir(spark, tmp_path):
+    """readStream pointed at ONE segment dir (not a table dir): offsets carry
+    segment names, so partition paths must come from re-discovery, not
+    ``{path}/{name}/v3`` reconstruction (which doesn't exist in this layout)."""
+    out = str(tmp_path / "single_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    spark.range(0, 25).select(F.col("id").alias("k")).coalesce(1).write.format(
+        "pinot"
+    ).mode("append").save(out)
+    seg_dir = next(
+        os.path.join(out, d)
+        for d in os.listdir(out)
+        if d != "tmp" and os.path.isdir(os.path.join(out, d, "v3"))
+    )
+
+    q = (
+        spark.readStream.format("pinot")
+        .load(seg_dir)
+        .writeStream.format("memory")
+        .queryName("pinot_stream_single")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        got = sorted(r["k"] for r in spark.table("pinot_stream_single").collect())
+        assert got == list(range(25))
     finally:
         q.stop()
 
