@@ -318,6 +318,25 @@ def test_stream_reader_picks_up_new_segments(spark, tmp_path):
         q.stop()
 
 
+def test_read_golden_fixture_through_datasource(spark):
+    """spark.read.format("pinot") over the COMMITTED golden segment (the
+    reference's integration constants — 97,889 docs): the full Spark path on
+    bytes no writer touched this session."""
+    from tools.make_golden_fixture import FIXTURE_DIR, TOTAL_DOCS, golden_columns
+
+    spark.dataSource.register(PinotDataSource)
+    df = spark.read.format("pinot").load(FIXTURE_DIR)
+    assert df.count() == TOTAL_DOCS
+    expected_sum = sum(
+        next(s.values for s in golden_columns() if s.name == "hits")
+    )
+    got = df.agg(
+        F.sum("hits").alias("s"), F.countDistinct("hits").alias("c")
+    ).collect()[0]
+    assert got["s"] == expected_sum
+    assert got["c"] == 250
+
+
 def test_stream_reader_single_segment_dir(spark, tmp_path):
     """readStream pointed at ONE segment dir (not a table dir): offsets carry
     segment names, so partition paths must come from re-discovery, not
