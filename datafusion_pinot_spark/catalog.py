@@ -191,6 +191,22 @@ class PinotCatalog:
             spark.read.format("pinot").option("segments", ",".join(segs)).load()
         )
 
+    def count_star(self, name: str) -> int:
+        """Metadata-only COUNT(*): sum of ``segment.total.docs`` over the
+        table's segments — the same shortcut the reference takes for
+        ``SELECT COUNT(*)`` (exec.rs:92-95 serves counts from metadata, 3.97
+        ms on 97k rows). No Spark job, no forward-index decode; milliseconds
+        regardless of table width. For the in-plan equivalent use
+        ``spark.read.format("pinot").option("columns", "")`` (zero-column
+        scan; Spark still iterates row counts, so this helper is faster for
+        interactive use)."""
+        from pinot_segment import SegmentMetadata
+
+        return sum(
+            SegmentMetadata.from_file(os.path.join(seg, "metadata.properties")).total_docs
+            for seg in self.provider.get_segment_paths(name)
+        )
+
     def register_all(self, spark) -> list[str]:
         """Create one temp view per table; returns the registered names."""
         registered = []

@@ -237,11 +237,23 @@ class PinotDataSourceReader(DataSourceReader):
         mask = _row_mask(reader, partition.filters)
         if mask is not None and not mask.any():
             return
+        if not partition.columns:
+            # Empty projection — COUNT(*) via `.option("columns", "")`. The
+            # row count comes from segment metadata (or the filter mask sum);
+            # no forward index is decoded, matching the reference's
+            # metadata-only count (exec.rs:92-95). Zero-column nonzero-row
+            # batches are valid Arrow and Spark counts them.
+            n = int(mask.sum()) if mask is not None else reader.total_docs()
+            if n > 0:
+                yield pa.RecordBatch.from_struct_array(pa.nulls(n, pa.struct([])))
+            return
         table = reader.read_columns_arrow(list(partition.columns))
         if mask is not None:
             table = table.filter(pa.array(mask))
-        # Slice into fixed-size batches (exec.rs:241-248).
-        for batch in table.to_batches(max_chunksize=BATCH_ROWS):
+        # Yield natural column-chunk batches; Spark re-slices to its own
+        # batch size JVM-side, so pre-slicing to 8,192 (the reference's
+        # exec.rs:24 aesthetic) only multiplies per-batch IPC overhead.
+        for batch in table.to_batches():
             yield batch
 
 

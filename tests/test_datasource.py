@@ -134,6 +134,10 @@ def test_catalog_filesystem_discovery(spark, pinot_table_dir):
     # tmp dir skipped; 3 segments discovered
     assert len(cat.provider.get_segment_paths("baseball")) == 3
 
+    # metadata-only count helper (reference exec.rs:92-95 shortcut): no job
+    assert cat.count_star("baseball") == 1000
+    assert cat.count_star("dimTeams") == 30
+
     registered = cat.register_all(spark)
     assert registered == ["baseball", "dimTeams"]
     # multi-table queries (catalog_tests.rs:37-70 shape)
@@ -316,6 +320,27 @@ def test_stream_reader_picks_up_new_segments(spark, tmp_path):
         assert got == list(range(100))
     finally:
         q.stop()
+
+
+def test_empty_projection_metadata_count(spark, tmp_path):
+    """`.option("columns", "")` → zero-column scan whose row count comes from
+    segment metadata (reference exec.rs:92-95 count path) — and from the
+    filter mask when a filter is pushed."""
+    out = str(tmp_path / "cnt_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    spark.range(0, 20000).selectExpr("id as k").coalesce(2).write.format(
+        "pinot"
+    ).mode("append").save(out)
+
+    empty = spark.read.format("pinot").option("columns", "").load(out)
+    assert len(empty.schema.fields) == 0
+    assert empty.count() == 20000
+
+    # filtered count still exact: mask computed from the filter columns only
+    filtered = (
+        spark.read.format("pinot").load(out).filter(F.col("k") < 12345)
+    )
+    assert filtered.count() == 12345
 
 
 def test_read_golden_fixture_through_datasource(spark):
