@@ -87,6 +87,15 @@ def pinot_format_queries(spark, sf_dir: str):
         ).save(out)
         return None
 
+    # Separate range-partitioned table (disjoint l_orderkey zone maps — the
+    # realistic key/time-ordered ingest layout) for the pruning query; built
+    # once here so the timed pinot_write_segments entry stays the plain
+    # hash-partitioned write.
+    out_rng = os.path.join(tempfile.mkdtemp(prefix="bench_pinot_rng_"), "li_OFFLINE")
+    li.repartitionByRange(8, "l_orderkey").write.format("pinot").mode(
+        "overwrite"
+    ).option("raw", "okey").save(out_rng)
+
     df = lambda: spark.read.format("pinot").load(out)  # noqa: E731
     return {
         "pinot_write_segments": write,
@@ -106,6 +115,14 @@ def pinot_format_queries(spark, sf_dir: str):
         "pinot_agg": lambda _: df().agg(
             F.sum("l_extendedprice"), F.avg("l_partkey"), F.max("l_orderkey")
         ),
+        # Selective key-range filter over the range-partitioned segments:
+        # the pushed filter's zone-map prune skips ~7 of 8 segments at
+        # planning (partitions() drops them — no task, no decode); the one
+        # surviving segment applies the residual row mask.
+        "pinot_filter_prune": lambda _: spark.read.format("pinot")
+        .load(out_rng)
+        .filter(F.col("l_orderkey") <= 2000)
+        .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")),
         "pinot_groupby_topk": lambda _: df()
         .groupBy("flag")
         .agg(F.sum("l_extendedprice").alias("s"))

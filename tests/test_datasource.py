@@ -125,6 +125,40 @@ def test_zone_map_segment_pruning(spark, pinot_table_dir):
     assert len(parts) == 1 and parts[0].segment_dir == ""  # all pruned → sentinel
 
 
+def test_zone_map_partial_prune_on_range_partitioned_write(spark, tmp_path):
+    """The bench layout: range-partitioned segments have disjoint key ranges,
+    so a selective key filter plans FEWER partitions (tasks) than segments —
+    the 100 TB partition-pruning story, asserted at plan level."""
+    from pyspark.sql.datasource import LessThanOrEqual
+
+    from datafusion_pinot_spark.sources.pinot_datasource import (
+        PinotDataSourceReader,
+    )
+
+    out = str(tmp_path / "rng_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    spark.range(0, 80000).selectExpr("id as k", "id * 2 as v").repartitionByRange(
+        8, "k"
+    ).write.format("pinot").mode("append").save(out)
+
+    src = PinotDataSource({"path": out})
+    assert len(src._segments()) == 8
+    reader = PinotDataSourceReader(src.schema(), src._segments())
+    list(reader.pushFilters([LessThanOrEqual(("k",), 9999)]))
+    parts = [p for p in reader.partitions() if p.segment_dir]
+    assert 1 <= len(parts) <= 2, f"expected ~1 surviving segment, got {len(parts)}"
+
+    # end-to-end: result correct through the pruned plan
+    got = (
+        spark.read.format("pinot")
+        .load(out)
+        .filter(F.col("k") <= 9999)
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()[0]
+    )
+    assert got["n"] == 10000 and got["s"] == 2 * (9999 * 10000 // 2)
+
+
 def test_catalog_filesystem_discovery(spark, pinot_table_dir):
     root, expected = pinot_table_dir
     cat = PinotCatalog.filesystem(str(root))
