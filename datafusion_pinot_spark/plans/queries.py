@@ -557,20 +557,51 @@ def q_distinct_agg(spark, sf):
 
 @register(
     "approx_distinct",
-    None,  # approximate: engine-specific sketches, rows-only check
+    """SELECT l_returnflag,
+              count(DISTINCT l_partkey) AS exact_parts,
+              count(DISTINCT l_orderkey) AS exact_orders,
+              TRUE AS parts_within_15pct,
+              TRUE AS orders_within_15pct
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "relational",
     ["agg", "approx"],
 )
 def q_approx_distinct(spark, sf):
     """HLL-sketch distinct counting — the 100 TB path where exact
-    COUNT(DISTINCT) would shuffle every key. No oracle: sketch estimates are
-    engine-specific by design."""
+    COUNT(DISTINCT) would shuffle every key.
+
+    The sketch estimate itself is engine-specific, so the driver-gated
+    contract is a *relative-error bound*: the query emits booleans asserting
+    each estimate is within 15% of exact (default rsd 5%; observed ≤8.6% on
+    this data), and the DuckDB oracle emits literal TRUE — the hash gate
+    fails iff the sketch drifts out of bound. Exact distincts ride along so
+    most output columns are value-checked too. (Computing exact alongside is
+    for the check only; production uses the sketch alone.)"""
+    ap, ep = F.approx_count_distinct("l_partkey"), F.countDistinct("l_partkey")
+    ao, eo = F.approx_count_distinct("l_orderkey"), F.countDistinct("l_orderkey")
     return (
         t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            ep.alias("exact_parts"),
+            eo.alias("exact_orders"),
+            ap.alias("ap"),
+            ao.alias("ao"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            (
+                F.abs(F.col("ap") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.15
+            ).alias("parts_within_15pct"),
+            (
+                F.abs(F.col("ao") - F.col("exact_orders"))
+                / F.col("exact_orders")
+                <= 0.15
+            ).alias("orders_within_15pct"),
         )
         .orderBy("l_returnflag")
     )
@@ -1133,20 +1164,51 @@ def q_salted_join(spark, sf):
 
 @register(
     "ann_ivf_kmeans_topk",
-    None,  # iterative trainer → not SQL-expressible; rows-only check
+    """SELECT CAST(q_id AS BIGINT) AS q_id,
+              CAST(10 AS BIGINT) AS n_ivf,
+              TRUE AS recall_ok
+       FROM (VALUES (0), (1), (2), (3), (4)) AS t(q_id)
+       ORDER BY q_id""",
     "llm",
     ["similarity", "ivf", "kmeans"],
 )
 def q_ann_ivf_kmeans(spark, sf):
     """IVF ANN with k-means-trained centroids (3 Lloyd iterations in pure
-    DataFrame ops, operators/similarity.py::kmeans_centroids). The trainer is
-    numpy-validated in tests; the query is rows-only checked because the
-    iterative float averages are not expressible as a DuckDB oracle."""
+    DataFrame ops, operators/similarity.py::kmeans_centroids).
+
+    The iterative trainer isn't SQL-expressible, so the driver-gated contract
+    is a *recall bound*: per query, recall@10 against exact brute-force
+    cosine top-k (itself independently DuckDB-verified as ann_cosine_topk)
+    must be ≥0.6 (observed ≥0.7 at sf0.01, 1.0 at sf0.1); the oracle emits
+    literal TRUE per query id, so the hash gate fails iff recall degrades.
+    The trainer is additionally numpy-validated in tests."""
     from datafusion_pinot_spark.operators import similarity
 
     emb = _emb(spark, sf)
+    qids = [0, 1, 2, 3, 4]
     cents = similarity.kmeans_centroids(emb, k=16, iters=3)
-    return similarity.ivf_topk(emb, [0, 1, 2, 3, 4], 10, centroids=cents)
+    ivf = similarity.ivf_topk(emb, qids, 10, centroids=cents).select(
+        "q_id", "vec_id"
+    )
+    brute = similarity.brute_force_topk(emb, qids, 10).select("q_id", "vec_id")
+    hits = (
+        ivf.join(brute, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        ivf.groupBy("q_id")
+        .agg(F.count("*").alias("n_ivf"))
+        .join(hits, "q_id", "left")
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            "n_ivf",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_ivf") >= 0.6
+            ).alias("recall_ok"),
+        )
+        .orderBy("q_id")
+    )
 
 
 def _corpus_clean_oracle() -> str:
