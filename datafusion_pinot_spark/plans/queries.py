@@ -1503,6 +1503,57 @@ def q_pinot_roundtrip(spark, sf):
 
 
 @register(
+    "pinot_bytes_roundtrip",
+    """SELECT (doc_id % 2 = 0) AS even_id,
+              count(*) AS n,
+              CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+              count(DISTINCT md5(text)) AS distinct_payloads,
+              CAST(sum(CASE WHEN length(text) % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_flag
+       FROM documents GROUP BY 1 ORDER BY even_id""",
+    "parity",
+    ["pinot", "storage", "bytes", "roundtrip"],
+)
+def q_pinot_bytes_roundtrip(spark, sf):
+    """BYTES + BOOLEAN through the storage layer (beyond the reference,
+    which rejects both at scan time, exec.rs:136-141): document text is
+    encoded to a binary payload and a derived boolean flag, written to Pinot
+    v3 segments (payload as RAW var-byte BYTES, flag as 1-bit dict BOOLEAN),
+    read back, and aggregated with md5/byte-length checks; the oracle
+    computes the same from the original parquet, so a hash match proves the
+    binary/boolean write -> decode -> scan path is byte-exact."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="rtb_"), "docs_OFFLINE")
+    (
+        _docs(spark, sf)
+        .select(
+            "doc_id",
+            F.encode("text", "UTF-8").alias("payload"),
+            (F.length("text") % 3 == 0).alias("flag"),
+        )
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.groupBy((F.col("doc_id") % 2 == 0).alias("even_id"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.countDistinct(F.md5("payload")).alias("distinct_payloads"),
+            F.sum(F.col("flag").cast("int")).alias("n_flag"),
+        )
+        .orderBy("even_id")
+    )
+
+
+@register(
     "session_window_agg",
     """WITH o AS (
          SELECT user_id, ts,

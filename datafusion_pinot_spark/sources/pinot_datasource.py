@@ -361,6 +361,11 @@ _WRITE_TYPES = {
     "float": "FLOAT",
     "double": "DOUBLE",
     "string": "STRING",
+    # Beyond the reference (which rejects both at scan time, exec.rs:136-141):
+    # binary → RAW var-byte BYTES (forced raw — no BYTES dictionaries);
+    # boolean → 1-bit dict-encoded BOOLEAN.
+    "binary": "BYTES",
+    "boolean": "BOOLEAN",
 }
 
 
@@ -441,11 +446,15 @@ class PinotDataSourceWriter(DataSourceWriter):
             if t not in _WRITE_TYPES:
                 raise ValueError(
                     f"pinot sink cannot write column '{f.name}' of type {t}: "
-                    "only INT/LONG/FLOAT/DOUBLE/STRING are readable in the "
-                    "segment format (reference README.md:178-190)"
+                    "only INT/LONG/FLOAT/DOUBLE/STRING/BINARY/BOOLEAN are "
+                    "supported in the segment format (reference README.md:178-190)"
                 )
-            if f.name in raw_columns and t != "string":
-                raise ValueError(f"raw (no-dictionary) encoding is STRING-only: {f.name}")
+            if f.name in raw_columns and t not in ("string", "binary"):
+                raise ValueError(
+                    f"raw (no-dictionary) encoding is STRING/BINARY-only: {f.name}"
+                )
+            if t == "binary":
+                raw_columns.add(f.name)  # BYTES is always RAW (no dictionary)
         self._schema = schema
         self._path = path
         self._table = table

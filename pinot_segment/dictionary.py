@@ -10,7 +10,9 @@ Layout at the index_map's ``dictionary`` offset inside columns.psf:
   (truncated at the first NUL, dictionary.rs:90-104) or, when
   ``lengthOfEachEntry == 0``, 4-byte-BE-length-prefixed entries
   (dictionary.rs:106-121).
-- BYTES / BOOLEAN dictionaries are unsupported (dictionary.rs:125-134).
+- BOOLEAN: BE int32 0/1 entries (beyond the reference — dictionary.rs:125-134
+  rejects BOOLEAN/BYTES; BYTES dictionaries stay unsupported here, RAW
+  var-byte covers binary payloads).
 
 Numeric decode is numpy ``frombuffer`` with big-endian dtypes (vectorized);
 Pinot dictionaries are value-sorted, which the reader exploits for min/max
@@ -115,6 +117,18 @@ class DictionaryReader:
                         raise ParseError(f"Invalid UTF-8 in dictionary: {e}") from None
                     pos += n
             return cls(data_type, values)
+
+        if data_type is DataType.BOOLEAN:
+            # Beyond the reference (dictionary.rs:125-134 rejects BOOLEAN):
+            # stored as BE int32 0/1 entries, Pinot's internal INT encoding
+            # for booleans; decoded to a numpy bool array.
+            need = cardinality * 4
+            if len(body) < need:
+                raise InvalidFormatError("dictionary blob truncated")
+            ints = np.frombuffer(body, dtype=">i4", count=cardinality)
+            if not np.isin(ints, (0, 1)).all():
+                raise InvalidFormatError("BOOLEAN dictionary entries must be 0/1")
+            return cls(data_type, ints.astype(bool))
 
         if data_type is DataType.BYTES:
             raise UnsupportedFeatureError("BYTES dictionary not yet supported")

@@ -138,6 +138,28 @@ class SegmentReader:
         )
         return reader.read_all_strings()
 
+    def read_boolean_column(self, name: str) -> np.ndarray:
+        """Beyond the reference (exec.rs:136-141 rejects BOOLEAN): dict-
+        encoded 0/1 entries decoded to a numpy bool array."""
+        col = self._require(name, DataType.BOOLEAN)
+        if not col.has_dictionary:
+            raise UnsupportedFeatureError("RAW BOOLEAN columns not supported")
+        return self._read_dict_column(col)
+
+    def read_bytes_column(self, name: str) -> list[bytes]:
+        """Beyond the reference (exec.rs:136-141 rejects BYTES): RAW var-byte
+        V4 chunks read as binary payloads."""
+        col = self._require(name, DataType.BYTES)
+        if col.has_dictionary:
+            raise UnsupportedFeatureError("BYTES dictionary not yet supported")
+        loc = self.index_map.get_forward_index(name)
+        if loc is None:
+            raise InvalidFormatError(f"No forward index for {name}")
+        reader = VarByteChunkReader.read(
+            self._psf, loc.start_offset, loc.size, col.total_docs
+        )
+        return reader.read_all_bytes()
+
     def read_column(self, name: str):
         """Type-dispatched read."""
         col = self.metadata.get_column(name)
@@ -151,7 +173,10 @@ class SegmentReader:
             return self.read_double_column(name)
         if col.data_type is DataType.STRING:
             return self.read_string_column(name)
-        # BYTES / BOOLEAN rejected at scan time, matching exec.rs:136-141.
+        if col.data_type is DataType.BOOLEAN:
+            return self.read_boolean_column(name)
+        if col.data_type is DataType.BYTES:
+            return self.read_bytes_column(name)
         raise UnsupportedFeatureError(
             f"{col.data_type.value} columns not supported for reading"
         )
@@ -186,15 +211,17 @@ class SegmentReader:
         a C++ ``take`` over the decoded dictionary."""
         col = self.metadata.get_column(name)
         typ = ARROW_TYPES[col.data_type]
-        if col.data_type is DataType.STRING:
-            if not col.has_dictionary:
-                loc = self.index_map.get_forward_index(name)
-                if loc is None:
-                    raise InvalidFormatError(f"No forward index for {name}")
-                reader = VarByteChunkReader.read(
-                    self._psf, loc.start_offset, loc.size, col.total_docs
-                )
-                return reader.read_all_strings_arrow()
+        if col.data_type in (DataType.STRING, DataType.BYTES) and not col.has_dictionary:
+            loc = self.index_map.get_forward_index(name)
+            if loc is None:
+                raise InvalidFormatError(f"No forward index for {name}")
+            reader = VarByteChunkReader.read(
+                self._psf, loc.start_offset, loc.size, col.total_docs
+            )
+            if col.data_type is DataType.BYTES:
+                return reader.read_all_bytes_arrow()
+            return reader.read_all_strings_arrow()
+        if col.data_type in (DataType.STRING, DataType.BOOLEAN):
             values = pa.array(self._dictionary(col).values, type=typ)
             return values.take(pa.array(self._dict_ids(col)))
         return pa.array(self.read_column(name), type=typ)

@@ -177,6 +177,20 @@ class VarByteChunkReader:
         value bytes), so this is a buffer cast plus an offset rebase."""
         import pyarrow as pa
 
+        return self._read_all_large_binary().cast(pa.large_string()).cast(pa.string())
+
+    def read_all_bytes_arrow(self):
+        """All values as a ``pyarrow`` binary array (BYTES columns — beyond
+        the reference, which rejects BYTES at scan time, exec.rs:136-141).
+        Same zero-copy chunk-buffer path as the string read, minus the UTF-8
+        cast."""
+        import pyarrow as pa
+
+        return self._read_all_large_binary().cast(pa.binary())
+
+    def _read_all_large_binary(self):
+        import pyarrow as pa
+
         chunks = []
         for idx in range(self.num_chunks()):
             chunk = self._decompressed_chunk(idx)
@@ -198,8 +212,7 @@ class VarByteChunkReader:
                 [None, pa.py_buffer(arrow_offs.tobytes()), pa.py_buffer(chunk[base:])],
             )
             chunks.append(arr)
-        binary = pa.concat_arrays(chunks) if chunks else pa.array([], pa.large_binary())
-        return binary.cast(pa.large_string()).cast(pa.string())
+        return pa.concat_arrays(chunks) if chunks else pa.array([], pa.large_binary())
 
 
 def _snappy_decompress(data: bytes) -> bytes:

@@ -73,8 +73,13 @@ class ColumnSpec:
         fixed_length_dict: bool = False,
         with_magic_prefix: bool = False,
     ) -> None:
-        if raw and data_type is not DataType.STRING:
-            raise ValueError("RAW is only supported for STRING columns")
+        if raw and data_type not in (DataType.STRING, DataType.BYTES):
+            raise ValueError("RAW is only supported for STRING/BYTES columns")
+        if data_type is DataType.BYTES and not raw:
+            raise ValueError(
+                "BYTES columns must be RAW (var-byte) — BYTES dictionaries "
+                "are unsupported (reference dictionary.rs:125-134)"
+            )
         if data_type in (DataType.FLOAT, DataType.DOUBLE):
             # NaN breaks sorted-dictionary encoding (NaN != NaN inflates the
             # set; sorted() leaves NaN anywhere, un-sorting the dictionary and
@@ -102,6 +107,10 @@ def _encode_dictionary(spec: ColumnSpec) -> tuple[bytes, list, int]:
     length_of_each_entry = 0
     if spec.data_type in _BE_DTYPES:
         out += np.asarray(uniq, dtype=_BE_DTYPES[spec.data_type]).tobytes()
+    elif spec.data_type is DataType.BOOLEAN:
+        # BE int32 0/1 entries (Pinot's internal INT encoding for booleans;
+        # beyond the reference, which rejects BOOLEAN dictionaries).
+        out += np.asarray(uniq, dtype=">i4").tobytes()
     else:  # STRING
         encoded = [v.encode("utf-8") for v in uniq]
         if spec.fixed_length_dict and any(b"\x00" in e for e in encoded):
@@ -125,8 +134,11 @@ def _encode_dictionary(spec: ColumnSpec) -> tuple[bytes, list, int]:
 
 
 def _encode_var_byte(spec: ColumnSpec) -> bytes:
-    """V4 var-byte chunk forward index for a RAW STRING column."""
-    payloads = [v.encode("utf-8") for v in spec.values]
+    """V4 var-byte chunk forward index for a RAW STRING/BYTES column."""
+    if spec.data_type is DataType.BYTES:
+        payloads = [bytes(v) for v in spec.values]
+    else:
+        payloads = [v.encode("utf-8") for v in spec.values]
 
     # Split docs into chunks; any value whose payload alone exceeds the target
     # becomes a huge-value chunk of its own (high docId bit set).

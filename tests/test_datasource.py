@@ -319,9 +319,43 @@ def test_write_rejects_nulls_and_bad_types(spark, tmp_path):
             str(tmp_path / "n_OFFLINE")
         )
 
-    boolish = spark.createDataFrame([(1, True)], "k long, b boolean")
-    with pytest.raises(Exception, match="only INT/LONG/FLOAT/DOUBLE/STRING"):
-        boolish.write.format("pinot").mode("append").save(str(tmp_path / "b_OFFLINE"))
+    dateish = spark.createDataFrame([(1,)], "k long").selectExpr(
+        "k", "current_date() as d"
+    )
+    with pytest.raises(Exception, match="cannot write column"):
+        dateish.write.format("pinot").mode("append").save(str(tmp_path / "d_OFFLINE"))
+
+
+def test_write_read_binary_and_boolean(spark, tmp_path):
+    """binary (RAW var-byte BYTES) and boolean (1-bit dict) columns through
+    sink -> source — beyond the reference, which rejects both at scan time
+    (exec.rs:136-141); unlocks multimodal payloads in the pinot format."""
+    out = str(tmp_path / "bin_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    src = spark.range(0, 500).selectExpr(
+        "id as k",
+        "encode(concat('payload-', id), 'utf-8') as payload",
+        "id % 3 = 0 as flag",
+    )
+    src.coalesce(2).write.format("pinot").mode("append").save(out)
+
+    back = spark.read.format("pinot").load(out)
+    assert dict((f.name, f.dataType.simpleString()) for f in back.schema.fields) == {
+        "k": "bigint", "payload": "binary", "flag": "boolean"
+    }
+    got = back.selectExpr(
+        "sum(length(payload)) as total", "sum(cast(flag as int)) as nflag",
+        "count(*) as n",
+    ).collect()[0]
+    want = src.selectExpr(
+        "sum(length(payload)) as total", "sum(cast(flag as int)) as nflag",
+        "count(*) as n",
+    ).collect()[0]
+    assert (got["total"], got["nflag"], got["n"]) == (want["total"], want["nflag"], want["n"])
+    # value-exact on a sample
+    got_rows = {r["k"]: (bytes(r["payload"]), r["flag"]) for r in back.collect()}
+    assert got_rows[7] == (b"payload-7", False)
+    assert got_rows[9] == (b"payload-9", True)
 
 
 def test_stream_reader_picks_up_new_segments(spark, tmp_path):

@@ -173,6 +173,8 @@ def test_property_roundtrip_all_types(tmp_path_factory, data, n, compression, ch
         st.lists(st.text(max_size=40), min_size=n, max_size=n)
     )
     raws = data.draw(st.lists(st.text(max_size=80), min_size=n, max_size=n))
+    bools = data.draw(st.lists(st.booleans(), min_size=n, max_size=n))
+    blobs = data.draw(st.lists(st.binary(max_size=80), min_size=n, max_size=n))
 
     d = tmp_path_factory.mktemp("prop") / "seg"
     v3 = write_segment(
@@ -187,6 +189,9 @@ def test_property_roundtrip_all_types(tmp_path_factory, data, n, compression, ch
             ColumnSpec("s", DataType.STRING, strs),
             ColumnSpec("r", DataType.STRING, raws, raw=True,
                        compression=compression, target_chunk_size=chunk),
+            ColumnSpec("bl", DataType.BOOLEAN, bools),
+            ColumnSpec("by", DataType.BYTES, blobs, raw=True,
+                       compression=compression, target_chunk_size=chunk),
         ],
     )
     reader = SegmentReader.open(v3)
@@ -196,6 +201,8 @@ def test_property_roundtrip_all_types(tmp_path_factory, data, n, compression, ch
     assert reader.read_column("d").tolist() == doubles
     assert list(reader.read_column("s")) == strs
     assert list(reader.read_column("r")) == raws
+    assert list(reader.read_column("bl")) == bools
+    assert reader.read_column("by") == blobs
 
 
 def test_snappy_and_zstd_raw_columns(tmp_path):
@@ -222,10 +229,11 @@ def test_snappy_and_zstd_raw_columns(tmp_path):
     assert r.read_columns_arrow(["sn", "zs"]).column("zs").to_pylist() == vals
 
 
-def test_boolean_bytes_declared_but_rejected(tmp_path):
-    """BYTES/BOOLEAN are declared types but rejected at read, matching the
-    reference (schema.rs:16 declares them; dictionary.rs:125-134 and
-    exec.rs:136-141 error on read)."""
+def test_boolean_int_relabel_reads_as_bool(tmp_path):
+    """BOOLEAN's on-disk encoding IS an INT dictionary of 0/1 (the reference
+    declares BOOLEAN but rejects it at read, dictionary.rs:125-134 /
+    exec.rs:136-141 — this repo exceeds parity and reads it): an INT column
+    of 0/1 relabeled BOOLEAN decodes to bools."""
     d = tmp_path / "seg"
     v3 = write_segment(
         d, "seg", "t", [ColumnSpec("flag", DataType.INT, [0, 1, 1, 0])]
@@ -238,5 +246,34 @@ def test_boolean_bytes_declared_but_rejected(tmp_path):
     )
     r = SegmentReader.open(v3)
     assert r.metadata.get_column("flag").data_type is DataType.BOOLEAN
-    with pytest.raises(UnsupportedFeatureError):
-        r.read_column("flag")
+    assert list(r.read_column("flag")) == [False, True, True, False]
+    assert r.read_columns_arrow(["flag"]).column("flag").to_pylist() == [
+        False, True, True, False,
+    ]
+
+
+def test_boolean_bytes_roundtrip(tmp_path):
+    """BOOLEAN (1-bit dict) and BYTES (RAW var-byte, incl. empty and
+    NUL-containing payloads) roundtrip through writer -> reader."""
+    bools = [True, False, True, True, False, False, True, False]
+    blobs = [b"", b"\x00\x01\x02", bytes(range(256)), b"x" * 10_000,
+             b"\xff\xfe", b"a", b"\x00", b"tail"]
+    d = tmp_path / "seg"
+    v3 = write_segment(
+        d, "seg", "t",
+        [
+            ColumnSpec("ok", DataType.BOOLEAN, bools),
+            ColumnSpec("payload", DataType.BYTES, blobs, raw=True),
+        ],
+    )
+    r = SegmentReader.open(v3)
+    assert r.metadata.get_column("ok").bits_per_element == 1
+    assert list(r.read_column("ok")) == bools
+    assert r.read_column("payload") == blobs
+    tbl = r.read_columns_arrow(["ok", "payload"])
+    assert tbl.column("ok").to_pylist() == bools
+    assert tbl.column("payload").to_pylist() == blobs
+
+    # dictionary-encoded BYTES remains unsupported (reference parity)
+    with pytest.raises(ValueError, match="RAW"):
+        ColumnSpec("b", DataType.BYTES, blobs)
