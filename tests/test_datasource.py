@@ -207,6 +207,60 @@ def test_controller_catalog_with_stub_http(spark, pinot_table_dir):
     assert cat.load_table(spark, "baseball").count() == 1000
 
 
+def test_controller_mode_end_to_end_sql(spark, pinot_table_dir):
+    """Entry-point A (reference main.rs lifecycle: controller discovery →
+    catalog registration → SQL) over a REAL local HTTP controller stub —
+    tables and segments are served over the wire, the catalog registers the
+    views, and an aggregate SQL query runs against them."""
+    import http.server
+    import threading
+
+    root, expected = pinot_table_dir
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/tables":
+                body = b'{"tables": ["baseball", "dimTeams"]}'
+            elif self.path.startswith("/segments/baseball") and "type=OFFLINE" in self.path:
+                body = b'[{"OFFLINE": ["seg0", "seg1", "seg2"]}]'
+            elif self.path.startswith("/segments/dimTeams") and "type=OFFLINE" in self.path:
+                body = b"[]"
+            elif self.path.startswith("/segments/dimTeams") and "type=REALTIME" in self.path:
+                body = b'[{"REALTIME": ["seg0"]}]'
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    server = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        cat = PinotCatalog.controller(f"http://127.0.0.1:{port}", str(root))
+        registered = cat.register_all(spark)
+        assert registered == ["baseball", "dimTeams"]
+
+        got = spark.sql(
+            """SELECT b.teamID, SUM(b.hits) AS s
+               FROM baseball b JOIN dimTeams d ON b.teamID = d.teamID
+               GROUP BY b.teamID ORDER BY s DESC, b.teamID LIMIT 5"""
+        ).collect()
+        agg: dict = {}
+        for tid, h in zip(expected["teamID"], expected["hits"]):
+            agg[tid] = agg.get(tid, 0) + h
+        want = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert [(r["teamID"], r["s"]) for r in got] == want
+    finally:
+        server.shutdown()
+
+
 def test_controller_realtime_fallback(pinot_table_dir):
     root, _ = pinot_table_dir
 
