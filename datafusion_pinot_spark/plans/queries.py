@@ -1609,3 +1609,326 @@ def q_streaming_watermarked(spark, sf):
     from datafusion_pinot_spark.streaming.windowed import watermarked_stream_agg
 
     return watermarked_stream_agg(spark, f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §5 r2 additions: TPC-H classics, subqueries, window analytics, curation ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    """SELECT l_orderkey,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
+                AS revenue,
+              CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate_s,
+              o_orderpriority
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "relational",
+    ["tpch", "join", "topk"],
+)
+def q3_shipping_priority(spark, sf):
+    """TPC-H Q3 shape (shipping priority): filtered fact-fact join with a
+    broadcast dim filter, decimal-exact revenue, unique-total-order top-10.
+    Scale shape: lineitem⋈orders shuffles on the order key once; the
+    filtered customer dim broadcasts."""
+    cust = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("odate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
+                AS revenue,
+              count(*) AS n
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+    "relational",
+    ["tpch", "filter", "agg"],
+)
+def q6_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape: pure filter + scalar aggregate — every predicate
+    pushes to the parquet scan, no shuffle beyond the final 1-row agg."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return li.agg(
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    """WITH big AS (
+         SELECT l_orderkey FROM lineitem
+         GROUP BY l_orderkey
+         HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+       )
+       SELECT c_name, o_orderkey,
+              CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate_s,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS total_qty
+       FROM orders
+       JOIN big ON o_orderkey = big.l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       JOIN lineitem ON lineitem.l_orderkey = o_orderkey
+       GROUP BY c_name, o_orderkey, o_orderdate
+       ORDER BY total_qty DESC, o_orderkey LIMIT 20""",
+    "relational",
+    ["tpch", "join", "having", "subquery"],
+)
+def q18_large_volume_customer(spark, sf):
+    """TPC-H Q18 shape (large-volume customers): HAVING-filtered aggregate
+    feeding a semi-filter on the fact join. Scale shape: the `big` order-key
+    set is aggregated once (map-side partial) and is tiny relative to
+    lineitem, so it broadcasts into the main join."""
+    li = t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    orders = t(spark, sf, "orders")
+    cust = t(spark, sf, "customer")
+    return (
+        orders.join(
+            F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+            F.col("o_orderkey") == F.col("bk"),
+        )
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(money("l_quantity")).cast("double"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("odate_s"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    """SELECT o_orderstatus, count(*) AS n,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS revenue
+       FROM orders
+       WHERE o_totalprice > (
+         SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+         FROM orders
+       )
+       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "relational",
+    ["subquery", "agg"],
+)
+def q_scalar_subquery(spark, sf):
+    """Scalar-subquery filter (orders above the global average price). The
+    threshold is an exact-decimal sum divided by the count, so both engines
+    compare against the bit-identical double. Scale shape: the 1-row global
+    aggregate broadcasts into the filter — two passes over orders, no
+    shuffle of the big side."""
+    orders = t(spark, sf, "orders")
+    thr = orders.agg(
+        (F.sum(money("o_totalprice")).cast("double") / F.count("*")).alias("thr")
+    )
+    return (
+        orders.join(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("thr"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(money("o_totalprice")).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "window_ntile_analytics",
+    """SELECT c_custkey, c_nationkey,
+              ntile(4) OVER w AS quartile,
+              percent_rank() OVER w AS pr,
+              cume_dist() OVER w AS cd
+       FROM customer
+       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""",
+    "relational",
+    ["window", "analytics"],
+)
+def q_window_ntile(spark, sf):
+    """ntile / percent_rank / cume_dist over per-nation account balances.
+    No rounding on the rank ratios: both engines compute the same integer
+    divisions, so the doubles are bit-identical."""
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "date_extract_rollup",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+              CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+              count(*) AS n,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS revenue
+       FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+    "relational",
+    ["scalar", "date", "agg"],
+)
+def q_date_extract(spark, sf):
+    """Calendar-bucket rollup via date-part extraction (year/quarter)."""
+    orders = t(spark, sf, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(money("o_totalprice")).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+@register(
+    "stratified_hash_sample",
+    """SELECT lang, count(*) AS n_total,
+              CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                                 < (CASE WHEN lang = 'en' THEN '0d' ELSE '34' END)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       FROM documents GROUP BY lang ORDER BY lang""",
+    "llm",
+    ["sampling", "curation"],
+)
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling for training-data curation: the
+    sampling decision is a pure function of the stable doc_id (md5-prefix
+    threshold), so the sample is reproducible across runs, engines, and
+    repartitioning — unlike rand()-based TABLESAMPLE. Per-language rates
+    downsample the dominant language (~5% en via '0d'/256, ~20% others via
+    '34'/256). Narrow map + one agg; at 100 TB the sampled subset never
+    shuffles the full corpus."""
+    docs = _docs(spark, sf)
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thr = F.when(F.col("lang") == "en", F.lit("0d")).otherwise(F.lit("34"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum((prefix < thr).cast("int")).cast("long").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _quality_topk_oracle() -> str:
+    from datafusion_pinot_spark.operators import text
+
+    return f"""
+WITH q AS ({text.text_stats_oracle_sql()})
+SELECT lang, doc_id, quality FROM (
+  SELECT d.lang, q.doc_id, q.quality,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY q.quality DESC, q.doc_id) AS rn
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+) WHERE rn <= 5 ORDER BY lang, doc_id"""
+
+
+@register(
+    "quality_topk_per_lang",
+    _quality_topk_oracle(),
+    "llm",
+    ["curation", "window", "text"],
+)
+def q_quality_topk(spark, sf):
+    """Per-language top-5 documents by quality score — the per-domain
+    curation selection pattern. Spark 4's WindowGroupLimit turns the
+    rn<=k filter into a per-partition partial top-k before the shuffle."""
+    from datafusion_pinot_spark.operators import text
+
+    docs = _docs(spark, sf)
+    stats = text.text_stats(docs).select("doc_id", "quality")
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    return (
+        docs.select("doc_id", "lang")
+        .join(stats, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "quality")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "streaming_dedup_firstseen",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "llm",
+    ["streaming", "dedup"],
+)
+def q_streaming_dedup(spark, sf):
+    """Streaming first-seen dedup (dropDuplicates over a file stream,
+    append mode): one surviving row per (user_id, event_type), counted per
+    type — equal to the batch COUNT(DISTINCT user_id), which is the oracle.
+    State is O(distinct keys)."""
+    from datafusion_pinot_spark.streaming import windowed
+
+    out = windowed.streaming_dedup(
+        spark, f"{sf}/events.parquet", ["user_id", "event_type"]
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("event_type")
+    )

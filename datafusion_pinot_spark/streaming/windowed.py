@@ -127,3 +127,31 @@ def watermarked_stream_agg(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_dedup(
+    spark: SparkSession, parquet_path: str, keys: list[str]
+) -> DataFrame:
+    """Streaming first-seen dedup: ``dropDuplicates(keys)`` over a file
+    stream, append-mode — the streaming-ingest half of exact dedup (the
+    batch half is operators/dedup.py::exact_dedup).
+
+    State holds one entry per distinct key (O(distinct keys), bounded for
+    categorical keys; use dropDuplicatesWithinWatermark for unbounded key
+    spaces). The appended output — exactly one row per distinct key,
+    whichever arrived first — is returned as a static DataFrame after the
+    stream drains."""
+    stream = _file_stream(spark, parquet_path)
+    deduped = _with_ts(stream).dropDuplicates(list(keys))
+    name = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

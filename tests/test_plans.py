@@ -76,3 +76,31 @@ def test_whole_stage_codegen_spans(spark, q):
 def test_ann_broadcasts_queries(q):
     plan = _plan(q("ann_cosine_topk"))
     assert "Broadcast" in plan  # query set broadcast; big side never shuffles pre-score
+
+
+def test_q3_single_shuffle_join_with_broadcast_dim(q):
+    plan = _plan(q("q3_shipping_priority"))
+    # lineitem⋈orders is the one shuffle join; filtered customer broadcasts
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_predicates_reach_scan(q):
+    plan = _plan(q("q6_forecast_revenue"))
+    read = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in read and "l_discount" in read and "l_quantity" in read
+
+
+def test_q18_broadcasts_having_filtered_keyset(q):
+    plan = _plan(q("q18_large_volume_customer"))
+    # the HAVING-filtered order-key set and customer broadcast; lineitem
+    # never shuffles more than once
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_quality_topk_window_group_limit(q):
+    plan = _plan(q("quality_topk_per_lang"))
+    # Spark 4 turns rn<=k into a per-partition partial top-k before shuffle
+    assert "WindowGroupLimit" in plan
