@@ -44,8 +44,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -369,7 +369,7 @@ _WRITE_TYPES = {
 }
 
 
-class PinotStreamWriter(DataSourceStreamWriter):
+class PinotStreamWriter(DataSourceStreamArrowWriter):
     """``df.writeStream.format("pinot")`` — one segment set per micro-batch.
 
     Same staged-commit protocol as the batch sink (tasks write under the
@@ -417,7 +417,7 @@ class PinotWriterCommitMessage(WriterCommitMessage):
     segment_name: str = ""
 
 
-class PinotDataSourceWriter(DataSourceWriter):
+class PinotDataSourceWriter(DataSourceArrowWriter):
     """``df.write.format("pinot")`` — one v3 segment per non-empty partition.
 
     The reference is read-only ("Write support (create Pinot segments)" is
@@ -462,45 +462,56 @@ class PinotDataSourceWriter(DataSourceWriter):
         self._overwrite = overwrite
 
     def write(self, iterator) -> PinotWriterCommitMessage:
+        """Arrow-batch write path (DataSourceArrowWriter): Spark hands whole
+        columnar batches — no per-row Python iteration. Numeric/boolean
+        columns stay numpy end-to-end into the encoder; string/binary
+        columns materialize Python values once for the dict/var-byte
+        encoders."""
         import uuid
 
+        import pyarrow as pa
         from pyspark import TaskContext
 
         from pinot_segment.metadata import DataType
         from pinot_segment.var_byte import LZ4_LENGTH_PREFIXED
         from pinot_segment.writer import ColumnSpec, write_segment
 
-        names = [f.name for f in self._schema.fields]
-        cols: dict[str, list] = {n: [] for n in names}
-        for row in iterator:
-            for n, v in zip(names, row):
-                if v is None:
-                    raise ValueError(
-                        f"NULL in column '{n}': Pinot columns are non-nullable "
-                        "(reference schema.rs:29-30)"
-                    )
-                cols[n].append(v)
-        if not cols[names[0]]:
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
             return PinotWriterCommitMessage()  # empty partition → no segment
+        table = pa.Table.from_batches(batches)
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         seg_name = f"{self._table}_{pid}_{uuid.uuid4().hex[:8]}"
         staged = os.path.join(self._path, "tmp", seg_name)
         specs = []
         for f in self._schema.fields:
-            dt = DataType(_WRITE_TYPES[f.dataType.simpleString()])
+            col = table.column(f.name)
+            if col.null_count:
+                raise ValueError(
+                    f"NULL in column '{f.name}': Pinot columns are non-nullable "
+                    "(reference schema.rs:29-30)"
+                )
+            t = f.dataType.simpleString()
+            dt = DataType(_WRITE_TYPES[t])
+            if t in ("string", "binary"):
+                values = col.to_pylist()
+            elif t == "boolean":
+                values = col.combine_chunks().to_numpy(zero_copy_only=False)
+            else:
+                values = col.combine_chunks().to_numpy()
             if f.name in self._raw:
                 specs.append(
                     ColumnSpec(
                         f.name,
                         dt,
-                        cols[f.name],
+                        values,
                         raw=True,
                         compression=LZ4_LENGTH_PREFIXED,
                     )
                 )
             else:
-                specs.append(ColumnSpec(f.name, dt, cols[f.name]))
+                specs.append(ColumnSpec(f.name, dt, values))
         write_segment(staged, seg_name, self._table, specs)
         return PinotWriterCommitMessage(staged_dir=staged, segment_name=seg_name)
 

@@ -61,6 +61,18 @@ def _bits_needed(cardinality: int) -> int:
     return max(1, math.ceil(math.log2(cardinality)) if cardinality > 1 else 1)
 
 
+def _is_sorted(values) -> bool:
+    if isinstance(values, np.ndarray):
+        return bool(np.all(values[:-1] <= values[1:])) if len(values) else True
+    return list(values) == sorted(values)
+
+
+def _cardinality(values) -> int:
+    if isinstance(values, np.ndarray):
+        return len(np.unique(values))
+    return len(set(values))
+
+
 class ColumnSpec:
     def __init__(
         self,
@@ -102,7 +114,10 @@ class ColumnSpec:
 
 def _encode_dictionary(spec: ColumnSpec) -> tuple[bytes, list, int]:
     """Returns (blob, sorted_unique_values, length_of_each_entry)."""
-    uniq = sorted(set(spec.values))
+    if isinstance(spec.values, np.ndarray):
+        uniq = np.unique(spec.values)  # sorted + deduped, vectorized
+    else:
+        uniq = sorted(set(spec.values))
     out = bytearray(_DICT_MAGIC)
     length_of_each_entry = 0
     if spec.data_type in _BE_DTYPES:
@@ -252,7 +267,7 @@ def write_segment(
             ]
             meta_lines += [
                 f"column.{spec.name}.dataType={spec.data_type.value}",
-                f"column.{spec.name}.cardinality={len(set(spec.values))}",
+                f"column.{spec.name}.cardinality={_cardinality(spec.values)}",
                 f"column.{spec.name}.hasDictionary=false",
                 f"column.{spec.name}.isSorted=false",
                 f"column.{spec.name}.bitsPerElement=0",
@@ -261,10 +276,15 @@ def write_segment(
             continue
 
         dict_blob, uniq, length_of_each_entry = _encode_dictionary(spec)
-        if spec.data_type in _BE_DTYPES:
+        if spec.data_type in _BE_DTYPES or spec.data_type is DataType.BOOLEAN:
             # value → dictId via binary search on the sorted dictionary
-            uniq_arr = np.asarray(uniq, dtype=_BE_DTYPES[spec.data_type].replace(">", "="))
-            dict_ids = np.searchsorted(uniq_arr, np.asarray(spec.values, dtype=uniq_arr.dtype))
+            native = (
+                np.dtype(bool)
+                if spec.data_type is DataType.BOOLEAN
+                else np.dtype(_BE_DTYPES[spec.data_type]).newbyteorder("=")
+            )
+            uniq_arr = np.asarray(uniq, dtype=native)
+            dict_ids = np.searchsorted(uniq_arr, np.asarray(spec.values, dtype=native))
         else:
             # STRING: numpy '<U' arrays silently strip trailing U+0000, so a
             # searchsorted probe maps '\x00' → '' (wrong id). A plain Python
@@ -293,7 +313,7 @@ def write_segment(
             f"column.{spec.name}.cardinality={len(uniq)}",
             f"column.{spec.name}.hasDictionary=true",
             f"column.{spec.name}.isSorted="
-            + ("true" if list(spec.values) == sorted(spec.values) else "false"),
+            + ("true" if _is_sorted(spec.values) else "false"),
             f"column.{spec.name}.bitsPerElement={bits}",
             f"column.{spec.name}.lengthOfEachEntry={length_of_each_entry}",
         ]

@@ -38,7 +38,7 @@ V3 = os.path.join(FIXTURE_DIR, SEGMENT_NAME, "v3")
 # change, the on-disk format changed: regenerate with
 # tools/make_golden_fixture.py ONLY if the change is intentional, and say so
 # in the commit message.
-COLUMNS_PSF_SHA256 = "eee9cb47637d521f1b6cd9c89633fd0d39dc422a3b68577f81963b8931e1ed9d"
+COLUMNS_PSF_SHA256 = "099e1935366eaa253d55e36d53cb8b0a1d48e6f644fc23a0188f64e3f1dfe30b"
 
 
 def test_golden_fixture_is_committed():

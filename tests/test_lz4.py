@@ -46,3 +46,29 @@ def test_roundtrip_random(data):
 def test_roundtrip_repetitive(parts):
     data = b"".join(parts)
     assert lz4_block.decompress(lz4_block.compress(data), len(data)) == data
+
+
+def test_pure_python_encoder_fallback(monkeypatch):
+    """compress() prefers native codecs (lz4 wheel / pyarrow lz4_raw); the
+    pure-Python encoder must stay a working dependency-free fallback."""
+    monkeypatch.setattr(lz4_block, "_c_lz4", None)
+    monkeypatch.setattr(lz4_block, "_pa_lz4", None)
+    data = b"abcd" * 1000 + bytes(range(256)) + b"tail"
+    comp = lz4_block.compress(data)
+    assert len(comp) < len(data)
+    assert lz4_block.decompress(comp) == data
+
+
+def test_cross_codec_compatibility(monkeypatch):
+    """Blocks from the native encoder decode in the pure-Python decoder and
+    vice versa — both speak the same spec'd block format."""
+    data = b"hello pinot " * 500 + bytes(range(64))
+    native = lz4_block.compress(data)  # pyarrow (or lz4 wheel) path
+    monkeypatch.setattr(lz4_block, "_c_lz4", None)
+    monkeypatch.setattr(lz4_block, "_pa_lz4", None)
+    python_block = lz4_block.compress(data)
+    # python decoder reads the native block (no size hint → python loop)
+    assert lz4_block.decompress(native) == data
+    monkeypatch.undo()
+    # native decoder reads the python block (size hint → pyarrow path)
+    assert lz4_block.decompress(python_block, len(data)) == data
