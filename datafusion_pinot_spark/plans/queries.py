@@ -1932,3 +1932,153 @@ def q_streaming_dedup(spark, sf):
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "full_outer_join_balance",
+    """SELECT n_side, count(*) AS n FROM (
+         SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+                     WHEN o_orderkey IS NULL THEN 'customer_only'
+                     ELSE 'both' END AS n_side
+         FROM customer
+         FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+           ON c_custkey = o_custkey
+       ) GROUP BY n_side ORDER BY n_side""",
+    "relational",
+    ["join", "outer"],
+)
+def q_full_outer_join(spark, sf):
+    """FULL OUTER join coverage: customers x high-value orders, bucketed by
+    which side matched."""
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders").filter(F.col("o_totalprice") > 150000)
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_orderkey").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("n_side")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+        .select(side)
+        .groupBy("n_side")
+        .agg(F.count("*").alias("n"))
+        .orderBy("n_side")
+    )
+
+
+@register(
+    "set_ops_all",
+    """SELECT 'union_all' AS op, count(*) AS n FROM
+         (SELECT c_nationkey AS nk FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+       UNION ALL
+       SELECT 'intersect_all' AS op, count(*) AS n FROM
+         (SELECT c_nationkey AS nk FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+       UNION ALL
+       SELECT 'except_all' AS op, count(*) AS n FROM
+         (SELECT c_nationkey AS nk FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)""",
+    "relational",
+    ["setop"],
+)
+def q_set_ops_all(spark, sf):
+    """Bag-semantics set operations (ALL variants — duplicates preserved)."""
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        one("union_all", c.unionAll(s))
+        .unionAll(one("intersect_all", c.intersectAll(s)))
+        .unionAll(one("except_all", c.exceptAll(s)))
+    )
+
+
+@register(
+    "approx_percentiles_bounded",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+              round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+              TRUE AS p50_within_1pct,
+              TRUE AS p95_within_1pct
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "relational",
+    ["agg", "quantile", "approx"],
+)
+def q_approx_percentiles(spark, sf):
+    """Sketch-based percentiles (approx_percentile / KLL-style) — the 100 TB
+    path where exact interpolation would sort every group. Driver-gated
+    contract mirrors approx_distinct: booleans assert the estimate is within
+    1% of exact (observed ≤0.03%); the oracle emits literal TRUE."""
+    li = t(spark, sf, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias("exact_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95D)"), 4).alias("exact_p95"),
+        F.expr("approx_percentile(l_extendedprice, 0.5D)").alias("a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95D)").alias("a95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p95",
+        (F.abs(F.col("a50") - F.col("exact_p50")) / F.col("exact_p50") <= 0.01).alias(
+            "p50_within_1pct"
+        ),
+        (F.abs(F.col("a95") - F.col("exact_p95")) / F.col("exact_p95") <= 0.01).alias(
+            "p95_within_1pct"
+        ),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "array_agg_sources",
+    """SELECT lang,
+              list_sort(list(DISTINCT source)) AS sources,
+              count(DISTINCT source) AS n_sources
+       FROM documents GROUP BY lang ORDER BY lang""",
+    "relational",
+    ["agg", "array"],
+)
+def q_array_agg(spark, sf):
+    """Array-typed aggregation output: sorted distinct source list per
+    language (collect_set -> sort_array ≡ DuckDB list(DISTINCT) ->
+    list_sort)."""
+    return (
+        _docs(spark, sf)
+        .groupBy("lang")
+        .agg(
+            F.sort_array(F.collect_set("source")).alias("sources"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "stream_stream_join_conversions",
+    """SELECT count(*) AS n_pairs,
+              count(DISTINCT c_user) AS n_users
+       FROM (
+         SELECT c.user_id AS c_user
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+       )""",
+    "llm",
+    ["streaming", "join"],
+)
+def q_stream_stream_join(spark, sf):
+    """Stream-stream inner join (clicks -> purchases by the same user within
+    1 hour): both sides watermarked, the time-range condition bounds join
+    state, results drained append-mode and aggregated. The oracle is the
+    equivalent batch interval join — stream-stream join results are exactly
+    the batch join on bounded input."""
+    from datafusion_pinot_spark.streaming import stream_stream_conversions
+
+    out = stream_stream_conversions(spark, f"{sf}/events.parquet", "1 hour")
+    return out.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("c_user").alias("n_users"),
+    )

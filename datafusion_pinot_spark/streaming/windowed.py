@@ -155,3 +155,45 @@ def streaming_dedup(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_stream_conversions(
+    spark: SparkSession, parquet_path: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: click events joined to purchase events by
+    the same user within ``horizon`` after the click.
+
+    Both sides carry watermarks and the join condition is time-range-bounded,
+    so Spark can expire join state (state ~ events inside the watermark
+    horizon, not the whole stream) — the canonical scalable shape for
+    conversion/attribution joins. Returns the drained append-mode output
+    (c_user, c_ts, p_ts) as a static DataFrame."""
+    stream = _with_ts(_file_stream(spark, parquet_path))
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", horizon)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", horizon)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("c_user", "c_ts", "p_ts")
+    name = f"stream_ss_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

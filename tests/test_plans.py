@@ -104,3 +104,39 @@ def test_quality_topk_window_group_limit(q):
     plan = _plan(q("quality_topk_per_lang"))
     # Spark 4 turns rn<=k into a per-partition partial top-k before shuffle
     assert "WindowGroupLimit" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """The 100 TB co-location story: two tables bucketed by the join key
+    join WITHOUT an exchange on either side (SCALE.md §joins). Parquet
+    bucketing metadata is honored by Spark's planner — at scale this is the
+    pre-partitioning that turns every fact-fact join into a local merge."""
+    wh = tmp_path_factory.mktemp("warehouse")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    # external tables (explicit path) so the static warehouse dir is unused
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", str(wh / "b_orders")
+    ).saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", str(wh / "b_lineitem")
+    ).saveAsTable("b_lineitem")
+    try:
+        joined = spark.sql(
+            """SELECT o_orderkey, count(*) AS n
+               FROM b_lineitem JOIN b_orders ON l_orderkey = o_orderkey
+               GROUP BY o_orderkey"""
+        )
+        plan = _plan(joined)
+        join_section = plan.split("HashAggregate")[0]
+        # no Exchange feeds the join: bucket layout IS the partitioning
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_section.split("SortMergeJoin")[0]
+        # correctness unchanged vs unbucketed
+        n = joined.agg({"n": "sum"}).collect()[0][0]
+        assert n == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
