@@ -321,9 +321,10 @@ def lsh_verified_pairs(
     )
 
 
-def lsh_verified_pairs_oracle_sql(
-    k: int = MINHASH_K, bands: int = LSH_BANDS, n: int = 3, threshold: float = 0.2
-) -> str:
+def _lsh_candidate_ctes(k: int, bands: int, n: int) -> str:
+    """Shared DuckDB CTE prefix (tokens → shingles → md5 MinHash signatures →
+    banded keys → candidate pairs) used by both the candidate-stage oracle and
+    the full verified-pipeline oracle."""
     joined = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
     shingles = (
         f"CASE WHEN len(w) < {n} THEN [] "
@@ -354,7 +355,21 @@ WITH t AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM melted a JOIN melted b
     ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
-), sh2 AS (
+)"""
+
+
+def minhash_lsh_candidates_md5_oracle_sql(
+    k: int = MINHASH_K, bands: int = LSH_BANDS, shingle_n: int = 3
+) -> str:
+    """DuckDB oracle for :func:`minhash_lsh_candidates_md5` — the banded
+    candidate set itself (the verify stage has its own oracle)."""
+    return _lsh_candidate_ctes(k, bands, shingle_n) + "\nSELECT doc_a, doc_b FROM cand"
+
+
+def lsh_verified_pairs_oracle_sql(
+    k: int = MINHASH_K, bands: int = LSH_BANDS, n: int = 3, threshold: float = 0.2
+) -> str:
+    return _lsh_candidate_ctes(k, bands, n) + f""", sh2 AS (
   SELECT DISTINCT doc_id, unnest(sh) AS s FROM s
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id

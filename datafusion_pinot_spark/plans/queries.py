@@ -876,9 +876,17 @@ def _register_llm():
         "llm",
         ["dedup", "minhash"],
     )(lambda spark, sf: dedup.minhash_signatures(_docs(spark, sf)))
+    # Hash-gated LSH candidate surface: the md5 hash family is bit-identical
+    # in DuckDB, so the banded candidate set itself is oracle-checked. The
+    # xxhash64 variant (dedup.minhash_lsh_pairs) stays the production/bench
+    # path — codegen'd long hashes vs md5 hex strings — and is exercised by
+    # bench.py and tests/test_dedup.py.
     register(
-        "minhash_lsh_pairs", None, "llm", ["dedup", "minhash", "lsh"]
-    )(lambda spark, sf: dedup.minhash_lsh_pairs(_docs(spark, sf)))
+        "minhash_lsh_pairs",
+        dedup.minhash_lsh_candidates_md5_oracle_sql(),
+        "llm",
+        ["dedup", "minhash", "lsh"],
+    )(lambda spark, sf: dedup.minhash_lsh_candidates_md5(_docs(spark, sf)))
     # Verify stage restricted to md5-LSH candidates (NOT the corpus-wide
     # all-pairs self-join — quadratic hazard at 100 TB, SCALE.md §jaccard);
     # md5 hash family keeps the whole LSH→verify pipeline DuckDB-checkable.
@@ -1722,8 +1730,11 @@ def q6_forecast_revenue(spark, sf):
 def q18_large_volume_customer(spark, sf):
     """TPC-H Q18 shape (large-volume customers): HAVING-filtered aggregate
     feeding a semi-filter on the fact join. Scale shape: the `big` order-key
-    set is aggregated once (map-side partial) and is tiny relative to
-    lineitem, so it broadcasts into the main join."""
+    set grows with scale factor (it is fact-derived), so it must NOT be
+    force-broadcast — a LEFT SEMI join lets the planner shuffle it on the
+    join key (or AQE may still pick broadcast when it measures small).
+    Customer is likewise joined unhinted; AQE broadcasts it at test scale
+    and falls back to SMJ when it outgrows the threshold."""
     li = t(spark, sf, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -1735,10 +1746,11 @@ def q18_large_volume_customer(spark, sf):
     cust = t(spark, sf, "customer")
     return (
         orders.join(
-            F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+            big.withColumnRenamed("l_orderkey", "bk"),
             F.col("o_orderkey") == F.col("bk"),
+            "left_semi",
         )
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_name", "o_orderkey", "o_orderdate")
         .agg(F.round(F.sum(money("l_quantity")).cast("double"), 2).alias("total_qty"))
@@ -1998,8 +2010,8 @@ def q_set_ops_all(spark, sf):
 @register(
     "approx_percentiles_bounded",
     """SELECT l_returnflag,
-              round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
-              round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+              quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.5)
+                AS exact_p50_cents,
               TRUE AS p50_within_1pct,
               TRUE AS p95_within_1pct
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
@@ -2010,22 +2022,33 @@ def q_approx_percentiles(spark, sf):
     """Sketch-based percentiles (approx_percentile / KLL-style) — the 100 TB
     path where exact interpolation would sort every group. Driver-gated
     contract mirrors approx_distinct: booleans assert the estimate is within
-    1% of exact (observed ≤0.03%); the oracle emits literal TRUE."""
+    1% of exact (observed ≤0.03%); the oracle emits literal TRUE.
+
+    Cross-engine value check is the p50 over integer CENTS only: the p50
+    interpolation factor is dyadic (0 or 0.5), so a + f*(b-a) and
+    (1-f)*a + f*b are both exact over integers < 2^51 regardless of how each
+    engine associates the lerp — bit-equal, no rounding needed. p95's factor
+    (frac(0.95*(n-1))) is non-dyadic, so its lerp can drift 1 ulp between
+    engines and any fixed-decimal rounding of it could flip at a tie; p95 is
+    therefore checked per-engine as a within-1%-of-approx boolean instead of
+    as a cross-engine value."""
     li = t(spark, sf, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias("exact_p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95D)"), 4).alias("exact_p95"),
+        F.expr(
+            "percentile(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.5D)"
+        ).alias("exact_p50_cents"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.95D)").alias("e95"),
         F.expr("approx_percentile(l_extendedprice, 0.5D)").alias("a50"),
         F.expr("approx_percentile(l_extendedprice, 0.95D)").alias("a95"),
     )
     return agg.select(
         "l_returnflag",
-        "exact_p50",
-        "exact_p95",
-        (F.abs(F.col("a50") - F.col("exact_p50")) / F.col("exact_p50") <= 0.01).alias(
+        "exact_p50_cents",
+        (F.abs(F.col("a50") - F.col("e50")) / F.col("e50") <= 0.01).alias(
             "p50_within_1pct"
         ),
-        (F.abs(F.col("a95") - F.col("exact_p95")) / F.col("exact_p95") <= 0.01).alias(
+        (F.abs(F.col("a95") - F.col("e95")) / F.col("e95") <= 0.01).alias(
             "p95_within_1pct"
         ),
     ).orderBy("l_returnflag")
