@@ -110,18 +110,57 @@ def decompress(src: bytes, uncompressed_size: int | None = None) -> bytes:
     return bytes(dst)
 
 
+# Encoder override for byte-frozen fixtures: every encoder emits spec-valid
+# blocks but DIFFERENT bytes, so tests that pin exact compressed bytes must
+# force the encoder that produced the committed fixture instead of taking
+# whichever codec happens to be installed (the availability-preference chain
+# below). None = prefer native codecs (production default).
+_FORCED_ENCODER: str | None = None
+
+
+def force_encoder(name: str | None) -> str | None:
+    """Pin compress() to one encoder: "native" (lz4 wheel), "pyarrow",
+    "python", or None to restore the availability-preference default.
+    Returns the previous setting so callers can save/restore."""
+    global _FORCED_ENCODER
+    if name not in (None, "native", "pyarrow", "python"):
+        raise ValueError(f"unknown lz4 encoder {name!r}")
+    prev = _FORCED_ENCODER
+    _FORCED_ENCODER = name
+    return prev
+
+
+def _compress_pyarrow(src: bytes) -> bytes:
+    if _pa_lz4 is None:
+        raise LZ4Error("pyarrow lz4_raw codec unavailable")
+    out = _pa_lz4.compress(src)
+    return out.to_pybytes() if hasattr(out, "to_pybytes") else bytes(out)
+
+
 def compress(src: bytes) -> bytes:
     """LZ4 block encoder. Prefers native codecs (lz4 wheel, then pyarrow's
     lz4_raw — both emit spec-valid blocks, ~50x the Python loop and the
     production write path's hot spot); the pure-Python greedy encoder is the
     dependency-free fallback and the readable spec implementation.
     """
+    if _FORCED_ENCODER == "python":
+        return compress_py(src)
+    if _FORCED_ENCODER == "pyarrow":
+        return _compress_pyarrow(src)
+    if _FORCED_ENCODER == "native":
+        if _c_lz4 is None:
+            raise LZ4Error("lz4 wheel unavailable")
+        return _c_lz4.compress(src, store_size=False)
     if _c_lz4 is not None:
         return _c_lz4.compress(src, store_size=False)
     if _pa_lz4 is not None:
-        out = _pa_lz4.compress(src)
-        return out.to_pybytes() if hasattr(out, "to_pybytes") else bytes(out)
+        return _compress_pyarrow(src)
+    return compress_py(src)
 
+
+def compress_py(src: bytes) -> bytes:
+    """The pure-Python greedy spec encoder (stable bytes on any environment
+    — the permanently-frozen fixture tier is encoded with this)."""
     n = len(src)
     out = bytearray()
     if n == 0:

@@ -75,11 +75,85 @@ def test_golden_decode_matches_independent_reconstruction():
 
 def test_writer_reproduces_golden_bytes(tmp_path):
     """Current writer output must be byte-identical to the committed fixture
-    — writer byte drift cannot silently co-evolve with the reader."""
-    from pinot_segment.writer import write_segment
+    — writer byte drift cannot silently co-evolve with the reader. The LZ4
+    encoder is pinned (write_golden) to the one that produced the committed
+    bytes; without the pin this test would flake on environments where the
+    C `lz4` wheel shadows pyarrow's lz4_raw with different valid blocks."""
+    from tools.make_golden_fixture import write_golden
 
-    v3 = write_segment(tmp_path / "regen", SEGMENT_NAME, "golden", golden_columns())
+    v3 = write_golden(tmp_path / "regen")
     for f in ("metadata.properties", "index_map", "columns.psf"):
         fresh = (v3 / f).read_bytes()
         committed = open(os.path.join(V3, f), "rb").read()
         assert fresh == committed, f"{f}: writer output drifted from committed bytes"
+
+
+# ---------------------------------------------------------------------------
+# Frozen tier: the SECOND golden segment (tools/make_frozen_fixture.py),
+# encoded with the pure-Python LZ4 encoder and PERMANENTLY frozen. There is
+# deliberately no writer-reproduces test here: the regenerable fixture above
+# may rotate with an intentional writer/codec change, but this one never
+# does, so the reader must keep decoding yesterday's bytes forever — a
+# coordinated reader+writer format drift cannot rotate every fixture at once.
+# ---------------------------------------------------------------------------
+
+from tools.make_frozen_fixture import (  # noqa: E402
+    FIXTURE_DIR as FROZEN_DIR,
+    SEGMENT_NAME as FROZEN_SEGMENT,
+    TOTAL_DOCS as FROZEN_DOCS,
+    frozen_columns,
+)
+
+FROZEN_V3 = os.path.join(FROZEN_DIR, FROZEN_SEGMENT, "v3")
+
+# Frozen forever at generation time (2026-08-13). These literals are never
+# updated; a failure here means the committed bytes themselves changed.
+FROZEN_SHA256 = {
+    "metadata.properties": "2f3994b98e435497eb2c6249bab588c72e23308d532b39f00f20c82ade0e57bb",
+    "index_map": "8d47585066fc9e8b9637b5b93430b2585531e9bd6a1e84b7e9477e7109c609b4",
+    "columns.psf": "084dd55b7c27ff0664bf91b04d65a440e9eccf6c9cab236be75df514e31524e5",
+}
+
+
+def test_frozen_fixture_bytes_never_change():
+    for f, want in FROZEN_SHA256.items():
+        path = os.path.join(FROZEN_V3, f)
+        assert os.path.isfile(path), f"missing committed {f}"
+        digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+        assert digest == want, f"{f}: frozen fixture bytes changed"
+
+
+def test_frozen_decode_matches_independent_reconstruction():
+    """The reader (whatever its current decode paths) must decode the
+    permanently-frozen bytes to the generator's seeded data — including the
+    pure-Python-encoded LZ4 chunks, the 1-bit BOOLEAN dictionary, and the
+    NUL-containing dictionary string."""
+    md = SegmentMetadata.from_file(os.path.join(FROZEN_V3, "metadata.properties"))
+    assert md.total_docs == FROZEN_DOCS == 12_000
+    expected = {spec.name: spec.values for spec in frozen_columns()}
+    reader = SegmentReader.open(FROZEN_V3)
+    got = reader.read_columns_arrow(list(expected)).to_pydict()
+    for name, vals in expected.items():
+        assert got[name] == vals, f"column {name} decode mismatch"
+
+
+def test_frozen_chunks_decode_with_pure_python_lz4():
+    """Belt-and-braces: the spec decoder (no pyarrow/wheel) round-trips the
+    frozen raw column too, so the committed blocks are decodable even with
+    every native codec absent."""
+    from pinot_segment import SegmentReader, lz4_block
+    from pinot_segment.var_byte import VarByteChunkReader
+
+    reader = SegmentReader.open(FROZEN_V3)
+    loc = reader.index_map.get_forward_index("note")
+    rdr = VarByteChunkReader.read(
+        os.path.join(FROZEN_V3, "columns.psf"),
+        loc.start_offset,
+        loc.size,
+        reader.total_docs(),
+    )
+    lo, hi = rdr._chunk_bounds(0)
+    raw = rdr.chunks[lo:hi]
+    size = int.from_bytes(raw[:4], "little")
+    body = lz4_block.decompress(raw[4:])  # size hint withheld -> Python loop
+    assert len(body) == size

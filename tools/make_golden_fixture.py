@@ -67,9 +67,24 @@ def golden_columns() -> list[ColumnSpec]:
     ]
 
 
+def write_golden(out_dir):
+    """Write the golden segment with the LZ4 encoder PINNED to pyarrow's
+    lz4_raw — the encoder that produced the committed bytes. Without the pin,
+    lz4_block.compress() prefers the C `lz4` wheel when installed, which
+    emits different (equally valid) blocks for the raw `bio` column and
+    breaks the byte-exact freeze on such environments."""
+    from pinot_segment import lz4_block
+
+    prev = lz4_block.force_encoder("pyarrow")
+    try:
+        return write_segment(out_dir, SEGMENT_NAME, "golden", golden_columns())
+    finally:
+        lz4_block.force_encoder(prev)
+
+
 def main() -> None:
     out = os.path.join(FIXTURE_DIR, SEGMENT_NAME)
-    v3 = write_segment(out, SEGMENT_NAME, "golden", golden_columns())
+    v3 = write_golden(out)
     for f in ("metadata.properties", "index_map", "columns.psf"):
         p = os.path.join(v3, f)
         print(f"{os.path.getsize(p):>10}  {p}")
