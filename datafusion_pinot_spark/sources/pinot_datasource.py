@@ -112,7 +112,18 @@ def _discover_segments(path: str) -> list[str]:
 
 @dataclass
 class PinotInputPartition(InputPartition):
-    segment_dir: str
+    """One Spark task's worth of segments.
+
+    Default is one segment per partition — the reference's granularity
+    (table.rs: one DataFusion partition per segment), and the right one when
+    segments are production-sized (hundreds of MB: it is then exactly
+    Spark's file-split granularity). Tables made of many small segments
+    (frequent small ingests) pack several segments per task via the
+    ``segments_per_partition`` read option, amortizing the per-task
+    scheduling + Python-worker handoff cost the same way Spark's file
+    sources coalesce small files into one split."""
+
+    segment_dirs: tuple[str, ...]
     columns: tuple[str, ...]
     filters: tuple = ()
 
@@ -153,7 +164,10 @@ class PinotDataSource(DataSource):
         return StructType(fields)
 
     def reader(self, schema: StructType) -> "PinotDataSourceReader":
-        return PinotDataSourceReader(schema, self._segments())
+        spp = int(self.options.get("segments_per_partition", "1") or "1")
+        if spp < 1:
+            raise ValueError("segments_per_partition must be >= 1")
+        return PinotDataSourceReader(schema, self._segments(), spp)
 
     def streamReader(self, schema: StructType) -> "PinotStreamReader":
         path = self.options.get("path")
@@ -193,10 +207,16 @@ _RANGE_FILTERS = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOr
 
 
 class PinotDataSourceReader(DataSourceReader):
-    def __init__(self, schema: StructType, segments: list[str]) -> None:
+    def __init__(
+        self,
+        schema: StructType,
+        segments: list[str],
+        segments_per_partition: int = 1,
+    ) -> None:
         self._schema = schema
         self._columns = tuple(f.name for f in schema.fields)
         self._segments = segments
+        self._spp = segments_per_partition
         self._pushed: list[Filter] = []
 
     # -- filter pushdown (rebuild improvement over table.rs:163) ------------
@@ -210,19 +230,38 @@ class PinotDataSourceReader(DataSourceReader):
 
     # -- planning -----------------------------------------------------------
 
+    # A metadata-only COUNT(*) task just parses metadata.properties per
+    # segment (~0.2 ms each, no column decode), so pack several segments per
+    # task: per-task overhead otherwise dominates a query whose real work is
+    # microseconds. Not unbounded, though — Spark still iterates the
+    # zero-column rows to count them, and that iteration parallelizes across
+    # tasks (measured on a 64-segment/4.8M-row table: 1 task 1.10 s,
+    # 8 tasks 0.45 s, 32 tasks 0.64 s — 8 won).
+    _COUNT_PACK = 8
+
     def partitions(self) -> list[PinotInputPartition]:
-        pruned = []
-        for seg in self._segments:
-            if self._pushed and _segment_can_be_skipped(seg, self._pushed):
-                continue
-            pruned.append(
-                PinotInputPartition(seg, self._columns, tuple(self._pushed))
-            )
-        if not pruned:
+        # Zone-map prune first (per segment — pruning granularity is
+        # unaffected by packing), then pack `segments_per_partition` pruned
+        # survivors into each task.
+        survivors = [
+            seg
+            for seg in self._segments
+            if not (self._pushed and _segment_can_be_skipped(seg, self._pushed))
+        ]
+        if not survivors:
             # All segments zone-map-pruned. Spark still schedules one task for
             # an empty partitions list (passing None), so hand it a sentinel.
-            return [PinotInputPartition("", self._columns, ())]
-        return pruned
+            return [PinotInputPartition((), self._columns, ())]
+        spp = self._spp
+        if not self._columns and not self._pushed and spp == 1:
+            spp = self._COUNT_PACK
+        pushed = tuple(self._pushed)
+        return [
+            PinotInputPartition(
+                tuple(survivors[i : i + spp]), self._columns, pushed
+            )
+            for i in range(0, len(survivors), spp)
+        ]
 
     # -- execution (runs on executors) --------------------------------------
 
@@ -231,30 +270,50 @@ class PinotDataSourceReader(DataSourceReader):
 
         from pinot_segment import SegmentReader
 
-        if partition is None or not partition.segment_dir:
-            return  # sentinel partition: everything was pruned
-        reader = SegmentReader.open(partition.segment_dir)
-        mask = _row_mask(reader, partition.filters)
-        if mask is not None and not mask.any():
+        if partition is None:
             return
-        if not partition.columns:
-            # Empty projection — COUNT(*) via `.option("columns", "")`. The
-            # row count comes from segment metadata (or the filter mask sum);
-            # no forward index is decoded, matching the reference's
-            # metadata-only count (exec.rs:92-95). Zero-column nonzero-row
-            # batches are valid Arrow and Spark counts them.
-            n = int(mask.sum()) if mask is not None else reader.total_docs()
-            if n > 0:
-                yield pa.RecordBatch.from_struct_array(pa.nulls(n, pa.struct([])))
+        if not partition.columns and not partition.filters:
+            # Unfiltered metadata-only COUNT(*): parse metadata.properties
+            # alone (no index_map / columns.psf open — the reference's
+            # exec.rs:92-95 metadata count). Zero-column nonzero-row batches
+            # are valid Arrow and Spark counts them.
+            from pinot_segment import SegmentMetadata
+
+            for segment_dir in partition.segment_dirs:
+                n = SegmentMetadata.from_file(
+                    os.path.join(segment_dir, "metadata.properties")
+                ).total_docs
+                if n > 0:
+                    yield pa.RecordBatch.from_struct_array(
+                        pa.nulls(n, pa.struct([]))
+                    )
             return
-        table = reader.read_columns_arrow(list(partition.columns))
-        if mask is not None:
-            table = table.filter(pa.array(mask))
-        # Yield natural column-chunk batches; Spark re-slices to its own
-        # batch size JVM-side, so pre-slicing to 8,192 (the reference's
-        # exec.rs:24 aesthetic) only multiplies per-batch IPC overhead.
-        for batch in table.to_batches():
-            yield batch
+        for segment_dir in partition.segment_dirs:
+            reader = SegmentReader.open(segment_dir)
+            mask = _row_mask(reader, partition.filters)
+            if mask is not None and not mask.any():
+                continue
+            if not partition.columns:
+                # Empty projection — COUNT(*) via `.option("columns", "")`.
+                # The row count comes from segment metadata (or the filter
+                # mask sum); no forward index is decoded, matching the
+                # reference's metadata-only count (exec.rs:92-95).
+                # Zero-column nonzero-row batches are valid Arrow and Spark
+                # counts them.
+                n = int(mask.sum()) if mask is not None else reader.total_docs()
+                if n > 0:
+                    yield pa.RecordBatch.from_struct_array(
+                        pa.nulls(n, pa.struct([]))
+                    )
+                continue
+            table = reader.read_columns_arrow(list(partition.columns))
+            if mask is not None:
+                table = table.filter(pa.array(mask))
+            # Yield natural column-chunk batches; Spark re-slices to its own
+            # batch size JVM-side, so pre-slicing to 8,192 (the reference's
+            # exec.rs:24 aesthetic) only multiplies per-batch IPC overhead.
+            for batch in table.to_batches():
+                yield batch
 
 
 def register_pinot_source(spark) -> None:
@@ -333,18 +392,17 @@ class PinotStreamReader(DataSourceStreamReader):
                     f"under {self._path}; Pinot segments are immutable — was the "
                     "table directory modified out-of-band?"
                 )
-            parts.append(PinotInputPartition(v3, self._columns, ()))
+            parts.append(PinotInputPartition((v3,), self._columns, ()))
         # Spark requires ≥1 partition per batch; empty batch → sentinel.
-        return parts or [PinotInputPartition("", self._columns, ())]
+        return parts or [PinotInputPartition((), self._columns, ())]
 
     def read(self, partition: PinotInputPartition) -> Iterator["pa.RecordBatch"]:
         from pinot_segment import SegmentReader
 
-        if not partition.segment_dir:
-            return
-        reader = SegmentReader.open(partition.segment_dir)
-        table = reader.read_columns_arrow(list(partition.columns))
-        yield from table.to_batches(max_chunksize=BATCH_ROWS)
+        for segment_dir in partition.segment_dirs:
+            reader = SegmentReader.open(segment_dir)
+            table = reader.read_columns_arrow(list(partition.columns))
+            yield from table.to_batches(max_chunksize=BATCH_ROWS)
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up; segments are immutable

@@ -122,7 +122,56 @@ def test_zone_map_segment_pruning(spark, pinot_table_dir):
     reader = PinotDataSourceReader(src.schema(), src._segments())
     list(reader.pushFilters([EqualTo(("hits",), 100_000)]))
     parts = reader.partitions()
-    assert len(parts) == 1 and parts[0].segment_dir == ""  # all pruned → sentinel
+    assert len(parts) == 1 and parts[0].segment_dirs == ()  # all pruned → sentinel
+
+
+def test_segments_per_partition_packs_tasks(spark, tmp_path):
+    """Many-small-segments tables pack several segments per task (like
+    Spark's small-file coalescing): same rows/values, fewer partitions.
+    Zone-map pruning stays per-segment underneath the packing."""
+    from pyspark.sql.datasource import LessThanOrEqual
+
+    from datafusion_pinot_spark.sources.pinot_datasource import (
+        PinotDataSourceReader,
+    )
+
+    out = str(tmp_path / "packed_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    spark.range(0, 8000).selectExpr("id as k", "id * 3 as v").repartitionByRange(
+        8, "k"
+    ).write.format("pinot").mode("append").save(out)
+
+    src = PinotDataSource({"path": out})
+    reader = PinotDataSourceReader(src.schema(), src._segments(), 3)
+    parts = reader.partitions()
+    assert [len(p.segment_dirs) for p in parts] == [3, 3, 2]
+
+    packed = (
+        spark.read.format("pinot")
+        .option("segments_per_partition", "4")
+        .load(out)
+    )
+    assert packed.rdd.getNumPartitions() == 2
+    plain = spark.read.format("pinot").load(out)
+    assert packed.count() == plain.count() == 8000
+    assert sorted(r.k for r in packed.collect()) == sorted(
+        r.k for r in plain.collect()
+    )
+
+    # prune-then-pack: a selective filter drops most segments BEFORE packing,
+    # so the packed groups are built from survivors only
+    pruned_reader = PinotDataSourceReader(src.schema(), src._segments(), 4)
+    list(pruned_reader.pushFilters([LessThanOrEqual(("k",), 999)]))
+    pruned = [p for p in pruned_reader.partitions() if p.segment_dirs]
+    assert sum(len(p.segment_dirs) for p in pruned) <= 2
+    got = (
+        spark.read.format("pinot")
+        .option("segments_per_partition", "4")
+        .load(out)
+        .filter(F.col("k") <= 999)
+        .count()
+    )
+    assert got == 1000
 
 
 def test_zone_map_partial_prune_on_range_partitioned_write(spark, tmp_path):
@@ -145,7 +194,7 @@ def test_zone_map_partial_prune_on_range_partitioned_write(spark, tmp_path):
     assert len(src._segments()) == 8
     reader = PinotDataSourceReader(src.schema(), src._segments())
     list(reader.pushFilters([LessThanOrEqual(("k",), 9999)]))
-    parts = [p for p in reader.partitions() if p.segment_dir]
+    parts = [p for p in reader.partitions() if p.segment_dirs]
     assert 1 <= len(parts) <= 2, f"expected ~1 surviving segment, got {len(parts)}"
 
     # end-to-end: result correct through the pruned plan
