@@ -1546,6 +1546,7 @@ def q_pinot_bytes_roundtrip(spark, sf):
         .repartition(4)
         .write.format("pinot")
         .mode("overwrite")
+        .option("raw", "payload")  # high-card payloads -> var-byte RAW
         .save(out)
     )
     back = spark.read.format("pinot").load(out)
@@ -1558,6 +1559,58 @@ def q_pinot_bytes_roundtrip(spark, sf):
             F.sum(F.col("flag").cast("int")).alias("n_flag"),
         )
         .orderBy("even_id")
+    )
+
+
+@register(
+    "pinot_bytes_dict_roundtrip",
+    """SELECT lang || ':' || source AS tag,
+              count(*) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM documents GROUP BY 1 ORDER BY tag""",
+    "parity",
+    ["pinot", "storage", "bytes", "dictionary", "roundtrip"],
+)
+def q_pinot_bytes_dict_roundtrip(spark, sf):
+    """Dictionary-encoded BYTES through the storage layer (beyond the
+    reference, which rejects BYTES dictionaries outright,
+    dictionary.rs:125-134): a low-cardinality binary tag (lang:source,
+    UTF-8 encoded) is written to Pinot v3 segments — binary columns now
+    dict-encode by default (var-length 4-byte-BE-length-prefixed entries +
+    fixed-bit ids), RAW stays opt-in via the `raw` option — read back, and
+    grouped ON the binary column itself (the result re-decodes the tag to
+    UTF-8 so the gate compares strings, sidestepping bytes-vs-bytearray
+    normalization differences between engines); the oracle computes the
+    same groups from the original parquet, so a hash match proves the BYTES
+    dictionary write -> decode -> group path is byte-exact."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="rtbd_"), "docs_OFFLINE")
+    (
+        _docs(spark, sf)
+        .select(
+            "doc_id",
+            F.encode(F.concat_ws(":", "lang", "source"), "UTF-8").alias("tag"),
+            "n_chars",
+        )
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.groupBy("tag")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .select(
+            F.decode("tag", "UTF-8").alias("tag"),
+            "n",
+            "sum_chars",
+        )
+        .orderBy("tag")
     )
 
 
@@ -2123,6 +2176,7 @@ DRIVER_WINDOW: list[str] = [
     # -- storage layer end-to-end (write -> encode -> decode -> scan) --
     "pinot_roundtrip_agg",
     "pinot_bytes_roundtrip",
+    "pinot_bytes_dict_roundtrip",  # r3: BYTES dictionary read/write
     # -- TPC-H classics + relational additions never driver-checked --
     "q3_shipping_priority",
     "q6_forecast_revenue",
@@ -2174,7 +2228,8 @@ DRIVER_WINDOW: list[str] = [
     "streaming_window_agg",
     "asof_join_last_signup",
     "events_tumbling_window",
-    "pivot_event_types",
+    # pivot_event_types rotated out (driver-green r1+r2, pinned by
+    # tests/test_queries_oracle.py) to make room for the BYTES-dict query.
 ]
 
 

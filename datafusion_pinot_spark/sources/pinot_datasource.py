@@ -511,8 +511,10 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                 raise ValueError(
                     f"raw (no-dictionary) encoding is STRING/BINARY-only: {f.name}"
                 )
-            if t == "binary":
-                raw_columns.add(f.name)  # BYTES is always RAW (no dictionary)
+            # binary columns dict-encode by default like every other type
+            # (var-length BYTES dictionary); list them in the `raw` option
+            # for the var-byte path (the right call for high-cardinality
+            # payloads — media blobs, embeddings).
         self._schema = schema
         self._path = path
         self._table = table

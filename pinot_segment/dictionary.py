@@ -11,8 +11,10 @@ Layout at the index_map's ``dictionary`` offset inside columns.psf:
   ``lengthOfEachEntry == 0``, 4-byte-BE-length-prefixed entries
   (dictionary.rs:106-121).
 - BOOLEAN: BE int32 0/1 entries (beyond the reference — dictionary.rs:125-134
-  rejects BOOLEAN/BYTES; BYTES dictionaries stay unsupported here, RAW
-  var-byte covers binary payloads).
+  rejects BOOLEAN/BYTES).
+- BYTES: 4-byte-BE-length-prefixed entries (var-length layout only — beyond
+  the reference; the fixed NUL-padded layout is refused as ambiguous for
+  binary values).
 
 Numeric decode is numpy ``frombuffer`` with big-endian dtypes (vectorized);
 Pinot dictionaries are value-sorted, which the reader exploits for min/max
@@ -131,7 +133,29 @@ class DictionaryReader:
             return cls(data_type, ints.astype(bool))
 
         if data_type is DataType.BYTES:
-            raise UnsupportedFeatureError("BYTES dictionary not yet supported")
+            # Beyond the reference (dictionary.rs:125-134 rejects BYTES):
+            # 4-byte-BE-length-prefixed entries, the same var-length layout
+            # as STRING with lengthOfEachEntry == 0. The fixed-length padded
+            # layout is NOT supported for BYTES — NUL padding is ambiguous
+            # for binary payloads (any trim rule corrupts values that end in
+            # NUL), so the writer never emits it.
+            if length_of_each_entry > 0:
+                raise UnsupportedFeatureError(
+                    "fixed-length BYTES dictionaries are unsupported (NUL "
+                    "padding is ambiguous for binary values)"
+                )
+            values: list[bytes] = []
+            pos = 0
+            for _ in range(cardinality):
+                if pos + 4 > len(body):
+                    raise InvalidFormatError("dictionary blob truncated")
+                n = int.from_bytes(body[pos : pos + 4], "big")
+                pos += 4
+                if pos + n > len(body):
+                    raise InvalidFormatError("dictionary blob truncated")
+                values.append(body[pos : pos + n])
+                pos += n
+            return cls(data_type, values)
         raise UnsupportedFeatureError(f"{data_type.value} dictionary not expected")
 
     def __len__(self) -> int:

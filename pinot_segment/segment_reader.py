@@ -148,10 +148,10 @@ class SegmentReader:
 
     def read_bytes_column(self, name: str) -> list[bytes]:
         """Beyond the reference (exec.rs:136-141 rejects BYTES): RAW var-byte
-        V4 chunks read as binary payloads."""
+        V4 chunks, or a var-length BYTES dictionary + fixed-bit ids."""
         col = self._require(name, DataType.BYTES)
         if col.has_dictionary:
-            raise UnsupportedFeatureError("BYTES dictionary not yet supported")
+            return self._read_dict_column(col)
         loc = self.index_map.get_forward_index(name)
         if loc is None:
             raise InvalidFormatError(f"No forward index for {name}")
@@ -221,7 +221,7 @@ class SegmentReader:
             if col.data_type is DataType.BYTES:
                 return reader.read_all_bytes_arrow()
             return reader.read_all_strings_arrow()
-        if col.data_type in (DataType.STRING, DataType.BOOLEAN):
+        if col.data_type in (DataType.STRING, DataType.BYTES, DataType.BOOLEAN):
             values = pa.array(self._dictionary(col).values, type=typ)
             return values.take(pa.array(self._dict_ids(col)))
         return pa.array(self.read_column(name), type=typ)

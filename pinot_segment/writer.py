@@ -87,10 +87,10 @@ class ColumnSpec:
     ) -> None:
         if raw and data_type not in (DataType.STRING, DataType.BYTES):
             raise ValueError("RAW is only supported for STRING/BYTES columns")
-        if data_type is DataType.BYTES and not raw:
+        if data_type is DataType.BYTES and fixed_length_dict:
             raise ValueError(
-                "BYTES columns must be RAW (var-byte) — BYTES dictionaries "
-                "are unsupported (reference dictionary.rs:125-134)"
+                "BYTES dictionaries are var-length only (NUL padding is "
+                "ambiguous for binary values)"
             )
         if data_type in (DataType.FLOAT, DataType.DOUBLE):
             # NaN breaks sorted-dictionary encoding (NaN != NaN inflates the
@@ -126,6 +126,13 @@ def _encode_dictionary(spec: ColumnSpec) -> tuple[bytes, list, int]:
         # BE int32 0/1 entries (Pinot's internal INT encoding for booleans;
         # beyond the reference, which rejects BOOLEAN dictionaries).
         out += np.asarray(uniq, dtype=">i4").tobytes()
+    elif spec.data_type is DataType.BYTES:
+        # Var-length 4-byte-BE-length-prefixed entries (the only BYTES dict
+        # layout — see dictionary.py; NUL-padded fixed-length is refused in
+        # ColumnSpec.__init__).
+        for e in uniq:
+            e = bytes(e)
+            out += len(e).to_bytes(4, "big") + e
     else:  # STRING
         encoded = [v.encode("utf-8") for v in uniq]
         if spec.fixed_length_dict and any(b"\x00" in e for e in encoded):

@@ -274,6 +274,25 @@ def test_boolean_bytes_roundtrip(tmp_path):
     assert tbl.column("ok").to_pylist() == bools
     assert tbl.column("payload").to_pylist() == blobs
 
-    # dictionary-encoded BYTES remains unsupported (reference parity)
-    with pytest.raises(ValueError, match="RAW"):
-        ColumnSpec("b", DataType.BYTES, blobs)
+
+def test_bytes_dictionary_roundtrip(tmp_path):
+    """Dictionary-encoded BYTES (beyond the reference, dictionary.rs:125-134
+    rejects it): var-length length-prefixed entries + fixed-bit ids. Edge
+    payloads that would break a NUL-padded layout — empty, all-NUL, and
+    trailing-NUL values — must survive byte-exactly."""
+    domain = [b"", b"\x00", b"\x00\x00", b"a", b"a\x00", b"ab", b"\xff" * 40]
+    blobs = [domain[i % len(domain)] for i in range(200)]
+    d = tmp_path / "seg"
+    v3 = write_segment(
+        d, "seg", "t", [ColumnSpec("payload", DataType.BYTES, blobs)]
+    )
+    r = SegmentReader.open(v3)
+    col = r.metadata.get_column("payload")
+    assert col.has_dictionary and col.cardinality == len(domain)
+    assert col.bits_per_element == 3
+    assert r.read_column("payload") == blobs
+    assert r.read_columns_arrow(["payload"]).column("payload").to_pylist() == blobs
+
+    # the fixed-length (NUL-padded) layout is refused for BYTES
+    with pytest.raises(ValueError, match="var-length"):
+        ColumnSpec("b", DataType.BYTES, blobs, fixed_length_dict=True)
