@@ -57,7 +57,9 @@ BENCH_QUERIES = [
     "sessionization",
     "salted_join_revenue",
     # LLM-pipeline operators
-    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_xxh64",  # the xxhash64 production path (the
+    # registered minhash_lsh_pairs is the md5 oracle-parity family, ~10x
+    # slower by construction — not the path a cluster would run)
     "ann_cosine_topk",
     "ann_ivf_topk",
     "multimodal_frame_sample",

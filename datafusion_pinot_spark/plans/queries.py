@@ -887,6 +887,16 @@ def _register_llm():
         "llm",
         ["dedup", "minhash", "lsh"],
     )(lambda spark, sf: dedup.minhash_lsh_candidates_md5(_docs(spark, sf)))
+    # The xxhash64 production path, registered so bench.py times the fast
+    # variant (codegen'd long hashes; the md5 family above exists for the
+    # hash gate and is ~10x slower — md5 hex strings per shingle per hash).
+    # rows-only by design: xxhash64 has no DuckDB equivalent.
+    register(
+        "minhash_lsh_pairs_xxh64",
+        None,
+        "llm",
+        ["dedup", "minhash", "lsh", "bench"],
+    )(lambda spark, sf: dedup.minhash_lsh_pairs(_docs(spark, sf)))
     # Verify stage restricted to md5-LSH candidates (NOT the corpus-wide
     # all-pairs self-join — quadratic hazard at 100 TB, SCALE.md §jaccard);
     # md5 hash family keeps the whole LSH→verify pipeline DuckDB-checkable.
@@ -1615,6 +1625,58 @@ def q_pinot_bytes_dict_roundtrip(spark, sf):
 
 
 @register(
+    "pinot_multivalue_roundtrip",
+    """SELECT tok, count(*) AS n, CAST(sum(m) AS BIGINT) AS sum_mod
+       FROM (
+         SELECT unnest(list_slice(string_split(text, ' '), 1, 3)) AS tok,
+                (n_chars % 10) + (n_chars % 7) AS m
+         FROM documents
+       ) GROUP BY tok""",
+    "parity",
+    ["pinot", "storage", "multivalue", "roundtrip"],
+)
+def q_pinot_multivalue_roundtrip(spark, sf):
+    """Multi-value columns through the storage layer (beyond the reference,
+    which lists MV as unsupported, README.md:310-316): each document's first
+    three tokens become an array<string> and two derived ints an array<int>,
+    written to Pinot v3 segments as MV dictionary columns (flattened
+    dictionary + bit-packed per-doc end-offsets, writer.py), read back,
+    exploded, and grouped; the oracle unnests the same arrays from the
+    original parquet, so a hash match proves the MV write -> decode ->
+    explode path is value-exact."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="rtmv_"), "docs_OFFLINE")
+    (
+        _docs(spark, sf)
+        .select(
+            "doc_id",
+            F.slice(F.split("text", " "), 1, 3).alias("toks"),
+            F.array(
+                (F.col("n_chars") % 10).cast("int"),
+                (F.col("n_chars") % 7).cast("int"),
+            ).alias("mods"),
+        )
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.select(
+            F.explode("toks").alias("tok"),
+            (F.col("mods")[0] + F.col("mods")[1]).alias("m"),
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"), F.sum("m").alias("sum_mod"))
+    )
+
+
+@register(
     "session_window_agg",
     """WITH o AS (
          SELECT user_id, ts,
@@ -2177,6 +2239,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_roundtrip_agg",
     "pinot_bytes_roundtrip",
     "pinot_bytes_dict_roundtrip",  # r3: BYTES dictionary read/write
+    "pinot_multivalue_roundtrip",  # r3: multi-value columns
     # -- TPC-H classics + relational additions never driver-checked --
     "q3_shipping_priority",
     "q6_forecast_revenue",
@@ -2227,9 +2290,9 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_frame_sample",
     "streaming_window_agg",
     "asof_join_last_signup",
-    "events_tumbling_window",
-    # pivot_event_types rotated out (driver-green r1+r2, pinned by
-    # tests/test_queries_oracle.py) to make room for the BYTES-dict query.
+    # pivot_event_types and events_tumbling_window rotated out (driver-green
+    # r1+r2, pinned by tests/test_queries_oracle.py) to make room for the
+    # BYTES-dict and multi-value storage queries.
 ]
 
 

@@ -59,6 +59,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     DoubleType,
@@ -155,12 +156,15 @@ class PinotDataSource(DataSource):
             if missing:
                 raise ValueError(f"columns not in segment: {missing}")
             names = requested
-        fields = [
-            StructField(
-                n, _SPARK_TYPES[md.columns[n].data_type.value], nullable=False
-            )
-            for n in names
-        ]
+        fields = []
+        for n in names:
+            col = md.columns[n]
+            typ = _SPARK_TYPES[col.data_type.value]
+            if not col.is_single_value:
+                # multi-value column → array<element> (containsNull=False:
+                # Pinot values are non-nullable, schema.rs:29-30)
+                typ = ArrayType(typ, containsNull=False)
+            fields.append(StructField(n, typ, nullable=False))
         return StructType(fields)
 
     def reader(self, schema: StructType) -> "PinotDataSourceReader":
@@ -420,10 +424,22 @@ _WRITE_TYPES = {
     "double": "DOUBLE",
     "string": "STRING",
     # Beyond the reference (which rejects both at scan time, exec.rs:136-141):
-    # binary → RAW var-byte BYTES (forced raw — no BYTES dictionaries);
+    # binary → BYTES (var-length dict by default, RAW var-byte via `raw`);
     # boolean → 1-bit dict-encoded BOOLEAN.
     "binary": "BYTES",
     "boolean": "BOOLEAN",
+}
+
+# Multi-value columns (beyond the reference, which lists MV as unsupported,
+# README.md:310-316): array<element> → MV dictionary column of the element
+# type (flattened dictionary + bit-packed end-offsets, see writer.py).
+_MV_WRITE_TYPES = {
+    "array<int>": "INT",
+    "array<bigint>": "LONG",
+    "array<float>": "FLOAT",
+    "array<double>": "DOUBLE",
+    "array<string>": "STRING",
+    "array<boolean>": "BOOLEAN",
 }
 
 
@@ -501,11 +517,16 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
     ) -> None:
         for f in schema.fields:
             t = f.dataType.simpleString()
-            if t not in _WRITE_TYPES:
+            if t not in _WRITE_TYPES and t not in _MV_WRITE_TYPES:
                 raise ValueError(
                     f"pinot sink cannot write column '{f.name}' of type {t}: "
-                    "only INT/LONG/FLOAT/DOUBLE/STRING/BINARY/BOOLEAN are "
-                    "supported in the segment format (reference README.md:178-190)"
+                    "only INT/LONG/FLOAT/DOUBLE/STRING/BINARY/BOOLEAN and "
+                    "arrays thereof (except binary) are supported in the "
+                    "segment format (reference README.md:178-190)"
+                )
+            if f.name in raw_columns and t in _MV_WRITE_TYPES:
+                raise ValueError(
+                    f"multi-value columns are dictionary-only: {f.name}"
                 )
             if f.name in raw_columns and t not in ("string", "binary"):
                 raise ValueError(
@@ -553,6 +574,22 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                     "(reference schema.rs:29-30)"
                 )
             t = f.dataType.simpleString()
+            if t in _MV_WRITE_TYPES:
+                if col.combine_chunks().flatten().null_count:
+                    raise ValueError(
+                        f"NULL element in multi-value column '{f.name}': "
+                        "Pinot values are non-nullable (reference "
+                        "schema.rs:29-30)"
+                    )
+                specs.append(
+                    ColumnSpec(
+                        f.name,
+                        DataType(_MV_WRITE_TYPES[t]),
+                        col.to_pylist(),
+                        multi_value=True,
+                    )
+                )
+                continue
             dt = DataType(_WRITE_TYPES[t])
             if t in ("string", "binary"):
                 values = col.to_pylist()

@@ -49,7 +49,13 @@ class DataType(enum.Enum):
 
 @dataclass(frozen=True)
 class ColumnMetadata:
-    """Per-column segment metadata (metadata.rs:32-42)."""
+    """Per-column segment metadata (metadata.rs:32-42).
+
+    ``is_single_value`` / ``total_number_of_entries`` / ``max_number_of_
+    multi_values`` use Pinot's real property names (``isSingleValue``,
+    ``totalNumberOfEntries``, ``maxNumberOfMultiValues``); the reference
+    parser ignores them (multi-value is unsupported there,
+    README.md:310-316) — this rebuild reads them for its MV columns."""
 
     name: str
     data_type: DataType
@@ -59,6 +65,9 @@ class ColumnMetadata:
     has_dictionary: bool
     is_sorted: bool
     length_of_each_entry: int
+    is_single_value: bool = True
+    total_number_of_entries: int = 0
+    max_number_of_multi_values: int = 0
 
 
 def decode_java_string(s: str) -> str:
@@ -205,4 +214,7 @@ def _parse_column(
         has_dictionary=get("hasDictionary") == "true",
         is_sorted=get("isSorted") == "true",
         length_of_each_entry=get_int("lengthOfEachEntry"),
+        is_single_value=get("isSingleValue") != "false",
+        total_number_of_entries=get_int("totalNumberOfEntries"),
+        max_number_of_multi_values=get_int("maxNumberOfMultiValues"),
     )

@@ -94,6 +94,54 @@ class SegmentReader:
     def _read_dict_column(self, col: ColumnMetadata):
         return self._dictionary(col).take(self._dict_ids(col))
 
+    def _mv_offsets_ids(self, col: ColumnMetadata) -> tuple[np.ndarray, np.ndarray]:
+        """Multi-value forward index (this rebuild's MV layout, see
+        writer.py — the reference has no MV support, README.md:310-316):
+        magic | totalEntries u32 BE | offsetBits u8 | bit-packed per-doc END
+        offsets | bit-packed flattened dict ids. Returns (ends, dict_ids)."""
+        from pinot_segment.fixed_bit import unpack_bits
+
+        loc = self.index_map.get_forward_index(col.name)
+        if loc is None:
+            raise InvalidFormatError(f"No forward index for {col.name}")
+        with open(self._psf, "rb") as f:
+            f.seek(loc.start_offset)
+            blob = f.read(loc.size)
+        if len(blob) < 13:
+            raise InvalidFormatError("MV forward index truncated")
+        total_entries = int.from_bytes(blob[8:12], "big")
+        if (
+            col.total_number_of_entries
+            and total_entries != col.total_number_of_entries
+        ):
+            raise InvalidFormatError(
+                f"MV entry count mismatch for {col.name}: header "
+                f"{total_entries} vs metadata {col.total_number_of_entries}"
+            )
+        offset_bits = blob[12]
+        off_bytes = (col.total_docs * offset_bits + 7) // 8
+        ends = unpack_bits(blob[13 : 13 + off_bytes], offset_bits, col.total_docs)
+        ids = unpack_bits(
+            blob[13 + off_bytes :], col.bits_per_element, total_entries
+        )
+        if len(self._dictionary(col)) and ids.max(initial=0) >= len(
+            self._dictionary(col)
+        ):
+            raise InvalidFormatError(f"Invalid dict_id for MV column {col.name}")
+        return ends, ids
+
+    def _read_mv_column(self, col: ColumnMetadata) -> list[list]:
+        ends, ids = self._mv_offsets_ids(col)
+        flat = self._dictionary(col).take(ids)
+        if isinstance(flat, np.ndarray):
+            flat = flat.tolist()
+        out: list[list] = []
+        lo = 0
+        for hi in ends:
+            out.append(flat[lo:hi])
+            lo = int(hi)
+        return out
+
     def _require(self, name: str, dtype: DataType) -> ColumnMetadata:
         col = self.metadata.get_column(name)
         if col.data_type is not dtype:
@@ -163,6 +211,12 @@ class SegmentReader:
     def read_column(self, name: str):
         """Type-dispatched read."""
         col = self.metadata.get_column(name)
+        if not col.is_single_value:
+            if not col.has_dictionary:
+                raise UnsupportedFeatureError(
+                    "multi-value columns are dictionary-only"
+                )
+            return self._read_mv_column(col)
         if col.data_type is DataType.INT:
             return self.read_int_column(name)
         if col.data_type is DataType.LONG:
@@ -187,7 +241,11 @@ class SegmentReader:
         """(min, max) for a dict-encoded column via its sorted dictionary;
         None for RAW columns (no cheap statistics)."""
         col = self.metadata.get_column(name)
-        if not col.has_dictionary or col.data_type in (DataType.BYTES, DataType.BOOLEAN):
+        if (
+            not col.has_dictionary
+            or not col.is_single_value
+            or col.data_type in (DataType.BYTES, DataType.BOOLEAN)
+        ):
             return None
         try:
             return self._dictionary(col).min_max()
@@ -201,8 +259,11 @@ class SegmentReader:
         fields = []
         for n in names:
             col = self.metadata.get_column(n)
+            typ = ARROW_TYPES[col.data_type]
+            if not col.is_single_value:
+                typ = pa.list_(typ)
             # Pinot columns are non-nullable (reference schema.rs:29-30).
-            fields.append(pa.field(n, ARROW_TYPES[col.data_type], nullable=False))
+            fields.append(pa.field(n, typ, nullable=False))
         return pa.schema(fields)
 
     def _read_column_arrow(self, name: str) -> pa.Array:
@@ -211,6 +272,17 @@ class SegmentReader:
         a C++ ``take`` over the decoded dictionary."""
         col = self.metadata.get_column(name)
         typ = ARROW_TYPES[col.data_type]
+        if not col.is_single_value:
+            # MV: flattened dictionary take + Arrow ListArray assembly from
+            # the end-offsets — no per-row Python lists.
+            ends, ids = self._mv_offsets_ids(col)
+            flat = pa.array(self._dictionary(col).values, type=typ).take(
+                pa.array(ids)
+            )
+            offsets = np.empty(len(ends) + 1, dtype=np.int32)
+            offsets[0] = 0
+            offsets[1:] = ends
+            return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
         if col.data_type in (DataType.STRING, DataType.BYTES) and not col.has_dictionary:
             loc = self.index_map.get_forward_index(name)
             if loc is None:

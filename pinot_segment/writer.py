@@ -84,7 +84,16 @@ class ColumnSpec:
         target_chunk_size: int = 1 << 20,
         fixed_length_dict: bool = False,
         with_magic_prefix: bool = False,
+        multi_value: bool = False,
     ) -> None:
+        if multi_value:
+            # Multi-value columns (beyond the reference, which lists MV as
+            # unsupported, README.md:310-316): `values` is a list of lists;
+            # dictionary-encoded only (RAW MV has no defined layout here).
+            if raw:
+                raise ValueError("multi-value columns are dictionary-only")
+            if data_type is DataType.BYTES:
+                raise ValueError("multi-value BYTES is unsupported")
         if raw and data_type not in (DataType.STRING, DataType.BYTES):
             raise ValueError("RAW is only supported for STRING/BYTES columns")
         if data_type is DataType.BYTES and fixed_length_dict:
@@ -97,7 +106,10 @@ class ColumnSpec:
             # set; sorted() leaves NaN anywhere, un-sorting the dictionary and
             # corrupting binary-search ids and zone maps). Mirror the sink's
             # NULL rejection: refuse NaN up front.
-            if np.isnan(np.asarray(values, dtype=np.float64)).any():
+            flat = (
+                [v for row in values for v in row] if multi_value else values
+            )
+            if np.isnan(np.asarray(flat, dtype=np.float64)).any():
                 raise ValueError(
                     f"NaN in column '{name}': Pinot sorted dictionaries cannot "
                     "encode NaN (NaN is unordered); filter or canonicalize first"
@@ -110,14 +122,23 @@ class ColumnSpec:
         self.target_chunk_size = target_chunk_size
         self.fixed_length_dict = fixed_length_dict
         self.with_magic_prefix = with_magic_prefix
+        self.multi_value = multi_value
+
+    def flat_values(self) -> list:
+        """Flattened value stream (the per-doc values, concatenated)."""
+        if self.multi_value:
+            return [v for row in self.values for v in row]
+        return self.values
 
 
 def _encode_dictionary(spec: ColumnSpec) -> tuple[bytes, list, int]:
-    """Returns (blob, sorted_unique_values, length_of_each_entry)."""
-    if isinstance(spec.values, np.ndarray):
-        uniq = np.unique(spec.values)  # sorted + deduped, vectorized
+    """Returns (blob, sorted_unique_values, length_of_each_entry). For
+    multi-value columns the dictionary covers the flattened value stream."""
+    vals = spec.flat_values()
+    if isinstance(vals, np.ndarray):
+        uniq = np.unique(vals)  # sorted + deduped, vectorized
     else:
-        uniq = sorted(set(spec.values))
+        uniq = sorted(set(vals))
     out = bytearray(_DICT_MAGIC)
     length_of_each_entry = 0
     if spec.data_type in _BE_DTYPES:
@@ -283,6 +304,7 @@ def write_segment(
             continue
 
         dict_blob, uniq, length_of_each_entry = _encode_dictionary(spec)
+        flat = spec.flat_values()
         if spec.data_type in _BE_DTYPES or spec.data_type is DataType.BOOLEAN:
             # value → dictId via binary search on the sorted dictionary
             native = (
@@ -291,17 +313,37 @@ def write_segment(
                 else np.dtype(_BE_DTYPES[spec.data_type]).newbyteorder("=")
             )
             uniq_arr = np.asarray(uniq, dtype=native)
-            dict_ids = np.searchsorted(uniq_arr, np.asarray(spec.values, dtype=native))
+            dict_ids = np.searchsorted(uniq_arr, np.asarray(flat, dtype=native))
         else:
-            # STRING: numpy '<U' arrays silently strip trailing U+0000, so a
-            # searchsorted probe maps '\x00' → '' (wrong id). A plain Python
-            # dict lookup is exact for all code points.
+            # STRING/BYTES: numpy '<U' arrays silently strip trailing U+0000,
+            # so a searchsorted probe maps '\x00' → '' (wrong id). A plain
+            # Python dict lookup is exact for all code points / payloads.
             idx = {v: i for i, v in enumerate(uniq)}
             dict_ids = np.fromiter(
-                (idx[v] for v in spec.values), dtype=np.int64, count=len(spec.values)
+                (idx[v] for v in flat), dtype=np.int64, count=len(flat)
             )
         bits = _bits_needed(len(uniq))
-        fwd_blob = _FWD_MAGIC + _pack_bits(dict_ids, bits)
+        if spec.multi_value:
+            # MV forward layout (defined by this rebuild — the reference has
+            # no MV support to mirror, README.md:310-316):
+            #   magic | totalEntries u32 BE | offsetBits u8
+            #   | bit-packed per-doc END offsets (total_docs entries)
+            #   | bit-packed dict ids (totalEntries entries)
+            # Both bit-packed regions are independently byte-aligned
+            # (_pack_bits pads), so the ids region starts at
+            # ceil(total_docs * offsetBits / 8) bytes after the offsets.
+            ends = np.cumsum([len(row) for row in spec.values], dtype=np.int64)
+            total_entries = int(ends[-1]) if len(ends) else 0
+            offset_bits = _bits_needed(total_entries + 1)
+            fwd_blob = (
+                _FWD_MAGIC
+                + total_entries.to_bytes(4, "big")
+                + offset_bits.to_bytes(1, "big")
+                + _pack_bits(ends, offset_bits)
+                + _pack_bits(dict_ids, bits)
+            )
+        else:
+            fwd_blob = _FWD_MAGIC + _pack_bits(dict_ids, bits)
 
         start = len(psf)
         psf += dict_blob
@@ -320,10 +362,21 @@ def write_segment(
             f"column.{spec.name}.cardinality={len(uniq)}",
             f"column.{spec.name}.hasDictionary=true",
             f"column.{spec.name}.isSorted="
-            + ("true" if _is_sorted(spec.values) else "false"),
+            + (
+                "true"
+                if not spec.multi_value and _is_sorted(spec.values)
+                else "false"
+            ),
             f"column.{spec.name}.bitsPerElement={bits}",
             f"column.{spec.name}.lengthOfEachEntry={length_of_each_entry}",
         ]
+        if spec.multi_value:
+            max_mv = max((len(row) for row in spec.values), default=0)
+            meta_lines += [
+                f"column.{spec.name}.isSingleValue=false",
+                f"column.{spec.name}.totalNumberOfEntries={len(flat)}",
+                f"column.{spec.name}.maxNumberOfMultiValues={max_mv}",
+            ]
 
     (v3 / "metadata.properties").write_text("\n".join(meta_lines) + "\n")
     (v3 / "index_map").write_text("\n".join(index_lines) + "\n")

@@ -125,6 +125,29 @@ def test_zone_map_segment_pruning(spark, pinot_table_dir):
     assert len(parts) == 1 and parts[0].segment_dirs == ()  # all pruned → sentinel
 
 
+def test_multivalue_sink_source_roundtrip(spark, tmp_path):
+    """array<int>/array<string> columns round-trip through the sink and
+    source as MV dictionary columns; element nulls are rejected."""
+    out = str(tmp_path / "mv_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    df = spark.range(0, 2000).selectExpr(
+        "id as k",
+        "array(cast(id % 5 as int), cast(id % 3 as int)) as mi",
+        "slice(split('alpha beta gamma delta', ' '), 1, cast(id % 4 as int) + 1) as ms",
+    )
+    df.repartition(3).write.format("pinot").mode("overwrite").save(out)
+    back = spark.read.format("pinot").load(out)
+    assert dict(back.dtypes) == {
+        "k": "bigint", "mi": "array<int>", "ms": "array<string>",
+    }
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, back.collect()))
+
+    with pytest.raises(Exception, match="NULL element"):
+        spark.range(0, 10).selectExpr(
+            "id as k", "array(cast(id as int), null) as mi"
+        ).write.format("pinot").mode("overwrite").save(str(tmp_path / "bad_OFFLINE"))
+
+
 def test_segments_per_partition_packs_tasks(spark, tmp_path):
     """Many-small-segments tables pack several segments per task (like
     Spark's small-file coalescing): same rows/values, fewer partitions.

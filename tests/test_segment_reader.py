@@ -296,3 +296,41 @@ def test_bytes_dictionary_roundtrip(tmp_path):
     # the fixed-length (NUL-padded) layout is refused for BYTES
     with pytest.raises(ValueError, match="var-length"):
         ColumnSpec("b", DataType.BYTES, blobs, fixed_length_dict=True)
+
+
+def test_multivalue_roundtrip(tmp_path):
+    """Multi-value columns (beyond the reference, README.md:310-316 lists MV
+    as unsupported): flattened dictionary + bit-packed end-offsets. Edge
+    rows: empty arrays, singletons, repeated values, NUL-containing
+    strings."""
+    ints = [[1, 2, 3], [], [7], [2, 2, 2, 2], [5, 6]]
+    strs = [["a", "b"], ["nul\x00"], [], ["b", "a", "c"], ["z"]]
+    dbls = [[0.5], [1.5, -2.25], [], [3.0], [0.5, 0.5]]
+    d = tmp_path / "seg"
+    v3 = write_segment(
+        d, "seg", "t",
+        [
+            ColumnSpec("mi", DataType.INT, ints, multi_value=True),
+            ColumnSpec("ms", DataType.STRING, strs, multi_value=True),
+            ColumnSpec("md", DataType.DOUBLE, dbls, multi_value=True),
+        ],
+    )
+    r = SegmentReader.open(v3)
+    col = r.metadata.get_column("mi")
+    assert not col.is_single_value
+    assert col.total_number_of_entries == 10
+    assert col.max_number_of_multi_values == 4
+    assert r.read_column("mi") == ints
+    assert r.read_column("ms") == strs
+    assert r.read_column("md") == dbls
+    tbl = r.read_columns_arrow(["mi", "ms", "md"])
+    assert tbl.column("mi").to_pylist() == ints
+    assert tbl.column("ms").to_pylist() == strs
+    assert tbl.column("md").to_pylist() == dbls
+    assert r.column_min_max("mi") is None  # no MV zone maps
+
+    # MV is dictionary-only; MV BYTES is unsupported
+    with pytest.raises(ValueError, match="dictionary-only"):
+        ColumnSpec("x", DataType.STRING, strs, raw=True, multi_value=True)
+    with pytest.raises(ValueError, match="BYTES"):
+        ColumnSpec("x", DataType.BYTES, [[b"a"]], multi_value=True)
