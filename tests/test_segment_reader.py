@@ -143,11 +143,18 @@ def test_arrow_assembly(segment):
 
 # -- whole-segment property round-trip ---------------------------------------
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pinot_segment.var_byte import LZ4, SNAPPY, ZSTANDARD
 
 
-@settings(max_examples=25, deadline=None)
+# data_too_large suppressed: the test intentionally draws one list per
+# column x 11 columns, so examples are big by design (sizes are capped
+# per-draw below).
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.data_too_large],
+)
 @given(
     data=st.data(),
     n=st.integers(min_value=1, max_value=200),
@@ -175,6 +182,16 @@ def test_property_roundtrip_all_types(tmp_path_factory, data, n, compression, ch
     raws = data.draw(st.lists(st.text(max_size=80), min_size=n, max_size=n))
     bools = data.draw(st.lists(st.booleans(), min_size=n, max_size=n))
     blobs = data.draw(st.lists(st.binary(max_size=80), min_size=n, max_size=n))
+    dict_blobs = data.draw(st.lists(st.binary(max_size=24), min_size=n, max_size=n))
+    mv_ints = data.draw(
+        st.lists(
+            st.lists(st.integers(-(2**31), 2**31 - 1), max_size=5),
+            min_size=n, max_size=n,
+        )
+    )
+    mv_strs = data.draw(
+        st.lists(st.lists(st.text(max_size=12), max_size=4), min_size=n, max_size=n)
+    )
 
     d = tmp_path_factory.mktemp("prop") / "seg"
     v3 = write_segment(
@@ -192,6 +209,9 @@ def test_property_roundtrip_all_types(tmp_path_factory, data, n, compression, ch
             ColumnSpec("bl", DataType.BOOLEAN, bools),
             ColumnSpec("by", DataType.BYTES, blobs, raw=True,
                        compression=compression, target_chunk_size=chunk),
+            ColumnSpec("byd", DataType.BYTES, dict_blobs),
+            ColumnSpec("mi", DataType.INT, mv_ints, multi_value=True),
+            ColumnSpec("ms", DataType.STRING, mv_strs, multi_value=True),
         ],
     )
     reader = SegmentReader.open(v3)
@@ -203,6 +223,14 @@ def test_property_roundtrip_all_types(tmp_path_factory, data, n, compression, ch
     assert list(reader.read_column("r")) == raws
     assert list(reader.read_column("bl")) == bools
     assert reader.read_column("by") == blobs
+    assert reader.read_column("byd") == dict_blobs
+    assert reader.read_column("mi") == mv_ints
+    assert reader.read_column("ms") == mv_strs
+    # Arrow assembly agrees with the typed readers for the r3 shapes
+    tbl = reader.read_columns_arrow(["byd", "mi", "ms"])
+    assert tbl.column("byd").to_pylist() == dict_blobs
+    assert tbl.column("mi").to_pylist() == mv_ints
+    assert tbl.column("ms").to_pylist() == mv_strs
 
 
 def test_snappy_and_zstd_raw_columns(tmp_path):
