@@ -1625,6 +1625,54 @@ def q_pinot_bytes_dict_roundtrip(spark, sf):
 
 
 @register(
+    "pinot_raw_numeric_roundtrip",
+    """SELECT count(*) AS n,
+              CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+              CAST(min(l_orderkey) AS BIGINT) AS min_key,
+              CAST(max(l_orderkey) AS BIGINT) AS max_key,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS sum_price
+       FROM lineitem WHERE l_orderkey <= 5000""",
+    "parity",
+    ["pinot", "storage", "raw-numeric", "roundtrip"],
+)
+def q_pinot_raw_numeric_roundtrip(spark, sf):
+    """RAW (no-dictionary) numeric columns through the storage layer
+    (beyond the reference, which errors on RAW numerics,
+    segment_reader.rs:53-57): the high-cardinality l_orderkey (LONG) and
+    l_extendedprice (DOUBLE) are written RAW — no per-segment dictionary,
+    the 100 TB answer for unique keys/timestamps — range-partitioned so
+    the metadata minValue/maxValue zone maps prune segments for the pushed
+    key filter, read back, and aggregated; the oracle computes the same
+    from the original parquet."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="rtrn_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .repartitionByRange(4, "l_orderkey")
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "l_orderkey,l_extendedprice")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out).filter(F.col("l_orderkey") <= 5000)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum("l_orderkey").alias("sum_key"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_price"),
+    )
+
+
+@register(
     "pinot_multivalue_roundtrip",
     """SELECT tok, count(*) AS n, CAST(sum(m) AS BIGINT) AS sum_mod
        FROM (
@@ -2240,6 +2288,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_bytes_roundtrip",
     "pinot_bytes_dict_roundtrip",  # r3: BYTES dictionary read/write
     "pinot_multivalue_roundtrip",  # r3: multi-value columns
+    "pinot_raw_numeric_roundtrip",  # r3: RAW numerics + metadata zone maps
     # -- TPC-H classics + relational additions never driver-checked --
     "q3_shipping_priority",
     "q6_forecast_revenue",
@@ -2284,7 +2333,8 @@ DRIVER_WINDOW: list[str] = [
     "ann_ivf_topk",
     "embedding_cosine_dup_pairs",
     "ngram_jaccard_pairs",
-    "dedup_exact",
+    # dedup_exact rotated out (driver-green r1+r2; its shape is also inside
+    # corpus_clean_pipeline) for the RAW-numeric storage query.
     "minhash_signatures",
     "simhash_dup_groups",  # rows-only by design (xxhash64 is Spark-only)
     "multimodal_frame_sample",

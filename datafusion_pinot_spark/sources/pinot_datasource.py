@@ -528,9 +528,10 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                 raise ValueError(
                     f"multi-value columns are dictionary-only: {f.name}"
                 )
-            if f.name in raw_columns and t not in ("string", "binary"):
+            if f.name in raw_columns and t == "boolean":
                 raise ValueError(
-                    f"raw (no-dictionary) encoding is STRING/BINARY-only: {f.name}"
+                    f"raw (no-dictionary) encoding is not supported for "
+                    f"BOOLEAN: {f.name}"
                 )
             # binary columns dict-encode by default like every other type
             # (var-length BYTES dictionary); list them in the `raw` option
@@ -554,7 +555,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         from pyspark import TaskContext
 
         from pinot_segment.metadata import DataType
-        from pinot_segment.var_byte import LZ4_LENGTH_PREFIXED
+        from pinot_segment.var_byte import LZ4_LENGTH_PREFIXED, PASS_THROUGH
         from pinot_segment.writer import ColumnSpec, write_segment
 
         batches = [b for b in iterator if b.num_rows]
@@ -598,13 +599,21 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
             else:
                 values = col.combine_chunks().to_numpy()
             if f.name in self._raw:
+                # var-byte STRING/BYTES chunks compress; fixed-width RAW
+                # numerics (beyond the reference — no dictionary for
+                # high-cardinality keys/timestamps) are stored plain.
+                compression = (
+                    LZ4_LENGTH_PREFIXED
+                    if t in ("string", "binary")
+                    else PASS_THROUGH
+                )
                 specs.append(
                     ColumnSpec(
                         f.name,
                         dt,
                         values,
                         raw=True,
-                        compression=LZ4_LENGTH_PREFIXED,
+                        compression=compression,
                     )
                 )
             else:

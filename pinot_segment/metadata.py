@@ -68,6 +68,10 @@ class ColumnMetadata:
     is_single_value: bool = True
     total_number_of_entries: int = 0
     max_number_of_multi_values: int = 0
+    # Zone-map stats (Pinot's ``minValue``/``maxValue`` properties), kept as
+    # raw strings; consumers convert by data_type. None when absent.
+    min_value: str | None = None
+    max_value: str | None = None
 
 
 def decode_java_string(s: str) -> str:
@@ -217,4 +221,6 @@ def _parse_column(
         is_single_value=get("isSingleValue") != "false",
         total_number_of_entries=get_int("totalNumberOfEntries"),
         max_number_of_multi_values=get_int("maxNumberOfMultiValues"),
+        min_value=get("minValue"),
+        max_value=get("maxValue"),
     )

@@ -148,30 +148,68 @@ class SegmentReader:
             raise InvalidFormatError(f"Column {name} is not {dtype.value} type")
         return col
 
+    _RAW_NUMERIC_DTYPES = {
+        DataType.INT: np.dtype(">i4"),
+        DataType.LONG: np.dtype(">i8"),
+        DataType.FLOAT: np.dtype(">f4"),
+        DataType.DOUBLE: np.dtype(">f8"),
+    }
+
+    def _read_raw_numeric(self, col: ColumnMetadata) -> np.ndarray:
+        """Fixed-width RAW numeric forward index (beyond the reference,
+        which errors on RAW numerics, segment_reader.rs:53-57; layout
+        defined by this rebuild's writer — see writer._encode_raw_numeric):
+        16-byte header (version u32 BE | valueWidth u32 BE | 8 reserved
+        bytes) then big-endian fixed-width values."""
+        loc = self.index_map.get_forward_index(col.name)
+        if loc is None:
+            raise InvalidFormatError(f"No forward index for {col.name}")
+        with open(self._psf, "rb") as f:
+            f.seek(loc.start_offset)
+            blob = f.read(loc.size)
+        if len(blob) < 16:
+            raise InvalidFormatError("RAW numeric forward index truncated")
+        version = int.from_bytes(blob[0:4], "big")
+        if version != 1:
+            raise UnsupportedFeatureError(
+                f"RAW numeric forward index version {version} unsupported"
+            )
+        dt = self._RAW_NUMERIC_DTYPES[col.data_type]
+        width = int.from_bytes(blob[4:8], "big")
+        if width != dt.itemsize:
+            raise InvalidFormatError(
+                f"RAW numeric width {width} != {dt.itemsize} for "
+                f"{col.data_type.value}"
+            )
+        return (
+            np.frombuffer(blob, dtype=dt, count=col.total_docs, offset=16)
+            .astype(dt.newbyteorder("="), copy=True)
+        )
+
     # -- typed read API (mirrors segment_reader.rs:43-375) ------------------
 
     def read_int_column(self, name: str) -> np.ndarray:
         col = self._require(name, DataType.INT)
         if not col.has_dictionary:
-            raise UnsupportedFeatureError("RAW INT columns not yet supported")
+            return self._read_raw_numeric(col)
         return self._read_dict_column(col)
 
     def read_long_column(self, name: str) -> np.ndarray:
         col = self._require(name, DataType.LONG)
         if not col.has_dictionary:
-            raise UnsupportedFeatureError("RAW LONG columns not yet supported")
+            return self._read_raw_numeric(col)
         return self._read_dict_column(col)
 
     def read_float_column(self, name: str) -> np.ndarray:
         col = self._require(name, DataType.FLOAT)
         if not col.has_dictionary:
-            raise UnsupportedFeatureError("RAW FLOAT columns not yet supported")
+            return self._read_raw_numeric(col)
         return self._read_dict_column(col)
 
     def read_double_column(self, name: str) -> np.ndarray:
         col = self._require(name, DataType.DOUBLE)
         if not col.has_dictionary:
-            raise UnsupportedFeatureError("RAW DOUBLE columns not yet supported")
+            return self._read_raw_numeric(col)
         return self._read_dict_column(col)
 
     def read_string_column(self, name: str) -> list[str]:
@@ -238,14 +276,30 @@ class SegmentReader:
     # -- zone maps (rebuild improvement: segment/filter pruning) ------------
 
     def column_min_max(self, name: str):
-        """(min, max) for a dict-encoded column via its sorted dictionary;
-        None for RAW columns (no cheap statistics)."""
+        """(min, max) for a dict-encoded column via its sorted dictionary,
+        or for a RAW numeric column via the metadata ``minValue``/
+        ``maxValue`` stats the writer records; None otherwise."""
         col = self.metadata.get_column(name)
-        if (
-            not col.has_dictionary
-            or not col.is_single_value
-            or col.data_type in (DataType.BYTES, DataType.BOOLEAN)
+        if not col.is_single_value or col.data_type in (
+            DataType.BYTES,
+            DataType.BOOLEAN,
         ):
+            return None
+        if not col.has_dictionary:
+            if (
+                col.data_type in self._RAW_NUMERIC_DTYPES
+                and col.min_value is not None
+                and col.max_value is not None
+            ):
+                cast = (
+                    float
+                    if col.data_type in (DataType.FLOAT, DataType.DOUBLE)
+                    else int
+                )
+                try:
+                    return cast(col.min_value), cast(col.max_value)
+                except ValueError:
+                    return None
             return None
         try:
             return self._dictionary(col).min_max()

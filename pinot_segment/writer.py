@@ -94,8 +94,8 @@ class ColumnSpec:
                 raise ValueError("multi-value columns are dictionary-only")
             if data_type is DataType.BYTES:
                 raise ValueError("multi-value BYTES is unsupported")
-        if raw and data_type not in (DataType.STRING, DataType.BYTES):
-            raise ValueError("RAW is only supported for STRING/BYTES columns")
+        if raw and data_type is DataType.BOOLEAN:
+            raise ValueError("RAW is not supported for BOOLEAN columns")
         if data_type is DataType.BYTES and fixed_length_dict:
             raise ValueError(
                 "BYTES dictionaries are var-length only (NUL padding is "
@@ -174,6 +174,24 @@ def _encode_dictionary(spec: ColumnSpec) -> tuple[bytes, list, int]:
             for e in encoded:
                 out += len(e).to_bytes(4, "big") + e
     return bytes(out), uniq, length_of_each_entry
+
+
+def _encode_raw_numeric(spec: ColumnSpec) -> bytes:
+    """Fixed-width RAW numeric forward index (beyond the reference, which
+    errors on RAW numerics at segment_reader.rs:53-57; format defined by
+    this rebuild). High-cardinality numeric columns — unique keys,
+    timestamps — would otherwise pay a dictionary as large as the column.
+
+    Layout: 16-byte header (version=1 u32 BE | valueWidth u32 BE | two
+    reserved u32) followed by the values big-endian, fixed width."""
+    dt = np.dtype(_BE_DTYPES[spec.data_type])
+    body = np.asarray(spec.values, dtype=dt).tobytes()
+    header = (
+        (1).to_bytes(4, "big")
+        + dt.itemsize.to_bytes(4, "big")
+        + b"\x00" * 8
+    )
+    return header + body
 
 
 def _encode_var_byte(spec: ColumnSpec) -> bytes:
@@ -286,7 +304,10 @@ def write_segment(
 
     for spec in columns:
         if spec.raw:
-            blob = _encode_var_byte(spec)
+            if spec.data_type in _BE_DTYPES:
+                blob = _encode_raw_numeric(spec)
+            else:
+                blob = _encode_var_byte(spec)
             start = len(psf)
             psf += blob
             index_lines += [
@@ -301,6 +322,15 @@ def write_segment(
                 f"column.{spec.name}.bitsPerElement=0",
                 f"column.{spec.name}.lengthOfEachEntry=0",
             ]
+            if spec.data_type in _BE_DTYPES and len(spec.values):
+                # Zone-map stats for RAW numerics (Pinot's real property
+                # names): dict columns derive min/max from the sorted
+                # dictionary, RAW columns carry them in metadata instead.
+                arr = np.asarray(spec.values)
+                meta_lines += [
+                    f"column.{spec.name}.minValue={arr.min()}",
+                    f"column.{spec.name}.maxValue={arr.max()}",
+                ]
             continue
 
         dict_blob, uniq, length_of_each_entry = _encode_dictionary(spec)

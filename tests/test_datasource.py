@@ -125,6 +125,36 @@ def test_zone_map_segment_pruning(spark, pinot_table_dir):
     assert len(parts) == 1 and parts[0].segment_dirs == ()  # all pruned → sentinel
 
 
+def test_raw_numeric_zone_map_prunes(spark, tmp_path):
+    """RAW numeric columns have no sorted dictionary; the writer's metadata
+    minValue/maxValue stats must still drive segment pruning for pushed
+    filters."""
+    from pyspark.sql.datasource import LessThanOrEqual
+
+    from datafusion_pinot_spark.sources.pinot_datasource import (
+        PinotDataSourceReader,
+    )
+
+    out = str(tmp_path / "rawn_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    spark.range(0, 80000).selectExpr("id as k", "cast(id as double) * 1.5 as v") \
+        .repartitionByRange(8, "k").write.format("pinot").mode("append") \
+        .option("raw", "k,v").save(out)
+
+    src = PinotDataSource({"path": out})
+    reader = PinotDataSourceReader(src.schema(), src._segments())
+    list(reader.pushFilters([LessThanOrEqual(("k",), 9999)]))
+    parts = [p for p in reader.partitions() if p.segment_dirs]
+    assert 1 <= len(parts) <= 2, f"metadata zone maps did not prune: {len(parts)}"
+    got = (
+        spark.read.format("pinot").load(out)
+        .filter(F.col("k") <= 9999)
+        .agg(F.count("*").alias("n"), F.sum("k").alias("s"))
+        .collect()[0]
+    )
+    assert got.n == 10000 and got.s == sum(range(10000))
+
+
 def test_multivalue_sink_source_roundtrip(spark, tmp_path):
     """array<int>/array<string> columns round-trip through the sink and
     source as MV dictionary columns; element nulls are rejected."""

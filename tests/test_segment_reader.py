@@ -326,6 +326,42 @@ def test_bytes_dictionary_roundtrip(tmp_path):
         ColumnSpec("b", DataType.BYTES, blobs, fixed_length_dict=True)
 
 
+def test_raw_numeric_roundtrip(tmp_path):
+    """RAW (no-dictionary) numeric columns — beyond the reference, which
+    errors on them (segment_reader.rs:53-57). High-cardinality values
+    round-trip without any dictionary, and metadata minValue/maxValue
+    stats stand in for the sorted-dictionary zone map."""
+    n = 5000
+    ints = list(range(-2500, 2500))
+    longs = [i * 3_000_000_007 for i in range(n)]
+    floats = [float(np.float32(i / 7)) for i in range(n)]
+    doubles = [i / 9.0 for i in range(n)]
+    d = tmp_path / "seg"
+    v3 = write_segment(
+        d, "seg", "t",
+        [
+            ColumnSpec("ri", DataType.INT, ints, raw=True),
+            ColumnSpec("rl", DataType.LONG, longs, raw=True),
+            ColumnSpec("rf", DataType.FLOAT, floats, raw=True),
+            ColumnSpec("rd", DataType.DOUBLE, doubles, raw=True),
+        ],
+    )
+    r = SegmentReader.open(v3)
+    assert not r.metadata.get_column("rl").has_dictionary
+    assert r.read_column("ri").tolist() == ints
+    assert r.read_column("rl").tolist() == longs
+    assert r.read_column("rf").tolist() == floats
+    assert r.read_column("rd").tolist() == doubles
+    tbl = r.read_columns_arrow(["ri", "rl", "rd"])
+    assert tbl.column("ri").to_pylist() == ints
+    assert tbl.column("rl").to_pylist() == longs
+    assert tbl.column("rd").to_pylist() == doubles
+    # zone-map stats come from metadata, not a dictionary
+    assert r.column_min_max("ri") == (-2500, 2499)
+    assert r.column_min_max("rl") == (0, (n - 1) * 3_000_000_007)
+    assert r.column_min_max("rd") == (0.0, (n - 1) / 9.0)
+
+
 def test_multivalue_roundtrip(tmp_path):
     """Multi-value columns (beyond the reference, README.md:310-316 lists MV
     as unsupported): flattened dictionary + bit-packed end-offsets. Edge
