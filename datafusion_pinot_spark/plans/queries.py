@@ -1673,6 +1673,51 @@ def q_pinot_raw_numeric_roundtrip(spark, sf):
 
 
 @register(
+    "pinot_timestamp_roundtrip",
+    """SELECT (epoch_ms(ts) // 3600000) % 24 AS hr,
+              count(*) AS n,
+              min(epoch_ms(ts)) AS mn_ms,
+              max(epoch_ms(ts)) AS mx_ms
+       FROM events GROUP BY 1""",
+    "parity",
+    ["pinot", "storage", "timestamp", "roundtrip"],
+)
+def q_pinot_timestamp_roundtrip(spark, sf):
+    """TIMESTAMP through the storage layer (beyond the reference —
+    README.md:314 lists TIMESTAMP as unsupported): event times become a
+    Spark timestamp column, written to Pinot v3 segments as epoch-millis
+    LONGs (Pinot's TIMESTAMP encoding; sub-ms truncated), read back as
+    microsecond instants, and bucketed by hour-of-day on epoch math (not
+    calendar functions — keeps both engines timezone-free); the oracle
+    computes the same from the parquet nanos."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="rtts_"), "ev_OFFLINE")
+    (
+        t(spark, sf, "events")
+        .select(F.col("ts").alias("tstamp"))
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.groupBy(
+            F.expr("unix_millis(tstamp) div 3600000 % 24").alias("hr")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.unix_millis("tstamp")).alias("mn_ms"),
+            F.max(F.unix_millis("tstamp")).alias("mx_ms"),
+        )
+    )
+
+
+@register(
     "pinot_multivalue_roundtrip",
     """SELECT tok, count(*) AS n, CAST(sum(m) AS BIGINT) AS sum_mod
        FROM (
@@ -2289,6 +2334,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_bytes_dict_roundtrip",  # r3: BYTES dictionary read/write
     "pinot_multivalue_roundtrip",  # r3: multi-value columns
     "pinot_raw_numeric_roundtrip",  # r3: RAW numerics + metadata zone maps
+    "pinot_timestamp_roundtrip",  # r3: TIMESTAMP (epoch-millis LONG)
     # -- TPC-H classics + relational additions never driver-checked --
     "q3_shipping_priority",
     "q6_forecast_revenue",
@@ -2333,9 +2379,9 @@ DRIVER_WINDOW: list[str] = [
     "ann_ivf_topk",
     "embedding_cosine_dup_pairs",
     "ngram_jaccard_pairs",
-    # dedup_exact rotated out (driver-green r1+r2; its shape is also inside
-    # corpus_clean_pipeline) for the RAW-numeric storage query.
-    "minhash_signatures",
+    # dedup_exact and minhash_signatures rotated out (driver-green r1+r2;
+    # dedup_exact's shape lives on in corpus_clean_pipeline, signatures in
+    # the md5 LSH pipeline) for the RAW-numeric and TIMESTAMP queries.
     "simhash_dup_groups",  # rows-only by design (xxhash64 is Spark-only)
     "multimodal_frame_sample",
     "streaming_window_agg",

@@ -69,6 +69,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -84,6 +85,7 @@ _SPARK_TYPES = {
     "STRING": StringType(),
     "BYTES": BinaryType(),
     "BOOLEAN": BooleanType(),
+    "TIMESTAMP": TimestampType(),
 }
 
 
@@ -226,8 +228,20 @@ class PinotDataSourceReader(DataSourceReader):
     # -- filter pushdown (rebuild improvement over table.rs:163) ------------
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        # Filters on TIMESTAMP columns are not pushed: Spark hands
+        # datetime.datetime filter values, which don't compare against the
+        # stored epoch-millis ints — Spark evaluates them above the scan.
+        ts_cols = {
+            f.name
+            for f in self._schema.fields
+            if isinstance(f.dataType, TimestampType)
+        }
         for f in filters:
-            if isinstance(f, _RANGE_FILTERS + (IsNotNull, IsNull)) and len(f.attribute) == 1:
+            if (
+                isinstance(f, _RANGE_FILTERS + (IsNotNull, IsNull))
+                and len(f.attribute) == 1
+                and f.attribute[0] not in ts_cols
+            ):
                 self._pushed.append(f)
             else:
                 yield f  # unsupported → Spark evaluates it above the scan
@@ -425,9 +439,12 @@ _WRITE_TYPES = {
     "string": "STRING",
     # Beyond the reference (which rejects both at scan time, exec.rs:136-141):
     # binary → BYTES (var-length dict by default, RAW var-byte via `raw`);
-    # boolean → 1-bit dict-encoded BOOLEAN.
+    # boolean → 1-bit dict-encoded BOOLEAN; timestamp → epoch-millis LONG
+    # (Pinot's TIMESTAMP encoding — sub-millisecond precision is truncated,
+    # matching Pinot semantics).
     "binary": "BYTES",
     "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
 }
 
 # Multi-value columns (beyond the reference, which lists MV as unsupported,
@@ -596,6 +613,12 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                 values = col.to_pylist()
             elif t == "boolean":
                 values = col.combine_chunks().to_numpy(zero_copy_only=False)
+            elif t == "timestamp":
+                # Arrow micros -> Pinot epoch millis (floor; sub-ms truncated)
+                micros = (
+                    col.combine_chunks().cast(pa.int64()).to_numpy()
+                )
+                values = micros // 1000
             else:
                 values = col.combine_chunks().to_numpy()
             if f.name in self._raw:

@@ -37,6 +37,8 @@ _NUMERIC_DTYPES = {
     DataType.LONG: np.dtype(">i8"),
     DataType.FLOAT: np.dtype(">f4"),
     DataType.DOUBLE: np.dtype(">f8"),
+    # TIMESTAMP dictionaries hold epoch-millis LONGs (beyond the reference)
+    DataType.TIMESTAMP: np.dtype(">i8"),
 }
 
 

@@ -29,7 +29,12 @@ from pinot_segment.errors import ColumnNotFoundError, ParseError
 
 
 class DataType(enum.Enum):
-    """Pinot primitive column types (metadata.rs:7-15)."""
+    """Pinot primitive column types (metadata.rs:7-15).
+
+    TIMESTAMP is beyond the reference (README.md:314 lists it unsupported):
+    Pinot's TIMESTAMP is epoch *milliseconds* stored as LONG, and that is
+    the on-disk encoding here too (both dictionary and RAW numeric paths
+    reuse the LONG machinery)."""
 
     INT = "INT"
     LONG = "LONG"
@@ -38,6 +43,7 @@ class DataType(enum.Enum):
     STRING = "STRING"
     BYTES = "BYTES"
     BOOLEAN = "BOOLEAN"
+    TIMESTAMP = "TIMESTAMP"
 
     @classmethod
     def from_string(cls, s: str) -> "DataType":

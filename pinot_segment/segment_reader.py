@@ -41,6 +41,9 @@ ARROW_TYPES = {
     DataType.STRING: pa.string(),
     DataType.BYTES: pa.binary(),
     DataType.BOOLEAN: pa.bool_(),
+    # Stored as epoch millis (Pinot's TIMESTAMP encoding); surfaced to
+    # Arrow/Spark as microsecond instants (Spark's TimestampType unit).
+    DataType.TIMESTAMP: pa.timestamp("us", tz="UTC"),
 }
 
 
@@ -153,6 +156,7 @@ class SegmentReader:
         DataType.LONG: np.dtype(">i8"),
         DataType.FLOAT: np.dtype(">f4"),
         DataType.DOUBLE: np.dtype(">f8"),
+        DataType.TIMESTAMP: np.dtype(">i8"),
     }
 
     def _read_raw_numeric(self, col: ColumnMetadata) -> np.ndarray:
@@ -224,6 +228,14 @@ class SegmentReader:
         )
         return reader.read_all_strings()
 
+    def read_timestamp_column(self, name: str) -> np.ndarray:
+        """Beyond the reference (README.md:314): epoch-millis int64 values
+        (Pinot's TIMESTAMP encoding), dict or RAW like LONG."""
+        col = self._require(name, DataType.TIMESTAMP)
+        if not col.has_dictionary:
+            return self._read_raw_numeric(col)
+        return self._read_dict_column(col)
+
     def read_boolean_column(self, name: str) -> np.ndarray:
         """Beyond the reference (exec.rs:136-141 rejects BOOLEAN): dict-
         encoded 0/1 entries decoded to a numpy bool array."""
@@ -269,6 +281,8 @@ class SegmentReader:
             return self.read_boolean_column(name)
         if col.data_type is DataType.BYTES:
             return self.read_bytes_column(name)
+        if col.data_type is DataType.TIMESTAMP:
+            return self.read_timestamp_column(name)
         raise UnsupportedFeatureError(
             f"{col.data_type.value} columns not supported for reading"
         )
@@ -350,6 +364,10 @@ class SegmentReader:
         if col.data_type in (DataType.STRING, DataType.BYTES, DataType.BOOLEAN):
             values = pa.array(self._dictionary(col).values, type=typ)
             return values.take(pa.array(self._dict_ids(col)))
+        if col.data_type is DataType.TIMESTAMP:
+            # stored millis -> microsecond instants
+            micros = self.read_timestamp_column(name).astype(np.int64) * 1000
+            return pa.array(micros, type=typ)
         return pa.array(self.read_column(name), type=typ)
 
     def read_columns_arrow(self, columns: list[str] | None = None) -> pa.Table:

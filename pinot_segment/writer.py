@@ -42,6 +42,9 @@ _BE_DTYPES = {
     DataType.LONG: ">i8",
     DataType.FLOAT: ">f4",
     DataType.DOUBLE: ">f8",
+    # TIMESTAMP = epoch millis as LONG (Pinot's encoding; beyond the
+    # reference, README.md:314)
+    DataType.TIMESTAMP: ">i8",
 }
 
 

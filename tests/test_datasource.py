@@ -125,6 +125,27 @@ def test_zone_map_segment_pruning(spark, pinot_table_dir):
     assert len(parts) == 1 and parts[0].segment_dirs == ()  # all pruned → sentinel
 
 
+def test_timestamp_sink_source_roundtrip(spark, tmp_path):
+    """Spark timestamps round-trip through the sink/source at millisecond
+    precision (Pinot's TIMESTAMP unit); filters on timestamp columns are
+    NOT pushed (datetime vs epoch-millis ints) but still evaluate
+    correctly above the scan."""
+    out = str(tmp_path / "ts_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    df = spark.range(0, 3000).selectExpr(
+        "id as k",
+        "timestamp_millis(1700000000000 + id * 61) as tstamp",
+    )
+    df.repartition(2).write.format("pinot").mode("overwrite").save(out)
+    back = spark.read.format("pinot").load(out)
+    assert dict(back.dtypes)["tstamp"] == "timestamp"
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, back.collect()))
+    n = back.filter(
+        F.col("tstamp") < F.timestamp_millis(F.lit(1700000000000 + 1000 * 61))
+    ).count()
+    assert n == 1000
+
+
 def test_raw_numeric_zone_map_prunes(spark, tmp_path):
     """RAW numeric columns have no sorted dictionary; the writer's metadata
     minValue/maxValue stats must still drive segment pruning for pushed

@@ -362,6 +362,29 @@ def test_raw_numeric_roundtrip(tmp_path):
     assert r.column_min_max("rd") == (0.0, (n - 1) / 9.0)
 
 
+def test_timestamp_roundtrip(tmp_path):
+    """TIMESTAMP (beyond the reference, README.md:314): epoch-millis LONGs
+    on disk, microsecond-instant Arrow arrays out — dict and RAW paths."""
+    import pyarrow as pa
+
+    ms = [1_700_000_000_000 + i * 97 for i in range(1000)]
+    d = tmp_path / "seg"
+    v3 = write_segment(
+        d, "seg", "t",
+        [
+            ColumnSpec("td", DataType.TIMESTAMP, ms),
+            ColumnSpec("tr", DataType.TIMESTAMP, ms, raw=True),
+        ],
+    )
+    r = SegmentReader.open(v3)
+    assert r.read_column("td").tolist() == ms
+    assert r.read_column("tr").tolist() == ms
+    tbl = r.read_columns_arrow(["td", "tr"])
+    assert tbl.schema.field("td").type == pa.timestamp("us", tz="UTC")
+    assert tbl.column("td").cast(pa.int64()).to_pylist() == [m * 1000 for m in ms]
+    assert tbl.column("tr").cast(pa.int64()).to_pylist() == [m * 1000 for m in ms]
+
+
 def test_multivalue_roundtrip(tmp_path):
     """Multi-value columns (beyond the reference, README.md:310-316 lists MV
     as unsupported): flattened dictionary + bit-packed end-offsets. Edge
