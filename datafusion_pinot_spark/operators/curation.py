@@ -1,0 +1,196 @@
+"""Training-data curation operators: sequence packing and benchmark
+contamination.
+
+Not present in the reference (a storage/scan engine, datafusion-pinot
+README.md:1-40) — these are the pipeline stages a pretraining corpus needs
+between "deduplicated documents" and "token sequences on a trainer":
+
+- :func:`sequence_pack_bins` — assign every document a position in the
+  packed fixed-length token-sequence stream (sample packing). The global
+  running token offset is computed with the scalable two-pass pattern
+  (per-bucket partial sums + tiny prefix frame + within-bucket window),
+  NOT a corpus-wide single-partition window — the same trick as
+  zipWithIndex, so it holds at 100 TB.
+- :func:`contamination_overlap` — per-document n-gram overlap against a
+  (small, broadcast) benchmark/eval shingle set; the corpus side is one
+  linear scan + semi-join, never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datafusion_pinot_spark.functions import tokens, word_shingles
+
+SEQ_LEN = 2048
+BUCKET_SPAN = 256  # doc_ids per cumsum bucket (tune ≈ rows/partition)
+PROBE_MAX_DOC = 20  # doc_id < this = the "benchmark" probe set
+CONTAM_PCT = 5  # contaminated iff hit_shingles/total >= 5%
+
+
+def sequence_pack_bins(
+    docs: DataFrame, seq_len: int = SEQ_LEN, bucket_span: int = BUCKET_SPAN
+) -> DataFrame:
+    """Per packed-sequence bin: how many documents start in it, their token
+    mass, doc-id range, and how many straddle into the next bin.
+
+    Documents are laid out in doc_id order into a continuous token stream
+    that is cut every ``seq_len`` tokens (pretraining sample packing with
+    document splitting). A document occupying stream positions
+    ``[cum - n, cum)`` starts in bin ``(cum - n) div seq_len`` and ends in
+    ``(cum - 1) div seq_len``.
+
+    Scale shape: the global cumulative sum uses bucketed two-pass prefix
+    sums — stage 1 aggregates one partial sum per ``bucket_span`` of
+    doc_ids (tiny frame), stage 2 runs the prefix window over buckets
+    only (O(corpus / bucket_span) rows on one task — thousands, not
+    billions), stage 3 broadcasts the prefixes back and finishes with a
+    within-bucket window. No corpus-wide single-partition sort exists
+    anywhere in the plan."""
+    tok = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n")
+    ).filter(F.col("n") > 0)
+    bucketed = tok.withColumn("bucket", F.expr(f"doc_id div {bucket_span}"))
+
+    bucket_sums = bucketed.groupBy("bucket").agg(F.sum("n").alias("bn"))
+    w_prefix = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = bucket_sums.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(w_prefix), F.lit(0)).alias("prefix"),
+    )
+
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bucketed.join(F.broadcast(prefixes), "bucket")
+        .withColumn("cum", F.col("prefix") + F.sum("n").over(w_local))
+    )
+    first_bin = F.expr(f"(cum - n) div {seq_len}")
+    last_bin = F.expr(f"(cum - 1) div {seq_len}")
+    return (
+        cum.select(
+            "doc_id",
+            "n",
+            first_bin.alias("bin"),
+            (last_bin > first_bin).cast("int").alias("straddles"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("tok_sum"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("straddles").alias("n_straddling"),
+        )
+    )
+
+
+def sequence_pack_bins_oracle_sql(
+    seq_len: int = SEQ_LEN,
+) -> str:
+    """DuckDB oracle: the same layout from one plain running-sum window
+    (fine at oracle scale; the Spark side exists precisely because this
+    window doesn't scale)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n
+  FROM documents
+), nz AS (
+  SELECT * FROM tok WHERE n > 0
+), c AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM nz
+)
+SELECT (cum - n) // {seq_len} AS bin,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS tok_sum,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc,
+       CAST(sum(CASE WHEN (cum - 1) // {seq_len} > (cum - n) // {seq_len}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+FROM c GROUP BY 1
+"""
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    probe_max_doc: int = PROBE_MAX_DOC,
+    n: int = 3,
+    pct: int = CONTAM_PCT,
+) -> DataFrame:
+    """Per corpus document: distinct word-n-gram shingles shared with the
+    probe ("benchmark") documents, and a contamination flag at ``pct``%
+    overlap. The probe shingle set is small by construction and broadcast;
+    the corpus side is one shingle scan + semi-join + left join — linear,
+    never all-pairs. The flag uses integer arithmetic
+    (``hits * 100 >= pct * total``), so there is no float threshold to
+    drift between engines."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), n)).alias("s"),
+    )
+    probe = (
+        sh.filter(F.col("doc_id") < probe_max_doc).select("s").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= probe_max_doc)
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("total_shingles"))
+    hits = (
+        corpus.join(F.broadcast(probe), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hit_shingles"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "total_shingles",
+        F.coalesce("hit_shingles", F.lit(0)).alias("hit_shingles"),
+        (
+            F.coalesce("hit_shingles", F.lit(0)) * 100
+            >= F.lit(pct) * F.col("total_shingles")
+        ).alias("contaminated"),
+    )
+
+
+def contamination_overlap_oracle_sql(
+    probe_max_doc: int = PROBE_MAX_DOC, n: int = 3, pct: int = CONTAM_PCT
+) -> str:
+    joined = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    shingles = (
+        f"CASE WHEN len(w) < {n} THEN [] "
+        f"ELSE list_distinct(list_transform(generate_series(1, len(w) - {n - 1}), "
+        f"i -> {joined})) END"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, {shingles} AS sh FROM t
+), e AS (
+  SELECT DISTINCT doc_id, unnest(sh) AS s FROM s
+), probe AS (
+  SELECT DISTINCT s FROM e WHERE doc_id < {probe_max_doc}
+), corpus AS (
+  SELECT * FROM e WHERE doc_id >= {probe_max_doc}
+), tot AS (
+  SELECT doc_id, count(*) AS total_shingles FROM corpus GROUP BY 1
+), h AS (
+  SELECT c.doc_id, count(*) AS hit_shingles
+  FROM corpus c JOIN probe p USING (s) GROUP BY 1
+)
+SELECT tot.doc_id,
+       tot.total_shingles,
+       coalesce(h.hit_shingles, 0) AS hit_shingles,
+       coalesce(h.hit_shingles, 0) * 100 >= {pct} * tot.total_shingles
+         AS contaminated
+FROM tot LEFT JOIN h USING (doc_id)
+"""

@@ -910,6 +910,25 @@ def _register_llm():
         lambda spark, sf: dedup.simhash_dup_groups(_docs(spark, sf))
     )
 
+    from datafusion_pinot_spark.operators import curation
+
+    # Pretraining sample packing: global token-offset layout via bucketed
+    # two-pass prefix sums (no corpus-wide single-partition window).
+    register(
+        "sequence_pack_bins",
+        curation.sequence_pack_bins_oracle_sql(),
+        "llm",
+        ["curation", "packing", "tokens"],
+    )(lambda spark, sf: curation.sequence_pack_bins(_docs(spark, sf)))
+    # Benchmark-contamination scan: broadcast probe shingles, linear corpus
+    # side, integer-arithmetic threshold.
+    register(
+        "contamination_overlap",
+        curation.contamination_overlap_oracle_sql(),
+        "llm",
+        ["curation", "contamination", "ngram"],
+    )(lambda spark, sf: curation.contamination_overlap(_docs(spark, sf)))
+
     register("text_stats", text.text_stats_oracle_sql(), "llm", ["text"])(
         lambda spark, sf: text.text_stats(_docs(spark, sf))
     )
@@ -2366,6 +2385,9 @@ DRIVER_WINDOW: list[str] = [
     "streaming_dedup_firstseen",
     "stream_stream_join_conversions",
     "streaming_watermarked_agg",  # rows-only by design (watermark withholds)
+    # -- r3 curation ops --
+    "sequence_pack_bins",
+    "contamination_overlap",
     # -- retained veterans (changed this round or highest regression risk) --
     "minhash_lsh_pairs",  # upgraded to md5-family oracle this round
     "q1_pricing_summary",
@@ -2373,8 +2395,9 @@ DRIVER_WINDOW: list[str] = [
     "approx_distinct",
     "json_extract_events",
     "sessionization",
-    "window_topk_per_group",
-    "ann_cosine_topk",
+    # window_topk_per_group and ann_cosine_topk rotated out (driver-green
+    # r1+r2, plan-asserted / represented by the LSH+IVF ANN entries) for
+    # the r3 curation ops above.
     "ann_lsh_bucketed",
     "ann_ivf_topk",
     "embedding_cosine_dup_pairs",
