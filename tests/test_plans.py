@@ -151,3 +151,18 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_sequence_packing_has_no_corpus_wide_single_partition(q):
+    """The packed-sequence layout's global cumsum must come from the
+    bucketed two-pass prefix (SCALE.md): the only SinglePartition exchange
+    in the plan feeds the tiny per-bucket prefix window, and the
+    corpus-side running-sum window is hash-partitioned by bucket."""
+    df = q("sequence_pack_bins")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 1
+    # the single-partition exchange sits below a bucket-keyed aggregate
+    tail = plan.split("Exchange SinglePartition")[1]
+    assert "HashAggregate(keys=[bucket" in tail
+    # the corpus-side window partitions by bucket (never a global sort)
+    assert "windowspecdefinition(bucket" in plan
