@@ -179,7 +179,10 @@ class PinotDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("pinot stream source requires a table directory path")
-        return PinotStreamReader(schema, path)
+        spp = int(self.options.get("segments_per_partition", "1") or "1")
+        if spp < 1:
+            raise ValueError("segments_per_partition must be >= 1")
+        return PinotStreamReader(schema, path, spp)
 
     def writer(self, schema: StructType, overwrite: bool) -> "PinotDataSourceWriter":
         path = self.options.get("path")
@@ -361,10 +364,13 @@ class PinotStreamReader(DataSourceStreamReader):
     unchanged.
     """
 
-    def __init__(self, schema: StructType, path: str) -> None:
+    def __init__(
+        self, schema: StructType, path: str, segments_per_partition: int = 1
+    ) -> None:
         self._schema = schema
         self._columns = tuple(f.name for f in schema.fields)
         self._path = path
+        self._spp = segments_per_partition
 
     def _current_segments(self) -> list[str]:
         try:
@@ -401,7 +407,7 @@ class PinotStreamReader(DataSourceStreamReader):
             os.path.basename(os.path.dirname(s)): s
             for s in self._current_segments()
         }
-        parts = []
+        dirs = []
         for name in new:
             v3 = by_name.get(name)
             if v3 is None:
@@ -410,7 +416,13 @@ class PinotStreamReader(DataSourceStreamReader):
                     f"under {self._path}; Pinot segments are immutable — was the "
                     "table directory modified out-of-band?"
                 )
-            parts.append(PinotInputPartition((v3,), self._columns, ()))
+            dirs.append(v3)
+        # Same packing knob as the batch reader: a burst of many tiny
+        # segments in one micro-batch otherwise schedules one task each.
+        parts = [
+            PinotInputPartition(tuple(dirs[i : i + self._spp]), self._columns, ())
+            for i in range(0, len(dirs), self._spp)
+        ]
         # Spark requires ≥1 partition per batch; empty batch → sentinel.
         return parts or [PinotInputPartition((), self._columns, ())]
 

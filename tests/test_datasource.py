@@ -567,6 +567,49 @@ def test_stream_reader_picks_up_new_segments(spark, tmp_path):
         q.stop()
 
 
+def test_stream_reader_packs_segments_and_reads_r3_types(spark, tmp_path):
+    """Streaming source over a table with r3 column types (timestamp +
+    multi-value), with micro-batch segment packing: 8 tiny segments land
+    as 2 tasks (segments_per_partition=4) and every value survives."""
+    from datafusion_pinot_spark.sources.pinot_datasource import (
+        PinotDataSource as PDS,
+    )
+
+    out = str(tmp_path / "streammv_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    df = spark.range(0, 800).selectExpr(
+        "id as k",
+        "timestamp_millis(1700000000000 + id * 13) as tstamp",
+        "array(cast(id % 3 as int), cast(id % 5 as int)) as mi",
+    )
+    df.repartition(8).write.format("pinot").mode("append").save(out)
+
+    src = PDS({"path": out, "segments_per_partition": "4"})
+    reader = src.streamReader(src.schema())
+    parts = reader.partitions(reader.initialOffset(), reader.latestOffset())
+    assert [len(p.segment_dirs) for p in parts] == [4, 4]
+
+    stream = (
+        spark.readStream.format("pinot")
+        .option("segments_per_partition", "4")
+        .load(out)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pinot_stream_mv")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("pinot_stream_mv")
+        assert got.count() == 800
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+    finally:
+        q.stop()
+
+
 def test_empty_projection_metadata_count(spark, tmp_path):
     """`.option("columns", "")` → zero-column scan whose row count comes from
     segment metadata (reference exec.rs:92-95 count path) — and from the
