@@ -249,30 +249,13 @@ def q_orderby_multi(spark, sf):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q1_pricing_summary",
-    """SELECT l_returnflag, l_linestatus,
-              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
-              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
-              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
-              round(CAST(sum((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge,
-              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
-              round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
-              count(*) AS count_order
-       FROM lineitem
-       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-       GROUP BY l_returnflag, l_linestatus
-       ORDER BY l_returnflag, l_linestatus""",
-    "relational",
-    ["agg", "tpch"],
-)
-def q1_pricing_summary(spark, sf):
-    """TPC-H Q1 shape. Derived measures are rounded per-row then summed as
-    exact decimals, so both engines aggregate identical values."""
-    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    # Exact decimal per-row measures: price(12,2) x (1-disc)(4,2) has true
-    # scale 4, x (1+tax)(4,2) scale 6 — no 38-precision cap, no float
-    # rounding ties across engines (see round-semantics note in module doc).
+def _q1_agg(li: DataFrame) -> DataFrame:
+    """The TPC-H Q1 aggregation body over any lineitem-shaped frame.
+    Derived measures are rounded per-row then summed as exact decimals, so
+    both engines aggregate identical values: price(12,2) x (1-disc)(4,2)
+    has true scale 4, x (1+tax)(4,2) scale 6 — no 38-precision cap, no
+    float rounding ties across engines (round-semantics note, module doc).
+    """
     price_d = F.col("l_extendedprice").cast("decimal(12,2)")
     disc_price = price_d * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
     charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
@@ -294,6 +277,30 @@ def q1_pricing_summary(spark, sf):
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
+              round(CAST(sum((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+              round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    "relational",
+    ["agg", "tpch"],
+)
+def q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape over the parquet lineitem (body: _q1_agg)."""
+    return _q1_agg(
+        t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
     )
 
 
@@ -1692,6 +1699,49 @@ def q_pinot_raw_numeric_roundtrip(spark, sf):
 
 
 @register(
+    "pinot_lineitem_q1",
+    """SELECT l_returnflag, l_linestatus,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
+              round(CAST(sum((CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+              round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    "parity",
+    ["pinot", "storage", "tpch", "roundtrip"],
+)
+def q_pinot_lineitem_q1(spark, sf):
+    """The headline storage proof: the COMPLETE lineitem table — every
+    column, all 11 types incl. the TIMESTAMP ship date (r3) — written to
+    Pinot v3 segments (the three high-card keys as RAW fixed-width
+    numerics, the rest dictionary-encoded) and TPC-H Q1 run over the
+    pinot-format table; the oracle runs Q1 on the original parquet. A
+    hash match means a user could move the whole fact table into this
+    storage engine and get bit-identical analytics."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="rtq1_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "l_orderkey,l_partkey,l_suppkey")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return _q1_agg(back.filter(F.col("l_shipdate") <= "1998-09-02"))
+
+
+@register(
     "pinot_timestamp_roundtrip",
     """SELECT (epoch_ms(ts) // 3600000) % 24 AS hr,
               count(*) AS n,
@@ -2354,6 +2404,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_multivalue_roundtrip",  # r3: multi-value columns
     "pinot_raw_numeric_roundtrip",  # r3: RAW numerics + metadata zone maps
     "pinot_timestamp_roundtrip",  # r3: TIMESTAMP (epoch-millis LONG)
+    "pinot_lineitem_q1",  # r3: FULL fact table in pinot format, Q1 on top
     # -- TPC-H classics + relational additions never driver-checked --
     "q3_shipping_priority",
     "q6_forecast_revenue",
@@ -2394,10 +2445,10 @@ DRIVER_WINDOW: list[str] = [
     "join_5way_region_revenue",
     "approx_distinct",
     "json_extract_events",
-    "sessionization",
-    # window_topk_per_group and ann_cosine_topk rotated out (driver-green
-    # r1+r2, plan-asserted / represented by the LSH+IVF ANN entries) for
-    # the r3 curation ops above.
+    # sessionization, window_topk_per_group, and ann_cosine_topk rotated
+    # out (driver-green r1+r2, plan-asserted / represented by session_
+    # window_agg and the LSH+IVF ANN entries) for the r3 curation ops and
+    # the full-lineitem Q1 storage proof.
     "ann_lsh_bucketed",
     "ann_ivf_topk",
     "embedding_cosine_dup_pairs",

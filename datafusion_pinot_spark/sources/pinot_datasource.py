@@ -457,6 +457,10 @@ _WRITE_TYPES = {
     "binary": "BYTES",
     "boolean": "BOOLEAN",
     "timestamp": "TIMESTAMP",
+    # timestamp_ntz writes the same epoch-millis LONGs, reading the naive
+    # values as UTC (the session timezone this engine pins); the source
+    # always surfaces TIMESTAMP columns as UTC instants.
+    "timestamp_ntz": "TIMESTAMP",
 }
 
 # Multi-value columns (beyond the reference, which lists MV as unsupported,
@@ -625,7 +629,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                 values = col.to_pylist()
             elif t == "boolean":
                 values = col.combine_chunks().to_numpy(zero_copy_only=False)
-            elif t == "timestamp":
+            elif t in ("timestamp", "timestamp_ntz"):
                 # Arrow micros -> Pinot epoch millis (floor; sub-ms truncated)
                 micros = (
                     col.combine_chunks().cast(pa.int64()).to_numpy()
