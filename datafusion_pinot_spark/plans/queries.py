@@ -2385,6 +2385,413 @@ def q_stream_stream_join(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# §2b TPC-H breadth (r3): the classic shapes the testdata schema can express.
+# No partsupp / l_commitdate / l_shipmode columns exist in the driver's
+# synthetic tables, so Q4/Q12/Q17 are adapted to equivalent plan shapes on
+# the available columns (noted per query). All money math is exact-decimal
+# per the module's engine-stable-numerics rule.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_priority_late_ship",
+    """SELECT o_orderpriority, count(*) AS n_orders
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "relational",
+    ["tpch", "semi-join", "agg"],
+)
+def q4_priority_late_ship(spark, sf):
+    """TPC-H Q4 shape (order priority checking): EXISTS → LEFT SEMI join
+    with a cross-side condition. The testdata has no l_commitdate /
+    l_receiptdate, so "late" is l_shipdate > o_orderdate + 30 days — the
+    same correlated-EXISTS plan shape. Scale shape: semi join shuffles on
+    the order key only; no fact row ever duplicates."""
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = t(spark, sf, "lineitem")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """SELECT n_name,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
+                AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "relational",
+    ["tpch", "join", "agg"],
+)
+def q5_local_supplier_volume(spark, sf):
+    """TPC-H Q5 (local supplier volume): the 6-way star join with the
+    c_nationkey = s_nationkey locality condition. Scale shape: one shuffle
+    join (lineitem⋈orders on the order key); supplier/customer/nation/region
+    are true dims — broadcast. The locality condition lands as a join-side
+    filter, never a cross product."""
+    region = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t(spark, sf, "lineitem")
+    supp = t(spark, sf, "supplier")
+    cust = t(spark, sf, "customer")
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(cust),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+              round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    year(l_shipdate) AS l_year,
+                    CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+             FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+               AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+               AND c_nationkey = n2.n_nationkey
+               AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year""",
+    "relational",
+    ["tpch", "join", "agg"],
+)
+def q7_volume_shipping(spark, sf):
+    """TPC-H Q7 (volume shipping): bidirectional nation-pair trade volume by
+    ship year. Scale shape: one fact-fact shuffle (lineitem⋈orders);
+    supplier/customer broadcast with their nation names pre-attached (the
+    two aliased nation joins collapse into the dim broadcasts); the
+    either-direction pair predicate is a post-join filter on two broadcast
+    columns."""
+    nation = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    supp = (
+        t(spark, sf, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t(spark, sf, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem")
+    volume = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(volume).cast("double"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q10_returned_items",
+    """SELECT c_custkey, c_name, n_name,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
+                AS revenue
+       FROM customer, orders, lineitem, nation
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+         AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "relational",
+    ["tpch", "join", "topk"],
+)
+def q10_returned_items(spark, sf):
+    """TPC-H Q10 (returned item reporting): top-20 customers by revenue lost
+    to returns. Scale shape: lineitem⋈orders shuffles once; customer/nation
+    broadcast; top-20 is TakeOrderedAndProject (no global sort) with
+    c_custkey as the unique tiebreaker."""
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = t(spark, sf, "customer")
+    nation = t(spark, sf, "nation")
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    """SELECT year(l_shipdate) AS l_year,
+              sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+              sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+       GROUP BY l_year ORDER BY l_year""",
+    "relational",
+    ["tpch", "join", "case"],
+)
+def q12_late_shipment_priority(spark, sf):
+    """TPC-H Q12 shape (shipping-priority classification): conditional
+    CASE-sums over a joined fact pair. The testdata has no l_shipmode, so
+    the group key is ship year and "late" is shipdate > orderdate + 60 days
+    — same join + pivoting-aggregate plan. Counts are integers: exact in
+    both engines by construction."""
+    orders = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_year")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                       ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4)
+                AS promo_pct,
+              count(*) AS n
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""",
+    "relational",
+    ["tpch", "join", "agg"],
+)
+def q14_promo_revenue(spark, sf):
+    """TPC-H Q14 (promotion effect): conditional revenue ratio. Both sums
+    are exact decimals; the ratio divides their bit-identical double casts
+    (the davg pattern), so the rounded percentage matches across engines.
+    Scale shape: one month of the fact broadcast-joins the part dim."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = t(spark, sf, "part")
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(14,4)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double"),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """WITH rev AS (
+         SELECT l_suppkey,
+                sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, round(CAST(total AS DOUBLE), 2) AS total_rev
+       FROM supplier JOIN rev ON s_suppkey = l_suppkey
+       WHERE total = (SELECT max(total) FROM rev) ORDER BY s_suppkey""",
+    "relational",
+    ["tpch", "subquery", "agg"],
+)
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15 (top supplier): a revenue CTE consumed twice — once joined
+    to the dim, once reduced to its max for the scalar-subquery filter. The
+    equality compares exact decimals, so ties resolve identically in both
+    engines. Scale shape: rev is one partial-agg shuffle on l_suppkey; its
+    1-row max broadcasts back."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(disc_price).alias("total"))
+    best = rev.agg(F.max("total").alias("best_total"))
+    supp = t(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(best), F.col("total") == F.col("best_total"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total").cast("double"), 2).alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+                AS avg_yearly,
+              count(*) AS n
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       JOIN (SELECT l_partkey AS agg_pk,
+                    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                    count(*) AS nq
+             FROM lineitem GROUP BY l_partkey) ON agg_pk = p_partkey
+       WHERE p_brand = 'Brand#23'
+         AND 5 * CAST(l_quantity AS DECIMAL(18,2)) * nq < sq""",
+    "relational",
+    ["tpch", "subquery", "join"],
+)
+def q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    "quantity < 0.2 * avg(quantity) for this part" subquery, decorrelated
+    into a per-part aggregate join — and the threshold rewritten
+    fraction-free (qty < 0.2*sum/n  ⟺  5*qty*n < sum) so the comparison is
+    exact-decimal in both engines instead of a division whose rounding
+    could flip boundary rows. Scale shape: the per-part agg shuffles on
+    l_partkey once; the brand filter prunes the probe side early."""
+    li = t(spark, sf, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_pk")).agg(
+        F.sum(money("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("nq")
+    )
+    part = t(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("agg_pk") == F.col("p_partkey"))
+        .filter(F.lit(5) * money("l_quantity") * F.col("nq") < F.col("sq"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
+                AS revenue,
+              count(*) AS n
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+              AND l_quantity BETWEEN 20 AND 30)""",
+    "relational",
+    ["tpch", "filter", "join"],
+)
+def q19_disjunctive_filter(spark, sf):
+    """TPC-H Q19 (discounted revenue): the classic OR-of-ANDs predicate
+    spanning both join sides. Catalyst extracts the common l_quantity
+    bounds below the join; the full disjunction evaluates post-join in
+    codegen. Scale shape: part broadcasts; no shuffle beyond the 1-row
+    agg."""
+    li = t(spark, sf, "lineitem")
+    part = t(spark, sf, "part")
+    qty = F.col("l_quantity")
+    branch = lambda brand, size_hi, q_lo, q_hi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & qty.between(q_lo, q_hi)
+    )
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            branch("Brand#12", 15, 1, 11)
+            | branch("Brand#23", 25, 10, 20)
+            | branch("Brand#34", 35, 20, 30)
+        )
+        .agg(
+            F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------
 # The driver's correctness gate hash-checks exactly the FIRST 50 keys yielded
