@@ -2791,6 +2791,115 @@ def q19_disjunctive_filter(spark, sf):
     )
 
 
+@register(
+    "pinot_nulls_roundtrip",
+    """WITH src AS (
+         SELECT doc_id,
+                CASE WHEN n_chars % 7 = 0 THEN NULL ELSE lang END AS lang_n,
+                CASE WHEN n_chars % 5 = 0 THEN NULL ELSE n_chars END AS chars_n
+         FROM documents)
+       SELECT lang_n, count(*) AS n,
+              count(chars_n) AS n_chars_set,
+              CAST(sum(CASE WHEN chars_n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_chars_null,
+              CAST(sum(chars_n) AS BIGINT) AS sum_chars
+       FROM src GROUP BY lang_n ORDER BY lang_n NULLS FIRST""",
+    "parity",
+    ["pinot", "storage", "nulls", "roundtrip"],
+)
+def q_pinot_nulls_roundtrip(spark, sf):
+    """Nullable columns through the storage layer (beyond the reference,
+    whose schema mapping is non-nullable-only, schema.rs:29-30): derived
+    NULLs in a STRING and a LONG column are written to Pinot v3 segments —
+    type-default fills in the forward index plus a 1-bit null-vector index
+    per column — read back through the source, and aggregated with
+    null-sensitive measures (count(col), IS NULL counts, sum over a
+    nullable group key including the NULL group). A hash match proves null
+    positions survive write -> decode -> scan exactly."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="nulls_"), "docs_OFFLINE")
+    (
+        _docs(spark, sf)
+        .select(
+            "doc_id",
+            F.when(F.col("n_chars") % 7 == 0, None)
+            .otherwise(F.col("lang"))
+            .alias("lang_n"),
+            F.when(F.col("n_chars") % 5 == 0, None)
+            .otherwise(F.col("n_chars"))
+            .alias("chars_n"),
+        )
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.groupBy("lang_n")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("chars_n").alias("n_chars_set"),
+            F.sum(F.when(F.col("chars_n").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_chars_null"),
+            F.sum("chars_n").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy(F.asc_nulls_first("lang_n"))
+    )
+
+
+@register(
+    "pinot_sorted_scan",
+    """SELECT l_returnflag, count(*) AS n,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS sum_qty
+       FROM lineitem
+       WHERE l_orderkey >= 500 AND l_orderkey < 1200
+       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "parity",
+    ["pinot", "storage", "sorted", "filter"],
+)
+def q_pinot_sorted_scan(spark, sf):
+    """Sorted-column range pruning (Pinot's sorted-index idea): lineitem is
+    range-partitioned and sorted by l_orderkey into v3 segments (the writer
+    detects and records isSorted; the key is RAW numeric, so this exercises
+    the metadata zone maps AND the RAW sorted binary search), then a range
+    filter on the sort key runs through the source — whole segments prune on
+    zone maps, the survivors binary-search to a doc slice and decode only
+    [lo, hi). The oracle applies the same filter to the original parquet."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="sorted_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .repartitionByRange(4, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "l_orderkey")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.filter((F.col("l_orderkey") >= 500) & (F.col("l_orderkey") < 1200))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(money("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------
@@ -2846,30 +2955,31 @@ DRIVER_WINDOW: list[str] = [
     # -- r3 curation ops --
     "sequence_pack_bins",
     "contamination_overlap",
-    # -- retained veterans (changed this round or highest regression risk) --
+    # -- r3 storage additions: nullable columns + sorted-range pruning --
+    "pinot_nulls_roundtrip",
+    "pinot_sorted_scan",
+    # -- r3 TPC-H breadth (Q4/Q12/Q17 adapted to the testdata schema) --
+    "q4_priority_late_ship",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_filter",
+    # -- retained (changed this round or rows-only by design) --
     "minhash_lsh_pairs",  # upgraded to md5-family oracle this round
-    "q1_pricing_summary",
-    "join_5way_region_revenue",
-    "approx_distinct",
-    "json_extract_events",
-    # sessionization, window_topk_per_group, and ann_cosine_topk rotated
-    # out (driver-green r1+r2, plan-asserted / represented by session_
-    # window_agg and the LSH+IVF ANN entries) for the r3 curation ops and
-    # the full-lineitem Q1 storage proof.
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "embedding_cosine_dup_pairs",
-    "ngram_jaccard_pairs",
-    # dedup_exact and minhash_signatures rotated out (driver-green r1+r2;
-    # dedup_exact's shape lives on in corpus_clean_pipeline, signatures in
-    # the md5 LSH pipeline) for the RAW-numeric and TIMESTAMP queries.
     "simhash_dup_groups",  # rows-only by design (xxhash64 is Spark-only)
-    "multimodal_frame_sample",
-    "streaming_window_agg",
-    "asof_join_last_signup",
-    # pivot_event_types and events_tumbling_window rotated out (driver-green
-    # r1+r2, pinned by tests/test_queries_oracle.py) to make room for the
-    # BYTES-dict and multi-value storage queries.
+    # Veterans rotated out for the r3 additions — all driver-green in BOTH
+    # r1 and r2 and pinned by tests/test_queries_oracle.py:
+    # q1_pricing_summary, join_5way_region_revenue, approx_distinct,
+    # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
+    # embedding_cosine_dup_pairs, ngram_jaccard_pairs,
+    # multimodal_frame_sample, streaming_window_agg, asof_join_last_signup
+    # (earlier rotations: sessionization, window_topk_per_group,
+    # ann_cosine_topk, dedup_exact, minhash_signatures, pivot_event_types,
+    # events_tumbling_window).
 ]
 
 

@@ -166,7 +166,10 @@ class PinotDataSource(DataSource):
                 # multi-value column → array<element> (containsNull=False:
                 # Pinot values are non-nullable, schema.rs:29-30)
                 typ = ArrayType(typ, containsNull=False)
-            fields.append(StructField(n, typ, nullable=False))
+            # Nullable iff the segment carries a null-vector index for the
+            # column (a rebuild extension — the reference maps every column
+            # non-nullable, schema.rs:29-30).
+            fields.append(StructField(n, typ, nullable=col.has_null_values))
         return StructType(fields)
 
     def reader(self, schema: StructType) -> "PinotDataSourceReader":
@@ -311,7 +314,14 @@ class PinotDataSourceReader(DataSourceReader):
             return
         for segment_dir in partition.segment_dirs:
             reader = SegmentReader.open(segment_dir)
-            mask = _row_mask(reader, partition.filters)
+            # Sorted-column pruning (Pinot's sorted-index idea): a pushed
+            # range/eq filter on a column the segment declares sorted
+            # binary-searches into a doc range, so only [lo, hi) is ever
+            # decoded; remaining filters mask within the slice.
+            rng = _sorted_row_range(reader, partition.filters)
+            if rng is not None and rng[0] >= rng[1]:
+                continue  # provably empty
+            mask = _row_mask(reader, partition.filters, rng)
             if mask is not None and not mask.any():
                 continue
             if not partition.columns:
@@ -321,13 +331,18 @@ class PinotDataSourceReader(DataSourceReader):
                 # reference's metadata-only count (exec.rs:92-95).
                 # Zero-column nonzero-row batches are valid Arrow and Spark
                 # counts them.
-                n = int(mask.sum()) if mask is not None else reader.total_docs()
+                if mask is not None:
+                    n = int(mask.sum())
+                elif rng is not None:
+                    n = rng[1] - rng[0]
+                else:
+                    n = reader.total_docs()
                 if n > 0:
                     yield pa.RecordBatch.from_struct_array(
                         pa.nulls(n, pa.struct([]))
                     )
                 continue
-            table = reader.read_columns_arrow(list(partition.columns))
+            table = reader.read_columns_arrow(list(partition.columns), rng)
             if mask is not None:
                 table = table.filter(pa.array(mask))
             # Yield natural column-chunk batches; Spark re-slices to its own
@@ -602,12 +617,29 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         specs = []
         for f in self._schema.fields:
             col = table.column(f.name)
-            if col.null_count:
-                raise ValueError(
-                    f"NULL in column '{f.name}': Pinot columns are non-nullable "
-                    "(reference schema.rs:29-30)"
-                )
             t = f.dataType.simpleString()
+            null_mask = None
+            if col.null_count:
+                # Nullable single-value columns (a rebuild extension — the
+                # reference's schema mapping is non-nullable-only,
+                # schema.rs:29-30): store a type-default fill value in the
+                # forward index and a 1-bit null-vector index marking the
+                # null docs (Pinot's own null-handling shape). The reader
+                # re-applies the mask, so fills never surface.
+                if t in _MV_WRITE_TYPES:
+                    raise ValueError(
+                        f"NULL in multi-value column '{f.name}': MV columns "
+                        "are non-nullable"
+                    )
+                combined = col.combine_chunks()
+                null_mask = combined.is_null().to_numpy(zero_copy_only=False)
+                fills = {"boolean": False, "string": "", "binary": b""}
+                if t in ("timestamp", "timestamp_ntz"):
+                    filled = combined  # filled below, after the int64 cast
+                else:
+                    filled = combined.fill_null(fills.get(t, 0))
+                # re-wrap: the per-type branches below expect a ChunkedArray
+                col = pa.chunked_array([filled])
             if t in _MV_WRITE_TYPES:
                 if col.combine_chunks().flatten().null_count:
                     raise ValueError(
@@ -632,7 +664,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
             elif t in ("timestamp", "timestamp_ntz"):
                 # Arrow micros -> Pinot epoch millis (floor; sub-ms truncated)
                 micros = (
-                    col.combine_chunks().cast(pa.int64()).to_numpy()
+                    col.combine_chunks().cast(pa.int64()).fill_null(0).to_numpy()
                 )
                 values = micros // 1000
             else:
@@ -653,10 +685,11 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                         values,
                         raw=True,
                         compression=compression,
+                        null_mask=null_mask,
                     )
                 )
             else:
-                specs.append(ColumnSpec(f.name, dt, values))
+                specs.append(ColumnSpec(f.name, dt, values, null_mask=null_mask))
         write_segment(staged, seg_name, self._table, specs)
         return PinotWriterCommitMessage(staged_dir=staged, segment_name=seg_name)
 
@@ -719,7 +752,12 @@ def _segment_can_be_skipped(segment_dir: str, filters: list[Filter]) -> bool:
         return False
     for f in filters:
         if isinstance(f, IsNull):
-            return True  # Pinot columns are non-nullable → IS NULL = empty
+            # IS NULL is provably empty only for a column with no
+            # null-vector index (the non-nullable default).
+            cm = reader.metadata.columns.get(f.attribute[0])
+            if cm is not None and not cm.has_null_values:
+                return True
+            continue
         if not isinstance(f, _RANGE_FILTERS):
             continue
         col = f.attribute[0]
@@ -733,41 +771,105 @@ def _segment_can_be_skipped(segment_dir: str, filters: list[Filter]) -> bool:
     return False
 
 
-def _row_mask(reader, filters):
-    """AND of pushed filters as a numpy boolean mask, or None if no filters."""
+def _sorted_row_range(reader, filters):
+    """Intersect the doc ranges implied by pushed range/eq filters on
+    sorted columns (reader.sorted_row_range), or None when no filter hits a
+    sorted column. An empty intersection returns (lo, lo) — the caller
+    skips the segment without decoding anything."""
+    rng = None
+    for f in filters:
+        if isinstance(f, EqualTo):
+            bounds = (f.value, True, f.value, True)
+        elif isinstance(f, GreaterThan):
+            bounds = (f.value, False, None, True)
+        elif isinstance(f, GreaterThanOrEqual):
+            bounds = (f.value, True, None, True)
+        elif isinstance(f, LessThan):
+            bounds = (None, True, f.value, False)
+        elif isinstance(f, LessThanOrEqual):
+            bounds = (None, True, f.value, True)
+        else:
+            continue
+        name = f.attribute[0]
+        if name not in reader.metadata.columns:
+            continue
+        try:
+            r = reader.sorted_row_range(name, *bounds)
+        except TypeError:  # incomparable filter value: no range
+            continue
+        if r is None:
+            continue
+        rng = r if rng is None else (max(rng[0], r[0]), min(rng[1], r[1]))
+    return rng
+
+
+def _row_mask(reader, filters, row_range=None):
+    """AND of pushed filters as a numpy boolean mask over the (possibly
+    row-range-sliced) docs, or None if no filters.
+
+    Null semantics (SQL three-valued logic): a comparison on a nullable
+    column is never true at null positions — the forward index stores fill
+    values there, so the column's null-vector is ANDed out; IS [NOT] NULL
+    evaluate against the null-vector directly."""
     import numpy as np
 
     if not filters:
         return None
     mask = None
     col_cache: dict[str, object] = {}
+    null_cache: dict[str, object] = {}
+
+    def clip(arr):
+        if row_range is not None:
+            return arr[row_range[0] : row_range[1]]
+        return arr
 
     def colvals(name):
         if name not in col_cache:
             vals = reader.read_column(name)
-            col_cache[name] = np.asarray(vals) if not isinstance(vals, np.ndarray) else vals
+            vals = np.asarray(vals) if not isinstance(vals, np.ndarray) else vals
+            col_cache[name] = clip(vals)
         return col_cache[name]
 
-    n = reader.total_docs()
+    def nulls(name):
+        if name not in null_cache:
+            nm = reader.null_mask(name)
+            null_cache[name] = clip(nm) if nm is not None else None
+        return null_cache[name]
+
+    n = (
+        row_range[1] - row_range[0]
+        if row_range is not None
+        else reader.total_docs()
+    )
     for f in filters:
+        name = f.attribute[0]
+        nm = nulls(name) if name in reader.metadata.columns else None
         if isinstance(f, IsNotNull):
-            continue  # non-nullable: always true
-        if isinstance(f, IsNull):
-            return np.zeros(n, dtype=bool)
-        vals = colvals(f.attribute[0])
-        if isinstance(f, EqualTo):
-            m = vals == f.value
-        elif isinstance(f, GreaterThan):
-            m = vals > f.value
-        elif isinstance(f, GreaterThanOrEqual):
-            m = vals >= f.value
-        elif isinstance(f, LessThan):
-            m = vals < f.value
-        elif isinstance(f, LessThanOrEqual):
-            m = vals <= f.value
-        elif isinstance(f, In):
-            m = np.isin(vals, list(f.value))
-        else:  # pragma: no cover - pushFilters only accepts the above
-            continue
+            if nm is None:
+                continue  # no nulls in this segment: always true
+            m = ~nm
+        elif isinstance(f, IsNull):
+            if nm is None:
+                return np.zeros(n, dtype=bool)
+            m = nm
+        else:
+            vals = colvals(name)
+            if isinstance(f, EqualTo):
+                m = vals == f.value
+            elif isinstance(f, GreaterThan):
+                m = vals > f.value
+            elif isinstance(f, GreaterThanOrEqual):
+                m = vals >= f.value
+            elif isinstance(f, LessThan):
+                m = vals < f.value
+            elif isinstance(f, LessThanOrEqual):
+                m = vals <= f.value
+            elif isinstance(f, In):
+                m = np.isin(vals, list(f.value))
+            else:  # pragma: no cover - pushFilters only accepts the above
+                continue
+            if nm is not None:
+                m = m & ~nm  # fills at null positions must not match
         mask = m if mask is None else (mask & m)
     return mask

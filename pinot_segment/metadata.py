@@ -78,6 +78,10 @@ class ColumnMetadata:
     # raw strings; consumers convert by data_type. None when absent.
     min_value: str | None = None
     max_value: str | None = None
+    # Nullable-column support (beyond the reference, whose schema mapping is
+    # non-nullable-only, schema.rs:29-30): true when the segment carries a
+    # null-vector index for this column (writer.py's ``hasNullValues``).
+    has_null_values: bool = False
 
 
 def decode_java_string(s: str) -> str:
@@ -229,4 +233,5 @@ def _parse_column(
         max_number_of_multi_values=get_int("maxNumberOfMultiValues"),
         min_value=get("minValue"),
         max_value=get("maxValue"),
+        has_null_values=get("hasNullValues") == "true",
     )

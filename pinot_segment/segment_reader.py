@@ -47,6 +47,13 @@ ARROW_TYPES = {
 }
 
 
+def _slice(arr, row_range):
+    """Arrow zero-copy slice to [lo, hi), or the array itself when no range."""
+    if row_range is None:
+        return arr
+    return arr.slice(row_range[0], row_range[1] - row_range[0])
+
+
 class SegmentReader:
     def __init__(self, segment_dir: str | Path) -> None:
         self.segment_dir = Path(segment_dir)
@@ -145,6 +152,29 @@ class SegmentReader:
             lo = int(hi)
         return out
 
+    def null_mask(self, name: str) -> "np.ndarray | None":
+        """Per-doc null flags for a nullable column (writer.py's null-vector
+        index: 8-byte magic + 1-bit packed flags, beyond the reference whose
+        schema is non-nullable-only, schema.rs:29-30). None when the column
+        has no nulls. Note the typed ``read_*`` methods return the *filled*
+        values at null positions; only the Arrow path applies the mask."""
+        from pinot_segment.fixed_bit import unpack_bits
+
+        col = self.metadata.get_column(name)
+        if not col.has_null_values:
+            return None
+        loc = self.index_map.get_index(name, "nullvector")
+        if loc is None:
+            raise InvalidFormatError(
+                f"Column {name} declares hasNullValues but has no nullvector"
+            )
+        with open(self._psf, "rb") as f:
+            f.seek(loc.start_offset)
+            blob = f.read(loc.size)
+        if blob[:8] != bytes.fromhex("deadbeefdeafbead"):
+            raise InvalidFormatError(f"Bad nullvector magic for {name}")
+        return unpack_bits(blob[8:], 1, col.total_docs).astype(bool)
+
     def _require(self, name: str, dtype: DataType) -> ColumnMetadata:
         col = self.metadata.get_column(name)
         if col.data_type is not dtype:
@@ -159,12 +189,16 @@ class SegmentReader:
         DataType.TIMESTAMP: np.dtype(">i8"),
     }
 
-    def _read_raw_numeric(self, col: ColumnMetadata) -> np.ndarray:
+    def _read_raw_numeric(
+        self, col: ColumnMetadata, row_range: tuple[int, int] | None = None
+    ) -> np.ndarray:
         """Fixed-width RAW numeric forward index (beyond the reference,
         which errors on RAW numerics, segment_reader.rs:53-57; layout
         defined by this rebuild's writer — see writer._encode_raw_numeric):
         16-byte header (version u32 BE | valueWidth u32 BE | 8 reserved
-        bytes) then big-endian fixed-width values."""
+        bytes) then big-endian fixed-width values. ``row_range`` decodes
+        only values [lo, hi) via a direct offset into the fixed-width
+        body."""
         loc = self.index_map.get_forward_index(col.name)
         if loc is None:
             raise InvalidFormatError(f"No forward index for {col.name}")
@@ -185,8 +219,9 @@ class SegmentReader:
                 f"RAW numeric width {width} != {dt.itemsize} for "
                 f"{col.data_type.value}"
             )
+        lo, hi = (0, col.total_docs) if row_range is None else row_range
         return (
-            np.frombuffer(blob, dtype=dt, count=col.total_docs, offset=16)
+            np.frombuffer(blob, dtype=dt, count=hi - lo, offset=16 + lo * dt.itemsize)
             .astype(dt.newbyteorder("="), copy=True)
         )
 
@@ -294,9 +329,10 @@ class SegmentReader:
         or for a RAW numeric column via the metadata ``minValue``/
         ``maxValue`` stats the writer records; None otherwise."""
         col = self.metadata.get_column(name)
-        if not col.is_single_value or col.data_type in (
-            DataType.BYTES,
-            DataType.BOOLEAN,
+        if (
+            not col.is_single_value
+            or col.has_null_values  # fill values would corrupt the bounds
+            or col.data_type in (DataType.BYTES, DataType.BOOLEAN)
         ):
             return None
         if not col.has_dictionary:
@@ -320,6 +356,103 @@ class SegmentReader:
         except (InvalidFormatError, UnsupportedFeatureError):
             return None
 
+    # -- sorted-column row ranges (rebuild improvement: Pinot's sorted-index
+    # -- idea — a filter on a sorted column is a binary search, not a scan) --
+
+    def sorted_row_range(
+        self,
+        name: str,
+        lo=None,
+        lo_inclusive: bool = True,
+        hi=None,
+        hi_inclusive: bool = True,
+    ) -> tuple[int, int] | None:
+        """[doc_lo, doc_hi) containing every doc whose value falls in the
+        given bounds, for a column the segment declares sorted (dict-encoded
+        or RAW numeric). None when the column isn't eligible — not sorted,
+        multi-value, or nullable (fills break the order). The range is exact
+        (docs outside it provably fail the bounds), so callers can slice
+        instead of masking."""
+        col = self.metadata.get_column(name)
+        if (
+            not col.is_sorted
+            or not col.is_single_value
+            or col.has_null_values
+        ):
+            return None
+        doc_lo, doc_hi = 0, col.total_docs
+        if col.has_dictionary:
+            # Two binary searches: bounds → dict-id range over the sorted
+            # dictionary, then id range → doc range over the non-decreasing
+            # id stream. Strings use exact Python bisect (numpy '<U' arrays
+            # strip trailing NULs, corrupting comparisons).
+            dictionary = self._dictionary(col)
+            values = dictionary.values
+            ids = self._dict_ids(col)
+            if col.data_type is DataType.STRING:
+                import bisect
+
+                vals_list = list(values)
+                lo_id = (
+                    None
+                    if lo is None
+                    else (
+                        bisect.bisect_left(vals_list, lo)
+                        if lo_inclusive
+                        else bisect.bisect_right(vals_list, lo)
+                    )
+                )
+                hi_id = (
+                    None
+                    if hi is None
+                    else (
+                        bisect.bisect_right(vals_list, hi)
+                        if hi_inclusive
+                        else bisect.bisect_left(vals_list, hi)
+                    )
+                )
+            else:
+                arr = np.asarray(values)
+                lo_id = (
+                    None
+                    if lo is None
+                    else int(
+                        np.searchsorted(
+                            arr, lo, side="left" if lo_inclusive else "right"
+                        )
+                    )
+                )
+                hi_id = (
+                    None
+                    if hi is None
+                    else int(
+                        np.searchsorted(
+                            arr, hi, side="right" if hi_inclusive else "left"
+                        )
+                    )
+                )
+            if lo_id is not None:
+                doc_lo = int(np.searchsorted(ids, lo_id, side="left"))
+            if hi_id is not None:
+                doc_hi = int(np.searchsorted(ids, hi_id, side="left"))
+        elif col.data_type in self._RAW_NUMERIC_DTYPES:
+            vals = self._read_raw_numeric(col)
+            if lo is not None:
+                doc_lo = int(
+                    np.searchsorted(
+                        vals, lo, side="left" if lo_inclusive else "right"
+                    )
+                )
+            if hi is not None:
+                doc_hi = int(
+                    np.searchsorted(
+                        vals, hi, side="right" if hi_inclusive else "left"
+                    )
+                )
+        else:
+            return None
+        return doc_lo, min(doc_hi, col.total_docs)
+
     # -- Arrow assembly (for the Spark data source) -------------------------
 
     def arrow_schema(self, columns: list[str] | None = None) -> pa.Schema:
@@ -330,14 +463,36 @@ class SegmentReader:
             typ = ARROW_TYPES[col.data_type]
             if not col.is_single_value:
                 typ = pa.list_(typ)
-            # Pinot columns are non-nullable (reference schema.rs:29-30).
-            fields.append(pa.field(n, typ, nullable=False))
+            # Non-nullable like the reference (schema.rs:29-30) unless the
+            # segment carries a null-vector index for the column.
+            fields.append(pa.field(n, typ, nullable=col.has_null_values))
         return pa.schema(fields)
 
-    def _read_column_arrow(self, name: str) -> pa.Array:
+    def _read_column_arrow(
+        self, name: str, row_range: tuple[int, int] | None = None
+    ) -> pa.Array:
         """One column as a pyarrow array, avoiding per-value Python objects:
         RAW strings come straight from chunk buffers; dictionary strings use
-        a C++ ``take`` over the decoded dictionary."""
+        a C++ ``take`` over the decoded dictionary. Nullable columns get
+        their null-vector applied as the Arrow validity mask. ``row_range``
+        (from :meth:`sorted_row_range`) restricts decode to [lo, hi): dict
+        columns slice ids before the dictionary take, RAW numerics seek
+        straight to the value range."""
+        arr = self._read_column_arrow_dense(name, row_range)
+        mask = self.null_mask(name)
+        if mask is not None:
+            import pyarrow.compute as pc
+
+            if row_range is not None:
+                mask = mask[row_range[0] : row_range[1]]
+            arr = pc.if_else(
+                pa.array(~mask), arr, pa.scalar(None, type=arr.type)
+            )
+        return arr
+
+    def _read_column_arrow_dense(
+        self, name: str, row_range: tuple[int, int] | None = None
+    ) -> pa.Array:
         col = self.metadata.get_column(name)
         typ = ARROW_TYPES[col.data_type]
         if not col.is_single_value:
@@ -350,7 +505,8 @@ class SegmentReader:
             offsets = np.empty(len(ends) + 1, dtype=np.int32)
             offsets[0] = 0
             offsets[1:] = ends
-            return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+            arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+            return _slice(arr, row_range)
         if col.data_type in (DataType.STRING, DataType.BYTES) and not col.has_dictionary:
             loc = self.index_map.get_forward_index(name)
             if loc is None:
@@ -359,22 +515,39 @@ class SegmentReader:
                 self._psf, loc.start_offset, loc.size, col.total_docs
             )
             if col.data_type is DataType.BYTES:
-                return reader.read_all_bytes_arrow()
-            return reader.read_all_strings_arrow()
+                return _slice(reader.read_all_bytes_arrow(), row_range)
+            return _slice(reader.read_all_strings_arrow(), row_range)
         if col.data_type in (DataType.STRING, DataType.BYTES, DataType.BOOLEAN):
             values = pa.array(self._dictionary(col).values, type=typ)
-            return values.take(pa.array(self._dict_ids(col)))
+            ids = self._dict_ids(col)
+            if row_range is not None:
+                ids = ids[row_range[0] : row_range[1]]
+            return values.take(pa.array(ids))
         if col.data_type is DataType.TIMESTAMP:
             # stored millis -> microsecond instants
-            micros = self.read_timestamp_column(name).astype(np.int64) * 1000
-            return pa.array(micros, type=typ)
-        return pa.array(self.read_column(name), type=typ)
+            if col.has_dictionary:
+                millis = self._read_dict_column(col)
+                if row_range is not None:
+                    millis = millis[row_range[0] : row_range[1]]
+            else:
+                millis = self._read_raw_numeric(col, row_range)
+            return pa.array(millis.astype(np.int64) * 1000, type=typ)
+        if not col.has_dictionary and col.data_type in self._RAW_NUMERIC_DTYPES:
+            return pa.array(self._read_raw_numeric(col, row_range), type=typ)
+        vals = self.read_column(name)
+        if row_range is not None:
+            vals = vals[row_range[0] : row_range[1]]
+        return pa.array(vals, type=typ)
 
-    def read_columns_arrow(self, columns: list[str] | None = None) -> pa.Table:
+    def read_columns_arrow(
+        self,
+        columns: list[str] | None = None,
+        row_range: tuple[int, int] | None = None,
+    ) -> pa.Table:
         names = columns if columns is not None else self.column_names()
-        arrays = [self._read_column_arrow(n) for n in names]
         if not names:
             # Empty projection (COUNT(*)): the count comes from metadata
             # (cf. exec.rs:92-95's row-count-only batches) — use total_docs().
             raise ValueError("empty projection: use total_docs() for COUNT(*)")
+        arrays = [self._read_column_arrow(n, row_range) for n in names]
         return pa.Table.from_arrays(arrays, schema=self.arrow_schema(names))

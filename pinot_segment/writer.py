@@ -88,7 +88,24 @@ class ColumnSpec:
         fixed_length_dict: bool = False,
         with_magic_prefix: bool = False,
         multi_value: bool = False,
+        null_mask: "np.ndarray | None" = None,
     ) -> None:
+        if null_mask is not None:
+            # Nullable columns (beyond the reference, schema.rs:29-30):
+            # `values` must already carry a fill value at null positions
+            # (Pinot semantics: the forward index stores a default value and
+            # a null-vector index marks which docs are null). The mask is a
+            # per-doc boolean array, True = null.
+            if multi_value:
+                raise ValueError("multi-value columns cannot be nullable")
+            null_mask = np.asarray(null_mask, dtype=bool)
+            if len(null_mask) != len(values):
+                raise ValueError(
+                    f"column '{name}': null_mask length {len(null_mask)} != "
+                    f"value count {len(values)}"
+                )
+            if not null_mask.any():
+                null_mask = None  # no nulls → no null vector on disk
         if multi_value:
             # Multi-value columns (beyond the reference, which lists MV as
             # unsupported, README.md:310-316): `values` is a list of lists;
@@ -126,6 +143,7 @@ class ColumnSpec:
         self.fixed_length_dict = fixed_length_dict
         self.with_magic_prefix = with_magic_prefix
         self.multi_value = multi_value
+        self.null_mask = null_mask
 
     def flat_values(self) -> list:
         """Flattened value stream (the per-doc values, concatenated)."""
@@ -305,6 +323,23 @@ def write_segment(
         "columns=" + ",".join(c.name for c in columns),
     ]
 
+    def emit_nullvector(spec: ColumnSpec) -> None:
+        """Null-vector index (beyond the reference): 8-byte magic + 1-bit
+        big-endian packed per-doc null flags (1 = null), addressed by a
+        ``{column}.nullvector`` index_map entry."""
+        if spec.null_mask is None:
+            return
+        blob = _FWD_MAGIC + _pack_bits(spec.null_mask.astype(np.uint8), 1)
+        start = len(psf)
+        psf.extend(blob)
+        index_lines.extend(
+            (
+                f"{spec.name}.nullvector.startOffset={start}",
+                f"{spec.name}.nullvector.size={len(blob)}",
+            )
+        )
+        meta_lines.append(f"column.{spec.name}.hasNullValues=true")
+
     for spec in columns:
         if spec.raw:
             if spec.data_type in _BE_DTYPES:
@@ -321,19 +356,37 @@ def write_segment(
                 f"column.{spec.name}.dataType={spec.data_type.value}",
                 f"column.{spec.name}.cardinality={_cardinality(spec.values)}",
                 f"column.{spec.name}.hasDictionary=false",
-                f"column.{spec.name}.isSorted=false",
+                # RAW numerics record sortedness too (nullable columns never
+                # do — fill values don't reflect the true order): the reader
+                # binary-searches sorted columns into a doc range instead of
+                # masking every row.
+                f"column.{spec.name}.isSorted="
+                + (
+                    "true"
+                    if spec.null_mask is None
+                    and spec.data_type in _BE_DTYPES
+                    and _is_sorted(np.asarray(spec.values))
+                    else "false"
+                ),
                 f"column.{spec.name}.bitsPerElement=0",
                 f"column.{spec.name}.lengthOfEachEntry=0",
             ]
-            if spec.data_type in _BE_DTYPES and len(spec.values):
+            if (
+                spec.data_type in _BE_DTYPES
+                and len(spec.values)
+                and spec.null_mask is None
+            ):
                 # Zone-map stats for RAW numerics (Pinot's real property
                 # names): dict columns derive min/max from the sorted
                 # dictionary, RAW columns carry them in metadata instead.
+                # Nullable columns get none: the fill value at null
+                # positions would corrupt the bounds.
                 arr = np.asarray(spec.values)
                 meta_lines += [
                     f"column.{spec.name}.minValue={arr.min()}",
                     f"column.{spec.name}.maxValue={arr.max()}",
                 ]
+            emit_nullvector(spec)
             continue
 
         dict_blob, uniq, length_of_each_entry = _encode_dictionary(spec)
@@ -394,10 +447,15 @@ def write_segment(
             f"column.{spec.name}.dataType={spec.data_type.value}",
             f"column.{spec.name}.cardinality={len(uniq)}",
             f"column.{spec.name}.hasDictionary=true",
+            # A nullable column is never marked sorted: the fill values at
+            # null positions don't reflect the true value order, so sorted-
+            # range pruning must not trust them.
             f"column.{spec.name}.isSorted="
             + (
                 "true"
-                if not spec.multi_value and _is_sorted(spec.values)
+                if not spec.multi_value
+                and spec.null_mask is None
+                and _is_sorted(spec.values)
                 else "false"
             ),
             f"column.{spec.name}.bitsPerElement={bits}",
@@ -410,6 +468,7 @@ def write_segment(
                 f"column.{spec.name}.totalNumberOfEntries={len(flat)}",
                 f"column.{spec.name}.maxNumberOfMultiValues={max_mv}",
             ]
+        emit_nullvector(spec)
 
     (v3 / "metadata.properties").write_text("\n".join(meta_lines) + "\n")
     (v3 / "index_map").write_text("\n".join(index_lines) + "\n")

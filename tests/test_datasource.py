@@ -486,15 +486,30 @@ def test_write_raw_string_column(spark, tmp_path):
     assert sorted(r["s"] for r in back.collect()) == sorted(f"v{i}" for i in range(64))
 
 
-def test_write_rejects_nulls_and_bad_types(spark, tmp_path):
+def test_write_nullable_roundtrip(spark, tmp_path):
+    """NULLs round-trip through the sink/source (null-vector index): values,
+    schema nullability, and IS [NOT] NULL pushdown all survive."""
     spark.dataSource.register(PinotDataSource)
-    import pyspark.errors
+    nullable = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "k long, s string"
+    )
+    out = str(tmp_path / "n_OFFLINE")
+    nullable.coalesce(1).write.format("pinot").mode("append").save(out)
+    back = spark.read.format("pinot").load(out)
+    assert back.schema["s"].nullable and not back.schema["k"].nullable
+    assert sorted((r["k"], r["s"]) for r in back.collect()) == [
+        (1, "a"),
+        (2, None),
+        (3, "c"),
+    ]
+    assert back.filter("s IS NULL").count() == 1
+    assert back.filter("s IS NOT NULL").count() == 2
+    # a comparison never matches the fill at a null position
+    assert back.filter(F.col("s") == "").count() == 0
 
-    nullable = spark.createDataFrame([(1, "a"), (2, None)], "k long, s string")
-    with pytest.raises(Exception, match="non-nullable"):
-        nullable.coalesce(1).write.format("pinot").mode("append").save(
-            str(tmp_path / "n_OFFLINE")
-        )
+
+def test_write_rejects_bad_types(spark, tmp_path):
+    spark.dataSource.register(PinotDataSource)
 
     dateish = spark.createDataFrame([(1,)], "k long").selectExpr(
         "k", "current_date() as d"
