@@ -2900,6 +2900,50 @@ def q_pinot_sorted_scan(spark, sf):
     )
 
 
+@register(
+    "pinot_inverted_filter",
+    """SELECT lang, count(*) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents
+       WHERE lang IN ('en', 'zh') AND source = 'src3'
+       GROUP BY lang ORDER BY lang""",
+    "parity",
+    ["pinot", "storage", "inverted", "filter"],
+)
+def q_pinot_inverted_filter(spark, sf):
+    """Inverted index through the storage layer (beyond the reference;
+    Pinot's per-value doc bitmaps): documents are written with inverted
+    indexes on lang and source, then an IN + equality conjunction runs
+    through the source — both predicates resolve to bitmap ORs/ANDs
+    without decoding the filter columns' forward indexes. The oracle
+    applies the same predicates to the original parquet."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="inv_"), "docs_OFFLINE")
+    (
+        _docs(spark, sf)
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("inverted", "lang,source")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.filter(F.col("lang").isin("en", "zh") & (F.col("source") == "src3"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------

@@ -187,17 +187,26 @@ class PinotDataSource(DataSource):
             raise ValueError("segments_per_partition must be >= 1")
         return PinotStreamReader(schema, path, spp)
 
+    def _column_set_option(self, name: str) -> set:
+        return {
+            c.strip()
+            for c in self.options.get(name, "").split(",")
+            if c.strip()
+        }
+
     def writer(self, schema: StructType, overwrite: bool) -> "PinotDataSourceWriter":
         path = self.options.get("path")
         if not path:
             raise ValueError("pinot sink requires a path (the table directory)")
-        raw = {
-            c.strip()
-            for c in self.options.get("raw", "").split(",")
-            if c.strip()
-        }
         table = self.options.get("table") or _table_name_from_dir(path)
-        return PinotDataSourceWriter(schema, path, table, raw, overwrite)
+        return PinotDataSourceWriter(
+            schema,
+            path,
+            table,
+            self._column_set_option("raw"),
+            overwrite,
+            self._column_set_option("inverted"),
+        )
 
     def streamWriter(
         self, schema: StructType, overwrite: bool
@@ -205,13 +214,14 @@ class PinotDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("pinot stream sink requires a path (the table directory)")
-        raw = {
-            c.strip()
-            for c in self.options.get("raw", "").split(",")
-            if c.strip()
-        }
         table = self.options.get("table") or _table_name_from_dir(path)
-        return PinotStreamWriter(schema, path, table, raw)
+        return PinotStreamWriter(
+            schema,
+            path,
+            table,
+            self._column_set_option("raw"),
+            self._column_set_option("inverted"),
+        )
 
 
 # Filter kinds we can evaluate both as zone-map prunes and row masks.
@@ -503,11 +513,16 @@ class PinotStreamWriter(DataSourceStreamArrowWriter):
     readers never see."""
 
     def __init__(
-        self, schema: StructType, path: str, table: str, raw_columns: set
+        self,
+        schema: StructType,
+        path: str,
+        table: str,
+        raw_columns: set,
+        inverted_columns: set | None = None,
     ) -> None:
         # Delegate validation + the per-task write to the batch writer.
         self._delegate = PinotDataSourceWriter(
-            schema, path, table, raw_columns, overwrite=False
+            schema, path, table, raw_columns, False, inverted_columns
         )
         self._path = path
 
@@ -562,7 +577,9 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         table: str,
         raw_columns: set,
         overwrite: bool,
+        inverted_columns: set | None = None,
     ) -> None:
+        inverted_columns = inverted_columns or set()
         for f in schema.fields:
             t = f.dataType.simpleString()
             if t not in _WRITE_TYPES and t not in _MV_WRITE_TYPES:
@@ -585,10 +602,18 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
             # (var-length BYTES dictionary); list them in the `raw` option
             # for the var-byte path (the right call for high-cardinality
             # payloads — media blobs, embeddings).
+            if f.name in inverted_columns and (
+                f.name in raw_columns or t in _MV_WRITE_TYPES
+            ):
+                raise ValueError(
+                    f"inverted index requires a single-value dictionary "
+                    f"column: {f.name}"
+                )
         self._schema = schema
         self._path = path
         self._table = table
         self._raw = raw_columns
+        self._inverted = inverted_columns
         self._overwrite = overwrite
 
     def write(self, iterator) -> PinotWriterCommitMessage:
@@ -689,7 +714,15 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                     )
                 )
             else:
-                specs.append(ColumnSpec(f.name, dt, values, null_mask=null_mask))
+                specs.append(
+                    ColumnSpec(
+                        f.name,
+                        dt,
+                        values,
+                        null_mask=null_mask,
+                        inverted=f.name in self._inverted,
+                    )
+                )
         write_segment(staged, seg_name, self._table, specs)
         return PinotWriterCommitMessage(staged_dir=staged, segment_name=seg_name)
 
@@ -854,6 +887,22 @@ def _row_mask(reader, filters, row_range=None):
                 return np.zeros(n, dtype=bool)
             m = nm
         else:
+            if isinstance(f, (EqualTo, In)) and name in reader.metadata.columns:
+                # Inverted index first: value(s) -> doc bitmap OR, no
+                # forward-index decode of the filter column.
+                try:
+                    im = reader.inverted_match_mask(
+                        name,
+                        [f.value] if isinstance(f, EqualTo) else list(f.value),
+                    )
+                except (TypeError, ValueError):
+                    im = None
+                if im is not None:
+                    m = clip(im)
+                    if nm is not None:
+                        m = m & ~nm
+                    mask = m if mask is None else (mask & m)
+                    continue
             vals = colvals(name)
             if isinstance(f, EqualTo):
                 m = vals == f.value

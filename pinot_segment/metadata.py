@@ -82,6 +82,9 @@ class ColumnMetadata:
     # non-nullable-only, schema.rs:29-30): true when the segment carries a
     # null-vector index for this column (writer.py's ``hasNullValues``).
     has_null_values: bool = False
+    # Inverted-index support (beyond the reference; Pinot's real property
+    # name): true when the segment carries per-value doc bitmaps.
+    has_inverted_index: bool = False
 
 
 def decode_java_string(s: str) -> str:
@@ -234,4 +237,5 @@ def _parse_column(
         min_value=get("minValue"),
         max_value=get("maxValue"),
         has_null_values=get("hasNullValues") == "true",
+        has_inverted_index=get("hasInvertedIndex") == "true",
     )

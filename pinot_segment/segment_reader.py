@@ -356,6 +356,61 @@ class SegmentReader:
         except (InvalidFormatError, UnsupportedFeatureError):
             return None
 
+    # -- inverted index (rebuild improvement: Pinot's per-value bitmaps —
+    # -- equality/IN filters resolve to doc masks without a forward decode) --
+
+    def inverted_match_mask(self, name: str, values) -> "np.ndarray | None":
+        """OR of the doc bitmaps for the given values (writer.py's inverted
+        index: magic | cardinality | bitmapBytes | per-dict-id 1-bit
+        bitmaps). None when the column has no inverted index; an all-False
+        mask when no value is in the dictionary. Values absent from the
+        dictionary contribute nothing — exact dictionary membership is
+        checked, not just the binary-search insert point."""
+        from pinot_segment.fixed_bit import unpack_bits
+
+        col = self.metadata.get_column(name)
+        if not col.has_inverted_index or not col.has_dictionary:
+            return None
+        loc = self.index_map.get_index(name, "inverted_index")
+        if loc is None:
+            raise InvalidFormatError(
+                f"Column {name} declares hasInvertedIndex but has no "
+                "inverted_index entry"
+            )
+        with open(self._psf, "rb") as f:
+            f.seek(loc.start_offset)
+            blob = f.read(loc.size)
+        if blob[:8] != bytes.fromhex("deadbeefdeafbead"):
+            raise InvalidFormatError(f"Bad inverted-index magic for {name}")
+        card = int.from_bytes(blob[8:12], "big")
+        bitmap_bytes = int.from_bytes(blob[12:16], "big")
+        dictionary = self._dictionary(col)
+        dict_values = dictionary.values
+        n = col.total_docs
+        mask = np.zeros(n, dtype=bool)
+        for v in values:
+            # exact membership via binary search on the sorted dictionary
+            if col.data_type is DataType.STRING:
+                import bisect
+
+                vals_list = list(dict_values)
+                i = bisect.bisect_left(vals_list, v)
+                if i >= len(vals_list) or vals_list[i] != v:
+                    continue
+            else:
+                arr = np.asarray(dict_values)
+                i = int(np.searchsorted(arr, v, side="left"))
+                if i >= len(arr) or arr[i] != v:
+                    continue
+            if i >= card:
+                raise InvalidFormatError(
+                    f"Inverted index for {name} is missing dict id {i}"
+                )
+            start = 16 + i * bitmap_bytes
+            bitmap = blob[start : start + bitmap_bytes]
+            mask |= unpack_bits(bitmap, 1, n).astype(bool)
+        return mask
+
     # -- sorted-column row ranges (rebuild improvement: Pinot's sorted-index
     # -- idea — a filter on a sorted column is a binary search, not a scan) --
 

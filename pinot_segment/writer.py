@@ -89,7 +89,15 @@ class ColumnSpec:
         with_magic_prefix: bool = False,
         multi_value: bool = False,
         null_mask: "np.ndarray | None" = None,
+        inverted: bool = False,
     ) -> None:
+        if inverted and (raw or multi_value):
+            # The inverted index maps dict ids -> doc bitmaps, so it only
+            # exists for single-value dictionary-encoded columns.
+            raise ValueError(
+                f"column '{name}': inverted index requires a single-value "
+                "dictionary-encoded column"
+            )
         if null_mask is not None:
             # Nullable columns (beyond the reference, schema.rs:29-30):
             # `values` must already carry a fill value at null positions
@@ -144,6 +152,7 @@ class ColumnSpec:
         self.with_magic_prefix = with_magic_prefix
         self.multi_value = multi_value
         self.null_mask = null_mask
+        self.inverted = inverted
 
     def flat_values(self) -> list:
         """Flattened value stream (the per-doc values, concatenated)."""
@@ -323,6 +332,39 @@ def write_segment(
         "columns=" + ",".join(c.name for c in columns),
     ]
 
+    def emit_inverted(spec: ColumnSpec, dict_ids: np.ndarray, card: int) -> None:
+        """Inverted index (beyond the reference; Pinot's per-value bitmap
+        idea): magic | cardinality u32 BE | bitmapBytes u32 BE | one 1-bit
+        big-endian packed doc bitmap per dict id, concatenated in id order.
+        Lets a reader answer "which docs hold value v" without decoding the
+        forward index. Addressed by ``{column}.inverted_index`` entries —
+        Pinot's real index_map name."""
+        if not spec.inverted:
+            return
+        if card > 65536:
+            raise ValueError(
+                f"column '{spec.name}': inverted index over {card} distinct "
+                "values would be larger than the column itself; cap is 65536"
+            )
+        n = len(dict_ids)
+        bitmap_bytes = (n + 7) // 8
+        out = bytearray(_FWD_MAGIC)
+        out += card.to_bytes(4, "big") + bitmap_bytes.to_bytes(4, "big")
+        positions = np.arange(n)
+        for i in range(card):
+            bits = np.zeros(n, dtype=np.uint8)
+            bits[positions[dict_ids == i]] = 1
+            out += np.packbits(bits).tobytes()
+        start = len(psf)
+        psf.extend(out)
+        index_lines.extend(
+            (
+                f"{spec.name}.inverted_index.startOffset={start}",
+                f"{spec.name}.inverted_index.size={len(out)}",
+            )
+        )
+        meta_lines.append(f"column.{spec.name}.hasInvertedIndex=true")
+
     def emit_nullvector(spec: ColumnSpec) -> None:
         """Null-vector index (beyond the reference): 8-byte magic + 1-bit
         big-endian packed per-doc null flags (1 = null), addressed by a
@@ -468,6 +510,7 @@ def write_segment(
                 f"column.{spec.name}.totalNumberOfEntries={len(flat)}",
                 f"column.{spec.name}.maxNumberOfMultiValues={max_mv}",
             ]
+        emit_inverted(spec, dict_ids, len(uniq))
         emit_nullvector(spec)
 
     (v3 / "metadata.properties").write_text("\n".join(meta_lines) + "\n")

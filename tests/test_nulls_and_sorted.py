@@ -188,6 +188,61 @@ def test_range_sliced_read_matches_full(sorted_segment):
     assert sliced.to_pylist() == full.slice(lo, hi - lo).to_pylist()
 
 
+@pytest.fixture(scope="module")
+def inverted_segment(tmp_path_factory):
+    d = tmp_path_factory.mktemp("inverted")
+    n = 400
+    rng = np.random.RandomState(11)
+    flags = [["A", "B", "C", "D"][i] for i in rng.randint(0, 4, n)]
+    nums = rng.randint(0, 16, n)
+    v3 = write_segment(
+        d / "seg",
+        "seg",
+        "tbl",
+        [
+            ColumnSpec("flag", DataType.STRING, flags, inverted=True),
+            ColumnSpec("num", DataType.INT, nums, inverted=True),
+            ColumnSpec("plain", DataType.LONG, np.arange(n)),
+        ],
+    )
+    return SegmentReader.open(v3), flags, nums
+
+
+def test_inverted_metadata_flags(inverted_segment):
+    reader, _, _ = inverted_segment
+    assert reader.metadata.get_column("flag").has_inverted_index
+    assert reader.metadata.get_column("num").has_inverted_index
+    assert not reader.metadata.get_column("plain").has_inverted_index
+    assert reader.inverted_match_mask("plain", [1]) is None
+
+
+def test_inverted_string_equality(inverted_segment):
+    reader, flags, _ = inverted_segment
+    mask = reader.inverted_match_mask("flag", ["B"])
+    np.testing.assert_array_equal(mask, np.asarray(flags) == "B")
+
+
+def test_inverted_int_in_list(inverted_segment):
+    reader, _, nums = inverted_segment
+    mask = reader.inverted_match_mask("num", [3, 7, 15])
+    np.testing.assert_array_equal(mask, np.isin(nums, [3, 7, 15]))
+
+
+def test_inverted_absent_value_is_all_false(inverted_segment):
+    reader, _, _ = inverted_segment
+    assert reader.inverted_match_mask("flag", ["ZZZ"]).sum() == 0
+    assert reader.inverted_match_mask("num", [999]).sum() == 0
+
+
+def test_inverted_rejects_raw_and_mv():
+    with pytest.raises(ValueError, match="inverted index requires"):
+        ColumnSpec("x", DataType.STRING, ["a"], raw=True, inverted=True)
+    with pytest.raises(ValueError, match="inverted index requires"):
+        ColumnSpec(
+            "x", DataType.INT, [[1], [2]], multi_value=True, inverted=True
+        )
+
+
 def test_spark_filters_map_to_sorted_range(sorted_segment):
     """The datasource's filter → bounds translation, Spark-free."""
     from pyspark.sql.datasource import (
