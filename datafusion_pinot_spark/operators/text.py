@@ -138,6 +138,70 @@ FROM documents
 """
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Most distinctive terms per document: term frequency weighted by
+    corpus rarity, top-k per doc.
+
+    The score is the engine-stable rational variant ``tf * 1_000_000 div
+    df`` (integer arithmetic end to end) rather than ``tf * ln(N/df)``:
+    both rank identically *within a document* for terms of equal tf, and
+    the integer form is bit-identical across engines, so the whole pipeline
+    stays under the DuckDB hash gate — the module docstring's
+    engine-stable-numerics rule applied to scoring. Scale shape: one
+    explode + two map-side-combined shuffles (tf on (doc, token), df on
+    token) + a broadcast-joinable df table when the vocabulary is small;
+    top-k per doc is a WindowGroupLimit partial, no global sort."""
+    toks = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", F.explode("toks").alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.expr("tf * 1000000L div df").alias("score_milli"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_milli"), F.desc("tf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("doc_id", F.desc("score_milli"), F.desc("tf"), "token")
+    )
+
+
+def tfidf_top_terms_oracle_sql(k: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(lower(text))) > 0
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT doc_id, tf.token AS token, tf, df,
+         (tf * 1000000) // df AS score_milli
+  FROM tf JOIN df ON tf.token = df.token
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_milli DESC, tf DESC, token
+  ) AS rn FROM scored
+)
+SELECT doc_id, token, tf, df, score_milli FROM ranked WHERE rn <= {k}
+ORDER BY doc_id, score_milli DESC, tf DESC, token
+"""
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Normalization fingerprint: md5 of lowercased, space-collapsed text."""
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))

@@ -2944,6 +2944,75 @@ def q_pinot_inverted_filter(spark, sf):
     )
 
 
+def _tfidf_oracle() -> str:
+    from datafusion_pinot_spark.operators.text import tfidf_top_terms_oracle_sql
+
+    return tfidf_top_terms_oracle_sql(3)
+
+
+@register(
+    "tfidf_top_terms",
+    _tfidf_oracle(),
+    "llm",
+    ["text", "tfidf", "topk"],
+)
+def q_tfidf_top_terms(spark, sf):
+    """Per-document distinctive terms (tf-idf family, engine-stable rational
+    scoring — see operators/text.py::tfidf_top_terms). Scale shape: explode
+    + two partial-agg shuffles + WindowGroupLimit top-k per doc."""
+    from datafusion_pinot_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf), k=3)
+
+
+@register(
+    "doc_repetition_stats",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+         FROM documents WHERE length(trim(lower(text))) > 0
+       ), tf AS (
+         SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+       )
+       SELECT doc_id,
+              CAST(sum(tf) AS BIGINT) AS n_tokens,
+              count(*) AS n_unique,
+              CAST(max(tf) AS BIGINT) AS max_tf,
+              (max(tf) * 1000000) // sum(tf) AS rep_milli,
+              (count(*) * 1000000) // sum(tf) AS ttr_milli
+       FROM tf GROUP BY doc_id ORDER BY doc_id""",
+    "llm",
+    ["text", "quality", "dedup"],
+)
+def q_doc_repetition(spark, sf):
+    """Intra-document repetition metrics for boilerplate filtering: token
+    count, unique-token count, the dominant token's share (rep_milli) and
+    type-token ratio (ttr_milli), both in exact integer millionths so the
+    hash gate holds across engines. Scale shape: one explode + one
+    map-side-combined shuffle on (doc_id, token), then a per-doc reduce —
+    no corpus-wide state."""
+    from datafusion_pinot_spark.functions import tokens
+
+    toks = (
+        _docs(spark, sf)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", F.explode("toks").alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.max("tf").cast("bigint").alias("max_tf"),
+            F.expr("max(tf) * 1000000L div sum(tf)").alias("rep_milli"),
+            F.expr("count(*) * 1000000L div sum(tf)").alias("ttr_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 # ---------------------------------------------------------------------------
