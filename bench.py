@@ -122,14 +122,17 @@ def pinot_format_queries(spark, sf_dir: str):
         ).save(out)
         return None
 
-    # Separate range-partitioned table (disjoint l_orderkey zone maps — the
-    # realistic key/time-ordered ingest layout) for the pruning query; built
-    # once here so the timed pinot_write_segments entry stays the plain
-    # hash-partitioned write.
+    # Separate range-partitioned, in-segment-sorted table (disjoint
+    # l_orderkey zone maps + isSorted l_orderkey + an inverted index on the
+    # flag column — the realistic key/time-ordered ingest layout) for the
+    # pruning/sorted/inverted queries; built once here so the timed
+    # pinot_write_segments entry stays the plain hash-partitioned write.
     out_rng = os.path.join(tempfile.mkdtemp(prefix="bench_pinot_rng_"), "li_OFFLINE")
-    li.repartitionByRange(8, "l_orderkey").write.format("pinot").mode(
-        "overwrite"
-    ).option("raw", "okey").save(out_rng)
+    li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.format("pinot").mode("overwrite").option("raw", "okey").option(
+        "inverted", "flag"
+    ).save(out_rng)
 
     df = lambda: spark.read.format("pinot").load(out)  # noqa: E731
     return out, {
@@ -157,6 +160,19 @@ def pinot_format_queries(spark, sf_dir: str):
         "pinot_filter_prune": lambda _: spark.read.format("pinot")
         .load(out_rng)
         .filter(F.col("l_orderkey") <= 2000)
+        .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")),
+        # Range filter fully inside one sorted segment: zone maps prune the
+        # other 7, then the survivor binary-searches to a [lo, hi) doc slice
+        # — only that slice of each projected column decodes.
+        "pinot_sorted_range": lambda _: spark.read.format("pinot")
+        .load(out_rng)
+        .filter((F.col("l_orderkey") >= 500) & (F.col("l_orderkey") < 2000))
+        .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")),
+        # Equality on the inverted-indexed flag column: the pushed filter
+        # resolves to a per-value doc bitmap (no forward decode of flag).
+        "pinot_inverted_eq": lambda _: spark.read.format("pinot")
+        .load(out_rng)
+        .filter(F.col("flag") == "R")
         .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")),
         "pinot_groupby_topk": lambda _: df()
         .groupBy("flag")

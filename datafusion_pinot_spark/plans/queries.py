@@ -2792,6 +2792,153 @@ def q19_disjunctive_filter(spark, sf):
 
 
 @register(
+    "q8_market_share",
+    """WITH vol AS (
+         SELECT year(o_orderdate) AS o_year,
+                CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+                n1.n_name AS supp_nation
+         FROM lineitem
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey)
+       SELECT o_year,
+              round(100.0 * CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                          THEN volume
+                                          ELSE CAST(0 AS DECIMAL(14,4)) END)
+                            AS DOUBLE)
+                    / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share_pct,
+              count(*) AS n
+       FROM vol GROUP BY o_year ORDER BY o_year""",
+    "relational",
+    ["tpch", "join", "agg"],
+)
+def q8_market_share(spark, sf):
+    """TPC-H Q8 shape (national market share): one nation's share of
+    region-wide purchase volume by order year. Both sums are exact
+    decimals; the percentage divides their bit-identical double casts (the
+    davg pattern). Scale shape: one lineitem⋈orders shuffle; the
+    region-filtered customer keyset and the nation-labeled supplier dim
+    both broadcast."""
+    nation = t(spark, sf, "nation")
+    region = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cust_in_region = (
+        t(spark, sf, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        t(spark, sf, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t(spark, sf, "lineitem")
+    volume = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+        F.lit(0).cast("decimal(14,4)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(nation_vol).cast("double")
+                / F.sum(volume).cast("double"),
+                4,
+            ).alias("mkt_share_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """WITH late AS (
+         SELECT DISTINCT l_orderkey, l_suppkey
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+       alls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+       SELECT s_name, count(*) AS numwait
+       FROM supplier JOIN (
+         SELECT late.l_orderkey, late.l_suppkey FROM late
+         WHERE EXISTS (SELECT 1 FROM alls a
+                       WHERE a.l_orderkey = late.l_orderkey
+                         AND a.l_suppkey <> late.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM late l2
+                           WHERE l2.l_orderkey = late.l_orderkey
+                             AND l2.l_suppkey <> late.l_suppkey)
+       ) w ON s_suppkey = w.l_suppkey
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""",
+    "relational",
+    ["tpch", "semi-join", "anti-join"],
+)
+def q21_waiting_supplier(spark, sf):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the only
+    sole-late-supplier-per-multi-supplier-order query — a correlated EXISTS
+    and NOT EXISTS on the same derived set, decorrelated into one semi and
+    one anti self-join. "Late" adapts to l_shipdate > o_orderdate + 90 days
+    (no l_receiptdate/l_commitdate in the testdata). Scale shape: all
+    joins shuffle on l_orderkey — one co-partitioned key chain, no
+    broadcast of fact-derived sets."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    alls = li.select(
+        F.col("l_orderkey").alias("a_ok"), F.col("l_suppkey").alias("a_sk")
+    ).distinct()
+    other_late = late.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    waiting = late.join(
+        alls,
+        (F.col("a_ok") == F.col("l_orderkey"))
+        & (F.col("a_sk") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        other_late,
+        (F.col("o_ok") == F.col("l_orderkey"))
+        & (F.col("o_sk") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    supp = t(spark, sf, "supplier")
+    return (
+        waiting.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@register(
     "pinot_nulls_roundtrip",
     """WITH src AS (
          SELECT doc_id,
