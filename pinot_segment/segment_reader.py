@@ -326,16 +326,18 @@ class SegmentReader:
 
     def column_min_max(self, name: str):
         """(min, max) for a dict-encoded column via its sorted dictionary,
-        or for a RAW numeric column via the metadata ``minValue``/
-        ``maxValue`` stats the writer records; None otherwise."""
+        or via the metadata ``minValue``/``maxValue`` stats the writer
+        records (RAW numerics always; nullable numeric columns too — their
+        bounds cover the NON-NULL values, since the fill in the forward
+        index/dictionary is not data); None otherwise."""
         col = self.metadata.get_column(name)
-        if (
-            not col.is_single_value
-            or col.has_null_values  # fill values would corrupt the bounds
-            or col.data_type in (DataType.BYTES, DataType.BOOLEAN)
+        if not col.is_single_value or col.data_type in (
+            DataType.BYTES,
+            DataType.BOOLEAN,
         ):
             return None
-        if not col.has_dictionary:
+
+        def metadata_bounds():
             if (
                 col.data_type in self._RAW_NUMERIC_DTYPES
                 and col.min_value is not None
@@ -351,6 +353,13 @@ class SegmentReader:
                 except ValueError:
                     return None
             return None
+
+        if col.has_null_values:
+            # the dictionary contains the fill value — only the writer's
+            # non-null metadata stats are trustworthy
+            return metadata_bounds()
+        if not col.has_dictionary:
+            return metadata_bounds()
         try:
             return self._dictionary(col).min_max()
         except (InvalidFormatError, UnsupportedFeatureError):

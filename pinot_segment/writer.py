@@ -413,21 +413,20 @@ def write_segment(
                 f"column.{spec.name}.bitsPerElement=0",
                 f"column.{spec.name}.lengthOfEachEntry=0",
             ]
-            if (
-                spec.data_type in _BE_DTYPES
-                and len(spec.values)
-                and spec.null_mask is None
-            ):
+            if spec.data_type in _BE_DTYPES and len(spec.values):
                 # Zone-map stats for RAW numerics (Pinot's real property
                 # names): dict columns derive min/max from the sorted
                 # dictionary, RAW columns carry them in metadata instead.
-                # Nullable columns get none: the fill value at null
-                # positions would corrupt the bounds.
+                # Nullable columns record bounds over the NON-NULL values
+                # only (the fill at null positions is not data).
                 arr = np.asarray(spec.values)
-                meta_lines += [
-                    f"column.{spec.name}.minValue={arr.min()}",
-                    f"column.{spec.name}.maxValue={arr.max()}",
-                ]
+                if spec.null_mask is not None:
+                    arr = arr[~spec.null_mask]
+                if len(arr):
+                    meta_lines += [
+                        f"column.{spec.name}.minValue={arr.min()}",
+                        f"column.{spec.name}.maxValue={arr.max()}",
+                    ]
             emit_nullvector(spec)
             continue
 
@@ -510,6 +509,16 @@ def write_segment(
                 f"column.{spec.name}.totalNumberOfEntries={len(flat)}",
                 f"column.{spec.name}.maxNumberOfMultiValues={max_mv}",
             ]
+        if spec.null_mask is not None and spec.data_type in _BE_DTYPES:
+            # A nullable dict column's dictionary contains the fill value,
+            # so min/max can't come from it; record metadata bounds over the
+            # non-null values instead (same as nullable RAW columns).
+            arr = np.asarray(spec.values)[~spec.null_mask]
+            if len(arr):
+                meta_lines += [
+                    f"column.{spec.name}.minValue={arr.min()}",
+                    f"column.{spec.name}.maxValue={arr.max()}",
+                ]
         emit_inverted(spec, dict_ids, len(uniq))
         emit_nullvector(spec)
 

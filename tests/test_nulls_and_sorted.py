@@ -60,12 +60,35 @@ def test_arrow_nulls_applied(nullable_segment):
     assert sch.field("i").nullable and not sch.field("k").nullable
 
 
-def test_nullable_column_has_no_zone_map_and_never_sorted(nullable_segment):
-    reader, _, _, _ = nullable_segment
-    # fills would corrupt both the min/max bounds and the sort order
-    assert reader.column_min_max("i") is None
+def test_nullable_zone_map_covers_non_null_values_only(nullable_segment):
+    reader, mask, ints, _ = nullable_segment
+    # bounds come from the writer's non-null metadata stats, NOT the
+    # dictionary (which contains the 0 fill value)
+    non_null = ints[~mask]
+    assert reader.column_min_max("i") == (non_null.min(), non_null.max())
+    assert reader.column_min_max("rd") is not None
+    assert reader.column_min_max("rd")[0] > 0.0  # 0.0 fill excluded
+    # the sort order is still never trusted for nullable columns
     assert not reader.metadata.get_column("i").is_sorted
     assert reader.sorted_row_range("i", 0, True, 10, True) is None
+
+
+def test_all_null_column_has_no_zone_map(tmp_path):
+    n = 4
+    v3 = write_segment(
+        tmp_path / "seg",
+        "seg",
+        "tbl",
+        [
+            ColumnSpec(
+                "x",
+                DataType.LONG,
+                np.zeros(n, dtype=np.int64),
+                null_mask=np.ones(n, dtype=bool),
+            )
+        ],
+    )
+    assert SegmentReader.open(v3).column_min_max("x") is None
 
 
 def test_all_null_and_no_null_edge_masks(tmp_path):
