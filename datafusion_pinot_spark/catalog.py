@@ -66,6 +66,13 @@ class FileSystemMetadataProvider:
             raise FileNotFoundError(
                 f"Table '{table_name}' not found in {self.data_dir}"
             )
+        segs = self._segments_in(table_dir)
+        if not segs:
+            raise FileNotFoundError(f"No valid segments found in {table_dir}")
+        return segs
+
+    @staticmethod
+    def _segments_in(table_dir: str) -> list[str]:
         segs = []
         for entry in os.listdir(table_dir):
             if entry == "tmp":
@@ -73,9 +80,15 @@ class FileSystemMetadataProvider:
             v3 = os.path.join(table_dir, entry, "v3")
             if os.path.isdir(v3):
                 segs.append(v3)
-        if not segs:
-            raise FileNotFoundError(f"No valid segments found in {table_dir}")
         return sorted(segs)
+
+    def get_segment_paths_typed(self, table_name: str, table_type: str) -> list[str]:
+        """Segments of one physical table type (OFFLINE or REALTIME);
+        empty when that side doesn't exist. Used for hybrid-table reads."""
+        table_dir = os.path.join(self.data_dir, f"{table_name}_{table_type}")
+        if not os.path.isdir(table_dir):
+            return []
+        return self._segments_in(table_dir)
 
 
 class PinotControllerClient:
@@ -136,21 +149,25 @@ class ControllerMetadataProvider:
     def get_segment_paths(self, table_name: str) -> list[str]:
         # OFFLINE preferred, REALTIME fallback (metadata_provider.rs:302-319).
         for table_type in ("OFFLINE", "REALTIME"):
-            names = self.controller.list_segments(table_name, table_type)
-            if names:
-                paths = [
-                    os.path.join(
-                        self.data_dir, f"{table_name}_{table_type}", seg, "v3"
-                    )
-                    for seg in sorted(names)
-                ]
-                missing = [p for p in paths if not os.path.isdir(p)]
-                if missing:
-                    raise FileNotFoundError(
-                        f"Controller lists segments not present locally: {missing}"
-                    )
+            paths = self.get_segment_paths_typed(table_name, table_type)
+            if paths:
                 return paths
         raise FileNotFoundError(f"No segments for table '{table_name}'")
+
+    def get_segment_paths_typed(self, table_name: str, table_type: str) -> list[str]:
+        names = self.controller.list_segments(table_name, table_type)
+        if not names:
+            return []
+        paths = [
+            os.path.join(self.data_dir, f"{table_name}_{table_type}", seg, "v3")
+            for seg in sorted(names)
+        ]
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"Controller lists segments not present locally: {missing}"
+            )
+        return paths
 
 
 class PinotCatalog:
@@ -190,6 +207,72 @@ class PinotCatalog:
         return (
             spark.read.format("pinot").option("segments", ",".join(segs)).load()
         )
+
+    def _load_segments(self, spark, segs: list[str]):
+        from datafusion_pinot_spark.sources.pinot_datasource import PinotDataSource
+
+        spark.dataSource.register(PinotDataSource)
+        return (
+            spark.read.format("pinot").option("segments", ",".join(segs)).load()
+        )
+
+    def load_hybrid_table(self, spark, name: str, time_column: str):
+        """Pinot hybrid-table semantics — the broker's time-boundary merge
+        of the OFFLINE and REALTIME physical tables, which the reference
+        does NOT implement (it only *prefers* OFFLINE and ignores REALTIME
+        when both exist, metadata_provider.rs:302-319, dropping any data
+        newer than the offline ingest):
+
+        - boundary = max value of ``time_column`` across OFFLINE segments
+          (driver-side metadata/dictionary scan, no Spark job);
+        - rows with ``time_column <= boundary`` come from OFFLINE, rows
+          after it from REALTIME — overlap ingested into both sides
+          deduplicates by construction, exactly Pinot's broker behavior.
+
+        Falls back to whichever single side exists. The boundary filters
+        push down to the source (zone-map prune + sorted-range slice when
+        the layout allows)."""
+        from pyspark.sql import functions as F
+
+        from pinot_segment import SegmentReader
+        from pinot_segment.metadata import DataType
+
+        offline = self.provider.get_segment_paths_typed(name, "OFFLINE")
+        realtime = self.provider.get_segment_paths_typed(name, "REALTIME")
+        if not offline and not realtime:
+            raise FileNotFoundError(f"No segments for table '{name}'")
+        if not realtime:
+            return self._load_segments(spark, offline)
+        if not offline:
+            return self._load_segments(spark, realtime)
+
+        boundary = None
+        is_timestamp = False
+        for seg in offline:
+            reader = SegmentReader.open(seg)
+            col = reader.metadata.get_column(time_column)
+            is_timestamp = col.data_type is DataType.TIMESTAMP
+            mm = reader.column_min_max(time_column)
+            if mm is None:
+                raise ValueError(
+                    f"time column '{time_column}' of '{name}' has no "
+                    "min/max stats in segment "
+                    f"{seg} — cannot derive a time boundary"
+                )
+            boundary = mm[1] if boundary is None else max(boundary, mm[1])
+        # TIMESTAMP min/max are epoch millis; surface as a timestamp literal
+        lit = (
+            F.timestamp_millis(F.lit(int(boundary)))
+            if is_timestamp
+            else F.lit(boundary)
+        )
+        off_df = self._load_segments(spark, offline).filter(
+            F.col(time_column) <= lit
+        )
+        rt_df = self._load_segments(spark, realtime).filter(
+            F.col(time_column) > lit
+        )
+        return off_df.unionByName(rt_df)
 
     def count_star(self, name: str) -> int:
         """Metadata-only COUNT(*): sum of ``segment.total.docs`` over the

@@ -3091,6 +3091,70 @@ def q_pinot_inverted_filter(spark, sf):
     )
 
 
+@register(
+    "pinot_hybrid_table_agg",
+    """SELECT event_type, count(*) AS n,
+              round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS sum_value
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "parity",
+    ["pinot", "storage", "hybrid", "catalog"],
+)
+def q_pinot_hybrid_table(spark, sf):
+    """Pinot hybrid-table semantics under the hash gate: events split into
+    an OFFLINE table (everything up to a cut) and a REALTIME table that
+    OVERLAPS it (everything after an earlier cut), both written as v3
+    segments; ``PinotCatalog.load_hybrid_table`` merges them at the broker
+    time boundary (max OFFLINE time), so the overlap deduplicates by
+    construction. The oracle aggregates the original parquet — a hash match
+    proves boundary + union reproduce exactly the full table. The reference
+    would silently drop the realtime-only rows here (OFFLINE preferred,
+    metadata_provider.rs:302-319)."""
+    import tempfile
+
+    from datafusion_pinot_spark.catalog import PinotCatalog
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    data_dir = tempfile.mkdtemp(prefix="hybrid_")
+    ev = t(spark, sf, "events").select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_type",
+        "value",
+    )
+    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).collect()[0]
+    cut_off = lo + int((hi - lo) * 0.6)  # OFFLINE covers ts_ms <= cut_off
+    cut_rt = lo + int((hi - lo) * 0.4)  # REALTIME covers ts_ms > cut_rt
+    (
+        ev.filter(F.col("ts_ms") <= cut_off)
+        .repartition(2)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "ts_ms")
+        .save(os.path.join(data_dir, "events_OFFLINE"))
+    )
+    (
+        ev.filter(F.col("ts_ms") > cut_rt)
+        .repartition(2)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "ts_ms")
+        .save(os.path.join(data_dir, "events_REALTIME"))
+    )
+    hybrid = PinotCatalog.filesystem(data_dir).load_hybrid_table(
+        spark, "events", "ts_ms"
+    )
+    return (
+        hybrid.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(money("value")).cast("double"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _tfidf_oracle() -> str:
     from datafusion_pinot_spark.operators.text import tfidf_top_terms_oracle_sql
 

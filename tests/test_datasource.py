@@ -311,6 +311,57 @@ def test_catalog_filesystem_discovery(spark, pinot_table_dir):
     assert len(joined) == 3
 
 
+def test_typed_segment_paths(tmp_path):
+    from datafusion_pinot_spark.catalog import FileSystemMetadataProvider
+
+    for side in ("OFFLINE", "REALTIME"):
+        os.makedirs(tmp_path / f"ev_{side}" / "seg0" / "v3")
+    os.makedirs(tmp_path / "ev_OFFLINE" / "tmp" / "v3")  # tmp is skipped
+    p = FileSystemMetadataProvider(str(tmp_path))
+    assert len(p.get_segment_paths_typed("ev", "OFFLINE")) == 1
+    assert len(p.get_segment_paths_typed("ev", "REALTIME")) == 1
+    assert p.get_segment_paths_typed("missing", "OFFLINE") == []
+
+
+def test_hybrid_table_time_boundary(spark, tmp_path):
+    """OFFLINE rows up to the boundary + REALTIME rows after it: the
+    overlap ingested into both sides deduplicates by construction, and
+    realtime-only rows (which the reference's OFFLINE-preferred fallback
+    would drop) are present."""
+    spark.dataSource.register(PinotDataSource)
+    full = spark.createDataFrame(
+        [(i, i * 10, f"u{i % 3}") for i in range(1, 21)], "id long, t long, u string"
+    )
+    # offline: t <= 120; realtime: t > 60 (overlap 70..120 in both)
+    (
+        full.filter("t <= 120").coalesce(1)
+        .write.format("pinot").mode("append")
+        .save(str(tmp_path / "ev_OFFLINE"))
+    )
+    (
+        full.filter("t > 60").coalesce(1)
+        .write.format("pinot").mode("append")
+        .save(str(tmp_path / "ev_REALTIME"))
+    )
+    hybrid = PinotCatalog.filesystem(str(tmp_path)).load_hybrid_table(
+        spark, "ev", "t"
+    )
+    got = sorted(r["id"] for r in hybrid.collect())
+    assert got == list(range(1, 21))  # exactly the full set, no dupes
+
+    # single-sided tables fall back to a plain load
+    solo_dir = tmp_path / "solo"
+    os.makedirs(solo_dir, exist_ok=True)
+    (
+        full.coalesce(1).write.format("pinot").mode("append")
+        .save(str(solo_dir / "x_OFFLINE"))
+    )
+    solo = PinotCatalog.filesystem(str(solo_dir)).load_hybrid_table(
+        spark, "x", "t"
+    )
+    assert solo.count() == 20
+
+
 def test_controller_catalog_with_stub_http(spark, pinot_table_dir):
     root, _ = pinot_table_dir
 
