@@ -25,8 +25,11 @@ def _ensure_conf(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-        # events.parquet carries TIMESTAMP(NANOS); read as long + convert
+        # events.parquet has shipped as TIMESTAMP(NANOS) (read as long +
+        # convert) and as no-tz TIMESTAMP(MICROS) (would read as NTZ, which
+        # unix_micros/withWatermark reject) — normalize both to TIMESTAMP.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     return spark

@@ -111,7 +111,7 @@ WITH tok AS (
          sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
   FROM nz
 )
-SELECT (cum - n) // {seq_len} AS bin,
+SELECT CAST((cum - n) // {seq_len} AS BIGINT) AS bin,
        count(*) AS n_docs,
        CAST(sum(n) AS BIGINT) AS tok_sum,
        min(doc_id) AS first_doc,

@@ -41,8 +41,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # let the pinot Python data source receive pushed filters
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        # testdata events.parquet uses TIMESTAMP(NANOS): read as long
+        # testdata events.parquet has shipped as TIMESTAMP(NANOS) (read as
+        # long) and as TIMESTAMP(MICROS) without isAdjustedToUTC (read as
+        # NTZ unless disabled). Read no-tz micros as TIMESTAMP: with the UTC
+        # session timezone this matches DuckDB's naive-as-UTC interpretation.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

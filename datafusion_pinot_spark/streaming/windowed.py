@@ -29,10 +29,16 @@ def _file_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
 
 
 def _with_ts(events: DataFrame) -> DataFrame:
-    """Normalize a nanosAsLong ts column back to a microsecond timestamp."""
-    if dict(events.dtypes).get("ts") == "bigint":
+    """Normalize the ts column to a microsecond TIMESTAMP regardless of how
+    the parquet reader surfaced it (nanosAsLong bigint, or NTZ from no-tz
+    micros — watermarks require TIMESTAMP, not TIMESTAMP_NTZ)."""
+    ts_type = dict(events.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer div — float division loses exactness on ns epoch longs
         events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # UTC session tz ⇒ cast keeps wall-clock == epoch (DuckDB semantics)
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events
 
 
