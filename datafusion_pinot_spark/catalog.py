@@ -223,8 +223,11 @@ class PinotCatalog:
         when both exist, metadata_provider.rs:302-319, dropping any data
         newer than the offline ingest):
 
-        - boundary = max value of ``time_column`` across OFFLINE segments
-          (driver-side metadata/dictionary scan, no Spark job);
+        - boundary = max value of ``time_column`` across OFFLINE segments —
+          O(1) driver-side file reads via the table's segment_stats.json
+          manifest when fresh, falling back to a per-segment metadata/
+          dictionary scan (and rebuilding the manifest for next time) —
+          no Spark job either way;
         - rows with ``time_column <= boundary`` come from OFFLINE, rows
           after it from REALTIME — overlap ingested into both sides
           deduplicates by construction, exactly Pinot's broker behavior.
@@ -235,6 +238,7 @@ class PinotCatalog:
         from pyspark.sql import functions as F
 
         from pinot_segment import SegmentReader
+        from pinot_segment.manifest import refresh_manifest, stats_for_segments
         from pinot_segment.metadata import DataType
 
         offline = self.provider.get_segment_paths_typed(name, "OFFLINE")
@@ -246,20 +250,33 @@ class PinotCatalog:
         if not offline:
             return self._load_segments(spark, realtime)
 
+        seg_stats = stats_for_segments(offline)
         boundary = None
         is_timestamp = False
+        fell_back = False
         for seg in offline:
-            reader = SegmentReader.open(seg)
-            col = reader.metadata.get_column(time_column)
-            is_timestamp = col.data_type is DataType.TIMESTAMP
-            mm = reader.column_min_max(time_column)
-            if mm is None:
-                raise ValueError(
-                    f"time column '{time_column}' of '{name}' has no "
-                    "min/max stats in segment "
-                    f"{seg} — cannot derive a time boundary"
-                )
-            boundary = mm[1] if boundary is None else max(boundary, mm[1])
+            cs = (seg_stats.get(seg) or {}).get("columns", {}).get(time_column)
+            if cs is not None and "max" in cs:
+                is_timestamp = cs["dtype"] == "TIMESTAMP"
+                mx = cs["max"]
+            else:
+                fell_back = True
+                reader = SegmentReader.open(seg)
+                col = reader.metadata.get_column(time_column)
+                is_timestamp = col.data_type is DataType.TIMESTAMP
+                mm = reader.column_min_max(time_column)
+                if mm is None:
+                    raise ValueError(
+                        f"time column '{time_column}' of '{name}' has no "
+                        "min/max stats in segment "
+                        f"{seg} — cannot derive a time boundary"
+                    )
+                mx = mm[1]
+            boundary = mx if boundary is None else max(boundary, mx)
+        if fell_back:
+            # amortize: next boundary lookup (and zone-map planning) is one
+            # file read. Best-effort — read-only table dirs stay walk-based.
+            refresh_manifest(os.path.dirname(os.path.dirname(offline[0])))
         # TIMESTAMP min/max are epoch millis; surface as a timestamp literal
         lit = (
             F.timestamp_millis(F.lit(int(boundary)))
@@ -282,12 +299,20 @@ class PinotCatalog:
         regardless of table width. For the in-plan equivalent use
         ``spark.read.format("pinot").option("columns", "")`` (zero-column
         scan; Spark still iterates row counts, so this helper is faster for
-        interactive use)."""
+        interactive use). Served from the segment_stats.json manifest when
+        fresh (one file read per table), else per-segment properties."""
         from pinot_segment import SegmentMetadata
+        from pinot_segment.manifest import stats_for_segments
 
+        segs = self.provider.get_segment_paths(name)
+        seg_stats = stats_for_segments(segs)
         return sum(
-            SegmentMetadata.from_file(os.path.join(seg, "metadata.properties")).total_docs
-            for seg in self.provider.get_segment_paths(name)
+            seg_stats[seg]["total_docs"]
+            if seg_stats.get(seg) is not None
+            else SegmentMetadata.from_file(
+                os.path.join(seg, "metadata.properties")
+            ).total_docs
+            for seg in segs
         )
 
     def register_all(self, spark) -> list[str]:

@@ -276,12 +276,23 @@ class PinotDataSourceReader(DataSourceReader):
     def partitions(self) -> list[PinotInputPartition]:
         # Zone-map prune first (per segment — pruning granularity is
         # unaffected by packing), then pack `segments_per_partition` pruned
-        # survivors into each task.
-        survivors = [
-            seg
-            for seg in self._segments
-            if not (self._pushed and _segment_can_be_skipped(seg, self._pushed))
-        ]
+        # survivors into each task. Stats come from the table-level
+        # segment_stats.json manifest when fresh — ONE file read per table
+        # dir instead of a SegmentReader.open per segment, which is the
+        # difference between O(1) and O(segments) driver-side planning at
+        # 10^5-segment scale; segments the manifest doesn't cover fall back
+        # to the per-segment open.
+        if self._pushed:
+            from pinot_segment.manifest import stats_for_segments
+
+            stats = stats_for_segments(self._segments)
+            survivors = [
+                seg
+                for seg in self._segments
+                if not _segment_can_be_skipped(seg, self._pushed, stats.get(seg))
+            ]
+        else:
+            survivors = list(self._segments)
         if not survivors:
             # All segments zone-map-pruned. Spark still schedules one task for
             # an empty partitions list (passing None), so hand it a sentinel.
@@ -530,11 +541,15 @@ class PinotStreamWriter(DataSourceStreamArrowWriter):
         return self._delegate.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        new_stats = {}
         for m in messages:
             if m is None or not m.staged_dir:
                 continue
-            final = os.path.join(self._path, f"b{batchId}_{m.segment_name}")
-            os.replace(m.staged_dir, final)
+            name = f"b{batchId}_{m.segment_name}"
+            os.replace(m.staged_dir, os.path.join(self._path, name))
+            if getattr(m, "stats", None) is not None:
+                new_stats[name] = m.stats
+        _update_manifest_after_commit(self._path, new_stats)
 
     def abort(self, messages, batchId: int) -> None:
         self._delegate.abort(messages)
@@ -552,6 +567,9 @@ def _table_name_from_dir(path: str) -> str:
 class PinotWriterCommitMessage(WriterCommitMessage):
     staged_dir: str = ""
     segment_name: str = ""
+    # manifest stats computed in the write task (where the data already is —
+    # no extra scan): {"total_docs": N, "columns": {col: {...}}}
+    stats: dict | None = None
 
 
 class PinotDataSourceWriter(DataSourceArrowWriter):
@@ -724,7 +742,11 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                     )
                 )
         write_segment(staged, seg_name, self._table, specs)
-        return PinotWriterCommitMessage(staged_dir=staged, segment_name=seg_name)
+        return PinotWriterCommitMessage(
+            staged_dir=staged,
+            segment_name=seg_name,
+            stats=_specs_stats(specs, table.num_rows),
+        )
 
     def commit(self, messages) -> None:
         import shutil
@@ -735,13 +757,17 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                     continue
                 if os.path.isdir(os.path.join(self._path, entry, "v3")):
                     shutil.rmtree(os.path.join(self._path, entry))
+        new_stats = {}
         for m in messages:
             if m is None or not m.staged_dir:
                 continue
             os.replace(m.staged_dir, os.path.join(self._path, m.segment_name))
+            if getattr(m, "stats", None) is not None:
+                new_stats[m.segment_name] = m.stats
         tmp = os.path.join(self._path, "tmp")
         if os.path.isdir(tmp) and not os.listdir(tmp):
             os.rmdir(tmp)
+        _update_manifest_after_commit(self._path, new_stats)
 
     def abort(self, messages) -> None:
         import shutil
@@ -749,6 +775,76 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         for m in messages:
             if m is not None and m.staged_dir and os.path.isdir(m.staged_dir):
                 shutil.rmtree(m.staged_dir, ignore_errors=True)
+
+
+# -- manifest maintenance ----------------------------------------------------
+
+
+def _specs_stats(specs, total_docs: int) -> dict:
+    """Per-column manifest stats from the in-memory column specs the write
+    task just encoded — same (non-null min, max) semantics as
+    SegmentReader.column_min_max, computed without re-reading anything."""
+    import numpy as np
+
+    from pinot_segment.manifest import _STATS_DTYPES
+
+    cols = {}
+    for spec in specs:
+        if spec.multi_value or spec.data_type.value not in _STATS_DTYPES:
+            continue
+        vals = spec.values
+        nm = spec.null_mask
+        if nm is not None:
+            vals = (
+                vals[~np.asarray(nm)]
+                if isinstance(vals, np.ndarray)
+                else [v for v, is_null in zip(vals, nm) if not is_null]
+            )
+        entry = {
+            "dtype": spec.data_type.value,
+            "has_nulls": nm is not None and bool(np.asarray(nm).any()),
+        }
+        if len(vals):
+            mn = vals.min() if isinstance(vals, np.ndarray) else min(vals)
+            mx = vals.max() if isinstance(vals, np.ndarray) else max(vals)
+            entry["min"] = mn.item() if hasattr(mn, "item") else mn
+            entry["max"] = mx.item() if hasattr(mx, "item") else mx
+        cols[spec.name] = entry
+    return {"total_docs": total_docs, "columns": cols}
+
+
+def _update_manifest_after_commit(path: str, new_stats: dict) -> None:
+    """Merge task-computed stats into the table's segment_stats.json after
+    segments land. Pre-existing segments keep their prior entries when the
+    fingerprints still match; anything uncovered is (re)collected — so the
+    manifest always describes the exact post-commit segment set. Best-effort:
+    the manifest is a planning optimization, never a commit failure."""
+    try:
+        from pinot_segment import manifest as M
+
+        prior: dict = {}
+        try:
+            import json
+
+            with open(os.path.join(path, M.MANIFEST_NAME)) as f:
+                prior = json.load(f).get("segments", {})
+        except Exception:
+            prior = {}
+        segments = {}
+        for v3 in M._segment_v3_dirs(path):
+            key = M._seg_key(v3)
+            fp = M._fingerprint(v3)
+            if key in new_stats:
+                stats = dict(new_stats[key])
+                stats["fingerprint"] = fp
+            elif key in prior and prior[key].get("fingerprint") == fp:
+                stats = prior[key]
+            else:
+                stats = M.collect_segment_stats(v3)
+            segments[key] = stats
+        M.write_manifest(path, {"version": M.VERSION, "segments": segments})
+    except Exception:
+        pass
 
 
 # -- predicate evaluation helpers -------------------------------------------
@@ -774,9 +870,36 @@ def _filter_bounds_check(f: Filter, mn, mx) -> bool:
     return True
 
 
-def _segment_can_be_skipped(segment_dir: str, filters: list[Filter]) -> bool:
+def _stats_can_be_skipped(stats: dict, filters: list[Filter]) -> bool:
+    """Zone-map pruning from manifest stats alone — no segment open."""
+    cols = stats.get("columns", {})
+    for f in filters:
+        if isinstance(f, IsNull):
+            # IS NULL is provably empty only for a column with no
+            # null-vector index (the non-nullable default).
+            cs = cols.get(f.attribute[0])
+            if cs is not None and not cs.get("has_nulls"):
+                return True
+            continue
+        if not isinstance(f, _RANGE_FILTERS):
+            continue
+        cs = cols.get(f.attribute[0])
+        if cs is None or "min" not in cs:
+            continue
+        if not _filter_bounds_check(f, cs["min"], cs["max"]):
+            return True
+    return False
+
+
+def _segment_can_be_skipped(
+    segment_dir: str, filters: list[Filter], stats: dict | None = None
+) -> bool:
     """Zone-map pruning: skip the segment iff some pushed filter is provably
-    unsatisfiable given a column's sorted-dictionary min/max."""
+    unsatisfiable given a column's (min, max) / nullability stats — from the
+    table manifest when available (``stats``), else by opening the segment
+    and consulting its sorted dictionary / metadata bounds."""
+    if stats is not None:
+        return _stats_can_be_skipped(stats, filters)
     from pinot_segment import SegmentReader
 
     try:
@@ -785,8 +908,6 @@ def _segment_can_be_skipped(segment_dir: str, filters: list[Filter]) -> bool:
         return False
     for f in filters:
         if isinstance(f, IsNull):
-            # IS NULL is provably empty only for a column with no
-            # null-vector index (the non-nullable default).
             cm = reader.metadata.columns.get(f.attribute[0])
             if cm is not None and not cm.has_null_values:
                 return True
