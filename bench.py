@@ -135,7 +135,7 @@ def pinot_format_queries(spark, sf_dir: str):
     ).save(out_rng)
 
     df = lambda: spark.read.format("pinot").load(out)  # noqa: E731
-    return out, {
+    return out, out_rng, {
         "pinot_write_segments": write,
         # Empty projection → metadata-only count (no forward-index decode),
         # the same path as the reference's 3.97 ms COUNT(*) (exec.rs:92-95).
@@ -188,6 +188,8 @@ def duplicate_table(table_dir: str, copies: int) -> str:
     Segment bytes are identical; only the row count scales, so timing the
     big table isolates the per-row (marginal) decode cost from the fixed
     Python-data-source floor."""
+    from pinot_segment.manifest import refresh_manifest
+
     big = table_dir.rstrip("/").replace("_OFFLINE", "big_OFFLINE")
     if os.path.isdir(big):
         shutil.rmtree(big)
@@ -198,16 +200,27 @@ def duplicate_table(table_dir: str, copies: int) -> str:
             continue
         for k in range(copies):
             shutil.copytree(src, os.path.join(big, f"{seg}_dup{k}"))
+    # one-time stats manifest: zone-map pruning at planning time is then a
+    # single file read instead of a SegmentReader.open per segment
+    refresh_manifest(big)
     return big
 
 
-def marginal_tier(spark, table_dir: str, copies: int = 16) -> dict:
+def marginal_tier(
+    spark, table_dir: str, rng_table_dir: str, copies: int = 16
+) -> dict:
     """Reference shapes on the duplicated table; ns/row vs BASELINE.md.
 
     Segments are packed so tasks ≈ cores (`segments_per_partition` read
     option — the duplicated table is the many-small-segments layout the
     option exists for); otherwise 64 sub-second tasks measure per-task
-    scheduling overhead, not decode cost."""
+    scheduling overhead, not decode cost.
+
+    The ``index_probes`` sub-tier times the same selective filter through
+    four execution paths at a scale where decode dominates — full scan
+    (hash layout, nothing prunable) vs zone-map prune vs sorted-range slice
+    vs inverted-index bitmap (range layout) — to show the index features
+    winning where sf0.1 could only measure the fixed floor (r3 verdict #5)."""
     import math
 
     from pyspark.sql import functions as F
@@ -272,7 +285,72 @@ def marginal_tier(spark, table_dir: str, copies: int = 16) -> dict:
             "ref_ns_per_row": round(ref, 1),
             "ratio_vs_ref": round(ns_per_row / ref, 2),
         }
+
+    # -- index probes: one selective predicate, four execution paths --------
+    big_rng = duplicate_table(rng_table_dir, copies)
+
+    def rd(table, **opts):
+        r = spark.read.format("pinot").option(
+            "segments_per_partition", str(spp)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load(table)
+
+    agg = lambda f: f.agg(  # noqa: E731
+        F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")
+    )
+    probes = {
+        # hash layout: every segment spans the full key range — zone maps
+        # cannot prune, every segment decodes + masks (the no-index cost)
+        "filter_fullscan": lambda: agg(
+            rd(big).filter(F.col("l_orderkey") <= 2000)
+        ),
+        # range layout: the same predicate zone-map-prunes 7/8 of the
+        # segment groups at planning — pruned segments never get a task
+        "filter_zonemap": lambda: agg(
+            rd(big_rng).filter(F.col("l_orderkey") <= 2000)
+        ),
+        # in-segment sorted slice: survivors binary-search to [lo, hi),
+        # decoding only the slice of each projected column
+        "filter_sorted_range": lambda: agg(
+            rd(big_rng).filter(
+                (F.col("l_orderkey") >= 500) & (F.col("l_orderkey") < 2000)
+            )
+        ),
+        # equality on flag WITHOUT an inverted index (hash layout): full
+        # forward decode of flag on every segment, then mask
+        "filter_eq_fullscan": lambda: agg(
+            rd(big).filter(F.col("flag") == "R")
+        ),
+        # same equality WITH the inverted index (range layout): the pushed
+        # filter resolves to a doc bitmap, flag itself never decodes
+        "filter_eq_inverted": lambda: agg(
+            rd(big_rng).filter(F.col("flag") == "R")
+        ),
+    }
+    probe_out: dict[str, dict] = {"rows": rows}
+    for name, mk in probes.items():
+        frame = mk()
+        materialize(frame)
+        med, lo, hi = timed(lambda: materialize(frame))
+        probe_out[name] = {
+            "sec": round(med, 4),
+            "spread": [round(lo, 4), round(hi, 4)],
+            "ns_per_row": round(med * 1e9 / rows, 1),
+        }
+    for pruned, base in (
+        ("filter_zonemap", "filter_fullscan"),
+        ("filter_sorted_range", "filter_fullscan"),
+        ("filter_eq_inverted", "filter_eq_fullscan"),
+    ):
+        probe_out[pruned]["speedup_vs_fullscan"] = round(
+            probe_out[base]["sec"] / probe_out[pruned]["sec"], 2
+        )
+    out["index_probes"] = probe_out
+
     shutil.rmtree(big, ignore_errors=True)
+    shutil.rmtree(big_rng, ignore_errors=True)
     return out
 
 
@@ -306,7 +384,7 @@ def main() -> None:
     # (it is ~10x the cost of the read shapes); reads build the DataFrame
     # once (schema resolution, like the parquet tier's cached listing) and
     # time execution median-of-5.
-    table_dir, pinot = pinot_format_queries(spark, sf_dir)
+    table_dir, rng_table_dir, pinot = pinot_format_queries(spark, sf_dir)
     write = pinot.pop("pinot_write_segments")
     write(spark)  # untimed warmup (also creates the table for the reads)
     record("pinot_write_segments", lambda: write(spark), runs=3)
@@ -315,7 +393,7 @@ def main() -> None:
         materialize(frame)  # JIT/codegen warmup
         record(name, lambda: materialize(frame))
 
-    marginal = marginal_tier(spark, table_dir)
+    marginal = marginal_tier(spark, table_dir, rng_table_dir)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

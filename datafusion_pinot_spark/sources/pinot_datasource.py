@@ -596,8 +596,29 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         raw_columns: set,
         overwrite: bool,
         inverted_columns: set | None = None,
+        startree_dims: tuple = (),
+        startree_metrics: tuple = (),
     ) -> None:
         inverted_columns = inverted_columns or set()
+        if bool(startree_dims) != bool(startree_metrics):
+            raise ValueError(
+                "startree_dims and startree_metrics must be set together"
+            )
+        field_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        for d in startree_dims:
+            if field_types.get(d) not in (
+                "string", "int", "bigint", "boolean",
+            ):
+                raise ValueError(
+                    f"startree dim '{d}' must be a low-cardinality "
+                    f"STRING/INT/LONG/BOOLEAN column of the written schema"
+                )
+        for m in startree_metrics:
+            if field_types.get(m) not in ("int", "bigint", "float", "double"):
+                raise ValueError(
+                    f"startree metric '{m}' must be a numeric column of the "
+                    f"written schema"
+                )
         for f in schema.fields:
             t = f.dataType.simpleString()
             if t not in _WRITE_TYPES and t not in _MV_WRITE_TYPES:
@@ -633,6 +654,8 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         self._raw = raw_columns
         self._inverted = inverted_columns
         self._overwrite = overwrite
+        self._st_dims = tuple(startree_dims)
+        self._st_metrics = tuple(startree_metrics)
 
     def write(self, iterator) -> PinotWriterCommitMessage:
         """Arrow-batch write path (DataSourceArrowWriter): Spark hands whole
@@ -742,6 +765,12 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                     )
                 )
         write_segment(staged, seg_name, self._table, specs)
+        if self._st_dims:
+            _write_startree_companion(
+                staged, seg_name, self._table, table,
+                self._st_dims, self._st_metrics,
+                {f.name: f.dataType.simpleString() for f in self._schema.fields},
+            )
         return PinotWriterCommitMessage(
             staged_dir=staged,
             segment_name=seg_name,
