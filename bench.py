@@ -401,20 +401,36 @@ def main() -> None:
     except ValueError:
         sf_num = None
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "marginal": marginal,
-                "sf": sf_num,
-                "cpus": cpus,
-            }
-        )
-    )
+    payload = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "marginal": marginal,
+        "sf": sf_num,
+        "cpus": cpus,
+    }
+
+    # Persist the FULL payload to a committed file: the driver's BENCH_r{N}
+    # capture truncates to the tail of the stdout line, which lost the r4/r5
+    # headline medians (r5 verdict #5). ratio_vs_prev compares each query's
+    # median against the previous committed BENCH.json for regression diffs.
+    bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    try:
+        with open(bench_path) as f:
+            prev = json.load(f).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        prev = {}
+    payload["ratio_vs_prev"] = {
+        name: round(sec / prev[name], 3)
+        for name, sec in timings.items()
+        if prev.get(name)
+    }
+    with open(bench_path, "w") as f:
+        json.dump(payload, f, indent=1)
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -596,29 +596,8 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         raw_columns: set,
         overwrite: bool,
         inverted_columns: set | None = None,
-        startree_dims: tuple = (),
-        startree_metrics: tuple = (),
     ) -> None:
         inverted_columns = inverted_columns or set()
-        if bool(startree_dims) != bool(startree_metrics):
-            raise ValueError(
-                "startree_dims and startree_metrics must be set together"
-            )
-        field_types = {f.name: f.dataType.simpleString() for f in schema.fields}
-        for d in startree_dims:
-            if field_types.get(d) not in (
-                "string", "int", "bigint", "boolean",
-            ):
-                raise ValueError(
-                    f"startree dim '{d}' must be a low-cardinality "
-                    f"STRING/INT/LONG/BOOLEAN column of the written schema"
-                )
-        for m in startree_metrics:
-            if field_types.get(m) not in ("int", "bigint", "float", "double"):
-                raise ValueError(
-                    f"startree metric '{m}' must be a numeric column of the "
-                    f"written schema"
-                )
         for f in schema.fields:
             t = f.dataType.simpleString()
             if t not in _WRITE_TYPES and t not in _MV_WRITE_TYPES:
@@ -654,8 +633,6 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         self._raw = raw_columns
         self._inverted = inverted_columns
         self._overwrite = overwrite
-        self._st_dims = tuple(startree_dims)
-        self._st_metrics = tuple(startree_metrics)
 
     def write(self, iterator) -> PinotWriterCommitMessage:
         """Arrow-batch write path (DataSourceArrowWriter): Spark hands whole
@@ -765,12 +742,6 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                     )
                 )
         write_segment(staged, seg_name, self._table, specs)
-        if self._st_dims:
-            _write_startree_companion(
-                staged, seg_name, self._table, table,
-                self._st_dims, self._st_metrics,
-                {f.name: f.dataType.simpleString() for f in self._schema.fields},
-            )
         return PinotWriterCommitMessage(
             staged_dir=staged,
             segment_name=seg_name,
@@ -842,24 +813,38 @@ def _specs_stats(specs, total_docs: int) -> dict:
     return {"total_docs": total_docs, "columns": cols}
 
 
+# Cap on driver-side segment opens during a commit-time manifest merge: a
+# first write into a large pre-existing table would otherwise collect stats
+# for every legacy segment inside commit(). Past the cap the manifest is not
+# written (planning falls back to per-segment opens) rather than stalling
+# the commit.
+_MANIFEST_BACKFILL_CAP = 256
+
+
 def _update_manifest_after_commit(path: str, new_stats: dict) -> None:
     """Merge task-computed stats into the table's segment_stats.json after
     segments land. Pre-existing segments keep their prior entries when the
-    fingerprints still match; anything uncovered is (re)collected — so the
-    manifest always describes the exact post-commit segment set. Best-effort:
-    the manifest is a planning optimization, never a commit failure."""
+    fingerprints still match; anything uncovered is (re)collected up to
+    ``_MANIFEST_BACKFILL_CAP`` opens — so a written manifest always describes
+    the exact post-commit segment set. Best-effort: the manifest is a
+    planning optimization, never a commit failure — but only environmental /
+    format errors are swallowed (programming errors surface)."""
+    import json
+    import logging
+
+    from pinot_segment.errors import InvalidFormatError, UnsupportedFeatureError
+
     try:
         from pinot_segment import manifest as M
 
         prior: dict = {}
         try:
-            import json
-
             with open(os.path.join(path, M.MANIFEST_NAME)) as f:
                 prior = json.load(f).get("segments", {})
-        except Exception:
+        except (OSError, json.JSONDecodeError):
             prior = {}
         segments = {}
+        backfills = 0
         for v3 in M._segment_v3_dirs(path):
             key = M._seg_key(v3)
             fp = M._fingerprint(v3)
@@ -869,11 +854,22 @@ def _update_manifest_after_commit(path: str, new_stats: dict) -> None:
             elif key in prior and prior[key].get("fingerprint") == fp:
                 stats = prior[key]
             else:
+                backfills += 1
+                if backfills > _MANIFEST_BACKFILL_CAP:
+                    logging.getLogger(__name__).info(
+                        "pinot commit: >%d uncovered legacy segments under %s;"
+                        " skipping manifest write (planning will open segments)",
+                        _MANIFEST_BACKFILL_CAP,
+                        path,
+                    )
+                    return
                 stats = M.collect_segment_stats(v3)
             segments[key] = stats
         M.write_manifest(path, {"version": M.VERSION, "segments": segments})
-    except Exception:
-        pass
+    except (OSError, InvalidFormatError, UnsupportedFeatureError) as exc:
+        logging.getLogger(__name__).warning(
+            "pinot commit: manifest update skipped for %s: %s", path, exc
+        )
 
 
 # -- predicate evaluation helpers -------------------------------------------

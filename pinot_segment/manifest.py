@@ -38,11 +38,22 @@ _STATS_DTYPES = {"INT", "LONG", "FLOAT", "DOUBLE", "STRING", "TIMESTAMP"}
 
 
 def _fingerprint(v3_dir: str) -> Optional[list]:
+    """[size, mtime_ns, md5(metadata.properties)]. The content hash guards
+    against mtime-preserving replacement (cp -p / rsync -a / copytree) with
+    same-size metadata, where a (size, mtime) pair alone would let stale
+    zone maps silently prune segments that now contain matching rows. The
+    file is small (~1-4 KB), so hashing it costs microseconds — still O(1)
+    per segment with no columns.psf read."""
+    import hashlib
+
+    path = os.path.join(v3_dir, "metadata.properties")
     try:
-        st = os.stat(os.path.join(v3_dir, "metadata.properties"))
+        st = os.stat(path)
+        with open(path, "rb") as f:
+            digest = hashlib.md5(f.read()).hexdigest()
     except OSError:
         return None
-    return [st.st_size, st.st_mtime_ns]
+    return [st.st_size, st.st_mtime_ns, digest]
 
 
 def collect_segment_stats(v3_dir: str) -> dict:

@@ -20,6 +20,14 @@ import pytest
 from datafusion_pinot_spark.plans.queries import DRIVER_WINDOW, ordered_queries
 
 SF_SMOKE = "/root/testdata/sf0.001"
+
+# Without the testdata the DuckDB views can't be created and every
+# parametrized case would fail with missing-table errors — skip like the
+# other testdata-gated suites instead.
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_SMOKE), reason=f"testdata not present: {SF_SMOKE}"
+)
+
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
