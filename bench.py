@@ -106,6 +106,11 @@ def pinot_format_queries(spark, sf_dir: str):
 
     register_pinot_source(spark)
     out = os.path.join(tempfile.mkdtemp(prefix="bench_pinot_"), "li_OFFLINE")
+    # r6 columns: `ts` (RAW epoch-millis TIMESTAMP, monotone in l_orderkey —
+    # the time-ordered ingest shape) probes the TIMESTAMP filter pushdown;
+    # `tag` holds a RARE value on ~1/997 of keys so the inverted-index probe
+    # is selective (r5's flag=="R" matched ~25% of rows — projected-column
+    # decode dominated and the index measured as a no-op).
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey",
         "l_partkey",
@@ -114,67 +119,69 @@ def pinot_format_queries(spark, sf_dir: str):
         F.concat(
             F.lit("order-"), F.col("l_orderkey"), F.lit("-"), F.col("l_partkey")
         ).alias("okey"),
+        F.timestamp_millis(F.col("l_orderkey") * 60000).alias("ts"),
+        F.when(F.col("l_orderkey") % 997 == 0, F.lit("rare"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("tag"),
     )
 
     def write(_):
         li.repartition(8).write.format("pinot").mode("overwrite").option(
-            "raw", "okey"
+            "raw", "okey,ts"
         ).save(out)
         return None
 
     # Separate range-partitioned, in-segment-sorted table (disjoint
-    # l_orderkey zone maps + isSorted l_orderkey + an inverted index on the
-    # flag column — the realistic key/time-ordered ingest layout) for the
+    # l_orderkey/ts zone maps + isSorted l_orderkey/ts + inverted indexes on
+    # flag and tag — the realistic key/time-ordered ingest layout) for the
     # pruning/sorted/inverted queries; built once here so the timed
     # pinot_write_segments entry stays the plain hash-partitioned write.
     out_rng = os.path.join(tempfile.mkdtemp(prefix="bench_pinot_rng_"), "li_OFFLINE")
     li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
         "l_orderkey"
-    ).write.format("pinot").mode("overwrite").option("raw", "okey").option(
-        "inverted", "flag"
+    ).write.format("pinot").mode("overwrite").option("raw", "okey,ts").option(
+        "inverted", "flag,tag"
     ).save(out_rng)
 
-    df = lambda: spark.read.format("pinot").load(out)  # noqa: E731
+    # The Python DS API has no prune-columns callback, so the `columns`
+    # read option IS this source's projection pushdown — each shape requests
+    # exactly the columns it touches (the reference gets the same pruning
+    # from DataFusion, table.rs:161-169).
+    def df(cols: str, table=out):
+        return (
+            spark.read.format("pinot").option("columns", cols).load(table)
+        )
+
     return out, out_rng, {
         "pinot_write_segments": write,
         # Empty projection → metadata-only count (no forward-index decode),
         # the same path as the reference's 3.97 ms COUNT(*) (exec.rs:92-95).
-        # The Python DS API has no automatic column pruning, so the empty
-        # projection is requested explicitly.
-        "pinot_count_star": lambda _: spark.read.format("pinot")
-        .option("columns", "")
-        .load(out)
-        .groupBy()
-        .count(),
-        "pinot_scan_dict_cols": lambda _: df().select(
-            "flag", "l_orderkey", "l_extendedprice"
-        ),
-        "pinot_scan_raw_col": lambda _: df().select("okey"),
-        "pinot_agg": lambda _: df().agg(
+        "pinot_count_star": lambda _: df("").groupBy().count(),
+        "pinot_scan_dict_cols": lambda _: df("flag,l_orderkey,l_extendedprice"),
+        "pinot_scan_raw_col": lambda _: df("okey"),
+        "pinot_agg": lambda _: df("l_extendedprice,l_partkey,l_orderkey").agg(
             F.sum("l_extendedprice"), F.avg("l_partkey"), F.max("l_orderkey")
         ),
         # Selective key-range filter over the range-partitioned segments:
         # the pushed filter's zone-map prune skips ~7 of 8 segments at
         # planning (partitions() drops them — no task, no decode); the one
         # surviving segment applies the residual row mask.
-        "pinot_filter_prune": lambda _: spark.read.format("pinot")
-        .load(out_rng)
+        "pinot_filter_prune": lambda _: df("l_orderkey,l_extendedprice", out_rng)
         .filter(F.col("l_orderkey") <= 2000)
         .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")),
         # Range filter fully inside one sorted segment: zone maps prune the
         # other 7, then the survivor binary-searches to a [lo, hi) doc slice
         # — only that slice of each projected column decodes.
-        "pinot_sorted_range": lambda _: spark.read.format("pinot")
-        .load(out_rng)
+        "pinot_sorted_range": lambda _: df("l_orderkey,l_extendedprice", out_rng)
         .filter((F.col("l_orderkey") >= 500) & (F.col("l_orderkey") < 2000))
         .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")),
-        # Equality on the inverted-indexed flag column: the pushed filter
-        # resolves to a per-value doc bitmap (no forward decode of flag).
-        "pinot_inverted_eq": lambda _: spark.read.format("pinot")
-        .load(out_rng)
-        .filter(F.col("flag") == "R")
+        # Selective equality on the inverted-indexed tag column: the pushed
+        # filter resolves to a doc bitmap (no forward decode of tag) and the
+        # ~0.1% of matching docs are the only values materialized.
+        "pinot_inverted_eq": lambda _: df("tag,l_extendedprice", out_rng)
+        .filter(F.col("tag") == "rare")
         .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")),
-        "pinot_groupby_topk": lambda _: df()
+        "pinot_groupby_topk": lambda _: df("flag,l_extendedprice")
         .groupBy("flag")
         .agg(F.sum("l_extendedprice").alias("s"))
         .orderBy(F.desc("s"))
@@ -240,25 +247,33 @@ def marginal_tier(
         .count()
         .collect()[0][0]
     )
-    df = (  # noqa: E731
-        lambda: spark.read.format("pinot")
-        .option("segments_per_partition", str(spp))
-        .load(big)
-    )
+
+    # The Python DS API has no prune-columns callback (unlike the JVM DSv2 /
+    # the reference's DataFusion scan, table.rs:161-169), so the `columns`
+    # read option IS this source's projection pushdown — without it every
+    # shape decodes the full 7-column table (including the RAW okey strings)
+    # and the per-shape ns/row comparison vs BASELINE.md measures table
+    # width, not the shape.
+    def df(cols: str):
+        return (
+            spark.read.format("pinot")
+            .option("segments_per_partition", str(spp))
+            .option("columns", cols)
+            .load(big)
+        )
+
     shapes = {
         "count_star": lambda: spark.read.format("pinot")
         .option("columns", "")
         .load(big)
         .groupBy()
         .count(),
-        "scan_dict_cols": lambda: df().select(
-            "flag", "l_orderkey", "l_extendedprice"
-        ),
-        "scan_raw_col": lambda: df().select("okey"),
-        "agg": lambda: df().agg(
+        "scan_dict_cols": lambda: df("flag,l_orderkey,l_extendedprice"),
+        "scan_raw_col": lambda: df("okey"),
+        "agg": lambda: df("l_extendedprice,l_partkey,l_orderkey").agg(
             F.sum("l_extendedprice"), F.avg("l_partkey"), F.max("l_orderkey")
         ),
-        "groupby_topk": lambda: df()
+        "groupby_topk": lambda: df("flag,l_extendedprice")
         .groupBy("flag")
         .agg(F.sum("l_extendedprice").alias("s"))
         .orderBy(F.desc("s"))
@@ -289,9 +304,13 @@ def marginal_tier(
     # -- index probes: one selective predicate, four execution paths --------
     big_rng = duplicate_table(rng_table_dir, copies)
 
-    def rd(table, **opts):
-        r = spark.read.format("pinot").option(
-            "segments_per_partition", str(spp)
+    def rd(table, cols="l_orderkey,l_extendedprice", **opts):
+        # project only the filter + agg columns (see the `columns` note
+        # above) so the probes measure the filter paths, not table width
+        r = (
+            spark.read.format("pinot")
+            .option("segments_per_partition", str(spp))
+            .option("columns", cols)
         )
         for k, v in opts.items():
             r = r.option(k, v)
@@ -318,15 +337,34 @@ def marginal_tier(
                 (F.col("l_orderkey") >= 500) & (F.col("l_orderkey") < 2000)
             )
         ),
-        # equality on flag WITHOUT an inverted index (hash layout): full
-        # forward decode of flag on every segment, then mask
+        # selective equality (~0.1% of rows) WITHOUT an inverted index
+        # (hash layout): full forward decode of tag on every segment, mask,
+        # then selection-decode of the projected columns
         "filter_eq_fullscan": lambda: agg(
-            rd(big).filter(F.col("flag") == "R")
+            rd(big, "tag,l_extendedprice").filter(F.col("tag") == "rare")
         ),
         # same equality WITH the inverted index (range layout): the pushed
-        # filter resolves to a doc bitmap, flag itself never decodes
+        # filter resolves to a doc bitmap — tag itself never decodes, and
+        # only the bitmap's docs materialize from the projected columns
         "filter_eq_inverted": lambda: agg(
-            rd(big_rng).filter(F.col("flag") == "R")
+            rd(big_rng, "tag,l_extendedprice").filter(F.col("tag") == "rare")
+        ),
+        # ts-range (the canonical Pinot time-range query) WITHOUT pruning
+        # opportunities (hash layout: every segment spans the full range)
+        "filter_ts_fullscan": lambda: agg(
+            rd(big, "ts,l_extendedprice").filter(
+                (F.col("ts") >= F.timestamp_millis(F.lit(500 * 60000)))
+                & (F.col("ts") < F.timestamp_millis(F.lit(2000 * 60000)))
+            )
+        ),
+        # same ts-range on the range layout: the datetime→epoch-millis
+        # rewrite pushes the bounds, manifest zone maps prune 7/8 of the
+        # segments, survivors binary-search the sorted ts to a doc slice
+        "filter_ts_pruned": lambda: agg(
+            rd(big_rng, "ts,l_extendedprice").filter(
+                (F.col("ts") >= F.timestamp_millis(F.lit(500 * 60000)))
+                & (F.col("ts") < F.timestamp_millis(F.lit(2000 * 60000)))
+            )
         ),
     }
     probe_out: dict[str, dict] = {"rows": rows}
@@ -343,6 +381,7 @@ def marginal_tier(
         ("filter_zonemap", "filter_fullscan"),
         ("filter_sorted_range", "filter_fullscan"),
         ("filter_eq_inverted", "filter_eq_fullscan"),
+        ("filter_ts_pruned", "filter_ts_fullscan"),
     ):
         probe_out[pruned]["speedup_vs_fullscan"] = round(
             probe_out[base]["sec"] / probe_out[pruned]["sec"], 2

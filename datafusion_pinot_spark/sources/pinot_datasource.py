@@ -244,23 +244,32 @@ class PinotDataSourceReader(DataSourceReader):
     # -- filter pushdown (rebuild improvement over table.rs:163) ------------
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        # Filters on TIMESTAMP columns are not pushed: Spark hands
-        # datetime.datetime filter values, which don't compare against the
-        # stored epoch-millis ints — Spark evaluates them above the scan.
+        # TIMESTAMP filters are pushed by converting the datetime.datetime
+        # operands Spark hands over into the stored epoch-millis domain
+        # (_convert_ts_filter — exact, including sub-millisecond bounds), so
+        # time-range queries — the canonical Pinot access pattern — get
+        # manifest zone-map segment pruning and sorted-range narrowing like
+        # every other pushed predicate.
         ts_cols = {
             f.name
             for f in self._schema.fields
             if isinstance(f.dataType, TimestampType)
         }
         for f in filters:
-            if (
+            if not (
                 isinstance(f, _RANGE_FILTERS + (IsNotNull, IsNull))
                 and len(f.attribute) == 1
-                and f.attribute[0] not in ts_cols
             ):
-                self._pushed.append(f)
-            else:
                 yield f  # unsupported → Spark evaluates it above the scan
+                continue
+            if f.attribute[0] in ts_cols and isinstance(f, _RANGE_FILTERS):
+                conv = _convert_ts_filter(f)
+                if conv is None:
+                    yield f  # non-datetime operand: not convertible
+                else:
+                    self._pushed.append(conv)
+            else:
+                self._pushed.append(f)
 
     # -- planning -----------------------------------------------------------
 
@@ -363,9 +372,23 @@ class PinotDataSourceReader(DataSourceReader):
                         pa.nulls(n, pa.struct([]))
                     )
                 continue
-            table = reader.read_columns_arrow(list(partition.columns), rng)
             if mask is not None:
-                table = table.filter(pa.array(mask))
+                # Filter resolved to a row mask (inverted-index bitmap or
+                # residual predicate): decode ONLY the matching docs. Dict
+                # columns fancy-index their id stream before the dictionary
+                # take, so a selective filter (the inverted index's whole
+                # point) pays O(matches) value materialization instead of
+                # decode-everything-then-filter (r5 verdict #2).
+                import numpy as np
+
+                sel = np.flatnonzero(mask)
+                if rng is not None and rng[0]:
+                    sel = sel + rng[0]
+                table = reader.read_columns_arrow(
+                    list(partition.columns), selection=sel
+                )
+            else:
+                table = reader.read_columns_arrow(list(partition.columns), rng)
             # Yield natural column-chunk batches; Spark re-slices to its own
             # batch size JVM-side, so pre-slicing to 8,192 (the reference's
             # exec.rs:24 aesthetic) only multiplies per-batch IPC overhead.
@@ -873,6 +896,69 @@ def _update_manifest_after_commit(path: str, new_stats: dict) -> None:
 
 
 # -- predicate evaluation helpers -------------------------------------------
+
+
+def _ts_epoch_micros(v) -> int | None:
+    """Exact epoch-microseconds for a pushed TIMESTAMP filter operand, or
+    None when the operand isn't a datetime. Spark's filter serialization
+    (variant) hands tz-aware datetimes for TIMESTAMP literals; naive values
+    (TIMESTAMP_NTZ-typed literals) are read as UTC wall-clock — the session
+    timezone this engine pins. Integer arithmetic throughout: float
+    ``timestamp()`` is off by ±1us beyond 2^53."""
+    import datetime as dt
+
+    if not isinstance(v, dt.datetime):  # note: datetime is a date subclass
+        return None
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=dt.timezone.utc)
+    return (v - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)) // dt.timedelta(
+        microseconds=1
+    )
+
+
+def _convert_ts_filter(f: Filter) -> Filter | None:
+    """Rewrite a range/eq/IN filter on a TIMESTAMP column into the exact
+    equivalent over the stored epoch-millis LONGs.
+
+    A stored value ``m`` (millis) surfaces to Spark as the instant
+    ``m*1000`` micros, so for a bound of ``u`` micros with
+    ``q, r = divmod(u, 1000)``:
+
+    - aligned (r == 0): same comparison against ``q``;
+    - unaligned: ``m*1000 > u ⟺ m > q`` (and ``>= u`` ⟺ ``> q``,
+      ``< u`` ⟺ ``<= q``, ``<= u`` ⟺ ``<= q``), since no stored instant
+      falls strictly between ``q*1000`` and ``(q+1)*1000``; an unaligned
+      equality can match no stored row (pushed as an empty IN, which
+      zone-map-prunes every segment).
+
+    Returns None when an operand isn't a datetime (caller yields the filter
+    back to Spark)."""
+    if isinstance(f, In):
+        millis = []
+        for v in f.value:
+            u = _ts_epoch_micros(v)
+            if u is None:
+                return None
+            if u % 1000 == 0:  # unaligned IN members can't match stored rows
+                millis.append(u // 1000)
+        return In(f.attribute, tuple(millis))
+    u = _ts_epoch_micros(f.value)
+    if u is None:
+        return None
+    q, r = divmod(u, 1000)
+    if isinstance(f, EqualTo):
+        return EqualTo(f.attribute, q) if r == 0 else In(f.attribute, ())
+    if isinstance(f, GreaterThan):
+        return GreaterThan(f.attribute, q)
+    if isinstance(f, GreaterThanOrEqual):
+        return (
+            GreaterThanOrEqual(f.attribute, q) if r == 0 else GreaterThan(f.attribute, q)
+        )
+    if isinstance(f, LessThan):
+        return LessThan(f.attribute, q) if r == 0 else LessThanOrEqual(f.attribute, q)
+    if isinstance(f, LessThanOrEqual):
+        return LessThanOrEqual(f.attribute, q)
+    return None  # pragma: no cover - _RANGE_FILTERS covers the above
 
 
 def _filter_bounds_check(f: Filter, mn, mx) -> bool:

@@ -533,7 +533,10 @@ class SegmentReader:
         return pa.schema(fields)
 
     def _read_column_arrow(
-        self, name: str, row_range: tuple[int, int] | None = None
+        self,
+        name: str,
+        row_range: tuple[int, int] | None = None,
+        selection: "np.ndarray | None" = None,
     ) -> pa.Array:
         """One column as a pyarrow array, avoiding per-value Python objects:
         RAW strings come straight from chunk buffers; dictionary strings use
@@ -541,13 +544,19 @@ class SegmentReader:
         their null-vector applied as the Arrow validity mask. ``row_range``
         (from :meth:`sorted_row_range`) restricts decode to [lo, hi): dict
         columns slice ids before the dictionary take, RAW numerics seek
-        straight to the value range."""
-        arr = self._read_column_arrow_dense(name, row_range)
+        straight to the value range. ``selection`` (absolute doc ids, e.g.
+        from an inverted-index bitmap) restricts decode to exactly those
+        docs — dict columns fancy-index their id stream BEFORE the
+        dictionary take, so value materialization is O(selected), not
+        O(total_docs); it overrides ``row_range``."""
+        arr = self._read_column_arrow_dense(name, row_range, selection)
         mask = self.null_mask(name)
         if mask is not None:
             import pyarrow.compute as pc
 
-            if row_range is not None:
+            if selection is not None:
+                mask = mask[selection]
+            elif row_range is not None:
                 mask = mask[row_range[0] : row_range[1]]
             arr = pc.if_else(
                 pa.array(~mask), arr, pa.scalar(None, type=arr.type)
@@ -555,10 +564,15 @@ class SegmentReader:
         return arr
 
     def _read_column_arrow_dense(
-        self, name: str, row_range: tuple[int, int] | None = None
+        self,
+        name: str,
+        row_range: tuple[int, int] | None = None,
+        selection: "np.ndarray | None" = None,
     ) -> pa.Array:
         col = self.metadata.get_column(name)
         typ = ARROW_TYPES[col.data_type]
+        if selection is not None:
+            row_range = None  # selection indices are absolute
         if not col.is_single_value:
             # MV: flattened dictionary take + Arrow ListArray assembly from
             # the end-offsets — no per-row Python lists.
@@ -570,6 +584,8 @@ class SegmentReader:
             offsets[0] = 0
             offsets[1:] = ends
             arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+            if selection is not None:
+                return arr.take(pa.array(selection))
             return _slice(arr, row_range)
         if col.data_type in (DataType.STRING, DataType.BYTES) and not col.has_dictionary:
             loc = self.index_map.get_forward_index(name)
@@ -578,28 +594,54 @@ class SegmentReader:
             reader = VarByteChunkReader.read(
                 self._psf, loc.start_offset, loc.size, col.total_docs
             )
-            if col.data_type is DataType.BYTES:
-                return _slice(reader.read_all_bytes_arrow(), row_range)
-            return _slice(reader.read_all_strings_arrow(), row_range)
+            arr = (
+                reader.read_all_bytes_arrow()
+                if col.data_type is DataType.BYTES
+                else reader.read_all_strings_arrow()
+            )
+            if selection is not None:
+                return arr.take(pa.array(selection))
+            return _slice(arr, row_range)
         if col.data_type in (DataType.STRING, DataType.BYTES, DataType.BOOLEAN):
             values = pa.array(self._dictionary(col).values, type=typ)
             ids = self._dict_ids(col)
-            if row_range is not None:
+            if selection is not None:
+                ids = ids[selection]
+            elif row_range is not None:
                 ids = ids[row_range[0] : row_range[1]]
             return values.take(pa.array(ids))
         if col.data_type is DataType.TIMESTAMP:
             # stored millis -> microsecond instants
             if col.has_dictionary:
-                millis = self._read_dict_column(col)
-                if row_range is not None:
-                    millis = millis[row_range[0] : row_range[1]]
+                ids = self._dict_ids(col)
+                if selection is not None:
+                    ids = ids[selection]
+                elif row_range is not None:
+                    ids = ids[row_range[0] : row_range[1]]
+                millis = self._dictionary(col).take(ids)
             else:
                 millis = self._read_raw_numeric(col, row_range)
+                if selection is not None:
+                    millis = millis[selection]
             return pa.array(millis.astype(np.int64) * 1000, type=typ)
         if not col.has_dictionary and col.data_type in self._RAW_NUMERIC_DTYPES:
-            return pa.array(self._read_raw_numeric(col, row_range), type=typ)
+            vals = self._read_raw_numeric(col, row_range)
+            if selection is not None:
+                vals = vals[selection]
+            return pa.array(vals, type=typ)
+        if col.has_dictionary:
+            # dict-encoded numerics: fancy-index the id stream, then take
+            # only the selected entries through the dictionary
+            ids = self._dict_ids(col)
+            if selection is not None:
+                ids = ids[selection]
+            elif row_range is not None:
+                ids = ids[row_range[0] : row_range[1]]
+            return pa.array(self._dictionary(col).take(ids), type=typ)
         vals = self.read_column(name)
-        if row_range is not None:
+        if selection is not None:
+            vals = np.asarray(vals)[selection]
+        elif row_range is not None:
             vals = vals[row_range[0] : row_range[1]]
         return pa.array(vals, type=typ)
 
@@ -607,11 +649,12 @@ class SegmentReader:
         self,
         columns: list[str] | None = None,
         row_range: tuple[int, int] | None = None,
+        selection: "np.ndarray | None" = None,
     ) -> pa.Table:
         names = columns if columns is not None else self.column_names()
         if not names:
             # Empty projection (COUNT(*)): the count comes from metadata
             # (cf. exec.rs:92-95's row-count-only batches) — use total_docs().
             raise ValueError("empty projection: use total_docs() for COUNT(*)")
-        arrays = [self._read_column_arrow(n, row_range) for n in names]
+        arrays = [self._read_column_arrow(n, row_range, selection) for n in names]
         return pa.Table.from_arrays(arrays, schema=self.arrow_schema(names))

@@ -128,8 +128,8 @@ def test_zone_map_segment_pruning(spark, pinot_table_dir):
 def test_timestamp_sink_source_roundtrip(spark, tmp_path):
     """Spark timestamps round-trip through the sink/source at millisecond
     precision (Pinot's TIMESTAMP unit); filters on timestamp columns are
-    NOT pushed (datetime vs epoch-millis ints) but still evaluate
-    correctly above the scan."""
+    pushed via the r6 datetime→epoch-millis rewrite (tests/test_ts_pushdown
+    pins the rewrite itself) and evaluate exactly."""
     out = str(tmp_path / "ts_OFFLINE")
     spark.dataSource.register(PinotDataSource)
     df = spark.range(0, 3000).selectExpr(
@@ -144,6 +144,34 @@ def test_timestamp_sink_source_roundtrip(spark, tmp_path):
         F.col("tstamp") < F.timestamp_millis(F.lit(1700000000000 + 1000 * 61))
     ).count()
     assert n == 1000
+
+
+def test_selection_decode_mixed_types(spark, tmp_path):
+    """A pushed filter routes the read through the selection (doc-id take)
+    path — every column family (dict string, dict numeric, RAW numeric,
+    nullable, multi-value, timestamp) must survive it with values identical
+    to Spark evaluating the same predicate above the parquet original."""
+    out = str(tmp_path / "selmix_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    rows = spark.range(0, 5000).selectExpr(
+        "id as k",
+        "cast(id % 7 as double) as dnum",
+        "concat('s', id % 11) as s",
+        "case when id % 13 = 0 then null else cast(id % 5 as int) end as nv",
+        "array(cast(id % 3 as int), cast(id % 4 as int)) as mv",
+        "timestamp_millis(1700000000000 + id * 1000) as tstamp",
+    )
+    rows.repartition(3).write.format("pinot").mode("overwrite").option(
+        "raw", "k"
+    ).save(out)
+    back = spark.read.format("pinot").load(out)
+    pred = (F.col("k") % 10 == 3) & (F.col("k") >= 1000)
+    # k % 10 isn't pushable -> k >= 1000 pushes, the rest masks above; use a
+    # second, pushable-only variant to force the pure selection path too
+    for cond in [F.col("k") >= 4000, pred]:
+        got = sorted(map(tuple, back.filter(cond).collect()))
+        want = sorted(map(tuple, rows.filter(cond).collect()))
+        assert got == want
 
 
 def test_raw_numeric_zone_map_prunes(spark, tmp_path):
