@@ -456,6 +456,103 @@ WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= {threshold}
 """
 
 
+SIMHASH_MD5_BITS = 48  # 12 md5 hex digits × 4 bits — fits BIGINT exactly
+
+
+def simhash48_md5(docs: DataFrame) -> DataFrame:
+    """48-bit SimHash over the word multiset with the *md5* hash family —
+    bit votes come from the first 12 hex digits of ``md5(word)``, which
+    DuckDB reproduces character-for-character, so the fingerprints (and any
+    grouping on them) are oracle-checkable. Mirrors the r2 MinHash solution
+    (:func:`minhash_signatures` md5 family vs the xxhash64 production path
+    — here :func:`simhash64` stays the benched production path).
+
+    Same scale shape as simhash64: narrow per-row map (explode → 12
+    codegen'd conv/substring digit extracts) and ONE doc-keyed aggregation
+    of ±1 bit votes."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    words = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .select("doc_id", F.md5("w").alias("h"))
+    )
+    digits = words.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"d{i}")
+            for i in range(SIMHASH_MD5_BITS // 4)
+        ],
+    )
+    votes = digits.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_MD5_BITS)
+        ]
+    )
+    fp = sum(
+        (
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(1, SIMHASH_MD5_BITS)
+        ),
+        F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_md5_dup_groups(docs: DataFrame) -> DataFrame:
+    """Documents sharing an identical 48-bit md5-family simhash — the
+    oracle-checkable twin of :func:`simhash_dup_groups`."""
+    sh = simhash48_md5(docs)
+    w = Window.partitionBy("simhash")
+    return (
+        sh.withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "simhash", "group_size")
+    )
+
+
+def simhash_md5_dup_groups_oracle_sql() -> str:
+    nd = SIMHASH_MD5_BITS // 4
+    digits = ",\n         ".join(
+        f"strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS d{i}"
+        for i in range(nd)
+    )
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (d{b // 4} >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_MD5_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_MD5_BITS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(lower(text))) > 0
+), h AS (
+  SELECT doc_id, md5(w) AS h FROM w
+), d AS (
+  SELECT doc_id,
+         {digits}
+  FROM h
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM d GROUP BY doc_id
+), f AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+), g AS (
+  SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS group_size
+  FROM f
+)
+SELECT doc_id, simhash, group_size FROM g WHERE group_size > 1"""
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over the word multiset, built from xxhash64 word hashes.
 

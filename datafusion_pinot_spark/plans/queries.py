@@ -922,6 +922,16 @@ def _register_llm():
     register("simhash_dup_groups", None, "llm", ["dedup", "simhash"])(
         lambda spark, sf: dedup.simhash_dup_groups(_docs(spark, sf))
     )
+    # Hash-gated simhash surface (r5 verdict #3, mirroring the minhash md5
+    # solution above): the 48-bit md5-family fingerprints are reproduced
+    # bit-for-bit by DuckDB, so the dup grouping is fully oracle-checked;
+    # the xxhash64 simhash64 stays the production path (rows-only above).
+    register(
+        "simhash_md5_dup_groups",
+        dedup.simhash_md5_dup_groups_oracle_sql(),
+        "llm",
+        ["dedup", "simhash"],
+    )(lambda spark, sf: dedup.simhash_md5_dup_groups(_docs(spark, sf)))
 
     from datafusion_pinot_spark.operators import curation
 
@@ -1897,10 +1907,43 @@ def q_streaming_watermarked(spark, sf):
     the final windows the watermark has not passed, so the emitted set is a
     strict prefix of the batch result — correct late-data semantics, not a
     batch-equal one (the drop behavior itself is pinned by
-    tests/test_streaming.py::test_watermark_drops_late_data)."""
+    tests/test_streaming.py::test_watermark_drops_late_data). The CLOSED
+    subset is fully oracle-checked by streaming_watermarked_closed below."""
     from datafusion_pinot_spark.streaming.windowed import watermarked_stream_agg
 
     return watermarked_stream_agg(spark, f"{sf}/events.parquet")
+
+
+@register(
+    "streaming_watermarked_closed",
+    """WITH h AS (
+         SELECT ts, event_type FROM events
+         WHERE ts <= TIMESTAMP '2024-01-18 00:00:00'
+       ), wm AS (
+         SELECT max(ts) - INTERVAL 2 HOUR AS w FROM h
+       )
+       SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                AS bucket_start,
+              event_type, count(*) AS n
+       FROM h, wm
+       WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+       GROUP BY bucket_start, event_type""",
+    "llm",
+    ["streaming", "watermark"],
+)
+def q_streaming_watermarked_closed(spark, sf):
+    """The watermark-CLOSED windows of a real append-mode two-micro-batch
+    stream, hash-checked against DuckDB (r5 verdict #4): after batch 1 the
+    watermark is max(ts ≤ cut) − 2h; batch 2 emits every window ending at
+    or below it, whose contents provably equal aggregating the ts ≤ cut
+    subset alone (any later row in such a window is below the watermark
+    and dropped as late — see streaming/windowed.py for the proof
+    sketch)."""
+    from datafusion_pinot_spark.streaming.windowed import (
+        watermarked_closed_windows,
+    )
+
+    return watermarked_closed_windows(spark, f"{sf}/events.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -3337,11 +3380,8 @@ DRIVER_WINDOW: list[str] = [
     "q18_large_volume_customer",
     "scalar_subquery_above_avg",
     "full_outer_join_balance",
-    "set_ops_all",
     "window_ntile_analytics",
     "window_range_frame",
-    "date_extract_rollup",
-    "percentiles",
     "approx_percentiles_bounded",
     "array_agg_sources",
     "unpivot_measures",
@@ -3349,6 +3389,11 @@ DRIVER_WINDOW: list[str] = [
     "salted_join_revenue",
     "events_gapfill_hourly",
     "session_window_agg",
+    # -- r6 additions (standing rotation rule: round-N queries enter the
+    # round-N window) --
+    "pinot_timestamp_range_scan",  # r6: TIMESTAMP pushdown + zone maps
+    "simhash_md5_dup_groups",  # r6: oracle-checked simhash family
+    "streaming_watermarked_closed",  # r6: closed-window watermark oracle
     # -- LLM-pipeline / curation ops never driver-checked --
     "near_dup_groups",
     "ann_ivf_kmeans_topk",
@@ -3390,11 +3435,12 @@ DRIVER_WINDOW: list[str] = [
     # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,
     # multimodal_frame_sample, streaming_window_agg, asof_join_last_signup
-    # (r5 rotations: q4_priority_late_ship, q5_local_supplier_volume,
-    # q7_volume_shipping, q10_returned_items, part_like_join, token_topk;
-    # earlier: sessionization, window_topk_per_group, ann_cosine_topk,
-    # dedup_exact, minhash_signatures, pivot_event_types,
-    # events_tumbling_window).
+    # (r6 rotations: percentiles, set_ops_all, date_extract_rollup — all
+    # twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
+    # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
+    # part_like_join, token_topk; earlier: sessionization,
+    # window_topk_per_group, ann_cosine_topk, dedup_exact,
+    # minhash_signatures, pivot_event_types, events_tumbling_window).
 ]
 
 

@@ -789,7 +789,13 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                 new_stats[m.segment_name] = m.stats
         tmp = os.path.join(self._path, "tmp")
         if os.path.isdir(tmp) and not os.listdir(tmp):
-            os.rmdir(tmp)
+            try:
+                os.rmdir(tmp)
+            except OSError:
+                # TOCTOU with a concurrent committer (another writer also
+                # saw the empty staging dir, or staged something new into
+                # it) — both outcomes are fine, readers skip `tmp` anyway
+                pass
         _update_manifest_after_commit(self._path, new_stats)
 
     def abort(self, messages) -> None:

@@ -135,6 +135,91 @@ def watermarked_stream_agg(
     return spark.table(name)
 
 
+def watermarked_closed_windows(
+    spark: SparkSession,
+    events_parquet: str,
+    cut: str = "2024-01-18 00:00:00",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Append-mode watermarked windowed count, restricted to the windows the
+    watermark has PROVABLY closed — the oracle-checkable companion of
+    :func:`watermarked_stream_agg` (r5 verdict #4).
+
+    The input is split at ``cut`` into two files streamed as two ordered
+    micro-batches (``maxFilesPerTrigger=1``; mtimes force the order). After
+    batch 1 the watermark is ``max(ts ≤ cut) − watermark``; batch 2 — a
+    data batch, so it always executes — emits every window ending at or
+    below that watermark, and any batch-2 row falling into such a window is
+    below the watermark by construction (row ts < window end ≤ watermark)
+    and is dropped as late. The emitted contents of those windows therefore
+    equal an aggregation of the ``ts ≤ cut`` subset alone — a closed-form a
+    batch engine (the DuckDB oracle) reproduces exactly. Windows the final
+    no-data flush may or may not have emitted before the stream drained sit
+    strictly above the filter and never reach the output.
+    """
+    import os
+    import tempfile
+
+    ev = _with_ts(spark.read.parquet(events_parquet))
+    split_dir = tempfile.mkdtemp(prefix="wm_closed_")
+    cut_ts = F.lit(cut).cast("timestamp")
+    p1 = os.path.join(split_dir, "part1")
+    p2 = os.path.join(split_dir, "part2")
+    ev.filter(F.col("ts") <= cut_ts).coalesce(1).write.mode("overwrite").parquet(p1)
+    ev.filter(F.col("ts") > cut_ts).coalesce(1).write.mode("overwrite").parquet(p2)
+    # file source orders batches by modification time: part1 strictly older
+    now = 1_000_000_000
+    for sub, mtime in ((p1, now - 100), (p2, now)):
+        for f in os.listdir(sub):
+            if not f.startswith((".", "_")):
+                os.utime(os.path.join(sub, f), (mtime, mtime))
+
+    schema = spark.read.parquet(p1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(split_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bucket_start"),
+            F.unix_timestamp(F.col("window.end")).alias("bucket_end"),
+            "event_type",
+            "n",
+        )
+    )
+    name = f"stream_wmc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the batch-1 watermark, micro-exact (one scalar collect — fixture
+    # bound, not an operator path)
+    part1_max = spark.read.parquet(p1).agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    wm_us = (
+        part1_max.replace(tzinfo=dt.timezone.utc)
+        - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    ) // dt.timedelta(microseconds=1) - 2 * 3600 * 1_000_000
+    return (
+        spark.table(name)
+        .filter(F.col("bucket_end") * 1_000_000 <= F.lit(wm_us))
+        .select("bucket_start", "event_type", "n")
+    )
+
+
 def streaming_dedup(
     spark: SparkSession, parquet_path: str, keys: list[str]
 ) -> DataFrame:

@@ -1,0 +1,215 @@
+"""Manifest at many-segment scale + concurrent commits (r5 verdict #9).
+
+The segment-stats manifest exists for 10^5-segment tables; these tests back
+the O(1)-opens claim at a scale where the O(segments) fallback would visibly
+stall (1,000 segments here — large enough that per-segment SegmentReader
+opens would dominate, small enough for CI), and pin that two writers
+committing concurrently into one table can never corrupt it: segments are
+immutable and renamed atomically, and the manifest is either fresh (covers
+the exact final set) or detectably stale (planning falls back to opens) —
+never silently wrong.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pinot_segment import SegmentReader
+from pinot_segment import manifest as M
+from pinot_segment.metadata import DataType
+from pinot_segment.writer import ColumnSpec, write_segment
+
+from datafusion_pinot_spark.sources import pinot_datasource as ds
+
+N_SEGMENTS = 1000
+ROWS_PER_SEG = 8
+
+
+@pytest.fixture(scope="module")
+def big_table(tmp_path_factory):
+    """1,000 tiny segments with disjoint key ranges + a fresh manifest."""
+    table = tmp_path_factory.mktemp("scale") / "big_OFFLINE"
+    for i in range(N_SEGMENTS):
+        base = i * 1000
+        write_segment(
+            table / f"seg{i:04d}",
+            f"seg{i:04d}",
+            "big",
+            [
+                ColumnSpec(
+                    "k",
+                    DataType.LONG,
+                    np.arange(base, base + ROWS_PER_SEG, dtype=np.int64),
+                )
+            ],
+        )
+    M.write_manifest(str(table), M.build_manifest(str(table)))
+    return str(table)
+
+
+def test_planning_latency_and_zero_opens_at_1k_segments(big_table, monkeypatch):
+    segs = [
+        os.path.join(big_table, d, "v3")
+        for d in sorted(os.listdir(big_table))
+        if os.path.isdir(os.path.join(big_table, d, "v3"))
+    ]
+    assert len(segs) == N_SEGMENTS
+
+    opened = []
+    real_open = SegmentReader.open.__func__
+
+    def counting_open(cls, seg_dir):
+        opened.append(str(seg_dir))
+        return real_open(cls, seg_dir)
+
+    monkeypatch.setattr(SegmentReader, "open", classmethod(counting_open))
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    reader = ds.PinotDataSourceReader(
+        StructType([StructField("k", LongType())]), segs
+    )
+    # hits exactly one segment's [base, base+8) range
+    list(reader.pushFilters([ds.EqualTo(("k",), 437_003)]))
+    t0 = time.perf_counter()
+    parts = reader.partitions()
+    elapsed = time.perf_counter() - t0
+
+    assert opened == []  # zero SegmentReader opens — the O(1)-opens claim
+    kept = [d for p in parts for d in p.segment_dirs]
+    assert kept == [os.path.join(big_table, "seg0437", "v3")]
+    # generous bound: manifest load + 1k fingerprint checks + prune loop.
+    # The open-based fallback at this scale costs ~10x more (measured below
+    # only indirectly — a hard comparison would make the test flaky).
+    assert elapsed < 2.0, f"planning took {elapsed:.2f}s at {N_SEGMENTS} segments"
+
+
+def test_planning_latency_scales_with_manifest_not_opens(big_table):
+    """The same prune WITHOUT a manifest opens every segment — confirm the
+    manifest path is doing real work (not vacuously green)."""
+    segs = [
+        os.path.join(big_table, d, "v3")
+        for d in sorted(os.listdir(big_table))
+        if os.path.isdir(os.path.join(big_table, d, "v3"))
+    ][:100]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    stats = M.stats_for_segments(segs)
+    assert all(stats[s] is not None for s in segs)  # manifest serves them
+
+    # remove the manifest -> fallback opens (only for these 100)
+    os.rename(
+        os.path.join(big_table, M.MANIFEST_NAME),
+        os.path.join(big_table, M.MANIFEST_NAME) + ".bak",
+    )
+    try:
+        stats2 = M.stats_for_segments(segs)
+        assert all(stats2[s] is None for s in segs)
+        reader = ds.PinotDataSourceReader(
+            StructType([StructField("k", LongType())]), segs
+        )
+        list(reader.pushFilters([ds.EqualTo(("k",), 3)]))
+        kept = [d for p in reader.partitions() for d in p.segment_dirs]
+        assert kept == [segs[0]]  # open-based pruning still correct
+    finally:
+        os.rename(
+            os.path.join(big_table, M.MANIFEST_NAME) + ".bak",
+            os.path.join(big_table, M.MANIFEST_NAME),
+        )
+
+
+def _writer(schema_cols, path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField(c, LongType()) for c in schema_cols])
+    return ds.PinotDataSourceWriter(schema, path, "t", set(), False)
+
+
+def _write_one(writer, lo, hi):
+    batch = pa.RecordBatch.from_pydict({"k": np.arange(lo, hi, dtype=np.int64)})
+    return writer.write(iter([batch]))
+
+
+def test_concurrent_commits_never_corrupt(tmp_path):
+    """Two writers staging + committing concurrently: both segments land,
+    all rows survive, and the manifest is fresh-or-detectably-stale (the
+    atomic tmp-rename write means a reader never sees a torn file)."""
+    table = str(tmp_path / "c_OFFLINE")
+    os.makedirs(table)
+
+    w1, w2 = _writer(["k"], table), _writer(["k"], table)
+    m1 = _write_one(w1, 0, 100)
+    m2 = _write_one(w2, 1000, 1100)
+
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def commit(writer, msg):
+        try:
+            barrier.wait()
+            writer.commit([msg])
+        except Exception as exc:  # pragma: no cover - failure surface
+            errors.append(exc)
+
+    t1 = threading.Thread(target=commit, args=(w1, m1))
+    t2 = threading.Thread(target=commit, args=(w2, m2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert errors == []
+
+    seg_dirs = [
+        os.path.join(table, d, "v3")
+        for d in sorted(os.listdir(table))
+        if os.path.isdir(os.path.join(table, d, "v3"))
+    ]
+    assert len(seg_dirs) == 2  # both staged segments were renamed in
+    vals = sorted(
+        v
+        for s in seg_dirs
+        for v in SegmentReader.open(s).read_column("k").tolist()
+    )
+    assert vals == list(range(0, 100)) + list(range(1000, 1100))
+
+    # manifest: valid json; either fresh (covers both) or stale (ignored)
+    with open(os.path.join(table, M.MANIFEST_NAME)) as f:
+        manifest = json.load(f)  # never torn
+    loaded = M.load_manifest(table)
+    if loaded is not None:
+        assert set(loaded) == {
+            os.path.basename(os.path.dirname(s)) for s in seg_dirs
+        }
+    else:
+        # stale is safe: planning falls back to opening segments
+        assert set(manifest.get("segments", {})) <= {
+            os.path.basename(os.path.dirname(s)) for s in seg_dirs
+        }
+
+
+def test_commit_backfill_cap_skips_manifest(tmp_path, monkeypatch):
+    """A commit into a table with more uncovered legacy segments than the
+    backfill cap must skip the manifest write (not stall collecting stats)
+    and leave planning on the fallback path."""
+    table = str(tmp_path / "cap_OFFLINE")
+    for i in range(5):
+        write_segment(
+            os.path.join(table, f"legacy{i}"),
+            f"legacy{i}",
+            "t",
+            [ColumnSpec("k", DataType.LONG, np.arange(3, dtype=np.int64))],
+        )
+    monkeypatch.setattr(ds, "_MANIFEST_BACKFILL_CAP", 2)
+    w = _writer(["k"], table)
+    msg = _write_one(w, 50, 60)
+    w.commit([msg])
+    # segment landed; manifest intentionally absent
+    assert sum(
+        os.path.isdir(os.path.join(table, d, "v3")) for d in os.listdir(table)
+    ) == 6
+    assert not os.path.exists(os.path.join(table, M.MANIFEST_NAME))
