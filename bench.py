@@ -8,7 +8,21 @@ window top-k, MinHash-LSH dedup, ANN top-k, tumbling windows, sessionization).
 Timing is end-to-end per query: plan construction + execution + result
 materialization via a noop sink (rows fully produced engine-side, no Python
 driver transfer — comparable to the reference's in-process collect of Arrow
-batches, reference benchmark.rs:24-28).
+batches, reference benchmark.rs:24-28). Two r6 additions sharpen what the
+numbers mean:
+
+- ``marginal.plan_overhead`` quantifies the fixed per-query driver cost of
+  the Python data source (~0.15 s schema round-trip at load + ~0.3-0.4 s
+  scan planning inside optimization — Python-worker hand-offs). Every
+  sub-second pinot-tier number contains it; at 100 TB it amortizes to zero.
+  (Plan-REUSE timing cannot isolate it: Spark skips materialized shuffle
+  stages when the same plan object re-executes, so a reused ``collect()``
+  measures almost nothing — verified r6.)
+- ``marginal.storage_micro`` times the index paths at the storage layer
+  directly (single segment, no Spark): that is where zone maps, sorted
+  ranges, inverted bitmaps, and the r6 selection decode actually live, and
+  the task-level probes drown their effect in the fixed floor at any
+  locally-buildable scale.
 
 Methodology: one untimed warmup execution per query, then MEDIAN of 5 timed
 runs, with the [min, max] spread persisted per query (the r2 artifact showed
@@ -75,6 +89,13 @@ REF_NS_PER_ROW = {
 }
 
 TIMED_RUNS = 5
+
+# Queries whose hot path is interpreted higher-order array lambdas need
+# several executions before C2 reaches steady state (measured r6 on
+# minhash_lsh_pairs_xxh64: runs 1-3 at 2.0-2.3 s, steady ~1.0 s; one
+# warmup left a 3-6x max/min spread in r4/r5). The residual occasional
+# ~2x blip is driver-JVM GC at local[32] — the median absorbs it.
+EXTRA_WARMUPS = {"minhash_lsh_pairs_xxh64": 3}
 
 
 def materialize(df) -> None:
@@ -301,6 +322,25 @@ def marginal_tier(
             "ratio_vs_ref": round(ns_per_row / ref, 2),
         }
 
+    # Fixed per-query driver cost of the Python data source: a fresh
+    # metadata-only count (schema round-trip at load + scan planning + a
+    # near-zero execution) — the floor every pinot-tier number contains.
+    def fresh_count():
+        (
+            spark.read.format("pinot")
+            .option("columns", "")
+            .load(big)
+            .groupBy()
+            .count()
+            .collect()
+        )
+
+    med_fresh, lo_f, hi_f = timed(fresh_count, 3)
+    out["plan_overhead"] = {
+        "fresh_query_sec": round(med_fresh, 4),
+        "spread": [round(lo_f, 4), round(hi_f, 4)],
+    }
+
     # -- index probes: one selective predicate, four execution paths --------
     big_rng = duplicate_table(rng_table_dir, copies)
 
@@ -388,8 +428,88 @@ def marginal_tier(
         )
     out["index_probes"] = probe_out
 
+    out["storage_micro"] = storage_micro(rng_table_dir)
+
     shutil.rmtree(big, ignore_errors=True)
     shutil.rmtree(big_rng, ignore_errors=True)
+    return out
+
+
+def storage_micro(rng_table_dir: str) -> dict:
+    """Index-path costs at the storage layer (one segment, no Spark): the
+    task-level probes above carry a ~0.4 s fixed per-query floor (see
+    plan_overhead) that drowns per-segment effects at any locally-buildable
+    scale, so the index features are ALSO measured where they live. Times
+    are median milliseconds over one range-layout segment (~sf*6e6/8 docs):
+
+    - mask_inverted vs mask_forward: equality row-mask via the inverted
+      bitmap vs forward decode + compare (the r5 verdict-#2 comparison);
+    - decode_selection vs decode_dense_filter: materializing (tag,
+      l_extendedprice) for the matching ~0.1% docs via the r6 doc-id
+      selection vs decode-everything-then-filter;
+    - sorted_slice vs sorted_full: a 1/8 key-range decode through the
+      sorted-range slice vs decoding the whole column.
+    """
+    import statistics as st
+
+    import numpy as np
+
+    from datafusion_pinot_spark.sources.pinot_datasource import (
+        _discover_segments,
+    )
+    from pinot_segment import SegmentReader
+
+    seg = _discover_segments(rng_table_dir)[0]
+    r = SegmentReader.open(seg)
+    n = r.total_docs()
+
+    def med_ms(fn, runs=7):
+        fn()  # warm page cache
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            samples.append((time.perf_counter() - t0) * 1e3)
+        return round(st.median(samples), 2)
+
+    out: dict = {"segment_docs": n}
+    out["mask_inverted_ms"] = med_ms(
+        lambda: r.inverted_match_mask("tag", ["rare"])
+    )
+    out["mask_forward_ms"] = med_ms(
+        lambda: np.asarray(r.read_column("tag")) == "rare"
+    )
+    sel = np.flatnonzero(r.inverted_match_mask("tag", ["rare"]))
+    out["selected_docs"] = int(len(sel))
+    cols = ["tag", "l_extendedprice"]
+    out["decode_selection_ms"] = med_ms(
+        lambda: r.read_columns_arrow(cols, selection=sel)
+    )
+
+    def dense_filter():
+        import pyarrow as pa
+
+        mask = np.zeros(n, dtype=bool)
+        mask[sel] = True
+        r.read_columns_arrow(cols).filter(pa.array(mask))
+
+    out["decode_dense_filter_ms"] = med_ms(dense_filter)
+    ks = np.sort(np.asarray(r.read_column("l_orderkey")))
+    lo_v, hi_v = int(ks[0]), int(ks[len(ks) // 8])
+    rng = r.sorted_row_range("l_orderkey", lo_v, True, hi_v, False)
+    if rng is not None:
+        out["sorted_slice_ms"] = med_ms(
+            lambda: r.read_columns_arrow(cols, rng)
+        )
+        out["sorted_full_ms"] = med_ms(lambda: r.read_columns_arrow(cols))
+        out["sorted_slice_rows"] = rng[1] - rng[0]
+    for pair in (
+        ("mask_inverted_ms", "mask_forward_ms"),
+        ("decode_selection_ms", "decode_dense_filter_ms"),
+        ("sorted_slice_ms", "sorted_full_ms"),
+    ):
+        if pair[0] in out and pair[1] in out and out[pair[0]]:
+            out[f"speedup_{pair[0][:-3]}"] = round(out[pair[1]] / out[pair[0]], 2)
     return out
 
 
@@ -415,7 +535,8 @@ def main() -> None:
 
     for name in BENCH_QUERIES:
         qdef = QUERIES[name]
-        materialize(qdef.fn(spark, sf_dir))  # untimed: JIT/codegen warmup
+        for _ in range(1 + EXTRA_WARMUPS.get(name, 0)):
+            materialize(qdef.fn(spark, sf_dir))  # untimed: JIT/codegen warmup
         record(name, lambda: materialize(qdef.fn(spark, sf_dir)))
 
     # Pinot-format tier: the reference's benchmark shapes on real segments.
@@ -444,6 +565,10 @@ def main() -> None:
         "metric": "bench_total_sec",
         "value": total,
         "unit": "sec",
+        # r6: per-shape `columns` projection + plan_overhead/storage_micro
+        # sub-tiers (see module docstring); noop-sink end-to-end timing as
+        # in earlier rounds
+        "methodology": "r6-noop-projected",
         "queries": timings,
         "spread": spread,
         "marginal": marginal,
@@ -458,7 +583,13 @@ def main() -> None:
     bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
     try:
         with open(bench_path) as f:
-            prev = json.load(f).get("queries", {})
+            prev_payload = json.load(f)
+        # a methodology change makes medians incomparable — skip ratios
+        prev = (
+            prev_payload.get("queries", {})
+            if prev_payload.get("methodology") == payload["methodology"]
+            else {}
+        )
     except (OSError, json.JSONDecodeError):
         prev = {}
     payload["ratio_vs_prev"] = {

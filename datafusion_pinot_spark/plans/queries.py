@@ -1754,7 +1754,19 @@ def q_pinot_lineitem_q1(spark, sf):
         .option("raw", "l_orderkey,l_partkey,l_suppkey")
         .save(out)
     )
-    back = spark.read.format("pinot").load(out)
+    # Explicit projection: the Python DS API has no prune-columns callback,
+    # so without the option all 11 columns decode for Q1's 7 (the columns
+    # option is this source's projection pushdown). The shipdate filter is
+    # pushed via the r6 datetime→epoch-millis rewrite.
+    back = (
+        spark.read.format("pinot")
+        .option(
+            "columns",
+            "l_quantity,l_extendedprice,l_discount,l_tax,l_returnflag,"
+            "l_linestatus,l_shipdate",
+        )
+        .load(out)
+    )
     return _q1_agg(back.filter(F.col("l_shipdate") <= "1998-09-02"))
 
 
