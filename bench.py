@@ -494,6 +494,21 @@ def storage_micro(rng_table_dir: str) -> dict:
         r.read_columns_arrow(cols).filter(pa.array(mask))
 
     out["decode_dense_filter_ms"] = med_ms(dense_filter)
+
+    # RAW payload column (okey, LZ4 var-byte chunks): the r6 chunk-selective
+    # take decompresses only chunks holding a selected doc — the path a
+    # selective filter over a media-blob/embedding column takes at 100 TB
+    out["raw_take_selective_ms"] = med_ms(
+        lambda: r.read_columns_arrow(["okey"], selection=sel)
+    )
+
+    def raw_dense_take():
+        import pyarrow as pa
+
+        r.read_columns_arrow(["okey"]).column(0).take(pa.array(sel))
+
+    out["raw_dense_take_ms"] = med_ms(raw_dense_take)
+
     ks = np.sort(np.asarray(r.read_column("l_orderkey")))
     lo_v, hi_v = int(ks[0]), int(ks[len(ks) // 8])
     rng = r.sorted_row_range("l_orderkey", lo_v, True, hi_v, False)
@@ -506,6 +521,7 @@ def storage_micro(rng_table_dir: str) -> dict:
     for pair in (
         ("mask_inverted_ms", "mask_forward_ms"),
         ("decode_selection_ms", "decode_dense_filter_ms"),
+        ("raw_take_selective_ms", "raw_dense_take_ms"),
         ("sorted_slice_ms", "sorted_full_ms"),
     ):
         if pair[0] in out and pair[1] in out and out[pair[0]]:

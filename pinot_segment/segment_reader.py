@@ -61,6 +61,10 @@ class SegmentReader:
         self.index_map = IndexMap.from_file(self.segment_dir / "index_map")
         self._psf = self.segment_dir / "columns.psf"
         self._dict_cache: dict[str, DictionaryReader] = {}
+        # unpacked dict-id streams, cached per column: a filter column's ids
+        # are needed twice in one scan (row mask + output decode), and the
+        # bit-unpack is the fixed cost a selective read cannot avoid
+        self._ids_cache: dict[str, np.ndarray] = {}
 
     @classmethod
     def open(cls, segment_dir: str | Path) -> "SegmentReader":
@@ -90,6 +94,9 @@ class SegmentReader:
         return self._dict_cache[col.name]
 
     def _dict_ids(self, col: ColumnMetadata) -> np.ndarray:
+        cached = self._ids_cache.get(col.name)
+        if cached is not None:
+            return cached
         loc = self.index_map.get_forward_index(col.name)
         if loc is None:
             raise InvalidFormatError(f"No forward index for {col.name}")
@@ -99,6 +106,7 @@ class SegmentReader:
         ids = reader.read_all()
         if len(self._dictionary(col)) and ids.max(initial=0) >= len(self._dictionary(col)):
             raise InvalidFormatError(f"Invalid dict_id for column {col.name}")
+        self._ids_cache[col.name] = ids
         return ids
 
     def _read_dict_column(self, col: ColumnMetadata):
@@ -594,13 +602,19 @@ class SegmentReader:
             reader = VarByteChunkReader.read(
                 self._psf, loc.start_offset, loc.size, col.total_docs
             )
+            if selection is not None:
+                # chunk-selective decode: only chunks holding a selected doc
+                # decompress — the RAW-payload analogue of the dict-id slice
+                return (
+                    reader.take_bytes_arrow(selection)
+                    if col.data_type is DataType.BYTES
+                    else reader.take_strings_arrow(selection)
+                )
             arr = (
                 reader.read_all_bytes_arrow()
                 if col.data_type is DataType.BYTES
                 else reader.read_all_strings_arrow()
             )
-            if selection is not None:
-                return arr.take(pa.array(selection))
             return _slice(arr, row_range)
         if col.data_type in (DataType.STRING, DataType.BYTES, DataType.BOOLEAN):
             values = pa.array(self._dictionary(col).values, type=typ)

@@ -188,6 +188,49 @@ class VarByteChunkReader:
 
         return self._read_all_large_binary().cast(pa.binary())
 
+    def take_bytes_arrow(self, doc_ids):
+        """Selected docs (sorted ascending absolute ids) as a binary array,
+        decompressing ONLY the chunks containing a selected doc — the
+        selective-filter path for RAW payload columns (media blobs,
+        embeddings), where decode-everything-then-take would decompress the
+        whole forward index for a handful of rows."""
+        import pyarrow as pa
+
+        return self._take_large_binary(doc_ids).cast(pa.binary())
+
+    def take_strings_arrow(self, doc_ids):
+        import pyarrow as pa
+
+        return (
+            self._take_large_binary(doc_ids)
+            .cast(pa.large_string())
+            .cast(pa.string())
+        )
+
+    def _take_large_binary(self, doc_ids):
+        import pyarrow as pa
+
+        vals = []
+        i, n = 0, len(doc_ids)
+        while i < n:
+            idx = self._find_chunk(int(doc_ids[i]))
+            base_doc = int(self.entry_doc_ids[idx])
+            hi_doc = (
+                int(self.entry_doc_ids[idx + 1])
+                if idx + 1 < self.num_chunks()
+                else self.total_docs
+            )
+            chunk = self._decompressed_chunk(idx)
+            if self.entry_huge[idx]:
+                while i < n and int(doc_ids[i]) < hi_doc:
+                    vals.append(chunk)
+                    i += 1
+                continue
+            while i < n and int(doc_ids[i]) < hi_doc:
+                vals.append(_slice_value(chunk, int(doc_ids[i]) - base_doc))
+                i += 1
+        return pa.array(vals, type=pa.large_binary())
+
     def _read_all_large_binary(self):
         import pyarrow as pa
 

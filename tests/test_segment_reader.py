@@ -421,3 +421,58 @@ def test_multivalue_roundtrip(tmp_path):
         ColumnSpec("x", DataType.STRING, strs, raw=True, multi_value=True)
     with pytest.raises(ValueError, match="BYTES"):
         ColumnSpec("x", DataType.BYTES, [[b"a"]], multi_value=True)
+
+
+def test_varbyte_selective_take_matches_dense(segment):
+    """Chunk-selective RAW decode (r6): take_{bytes,strings}_arrow over
+    sorted doc ids must equal the dense decode + take, across chunk
+    boundaries, for PASS_THROUGH and LZ4 columns and edge selections."""
+    import numpy as np
+    import pyarrow as pa
+
+    v3, data = segment
+    r = SegmentReader.open(v3)
+    n = r.total_docs()
+    selections = [
+        np.array([], dtype=np.int64),
+        np.array([0]),
+        np.array([n - 1]),
+        np.arange(0, n, 97),  # crosses many chunks
+        np.arange(0, n),  # everything
+        np.array([5, 6, 7, 500, 501, 999]),
+    ]
+    for colname in ("rid", "rlz"):
+        dense = r._read_column_arrow_dense(colname)
+        for sel in selections:
+            got = r._read_column_arrow_dense(colname, selection=sel)
+            want = dense.take(pa.array(sel, pa.int64()))
+            assert got.equals(want), (colname, sel[:5])
+
+
+def test_varbyte_selective_take_huge_chunks(tmp_path):
+    """Huge-value chunks (one value per chunk) through the selective path."""
+    import numpy as np
+    import pyarrow as pa
+
+    big = ["x" * 5000, "y" * 4000, "z" * 6000]
+    v3 = write_segment(
+        tmp_path / "hg",
+        "hg",
+        "t",
+        [
+            ColumnSpec(
+                "v",
+                DataType.STRING,
+                big,
+                raw=True,
+                compression=LZ4_LENGTH_PREFIXED,
+                target_chunk_size=1024,
+            )
+        ],
+    )
+    r = SegmentReader.open(v3)
+    dense = r._read_column_arrow_dense("v")
+    for sel in ([0], [2], [0, 2], [0, 1, 2]):
+        sel = np.asarray(sel, dtype=np.int64)
+        got = r._read_column_arrow_dense("v", selection=sel)
+        assert got.equals(dense.take(pa.array(sel, pa.int64())))
