@@ -173,9 +173,15 @@ class PinotDataSource(DataSource):
         return StructType(fields)
 
     def reader(self, schema: StructType) -> "PinotDataSourceReader":
-        spp = int(self.options.get("segments_per_partition", "1") or "1")
-        if spp < 1:
-            raise ValueError("segments_per_partition must be >= 1")
+        raw = self.options.get("segments_per_partition", "1") or "1"
+        if raw == "auto":
+            spp = 0  # sentinel: manifest-driven packing at partitions() time
+        else:
+            spp = int(raw)
+            if spp < 1:
+                raise ValueError(
+                    "segments_per_partition must be >= 1 or 'auto'"
+                )
         return PinotDataSourceReader(schema, self._segments(), spp)
 
     def streamReader(self, schema: StructType) -> "PinotStreamReader":
@@ -282,6 +288,12 @@ class PinotDataSourceReader(DataSourceReader):
     # 8 tasks 0.45 s, 32 tasks 0.64 s — 8 won).
     _COUNT_PACK = 8
 
+    # Target decoded docs per task for `segments_per_partition=auto` — a
+    # few hundred MB of decoded columns at typical widths, large enough to
+    # amortize the per-task Python-worker hand-off, small enough to fit
+    # executor memory and parallelize a medium table.
+    _AUTO_DOCS_PER_TASK = 4_000_000
+
     def partitions(self) -> list[PinotInputPartition]:
         # Zone-map prune first (per segment — pruning granularity is
         # unaffected by packing), then pack `segments_per_partition` pruned
@@ -291,10 +303,12 @@ class PinotDataSourceReader(DataSourceReader):
         # difference between O(1) and O(segments) driver-side planning at
         # 10^5-segment scale; segments the manifest doesn't cover fall back
         # to the per-segment open.
-        if self._pushed:
+        stats = None
+        if self._pushed or self._spp == 0:
             from pinot_segment.manifest import stats_for_segments
 
             stats = stats_for_segments(self._segments)
+        if self._pushed:
             survivors = [
                 seg
                 for seg in self._segments
@@ -306,10 +320,38 @@ class PinotDataSourceReader(DataSourceReader):
             # All segments zone-map-pruned. Spark still schedules one task for
             # an empty partitions list (passing None), so hand it a sentinel.
             return [PinotInputPartition((), self._columns, ())]
+        pushed = tuple(self._pushed)
+        if self._spp == 0:
+            # auto: greedy doc-count packing from manifest stats, so a
+            # frequent-small-ingest table (10^5 tiny segments at 100 TB
+            # scale) doesn't schedule 10^5 tasks. Segments the manifest
+            # doesn't cover count as a full target each (conservative: they
+            # stay one-per-task rather than over-packing unknown sizes).
+            parts: list[PinotInputPartition] = []
+            bucket: list[str] = []
+            docs = 0
+            for seg in survivors:
+                st = stats.get(seg)
+                seg_docs = (
+                    st["total_docs"]
+                    if st and "total_docs" in st
+                    else self._AUTO_DOCS_PER_TASK
+                )
+                if bucket and docs + seg_docs > self._AUTO_DOCS_PER_TASK:
+                    parts.append(
+                        PinotInputPartition(tuple(bucket), self._columns, pushed)
+                    )
+                    bucket, docs = [], 0
+                bucket.append(seg)
+                docs += seg_docs
+            if bucket:
+                parts.append(
+                    PinotInputPartition(tuple(bucket), self._columns, pushed)
+                )
+            return parts
         spp = self._spp
         if not self._columns and not self._pushed and spp == 1:
             spp = self._COUNT_PACK
-        pushed = tuple(self._pushed)
         return [
             PinotInputPartition(
                 tuple(survivors[i : i + spp]), self._columns, pushed

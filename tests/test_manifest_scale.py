@@ -213,3 +213,50 @@ def test_commit_backfill_cap_skips_manifest(tmp_path, monkeypatch):
         os.path.isdir(os.path.join(table, d, "v3")) for d in os.listdir(table)
     ) == 6
     assert not os.path.exists(os.path.join(table, M.MANIFEST_NAME))
+
+
+def test_auto_packing_uses_manifest_doc_counts(big_table):
+    """segments_per_partition=auto packs pruned survivors to a doc-count
+    target from manifest stats — tiny-segment tables don't schedule one
+    task per segment."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    segs = [
+        os.path.join(big_table, d, "v3")
+        for d in sorted(os.listdir(big_table))
+        if os.path.isdir(os.path.join(big_table, d, "v3"))
+    ]
+    schema = StructType([StructField("k", LongType())])
+    # unfiltered: 1000 segments x 8 docs -> all fit one auto bucket
+    reader = ds.PinotDataSourceReader(schema, segs, 0)
+    parts = reader.partitions()
+    assert len(parts) == 1 and len(parts[0].segment_dirs) == N_SEGMENTS
+    # filtered: survivors only, still packed
+    reader = ds.PinotDataSourceReader(schema, segs, 0)
+    list(reader.pushFilters([ds.LessThan(("k",), 10_000)]))  # first 10 segs
+    parts = reader.partitions()
+    assert len(parts) == 1
+    assert len(parts[0].segment_dirs) == 10
+    # target respected: shrink the target so packing splits
+    reader = ds.PinotDataSourceReader(schema, segs, 0)
+    reader._AUTO_DOCS_PER_TASK = ROWS_PER_SEG * 100
+    parts = reader.partitions()
+    assert len(parts) == 10  # 1000 segs x 8 docs / 800-doc target
+
+
+def test_auto_packing_reads_correctly_through_spark(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datafusion_pinot_spark.sources.pinot_datasource import PinotDataSource
+
+    out = str(tmp_path / "auto_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    rows = spark.range(0, 9000).selectExpr("id as k", "id % 7 as v")
+    rows.repartition(6).write.format("pinot").mode("overwrite").save(out)
+    back = (
+        spark.read.format("pinot")
+        .option("segments_per_partition", "auto")
+        .load(out)
+    )
+    got = back.agg(F.count("*").alias("n"), F.sum("k").alias("s")).collect()[0]
+    assert got.n == 9000 and got.s == sum(range(9000))
