@@ -468,6 +468,142 @@ SELECT q_id, vec_id, sim, rnk FROM (
 """
 
 
+def ivf_index_build(
+    spark,
+    embeddings: DataFrame,
+    index_dir: str,
+    n_centroids: int = IVF_CENTROIDS,
+    n_buckets_per_segment: int = 4,
+) -> None:
+    """Persist the IVF index through the pinot storage layer — the
+    build-once/serve-many shape an ANN service runs at 100 TB, where the
+    inverted lists are a stored table, not a per-query subtree:
+
+    - ``ivf_assignments_OFFLINE``: (vec_id, c_id, v) range-partitioned and
+      sorted by ``c_id``, so every segment covers a disjoint centroid range
+      — a probe's ``c_id IN (...)`` filter zone-map-prunes whole segments
+      at planning and sorted-range-slices within the survivors;
+    - ``ivf_centroids_OFFLINE``: the (c_id, c_v) table (tiny; broadcast at
+      query time).
+
+    Embedding doubles round-trip bit-exactly through the MV DOUBLE
+    dictionary, so :func:`ivf_index_topk` reproduces :func:`ivf_topk` (and
+    its DuckDB oracle) result-for-result.
+    """
+    import os
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    emb = embeddings.select("vec_id", as_double_array("embedding").alias("v"))
+    centroids, assigned = _ivf_assignments(emb, n_centroids)
+    n_parts = max(1, n_centroids // n_buckets_per_segment)
+    (
+        assigned.select("vec_id", "c_id", "v")
+        .repartitionByRange(n_parts, "c_id")
+        .sortWithinPartitions("c_id")
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(os.path.join(index_dir, "ivf_assignments_OFFLINE"))
+    )
+    (
+        centroids.select("c_id", "c_v")
+        .coalesce(1)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(os.path.join(index_dir, "ivf_centroids_OFFLINE"))
+    )
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Serve ANN top-k from a persisted IVF index (:func:`ivf_index_build`).
+
+    Probe planning mirrors a real index server: the (tiny) centroid table
+    broadcasts, each query picks its ``nprobe`` nearest lists, and the
+    probed ``c_id`` set — |queries| x nprobe values — is collected
+    driver-side to become a PUSHED ``IN`` filter on the assignments table
+    (index serving's planning step, not a data collect). The storage layer
+    then does the candidate narrowing: zone maps drop segments whose
+    centroid range holds no probed list, survivors binary-search the
+    sorted ``c_id`` to a doc slice, and only candidate rows materialize.
+    Scoring/tie-breaking expressions are identical to :func:`ivf_topk`, so
+    the same DuckDB oracle checks this path end-to-end through storage.
+    """
+    import os
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+
+    def read_assignments():
+        # fresh load per role: the query branch and the candidate branch
+        # must be independent plans (a shared lineage would make the
+        # candidate join a self-join — cf. ivf_topk's localCheckpoint)
+        return (
+            spark.read.format("pinot")
+            .load(os.path.join(index_dir, "ivf_assignments_OFFLINE"))
+            .select("vec_id", "c_id", "v", l2_norm(F.col("v")).alias("nv"))
+        )
+
+    assigned = read_assignments()
+    centroids = (
+        spark.read.format("pinot")
+        .load(os.path.join(index_dir, "ivf_centroids_OFFLINE"))
+        .select("c_id", "c_v", l2_norm(F.col("c_v")).alias("c_nv"))
+    )
+    queries = assigned.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nv").alias("q_nv"),
+    )
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        "q_id",
+        "q_v",
+        "q_nv",
+        "c_id",
+        _cosine_with_norms(
+            F.col("q_v"), F.col("c_v"), F.col("q_nv"), F.col("c_nv")
+        ).alias("c_sim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
+    probes = (
+        qc.withColumn("p", F.row_number().over(wq))
+        .filter(F.col("p") <= nprobe)
+        .select("q_id", "q_v", "q_nv", "c_id")
+    )
+    probe_cids = sorted(
+        r.c_id for r in probes.select("c_id").distinct().collect()
+    )
+    cand_base = read_assignments().filter(F.col("c_id").isin(probe_cids))
+    cand = cand_base.join(
+        F.broadcast(probes),
+        (cand_base["c_id"] == probes["c_id"])
+        & (cand_base["vec_id"] != probes["q_id"]),
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(
+            _cosine_with_norms(
+                F.col("q_v"), F.col("v"), F.col("q_nv"), F.col("nv")
+            ),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "sim", "rnk")
+    )
+
+
 def embedding_cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -984,6 +984,25 @@ def _register_llm():
         "llm",
         ["similarity", "ivf"],
     )(lambda spark, sf: similarity.ivf_topk(_emb(spark, sf), ann_ids, 10))
+    # IVF through the STORAGE layer (r6): build writes the inverted lists
+    # as c_id-range-partitioned pinot segments, serve pushes the probes'
+    # c_id IN (...) down — zone maps prune non-probed buckets' segments,
+    # sorted c_id slices within survivors. Same scoring expressions as
+    # ann_ivf_topk, so the same DuckDB oracle checks the whole
+    # build→persist→prune→serve path.
+    def _ivf_pinot(spark, sf):
+        import tempfile
+
+        index_dir = tempfile.mkdtemp(prefix="ivfidx_")
+        similarity.ivf_index_build(spark, _emb(spark, sf), index_dir)
+        return similarity.ivf_index_topk(spark, index_dir, ann_ids, 10)
+
+    register(
+        "ann_ivf_pinot_index_topk",
+        similarity.ivf_topk_oracle_sql(ann_ids, 10),
+        "llm",
+        ["similarity", "ivf", "pinot", "storage"],
+    )(_ivf_pinot)
     register(
         "embedding_norm_stats",
         similarity.embedding_norm_stats_oracle_sql(),
@@ -3396,7 +3415,6 @@ DRIVER_WINDOW: list[str] = [
     "window_range_frame",
     "approx_percentiles_bounded",
     "array_agg_sources",
-    "unpivot_measures",
     "range_join_nearby_events",
     "salted_join_revenue",
     "events_gapfill_hourly",
@@ -3406,6 +3424,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_timestamp_range_scan",  # r6: TIMESTAMP pushdown + zone maps
     "simhash_md5_dup_groups",  # r6: oracle-checked simhash family
     "streaming_watermarked_closed",  # r6: closed-window watermark oracle
+    "ann_ivf_pinot_index_topk",  # r6: IVF inverted lists through storage
     # -- LLM-pipeline / curation ops never driver-checked --
     "near_dup_groups",
     "ann_ivf_kmeans_topk",
@@ -3447,8 +3466,8 @@ DRIVER_WINDOW: list[str] = [
     # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,
     # multimodal_frame_sample, streaming_window_agg, asof_join_last_signup
-    # (r6 rotations: percentiles, set_ops_all, date_extract_rollup — all
-    # twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
+    # (r6 rotations: percentiles, set_ops_all, date_extract_rollup,
+    # unpivot_measures — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,
     # window_topk_per_group, ann_cosine_topk, dedup_exact,
