@@ -239,6 +239,68 @@ SELECT vec_a, vec_b, sim FROM (
 """
 
 
+def pack_embeddings_binary(embeddings: DataFrame) -> DataFrame:
+    """array<float> → packed little-endian float32 BINARY — the compact
+    at-scale embedding layout (dim×4 bytes/vector, no per-element
+    dictionary; pairs with the sink's RAW BYTES var-byte chunks and the r6
+    chunk-selective take, so a filtered read decompresses only matching
+    chunks). Arrow-batched pandas UDF (numpy ``tobytes`` per batch), never
+    row-at-a-time Python."""
+    import pandas as pd  # noqa: F401 (pandas_udf import side)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _pack(v):
+        import numpy as np
+
+        return v.map(lambda a: np.asarray(a, dtype="<f4").tobytes())
+
+    return embeddings.select(
+        "vec_id", "label", _pack(F.col("embedding")).alias("emb_bin")
+    )
+
+
+def unpack_embeddings_binary(packed: DataFrame) -> DataFrame:
+    """Inverse of :func:`pack_embeddings_binary`: BINARY → array<float>,
+    bit-exact (float32 both ways)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def _unpack(b):
+        import numpy as np
+
+        return b.map(lambda x: np.frombuffer(x, dtype="<f4"))
+
+    return packed.select(
+        "vec_id", "label", _unpack(F.col("emb_bin")).alias("embedding")
+    )
+
+
+def embedding_binary_roundtrip_stats(
+    spark, embeddings: DataFrame, table_dir: str
+) -> DataFrame:
+    """Embeddings through the binary storage path end-to-end: pack →
+    RAW-BYTES pinot segments → read → unpack → per-label norm stats. A
+    hash match against :func:`embedding_norm_stats_oracle_sql` (computed
+    from the ORIGINAL floats) proves the packed layout is lossless."""
+    import os
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(table_dir, "emb_bin_OFFLINE")
+    (
+        pack_embeddings_binary(embeddings)
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "emb_bin")
+        .save(out)
+    )
+    back = unpack_embeddings_binary(spark.read.format("pinot").load(out))
+    return embedding_norm_stats(back)
+
+
 def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
     """Per-label embedding statistics (avg L2 norm, count)."""
     v = as_double_array("embedding")

@@ -1009,6 +1009,23 @@ def _register_llm():
         "llm",
         ["similarity"],
     )(lambda spark, sf: similarity.embedding_norm_stats(_emb(spark, sf)))
+
+    # Binary embedding storage (r6): pack float32 vectors into RAW BYTES
+    # segments and prove losslessness by matching the norm-stats oracle
+    # computed from the original floats.
+    def _emb_bin(spark, sf):
+        import tempfile
+
+        return similarity.embedding_binary_roundtrip_stats(
+            spark, _emb(spark, sf), tempfile.mkdtemp(prefix="embbin_")
+        )
+
+    register(
+        "embedding_binary_storage_stats",
+        similarity.embedding_norm_stats_oracle_sql(),
+        "llm",
+        ["similarity", "multimodal", "pinot", "storage"],
+    )(_emb_bin)
     # Threshold 0.3 (not the 0.95 production default): the synthetic random
     # embeddings top out near cos 0.44, so 0.95 would make the oracle check a
     # vacuous 0-row match.
@@ -3411,7 +3428,6 @@ DRIVER_WINDOW: list[str] = [
     "q18_large_volume_customer",
     "scalar_subquery_above_avg",
     "full_outer_join_balance",
-    "window_ntile_analytics",
     "window_range_frame",
     "approx_percentiles_bounded",
     "array_agg_sources",
@@ -3425,6 +3441,7 @@ DRIVER_WINDOW: list[str] = [
     "simhash_md5_dup_groups",  # r6: oracle-checked simhash family
     "streaming_watermarked_closed",  # r6: closed-window watermark oracle
     "ann_ivf_pinot_index_topk",  # r6: IVF inverted lists through storage
+    "embedding_binary_storage_stats",  # r6: packed-binary embedding storage
     # -- LLM-pipeline / curation ops never driver-checked --
     "near_dup_groups",
     "ann_ivf_kmeans_topk",
@@ -3467,7 +3484,8 @@ DRIVER_WINDOW: list[str] = [
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,
     # multimodal_frame_sample, streaming_window_agg, asof_join_last_signup
     # (r6 rotations: percentiles, set_ops_all, date_extract_rollup,
-    # unpivot_measures — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
+    # unpivot_measures, window_ntile_analytics — all twice driver-green
+    # r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,
     # window_topk_per_group, ann_cosine_topk, dedup_exact,
