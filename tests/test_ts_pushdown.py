@@ -244,3 +244,24 @@ def test_ts_filter_end_to_end(spark, ts_spark_table, lo_us, hi_us):
     # oracle: the same predicate over the PRE-WRITE rows, ms-truncated the
     # way the sink stores them (timestamp_millis already is)
     assert list(bounds(back)) == list(bounds(rows))
+
+
+def test_ts_filter_fully_consumed_in_plan(spark, ts_spark_table):
+    """A convertible ts-range predicate must be consumed by the source —
+    the optimized plan over the pinot scan carries no residual Filter
+    node (Spark trusts pushFilters' contract; a yielded-back filter would
+    reappear as a post-scan Filter)."""
+    from pyspark.sql import functions as F
+
+    out, _ = ts_spark_table
+    base = 1704672000000
+    df = (
+        spark.read.format("pinot")
+        .load(out)
+        .filter(
+            (F.col("ts") >= F.timestamp_millis(F.lit(base + 1_000_000)))
+            & (F.col("ts") < F.timestamp_millis(F.lit(base + 2_000_000)))
+        )
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan, plan
