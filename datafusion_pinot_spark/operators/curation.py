@@ -194,3 +194,75 @@ SELECT tot.doc_id,
          AS contaminated
 FROM tot LEFT JOIN h USING (doc_id)
 """
+
+
+def mixture_temperature_sample(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Domain-mixture (temperature) sampling — the data-mixing stage of a
+    pretraining pipeline: per-source acceptance rates
+    ``rate_s = sqrt(min_n / n_s)`` keep the smallest source whole and
+    downsample larger sources toward equal representation (temperature
+    alpha = 0.5 over corpus shares), with the accept decision a pure
+    function of the stable doc_id (md5-prefix integer < floor(rate·2^bits))
+    — reproducible across runs, engines, and repartitioning, unlike
+    rand()-based sampling.
+
+    Scale shape: per-source counts are one map-side-combined aggregation;
+    the (tiny) rate table broadcasts back onto the corpus; the accept test
+    is a narrow codegen'd expression. The corpus never shuffles. Returns
+    per-source totals (n_total, n_sampled, chars_sampled, rate) —
+    hash-checkable in DuckDB because sqrt/floor round identically (IEEE)
+    and md5 matches bit-for-bit.
+    """
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    mn = stats.agg(F.min("n_s").alias("min_n"))
+    rates = stats.crossJoin(F.broadcast(mn)).select(
+        "source",
+        F.sqrt(F.col("min_n").cast("double") / F.col("n_s")).alias("rate"),
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, bits // 4), 16, 10
+    ).cast("long")
+    accept = hv < F.floor(F.col("rate") * (1 << bits))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(accept.cast("int")).cast("long").alias("n_sampled"),
+            F.sum(F.when(accept, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_sampled"),
+            F.round(F.max("rate"), 6).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_temperature_sample_oracle_sql(bits: int = 16) -> str:
+    nd = bits // 4
+    hv = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (nd - 1 - i)})"
+        for i in range(nd)
+    )
+    return f"""
+WITH s AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+), m AS (
+  SELECT min(n_s) AS min_n FROM s
+), r AS (
+  SELECT source, sqrt(CAST(min_n AS DOUBLE) / n_s) AS rate FROM s, m
+), d AS (
+  SELECT doc.source, doc.n_chars, r.rate,
+         md5(CAST(doc.doc_id AS VARCHAR)) AS h
+  FROM documents doc JOIN r USING (source)
+), v AS (
+  SELECT source, n_chars, rate, ({hv}) AS hv FROM d
+)
+SELECT source, count(*) AS n_total,
+       CAST(sum(CASE WHEN hv < floor(rate * {1 << bits}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN hv < floor(rate * {1 << bits}) THEN n_chars
+                     ELSE 0 END) AS BIGINT) AS chars_sampled,
+       round(max(rate), 6) AS rate
+FROM v GROUP BY source ORDER BY source"""

@@ -943,6 +943,15 @@ def _register_llm():
         "llm",
         ["curation", "packing", "tokens"],
     )(lambda spark, sf: curation.sequence_pack_bins(_docs(spark, sf)))
+    # Domain-mixture (temperature) sampling: data-dependent per-source
+    # rates computed in-query, md5-deterministic accept decisions — the
+    # data-mixing stage between dedup and packing (r6).
+    register(
+        "mixture_temperature_sample",
+        curation.mixture_temperature_sample_oracle_sql(),
+        "llm",
+        ["curation", "sampling", "mixture"],
+    )(lambda spark, sf: curation.mixture_temperature_sample(_docs(spark, sf)))
     # Benchmark-contamination scan: broadcast probe shingles, linear corpus
     # side, integer-arithmetic threshold.
     register(
@@ -3429,7 +3438,6 @@ DRIVER_WINDOW: list[str] = [
     "scalar_subquery_above_avg",
     "full_outer_join_balance",
     "window_range_frame",
-    "approx_percentiles_bounded",
     "array_agg_sources",
     "range_join_nearby_events",
     "salted_join_revenue",
@@ -3442,6 +3450,7 @@ DRIVER_WINDOW: list[str] = [
     "streaming_watermarked_closed",  # r6: closed-window watermark oracle
     "ann_ivf_pinot_index_topk",  # r6: IVF inverted lists through storage
     "embedding_binary_storage_stats",  # r6: packed-binary embedding storage
+    "mixture_temperature_sample",  # r6: domain-mixture sampling
     # -- LLM-pipeline / curation ops never driver-checked --
     "near_dup_groups",
     "ann_ivf_kmeans_topk",
@@ -3484,8 +3493,8 @@ DRIVER_WINDOW: list[str] = [
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,
     # multimodal_frame_sample, streaming_window_agg, asof_join_last_signup
     # (r6 rotations: percentiles, set_ops_all, date_extract_rollup,
-    # unpivot_measures, window_ntile_analytics — all twice driver-green
-    # r4+r5; r5 rotations: q4_priority_late_ship,
+    # unpivot_measures, window_ntile_analytics, approx_percentiles_bounded
+    # — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,
     # window_topk_per_group, ann_cosine_topk, dedup_exact,
