@@ -265,3 +265,29 @@ def test_ts_filter_fully_consumed_in_plan(spark, ts_spark_table):
     )
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Filter" not in plan, plan
+
+
+def test_convert_pre_epoch_bounds():
+    """Pre-1970 operands: divmod floor semantics must stay exact for
+    negative epoch values (floor division rounds toward -inf)."""
+    stored_ms = np.array([-2000, -1001, -1000, -999, 0])  # epoch millis
+    surfaced_us = stored_ms * 1000
+    ops = {
+        ds.EqualTo: lambda s, u: s == u,
+        ds.GreaterThan: lambda s, u: s > u,
+        ds.GreaterThanOrEqual: lambda s, u: s >= u,
+        ds.LessThan: lambda s, u: s < u,
+        ds.LessThanOrEqual: lambda s, u: s <= u,
+    }
+    for bound_us in range(-1_000_750, -998_999, 250):
+        v = dt.datetime(1970, 1, 1, tzinfo=UTC) + dt.timedelta(
+            microseconds=bound_us
+        )
+        for cls, op in ops.items():
+            conv = ds._convert_ts_filter(cls(("ts",), v))
+            expected = op(surfaced_us, bound_us)
+            if isinstance(conv, ds.In):
+                got = np.isin(stored_ms, list(conv.value))
+            else:
+                got = ops[type(conv)](stored_ms, conv.value)
+            assert (got == expected).all(), (cls.__name__, bound_us, conv)
