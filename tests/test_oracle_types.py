@@ -83,3 +83,13 @@ def test_window_is_exactly_fifty():
 def test_every_window_query_is_registered():
     qs = ordered_queries()
     assert [n for n in DRIVER_WINDOW if n not in qs] == []
+
+
+def test_no_oracle_set_is_exactly_the_designed_ones():
+    """Every window query must carry an oracle except the two rows-only by
+    design (engine-specific xxhash64 / append-mode watermark withholding).
+    Guards against silently dropping an oracle during refactors."""
+    from datafusion_pinot_spark.plans.queries import DRIVER_WINDOW, QUERIES
+
+    no_oracle = {n for n in DRIVER_WINDOW if QUERIES[n].oracle is None}
+    assert no_oracle == {"streaming_watermarked_agg", "simhash_dup_groups"}

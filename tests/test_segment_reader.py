@@ -476,3 +476,46 @@ def test_varbyte_selective_take_huge_chunks(tmp_path):
         sel = np.asarray(sel, dtype=np.int64)
         got = r._read_column_arrow_dense("v", selection=sel)
         assert got.equals(dense.take(pa.array(sel, pa.int64())))
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    values=st.lists(
+        st.binary(min_size=0, max_size=200), min_size=1, max_size=300
+    ),
+    data=st.data(),
+)
+def test_varbyte_selective_take_property(tmp_path_factory, values, data):
+    """Property: for random byte values and a random sorted selection, the
+    chunk-selective take equals the dense decode + take (PASS_THROUGH and
+    LZ4, small chunks to force many chunk crossings)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(values)
+    sel = sorted(
+        data.draw(
+            st.sets(st.integers(min_value=0, max_value=n - 1), max_size=n)
+        )
+    )
+    d = tmp_path_factory.mktemp("vbprop")
+    v3 = write_segment(
+        d,
+        "s",
+        "t",
+        [
+            ColumnSpec("pt", DataType.BYTES, values, raw=True,
+                       compression=PASS_THROUGH, target_chunk_size=128),
+            ColumnSpec("lz", DataType.BYTES, values, raw=True,
+                       compression=LZ4_LENGTH_PREFIXED, target_chunk_size=128),
+        ],
+    )
+    r = SegmentReader.open(v3)
+    sel_arr = np.asarray(sel, dtype=np.int64)
+    for col in ("pt", "lz"):
+        dense = r._read_column_arrow_dense(col)
+        got = r._read_column_arrow_dense(col, selection=sel_arr)
+        assert got.equals(dense.take(pa.array(sel_arr)))
