@@ -3068,6 +3068,389 @@ def q21_waiting_supplier(spark, sf):
 
 
 @register(
+    "q2_min_cost_supplier",
+    """WITH cost AS (
+         SELECT l_partkey AS pk, l_suppkey AS sk,
+                min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price
+         FROM lineitem GROUP BY l_partkey, l_suppkey),
+       best AS (SELECT pk AS bpk, min(min_price) AS part_min
+                FROM cost GROUP BY pk)
+       SELECT s_name, n_name, p_partkey, p_name,
+              round(CAST(min_price AS DOUBLE), 2) AS supply_price
+       FROM cost
+       JOIN best ON bpk = pk AND min_price = part_min
+       JOIN part ON p_partkey = pk AND p_size = 15 AND p_type = 'SMALL'
+       JOIN supplier ON s_suppkey = sk
+       JOIN nation ON n_nationkey = s_nationkey
+       ORDER BY p_partkey, s_name LIMIT 100""",
+    "relational",
+    ["tpch", "subquery", "window", "join"],
+)
+def q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the supplier(s) offering the per-part minimum price — the correlated
+    ``price = (SELECT min(..) .. WHERE pk = outer.pk)`` subquery. The
+    testdata has no partsupp, so lineitem's distinct (part, supplier)
+    pricing stands in for it. Decorrelated as one (pk, sk) aggregate plus
+    a per-pk MIN window over the *part-pruned* pairs (filtering before the
+    window is sound because the subquery correlates only on pk, which the
+    part filter fixes). Scale shape: one shuffle on (pk, sk), the window
+    reuses a pk repartition of the pruned subset; part/supplier/nation all
+    broadcast."""
+    li = t(spark, sf, "lineitem")
+    part_f = (
+        t(spark, sf, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey", "p_name")
+    )
+    cost = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("min_price"))
+    pruned = cost.join(F.broadcast(part_f), F.col("pk") == F.col("p_partkey"))
+    w = Window.partitionBy("pk")
+    supp = t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        pruned.withColumn("part_min", F.min("min_price").over(w))
+        .filter(F.col("min_price") == F.col("part_min"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("sk"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round(F.col("min_price").cast("double"), 2).alias("supply_price"),
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    """WITH amounts AS (
+         SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2))) AS gross,
+                CAST(p_retailprice AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(0.1 AS DECIMAL(2,1)) AS cost_basis
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+         JOIN orders ON o_orderkey = l_orderkey)
+       SELECT nation, o_year,
+              CAST(round(sum(gross) - sum(cost_basis), 2) AS DOUBLE) AS profit,
+              count(*) AS n
+       FROM amounts GROUP BY nation, o_year
+       ORDER BY nation, o_year DESC""",
+    "relational",
+    ["tpch", "join", "agg"],
+)
+def q9_product_type_profit(spark, sf):
+    """TPC-H Q9 shape (product-type profit by nation and year): the widest
+    TPC-H join tree — fact x part x supplier x nation x orders with a
+    substring LIKE on p_name. No ps_supplycost in the testdata, so cost
+    is modeled as 10% of retailprice x quantity; the gross and cost sums
+    and their difference are all exact decimals, and the 2-digit round
+    happens *in decimal* (half-up on the exact value) before the double
+    cast — rounding after the cast flipped a cent on a .xx5 tie, and a
+    0.1*double formulation drifted similarly. Scale shape: part
+    (LIKE-pruned), supplier and
+    nation broadcast; the only shuffle is lineitem x orders on orderkey,
+    then the groupBy."""
+    li = t(spark, sf, "lineitem")
+    part_f = (
+        t(spark, sf, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nation = (
+        t(spark, sf, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(t(spark, sf, "nation").select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    gross = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cost_basis = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+        * F.lit("0.1").cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(part_f), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp_nation), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(gross) - F.sum(cost_basis), 2)
+            .cast("double")
+            .alias("profit"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    """WITH val AS (
+         SELECT l_partkey AS pk,
+                sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS part_value
+         FROM lineitem GROUP BY l_partkey),
+       tot AS (SELECT sum(part_value) AS total_value, count(*) AS n_parts
+               FROM val)
+       SELECT pk AS p_partkey,
+              round(CAST(part_value AS DOUBLE), 2) AS part_value_d
+       FROM val, tot
+       WHERE 10 * part_value * n_parts > 11 * total_value
+       ORDER BY part_value_d DESC, p_partkey""",
+    "relational",
+    ["tpch", "subquery", "agg"],
+)
+def q11_important_parts(spark, sf):
+    """TPC-H Q11 shape (important stock identification): per-part value
+    filtered by ``HAVING value > fraction * (scalar subquery total)``.
+    The threshold — parts whose value exceeds 1.1x the mean part value,
+    which is scale-invariant where TPC-H's absolute fraction is not — is
+    rewritten fraction-free (value > 1.1*total/n  ⟺  10*value*n >
+    11*total) so the comparison is exact-decimal, never a float division
+    at a boundary. Scale shape: one shuffle groups
+    lineitem by partkey; the grand total is a second aggregate of those
+    per-part rows (tiny) cross-joined back as a broadcast literal — the
+    fact table is read once."""
+    li = t(spark, sf, "lineitem")
+    val = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("part_value")
+    )
+    tot = val.agg(
+        F.sum("part_value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.lit(10) * F.col("part_value") * F.col("n_parts")
+            > F.lit(11) * F.col("total_value")
+        )
+        .select(
+            F.col("pk").alias("p_partkey"),
+            F.round(F.col("part_value").cast("double"), 2).alias("part_value_d"),
+        )
+        .orderBy(F.desc("part_value_d"), "p_partkey")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """WITH per_cust AS (
+         SELECT c_custkey, count(o_orderkey) AS c_count
+         FROM customer LEFT JOIN orders
+           ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+         GROUP BY c_custkey)
+       SELECT c_count, count(*) AS custdist
+       FROM per_cust GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC""",
+    "relational",
+    ["tpch", "outer-join", "agg"],
+)
+def q13_customer_distribution(spark, sf):
+    """TPC-H Q13 (customer order-count distribution): the double
+    aggregation — count orders per customer including zero-order
+    customers (LEFT JOIN with the filter in the join condition, NOT a
+    WHERE, which would turn it inner), then histogram the counts. The
+    o_orderpriority exclusion stands in for the original's comment NOT
+    LIKE. Scale shape: one shuffle on custkey for the outer join +
+    per-customer count; the second aggregate runs over one row per
+    customer and its key space (distinct counts) is tiny."""
+    cust = t(spark, sf, "customer").select("c_custkey")
+    orders = t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """WITH partsupp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+       SELECT p_brand, p_type, p_size,
+              count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM partsupp JOIN part ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+         AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 1000)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "relational",
+    ["tpch", "anti-join", "distinct-agg"],
+)
+def q16_supplier_part_counts(spark, sf):
+    """TPC-H Q16 shape (supplier counts by part attributes): COUNT
+    DISTINCT suppliers per (brand, type, size) with a NOT IN exclusion
+    subquery (low-balance suppliers stand in for the original's
+    complaints filter; lineitem's distinct pairs stand in for partsupp).
+    NOT IN over a provably non-null key column is planned as a left anti
+    join — no per-row subquery. Scale shape: the distinct-pairs shuffle
+    on (partkey, suppkey) feeds the distinct-agg shuffle; part and the
+    exclusion set broadcast."""
+    pairs = (
+        t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    part_f = t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = (
+        t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(part_f), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(excluded),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_majority_supplier",
+    """WITH shipped AS (
+         SELECT l_partkey AS pk, l_suppkey AS sk,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS pair_qty
+         FROM lineitem JOIN part
+           ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+         GROUP BY l_partkey, l_suppkey),
+       tot AS (SELECT pk AS tpk, sum(pair_qty) AS part_qty,
+                      count(*) AS n_supp
+               FROM shipped GROUP BY pk),
+       major AS (SELECT DISTINCT sk FROM shipped JOIN tot ON tpk = pk
+                 WHERE pair_qty * n_supp > 2 * part_qty)
+       SELECT s_suppkey, s_name, n_name
+       FROM supplier JOIN nation ON n_nationkey = s_nationkey
+       WHERE s_suppkey IN (SELECT sk FROM major)
+       ORDER BY s_suppkey""",
+    "relational",
+    ["tpch", "semi-join", "subquery"],
+)
+def q20_majority_supplier(spark, sf):
+    """TPC-H Q20 shape (suppliers with excess share): suppliers who
+    shipped more than 2x their fair (per-supplier-average) share of some
+    'bolt' part's quantity — the correlated ``qty > frac * (SELECT
+    sum(..) WHERE partkey = ..)`` subquery, decorrelated into a per-pair
+    aggregate plus per-part SUM/COUNT windows, fraction-free
+    (pair*n_supp > 2*total; scale-invariant where an absolute majority
+    threshold degenerates as supplier count grows). The IN at the top is
+    a semi join. Scale shape: one shuffle on (pk, sk) over the
+    LIKE-pruned fact subset; the windows reuse a pk repartition; the
+    major-supplier set broadcasts into the semi join."""
+    li = t(spark, sf, "lineitem")
+    part_f = (
+        t(spark, sf, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.join(F.broadcast(part_f), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pair_qty"))
+    )
+    w = Window.partitionBy("pk")
+    major = (
+        shipped.withColumn("part_qty", F.sum("pair_qty").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .filter(F.col("pair_qty") * F.col("n_supp") > F.lit(2) * F.col("part_qty"))
+        .select("sk")
+        .distinct()
+    )
+    supp = t(spark, sf, "supplier")
+    nation = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(F.broadcast(major), F.col("sk") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """WITH pos AS (
+         SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum,
+                count(*) AS bal_n
+         FROM customer WHERE c_acctbal > 0),
+       eligible AS (
+         SELECT c_custkey, c_nationkey,
+                CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+         FROM customer, pos
+         WHERE CAST(c_acctbal AS DECIMAL(12,2)) * bal_n > bal_sum)
+       SELECT c_nationkey AS cntry, count(*) AS numcust,
+              round(CAST(sum(bal) AS DOUBLE), 2) AS totacctbal
+       FROM eligible
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+       GROUP BY c_nationkey ORDER BY cntry""",
+    "relational",
+    ["tpch", "anti-join", "subquery"],
+)
+def q22_dormant_customers(spark, sf):
+    """TPC-H Q22 shape (global sales opportunity): above-average-balance
+    customers with no urgent orders (every testdata customer has *some*
+    order, so 'no urgent order' keeps the NOT EXISTS anti join
+    non-degenerate), grouped by nation key standing in for the phone
+    country code. The average comparison is fraction-free
+    (bal * n > sum, all exact decimals) — never an engine-ordered float
+    mean. Scale shape: the 1-row positive-balance aggregate broadcasts;
+    the anti join shuffles on custkey against the urgent-order keys; the
+    final group-by key space is tiny."""
+    cust = t(spark, sf, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("bal_sum"), F.count(F.lit(1)).alias("bal_n")
+    )
+    urgent = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.select("c_custkey", "c_nationkey", bal.alias("bal"))
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("bal") * F.col("bal_n") > F.col("bal_sum"))
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("bal").cast("double"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+@register(
     "pinot_nulls_roundtrip",
     """WITH src AS (
          SELECT doc_id,
@@ -3431,10 +3814,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_raw_numeric_roundtrip",  # r3: RAW numerics + metadata zone maps
     "pinot_timestamp_roundtrip",  # r3: TIMESTAMP (epoch-millis LONG)
     "pinot_lineitem_q1",  # r3: FULL fact table in pinot format, Q1 on top
-    # -- TPC-H classics + relational additions never driver-checked --
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q18_large_volume_customer",
+    # -- relational additions --
     "scalar_subquery_above_avg",
     "full_outer_join_balance",
     "window_range_frame",
@@ -3451,6 +3831,16 @@ DRIVER_WINDOW: list[str] = [
     "ann_ivf_pinot_index_topk",  # r6: IVF inverted lists through storage
     "embedding_binary_storage_stats",  # r6: packed-binary embedding storage
     "mixture_temperature_sample",  # r6: domain-mixture sampling
+    # -- r6 TPC-H completion: the remaining query shapes (Q2/Q9/Q11/Q13/
+    # Q16/Q20/Q22 adapted to the testdata schema — no partsupp, so
+    # lineitem's distinct (part, supplier) pairs stand in for it) --
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q16_supplier_part_counts",
+    "q20_majority_supplier",
+    "q22_dormant_customers",
     # -- LLM-pipeline / curation ops never driver-checked --
     "near_dup_groups",
     "ann_ivf_kmeans_topk",
@@ -3468,13 +3858,9 @@ DRIVER_WINDOW: list[str] = [
     # -- r3 storage additions: nullable columns + sorted-range pruning --
     "pinot_nulls_roundtrip",
     "pinot_sorted_scan",
-    # -- r3 TPC-H breadth (Q12/Q17 adapted to the testdata schema; q12's
-    # oracle was fixed this round and must re-prove green) --
+    # -- r3 TPC-H breadth: q12's oracle was fixed in r5 and is retained
+    # until twice-green on the new oracle --
     "q12_late_shipment_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_filter",
     # -- retained (changed this round or rows-only by design) --
     "minhash_lsh_pairs",
     "simhash_dup_groups",  # rows-only by design (xxhash64 is Spark-only)
@@ -3493,7 +3879,10 @@ DRIVER_WINDOW: list[str] = [
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,
     # multimodal_frame_sample, streaming_window_agg, asof_join_last_signup
     # (r6 rotations: percentiles, set_ops_all, date_extract_rollup,
-    # unpivot_measures, window_ntile_analytics, approx_percentiles_bounded
+    # unpivot_measures, window_ntile_analytics, approx_percentiles_bounded,
+    # q3_shipping_priority, q6_forecast_revenue, q14_promo_revenue,
+    # q15_top_supplier, q17_small_quantity_revenue,
+    # q18_large_volume_customer, q19_disjunctive_filter
     # — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,
