@@ -166,3 +166,58 @@ def test_sequence_packing_has_no_corpus_wide_single_partition(q):
     assert "HashAggregate(keys=[bucket" in tail
     # the corpus-side window partitions by bucket (never a global sort)
     assert "windowspecdefinition(bucket" in plan
+
+
+def test_q2_broadcasts_dims_single_pair_shuffle(q):
+    # Q2 shape: part/supplier/nation all broadcast; the only exchanges are
+    # the (pk, sk) aggregate and the pk window repartition
+    plan = _plan(q("q2_min_cost_supplier"))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0
+    assert "Window" in plan
+
+
+def test_q9_only_orders_join_shuffles(q):
+    # part (LIKE-pruned), supplier and nation broadcast; lineitem x orders
+    # is the single shuffle join
+    plan = _plan(q("q9_product_type_profit"))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q13_left_join_filter_pushed_to_orders_scan(q):
+    # the o_orderpriority exclusion lives in the join condition, so it must
+    # be pushed to the orders scan, and the join must stay LEFT OUTER
+    plan = _plan(q("q13_customer_distribution"))
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_q16_anti_join_broadcasts_exclusion(q):
+    # NOT IN over the low-balance suppliers plans as a broadcast anti join
+    plan = _plan(q("q16_supplier_part_counts"))
+    assert "LeftAnti" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q20_single_window_semi_join_broadcast(q):
+    # both per-part analytics (SUM, COUNT) share one Window node — no
+    # second pk repartition — and the major-supplier set broadcasts into
+    # a semi join
+    import re
+
+    plan = _plan(q("q20_majority_supplier"))
+    # formatted explain prints each node twice (tree + details); count the
+    # numbered detail headers to get the true node count
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    assert "LeftSemi" in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0
+
+
+def test_q22_scalar_aggregate_broadcasts(q):
+    # the 1-row positive-balance aggregate joins back as a broadcast
+    # nested-loop cross join, never a shuffled cartesian
+    plan = _plan(q("q22_dormant_customers"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
