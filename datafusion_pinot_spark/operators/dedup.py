@@ -648,3 +648,91 @@ def dedup_groups(pairs: DataFrame) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def chunk_dedup(docs: DataFrame, words_per_chunk: int = 10) -> DataFrame:
+    """Paragraph-level exact dedup with reassembly (the Dolma/C4 pipeline
+    stage): segment every document, drop each segment that appeared
+    earlier in the corpus (first occurrence by (doc_id, position) wins),
+    and stitch the survivors back into a cleaned document.
+
+    The testdata documents are flat word streams (no newline paragraph
+    breaks), so the segmenter is a fixed window of ``words_per_chunk``
+    words — the dedup/reassembly plumbing is identical for any
+    engine-side segmenter (split on '\\n\\n' for real paragraphs).
+
+    Scale design (100 TB): chunking is a narrow per-row map (split +
+    slice — no explode until chunks exist); first-occurrence selection is
+    ONE shuffle, keyed on the chunk text (at scale, key the window on
+    xxhash64(chunk) — an 8-byte shuffle key — and keep the text only for
+    within-bucket residual comparison); reassembly is one shuffle on
+    doc_id with the order restored from chunk_idx, so no corpus-wide
+    sort. Nothing touches the driver.
+    """
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(words_per_chunk)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(words, i * words_per_chunk + 1, words_per_chunk), " "
+        ),
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+    first_wins = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = (
+        exploded.withColumn("rn", F.row_number().over(first_wins))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        docs.select("doc_id", n_chunks.alias("n_chunks"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
+def chunk_dedup_oracle_sql(words_per_chunk: int = 10) -> str:
+    w = words_per_chunk
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+chunks AS (
+  SELECT doc_id, CAST((pos - 1) // {w} AS BIGINT) AS chunk_idx,
+         string_agg(w, ' ' ORDER BY pos) AS chunk
+  FROM words GROUP BY doc_id, (pos - 1) // {w}),
+kept AS (
+  SELECT * FROM (
+    SELECT doc_id, chunk_idx, chunk,
+           row_number() OVER (PARTITION BY chunk
+                              ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks) WHERE rn = 1),
+reassembled AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+SELECT t.doc_id AS doc_id, t.n_chunks AS n_chunks,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.text_dedup, '') AS text_dedup
+FROM totals t LEFT JOIN reassembled r ON r.doc_id = t.doc_id
+"""

@@ -932,6 +932,16 @@ def _register_llm():
         "llm",
         ["dedup", "simhash"],
     )(lambda spark, sf: dedup.simhash_md5_dup_groups(_docs(spark, sf)))
+    # Paragraph-level dedup with reassembly (Dolma/C4 stage): segment,
+    # drop corpus-wide repeated segments (first occurrence wins), stitch
+    # survivors back in order. One shuffle on the chunk key, one on
+    # doc_id — no corpus-wide sort (dedup.chunk_dedup docstring).
+    register(
+        "paragraph_dedup_reassemble",
+        dedup.chunk_dedup_oracle_sql() + " ORDER BY doc_id",
+        "llm",
+        ["dedup", "paragraph", "curation"],
+    )(lambda spark, sf: dedup.chunk_dedup(_docs(spark, sf)).orderBy("doc_id"))
 
     from datafusion_pinot_spark.operators import curation
 
@@ -3815,7 +3825,6 @@ DRIVER_WINDOW: list[str] = [
     "pinot_timestamp_roundtrip",  # r3: TIMESTAMP (epoch-millis LONG)
     "pinot_lineitem_q1",  # r3: FULL fact table in pinot format, Q1 on top
     # -- relational additions --
-    "scalar_subquery_above_avg",
     "full_outer_join_balance",
     "window_range_frame",
     "array_agg_sources",
@@ -3841,6 +3850,7 @@ DRIVER_WINDOW: list[str] = [
     "q16_supplier_part_counts",
     "q20_majority_supplier",
     "q22_dormant_customers",
+    "paragraph_dedup_reassemble",  # r6: Dolma/C4 paragraph dedup + reassembly
     # -- LLM-pipeline / curation ops never driver-checked --
     "near_dup_groups",
     "ann_ivf_kmeans_topk",
@@ -3882,7 +3892,8 @@ DRIVER_WINDOW: list[str] = [
     # unpivot_measures, window_ntile_analytics, approx_percentiles_bounded,
     # q3_shipping_priority, q6_forecast_revenue, q14_promo_revenue,
     # q15_top_supplier, q17_small_quantity_revenue,
-    # q18_large_volume_customer, q19_disjunctive_filter
+    # q18_large_volume_customer, q19_disjunctive_filter,
+    # scalar_subquery_above_avg
     # — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,

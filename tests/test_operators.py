@@ -267,3 +267,39 @@ def test_dedup_groups_connected_components(spark):
     )
     got = {r["doc_id"]: r["group_id"] for r in dedup_groups(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_chunk_dedup_first_wins_and_reassembles(spark):
+    from datafusion_pinot_spark.operators.dedup import chunk_dedup
+
+    # 3-word chunks: doc 1 = [a b c][d e f]; doc 2 repeats doc 1's first
+    # chunk then adds its own; doc 3 is entirely doc 1's chunks -> empty
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c x y z"),
+        (3, "d e f a b c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in chunk_dedup(docs, words_per_chunk=3).collect()
+    }
+    assert out[1]["text_dedup"] == "a b c d e f"
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 2)
+    # doc 2 keeps only its novel chunk, order preserved
+    assert out[2]["text_dedup"] == "x y z"
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (2, 1)
+    # doc 3 is fully deduplicated away but still present with empty text
+    assert out[3]["text_dedup"] == ""
+    assert (out[3]["n_chunks"], out[3]["n_kept"]) == (2, 0)
+
+
+def test_chunk_dedup_within_doc_repeat(spark):
+    from datafusion_pinot_spark.operators.dedup import chunk_dedup
+
+    # the same chunk twice INSIDE one doc: first position wins
+    docs = spark.createDataFrame(
+        [(7, "a b c a b c")], "doc_id long, text string"
+    )
+    row = chunk_dedup(docs, words_per_chunk=3).collect()[0]
+    assert row["text_dedup"] == "a b c"
+    assert (row["n_chunks"], row["n_kept"]) == (2, 1)
