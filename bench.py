@@ -164,6 +164,17 @@ def pinot_format_queries(spark, sf_dir: str):
         "inverted", "flag,tag"
     ).save(out_rng)
 
+    # Third layout (r6): hash-partitioned WITH a bloom filter on the key —
+    # the unclustered-high-card point-lookup case where zone maps are
+    # useless (every segment spans the full key range). Built untimed so
+    # pinot_write_segments stays the plain write, comparable across rounds.
+    out_bloom = os.path.join(
+        tempfile.mkdtemp(prefix="bench_pinot_bloom_"), "li_OFFLINE"
+    )
+    li.repartition(8).write.format("pinot").mode("overwrite").option(
+        "raw", "okey,ts"
+    ).option("bloom", "l_orderkey").save(out_bloom)
+
     # The Python DS API has no prune-columns callback, so the `columns`
     # read option IS this source's projection pushdown — each shape requests
     # exactly the columns it touches (the reference gets the same pruning
@@ -173,7 +184,7 @@ def pinot_format_queries(spark, sf_dir: str):
             spark.read.format("pinot").option("columns", cols).load(table)
         )
 
-    return out, out_rng, {
+    return out, out_rng, out_bloom, {
         "pinot_write_segments": write,
         # Empty projection → metadata-only count (no forward-index decode),
         # the same path as the reference's 3.97 ms COUNT(*) (exec.rs:92-95).
@@ -235,7 +246,11 @@ def duplicate_table(table_dir: str, copies: int) -> str:
 
 
 def marginal_tier(
-    spark, table_dir: str, rng_table_dir: str, copies: int = 16
+    spark,
+    table_dir: str,
+    rng_table_dir: str,
+    bloom_table_dir: str,
+    copies: int = 16,
 ) -> dict:
     """Reference shapes on the duplicated table; ns/row vs BASELINE.md.
 
@@ -343,6 +358,7 @@ def marginal_tier(
 
     # -- index probes: one selective predicate, four execution paths --------
     big_rng = duplicate_table(rng_table_dir, copies)
+    big_bloom = duplicate_table(bloom_table_dir, copies)
 
     def rd(table, cols="l_orderkey,l_extendedprice", **opts):
         # project only the filter + agg columns (see the `columns` note
@@ -406,6 +422,17 @@ def marginal_tier(
                 & (F.col("ts") < F.timestamp_millis(F.lit(2000 * 60000)))
             )
         ),
+        # point IN lookup on the hash layout WITHOUT any index: unclustered
+        # key → zone maps prune nothing, every segment decodes + masks
+        "filter_in_fullscan": lambda: agg(
+            rd(big).filter(F.col("l_orderkey").isin(7, 513, 1154))
+        ),
+        # same lookup WITH per-segment bloom filters on the key: the 7/8 of
+        # segment groups that don't own the keys prove themselves empty
+        # from the ~100 KB filter alone — no dictionary/forward decode
+        "filter_in_bloom": lambda: agg(
+            rd(big_bloom).filter(F.col("l_orderkey").isin(7, 513, 1154))
+        ),
     }
     probe_out: dict[str, dict] = {"rows": rows}
     for name, mk in probes.items():
@@ -422,6 +449,7 @@ def marginal_tier(
         ("filter_sorted_range", "filter_fullscan"),
         ("filter_eq_inverted", "filter_eq_fullscan"),
         ("filter_ts_pruned", "filter_ts_fullscan"),
+        ("filter_in_bloom", "filter_in_fullscan"),
     ):
         probe_out[pruned]["speedup_vs_fullscan"] = round(
             probe_out[base]["sec"] / probe_out[pruned]["sec"], 2
@@ -432,6 +460,7 @@ def marginal_tier(
 
     shutil.rmtree(big, ignore_errors=True)
     shutil.rmtree(big_rng, ignore_errors=True)
+    shutil.rmtree(big_bloom, ignore_errors=True)
     return out
 
 
@@ -560,7 +589,9 @@ def main() -> None:
     # (it is ~10x the cost of the read shapes); reads build the DataFrame
     # once (schema resolution, like the parquet tier's cached listing) and
     # time execution median-of-5.
-    table_dir, rng_table_dir, pinot = pinot_format_queries(spark, sf_dir)
+    table_dir, rng_table_dir, bloom_table_dir, pinot = pinot_format_queries(
+        spark, sf_dir
+    )
     write = pinot.pop("pinot_write_segments")
     write(spark)  # untimed warmup (also creates the table for the reads)
     record("pinot_write_segments", lambda: write(spark), runs=3)
@@ -569,7 +600,7 @@ def main() -> None:
         materialize(frame)  # JIT/codegen warmup
         record(name, lambda: materialize(frame))
 
-    marginal = marginal_tier(spark, table_dir, rng_table_dir)
+    marginal = marginal_tier(spark, table_dir, rng_table_dir, bloom_table_dir)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

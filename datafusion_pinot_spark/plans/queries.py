@@ -3570,6 +3570,60 @@ def q_pinot_sorted_scan(spark, sf):
 
 
 @register(
+    "pinot_bloom_point_lookup",
+    """SELECT l_orderkey, count(*) AS n,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS DOUBLE), 2) AS sum_price
+       FROM lineitem
+       WHERE l_orderkey IN (7, 513, 1154)
+       GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "parity",
+    ["pinot", "storage", "bloom", "filter"],
+)
+def q_pinot_bloom_point_lookup(spark, sf):
+    """Point lookup through per-segment bloom filters (Pinot's bloom_filter
+    index type; beyond the reference). Lineitem is HASH-partitioned on
+    l_orderkey — deliberately unclustered, so every segment spans nearly
+    the full key range and zone maps cannot prune anything — with a bloom
+    filter on the RAW key column. The pushed IN probe then skips every
+    segment whose bloom proves all three keys absent, decoding only the
+    owners (tests/test_bloom.py proves the per-segment skip; bench.py
+    times it at 9.6M rows). The oracle applies the same IN to the
+    original parquet."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="bloom_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .repartition(8, "l_orderkey")
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "l_orderkey")
+        .option("bloom", "l_orderkey")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.filter(F.col("l_orderkey").isin(7, 513, 1154))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_price"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
     "pinot_timestamp_range_scan",
     """SELECT event_type, count(*) AS n,
               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
@@ -3825,7 +3879,6 @@ DRIVER_WINDOW: list[str] = [
     "pinot_timestamp_roundtrip",  # r3: TIMESTAMP (epoch-millis LONG)
     "pinot_lineitem_q1",  # r3: FULL fact table in pinot format, Q1 on top
     # -- relational additions --
-    "full_outer_join_balance",
     "window_range_frame",
     "array_agg_sources",
     "range_join_nearby_events",
@@ -3851,6 +3904,7 @@ DRIVER_WINDOW: list[str] = [
     "q20_majority_supplier",
     "q22_dormant_customers",
     "paragraph_dedup_reassemble",  # r6: Dolma/C4 paragraph dedup + reassembly
+    "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
     # -- LLM-pipeline / curation ops never driver-checked --
     "near_dup_groups",
     "ann_ivf_kmeans_topk",
@@ -3893,7 +3947,7 @@ DRIVER_WINDOW: list[str] = [
     # q3_shipping_priority, q6_forecast_revenue, q14_promo_revenue,
     # q15_top_supplier, q17_small_quantity_revenue,
     # q18_large_volume_customer, q19_disjunctive_filter,
-    # scalar_subquery_above_avg
+    # scalar_subquery_above_avg, full_outer_join_balance
     # — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,

@@ -212,6 +212,7 @@ class PinotDataSource(DataSource):
             self._column_set_option("raw"),
             overwrite,
             self._column_set_option("inverted"),
+            self._column_set_option("bloom"),
         )
 
     def streamWriter(
@@ -227,6 +228,7 @@ class PinotDataSource(DataSource):
             table,
             self._column_set_option("raw"),
             self._column_set_option("inverted"),
+            self._column_set_option("bloom"),
         )
 
 
@@ -386,6 +388,15 @@ class PinotDataSourceReader(DataSourceReader):
             return
         for segment_dir in partition.segment_dirs:
             reader = SegmentReader.open(segment_dir)
+            # Bloom-filter pruning (Pinot's bloom_filter index type; beyond
+            # the reference): a pushed equality/IN probe on a bloomed column
+            # can prove the whole segment empty from a ~100 KB filter read —
+            # before any dictionary, forward-index, or inverted-index work.
+            # This is the unclustered-high-card complement to zone maps: at
+            # 100 TB a point lookup on orderkey/user_id touches a handful of
+            # segments instead of decoding every one.
+            if _bloom_says_absent(reader, partition.filters):
+                continue
             # Sorted-column pruning (Pinot's sorted-index idea): a pushed
             # range/eq filter on a column the segment declares sorted
             # binary-searches into a doc range, so only [lo, hi) is ever
@@ -595,10 +606,12 @@ class PinotStreamWriter(DataSourceStreamArrowWriter):
         table: str,
         raw_columns: set,
         inverted_columns: set | None = None,
+        bloom_columns: set | None = None,
     ) -> None:
         # Delegate validation + the per-task write to the batch writer.
         self._delegate = PinotDataSourceWriter(
-            schema, path, table, raw_columns, False, inverted_columns
+            schema, path, table, raw_columns, False, inverted_columns,
+            bloom_columns,
         )
         self._path = path
 
@@ -661,8 +674,10 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         raw_columns: set,
         overwrite: bool,
         inverted_columns: set | None = None,
+        bloom_columns: set | None = None,
     ) -> None:
         inverted_columns = inverted_columns or set()
+        bloom_columns = bloom_columns or set()
         for f in schema.fields:
             t = f.dataType.simpleString()
             if t not in _WRITE_TYPES and t not in _MV_WRITE_TYPES:
@@ -692,11 +707,16 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                     f"inverted index requires a single-value dictionary "
                     f"column: {f.name}"
                 )
+            if f.name in bloom_columns and t in _MV_WRITE_TYPES:
+                raise ValueError(
+                    f"bloom filter requires a single-value column: {f.name}"
+                )
         self._schema = schema
         self._path = path
         self._table = table
         self._raw = raw_columns
         self._inverted = inverted_columns
+        self._bloom = bloom_columns
         self._overwrite = overwrite
 
     def write(self, iterator) -> PinotWriterCommitMessage:
@@ -794,6 +814,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                         raw=True,
                         compression=compression,
                         null_mask=null_mask,
+                        bloom=f.name in self._bloom,
                     )
                 )
             else:
@@ -804,6 +825,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                         values,
                         null_mask=null_mask,
                         inverted=f.name in self._inverted,
+                        bloom=f.name in self._bloom,
                     )
                 )
         write_segment(staged, seg_name, self._table, specs)
@@ -1080,6 +1102,29 @@ def _segment_can_be_skipped(
         if mm is None:
             continue
         if not _filter_bounds_check(f, mm[0], mm[1]):
+            return True
+    return False
+
+
+def _bloom_says_absent(reader, filters) -> bool:
+    """True when any pushed EqualTo/In conjunct is provably absent from the
+    segment per that column's bloom filter (SegmentReader.bloom_might_contain
+    — False only on a definite miss). Filters arrive as a conjunction, so
+    one absent conjunct empties the whole segment; nothing else needs to be
+    opened or decoded. Probe errors (type-mismatched values) fall through to
+    the normal mask path rather than wrongly pruning."""
+    for f in filters:
+        if not isinstance(f, (EqualTo, In)):
+            continue
+        name = f.attribute[0]
+        if name not in reader.metadata.columns:
+            continue
+        values = [f.value] if isinstance(f, EqualTo) else list(f.value)
+        try:
+            hit = reader.bloom_might_contain(name, values)
+        except (TypeError, ValueError):
+            continue
+        if hit is False:
             return True
     return False
 

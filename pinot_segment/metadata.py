@@ -85,6 +85,10 @@ class ColumnMetadata:
     # Inverted-index support (beyond the reference; Pinot's real property
     # name): true when the segment carries per-value doc bitmaps.
     has_inverted_index: bool = False
+    # Bloom-filter support (beyond the reference; Pinot's bloom_filter
+    # index type): true when the segment carries a distinct-value bloom
+    # filter for point-lookup segment skipping (bloom.py).
+    has_bloom_filter: bool = False
 
 
 def decode_java_string(s: str) -> str:
@@ -238,4 +242,5 @@ def _parse_column(
         max_value=get("maxValue"),
         has_null_values=get("hasNullValues") == "true",
         has_inverted_index=get("hasInvertedIndex") == "true",
+        has_bloom_filter=get("hasBloomFilter") == "true",
     )

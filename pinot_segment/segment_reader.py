@@ -65,6 +65,7 @@ class SegmentReader:
         # are needed twice in one scan (row mask + output decode), and the
         # bit-unpack is the fixed cost a selective read cannot avoid
         self._ids_cache: dict[str, np.ndarray] = {}
+        self._bloom_cache: dict[str, object] = {}
 
     @classmethod
     def open(cls, segment_dir: str | Path) -> "SegmentReader":
@@ -427,6 +428,32 @@ class SegmentReader:
             bitmap = blob[start : start + bitmap_bytes]
             mask |= unpack_bits(bitmap, 1, n).astype(bool)
         return mask
+
+    def bloom_might_contain(self, name: str, values) -> "bool | None":
+        """Probe the column's bloom filter (writer.py's ``bloom_filter``
+        blob, layout in bloom.py): True if ANY of the values might be
+        present, False only when every value is definitely absent from
+        this segment. None when the column has no bloom filter. The blob
+        is cached — one ~100 KB read answers every probe of the scan."""
+        from pinot_segment.bloom import BloomFilter
+
+        col = self.metadata.get_column(name)
+        if not col.has_bloom_filter:
+            return None
+        cached = self._bloom_cache
+        bf = cached.get(name)
+        if bf is None:
+            loc = self.index_map.get_index(name, "bloom_filter")
+            if loc is None:
+                raise InvalidFormatError(
+                    f"Column {name} declares hasBloomFilter but has no "
+                    "bloom_filter entry"
+                )
+            with open(self._psf, "rb") as f:
+                f.seek(loc.start_offset)
+                blob = f.read(loc.size)
+            bf = cached[name] = BloomFilter.from_bytes(blob)
+        return any(bf.might_contain(v, col.data_type) for v in values)
 
     # -- sorted-column row ranges (rebuild improvement: Pinot's sorted-index
     # -- idea — a filter on a sorted column is a binary search, not a scan) --

@@ -90,7 +90,15 @@ class ColumnSpec:
         multi_value: bool = False,
         null_mask: "np.ndarray | None" = None,
         inverted: bool = False,
+        bloom: bool = False,
     ) -> None:
+        if bloom and multi_value:
+            # A flattened-value bloom would be well-defined, but no probe
+            # path exists for MV filters yet; refuse rather than write an
+            # index nothing reads.
+            raise ValueError(
+                f"column '{name}': bloom filter requires a single-value column"
+            )
         if inverted and (raw or multi_value):
             # The inverted index maps dict ids -> doc bitmaps, so it only
             # exists for single-value dictionary-encoded columns.
@@ -153,6 +161,7 @@ class ColumnSpec:
         self.multi_value = multi_value
         self.null_mask = null_mask
         self.inverted = inverted
+        self.bloom = bloom
 
     def flat_values(self) -> list:
         """Flattened value stream (the per-doc values, concatenated)."""
@@ -365,6 +374,54 @@ def write_segment(
         )
         meta_lines.append(f"column.{spec.name}.hasInvertedIndex=true")
 
+    def emit_bloom(spec: ColumnSpec, distinct_values=None) -> None:
+        """Bloom filter over the column's distinct values (beyond the
+        reference; Pinot's bloom_filter index type — see bloom.py for the
+        layout and why it matters for unclustered high-card columns).
+        Addressed by ``{column}.bloom_filter`` index_map entries. Nullable
+        columns hash only the non-null values (the fill is not data)."""
+        if not spec.bloom:
+            return
+        from pinot_segment import bloom as bloom_mod
+
+        if distinct_values is None:
+            vals = spec.values
+            if spec.null_mask is not None:
+                vals = [
+                    v
+                    for v, is_null in zip(vals, spec.null_mask)
+                    if not is_null
+                ]
+            if isinstance(vals, np.ndarray):
+                distinct_values = np.unique(vals)
+            else:
+                distinct_values = set(vals)
+        elif spec.null_mask is not None:
+            # dictionary path: the sorted dictionary includes the fill value
+            # at null positions; drop values that appear ONLY as fills
+            real = set(
+                v
+                for v, is_null in zip(spec.values, spec.null_mask)
+                if not is_null
+            )
+            distinct_values = [v for v in distinct_values if v in real]
+        blob = bloom_mod.build_bloom(
+            (
+                bloom_mod.canonical_bytes(v, spec.data_type)
+                for v in distinct_values
+            ),
+            len(distinct_values),
+        )
+        start = len(psf)
+        psf.extend(blob)
+        index_lines.extend(
+            (
+                f"{spec.name}.bloom_filter.startOffset={start}",
+                f"{spec.name}.bloom_filter.size={len(blob)}",
+            )
+        )
+        meta_lines.append(f"column.{spec.name}.hasBloomFilter=true")
+
     def emit_nullvector(spec: ColumnSpec) -> None:
         """Null-vector index (beyond the reference): 8-byte magic + 1-bit
         big-endian packed per-doc null flags (1 = null), addressed by a
@@ -427,6 +484,7 @@ def write_segment(
                         f"column.{spec.name}.minValue={arr.min()}",
                         f"column.{spec.name}.maxValue={arr.max()}",
                     ]
+            emit_bloom(spec)
             emit_nullvector(spec)
             continue
 
@@ -520,6 +578,7 @@ def write_segment(
                     f"column.{spec.name}.maxValue={arr.max()}",
                 ]
         emit_inverted(spec, dict_ids, len(uniq))
+        emit_bloom(spec, distinct_values=uniq)
         emit_nullvector(spec)
 
     (v3 / "metadata.properties").write_text("\n".join(meta_lines) + "\n")
