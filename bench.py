@@ -456,7 +456,7 @@ def marginal_tier(
         )
     out["index_probes"] = probe_out
 
-    out["storage_micro"] = storage_micro(rng_table_dir)
+    out["storage_micro"] = storage_micro(rng_table_dir, bloom_table_dir)
 
     shutil.rmtree(big, ignore_errors=True)
     shutil.rmtree(big_rng, ignore_errors=True)
@@ -464,7 +464,7 @@ def marginal_tier(
     return out
 
 
-def storage_micro(rng_table_dir: str) -> dict:
+def storage_micro(rng_table_dir: str, bloom_table_dir: str | None = None) -> dict:
     """Index-path costs at the storage layer (one segment, no Spark): the
     task-level probes above carry a ~0.4 s fixed per-query floor (see
     plan_overhead) that drowns per-segment effects at any locally-buildable
@@ -547,11 +547,42 @@ def storage_micro(rng_table_dir: str) -> dict:
         )
         out["sorted_full_ms"] = med_ms(lambda: r.read_columns_arrow(cols))
         out["sorted_slice_rows"] = rng[1] - rng[0]
+    # Bloom skip vs the work it avoids: a definite-miss probe on the
+    # bloom-table segment vs the forward decode + IN mask a bloomless
+    # point lookup pays on every non-owning segment (at 100 TB that is
+    # nearly every segment).
+    if bloom_table_dir is not None:
+        bseg = _discover_segments(bloom_table_dir)[0]
+        absent = (
+            int(
+                np.asarray(
+                    SegmentReader.open(bseg).read_column("l_orderkey")
+                ).max()
+            )
+            + 10**9
+        )
+        # fresh reader per call on BOTH sides: the numbers are the true
+        # per-segment cost of a skip (blob read + k hash tests) vs a
+        # bloomless miss (forward decode + IN mask)
+        out["bloom_miss_probe_ms"] = med_ms(
+            lambda: SegmentReader.open(bseg).bloom_might_contain(
+                "l_orderkey", [absent]
+            )
+        )
+        out["bloom_fullscan_mask_ms"] = med_ms(
+            lambda: np.isin(
+                np.asarray(
+                    SegmentReader.open(bseg).read_column("l_orderkey")
+                ),
+                [absent],
+            )
+        )
     for pair in (
         ("mask_inverted_ms", "mask_forward_ms"),
         ("decode_selection_ms", "decode_dense_filter_ms"),
         ("raw_take_selective_ms", "raw_dense_take_ms"),
         ("sorted_slice_ms", "sorted_full_ms"),
+        ("bloom_miss_probe_ms", "bloom_fullscan_mask_ms"),
     ):
         if pair[0] in out and pair[1] in out and out[pair[0]]:
             out[f"speedup_{pair[0][:-3]}"] = round(out[pair[1]] / out[pair[0]], 2)

@@ -1,0 +1,152 @@
+"""Table maintenance: distributed segment compaction.
+
+``compact_table(spark, table_dir, target_docs)`` rolls a many-small-segments
+table (the streaming sink's natural output — one segment set per
+micro-batch) into segments of ~``target_docs`` rows, Pinot-minion style.
+The reference has no write path at all, so this is beyond parity.
+
+Scale design (100 TB):
+
+- *Planning is O(segments) over metadata only*: doc counts come from the
+  table manifest (segment_stats.json) when fresh — zero segment opens — and
+  fall back to per-segment ``metadata.properties`` parses (no columns.psf
+  read) otherwise. Greedy first-fit packing over the sorted doc counts.
+- *The merge work is one Spark task per output segment*, fanned out with
+  ``mapInPandas`` over an Arrow-batched group list — embarrassingly
+  parallel, no data ever moves through the driver (tasks read member
+  segments and write the merged segment directly on shared storage, the
+  same assumption the sink's staged-commit protocol already makes).
+- *Commit is rename-based*: merged segments stage under the reader-skipped
+  ``tmp/`` dir; the driver renames them in, removes the members, and
+  incrementally updates the manifest from task-computed stats (no
+  re-scan). Like Pinot's minion merge before the segment-replacement
+  protocol, the swap is not atomic for concurrent readers — run compaction
+  in a maintenance window, or accept that a concurrently *planning* query
+  may see members and merged output of one group together.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def _segment_doc_counts(table_dir: str) -> dict[str, int]:
+    """{segment_name: total_docs} from the manifest when fresh, else from
+    per-segment metadata.properties (still no columns.psf opens)."""
+    from pinot_segment import SegmentMetadata, manifest as M
+
+    stats = M.load_manifest(table_dir)
+    if stats is not None:
+        return {k: v["total_docs"] for k, v in stats.items()}
+    out = {}
+    for v3 in M._segment_v3_dirs(table_dir):
+        md = SegmentMetadata.from_file(os.path.join(v3, "metadata.properties"))
+        out[M._seg_key(v3)] = md.total_docs
+    return out
+
+
+def plan_compaction(
+    table_dir: str, target_docs: int, min_group: int = 2
+) -> list[list[str]]:
+    """Greedy first-fit-decreasing bin packing of segment names into merge
+    groups of <= target_docs total rows. Groups smaller than ``min_group``
+    members are dropped (rewriting a lone segment buys nothing); segments
+    individually >= target_docs are left alone."""
+    counts = _segment_doc_counts(table_dir)
+    small = sorted(
+        ((n, d) for n, d in counts.items() if d < target_docs),
+        key=lambda kv: -kv[1],
+    )
+    bins: list[tuple[int, list[str]]] = []
+    for name, docs in small:
+        for i, (tot, members) in enumerate(bins):
+            if tot + docs <= target_docs:
+                bins[i] = (tot + docs, members + [name])
+                break
+        else:
+            bins.append((docs, [name]))
+    return [members for _, members in bins if len(members) >= min_group]
+
+
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_docs: int,
+    min_group: int = 2,
+) -> dict:
+    """Compact ``table_dir`` in place; returns a summary dict
+    {"groups": N, "merged_segments": [...], "removed_segments": [...]}."""
+    from datafusion_pinot_spark.sources.pinot_datasource import (
+        _update_manifest_after_commit,
+    )
+
+    groups = plan_compaction(table_dir, target_docs, min_group)
+    if not groups:
+        return {"groups": 0, "merged_segments": [], "removed_segments": []}
+
+    table_name = os.path.basename(table_dir.rstrip("/")).replace(
+        "_OFFLINE", ""
+    ).replace("_REALTIME", "")
+    tmp_dir = os.path.join(table_dir, "tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    rows = [
+        (i, json.dumps(members)) for i, members in enumerate(groups)
+    ]
+    gdf = spark.createDataFrame(
+        rows, "group_id int, members string"
+    ).repartition(len(groups), "group_id")
+
+    def merge_groups(batches):
+        import pandas as pd
+
+        from pinot_segment.compact import merge_segments
+        from pinot_segment.manifest import collect_segment_stats
+
+        import uuid
+
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                members = json.loads(row["members"])
+                gid = int(row["group_id"])
+                name = (
+                    f"{table_name}_compacted_{gid}_{uuid.uuid4().hex[:8]}"
+                )
+                member_v3s = [
+                    os.path.join(table_dir, m, "v3") for m in members
+                ]
+                staged = os.path.join(tmp_dir, name)
+                v3 = merge_segments(member_v3s, staged, name, table_name)
+                out_rows.append(
+                    {
+                        "name": name,
+                        "members": row["members"],
+                        "stats": json.dumps(collect_segment_stats(str(v3))),
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    results = gdf.mapInPandas(
+        merge_groups, "name string, members string, stats string"
+    ).collect()
+
+    # -- driver-side commit: rename merged in, drop members, fix manifest --
+    merged, removed, new_stats = [], [], {}
+    for r in results:
+        os.replace(os.path.join(tmp_dir, r["name"]), os.path.join(table_dir, r["name"]))
+        merged.append(r["name"])
+        new_stats[r["name"]] = json.loads(r["stats"])
+        for m in json.loads(r["members"]):
+            shutil.rmtree(os.path.join(table_dir, m), ignore_errors=True)
+            removed.append(m)
+    _update_manifest_after_commit(table_dir, new_stats)
+    return {
+        "groups": len(groups),
+        "merged_segments": merged,
+        "removed_segments": removed,
+    }

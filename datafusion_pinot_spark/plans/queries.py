@@ -3624,6 +3624,61 @@ def q_pinot_bloom_point_lookup(spark, sf):
 
 
 @register(
+    "pinot_compacted_agg",
+    """SELECT l_returnflag, count(*) AS n,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS DOUBLE), 2) AS sum_price
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "parity",
+    ["pinot", "storage", "compaction"],
+)
+def q_pinot_compacted_agg(spark, sf):
+    """Segment compaction end-to-end (Pinot-minion merge, beyond the
+    reference's read-only surface): lineitem lands as 12 small segments
+    (the streaming sink's natural debris), `compact_table` rolls them into
+    ~4 via one distributed merge task per output segment (mapInPandas fan-
+    out, rename commit, incremental manifest update —
+    maintenance.compact_table docstring), and the aggregate runs over the
+    compacted table through the source. The hash gate proves the merge
+    byte-preserves every value; tests/test_compaction.py proves the
+    segment-count drop, index-config preservation, and manifest
+    freshness."""
+    import tempfile
+
+    from datafusion_pinot_spark.maintenance import compact_table
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="compact_"), "li_OFFLINE")
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    )
+    n_rows = li.count()
+    (
+        li.repartition(12)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "l_orderkey")
+        .save(out)
+    )
+    compact_table(spark, out, target_docs=max(1, n_rows // 3))
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "pinot_timestamp_range_scan",
     """SELECT event_type, count(*) AS n,
               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
@@ -3882,7 +3937,6 @@ DRIVER_WINDOW: list[str] = [
     "window_range_frame",
     "array_agg_sources",
     "range_join_nearby_events",
-    "salted_join_revenue",
     "events_gapfill_hourly",
     "session_window_agg",
     # -- r6 additions (standing rotation rule: round-N queries enter the
@@ -3905,6 +3959,7 @@ DRIVER_WINDOW: list[str] = [
     "q22_dormant_customers",
     "paragraph_dedup_reassemble",  # r6: Dolma/C4 paragraph dedup + reassembly
     "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
+    "pinot_compacted_agg",  # r6: distributed segment compaction
     # -- LLM-pipeline / curation ops never driver-checked --
     "near_dup_groups",
     "ann_ivf_kmeans_topk",
@@ -3947,7 +4002,8 @@ DRIVER_WINDOW: list[str] = [
     # q3_shipping_priority, q6_forecast_revenue, q14_promo_revenue,
     # q15_top_supplier, q17_small_quantity_revenue,
     # q18_large_volume_customer, q19_disjunctive_filter,
-    # scalar_subquery_above_avg, full_outer_join_balance
+    # scalar_subquery_above_avg, full_outer_join_balance,
+    # salted_join_revenue
     # — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,

@@ -1,0 +1,183 @@
+"""Segment compaction: storage-level merge semantics and the distributed
+compact_table maintenance job (grouping, commit, manifest upkeep)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pinot_segment import SegmentReader
+from pinot_segment.compact import merge_segments
+from pinot_segment.errors import UnsupportedFeatureError
+from pinot_segment.metadata import DataType
+from pinot_segment.writer import ColumnSpec, write_segment
+
+
+def _seg(tmp_path, name, lo, hi, **kw):
+    keys = np.arange(lo, hi, dtype=np.int64)
+    return write_segment(
+        tmp_path / name,
+        name,
+        "t",
+        [
+            ColumnSpec("k", DataType.LONG, keys, raw=True, **kw),
+            ColumnSpec(
+                "lang",
+                DataType.STRING,
+                ["en" if i % 2 == 0 else "de" for i in range(lo, hi)],
+            ),
+        ],
+    )
+
+
+def test_merge_concatenates_and_redetects_sorted(tmp_path):
+    # members cover disjoint ordered ranges → merged segment stays sorted
+    a = _seg(tmp_path, "a", 0, 100)
+    b = _seg(tmp_path, "b", 100, 250)
+    v3 = merge_segments([str(a), str(b)], tmp_path / "m", "m", "t")
+    r = SegmentReader.open(v3)
+    assert r.total_docs() == 250
+    np.testing.assert_array_equal(r.read_column("k"), np.arange(250))
+    assert r.metadata.get_column("k").is_sorted
+    # reversed member order un-sorts the data; the writer must notice
+    v3r = merge_segments([str(b), str(a)], tmp_path / "m2", "m2", "t")
+    rr = SegmentReader.open(v3r)
+    assert not rr.metadata.get_column("k").is_sorted
+    assert rr.total_docs() == 250
+
+
+def test_merge_preserves_index_config_and_nulls(tmp_path):
+    vals = np.array([1, 2, 3, 4], dtype=np.int64)
+    mask = np.array([False, True, False, False])
+    a = write_segment(
+        tmp_path / "a",
+        "a",
+        "t",
+        [
+            ColumnSpec("x", DataType.LONG, vals, raw=True, null_mask=mask, bloom=True),
+            ColumnSpec("tag", DataType.STRING, ["p", "q", "p", "q"], inverted=True),
+            ColumnSpec("mv", DataType.INT, [[1], [2, 3], [], [4]], multi_value=True),
+        ],
+    )
+    b = write_segment(
+        tmp_path / "b",
+        "b",
+        "t",
+        [
+            ColumnSpec("x", DataType.LONG, np.array([7, 8], dtype=np.int64), raw=True, bloom=True),
+            ColumnSpec("tag", DataType.STRING, ["q", "r"], inverted=True),
+            ColumnSpec("mv", DataType.INT, [[5, 6], [7]], multi_value=True),
+        ],
+    )
+    v3 = merge_segments([str(a), str(b)], tmp_path / "m", "m", "t")
+    r = SegmentReader.open(v3)
+    cx, ct, cm = (r.metadata.get_column(c) for c in ("x", "tag", "mv"))
+    assert cx.has_bloom_filter and cx.has_null_values and not cx.has_dictionary
+    assert ct.has_inverted_index and ct.has_dictionary
+    assert not cm.is_single_value
+    # null positions survive the merge
+    nm = r.null_mask("x")
+    np.testing.assert_array_equal(nm, [False, True, False, False, False, False])
+    # bloom answers over the union of members
+    assert r.bloom_might_contain("x", [8]) is True
+    assert r.bloom_might_contain("x", [99]) is False
+    # inverted index over the merged dictionary
+    m = r.inverted_match_mask("tag", ["q"])
+    np.testing.assert_array_equal(m, [False, True, False, True, True, False])
+    # MV rows concatenate in order
+    assert r.read_column("mv") == [[1], [2, 3], [], [4], [5, 6], [7]]
+
+
+def test_merge_rejects_schema_mismatch(tmp_path):
+    a = _seg(tmp_path, "a", 0, 10)
+    b = write_segment(
+        tmp_path / "b",
+        "b",
+        "t",
+        [ColumnSpec("k", DataType.LONG, np.arange(5), raw=True)],
+    )
+    with pytest.raises(UnsupportedFeatureError, match="different columns"):
+        merge_segments([str(a), str(b)], tmp_path / "m", "m", "t")
+
+
+def test_plan_compaction_packing(tmp_path):
+    from datafusion_pinot_spark.maintenance import plan_compaction
+
+    table = tmp_path / "t_OFFLINE"
+    sizes = {"s1": 100, "s2": 200, "s3": 300, "s4": 900, "s5": 50}
+    for name, docs in sizes.items():
+        _seg(table, name, 0, docs)
+    groups = plan_compaction(str(table), target_docs=600)
+    flat = [m for g in groups for m in g]
+    assert "s4" not in flat  # >= target stays alone
+    assert all(len(g) >= 2 for g in groups)
+    # every group respects the budget
+    for g in groups:
+        assert sum(sizes[m] for m in g) <= 600
+    # first-fit-decreasing packs the three largest smalls into one group;
+    # the 50-doc leftover can't fit and a singleton group is pointless
+    assert groups == [["s3", "s2", "s1"]]
+
+
+def test_compact_table_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datafusion_pinot_spark.maintenance import compact_table
+    from datafusion_pinot_spark.sources import register_pinot_source
+    from pinot_segment.manifest import load_manifest
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "tbl_OFFLINE")
+    # 12 tiny segments — the streaming sink's natural debris
+    (
+        spark.range(0, 1200)
+        .selectExpr("id AS k", "concat('v', id % 7) AS tag")
+        .repartition(12)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    before = spark.read.format("pinot").load(out)
+    expected = before.agg(
+        F.count("*").alias("n"), F.sum("k").alias("s")
+    ).collect()[0]
+    n_before = sum(
+        os.path.isdir(os.path.join(out, d, "v3")) for d in os.listdir(out)
+    )
+    assert n_before == 12
+
+    summary = compact_table(spark, out, target_docs=500)
+    assert summary["groups"] >= 2
+    assert len(summary["removed_segments"]) == 12
+
+    n_after = sum(
+        os.path.isdir(os.path.join(out, d, "v3")) for d in os.listdir(out)
+    )
+    assert n_after == summary["groups"] < n_before
+    after = spark.read.format("pinot").load(out)
+    got = after.agg(F.count("*").alias("n"), F.sum("k").alias("s")).collect()[0]
+    assert (got["n"], got["s"]) == (expected["n"], expected["s"])
+    # manifest stays fresh: O(1) planning still holds post-compaction
+    assert load_manifest(out) is not None
+
+
+def test_compact_table_noop_when_segments_large_enough(spark, tmp_path):
+    from datafusion_pinot_spark.maintenance import compact_table
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "tbl_OFFLINE")
+    (
+        spark.range(0, 100)
+        .selectExpr("id AS k")
+        .repartition(1)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    summary = compact_table(spark, out, target_docs=50)
+    assert summary == {
+        "groups": 0,
+        "merged_segments": [],
+        "removed_segments": [],
+    }
