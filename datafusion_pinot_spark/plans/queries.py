@@ -3624,6 +3624,57 @@ def q_pinot_bloom_point_lookup(spark, sf):
 
 
 @register(
+    "pinot_partition_pruned_lookup",
+    """SELECT l_orderkey, count(*) AS n,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DOUBLE), 2) AS sum_qty
+       FROM lineitem
+       WHERE l_orderkey = 513
+       GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "parity",
+    ["pinot", "storage", "partition", "filter"],
+)
+def q_pinot_partition_pruned_lookup(spark, sf):
+    """Planning-time partition pruning (Pinot's segmentPartitionConfig,
+    beyond the reference): lineitem is laid out by pmod(l_orderkey, 8)
+    and written with the `partitionColumn` sink option, so each segment's
+    metadata records the key residues it holds. The pushed equality then
+    prunes non-matching segments at partitions() time — they get no Spark
+    task at all (stronger than the bloom filter's read-time skip), from
+    manifest stats with zero segment opens (tests/test_partition_map.py).
+    The oracle applies the same lookup to the original parquet."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="part_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .repartition(8, F.pmod(F.col("l_orderkey"), F.lit(8)))
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "l_orderkey")
+        .option("partitionColumn", "l_orderkey")
+        .option("numPartitions", "8")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.filter(F.col("l_orderkey") == 513)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(money("l_quantity")).cast("double"), 2).alias(
+                "sum_qty"
+            ),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
     "pinot_compacted_agg",
     """SELECT l_returnflag, count(*) AS n,
               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
@@ -3960,10 +4011,10 @@ DRIVER_WINDOW: list[str] = [
     "paragraph_dedup_reassemble",  # r6: Dolma/C4 paragraph dedup + reassembly
     "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
     "pinot_compacted_agg",  # r6: distributed segment compaction
-    # -- LLM-pipeline / curation ops never driver-checked --
+    "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
+    # -- LLM-pipeline / curation ops --
     "near_dup_groups",
     "ann_ivf_kmeans_topk",
-    "corpus_clean_pipeline",
     "stratified_hash_sample",
     "quality_topk_per_lang",
     # -- streaming ops never driver-checked --
@@ -4003,7 +4054,7 @@ DRIVER_WINDOW: list[str] = [
     # q15_top_supplier, q17_small_quantity_revenue,
     # q18_large_volume_customer, q19_disjunctive_filter,
     # scalar_subquery_above_avg, full_outer_join_balance,
-    # salted_join_revenue
+    # salted_join_revenue, corpus_clean_pipeline
     # — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,

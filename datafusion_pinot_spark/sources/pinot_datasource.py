@@ -200,6 +200,25 @@ class PinotDataSource(DataSource):
             if c.strip()
         }
 
+    def _partition_option(self) -> "tuple[str, int] | None":
+        """(partitionColumn, numPartitions) from the sink options, or None.
+        The function is always Modulo (ColumnSpec rejects anything else)."""
+        col = self.options.get("partitioncolumn") or self.options.get(
+            "partitionColumn"
+        )
+        if not col:
+            return None
+        num = int(
+            self.options.get("numpartitions")
+            or self.options.get("numPartitions")
+            or 0
+        )
+        if num < 1:
+            raise ValueError(
+                "pinot sink: partitionColumn requires numPartitions >= 1"
+            )
+        return (col.strip(), num)
+
     def writer(self, schema: StructType, overwrite: bool) -> "PinotDataSourceWriter":
         path = self.options.get("path")
         if not path:
@@ -213,6 +232,7 @@ class PinotDataSource(DataSource):
             overwrite,
             self._column_set_option("inverted"),
             self._column_set_option("bloom"),
+            self._partition_option(),
         )
 
     def streamWriter(
@@ -229,6 +249,7 @@ class PinotDataSource(DataSource):
             self._column_set_option("raw"),
             self._column_set_option("inverted"),
             self._column_set_option("bloom"),
+            self._partition_option(),
         )
 
 
@@ -607,11 +628,12 @@ class PinotStreamWriter(DataSourceStreamArrowWriter):
         raw_columns: set,
         inverted_columns: set | None = None,
         bloom_columns: set | None = None,
+        partition_option: "tuple[str, int] | None" = None,
     ) -> None:
         # Delegate validation + the per-task write to the batch writer.
         self._delegate = PinotDataSourceWriter(
             schema, path, table, raw_columns, False, inverted_columns,
-            bloom_columns,
+            bloom_columns, partition_option,
         )
         self._path = path
 
@@ -675,9 +697,22 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         overwrite: bool,
         inverted_columns: set | None = None,
         bloom_columns: set | None = None,
+        partition_option: "tuple[str, int] | None" = None,
     ) -> None:
         inverted_columns = inverted_columns or set()
         bloom_columns = bloom_columns or set()
+        if partition_option is not None:
+            pcol = partition_option[0]
+            ptypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+            if pcol not in ptypes:
+                raise ValueError(
+                    f"pinot sink: partitionColumn '{pcol}' not in schema"
+                )
+            if ptypes[pcol] not in ("int", "bigint", "timestamp", "timestamp_ntz"):
+                raise ValueError(
+                    f"pinot sink: partitionColumn '{pcol}' must be an "
+                    f"integer/timestamp column, got {ptypes[pcol]}"
+                )
         for f in schema.fields:
             t = f.dataType.simpleString()
             if t not in _WRITE_TYPES and t not in _MV_WRITE_TYPES:
@@ -717,6 +752,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         self._raw = raw_columns
         self._inverted = inverted_columns
         self._bloom = bloom_columns
+        self._partition = partition_option
         self._overwrite = overwrite
 
     def write(self, iterator) -> PinotWriterCommitMessage:
@@ -815,6 +851,11 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                         compression=compression,
                         null_mask=null_mask,
                         bloom=f.name in self._bloom,
+                        partition_config=(
+                            ("Modulo", self._partition[1])
+                            if self._partition and f.name == self._partition[0]
+                            else None
+                        ),
                     )
                 )
             else:
@@ -826,6 +867,11 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                         null_mask=null_mask,
                         inverted=f.name in self._inverted,
                         bloom=f.name in self._bloom,
+                        partition_config=(
+                            ("Modulo", self._partition[1])
+                            if self._partition and f.name == self._partition[0]
+                            else None
+                        ),
                     )
                 )
         write_segment(staged, seg_name, self._table, specs)
@@ -902,6 +948,14 @@ def _specs_stats(specs, total_docs: int) -> dict:
             mx = vals.max() if isinstance(vals, np.ndarray) else max(vals)
             entry["min"] = mn.item() if hasattr(mn, "item") else mn
             entry["max"] = mx.item() if hasattr(mx, "item") else mx
+        if spec.partition_config is not None:
+            func, num = spec.partition_config
+            pids = np.unique(np.asarray(vals, dtype=np.int64) % num)
+            entry["partitions"] = {
+                "function": func,
+                "num": num,
+                "values": [int(p) for p in pids],
+            }
         cols[spec.name] = entry
     return {"total_docs": total_docs, "columns": cols}
 
@@ -1051,8 +1105,29 @@ def _filter_bounds_check(f: Filter, mn, mx) -> bool:
     return True
 
 
+def _partition_map_pruned(
+    f: Filter, function: str | None, num: int, values
+) -> bool:
+    """True when an EqualTo/In conjunct provably misses every partition id
+    present in the segment (Pinot's partition pruning). Only prunes when
+    EVERY operand's residue is computable — a non-integer operand makes the
+    conjunct unprunable, never wrongly pruned."""
+    if function != "Modulo" or not num or not isinstance(f, (EqualTo, In)):
+        return False
+    operands = [f.value] if isinstance(f, EqualTo) else list(f.value)
+    if not operands:
+        return True  # empty IN matches nothing
+    pids = set()
+    for v in operands:
+        if isinstance(v, bool) or not isinstance(v, int):
+            return False
+        pids.add(v % num)
+    return not (pids & set(values))
+
+
 def _stats_can_be_skipped(stats: dict, filters: list[Filter]) -> bool:
-    """Zone-map pruning from manifest stats alone — no segment open."""
+    """Zone-map + partition-map pruning from manifest stats alone — no
+    segment open."""
     cols = stats.get("columns", {})
     for f in filters:
         if isinstance(f, IsNull):
@@ -1065,7 +1140,14 @@ def _stats_can_be_skipped(stats: dict, filters: list[Filter]) -> bool:
         if not isinstance(f, _RANGE_FILTERS):
             continue
         cs = cols.get(f.attribute[0])
-        if cs is None or "min" not in cs:
+        if cs is None:
+            continue
+        pm = cs.get("partitions")
+        if pm is not None and _partition_map_pruned(
+            f, pm.get("function"), pm.get("num", 0), pm.get("values", ())
+        ):
+            return True
+        if "min" not in cs:
             continue
         if not _filter_bounds_check(f, cs["min"], cs["max"]):
             return True
@@ -1098,6 +1180,11 @@ def _segment_can_be_skipped(
         col = f.attribute[0]
         if col not in reader.metadata.columns:
             continue
+        cm = reader.metadata.columns[col]
+        if _partition_map_pruned(
+            f, cm.partition_function, cm.num_partitions, cm.partition_values
+        ):
+            return True
         mm = reader.column_min_max(col)
         if mm is None:
             continue

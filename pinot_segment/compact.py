@@ -71,6 +71,21 @@ def merge_segments(
         inverted = any(m.has_inverted_index for m in metas) and not raw and not mv
         bloomed = any(m.has_bloom_filter for m in metas) and not mv
         has_nulls = any(m.has_null_values for m in metas)
+        # partition metadata survives only when every member agrees on the
+        # (function, modulus) — the writer recomputes the merged residues
+        partition_config = None
+        if (
+            metas[0].partition_function is not None
+            and all(
+                m.partition_function == metas[0].partition_function
+                and m.num_partitions == metas[0].num_partitions
+                for m in metas
+            )
+        ):
+            partition_config = (
+                metas[0].partition_function,
+                metas[0].num_partitions,
+            )
 
         parts = [r.read_column(name) for r in readers]
         if mv:
@@ -107,6 +122,7 @@ def merge_segments(
                 null_mask=null_mask,
                 inverted=inverted,
                 bloom=bloomed,
+                partition_config=partition_config,
             )
         )
     return write_segment(segment_dir, segment_name, table_name, specs)

@@ -77,6 +77,14 @@ def collect_segment_stats(v3_dir: str) -> dict:
             entry["min"], entry["max"] = (
                 v.item() if hasattr(v, "item") else v for v in mm
             )
+        if cm.partition_function:
+            # partition map (writer.py emit_partition_map): lets planning
+            # prune by residue class without opening the segment
+            entry["partitions"] = {
+                "function": cm.partition_function,
+                "num": cm.num_partitions,
+                "values": list(cm.partition_values),
+            }
         cols[name] = entry
     return {
         "fingerprint": _fingerprint(v3_dir),

@@ -89,6 +89,14 @@ class ColumnMetadata:
     # index type): true when the segment carries a distinct-value bloom
     # filter for point-lookup segment skipping (bloom.py).
     has_bloom_filter: bool = False
+    # Column partition map (beyond the reference; Pinot's
+    # segmentPartitionConfig / per-segment partition metadata): the
+    # partition function, modulus, and the partition ids actually present
+    # in this segment — equality probes on the column prune segments at
+    # PLANNING time by residue class.
+    partition_function: str | None = None
+    num_partitions: int = 0
+    partition_values: tuple = ()
 
 
 def decode_java_string(s: str) -> str:
@@ -243,4 +251,11 @@ def _parse_column(
         has_null_values=get("hasNullValues") == "true",
         has_inverted_index=get("hasInvertedIndex") == "true",
         has_bloom_filter=get("hasBloomFilter") == "true",
+        partition_function=get("partitionFunction"),
+        num_partitions=get_int("numPartitions"),
+        partition_values=tuple(
+            int(p)
+            for p in (get("partitionValues") or "").split(",")
+            if p.strip().lstrip("-").isdigit()
+        ),
     )

@@ -91,7 +91,32 @@ class ColumnSpec:
         null_mask: "np.ndarray | None" = None,
         inverted: bool = False,
         bloom: bool = False,
+        partition_config: "tuple[str, int] | None" = None,
     ) -> None:
+        if partition_config is not None:
+            # Column partition map (Pinot's segmentPartitionConfig):
+            # ("Modulo", N). Only floor-mod over integer keys is defined —
+            # it is exactly reproducible at plan time from a filter literal
+            # (and by Spark's pmod when laying data out at write time).
+            func, num = partition_config
+            if func != "Modulo":
+                raise ValueError(
+                    f"column '{name}': unsupported partition function "
+                    f"'{func}' (only Modulo)"
+                )
+            if num < 1:
+                raise ValueError(
+                    f"column '{name}': numPartitions must be >= 1, got {num}"
+                )
+            if multi_value or data_type not in (
+                DataType.INT,
+                DataType.LONG,
+                DataType.TIMESTAMP,
+            ):
+                raise ValueError(
+                    f"column '{name}': partition metadata requires a "
+                    "single-value integer column"
+                )
         if bloom and multi_value:
             # A flattened-value bloom would be well-defined, but no probe
             # path exists for MV filters yet; refuse rather than write an
@@ -162,6 +187,7 @@ class ColumnSpec:
         self.null_mask = null_mask
         self.inverted = inverted
         self.bloom = bloom
+        self.partition_config = partition_config
 
     def flat_values(self) -> list:
         """Flattened value stream (the per-doc values, concatenated)."""
@@ -374,6 +400,30 @@ def write_segment(
         )
         meta_lines.append(f"column.{spec.name}.hasInvertedIndex=true")
 
+    def emit_partition_map(spec: ColumnSpec) -> None:
+        """Per-segment partition metadata (Pinot's real property names:
+        ``partitionFunction`` / ``numPartitions`` / ``partitionValues``):
+        the floor-mod residues actually present in the column. A write
+        laid out by key (repartition on pmod(key, N)) yields few residues
+        per segment, and an equality probe then prunes whole segments at
+        planning time; an unpartitioned write records all N residues —
+        harmless, never wrong."""
+        if spec.partition_config is None:
+            return
+        _, num = spec.partition_config
+        vals = np.asarray(spec.values, dtype=np.int64)
+        if spec.null_mask is not None:
+            vals = vals[~spec.null_mask]
+        pids = np.unique(vals % num)  # numpy % == floor-mod, like Python
+        meta_lines.extend(
+            (
+                f"column.{spec.name}.partitionFunction=Modulo",
+                f"column.{spec.name}.numPartitions={num}",
+                "column.%s.partitionValues=%s"
+                % (spec.name, ",".join(str(int(p)) for p in pids)),
+            )
+        )
+
     def emit_bloom(spec: ColumnSpec, distinct_values=None) -> None:
         """Bloom filter over the column's distinct values (beyond the
         reference; Pinot's bloom_filter index type — see bloom.py for the
@@ -485,6 +535,7 @@ def write_segment(
                         f"column.{spec.name}.maxValue={arr.max()}",
                     ]
             emit_bloom(spec)
+            emit_partition_map(spec)
             emit_nullvector(spec)
             continue
 
@@ -579,6 +630,7 @@ def write_segment(
                 ]
         emit_inverted(spec, dict_ids, len(uniq))
         emit_bloom(spec, distinct_values=uniq)
+        emit_partition_map(spec)
         emit_nullvector(spec)
 
     (v3 / "metadata.properties").write_text("\n".join(meta_lines) + "\n")
