@@ -77,9 +77,18 @@ def compact_table(
     table_dir: str,
     target_docs: int,
     min_group: int = 2,
+    rollup: "tuple[list[str], dict[str, str]] | None" = None,
 ) -> dict:
     """Compact ``table_dir`` in place; returns a summary dict
-    {"groups": N, "merged_segments": [...], "removed_segments": [...]}."""
+    {"groups": N, "merged_segments": [...], "removed_segments": [...]}.
+
+    ``rollup=(dims, metrics)`` additionally collapses rows sharing the
+    dim values inside each merged segment (Pinot's merge-rollup minion
+    task): metrics aggregate by name -> sum/min/max; a count is a summed
+    ones-column. Rollup is per-output-segment — groups are packed by
+    *input* doc counts, and a table-wide aggregate over the rolled-up
+    table equals the aggregate over the original rows for the supported
+    (associative, commutative) functions."""
     from datafusion_pinot_spark.sources.pinot_datasource import (
         _update_manifest_after_commit,
     )
@@ -121,7 +130,9 @@ def compact_table(
                     os.path.join(table_dir, m, "v3") for m in members
                 ]
                 staged = os.path.join(tmp_dir, name)
-                v3 = merge_segments(member_v3s, staged, name, table_name)
+                v3 = merge_segments(
+                    member_v3s, staged, name, table_name, rollup=rollup
+                )
                 out_rows.append(
                     {
                         "name": name,

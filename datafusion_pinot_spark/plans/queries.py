@@ -3730,6 +3730,67 @@ def q_pinot_compacted_agg(spark, sf):
 
 
 @register(
+    "pinot_rollup_compacted_agg",
+    """SELECT l_returnflag, l_linestatus,
+              count(*) AS n,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       FROM lineitem
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    "parity",
+    ["pinot", "storage", "compaction", "rollup"],
+)
+def q_pinot_rollup_compacted_agg(spark, sf):
+    """Merge-rollup during compaction (Pinot's merge-rollup minion task,
+    beyond the reference): lineitem lands as 12 small segments with
+    integer metrics (l_quantity is integral in the testdata, so the LONG
+    cast is exact — rollup partial sums then stay order-independent),
+    compaction collapses rows per (returnflag, linestatus) inside each
+    merged segment with SUM metrics and a summed ones-column for the
+    count, and the query aggregates the rolled-up table. Matching the
+    parquet oracle's direct GROUP BY proves the two-level aggregation
+    (in-segment rollup -> query-time final) is lossless."""
+    import tempfile
+
+    from datafusion_pinot_spark.maintenance import compact_table
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="rollup_"), "li_OFFLINE")
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    n_rows = li.count()
+    (
+        li.repartition(12)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    compact_table(
+        spark,
+        out,
+        target_docs=max(1, n_rows // 3),
+        rollup=(
+            ["l_returnflag", "l_linestatus"],
+            {"qty": "sum", "cnt": "sum"},
+        ),
+    )
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum("qty").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
     "pinot_timestamp_range_scan",
     """SELECT event_type, count(*) AS n,
               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
@@ -4012,10 +4073,10 @@ DRIVER_WINDOW: list[str] = [
     "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
     "pinot_compacted_agg",  # r6: distributed segment compaction
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
+    "pinot_rollup_compacted_agg",  # r6: merge-rollup during compaction
     # -- LLM-pipeline / curation ops --
     "near_dup_groups",
     "ann_ivf_kmeans_topk",
-    "stratified_hash_sample",
     "quality_topk_per_lang",
     # -- streaming ops never driver-checked --
     "stateful_user_totals",
@@ -4054,7 +4115,7 @@ DRIVER_WINDOW: list[str] = [
     # q15_top_supplier, q17_small_quantity_revenue,
     # q18_large_volume_customer, q19_disjunctive_filter,
     # scalar_subquery_above_avg, full_outer_join_balance,
-    # salted_join_revenue, corpus_clean_pipeline
+    # salted_join_revenue, corpus_clean_pipeline, stratified_hash_sample
     # — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,

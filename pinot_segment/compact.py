@@ -7,9 +7,15 @@ the reference engine has no write path at all (README.md:418), so this is
 a beyond-parity maintenance primitive: read N member segments, concatenate
 their columns, and write ONE segment that preserves each column's
 physical configuration (RAW vs dictionary, multi-value, nullability,
-inverted index, bloom filter). Sortedness is *re-detected* by the writer —
-merging segments whose sort-key ranges are disjoint and ordered yields a
-sorted merged segment; anything else correctly loses the flag.
+inverted index, bloom filter, partition map). Sortedness is *re-detected*
+by the writer — merging segments whose sort-key ranges are disjoint and
+ordered yields a sorted merged segment; anything else correctly loses the
+flag.
+
+``rollup`` mirrors Pinot's merge-rollup minion task: rows sharing the
+dimension values collapse to one, with metric columns aggregated
+(sum/min/max). A count is a summed ones-column, exactly Pinot's
+convention for rollup-ed count metrics.
 
 Orchestration (grouping, distribution, commit/rename, manifest upkeep)
 lives in datafusion_pinot_spark/maintenance.py — this module is Spark-free
@@ -28,18 +34,27 @@ from pinot_segment.segment_reader import SegmentReader
 from pinot_segment.var_byte import LZ4_LENGTH_PREFIXED, PASS_THROUGH
 from pinot_segment.writer import ColumnSpec, write_segment
 
+_ROLLUP_AGGS = ("sum", "min", "max")
+
 
 def merge_segments(
     member_dirs: list[str],
     segment_dir: str | Path,
     segment_name: str,
     table_name: str,
+    rollup: "tuple[list[str], dict[str, str]] | None" = None,
 ) -> Path:
     """Merge the member v3 segments (in the given order) into one segment
     at ``segment_dir``; returns the new v3 path. Raises if the members'
     schemas (column set, types, SV/MV) disagree. RAW STRING/BYTES columns
     re-compress with the sink's default codec (LZ4 length-prefixed); the
-    original per-chunk codec is not part of the logical schema."""
+    original per-chunk codec is not part of the logical schema.
+
+    ``rollup=(dims, metrics)`` additionally collapses rows sharing the
+    ``dims`` values, aggregating each metric column by its named function
+    (sum/min/max). Every column must then be a dim or a metric, and
+    neither may be multi-value or nullable (Pinot's merge-rollup has the
+    same shape: dimensions + aggregated metrics)."""
     readers = [SegmentReader.open(d) for d in member_dirs]
     base_cols = readers[0].column_names()
     for r in readers[1:]:
@@ -49,7 +64,7 @@ def merge_segments(
                 f"{base_cols} vs {r.column_names()}"
             )
 
-    specs = []
+    cols: dict[str, dict] = {}
     for name in base_cols:
         metas = [r.metadata.get_column(name) for r in readers]
         dt = metas[0].data_type
@@ -65,28 +80,6 @@ def merge_segments(
                     f"cannot merge: column '{name}' has inconsistent "
                     "physical type across members"
                 )
-        # Index configuration is a union: if ANY member carried the index
-        # the merged segment keeps it (a fleet rollout mid-stream must not
-        # silently drop indexes), constrained to where it is valid.
-        inverted = any(m.has_inverted_index for m in metas) and not raw and not mv
-        bloomed = any(m.has_bloom_filter for m in metas) and not mv
-        has_nulls = any(m.has_null_values for m in metas)
-        # partition metadata survives only when every member agrees on the
-        # (function, modulus) — the writer recomputes the merged residues
-        partition_config = None
-        if (
-            metas[0].partition_function is not None
-            and all(
-                m.partition_function == metas[0].partition_function
-                and m.num_partitions == metas[0].num_partitions
-                for m in metas
-            )
-        ):
-            partition_config = (
-                metas[0].partition_function,
-                metas[0].num_partitions,
-            )
-
         parts = [r.read_column(name) for r in readers]
         if mv:
             values = [row for part in parts for row in part]
@@ -94,6 +87,7 @@ def merge_segments(
             values = np.concatenate(parts)
         else:
             values = [v for part in parts for v in part]
+        has_nulls = any(m.has_null_values for m in metas)
         null_mask = None
         if has_nulls:
             null_mask = np.concatenate(
@@ -106,23 +100,107 @@ def merge_segments(
                     for r in readers
                 ]
             )
+        partition_config = None
+        if metas[0].partition_function is not None and all(
+            m.partition_function == metas[0].partition_function
+            and m.num_partitions == metas[0].num_partitions
+            for m in metas
+        ):
+            partition_config = (
+                metas[0].partition_function,
+                metas[0].num_partitions,
+            )
+        cols[name] = {
+            "dt": dt,
+            "raw": raw,
+            "mv": mv,
+            "values": values,
+            "null_mask": null_mask,
+            # Index configuration is a union: if ANY member carried the
+            # index the merged segment keeps it (a fleet rollout
+            # mid-stream must not silently drop indexes), constrained to
+            # where it is valid.
+            "inverted": any(m.has_inverted_index for m in metas)
+            and not raw
+            and not mv,
+            "bloom": any(m.has_bloom_filter for m in metas) and not mv,
+            "partition_config": partition_config,
+        }
+
+    if rollup is not None:
+        _apply_rollup(cols, *rollup)
+
+    specs = []
+    for name in base_cols:
+        if rollup is not None and name not in cols:
+            continue  # unreachable today; guards future column drops
+        c = cols[name]
         compression = (
             LZ4_LENGTH_PREFIXED
-            if raw and dt in (DataType.STRING, DataType.BYTES)
+            if c["raw"] and c["dt"] in (DataType.STRING, DataType.BYTES)
             else PASS_THROUGH
         )
         specs.append(
             ColumnSpec(
                 name,
-                dt,
-                values,
-                raw=raw,
+                c["dt"],
+                c["values"],
+                raw=c["raw"],
                 compression=compression,
-                multi_value=mv,
-                null_mask=null_mask,
-                inverted=inverted,
-                bloom=bloomed,
-                partition_config=partition_config,
+                multi_value=c["mv"],
+                null_mask=c["null_mask"],
+                inverted=c["inverted"],
+                bloom=c["bloom"],
+                partition_config=c["partition_config"],
             )
         )
     return write_segment(segment_dir, segment_name, table_name, specs)
+
+
+def _apply_rollup(
+    cols: dict, dims: list[str], metrics: dict[str, str]
+) -> None:
+    """Collapse rows sharing ``dims`` values; aggregate ``metrics`` in
+    place. Output rows come out sorted by the dims (pandas groupby sort),
+    so a leading dim regains the writer's isSorted flag for free."""
+    import pandas as pd
+
+    declared = set(dims) | set(metrics)
+    if declared != set(cols):
+        raise UnsupportedFeatureError(
+            "rollup requires every column to be a dim or a metric; "
+            f"unaccounted: {sorted(set(cols) ^ declared)}"
+        )
+    for name, fn in metrics.items():
+        if fn not in _ROLLUP_AGGS:
+            raise UnsupportedFeatureError(
+                f"rollup metric '{name}': unsupported agg '{fn}'"
+            )
+        if cols[name]["dt"] not in (
+            DataType.INT,
+            DataType.LONG,
+            DataType.FLOAT,
+            DataType.DOUBLE,
+            DataType.TIMESTAMP,
+        ):
+            raise UnsupportedFeatureError(
+                f"rollup metric '{name}' must be numeric, got "
+                f"{cols[name]['dt'].value}"
+            )
+    for name in cols:
+        if cols[name]["mv"] or cols[name]["null_mask"] is not None:
+            raise UnsupportedFeatureError(
+                f"rollup over multi-value or nullable column '{name}' is "
+                "not supported"
+            )
+
+    frame = pd.DataFrame(
+        {name: np.asarray(c["values"]) if not isinstance(c["values"], list) else c["values"] for name, c in cols.items()}
+    )
+    grouped = frame.groupby(list(dims), sort=True, as_index=False).agg(metrics)
+    for name in cols:
+        out = grouped[name].to_numpy()
+        if cols[name]["dt"] is DataType.STRING:
+            cols[name]["values"] = [str(v) for v in out]
+        else:
+            cols[name]["values"] = out

@@ -181,3 +181,133 @@ def test_compact_table_noop_when_segments_large_enough(spark, tmp_path):
         "merged_segments": [],
         "removed_segments": [],
     }
+
+
+def test_merge_rollup_collapses_and_aggregates(tmp_path):
+    from pinot_segment.compact import merge_segments
+
+    def seg(name, flags, qtys):
+        return write_segment(
+            tmp_path / name,
+            name,
+            "t",
+            [
+                ColumnSpec("flag", DataType.STRING, flags),
+                ColumnSpec(
+                    "qty", DataType.LONG, np.asarray(qtys, dtype=np.int64),
+                    raw=True,
+                ),
+                ColumnSpec(
+                    "cnt",
+                    DataType.LONG,
+                    np.ones(len(qtys), dtype=np.int64),
+                    raw=True,
+                ),
+            ],
+        )
+
+    a = seg("a", ["A", "B", "A"], [10, 20, 30])
+    b = seg("b", ["B", "C"], [5, 7])
+    v3 = merge_segments(
+        [str(a), str(b)],
+        tmp_path / "m",
+        "m",
+        "t",
+        rollup=(["flag"], {"qty": "sum", "cnt": "sum"}),
+    )
+    r = SegmentReader.open(v3)
+    assert r.total_docs() == 3  # A, B, C
+    assert r.read_column("flag") == ["A", "B", "C"]
+    np.testing.assert_array_equal(r.read_column("qty"), [40, 25, 7])
+    np.testing.assert_array_equal(r.read_column("cnt"), [2, 2, 1])
+    # pandas groupby sorts dims -> the leading dim is written sorted
+    assert r.metadata.get_column("flag").is_sorted
+
+
+def test_merge_rollup_min_max(tmp_path):
+    from pinot_segment.compact import merge_segments
+
+    a = write_segment(
+        tmp_path / "a",
+        "a",
+        "t",
+        [
+            ColumnSpec("g", DataType.LONG, np.array([1, 1, 2]), raw=True),
+            ColumnSpec(
+                "lo", DataType.DOUBLE, np.array([3.0, 1.5, 9.0]), raw=True
+            ),
+            ColumnSpec(
+                "hi", DataType.DOUBLE, np.array([3.0, 1.5, 9.0]), raw=True
+            ),
+        ],
+    )
+    v3 = merge_segments(
+        [str(a)],
+        tmp_path / "m",
+        "m",
+        "t",
+        rollup=(["g"], {"lo": "min", "hi": "max"}),
+    )
+    r = SegmentReader.open(v3)
+    np.testing.assert_array_equal(r.read_column("lo"), [1.5, 9.0])
+    np.testing.assert_array_equal(r.read_column("hi"), [3.0, 9.0])
+
+
+def test_merge_rollup_validation(tmp_path):
+    from pinot_segment.compact import merge_segments
+
+    a = _seg(tmp_path, "a", 0, 10)  # columns k (long) + lang (string)
+    with pytest.raises(UnsupportedFeatureError, match="dim or a metric"):
+        merge_segments(
+            [str(a)], tmp_path / "m", "m", "t", rollup=(["lang"], {})
+        )
+    with pytest.raises(UnsupportedFeatureError, match="unsupported agg"):
+        merge_segments(
+            [str(a)], tmp_path / "m2", "m2", "t",
+            rollup=(["lang"], {"k": "avg"}),
+        )
+    with pytest.raises(UnsupportedFeatureError, match="must be numeric"):
+        merge_segments(
+            [str(a)], tmp_path / "m3", "m3", "t",
+            rollup=(["k"], {"lang": "sum"}),
+        )
+
+
+def test_compact_table_with_rollup_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datafusion_pinot_spark.maintenance import compact_table
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "tbl_OFFLINE")
+    (
+        spark.range(0, 3000)
+        .selectExpr(
+            "concat('u', id % 50) AS user_key",
+            "id AS amount",
+            "CAST(1 AS BIGINT) AS cnt",
+        )
+        .repartition(10)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    summary = compact_table(
+        spark,
+        out,
+        target_docs=1000,
+        rollup=(["user_key"], {"amount": "sum", "cnt": "sum"}),
+    )
+    assert summary["groups"] >= 1
+    back = spark.read.format("pinot").load(out)
+    agg = back.agg(
+        F.sum("cnt").alias("n"), F.sum("amount").alias("s")
+    ).collect()[0]
+    # table-wide aggregates survive the rollup exactly
+    assert (agg["n"], agg["s"]) == (3000, sum(range(3000)))
+    # and the table physically shrank: each merged segment holds at most
+    # one row per distinct user_key (50), ungrouped segments keep theirs
+    n_ungrouped_rows = 3000 - 300 * len(summary["removed_segments"])
+    assert back.count() <= 50 * summary["groups"] + n_ungrouped_rows
+    assert back.count() < 3000
