@@ -3791,6 +3791,56 @@ def q_pinot_rollup_compacted_agg(spark, sf):
 
 
 @register(
+    "pinot_upsert_latest",
+    """WITH ranked AS (
+         SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ms(ts) DESC,
+                                            event_id DESC) AS rn
+         FROM events)
+       SELECT user_id, event_id AS last_event_id,
+              round(CAST(value AS DOUBLE), 6) AS last_value
+       FROM ranked WHERE rn = 1 ORDER BY user_id""",
+    "parity",
+    ["pinot", "storage", "upsert"],
+)
+def q_pinot_upsert_latest(spark, sf):
+    """Upsert-table read (Pinot's upsertConfig, beyond the reference):
+    events — multiple records per user_id — land in 8 pinot segments, and
+    `load_upsert_table` surfaces only the latest record per key
+    (comparison column ts, tiebreaker event_id since the sink floors ts
+    to epoch millis; the oracle ranks by epoch_ms(ts) to mirror that
+    truncation). The dedup is one row_number window — a single shuffle
+    on user_id — over the raw segment scan, reproducing the queryable
+    state Pinot's ingest-time primary-key map maintains."""
+    import tempfile
+
+    from datafusion_pinot_spark.catalog import PinotCatalog
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    data_dir = tempfile.mkdtemp(prefix="upsert_")
+    out = os.path.join(data_dir, "events_OFFLINE")
+    (
+        t(spark, sf, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .repartition(8)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "event_id")
+        .save(out)
+    )
+    latest = PinotCatalog.filesystem(data_dir).load_upsert_table(
+        spark, "events", "user_id", "ts", tiebreakers=("event_id",)
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.round(F.col("value"), 6).alias("last_value"),
+    ).orderBy("user_id")
+
+
+@register(
     "pinot_timestamp_range_scan",
     """SELECT event_type, count(*) AS n,
               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
@@ -4074,13 +4124,13 @@ DRIVER_WINDOW: list[str] = [
     "pinot_compacted_agg",  # r6: distributed segment compaction
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
     "pinot_rollup_compacted_agg",  # r6: merge-rollup during compaction
+    "pinot_upsert_latest",  # r6: upsert-table last-wins read
     # -- LLM-pipeline / curation ops --
     "near_dup_groups",
     "ann_ivf_kmeans_topk",
     "quality_topk_per_lang",
-    # -- streaming ops never driver-checked --
+    # -- streaming ops --
     "stateful_user_totals",
-    "streaming_dedup_firstseen",
     "stream_stream_join_conversions",
     "streaming_watermarked_agg",  # rows-only by design (watermark withholds)
     # -- r3 curation ops --
@@ -4115,7 +4165,8 @@ DRIVER_WINDOW: list[str] = [
     # q15_top_supplier, q17_small_quantity_revenue,
     # q18_large_volume_customer, q19_disjunctive_filter,
     # scalar_subquery_above_avg, full_outer_join_balance,
-    # salted_join_revenue, corpus_clean_pipeline, stratified_hash_sample
+    # salted_join_revenue, corpus_clean_pipeline, stratified_hash_sample,
+    # streaming_dedup_firstseen
     # — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,

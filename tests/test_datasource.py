@@ -876,3 +876,40 @@ def test_stream_writer_lands_segments_per_batch(spark, tmp_path):
     import os
     segs = [e for e in os.listdir(out) if os.path.isdir(os.path.join(out, e, "v3"))]
     assert all(e.startswith("b") for e in segs)  # batch-id-prefixed names
+
+
+def test_upsert_table_last_wins_across_segments(spark, tmp_path):
+    """load_upsert_table: a key updated in a later-written segment
+    surfaces only its newest record; ties on the comparison column fall
+    to the tiebreaker."""
+    from datafusion_pinot_spark.catalog import PinotCatalog
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    data_dir = str(tmp_path)
+    out = f"{data_dir}/kv_OFFLINE"
+    rows_v1 = [(1, 100, "old-a", 10), (2, 100, "old-b", 11)]
+    rows_v2 = [(1, 200, "new-a", 12), (3, 150, "only-c", 13)]
+    tie = [(2, 100, "tie-b", 14)]  # same key+version as old-b, higher seq
+    schema = "k long, version long, payload string, seq long"
+    spark.createDataFrame(rows_v1, schema).coalesce(1).write.format(
+        "pinot"
+    ).mode("overwrite").save(out)
+    spark.createDataFrame(rows_v2, schema).coalesce(1).write.format(
+        "pinot"
+    ).mode("append").save(out)
+    spark.createDataFrame(tie, schema).coalesce(1).write.format(
+        "pinot"
+    ).mode("append").save(out)
+
+    latest = (
+        PinotCatalog.filesystem(data_dir)
+        .load_upsert_table(spark, "kv", "k", "version", tiebreakers=("seq",))
+        .orderBy("k")
+        .collect()
+    )
+    assert [(r["k"], r["payload"]) for r in latest] == [
+        (1, "new-a"),  # higher version wins
+        (2, "tie-b"),  # version tie -> higher seq wins
+        (3, "only-c"),
+    ]
