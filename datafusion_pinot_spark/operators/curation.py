@@ -266,3 +266,57 @@ SELECT source, count(*) AS n_total,
                      ELSE 0 END) AS BIGINT) AS chars_sampled,
        round(max(rate), 6) AS rate
 FROM v GROUP BY source ORDER BY source"""
+
+
+def training_shard_assignment(
+    docs: DataFrame, num_shards: int = 16, bits: int = 48
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export — the
+    last stage of a pretraining data pipeline: every document gets a
+    (shard, pos) address where ``shard = h(doc_id) mod num_shards`` and
+    ``pos`` is the document's rank by hash *within* its shard. Reading
+    shards in pos order yields a reproducible pseudo-random global order
+    (hash-ordered, so neighboring source documents scatter), which is what
+    an iid-batch training loader needs — and unlike ``orderBy(rand())``
+    it is stable across runs, engines, retries, and repartitioning.
+
+    Scale shape: the hash is a narrow codegen'd map; the only shuffle is
+    the per-shard window — num_shards-way parallel sorts of N/num_shards
+    docs each (at 100 TB: repartitionByRange on (shard, pos) and write,
+    one sorted file per shard — no corpus-wide single sort). md5-prefix
+    integers make the assignment bit-identical in DuckDB for the oracle;
+    a production path would swap in xxhash64 the way minhash does.
+    """
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, bits // 4),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        docs.select("doc_id", hv.alias("hv"))
+        .withColumn("shard", (F.col("hv") % num_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def training_shard_assignment_oracle_sql(
+    num_shards: int = 16, bits: int = 48
+) -> str:
+    nd = bits // 4
+    hv = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (nd - 1 - i)})"
+        for i in range(nd)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+), v AS (
+  SELECT doc_id, ({hv}) AS hv FROM d
+)
+SELECT doc_id, CAST(hv % {num_shards} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % {num_shards}
+                               ORDER BY hv, doc_id) AS BIGINT) AS pos
+FROM v"""

@@ -962,6 +962,19 @@ def _register_llm():
         "llm",
         ["curation", "sampling", "mixture"],
     )(lambda spark, sf: curation.mixture_temperature_sample(_docs(spark, sf)))
+    # Training-export sharding: deterministic hash-ordered (shard, pos)
+    # addresses — the reproducible global shuffle a training loader reads.
+    register(
+        "training_shard_assignment",
+        curation.training_shard_assignment_oracle_sql()
+        + " ORDER BY shard, pos",
+        "llm",
+        ["curation", "export", "shuffle"],
+    )(
+        lambda spark, sf: curation.training_shard_assignment(
+            _docs(spark, sf)
+        ).orderBy("shard", "pos")
+    )
     # Benchmark-contamination scan: broadcast probe shingles, linear corpus
     # side, integer-arithmetic threshold.
     register(
@@ -4125,6 +4138,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
     "pinot_rollup_compacted_agg",  # r6: merge-rollup during compaction
     "pinot_upsert_latest",  # r6: upsert-table last-wins read
+    "training_shard_assignment",  # r6: deterministic export shuffle
     # -- LLM-pipeline / curation ops --
     "near_dup_groups",
     "ann_ivf_kmeans_topk",
@@ -4138,7 +4152,6 @@ DRIVER_WINDOW: list[str] = [
     "contamination_overlap",
     # -- r3 storage additions: nullable columns + sorted-range pruning --
     "pinot_nulls_roundtrip",
-    "pinot_sorted_scan",
     # -- r3 TPC-H breadth: q12's oracle was fixed in r5 and is retained
     # until twice-green on the new oracle --
     "q12_late_shipment_priority",
@@ -4166,7 +4179,7 @@ DRIVER_WINDOW: list[str] = [
     # q18_large_volume_customer, q19_disjunctive_filter,
     # scalar_subquery_above_avg, full_outer_join_balance,
     # salted_join_revenue, corpus_clean_pipeline, stratified_hash_sample,
-    # streaming_dedup_firstseen
+    # streaming_dedup_firstseen, pinot_sorted_scan
     # — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,
