@@ -78,6 +78,7 @@ def compact_table(
     target_docs: int,
     min_group: int = 2,
     rollup: "tuple[list[str], dict[str, str]] | None" = None,
+    keep_latest: "tuple[list[str], str, tuple] | None" = None,
 ) -> dict:
     """Compact ``table_dir`` in place; returns a summary dict
     {"groups": N, "merged_segments": [...], "removed_segments": [...]}.
@@ -88,7 +89,14 @@ def compact_table(
     ones-column. Rollup is per-output-segment — groups are packed by
     *input* doc counts, and a table-wide aggregate over the rolled-up
     table equals the aggregate over the original rows for the supported
-    (associative, commutative) functions."""
+    (associative, commutative) functions.
+
+    ``keep_latest=(key_columns, compare_column, tiebreakers)`` is the
+    upsert-table cleanup (mutually exclusive with rollup): superseded
+    record versions are physically dropped within each merged segment;
+    `catalog.load_upsert_table` results are unchanged (last-wins is
+    idempotent) while storage and scan cost shrink to the live-version
+    count."""
     from datafusion_pinot_spark.sources.pinot_datasource import (
         _update_manifest_after_commit,
     )
@@ -131,7 +139,12 @@ def compact_table(
                 ]
                 staged = os.path.join(tmp_dir, name)
                 v3 = merge_segments(
-                    member_v3s, staged, name, table_name, rollup=rollup
+                    member_v3s,
+                    staged,
+                    name,
+                    table_name,
+                    rollup=rollup,
+                    keep_latest=keep_latest,
                 )
                 out_rows.append(
                     {

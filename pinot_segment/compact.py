@@ -43,6 +43,7 @@ def merge_segments(
     segment_name: str,
     table_name: str,
     rollup: "tuple[list[str], dict[str, str]] | None" = None,
+    keep_latest: "tuple[list[str], str, tuple] | None" = None,
 ) -> Path:
     """Merge the member v3 segments (in the given order) into one segment
     at ``segment_dir``; returns the new v3 path. Raises if the members'
@@ -127,8 +128,14 @@ def merge_segments(
             "partition_config": partition_config,
         }
 
+    if rollup is not None and keep_latest is not None:
+        raise UnsupportedFeatureError(
+            "rollup and keep_latest are mutually exclusive"
+        )
     if rollup is not None:
         _apply_rollup(cols, *rollup)
+    if keep_latest is not None:
+        _apply_keep_latest(cols, *keep_latest)
 
     specs = []
     for name in base_cols:
@@ -194,13 +201,65 @@ def _apply_rollup(
                 "not supported"
             )
 
-    frame = pd.DataFrame(
-        {name: np.asarray(c["values"]) if not isinstance(c["values"], list) else c["values"] for name, c in cols.items()}
-    )
+    frame = _frame(cols)
     grouped = frame.groupby(list(dims), sort=True, as_index=False).agg(metrics)
+    _writeback(cols, grouped)
+
+
+def _apply_keep_latest(
+    cols: dict, key_columns: list[str], compare_column: str, tiebreakers=()
+) -> None:
+    """Physical upsert cleanup (the compaction side of Pinot's upsert
+    tables): within the merged rows, keep only the newest record per
+    primary key — newest = max ``compare_column``, ties broken by the
+    ``tiebreakers`` in order. Superseded versions disappear from disk;
+    the query-time last-wins window (catalog.load_upsert_table) stays
+    correct before, during, and after because last-wins is idempotent —
+    per-group cleanup removes bounded garbage, full-table compaction
+    converges to exactly one row per key. Output sorted by the key
+    columns, so a leading key regains isSorted."""
+    for name in (*key_columns, compare_column, *tiebreakers):
+        if name not in cols:
+            raise UnsupportedFeatureError(
+                f"keep_latest column '{name}' not in segment"
+            )
     for name in cols:
-        out = grouped[name].to_numpy()
+        if cols[name]["mv"] or cols[name]["null_mask"] is not None:
+            raise UnsupportedFeatureError(
+                f"keep_latest over multi-value or nullable column "
+                f"'{name}' is not supported"
+            )
+    frame = _frame(cols)
+    order = [compare_column, *tiebreakers]
+    frame = (
+        frame.sort_values(order, ascending=False, kind="mergesort")
+        .drop_duplicates(subset=list(key_columns), keep="first")
+        .sort_values(list(key_columns), kind="mergesort")
+    )
+    _writeback(cols, frame)
+
+
+def _frame(cols: dict):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            name: (
+                c["values"]
+                if isinstance(c["values"], list)
+                else np.asarray(c["values"])
+            )
+            for name, c in cols.items()
+        }
+    )
+
+
+def _writeback(cols: dict, frame) -> None:
+    for name in cols:
+        out = frame[name].to_numpy()
         if cols[name]["dt"] is DataType.STRING:
             cols[name]["values"] = [str(v) for v in out]
+        elif cols[name]["dt"] is DataType.BYTES:
+            cols[name]["values"] = list(out)
         else:
             cols[name]["values"] = out

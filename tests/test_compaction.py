@@ -311,3 +311,98 @@ def test_compact_table_with_rollup_end_to_end(spark, tmp_path):
     n_ungrouped_rows = 3000 - 300 * len(summary["removed_segments"])
     assert back.count() <= 50 * summary["groups"] + n_ungrouped_rows
     assert back.count() < 3000
+
+
+def test_merge_keep_latest(tmp_path):
+    from pinot_segment.compact import merge_segments
+
+    def seg(name, rows):
+        ks, vers, pays = zip(*rows)
+        return write_segment(
+            tmp_path / name,
+            name,
+            "t",
+            [
+                ColumnSpec("k", DataType.LONG, np.asarray(ks), raw=True),
+                ColumnSpec(
+                    "version", DataType.LONG, np.asarray(vers), raw=True
+                ),
+                ColumnSpec("payload", DataType.STRING, list(pays)),
+            ],
+        )
+
+    a = seg("a", [(1, 100, "old-a"), (2, 100, "b")])
+    b = seg("b", [(1, 200, "new-a"), (3, 50, "c")])
+    v3 = merge_segments(
+        [str(a), str(b)],
+        tmp_path / "m",
+        "m",
+        "t",
+        keep_latest=(["k"], "version", ()),
+    )
+    r = SegmentReader.open(v3)
+    assert r.total_docs() == 3
+    np.testing.assert_array_equal(r.read_column("k"), [1, 2, 3])
+    assert r.read_column("payload") == ["new-a", "b", "c"]
+    assert r.metadata.get_column("k").is_sorted  # key-sorted output
+
+
+def test_merge_keep_latest_exclusive_with_rollup(tmp_path):
+    from pinot_segment.compact import merge_segments
+
+    a = _seg(tmp_path, "a", 0, 5)
+    with pytest.raises(UnsupportedFeatureError, match="mutually exclusive"):
+        merge_segments(
+            [str(a)], tmp_path / "m", "m", "t",
+            rollup=(["lang"], {"k": "sum"}),
+            keep_latest=(["k"], "k", ()),
+        )
+
+
+def test_compact_keep_latest_upsert_read_invariant(spark, tmp_path):
+    """compact_table(keep_latest=...) shrinks the table physically while
+    load_upsert_table returns the identical result before and after."""
+    from datafusion_pinot_spark.catalog import PinotCatalog
+    from datafusion_pinot_spark.maintenance import compact_table
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    data_dir = str(tmp_path)
+    out = f"{data_dir}/kv_OFFLINE"
+    # 6 micro-batches, each updating the same 40 keys with a new version
+    for batch in range(6):
+        (
+            spark.range(0, 40)
+            .selectExpr(
+                "id AS k",
+                f"CAST({batch} AS BIGINT) AS version",
+                f"concat('v{batch}-', id) AS payload",
+            )
+            .coalesce(1)
+            .write.format("pinot")
+            .mode("append" if batch else "overwrite")
+            .save(out)
+        )
+    cat = PinotCatalog.filesystem(data_dir)
+    before = sorted(
+        (r["k"], r["version"], r["payload"])
+        for r in cat.load_upsert_table(
+            spark, "kv", "k", "version"
+        ).collect()
+    )
+    assert all(v == 5 for _, v, _ in before)
+
+    summary = compact_table(
+        spark, out, target_docs=1000, keep_latest=(["k"], "version", ())
+    )
+    assert summary["groups"] >= 1
+    back = spark.read.format("pinot").load(out)
+    # 6x40 = 240 raw rows collapse toward 40 live versions
+    assert back.count() < 240
+    after = sorted(
+        (r["k"], r["version"], r["payload"])
+        for r in cat.load_upsert_table(
+            spark, "kv", "k", "version"
+        ).collect()
+    )
+    assert after == before
