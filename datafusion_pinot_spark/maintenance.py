@@ -174,3 +174,54 @@ def compact_table(
         "merged_segments": merged,
         "removed_segments": removed,
     }
+
+
+def purge_segments(
+    table_dir: str, time_column: str, older_than
+) -> dict:
+    """Retention enforcement (Pinot's retention manager, beyond the
+    reference): drop every segment whose ``time_column`` MAXIMUM is below
+    ``older_than`` — the whole segment is provably expired, so removal
+    needs no row-level work at all. Segments straddling the cutoff stay
+    intact (Pinot behaves the same way; rows age out when the whole
+    segment does).
+
+    ``older_than`` accepts an epoch-millis int for TIMESTAMP columns or a
+    plain number for numeric time columns. Driver-only metadata walk: the
+    per-segment max comes from the manifest (zero opens) with a
+    metadata/dictionary fallback; O(segments) name handling, no Spark
+    job, and the manifest is rewritten to describe the survivors.
+
+    Returns {"removed_segments": [...], "kept_segments": N}.
+    """
+    from pinot_segment import SegmentReader, manifest as M
+
+    stats = M.load_manifest(table_dir) or {}
+    removed = []
+    kept = 0
+    for v3 in M._segment_v3_dirs(table_dir):
+        key = M._seg_key(v3)
+        cs = (stats.get(key) or {}).get("columns", {}).get(time_column)
+        if cs is not None and "max" in cs:
+            mx = cs["max"]
+        else:
+            reader = SegmentReader.open(v3)
+            mm = reader.column_min_max(time_column)
+            if mm is None:
+                kept += 1  # no stats: never silently delete data
+                continue
+            mx = mm[1]
+            if hasattr(mx, "item"):
+                mx = mx.item()
+        if mx < older_than:
+            shutil.rmtree(os.path.dirname(v3), ignore_errors=True)
+            removed.append(key)
+        else:
+            kept += 1
+    if removed:
+        from datafusion_pinot_spark.sources.pinot_datasource import (
+            _update_manifest_after_commit,
+        )
+
+        _update_manifest_after_commit(table_dir, {})
+    return {"removed_segments": sorted(removed), "kept_segments": kept}

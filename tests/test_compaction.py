@@ -406,3 +406,32 @@ def test_compact_keep_latest_upsert_read_invariant(spark, tmp_path):
         ).collect()
     )
     assert after == before
+
+
+def test_purge_segments_retention(tmp_path):
+    from datafusion_pinot_spark.maintenance import purge_segments
+    from pinot_segment import manifest as M
+
+    table = tmp_path / "t_OFFLINE"
+    # three time-ranged segments: [0,100), [100,200), [200,300)
+    for i, name in enumerate(["old", "mid", "new"]):
+        _seg(table, name, i * 100, (i + 1) * 100)
+    M.write_manifest(str(table), M.build_manifest(str(table)))
+
+    out = purge_segments(str(table), "k", older_than=150)
+    # only 'old' (max 99) is provably expired; 'mid' straddles and stays
+    assert out == {"removed_segments": ["old"], "kept_segments": 2}
+    assert sorted(os.listdir(table)) == ["mid", "new", "segment_stats.json"]
+    # manifest rewritten for the survivors — still loadable/fresh
+    assert set(M.load_manifest(str(table))) == {"mid", "new"}
+
+
+def test_purge_segments_without_manifest(tmp_path):
+    from datafusion_pinot_spark.maintenance import purge_segments
+
+    table = tmp_path / "t_OFFLINE"
+    _seg(table, "old", 0, 50)
+    _seg(table, "new", 500, 600)
+    out = purge_segments(str(table), "k", older_than=100)
+    assert out["removed_segments"] == ["old"]
+    assert out["kept_segments"] == 1
