@@ -3854,6 +3854,66 @@ def q_pinot_upsert_latest(spark, sf):
 
 
 @register(
+    "pinot_schema_evolution_scan",
+    """WITH evolved AS (
+         SELECT doc_id, lang,
+                CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END
+                  AS n_chars_n
+         FROM documents)
+       SELECT lang, count(*) AS n,
+              count(n_chars_n) AS n_set,
+              CAST(sum(n_chars_n) AS BIGINT) AS sum_chars
+       FROM evolved GROUP BY lang ORDER BY lang""",
+    "parity",
+    ["pinot", "storage", "schema-evolution"],
+)
+def q_pinot_schema_evolution_scan(spark, sf):
+    """Schema evolution through the source (Pinot's add-column-with-default
+    behavior, beyond the reference): even-doc_id documents are written
+    FIRST with the narrow (doc_id, lang) schema, odd ones later with an
+    added n_chars column. Reading with the evolved schema fills the
+    pre-column segments with NULLs per segment (no rewrite), and the
+    null-aware aggregate must match an oracle that nulls exactly the
+    even half — proving the synthesized NULLs land on precisely the old
+    segments' rows."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="evolve_"), "docs_OFFLINE")
+    docs = _docs(spark, sf)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "lang")
+        .repartition(2)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", "n_chars")
+        .repartition(2)
+        .write.format("pinot")
+        .mode("append")
+        .save(out)
+    )
+    evolved = spark.read.format("pinot").schema(
+        "doc_id long, lang string, n_chars bigint"
+    ).load(out)
+    return (
+        evolved.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("n_chars").alias("n_set"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "pinot_timestamp_range_scan",
     """SELECT event_type, count(*) AS n,
               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
@@ -4102,7 +4162,6 @@ def q_doc_repetition(spark, sf):
 DRIVER_WINDOW: list[str] = [
     # -- storage layer end-to-end (write -> encode -> decode -> scan) --
     "pinot_roundtrip_agg",
-    "pinot_bytes_roundtrip",
     "pinot_bytes_dict_roundtrip",  # r3: BYTES dictionary read/write
     "pinot_multivalue_roundtrip",  # r3: multi-value columns
     "pinot_raw_numeric_roundtrip",  # r3: RAW numerics + metadata zone maps
@@ -4139,6 +4198,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_rollup_compacted_agg",  # r6: merge-rollup during compaction
     "pinot_upsert_latest",  # r6: upsert-table last-wins read
     "training_shard_assignment",  # r6: deterministic export shuffle
+    "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
     # -- LLM-pipeline / curation ops --
     "near_dup_groups",
     "ann_ivf_kmeans_topk",
@@ -4150,7 +4210,7 @@ DRIVER_WINDOW: list[str] = [
     # -- r3 curation ops --
     "sequence_pack_bins",
     "contamination_overlap",
-    # -- r3 storage additions: nullable columns + sorted-range pruning --
+    # -- r3 storage additions: nullable columns --
     "pinot_nulls_roundtrip",
     # -- r3 TPC-H breadth: q12's oracle was fixed in r5 and is retained
     # until twice-green on the new oracle --
@@ -4179,7 +4239,7 @@ DRIVER_WINDOW: list[str] = [
     # q18_large_volume_customer, q19_disjunctive_filter,
     # scalar_subquery_above_avg, full_outer_join_balance,
     # salted_join_revenue, corpus_clean_pipeline, stratified_hash_sample,
-    # streaming_dedup_firstseen, pinot_sorted_scan
+    # streaming_dedup_firstseen, pinot_sorted_scan, pinot_bytes_roundtrip
     # — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,

@@ -129,6 +129,10 @@ class PinotInputPartition(InputPartition):
     segment_dirs: tuple[str, ...]
     columns: tuple[str, ...]
     filters: tuple = ()
+    # Spark simpleString type per column (parallel to `columns`): lets the
+    # read task synthesize all-NULL arrays for columns a segment predates
+    # (schema evolution — Pinot's add-column-with-default behavior).
+    column_types: tuple = ()
 
 
 class PinotDataSource(DataSource):
@@ -266,6 +270,7 @@ class PinotDataSourceReader(DataSourceReader):
     ) -> None:
         self._schema = schema
         self._columns = tuple(f.name for f in schema.fields)
+        self._ctypes = tuple(f.dataType.simpleString() for f in schema.fields)
         self._segments = segments
         self._spp = segments_per_partition
         self._pushed: list[Filter] = []
@@ -284,6 +289,17 @@ class PinotDataSourceReader(DataSourceReader):
             for f in self._schema.fields
             if isinstance(f.dataType, TimestampType)
         }
+        # Reset rather than append: defensive against reader-instance reuse
+        # across queries. NOTE an upstream hazard this cannot fix: Spark
+        # caches the computed (partitions, read function) per DataFrame
+        # object and only re-runs this pushdown worker when the new query
+        # HAS filters — so on the SAME df object, an unfiltered action
+        # after a filtered one can replay the filtered scan
+        # (df.filter(..).count(); df.count() -> filtered count). Every
+        # helper in this repo builds a fresh load() per logical query;
+        # interactive users should too (tests/test_datasource.py pins the
+        # working pattern).
+        self._pushed = []
         for f in filters:
             if not (
                 isinstance(f, _RANGE_FILTERS + (IsNotNull, IsNull))
@@ -342,7 +358,7 @@ class PinotDataSourceReader(DataSourceReader):
         if not survivors:
             # All segments zone-map-pruned. Spark still schedules one task for
             # an empty partitions list (passing None), so hand it a sentinel.
-            return [PinotInputPartition((), self._columns, ())]
+            return [PinotInputPartition((), self._columns, (), self._ctypes)]
         pushed = tuple(self._pushed)
         if self._spp == 0:
             # auto: greedy doc-count packing from manifest stats, so a
@@ -362,14 +378,14 @@ class PinotDataSourceReader(DataSourceReader):
                 )
                 if bucket and docs + seg_docs > self._AUTO_DOCS_PER_TASK:
                     parts.append(
-                        PinotInputPartition(tuple(bucket), self._columns, pushed)
+                        PinotInputPartition(tuple(bucket), self._columns, pushed, self._ctypes)
                     )
                     bucket, docs = [], 0
                 bucket.append(seg)
                 docs += seg_docs
             if bucket:
                 parts.append(
-                    PinotInputPartition(tuple(bucket), self._columns, pushed)
+                    PinotInputPartition(tuple(bucket), self._columns, pushed, self._ctypes)
                 )
             return parts
         spp = self._spp
@@ -377,7 +393,10 @@ class PinotDataSourceReader(DataSourceReader):
             spp = self._COUNT_PACK
         return [
             PinotInputPartition(
-                tuple(survivors[i : i + spp]), self._columns, pushed
+                tuple(survivors[i : i + spp]),
+                self._columns,
+                pushed,
+                self._ctypes,
             )
             for i in range(0, len(survivors), spp)
         ]
@@ -409,6 +428,24 @@ class PinotDataSourceReader(DataSourceReader):
             return
         for segment_dir in partition.segment_dirs:
             reader = SegmentReader.open(segment_dir)
+            # Schema evolution (Pinot's add-column behavior, beyond the
+            # reference): a segment written before a column existed reads
+            # as all-NULL for it. Consequences for pushed filters: any
+            # value predicate (or IS NOT NULL) on a column this segment
+            # lacks matches nothing — skip the segment; IS NULL on it
+            # matches every row — drop the conjunct.
+            present = set(reader.metadata.columns)
+            filters = partition.filters
+            if any(f.attribute[0] not in present for f in filters):
+                if any(
+                    not isinstance(f, IsNull)
+                    for f in filters
+                    if f.attribute[0] not in present
+                ):
+                    continue
+                filters = tuple(
+                    f for f in filters if f.attribute[0] in present
+                )
             # Bloom-filter pruning (Pinot's bloom_filter index type; beyond
             # the reference): a pushed equality/IN probe on a bloomed column
             # can prove the whole segment empty from a ~100 KB filter read —
@@ -416,16 +453,16 @@ class PinotDataSourceReader(DataSourceReader):
             # This is the unclustered-high-card complement to zone maps: at
             # 100 TB a point lookup on orderkey/user_id touches a handful of
             # segments instead of decoding every one.
-            if _bloom_says_absent(reader, partition.filters):
+            if _bloom_says_absent(reader, filters):
                 continue
             # Sorted-column pruning (Pinot's sorted-index idea): a pushed
             # range/eq filter on a column the segment declares sorted
             # binary-searches into a doc range, so only [lo, hi) is ever
             # decoded; remaining filters mask within the slice.
-            rng = _sorted_row_range(reader, partition.filters)
+            rng = _sorted_row_range(reader, filters)
             if rng is not None and rng[0] >= rng[1]:
                 continue  # provably empty
-            mask = _row_mask(reader, partition.filters, rng)
+            mask = _row_mask(reader, filters, rng)
             if mask is not None and not mask.any():
                 continue
             if not partition.columns:
@@ -446,6 +483,7 @@ class PinotDataSourceReader(DataSourceReader):
                         pa.nulls(n, pa.struct([]))
                     )
                 continue
+            decode_cols = [c for c in partition.columns if c in present]
             if mask is not None:
                 # Filter resolved to a row mask (inverted-index bitmap or
                 # residual predicate): decode ONLY the matching docs. Dict
@@ -458,16 +496,78 @@ class PinotDataSourceReader(DataSourceReader):
                 sel = np.flatnonzero(mask)
                 if rng is not None and rng[0]:
                     sel = sel + rng[0]
-                table = reader.read_columns_arrow(
-                    list(partition.columns), selection=sel
-                )
+                table = reader.read_columns_arrow(decode_cols, selection=sel)
             else:
-                table = reader.read_columns_arrow(list(partition.columns), rng)
+                table = reader.read_columns_arrow(decode_cols, rng)
+            if len(decode_cols) != len(partition.columns):
+                table = _fill_missing_columns(reader, partition, table, rng, mask)
             # Yield natural column-chunk batches; Spark re-slices to its own
             # batch size JVM-side, so pre-slicing to 8,192 (the reference's
             # exec.rs:24 aesthetic) only multiplies per-batch IPC overhead.
             for batch in table.to_batches():
                 yield batch
+
+
+def _arrow_type_from_spark(type_str: str):
+    """Arrow type for a Spark simpleString — used only to synthesize
+    all-NULL columns for segments that predate a column."""
+    import pyarrow as pa
+
+    scalar = {
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "binary": pa.binary(),
+        "boolean": pa.bool_(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if type_str.startswith("array<") and type_str.endswith(">"):
+        return pa.list_(_arrow_type_from_spark(type_str[6:-1]))
+    try:
+        return scalar[type_str]
+    except KeyError:
+        raise ValueError(
+            f"cannot synthesize a NULL column of Spark type '{type_str}'"
+        ) from None
+
+
+def _fill_missing_columns(reader, partition, table, rng, mask):
+    """Assemble the full projected Table when the segment lacks some
+    columns (schema evolution): decoded columns pass through, missing ones
+    become all-NULL arrays of the declared Spark type, in projection
+    order."""
+    import pyarrow as pa
+
+    if table.num_columns:
+        n = table.num_rows
+    elif mask is not None:
+        n = int(mask.sum())
+    elif rng is not None:
+        n = rng[1] - rng[0]
+    else:
+        n = reader.total_docs()
+    if not partition.column_types:
+        raise ValueError(
+            "segment lacks projected columns and the partition carries no "
+            "column types to synthesize NULLs from"
+        )
+    present = set(reader.metadata.columns)
+    arrays, fields = [], []
+    for name, tstr in zip(partition.columns, partition.column_types):
+        if name in present:
+            idx = table.schema.get_field_index(name)
+            fields.append(
+                pa.field(name, table.schema.field(idx).type, nullable=True)
+            )
+            arrays.append(table.column(idx))
+        else:
+            at = _arrow_type_from_spark(tstr)
+            fields.append(pa.field(name, at, nullable=True))
+            arrays.append(pa.chunked_array([pa.nulls(n, at)]))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 
 def register_pinot_source(spark) -> None:
@@ -553,7 +653,7 @@ class PinotStreamReader(DataSourceStreamReader):
         # Same packing knob as the batch reader: a burst of many tiny
         # segments in one micro-batch otherwise schedules one task each.
         parts = [
-            PinotInputPartition(tuple(dirs[i : i + self._spp]), self._columns, ())
+            PinotInputPartition(tuple(dirs[i : i + self._spp]), self._columns, (), self._ctypes)
             for i in range(0, len(dirs), self._spp)
         ]
         # Spark requires ≥1 partition per batch; empty batch → sentinel.

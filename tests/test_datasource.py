@@ -913,3 +913,72 @@ def test_upsert_table_last_wins_across_segments(spark, tmp_path):
         (2, "tie-b"),  # version tie -> higher seq wins
         (3, "only-c"),
     ]
+
+
+def test_schema_evolution_missing_columns_read_as_null(spark, tmp_path):
+    """Segments written before a column existed read as all-NULL for it
+    (Pinot's add-column behavior): pass the evolved schema explicitly and
+    the source fills NULLs per segment, with filters on the new column
+    behaving as SQL three-valued logic demands."""
+    from pyspark.sql import functions as F
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "tbl_OFFLINE")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).coalesce(1).write.format("pinot").mode("overwrite").save(out)
+    spark.createDataFrame(
+        [(3, "c", 30.0), (4, "d", 40.0)], "k long, v string, extra double"
+    ).coalesce(1).write.format("pinot").mode("append").save(out)
+
+    evolved = "k long, v string, extra double"
+
+    def df():
+        # fresh load per logical query (the pinned pattern for the
+        # upstream per-df scan-cache hazard — see
+        # test_fresh_load_per_query_is_isolated)
+        return spark.read.format("pinot").schema(evolved).load(out)
+
+    rows = {r["k"]: (r["v"], r["extra"]) for r in df().collect()}
+    assert rows == {
+        1: ("a", None),
+        2: ("b", None),
+        3: ("c", 30.0),
+        4: ("d", 40.0),
+    }
+    # value predicates on the new column never match pre-column rows
+    assert {r["k"] for r in df().filter("extra = 30.0").collect()} == {3}
+    assert {
+        r["k"] for r in df().filter("extra IS NOT NULL").collect()
+    } == {3, 4}
+    # IS NULL matches exactly the pre-column segment's rows
+    assert {r["k"] for r in df().filter("extra IS NULL").collect()} == {1, 2}
+    # projecting ONLY the new column still accounts for the old rows
+    assert df().select("extra").count() == 4
+    assert df().filter("extra IS NULL").select("v").count() == 2
+
+
+def test_fresh_load_per_query_is_isolated(spark, tmp_path):
+    """Pin the safe usage pattern for the upstream scan-cache hazard:
+    PySpark caches a Python data source's computed (partitions, read
+    function) per DataFrame object and only re-runs filter pushdown when
+    the new query carries filters — so on one df object an unfiltered
+    action after a filtered one can replay the filtered scan. A fresh
+    load() per logical query (what every helper in this repo does) is
+    always isolated; successive *filtered* queries on one df are also
+    correct because each re-runs pushdown."""
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "tbl_OFFLINE")
+    spark.range(0, 100).selectExpr("id AS k").coalesce(1).write.format(
+        "pinot"
+    ).mode("overwrite").save(out)
+
+    df = spark.read.format("pinot").load(out)
+    assert df.filter("k < 10").count() == 10
+    assert df.filter("k >= 80").count() == 20  # refiltered: recomputed
+    # fresh load after a filtered query: never inherits the old filter
+    assert spark.read.format("pinot").load(out).count() == 100
