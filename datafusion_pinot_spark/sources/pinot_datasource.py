@@ -602,6 +602,7 @@ class PinotStreamReader(DataSourceStreamReader):
     ) -> None:
         self._schema = schema
         self._columns = tuple(f.name for f in schema.fields)
+        self._ctypes = tuple(f.dataType.simpleString() for f in schema.fields)
         self._path = path
         self._spp = segments_per_partition
 
