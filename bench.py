@@ -35,8 +35,11 @@ throughput is the meaningful 100 TB proxy — compilation amortizes to zero
 there.
 
 The "marginal" tier times the five reference benchmark shapes
-(benchmark_cases.rs:9-45) on an 8x-duplicated segment table (sf0.1 ->
-~4.8M rows) and emits ns/row next to BASELINE.md's published per-row cost.
+(benchmark_cases.rs:9-45) on a 16x-duplicated segment table (sf0.1 ->
+~9.6M rows, 128 segments) and emits ns/row next to BASELINE.md's
+published per-row cost; its index_probes sub-tier compares each index
+path (zone map, sorted range, inverted, TIMESTAMP prune, bloom) against
+a fullscan of the same predicate.
 At sf0.1 (600k rows) every pinot shape is dominated by the measured
 ~0.18-0.2 s Python-data-source fixed floor (SCALE.md), so the sf0.1 numbers
 measure the floor, not the engine; the marginal tier is sized so decode
