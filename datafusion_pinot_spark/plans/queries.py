@@ -3914,6 +3914,55 @@ def q_pinot_schema_evolution_scan(spark, sf):
 
 
 @register(
+    "pinot_string_prefix_scan",
+    """SELECT source, count(*) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM documents
+       WHERE source LIKE 'src1%' AND lang LIKE '%e%'
+       GROUP BY source ORDER BY source""",
+    "parity",
+    ["pinot", "storage", "string-pushdown", "filter"],
+)
+def q_pinot_string_prefix_scan(spark, sf):
+    """String-predicate pushdown (LIKE 'p%' / '%c%') through the source:
+    documents are range-partitioned and sorted by source, so the pushed
+    prefix filter (a) zone-map-prunes segments whose [min, max] string
+    range misses [prefix, prefix_upper), (b) binary-searches the sorted
+    survivors to a doc slice, and (c) evaluates the residual contains on
+    lang against the DICTIONARY's unique values — O(cardinality) string
+    work gathered through the id stream, never per-row (Pinot evaluates
+    dictionary predicates the same way). The oracle applies the same
+    LIKEs to the parquet original."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="strpd_"), "docs_OFFLINE")
+    (
+        _docs(spark, sf)
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartitionByRange(4, "source")
+        .sortWithinPartitions("source")
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.filter(
+            F.col("source").startswith("src1") & F.col("lang").contains("e")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "pinot_timestamp_range_scan",
     """SELECT event_type, count(*) AS n,
               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
@@ -4199,8 +4248,8 @@ DRIVER_WINDOW: list[str] = [
     "pinot_upsert_latest",  # r6: upsert-table last-wins read
     "training_shard_assignment",  # r6: deterministic export shuffle
     "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
+    "pinot_string_prefix_scan",  # r6: LIKE pushdown (dict-accelerated)
     # -- LLM-pipeline / curation ops --
-    "near_dup_groups",
     "ann_ivf_kmeans_topk",
     "quality_topk_per_lang",
     # -- streaming ops --
@@ -4239,7 +4288,8 @@ DRIVER_WINDOW: list[str] = [
     # q18_large_volume_customer, q19_disjunctive_filter,
     # scalar_subquery_above_avg, full_outer_join_balance,
     # salted_join_revenue, corpus_clean_pipeline, stratified_hash_sample,
-    # streaming_dedup_firstseen, pinot_sorted_scan, pinot_bytes_roundtrip
+    # streaming_dedup_firstseen, pinot_sorted_scan, pinot_bytes_roundtrip,
+    # near_dup_groups
     # — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,

@@ -56,6 +56,9 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -113,6 +116,37 @@ def _discover_segments(path: str) -> list[str]:
     return segs
 
 
+def _table_nullable_columns(segments: list[str], sv_names: set) -> set:
+    """Columns nullable in ANY segment — table-level nullability is the OR
+    (a non-nullable schema over null-bearing batches NPEs in Spark
+    codegen). Answered from each table's segment_stats.json manifest when
+    fresh (one file read; the manifest records has_nulls for every
+    single-value column); segments the manifest doesn't cover — or whose
+    entry predates the all-columns manifest format (< the sv_names set,
+    e.g. missing BYTES/BOOLEAN columns) — pay a metadata.properties
+    parse."""
+    from pinot_segment import SegmentMetadata
+    from pinot_segment.manifest import stats_for_segments
+
+    stats = stats_for_segments(segments)
+    nullable: set = set()
+    for seg in segments:
+        st = stats.get(seg)
+        cols = (st or {}).get("columns")
+        if cols is None or not sv_names <= set(cols):
+            md = SegmentMetadata.from_file(
+                os.path.join(seg, "metadata.properties")
+            )
+            for name, cm in md.columns.items():
+                if cm.has_null_values:
+                    nullable.add(name)
+        else:
+            for name, cs in cols.items():
+                if cs.get("has_nulls"):
+                    nullable.add(name)
+    return nullable
+
+
 @dataclass
 class PinotInputPartition(InputPartition):
     """One Spark task's worth of segments.
@@ -153,7 +187,8 @@ class PinotDataSource(DataSource):
     def schema(self) -> StructType:
         from pinot_segment import SegmentMetadata
 
-        first = self._segments()[0]
+        segments = self._segments()
+        first = segments[0]
         md = SegmentMetadata.from_file(os.path.join(first, "metadata.properties"))
         names = md.column_names()
         if "columns" in self.options:
@@ -162,6 +197,8 @@ class PinotDataSource(DataSource):
             if missing:
                 raise ValueError(f"columns not in segment: {missing}")
             names = requested
+        sv_names = {n for n in names if md.columns[n].is_single_value}
+        nullable_cols = _table_nullable_columns(segments, sv_names)
         fields = []
         for n in names:
             col = md.columns[n]
@@ -170,10 +207,12 @@ class PinotDataSource(DataSource):
                 # multi-value column → array<element> (containsNull=False:
                 # Pinot values are non-nullable, schema.rs:29-30)
                 typ = ArrayType(typ, containsNull=False)
-            # Nullable iff the segment carries a null-vector index for the
+            # Nullable iff ANY segment carries a null-vector index for the
             # column (a rebuild extension — the reference maps every column
-            # non-nullable, schema.rs:29-30).
-            fields.append(StructField(n, typ, nullable=col.has_null_values))
+            # non-nullable, schema.rs:29-30). First-segment-only
+            # nullability was wrong: a null-bearing later segment under a
+            # non-nullable table schema NPEs inside Spark codegen.
+            fields.append(StructField(n, typ, nullable=n in nullable_cols))
         return StructType(fields)
 
     def reader(self, schema: StructType) -> "PinotDataSourceReader":
@@ -259,6 +298,11 @@ class PinotDataSource(DataSource):
 
 # Filter kinds we can evaluate both as zone-map prunes and row masks.
 _RANGE_FILTERS = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In)
+# String predicates (LIKE 'p%' / '%s' / '%c%'): evaluated against the
+# dictionary's unique values — O(cardinality) string work instead of
+# O(docs) — then broadcast to docs through the id stream (Pinot evaluates
+# dictionary-encoded predicates the same way).
+_STRING_FILTERS = (StringStartsWith, StringEndsWith, StringContains)
 
 
 class PinotDataSourceReader(DataSourceReader):
@@ -300,7 +344,19 @@ class PinotDataSourceReader(DataSourceReader):
         # interactive users should too (tests/test_datasource.py pins the
         # working pattern).
         self._pushed = []
+        string_cols = {
+            f.name
+            for f in self._schema.fields
+            if isinstance(f.dataType, StringType)
+        }
         for f in filters:
+            if (
+                isinstance(f, _STRING_FILTERS)
+                and len(f.attribute) == 1
+                and f.attribute[0] in string_cols
+            ):
+                self._pushed.append(f)
+                continue
             if not (
                 isinstance(f, _RANGE_FILTERS + (IsNotNull, IsNull))
                 and len(f.attribute) == 1
@@ -1030,20 +1086,23 @@ def _specs_stats(specs, total_docs: int) -> dict:
 
     cols = {}
     for spec in specs:
-        if spec.multi_value or spec.data_type.value not in _STATS_DTYPES:
+        if spec.multi_value:
             continue
-        vals = spec.values
         nm = spec.null_mask
+        entry = {
+            "dtype": spec.data_type.value,
+            "has_nulls": nm is not None and bool(np.asarray(nm).any()),
+        }
+        cols[spec.name] = entry
+        if spec.data_type.value not in _STATS_DTYPES:
+            continue  # entry still carries dtype + nullability
+        vals = spec.values
         if nm is not None:
             vals = (
                 vals[~np.asarray(nm)]
                 if isinstance(vals, np.ndarray)
                 else [v for v, is_null in zip(vals, nm) if not is_null]
             )
-        entry = {
-            "dtype": spec.data_type.value,
-            "has_nulls": nm is not None and bool(np.asarray(nm).any()),
-        }
         if len(vals):
             mn = vals.min() if isinstance(vals, np.ndarray) else min(vals)
             mx = vals.max() if isinstance(vals, np.ndarray) else max(vals)
@@ -1057,7 +1116,6 @@ def _specs_stats(specs, total_docs: int) -> dict:
                 "num": num,
                 "values": [int(p) for p in pids],
             }
-        cols[spec.name] = entry
     return {"total_docs": total_docs, "columns": cols}
 
 
@@ -1206,6 +1264,29 @@ def _filter_bounds_check(f: Filter, mn, mx) -> bool:
     return True
 
 
+def _prefix_upper(prefix: str) -> "str | None":
+    """Smallest string greater than every string with the given prefix
+    (for range semantics of LIKE 'prefix%'): increment the last
+    non-maximal character and truncate. None when no such bound exists."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            return prefix[:i] + chr(c + 1)
+    return None
+
+
+def _startswith_pruned(prefix: str, mn, mx) -> bool:
+    """Zone-map prune for a pushed LIKE 'prefix%': every match lies in
+    [prefix, prefix_upper), so a segment whose string range misses that
+    interval is provably empty."""
+    if not isinstance(mn, str) or not isinstance(mx, str):
+        return False
+    if mx < prefix:  # a match starts with prefix, so it is >= prefix
+        return True
+    upper = _prefix_upper(prefix)
+    return upper is not None and mn >= upper
+
+
 def _partition_map_pruned(
     f: Filter, function: str | None, num: int, values
 ) -> bool:
@@ -1236,6 +1317,15 @@ def _stats_can_be_skipped(stats: dict, filters: list[Filter]) -> bool:
             # null-vector index (the non-nullable default).
             cs = cols.get(f.attribute[0])
             if cs is not None and not cs.get("has_nulls"):
+                return True
+            continue
+        if isinstance(f, StringStartsWith):
+            cs = cols.get(f.attribute[0])
+            if (
+                cs is not None
+                and "min" in cs
+                and _startswith_pruned(f.value, cs["min"], cs["max"])
+            ):
                 return True
             continue
         if not isinstance(f, _RANGE_FILTERS):
@@ -1275,6 +1365,12 @@ def _segment_can_be_skipped(
             cm = reader.metadata.columns.get(f.attribute[0])
             if cm is not None and not cm.has_null_values:
                 return True
+            continue
+        if isinstance(f, StringStartsWith):
+            if f.attribute[0] in reader.metadata.columns:
+                mm = reader.column_min_max(f.attribute[0])
+                if mm is not None and _startswith_pruned(f.value, mm[0], mm[1]):
+                    return True
             continue
         if not isinstance(f, _RANGE_FILTERS):
             continue
@@ -1334,6 +1430,13 @@ def _sorted_row_range(reader, filters):
             bounds = (None, True, f.value, False)
         elif isinstance(f, LessThanOrEqual):
             bounds = (None, True, f.value, True)
+        elif isinstance(f, StringStartsWith):
+            # LIKE 'prefix%' on a sorted string column is the range
+            # [prefix, prefix_upper) — a binary search, not a scan
+            upper = _prefix_upper(f.value)
+            bounds = (f.value, True, upper, False) if upper else (
+                f.value, True, None, True
+            )
         else:
             continue
         name = f.attribute[0]
@@ -1399,6 +1502,29 @@ def _row_mask(reader, filters, row_range=None):
             if nm is None:
                 return np.zeros(n, dtype=bool)
             m = nm
+        elif isinstance(f, _STRING_FILTERS):
+            kind = {
+                StringStartsWith: "startswith",
+                StringEndsWith: "endswith",
+                StringContains: "contains",
+            }[type(f)]
+            m = None
+            if name in reader.metadata.columns:
+                # dictionary-accelerated: predicate over unique values,
+                # then a LUT gather through the id stream
+                m = reader.string_predicate_mask(name, kind, f.value)
+            if m is None:
+                vals = np.asarray(colvals(name), dtype=str)
+                if kind == "startswith":
+                    m = np.char.startswith(vals, f.value)
+                elif kind == "endswith":
+                    m = np.char.endswith(vals, f.value)
+                else:
+                    m = np.char.find(vals, f.value) >= 0
+            else:
+                m = clip(m)
+            if nm is not None:
+                m = m & ~nm  # NULL never matches a string predicate
         else:
             if isinstance(f, (EqualTo, In)) and name in reader.metadata.columns:
                 # Inverted index first: value(s) -> doc bitmap OR, no

@@ -65,12 +65,18 @@ def collect_segment_stats(v3_dir: str) -> dict:
     reader = SegmentReader.open(v3_dir)
     cols = {}
     for name, cm in reader.metadata.columns.items():
-        if cm.data_type.value not in _STATS_DTYPES or not cm.is_single_value:
+        if not cm.is_single_value:
             continue
         entry: dict = {
             "dtype": cm.data_type.value,
             "has_nulls": bool(cm.has_null_values),
         }
+        cols[name] = entry
+        if cm.data_type.value not in _STATS_DTYPES:
+            # no meaningful/json-safe min-max, but the entry still carries
+            # dtype + nullability (schema() derives table-level
+            # nullability from the manifest without opening segments)
+            continue
         mm = reader.column_min_max(name)
         if mm is not None:
             # numpy scalars from dictionary min/max are not json-safe
@@ -85,7 +91,6 @@ def collect_segment_stats(v3_dir: str) -> dict:
                 "num": cm.num_partitions,
                 "values": list(cm.partition_values),
             }
-        cols[name] = entry
     return {
         "fingerprint": _fingerprint(v3_dir),
         "total_docs": reader.total_docs(),

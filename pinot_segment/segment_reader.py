@@ -429,6 +429,37 @@ class SegmentReader:
             mask |= unpack_bits(bitmap, 1, n).astype(bool)
         return mask
 
+    def string_predicate_mask(
+        self, name: str, kind: str, pattern: str
+    ) -> "np.ndarray | None":
+        """Dictionary-accelerated string predicate (LIKE 'p%' / '%s' /
+        '%c%'): evaluate startswith/endswith/contains over the
+        dictionary's UNIQUE values — O(cardinality) string work — then
+        gather per doc through the bit-packed id stream (a boolean LUT
+        index, no per-row string touch). Pinot evaluates dictionary
+        predicates the same way. None for non-dictionary / non-STRING /
+        multi-value columns — the caller falls back to evaluating over
+        materialized values."""
+        col = self.metadata.get_column(name)
+        if (
+            col.data_type is not DataType.STRING
+            or not col.has_dictionary
+            or not col.is_single_value
+        ):
+            return None
+        vals = np.asarray(self._dictionary(col).values, dtype=str)
+        if kind == "startswith":
+            hits = np.char.startswith(vals, pattern)
+        elif kind == "endswith":
+            hits = np.char.endswith(vals, pattern)
+        elif kind == "contains":
+            hits = np.char.find(vals, pattern) >= 0
+        else:
+            raise ValueError(f"unknown string predicate kind '{kind}'")
+        if not hits.any():
+            return np.zeros(col.total_docs, dtype=bool)
+        return hits[self._dict_ids(col)]
+
     def bloom_might_contain(self, name: str, values) -> "bool | None":
         """Probe the column's bloom filter (writer.py's ``bloom_filter``
         blob, layout in bloom.py): True if ANY of the values might be

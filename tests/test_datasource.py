@@ -982,3 +982,34 @@ def test_fresh_load_per_query_is_isolated(spark, tmp_path):
     assert df.filter("k >= 80").count() == 20  # refiltered: recomputed
     # fresh load after a filtered query: never inherits the old filter
     assert spark.read.format("pinot").load(out).count() == 100
+
+
+def test_table_nullability_is_or_over_segments(spark, tmp_path):
+    """A null-bearing LATER segment must make the table column nullable —
+    first-segment-only nullability handed Spark codegen null values under
+    a non-nullable schema (JVM NPE on any string expression above the
+    scan)."""
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "tbl_OFFLINE")
+    rows = [
+        (1, "src0"),
+        (2, "src1"),
+        (3, "src10"),
+        (4, "src19"),
+        (5, "other"),
+        (6, None),  # lands in one of the two segments
+    ]
+    spark.createDataFrame(rows, "k long, source string").coalesce(
+        2
+    ).write.format("pinot").mode("overwrite").save(out)
+
+    df = spark.read.format("pinot").load(out)
+    assert df.schema["source"].nullable
+    # the NPE repro: a JVM-evaluated string expression over the null row
+    got = {
+        r["k"]
+        for r in df.filter("length(source) = 5 OR source IS NULL").collect()
+    }
+    assert got == {3, 4, 5, 6}

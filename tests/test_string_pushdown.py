@@ -1,0 +1,156 @@
+"""String-predicate pushdown (LIKE 'p%' / '%s' / '%c%'): dictionary-
+accelerated masks, prefix zone-map pruning, sorted prefix ranges, and
+end-to-end SQL semantics through the source."""
+
+import numpy as np
+import pytest
+
+from pinot_segment import SegmentReader, manifest as M
+from pinot_segment.metadata import DataType
+from pinot_segment.writer import ColumnSpec, write_segment
+
+
+@pytest.fixture()
+def seg(tmp_path):
+    langs = ["en", "enx", "de", "fr", "es", "en", "zh", "de"]
+    return SegmentReader.open(
+        write_segment(
+            tmp_path / "s",
+            "s",
+            "t",
+            [
+                ColumnSpec("lang", DataType.STRING, langs),
+                ColumnSpec(
+                    "raw_s", DataType.STRING, langs, raw=True
+                ),
+            ],
+        )
+    )
+
+
+def test_dict_string_predicate_masks(seg):
+    np.testing.assert_array_equal(
+        seg.string_predicate_mask("lang", "startswith", "en"),
+        [True, True, False, False, False, True, False, False],
+    )
+    np.testing.assert_array_equal(
+        seg.string_predicate_mask("lang", "endswith", "x"),
+        [False, True, False, False, False, False, False, False],
+    )
+    np.testing.assert_array_equal(
+        seg.string_predicate_mask("lang", "contains", "e"),
+        [True, True, True, False, True, True, False, True],
+    )
+    # no dictionary value matches → all-False without touching ids
+    assert not seg.string_predicate_mask("lang", "startswith", "qq").any()
+    # RAW strings have no dictionary: caller falls back
+    assert seg.string_predicate_mask("raw_s", "startswith", "en") is None
+
+
+def test_prefix_upper_and_prune():
+    from datafusion_pinot_spark.sources.pinot_datasource import (
+        _prefix_upper,
+        _startswith_pruned,
+    )
+
+    assert _prefix_upper("en") == "eo"
+    assert _prefix_upper("a\U0010ffff") == "b"  # skip non-incrementable tail
+    assert _prefix_upper("\U0010ffff") is None
+    # [min, max] = [src0, src19]: 'web' misses, 'src1' intersects
+    assert _startswith_pruned("web", "src0", "src19")
+    assert not _startswith_pruned("src1", "src0", "src19")
+    assert _startswith_pruned("aa", "src0", "src19")  # below the range
+
+
+def test_sorted_prefix_range(tmp_path):
+    vals = sorted(["alpha", "alpine", "beta", "betae", "gamma", "delta"])
+    r = SegmentReader.open(
+        write_segment(
+            tmp_path / "s",
+            "s",
+            "t",
+            [ColumnSpec("w", DataType.STRING, vals)],
+        )
+    )
+    from datafusion_pinot_spark.sources.pinot_datasource import (
+        StringStartsWith,
+        _sorted_row_range,
+    )
+
+    rng = _sorted_row_range(r, [StringStartsWith(("w",), "bet")])
+    assert rng is not None
+    lo, hi = rng
+    assert [vals[i] for i in range(lo, hi)] == ["beta", "betae"]
+
+
+def test_string_pushdown_end_to_end(spark, tmp_path):
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "tbl_OFFLINE")
+    rows = [
+        (1, "src0"),
+        (2, "src1"),
+        (3, "src10"),
+        (4, "src19"),
+        (5, "other"),
+        (6, None),
+    ]
+    spark.createDataFrame(rows, "k long, source string").coalesce(
+        2
+    ).write.format("pinot").mode("overwrite").save(out)
+
+    def q(pred):
+        return {
+            r["k"]
+            for r in spark.read.format("pinot")
+            .load(out)
+            .filter(pred)
+            .collect()
+        }
+
+    assert q("source LIKE 'src1%'") == {2, 3, 4}
+    assert q("source LIKE '%9'") == {4}
+    assert q("source LIKE '%the%'") == {5}
+    # NULL never matches a string predicate (SQL 3VL)
+    assert q("source LIKE '%'") == {1, 2, 3, 4, 5}
+
+
+def test_prefix_zone_map_prunes_at_planning(tmp_path, monkeypatch):
+    """A pushed LIKE 'prefix%' prunes segments whose string min/max miss
+    [prefix, prefix_upper) — from the manifest, zero opens."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datafusion_pinot_spark.sources import pinot_datasource as ds
+
+    table = tmp_path / "t_OFFLINE"
+    for name, words in (
+        ("s0", ["apple", "apricot"]),
+        ("s1", ["banana", "blueberry"]),
+        ("s2", ["cherry", "citron"]),
+    ):
+        write_segment(
+            table / name,
+            name,
+            "t",
+            [ColumnSpec("w", DataType.STRING, words)],
+        )
+    M.write_manifest(str(table), M.build_manifest(str(table)))
+    segs = [str(table / f"s{i}" / "v3") for i in range(3)]
+
+    opened = []
+    real_open = SegmentReader.open.__func__
+    monkeypatch.setattr(
+        SegmentReader,
+        "open",
+        classmethod(
+            lambda cls, d: (opened.append(str(d)), real_open(cls, d))[1]
+        ),
+    )
+    reader = ds.PinotDataSourceReader(
+        StructType([StructField("w", StringType())]), segs
+    )
+    list(reader.pushFilters([ds.StringStartsWith(("w",), "b")]))
+    kept = [d for p in reader.partitions() for d in p.segment_dirs]
+    assert opened == []
+    assert kept == [segs[1]]
