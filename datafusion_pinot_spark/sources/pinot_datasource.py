@@ -52,10 +52,12 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    EqualNullSafe,
     IsNotNull,
     IsNull,
     LessThan,
     LessThanOrEqual,
+    Not,
     StringContains,
     StringEndsWith,
     StringStartsWith,
@@ -349,21 +351,42 @@ class PinotDataSourceReader(DataSourceReader):
             for f in self._schema.fields
             if isinstance(f.dataType, StringType)
         }
-        for f in filters:
-            if (
-                isinstance(f, _STRING_FILTERS)
-                and len(f.attribute) == 1
-                and f.attribute[0] in string_cols
-            ):
-                self._pushed.append(f)
-                continue
-            if not (
+        def acceptable(f, allow_not=True) -> bool:
+            if isinstance(f, Not):
+                # NOT over any supported value/null predicate (not nested,
+                # not on a TIMESTAMP column — the epoch rewrite doesn't
+                # recurse)
+                return (
+                    allow_not
+                    and acceptable(f.child, allow_not=False)
+                    and not (
+                        isinstance(f.child, _RANGE_FILTERS)
+                        and f.child.attribute[0] in ts_cols
+                    )
+                )
+            if isinstance(f, _STRING_FILTERS):
+                return len(f.attribute) == 1 and f.attribute[0] in string_cols
+            return (
                 isinstance(f, _RANGE_FILTERS + (IsNotNull, IsNull))
                 and len(f.attribute) == 1
-            ):
+            )
+
+        for f in filters:
+            if isinstance(f, EqualNullSafe) and len(f.attribute) == 1:
+                # col <=> NULL is IS NULL; col <=> v is EqualTo (both
+                # sides' null cases collapse once the literal is known)
+                f = (
+                    IsNull(f.attribute)
+                    if f.value is None
+                    else EqualTo(f.attribute, f.value)
+                )
+            if not acceptable(f):
                 yield f  # unsupported → Spark evaluates it above the scan
                 continue
-            if f.attribute[0] in ts_cols and isinstance(f, _RANGE_FILTERS):
+            if (
+                isinstance(f, _RANGE_FILTERS)
+                and f.attribute[0] in ts_cols
+            ):
                 conv = _convert_ts_filter(f)
                 if conv is None:
                     yield f  # non-datetime operand: not convertible
@@ -492,15 +515,19 @@ class PinotDataSourceReader(DataSourceReader):
             # matches every row — drop the conjunct.
             present = set(reader.metadata.columns)
             filters = partition.filters
-            if any(f.attribute[0] not in present for f in filters):
+            if any(_filter_attr(f) not in present for f in filters):
+                # On an all-NULL (missing) column only IS NULL — or its
+                # double negation NOT(IS NOT NULL) — matches rows; any
+                # other predicate (including NOT of a value predicate,
+                # which 3VL evaluates to NULL on NULL input) matches none.
                 if any(
-                    not isinstance(f, IsNull)
+                    not _matches_all_nulls(f)
                     for f in filters
-                    if f.attribute[0] not in present
+                    if _filter_attr(f) not in present
                 ):
                     continue
                 filters = tuple(
-                    f for f in filters if f.attribute[0] in present
+                    f for f in filters if _filter_attr(f) in present
                 )
             # Bloom-filter pruning (Pinot's bloom_filter index type; beyond
             # the reference): a pushed equality/IN probe on a bloomed column
@@ -1264,6 +1291,20 @@ def _filter_bounds_check(f: Filter, mn, mx) -> bool:
     return True
 
 
+def _filter_attr(f) -> str:
+    """The column a pushed filter constrains (through NOT)."""
+    return f.child.attribute[0] if isinstance(f, Not) else f.attribute[0]
+
+
+def _matches_all_nulls(f) -> bool:
+    """True iff the predicate is satisfied by a NULL value (SQL 3VL):
+    only IS NULL and NOT(IS NOT NULL) are; every value predicate — and
+    NOT of one — evaluates to NULL/false on NULL input."""
+    return isinstance(f, IsNull) or (
+        isinstance(f, Not) and isinstance(f.child, IsNotNull)
+    )
+
+
 def _prefix_upper(prefix: str) -> "str | None":
     """Smallest string greater than every string with the given prefix
     (for range semantics of LIKE 'prefix%'): increment the last
@@ -1491,18 +1532,27 @@ def _row_mask(reader, filters, row_range=None):
         if row_range is not None
         else reader.total_docs()
     )
-    for f in filters:
-        name = f.attribute[0]
+
+    def truth(f) -> "np.ndarray":
+        """Mask of rows where the predicate is TRUE under SQL 3VL (value
+        predicates are never true at null positions). NOT(p) is true
+        where p is FALSE — neither true nor null — so the complement
+        excludes the null positions too."""
+        name = _filter_attr(f)
         nm = nulls(name) if name in reader.metadata.columns else None
+        if isinstance(f, Not):
+            t = truth(f.child)
+            if isinstance(f.child, (IsNull, IsNotNull)):
+                return ~t  # null tests are two-valued
+            m = ~t
+            if nm is not None:
+                m = m & ~nm
+            return m
         if isinstance(f, IsNotNull):
-            if nm is None:
-                continue  # no nulls in this segment: always true
-            m = ~nm
-        elif isinstance(f, IsNull):
-            if nm is None:
-                return np.zeros(n, dtype=bool)
-            m = nm
-        elif isinstance(f, _STRING_FILTERS):
+            return np.ones(n, dtype=bool) if nm is None else ~nm
+        if isinstance(f, IsNull):
+            return np.zeros(n, dtype=bool) if nm is None else nm
+        if isinstance(f, _STRING_FILTERS):
             kind = {
                 StringStartsWith: "startswith",
                 StringEndsWith: "endswith",
@@ -1525,39 +1575,49 @@ def _row_mask(reader, filters, row_range=None):
                 m = clip(m)
             if nm is not None:
                 m = m & ~nm  # NULL never matches a string predicate
-        else:
-            if isinstance(f, (EqualTo, In)) and name in reader.metadata.columns:
-                # Inverted index first: value(s) -> doc bitmap OR, no
-                # forward-index decode of the filter column.
-                try:
-                    im = reader.inverted_match_mask(
-                        name,
-                        [f.value] if isinstance(f, EqualTo) else list(f.value),
-                    )
-                except (TypeError, ValueError):
-                    im = None
-                if im is not None:
-                    m = clip(im)
-                    if nm is not None:
-                        m = m & ~nm
-                    mask = m if mask is None else (mask & m)
-                    continue
-            vals = colvals(name)
-            if isinstance(f, EqualTo):
-                m = vals == f.value
-            elif isinstance(f, GreaterThan):
-                m = vals > f.value
-            elif isinstance(f, GreaterThanOrEqual):
-                m = vals >= f.value
-            elif isinstance(f, LessThan):
-                m = vals < f.value
-            elif isinstance(f, LessThanOrEqual):
-                m = vals <= f.value
-            elif isinstance(f, In):
-                m = np.isin(vals, list(f.value))
-            else:  # pragma: no cover - pushFilters only accepts the above
-                continue
-            if nm is not None:
-                m = m & ~nm  # fills at null positions must not match
+            return m
+        if isinstance(f, (EqualTo, In)) and name in reader.metadata.columns:
+            # Inverted index first: value(s) -> doc bitmap OR, no
+            # forward-index decode of the filter column.
+            try:
+                im = reader.inverted_match_mask(
+                    name,
+                    [f.value] if isinstance(f, EqualTo) else list(f.value),
+                )
+            except (TypeError, ValueError):
+                im = None
+            if im is not None:
+                m = clip(im)
+                if nm is not None:
+                    m = m & ~nm
+                return m
+        vals = colvals(name)
+        if isinstance(f, EqualTo):
+            m = vals == f.value
+        elif isinstance(f, GreaterThan):
+            m = vals > f.value
+        elif isinstance(f, GreaterThanOrEqual):
+            m = vals >= f.value
+        elif isinstance(f, LessThan):
+            m = vals < f.value
+        elif isinstance(f, LessThanOrEqual):
+            m = vals <= f.value
+        elif isinstance(f, In):
+            m = np.isin(vals, list(f.value))
+        else:  # pragma: no cover - pushFilters only accepts the above
+            return np.ones(n, dtype=bool)
+        if nm is not None:
+            m = m & ~nm  # fills at null positions must not match
+        return m
+
+    for f in filters:
+        if isinstance(f, IsNotNull) and (
+            f.attribute[0] not in reader.metadata.columns
+            or nulls(f.attribute[0]) is None
+        ):
+            # trivially true on a null-free segment: keep mask None so an
+            # unaccompanied IS NOT NULL stays on the dense decode path
+            continue
+        m = truth(f)
         mask = m if mask is None else (mask & m)
     return mask

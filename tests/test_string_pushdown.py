@@ -154,3 +154,40 @@ def test_prefix_zone_map_prunes_at_planning(tmp_path, monkeypatch):
     kept = [d for p in reader.partitions() for d in p.segment_dirs]
     assert opened == []
     assert kept == [segs[1]]
+
+
+def test_not_and_null_safe_pushdown(spark, tmp_path):
+    """NOT over pushed predicates and <=> follow SQL 3VL through the
+    source: NOT excludes NULL rows (NOT(x=v) is NULL on NULL), <=> NULL
+    is IS NULL, and NOT LIKE works against the dictionary."""
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "tbl_OFFLINE")
+    rows = [
+        (1, "apple", 10),
+        (2, "banana", 20),
+        (3, None, 30),
+        (4, "cherry", None),
+        (5, "apricot", 50),
+    ]
+    spark.createDataFrame(rows, "k long, w string, v int").coalesce(
+        1
+    ).write.format("pinot").mode("overwrite").save(out)
+
+    def q(pred):
+        return {
+            r["k"]
+            for r in spark.read.format("pinot")
+            .load(out)
+            .filter(pred)
+            .collect()
+        }
+
+    assert q("w != 'apple'") == {2, 4, 5}  # NULL w excluded (3VL)
+    assert q("NOT (v > 15)") == {1}  # NULL v excluded
+    assert q("w NOT LIKE 'ap%'") == {2, 4}
+    assert q("NOT (w IN ('apple', 'banana'))") == {4, 5}
+    assert q("w <=> NULL") == {3}
+    assert q("v <=> 20") == {2}
+    assert q("NOT (w IS NULL)") == {1, 2, 4, 5}
