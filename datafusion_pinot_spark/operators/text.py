@@ -213,3 +213,49 @@ def fingerprint_oracle_sql() -> str:
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
         "FROM documents"
     )
+
+
+def word_commonness(docs: DataFrame) -> DataFrame:
+    """Corpus-relative word-commonness score — the integer-exact cousin of
+    unigram-LM quality scoring (rare-word-heavy documents score low, the
+    signal web-scale pipelines threshold on): per document, the sum and
+    min of the CORPUS-WIDE frequencies of its words, plus its word count.
+    Integer sums keep the score bit-identical across engines and row
+    orders — a log-prob formulation would hang the hash gate on libm ulps.
+
+    Scale shape: corpus word frequencies are one explode + map-side-
+    combined count (shuffle keyed on the word); scoring re-joins those
+    counts to the exploded words — the frequency table is Zipf-small
+    relative to the corpus and broadcastable at need — and re-aggregates
+    per doc. Two shuffles total, both on bounded key spaces.
+    """
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("wf"))
+    return (
+        words.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wf").alias("sum_freq"),
+            F.min("wf").alias("min_freq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def word_commonness_oracle_sql() -> str:
+    return """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), freq AS (
+  SELECT w, count(*) AS wf FROM words GROUP BY w
+)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(wf) AS BIGINT) AS sum_freq,
+       CAST(min(wf) AS BIGINT) AS min_freq
+FROM words JOIN freq USING (w)
+GROUP BY doc_id ORDER BY doc_id"""

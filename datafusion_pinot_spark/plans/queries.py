@@ -962,6 +962,14 @@ def _register_llm():
         "llm",
         ["curation", "sampling", "mixture"],
     )(lambda spark, sf: curation.mixture_temperature_sample(_docs(spark, sf)))
+    # Corpus-relative word commonness: the integer-exact unigram-LM
+    # quality signal (rare-word docs score low) — two bounded shuffles.
+    register(
+        "word_commonness_score",
+        text.word_commonness_oracle_sql(),
+        "llm",
+        ["text", "quality", "scoring"],
+    )(lambda spark, sf: text.word_commonness(_docs(spark, sf)))
     # Training-export sharding: deterministic hash-ordered (shard, pos)
     # addresses — the reproducible global shuffle a training loader reads.
     register(
@@ -4249,9 +4257,9 @@ DRIVER_WINDOW: list[str] = [
     "training_shard_assignment",  # r6: deterministic export shuffle
     "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
     "pinot_string_prefix_scan",  # r6: LIKE pushdown (dict-accelerated)
+    "word_commonness_score",  # r6: integer-exact unigram quality signal
     # -- LLM-pipeline / curation ops --
     "ann_ivf_kmeans_topk",
-    "quality_topk_per_lang",
     # -- streaming ops --
     "stateful_user_totals",
     "stream_stream_join_conversions",
@@ -4289,7 +4297,7 @@ DRIVER_WINDOW: list[str] = [
     # scalar_subquery_above_avg, full_outer_join_balance,
     # salted_join_revenue, corpus_clean_pipeline, stratified_hash_sample,
     # streaming_dedup_firstseen, pinot_sorted_scan, pinot_bytes_roundtrip,
-    # near_dup_groups
+    # near_dup_groups, quality_topk_per_lang
     # — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,
