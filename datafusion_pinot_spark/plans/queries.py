@@ -3971,6 +3971,65 @@ def q_pinot_string_prefix_scan(spark, sf):
 
 
 @register(
+    "pinot_sql_join_storage",
+    """SELECT o_orderpriority, count(*) AS n,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DOUBLE), 2) AS revenue
+       FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       WHERE o_orderstatus = 'F'
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "parity",
+    ["pinot", "storage", "catalog", "join", "sql"],
+)
+def q_pinot_sql_join_storage(spark, sf):
+    """Multi-table SQL over pinot storage — the reference's primary entry
+    point (catalog discovery → ctx.sql with catalog-qualified joins,
+    catalog.rs:74-90 / query_tests.rs): lineitem AND orders are written
+    as two pinot tables under one data dir, discovered by
+    `PinotCatalog.filesystem(...).register_all`, and joined with plain
+    `spark.sql` — the o_orderstatus equality pushes into the orders scan
+    (dictionary filter) while Catalyst plans the join above both
+    sources. Proves the full SQL-over-catalog path end-to-end on real
+    segments, not just single-table reads."""
+    import tempfile
+
+    from datafusion_pinot_spark.catalog import PinotCatalog
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    data_dir = tempfile.mkdtemp(prefix="sqljoin_")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "l_orderkey")
+        .save(os.path.join(data_dir, "li_sql_OFFLINE"))
+    )
+    (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .repartition(2)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "o_orderkey")
+        .save(os.path.join(data_dir, "ord_sql_OFFLINE"))
+    )
+    PinotCatalog.filesystem(data_dir).register_all(spark)
+    return spark.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+                  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                               * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE), 2) AS revenue
+           FROM li_sql JOIN ord_sql ON o_orderkey = l_orderkey
+           WHERE o_orderstatus = 'F'
+           GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    )
+
+
+@register(
     "pinot_timestamp_range_scan",
     """SELECT event_type, count(*) AS n,
               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
@@ -4258,6 +4317,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
     "pinot_string_prefix_scan",  # r6: LIKE pushdown (dict-accelerated)
     "word_commonness_score",  # r6: integer-exact unigram quality signal
+    "pinot_sql_join_storage",  # r6: multi-table SQL over pinot catalog
     # -- LLM-pipeline / curation ops --
     "ann_ivf_kmeans_topk",
     # -- streaming ops --
@@ -4266,7 +4326,6 @@ DRIVER_WINDOW: list[str] = [
     "streaming_watermarked_agg",  # rows-only by design (watermark withholds)
     # -- r3 curation ops --
     "sequence_pack_bins",
-    "contamination_overlap",
     # -- r3 storage additions: nullable columns --
     "pinot_nulls_roundtrip",
     # -- r3 TPC-H breadth: q12's oracle was fixed in r5 and is retained
@@ -4297,7 +4356,7 @@ DRIVER_WINDOW: list[str] = [
     # scalar_subquery_above_avg, full_outer_join_balance,
     # salted_join_revenue, corpus_clean_pipeline, stratified_hash_sample,
     # streaming_dedup_firstseen, pinot_sorted_scan, pinot_bytes_roundtrip,
-    # near_dup_groups, quality_topk_per_lang
+    # near_dup_groups, quality_topk_per_lang, contamination_overlap
     # — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,
