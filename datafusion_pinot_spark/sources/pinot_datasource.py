@@ -1517,7 +1517,12 @@ def _row_mask(reader, filters, row_range=None):
     def colvals(name):
         if name not in col_cache:
             vals = reader.read_column(name)
-            vals = np.asarray(vals) if not isinstance(vals, np.ndarray) else vals
+            if not isinstance(vals, np.ndarray):
+                # STRING/BYTES come back as Python lists: keep exact
+                # objects (dtype=object) — a '<U' cast silently strips
+                # trailing U+0000, corrupting comparisons on NUL-bearing
+                # values (the writer dodges the same hazard, writer.py)
+                vals = np.asarray(vals, dtype=object)
             col_cache[name] = clip(vals)
         return col_cache[name]
 
@@ -1564,13 +1569,18 @@ def _row_mask(reader, filters, row_range=None):
                 # then a LUT gather through the id stream
                 m = reader.string_predicate_mask(name, kind, f.value)
             if m is None:
-                vals = np.asarray(colvals(name), dtype=str)
-                if kind == "startswith":
-                    m = np.char.startswith(vals, f.value)
-                elif kind == "endswith":
-                    m = np.char.endswith(vals, f.value)
-                else:
-                    m = np.char.find(vals, f.value) >= 0
+                # RAW strings: exact per-value evaluation over the object
+                # array (np.char would corrupt NUL-bearing values)
+                vals = colvals(name)
+                pattern = f.value
+                ref = {
+                    "startswith": lambda v: v.startswith(pattern),
+                    "endswith": lambda v: v.endswith(pattern),
+                    "contains": lambda v: pattern in v,
+                }[kind]
+                m = np.fromiter(
+                    (ref(v) for v in vals), dtype=bool, count=len(vals)
+                )
             else:
                 m = clip(m)
             if nm is not None:

@@ -447,15 +447,29 @@ class SegmentReader:
             or not col.is_single_value
         ):
             return None
-        vals = np.asarray(self._dictionary(col).values, dtype=str)
-        if kind == "startswith":
-            hits = np.char.startswith(vals, pattern)
-        elif kind == "endswith":
-            hits = np.char.endswith(vals, pattern)
-        elif kind == "contains":
-            hits = np.char.find(vals, pattern) >= 0
-        else:
+        if kind not in ("startswith", "endswith", "contains"):
             raise ValueError(f"unknown string predicate kind '{kind}'")
+        pyvals = list(self._dictionary(col).values)
+        # numpy '<U' arrays strip trailing U+0000 and treat NUL patterns
+        # as padding (match-everything) — fall back to exact Python
+        # evaluation when a NUL appears anywhere; still O(cardinality).
+        if "\x00" in pattern or any("\x00" in v for v in pyvals):
+            ref = {
+                "startswith": lambda v: v.startswith(pattern),
+                "endswith": lambda v: v.endswith(pattern),
+                "contains": lambda v: pattern in v,
+            }[kind]
+            hits = np.fromiter(
+                (ref(v) for v in pyvals), dtype=bool, count=len(pyvals)
+            )
+        else:
+            vals = np.asarray(pyvals, dtype=str)
+            if kind == "startswith":
+                hits = np.char.startswith(vals, pattern)
+            elif kind == "endswith":
+                hits = np.char.endswith(vals, pattern)
+            else:
+                hits = np.char.find(vals, pattern) >= 0
         if not hits.any():
             return np.zeros(col.total_docs, dtype=bool)
         return hits[self._dict_ids(col)]

@@ -519,3 +519,75 @@ def test_varbyte_selective_take_property(tmp_path_factory, values, data):
         dense = r._read_column_arrow_dense(col)
         got = r._read_column_arrow_dense(col, selection=sel_arr)
         assert got.equals(dense.take(pa.array(sel_arr)))
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.data_too_large],
+)
+@given(
+    data=st.data(),
+    n=st.integers(min_value=1, max_value=120),
+    num_partitions=st.integers(min_value=1, max_value=16),
+)
+def test_property_r6_index_metadata(tmp_path_factory, data, n, num_partitions):
+    """r6 storage features hold for arbitrary data: bloom filters never
+    false-negative, partition metadata records exactly the floor-mod
+    residue set, dictionary string predicates agree with Python's, and a
+    two-way merge concatenates bit-exactly."""
+    keys = data.draw(
+        st.lists(
+            st.integers(-(2**62), 2**62 - 1), min_size=n, max_size=n
+        )
+    )
+    strs = data.draw(st.lists(st.text(max_size=24), min_size=n, max_size=n))
+    pattern = data.draw(st.text(max_size=4))
+
+    d = tmp_path_factory.mktemp("propb") / "seg"
+    v3 = write_segment(
+        d,
+        "seg",
+        "t",
+        [
+            ColumnSpec(
+                "k",
+                DataType.LONG,
+                keys,
+                raw=True,
+                bloom=True,
+                partition_config=("Modulo", num_partitions),
+            ),
+            ColumnSpec("s", DataType.STRING, strs, bloom=True),
+        ],
+    )
+    r = SegmentReader.open(v3)
+    # bloom: zero false negatives on either path
+    assert r.bloom_might_contain("k", [keys[0]]) is True
+    assert r.bloom_might_contain("s", [strs[-1]]) is True
+    # partition metadata: exact residue set, floor-mod semantics
+    cm = r.metadata.get_column("k")
+    assert cm.partition_values == tuple(
+        sorted({k % num_partitions for k in keys})
+    )
+    # dictionary string predicates agree with Python semantics
+    for kind, ref in (
+        ("startswith", lambda v: v.startswith(pattern)),
+        ("endswith", lambda v: v.endswith(pattern)),
+        ("contains", lambda v: pattern in v),
+    ):
+        got = r.string_predicate_mask("s", kind, pattern)
+        assert got.tolist() == [ref(v) for v in strs]
+    # merge of the segment with itself doubles every column bit-exactly
+    from pinot_segment.compact import merge_segments
+
+    m = SegmentReader.open(
+        merge_segments(
+            [str(v3), str(v3)], d.parent / "m", "m", "t"
+        )
+    )
+    assert m.total_docs() == 2 * n
+    assert m.read_column("k").tolist() == keys + keys
+    assert list(m.read_column("s")) == strs + strs
+    assert m.metadata.get_column("k").partition_values == cm.partition_values
+    assert m.bloom_might_contain("k", [keys[0]]) is True

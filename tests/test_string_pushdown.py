@@ -191,3 +191,27 @@ def test_not_and_null_safe_pushdown(spark, tmp_path):
     assert q("w <=> NULL") == {3}
     assert q("v <=> 20") == {2}
     assert q("NOT (w IS NULL)") == {1, 2, 4, 5}
+
+
+def test_nul_characters_are_exact(tmp_path):
+    """numpy '<U' arrays strip trailing U+0000 and treat NUL patterns as
+    padding — the predicate paths must not inherit that (the writer
+    already dodges it for dict-id mapping)."""
+    vals = ["a\x00", "a", "\x00b", "b"]
+    r = SegmentReader.open(
+        write_segment(
+            tmp_path / "s",
+            "s",
+            "t",
+            [ColumnSpec("w", DataType.STRING, vals)],
+        )
+    )
+    got = r.string_predicate_mask("w", "startswith", "\x00")
+    assert got.tolist() == [v.startswith("\x00") for v in vals]
+    got = r.string_predicate_mask("w", "endswith", "\x00")
+    assert got.tolist() == [v.endswith("\x00") for v in vals]
+    got = r.string_predicate_mask("w", "contains", "\x00")
+    assert got.tolist() == [("\x00" in v) for v in vals]
+    # plain pattern over NUL-bearing values stays exact too
+    got = r.string_predicate_mask("w", "endswith", "a")
+    assert got.tolist() == [v.endswith("a") for v in vals]
