@@ -1588,12 +1588,16 @@ def _row_mask(reader, filters, row_range=None):
             return m
         if isinstance(f, (EqualTo, In)) and name in reader.metadata.columns:
             # Inverted index first: value(s) -> doc bitmap OR, no
-            # forward-index decode of the filter column.
+            # forward-index decode of the filter column. Without one, a
+            # dictionary column still compares in ID space (value -> dict
+            # id, integer mask over the id stream) — faster than
+            # materialize-and-compare and NUL-exact.
+            probe = [f.value] if isinstance(f, EqualTo) else list(f.value)
+            im = None
             try:
-                im = reader.inverted_match_mask(
-                    name,
-                    [f.value] if isinstance(f, EqualTo) else list(f.value),
-                )
+                im = reader.inverted_match_mask(name, probe)
+                if im is None:
+                    im = reader.dict_match_mask(name, probe)
             except (TypeError, ValueError):
                 im = None
             if im is not None:

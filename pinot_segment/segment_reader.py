@@ -429,6 +429,40 @@ class SegmentReader:
             mask |= unpack_bits(bitmap, 1, n).astype(bool)
         return mask
 
+    def dict_match_mask(self, name: str, values) -> "np.ndarray | None":
+        """Equality/IN mask for a single-value dictionary column WITHOUT
+        touching value space per doc: each probe value maps to its dict id
+        (exact membership — NUL-safe Python bisect for strings, searchsorted
+        for numerics), then the mask is an integer compare over the id
+        stream. Both faster than materialize-and-compare and immune to
+        numpy's '<U' NUL corruption. None when the column has no
+        dictionary (RAW) or is multi-value."""
+        col = self.metadata.get_column(name)
+        if not col.has_dictionary or not col.is_single_value:
+            return None
+        dictionary = self._dictionary(col)
+        dict_values = dictionary.values
+        matched: list[int] = []
+        for v in values:
+            if col.data_type in (DataType.STRING, DataType.BYTES):
+                import bisect
+
+                vals_list = list(dict_values)
+                i = bisect.bisect_left(vals_list, v)
+                if i < len(vals_list) and vals_list[i] == v:
+                    matched.append(i)
+            else:
+                arr = np.asarray(dict_values)
+                i = int(np.searchsorted(arr, v, side="left"))
+                if i < len(arr) and arr[i] == v:
+                    matched.append(i)
+        ids = self._dict_ids(col)
+        if not matched:
+            return np.zeros(len(ids), dtype=bool)
+        if len(matched) == 1:
+            return ids == matched[0]
+        return np.isin(ids, matched)
+
     def string_predicate_mask(
         self, name: str, kind: str, pattern: str
     ) -> "np.ndarray | None":

@@ -215,3 +215,30 @@ def test_nul_characters_are_exact(tmp_path):
     # plain pattern over NUL-bearing values stays exact too
     got = r.string_predicate_mask("w", "endswith", "a")
     assert got.tolist() == [v.endswith("a") for v in vals]
+
+
+def test_dict_match_mask_id_space_equality(tmp_path):
+    vals = ["a\x00", "a", "b", "a", "c"]
+    nums = [5, 3, 5, 7, 3]
+    r = SegmentReader.open(
+        write_segment(
+            tmp_path / "s",
+            "s",
+            "t",
+            [
+                ColumnSpec("w", DataType.STRING, vals),
+                ColumnSpec("n", DataType.INT, nums),
+            ],
+        )
+    )
+    # NUL-exact: 'a' must not match 'a\x00' and vice versa
+    assert r.dict_match_mask("w", ["a"]).tolist() == [
+        False, True, False, True, False,
+    ]
+    assert r.dict_match_mask("w", ["a\x00"]).tolist() == [
+        True, False, False, False, False,
+    ]
+    assert r.dict_match_mask("w", ["zz"]).tolist() == [False] * 5
+    assert r.dict_match_mask("n", [5, 3]).tolist() == [
+        True, True, True, False, True,
+    ]
