@@ -4030,6 +4030,54 @@ def q_pinot_sql_join_storage(spark, sf):
 
 
 @register(
+    "pinot_hll_sketch_rollup",
+    None,  # rows-only: Datasketches HLL binaries are Spark-specific;
+    # exactness is pinned by tests/test_datasource.py::test_hll_sketch_*
+    "parity",
+    ["pinot", "storage", "sketch", "approx"],
+)
+def q_pinot_hll_sketch_rollup(spark, sf):
+    """Sketch columns through storage (Pinot's HLL column /
+    DISTINCTCOUNTHLL pattern, beyond the reference): per-(source, lang)
+    HLL sketches of the distinct doc ids are PRE-AGGREGATED at ingest
+    (hll_sketch_agg), stored in pinot segments as a BYTES column, and a
+    query-time rollup merges the stored sketches per source
+    (hll_union_agg) — distinct counts over any dimension subset without
+    re-touching the raw data. This is the classic pre-aggregation
+    contract: the expensive distinct scan happens once at write; every
+    later query pays only sketch-merge over the tiny rollup table.
+    Rows-only by design (Datasketches binaries have no DuckDB
+    equivalent); the estimate-accuracy bound is test-pinned."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="hll_"), "sk_OFFLINE")
+    docs = _docs(spark, sf)
+    (
+        docs.groupBy("source", "lang")
+        .agg(F.hll_sketch_agg("doc_id").alias("sk"), F.count("*").alias("n"))
+        .repartition(2)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "sk")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "distinct_docs_est"
+            ),
+            F.sum("n").alias("n_rows"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "pinot_timestamp_range_scan",
     """SELECT event_type, count(*) AS n,
               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
@@ -4318,6 +4366,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_string_prefix_scan",  # r6: LIKE pushdown (dict-accelerated)
     "word_commonness_score",  # r6: integer-exact unigram quality signal
     "pinot_sql_join_storage",  # r6: multi-table SQL over pinot catalog
+    "pinot_hll_sketch_rollup",  # r6: HLL sketch columns (rows-only)
     # -- LLM-pipeline / curation ops --
     "ann_ivf_kmeans_topk",
     # -- streaming ops --
@@ -4331,8 +4380,7 @@ DRIVER_WINDOW: list[str] = [
     # -- r3 TPC-H breadth: q12's oracle was fixed in r5 and is retained
     # until twice-green on the new oracle --
     "q12_late_shipment_priority",
-    # -- retained (changed this round or rows-only by design) --
-    "minhash_lsh_pairs",
+    # -- retained (rows-only by design) --
     "simhash_dup_groups",  # rows-only by design (xxhash64 is Spark-only)
     # -- r5 rotation: queries registered after the r3 freeze (r3 verdict #4
     # — every query added in round N enters the window in round N) --
@@ -4356,7 +4404,8 @@ DRIVER_WINDOW: list[str] = [
     # scalar_subquery_above_avg, full_outer_join_balance,
     # salted_join_revenue, corpus_clean_pipeline, stratified_hash_sample,
     # streaming_dedup_firstseen, pinot_sorted_scan, pinot_bytes_roundtrip,
-    # near_dup_groups, quality_topk_per_lang, contamination_overlap
+    # near_dup_groups, quality_topk_per_lang, contamination_overlap,
+    # minhash_lsh_pairs
     # — all twice driver-green r4+r5; r5 rotations: q4_priority_late_ship,
     # q5_local_supplier_volume, q7_volume_shipping, q10_returned_items,
     # part_like_join, token_topk; earlier: sessionization,

@@ -1013,3 +1013,34 @@ def test_table_nullability_is_or_over_segments(spark, tmp_path):
         for r in df.filter("length(source) = 5 OR source IS NULL").collect()
     }
     assert got == {3, 4, 5, 6}
+
+
+def test_hll_sketch_column_roundtrip_accuracy(spark, tmp_path):
+    """HLL sketch binaries survive the BYTES storage round-trip and the
+    merged estimate stays within HLL's error envelope of the exact
+    distinct count (Pinot's HLL-column pre-aggregation pattern)."""
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "sk_OFFLINE")
+    rows = spark.range(0, 20000).selectExpr(
+        "concat('g', id % 4) AS grp", "id % 5000 AS uid"
+    )
+    (
+        rows.groupBy("grp")
+        .agg(F.hll_sketch_agg("uid").alias("sk"))
+        .coalesce(2)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "sk")
+        .save(out)
+    )
+    est = (
+        spark.read.format("pinot")
+        .load(out)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("d"))
+        .collect()[0]["d"]
+    )
+    exact = rows.select("uid").distinct().count()
+    assert exact == 5000
+    assert abs(est - exact) / exact < 0.05  # default lgConfigK ~1.6% rse
