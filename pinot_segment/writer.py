@@ -268,41 +268,42 @@ def _encode_var_byte(spec: ColumnSpec) -> bytes:
 
     # Split docs into chunks; any value whose payload alone exceeds the target
     # becomes a huge-value chunk of its own (high docId bit set).
+    #
+    # Vectorized packing (byte-identical to the per-doc loop it replaced,
+    # pinned by the golden-bytes freeze tests): a value joins the current
+    # chunk while 4 + sum(4 + len) stays within the target, so chunk
+    # boundaries fall out of ONE searchsorted over the prefix-cost array
+    # per chunk — O(chunks log n) instead of 600k Python iterations — and
+    # each chunk's offset table is a cumsum, not a per-value append.
     chunks: list[tuple[int, bool, bytes]] = []  # (start_doc, huge, decompressed)
-    cur: list[bytes] = []
-    cur_start = 0
-    cur_size = 4  # numDocs field
-
-    def flush(next_doc: int) -> None:
-        nonlocal cur, cur_start, cur_size
-        if not cur:
-            return
-        num = len(cur)
-        header = num.to_bytes(4, "little")
-        offs = bytearray()
-        data = bytearray()
-        base = 4 + 4 * num
-        for p in cur:
-            offs += (base + len(data)).to_bytes(4, "little")
-            data += p
-        chunks.append((cur_start, False, header + bytes(offs) + bytes(data)))
-        cur = []
-        cur_start = next_doc
-        cur_size = 4
-
-    for doc_id, p in enumerate(payloads):
-        if len(p) > spec.target_chunk_size:
-            flush(doc_id)
-            chunks.append((doc_id, True, p))
-            cur_start = doc_id + 1
+    n_docs = len(payloads)
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n_docs)
+    prefix = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens + 4, out=prefix[1:])
+    target = spec.target_chunk_size
+    i = 0
+    while i < n_docs:
+        if lens[i] > target:
+            chunks.append((i, True, payloads[i]))
+            i += 1
             continue
-        if cur and cur_size + 4 + len(p) > spec.target_chunk_size:
-            flush(doc_id)
-        if not cur:
-            cur_start = doc_id
-        cur.append(p)
-        cur_size += 4 + len(p)
-    flush(len(payloads))
+        j = int(
+            np.searchsorted(prefix, prefix[i] + target - 4, side="right") - 1
+        )
+        j = max(j, i + 1)
+        num = j - i
+        base = 4 + 4 * num
+        offs = (
+            base
+            + np.concatenate(([0], np.cumsum(lens[i : j - 1])))
+        ).astype("<u4")
+        chunk = (
+            num.to_bytes(4, "little")
+            + offs.tobytes()
+            + b"".join(payloads[i:j])
+        )
+        chunks.append((i, False, chunk))
+        i = j
 
     def compress(decompressed: bytes) -> bytes:
         if spec.compression == PASS_THROUGH:
