@@ -260,3 +260,65 @@ def test_auto_packing_reads_correctly_through_spark(spark, tmp_path):
     )
     got = back.agg(F.count("*").alias("n"), F.sum("k").alias("s")).collect()[0]
     assert got.n == 9000 and got.s == sum(range(9000))
+
+
+def test_partition_map_prune_zero_opens_at_1k_segments(
+    tmp_path_factory, monkeypatch
+):
+    """Planning-time partition pruning holds its zero-open O(manifest)
+    claim at 1,000 segments: an equality probe on the partition column
+    keeps only the matching-residue segments without one SegmentReader
+    open."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    table = tmp_path_factory.mktemp("pscale") / "pbig_OFFLINE"
+    num = 16
+    for i in range(N_SEGMENTS):
+        # segment i holds keys with residue i % num (overlapping min/max
+        # ranges across segments — zone maps alone cannot prune)
+        keys = np.arange(ROWS_PER_SEG, dtype=np.int64) * num + (i % num)
+        write_segment(
+            table / f"seg{i:04d}",
+            f"seg{i:04d}",
+            "pbig",
+            [
+                ColumnSpec(
+                    "k",
+                    DataType.LONG,
+                    keys,
+                    raw=True,
+                    partition_config=("Modulo", num),
+                )
+            ],
+        )
+    M.write_manifest(str(table), M.build_manifest(str(table)))
+    segs = [
+        os.path.join(str(table), d, "v3")
+        for d in sorted(os.listdir(table))
+        if os.path.isdir(os.path.join(str(table), d, "v3"))
+    ]
+    assert len(segs) == N_SEGMENTS
+
+    opened = []
+    real_open = SegmentReader.open.__func__
+    monkeypatch.setattr(
+        SegmentReader,
+        "open",
+        classmethod(
+            lambda cls, d: (opened.append(str(d)), real_open(cls, d))[1]
+        ),
+    )
+    reader = ds.PinotDataSourceReader(
+        StructType([StructField("k", LongType())]), segs
+    )
+    # k = 35 -> residue 3: only segments with i % 16 == 3 survive
+    list(reader.pushFilters([ds.EqualTo(("k",), 35)]))
+    t0 = time.perf_counter()
+    parts = reader.partitions()
+    elapsed = time.perf_counter() - t0
+    kept = [d for p in parts for d in p.segment_dirs]
+    assert opened == []
+    expected = list(range(3, N_SEGMENTS, 16))
+    assert len(kept) == len(expected)
+    assert all(f"seg{i:04d}" in d for i, d in zip(expected, kept))
+    assert elapsed < 2.0  # manifest walk, not 1k opens
