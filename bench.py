@@ -326,10 +326,14 @@ def marginal_tier(
             "copies": copies,
         }
     }
+    # 9 timed runs here (vs 5 in the headline tier): the marginal medians
+    # are the judge's cross-round regression signal and sit in a band where
+    # one GC blip at local[32] can move a 5-run median by 2x (observed
+    # r6: groupby_topk geomean contribution 0.20 vs 0.61 across runs).
     for name, mk in shapes.items():
         frame = mk()
         materialize(frame)  # untimed JIT/codegen warmup
-        med, lo, hi = timed(lambda: materialize(frame))
+        med, lo, hi = timed(lambda: materialize(frame), runs=9)
         ns_per_row = med * 1e9 / rows
         ref = REF_NS_PER_ROW[name]
         out[name] = {
@@ -441,7 +445,7 @@ def marginal_tier(
     for name, mk in probes.items():
         frame = mk()
         materialize(frame)
-        med, lo, hi = timed(lambda: materialize(frame))
+        med, lo, hi = timed(lambda: materialize(frame), runs=9)
         probe_out[name] = {
             "sec": round(med, 4),
             "spread": [round(lo, 4), round(hi, 4)],
