@@ -86,10 +86,15 @@ def test_every_window_query_is_registered():
 
 
 def test_no_oracle_set_is_exactly_the_designed_ones():
-    """Every window query must carry an oracle except the two rows-only by
-    design (engine-specific xxhash64 / append-mode watermark withholding).
-    Guards against silently dropping an oracle during refactors."""
+    """Every window query must carry an oracle except the rows-only by
+    design (engine-specific xxhash64 / append-mode watermark withholding /
+    Spark-specific Datasketches HLL binaries). Guards against silently
+    dropping an oracle during refactors."""
     from datafusion_pinot_spark.plans.queries import DRIVER_WINDOW, QUERIES
 
     no_oracle = {n for n in DRIVER_WINDOW if QUERIES[n].oracle is None}
-    assert no_oracle == {"streaming_watermarked_agg", "simhash_dup_groups"}
+    assert no_oracle == {
+        "streaming_watermarked_agg",
+        "simhash_dup_groups",
+        "pinot_hll_sketch_rollup",
+    }
