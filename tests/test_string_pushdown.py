@@ -242,3 +242,30 @@ def test_dict_match_mask_id_space_equality(tmp_path):
     assert r.dict_match_mask("n", [5, 3]).tolist() == [
         True, True, True, False, True,
     ]
+
+
+def test_string_filters_fully_consumed_in_plan(spark, tmp_path):
+    """Pushed LIKE / NOT / <=> predicates are consumed by the source: the
+    optimized plan over the pinot scan carries no residual Filter node
+    (a yielded-back filter would reappear above the scan)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "tbl_OFFLINE")
+    spark.createDataFrame(
+        [(1, "apple"), (2, "banana")], "k long, w string"
+    ).coalesce(1).write.format("pinot").mode("overwrite").save(out)
+
+    for cond in (
+        F.col("w").startswith("ap"),
+        F.col("w").contains("an"),
+        F.col("w").endswith("na"),
+        F.col("w") != "apple",
+        ~F.col("w").isin("apple", "pear"),
+        F.col("w").eqNullSafe("banana"),
+    ):
+        df = spark.read.format("pinot").load(out).filter(cond)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Filter" not in plan, plan
