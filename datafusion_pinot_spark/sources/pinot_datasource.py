@@ -748,7 +748,19 @@ class PinotStreamReader(DataSourceStreamReader):
 
         for segment_dir in partition.segment_dirs:
             reader = SegmentReader.open(segment_dir)
-            table = reader.read_columns_arrow(list(partition.columns))
+            # Schema evolution, same as the batch path: stream with the
+            # evolved schema and pre-column segments surface the new
+            # columns as all-NULL.
+            decode_cols = [
+                c
+                for c in partition.columns
+                if c in reader.metadata.columns
+            ]
+            table = reader.read_columns_arrow(decode_cols)
+            if len(decode_cols) != len(partition.columns):
+                table = _fill_missing_columns(
+                    reader, partition, table, None, None
+                )
             yield from table.to_batches(max_chunksize=BATCH_ROWS)
 
     def commit(self, end: dict) -> None:

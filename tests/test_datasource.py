@@ -1044,3 +1044,45 @@ def test_hll_sketch_column_roundtrip_accuracy(spark, tmp_path):
     exact = rows.select("uid").distinct().count()
     assert exact == 5000
     assert abs(est - exact) / exact < 0.05  # default lgConfigK ~1.6% rse
+
+
+def test_stream_reader_schema_evolution(spark, tmp_path):
+    """readStream with an evolved schema: pre-column segments stream with
+    the new column NULL-filled, same as the batch path."""
+    out = str(tmp_path / "sevo_OFFLINE")
+    spark.dataSource.register(PinotDataSource)
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(
+        1
+    ).write.format("pinot").mode("append").save(out)
+
+    stream = (
+        spark.readStream.format("pinot")
+        .schema("k long, v string, extra double")
+        .load(out)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sevo_t")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["k"]: (r["v"], r["extra"])
+            for r in spark.table("sevo_t").collect()
+        }
+        assert got == {1: ("a", None), 2: ("b", None)}
+        # a post-evolution segment lands with the full schema
+        spark.createDataFrame(
+            [(3, "c", 3.5)], "k long, v string, extra double"
+        ).coalesce(1).write.format("pinot").mode("append").save(out)
+        q.processAllAvailable()
+        got = {
+            r["k"]: (r["v"], r["extra"])
+            for r in spark.table("sevo_t").collect()
+        }
+        assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 3.5)}
+    finally:
+        q.stop()
