@@ -736,3 +736,107 @@ SELECT t.doc_id AS doc_id, t.n_chunks AS n_chunks,
        coalesce(r.text_dedup, '') AS text_dedup
 FROM totals t LEFT JOIN reassembled r ON r.doc_id = t.doc_id
 """
+
+def duplicate_span_coverage(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Exact duplicate-substring detection — the suffix-array dedup stage of
+    LLM data pipelines (find every ``n``-token window shared VERBATIM by
+    >= 2 documents), re-expressed as a distributed n-gram join instead of a
+    monolithic suffix array. Reports, per document, how many of its tokens
+    are covered by at least one shared span (interval union over the
+    overlapping windows, not a double count).
+
+    Columns: ``doc_id, n_tokens, shared_starts, covered_tokens, dup_milli``
+    (coverage in exact integer millionths — keeps the hash gate off float
+    rounding).
+
+    Scale design (100 TB): window enumeration is a narrow per-row map
+    (``transform`` over a ``sequence`` of start offsets — engine-side, no
+    Python); the only corpus-wide shuffle keys on the n-gram itself to
+    count distinct docs (at scale, key on ``xxhash64(gram)`` — an 8-byte
+    shuffle key — and accept the ~2^-64 collision rate); a viral n-gram
+    (boilerplate shared by millions of docs) still produces ONE group row,
+    never a pairwise explosion. Coverage union is a per-doc sorted-array
+    fold, O(spans) per document with no further shuffle beyond the doc_id
+    re-group.
+    """
+    words = F.split(F.col("text"), " ")
+    starts = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    exploded = docs.select("doc_id", F.posexplode(grams).alias("s", "gram"))
+    shared = (
+        exploded.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = exploded.join(shared, "gram")
+    per_doc = hits.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("starts")
+    )
+    # Interval union over sorted starts: each span covers [s, s+n); a new
+    # span contributes only the part past the furthest end seen so far.
+    zero = F.lit(0).cast("long")
+    covered = F.aggregate(
+        F.col("starts"),
+        F.struct(zero.alias("covered"), zero.alias("end")),
+        lambda a, s: F.struct(
+            (
+                a["covered"]
+                + F.greatest(
+                    zero, s.cast("long") + n - F.greatest(a["end"], s.cast("long"))
+                )
+            ).alias("covered"),
+            F.greatest(a["end"], s.cast("long") + n).alias("end"),
+        ),
+    )["covered"]
+    return (
+        docs.select("doc_id", F.size(words).cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.size("starts").cast("long"), F.lit(0).cast("long")).alias(
+                "shared_starts"
+            ),
+            F.coalesce(covered, F.lit(0).cast("long")).alias("covered_tokens"),
+        )
+        .withColumn(
+            "dup_milli", F.expr("covered_tokens * 1000000L div n_tokens")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def duplicate_span_coverage_oracle_sql(n: int = 8) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS s,
+         array_to_string(w[i+1:i+{n}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL unnest(range(0, greatest(len(w) - {n} + 1, 0))) AS t(i)),
+shared AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, s FROM g JOIN shared USING (gram)),
+cov AS (
+  SELECT doc_id, s,
+         greatest(0, s + {n} - greatest(
+           coalesce(max(s) OVER (PARTITION BY doc_id ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) + {n}, 0), s)) AS contrib
+  FROM hits),
+perdoc AS (
+  SELECT doc_id, count(*) AS shared_starts, sum(contrib) AS covered
+  FROM cov GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.shared_starts, 0) AS BIGINT) AS shared_starts,
+       CAST(coalesce(p.covered, 0) AS BIGINT) AS covered_tokens,
+       CAST(coalesce(p.covered, 0) * 1000000 // len(string_split(d.text, ' '))
+            AS BIGINT) AS dup_milli
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+ORDER BY doc_id
+"""

@@ -943,6 +943,17 @@ def _register_llm():
         ["dedup", "paragraph", "curation"],
     )(lambda spark, sf: dedup.chunk_dedup(_docs(spark, sf)).orderBy("doc_id"))
 
+    # Exact duplicate-substring detection (the suffix-array dedup stage,
+    # distributed as an n-gram join): per-doc token coverage by 8-token
+    # windows shared verbatim with another document. One shuffle keyed on
+    # the n-gram; viral grams stay one group row, never a pair explosion.
+    register(
+        "duplicate_span_coverage",
+        dedup.duplicate_span_coverage_oracle_sql(),
+        "llm",
+        ["dedup", "substring", "curation"],
+    )(lambda spark, sf: dedup.duplicate_span_coverage(_docs(spark, sf)))
+
     from datafusion_pinot_spark.operators import curation
 
     # Pretraining sample packing: global token-offset layout via bucketed
@@ -4356,6 +4367,7 @@ DRIVER_WINDOW: list[str] = [
     "q20_majority_supplier",
     "q22_dormant_customers",
     "paragraph_dedup_reassemble",  # r6: Dolma/C4 paragraph dedup + reassembly
+    "duplicate_span_coverage",  # r6: exact duplicate-substring (n-gram join)
     "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
     "pinot_compacted_agg",  # r6: distributed segment compaction
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
