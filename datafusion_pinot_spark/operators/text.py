@@ -259,3 +259,110 @@ SELECT doc_id, count(*) AS n_words,
        CAST(min(wf) AS BIGINT) AS min_freq
 FROM words JOIN freq USING (w)
 GROUP BY doc_id ORDER BY doc_id"""
+
+def ngram_repetition_stats(docs: DataFrame, ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) per document
+    and n-gram size: the duplicate n-gram fraction (1 - distinct/total) and
+    the fraction of characters covered by occurrences of the single most
+    frequent n-gram. Both in exact integer millionths so the hash gate
+    never sees float rounding; the top gram breaks count ties by the
+    lexicographically largest gram (deterministic in both engines).
+
+    Long output, one row per (doc, n): ``doc_id, n, total_ngrams,
+    distinct_ngrams, dup_milli, top_char_milli``.
+
+    Scale design (100 TB): gram enumeration is a narrow per-row map; the
+    only shuffle keys on (doc_id, gram) for the count — per-doc
+    cardinality bounded by doc length, so no skew beyond document size;
+    the per-doc rollup rides the same hash partitioning.
+    """
+    from pyspark.sql import Window
+
+    per_n = []
+    for n in ns:
+        words = F.split(F.col("text"), " ")
+        starts = F.when(
+            F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            starts, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+        )
+        per_n.append(
+            docs.select(
+                "doc_id",
+                F.length("text").cast("long").alias("n_chars"),
+                F.lit(n).cast("int").alias("n"),
+                F.explode(grams).alias("gram"),
+            )
+        )
+    exploded = per_n[0]
+    for other in per_n[1:]:
+        exploded = exploded.unionByName(other)
+    counts = exploded.groupBy("doc_id", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id", "n").orderBy(
+            F.desc("cnt"), F.desc("gram")
+        )
+    )
+    stats = (
+        counts.withColumn("rn", rn)
+        .groupBy("doc_id", "n_chars", "n")
+        .agg(
+            F.sum("cnt").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).alias("distinct_ngrams"),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).cast("long").alias("top_cnt"),
+            F.max(F.when(F.col("rn") == 1, F.length("gram"))).cast("long").alias("top_len"),
+        )
+    )
+    return stats.select(
+        "doc_id",
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        F.expr(
+            "CASE WHEN total_ngrams = 0 THEN 0L"
+            " ELSE (total_ngrams - distinct_ngrams) * 1000000L div total_ngrams END"
+        ).alias("dup_milli"),
+        F.expr(
+            "CASE WHEN n_chars = 0 THEN 0L"
+            " ELSE top_cnt * top_len * 1000000L div n_chars END"
+        ).alias("top_char_milli"),
+    ).orderBy("doc_id", "n")
+
+
+def ngram_repetition_stats_oracle_sql(ns: tuple[int, ...] = (2, 3)) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, {n} AS n,
+         array_to_string(w[i+1:i+{n}], ' ') AS gram
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       LATERAL unnest(range(0, greatest(len(w) - {n} + 1, 0))) AS t(i)"""
+        for n in ns
+    )
+    return f"""
+WITH exploded AS ({arms}),
+counts AS (
+  SELECT doc_id, n_chars, n, gram, count(*) AS cnt
+  FROM exploded GROUP BY ALL),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                               ORDER BY cnt DESC, gram DESC) AS rn
+  FROM counts),
+stats AS (
+  SELECT doc_id, n_chars, n,
+         CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+         count(*) AS distinct_ngrams,
+         CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_cnt,
+         CAST(max(CASE WHEN rn = 1 THEN length(gram) END) AS BIGINT) AS top_len
+  FROM ranked GROUP BY ALL)
+SELECT doc_id, n, total_ngrams, distinct_ngrams,
+       CAST(CASE WHEN total_ngrams = 0 THEN 0
+            ELSE (total_ngrams - distinct_ngrams) * 1000000 // total_ngrams
+            END AS BIGINT) AS dup_milli,
+       CAST(CASE WHEN n_chars = 0 THEN 0
+            ELSE top_cnt * top_len * 1000000 // n_chars END AS BIGINT)
+         AS top_char_milli
+FROM stats ORDER BY doc_id, n
+"""

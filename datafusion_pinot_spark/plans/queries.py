@@ -981,6 +981,34 @@ def _register_llm():
         "llm",
         ["text", "quality", "scoring"],
     )(lambda spark, sf: text.word_commonness(_docs(spark, sf)))
+    # PII redaction over the events payload column: per-row counts on the
+    # original text + chained masking, all codegen'd regexp — a narrow map
+    # with no shuffle. The synthetic payloads only carry digit runs, so
+    # the email/ipv4 arms prove the chain wiring (pytest pins their
+    # semantics on synthetic PII in test_operators.py).
+    from datafusion_pinot_spark.operators import privacy
+
+    register(
+        "pii_redact_events",
+        privacy.pii_redact_oracle_sql(
+            "events", "props", keep=("event_id",)
+        )
+        + " ORDER BY event_id",
+        "llm",
+        ["privacy", "curation", "regex"],
+    )(
+        lambda spark, sf: privacy.pii_redact(
+            t(spark, sf, "events"), "props", keep=("event_id",)
+        ).orderBy("event_id")
+    )
+    # Gopher-style repetition signals per (doc, n): duplicate n-gram
+    # fraction + top-n-gram character coverage in integer millionths.
+    register(
+        "ngram_repetition_stats",
+        text.ngram_repetition_stats_oracle_sql(),
+        "llm",
+        ["text", "quality", "repetition"],
+    )(lambda spark, sf: text.ngram_repetition_stats(_docs(spark, sf)))
     # Training-export sharding: deterministic hash-ordered (shard, pos)
     # addresses — the reproducible global shuffle a training loader reads.
     register(
@@ -4368,6 +4396,8 @@ DRIVER_WINDOW: list[str] = [
     "q22_dormant_customers",
     "paragraph_dedup_reassemble",  # r6: Dolma/C4 paragraph dedup + reassembly
     "duplicate_span_coverage",  # r6: exact duplicate-substring (n-gram join)
+    "ngram_repetition_stats",  # r6: Gopher duplicate/top n-gram fractions
+    "pii_redact_events",  # r6: PII detection + chained masking
     "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
     "pinot_compacted_agg",  # r6: distributed segment compaction
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune

@@ -303,3 +303,63 @@ def test_chunk_dedup_within_doc_repeat(spark):
     row = chunk_dedup(docs, words_per_chunk=3).collect()[0]
     assert row["text_dedup"] == "a b c"
     assert (row["n_chunks"], row["n_kept"]) == (2, 1)
+
+
+def test_pii_redact_synthetic_kinds(spark):
+    from datafusion_pinot_spark.operators.privacy import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk and 10.0.255.7 ok"),
+            (2, "call +1 (555) 867-5309 ref 1234567890"),
+            (3, "no pii here x9"),
+        ],
+        "id long, body string",
+    )
+    rows = {
+        r["id"]: r
+        for r in pii_redact(
+            df, "body", kinds=("email", "ipv4", "phone", "number"), keep=("id",)
+        ).collect()
+    }
+    assert rows[1]["redacted"] == "mail <EMAIL> and <IP> ok"
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"]) == (1, 1)
+    # phone masked before the number pass can eat its digit runs; counts
+    # are per-kind on the ORIGINAL text, so the phone's digit runs also
+    # count as numbers (555, 867, 5309, 1234567890)
+    assert rows[2]["redacted"] == "call <PHONE> ref <NUM>"
+    assert (rows[2]["n_phone"], rows[2]["n_number"]) == (1, 4)
+    assert rows[3]["redacted"] == "no pii here x9"
+    assert all(rows[3][c] == 0 for c in ("n_email", "n_ipv4", "n_phone", "n_number"))
+
+
+def test_ngram_repetition_known_values(spark):
+    from datafusion_pinot_spark.operators.text import ngram_repetition_stats
+
+    # "a b a b a" -> 2-grams: [a b, b a, a b, b a]: total 4, distinct 2,
+    # dup = 500000; top gram ("b a" ties "a b" at 2, lexicographically
+    # larger wins): 2 occurrences x 3 chars over 9 chars = 666666.
+    docs = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    row = {r["n"]: r for r in ngram_repetition_stats(docs, ns=(2,)).collect()}[2]
+    assert (row["total_ngrams"], row["distinct_ngrams"]) == (4, 2)
+    assert row["dup_milli"] == 500000
+    assert row["top_char_milli"] == 666666
+
+
+def test_duplicate_span_coverage_overlap_union(spark):
+    from datafusion_pinot_spark.operators.dedup import duplicate_span_coverage
+
+    # Docs 1 and 2 share the 6-token run "w1..w6": with n=4 the shared
+    # starts in doc 1 are 0,1,2 -> union covers tokens 0..6 = 7? No:
+    # spans [0,4) [1,5) [2,6) union = [0,6) = 6 tokens.
+    d1 = "w1 w2 w3 w4 w5 w6 x1 x2"
+    d2 = "y1 w1 w2 w3 w4 w5 w6 y2"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, "z1 z2 z3 z4 z5")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicate_span_coverage(docs, n=4).collect()}
+    assert (rows[1]["shared_starts"], rows[1]["covered_tokens"]) == (3, 6)
+    assert (rows[2]["shared_starts"], rows[2]["covered_tokens"]) == (3, 6)
+    assert (rows[3]["shared_starts"], rows[3]["covered_tokens"]) == (0, 0)
+    assert rows[1]["dup_milli"] == 6 * 1000000 // 8
