@@ -840,3 +840,128 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN perdoc p USING (doc_id)
 ORDER BY doc_id
 """
+
+def corpus_bloom(
+    corpus: DataFrame, key_col, m_bits: int = 1 << 17, k: int = 4
+):
+    """Build a bloom filter over a corpus key column, distributed:
+    engine-side double hashing (two independent ``xxhash64`` seeds, the
+    standard Kirsch-Mitzenmacher construction), one Arrow-batched
+    ``mapInPandas`` pass emitting ONE ``m_bits/8``-byte bitmap per
+    partition, OR-reduced on the driver. Returns (bitmap bytes, m, k).
+
+    Scale design (100 TB): the build is the only full-corpus pass — a
+    narrow map (no shuffle); the driver receives one bitmap per partition
+    (e.g. 16 KB x 10^4 partitions = 160 MB; for bigger filters, coalesce
+    or tree-OR in a second mapInPandas round before collecting). In a
+    standing pipeline the bitmap is built once and persisted alongside
+    the corpus, exactly like the segment-level bloom index in
+    pinot_segment/bloom.py — this is the query-side, corpus-level twin.
+    """
+    import numpy as np
+
+    h = corpus.select(
+        F.pmod(F.xxhash64(key_col), F.lit(m_bits)).alias("h1"),
+        (F.pmod(F.xxhash64(key_col, F.lit(0x5bd1)), F.lit(m_bits - 1)) + 1).alias(
+            "h2"
+        ),
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            h1 = pdf["h1"].to_numpy(np.int64)
+            h2 = pdf["h2"].to_numpy(np.int64)
+            for i in range(k):
+                bits = (h1 + i * h2) % m_bits
+                np.bitwise_or.at(bm, bits >> 3, np.uint8(1) << (bits & 7).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = h.mapInPandas(build, "bm binary").collect()
+    bm = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in parts:
+        bm |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return bm.tobytes(), m_bits, k
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without shuffling the
+    corpus into a join: a corpus-level bloom filter (built once, broadcast)
+    prunes the new batch down to possible-duplicate candidates, and only
+    those are exactly verified with a semi-join on ``md5(text)``. The
+    result is EXACT — bloom false positives are killed by the verify join,
+    and a bloom has no false negatives — so the DuckDB anti-join oracle
+    reproduces it without modeling the filter at all.
+
+    Returns the surviving new documents: ``doc_id, text_hash``.
+
+    Scale design (100 TB): this is the crawl-ingest shape — the corpus is
+    orders of magnitude larger than the batch and CANNOT be broadcast,
+    but its bloom (bits-per-key sized) can. The corpus-side shuffle of a
+    naive anti-join disappears; the verify semi-join only re-reads the
+    corpus filtered to candidate hashes (at rest, that read is itself
+    bloom/zone-map-pruned by the storage layer's segment indexes).
+    """
+    import numpy as np
+
+    spark = new_docs.sparkSession
+    bm_bytes, m, kk = corpus_bloom(corpus, F.md5("text"), m_bits, k)
+    bc = spark.sparkContext.broadcast(bm_bytes)
+
+    hashed = new_docs.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        F.pmod(F.xxhash64(F.md5("text")), F.lit(m)).alias("h1"),
+        (F.pmod(F.xxhash64(F.md5("text"), F.lit(0x5bd1)), F.lit(m - 1)) + 1).alias(
+            "h2"
+        ),
+    )
+
+    def probe(batches):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1 = pdf["h1"].to_numpy(np.int64)
+            h2 = pdf["h2"].to_numpy(np.int64)
+            hit = np.ones(len(pdf), dtype=bool)
+            for i in range(kk):
+                bits = (h1 + i * h2) % m
+                hit &= (bm[bits >> 3] >> (bits & 7).astype(np.uint8) & 1).astype(bool)
+            out = pdf[["doc_id", "text_hash"]].copy()
+            out["maybe_dup"] = hit
+            yield out
+
+    probed = hashed.mapInPandas(
+        probe, "doc_id long, text_hash string, maybe_dup boolean"
+    )
+    clean = probed.filter(~F.col("maybe_dup")).select("doc_id", "text_hash")
+    candidates = probed.filter(F.col("maybe_dup")).select("doc_id", "text_hash")
+    corpus_hashes = corpus.select(F.md5("text").alias("text_hash"))
+    verified_clean = candidates.join(
+        corpus_hashes, "text_hash", "left_anti"
+    ).select("doc_id", "text_hash")
+    return clean.unionByName(verified_clean).orderBy("doc_id")
+
+
+def incremental_dedup_oracle_sql(new_pred: str, corpus_pred: str) -> str:
+    return f"""
+SELECT d.doc_id, md5(d.text) AS text_hash
+FROM documents d
+WHERE ({new_pred})
+  AND NOT EXISTS (SELECT 1 FROM documents c
+                  WHERE ({corpus_pred}) AND c.text = d.text)
+ORDER BY d.doc_id
+"""

@@ -981,6 +981,23 @@ def _register_llm():
         "llm",
         ["text", "quality", "scoring"],
     )(lambda spark, sf: text.word_commonness(_docs(spark, sf)))
+    # Incremental (crawl-ingest) dedup: the new batch (doc_id % 5 = 0) is
+    # pruned by a broadcast corpus bloom filter, then exactly verified
+    # with a semi-join — exact output, so the oracle is a plain anti-join
+    # that never models the filter. The corpus side is never shuffled.
+    register(
+        "incremental_dedup_bloom",
+        dedup.incremental_dedup_oracle_sql(
+            "d.doc_id % 5 = 0", "c.doc_id % 5 <> 0"
+        ),
+        "llm",
+        ["dedup", "bloom", "incremental"],
+    )(
+        lambda spark, sf: dedup.incremental_dedup(
+            _docs(spark, sf).filter(F.col("doc_id") % 5 == 0),
+            _docs(spark, sf).filter(F.col("doc_id") % 5 != 0),
+        )
+    )
     # PII redaction over the events payload column: per-row counts on the
     # original text + chained masking, all codegen'd regexp — a narrow map
     # with no shuffle. The synthetic payloads only carry digit runs, so
@@ -4398,6 +4415,7 @@ DRIVER_WINDOW: list[str] = [
     "duplicate_span_coverage",  # r6: exact duplicate-substring (n-gram join)
     "ngram_repetition_stats",  # r6: Gopher duplicate/top n-gram fractions
     "pii_redact_events",  # r6: PII detection + chained masking
+    "incremental_dedup_bloom",  # r6: corpus-bloom prefiltered exact dedup
     "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
     "pinot_compacted_agg",  # r6: distributed segment compaction
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune

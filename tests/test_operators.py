@@ -363,3 +363,30 @@ def test_duplicate_span_coverage_overlap_union(spark):
     assert (rows[2]["shared_starts"], rows[2]["covered_tokens"]) == (3, 6)
     assert (rows[3]["shared_starts"], rows[3]["covered_tokens"]) == (0, 0)
     assert rows[1]["dup_milli"] == 6 * 1000000 // 8
+
+
+def test_incremental_dedup_bloom_exact_and_prunes(spark):
+    from datafusion_pinot_spark.operators.dedup import (
+        corpus_bloom,
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        # 50 true dups of corpus docs + 150 fresh docs
+        [(1000 + i, f"corpus doc {i}") for i in range(50)]
+        + [(2000 + i, f"fresh doc {i}") for i in range(150)],
+        "doc_id long, text string",
+    )
+    survivors = incremental_dedup(new, corpus).collect()
+    ids = sorted(r["doc_id"] for r in survivors)
+    assert ids == [2000 + i for i in range(150)]  # exact: dups gone, fresh kept
+
+    # the bloom itself: no false negatives by construction; FP rate sane
+    bm, m, k = corpus_bloom(corpus, F.md5("text"))
+    import numpy as np
+
+    bits_set = int(np.unpackbits(np.frombuffer(bm, dtype=np.uint8)).sum())
+    assert 0 < bits_set <= 200 * k  # <= n*k bits set, > 0
