@@ -584,12 +584,60 @@ def storage_micro(rng_table_dir: str, bloom_table_dir: str | None = None) -> dic
                 [absent],
             )
         )
+    # Text index (r6): keyword probe from the token->bitmap postings vs the
+    # decode-and-tokenize fallback (what a probe costs without the index).
+    # One segment of 8x-duplicated document texts, built directly through
+    # the storage writer.
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pinot_segment.metadata import DataType
+    from pinot_segment.writer import ColumnSpec, write_segment
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(doc_path):
+        texts = pq.read_table(doc_path, columns=["text"]).column(0).to_pylist()
+        texts = texts * 8
+        tseg = write_segment(
+            tempfile.mkdtemp(prefix="textmicro_"),
+            "tm",
+            "tm",
+            [
+                ColumnSpec(
+                    "text", DataType.STRING, texts, raw=True, text_index=True
+                )
+            ],
+        )
+        tr = SegmentReader.open(str(tseg))
+        out["text_docs"] = len(texts)
+        out["text_match_postings_ms"] = med_ms(
+            lambda: tr.text_match_mask("text", ["spark", "join"])
+        )
+
+        def tm_fallback():
+            from pinot_segment.text_index import tokenize
+
+            vals = tr.read_column("text")
+            return np.fromiter(
+                (
+                    "spark" in s and "join" in s
+                    for s in (set(tokenize(v)) for v in vals)
+                ),
+                dtype=bool,
+                count=len(vals),
+            )
+
+        out["text_match_scan_ms"] = med_ms(tm_fallback, runs=3)
+
     for pair in (
         ("mask_inverted_ms", "mask_forward_ms"),
         ("decode_selection_ms", "decode_dense_filter_ms"),
         ("raw_take_selective_ms", "raw_dense_take_ms"),
         ("sorted_slice_ms", "sorted_full_ms"),
         ("bloom_miss_probe_ms", "bloom_fullscan_mask_ms"),
+        ("text_match_postings_ms", "text_match_scan_ms"),
     ):
         if pair[0] in out and pair[1] in out and out[pair[0]]:
             out[f"speedup_{pair[0][:-3]}"] = round(out[pair[1]] / out[pair[0]], 2)

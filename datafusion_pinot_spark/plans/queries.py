@@ -3701,6 +3701,60 @@ def q_pinot_bloom_point_lookup(spark, sf):
 
 
 @register(
+    "pinot_text_match_scan",
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+       FROM documents
+       WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t = 'spark')) > 0
+         AND len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t = 'join')) > 0
+       GROUP BY lang ORDER BY lang""",
+    "parity",
+    ["pinot", "storage", "text", "filter", "llm"],
+)
+def q_pinot_text_match_scan(spark, sf):
+    """Keyword probe through the per-segment text index (Pinot's
+    text_index type; beyond the reference — README.md:311-315 lists index
+    support as out of scope). Documents are written with RAW text plus
+    token->doc-bitmap postings; the `text_match` read option answers
+    "docs containing ALL of these tokens" from the postings without
+    decoding the text column, then selection-decodes only the matches.
+    The oracle applies the SAME analyzer (lowercase [a-z0-9]+ runs) in
+    DuckDB. The storage-side complement of the corpus text operators: a
+    100 TB segment-resident corpus serves audit/curation keyword pulls
+    without a full decode."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="textidx_"), "docs_OFFLINE")
+    (
+        t(spark, sf, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+        .repartition(8)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "text")
+        .option("text_index", "text")
+        .save(out)
+    )
+    back = (
+        spark.read.format("pinot")
+        .option("text_match", "text:spark join")
+        .load(out)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "pinot_partition_pruned_lookup",
     """SELECT l_orderkey, count(*) AS n,
               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
@@ -4416,6 +4470,7 @@ DRIVER_WINDOW: list[str] = [
     "ngram_repetition_stats",  # r6: Gopher duplicate/top n-gram fractions
     "pii_redact_events",  # r6: PII detection + chained masking
     "incremental_dedup_bloom",  # r6: corpus-bloom prefiltered exact dedup
+    "pinot_text_match_scan",  # r6: text-index keyword probe through storage
     "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
     "pinot_compacted_agg",  # r6: distributed segment compaction
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune

@@ -169,6 +169,12 @@ class PinotInputPartition(InputPartition):
     # read task synthesize all-NULL arrays for columns a segment predates
     # (schema evolution — Pinot's add-column-with-default behavior).
     column_types: tuple = ()
+    # Text-match probe (Pinot's TEXT_MATCH over a text_index): a
+    # (column, terms-tuple, require_all) triple from the `text_match` read
+    # option, or None. Answered from the segment's token->bitmap postings
+    # when present, by decode-and-tokenize otherwise — same analyzer, same
+    # result.
+    text_match: "tuple[str, tuple[str, ...], bool] | None" = None
 
 
 class PinotDataSource(DataSource):
@@ -227,7 +233,32 @@ class PinotDataSource(DataSource):
                 raise ValueError(
                     "segments_per_partition must be >= 1 or 'auto'"
                 )
-        return PinotDataSourceReader(schema, self._segments(), spp)
+        return PinotDataSourceReader(
+            schema, self._segments(), spp, self._text_match_option()
+        )
+
+    def _text_match_option(self):
+        """Parse `text_match` = "col:term [term ...]" (plus `text_match_mode`
+        = all|any, default all) into the partition triple, analyzing the
+        probe string with the INDEX's analyzer so e.g. "Spark-SQL" probes
+        the tokens the writer actually indexed."""
+        opt = self.options.get("text_match")
+        if not opt:
+            return None
+        from pinot_segment.text_index import tokenize
+
+        col, sep, probe = opt.partition(":")
+        if not sep or not col.strip() or not probe.strip():
+            raise ValueError(
+                "text_match must look like 'column:term [term ...]'"
+            )
+        terms = tuple(tokenize(probe))
+        if not terms:
+            raise ValueError(f"text_match probe has no tokens: {probe!r}")
+        mode = (self.options.get("text_match_mode") or "all").lower()
+        if mode not in ("all", "any"):
+            raise ValueError("text_match_mode must be 'all' or 'any'")
+        return (col.strip(), terms, mode == "all")
 
     def streamReader(self, schema: StructType) -> "PinotStreamReader":
         path = self.options.get("path")
@@ -278,6 +309,7 @@ class PinotDataSource(DataSource):
             self._column_set_option("inverted"),
             self._column_set_option("bloom"),
             self._partition_option(),
+            self._column_set_option("text_index"),
         )
 
     def streamWriter(
@@ -313,12 +345,14 @@ class PinotDataSourceReader(DataSourceReader):
         schema: StructType,
         segments: list[str],
         segments_per_partition: int = 1,
+        text_match: "tuple[str, tuple[str, ...], bool] | None" = None,
     ) -> None:
         self._schema = schema
         self._columns = tuple(f.name for f in schema.fields)
         self._ctypes = tuple(f.dataType.simpleString() for f in schema.fields)
         self._segments = segments
         self._spp = segments_per_partition
+        self._text_match = text_match
         self._pushed: list[Filter] = []
 
     # -- filter pushdown (rebuild improvement over table.rs:163) ------------
@@ -437,7 +471,11 @@ class PinotDataSourceReader(DataSourceReader):
         if not survivors:
             # All segments zone-map-pruned. Spark still schedules one task for
             # an empty partitions list (passing None), so hand it a sentinel.
-            return [PinotInputPartition((), self._columns, (), self._ctypes)]
+            return [
+                PinotInputPartition(
+                    (), self._columns, (), self._ctypes, self._text_match
+                )
+            ]
         pushed = tuple(self._pushed)
         if self._spp == 0:
             # auto: greedy doc-count packing from manifest stats, so a
@@ -457,18 +495,29 @@ class PinotDataSourceReader(DataSourceReader):
                 )
                 if bucket and docs + seg_docs > self._AUTO_DOCS_PER_TASK:
                     parts.append(
-                        PinotInputPartition(tuple(bucket), self._columns, pushed, self._ctypes)
+                        PinotInputPartition(
+                            tuple(bucket), self._columns, pushed,
+                            self._ctypes, self._text_match,
+                        )
                     )
                     bucket, docs = [], 0
                 bucket.append(seg)
                 docs += seg_docs
             if bucket:
                 parts.append(
-                    PinotInputPartition(tuple(bucket), self._columns, pushed, self._ctypes)
+                    PinotInputPartition(
+                        tuple(bucket), self._columns, pushed,
+                        self._ctypes, self._text_match,
+                    )
                 )
             return parts
         spp = self._spp
-        if not self._columns and not self._pushed and spp == 1:
+        if (
+            not self._columns
+            and not self._pushed
+            and self._text_match is None
+            and spp == 1
+        ):
             spp = self._COUNT_PACK
         return [
             PinotInputPartition(
@@ -476,6 +525,7 @@ class PinotDataSourceReader(DataSourceReader):
                 self._columns,
                 pushed,
                 self._ctypes,
+                self._text_match,
             )
             for i in range(0, len(survivors), spp)
         ]
@@ -489,7 +539,11 @@ class PinotDataSourceReader(DataSourceReader):
 
         if partition is None:
             return
-        if not partition.columns and not partition.filters:
+        if (
+            not partition.columns
+            and not partition.filters
+            and partition.text_match is None
+        ):
             # Unfiltered metadata-only COUNT(*): parse metadata.properties
             # alone (no index_map / columns.psf open — the reference's
             # exec.rs:92-95 metadata count). Zero-column nonzero-row batches
@@ -548,6 +602,15 @@ class PinotDataSourceReader(DataSourceReader):
             mask = _row_mask(reader, filters, rng)
             if mask is not None and not mask.any():
                 continue
+            if partition.text_match is not None:
+                # TEXT_MATCH probe: postings bitmap when the segment has a
+                # text index, decode-and-tokenize otherwise — either way a
+                # plain row mask that composes with the pushed filters, so
+                # selection decode (O(matches)) kicks in below unchanged.
+                tm = _text_match_rows(reader, partition.text_match, rng)
+                mask = tm if mask is None else (mask & tm)
+                if not mask.any():
+                    continue
             if not partition.columns:
                 # Empty projection — COUNT(*) via `.option("columns", "")`.
                 # The row count comes from segment metadata (or the filter
@@ -894,9 +957,11 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         inverted_columns: set | None = None,
         bloom_columns: set | None = None,
         partition_option: "tuple[str, int] | None" = None,
+        text_index_columns: set | None = None,
     ) -> None:
         inverted_columns = inverted_columns or set()
         bloom_columns = bloom_columns or set()
+        text_index_columns = text_index_columns or set()
         if partition_option is not None:
             pcol = partition_option[0]
             ptypes = {f.name: f.dataType.simpleString() for f in schema.fields}
@@ -942,6 +1007,11 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                 raise ValueError(
                     f"bloom filter requires a single-value column: {f.name}"
                 )
+            if f.name in text_index_columns and t != "string":
+                raise ValueError(
+                    f"text index requires a single-value STRING column: "
+                    f"{f.name}"
+                )
         self._schema = schema
         self._path = path
         self._table = table
@@ -949,6 +1019,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         self._inverted = inverted_columns
         self._bloom = bloom_columns
         self._partition = partition_option
+        self._text_index = text_index_columns
         self._overwrite = overwrite
 
     def write(self, iterator) -> PinotWriterCommitMessage:
@@ -1047,6 +1118,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                         compression=compression,
                         null_mask=null_mask,
                         bloom=f.name in self._bloom,
+                        text_index=f.name in self._text_index,
                         partition_config=(
                             ("Modulo", self._partition[1])
                             if self._partition and f.name == self._partition[0]
@@ -1063,6 +1135,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                         null_mask=null_mask,
                         inverted=f.name in self._inverted,
                         bloom=f.name in self._bloom,
+                        text_index=f.name in self._text_index,
                         partition_config=(
                             ("Modulo", self._partition[1])
                             if self._partition and f.name == self._partition[0]
@@ -1503,6 +1576,47 @@ def _sorted_row_range(reader, filters):
             continue
         rng = r if rng is None else (max(rng[0], r[0]), min(rng[1], r[1]))
     return rng
+
+
+def _text_match_rows(reader, text_match, row_range=None):
+    """Per-doc mask for the text_match read option, clipped to the sorted
+    row range: answered from the segment's token->bitmap postings when it
+    carries a text index (SegmentReader.text_match_mask), by
+    decode-and-tokenize with the SAME analyzer otherwise; a column this
+    segment predates (schema evolution) is all-NULL and matches nothing;
+    null docs never match (the index skips them at build time, the
+    fallback masks them out)."""
+    import numpy as np
+
+    from pinot_segment.metadata import DataType
+
+    col, terms, require_all = text_match
+    n = reader.total_docs()
+    if col not in reader.metadata.columns:
+        m = np.zeros(n, dtype=bool)
+    else:
+        if reader.metadata.get_column(col).data_type is not DataType.STRING:
+            raise ValueError(
+                f"text_match requires a STRING column, got {col}"
+            )
+        m = reader.text_match_mask(col, terms, require_all)
+        if m is None:
+            from pinot_segment.text_index import tokenize
+
+            vals = reader.read_column(col)
+
+            def hit(v) -> bool:
+                toks = set(tokenize(v))
+                got = (t in toks for t in terms)
+                return all(got) if require_all else any(got)
+
+            m = np.fromiter((hit(v) for v in vals), dtype=bool, count=n)
+            nm = reader.null_mask(col)
+            if nm is not None:
+                m &= ~nm
+    if row_range is not None:
+        m = m[row_range[0] : row_range[1]]
+    return m
 
 
 def _row_mask(reader, filters, row_range=None):

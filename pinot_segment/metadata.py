@@ -89,6 +89,10 @@ class ColumnMetadata:
     # index type): true when the segment carries a distinct-value bloom
     # filter for point-lookup segment skipping (bloom.py).
     has_bloom_filter: bool = False
+    # Text-index support (beyond the reference; Pinot's text_index type):
+    # true when the segment carries token -> doc-bitmap postings for the
+    # column (text_index.py).
+    has_text_index: bool = False
     # Column partition map (beyond the reference; Pinot's
     # segmentPartitionConfig / per-segment partition metadata): the
     # partition function, modulus, and the partition ids actually present
@@ -251,6 +255,7 @@ def _parse_column(
         has_null_values=get("hasNullValues") == "true",
         has_inverted_index=get("hasInvertedIndex") == "true",
         has_bloom_filter=get("hasBloomFilter") == "true",
+        has_text_index=get("hasTextIndex") == "true",
         partition_function=get("partitionFunction"),
         num_partitions=get_int("numPartitions"),
         partition_values=tuple(

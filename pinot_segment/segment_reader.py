@@ -429,6 +429,29 @@ class SegmentReader:
             mask |= unpack_bits(bitmap, 1, n).astype(bool)
         return mask
 
+    def text_match_mask(
+        self, name: str, terms, require_all: bool = True
+    ) -> "np.ndarray | None":
+        """Per-doc mask for "value contains ALL (or ANY) of these tokens"
+        from the text_index postings (writer.py's emit_text_index,
+        text_index.py's layout/analyzer). None when the column carries no
+        text index — callers fall back to decode-and-tokenize."""
+        col = self.metadata.get_column(name)
+        if not col.has_text_index:
+            return None
+        loc = self.index_map.get_index(name, "text_index")
+        if loc is None:
+            raise InvalidFormatError(
+                f"Column {name} declares hasTextIndex but has no "
+                "text_index entry"
+            )
+        from pinot_segment.text_index import TextIndex
+
+        with open(self._psf, "rb") as f:
+            f.seek(loc.start_offset)
+            blob = f.read(loc.size)
+        return TextIndex(blob, col.total_docs).match_mask(terms, require_all)
+
     def dict_match_mask(self, name: str, values) -> "np.ndarray | None":
         """Equality/IN mask for a single-value dictionary column WITHOUT
         touching value space per doc: each probe value maps to its dict id

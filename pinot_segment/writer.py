@@ -92,7 +92,15 @@ class ColumnSpec:
         inverted: bool = False,
         bloom: bool = False,
         partition_config: "tuple[str, int] | None" = None,
+        text_index: bool = False,
     ) -> None:
+        if text_index and (multi_value or data_type is not DataType.STRING):
+            # The analyzer tokenizes string values; other types have no
+            # defined token stream (and MV strings no probe path yet).
+            raise ValueError(
+                f"column '{name}': text index requires a single-value "
+                "STRING column"
+            )
         if partition_config is not None:
             # Column partition map (Pinot's segmentPartitionConfig):
             # ("Modulo", N). Only floor-mod over integer keys is defined —
@@ -188,6 +196,7 @@ class ColumnSpec:
         self.inverted = inverted
         self.bloom = bloom
         self.partition_config = partition_config
+        self.text_index = text_index
 
     def flat_values(self) -> list:
         """Flattened value stream (the per-doc values, concatenated)."""
@@ -473,6 +482,27 @@ def write_segment(
         )
         meta_lines.append(f"column.{spec.name}.hasBloomFilter=true")
 
+    def emit_text_index(spec: ColumnSpec) -> None:
+        """Token -> doc-bitmap postings (beyond the reference; Pinot's
+        text_index type — see text_index.py for the layout and analyzer
+        contract). Works for dictionary AND raw STRING columns (it indexes
+        the original value stream, not dict ids). Addressed by
+        ``{column}.text_index`` index_map entries."""
+        if not spec.text_index:
+            return
+        from pinot_segment import text_index as ti
+
+        blob = ti.build_text_index(spec.values, spec.null_mask)
+        start = len(psf)
+        psf.extend(blob)
+        index_lines.extend(
+            (
+                f"{spec.name}.text_index.startOffset={start}",
+                f"{spec.name}.text_index.size={len(blob)}",
+            )
+        )
+        meta_lines.append(f"column.{spec.name}.hasTextIndex=true")
+
     def emit_nullvector(spec: ColumnSpec) -> None:
         """Null-vector index (beyond the reference): 8-byte magic + 1-bit
         big-endian packed per-doc null flags (1 = null), addressed by a
@@ -537,6 +567,7 @@ def write_segment(
                     ]
             emit_bloom(spec)
             emit_partition_map(spec)
+            emit_text_index(spec)
             emit_nullvector(spec)
             continue
 
@@ -632,6 +663,7 @@ def write_segment(
         emit_inverted(spec, dict_ids, len(uniq))
         emit_bloom(spec, distinct_values=uniq)
         emit_partition_map(spec)
+        emit_text_index(spec)
         emit_nullvector(spec)
 
     (v3 / "metadata.properties").write_text("\n".join(meta_lines) + "\n")
