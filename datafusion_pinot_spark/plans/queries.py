@@ -4436,13 +4436,8 @@ def q_doc_repetition(spark, sf):
 DRIVER_WINDOW: list[str] = [
     # -- storage layer end-to-end (write -> encode -> decode -> scan) --
     "pinot_roundtrip_agg",
-    "pinot_bytes_dict_roundtrip",  # r3: BYTES dictionary read/write
-    "pinot_multivalue_roundtrip",  # r3: multi-value columns
-    "pinot_raw_numeric_roundtrip",  # r3: RAW numerics + metadata zone maps
-    "pinot_timestamp_roundtrip",  # r3: TIMESTAMP (epoch-millis LONG)
     "pinot_lineitem_q1",  # r3: FULL fact table in pinot format, Q1 on top
     # -- relational additions --
-    "window_range_frame",
     "array_agg_sources",
     "range_join_nearby_events",
     "events_gapfill_hourly",
@@ -4507,6 +4502,11 @@ DRIVER_WINDOW: list[str] = [
     "doc_repetition_stats",
     # Veterans rotated out of the window — all driver-green at least twice
     # and pinned by tests/test_queries_oracle.py + tools/oracle_check.py:
+    # r6-continuation rotations (making room for the six new r6 queries
+    # while keeping the once-green r5 entries in for their second check):
+    # pinot_bytes_dict_roundtrip, pinot_multivalue_roundtrip,
+    # pinot_raw_numeric_roundtrip, pinot_timestamp_roundtrip,
+    # window_range_frame — each green in r3 AND r5.
     # q1_pricing_summary, join_5way_region_revenue, approx_distinct,
     # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,
