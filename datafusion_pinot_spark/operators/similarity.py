@@ -688,3 +688,300 @@ def embedding_cosine_dup_pairs(
         F.col("b.vec_id").alias("vec_b"),
         F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
     ).filter(F.col("sim") >= threshold)
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half)
+# ---------------------------------------------------------------------------
+# PQ splits each dim-d vector into PQ_M subvectors and replaces each with
+# the id of its nearest entry in a per-subspace codebook: 64 float32s
+# (256 B) become PQ_M bytes (32x), and ADC (asymmetric distance
+# computation) scores a query against millions of codes from an m x ksub
+# lookup table without touching the original floats — the standard
+# billion-scale ANN memory layout (Jegou et al. 2011, public).
+
+PQ_M = 8  # subspaces
+PQ_KSUB = 16  # codebook entries per subspace (4-bit codes)
+
+
+def _sub_slices(col, m: int, dim: int):
+    dsub = dim // m
+    return F.array(*[F.slice(col, s * dsub + 1, dsub) for s in range(m)])
+
+
+def _l2_sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def pq_codebooks_df(
+    emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = EMBEDDING_DIM
+) -> DataFrame:
+    """Deterministic data-derived codebooks — entry ``code`` of subspace
+    ``sub`` is the sub-vector of vec_id ``code`` (the non-iterative
+    stand-in that keeps the query DuckDB-checkable, exactly like the IVF
+    query's static centroids; ``pq_train`` is the Lloyd-trained
+    production variant, numpy-validated in tests)."""
+    return (
+        emb.filter(F.col("vec_id") < ksub)
+        .select(
+            F.col("vec_id").cast("int").alias("code"),
+            F.posexplode(_sub_slices(F.col("v"), m, dim)).alias("sub", "c_sub"),
+        )
+        .select("sub", "code", "c_sub")
+    )
+
+
+def pq_encode_engine(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Engine-side PQ encode: (vec_id, sub, code) — per subspace, the
+    codebook entry minimizing squared L2 (ties -> lowest code). Narrow map
+    against a broadcast codebook; the argmin rides a window keyed by
+    (vec_id, sub). The production encode is the same math through
+    ``pq_encode``'s Arrow-batched numpy (no N x ksub row blowup)."""
+    sv = emb.select(
+        "vec_id", F.posexplode(_sub_slices(F.col("v"), m, dim)).alias("sub", "sub_v")
+    )
+    scored = sv.join(F.broadcast(codebooks), "sub").select(
+        "vec_id", "sub", "code", _l2_sq(F.col("sub_v"), F.col("c_sub")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "sub", "code")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """ADC top-k over engine-encoded PQ codes: each query precomputes an
+    m x ksub table of subspace distances to every codebook entry (tiny,
+    broadcast); a candidate's approximate distance is the sub-ordered fold
+    of its m table entries — deterministic association, so DuckDB
+    reproduces it bit-for-bit (same left-fold discipline as the cosine
+    queries). One shuffle keys the (q_id, vec_id) regroup.
+
+    Scale: codes are m bytes/vector; at 100 TB ADC runs as a narrow
+    mapInPandas over the packed codes with the table in a broadcast
+    (``pq_search``) and only per-partition top-k survivors reach the final
+    rank — this engine-side variant is the oracle-checkable spec of that
+    path, and the compression itself is proven through storage by
+    `embedding_binary_storage_stats`'s RAW BYTES layout."""
+    emb = embeddings.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    codebooks = pq_codebooks_df(emb, m, ksub, dim)
+    codes = pq_encode_engine(emb, codebooks, m, dim)
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.posexplode(_sub_slices(F.col("v"), m, dim)).alias("sub", "q_sub"),
+    )
+    dq = q.join(F.broadcast(codebooks), "sub").select(
+        "q_id", "sub", "code", _l2_sq(F.col("q_sub"), F.col("c_sub")).alias("dq")
+    )
+    scored = (
+        codes.join(F.broadcast(dq), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("sub", "dq"))),
+                        lambda s: s["dq"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "adist", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def pq_adc_topk_oracle_sql(
+    query_ids: list[int],
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = EMBEDDING_DIM,
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    dsub = dim // m
+    sub_slice = (
+        f"v[s.sub * {dsub} + 1 : s.sub * {dsub} + {dsub}]"
+    )
+    l2 = (
+        f"list_reduce(list_transform(generate_series(1, {dsub}),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (p, q) -> p + q)"
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), subs AS (SELECT unnest(range(0, {m})) AS sub),
+sv AS (
+  SELECT e.vec_id, s.sub, {sub_slice} AS sub_v
+  FROM emb e CROSS JOIN subs s
+), codebooks AS (
+  SELECT sub, CAST(vec_id AS INT) AS code, sub_v AS c_sub
+  FROM sv WHERE vec_id < {ksub}
+), codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT t.vec_id, t.sub, c.code,
+           row_number() OVER (
+             PARTITION BY t.vec_id, t.sub
+             ORDER BY {l2.format(a="t.sub_v", b="c.c_sub")} ASC, c.code ASC
+           ) AS rnk
+    FROM sv t JOIN codebooks c USING (sub)
+  ) WHERE rnk = 1
+), dq AS (
+  SELECT t.vec_id AS q_id, t.sub, c.code,
+         {l2.format(a="t.sub_v", b="c.c_sub")} AS dq
+  FROM sv t JOIN codebooks c USING (sub)
+  WHERE t.vec_id IN ({ids})
+), scored AS (
+  SELECT d.q_id, co.vec_id,
+         round(list_reduce(list(d.dq ORDER BY d.sub),
+                           (p, q) -> p + q), 6) AS adist
+  FROM codes co JOIN dq d ON co.sub = d.sub AND co.code = d.code
+  WHERE co.vec_id <> d.q_id
+  GROUP BY d.q_id, co.vec_id
+)
+SELECT q_id, vec_id, adist, rnk FROM (
+  SELECT q_id, vec_id, adist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adist ASC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k} ORDER BY q_id, rnk
+"""
+
+
+def pq_train(vectors, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = 5):
+    """Lloyd-trained per-subspace codebooks over a numpy sample
+    (codebooks train on a bounded sample by construction — at 100 TB a
+    ~100k-row sample is the standard practice, collected once). Returns
+    (m, ksub, dsub) float64. Deterministic init: first ksub sample rows."""
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    n, dim = x.shape
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        c = xs[:ksub].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for j in range(ksub):
+                sel = xs[a == j]
+                if len(sel):
+                    c[j] = sel.mean(0)
+        books[s] = c
+    return books
+
+
+def pq_encode(embeddings: DataFrame, codebooks) -> DataFrame:
+    """Production encode: Arrow-batched numpy argmin per subspace;
+    (vec_id, codes binary) with m bytes per vector — the 32x-compressed
+    layout `embedding_binary_storage_stats` then carries through RAW
+    BYTES segments."""
+    import numpy as np
+
+    books = np.asarray(codebooks)
+    m, ksub, dsub = books.shape
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+
+    def enc(batches):
+        import pandas as pd
+
+        b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for s in range(m):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                d = ((xs[:, None, :] - b[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d.argmin(1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": [c.tobytes() for c in codes]}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        enc, "vec_id long, codes binary"
+    )
+
+
+def pq_search(codes_df: DataFrame, queries, codebooks, k: int = 10) -> DataFrame:
+    """Production ADC: per-partition numpy scoring of packed codes against
+    broadcast query distance tables, partial top-k per partition, global
+    rank on the (tiny) survivor set — the billion-scale shape: no float
+    vectors move, no full-corpus shuffle (only n_partitions x k rows)."""
+    import numpy as np
+
+    books = np.asarray(codebooks)
+    m, ksub, dsub = books.shape
+    qs = np.asarray(queries, dtype=np.float64)
+    tables = np.empty((len(qs), m, ksub))
+    for s in range(m):
+        qsub = qs[:, s * dsub : (s + 1) * dsub]
+        tables[:, s, :] = ((qsub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+    spark = codes_df.sparkSession
+    bc = spark.sparkContext.broadcast(tables)
+
+    def score(batches):
+        import pandas as pd
+
+        t = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(
+                [np.frombuffer(c, dtype=np.uint8) for c in pdf["codes"]]
+            )
+            out = []
+            for qi in range(len(t)):
+                d = t[qi][np.arange(m)[None, :], codes].sum(1)
+                top = np.argsort(d, kind="stable")[:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_idx": qi,
+                            "vec_id": pdf["vec_id"].to_numpy()[top],
+                            "adist": d[top],
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    partial = codes_df.mapInPandas(score, "q_idx int, vec_id long, adist double")
+    w = Window.partitionBy("q_idx").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("q_idx", "rnk")
+    )

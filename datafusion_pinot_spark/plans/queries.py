@@ -981,6 +981,22 @@ def _register_llm():
         "llm",
         ["text", "quality", "scoring"],
     )(lambda spark, sf: text.word_commonness(_docs(spark, sf)))
+    # Product-quantization ADC top-k (the IVF-PQ compression half): codes
+    # + distance-table scoring end-to-end in engine expressions, with the
+    # deterministic data-derived codebooks that keep it DuckDB-checkable
+    # (the Lloyd-trained numpy path is pytest-pinned for recall).
+    from datafusion_pinot_spark.operators import similarity
+
+    register(
+        "ann_pq_adc_topk",
+        similarity.pq_adc_topk_oracle_sql([20, 21], k=10),
+        "llm",
+        ["similarity", "ann", "pq", "quantization"],
+    )(
+        lambda spark, sf: similarity.pq_adc_topk(
+            t(spark, sf, "embeddings"), [20, 21], k=10
+        )
+    )
     # Incremental (crawl-ingest) dedup: the new batch (doc_id % 5 = 0) is
     # pruned by a broadcast corpus bloom filter, then exactly verified
     # with a semi-join — exact output, so the oracle is a plain anti-join
@@ -4439,7 +4455,6 @@ DRIVER_WINDOW: list[str] = [
     "pinot_lineitem_q1",  # r3: FULL fact table in pinot format, Q1 on top
     # -- relational additions --
     "array_agg_sources",
-    "range_join_nearby_events",
     "events_gapfill_hourly",
     "session_window_agg",
     # -- r6 additions (standing rotation rule: round-N queries enter the
@@ -4466,6 +4481,7 @@ DRIVER_WINDOW: list[str] = [
     "pii_redact_events",  # r6: PII detection + chained masking
     "incremental_dedup_bloom",  # r6: corpus-bloom prefiltered exact dedup
     "pinot_text_match_scan",  # r6: text-index keyword probe through storage
+    "ann_pq_adc_topk",  # r6: product-quantization ADC top-k (hash-checked)
     "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
     "pinot_compacted_agg",  # r6: distributed segment compaction
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
@@ -4506,7 +4522,8 @@ DRIVER_WINDOW: list[str] = [
     # while keeping the once-green r5 entries in for their second check):
     # pinot_bytes_dict_roundtrip, pinot_multivalue_roundtrip,
     # pinot_raw_numeric_roundtrip, pinot_timestamp_roundtrip,
-    # window_range_frame — each green in r3 AND r5.
+    # window_range_frame, range_join_nearby_events — each green in r3 AND
+    # r5.
     # q1_pricing_summary, join_5way_region_revenue, approx_distinct,
     # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,

@@ -390,3 +390,58 @@ def test_incremental_dedup_bloom_exact_and_prunes(spark):
 
     bits_set = int(np.unpackbits(np.frombuffer(bm, dtype=np.uint8)).sum())
     assert 0 < bits_set <= 200 * k  # <= n*k bits set, > 0
+
+
+def test_pq_engine_encode_matches_numpy_and_search_recall(spark):
+    from datafusion_pinot_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_df,
+        pq_encode,
+        pq_encode_engine,
+        pq_search,
+        pq_train,
+    )
+    from datafusion_pinot_spark.functions import as_double_array
+
+    rng = np.random.RandomState(11)
+    # clustered data so quantization has structure to find
+    centers = rng.randn(4, 64) * 3
+    vecs = np.vstack(
+        [centers[i % 4] + rng.randn(64) * 0.5 for i in range(120)]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+
+    # 1) engine-side encode == numpy encode for the deterministic codebooks
+    emb = df.select("vec_id", as_double_array("embedding").alias("v"))
+    books0 = np.stack(
+        [vecs[:16, s * 8 : (s + 1) * 8].astype(np.float64) for s in range(8)]
+    )
+    engine_codes = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode_engine(emb, pq_codebooks_df(emb)).collect()
+    }
+    numpy_codes = {
+        r["vec_id"]: np.frombuffer(r["codes"], dtype=np.uint8)
+        for r in pq_encode(df, books0).collect()
+    }
+    for (vid, sub), code in engine_codes.items():
+        assert numpy_codes[vid][sub] == code
+
+    # 2) Lloyd-trained books: compression is m bytes/vector; ADC recall@10
+    # against exact L2 is well above chance
+    books = pq_train(vecs, iters=4)
+    codes_df = pq_encode(df, books)
+    assert all(len(r["codes"]) == 8 for r in codes_df.collect())  # 32x
+    q_ids = [100, 101]
+    got = pq_search(codes_df, vecs[q_ids], books, k=10).collect()
+    x = vecs.astype(np.float64)
+    recalls = []
+    for qi, qid in enumerate(q_ids):
+        d = ((x - x[qid]) ** 2).sum(1)
+        exact = set(np.argsort(d, kind="stable")[:10])
+        approx = {r["vec_id"] for r in got if r["q_idx"] == qi}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5
