@@ -631,6 +631,40 @@ def storage_micro(rng_table_dir: str, bloom_table_dir: str | None = None) -> dic
 
         out["text_match_scan_ms"] = med_ms(tm_fallback, runs=3)
 
+    # Range index (r6): selective range mask on an UNCLUSTERED numeric
+    # column — bucket classify + selection-decode of boundary candidates
+    # vs full decode + compare (what every segment pays without the index,
+    # since hash layout defeats zone maps and sorted slices alike).
+    # dictionary-encoded filter column — the case the read path uses the
+    # index for (RAW fixed-width numerics decode faster than the index
+    # reads, so the datasource skips it there; see range_index.py)
+    rng_vals = np.random.RandomState(0).permutation(1_000_000).astype(np.int64)
+    rseg = write_segment(
+        tempfile.mkdtemp(prefix="rangemicro_"),
+        "rm",
+        "rm",
+        [ColumnSpec("k", DataType.LONG, rng_vals, range_index=True)],
+    )
+    rr = SegmentReader.open(str(rseg))
+
+    def range_via_index():
+        definite, cand = rr.range_classify("k", 1000, True, 11000, False)
+        sel = np.flatnonzero(cand)
+        if len(sel):
+            vs = rr.read_columns_arrow(["k"], selection=sel).column(0).to_numpy()
+            m = definite.copy()
+            m[sel[(vs >= 1000) & (vs < 11000)]] = True
+            return m
+        return definite
+
+    out["range_docs"] = len(rng_vals)
+    out["range_index_mask_ms"] = med_ms(range_via_index)
+    out["range_fullscan_mask_ms"] = med_ms(
+        lambda: (
+            lambda v: (v >= 1000) & (v < 11000)
+        )(np.asarray(SegmentReader.open(str(rseg)).read_column("k")))
+    )
+
     for pair in (
         ("mask_inverted_ms", "mask_forward_ms"),
         ("decode_selection_ms", "decode_dense_filter_ms"),
@@ -638,6 +672,7 @@ def storage_micro(rng_table_dir: str, bloom_table_dir: str | None = None) -> dic
         ("sorted_slice_ms", "sorted_full_ms"),
         ("bloom_miss_probe_ms", "bloom_fullscan_mask_ms"),
         ("text_match_postings_ms", "text_match_scan_ms"),
+        ("range_index_mask_ms", "range_fullscan_mask_ms"),
     ):
         if pair[0] in out and pair[1] in out and out[pair[0]]:
             out[f"speedup_{pair[0][:-3]}"] = round(out[pair[1]] / out[pair[0]], 2)

@@ -3771,6 +3771,57 @@ def q_pinot_text_match_scan(spark, sf):
 
 
 @register(
+    "pinot_range_index_scan",
+    """SELECT count(*) AS n,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DOUBLE), 2) AS sum_qty
+       FROM lineitem WHERE l_partkey >= 100 AND l_partkey < 160""",
+    "parity",
+    ["pinot", "storage", "range", "filter"],
+)
+def q_pinot_range_index_scan(spark, sf):
+    """Selective range scan through the per-segment range index (Pinot's
+    range_index type; beyond the reference). Lineitem is hash-laid-out on
+    l_orderkey, so the dict-encoded l_partkey is UNCLUSTERED — whole-
+    segment zone maps can't prune and a sorted-range slice doesn't exist;
+    the equal-count value buckets classify docs as definite/candidate and
+    only boundary-bucket candidates are verified, skipping the dictionary
+    decode the plain path pays (27x per segment, storage_micro; the read
+    path deliberately skips the index for fixed-width RAW columns, where
+    a vectorized decode+compare is already faster than reading an
+    index of the same size — range_index.py). tests/test_range_index.py
+    pins soundness. The oracle applies the same range to the original
+    parquet."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="rangeidx_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .repartition(8, "l_orderkey")
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("range_index", "l_partkey")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.filter((F.col("l_partkey") >= 100) & (F.col("l_partkey") < 160))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("sum_qty"),
+        )
+    )
+
+
+@register(
     "pinot_partition_pruned_lookup",
     """SELECT l_orderkey, count(*) AS n,
               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
@@ -4455,7 +4506,6 @@ DRIVER_WINDOW: list[str] = [
     "pinot_lineitem_q1",  # r3: FULL fact table in pinot format, Q1 on top
     # -- relational additions --
     "array_agg_sources",
-    "events_gapfill_hourly",
     "session_window_agg",
     # -- r6 additions (standing rotation rule: round-N queries enter the
     # round-N window) --
@@ -4482,6 +4532,7 @@ DRIVER_WINDOW: list[str] = [
     "incremental_dedup_bloom",  # r6: corpus-bloom prefiltered exact dedup
     "pinot_text_match_scan",  # r6: text-index keyword probe through storage
     "ann_pq_adc_topk",  # r6: product-quantization ADC top-k (hash-checked)
+    "pinot_range_index_scan",  # r6: range-index scan on unclustered dict col
     "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
     "pinot_compacted_agg",  # r6: distributed segment compaction
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
@@ -4522,8 +4573,8 @@ DRIVER_WINDOW: list[str] = [
     # while keeping the once-green r5 entries in for their second check):
     # pinot_bytes_dict_roundtrip, pinot_multivalue_roundtrip,
     # pinot_raw_numeric_roundtrip, pinot_timestamp_roundtrip,
-    # window_range_frame, range_join_nearby_events — each green in r3 AND
-    # r5.
+    # window_range_frame, range_join_nearby_events, events_gapfill_hourly
+    # — each green in r3 AND r5.
     # q1_pricing_summary, join_5way_region_revenue, approx_distinct,
     # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,

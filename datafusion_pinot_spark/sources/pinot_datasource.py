@@ -310,6 +310,7 @@ class PinotDataSource(DataSource):
             self._column_set_option("bloom"),
             self._partition_option(),
             self._column_set_option("text_index"),
+            self._column_set_option("range_index"),
         )
 
     def streamWriter(
@@ -958,10 +959,12 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         bloom_columns: set | None = None,
         partition_option: "tuple[str, int] | None" = None,
         text_index_columns: set | None = None,
+        range_index_columns: set | None = None,
     ) -> None:
         inverted_columns = inverted_columns or set()
         bloom_columns = bloom_columns or set()
         text_index_columns = text_index_columns or set()
+        range_index_columns = range_index_columns or set()
         if partition_option is not None:
             pcol = partition_option[0]
             ptypes = {f.name: f.dataType.simpleString() for f in schema.fields}
@@ -1012,6 +1015,18 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                     f"text index requires a single-value STRING column: "
                     f"{f.name}"
                 )
+            if f.name in range_index_columns and t not in (
+                "int",
+                "bigint",
+                "float",
+                "double",
+                "timestamp",
+                "timestamp_ntz",
+            ):
+                raise ValueError(
+                    f"range index requires a single-value numeric column: "
+                    f"{f.name}"
+                )
         self._schema = schema
         self._path = path
         self._table = table
@@ -1020,6 +1035,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         self._bloom = bloom_columns
         self._partition = partition_option
         self._text_index = text_index_columns
+        self._range_index = range_index_columns
         self._overwrite = overwrite
 
     def write(self, iterator) -> PinotWriterCommitMessage:
@@ -1119,6 +1135,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                         null_mask=null_mask,
                         bloom=f.name in self._bloom,
                         text_index=f.name in self._text_index,
+                        range_index=f.name in self._range_index,
                         partition_config=(
                             ("Modulo", self._partition[1])
                             if self._partition and f.name == self._partition[0]
@@ -1136,6 +1153,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                         inverted=f.name in self._inverted,
                         bloom=f.name in self._bloom,
                         text_index=f.name in self._text_index,
+                        range_index=f.name in self._range_index,
                         partition_config=(
                             ("Modulo", self._partition[1])
                             if self._partition and f.name == self._partition[0]
@@ -1728,6 +1746,68 @@ def _row_mask(reader, filters, row_range=None):
                 im = None
             if im is not None:
                 m = clip(im)
+                if nm is not None:
+                    m = m & ~nm
+                return m
+        if (
+            isinstance(
+                f,
+                (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual),
+            )
+            and name in reader.metadata.columns
+            and name not in col_cache  # already decoded → index saves nothing
+            # dictionary columns only: their decode (bit-unpack + gather) is
+            # what the index avoids (measured 27x, storage_micro); for
+            # fixed-width RAW numerics the index blob is as large as the
+            # column and a vectorized decode+compare wins (measured 0.6x) —
+            # see range_index.py
+            and reader.metadata.get_column(name).has_dictionary
+        ):
+            # Range index (Pinot's range_index type, beyond the reference):
+            # equal-count value buckets classify docs as definite matches
+            # (bitmap OR — zero decode) or boundary candidates, and ONLY the
+            # candidates are selection-decoded and verified. The win case is
+            # a selective range on an unclustered column, where zone maps
+            # can't prune and the plain path decodes every doc.
+            bounds = {
+                EqualTo: lambda v: (v, True, v, True),
+                GreaterThan: lambda v: (v, False, None, True),
+                GreaterThanOrEqual: lambda v: (v, True, None, True),
+                LessThan: lambda v: (None, True, v, False),
+                LessThanOrEqual: lambda v: (None, True, v, True),
+            }[type(f)](f.value)
+            cls = None
+            try:
+                cls = reader.range_classify(name, *bounds)
+            except (TypeError, ValueError):
+                cls = None
+            if cls is not None:
+                import pyarrow as pa
+
+                definite, candidate = cls
+                m = definite
+                cand = np.flatnonzero(candidate)
+                if len(cand):
+                    arr = reader.read_columns_arrow(
+                        [name], selection=cand
+                    ).column(0)
+                    if pa.types.is_timestamp(arr.type):
+                        # stored epoch millis; the pushed operand is in the
+                        # same domain (_convert_ts_filter)
+                        cv = arr.cast(pa.int64()).to_numpy() // 1000
+                    else:
+                        cv = arr.to_numpy(zero_copy_only=False)
+                    op = {
+                        EqualTo: lambda x: x == f.value,
+                        GreaterThan: lambda x: x > f.value,
+                        GreaterThanOrEqual: lambda x: x >= f.value,
+                        LessThan: lambda x: x < f.value,
+                        LessThanOrEqual: lambda x: x <= f.value,
+                    }[type(f)]
+                    ok = np.asarray(op(cv), dtype=bool)
+                    m = definite.copy()
+                    m[cand[ok]] = True
+                m = clip(m)
                 if nm is not None:
                     m = m & ~nm
                 return m

@@ -89,6 +89,10 @@ class ColumnMetadata:
     # index type): true when the segment carries a distinct-value bloom
     # filter for point-lookup segment skipping (bloom.py).
     has_bloom_filter: bool = False
+    # Range-index support (beyond the reference; Pinot's range_index
+    # type): true when the segment carries equal-count value buckets with
+    # doc bitmaps for the column (range_index.py).
+    has_range_index: bool = False
     # Text-index support (beyond the reference; Pinot's text_index type):
     # true when the segment carries token -> doc-bitmap postings for the
     # column (text_index.py).
@@ -256,6 +260,7 @@ def _parse_column(
         has_inverted_index=get("hasInvertedIndex") == "true",
         has_bloom_filter=get("hasBloomFilter") == "true",
         has_text_index=get("hasTextIndex") == "true",
+        has_range_index=get("hasRangeIndex") == "true",
         partition_function=get("partitionFunction"),
         num_partitions=get_int("numPartitions"),
         partition_values=tuple(

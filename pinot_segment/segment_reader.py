@@ -452,6 +452,30 @@ class SegmentReader:
             blob = f.read(loc.size)
         return TextIndex(blob, col.total_docs).match_mask(terms, require_all)
 
+    def range_classify(
+        self, name: str, lo, lo_inc: bool, hi, hi_inc: bool
+    ) -> "tuple[np.ndarray, np.ndarray] | None":
+        """(definite_mask, candidate_mask) for a value interval from the
+        range_index postings (writer.py's emit_range_index): *definite*
+        docs provably match without any decode, *candidate* docs need a
+        selection-decode verify. None when the column has no range
+        index."""
+        col = self.metadata.get_column(name)
+        if not col.has_range_index:
+            return None
+        loc = self.index_map.get_index(name, "range_index")
+        if loc is None:
+            raise InvalidFormatError(
+                f"Column {name} declares hasRangeIndex but has no "
+                "range_index entry"
+            )
+        from pinot_segment.range_index import RangeIndex
+
+        with open(self._psf, "rb") as f:
+            f.seek(loc.start_offset)
+            blob = f.read(loc.size)
+        return RangeIndex(blob, col.total_docs).classify(lo, lo_inc, hi, hi_inc)
+
     def dict_match_mask(self, name: str, values) -> "np.ndarray | None":
         """Equality/IN mask for a single-value dictionary column WITHOUT
         touching value space per doc: each probe value maps to its dict id

@@ -93,7 +93,23 @@ class ColumnSpec:
         bloom: bool = False,
         partition_config: "tuple[str, int] | None" = None,
         text_index: bool = False,
+        range_index: bool = False,
     ) -> None:
+        if range_index and (
+            multi_value
+            or data_type
+            not in (
+                DataType.INT,
+                DataType.LONG,
+                DataType.TIMESTAMP,
+                DataType.FLOAT,
+                DataType.DOUBLE,
+            )
+        ):
+            raise ValueError(
+                f"column '{name}': range index requires a single-value "
+                "numeric column"
+            )
         if text_index and (multi_value or data_type is not DataType.STRING):
             # The analyzer tokenizes string values; other types have no
             # defined token stream (and MV strings no probe path yet).
@@ -197,6 +213,7 @@ class ColumnSpec:
         self.bloom = bloom
         self.partition_config = partition_config
         self.text_index = text_index
+        self.range_index = range_index
 
     def flat_values(self) -> list:
         """Flattened value stream (the per-doc values, concatenated)."""
@@ -503,6 +520,29 @@ def write_segment(
         )
         meta_lines.append(f"column.{spec.name}.hasTextIndex=true")
 
+    def emit_range_index(spec: ColumnSpec) -> None:
+        """Equal-count value buckets with per-bucket min/max + doc bitmaps
+        (beyond the reference; Pinot's range_index type — see
+        range_index.py for why zone maps don't cover this case).
+        Addressed by ``{column}.range_index`` index_map entries."""
+        if not spec.range_index:
+            return
+        from pinot_segment import range_index as ri
+
+        blob = ri.build_range_index(
+            spec.values,
+            spec.data_type in (DataType.FLOAT, DataType.DOUBLE),
+        )
+        start = len(psf)
+        psf.extend(blob)
+        index_lines.extend(
+            (
+                f"{spec.name}.range_index.startOffset={start}",
+                f"{spec.name}.range_index.size={len(blob)}",
+            )
+        )
+        meta_lines.append(f"column.{spec.name}.hasRangeIndex=true")
+
     def emit_nullvector(spec: ColumnSpec) -> None:
         """Null-vector index (beyond the reference): 8-byte magic + 1-bit
         big-endian packed per-doc null flags (1 = null), addressed by a
@@ -568,6 +608,7 @@ def write_segment(
             emit_bloom(spec)
             emit_partition_map(spec)
             emit_text_index(spec)
+            emit_range_index(spec)
             emit_nullvector(spec)
             continue
 
@@ -664,6 +705,7 @@ def write_segment(
         emit_bloom(spec, distinct_values=uniq)
         emit_partition_map(spec)
         emit_text_index(spec)
+        emit_range_index(spec)
         emit_nullvector(spec)
 
     (v3 / "metadata.properties").write_text("\n".join(meta_lines) + "\n")
