@@ -909,10 +909,13 @@ def incremental_dedup(
 
     Scale design (100 TB): this is the crawl-ingest shape — the corpus is
     orders of magnitude larger than the batch and CANNOT be broadcast,
-    but its bloom (bits-per-key sized) can. The corpus-side shuffle of a
-    naive anti-join disappears; the verify semi-join only re-reads the
-    corpus filtered to candidate hashes (at rest, that read is itself
-    bloom/zone-map-pruned by the storage layer's segment indexes).
+    but its bloom (bits-per-key sized) can, and so can the candidate hash
+    set the bloom leaves behind. Every join here builds on a broadcast
+    small side (plan-asserted in test_plans.py), so the corpus is read,
+    probed in place, and discarded — a naive anti-join would instead
+    shuffle all 100 TB on the hash. At rest the verify probe's corpus
+    read is itself bloom/zone-map-pruned by the storage layer's segment
+    indexes.
     """
     import numpy as np
 
@@ -949,9 +952,20 @@ def incremental_dedup(
     )
     clean = probed.filter(~F.col("maybe_dup")).select("doc_id", "text_hash")
     candidates = probed.filter(F.col("maybe_dup")).select("doc_id", "text_hash")
-    corpus_hashes = corpus.select(F.md5("text").alias("text_hash"))
+    # Exact verify with the corpus NEVER shuffled: the candidate hash set
+    # (bounded by the new batch, further shrunk by the bloom) broadcasts
+    # into a semi-join probe over the corpus scan; the confirmed-duplicate
+    # hashes that come back are at most that same small set, and broadcast
+    # again into the final anti-join. Both joins build on the small side —
+    # the corpus is read, probed, and discarded in place.
+    cand_hashes = F.broadcast(candidates.select("text_hash").distinct())
+    dup_hashes = (
+        corpus.select(F.md5("text").alias("text_hash"))
+        .join(cand_hashes, "text_hash", "left_semi")
+        .distinct()
+    )
     verified_clean = candidates.join(
-        corpus_hashes, "text_hash", "left_anti"
+        F.broadcast(dup_hashes), "text_hash", "left_anti"
     ).select("doc_id", "text_hash")
     return clean.unionByName(verified_clean).orderBy("doc_id")
 

@@ -221,3 +221,22 @@ def test_q22_scalar_aggregate_broadcasts(q):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_incremental_dedup_never_shuffles_the_corpus(q):
+    """The crawl-ingest dedup's exact-verify joins must both build on a
+    broadcast small side (SCALE.md): a SortMergeJoin or ShuffledHashJoin
+    here would mean the 100 TB corpus shuffles on the content hash."""
+    plan = _plan(q("incremental_dedup_bloom"))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_duplicate_span_has_no_pair_explosion(q):
+    """The shared-gram join must stay a plain join + aggregates — never a
+    cartesian/BNLJ pair enumeration."""
+    plan = _plan(q("duplicate_span_coverage"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
