@@ -366,3 +366,139 @@ SELECT doc_id, n, total_ngrams, distinct_ngrams,
          AS top_char_milli
 FROM stats ORDER BY doc_id, n
 """
+
+# FineWeb/Gopher-style keep/drop thresholds (public heuristics): documents
+# outside these bounds are dropped with a reason code, evaluated in fixed
+# order so the recorded reason is deterministic.
+QUALITY_RULES = (
+    ("too_short", "n_tokens < 15"),
+    ("too_long", "n_tokens > 10000"),
+    ("mean_word_len", "avg_len_milli < 2000 OR avg_len_milli > 12000"),
+    ("dup_2gram", "dup2_milli > 300000"),
+    ("top_token", "top_tok_milli > 200000"),
+)
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """Composite keep/drop quality gate — the FineWeb-style filter chain
+    over purely engine-side signals (token count, mean token length,
+    duplicate-2-gram fraction, dominant-token share), all in exact integer
+    millionths. Emits every doc with ``keep`` and the FIRST failing rule
+    as ``reason`` ('' when kept) — the audit trail a curation run needs.
+
+    Scale: signal computation is one (doc_id, gram/token) shuffle pair
+    bounded by document length; the rule evaluation is a codegen'd CASE
+    chain. Filtered corpora at 100 TB keep the same shape — no new
+    shuffles over the survivors.
+    """
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words).cast("long")
+    avg_len_milli = F.expr(
+        "CASE WHEN size(split(text, ' ')) = 0 THEN 0L ELSE "
+        "aggregate(split(text, ' '), 0L, (a, w) -> a + length(w)) * 1000L"
+        " div size(split(text, ' ')) END"
+    )
+    toks = docs.select(
+        "doc_id", F.explode(words).alias("tok")
+    )
+    tok_stats = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    per_doc_tok = tok_stats.groupBy("doc_id").agg(
+        F.expr("max(tf) * 1000000L div sum(tf)").alias("top_tok_milli")
+    )
+    grams2 = F.when(
+        F.size(words) >= 2, F.sequence(F.lit(0), F.size(words) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                grams2, lambda i: F.array_join(F.slice(words, i + 1, 2), " ")
+            )
+        ).alias("gram"),
+    )
+    per_doc_g = (
+        g.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "(sum(c) - count(*)) * 1000000L div sum(c)"
+            ).alias("dup2_milli")
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        avg_len_milli.alias("avg_len_milli"),
+    )
+    joined = (
+        base.join(per_doc_tok, "doc_id", "left")
+        .join(per_doc_g, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_len_milli",
+            F.coalesce("top_tok_milli", F.lit(0).cast("long")).alias(
+                "top_tok_milli"
+            ),
+            F.coalesce("dup2_milli", F.lit(0).cast("long")).alias("dup2_milli"),
+        )
+    )
+    reason = F.lit("")
+    for name, cond in reversed(QUALITY_RULES):
+        reason = F.when(F.expr(cond), F.lit(name)).otherwise(reason)
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "avg_len_milli",
+        "dup2_milli",
+        "top_tok_milli",
+        reason.alias("reason"),
+        (reason == "").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def quality_filter_oracle_sql() -> str:
+    conds = " ".join(
+        f"WHEN {cond} THEN '{name}'"
+        for name, cond in QUALITY_RULES
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN len(w) = 0 THEN 0 ELSE
+           list_sum(list_transform(w, x -> length(x))) * 1000 // len(w)
+         END AS BIGINT) AS avg_len_milli
+  FROM words),
+toks AS (
+  SELECT doc_id, unnest(w) AS tok FROM words),
+tok_stats AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+per_tok AS (
+  SELECT doc_id, CAST(max(tf) * 1000000 // sum(tf) AS BIGINT)
+           AS top_tok_milli
+  FROM tok_stats GROUP BY doc_id),
+g AS (
+  SELECT doc_id, array_to_string(w[i+1:i+2], ' ') AS gram
+  FROM words, LATERAL unnest(range(0, greatest(len(w) - 1, 0))) AS t(i)),
+per_g AS (
+  SELECT doc_id,
+         CAST((sum(c) - count(*)) * 1000000 // sum(c) AS BIGINT)
+           AS dup2_milli
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+  GROUP BY doc_id),
+joined AS (
+  SELECT b.doc_id, b.n_tokens, b.avg_len_milli,
+         CAST(coalesce(t.top_tok_milli, 0) AS BIGINT) AS top_tok_milli,
+         CAST(coalesce(p.dup2_milli, 0) AS BIGINT) AS dup2_milli
+  FROM base b
+  LEFT JOIN per_tok t USING (doc_id) LEFT JOIN per_g p USING (doc_id))
+SELECT doc_id, n_tokens, avg_len_milli, dup2_milli, top_tok_milli,
+       CASE {conds} ELSE '' END AS reason,
+       (CASE {conds} ELSE '' END) = '' AS keep
+FROM joined ORDER BY doc_id
+"""

@@ -1034,6 +1034,14 @@ def _register_llm():
             t(spark, sf, "events"), "props", keep=("event_id",)
         ).orderBy("event_id")
     )
+    # FineWeb-style composite keep/drop gate over engine-side signals,
+    # with the first failing rule recorded as the audit reason.
+    register(
+        "quality_filter_pipeline",
+        text.quality_filter_oracle_sql(),
+        "llm",
+        ["text", "quality", "filter", "curation"],
+    )(lambda spark, sf: text.quality_filter(_docs(spark, sf)))
     # Gopher-style repetition signals per (doc, n): duplicate n-gram
     # fraction + top-n-gram character coverage in integer millionths.
     register(
@@ -4506,7 +4514,6 @@ DRIVER_WINDOW: list[str] = [
     "pinot_lineitem_q1",  # r3: FULL fact table in pinot format, Q1 on top
     # -- relational additions --
     "array_agg_sources",
-    "session_window_agg",
     # -- r6 additions (standing rotation rule: round-N queries enter the
     # round-N window) --
     "pinot_timestamp_range_scan",  # r6: TIMESTAMP pushdown + zone maps
@@ -4529,6 +4536,7 @@ DRIVER_WINDOW: list[str] = [
     "duplicate_span_coverage",  # r6: exact duplicate-substring (n-gram join)
     "ngram_repetition_stats",  # r6: Gopher duplicate/top n-gram fractions
     "pii_redact_events",  # r6: PII detection + chained masking
+    "quality_filter_pipeline",  # r6: FineWeb-style keep/drop gate
     "incremental_dedup_bloom",  # r6: corpus-bloom prefiltered exact dedup
     "pinot_text_match_scan",  # r6: text-index keyword probe through storage
     "ann_pq_adc_topk",  # r6: product-quantization ADC top-k (hash-checked)
@@ -4573,8 +4581,8 @@ DRIVER_WINDOW: list[str] = [
     # while keeping the once-green r5 entries in for their second check):
     # pinot_bytes_dict_roundtrip, pinot_multivalue_roundtrip,
     # pinot_raw_numeric_roundtrip, pinot_timestamp_roundtrip,
-    # window_range_frame, range_join_nearby_events, events_gapfill_hourly
-    # — each green in r3 AND r5.
+    # window_range_frame, range_join_nearby_events, events_gapfill_hourly,
+    # session_window_agg — each green in r3 AND r5.
     # q1_pricing_summary, join_5way_region_revenue, approx_distinct,
     # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,
