@@ -125,6 +125,19 @@ def merge_segments(
             and not raw
             and not mv,
             "bloom": any(m.has_bloom_filter for m in metas) and not mv,
+            "text_index": any(m.has_text_index for m in metas)
+            and not mv
+            and dt is DataType.STRING,
+            "range_index": any(m.has_range_index for m in metas)
+            and not mv
+            and dt
+            in (
+                DataType.INT,
+                DataType.LONG,
+                DataType.TIMESTAMP,
+                DataType.FLOAT,
+                DataType.DOUBLE,
+            ),
             "partition_config": partition_config,
         }
 
@@ -158,6 +171,8 @@ def merge_segments(
                 null_mask=c["null_mask"],
                 inverted=c["inverted"],
                 bloom=c["bloom"],
+                text_index=c["text_index"],
+                range_index=c["range_index"],
                 partition_config=c["partition_config"],
             )
         )

@@ -435,3 +435,56 @@ def test_purge_segments_without_manifest(tmp_path):
     out = purge_segments(str(table), "k", older_than=100)
     assert out["removed_segments"] == ["old"]
     assert out["kept_segments"] == 1
+
+
+def test_merge_preserves_text_and_range_indexes(tmp_path):
+    import numpy as np
+
+    from pinot_segment import SegmentReader
+    from pinot_segment.compact import merge_segments
+    from pinot_segment.metadata import DataType
+    from pinot_segment.writer import ColumnSpec, write_segment
+
+    # member A carries both indexes, member B carries neither — the merged
+    # segment keeps them (union semantics: a fleet rollout mid-stream must
+    # not silently drop indexes)
+    a = write_segment(
+        tmp_path / "a",
+        "a",
+        "t",
+        [
+            ColumnSpec(
+                "txt",
+                DataType.STRING,
+                ["spark scan", "join"],
+                text_index=True,
+            ),
+            ColumnSpec(
+                "k", DataType.LONG, np.array([5, 1]), range_index=True
+            ),
+        ],
+    )
+    b = write_segment(
+        tmp_path / "b",
+        "b",
+        "t",
+        [
+            ColumnSpec("txt", DataType.STRING, ["spark join", "x"]),
+            ColumnSpec("k", DataType.LONG, np.array([9, 3])),
+        ],
+    )
+    v3 = merge_segments([str(a), str(b)], tmp_path / "m", "m", "t")
+    r = SegmentReader.open(str(v3))
+    assert r.metadata.get_column("txt").has_text_index
+    assert r.metadata.get_column("k").has_range_index
+    assert list(r.text_match_mask("txt", ["spark"])) == [
+        True,
+        False,
+        True,
+        False,
+    ]
+    definite, cand = r.range_classify("k", 4, True, 10, True)
+    vals = np.asarray(r.read_column("k"))
+    truth = (vals >= 4) & (vals <= 10)
+    assert not (definite & ~truth).any()
+    assert not (truth & ~(definite | cand)).any()
