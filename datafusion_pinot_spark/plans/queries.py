@@ -3830,6 +3830,49 @@ def q_pinot_range_index_scan(spark, sf):
 
 
 @register(
+    "pinot_json_match_scan",
+    """SELECT event_type, count(*) AS n
+       FROM events
+       WHERE json_extract_string(props, '$.k') = '42'
+       GROUP BY event_type ORDER BY event_type""",
+    "parity",
+    ["pinot", "storage", "json", "filter"],
+)
+def q_pinot_json_match_scan(spark, sf):
+    """JSON_MATCH probe through the per-segment JSON index (Pinot's
+    json_index type; beyond the reference): the events payload column is
+    written with flattened path=value postings, and the `json_match` read
+    option answers `$.k = 42` from the bitmaps without parsing JSON per
+    row (unindexed segments fall back to parse-and-flatten with the same
+    contract — tests/test_json_index.py pins indexed == fallback). The
+    oracle is DuckDB's json_extract_string over the original parquet."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="jsonidx_"), "ev_OFFLINE")
+    (
+        t(spark, sf, "events")
+        .select("event_id", "event_type", "props")
+        .repartition(8)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "props")
+        .option("json_index", "props")
+        .save(out)
+    )
+    return (
+        spark.read.format("pinot")
+        .option("json_match", "props:$.k=42")
+        .load(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "pinot_partition_pruned_lookup",
     """SELECT l_orderkey, count(*) AS n,
               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
@@ -4541,6 +4584,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_text_match_scan",  # r6: text-index keyword probe through storage
     "ann_pq_adc_topk",  # r6: product-quantization ADC top-k (hash-checked)
     "pinot_range_index_scan",  # r6: range-index scan on unclustered dict col
+    "pinot_json_match_scan",  # r6: JSON-index path=value probe
     "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
     "pinot_compacted_agg",  # r6: distributed segment compaction
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
@@ -4552,8 +4596,6 @@ DRIVER_WINDOW: list[str] = [
     "word_commonness_score",  # r6: integer-exact unigram quality signal
     "pinot_sql_join_storage",  # r6: multi-table SQL over pinot catalog
     "pinot_hll_sketch_rollup",  # r6: HLL sketch columns (rows-only)
-    # -- LLM-pipeline / curation ops --
-    "ann_ivf_kmeans_topk",
     # -- streaming ops --
     "stateful_user_totals",
     "stream_stream_join_conversions",
@@ -4582,7 +4624,7 @@ DRIVER_WINDOW: list[str] = [
     # pinot_bytes_dict_roundtrip, pinot_multivalue_roundtrip,
     # pinot_raw_numeric_roundtrip, pinot_timestamp_roundtrip,
     # window_range_frame, range_join_nearby_events, events_gapfill_hourly,
-    # session_window_agg — each green in r3 AND r5.
+    # session_window_agg, ann_ivf_kmeans_topk — each green in r3 AND r5.
     # q1_pricing_summary, join_5way_region_revenue, approx_distinct,
     # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,

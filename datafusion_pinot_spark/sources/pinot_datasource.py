@@ -175,6 +175,10 @@ class PinotInputPartition(InputPartition):
     # when present, by decode-and-tokenize otherwise — same analyzer, same
     # result.
     text_match: "tuple[str, tuple[str, ...], bool] | None" = None
+    # JSON-match probe (Pinot's JSON_MATCH over a json_index): a
+    # (column, path, canonical-value) triple from the `json_match` read
+    # option, or None. Postings when indexed, parse-and-probe otherwise.
+    json_match: "tuple[str, str, str] | None" = None
 
 
 class PinotDataSource(DataSource):
@@ -234,8 +238,28 @@ class PinotDataSource(DataSource):
                     "segments_per_partition must be >= 1 or 'auto'"
                 )
         return PinotDataSourceReader(
-            schema, self._segments(), spp, self._text_match_option()
+            schema,
+            self._segments(),
+            spp,
+            self._text_match_option(),
+            self._json_match_option(),
         )
+
+    def _json_match_option(self):
+        """Parse `json_match` = "col:$.path=value" into (col, path, value);
+        the value side is the canonical string of json_index.py (e.g. an
+        integer probe is just its digits, a string probe its verbatim
+        text)."""
+        opt = self.options.get("json_match")
+        if not opt:
+            return None
+        col, sep, rest = opt.partition(":")
+        path, sep2, value = rest.partition("=")
+        if not sep or not sep2 or not col.strip() or not path.startswith("$"):
+            raise ValueError(
+                "json_match must look like 'column:$.path=value'"
+            )
+        return (col.strip(), path.strip(), value)
 
     def _text_match_option(self):
         """Parse `text_match` = "col:term [term ...]" (plus `text_match_mode`
@@ -311,6 +335,7 @@ class PinotDataSource(DataSource):
             self._partition_option(),
             self._column_set_option("text_index"),
             self._column_set_option("range_index"),
+            self._column_set_option("json_index"),
         )
 
     def streamWriter(
@@ -347,6 +372,7 @@ class PinotDataSourceReader(DataSourceReader):
         segments: list[str],
         segments_per_partition: int = 1,
         text_match: "tuple[str, tuple[str, ...], bool] | None" = None,
+        json_match: "tuple[str, str, str] | None" = None,
     ) -> None:
         self._schema = schema
         self._columns = tuple(f.name for f in schema.fields)
@@ -354,6 +380,7 @@ class PinotDataSourceReader(DataSourceReader):
         self._segments = segments
         self._spp = segments_per_partition
         self._text_match = text_match
+        self._json_match = json_match
         self._pushed: list[Filter] = []
 
     # -- filter pushdown (rebuild improvement over table.rs:163) ------------
@@ -474,7 +501,8 @@ class PinotDataSourceReader(DataSourceReader):
             # an empty partitions list (passing None), so hand it a sentinel.
             return [
                 PinotInputPartition(
-                    (), self._columns, (), self._ctypes, self._text_match
+                    (), self._columns, (), self._ctypes,
+                    self._text_match, self._json_match,
                 )
             ]
         pushed = tuple(self._pushed)
@@ -498,7 +526,7 @@ class PinotDataSourceReader(DataSourceReader):
                     parts.append(
                         PinotInputPartition(
                             tuple(bucket), self._columns, pushed,
-                            self._ctypes, self._text_match,
+                            self._ctypes, self._text_match, self._json_match,
                         )
                     )
                     bucket, docs = [], 0
@@ -508,7 +536,7 @@ class PinotDataSourceReader(DataSourceReader):
                 parts.append(
                     PinotInputPartition(
                         tuple(bucket), self._columns, pushed,
-                        self._ctypes, self._text_match,
+                        self._ctypes, self._text_match, self._json_match,
                     )
                 )
             return parts
@@ -517,6 +545,7 @@ class PinotDataSourceReader(DataSourceReader):
             not self._columns
             and not self._pushed
             and self._text_match is None
+            and self._json_match is None
             and spp == 1
         ):
             spp = self._COUNT_PACK
@@ -527,6 +556,7 @@ class PinotDataSourceReader(DataSourceReader):
                 pushed,
                 self._ctypes,
                 self._text_match,
+                self._json_match,
             )
             for i in range(0, len(survivors), spp)
         ]
@@ -544,6 +574,7 @@ class PinotDataSourceReader(DataSourceReader):
             not partition.columns
             and not partition.filters
             and partition.text_match is None
+            and partition.json_match is None
         ):
             # Unfiltered metadata-only COUNT(*): parse metadata.properties
             # alone (no index_map / columns.psf open — the reference's
@@ -610,6 +641,12 @@ class PinotDataSourceReader(DataSourceReader):
                 # selection decode (O(matches)) kicks in below unchanged.
                 tm = _text_match_rows(reader, partition.text_match, rng)
                 mask = tm if mask is None else (mask & tm)
+                if not mask.any():
+                    continue
+            if partition.json_match is not None:
+                # JSON_MATCH probe: same composition contract as text_match.
+                jm = _json_match_rows(reader, partition.json_match, rng)
+                mask = jm if mask is None else (mask & jm)
                 if not mask.any():
                     continue
             if not partition.columns:
@@ -960,11 +997,13 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         partition_option: "tuple[str, int] | None" = None,
         text_index_columns: set | None = None,
         range_index_columns: set | None = None,
+        json_index_columns: set | None = None,
     ) -> None:
         inverted_columns = inverted_columns or set()
         bloom_columns = bloom_columns or set()
         text_index_columns = text_index_columns or set()
         range_index_columns = range_index_columns or set()
+        json_index_columns = json_index_columns or set()
         if partition_option is not None:
             pcol = partition_option[0]
             ptypes = {f.name: f.dataType.simpleString() for f in schema.fields}
@@ -1015,6 +1054,11 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                     f"text index requires a single-value STRING column: "
                     f"{f.name}"
                 )
+            if f.name in json_index_columns and t != "string":
+                raise ValueError(
+                    f"JSON index requires a single-value STRING column: "
+                    f"{f.name}"
+                )
             if f.name in range_index_columns and t not in (
                 "int",
                 "bigint",
@@ -1036,6 +1080,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
         self._partition = partition_option
         self._text_index = text_index_columns
         self._range_index = range_index_columns
+        self._json_index = json_index_columns
         self._overwrite = overwrite
 
     def write(self, iterator) -> PinotWriterCommitMessage:
@@ -1136,6 +1181,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                         bloom=f.name in self._bloom,
                         text_index=f.name in self._text_index,
                         range_index=f.name in self._range_index,
+                        json_index=f.name in self._json_index,
                         partition_config=(
                             ("Modulo", self._partition[1])
                             if self._partition and f.name == self._partition[0]
@@ -1154,6 +1200,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                         bloom=f.name in self._bloom,
                         text_index=f.name in self._text_index,
                         range_index=f.name in self._range_index,
+                        json_index=f.name in self._json_index,
                         partition_config=(
                             ("Modulo", self._partition[1])
                             if self._partition and f.name == self._partition[0]
@@ -1629,6 +1676,42 @@ def _text_match_rows(reader, text_match, row_range=None):
                 return all(got) if require_all else any(got)
 
             m = np.fromiter((hit(v) for v in vals), dtype=bool, count=n)
+            nm = reader.null_mask(col)
+            if nm is not None:
+                m &= ~nm
+    if row_range is not None:
+        m = m[row_range[0] : row_range[1]]
+    return m
+
+
+def _json_match_rows(reader, json_match, row_range=None):
+    """Per-doc mask for the json_match read option, clipped to the sorted
+    row range: postings when the segment carries a JSON index
+    (SegmentReader.json_match_mask), parse-and-flatten with the SAME
+    contract otherwise (json_index.flatten_json); a column this segment
+    predates matches nothing; null docs never match."""
+    import numpy as np
+
+    from pinot_segment.metadata import DataType
+
+    col, path, value = json_match
+    n = reader.total_docs()
+    if col not in reader.metadata.columns:
+        m = np.zeros(n, dtype=bool)
+    else:
+        if reader.metadata.get_column(col).data_type is not DataType.STRING:
+            raise ValueError(
+                f"json_match requires a STRING column, got {col}"
+            )
+        m = reader.json_match_mask(col, path, value)
+        if m is None:
+            from pinot_segment.json_index import flatten_json
+
+            key = f"{path}={value}"
+            vals = reader.read_column(col)
+            m = np.fromiter(
+                (key in flatten_json(v) for v in vals), dtype=bool, count=n
+            )
             nm = reader.null_mask(col)
             if nm is not None:
                 m &= ~nm

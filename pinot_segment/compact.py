@@ -128,6 +128,9 @@ def merge_segments(
             "text_index": any(m.has_text_index for m in metas)
             and not mv
             and dt is DataType.STRING,
+            "json_index": any(m.has_json_index for m in metas)
+            and not mv
+            and dt is DataType.STRING,
             "range_index": any(m.has_range_index for m in metas)
             and not mv
             and dt
@@ -173,6 +176,7 @@ def merge_segments(
                 bloom=c["bloom"],
                 text_index=c["text_index"],
                 range_index=c["range_index"],
+                json_index=c["json_index"],
                 partition_config=c["partition_config"],
             )
         )

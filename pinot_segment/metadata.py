@@ -93,6 +93,10 @@ class ColumnMetadata:
     # type): true when the segment carries equal-count value buckets with
     # doc bitmaps for the column (range_index.py).
     has_range_index: bool = False
+    # JSON-index support (beyond the reference; Pinot's json_index type):
+    # true when the segment carries flattened path=value -> doc-bitmap
+    # postings for the column (json_index.py).
+    has_json_index: bool = False
     # Text-index support (beyond the reference; Pinot's text_index type):
     # true when the segment carries token -> doc-bitmap postings for the
     # column (text_index.py).
@@ -261,6 +265,7 @@ def _parse_column(
         has_bloom_filter=get("hasBloomFilter") == "true",
         has_text_index=get("hasTextIndex") == "true",
         has_range_index=get("hasRangeIndex") == "true",
+        has_json_index=get("hasJsonIndex") == "true",
         partition_function=get("partitionFunction"),
         num_partitions=get_int("numPartitions"),
         partition_values=tuple(

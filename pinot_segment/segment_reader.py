@@ -476,6 +476,29 @@ class SegmentReader:
             blob = f.read(loc.size)
         return RangeIndex(blob, col.total_docs).classify(lo, lo_inc, hi, hi_inc)
 
+    def json_match_mask(
+        self, name: str, path: str, value: str
+    ) -> "np.ndarray | None":
+        """Per-doc mask for "json_extract(col, path) = value" from the
+        json_index postings (writer.py's emit_json_index; flattening and
+        canonicalization contract in json_index.py). None when the column
+        carries no JSON index — callers fall back to parse-and-probe."""
+        col = self.metadata.get_column(name)
+        if not col.has_json_index:
+            return None
+        loc = self.index_map.get_index(name, "json_index")
+        if loc is None:
+            raise InvalidFormatError(
+                f"Column {name} declares hasJsonIndex but has no "
+                "json_index entry"
+            )
+        from pinot_segment.json_index import JsonIndex
+
+        with open(self._psf, "rb") as f:
+            f.seek(loc.start_offset)
+            blob = f.read(loc.size)
+        return JsonIndex(blob, col.total_docs).path_value_mask(path, value)
+
     def dict_match_mask(self, name: str, values) -> "np.ndarray | None":
         """Equality/IN mask for a single-value dictionary column WITHOUT
         touching value space per doc: each probe value maps to its dict id

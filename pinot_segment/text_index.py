@@ -49,12 +49,22 @@ def tokenize(value: str) -> list[str]:
 def build_text_index(values, null_mask=None) -> bytes:
     """Build the postings blob over per-doc string values. Null docs (per
     ``null_mask``) contribute no tokens — a masked fill value is not data."""
-    n = len(values)
+    return build_postings(
+        (
+            () if (null_mask is not None and null_mask[doc]) else tokenize(v)
+            for doc, v in enumerate(values)
+        ),
+        len(values),
+    )
+
+
+def build_postings(terms_per_doc, n: int) -> bytes:
+    """Generic term -> doc-bitmap postings blob (the layout in this module's
+    docstring); also the physical format of the JSON index (json_index.py),
+    whose terms are flattened ``path=value`` keys instead of tokens."""
     postings: dict[str, list[int]] = {}
-    for doc, v in enumerate(values):
-        if null_mask is not None and null_mask[doc]:
-            continue
-        for term in set(tokenize(v)):
+    for doc, doc_terms in enumerate(terms_per_doc):
+        for term in set(doc_terms):
             postings.setdefault(term, []).append(doc)
     terms = sorted(postings)
     if len(terms) > MAX_TERMS:

@@ -94,7 +94,13 @@ class ColumnSpec:
         partition_config: "tuple[str, int] | None" = None,
         text_index: bool = False,
         range_index: bool = False,
+        json_index: bool = False,
     ) -> None:
+        if json_index and (multi_value or data_type is not DataType.STRING):
+            raise ValueError(
+                f"column '{name}': JSON index requires a single-value "
+                "STRING column"
+            )
         if range_index and (
             multi_value
             or data_type
@@ -214,6 +220,7 @@ class ColumnSpec:
         self.partition_config = partition_config
         self.text_index = text_index
         self.range_index = range_index
+        self.json_index = json_index
 
     def flat_values(self) -> list:
         """Flattened value stream (the per-doc values, concatenated)."""
@@ -543,6 +550,26 @@ def write_segment(
         )
         meta_lines.append(f"column.{spec.name}.hasRangeIndex=true")
 
+    def emit_json_index(spec: ColumnSpec) -> None:
+        """Flattened path=value -> doc-bitmap postings (beyond the
+        reference; Pinot's json_index type — see json_index.py for the
+        flattening contract). Addressed by ``{column}.json_index``
+        index_map entries."""
+        if not spec.json_index:
+            return
+        from pinot_segment import json_index as ji
+
+        blob = ji.build_json_index(spec.values, spec.null_mask)
+        start = len(psf)
+        psf.extend(blob)
+        index_lines.extend(
+            (
+                f"{spec.name}.json_index.startOffset={start}",
+                f"{spec.name}.json_index.size={len(blob)}",
+            )
+        )
+        meta_lines.append(f"column.{spec.name}.hasJsonIndex=true")
+
     def emit_nullvector(spec: ColumnSpec) -> None:
         """Null-vector index (beyond the reference): 8-byte magic + 1-bit
         big-endian packed per-doc null flags (1 = null), addressed by a
@@ -609,6 +636,7 @@ def write_segment(
             emit_partition_map(spec)
             emit_text_index(spec)
             emit_range_index(spec)
+            emit_json_index(spec)
             emit_nullvector(spec)
             continue
 
@@ -706,6 +734,7 @@ def write_segment(
         emit_partition_map(spec)
         emit_text_index(spec)
         emit_range_index(spec)
+        emit_json_index(spec)
         emit_nullvector(spec)
 
     (v3 / "metadata.properties").write_text("\n".join(meta_lines) + "\n")
