@@ -3830,6 +3830,64 @@ def q_pinot_range_index_scan(spark, sf):
 
 
 @register(
+    "pinot_startree_agg",
+    """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              max(l_partkey) AS max_pk
+       FROM lineitem GROUP BY l_returnflag ORDER BY flag""",
+    "parity",
+    ["pinot", "storage", "startree", "preagg"],
+)
+def q_pinot_startree_agg(spark, sf):
+    """Group-by served from a star-tree-style pre-aggregation companion
+    (Pinot's star-tree idea, prefix-level variant — structure and
+    deviations in pinot_segment/startree.py; the reference lists
+    star-tree as unsupported, README.md:311-315). The fact table is
+    written to pinot, `build_startree` materializes every split-order
+    prefix level in ONE rollup pass, and the query answers GROUP BY flag
+    from the level-1 rows — |flag| pre-aggregated records instead of the
+    whole fact table, with `__level` equality pushdown pruning the rest.
+    Metrics are integer-exact (long sums), so the companion-served result
+    hash-matches DuckDB's direct aggregation of the raw parquet."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+    from datafusion_pinot_spark.startree import (
+        build_startree,
+        read_startree_agg,
+    )
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="startree_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.col("l_partkey").alias("pk"),
+        )
+        .repartition(8)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    build_startree(
+        spark, out, dims=["flag", "status"], metrics={"qty": "sum", "pk": "max"}
+    )
+    return (
+        read_startree_agg(spark, out, prefix_len=1)
+        .select(
+            "flag",
+            F.col("__count").cast("bigint").alias("n"),
+            F.col("qty").cast("bigint").alias("sum_qty"),
+            F.col("pk").alias("max_pk"),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
     "pinot_json_match_scan",
     """SELECT event_type, count(*) AS n
        FROM events
@@ -4585,6 +4643,7 @@ DRIVER_WINDOW: list[str] = [
     "ann_pq_adc_topk",  # r6: product-quantization ADC top-k (hash-checked)
     "pinot_range_index_scan",  # r6: range-index scan on unclustered dict col
     "pinot_json_match_scan",  # r6: JSON-index path=value probe
+    "pinot_startree_agg",  # r6: star-tree prefix-level pre-aggregation
     "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
     "pinot_compacted_agg",  # r6: distributed segment compaction
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
@@ -4598,7 +4657,6 @@ DRIVER_WINDOW: list[str] = [
     "pinot_hll_sketch_rollup",  # r6: HLL sketch columns (rows-only)
     # -- streaming ops --
     "stateful_user_totals",
-    "stream_stream_join_conversions",
     "streaming_watermarked_agg",  # rows-only by design (watermark withholds)
     # -- r3 curation ops --
     "sequence_pack_bins",
@@ -4624,7 +4682,8 @@ DRIVER_WINDOW: list[str] = [
     # pinot_bytes_dict_roundtrip, pinot_multivalue_roundtrip,
     # pinot_raw_numeric_roundtrip, pinot_timestamp_roundtrip,
     # window_range_frame, range_join_nearby_events, events_gapfill_hourly,
-    # session_window_agg, ann_ivf_kmeans_topk — each green in r3 AND r5.
+    # session_window_agg, ann_ivf_kmeans_topk,
+    # stream_stream_join_conversions — each green in r3 AND r5.
     # q1_pricing_summary, join_5way_region_revenue, approx_distinct,
     # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,
