@@ -1034,6 +1034,30 @@ def _register_llm():
             t(spark, sf, "events"), "props", keep=("event_id",)
         ).orderBy("event_id")
     )
+    # Theta-style KMV sketch intersection: "distinct users who did A AND
+    # B" from two k-row sketches (k=64 < the 150 distinct users at the
+    # driver SFs, so the window row checks the ESTIMATOR, not the exact
+    # small-set path) — the set expression HLL can't answer;
+    # md5 family keeps every stage DuckDB-reproducible.
+    from datafusion_pinot_spark.operators import sketches
+
+    register(
+        "theta_sketch_intersection",
+        sketches.theta_intersection_oracle_sql(
+            "events", "event_type", "user_id", "view", "click", k=64
+        ),
+        "llm",
+        ["sketch", "distinct", "theta", "intersection"],
+    )(
+        lambda spark, sf: sketches.kmv_intersection_estimate(
+            sketches.kmv_sketch(
+                t(spark, sf, "events"), "event_type", "user_id", k=64
+            ),
+            "view",
+            "click",
+            k=64,
+        )
+    )
     # FineWeb-style composite keep/drop gate over engine-side signals,
     # with the first failing rule recorded as the audit reason.
     register(
@@ -4638,6 +4662,7 @@ DRIVER_WINDOW: list[str] = [
     "ngram_repetition_stats",  # r6: Gopher duplicate/top n-gram fractions
     "pii_redact_events",  # r6: PII detection + chained masking
     "quality_filter_pipeline",  # r6: FineWeb-style keep/drop gate
+    "theta_sketch_intersection",  # r6: KMV theta intersection (estimator)
     "incremental_dedup_bloom",  # r6: corpus-bloom prefiltered exact dedup
     "pinot_text_match_scan",  # r6: text-index keyword probe through storage
     "ann_pq_adc_topk",  # r6: product-quantization ADC top-k (hash-checked)
@@ -4660,8 +4685,6 @@ DRIVER_WINDOW: list[str] = [
     "streaming_watermarked_agg",  # rows-only by design (watermark withholds)
     # -- r3 curation ops --
     "sequence_pack_bins",
-    # -- r3 storage additions: nullable columns --
-    "pinot_nulls_roundtrip",
     # -- r3 TPC-H breadth: q12's oracle was fixed in r5 and is retained
     # until twice-green on the new oracle --
     "q12_late_shipment_priority",
@@ -4683,7 +4706,8 @@ DRIVER_WINDOW: list[str] = [
     # pinot_raw_numeric_roundtrip, pinot_timestamp_roundtrip,
     # window_range_frame, range_join_nearby_events, events_gapfill_hourly,
     # session_window_agg, ann_ivf_kmeans_topk,
-    # stream_stream_join_conversions — each green in r3 AND r5.
+    # stream_stream_join_conversions, pinot_nulls_roundtrip — each green
+    # in r3 AND r5.
     # q1_pricing_summary, join_5way_region_revenue, approx_distinct,
     # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,

@@ -445,3 +445,31 @@ def test_pq_engine_encode_matches_numpy_and_search_recall(spark):
         approx = {r["vec_id"] for r in got if r["q_idx"] == qi}
         recalls.append(len(exact & approx) / 10)
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_kmv_theta_sketch_accuracy(spark):
+    from datafusion_pinot_spark.operators.sketches import (
+        kmv_intersection_estimate,
+        kmv_sketch,
+    )
+
+    # group A: keys 0..4999; group B: keys 3000..8999 → |A∩B| = 2000
+    rows = [("A", i) for i in range(5000)] + [
+        ("B", i) for i in range(3000, 9000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    sk = kmv_sketch(df, "grp", "key", k=256)
+    assert sk.groupBy("grp").count().collect()[0]["count"] == 256
+    r = kmv_intersection_estimate(sk, "A", "B", k=256).collect()[0]
+    assert abs(r["est_a"] - 5000) / 5000 < 0.2
+    assert abs(r["est_b"] - 6000) / 6000 < 0.2
+    assert abs(r["est_intersection"] - 2000) / 2000 < 0.35
+    # disjoint groups estimate ~0
+    rows2 = [("A", i) for i in range(3000)] + [
+        ("B", i) for i in range(10_000, 13_000)
+    ]
+    df2 = spark.createDataFrame(rows2, "grp string, key long")
+    r2 = kmv_intersection_estimate(
+        kmv_sketch(df2, "grp", "key", k=256), "A", "B", k=256
+    ).collect()[0]
+    assert r2["est_intersection"] < 0.05 * 3000
