@@ -298,6 +298,7 @@ class PinotCatalog:
         key_columns: "list[str] | str",
         compare_column: str,
         tiebreakers: "list[str] | tuple[str, ...]" = (),
+        mode: str = "full",
     ):
         """Pinot upsert-table semantics (upsertConfig, beyond the reference
         AND beyond the reference's roadmap): a query sees only the LATEST
@@ -315,13 +316,40 @@ class PinotCatalog:
         in-memory primary-key map per server to do this at ingest time;
         at rest the physical segments contain every version, which is
         precisely what the scan sees — so query-time last-wins dedup over
-        the full segment set reproduces the queryable state."""
+        the full segment set reproduces the queryable state.
+
+        ``mode="partial"`` is Pinot's partialUpsert with the
+        OVERWRITE-non-null column strategy: per key, each non-key column
+        independently takes the value from the LATEST record where it is
+        NOT NULL (a partial update leaves untouched columns null, and the
+        merged row back-fills them from older versions); the comparison
+        column itself surfaces as its max. One grouped aggregate — still
+        a single shuffle on the keys — using ``max_by(col, (compare,
+        tiebreakers...)) FILTER (WHERE col IS NOT NULL)``."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         if isinstance(key_columns, str):
             key_columns = [key_columns]
         df = self.load_table(spark, name)
+        if mode == "partial":
+            order_cols = ", ".join([compare_column, *tiebreakers])
+            aggs = []
+            for c in df.columns:
+                if c in key_columns:
+                    continue
+                if c == compare_column:
+                    aggs.append(F.max(compare_column).alias(compare_column))
+                else:
+                    aggs.append(
+                        F.expr(
+                            f"max_by({c}, struct({order_cols})) "
+                            f"FILTER (WHERE {c} IS NOT NULL)"
+                        ).alias(c)
+                    )
+            return df.groupBy(*key_columns).agg(*aggs).select(*df.columns)
+        if mode != "full":
+            raise ValueError(f"unknown upsert mode: {mode!r}")
         order = [F.col(compare_column).desc()] + [
             F.col(t).desc() for t in tiebreakers
         ]

@@ -4172,6 +4172,76 @@ def q_pinot_upsert_latest(spark, sf):
 
 
 @register(
+    "pinot_upsert_partial",
+    """WITH src AS (
+         SELECT event_id, epoch_ms(ts) AS tsm, user_id,
+                CASE WHEN event_id % 3 = 0 THEN value END AS val_a,
+                CASE WHEN event_id % 3 = 1 THEN event_id END AS val_b
+         FROM events),
+       merged AS (
+         SELECT user_id,
+                first_value(val_a IGNORE NULLS) OVER win AS val_a,
+                first_value(val_b IGNORE NULLS) OVER win AS val_b
+         FROM src
+         WINDOW win AS (PARTITION BY user_id
+                        ORDER BY tsm DESC, event_id DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING))
+       SELECT DISTINCT user_id,
+              round(CAST(val_a AS DOUBLE), 6) AS val_a, val_b
+       FROM merged ORDER BY user_id""",
+    "parity",
+    ["pinot", "storage", "upsert", "partial"],
+)
+def q_pinot_upsert_partial(spark, sf):
+    """Partial-upsert read (Pinot's partialUpsert OVERWRITE-non-null
+    strategy, beyond the reference): each event record "touches" only
+    one of two columns (the other lands NULL in the segments), and
+    `load_upsert_table(mode="partial")` merges per key by taking every
+    column's latest NON-NULL value independently — one grouped
+    max_by-FILTER aggregate, a single shuffle on the key. The oracle
+    mirrors the merge with arg_max FILTER over the same null layout
+    (comparison in the sink's epoch-millis domain)."""
+    import tempfile
+
+    from datafusion_pinot_spark.catalog import PinotCatalog
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    data_dir = tempfile.mkdtemp(prefix="upsert_partial_")
+    out = os.path.join(data_dir, "events_OFFLINE")
+    (
+        t(spark, sf, "events")
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("val_a"),
+            F.when(F.col("event_id") % 3 == 1, F.col("event_id")).alias(
+                "val_b"
+            ),
+        )
+        .repartition(8)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    merged = PinotCatalog.filesystem(data_dir).load_upsert_table(
+        spark,
+        "events",
+        "user_id",
+        "ts",
+        tiebreakers=("event_id",),
+        mode="partial",
+    )
+    return merged.select(
+        "user_id",
+        F.round(F.col("val_a"), 6).alias("val_a"),
+        F.col("val_b"),
+    ).orderBy("user_id")
+
+
+@register(
     "pinot_schema_evolution_scan",
     """WITH evolved AS (
          SELECT doc_id, lang,
@@ -4637,8 +4707,6 @@ DRIVER_WINDOW: list[str] = [
     # -- storage layer end-to-end (write -> encode -> decode -> scan) --
     "pinot_roundtrip_agg",
     "pinot_lineitem_q1",  # r3: FULL fact table in pinot format, Q1 on top
-    # -- relational additions --
-    "array_agg_sources",
     # -- r6 additions (standing rotation rule: round-N queries enter the
     # round-N window) --
     "pinot_timestamp_range_scan",  # r6: TIMESTAMP pushdown + zone maps
@@ -4674,6 +4742,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
     "pinot_rollup_compacted_agg",  # r6: merge-rollup during compaction
     "pinot_upsert_latest",  # r6: upsert-table last-wins read
+    "pinot_upsert_partial",  # r6: partial-upsert non-null column merge
     "training_shard_assignment",  # r6: deterministic export shuffle
     "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
     "pinot_string_prefix_scan",  # r6: LIKE pushdown (dict-accelerated)
@@ -4707,7 +4776,8 @@ DRIVER_WINDOW: list[str] = [
     # window_range_frame, range_join_nearby_events, events_gapfill_hourly,
     # session_window_agg, ann_ivf_kmeans_topk,
     # stream_stream_join_conversions, pinot_nulls_roundtrip — each green
-    # in r3 AND r5.
+    # in r3 AND r5; array_agg_sources (r5-green, list-column serialization
+    # additionally pinned by tests/test_oracle_types.py).
     # q1_pricing_summary, join_5way_region_revenue, approx_distinct,
     # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,

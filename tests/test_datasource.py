@@ -1086,3 +1086,42 @@ def test_stream_reader_schema_evolution(spark, tmp_path):
         assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 3.5)}
     finally:
         q.stop()
+
+
+def test_upsert_partial_backfills_from_older_versions(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_pinot_spark.catalog import PinotCatalog
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    # key 1: v1 sets (a=10, b=x); v2 touches only a; v3 touches only b.
+    # partial merge → a from v2, b from v3. full merge → v3's row (a NULL).
+    rows = [
+        (1, 100, 10.0, "x"),
+        (1, 200, 20.0, None),
+        (1, 300, None, "z"),
+        (2, 100, None, None),  # never-set columns stay NULL
+    ]
+    df = spark.createDataFrame(rows, "k long, ver long, a double, b string")
+    data_dir = str(tmp_path)
+    out = os.path.join(data_dir, "kv_OFFLINE")
+    df.repartition(2).write.format("pinot").mode("overwrite").save(out)
+    cat = PinotCatalog.filesystem(data_dir)
+    partial = {
+        r["k"]: (r["a"], r["b"], r["ver"])
+        for r in cat.load_upsert_table(
+            spark, "kv", "k", "ver", mode="partial"
+        ).collect()
+    }
+    assert partial[1] == (20.0, "z", 300)
+    assert partial[2] == (None, None, 100)
+    full = {
+        r["k"]: (r["a"], r["b"])
+        for r in cat.load_upsert_table(spark, "kv", "k", "ver").collect()
+    }
+    assert full[1] == (None, "z")  # last-wins keeps v3's NULL a
+    with pytest.raises(ValueError, match="unknown upsert mode"):
+        cat.load_upsert_table(spark, "kv", "k", "ver", mode="bogus")
