@@ -985,3 +985,72 @@ def pq_search(codes_df: DataFrame, queries, codebooks, k: int = 10) -> DataFrame
         .filter(F.col("rnk") <= k)
         .orderBy("q_idx", "rnk")
     )
+
+
+def pq_codes_table(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
+                   dim: int = EMBEDDING_DIM) -> DataFrame:
+    """(vec_id, codes array<int>): engine-side PQ encoding collected to one
+    multi-value row per vector — the layout `ann_pq_pinot_codes_topk`
+    persists as a pinot MV INT column (m * ~1 byte per vector on disk
+    after dictionary packing, vs dim * 4 for the floats)."""
+    codebooks = pq_codebooks_df(emb, m, ksub, dim)
+    codes = pq_encode_engine(emb, codebooks, m, dim)
+    return codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_stored_adc_topk(
+    codes_df: DataFrame,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """ADC top-k over STORED codes (an `array<int>` column read back from
+    segments): per-query distance tables build from the original query
+    vectors + the deterministic codebooks (broadcast); each candidate's
+    distance is the sub-ordered fold over its code array — all engine
+    expressions, so the whole serve path from storage is
+    oracle-checkable. One shuffle: the (q_id, vec_id) regroup."""
+    codebooks = pq_codebooks_df(emb, m, ksub, dim)
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.posexplode(_sub_slices(F.col("v"), m, dim)).alias("sub", "q_sub"),
+    )
+    dq = q.join(F.broadcast(codebooks), "sub").select(
+        "q_id", "sub", "code", _l2_sq(F.col("q_sub"), F.col("c_sub")).alias("dq")
+    )
+    exploded = codes_df.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(dq), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("sub", "dq"))),
+                        lambda s: s["dq"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "adist", "rnk")
+        .orderBy("q_id", "rnk")
+    )

@@ -997,6 +997,34 @@ def _register_llm():
             t(spark, sf, "embeddings"), [20, 21], k=10
         )
     )
+    # PQ codes THROUGH storage: engine-encoded codes persist as a pinot
+    # MV INT column and the ADC serve path reads them back — the
+    # build-once/serve-many 100 TB ANN shape (32x smaller at-rest scan
+    # than the float vectors), end-to-end under the hash gate because
+    # every stage is engine expressions over deterministic codebooks.
+    def _pq_pinot(spark, sf):
+        import tempfile
+
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        emb = t(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        out = os.path.join(tempfile.mkdtemp(prefix="pqcodes_"), "pq_OFFLINE")
+        similarity.pq_codes_table(emb).repartition(4).write.format(
+            "pinot"
+        ).mode("overwrite").save(out)
+        stored = spark.read.format("pinot").load(out)
+        return similarity.pq_stored_adc_topk(stored, emb, [20, 21], k=10)
+
+    register(
+        "ann_pq_pinot_codes_topk",
+        similarity.pq_adc_topk_oracle_sql([20, 21], k=10),
+        "llm",
+        ["similarity", "ann", "pq", "pinot", "storage"],
+    )(_pq_pinot)
     # Incremental (crawl-ingest) dedup: the new batch (doc_id % 5 = 0) is
     # pruned by a broadcast corpus bloom filter, then exactly verified
     # with a semi-join — exact output, so the oracle is a plain anti-join
@@ -4734,6 +4762,7 @@ DRIVER_WINDOW: list[str] = [
     "incremental_dedup_bloom",  # r6: corpus-bloom prefiltered exact dedup
     "pinot_text_match_scan",  # r6: text-index keyword probe through storage
     "ann_pq_adc_topk",  # r6: product-quantization ADC top-k (hash-checked)
+    "ann_pq_pinot_codes_topk",  # r6: PQ codes persisted + served via storage
     "pinot_range_index_scan",  # r6: range-index scan on unclustered dict col
     "pinot_json_match_scan",  # r6: JSON-index path=value probe
     "pinot_startree_agg",  # r6: star-tree prefix-level pre-aggregation
@@ -4765,7 +4794,6 @@ DRIVER_WINDOW: list[str] = [
     "q21_waiting_supplier",
     "pinot_inverted_filter",
     "pinot_hybrid_table_agg",
-    "tfidf_top_terms",
     "doc_repetition_stats",
     # Veterans rotated out of the window — all driver-green at least twice
     # and pinned by tests/test_queries_oracle.py + tools/oracle_check.py:
@@ -4777,7 +4805,9 @@ DRIVER_WINDOW: list[str] = [
     # session_window_agg, ann_ivf_kmeans_topk,
     # stream_stream_join_conversions, pinot_nulls_roundtrip — each green
     # in r3 AND r5; array_agg_sources (r5-green, list-column serialization
-    # additionally pinned by tests/test_oracle_types.py).
+    # additionally pinned by tests/test_oracle_types.py); tfidf_top_terms
+    # (r5-green once; rotated for the r6 storage-PQ query, second driver
+    # check deferred — the pytest oracle tier still pins it every run).
     # q1_pricing_summary, join_5way_region_revenue, approx_distinct,
     # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,

@@ -473,3 +473,28 @@ def test_kmv_theta_sketch_accuracy(spark):
         kmv_sketch(df2, "grp", "key", k=256), "A", "B", k=256
     ).collect()[0]
     assert r2["est_intersection"] < 0.05 * 3000
+
+
+def test_pq_codes_roundtrip_through_pinot_storage(spark, tmp_path):
+    import os
+
+    from datafusion_pinot_spark.functions import as_double_array
+    from datafusion_pinot_spark.operators.similarity import pq_codes_table
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", as_double_array("embedding").alias("v"))
+        .limit(64)
+    )
+    codes = pq_codes_table(emb)
+    before = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    out = os.path.join(str(tmp_path), "pq_OFFLINE")
+    codes.repartition(2).write.format("pinot").mode("overwrite").save(out)
+    after = {
+        r["vec_id"]: r["codes"]
+        for r in spark.read.format("pinot").load(out).collect()
+    }
+    assert after == before
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in after.values())
