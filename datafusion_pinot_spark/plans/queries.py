@@ -519,6 +519,83 @@ def q_window_lag(spark, sf):
 
 
 @register(
+    "window_value_functions",
+    """SELECT event_id, user_id,
+              round(first_value(value) OVER w, 6) AS first_v,
+              round(last_value(value) OVER w, 6) AS last_v,
+              round(nth_value(value, 2) OVER w, 6) AS second_v,
+              round(percent_rank() OVER wo, 6) AS prank,
+              round(cume_dist() OVER wo, 6) AS cdist
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING),
+              wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ORDER BY event_id""",
+    "relational",
+    ["window", "value-functions"],
+)
+def q_window_value_functions(spark, sf):
+    """The window VALUE-function family (first/last/nth_value) plus the
+    distribution functions (percent_rank, cume_dist) — §2.5 breadth.
+    Deterministic: the (ts, event_id) order key is unique, and the
+    distribution values are exact rationals both engines compute from
+    identical integers before the shared rounding."""
+    ev = t(spark, sf, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wo = Window.partitionBy("user_id").orderBy(*order)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w), 6).alias("first_v"),
+        F.round(F.last("value").over(w), 6).alias("last_v"),
+        F.round(F.nth_value("value", 2).over(w), 6).alias("second_v"),
+        F.round(F.percent_rank().over(wo), 6).alias("prank"),
+        F.round(F.cume_dist().over(wo), 6).alias("cdist"),
+    ).orderBy("event_id")
+
+
+@register(
+    "scalar_functions_extended",
+    """SELECT p_partkey,
+              reverse(p_name) AS rev_name,
+              lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+              split_part(p_type, ' ', 1) AS type_head,
+              greatest(p_size, 25) AS size_hi,
+              least(p_size, 25) AS size_lo,
+              CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+              CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+              abs(p_size - 25) AS size_dist
+       FROM part ORDER BY p_partkey""",
+    "relational",
+    ["scalar", "string", "math"],
+)
+def q_scalar_functions_extended(spark, sf):
+    """§2.8 breadth beyond the original scalar query: string surgery
+    (reverse/lpad/split_part), bounded math (greatest/least/abs), and
+    exact ceil/floor — every function shared by Spark and DuckDB with
+    identical semantics, no rounding ambiguity (ceil/floor of doubles
+    representing exact .2f prices agree bit-for-bit)."""
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse("p_name").alias("rev_name"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.greatest("p_size", F.lit(25)).alias("size_hi"),
+        F.least("p_size", F.lit(25)).alias("size_lo"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+    ).orderBy("p_partkey")
+
+
+@register(
     "set_ops",
     """SELECT 'union' AS op, count(*) AS n FROM
          (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)
@@ -4759,6 +4836,8 @@ DRIVER_WINDOW: list[str] = [
     "pii_redact_events",  # r6: PII detection + chained masking
     "quality_filter_pipeline",  # r6: FineWeb-style keep/drop gate
     "theta_sketch_intersection",  # r6: KMV theta intersection (estimator)
+    "window_value_functions",  # r6: first/last/nth_value + distribution fns
+    "scalar_functions_extended",  # r6: string/math scalar breadth
     "incremental_dedup_bloom",  # r6: corpus-bloom prefiltered exact dedup
     "pinot_text_match_scan",  # r6: text-index keyword probe through storage
     "ann_pq_adc_topk",  # r6: product-quantization ADC top-k (hash-checked)
@@ -4790,8 +4869,6 @@ DRIVER_WINDOW: list[str] = [
     "simhash_dup_groups",  # rows-only by design (xxhash64 is Spark-only)
     # -- r5 rotation: queries registered after the r3 freeze (r3 verdict #4
     # — every query added in round N enters the window in round N) --
-    "q8_market_share",
-    "q21_waiting_supplier",
     "pinot_inverted_filter",
     "pinot_hybrid_table_agg",
     "doc_repetition_stats",
@@ -4807,7 +4884,10 @@ DRIVER_WINDOW: list[str] = [
     # in r3 AND r5; array_agg_sources (r5-green, list-column serialization
     # additionally pinned by tests/test_oracle_types.py); tfidf_top_terms
     # (r5-green once; rotated for the r6 storage-PQ query, second driver
-    # check deferred — the pytest oracle tier still pins it every run).
+    # check deferred — the pytest oracle tier still pins it every run);
+    # q8_market_share, q21_waiting_supplier (r5-green once; rotated for
+    # the r6 relational-breadth pair — seven other TPC-H shapes remain in
+    # the window and the full 22 stay pytest-pinned).
     # q1_pricing_summary, join_5way_region_revenue, approx_distinct,
     # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,

@@ -353,6 +353,9 @@ class PinotDataSource(DataSource):
             self._column_set_option("inverted"),
             self._column_set_option("bloom"),
             self._partition_option(),
+            self._column_set_option("text_index"),
+            self._column_set_option("range_index"),
+            self._column_set_option("json_index"),
         )
 
 
@@ -926,11 +929,19 @@ class PinotStreamWriter(DataSourceStreamArrowWriter):
         inverted_columns: set | None = None,
         bloom_columns: set | None = None,
         partition_option: "tuple[str, int] | None" = None,
+        text_index_columns: set | None = None,
+        range_index_columns: set | None = None,
+        json_index_columns: set | None = None,
     ) -> None:
-        # Delegate validation + the per-task write to the batch writer.
+        # Delegate validation + the per-task write to the batch writer —
+        # including the full index-option surface, so a streaming ingest
+        # builds the same text/range/JSON indexes a batch write would
+        # (an ingest path that silently drops indexes is a fleet hazard,
+        # same reasoning as compaction's union semantics).
         self._delegate = PinotDataSourceWriter(
             schema, path, table, raw_columns, False, inverted_columns,
-            bloom_columns, partition_option,
+            bloom_columns, partition_option, text_index_columns,
+            range_index_columns, json_index_columns,
         )
         self._path = path
 

@@ -102,3 +102,43 @@ def test_watermark_drops_late_data(spark, tmp_path):
         assert [r["n"] for r in rows] == [1]
     finally:
         q.stop()
+
+
+def test_stream_writer_builds_indexes(spark, tmp_path):
+    import os
+    import time
+
+    from pinot_segment import SegmentReader
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+    from datafusion_pinot_spark.sources.pinot_datasource import (
+        _discover_segments,
+    )
+
+    register_pinot_source(spark)
+    src_dir = str(tmp_path / "in")
+    out = str(tmp_path / "docs_OFFLINE")
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [(1, "spark scan", '{"k": 7}')], "id long, body string, props string"
+    ).write.json(os.path.join(src_dir, "batch0"))
+    stream = (
+        spark.readStream.schema("id long, body string, props string")
+        .json(os.path.join(src_dir, "*"))
+        .writeStream.format("pinot")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("text_index", "body")
+        .option("json_index", "props")
+        .option("range_index", "id")
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+    segs = _discover_segments(out)
+    r = SegmentReader.open(segs[0])
+    assert r.metadata.get_column("body").has_text_index
+    assert r.metadata.get_column("props").has_json_index
+    assert r.metadata.get_column("id").has_range_index
+    assert list(r.text_match_mask("body", ["spark"])) == [True]
+    assert list(r.json_match_mask("props", "$.k", "7")) == [True]
