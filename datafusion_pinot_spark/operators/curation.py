@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from datafusion_pinot_spark.functions import tokens, word_shingles
+from datafusion_pinot_spark.functions import as_double_array, tokens, word_shingles
 
 SEQ_LEN = 2048
 BUCKET_SPAN = 256  # doc_ids per cumsum bucket (tune ≈ rows/partition)
@@ -320,3 +320,69 @@ SELECT doc_id, CAST(hv % {num_shards} AS INTEGER) AS shard,
        CAST(row_number() OVER (PARTITION BY hv % {num_shards}
                                ORDER BY hv, doc_id) AS BIGINT) AS pos
 FROM v"""
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame, per_cluster: int = 8, n_centroids: int = 16
+) -> DataFrame:
+    """Embedding-diversity-stratified selection: assign every vector to
+    its nearest (max-cosine) centroid and keep ``per_cluster`` vectors
+    per cluster in a deterministic pseudo-random order — the coverage
+    sampler for training-data curation (a uniform sample over-serves
+    dense regions; a cluster-balanced one spans the embedding space).
+
+    Deterministic end to end: centroids are the first ``n_centroids``
+    vec_ids (the repo's oracle-checkable IVF convention) and the
+    within-cluster order is md5(vec_id) — reproducible "randomness",
+    exactly the `stratified_hash_sample` trick applied per cluster.
+
+    Scale (100 TB): assignment is a narrow broadcast map; the only
+    shuffle keys on c_id and the per-cluster limit runs as
+    WindowGroupLimit (rank pushdown), so only ~per_cluster * clusters
+    rows survive the exchange.
+    """
+    from datafusion_pinot_spark.operators.similarity import _ivf_assignments
+
+    emb = embeddings.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    _, assigned = _ivf_assignments(emb, n_centroids)
+    w = Window.partitionBy("c_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.asc("vec_id")
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_cluster)
+        .select("c_id", "vec_id", "rank")
+        .orderBy("c_id", "rank")
+    )
+
+
+def cluster_balanced_sample_oracle_sql(
+    per_cluster: int = 8, n_centroids: int = 16
+) -> str:
+    from datafusion_pinot_spark.operators.similarity import _cosine_sql
+
+    sim = _cosine_sql("e.v", "c.c_v")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), centroids AS (
+  SELECT vec_id AS c_id, v AS c_v FROM emb WHERE vec_id < {n_centroids}
+), assigned AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sim} DESC, c.c_id ASC) AS rnk
+    FROM emb e CROSS JOIN centroids c
+  ) WHERE rnk = 1
+)
+SELECT c_id, vec_id, rank FROM (
+  SELECT c_id, vec_id,
+         row_number() OVER (PARTITION BY c_id
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                     vec_id ASC) AS rank
+  FROM assigned
+) WHERE rank <= {per_cluster} ORDER BY c_id, rank
+"""

@@ -1179,6 +1179,19 @@ def _register_llm():
         "llm",
         ["text", "quality", "repetition"],
     )(lambda spark, sf: text.ngram_repetition_stats(_docs(spark, sf)))
+    # Embedding-diversity-stratified selection: per-cluster balanced
+    # sample spanning the embedding space (uniform sampling over-serves
+    # dense regions) — broadcast assignment + one c_id shuffle.
+    register(
+        "cluster_balanced_sample",
+        curation.cluster_balanced_sample_oracle_sql(),
+        "llm",
+        ["curation", "sampling", "diversity", "embedding"],
+    )(
+        lambda spark, sf: curation.cluster_balanced_sample(
+            t(spark, sf, "embeddings")
+        )
+    )
     # Training-export sharding: deterministic hash-ordered (shard, pos)
     # addresses — the reproducible global shuffle a training loader reads.
     register(
@@ -4852,6 +4865,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_upsert_latest",  # r6: upsert-table last-wins read
     "pinot_upsert_partial",  # r6: partial-upsert non-null column merge
     "training_shard_assignment",  # r6: deterministic export shuffle
+    "cluster_balanced_sample",  # r6: embedding-diversity sampling
     "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
     "pinot_string_prefix_scan",  # r6: LIKE pushdown (dict-accelerated)
     "word_commonness_score",  # r6: integer-exact unigram quality signal
@@ -4871,7 +4885,6 @@ DRIVER_WINDOW: list[str] = [
     # — every query added in round N enters the window in round N) --
     "pinot_inverted_filter",
     "pinot_hybrid_table_agg",
-    "doc_repetition_stats",
     # Veterans rotated out of the window — all driver-green at least twice
     # and pinned by tests/test_queries_oracle.py + tools/oracle_check.py:
     # r6-continuation rotations (making room for the six new r6 queries
@@ -4887,7 +4900,9 @@ DRIVER_WINDOW: list[str] = [
     # check deferred — the pytest oracle tier still pins it every run);
     # q8_market_share, q21_waiting_supplier (r5-green once; rotated for
     # the r6 relational-breadth pair — seven other TPC-H shapes remain in
-    # the window and the full 22 stay pytest-pinned).
+    # the window and the full 22 stay pytest-pinned);
+    # doc_repetition_stats (r5-green once; rotated for the r6 diversity
+    # sampler).
     # q1_pricing_summary, join_5way_region_revenue, approx_distinct,
     # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,
