@@ -1179,6 +1179,88 @@ def _register_llm():
         "llm",
         ["text", "quality", "repetition"],
     )(lambda spark, sf: text.ngram_repetition_stats(_docs(spark, sf)))
+    def _dataset_card(spark, sf):
+        docs = _docs(spark, sf)
+        toks = docs.select(
+            "source",
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.md5("text").alias("h"),
+            "lang",
+        )
+        dup = toks.groupBy("source").agg(
+            (F.count(F.lit(1)) - F.countDistinct("h")).cast("bigint").alias(
+                "n_exact_dups"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("n_tokens") >= 15, 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+        lw = Window.partitionBy("source").orderBy(
+            F.desc("c"), F.asc("lang")
+        )
+        top_lang = (
+            toks.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(lw))
+            .filter(F.col("rn") == 1)
+            .select("source", F.col("lang").alias("top_lang"))
+        )
+        return (
+            dup.join(top_lang, "source")
+            .select(
+                "source",
+                "n_docs",
+                "total_tokens",
+                "n_exact_dups",
+                F.expr("n_kept * 1000000L div n_docs").alias("keep_milli"),
+                "top_lang",
+            )
+            .orderBy("source")
+        )
+
+    # Dataset-card corpus report: the per-source summary a curation run
+    # publishes — volume, token mass, quality keep-rate, exact-dup rate,
+    # dominant language — composed from the pipeline's own signals, all
+    # integer-exact. Shuffles: one per signal family, each keyed by
+    # doc-bounded cardinalities, then a tiny per-source rollup.
+    register(
+        "dataset_card_by_source",
+        """WITH toks AS (
+             SELECT source, doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    md5(text) AS h, lang
+             FROM documents),
+           dup AS (
+             SELECT source, count(*) - count(DISTINCT h) AS n_dups,
+                    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT)
+                      AS total_tokens
+             FROM toks GROUP BY source),
+           kept AS (
+             SELECT source, sum(CASE WHEN n_tokens >= 15 THEN 1 ELSE 0 END)
+                      AS n_kept
+             FROM toks GROUP BY source),
+           langs AS (
+             SELECT source, lang, count(*) AS c,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY count(*) DESC, lang ASC)
+                      AS rn
+             FROM toks GROUP BY source, lang)
+           SELECT d.source, d.n_docs, d.total_tokens,
+                  CAST(d.n_dups AS BIGINT) AS n_exact_dups,
+                  CAST(k.n_kept * 1000000 // d.n_docs AS BIGINT)
+                    AS keep_milli,
+                  l.lang AS top_lang
+           FROM dup d
+           JOIN kept k USING (source)
+           JOIN (SELECT source, lang FROM langs WHERE rn = 1) l
+             USING (source)
+           ORDER BY d.source""",
+        "llm",
+        ["curation", "report", "summary"],
+    )(lambda spark, sf: _dataset_card(spark, sf))
     # Embedding-diversity-stratified selection: per-cluster balanced
     # sample spanning the embedding space (uniform sampling over-serves
     # dense regions) — broadcast assignment + one c_id shuffle.
@@ -4866,6 +4948,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_upsert_partial",  # r6: partial-upsert non-null column merge
     "training_shard_assignment",  # r6: deterministic export shuffle
     "cluster_balanced_sample",  # r6: embedding-diversity sampling
+    "dataset_card_by_source",  # r6: per-source corpus report
     "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
     "pinot_string_prefix_scan",  # r6: LIKE pushdown (dict-accelerated)
     "word_commonness_score",  # r6: integer-exact unigram quality signal
@@ -4884,7 +4967,6 @@ DRIVER_WINDOW: list[str] = [
     # -- r5 rotation: queries registered after the r3 freeze (r3 verdict #4
     # — every query added in round N enters the window in round N) --
     "pinot_inverted_filter",
-    "pinot_hybrid_table_agg",
     # Veterans rotated out of the window — all driver-green at least twice
     # and pinned by tests/test_queries_oracle.py + tools/oracle_check.py:
     # r6-continuation rotations (making room for the six new r6 queries
@@ -4902,7 +4984,9 @@ DRIVER_WINDOW: list[str] = [
     # the r6 relational-breadth pair — seven other TPC-H shapes remain in
     # the window and the full 22 stay pytest-pinned);
     # doc_repetition_stats (r5-green once; rotated for the r6 diversity
-    # sampler).
+    # sampler); pinot_hybrid_table_agg (r5-green once; rotated for the r6
+    # dataset-card report — the hybrid time-boundary stays pinned by
+    # test_hybrid_table_time_boundary + the pytest oracle tier).
     # q1_pricing_summary, join_5way_region_revenue, approx_distinct,
     # json_extract_events, ann_lsh_bucketed, ann_ivf_topk,
     # embedding_cosine_dup_pairs, ngram_jaccard_pairs,
