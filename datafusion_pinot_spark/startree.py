@@ -23,6 +23,8 @@ not served — callers fall back to the fact table.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pinot_segment.startree import (
@@ -78,6 +80,15 @@ def build_startree(
     )
     comp = companion_table_dir(table_dir)
     out.repartition(1).write.format("pinot").mode("overwrite").save(comp)
+    # sidecar config: the split order and metric->agg map, so serve_agg
+    # can refuse a mismatched request (e.g. max over a sum-materialized
+    # metric) instead of silently serving the wrong aggregate. Segment
+    # discovery skips non-segment entries, so the file is invisible to
+    # every reader.
+    import json
+
+    with open(os.path.join(comp, "startree_config.json"), "w") as f:
+        json.dump({"dims": list(dims), "metrics": dict(metrics)}, f)
     return comp
 
 
@@ -96,4 +107,54 @@ def read_startree_agg(
         .load(comp)
         .filter(F.col(LEVEL_COL) == prefix_len)
         .drop(LEVEL_COL)
+    )
+
+
+def serve_agg(
+    spark: SparkSession,
+    table_dir: str,
+    group_dims: list[str],
+    metrics: dict[str, str],
+) -> DataFrame:
+    """Route a GROUP BY to the star-tree companion when possible: if the
+    grouped dims are a PREFIX of the companion's split order and every
+    requested metric is materialized with the same agg function, the
+    result comes from the level's pre-aggregated rows (count from
+    ``__count``); otherwise aggregate the fact table directly — same
+    schema either way, so callers don't care which path served them.
+
+    The check reads ONE companion row group's schema (no fact-table
+    touch); a missing companion or a non-prefix grouping is simply the
+    fallback, never an error."""
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+
+    def fallback() -> DataFrame:
+        fact = spark.read.format("pinot").load(table_dir)
+        aggs = [F.count(F.lit(1)).alias(COUNT_COL)] + [
+            getattr(F, fn)(F.col(m)).alias(m) for m, fn in metrics.items()
+        ]
+        return fact.groupBy(
+            *[F.col(d).cast("string").alias(d) for d in group_dims]
+        ).agg(*aggs)
+
+    import json
+
+    comp = companion_table_dir(table_dir)
+    cfg_path = os.path.join(comp, "startree_config.json")
+    try:
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        companion = spark.read.format("pinot").load(comp)
+    except Exception:
+        return fallback()
+    k = len(group_dims)
+    if cfg["dims"][:k] != list(group_dims) or any(
+        cfg["metrics"].get(m) != fn for m, fn in metrics.items()
+    ):
+        return fallback()
+    return (
+        companion.filter(F.col(LEVEL_COL) == k)
+        .select(*group_dims, COUNT_COL, *metrics)
     )

@@ -97,3 +97,39 @@ def test_level_filter_is_pushed(spark, fact_table):
     # source ("RuntimeFilters: []" in the scan line also contains the
     # word, hence the node-shaped patterns)
     assert "Filter (" not in plan and ") Filter" not in plan
+
+
+def test_serve_agg_routes_and_falls_back(spark, fact_table):
+    from pyspark.sql import functions as F
+
+    from datafusion_pinot_spark.startree import serve_agg
+
+    out, comp, li = fact_table
+
+    def norm(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    direct = norm(
+        li.groupBy("flag").agg(
+            F.count(F.lit(1)).alias(COUNT_COL), F.sum("qty").alias("qty")
+        )
+    )
+    routed = serve_agg(spark, out, ["flag"], {"qty": "sum"})
+    assert norm(routed) == direct
+    # the routed plan never touches the fact table dir
+    assert out not in routed._jdf.queryExecution().executedPlan().toString()
+
+    # non-prefix grouping (status alone) → fallback, same answer
+    by_status = serve_agg(spark, out, ["status"], {"qty": "sum"})
+    assert norm(by_status) == norm(
+        li.groupBy("status").agg(
+            F.count(F.lit(1)).alias(COUNT_COL), F.sum("qty").alias("qty")
+        )
+    )
+    # unmaterialized metric → fallback, same answer
+    by_max = serve_agg(spark, out, ["flag"], {"qty": "max"})
+    assert norm(by_max) == norm(
+        li.groupBy("flag").agg(
+            F.count(F.lit(1)).alias(COUNT_COL), F.max("qty").alias("qty")
+        )
+    )
