@@ -1,0 +1,270 @@
+"""Ordered-funnel analytics over an event stream.
+
+Pinot ships funnel aggregations (FUNNEL_COUNT / FUNNEL_COMPLETE_COUNT —
+user-ordered step matching) as first-class engine functions; the reference
+repo reaches them only through Pinot itself, so this module re-expresses the
+semantics Spark-first:
+
+- :func:`funnel_user_depth` — per user, the deepest funnel prefix completed
+  in strict timestamp order (a ``view`` before a ``click`` before a
+  ``purchase`` counts as depth 3; a ``purchase`` before any ``view`` does
+  not count until a later ordered prefix reaches it).
+- :func:`funnel_conversion` — the per-step rollup: users reaching each
+  step and the step-over-step conversion rate (integer millionths).
+
+Scale shape: ONE shuffle keyed on the user column; each user's funnel
+events collapse to a single sorted LONG array (timestamp-and-step packed
+into one BIGINT), and the ordered-prefix scan is an engine-side
+``aggregate`` fold over that array — no Python, no window over the event
+table, no per-event shuffle. Per-user state is bounded by that user's
+funnel-event count (cap with ``max_events_per_user`` for adversarial
+keys). The final rollup is a single tiny row.
+
+The md5-free integer encoding (``epoch_micros * 8 + step``) keeps every
+stage bit-identical in DuckDB, so the whole operator sits under the
+driver's hash gate (oracle: :func:`funnel_conversion_oracle_sql`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# low bits of the packed event carry the 1-based step number; 3 bits
+# supports funnels of up to 7 steps, plenty for product funnels
+STEP_BITS = 3
+_STEP_MOD = 1 << STEP_BITS
+
+
+def _step_number(type_col: Column, steps: list[str]) -> Column:
+    out = F.when(type_col == steps[0], F.lit(1).cast("long"))
+    for i, s in enumerate(steps[1:], start=2):
+        out = out.when(type_col == s, F.lit(i).cast("long"))
+    return out  # callers filter to the step set, so no otherwise branch
+
+
+def funnel_user_depth(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_events_per_user: int | None = None,
+) -> DataFrame:
+    """``(user_id, depth)``: the longest ordered prefix of ``steps`` this
+    user completed, scanning their funnel events in timestamp order.
+
+    Implementation: each qualifying event packs into one BIGINT
+    ``epoch_micros * 2^STEP_BITS + step`` so a single ``array_sort`` gives
+    the strict (ts, step) order, then an ``aggregate`` fold advances the
+    depth whenever the next event is exactly the next step. Ties at the
+    same microsecond resolve lower-step-first (the packed low bits), the
+    generous reading a funnel wants."""
+    if not 0 < len(steps) < _STEP_MOD:
+        raise ValueError(f"funnel supports 1..{_STEP_MOD - 1} steps")
+    enc = (
+        F.unix_micros(F.col(ts_col)) * _STEP_MOD
+        + _step_number(F.col(type_col), steps)
+    ).alias("enc")
+    per_user = (
+        events.where(F.col(type_col).isin(list(steps)))
+        .select(F.col(user_col).alias("user_id"), enc)
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("enc")).alias("encs"))
+    )
+    if max_events_per_user is not None:
+        per_user = per_user.withColumn(
+            "encs", F.slice("encs", 1, max_events_per_user)
+        )
+    depth = F.aggregate(
+        F.transform("encs", lambda x: x % _STEP_MOD),
+        F.lit(0).cast("long"),
+        lambda acc, s: F.when(s == acc + 1, acc + 1).otherwise(acc),
+    )
+    return per_user.select("user_id", depth.alias("depth"))
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per funnel step: ``step, step_name, n_users, conv_prev_milli`` —
+    users whose ordered depth reaches the step, and the step-over-step
+    conversion in integer millionths (step 1 is 1_000_000 by definition;
+    an empty upstream step converts at 0)."""
+    depths = funnel_user_depth(events, steps, user_col, type_col, ts_col)
+    counts = depths.agg(
+        *[
+            F.sum((F.col("depth") >= i + 1).cast("long")).alias(f"c{i + 1}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = []
+    for i, name in enumerate(steps):
+        conv = (
+            F.lit(1000000).cast("long")
+            if i == 0
+            else F.expr(
+                f"CASE WHEN c{i} = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE c{i + 1} * 1000000L div c{i} END"
+            )
+        )
+        rows.append(
+            F.struct(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(name).alias("step_name"),
+                F.coalesce(F.col(f"c{i + 1}"), F.lit(0).cast("long")).alias(
+                    "n_users"
+                ),
+                conv.alias("conv_prev_milli"),
+            )
+        )
+    return (
+        counts.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+        .orderBy("step")
+    )
+
+
+def funnel_complete_count(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``(user_id, completions)``: how many DISJOINT complete funnels the
+    user ran, scanning events in timestamp order (Pinot's
+    FUNNEL_COMPLETE_COUNT semantics): each event may serve one chain; on
+    reaching the last step the chain closes and matching restarts at step
+    one. Same single user-keyed shuffle + integer fold as
+    :func:`funnel_user_depth` — the accumulator packs
+    ``completions * 2^STEP_BITS + current_depth`` into one BIGINT."""
+    if not 0 < len(steps) < _STEP_MOD:
+        raise ValueError(f"funnel supports 1..{_STEP_MOD - 1} steps")
+    n = len(steps)
+    enc = (
+        F.unix_micros(F.col(ts_col)) * _STEP_MOD
+        + _step_number(F.col(type_col), steps)
+    ).alias("enc")
+    per_user = (
+        events.where(F.col(type_col).isin(list(steps)))
+        .select(F.col(user_col).alias("user_id"), enc)
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("enc")).alias("encs"))
+    )
+    acc = F.aggregate(
+        F.transform("encs", lambda x: x % _STEP_MOD),
+        F.lit(0).cast("long"),
+        lambda acc, s: F.when(
+            s == acc % _STEP_MOD + 1,
+            # closing the chain banks a completion and resets the depth:
+            # acc = comp*M + (n-1)  ->  (comp+1)*M + 0
+            F.when(s == n, acc + _STEP_MOD - (n - 1)).otherwise(acc + 1),
+        ).otherwise(acc),
+    )
+    return per_user.select(
+        "user_id", F.shiftright(acc, STEP_BITS).alias("completions")
+    )
+
+
+def funnel_completion_histogram(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Distribution of disjoint funnel completions: ``completions,
+    n_users`` — the discriminating rollup (per-user counts vary even on
+    dense event streams where every user eventually converts once)."""
+    per_user = funnel_complete_count(events, steps, user_col, type_col, ts_col)
+    return (
+        per_user.groupBy("completions")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("completions")
+    )
+
+
+def funnel_completion_histogram_oracle_sql(
+    steps: list[str], table: str = "events"
+) -> str:
+    """DuckDB equivalent of :func:`funnel_completion_histogram` (identical
+    packed-integer fold)."""
+    n = len(steps)
+    case = " ".join(
+        f"WHEN '{s}' THEN CAST({i + 1} AS BIGINT)" for i, s in enumerate(steps)
+    )
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    return f"""
+WITH enc AS (
+  SELECT user_id,
+         epoch_us(ts) * {_STEP_MOD} + CASE event_type {case} END AS e
+  FROM {table} WHERE event_type IN ({in_list})
+), d AS (
+  SELECT user_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(list_sort(list(e)),
+                                       x -> x % {_STEP_MOD})),
+           (acc, s) -> CASE WHEN s = acc % {_STEP_MOD} + 1
+                       THEN CASE WHEN s = {n}
+                            THEN acc + {_STEP_MOD} - {n - 1}
+                            ELSE acc + 1 END
+                       ELSE acc END
+         ) // {_STEP_MOD} AS completions
+  FROM enc GROUP BY user_id
+)
+SELECT completions, CAST(count(*) AS BIGINT) AS n_users
+FROM d GROUP BY completions ORDER BY completions"""
+
+
+def funnel_conversion_oracle_sql(
+    steps: list[str], table: str = "events"
+) -> str:
+    """DuckDB equivalent of :func:`funnel_conversion` — identical integer
+    encoding and an identical left fold via ``list_reduce`` (whose first
+    lambda argument is the accumulator)."""
+    case = " ".join(
+        f"WHEN '{s}' THEN CAST({i + 1} AS BIGINT)" for i, s in enumerate(steps)
+    )
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    counts = ", ".join(
+        f"CAST(sum(CASE WHEN depth >= {i + 1} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{i + 1}"
+        for i in range(len(steps))
+    )
+    arms = []
+    for i, name in enumerate(steps):
+        conv = (
+            "CAST(1000000 AS BIGINT)"
+            if i == 0
+            else (
+                f"CASE WHEN c{i} = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE c{i + 1} * 1000000 // c{i} END"
+            )
+        )
+        arms.append(
+            f"SELECT CAST({i + 1} AS INT) AS step, '{name}' AS step_name, "
+            f"c{i + 1} AS n_users, {conv} AS conv_prev_milli FROM c"
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+WITH enc AS (
+  SELECT user_id,
+         epoch_us(ts) * {_STEP_MOD} + CASE event_type {case} END AS e
+  FROM {table} WHERE event_type IN ({in_list})
+), d AS (
+  SELECT user_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(list_sort(list(e)),
+                                       x -> x % {_STEP_MOD})),
+           (acc, s) -> CASE WHEN s = acc + 1 THEN acc + 1 ELSE acc END
+         ) AS depth
+  FROM enc GROUP BY user_id
+), c AS (SELECT {counts} FROM d)
+SELECT * FROM ({union}) ORDER BY step"""

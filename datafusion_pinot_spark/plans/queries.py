@@ -1163,6 +1163,37 @@ def _register_llm():
             k=64,
         )
     )
+    # Ordered-funnel conversion (Pinot FUNNEL_COUNT family): per-user
+    # deepest ordered prefix via one user-keyed shuffle + an engine-side
+    # sorted-array fold, then a tiny per-step rollup. The packed
+    # (epoch_micros, step) BIGINT encoding keeps every stage
+    # DuckDB-reproducible, so the whole operator is hash-gated.
+    from datafusion_pinot_spark.operators import funnel
+
+    _FUNNEL_STEPS = ["view", "click", "purchase"]
+    register(
+        "funnel_conversion_steps",
+        funnel.funnel_conversion_oracle_sql(_FUNNEL_STEPS),
+        "llm",
+        ["events", "funnel", "analytics"],
+    )(
+        lambda spark, sf: funnel.funnel_conversion(
+            t(spark, sf, "events"), _FUNNEL_STEPS
+        )
+    )
+    # FUNNEL_COMPLETE_COUNT semantics: disjoint full completions per user
+    # (discriminating on dense streams where plain depth saturates),
+    # rolled up to a completions histogram. Same shuffle/fold shape.
+    register(
+        "funnel_complete_histogram",
+        funnel.funnel_completion_histogram_oracle_sql(_FUNNEL_STEPS),
+        "llm",
+        ["events", "funnel", "analytics"],
+    )(
+        lambda spark, sf: funnel.funnel_completion_histogram(
+            t(spark, sf, "events"), _FUNNEL_STEPS
+        )
+    )
     # FineWeb-style composite keep/drop gate over engine-side signals,
     # with the first failing rule recorded as the audit reason.
     register(
@@ -4906,7 +4937,12 @@ def q_doc_repetition(spark, sf):
 DRIVER_WINDOW: list[str] = [
     # -- storage layer end-to-end (write -> encode -> decode -> scan) --
     "pinot_roundtrip_agg",
-    "pinot_lineitem_q1",  # r3: FULL fact table in pinot format, Q1 on top
+    # r6-continuation funnel analytics (standing rule: round-N queries
+    # enter the round-N window). Slot freed by rotating pinot_lineitem_q1
+    # (driver-green r3+r5, pinned by the pytest oracle tier + bench's
+    # pinot tier every run).
+    "funnel_conversion_steps",  # r6: ordered-prefix funnel depth rollup
+    "funnel_complete_histogram",  # r6: disjoint FUNNEL_COMPLETE_COUNT dist
     # -- r6 additions (standing rotation rule: round-N queries enter the
     # round-N window) --
     "pinot_timestamp_range_scan",  # r6: TIMESTAMP pushdown + zone maps
@@ -4962,8 +4998,10 @@ DRIVER_WINDOW: list[str] = [
     # -- r3 TPC-H breadth: q12's oracle was fixed in r5 and is retained
     # until twice-green on the new oracle --
     "q12_late_shipment_priority",
-    # -- retained (rows-only by design) --
-    "simhash_dup_groups",  # rows-only by design (xxhash64 is Spark-only)
+    # (simhash_dup_groups rotated out for the r6 funnel pair: rows-only by
+    # design — the driver row could only ever prove "runs, returns rows" —
+    # while its hash-gated md5 sibling simhash_md5_dup_groups stays in the
+    # window and the xxhash64 path stays pytest+bench-exercised.)
     # -- r5 rotation: queries registered after the r3 freeze (r3 verdict #4
     # — every query added in round N enters the window in round N) --
     "pinot_inverted_filter",

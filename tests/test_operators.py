@@ -498,3 +498,89 @@ def test_pq_codes_roundtrip_through_pinot_storage(spark, tmp_path):
     }
     assert after == before
     assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in after.values())
+
+
+def test_funnel_depth_requires_order(spark):
+    from datetime import datetime
+
+    from datafusion_pinot_spark.operators import funnel
+
+    mk = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel (with noise event between steps)
+        (1, mk(1), "view"), (1, mk(2), "error"), (1, mk(3), "click"),
+        (1, mk(4), "purchase"),
+        # u2: purchase BEFORE the view/click -> depth stops at 2
+        (2, mk(1), "purchase"), (2, mk(2), "view"), (2, mk(3), "click"),
+        # u3: only a click, never a view -> depth 0
+        (3, mk(5), "click"),
+        # u4: view then a LATER second chance completes the funnel
+        (4, mk(1), "view"), (4, mk(2), "purchase"), (4, mk(3), "click"),
+        (4, mk(4), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    steps = ["view", "click", "purchase"]
+    depths = dict(
+        funnel.funnel_user_depth(ev, steps).collect()
+    )
+    assert depths == {1: 3, 2: 2, 3: 0, 4: 3}
+
+    conv = {
+        r["step_name"]: (r["n_users"], r["conv_prev_milli"])
+        for r in funnel.funnel_conversion(ev, steps).collect()
+    }
+    # depth>=1: u1,u2,u4; depth>=2: u1,u2,u4; depth>=3: u1,u4
+    assert conv == {
+        "view": (3, 1000000),
+        "click": (3, 1000000),
+        "purchase": (2, 666666),
+    }
+
+
+def test_funnel_same_microsecond_tie_resolves_low_step_first(spark):
+    from datetime import datetime
+
+    from datafusion_pinot_spark.operators import funnel
+
+    ts = datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, ts, "purchase"), (1, ts, "click"), (1, ts, "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    depths = dict(
+        funnel.funnel_user_depth(ev, ["view", "click", "purchase"]).collect()
+    )
+    assert depths == {1: 3}
+
+
+def test_funnel_complete_count_disjoint_chains(spark):
+    from datetime import datetime
+
+    from datafusion_pinot_spark.operators import funnel
+
+    mk = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: two full disjoint completions, events interleaved with noise
+        (1, mk(1), "view"), (1, mk(2), "click"), (1, mk(3), "purchase"),
+        (1, mk(4), "view"), (1, mk(5), "view"), (1, mk(6), "click"),
+        (1, mk(7), "purchase"),
+        # u2: steps out of order -> zero completions
+        (2, mk(1), "purchase"), (2, mk(2), "click"), (2, mk(3), "view"),
+        # u3: one completion; the second chain stalls at click
+        (3, mk(1), "view"), (3, mk(2), "click"), (3, mk(3), "purchase"),
+        (3, mk(4), "view"), (3, mk(5), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    steps = ["view", "click", "purchase"]
+    got = dict(funnel.funnel_complete_count(ev, steps).collect())
+    assert got == {1: 2, 2: 0, 3: 1}
+
+    hist = {
+        r["completions"]: r["n_users"]
+        for r in funnel.funnel_completion_histogram(ev, steps).collect()
+    }
+    assert hist == {0: 1, 1: 1, 2: 1}
