@@ -1,0 +1,103 @@
+"""Heavy-hitter (frequent-item) detection over corpus tokens.
+
+The classic "top tokens / domains / URLs by share" question at 100 TB: a
+plain ``GROUP BY token`` shuffles the full token stream (trillions of rows)
+just to find the handful of items above a share threshold. This module uses
+the standard sketch-then-verify shape instead:
+
+- **Pass 1 — candidates** (:func:`heavy_hitter_candidates`): one
+  Arrow-batched ``mapInPandas`` scan keeps an exact per-partition token
+  count in a local hash map (the map-side combine the engine would build
+  anyway, kept partition-local) and emits only tokens whose partition
+  share clears the pigeonhole bar ``cnt_p * k >= n_p``. Any token with
+  global count ``> N/k`` must clear that bar in at least one partition —
+  if ``cnt_p < n_p/k`` everywhere, summing over partitions gives a global
+  count ``< N/k`` — so the candidate union is a guaranteed superset of
+  the true heavy hitters. Shuffled bytes: candidates only (tiny).
+- **Pass 2 — exact verify** (:func:`heavy_hitter_tokens`): codegen'd
+  explode + broadcast semi-join on the candidate set + exact count, kept
+  iff ``cnt * k > N`` strictly. The output is EXACT and deterministic —
+  the sketch only bounds where the expensive count runs — which is why a
+  plain SQL GROUP BY/HAVING works as the DuckDB oracle.
+
+A 2x safety margin on the candidate bar absorbs any tokenizer drift
+between the Python candidate pass (``str.split``, Unicode whitespace) and
+the engine verify pass (``\\s+`` regex, ASCII whitespace).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from datafusion_pinot_spark.functions import tokens
+
+DEFAULT_K = 100  # heavy hitter = token with > 1/k of all token mass
+
+
+def heavy_hitter_candidates(
+    docs: DataFrame, k: int = DEFAULT_K, text_col: str = "text"
+) -> DataFrame:
+    """Superset of tokens that can possibly hold > 1/k of global token
+    mass: per-partition exact counts, pigeonhole bar with a 2x margin."""
+
+    def gen(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        cnt: Counter = Counter()
+        total = 0
+        for pdf in batches:
+            for txt in pdf[text_col]:
+                if txt is None:
+                    continue
+                toks = txt.lower().split()
+                cnt.update(toks)
+                total += len(toks)
+        cands = [t for t, c in cnt.items() if c * k * 2 >= total]
+        yield pd.DataFrame({"token": pd.Series(cands, dtype="object")})
+
+    return docs.select(text_col).mapInPandas(gen, "token string").distinct()
+
+
+def heavy_hitter_tokens(
+    docs: DataFrame, k: int = DEFAULT_K, text_col: str = "text"
+) -> DataFrame:
+    """Exact heavy hitters: ``token, cnt, share_milli`` for every token
+    with strictly more than ``1/k`` of all token occurrences, ordered by
+    count descending. Equal to the full GROUP BY answer, computed with a
+    candidate-bounded shuffle."""
+    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    cands = heavy_hitter_candidates(docs, k, text_col)
+    total = tok.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        tok.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("total"))
+        .select(
+            "token",
+            "cnt",
+            F.expr("cnt * 1000000L div total").alias("share_milli"),
+        )
+        .orderBy(F.desc("cnt"), "token")
+    )
+
+
+def heavy_hitter_tokens_oracle_sql(
+    k: int = DEFAULT_K, table: str = "documents"
+) -> str:
+    """Plain exact GROUP BY/HAVING oracle — valid because the sketch pass
+    never changes the answer, only where the count is computed."""
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM {table} WHERE length(trim(text)) > 0
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(*) AS BIGINT) * 1000000 // total AS share_milli
+FROM tok, tot
+GROUP BY token, total
+HAVING CAST(count(*) AS BIGINT) * {k} > total
+ORDER BY cnt DESC, token"""

@@ -1194,6 +1194,17 @@ def _register_llm():
             t(spark, sf, "events"), _FUNNEL_STEPS
         )
     )
+    # Heavy hitters: per-partition pigeonhole candidate sketch (Arrow
+    # mapInPandas, candidates-only shuffle) + exact codegen'd verify —
+    # output is EXACT, so the oracle is the plain GROUP BY/HAVING.
+    from datafusion_pinot_spark.operators import frequent
+
+    register(
+        "heavy_hitter_tokens",
+        frequent.heavy_hitter_tokens_oracle_sql(k=100),
+        "llm",
+        ["text", "sketch", "frequency"],
+    )(lambda spark, sf: frequent.heavy_hitter_tokens(_docs(spark, sf), k=100))
     # FineWeb-style composite keep/drop gate over engine-side signals,
     # with the first failing rule recorded as the audit reason.
     register(
@@ -4990,9 +5001,12 @@ DRIVER_WINDOW: list[str] = [
     "word_commonness_score",  # r6: integer-exact unigram quality signal
     "pinot_sql_join_storage",  # r6: multi-table SQL over pinot catalog
     "pinot_hll_sketch_rollup",  # r6: HLL sketch columns (rows-only)
+    "heavy_hitter_tokens",  # r6: pigeonhole sketch + exact verify
     # -- streaming ops --
     "stateful_user_totals",
-    "streaming_watermarked_agg",  # rows-only by design (watermark withholds)
+    # (streaming_watermarked_agg rotated out for heavy_hitter_tokens:
+    # rows-only by design — its hash-gated closed-window sibling
+    # streaming_watermarked_closed stays in the window.)
     # -- r3 curation ops --
     "sequence_pack_bins",
     # -- r3 TPC-H breadth: q12's oracle was fixed in r5 and is retained

@@ -584,3 +584,36 @@ def test_funnel_complete_count_disjoint_chains(spark):
         for r in funnel.funnel_completion_histogram(ev, steps).collect()
     }
     assert hist == {0: 1, 1: 1, 2: 1}
+
+
+def test_heavy_hitters_exact_and_candidate_superset(spark):
+    from datafusion_pinot_spark.operators import frequent
+
+    # 40 docs of mostly-unique filler + two genuinely hot tokens
+    rows = []
+    for i in range(40):
+        filler = " ".join(f"w{i}_{j}" for j in range(8))
+        hot = "alpha " * 3 + ("beta " if i % 2 == 0 else "")
+        rows.append((i, hot + filler))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = frequent.heavy_hitter_tokens(docs, k=10).collect()
+    # exact reference: full count, threshold cnt*k > N
+    from collections import Counter
+
+    cnt = Counter()
+    for _, txt in rows:
+        cnt.update(txt.lower().split())
+    total = sum(cnt.values())
+    want = sorted(
+        [(t, c) for t, c in cnt.items() if c * 10 > total],
+        key=lambda tc: (-tc[1], tc[0]),
+    )
+    assert [(r["token"], r["cnt"]) for r in got] == want
+    hh = [r["token"] for r in got]
+    assert "alpha" in hh  # 120/460 of mass — well above 1/10
+    assert not any(tok.startswith("w") for tok in hh)  # filler never hot
+    for r in got:
+        assert r["share_milli"] == r["cnt"] * 1000000 // total
+    # the candidate sketch prunes: far fewer candidates than vocabulary
+    n_cand = frequent.heavy_hitter_candidates(docs, k=10).count()
+    assert n_cand < len(cnt) / 4
