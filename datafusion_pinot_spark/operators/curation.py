@@ -386,3 +386,56 @@ SELECT c_id, vec_id, rank FROM (
   FROM assigned
 ) WHERE rank <= {per_cluster} ORDER BY c_id, rank
 """
+
+
+def chunk_token_windows(
+    docs: DataFrame, window: int = 128, stride: int = 64
+) -> DataFrame:
+    """Overlapping token-window chunks for embedding / retrieval indexing:
+    each document becomes ``ceil(n_tokens / stride)`` chunks of up to
+    ``window`` tokens starting every ``stride`` tokens (stride < window =
+    sliding overlap, stride == window = disjoint blocks).
+
+    One row per chunk: ``doc_id, chunk_idx, chunk_start, n_chunk_tokens,
+    chunk_md5`` (md5 of the space-rejoined slice — chunk identity without
+    shipping the text). Pure narrow map + explode over engine built-ins:
+    no shuffle, no Python, embarrassingly parallel at 100 TB."""
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    chunks = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.expr(f"(n - 1) div {stride}"))
+        ).alias("i"),
+    )
+    ctoks = F.slice("toks", F.col("i").cast("int") * stride + 1, window)
+    return chunks.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        (F.col("i").cast("int") * stride).alias("chunk_start"),
+        F.size(ctoks).alias("n_chunk_tokens"),
+        F.md5(F.array_join(ctoks, " ")).alias("chunk_md5"),
+    )
+
+
+def chunk_token_windows_oracle_sql(window: int = 128, stride: int = 64) -> str:
+    """DuckDB oracle: identical slicing arithmetic via lateral
+    ``UNNEST(range(...))`` and 1-based inclusive list slices."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), c AS (
+  SELECT doc_id, t.i AS i, toks[(t.i * {stride} + 1):(t.i * {stride} + {window})] AS ctoks
+  FROM d, UNNEST(range(0, (len(toks) - 1) // {stride} + 1)) AS t(i)
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(i * {stride} AS INT) AS chunk_start,
+       CAST(len(ctoks) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(ctoks, ' ')) AS chunk_md5
+FROM c"""

@@ -1041,6 +1041,20 @@ def _register_llm():
         "llm",
         ["curation", "packing", "tokens"],
     )(lambda spark, sf: curation.sequence_pack_bins(_docs(spark, sf)))
+    # Overlapping token-window chunking (embedding/retrieval indexing
+    # prep): pure narrow map + explode, zero shuffle. Ordered for the
+    # driver's deterministic compare.
+    register(
+        "doc_chunk_windows",
+        curation.chunk_token_windows_oracle_sql(window=32, stride=16)
+        + " ORDER BY doc_id, chunk_idx",
+        "llm",
+        ["curation", "chunking", "tokens"],
+    )(
+        lambda spark, sf: curation.chunk_token_windows(
+            _docs(spark, sf), window=32, stride=16
+        ).orderBy("doc_id", "chunk_idx")
+    )
     # Domain-mixture (temperature) sampling: data-dependent per-source
     # rates computed in-query, md5-deterministic accept decisions — the
     # data-mixing stage between dedup and packing (r6).
@@ -4946,8 +4960,12 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
-    # -- storage layer end-to-end (write -> encode -> decode -> scan) --
-    "pinot_roundtrip_agg",
+    # (pinot_roundtrip_agg rotated out for doc_chunk_windows: driver-green
+    # in every round r1-r5 and pinned by the pytest oracle tier; the
+    # storage end-to-end path stays window-covered by the r6 storage
+    # queries below — pinot_timestamp_range_scan, ann_pq_pinot_codes_topk,
+    # pinot_sql_join_storage, etc.)
+    "doc_chunk_windows",  # r6: overlapping token-window chunking
     # r6-continuation funnel analytics (standing rule: round-N queries
     # enter the round-N window). Slot freed by rotating pinot_lineitem_q1
     # (driver-green r3+r5, pinned by the pytest oracle tier + bench's

@@ -617,3 +617,34 @@ def test_heavy_hitters_exact_and_candidate_superset(spark):
     # the candidate sketch prunes: far fewer candidates than vocabulary
     n_cand = frequent.heavy_hitter_candidates(docs, k=10).count()
     assert n_cand < len(cnt) / 4
+
+
+def test_chunk_token_windows_overlap_and_tail(spark):
+    from datafusion_pinot_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "only four tokens here"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    out = curation.chunk_token_windows(docs, window=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, starts at 0,3,6,9 -> sizes 4,4,4,1
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [(r["chunk_start"], r["n_chunk_tokens"]) for r in d1] == [
+        (0, 4), (3, 4), (6, 4), (9, 1)
+    ]
+    # overlapping slices share tokens: chunk 0 = t0..t3, chunk 1 = t3..t6
+    import hashlib
+
+    want0 = hashlib.md5("t0 t1 t2 t3".encode()).hexdigest()
+    assert d1[0]["chunk_md5"] == want0
+    # doc 2: 4 tokens -> 2 chunks (0..3, 3)
+    assert [(r["chunk_start"], r["n_chunk_tokens"])
+            for r in sorted(by_doc[2], key=lambda r: r["chunk_idx"])] == [
+        (0, 4), (3, 1)
+    ]
+    # empty doc emits nothing
+    assert 3 not in by_doc
