@@ -1219,6 +1219,76 @@ def _register_llm():
         "llm",
         ["text", "sketch", "frequency"],
     )(lambda spark, sf: frequent.heavy_hitter_tokens(_docs(spark, sf), k=100))
+    # Per-source length-outlier trim: robust [p05, p95] bounds computed as
+    # DISCRETE rank statistics (row_number + pure-integer rank arithmetic
+    # — no interpolated-percentile float drift can flip a comparison), then
+    # one aggregation of keep/drop tallies. Scale shape: the rank window
+    # sorts within each source partition (parallel across sources; swap in
+    # approx_percentile bounds at extreme per-source cardinalities), the
+    # bounds table is tiny and broadcast.
+    def _source_length_trim(spark, sf):
+        d = _docs(spark, sf).select("source", "doc_id", "n_chars")
+        w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        cnts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+        ranked = d.withColumn("rn", F.row_number().over(w))
+        bounds = (
+            ranked.join(F.broadcast(cnts), "source")
+            .withColumn("lowk", F.expr("(n_docs - 1) * 5 div 100 + 1"))
+            .withColumn("highk", F.expr("(n_docs - 1) * 95 div 100 + 1"))
+            .filter((F.col("rn") == F.col("lowk")) | (F.col("rn") == F.col("highk")))
+            .groupBy("source")
+            .agg(
+                F.min(F.when(F.col("rn") == F.col("lowk"), F.col("n_chars"))).alias("lo"),
+                F.min(F.when(F.col("rn") == F.col("highk"), F.col("n_chars"))).alias("hi"),
+            )
+        )
+        kept = F.col("n_chars").between(F.col("lo"), F.col("hi"))
+        return (
+            d.join(F.broadcast(bounds), "source")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("lo").alias("p05_chars"),
+                F.min("hi").alias("p95_chars"),
+                F.sum((F.col("n_chars") < F.col("lo")).cast("long")).alias("n_below"),
+                F.sum((F.col("n_chars") > F.col("hi")).cast("long")).alias("n_above"),
+                F.sum(kept.cast("long")).alias("n_kept"),
+                F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0))).alias("kept_chars"),
+            )
+            .orderBy("source")
+        )
+
+    register(
+        "source_length_trim",
+        """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+           c AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+           r AS (SELECT source, n_chars,
+                        row_number() OVER (PARTITION BY source
+                                           ORDER BY n_chars, doc_id) AS rn
+                 FROM d),
+           b AS (SELECT r.source,
+                        min(CASE WHEN rn = (n_docs - 1) * 5 // 100 + 1
+                                 THEN n_chars END) AS lo,
+                        min(CASE WHEN rn = (n_docs - 1) * 95 // 100 + 1
+                                 THEN n_chars END) AS hi
+                 FROM r JOIN c USING (source) GROUP BY r.source)
+           SELECT d.source,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(min(lo) AS BIGINT) AS p05_chars,
+                  CAST(min(hi) AS BIGINT) AS p95_chars,
+                  CAST(sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_below,
+                  CAST(sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_above,
+                  CAST(sum(CASE WHEN n_chars BETWEEN lo AND hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+                  CAST(sum(CASE WHEN n_chars BETWEEN lo AND hi THEN n_chars
+                           ELSE 0 END) AS BIGINT) AS kept_chars
+           FROM d JOIN b ON d.source = b.source
+           GROUP BY d.source ORDER BY d.source""",
+        "llm",
+        ["curation", "quantile", "outlier"],
+    )(_source_length_trim)
     # FineWeb-style composite keep/drop gate over engine-side signals,
     # with the first failing rule recorded as the audit reason.
     register(
@@ -2827,6 +2897,45 @@ def q_approx_percentiles(spark, sf):
             "p95_within_1pct"
         ),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "value_histogram",
+    """SELECT bin, CAST(bin * 25.0 AS DOUBLE) AS bin_lo,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS sum_value
+       FROM (SELECT CAST(least(floor(value / 25.0), 13) AS INTEGER) AS bin,
+                    value
+             FROM events)
+       GROUP BY bin ORDER BY bin""",
+    "relational",
+    ["agg", "histogram"],
+)
+def q_value_histogram(spark, sf):
+    """Pinot's HISTOGRAM(value, 0, 350, 14) aggregation (equal-width bins,
+    last bin absorbs the overflow tail): a single codegen'd expression
+    groupBy — partial aggregation makes it one tiny shuffle at any scale.
+    The bin arithmetic (floor of a double divide) is IEEE-identical in
+    both engines; sums go through exact DECIMAL per the catalog rule."""
+    ev = t(spark, sf, "events")
+    b = F.expr("CAST(least(floor(value / 25.0), 13) AS INT)")
+    return (
+        ev.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money("value")).cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 25.0).cast("double").alias("bin_lo"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("bin")
+    )
 
 
 @register(
@@ -5027,16 +5136,18 @@ DRIVER_WINDOW: list[str] = [
     # streaming_watermarked_closed stays in the window.)
     # -- r3 curation ops --
     "sequence_pack_bins",
-    # -- r3 TPC-H breadth: q12's oracle was fixed in r5 and is retained
-    # until twice-green on the new oracle --
-    "q12_late_shipment_priority",
+    # (q12_late_shipment_priority rotated out: r5-green on its fixed
+    # oracle; nine other TPC-H shapes remain in the window and all 22
+    # stay pytest-pinned.)
+    "value_histogram",  # r6: Pinot HISTOGRAM equal-width bins
+    "source_length_trim",  # r6: discrete-rank p05/p95 outlier trim
     # (simhash_dup_groups rotated out for the r6 funnel pair: rows-only by
     # design — the driver row could only ever prove "runs, returns rows" —
     # while its hash-gated md5 sibling simhash_md5_dup_groups stays in the
     # window and the xxhash64 path stays pytest+bench-exercised.)
-    # -- r5 rotation: queries registered after the r3 freeze (r3 verdict #4
-    # — every query added in round N enters the window in round N) --
-    "pinot_inverted_filter",
+    # (pinot_inverted_filter rotated out: r5-green once; the inverted
+    # index stays exercised by bench's index_probes tier + pytest, and
+    # five sibling index-scan queries remain in the window.)
     # Veterans rotated out of the window — all driver-green at least twice
     # and pinned by tests/test_queries_oracle.py + tools/oracle_check.py:
     # r6-continuation rotations (making room for the six new r6 queries
