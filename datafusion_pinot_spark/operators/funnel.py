@@ -268,3 +268,76 @@ WITH enc AS (
   FROM enc GROUP BY user_id
 ), c AS (SELECT {counts} FROM d)
 SELECT * FROM ({union}) ORDER BY step"""
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-activity
+    week, tracked by activity in each later week.
+
+    Output: ``cohort_week, week_offset, n_cohort, n_active,
+    retention_milli`` where ``cohort_week`` is a Monday-aligned integer
+    week index (pure epoch-day arithmetic — ``(epoch_day + 3) div 7`` —
+    so both engines agree without any date_trunc/timezone semantics in
+    play) and ``retention_milli`` is exact integer millionths.
+
+    Scale shape: one shuffle keyed on the user (first-week min +
+    per-user-week distinct collapse together), one tiny shuffle on
+    (cohort, offset); the per-cohort size table broadcasts. No window
+    functions, no Python."""
+    # epoch day 0 = Thursday; +3 aligns week boundaries to Monday
+    week = F.expr(f"(unix_date(CAST({ts_col} AS DATE)) + 3) div 7")
+    uw = (
+        events.select(F.col(user_col).alias("user_id"), week.alias("w"))
+        .groupBy("user_id", "w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    first = uw.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    matrix = (
+        uw.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        matrix.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_cohort",
+            "n_active",
+            F.expr("n_active * 1000000L div n_cohort").alias("retention_milli"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def cohort_retention_oracle_sql(table: str = "events") -> str:
+    """DuckDB equivalent of :func:`cohort_retention` (identical integer
+    week arithmetic)."""
+    return f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) // 7 AS w
+  FROM {table}
+), first AS (
+  SELECT user_id, min(w) AS cohort_week FROM uw GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM first GROUP BY cohort_week
+), matrix AS (
+  SELECT cohort_week, w - cohort_week AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM uw JOIN first USING (user_id)
+  GROUP BY cohort_week, w - cohort_week
+)
+SELECT cohort_week, week_offset, n_cohort, n_active,
+       n_active * 1000000 // n_cohort AS retention_milli
+FROM matrix JOIN sizes USING (cohort_week)
+ORDER BY cohort_week, week_offset"""

@@ -1195,6 +1195,15 @@ def _register_llm():
             t(spark, sf, "events"), _FUNNEL_STEPS
         )
     )
+    # Weekly cohort-retention matrix: Monday-aligned integer week indices
+    # (pure epoch-day arithmetic, no date_trunc/timezone semantics), one
+    # user-keyed shuffle + one tiny (cohort, offset) rollup.
+    register(
+        "cohort_retention_weekly",
+        funnel.cohort_retention_oracle_sql(),
+        "llm",
+        ["events", "cohort", "retention", "analytics"],
+    )(lambda spark, sf: funnel.cohort_retention(t(spark, sf, "events")))
     # FUNNEL_COMPLETE_COUNT semantics: disjoint full completions per user
     # (discriminating on dense streams where plain depth saturates),
     # rolled up to a completions histogram. Same shuffle/fold shape.
@@ -5134,8 +5143,9 @@ DRIVER_WINDOW: list[str] = [
     # (streaming_watermarked_agg rotated out for heavy_hitter_tokens:
     # rows-only by design — its hash-gated closed-window sibling
     # streaming_watermarked_closed stays in the window.)
-    # -- r3 curation ops --
-    "sequence_pack_bins",
+    # (sequence_pack_bins rotated out: r5-green, pinned by the pytest
+    # oracle tier + tests/test_oracle_types.py every run.)
+    "cohort_retention_weekly",  # r6: weekly cohort-retention matrix
     # (q12_late_shipment_priority rotated out: r5-green on its fixed
     # oracle; nine other TPC-H shapes remain in the window and all 22
     # stay pytest-pinned.)

@@ -648,3 +648,34 @@ def test_chunk_token_windows_overlap_and_tail(spark):
     ]
     # empty doc emits nothing
     assert 3 not in by_doc
+
+
+def test_cohort_retention_multi_cohort(spark):
+    from datetime import datetime
+
+    from datafusion_pinot_spark.operators import funnel
+
+    # week A: 2024-01-01 (Mon); week B: 2024-01-08
+    rows = [
+        (1, datetime(2024, 1, 1), "x"),   # u1 cohort A
+        (1, datetime(2024, 1, 9), "x"),   # u1 active offset 1
+        (2, datetime(2024, 1, 3), "x"),   # u2 cohort A, never returns
+        (3, datetime(2024, 1, 8), "x"),   # u3 cohort B
+        (3, datetime(2024, 1, 10), "x"),  # same week, still offset 0
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["n_cohort"], r["n_active"], r["retention_milli"]
+        )
+        for r in funnel.cohort_retention(ev).collect()
+    }
+    weeks = sorted({w for w, _ in got})
+    a, b = weeks[0], weeks[1]
+    assert b == a + 1
+    assert got[(a, 0)] == (2, 2, 1000000)
+    assert got[(a, 1)] == (2, 1, 500000)
+    assert got[(b, 0)] == (1, 1, 1000000)
+    assert (b, 1) not in got
