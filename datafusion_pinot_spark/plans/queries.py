@@ -4380,6 +4380,46 @@ def q_pinot_partition_pruned_lookup(spark, sf):
 
 
 @register(
+    "pinot_partitioned_distinct_count",
+    "SELECT count(DISTINCT l_orderkey) AS n_distinct FROM lineitem",
+    "parity",
+    ["pinot", "storage", "partition", "distinct"],
+)
+def q_pinot_partitioned_distinct_count(spark, sf):
+    """Pinot's SEGMENTPARTITIONEDDISTINCTCOUNT, config-checked: lineitem
+    is written partitioned by pmod(l_orderkey, 8) so each key lives in
+    exactly one segment (layout proven from the manifest partition maps —
+    operators/segment_distinct.py), and the exact distinct count becomes
+    the SUM of per-partition distinct counts: zero shuffle, one integer
+    per task. The assert makes the window row fail loudly if the layout
+    proof ever stops holding (silent fallback would still be correct but
+    would mask the optimization regressing)."""
+    import tempfile
+
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        distinct_count,
+    )
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="pdc_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey")
+        .repartition(8, F.pmod(F.col("l_orderkey"), F.lit(8)))
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "l_orderkey")
+        .option("partitionColumn", "l_orderkey")
+        .option("numPartitions", "8")
+        .save(out)
+    )
+    df, method = distinct_count(spark, out, "l_orderkey")
+    assert method == "segment_partitioned", method
+    return df
+
+
+@register(
     "pinot_compacted_agg",
     """SELECT l_returnflag, count(*) AS n,
               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
@@ -5138,8 +5178,11 @@ DRIVER_WINDOW: list[str] = [
     "pinot_sql_join_storage",  # r6: multi-table SQL over pinot catalog
     "pinot_hll_sketch_rollup",  # r6: HLL sketch columns (rows-only)
     "heavy_hitter_tokens",  # r6: pigeonhole sketch + exact verify
+    "pinot_partitioned_distinct_count",  # r6: layout-proven no-shuffle distinct
     # -- streaming ops --
-    "stateful_user_totals",
+    # (stateful_user_totals rotated out: r5-green on the fixed oracle and
+    # pinned by the pytest oracle tier; applyInPandasWithState semantics
+    # additionally covered by tests/test_streaming.py.)
     # (streaming_watermarked_agg rotated out for heavy_hitter_tokens:
     # rows-only by design — its hash-gated closed-window sibling
     # streaming_watermarked_closed stays in the window.)

@@ -1,0 +1,59 @@
+"""Segment-partitioned distinct count (Pinot SEGMENTPARTITIONEDDISTINCTCOUNT)
+— layout proof, served fast path, and the fallback contract."""
+
+import numpy as np
+
+from pinot_segment.metadata import DataType
+from pinot_segment.writer import ColumnSpec, write_segment
+
+from datafusion_pinot_spark.operators.segment_distinct import (
+    distinct_count,
+    partition_exclusive_column,
+)
+
+
+def _seg(table, name, keys, num=8, partitioned=True):
+    return write_segment(
+        table / name,
+        name,
+        "t",
+        [
+            ColumnSpec(
+                "k",
+                DataType.LONG,
+                np.asarray(keys, dtype=np.int64),
+                raw=True,
+                partition_config=("Modulo", num) if partitioned else None,
+            ),
+        ],
+    )
+
+
+def test_exclusive_layout_served_and_exact(spark, tmp_path):
+    table = tmp_path / "t_OFFLINE"
+    _seg(table, "s0", [0, 8, 16, 8])      # residue 0
+    _seg(table, "s1", [1, 9, 17, 1, 9])   # residue 1
+    _seg(table, "s2", [2, 10])            # residue 2
+    assert partition_exclusive_column(str(table), "k")
+    df, method = distinct_count(spark, str(table), "k")
+    assert method == "segment_partitioned"
+    assert df.collect()[0]["n_distinct"] == 8  # {0,8,16,1,9,17,2,10}
+
+
+def test_shared_residue_falls_back(spark, tmp_path):
+    table = tmp_path / "t_OFFLINE"
+    _seg(table, "s0", [0, 8])   # residue 0
+    _seg(table, "s1", [16, 0])  # residue 0 again -> value 0 spans segments
+    assert not partition_exclusive_column(str(table), "k")
+    df, method = distinct_count(spark, str(table), "k")
+    assert method == "global_distinct"
+    assert df.collect()[0]["n_distinct"] == 3  # {0, 8, 16}
+
+
+def test_unpartitioned_column_falls_back(spark, tmp_path):
+    table = tmp_path / "t_OFFLINE"
+    _seg(table, "s0", [0, 1, 2], partitioned=False)
+    assert not partition_exclusive_column(str(table), "k")
+    df, method = distinct_count(spark, str(table), "k")
+    assert method == "global_distinct"
+    assert df.collect()[0]["n_distinct"] == 3
