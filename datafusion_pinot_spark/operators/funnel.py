@@ -341,3 +341,119 @@ SELECT cohort_week, week_offset, n_cohort, n_active,
        n_active * 1000000 // n_cohort AS retention_milli
 FROM matrix JOIN sizes USING (cohort_week)
 ORDER BY cohort_week, week_offset"""
+
+
+def user_event_strings(
+    events: DataFrame,
+    types: list[str],
+    letters: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``(user_id, seq)``: each user's events in strict timestamp order as
+    a compact letter string (``types[i]`` renders as ``letters[i]``) —
+    the substrate for regex-based sequence matching. Same packed-BIGINT
+    sort trick as the funnel fold; one user-keyed shuffle."""
+    if len(types) != len(letters) or not 0 < len(types) < _STEP_MOD:
+        raise ValueError("need matching types/letters, at most 7 kinds")
+    enc = (
+        F.unix_micros(F.col(ts_col)) * _STEP_MOD
+        + _step_number(F.col(type_col), types)
+    ).alias("enc")
+    letter_arr = F.array(*[F.lit(c) for c in letters])
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list("enc")),
+            lambda x: F.element_at(letter_arr, (x % _STEP_MOD).cast("int")),
+        ),
+        "",
+    )
+    return (
+        events.where(F.col(type_col).isin(list(types)))
+        .select(F.col(user_col).alias("user_id"), enc)
+        .groupBy("user_id")
+        .agg(seq.alias("seq"))
+    )
+
+
+def event_sequence_matches(
+    events: DataFrame,
+    types: list[str],
+    letters: list[str],
+    patterns: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: per regex pattern over the per-user ordered
+    event string, how many users match and the total non-overlapping
+    match count — ``pattern, n_users, total_matches``. Patterns must use
+    the regex subset Java and RE2 share (literals, classes, ``+ * {m,n}``
+    quantifiers — no backrefs/lookaround) so the DuckDB oracle is
+    bit-identical."""
+    seqs = user_event_strings(
+        events, types, letters, user_col, type_col, ts_col
+    )
+    per = seqs.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("pattern"),
+                        F.expr(f"regexp_count(seq, '{p}')")
+                        .cast("long")
+                        .alias("m"),
+                    )
+                    for p in patterns
+                ]
+            )
+        ).alias("x"),
+    ).select("x.pattern", "x.m")
+    return (
+        per.groupBy("pattern")
+        .agg(
+            F.sum((F.col("m") > 0).cast("long")).alias("n_users"),
+            F.sum("m").alias("total_matches"),
+        )
+        .orderBy("pattern")
+    )
+
+
+def event_sequence_matches_oracle_sql(
+    types: list[str],
+    letters: list[str],
+    patterns: list[str],
+    table: str = "events",
+) -> str:
+    """DuckDB equivalent of :func:`event_sequence_matches` (identical
+    encoding; RE2 ``regexp_extract_all`` length == Java ``regexp_count``
+    for the shared non-overlapping leftmost semantics)."""
+    case = " ".join(
+        f"WHEN '{s}' THEN CAST({i + 1} AS BIGINT)" for i, s in enumerate(types)
+    )
+    in_list = ", ".join(f"'{s}'" for s in types)
+    larr = "[" + ", ".join(f"'{c}'" for c in letters) + "]"
+    vals = ", ".join(f"('{p}')" for p in patterns)
+    return f"""
+WITH enc AS (
+  SELECT user_id,
+         epoch_us(ts) * {_STEP_MOD} + CASE event_type {case} END AS e
+  FROM {table} WHERE event_type IN ({in_list})
+), seqs AS (
+  SELECT user_id,
+         array_to_string(
+           list_transform(list_sort(list(e)),
+                          x -> {larr}[CAST(x % {_STEP_MOD} AS INT)]),
+           '') AS seq
+  FROM enc GROUP BY user_id
+), m AS (
+  SELECT user_id, p.pattern,
+         CAST(len(regexp_extract_all(seq, p.pattern)) AS BIGINT) AS m
+  FROM seqs, (VALUES {vals}) p(pattern)
+)
+SELECT pattern,
+       CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+       CAST(sum(m) AS BIGINT) AS total_matches
+FROM m GROUP BY pattern ORDER BY pattern"""

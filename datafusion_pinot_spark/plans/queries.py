@@ -1204,6 +1204,24 @@ def _register_llm():
         "llm",
         ["events", "cohort", "retention", "analytics"],
     )(lambda spark, sf: funnel.cohort_retention(t(spark, sf, "events")))
+    # MATCH_RECOGNIZE-lite sequence matching: per-user ordered event
+    # strings (same packed-BIGINT sort) matched against regex patterns
+    # from the Java/RE2-shared subset; per-pattern user + match counts.
+    _SEQ_TYPES = ["signup", "view", "click", "purchase", "error"]
+    _SEQ_LETTERS = ["S", "V", "C", "P", "E"]
+    _SEQ_PATTERNS = ["EE", "EP", "SV{2,}", "VCP"]
+    register(
+        "event_sequence_regex",
+        funnel.event_sequence_matches_oracle_sql(
+            _SEQ_TYPES, _SEQ_LETTERS, _SEQ_PATTERNS
+        ),
+        "llm",
+        ["events", "sequence", "regex", "analytics"],
+    )(
+        lambda spark, sf: funnel.event_sequence_matches(
+            t(spark, sf, "events"), _SEQ_TYPES, _SEQ_LETTERS, _SEQ_PATTERNS
+        )
+    )
     # FUNNEL_COMPLETE_COUNT semantics: disjoint full completions per user
     # (discriminating on dense streams where plain depth saturates),
     # rolled up to a completions histogram. Same shuffle/fold shape.
@@ -5154,7 +5172,11 @@ DRIVER_WINDOW: list[str] = [
     "pii_redact_events",  # r6: PII detection + chained masking
     "quality_filter_pipeline",  # r6: FineWeb-style keep/drop gate
     "theta_sketch_intersection",  # r6: KMV theta intersection (estimator)
-    "window_value_functions",  # r6: first/last/nth_value + distribution fns
+    # (window_value_functions deferred to the pytest oracle tier: pure
+    # Spark-SQL window breadth with low cross-engine drift risk; the slot
+    # goes to the Java-vs-RE2 regex query below, where engine drift is
+    # the actual hazard the driver check exists to catch.)
+    "event_sequence_regex",  # r6: MATCH_RECOGNIZE-lite per-user sequences
     "scalar_functions_extended",  # r6: string/math scalar breadth
     "incremental_dedup_bloom",  # r6: corpus-bloom prefiltered exact dedup
     "pinot_text_match_scan",  # r6: text-index keyword probe through storage

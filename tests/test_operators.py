@@ -679,3 +679,31 @@ def test_cohort_retention_multi_cohort(spark):
     assert got[(a, 1)] == (2, 1, 500000)
     assert got[(b, 0)] == (1, 1, 1000000)
     assert (b, 1) not in got
+
+
+def test_event_sequence_regex_counts(spark):
+    from datetime import datetime
+
+    from datafusion_pinot_spark.operators import funnel
+
+    mk = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: E E E P -> "EEEP": EE x1 (non-overlapping), EP x1
+        (1, mk(1), "error"), (1, mk(2), "error"), (1, mk(3), "error"),
+        (1, mk(4), "purchase"),
+        # u2: V C P -> "VCP": VCP x1
+        (2, mk(1), "view"), (2, mk(2), "click"), (2, mk(3), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["pattern"]: (r["n_users"], r["total_matches"])
+        for r in funnel.event_sequence_matches(
+            ev,
+            ["signup", "view", "click", "purchase", "error"],
+            ["S", "V", "C", "P", "E"],
+            ["EE", "EP", "VCP"],
+        ).collect()
+    }
+    assert got == {"EE": (1, 1), "EP": (1, 1), "VCP": (1, 1)}
