@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "multimodal_frame_sample",
+    "funnel_complete_histogram",  # r6: per-user sorted-array integer fold
+    "heavy_hitter_tokens",  # r6: candidate sketch + exact verify (2 passes)
 ]
 
 # Reference per-row cost (BASELINE.md: ms per shape / 97,889 rows -> ns/row).

@@ -111,3 +111,84 @@ def range_join_count(
     return near.groupBy(F.col("__lk").alias(left_key)).agg(
         F.count("*").alias("n_nearby")
     )
+
+
+def counter_rate_per_key(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """PromQL-style counter semantics per key: consecutive sample deltas
+    in strict (ts, id) order, split into monotonic increase vs resets,
+    plus an integer-exact rate.
+
+    Output per key: ``n_samples, increase_cents`` (sum of positive
+    deltas), ``reset_drop_cents`` (magnitude of negative deltas — counter
+    resets), ``span_us`` (first→last sample), and ``rate_milli_cents_per_s
+    = increase_cents * 10^9 div span_us`` — all integers (values fix to
+    cents before differencing), so both engines agree bit-for-bit.
+
+    Scale shape: one shuffle on the key, a single LAG window pass per
+    key's timeline, then a per-key aggregate — the same single-pass
+    stream shape as the as-of join above."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    us = F.unix_micros(F.col(ts_col))
+    d = cents - F.lag(cents).over(w)
+    per = events.select(
+        F.col(key_col).alias("key"),
+        us.alias("us"),
+        d.alias("d"),
+    )
+    span = F.max("us") - F.min("us")
+    inc = F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(F.lit(0)))
+    drop = F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(F.lit(0)))
+    return (
+        per.groupBy(F.col("key").alias(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            inc.cast("long").alias("increase_cents"),
+            drop.cast("long").alias("reset_drop_cents"),
+            span.cast("long").alias("span_us"),
+        )
+        .withColumn(
+            "rate_milli_cents_per_s",
+            F.expr(
+                "CASE WHEN span_us = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE increase_cents * 1000000000L div span_us END"
+            ),
+        )
+        .orderBy(key_col)
+    )
+
+
+def counter_rate_per_key_oracle_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+) -> str:
+    """DuckDB equivalent of :func:`counter_rate_per_key` (identical
+    cent-fixing, LAG ordering, and integer rate arithmetic)."""
+    return f"""
+WITH s AS (
+  SELECT {key_col} AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100, 0) AS BIGINT)
+           - lag(CAST(round(value * 100, 0) AS BIGINT))
+             OVER (PARTITION BY {key_col} ORDER BY ts, event_id) AS d
+  FROM {table}
+), g AS (
+  SELECT key AS {key_col},
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT)
+           AS increase_cents,
+         CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END) AS BIGINT)
+           AS reset_drop_cents,
+         CAST(max(us) - min(us) AS BIGINT) AS span_us
+  FROM s GROUP BY key
+)
+SELECT {key_col}, n_samples, increase_cents, reset_drop_cents, span_us,
+       CASE WHEN span_us = 0 THEN CAST(0 AS BIGINT)
+            ELSE increase_cents * 1000000000 // span_us END
+         AS rate_milli_cents_per_s
+FROM g ORDER BY {key_col}"""

@@ -1204,6 +1204,16 @@ def _register_llm():
         "llm",
         ["events", "cohort", "retention", "analytics"],
     )(lambda spark, sf: funnel.cohort_retention(t(spark, sf, "events")))
+    # PromQL-style counter rate per key: one key shuffle, one LAG window
+    # pass, integer-exact cents/micros arithmetic end to end.
+    from datafusion_pinot_spark.operators import temporal
+
+    register(
+        "counter_rate_per_user",
+        temporal.counter_rate_per_key_oracle_sql(),
+        "llm",
+        ["events", "timeseries", "rate"],
+    )(lambda spark, sf: temporal.counter_rate_per_key(t(spark, sf, "events")))
     # MATCH_RECOGNIZE-lite sequence matching: per-user ordered event
     # strings (same packed-BIGINT sort) matched against regex patterns
     # from the Java/RE2-shared subset; per-pattern user + match counts.

@@ -65,3 +65,32 @@ def test_range_join_count_window(spark):
     out = {r["event_id"]: r["n_nearby"]
            for r in range_join_count(ev, ev, "ts", "ts", 60, "event_id").collect()}
     assert out == {1: 1, 2: 2, 3: 1}  # event 4 emits no row (no neighbors)
+
+
+def test_counter_rate_increase_resets_and_rate(spark):
+    from datetime import datetime
+
+    from datafusion_pinot_spark.operators.temporal import counter_rate_per_key
+
+    mk = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: 1.00 -> 3.50 -> 2.00 -> 6.00 over 30s
+        (1, mk(0), 1, 1.00), (2, mk(10), 1, 3.50),
+        (3, mk(20), 1, 2.00), (4, mk(30), 1, 6.00),
+        # u2: single sample -> zero span, zero rate
+        (5, mk(0), 2, 9.99),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {r["user_id"]: r for r in counter_rate_per_key(ev).collect()}
+    r1 = got[1]
+    assert r1["n_samples"] == 4
+    assert r1["increase_cents"] == 250 + 400   # +2.50 and +4.00
+    assert r1["reset_drop_cents"] == 150       # the 3.50 -> 2.00 reset
+    assert r1["span_us"] == 30_000_000
+    assert r1["rate_milli_cents_per_s"] == 650 * 1_000_000_000 // 30_000_000
+    r2 = got[2]
+    assert (r2["n_samples"], r2["span_us"], r2["rate_milli_cents_per_s"]) == (
+        1, 0, 0,
+    )
