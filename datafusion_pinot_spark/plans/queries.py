@@ -1204,6 +1204,59 @@ def _register_llm():
         "llm",
         ["events", "cohort", "retention", "analytics"],
     )(lambda spark, sf: funnel.cohort_retention(t(spark, sf, "events")))
+    # Exact rolling 7-day distinct users — the bounded-explode pattern:
+    # COUNT(DISTINCT) over a sliding RANGE frame isn't expressible as a
+    # window function, and per-day HLL merges are approximate. Instead
+    # each distinct (user, day) fans out to the <=7 window-end days it
+    # affects (a fixed 7x row factor, NOT data-dependent), then one
+    # distinct + count per window-end. Two bounded shuffles; exact at
+    # any scale.
+    def _rolling_distinct(spark, sf):
+        ev = t(spark, sf, "events")
+        day = F.expr("unix_date(CAST(ts AS DATE))")
+        ud = ev.select(day.alias("day"), "user_id").distinct()
+        wins = (
+            ud.select(
+                "day",
+                "user_id",
+                F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            )
+            .select((F.col("day") + F.col("off")).alias("wday"), "user_id")
+            .distinct()
+        )
+        bounds = ud.agg(F.max("day").alias("maxd"))
+        return (
+            wins.crossJoin(F.broadcast(bounds))
+            .filter(F.col("wday") <= F.col("maxd"))
+            .groupBy("wday")
+            .agg(F.count(F.lit(1)).alias("n_users_7d"))
+            .select(
+                F.date_from_unix_date(F.col("wday").cast("int")).alias(
+                    "window_end"
+                ),
+                "n_users_7d",
+            )
+            .orderBy("window_end")
+        )
+
+    register(
+        "rolling_distinct_users_7d",
+        """WITH ud AS (
+             SELECT DISTINCT
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               user_id
+             FROM events),
+           w AS (
+             SELECT DISTINCT day + o.off AS wday, user_id
+             FROM ud, UNNEST(range(0, 7)) o(off)),
+           b AS (SELECT max(day) AS maxd FROM ud)
+           SELECT DATE '1970-01-01' + CAST(wday AS INT) AS window_end,
+                  CAST(count(*) AS BIGINT) AS n_users_7d
+           FROM w, b WHERE wday <= maxd
+           GROUP BY wday ORDER BY wday""",
+        "llm",
+        ["events", "rolling", "distinct", "analytics"],
+    )(_rolling_distinct)
     # PromQL-style counter rate per key: one key shuffle, one LAG window
     # pass, integer-exact cents/micros arithmetic end to end.
     from datafusion_pinot_spark.operators import temporal
