@@ -348,12 +348,32 @@ class PinotCatalog:
                         ).alias(c)
                     )
             return df.groupBy(*key_columns).agg(*aggs).select(*df.columns)
-        if mode != "full":
-            raise ValueError(f"unknown upsert mode: {mode!r}")
         order = [F.col(compare_column).desc()] + [
             F.col(t).desc() for t in tiebreakers
         ]
         w = Window.partitionBy(*key_columns).orderBy(*order)
+        if mode == "changelog":
+            # CDC view: every stored version per key with its rank in the
+            # comparison order (1 = latest), the op a downstream consumer
+            # would replay (the key's oldest version is the insert, every
+            # later one an update), and an is_latest marker. Same single
+            # key shuffle as the last-wins read — the physical segments
+            # already hold full history, which is the whole point.
+            wc = Window.partitionBy(*key_columns)
+            return (
+                df.withColumn("version_rank", F.row_number().over(w))
+                .withColumn("__n", F.count(F.lit(1)).over(wc))
+                .withColumn(
+                    "op",
+                    F.when(
+                        F.col("version_rank") == F.col("__n"), F.lit("insert")
+                    ).otherwise(F.lit("update")),
+                )
+                .withColumn("is_latest", F.col("version_rank") == 1)
+                .drop("__n")
+            )
+        if mode != "full":
+            raise ValueError(f"unknown upsert mode: {mode!r}")
         return (
             df.withColumn("__upsert_rn", F.row_number().over(w))
             .filter(F.col("__upsert_rn") == 1)

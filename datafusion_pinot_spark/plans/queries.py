@@ -4667,6 +4667,65 @@ def q_pinot_upsert_latest(spark, sf):
 
 
 @register(
+    "pinot_upsert_changelog",
+    """WITH ranked AS (
+         SELECT user_id, event_id,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ms(ts) DESC,
+                                            event_id DESC) AS version_rank,
+                count(*) OVER (PARTITION BY user_id) AS n
+         FROM events)
+       SELECT user_id, event_id,
+              CAST(version_rank AS BIGINT) AS version_rank,
+              CASE WHEN version_rank = n THEN 'insert' ELSE 'update' END AS op,
+              version_rank = 1 AS is_latest
+       FROM ranked ORDER BY user_id, version_rank""",
+    "parity",
+    ["pinot", "storage", "upsert", "cdc"],
+)
+def q_pinot_upsert_changelog(spark, sf):
+    """CDC changelog read of an upsert table: the physical segments keep
+    every version per key (only the queryable view is last-wins), so
+    `load_upsert_table(mode="changelog")` surfaces the full history with
+    per-key version ranks, insert/update ops, and is_latest markers —
+    what a downstream sync would replay. Same single key shuffle as the
+    last-wins read; same fixture and comparison-column domain as
+    pinot_upsert_latest."""
+    import tempfile
+
+    from datafusion_pinot_spark.catalog import PinotCatalog
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    data_dir = tempfile.mkdtemp(prefix="upsert_cdc_")
+    out = os.path.join(data_dir, "events_OFFLINE")
+    (
+        t(spark, sf, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .repartition(8)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "event_id")
+        .save(out)
+    )
+    log = PinotCatalog.filesystem(data_dir).load_upsert_table(
+        spark,
+        "events",
+        "user_id",
+        "ts",
+        tiebreakers=("event_id",),
+        mode="changelog",
+    )
+    return log.select(
+        "user_id",
+        "event_id",
+        F.col("version_rank").cast("long").alias("version_rank"),
+        "op",
+        "is_latest",
+    ).orderBy("user_id", "version_rank")
+
+
+@register(
     "pinot_upsert_partial",
     """WITH src AS (
          SELECT event_id, epoch_ms(ts) AS tsm, user_id,
