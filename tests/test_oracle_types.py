@@ -93,8 +93,10 @@ def test_no_oracle_set_is_exactly_the_designed_ones():
     from datafusion_pinot_spark.plans.queries import DRIVER_WINDOW, QUERIES
 
     no_oracle = {n for n in DRIVER_WINDOW if QUERIES[n].oracle is None}
-    assert no_oracle == {
-        "streaming_watermarked_agg",
-        "simhash_dup_groups",
-        "pinot_hll_sketch_rollup",
-    }
+    # r6 continuation: streaming_watermarked_agg and simhash_dup_groups
+    # (both rows-only BY DESIGN, forever) were rotated out in favor of
+    # hash-gated queries; their oracle-checked siblings
+    # (streaming_watermarked_closed, simhash_md5_dup_groups) remain in
+    # the window, so the only rows-only window row left is the
+    # Datasketches-binary HLL rollup.
+    assert no_oracle == {"pinot_hll_sketch_rollup"}
