@@ -1309,6 +1309,56 @@ def _register_llm():
         "llm",
         ["text", "sketch", "frequency"],
     )(lambda spark, sf: frequent.heavy_hitter_tokens(_docs(spark, sf), k=100))
+    # Per-source vocabulary statistics (Heaps-law style corpus report):
+    # token mass, vocabulary size, hapax count (freq-1 words — the
+    # vocabulary frontier), type-token ratio in millionths. Shuffles:
+    # one on (source, word) with map-side combine, then a tiny source
+    # rollup — the canonical two-level aggregation.
+    def _vocab_growth(spark, sf):
+        words = _docs(spark, sf).select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w"),
+        ).filter(F.length("w") > 0)
+        freq = words.groupBy("source", "w").agg(
+            F.count(F.lit(1)).alias("wf")
+        )
+        return (
+            freq.groupBy("source")
+            .agg(
+                F.sum("wf").cast("long").alias("token_mass"),
+                F.count(F.lit(1)).cast("long").alias("vocab_size"),
+                F.sum((F.col("wf") == 1).cast("long")).alias("hapax_count"),
+            )
+            .withColumn(
+                "ttr_milli",
+                F.expr("vocab_size * 1000000L div token_mass"),
+            )
+            .orderBy("source")
+        )
+
+    register(
+        "vocab_growth_by_source",
+        """WITH words AS (
+             SELECT source,
+                    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                      AS w
+             FROM documents WHERE length(trim(text)) > 0),
+           freq AS (
+             SELECT source, w, count(*) AS wf
+             FROM words WHERE length(w) > 0 GROUP BY source, w)
+           SELECT source,
+                  CAST(sum(wf) AS BIGINT) AS token_mass,
+                  CAST(count(*) AS BIGINT) AS vocab_size,
+                  CAST(sum(CASE WHEN wf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS hapax_count,
+                  CAST(count(*) AS BIGINT) * 1000000
+                    // CAST(sum(wf) AS BIGINT) AS ttr_milli
+           FROM freq GROUP BY source ORDER BY source""",
+        "llm",
+        ["text", "corpus", "vocabulary"],
+    )(_vocab_growth)
     # Per-source length-outlier trim: robust [p05, p95] bounds computed as
     # DISCRETE rank statistics (row_number + pure-integer rank arithmetic
     # — no interpolated-percentile float drift can flip a comparison), then
@@ -4961,6 +5011,53 @@ def q_pinot_sql_join_storage(spark, sf):
            WHERE o_orderstatus = 'F'
            GROUP BY o_orderpriority ORDER BY o_orderpriority"""
     )
+
+
+@register(
+    "pinot_quantile_sketch_rollup",
+    None,  # assigned below via the operator's oracle builder
+    "parity",
+    ["pinot", "storage", "sketch", "quantile"],
+)
+def q_pinot_quantile_sketch_rollup(spark, sf):
+    """Mergeable quantile summaries through storage (Pinot's
+    PERCENTILETDIGEST/KLL column pattern, beyond the reference) with a
+    DETERMINISTIC rank-sampled summary instead of a randomized sketch:
+    per-(source, lang) every-8th order statistic of n_chars lands as a
+    multi-value LONG pinot column at ingest; the query merges the stored
+    arrays per source and reads p50/p90 at integer ranks — never
+    re-touching raw data, and (unlike the HLL rollup) fully
+    hash-checkable because every stage is a pure function of the
+    multiset."""
+    import tempfile
+
+    from datafusion_pinot_spark.operators.quantile_sketch import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+    )
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="qsk_"), "qs_OFFLINE")
+    sk = quantile_sketch_build(
+        _docs(spark, sf), ["source", "lang"], "n_chars", "doc_id"
+    )
+    sk.repartition(2).write.format("pinot").mode("overwrite").save(out)
+    back = spark.read.format("pinot").load(out)
+    return quantile_sketch_merge(back, ["source"], [50, 90])
+
+
+def _set_quantile_sketch_oracle():
+    from datafusion_pinot_spark.operators.quantile_sketch import (
+        quantile_sketch_rollup_oracle_sql,
+    )
+
+    QUERIES["pinot_quantile_sketch_rollup"].oracle = (
+        quantile_sketch_rollup_oracle_sql([50, 90])
+    )
+
+
+_set_quantile_sketch_oracle()
 
 
 @register(

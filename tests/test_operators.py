@@ -707,3 +707,34 @@ def test_event_sequence_regex_counts(spark):
         ).collect()
     }
     assert got == {"EE": (1, 1), "EP": (1, 1), "VCP": (1, 1)}
+
+
+def test_quantile_sketch_bounds_and_merge(spark):
+    from datafusion_pinot_spark.operators.quantile_sketch import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+    )
+
+    # two groups with known values 1..100 and 1..50 (as n_chars)
+    rows = [(i, "a", "x", i) for i in range(1, 101)] + [
+        (200 + i, "a", "y", i) for i in range(1, 51)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long"
+    )
+    sk = quantile_sketch_build(df, ["source", "lang"], "n_chars", "doc_id", k=8)
+    by_lang = {r["lang"]: r for r in sk.collect()}
+    # group x: ranks 1,9,...,97 plus 100 -> 14 samples; all rank-exact
+    assert by_lang["x"]["n_rows"] == 100
+    assert by_lang["x"]["qs"][0] == 1 and by_lang["x"]["qs"][-1] == 100
+    assert len(by_lang["x"]["qs"]) == 14
+
+    out = quantile_sketch_merge(sk, ["source"], [50, 90]).collect()[0]
+    assert out["n_rows"] == 150
+    # merged estimate within k=8 ranks of the true percentile of the
+    # combined multiset (true p50 of {1..100, 1..50} = 51st value = 38.5)
+    exact = sorted([i for i in range(1, 101)] + [i for i in range(1, 51)])
+    true_p50 = exact[(150 - 1) * 50 // 100]
+    true_p90 = exact[(150 - 1) * 90 // 100]
+    assert abs(out["est_p50"] - true_p50) <= 8
+    assert abs(out["est_p90"] - true_p90) <= 8
