@@ -5417,7 +5417,12 @@ DRIVER_WINDOW: list[str] = [
     "pinot_string_prefix_scan",  # r6: LIKE pushdown (dict-accelerated)
     "word_commonness_score",  # r6: integer-exact unigram quality signal
     "pinot_sql_join_storage",  # r6: multi-table SQL over pinot catalog
-    "pinot_hll_sketch_rollup",  # r6: HLL sketch columns (rows-only)
+    # (pinot_hll_sketch_rollup deferred to the pytest tier: rows-only by
+    # design — Datasketches binaries have no DuckDB equivalent — so its
+    # driver row could only prove "runs"; the slot goes to the
+    # deterministic quantile-sketch rollup, the same store-then-merge
+    # economics under the full hash gate.)
+    "pinot_quantile_sketch_rollup",  # r6: rank-sampled quantile columns
     "heavy_hitter_tokens",  # r6: pigeonhole sketch + exact verify
     "pinot_partitioned_distinct_count",  # r6: layout-proven no-shuffle distinct
     # -- streaming ops --

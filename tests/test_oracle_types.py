@@ -93,10 +93,10 @@ def test_no_oracle_set_is_exactly_the_designed_ones():
     from datafusion_pinot_spark.plans.queries import DRIVER_WINDOW, QUERIES
 
     no_oracle = {n for n in DRIVER_WINDOW if QUERIES[n].oracle is None}
-    # r6 continuation: streaming_watermarked_agg and simhash_dup_groups
-    # (both rows-only BY DESIGN, forever) were rotated out in favor of
-    # hash-gated queries; their oracle-checked siblings
-    # (streaming_watermarked_closed, simhash_md5_dup_groups) remain in
-    # the window, so the only rows-only window row left is the
-    # Datasketches-binary HLL rollup.
-    assert no_oracle == {"pinot_hll_sketch_rollup"}
+    # r6 continuation: every rows-only-by-design query
+    # (streaming_watermarked_agg, simhash_dup_groups,
+    # pinot_hll_sketch_rollup, minhash_lsh_pairs_xxh64,
+    # array_agg_sources_raw) now lives outside the window — each has a
+    # hash-gated sibling in the window or a pytest pin — so every driver
+    # row carries a full value check.
+    assert no_oracle == set()
