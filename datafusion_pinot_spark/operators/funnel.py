@@ -1,4 +1,4 @@
-"""Ordered-funnel analytics over an event stream.
+"""Per-entity ordered event analytics: funnels, cohorts, sequences.
 
 Pinot ships funnel aggregations (FUNNEL_COUNT / FUNNEL_COMPLETE_COUNT —
 user-ordered step matching) as first-class engine functions; the reference
@@ -11,6 +11,11 @@ semantics Spark-first:
   not count until a later ordered prefix reaches it).
 - :func:`funnel_conversion` — the per-step rollup: users reaching each
   step and the step-over-step conversion rate (integer millionths).
+- :func:`funnel_complete_count` / :func:`funnel_completion_histogram` —
+  disjoint full completions (FUNNEL_COMPLETE_COUNT semantics).
+- :func:`cohort_retention` — weekly cohort-retention matrix.
+- :func:`user_event_strings` / :func:`event_sequence_matches` —
+  MATCH_RECOGNIZE-lite regex matching over per-user event strings.
 
 Scale shape: ONE shuffle keyed on the user column; each user's funnel
 events collapse to a single sorted LONG array (timestamp-and-step packed

@@ -240,3 +240,64 @@ def test_duplicate_span_has_no_pair_explosion(q):
     plan = _plan(q("duplicate_span_coverage"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_single_user_shuffle(q):
+    """The funnel fold's scale claim (SCALE.md): ONE shuffle keyed on the
+    user collapses each user's events to a sorted array; the only other
+    exchanges serve the tiny rollup. No window over the event table, no
+    per-event pass."""
+    plan = _plan(q("funnel_complete_histogram"))
+    # the event-table side: exactly one hashpartitioning on user_id
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Window" not in plan  # fold, not a window function pass
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_heavy_hitter_candidates_broadcast(q):
+    """Heavy hitters: the exact-verify join must broadcast the candidate
+    set (tiny by the pigeonhole bound) — the corpus-side token stream is
+    never shuffled for the join."""
+    plan = _plan(q("heavy_hitter_tokens"))
+    assert "BroadcastHashJoin" in plan
+    # exactly two token exchanges exist and neither carries the corpus:
+    # the candidate stream's own distinct (bounded by the pigeonhole
+    # candidate count) and the post-join exact count (bounded by the
+    # broadcast semi-join). The corpus-side explode feeds the broadcast
+    # join with no exchange in between.
+    assert plan.count("hashpartitioning(token") == 2
+
+
+def test_segment_partitioned_distinct_no_value_shuffle(spark, tmp_path):
+    """The layout-proven distinct count ships one integer per partition:
+    no exchange carries the value column at all."""
+    import numpy as np
+
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        distinct_count,
+    )
+    from pinot_segment.metadata import DataType
+    from pinot_segment.writer import ColumnSpec, write_segment
+
+    table = tmp_path / "t_OFFLINE"
+    for i in range(3):
+        write_segment(
+            table / f"s{i}",
+            f"s{i}",
+            "t",
+            [
+                ColumnSpec(
+                    "k",
+                    DataType.LONG,
+                    np.asarray([i, i + 8], dtype=np.int64),
+                    raw=True,
+                    partition_config=("Modulo", 8),
+                )
+            ],
+        )
+    df, method = distinct_count(spark, str(table), "k")
+    assert method == "segment_partitioned"
+    plan = _plan(df)
+    # the sum of per-partition counts is a single-row final aggregate;
+    # no exchange is keyed on the value column k
+    assert "hashpartitioning(k" not in plan
