@@ -1309,6 +1309,57 @@ def _register_llm():
         "llm",
         ["text", "sketch", "frequency"],
     )(lambda spark, sf: frequent.heavy_hitter_tokens(_docs(spark, sf), k=100))
+    # Cross-source duplicate-overlap matrix: for every unordered source
+    # pair, how many distinct 8-token shingles both contain — where crawl
+    # snapshots overlap, which mirrors re-host whom. One shuffle on the
+    # shingle; pair-gen is engine-side over each shingle's sorted source
+    # set (at most |sources| choose 2 per shingle — bounded by the tiny
+    # source vocabulary, never a row explosion). At 100 TB, key on
+    # xxhash64(shingle) instead of the string (8-byte shuffle keys).
+    def _source_overlap(spark, sf):
+        from datafusion_pinot_spark.functions import tokens, word_shingles
+
+        sh = _docs(spark, sf).select(
+            "source",
+            F.explode(word_shingles(tokens(F.col("text")), 8)).alias("g"),
+        ).distinct()
+        sets = (
+            sh.groupBy("g")
+            .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+            .filter(F.size("ss") > 1)
+        )
+        pairs = sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "b -> struct(a AS src_a, b AS src_b))))"
+                )
+            ).alias("p")
+        ).select("p.src_a", "p.src_b")
+        return (
+            pairs.groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).alias("shared_shingles"))
+            .orderBy("src_a", "src_b")
+        )
+
+    register(
+        "source_overlap_matrix",
+        """WITH toks AS (
+             SELECT source,
+                    regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+             FROM documents WHERE length(trim(text)) > 0),
+           sh AS (
+             SELECT DISTINCT source, array_to_string(w[i : i + 7], ' ') AS g
+             FROM toks, UNNEST(range(1, len(w) - 6)) t(i)
+             WHERE len(w) >= 8)
+           SELECT a.source AS src_a, b.source AS src_b,
+                  CAST(count(*) AS BIGINT) AS shared_shingles
+           FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+           GROUP BY a.source, b.source ORDER BY src_a, src_b""",
+        "llm",
+        ["dedup", "corpus", "overlap"],
+    )(_source_overlap)
     # Per-source vocabulary statistics (Heaps-law style corpus report):
     # token mass, vocabulary size, hapax count (freq-1 words — the
     # vocabulary frontier), type-token ratio in millionths. Shuffles:

@@ -37,23 +37,41 @@ VERSION = 1
 _STATS_DTYPES = {"INT", "LONG", "FLOAT", "DOUBLE", "STRING", "TIMESTAMP"}
 
 
+# (path -> ((size, mtime_ns), fingerprint)): manifest verification runs on
+# EVERY planning pass, and re-reading + md5-hashing metadata.properties per
+# segment per query showed up in the marginal count_star bench (~0.5 ms per
+# segment of open/read/hash/Python overhead x 128 segments). Within one
+# driver process a segment whose (size, mtime_ns) is unchanged keeps its
+# hash; the cross-PROCESS guarantee — detecting mtime-preserving
+# replacement done by offline tooling between runs, the scenario the
+# content hash exists for — is unaffected, because a fresh process starts
+# with an empty cache and hashes everything once.
+_FP_CACHE: dict = {}
+
+
 def _fingerprint(v3_dir: str) -> Optional[list]:
     """[size, mtime_ns, md5(metadata.properties)]. The content hash guards
     against mtime-preserving replacement (cp -p / rsync -a / copytree) with
     same-size metadata, where a (size, mtime) pair alone would let stale
     zone maps silently prune segments that now contain matching rows. The
-    file is small (~1-4 KB), so hashing it costs microseconds — still O(1)
-    per segment with no columns.psf read."""
+    file is small (~1-4 KB); the digest is cached per process keyed on the
+    stat pair so steady-state planning pays one os.stat per segment."""
     import hashlib
 
     path = os.path.join(v3_dir, "metadata.properties")
     try:
         st = os.stat(path)
+        key = (st.st_size, st.st_mtime_ns)
+        cached = _FP_CACHE.get(path)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         with open(path, "rb") as f:
             digest = hashlib.md5(f.read()).hexdigest()
     except OSError:
         return None
-    return [st.st_size, st.st_mtime_ns, digest]
+    fp = [st.st_size, st.st_mtime_ns, digest]
+    _FP_CACHE[path] = (key, fp)
+    return fp
 
 
 def collect_segment_stats(v3_dir: str) -> dict:

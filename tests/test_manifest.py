@@ -213,3 +213,40 @@ def test_sink_commit_writes_manifest(spark, tmp_path):
     ks = [s["columns"]["k"] for s in segs.values()]
     assert min(c["min"] for c in ks) == 0 and max(c["max"] for c in ks) == 99
     assert all(c["dtype"] == "LONG" and c["has_nulls"] is False for c in ks)
+
+
+def test_fingerprint_stat_cache_and_cross_process_detection(table_dir):
+    """The per-process fingerprint cache: unchanged (size, mtime_ns) skips
+    the re-read+md5 entirely; a fresh process (empty cache) still detects
+    an mtime-preserving same-size replacement via the content hash."""
+    import builtins
+
+    v3 = os.path.join(table_dir, "seg0", "v3")
+    meta = os.path.join(v3, "metadata.properties")
+    M._FP_CACHE.clear()
+    fp1 = M._fingerprint(v3)
+    assert fp1 is not None and len(fp1) == 3
+
+    # cache hit: the file is never opened again while stat is unchanged
+    real_open = builtins.open
+
+    def explode(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("cache miss re-opened metadata.properties")
+
+    try:
+        builtins.open = explode
+        assert M._fingerprint(v3) == fp1
+    finally:
+        builtins.open = real_open
+
+    # cp -p style replacement: same size, same mtime_ns, different bytes
+    st = os.stat(meta)
+    content = bytearray(real_open(meta, "rb").read())
+    content[-1] = (content[-1] + 1) % 256
+    with real_open(meta, "wb") as f:
+        f.write(bytes(content))
+    os.utime(meta, ns=(st.st_atime_ns, st.st_mtime_ns))
+    M._FP_CACHE.clear()  # = a fresh driver process
+    fp2 = M._fingerprint(v3)
+    assert fp2[:2] == fp1[:2]  # stat pair identical...
+    assert fp2[2] != fp1[2]  # ...but the content hash catches it
