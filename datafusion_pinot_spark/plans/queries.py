@@ -1257,6 +1257,60 @@ def _register_llm():
         "llm",
         ["events", "rolling", "distinct", "analytics"],
     )(_rolling_distinct)
+    # Last-touch attribution: each purchase credits the most recent
+    # preceding view/click on the same user's timeline — one key shuffle
+    # + one last_value(IGNORE NULLS) window pass (the same single-pass
+    # carry-forward shape as the as-of join), then a tiny rollup by
+    # touch type with exact-decimal value sums.
+    def _attribution(spark, sf):
+        ev = t(spark, sf, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        touch = F.last(
+            F.when(
+                F.col("event_type").isin("view", "click"),
+                F.col("event_type"),
+            ),
+            ignorenulls=True,
+        ).over(w)
+        purchases = ev.withColumn("touch", touch).filter(
+            F.col("event_type") == "purchase"
+        )
+        return (
+            purchases.groupBy(
+                F.coalesce(F.col("touch"), F.lit("none")).alias("touch_type")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_purchases"),
+                F.round(F.sum(money("value")).cast("double"), 2).alias(
+                    "attributed_value"
+                ),
+            )
+            .orderBy("touch_type")
+        )
+
+    register(
+        "attribution_last_touch",
+        """WITH tagged AS (
+             SELECT event_type, value,
+                    last_value(CASE WHEN event_type IN ('view', 'click')
+                                    THEN event_type END IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS touch
+             FROM events)
+           SELECT coalesce(touch, 'none') AS touch_type,
+                  CAST(count(*) AS BIGINT) AS n_purchases,
+                  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                    AS attributed_value
+           FROM tagged WHERE event_type = 'purchase'
+           GROUP BY coalesce(touch, 'none') ORDER BY touch_type""",
+        "llm",
+        ["events", "attribution", "analytics"],
+    )(_attribution)
     # PromQL-style counter rate per key: one key shuffle, one LAG window
     # pass, integer-exact cents/micros arithmetic end to end.
     from datafusion_pinot_spark.operators import temporal
