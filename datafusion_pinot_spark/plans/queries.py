@@ -1257,6 +1257,55 @@ def _register_llm():
         "llm",
         ["events", "rolling", "distinct", "analytics"],
     )(_rolling_distinct)
+    # Event-type transition matrix (first-order Markov over each user's
+    # timeline): counts and row-normalized probabilities (integer
+    # millionths) for every observed cur->next pair. One key shuffle +
+    # one LAG pass + a tiny |types|^2 rollup.
+    def _event_transitions(spark, sf):
+        ev = t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        nxt = F.lead("event_type").over(w)
+        pairs = (
+            ev.withColumn("next_type", nxt)
+            .filter(F.col("next_type").isNotNull())
+            .groupBy(
+                F.col("event_type").alias("cur_type"),
+                "next_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wr = Window.partitionBy("cur_type")
+        return (
+            pairs.withColumn("row_total", F.sum("n").over(wr))
+            .select(
+                "cur_type",
+                "next_type",
+                "n",
+                F.expr("n * 1000000L div row_total").alias("prob_milli"),
+            )
+            .orderBy("cur_type", "next_type")
+        )
+
+    register(
+        "event_transition_matrix",
+        """WITH nxt AS (
+             SELECT event_type AS cur_type,
+                    lead(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                      AS next_type
+             FROM events),
+           pairs AS (
+             SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n
+             FROM nxt WHERE next_type IS NOT NULL
+             GROUP BY cur_type, next_type)
+           SELECT cur_type, next_type, n,
+                  n * 1000000
+                    // CAST(sum(n) OVER (PARTITION BY cur_type) AS BIGINT)
+                    AS prob_milli
+           FROM pairs ORDER BY cur_type, next_type""",
+        "llm",
+        ["events", "markov", "sequence", "analytics"],
+    )(_event_transitions)
     # Last-touch attribution: each purchase credits the most recent
     # preceding view/click on the same user's timeline — one key shuffle
     # + one last_value(IGNORE NULLS) window pass (the same single-pass
