@@ -411,3 +411,56 @@ class PinotCatalog:
             self.load_table(spark, name).createOrReplaceTempView(name)
             registered.append(name)
         return registered
+
+
+def describe_table(spark, table_dir: str):
+    """Pinot's table/segment metadata API as a DataFrame: one row per
+    column with its storage dtype, doc count, and table-wide [min, max]
+    (stringified for a uniform schema). Served from the
+    segment_stats.json manifest when fresh — zero segment opens — else
+    from per-segment stats collection. Metadata-only like
+    ``PinotCatalog.count_star``: no Spark job touches the forward
+    indexes, so it answers in milliseconds on any table width."""
+    from pinot_segment.manifest import (
+        _segment_v3_dirs,
+        collect_segment_stats,
+        stats_for_segments,
+    )
+
+    segs = _segment_v3_dirs(table_dir)
+    stats = stats_for_segments(segs)
+    merged: dict = {}
+    total_docs = 0
+    for v3 in segs:
+        s = stats.get(v3) or collect_segment_stats(v3)
+        total_docs += s.get("total_docs", 0)
+        for col, cs in s.get("columns", {}).items():
+            m = merged.setdefault(
+                col, {"dtype": cs.get("dtype"), "min": None, "max": None}
+            )
+            if "min" in cs:
+                m["min"] = (
+                    cs["min"]
+                    if m["min"] is None
+                    else min(m["min"], cs["min"])
+                )
+                m["max"] = (
+                    cs["max"]
+                    if m["max"] is None
+                    else max(m["max"], cs["max"])
+                )
+    rows = [
+        (
+            col,
+            m["dtype"],
+            int(total_docs),
+            None if m["min"] is None else str(m["min"]),
+            None if m["max"] is None else str(m["max"]),
+        )
+        for col, m in sorted(merged.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, dtype string, total_docs long, "
+        "min_val string, max_val string",
+    )

@@ -4871,6 +4871,49 @@ def q_pinot_upsert_latest(spark, sf):
 
 
 @register(
+    "pinot_describe_table",
+    """SELECT 'l_orderkey' AS col_name, 'LONG' AS dtype,
+              CAST(count(*) AS BIGINT) AS total_docs,
+              CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+              CAST(max(l_orderkey) AS VARCHAR) AS max_val
+       FROM lineitem
+       UNION ALL
+       SELECT 'l_returnflag', 'STRING', CAST(count(*) AS BIGINT),
+              min(l_returnflag), max(l_returnflag)
+       FROM lineitem
+       ORDER BY col_name""",
+    "parity",
+    ["pinot", "storage", "metadata", "introspection"],
+)
+def q_pinot_describe_table(spark, sf):
+    """Table introspection (Pinot's table/segment metadata API): per-column
+    storage dtype, doc count, and table-wide [min, max], served from the
+    manifest with zero segment opens when fresh — metadata-only like
+    count_star, answering in milliseconds on any table width. The oracle
+    recomputes the same stats from the source parquet, proving the
+    metadata the storage layer reports matches the data it stores (LONG +
+    STRING columns — dtypes whose stringified min/max are
+    format-identical across engines)."""
+    import tempfile
+
+    from datafusion_pinot_spark.catalog import describe_table
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="desc_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_returnflag")
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "l_orderkey")
+        .save(out)
+    )
+    return describe_table(spark, out).orderBy("col_name")
+
+
+@register(
     "pinot_upsert_changelog",
     """WITH ranked AS (
          SELECT user_id, event_id,
