@@ -1257,6 +1257,90 @@ def _register_llm():
         "llm",
         ["events", "rolling", "distinct", "analytics"],
     )(_rolling_distinct)
+    # Session-scoped funnel: sessionize each user's timeline (30-min
+    # inactivity gap), then run the ordered-prefix fold PER SESSION and
+    # report the depth distribution. Composition proof: the
+    # sessionization windows and the funnel fold share the single
+    # user-keyed shuffle (session ids derive from the same partition),
+    # then one (user, session) fold + a tiny depth rollup.
+    def _session_funnel(spark, sf):
+        ev = t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_micros(F.col("ts")) - F.lag(
+            F.unix_micros(F.col("ts"))
+        ).over(w)
+        new_sess = (gap.isNull() | (gap > 1800 * 1000000)).cast("long")
+        sess = F.sum(new_sess).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        step = (
+            F.when(F.col("event_type") == "view", F.lit(1))
+            .when(F.col("event_type") == "click", F.lit(2))
+            .when(F.col("event_type") == "purchase", F.lit(3))
+            .cast("long")
+        )
+        enc = F.unix_micros(F.col("ts")) * 8 + step
+        per_sess = (
+            ev.withColumn("sess", sess)
+            .filter(
+                F.col("event_type").isin("view", "click", "purchase")
+            )
+            .select("user_id", "sess", enc.alias("e"))
+            .groupBy("user_id", "sess")
+            .agg(F.array_sort(F.collect_list("e")).alias("encs"))
+        )
+        depth = F.aggregate(
+            F.transform("encs", lambda x: x % 8),
+            F.lit(0).cast("long"),
+            lambda acc, s: F.when(s == acc + 1, acc + 1).otherwise(acc),
+        )
+        return (
+            per_sess.select(depth.alias("depth"))
+            .groupBy("depth")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .orderBy("depth")
+        )
+
+    register(
+        "session_funnel_depths",
+        """WITH s AS (
+             SELECT user_id, ts, event_id, event_type,
+                    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 1800 * 1000000
+                         THEN 1 ELSE 0 END AS new_sess
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           t2 AS (
+             SELECT user_id, ts, event_type,
+                    sum(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sess
+             FROM s),
+           f AS (
+             SELECT user_id, sess,
+                    epoch_us(ts) * 8 + CASE event_type
+                                        WHEN 'view' THEN 1
+                                        WHEN 'click' THEN 2
+                                        WHEN 'purchase' THEN 3 END AS e
+             FROM t2
+             WHERE event_type IN ('view', 'click', 'purchase')),
+           d AS (
+             SELECT user_id, sess,
+                    list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                                   list_transform(list_sort(list(e)),
+                                                  x -> x % 8)),
+                      (acc, v) -> CASE WHEN v = acc + 1 THEN acc + 1
+                                       ELSE acc END) AS depth
+             FROM f GROUP BY user_id, sess)
+           SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions
+           FROM d GROUP BY depth ORDER BY depth""",
+        "llm",
+        ["events", "funnel", "session", "analytics"],
+    )(_session_funnel)
     # Event-type transition matrix (first-order Markov over each user's
     # timeline): counts and row-normalized probabilities (integer
     # millionths) for every observed cur->next pair. One key shuffle +
