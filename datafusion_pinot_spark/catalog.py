@@ -438,6 +438,15 @@ def describe_table(spark, table_dir: str):
             m = merged.setdefault(
                 col, {"dtype": cs.get("dtype"), "min": None, "max": None}
             )
+            if m["dtype"] != cs.get("dtype"):
+                # segments disagree on the stored type (schema drift):
+                # min/max across incompatible domains is meaningless (and
+                # int-vs-str comparison would raise) — report it honestly
+                m["dtype"] = "MIXED"
+                m["min"] = m["max"] = None
+                continue
+            if m["dtype"] == "MIXED":
+                continue
             if "min" in cs:
                 m["min"] = (
                     cs["min"]

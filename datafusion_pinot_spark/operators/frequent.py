@@ -34,11 +34,21 @@ from datafusion_pinot_spark.functions import tokens
 DEFAULT_K = 100  # heavy hitter = token with > 1/k of all token mass
 
 
-def heavy_hitter_candidates(
-    docs: DataFrame, k: int = DEFAULT_K, text_col: str = "text"
-) -> DataFrame:
-    """Superset of tokens that can possibly hold > 1/k of global token
-    mass: per-partition exact counts, pigeonhole bar with a 2x margin."""
+def _candidate_scan(docs: DataFrame, k: int, text_col: str) -> DataFrame:
+    """One Arrow-batched pass emitting candidate rows (``token`` set,
+    ``part_total`` 0) plus one marker row per partition (``token`` NULL,
+    ``part_total`` = the partition's token count) — so the candidate set
+    AND the global total come from the same single corpus scan.
+
+    Tokenization matches the engine verify pass exactly: ``\\s+`` with
+    re.ASCII mirrors Java's default (ASCII-only) ``\\s``, so a token
+    containing Unicode whitespace (e.g. NBSP from scraped ``&nbsp;``) is
+    one token in BOTH passes — a plain ``str.split()`` (Unicode-aware)
+    would split it in the candidate pass only and silently drop it from
+    the 'exact' output."""
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
 
     def gen(batches):
         from collections import Counter
@@ -51,13 +61,37 @@ def heavy_hitter_candidates(
             for txt in pdf[text_col]:
                 if txt is None:
                     continue
-                toks = txt.lower().split()
+                # mirror the engine EXACTLY (functions.tokens): trim is
+                # ASCII-space-only in Spark and DuckDB, and a split of
+                # text with leading non-space whitespace keeps its ''
+                # artifact — the total must match the oracle's count
+                # bit-for-bit, not just approximately
+                t2 = txt.lower().strip(" ")
+                toks = ws.split(t2) if t2 else []
                 cnt.update(toks)
                 total += len(toks)
         cands = [t for t, c in cnt.items() if c * k * 2 >= total]
-        yield pd.DataFrame({"token": pd.Series(cands, dtype="object")})
+        yield pd.DataFrame(
+            {
+                "token": pd.Series(cands + [None], dtype="object"),
+                "part_total": pd.Series(
+                    [0] * len(cands) + [total], dtype="int64"
+                ),
+            }
+        )
 
-    return docs.select(text_col).mapInPandas(gen, "token string").distinct()
+    return docs.select(text_col).mapInPandas(
+        gen, "token string, part_total long"
+    )
+
+
+def heavy_hitter_candidates(
+    docs: DataFrame, k: int = DEFAULT_K, text_col: str = "text"
+) -> DataFrame:
+    """Superset of tokens that can possibly hold > 1/k of global token
+    mass: per-partition exact counts, pigeonhole bar with a 2x margin."""
+    scan = _candidate_scan(docs, k, text_col)
+    return scan.filter(F.col("token").isNotNull()).select("token").distinct()
 
 
 def heavy_hitter_tokens(
@@ -65,11 +99,15 @@ def heavy_hitter_tokens(
 ) -> DataFrame:
     """Exact heavy hitters: ``token, cnt, share_milli`` for every token
     with strictly more than ``1/k`` of all token occurrences, ordered by
-    count descending. Equal to the full GROUP BY answer, computed with a
-    candidate-bounded shuffle."""
+    count descending. Equal to the full GROUP BY answer, computed in two
+    corpus scans: the persisted candidate scan (which also carries the
+    global total) and the codegen'd verify."""
+    scan = _candidate_scan(docs, k, text_col).persist()
+    cands = scan.filter(F.col("token").isNotNull()).select("token").distinct()
+    total = scan.filter(F.col("token").isNull()).agg(
+        F.coalesce(F.sum("part_total"), F.lit(0)).cast("long").alias("total")
+    )
     tok = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
-    cands = heavy_hitter_candidates(docs, k, text_col)
-    total = tok.agg(F.count(F.lit(1)).cast("long").alias("total"))
     return (
         tok.join(F.broadcast(cands), "token")
         .groupBy("token")

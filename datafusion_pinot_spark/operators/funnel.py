@@ -48,6 +48,40 @@ def _step_number(type_col: Column, steps: list[str]) -> Column:
     return out  # callers filter to the step set, so no otherwise branch
 
 
+def _per_user_sorted_encs(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    max_events_per_user: int | None,
+) -> DataFrame:
+    """``(user_id, encs)``: each user's qualifying events as one sorted
+    array of packed BIGINTs — the shared prep of every fold here (one
+    user-keyed shuffle). Precondition: timestamps at or after the epoch
+    (negative ``unix_micros`` flips the sign of ``% _STEP_MOD``, which
+    would make both this and the DuckDB oracles skip those events — both
+    engines agree, so the hash gate cannot flag it; sentinel pre-1970
+    dates must be filtered upstream)."""
+    if not 0 < len(steps) < _STEP_MOD:
+        raise ValueError(f"funnel supports 1..{_STEP_MOD - 1} steps")
+    enc = (
+        F.unix_micros(F.col(ts_col)) * _STEP_MOD
+        + _step_number(F.col(type_col), steps)
+    ).alias("enc")
+    per_user = (
+        events.where(F.col(type_col).isin(list(steps)))
+        .select(F.col(user_col).alias("user_id"), enc)
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("enc")).alias("encs"))
+    )
+    if max_events_per_user is not None:
+        per_user = per_user.withColumn(
+            "encs", F.slice("encs", 1, max_events_per_user)
+        )
+    return per_user
+
+
 def funnel_user_depth(
     events: DataFrame,
     steps: list[str],
@@ -65,22 +99,9 @@ def funnel_user_depth(
     depth whenever the next event is exactly the next step. Ties at the
     same microsecond resolve lower-step-first (the packed low bits), the
     generous reading a funnel wants."""
-    if not 0 < len(steps) < _STEP_MOD:
-        raise ValueError(f"funnel supports 1..{_STEP_MOD - 1} steps")
-    enc = (
-        F.unix_micros(F.col(ts_col)) * _STEP_MOD
-        + _step_number(F.col(type_col), steps)
-    ).alias("enc")
-    per_user = (
-        events.where(F.col(type_col).isin(list(steps)))
-        .select(F.col(user_col).alias("user_id"), enc)
-        .groupBy("user_id")
-        .agg(F.array_sort(F.collect_list("enc")).alias("encs"))
+    per_user = _per_user_sorted_encs(
+        events, steps, user_col, type_col, ts_col, max_events_per_user
     )
-    if max_events_per_user is not None:
-        per_user = per_user.withColumn(
-            "encs", F.slice("encs", 1, max_events_per_user)
-        )
     depth = F.aggregate(
         F.transform("encs", lambda x: x % _STEP_MOD),
         F.lit(0).cast("long"),
@@ -140,6 +161,7 @@ def funnel_complete_count(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """``(user_id, completions)``: how many DISJOINT complete funnels the
     user ran, scanning events in timestamp order (Pinot's
@@ -148,18 +170,9 @@ def funnel_complete_count(
     one. Same single user-keyed shuffle + integer fold as
     :func:`funnel_user_depth` — the accumulator packs
     ``completions * 2^STEP_BITS + current_depth`` into one BIGINT."""
-    if not 0 < len(steps) < _STEP_MOD:
-        raise ValueError(f"funnel supports 1..{_STEP_MOD - 1} steps")
     n = len(steps)
-    enc = (
-        F.unix_micros(F.col(ts_col)) * _STEP_MOD
-        + _step_number(F.col(type_col), steps)
-    ).alias("enc")
-    per_user = (
-        events.where(F.col(type_col).isin(list(steps)))
-        .select(F.col(user_col).alias("user_id"), enc)
-        .groupBy("user_id")
-        .agg(F.array_sort(F.collect_list("enc")).alias("encs"))
+    per_user = _per_user_sorted_encs(
+        events, steps, user_col, type_col, ts_col, max_events_per_user
     )
     acc = F.aggregate(
         F.transform("encs", lambda x: x % _STEP_MOD),
@@ -295,12 +308,9 @@ def cohort_retention(
     functions, no Python."""
     # epoch day 0 = Thursday; +3 aligns week boundaries to Monday
     week = F.expr(f"(unix_date(CAST({ts_col} AS DATE)) + 3) div 7")
-    uw = (
-        events.select(F.col(user_col).alias("user_id"), week.alias("w"))
-        .groupBy("user_id", "w")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .drop("_n")
-    )
+    uw = events.select(
+        F.col(user_col).alias("user_id"), week.alias("w")
+    ).distinct()
     first = uw.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
     sizes = first.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("n_cohort")
@@ -360,26 +370,20 @@ def user_event_strings(
     a compact letter string (``types[i]`` renders as ``letters[i]``) —
     the substrate for regex-based sequence matching. Same packed-BIGINT
     sort trick as the funnel fold; one user-keyed shuffle."""
-    if len(types) != len(letters) or not 0 < len(types) < _STEP_MOD:
+    if len(types) != len(letters):
         raise ValueError("need matching types/letters, at most 7 kinds")
-    enc = (
-        F.unix_micros(F.col(ts_col)) * _STEP_MOD
-        + _step_number(F.col(type_col), types)
-    ).alias("enc")
+    per_user = _per_user_sorted_encs(
+        events, types, user_col, type_col, ts_col, None
+    )
     letter_arr = F.array(*[F.lit(c) for c in letters])
     seq = F.array_join(
         F.transform(
-            F.array_sort(F.collect_list("enc")),
+            "encs",
             lambda x: F.element_at(letter_arr, (x % _STEP_MOD).cast("int")),
         ),
         "",
     )
-    return (
-        events.where(F.col(type_col).isin(list(types)))
-        .select(F.col(user_col).alias("user_id"), enc)
-        .groupBy("user_id")
-        .agg(seq.alias("seq"))
-    )
+    return per_user.select("user_id", seq.alias("seq"))
 
 
 def event_sequence_matches(
@@ -407,7 +411,10 @@ def event_sequence_matches(
                 *[
                     F.struct(
                         F.lit(p).alias("pattern"),
-                        F.expr(f"regexp_count(seq, '{p}')")
+                        # F.lit(p), not an f-string into F.expr: SQL
+                        # string-literal escaping would mangle \d-style
+                        # classes and quotes in the pattern
+                        F.regexp_count(F.col("seq"), F.lit(p))
                         .cast("long")
                         .alias("m"),
                     )

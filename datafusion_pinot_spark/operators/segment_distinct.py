@@ -42,10 +42,11 @@ def _partition_infos(table_dir: str, col: str):
     infos = []
     if segs is not None:
         for stats in segs.values():
-            pm = (stats.get("columns", {}).get(col) or {}).get("partitions")
+            cs = stats.get("columns", {}).get(col) or {}
+            pm = cs.get("partitions")
             if not pm:
                 return None
-            infos.append(pm)
+            infos.append({**pm, "dtype": cs.get("dtype")})
         return infos
     from pinot_segment import SegmentReader
 
@@ -58,6 +59,7 @@ def _partition_infos(table_dir: str, col: str):
                 "function": cm.partition_function,
                 "num": cm.num_partitions,
                 "values": list(cm.partition_values),
+                "dtype": cm.data_type.value,
             }
         )
     return infos
@@ -75,6 +77,13 @@ def partition_exclusive_column(table_dir: str, col: str) -> bool:
         return False
     seen: set = set()
     for pm in infos:
+        # integer dtypes only: the served path's pandas sets conflate
+        # float NaN with SQL NULL (both arrive as NaN in a float64
+        # column), while count(DISTINCT) excludes NULL but counts NaN —
+        # restricting to INT/LONG keeps "exact" meaning exact. (Modulo
+        # partitioning only applies to integer columns anyway.)
+        if pm.get("dtype") not in ("INT", "LONG"):
+            return False
         if pm.get("function") != f0 or pm.get("num") != n0:
             return False
         vals = set(pm.get("values") or ())

@@ -28,7 +28,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from datafusion_pinot_spark.functions import money
+from datafusion_pinot_spark.functions import money, tokens
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1275,13 +1275,12 @@ def _register_llm():
             .orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        step = (
-            F.when(F.col("event_type") == "view", F.lit(1))
-            .when(F.col("event_type") == "click", F.lit(2))
-            .when(F.col("event_type") == "purchase", F.lit(3))
-            .cast("long")
+        # reuse the funnel module's packing so STEP_BITS / tie semantics
+        # can never diverge between the per-user and per-session folds
+        step = funnel._step_number(
+            F.col("event_type"), ["view", "click", "purchase"]
         )
-        enc = F.unix_micros(F.col("ts")) * 8 + step
+        enc = F.unix_micros(F.col("ts")) * funnel._STEP_MOD + step
         per_sess = (
             ev.withColumn("sess", sess)
             .filter(
@@ -1292,7 +1291,7 @@ def _register_llm():
             .agg(F.array_sort(F.collect_list("e")).alias("encs"))
         )
         depth = F.aggregate(
-            F.transform("encs", lambda x: x % 8),
+            F.transform("encs", lambda x: x % funnel._STEP_MOD),
             F.lit(0).cast("long"),
             lambda acc, s: F.when(s == acc + 1, acc + 1).otherwise(acc),
         )
@@ -1553,11 +1552,10 @@ def _register_llm():
     # one on (source, word) with map-side combine, then a tiny source
     # rollup — the canonical two-level aggregation.
     def _vocab_growth(spark, sf):
+        # the shared tokens() helper keeps tokenization (and any future
+        # fix to it) identical across every token-based query
         words = _docs(spark, sf).select(
-            "source",
-            F.explode(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-            ).alias("w"),
+            "source", F.explode(tokens(F.col("text"))).alias("w")
         ).filter(F.length("w") > 0)
         freq = words.groupBy("source", "w").agg(
             F.count(F.lit(1)).alias("wf")
