@@ -4953,6 +4953,55 @@ def q_pinot_upsert_latest(spark, sf):
 
 
 @register(
+    "pinot_bigdecimal_roundtrip",
+    """SELECT l_returnflag,
+              round(CAST(sum(CAST(round(l_extendedprice, 2)
+                    AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "parity",
+    ["pinot", "storage", "decimal"],
+)
+def q_pinot_bigdecimal_roundtrip(spark, sf):
+    """BIG_DECIMAL columns through storage (Pinot's exact-decimal type,
+    beyond the reference): l_extendedprice lands as DECIMAL(18,2) — the
+    writer validates every value against the column (precision, scale)
+    and serializes BigDecimal-style ([int16 scale][unscaled BE]) through
+    the BYTES machinery — and the scan surfaces DecimalType back, so the
+    aggregate is an EXACT decimal sum with no float anywhere between
+    Spark and the segment bytes. The oracle mirrors the exact-decimal
+    arithmetic from the parquet."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="bigdec_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round("l_extendedprice", 2)
+            .cast("decimal(18,2)")
+            .alias("price"),
+        )
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("price").cast("double"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "pinot_describe_table",
     """SELECT 'l_orderkey' AS col_name, 'LONG' AS dtype,
               CAST(count(*) AS BIGINT) AS total_docs,
@@ -5675,7 +5724,10 @@ DRIVER_WINDOW: list[str] = [
     # goes to the Java-vs-RE2 regex query below, where engine drift is
     # the actual hazard the driver check exists to catch.)
     "event_sequence_regex",  # r6: MATCH_RECOGNIZE-lite per-user sequences
-    "scalar_functions_extended",  # r6: string/math scalar breadth
+    # (scalar_functions_extended deferred to the pytest oracle tier:
+    # pure Spark-SQL builtin breadth, low cross-engine drift risk; the
+    # slot goes to the new storage data type below.)
+    "pinot_bigdecimal_roundtrip",  # r6: BIG_DECIMAL exact-decimal columns
     "incremental_dedup_bloom",  # r6: corpus-bloom prefiltered exact dedup
     "pinot_text_match_scan",  # r6: text-index keyword probe through storage
     "ann_pq_adc_topk",  # r6: product-quantization ADC top-k (hash-checked)

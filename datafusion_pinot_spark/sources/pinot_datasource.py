@@ -67,6 +67,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     BooleanType,
+    DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -214,7 +215,12 @@ class PinotDataSource(DataSource):
         fields = []
         for n in names:
             col = md.columns[n]
-            typ = _SPARK_TYPES[col.data_type.value]
+            if col.data_type.value == "BIG_DECIMAL":
+                # exact-decimal columns surface with the precision/scale
+                # the writer validated every value against
+                typ = DecimalType(col.decimal_precision or 38, col.decimal_scale)
+            else:
+                typ = _SPARK_TYPES[col.data_type.value]
             if not col.is_single_value:
                 # multi-value column → array<element> (containsNull=False:
                 # Pinot values are non-nullable, schema.rs:29-30)
@@ -416,7 +422,23 @@ class PinotDataSourceReader(DataSourceReader):
             for f in self._schema.fields
             if isinstance(f.dataType, StringType)
         }
+        # Value predicates on BIG_DECIMAL columns return to Spark: the
+        # stored serialization's byte order is not the numeric order, so
+        # no zone map / sorted range / dictionary compare applies (null
+        # predicates still push — the null vector is type-agnostic).
+        dec_cols = {
+            f.name
+            for f in self._schema.fields
+            if isinstance(f.dataType, DecimalType)
+        }
+
         def acceptable(f, allow_not=True) -> bool:
+            if (
+                isinstance(f, _RANGE_FILTERS + _STRING_FILTERS)
+                and len(f.attribute) == 1
+                and f.attribute[0] in dec_cols
+            ):
+                return False
             if isinstance(f, Not):
                 # NOT over any supported value/null predicate (not nested,
                 # not on a TIMESTAMP column — the epoch rewrite doesn't
@@ -1029,12 +1051,22 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                 )
         for f in schema.fields:
             t = f.dataType.simpleString()
+            if t.startswith("decimal("):
+                # DecimalType → BIG_DECIMAL (beyond the reference): the
+                # byte serialization caps precision at decimal128's 38
+                if f.dataType.precision > 38:
+                    raise ValueError(
+                        f"pinot sink: decimal precision > 38 unsupported "
+                        f"for column '{f.name}'"
+                    )
+                continue
             if t not in _WRITE_TYPES and t not in _MV_WRITE_TYPES:
                 raise ValueError(
                     f"pinot sink cannot write column '{f.name}' of type {t}: "
-                    "only INT/LONG/FLOAT/DOUBLE/STRING/BINARY/BOOLEAN and "
-                    "arrays thereof (except binary) are supported in the "
-                    "segment format (reference README.md:178-190)"
+                    "only INT/LONG/FLOAT/DOUBLE/STRING/BINARY/BOOLEAN/"
+                    "DECIMAL and arrays thereof (except binary) are "
+                    "supported in the segment format (reference "
+                    "README.md:178-190)"
                 )
             if f.name in raw_columns and t in _MV_WRITE_TYPES:
                 raise ValueError(
@@ -1139,6 +1171,10 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                 fills = {"boolean": False, "string": "", "binary": b""}
                 if t in ("timestamp", "timestamp_ntz"):
                     filled = combined  # filled below, after the int64 cast
+                elif t.startswith("decimal("):
+                    import decimal as _decimal
+
+                    filled = combined.fill_null(_decimal.Decimal(0))
                 else:
                     filled = combined.fill_null(fills.get(t, 0))
                 # re-wrap: the per-type branches below expect a ChunkedArray
@@ -1156,6 +1192,27 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                         DataType(_MV_WRITE_TYPES[t]),
                         col.to_pylist(),
                         multi_value=True,
+                    )
+                )
+                continue
+            if t.startswith("decimal("):
+                # Spark DecimalType → BIG_DECIMAL (exact: Arrow hands
+                # decimal.Decimal values; the writer validates each
+                # against the column's (precision, scale) and serializes
+                # losslessly — no float anywhere in the path)
+                specs.append(
+                    ColumnSpec(
+                        f.name,
+                        DataType.BIG_DECIMAL,
+                        col.to_pylist(),
+                        raw=f.name in self._raw,
+                        compression=(
+                            LZ4_LENGTH_PREFIXED
+                            if f.name in self._raw
+                            else PASS_THROUGH
+                        ),
+                        null_mask=null_mask,
+                        decimal=(f.dataType.precision, f.dataType.scale),
                     )
                 )
                 continue
@@ -1278,11 +1335,13 @@ def _specs_stats(specs, total_docs: int) -> dict:
             continue
         nm = spec.null_mask
         entry = {
-            "dtype": spec.data_type.value,
+            # declared (logical) dtype: a BIG_DECIMAL column stores as
+            # BYTES but the manifest/describe_table must report the truth
+            "dtype": spec.declared_dtype().value,
             "has_nulls": nm is not None and bool(np.asarray(nm).any()),
         }
         cols[spec.name] = entry
-        if spec.data_type.value not in _STATS_DTYPES:
+        if spec.declared_dtype().value not in _STATS_DTYPES:
             continue  # entry still carries dtype + nullability
         vals = spec.values
         if nm is not None:

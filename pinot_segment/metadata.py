@@ -44,6 +44,13 @@ class DataType(enum.Enum):
     BYTES = "BYTES"
     BOOLEAN = "BOOLEAN"
     TIMESTAMP = "TIMESTAMP"
+    # Beyond the reference (and like TIMESTAMP, piggybacking on existing
+    # machinery): Pinot's exact-decimal type, stored as its BigDecimal
+    # byte serialization ([int16 BE scale][two's-complement unscaled BE])
+    # in BYTES columns; the column-level (precision, scale) ride along as
+    # decimalPrecision/decimalScale properties so readers surface Arrow
+    # decimal128 / Spark DecimalType losslessly.
+    BIG_DECIMAL = "BIG_DECIMAL"
 
     @classmethod
     def from_string(cls, s: str) -> "DataType":
@@ -106,6 +113,10 @@ class ColumnMetadata:
     # partition function, modulus, and the partition ids actually present
     # in this segment — equality probes on the column prune segments at
     # PLANNING time by residue class.
+    # BIG_DECIMAL columns: the fixed column-level (precision, scale) the
+    # writer validated every value against (0 when not a decimal column).
+    decimal_precision: int = 0
+    decimal_scale: int = 0
     partition_function: str | None = None
     num_partitions: int = 0
     partition_values: tuple = ()
@@ -266,6 +277,8 @@ def _parse_column(
         has_text_index=get("hasTextIndex") == "true",
         has_range_index=get("hasRangeIndex") == "true",
         has_json_index=get("hasJsonIndex") == "true",
+        decimal_precision=get_int("decimalPrecision"),
+        decimal_scale=get_int("decimalScale"),
         partition_function=get("partitionFunction"),
         num_partitions=get_int("numPartitions"),
         partition_values=tuple(

@@ -54,6 +54,17 @@ def _slice(arr, row_range):
     return arr.slice(row_range[0], row_range[1] - row_range[0])
 
 
+def _decode_big_decimal(b: bytes):
+    """Inverse of the writer's BigDecimal serialization:
+    [int16 BE scale][two's-complement unscaled BE] -> Decimal."""
+    import struct
+    from decimal import Decimal
+
+    scale = struct.unpack(">h", b[:2])[0]
+    unscaled = int.from_bytes(b[2:], "big", signed=True)
+    return Decimal(unscaled).scaleb(-scale)
+
+
 class SegmentReader:
     def __init__(self, segment_dir: str | Path) -> None:
         self.segment_dir = Path(segment_dir)
@@ -327,9 +338,30 @@ class SegmentReader:
             return self.read_bytes_column(name)
         if col.data_type is DataType.TIMESTAMP:
             return self.read_timestamp_column(name)
+        if col.data_type is DataType.BIG_DECIMAL:
+            return self.read_big_decimal_column(name)
         raise UnsupportedFeatureError(
             f"{col.data_type.value} columns not supported for reading"
         )
+
+    def read_big_decimal_column(self, name: str) -> list:
+        """Beyond the reference: BIG_DECIMAL columns decode their stored
+        BigDecimal byte serialization back to ``decimal.Decimal`` values
+        (exact — no float round-trip anywhere)."""
+        col = self._require(name, DataType.BIG_DECIMAL)
+        from dataclasses import replace
+
+        as_bytes = replace(col, data_type=DataType.BYTES)
+        if col.has_dictionary:
+            raw = self._read_dict_column(as_bytes)
+        else:
+            loc = self.index_map.get_forward_index(name)
+            if loc is None:
+                raise InvalidFormatError(f"No forward index for {name}")
+            raw = VarByteChunkReader.read(
+                self._psf, loc.start_offset, loc.size, col.total_docs
+            ).read_all_bytes()
+        return [_decode_big_decimal(b) for b in raw]
 
     # -- zone maps (rebuild improvement: segment/filter pruning) ------------
 
@@ -343,6 +375,7 @@ class SegmentReader:
         if not col.is_single_value or col.data_type in (
             DataType.BYTES,
             DataType.BOOLEAN,
+            DataType.BIG_DECIMAL,  # serialized-bytes order != numeric order
         ):
             return None
 
@@ -703,12 +736,19 @@ class SegmentReader:
 
     # -- Arrow assembly (for the Spark data source) -------------------------
 
+    def _arrow_type(self, col: ColumnMetadata) -> pa.DataType:
+        if col.data_type is DataType.BIG_DECIMAL:
+            return pa.decimal128(
+                col.decimal_precision or 38, col.decimal_scale
+            )
+        return ARROW_TYPES[col.data_type]
+
     def arrow_schema(self, columns: list[str] | None = None) -> pa.Schema:
         names = columns if columns is not None else self.column_names()
         fields = []
         for n in names:
             col = self.metadata.get_column(n)
-            typ = ARROW_TYPES[col.data_type]
+            typ = self._arrow_type(col)
             if not col.is_single_value:
                 typ = pa.list_(typ)
             # Non-nullable like the reference (schema.rs:29-30) unless the
@@ -752,8 +792,23 @@ class SegmentReader:
         name: str,
         row_range: tuple[int, int] | None = None,
         selection: "np.ndarray | None" = None,
+        _col: "ColumnMetadata | None" = None,
     ) -> pa.Array:
-        col = self.metadata.get_column(name)
+        col = _col if _col is not None else self.metadata.get_column(name)
+        if col.data_type is DataType.BIG_DECIMAL:
+            # decode through the BYTES machinery, then convert the
+            # serialized values to a fixed decimal128 array (exact; the
+            # per-value loop runs only over decoded/selected docs)
+            from dataclasses import replace
+
+            raw = self._read_column_arrow_dense(
+                name, row_range, selection,
+                _col=replace(col, data_type=DataType.BYTES),
+            )
+            return pa.array(
+                [_decode_big_decimal(v) for v in raw.to_pylist()],
+                type=self._arrow_type(col),
+            )
         typ = ARROW_TYPES[col.data_type]
         if selection is not None:
             row_range = None  # selection indices are absolute

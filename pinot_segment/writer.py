@@ -20,6 +20,7 @@ reader supports:
 from __future__ import annotations
 
 import math
+import struct
 from pathlib import Path
 
 import numpy as np
@@ -95,6 +96,7 @@ class ColumnSpec:
         text_index: bool = False,
         range_index: bool = False,
         json_index: bool = False,
+        decimal: "tuple[int, int] | None" = None,
     ) -> None:
         if json_index and (multi_value or data_type is not DataType.STRING):
             raise ValueError(
@@ -192,6 +194,69 @@ class ColumnSpec:
                 "BYTES dictionaries are var-length only (NUL padding is "
                 "ambiguous for binary values)"
             )
+        self.decimal = None
+        if data_type is DataType.BIG_DECIMAL:
+            # Pinot's exact-decimal type, serialized per value as
+            # [int16 BE scale][two's-complement unscaled big-endian] —
+            # BigDecimal's byte layout — then stored through the existing
+            # BYTES machinery (dictionary or RAW var-byte). The column
+            # carries ONE validated (precision, scale); every value must
+            # fit it exactly (no silent rounding), which is what lets
+            # readers surface a fixed Arrow decimal128 / Spark
+            # DecimalType.
+            if multi_value:
+                raise ValueError(
+                    f"column '{name}': multi-value BIG_DECIMAL unsupported"
+                )
+            if decimal is None:
+                raise ValueError(
+                    f"column '{name}': BIG_DECIMAL requires "
+                    "decimal=(precision, scale)"
+                )
+            prec, scale = decimal
+            if not (1 <= prec <= 38) or not (0 <= scale <= prec):
+                raise ValueError(
+                    f"column '{name}': invalid decimal ({prec}, {scale})"
+                )
+            from decimal import Decimal, InvalidOperation
+
+            q = Decimal(1).scaleb(-scale)
+            bound = 10**prec
+            ser = []
+            for v in values:
+                if v is None:
+                    raise ValueError(
+                        f"column '{name}': BIG_DECIMAL values must carry "
+                        "a fill at null positions (like every nullable "
+                        "column here)"
+                    )
+                try:
+                    d = Decimal(v)
+                except InvalidOperation:
+                    raise ValueError(
+                        f"column '{name}': not a decimal: {v!r}"
+                    ) from None
+                if d != d.quantize(q):
+                    raise ValueError(
+                        f"column '{name}': {v} does not fit scale {scale}"
+                    )
+                unscaled = int(d.scaleb(scale))
+                if not -bound < unscaled < bound:
+                    raise ValueError(
+                        f"column '{name}': {v} exceeds precision {prec}"
+                    )
+                nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+                ser.append(
+                    struct.pack(">h", scale)
+                    + unscaled.to_bytes(nbytes, "big", signed=True)
+                )
+            values = ser
+            self.decimal = (prec, scale)
+            data_type = DataType.BYTES
+            if fixed_length_dict:
+                raise ValueError(
+                    "BIG_DECIMAL dictionaries are var-length only"
+                )
         if data_type in (DataType.FLOAT, DataType.DOUBLE):
             # NaN breaks sorted-dictionary encoding (NaN != NaN inflates the
             # set; sorted() leaves NaN anywhere, un-sorting the dictionary and
@@ -227,6 +292,11 @@ class ColumnSpec:
         if self.multi_value:
             return [v for row in self.values for v in row]
         return self.values
+
+    def declared_dtype(self) -> DataType:
+        """The logical type metadata declares: BIG_DECIMAL columns store
+        as BYTES but must read back as decimals."""
+        return DataType.BIG_DECIMAL if self.decimal else self.data_type
 
 
 def _encode_dictionary(spec: ColumnSpec) -> tuple[bytes, list, int]:
@@ -588,6 +658,11 @@ def write_segment(
         meta_lines.append(f"column.{spec.name}.hasNullValues=true")
 
     for spec in columns:
+        if spec.decimal:
+            meta_lines += [
+                f"column.{spec.name}.decimalPrecision={spec.decimal[0]}",
+                f"column.{spec.name}.decimalScale={spec.decimal[1]}",
+            ]
         if spec.raw:
             if spec.data_type in _BE_DTYPES:
                 blob = _encode_raw_numeric(spec)
@@ -600,7 +675,7 @@ def write_segment(
                 f"{spec.name}.forward_index.size={len(blob)}",
             ]
             meta_lines += [
-                f"column.{spec.name}.dataType={spec.data_type.value}",
+                f"column.{spec.name}.dataType={spec.declared_dtype().value}",
                 f"column.{spec.name}.cardinality={_cardinality(spec.values)}",
                 f"column.{spec.name}.hasDictionary=false",
                 # RAW numerics record sortedness too (nullable columns never
@@ -695,7 +770,7 @@ def write_segment(
             f"{spec.name}.forward_index.size={len(fwd_blob)}",
         ]
         meta_lines += [
-            f"column.{spec.name}.dataType={spec.data_type.value}",
+            f"column.{spec.name}.dataType={spec.declared_dtype().value}",
             f"column.{spec.name}.cardinality={len(uniq)}",
             f"column.{spec.name}.hasDictionary=true",
             # A nullable column is never marked sorted: the fill values at

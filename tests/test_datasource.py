@@ -1125,3 +1125,85 @@ def test_upsert_partial_backfills_from_older_versions(spark, tmp_path):
     assert full[1] == (None, "z")  # last-wins keeps v3's NULL a
     with pytest.raises(ValueError, match="unknown upsert mode"):
         cat.load_upsert_table(spark, "kv", "k", "ver", mode="bogus")
+
+
+def test_bigdecimal_column_roundtrip_and_guards(spark, tmp_path):
+    """BIG_DECIMAL through the sink and scan: exact values (incl. NULLs
+    and the RAW var-byte path), DecimalType schema, and the writer's
+    scale/precision validation."""
+    from decimal import Decimal
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+    from pinot_segment import SegmentReader
+    from pinot_segment.metadata import DataType
+    from pinot_segment.writer import ColumnSpec, write_segment
+
+    register_pinot_source(spark)
+    df = spark.createDataFrame(
+        [
+            (1, Decimal("1.25"), "a"),
+            (2, Decimal("-3.10"), "b"),
+            (3, None, "a"),
+            (4, Decimal("99999.99"), "b"),
+        ],
+        "id long, amount decimal(18,2), tag string",
+    )
+    out = str(tmp_path / "dec_OFFLINE")
+    df.write.format("pinot").mode("overwrite").save(out)
+    back = spark.read.format("pinot").load(out)
+    assert dict(back.dtypes)["amount"] == "decimal(18,2)"
+    got = {
+        r["id"]: r["amount"] for r in back.select("id", "amount").collect()
+    }
+    assert got == {
+        1: Decimal("1.25"),
+        2: Decimal("-3.10"),
+        3: None,
+        4: Decimal("99999.99"),
+    }
+    # exact decimal aggregation (no float in the path)
+    s = back.agg(F.sum("amount").alias("s")).collect()[0]["s"]
+    assert s == Decimal("99998.14")
+    # value predicates are evaluated by Spark above the scan (not pushed)
+    assert back.filter(F.col("amount") > 0).count() == 2
+    assert back.filter(F.col("amount").isNull()).count() == 1
+
+    # RAW var-byte path
+    out2 = str(tmp_path / "dec2_OFFLINE")
+    df.write.format("pinot").mode("overwrite").option("raw", "amount").save(
+        out2
+    )
+    assert (
+        spark.read.format("pinot").load(out2).filter("amount = -3.10").count()
+        == 1
+    )
+
+    # writer guards: scale violation and precision overflow
+    with _pytest.raises(ValueError, match="does not fit scale"):
+        ColumnSpec(
+            "m", DataType.BIG_DECIMAL, [Decimal("1.234")], decimal=(18, 2)
+        )
+    with _pytest.raises(ValueError, match="exceeds precision"):
+        ColumnSpec(
+            "m", DataType.BIG_DECIMAL, [Decimal("123.45")], decimal=(4, 2)
+        )
+    # storage-level metadata carries the declared type + (p, s)
+    v3 = write_segment(
+        tmp_path / "seg",
+        "seg",
+        "t",
+        [
+            ColumnSpec(
+                "m",
+                DataType.BIG_DECIMAL,
+                [Decimal("0.10"), Decimal("0.20")],
+                decimal=(10, 2),
+            )
+        ],
+    )
+    cm = SegmentReader.open(v3).metadata.get_column("m")
+    assert cm.data_type is DataType.BIG_DECIMAL
+    assert (cm.decimal_precision, cm.decimal_scale) == (10, 2)
