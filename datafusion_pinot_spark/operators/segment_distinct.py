@@ -113,17 +113,110 @@ def per_partition_distinct_sum(df: DataFrame, col: str) -> DataFrame:
 def distinct_count(
     spark: SparkSession, table_dir: str, col: str
 ) -> tuple[DataFrame, str]:
-    """Exact distinct count of ``col`` over a pinot table, via the
-    no-shuffle segment-partitioned path when the layout proves it safe,
-    else plain ``count(DISTINCT)``. Returns (one-row DataFrame, method)
-    where method is ``"segment_partitioned"`` or ``"global_distinct"``."""
+    """Exact distinct count of ``col`` over a pinot table — a strategy
+    router, cheapest proof first:
+
+    1. ``segment_partitioned``: the layout proves each value lives in
+       one segment → sum of per-partition distincts, zero shuffle.
+    2. ``bitmap_merge``: INT/LONG column whose manifest [min, max]
+       domain fits :data:`BITMAP_MAX_DOMAIN` bits → per-partition
+       bitmaps merged with bit_or (DISTINCTCOUNTBITMAP shape); shuffle
+       bounded by the domain in bits, independent of row count, no
+       layout requirement.
+    3. ``global_distinct``: plain exact ``count(DISTINCT)``.
+
+    Returns (one-row DataFrame, method)."""
     from datafusion_pinot_spark.sources import register_pinot_source
 
     register_pinot_source(spark)
     df = spark.read.format("pinot").load(table_dir)
     if partition_exclusive_column(table_dir, col):
         return per_partition_distinct_sum(df, col), "segment_partitioned"
+    mm = _table_min_max(table_dir, col)
+    if mm is not None and mm[1] - mm[0] + 1 <= BITMAP_MAX_DOMAIN:
+        return bitmap_distinct_sum(df, col, mm[0], mm[1]), "bitmap_merge"
     return (
         df.agg(F.count_distinct(F.col(col)).alias("n_distinct")),
         "global_distinct",
     )
+
+
+def _table_min_max(table_dir: str, col: str):
+    """Table-wide (min, max) for an INT/LONG column from the manifest
+    (zero opens) or per-segment metadata; None when unavailable."""
+    from pinot_segment.manifest import _segment_v3_dirs, load_manifest
+
+    segs = load_manifest(table_dir)
+    lo = hi = None
+    if segs is not None:
+        for stats in segs.values():
+            cs = stats.get("columns", {}).get(col) or {}
+            if cs.get("dtype") not in ("INT", "LONG") or "min" not in cs:
+                return None
+            lo = cs["min"] if lo is None else min(lo, cs["min"])
+            hi = cs["max"] if hi is None else max(hi, cs["max"])
+        return None if lo is None else (int(lo), int(hi))
+    from pinot_segment import SegmentReader
+
+    for v3 in _segment_v3_dirs(table_dir):
+        r = SegmentReader.open(v3)
+        cm = r.metadata.columns.get(col)
+        if cm is None or cm.data_type.value not in ("INT", "LONG"):
+            return None
+        mm = r.column_min_max(col)
+        if mm is None:
+            return None
+        lo = mm[0] if lo is None else min(lo, mm[0])
+        hi = mm[1] if hi is None else max(hi, mm[1])
+    return None if lo is None else (int(lo), int(hi))
+
+
+def bitmap_distinct_sum(df: DataFrame, col: str, lo: int, hi: int) -> DataFrame:
+    """Exact distinct count of a bounded-domain integer column via
+    per-partition bitmaps (Pinot's DISTINCTCOUNTBITMAP shape): each task
+    sets bits for the values it sees and ships only its NONZERO bitmap
+    bytes as (byte_idx, byte) pairs; one bit_or groupBy merges them and a
+    bit_count sum reads the answer. Shuffle volume is bounded by
+    min(distinct_values, domain/8) bytes per partition — independent of
+    row count — and needs NO layout proof, unlike the
+    segment-partitioned path."""
+    import numpy as np
+
+    width = hi - lo + 1
+    nbytes = (width + 7) // 8
+
+    def gen(batches):
+        import pandas as pd
+
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        for pdf in batches:
+            v = pdf[col].dropna().to_numpy()
+            if len(v) == 0:
+                continue
+            idx = v.astype(np.int64) - lo
+            if (idx < 0).any() or (idx >= width).any():
+                raise ValueError(
+                    f"{col} value outside declared [{lo}, {hi}] domain"
+                )
+            np.bitwise_or.at(
+                bm, idx >> 3, (np.uint8(1) << (idx & 7).astype(np.uint8))
+            )
+        nz = np.nonzero(bm)[0]
+        yield pd.DataFrame(
+            {
+                "idx": pd.Series(nz, dtype="int64"),
+                "b": pd.Series(bm[nz], dtype="int64"),
+            }
+        )
+
+    parts = df.select(col).mapInPandas(gen, "idx long, b long")
+    merged = parts.groupBy("idx").agg(F.expr("bit_or(b)").alias("b"))
+    return merged.agg(
+        F.coalesce(F.sum(F.bit_count("b")), F.lit(0))
+        .cast("long")
+        .alias("n_distinct")
+    )
+
+
+# max bitmap domain the router will allocate per task (2^26 bits = 8 MB)
+BITMAP_MAX_DOMAIN = 1 << 26

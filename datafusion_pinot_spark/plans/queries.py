@@ -4953,6 +4953,43 @@ def q_pinot_upsert_latest(spark, sf):
 
 
 @register(
+    "pinot_bitmap_distinct_count",
+    "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+    "FROM events",
+    "parity",
+    ["pinot", "storage", "distinct", "bitmap"],
+)
+def q_pinot_bitmap_distinct_count(spark, sf):
+    """DISTINCTCOUNTBITMAP shape: user_id is NOT layout-partitioned, but
+    its manifest [min, max] domain is small, so the distinct-count
+    router's second strategy serves — per-partition bitmaps merged with
+    bit_or, shuffle bounded by the domain in bits regardless of row
+    count. The assert fails the window row loudly if the router ever
+    regresses to the full count(DISTINCT)."""
+    import tempfile
+
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        distinct_count,
+    )
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="bdc_"), "ev_OFFLINE")
+    (
+        t(spark, sf, "events")
+        .select("user_id")
+        .repartition(8)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "user_id")
+        .save(out)
+    )
+    df, method = distinct_count(spark, out, "user_id")
+    assert method == "bitmap_merge", method
+    return df
+
+
+@register(
     "pinot_bigdecimal_roundtrip",
     """SELECT l_returnflag,
               round(CAST(sum(CAST(round(l_extendedprice, 2)

@@ -40,20 +40,47 @@ def test_exclusive_layout_served_and_exact(spark, tmp_path):
     assert df.collect()[0]["n_distinct"] == 8  # {0,8,16,1,9,17,2,10}
 
 
-def test_shared_residue_falls_back(spark, tmp_path):
+def test_shared_residue_falls_back_to_bitmap(spark, tmp_path):
     table = tmp_path / "t_OFFLINE"
     _seg(table, "s0", [0, 8])   # residue 0
     _seg(table, "s1", [16, 0])  # residue 0 again -> value 0 spans segments
     assert not partition_exclusive_column(str(table), "k")
+    # layout proof fails, but the small [0, 16] integer domain qualifies
+    # for the bitmap-merge strategy (still exact, no layout needed)
     df, method = distinct_count(spark, str(table), "k")
-    assert method == "global_distinct"
+    assert method == "bitmap_merge"
     assert df.collect()[0]["n_distinct"] == 3  # {0, 8, 16}
 
 
-def test_unpartitioned_column_falls_back(spark, tmp_path):
+def test_unpartitioned_column_uses_bitmap(spark, tmp_path):
     table = tmp_path / "t_OFFLINE"
     _seg(table, "s0", [0, 1, 2], partitioned=False)
     assert not partition_exclusive_column(str(table), "k")
     df, method = distinct_count(spark, str(table), "k")
-    assert method == "global_distinct"
+    assert method == "bitmap_merge"
     assert df.collect()[0]["n_distinct"] == 3
+
+
+def test_huge_domain_falls_back_to_global(spark, tmp_path):
+    from datafusion_pinot_spark.operators import segment_distinct as sd
+
+    table = tmp_path / "t_OFFLINE"
+    # domain span far beyond BITMAP_MAX_DOMAIN -> global count(DISTINCT)
+    _seg(table, "s0", [0, sd.BITMAP_MAX_DOMAIN + 10], partitioned=False)
+    df, method = distinct_count(spark, str(table), "k")
+    assert method == "global_distinct"
+    assert df.collect()[0]["n_distinct"] == 2
+
+
+def test_bitmap_distinct_matches_exact_on_random(spark):
+    import numpy as np
+
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        bitmap_distinct_sum,
+    )
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(100, 5000, size=4000).tolist()
+    df = spark.createDataFrame([(int(v),) for v in vals], "k long").repartition(8)
+    got = bitmap_distinct_sum(df, "k", 100, 4999).collect()[0]["n_distinct"]
+    assert got == len(set(vals))
