@@ -384,6 +384,15 @@ def marginal_tier(
     agg = lambda f: f.agg(  # noqa: E731
         F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")
     )
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        bitmap_distinct_sum,
+    )
+
+    klo, khi = (
+        rd(big, "l_orderkey")
+        .agg(F.min("l_orderkey"), F.max("l_orderkey"))
+        .collect()[0]
+    )
     probes = {
         # hash layout: every segment spans the full key range — zone maps
         # cannot prune, every segment decodes + masks (the no-index cost)
@@ -442,6 +451,16 @@ def marginal_tier(
         "filter_in_bloom": lambda: agg(
             rd(big_bloom).filter(F.col("l_orderkey").isin(7, 513, 1154))
         ),
+        # exact distinct over the high-cardinality key WITHOUT layout help:
+        # count(DISTINCT) shuffles every distinct value once
+        "distinct_global": lambda: rd(big, "l_orderkey").agg(
+            F.count_distinct("l_orderkey").alias("n")
+        ),
+        # same answer via the bounded-domain bitmap merge: each task ships
+        # only its nonzero bitmap bytes (domain/8 cap, row-count-free)
+        "distinct_bitmap": lambda: bitmap_distinct_sum(
+            rd(big, "l_orderkey"), "l_orderkey", int(klo), int(khi)
+        ),
     }
     probe_out: dict[str, dict] = {"rows": rows}
     for name, mk in probes.items():
@@ -459,6 +478,7 @@ def marginal_tier(
         ("filter_eq_inverted", "filter_eq_fullscan"),
         ("filter_ts_pruned", "filter_ts_fullscan"),
         ("filter_in_bloom", "filter_in_fullscan"),
+        ("distinct_bitmap", "distinct_global"),
     ):
         probe_out[pruned]["speedup_vs_fullscan"] = round(
             probe_out[base]["sec"] / probe_out[pruned]["sec"], 2
