@@ -111,30 +111,42 @@ def per_partition_distinct_sum(df: DataFrame, col: str) -> DataFrame:
 
 
 def distinct_count(
-    spark: SparkSession, table_dir: str, col: str
+    spark: SparkSession, table_dir: str, col: str, strategy: str = "auto"
 ) -> tuple[DataFrame, str]:
     """Exact distinct count of ``col`` over a pinot table — a strategy
-    router, cheapest proof first:
+    router. ``strategy="auto"`` picks:
 
     1. ``segment_partitioned``: the layout proves each value lives in
-       one segment → sum of per-partition distincts, zero shuffle.
-    2. ``bitmap_merge``: INT/LONG column whose manifest [min, max]
-       domain fits :data:`BITMAP_MAX_DOMAIN` bits → per-partition
-       bitmaps merged with bit_or (DISTINCTCOUNTBITMAP shape); shuffle
-       bounded by the domain in bits, independent of row count, no
-       layout requirement.
-    3. ``global_distinct``: plain exact ``count(DISTINCT)``.
+       one segment → sum of per-partition distincts, zero shuffle
+       (Pinot's SEGMENTPARTITIONEDDISTINCTCOUNT contract).
+    2. ``global_distinct``: plain exact ``count(DISTINCT)``.
+
+    ``strategy="bitmap"`` forces the bounded-domain bitmap merge
+    (DISTINCTCOUNTBITMAP shape) when the manifest [min, max] fits
+    :data:`BITMAP_MAX_DOMAIN` bits, else raises. It is NOT in the auto
+    tier by measurement: bench.py's ``distinct_bitmap`` probe shows the
+    Python-source Arrow hop costs ~3x what the saved shuffle wins at
+    local scale — the strategy pays off only where the exchange is the
+    bottleneck (network-bound clusters with very large distinct
+    cardinalities), so callers must ask for it.
 
     Returns (one-row DataFrame, method)."""
     from datafusion_pinot_spark.sources import register_pinot_source
 
     register_pinot_source(spark)
     df = spark.read.format("pinot").load(table_dir)
+    if strategy == "bitmap":
+        mm = _table_min_max(table_dir, col)
+        if mm is None or mm[1] - mm[0] + 1 > BITMAP_MAX_DOMAIN:
+            raise ValueError(
+                f"bitmap strategy needs a provable [min, max] domain of "
+                f"<= {BITMAP_MAX_DOMAIN} bits for {col}"
+            )
+        return bitmap_distinct_sum(df, col, mm[0], mm[1]), "bitmap_merge"
+    if strategy != "auto":
+        raise ValueError(f"unknown strategy: {strategy!r}")
     if partition_exclusive_column(table_dir, col):
         return per_partition_distinct_sum(df, col), "segment_partitioned"
-    mm = _table_min_max(table_dir, col)
-    if mm is not None and mm[1] - mm[0] + 1 <= BITMAP_MAX_DOMAIN:
-        return bitmap_distinct_sum(df, col, mm[0], mm[1]), "bitmap_merge"
     return (
         df.agg(F.count_distinct(F.col(col)).alias("n_distinct")),
         "global_distinct",

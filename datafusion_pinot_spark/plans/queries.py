@@ -4960,12 +4960,13 @@ def q_pinot_upsert_latest(spark, sf):
     ["pinot", "storage", "distinct", "bitmap"],
 )
 def q_pinot_bitmap_distinct_count(spark, sf):
-    """DISTINCTCOUNTBITMAP shape: user_id is NOT layout-partitioned, but
-    its manifest [min, max] domain is small, so the distinct-count
-    router's second strategy serves — per-partition bitmaps merged with
-    bit_or, shuffle bounded by the domain in bits regardless of row
-    count. The assert fails the window row loudly if the router ever
-    regresses to the full count(DISTINCT)."""
+    """DISTINCTCOUNTBITMAP shape, explicitly requested: user_id is NOT
+    layout-partitioned, but its manifest [min, max] domain is small, so
+    the opt-in bitmap strategy serves — per-partition bitmaps merged
+    with bit_or, shuffle bounded by the domain in bits regardless of
+    row count. Opt-in by measurement (bench.py distinct_bitmap probe:
+    the Arrow hop outweighs the saved exchange at local scale); this
+    query proves the path's exactness end to end."""
     import tempfile
 
     from datafusion_pinot_spark.operators.segment_distinct import (
@@ -4984,7 +4985,7 @@ def q_pinot_bitmap_distinct_count(spark, sf):
         .option("raw", "user_id")
         .save(out)
     )
-    df, method = distinct_count(spark, out, "user_id")
+    df, method = distinct_count(spark, out, "user_id", strategy="bitmap")
     assert method == "bitmap_merge", method
     return df
 

@@ -45,31 +45,41 @@ def test_shared_residue_falls_back_to_bitmap(spark, tmp_path):
     _seg(table, "s0", [0, 8])   # residue 0
     _seg(table, "s1", [16, 0])  # residue 0 again -> value 0 spans segments
     assert not partition_exclusive_column(str(table), "k")
-    # layout proof fails, but the small [0, 16] integer domain qualifies
-    # for the bitmap-merge strategy (still exact, no layout needed)
+    # layout proof fails -> auto stays with the exact global distinct
+    # (the bitmap strategy is opt-in by measurement, see distinct_count)
     df, method = distinct_count(spark, str(table), "k")
-    assert method == "bitmap_merge"
+    assert method == "global_distinct"
     assert df.collect()[0]["n_distinct"] == 3  # {0, 8, 16}
+    # the opt-in bitmap strategy gives the same exact answer
+    df2, method2 = distinct_count(spark, str(table), "k", strategy="bitmap")
+    assert method2 == "bitmap_merge"
+    assert df2.collect()[0]["n_distinct"] == 3
 
 
-def test_unpartitioned_column_uses_bitmap(spark, tmp_path):
+def test_unpartitioned_column_auto_global_bitmap_optin(spark, tmp_path):
     table = tmp_path / "t_OFFLINE"
     _seg(table, "s0", [0, 1, 2], partitioned=False)
     assert not partition_exclusive_column(str(table), "k")
     df, method = distinct_count(spark, str(table), "k")
-    assert method == "bitmap_merge"
+    assert method == "global_distinct"
     assert df.collect()[0]["n_distinct"] == 3
+    df2, method2 = distinct_count(spark, str(table), "k", strategy="bitmap")
+    assert method2 == "bitmap_merge"
+    assert df2.collect()[0]["n_distinct"] == 3
 
 
-def test_huge_domain_falls_back_to_global(spark, tmp_path):
+def test_huge_domain_rejects_bitmap(spark, tmp_path):
+    import pytest as _pytest
+
     from datafusion_pinot_spark.operators import segment_distinct as sd
 
     table = tmp_path / "t_OFFLINE"
-    # domain span far beyond BITMAP_MAX_DOMAIN -> global count(DISTINCT)
     _seg(table, "s0", [0, sd.BITMAP_MAX_DOMAIN + 10], partitioned=False)
     df, method = distinct_count(spark, str(table), "k")
     assert method == "global_distinct"
     assert df.collect()[0]["n_distinct"] == 2
+    with _pytest.raises(ValueError, match="bitmap strategy needs"):
+        distinct_count(spark, str(table), "k", strategy="bitmap")
 
 
 def test_bitmap_distinct_matches_exact_on_random(spark):
