@@ -591,3 +591,53 @@ def test_property_r6_index_metadata(tmp_path_factory, data, n, num_partitions):
     assert list(m.read_column("s")) == strs + strs
     assert m.metadata.get_column("k").partition_values == cm.partition_values
     assert m.bloom_might_contain("k", [keys[0]]) is True
+
+
+def test_bigdecimal_roundtrip_property(tmp_path):
+    """Random decimals at random scales round-trip bit-exactly through
+    both encodings (dictionary and RAW var-byte)."""
+    from decimal import Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    from pinot_segment import SegmentReader
+    from pinot_segment.metadata import DataType
+    from pinot_segment.writer import ColumnSpec, write_segment
+
+    counter = {"n": 0}
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(10**12), max_value=10**12),
+            min_size=1,
+            max_size=40,
+        ),
+        st.integers(min_value=0, max_value=6),
+        st.booleans(),
+    )
+    def run(unscaled, scale, raw):
+        vals = [Decimal(u).scaleb(-scale) for u in unscaled]
+        counter["n"] += 1
+        seg = tmp_path / f"s{counter['n']}"
+        v3 = write_segment(
+            seg,
+            f"s{counter['n']}",
+            "t",
+            [
+                ColumnSpec(
+                    "m",
+                    DataType.BIG_DECIMAL,
+                    vals,
+                    raw=raw,
+                    decimal=(18, scale),
+                )
+            ],
+        )
+        r = SegmentReader.open(v3)
+        assert r.read_column("m") == vals
+        arr = r._read_column_arrow("m")
+        assert arr.type.scale == scale
+        assert arr.to_pylist() == vals
+
+    run()
