@@ -1389,6 +1389,75 @@ def _register_llm():
         "llm",
         ["events", "markov", "sequence", "analytics"],
     )(_event_transitions)
+    # Inter-arrival gap quantiles per event type: per (type, user)
+    # consecutive gaps via one LAG pass, then DISCRETE rank statistics
+    # (p50/p95 as exact order statistics — pure integer rank arithmetic,
+    # the same no-float-drift technique as source_length_trim). Gaps in
+    # whole microseconds.
+    def _event_gap_quantiles(spark, sf):
+        ev = t(spark, sf, "events")
+        w = Window.partitionBy("event_type", "user_id").orderBy(
+            "ts", "event_id"
+        )
+        us = F.unix_micros(F.col("ts"))
+        gaps = (
+            ev.withColumn("gap_us", us - F.lag(us).over(w))
+            .filter(F.col("gap_us").isNotNull())
+            .select("event_type", "user_id", "event_id", "gap_us")
+        )
+        wr = Window.partitionBy("event_type").orderBy(
+            "gap_us", "user_id", "event_id"
+        )
+        cnts = gaps.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_gaps")
+        )
+        ranked = gaps.withColumn("rn", F.row_number().over(wr))
+        return (
+            ranked.join(F.broadcast(cnts), "event_type")
+            .withColumn("k50", F.expr("(n_gaps - 1) * 50 div 100 + 1"))
+            .withColumn("k95", F.expr("(n_gaps - 1) * 95 div 100 + 1"))
+            .groupBy("event_type")
+            .agg(
+                F.max("n_gaps").alias("n_gaps"),
+                F.min(
+                    F.when(F.col("rn") == F.col("k50"), F.col("gap_us"))
+                ).alias("p50_gap_us"),
+                F.min(
+                    F.when(F.col("rn") == F.col("k95"), F.col("gap_us"))
+                ).alias("p95_gap_us"),
+                F.max("gap_us").alias("max_gap_us"),
+            )
+            .orderBy("event_type")
+        )
+
+    register(
+        "event_gap_quantiles",
+        """WITH g AS (
+             SELECT event_type, user_id, event_id,
+                    epoch_us(ts) - lag(epoch_us(ts))
+                      OVER (PARTITION BY event_type, user_id
+                            ORDER BY ts, event_id) AS gap_us
+             FROM events),
+           gg AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+           c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps
+                 FROM gg GROUP BY event_type),
+           r AS (SELECT event_type, gap_us,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY gap_us, user_id,
+                                                    event_id) AS rn
+                 FROM gg)
+           SELECT r.event_type,
+                  CAST(max(n_gaps) AS BIGINT) AS n_gaps,
+                  CAST(min(CASE WHEN rn = (n_gaps - 1) * 50 // 100 + 1
+                           THEN gap_us END) AS BIGINT) AS p50_gap_us,
+                  CAST(min(CASE WHEN rn = (n_gaps - 1) * 95 // 100 + 1
+                           THEN gap_us END) AS BIGINT) AS p95_gap_us,
+                  CAST(max(gap_us) AS BIGINT) AS max_gap_us
+           FROM r JOIN c USING (event_type)
+           GROUP BY r.event_type ORDER BY r.event_type""",
+        "llm",
+        ["events", "timeseries", "quantile", "analytics"],
+    )(_event_gap_quantiles)
     # Last-touch attribution: each purchase credits the most recent
     # preceding view/click on the same user's timeline — one key shuffle
     # + one last_value(IGNORE NULLS) window pass (the same single-pass
