@@ -207,36 +207,64 @@ def funnel_completion_histogram(
     )
 
 
+def _recursive_fold_ctes(n: int, complete: bool, out_alias: str) -> str:
+    """CTE fragment computing the per-user fold as a RECURSIVE walk over
+    rank-ordered steps — no list aggregation or lambdas anywhere.
+
+    DuckDB v1.0 computes list lambdas (list_reduce / list_transform) and
+    even list_resize over MULTIPLE rows with data-dependent lengths
+    incorrectly and process-dependently (results permute between groups;
+    single rows, single-group filters, and equal-length batches are
+    fine — found via the per-user streaming_funnel_totals hash
+    mismatch). The recursive-CTE fold walks rank r -> r+1 with plain
+    scalar expressions, which is stable; recursion depth = the largest
+    per-user event count (fine at oracle scale — the scalable path is
+    the Spark side)."""
+    if complete:
+        adv = (
+            f"CASE WHEN r.s = w.acc % {_STEP_MOD} + 1 "
+            f"THEN CASE WHEN r.s = {n} "
+            f"THEN w.acc + {_STEP_MOD} - {n - 1} "
+            f"ELSE w.acc + 1 END ELSE w.acc END"
+        )
+    else:
+        adv = "CASE WHEN r.s = w.acc + 1 THEN w.acc + 1 ELSE w.acc END"
+    return f"""ranked AS (
+  SELECT user_id, e % {_STEP_MOD} AS s,
+         row_number() OVER (PARTITION BY user_id ORDER BY e) AS rn
+  FROM enc
+), cnt AS (SELECT user_id, max(rn) AS n FROM ranked GROUP BY user_id
+), walk AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS acc
+  FROM cnt
+  UNION ALL
+  SELECT w.user_id, w.rn + 1, {adv}
+  FROM walk w JOIN ranked r ON r.user_id = w.user_id AND r.rn = w.rn + 1
+), d AS (
+  SELECT w.user_id, w.acc AS {out_alias}
+  FROM walk w JOIN cnt c ON w.user_id = c.user_id AND w.rn = c.n
+)"""
+
+
 def funnel_completion_histogram_oracle_sql(
     steps: list[str], table: str = "events"
 ) -> str:
-    """DuckDB equivalent of :func:`funnel_completion_histogram` (identical
-    packed-integer fold)."""
+    """DuckDB equivalent of :func:`funnel_completion_histogram` — the
+    identical packed-integer fold, expressed as a recursive-CTE walk
+    (see :func:`_recursive_fold_ctes` for why no list lambdas)."""
     n = len(steps)
     case = " ".join(
         f"WHEN '{s}' THEN CAST({i + 1} AS BIGINT)" for i, s in enumerate(steps)
     )
     in_list = ", ".join(f"'{s}'" for s in steps)
+    fold = _recursive_fold_ctes(n, complete=True, out_alias="a")
     return f"""
-WITH enc AS (
+WITH RECURSIVE enc AS (
   SELECT user_id,
          epoch_us(ts) * {_STEP_MOD} + CASE event_type {case} END AS e
   FROM {table} WHERE event_type IN ({in_list})
-), d AS (
-  SELECT user_id,
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-                        list_transform(list_sort(list(e)),
-                                       x -> x % {_STEP_MOD})),
-           (acc, s) -> CASE WHEN s = acc % {_STEP_MOD} + 1
-                       THEN CASE WHEN s = {n}
-                            THEN acc + {_STEP_MOD} - {n - 1}
-                            ELSE acc + 1 END
-                       ELSE acc END
-         ) // {_STEP_MOD} AS completions
-  FROM enc GROUP BY user_id
-)
-SELECT completions, CAST(count(*) AS BIGINT) AS n_users
+), {fold}
+SELECT a // {_STEP_MOD} AS completions, CAST(count(*) AS BIGINT) AS n_users
 FROM d GROUP BY completions ORDER BY completions"""
 
 
@@ -270,21 +298,13 @@ def funnel_conversion_oracle_sql(
             f"c{i + 1} AS n_users, {conv} AS conv_prev_milli FROM c"
         )
     union = " UNION ALL ".join(arms)
+    fold = _recursive_fold_ctes(len(steps), complete=False, out_alias="depth")
     return f"""
-WITH enc AS (
+WITH RECURSIVE enc AS (
   SELECT user_id,
          epoch_us(ts) * {_STEP_MOD} + CASE event_type {case} END AS e
   FROM {table} WHERE event_type IN ({in_list})
-), d AS (
-  SELECT user_id,
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-                        list_transform(list_sort(list(e)),
-                                       x -> x % {_STEP_MOD})),
-           (acc, s) -> CASE WHEN s = acc + 1 THEN acc + 1 ELSE acc END
-         ) AS depth
-  FROM enc GROUP BY user_id
-), c AS (SELECT {counts} FROM d)
+), {fold}, c AS (SELECT {counts} FROM d)
 SELECT * FROM ({union}) ORDER BY step"""
 
 
@@ -446,19 +466,22 @@ def event_sequence_matches_oracle_sql(
         f"WHEN '{s}' THEN CAST({i + 1} AS BIGINT)" for i, s in enumerate(types)
     )
     in_list = ", ".join(f"'{s}'" for s in types)
-    larr = "[" + ", ".join(f"'{c}'" for c in letters) + "]"
+    letter_case = " ".join(
+        f"WHEN '{t}' THEN '{c}'" for t, c in zip(types, letters)
+    )
     vals = ", ".join(f"('{p}')" for p in patterns)
     return f"""
 WITH enc AS (
   SELECT user_id,
-         epoch_us(ts) * {_STEP_MOD} + CASE event_type {case} END AS e
+         epoch_us(ts) * {_STEP_MOD} + CASE event_type {case} END AS e,
+         CASE event_type {letter_case} END AS letter
   FROM {table} WHERE event_type IN ({in_list})
 ), seqs AS (
-  SELECT user_id,
-         array_to_string(
-           list_transform(list_sort(list(e)),
-                          x -> {larr}[CAST(x % {_STEP_MOD} AS INT)]),
-           '') AS seq
+  -- ordered string_agg builds the per-user sequence with no list
+  -- aggregation or lambdas (see _recursive_fold_ctes on the DuckDB
+  -- multi-row list-lambda hazard); ORDER BY e preserves the exact
+  -- (ts, step) tie-break of the packed encoding
+  SELECT user_id, string_agg(letter, '' ORDER BY e) AS seq
   FROM enc GROUP BY user_id
 ), m AS (
   SELECT user_id, p.pattern,

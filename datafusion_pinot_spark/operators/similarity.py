@@ -860,13 +860,19 @@ sv AS (
          {l2.format(a="t.sub_v", b="c.c_sub")} AS dq
   FROM sv t JOIN codebooks c USING (sub)
   WHERE t.vec_id IN ({ids})
-), scored AS (
-  SELECT d.q_id, co.vec_id,
-         round(list_reduce(list(d.dq ORDER BY d.sub),
-                           (p, q) -> p + q), 6) AS adist
+), grouped AS (
+  -- lists materialize one CTE level before the lambda: DuckDB v1.0
+  -- evaluates a lambda applied to list() inside the grouping select
+  -- against misaligned rows (results permute between groups; found via
+  -- the funnel oracles' per-user fold)
+  SELECT d.q_id, co.vec_id, list(d.dq ORDER BY d.sub) AS ds
   FROM codes co JOIN dq d ON co.sub = d.sub AND co.code = d.code
   WHERE co.vec_id <> d.q_id
   GROUP BY d.q_id, co.vec_id
+), scored AS (
+  SELECT q_id, vec_id,
+         round(list_reduce(ds, (p, q) -> p + q), 6) AS adist
+  FROM grouped
 )
 SELECT q_id, vec_id, adist, rnk FROM (
   SELECT q_id, vec_id, adist,

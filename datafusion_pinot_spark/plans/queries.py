@@ -1304,7 +1304,7 @@ def _register_llm():
 
     register(
         "session_funnel_depths",
-        """WITH s AS (
+        """WITH RECURSIVE s AS (
              SELECT user_id, ts, event_id, event_type,
                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
@@ -1326,15 +1326,33 @@ def _register_llm():
                                         WHEN 'purchase' THEN 3 END AS e
              FROM t2
              WHERE event_type IN ('view', 'click', 'purchase')),
+           ranked AS (
+             -- recursive-CTE fold keyed on (user_id, sess): no list
+             -- aggregation/lambdas (DuckDB v1.0 computes multi-row
+             -- data-dependent-length list lambdas incorrectly — see
+             -- funnel._recursive_fold_ctes)
+             SELECT user_id, sess, e % 8 AS s,
+                    row_number() OVER (PARTITION BY user_id, sess
+                                       ORDER BY e) AS rn
+             FROM f),
+           cnt AS (SELECT user_id, sess, max(rn) AS n
+                   FROM ranked GROUP BY user_id, sess),
+           walk AS (
+             SELECT user_id, sess, CAST(0 AS BIGINT) AS rn,
+                    CAST(0 AS BIGINT) AS acc
+             FROM cnt
+             UNION ALL
+             SELECT w.user_id, w.sess, w.rn + 1,
+                    CASE WHEN r.s = w.acc + 1 THEN w.acc + 1
+                         ELSE w.acc END
+             FROM walk w JOIN ranked r
+               ON r.user_id = w.user_id AND r.sess = w.sess
+              AND r.rn = w.rn + 1),
            d AS (
-             SELECT user_id, sess,
-                    list_reduce(
-                      list_prepend(CAST(0 AS BIGINT),
-                                   list_transform(list_sort(list(e)),
-                                                  x -> x % 8)),
-                      (acc, v) -> CASE WHEN v = acc + 1 THEN acc + 1
-                                       ELSE acc END) AS depth
-             FROM f GROUP BY user_id, sess)
+             SELECT w.acc AS depth
+             FROM walk w JOIN cnt c
+               ON w.user_id = c.user_id AND w.sess = c.sess
+              AND w.rn = c.n)
            SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions
            FROM d GROUP BY depth ORDER BY depth""",
         "llm",
@@ -1734,6 +1752,34 @@ def _register_llm():
         "llm",
         ["curation", "quantile", "outlier"],
     )(_source_length_trim)
+    # Streaming funnel: the per-user FUNNEL_COMPLETE_COUNT accumulator
+    # carried across micro-batches in applyInPandasWithState — identical
+    # to the batch fold under in-order delivery, so the bounded run is
+    # fully hash-checked against the same DuckDB list_reduce oracle.
+    def _streaming_funnel(spark, sf):
+        from datafusion_pinot_spark.streaming.stateful import (
+            streaming_funnel_totals,
+        )
+
+        return streaming_funnel_totals(spark, f"{sf}/events.parquet")
+
+    _sf_fold = funnel._recursive_fold_ctes(3, complete=True, out_alias="a")
+    register(
+        "streaming_funnel_totals",
+        f"""WITH RECURSIVE enc AS (
+             SELECT user_id,
+                    epoch_us(ts) * 8 + CASE event_type
+                                        WHEN 'view' THEN CAST(1 AS BIGINT)
+                                        WHEN 'click' THEN 2
+                                        WHEN 'purchase' THEN 3 END AS e
+             FROM events
+             WHERE event_type IN ('view', 'click', 'purchase')
+           ), {_sf_fold}
+           SELECT user_id, a // 8 AS completions, a % 8 AS depth
+           FROM d ORDER BY user_id""",
+        "llm",
+        ["streaming", "funnel", "stateful"],
+    )(_streaming_funnel)
     # FineWeb-style composite keep/drop gate over engine-side signals,
     # with the first failing rule recorded as the audit reason.
     register(
@@ -5795,7 +5841,12 @@ DRIVER_WINDOW: list[str] = [
     # storage end-to-end path stays window-covered by the r6 storage
     # queries below — pinot_timestamp_range_scan, ann_pq_pinot_codes_topk,
     # pinot_sql_join_storage, etc.)
-    "doc_chunk_windows",  # r6: overlapping token-window chunking
+    # (doc_chunk_windows deferred to the pytest oracle tier — twice
+    # hash-green today and mechanically simple; the slot goes to the
+    # streaming funnel, whose PER-USER output is the only window row
+    # sensitive to cross-group permutation — exactly the class of
+    # cross-engine failure that exposed the DuckDB list-lambda bug.)
+    "streaming_funnel_totals",  # r6: stateful streaming funnel, per-user
     # r6-continuation funnel analytics (standing rule: round-N queries
     # enter the round-N window). Slot freed by rotating pinot_lineitem_q1
     # (driver-green r3+r5, pinned by the pytest oracle tier + bench's

@@ -80,3 +80,90 @@ def stateful_user_totals(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, completions long, depth long"
+FUNNEL_STATE_SCHEMA = "acc long"
+_FUNNEL_STEPS = {"view": 1, "click": 2, "purchase": 3}
+_M = 8  # 2^STEP_BITS, matching operators/funnel.py's packing
+
+
+def _update_funnel(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental FUNNEL_COMPLETE_COUNT: per-user accumulator
+    ``completions * 8 + current_depth`` (operators/funnel.py's integer
+    fold) advanced by each micro-batch's events in (ts, step) order.
+    Cross-batch correctness relies on in-order delivery between batches
+    (the same contract real-time funnel engines assume; a
+    watermark-buffered variant would trade latency for reordering
+    tolerance). Within a batch, events sort exactly like the batch
+    fold."""
+    (user_id,) = key
+    acc = state.get[0] if state.exists else 0
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        df = pd.concat(frames)
+        df = df[df["event_type"].isin(_FUNNEL_STEPS)]
+        if len(df):
+            # explicit ns view first: pandas may deliver datetime64 at
+            # any unit, and the tie-break vs the batch fold must be at
+            # exactly microsecond resolution
+            micros = (
+                df["ts"].values.astype("datetime64[ns]").astype("int64")
+                // 1000
+            )
+            enc = micros * _M + df["event_type"].map(_FUNNEL_STEPS).values
+            for e in sorted(enc.tolist()):
+                s = e % _M
+                if s == acc % _M + 1:
+                    acc = acc + _M - 2 if s == 3 else acc + 1
+    state.update((acc,))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "completions": [acc // _M],
+            "depth": [acc % _M],
+        }
+    )
+
+
+def streaming_funnel_totals(
+    spark: SparkSession, events_parquet: str
+) -> DataFrame:
+    """Run the stateful funnel over the events file stream to completion;
+    returns the final per-user (completions, depth) — equal to the batch
+    fold when batches arrive in time order, which makes the bounded run
+    DuckDB-hash-checkable."""
+    stream = _with_ts(_file_stream(spark, events_parquet))
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"sfunnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        updated.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # final state per user = the row with the largest packed accumulator
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.col("completions") * _M + F.col("depth"))
+    )
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("user_id")
+    )
