@@ -207,7 +207,13 @@ def funnel_completion_histogram(
     )
 
 
-def _recursive_fold_ctes(n: int, complete: bool, out_alias: str) -> str:
+def _recursive_fold_ctes(
+    n: int,
+    complete: bool,
+    out_alias: str,
+    keys: tuple = ("user_id",),
+    src: str = "enc",
+) -> str:
     """CTE fragment computing the per-user fold as a RECURSIVE walk over
     rank-ordered steps — no list aggregation or lambdas anywhere.
 
@@ -229,20 +235,24 @@ def _recursive_fold_ctes(n: int, complete: bool, out_alias: str) -> str:
         )
     else:
         adv = "CASE WHEN r.s = w.acc + 1 THEN w.acc + 1 ELSE w.acc END"
+    kc = ", ".join(keys)
+    wk = ", ".join(f"w.{k}" for k in keys)
+    jr = " AND ".join(f"r.{k} = w.{k}" for k in keys)
+    jc = " AND ".join(f"w.{k} = c.{k}" for k in keys)
     return f"""ranked AS (
-  SELECT user_id, e % {_STEP_MOD} AS s,
-         row_number() OVER (PARTITION BY user_id ORDER BY e) AS rn
-  FROM enc
-), cnt AS (SELECT user_id, max(rn) AS n FROM ranked GROUP BY user_id
+  SELECT {kc}, e % {_STEP_MOD} AS s,
+         row_number() OVER (PARTITION BY {kc} ORDER BY e) AS rn
+  FROM {src}
+), cnt AS (SELECT {kc}, max(rn) AS n FROM ranked GROUP BY {kc}
 ), walk AS (
-  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS acc
+  SELECT {kc}, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS acc
   FROM cnt
   UNION ALL
-  SELECT w.user_id, w.rn + 1, {adv}
-  FROM walk w JOIN ranked r ON r.user_id = w.user_id AND r.rn = w.rn + 1
+  SELECT {wk}, w.rn + 1, {adv}
+  FROM walk w JOIN ranked r ON {jr} AND r.rn = w.rn + 1
 ), d AS (
-  SELECT w.user_id, w.acc AS {out_alias}
-  FROM walk w JOIN cnt c ON w.user_id = c.user_id AND w.rn = c.n
+  SELECT {wk}, w.acc AS {out_alias}
+  FROM walk w JOIN cnt c ON {jc} AND w.rn = c.n
 )"""
 
 

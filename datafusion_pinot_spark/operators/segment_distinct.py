@@ -202,10 +202,13 @@ def bitmap_distinct_sum(df: DataFrame, col: str, lo: int, hi: int) -> DataFrame:
 
         bm = np.zeros(nbytes, dtype=np.uint8)
         for pdf in batches:
-            v = pdf[col].dropna().to_numpy()
+            # nulls were filtered ENGINE-side below: a null-bearing int64
+            # batch would arrive in pandas as float64, silently rounding
+            # values above 2^53 onto the wrong bit
+            v = pdf[col].to_numpy()
             if len(v) == 0:
                 continue
-            idx = v.astype(np.int64) - lo
+            idx = v.astype(np.int64, casting="safe") - lo
             if (idx < 0).any() or (idx >= width).any():
                 raise ValueError(
                     f"{col} value outside declared [{lo}, {hi}] domain"
@@ -221,7 +224,11 @@ def bitmap_distinct_sum(df: DataFrame, col: str, lo: int, hi: int) -> DataFrame:
             }
         )
 
-    parts = df.select(col).mapInPandas(gen, "idx long, b long")
+    parts = (
+        df.select(col)
+        .where(F.col(col).isNotNull())
+        .mapInPandas(gen, "idx long, b long")
+    )
     merged = parts.groupBy("idx").agg(F.expr("bit_or(b)").alias("b"))
     return merged.agg(
         F.coalesce(F.sum(F.bit_count("b")), F.lit(0))

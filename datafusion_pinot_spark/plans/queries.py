@@ -1302,9 +1302,13 @@ def _register_llm():
             .orderBy("depth")
         )
 
+    _sess_fold = funnel._recursive_fold_ctes(
+        3, complete=False, out_alias="depth",
+        keys=("user_id", "sess"), src="f",
+    )
     register(
         "session_funnel_depths",
-        """WITH RECURSIVE s AS (
+        f"""WITH RECURSIVE s AS (
              SELECT user_id, ts, event_id, event_type,
                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
@@ -1326,33 +1330,7 @@ def _register_llm():
                                         WHEN 'purchase' THEN 3 END AS e
              FROM t2
              WHERE event_type IN ('view', 'click', 'purchase')),
-           ranked AS (
-             -- recursive-CTE fold keyed on (user_id, sess): no list
-             -- aggregation/lambdas (DuckDB v1.0 computes multi-row
-             -- data-dependent-length list lambdas incorrectly — see
-             -- funnel._recursive_fold_ctes)
-             SELECT user_id, sess, e % 8 AS s,
-                    row_number() OVER (PARTITION BY user_id, sess
-                                       ORDER BY e) AS rn
-             FROM f),
-           cnt AS (SELECT user_id, sess, max(rn) AS n
-                   FROM ranked GROUP BY user_id, sess),
-           walk AS (
-             SELECT user_id, sess, CAST(0 AS BIGINT) AS rn,
-                    CAST(0 AS BIGINT) AS acc
-             FROM cnt
-             UNION ALL
-             SELECT w.user_id, w.sess, w.rn + 1,
-                    CASE WHEN r.s = w.acc + 1 THEN w.acc + 1
-                         ELSE w.acc END
-             FROM walk w JOIN ranked r
-               ON r.user_id = w.user_id AND r.sess = w.sess
-              AND r.rn = w.rn + 1),
-           d AS (
-             SELECT w.acc AS depth
-             FROM walk w JOIN cnt c
-               ON w.user_id = c.user_id AND w.sess = c.sess
-              AND w.rn = c.n)
+           {_sess_fold}
            SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions
            FROM d GROUP BY depth ORDER BY depth""",
         "llm",

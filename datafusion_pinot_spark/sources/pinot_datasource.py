@@ -458,7 +458,14 @@ class PinotDataSourceReader(DataSourceReader):
                 and len(f.attribute) == 1
             )
 
-        for f in filters:
+        for f0 in filters:
+            # anything yielded back to Spark MUST be the ORIGINAL filter
+            # object: PySpark's pushdown worker verifies returned filters
+            # against the originals by identity-in-list and fails the whole
+            # query on a rewritten one ("returned filters that are not in
+            # the original filters") — so rewrite into `f` for OUR use and
+            # keep `f0` for rejections.
+            f = f0
             if isinstance(f, EqualNullSafe) and len(f.attribute) == 1:
                 # col <=> NULL is IS NULL; col <=> v is EqualTo (both
                 # sides' null cases collapse once the literal is known)
@@ -468,7 +475,7 @@ class PinotDataSourceReader(DataSourceReader):
                     else EqualTo(f.attribute, f.value)
                 )
             if not acceptable(f):
-                yield f  # unsupported → Spark evaluates it above the scan
+                yield f0  # unsupported → Spark evaluates it above the scan
                 continue
             if (
                 isinstance(f, _RANGE_FILTERS)
@@ -476,7 +483,7 @@ class PinotDataSourceReader(DataSourceReader):
             ):
                 conv = _convert_ts_filter(f)
                 if conv is None:
-                    yield f  # non-datetime operand: not convertible
+                    yield f0  # non-datetime operand: not convertible
                 else:
                     self._pushed.append(conv)
             else:
@@ -735,6 +742,9 @@ def _arrow_type_from_spark(type_str: str):
     }
     if type_str.startswith("array<") and type_str.endswith(">"):
         return pa.list_(_arrow_type_from_spark(type_str[6:-1]))
+    if type_str.startswith("decimal("):
+        p, s = type_str[8:-1].split(",")
+        return pa.decimal128(int(p), int(s))
     try:
         return scalar[type_str]
     except KeyError:

@@ -218,38 +218,46 @@ class ColumnSpec:
                 raise ValueError(
                     f"column '{name}': invalid decimal ({prec}, {scale})"
                 )
+            import decimal as _dec
             from decimal import Decimal, InvalidOperation
 
             q = Decimal(1).scaleb(-scale)
             bound = 10**prec
             ser = []
-            for v in values:
-                if v is None:
-                    raise ValueError(
-                        f"column '{name}': BIG_DECIMAL values must carry "
-                        "a fill at null positions (like every nullable "
-                        "column here)"
+            # the default decimal context's 28-digit precision would make
+            # quantize/scaleb raise InvalidOperation for perfectly valid
+            # values with 29..38 significant digits — the contract allows
+            # precision up to decimal128's 38, so compute under 40 digits
+            with _dec.localcontext() as ctx:
+                ctx.prec = 40
+                for v in values:
+                    if v is None:
+                        raise ValueError(
+                            f"column '{name}': BIG_DECIMAL values must "
+                            "carry a fill at null positions (like every "
+                            "nullable column here)"
+                        )
+                    try:
+                        d = Decimal(v)
+                    except InvalidOperation:
+                        raise ValueError(
+                            f"column '{name}': not a decimal: {v!r}"
+                        ) from None
+                    if d != d.quantize(q):
+                        raise ValueError(
+                            f"column '{name}': {v} does not fit scale "
+                            f"{scale}"
+                        )
+                    unscaled = int(d.scaleb(scale))
+                    if not -bound < unscaled < bound:
+                        raise ValueError(
+                            f"column '{name}': {v} exceeds precision {prec}"
+                        )
+                    nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+                    ser.append(
+                        struct.pack(">h", scale)
+                        + unscaled.to_bytes(nbytes, "big", signed=True)
                     )
-                try:
-                    d = Decimal(v)
-                except InvalidOperation:
-                    raise ValueError(
-                        f"column '{name}': not a decimal: {v!r}"
-                    ) from None
-                if d != d.quantize(q):
-                    raise ValueError(
-                        f"column '{name}': {v} does not fit scale {scale}"
-                    )
-                unscaled = int(d.scaleb(scale))
-                if not -bound < unscaled < bound:
-                    raise ValueError(
-                        f"column '{name}': {v} exceeds precision {prec}"
-                    )
-                nbytes = max(1, (unscaled.bit_length() + 8) // 8)
-                ser.append(
-                    struct.pack(">h", scale)
-                    + unscaled.to_bytes(nbytes, "big", signed=True)
-                )
             values = ser
             self.decimal = (prec, scale)
             data_type = DataType.BYTES

@@ -1207,3 +1207,53 @@ def test_bigdecimal_column_roundtrip_and_guards(spark, tmp_path):
     cm = SegmentReader.open(v3).metadata.get_column("m")
     assert cm.data_type is DataType.BIG_DECIMAL
     assert (cm.decimal_precision, cm.decimal_scale) == (10, 2)
+
+
+def test_bigdecimal_eqnullsafe_and_high_precision(spark, tmp_path):
+    """Review regressions: (a) a null-safe comparison on a decimal column
+    must fall back to Spark evaluation, not crash pushdown (yielded
+    filters must be the ORIGINAL objects); (b) decimals with more than 28
+    significant digits are valid up to precision 38 (the writer computes
+    under a 40-digit local context, not the default 28)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+    from pinot_segment.metadata import DataType
+    from pinot_segment.writer import ColumnSpec
+
+    register_pinot_source(spark)
+    df = spark.createDataFrame(
+        [(1, Decimal("1.25")), (2, None)], "id long, amount decimal(18,2)"
+    )
+    out = str(tmp_path / "d_OFFLINE")
+    df.write.format("pinot").mode("overwrite").save(out)
+    back = spark.read.format("pinot").load(out)
+    assert (
+        back.filter(F.col("amount").eqNullSafe(F.lit(Decimal("1.25")))).count()
+        == 1
+    )
+    assert (
+        back.filter(
+            F.col("amount").eqNullSafe(F.lit(None).cast("decimal(18,2)"))
+        ).count()
+        == 1
+    )
+
+    big = Decimal("12345678901234567890123456789.01")  # 31 digits
+    spec = ColumnSpec("m", DataType.BIG_DECIMAL, [big], decimal=(31, 2))
+    assert len(spec.values) == 1
+
+    # (c) schema evolution: a segment predating a decimal column reads it
+    # as all-NULL instead of failing the scan
+    old = spark.createDataFrame([(7,)], "id long")
+    out2 = str(tmp_path / "evo_OFFLINE")
+    old.write.format("pinot").mode("overwrite").save(out2)
+    evolved = (
+        spark.read.format("pinot")
+        .schema("id long, amount decimal(18,2)")
+        .load(out2)
+    )
+    row = evolved.collect()[0]
+    assert row["id"] == 7 and row["amount"] is None

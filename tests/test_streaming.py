@@ -142,3 +142,44 @@ def test_stream_writer_builds_indexes(spark, tmp_path):
     assert r.metadata.get_column("id").has_range_index
     assert list(r.text_match_mask("body", ["spark"])) == [True]
     assert list(r.json_match_mask("props", "$.k", "7")) == [True]
+
+
+def test_streaming_funnel_skips_nonfunnel_only_users(spark, tmp_path):
+    """A user whose events are all outside the funnel step set must not
+    appear in streaming_funnel_totals at all (matching the batch fold
+    and the oracle, which drop such users) — the stream filters BEFORE
+    the key grouping so no state row is ever created."""
+    from datetime import datetime
+
+    from datafusion_pinot_spark.streaming.stateful import (
+        streaming_funnel_totals,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 1), 1, "view", 0.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 2), 1, "click", 0.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 3), 1, "purchase", 0.0, "{}"),
+        # user 2: error/signup only -> must be ABSENT from the output
+        (4, datetime(2024, 1, 1, 0, 1), 2, "error", 0.0, "{}"),
+        (5, datetime(2024, 1, 1, 0, 2), 2, "signup", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    # _file_stream expects a single parquet FILE (like the testdata
+    # layout), not a Spark output directory — extract the part file
+    import glob
+    import shutil
+
+    outdir = str(tmp_path / "out")
+    df.coalesce(1).write.mode("overwrite").parquet(outdir)
+    part = glob.glob(f"{outdir}/part-*.parquet")[0]
+    path = str(tmp_path / "events.parquet")
+    shutil.copyfile(part, path)
+    got = {
+        r["user_id"]: (r["completions"], r["depth"])
+        for r in streaming_funnel_totals(spark, path).collect()
+    }
+    assert got == {1: (1, 0)}
