@@ -861,10 +861,11 @@ sv AS (
   FROM sv t JOIN codebooks c USING (sub)
   WHERE t.vec_id IN ({ids})
 ), grouped AS (
-  -- lists materialize one CTE level before the lambda: DuckDB v1.0
-  -- evaluates a lambda applied to list() inside the grouping select
-  -- against misaligned rows (results permute between groups; found via
-  -- the funnel oracles' per-user fold)
+  -- lists materialize one CTE level before the lambda, and every group
+  -- here has exactly m entries (one per subvector): DuckDB v1.0
+  -- mis-evaluates list lambdas across rows with UNEQUAL list lengths
+  -- (see funnel._recursive_fold_ctes) — fixed-length groups are the
+  -- safe case, and the split keeps the shape defensive anyway
   SELECT d.q_id, co.vec_id, list(d.dq ORDER BY d.sub) AS ds
   FROM codes co JOIN dq d ON co.sub = d.sub AND co.code = d.code
   WHERE co.vec_id <> d.q_id
