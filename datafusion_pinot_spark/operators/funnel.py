@@ -502,3 +502,167 @@ SELECT pattern,
        CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
        CAST(sum(m) AS BIGINT) AS total_matches
 FROM m GROUP BY pattern ORDER BY pattern"""
+
+
+def funnel_windowed_depth(
+    events: DataFrame,
+    steps: list[str],
+    window_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_events_per_user: int | None = None,
+) -> DataFrame:
+    """``(user_id, depth)`` under a completion WINDOW: a chain only
+    advances while the event is within ``window_us`` of the chain's
+    FIRST step, and any step-one event restarts the chain (greedy
+    restart — the semantics a "did they convert within an hour"
+    dashboard wants; a stale step-one hours old never blocks a fresh
+    attempt, which is exactly where the unwindowed prefix fold
+    saturates or starves). ``depth`` is the BEST depth any chain
+    reached.
+
+    Same single user-keyed shuffle + integer fold: the accumulator
+    packs ``chain_start_us * 64 + best * 8 + cur`` into one BIGINT
+    (start fits: epoch micros * 64 < 2^63)."""
+    per_user = _per_user_sorted_encs(
+        events, steps, user_col, type_col, ts_col, max_events_per_user
+    )
+    m = _STEP_MOD
+
+    def trans(acc, e):
+        ts_ = F.shiftright(e, STEP_BITS)
+        s = e.bitwiseAND(F.lit(m - 1))
+        start = F.shiftright(acc, 2 * STEP_BITS)
+        best = F.shiftright(acc, STEP_BITS).bitwiseAND(F.lit(m - 1))
+        cur = acc.bitwiseAND(F.lit(m - 1))
+        adv = (s == cur + 1) & (
+            (cur == 0) | (ts_ - start <= F.lit(window_us))
+        )
+        adv_acc = (
+            F.when(cur == 0, ts_).otherwise(start) * (m * m)
+            + F.greatest(best, cur + 1) * m
+            + (cur + 1)
+        )
+        rst_acc = ts_ * (m * m) + F.greatest(best, F.lit(1)) * m + 1
+        return F.when(adv, adv_acc).otherwise(
+            F.when(s == 1, rst_acc).otherwise(acc)
+        )
+
+    acc = F.aggregate("encs", F.lit(0).cast("long"), trans)
+    depth = F.shiftright(acc, STEP_BITS).bitwiseAND(F.lit(m - 1))
+    return per_user.select("user_id", depth.alias("depth"))
+
+
+def funnel_windowed_conversion(
+    events: DataFrame,
+    steps: list[str],
+    window_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Windowed per-step rollup: ``step, step_name, n_users,
+    conv_prev_milli`` where a user counts for a step only if some chain
+    reached it within ``window_us`` of that chain's start."""
+    depths = funnel_windowed_depth(
+        events, steps, window_us, user_col, type_col, ts_col
+    )
+    counts = depths.agg(
+        *[
+            F.sum((F.col("depth") >= i + 1).cast("long")).alias(f"c{i + 1}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = []
+    for i, name in enumerate(steps):
+        conv = (
+            F.lit(1000000).cast("long")
+            if i == 0
+            else F.expr(
+                f"CASE WHEN c{i} = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE c{i + 1} * 1000000L div c{i} END"
+            )
+        )
+        rows.append(
+            F.struct(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(name).alias("step_name"),
+                F.coalesce(F.col(f"c{i + 1}"), F.lit(0).cast("long")).alias(
+                    "n_users"
+                ),
+                conv.alias("conv_prev_milli"),
+            )
+        )
+    return (
+        counts.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+        .orderBy("step")
+    )
+
+
+def funnel_windowed_conversion_oracle_sql(
+    steps: list[str], window_us: int, table: str = "events"
+) -> str:
+    """DuckDB oracle: the identical windowed fold as a recursive-CTE
+    walk (no list lambdas — see :func:`_recursive_fold_ctes`) over
+    ``(ts, step)``-ranked events, with the same packed accumulator and
+    bit arithmetic."""
+    m = _STEP_MOD
+    case = " ".join(
+        f"WHEN '{s}' THEN CAST({i + 1} AS BIGINT)" for i, s in enumerate(steps)
+    )
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    counts = ", ".join(
+        f"CAST(sum(CASE WHEN depth >= {i + 1} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{i + 1}"
+        for i in range(len(steps))
+    )
+    arms = []
+    for i, name in enumerate(steps):
+        conv = (
+            "CAST(1000000 AS BIGINT)"
+            if i == 0
+            else (
+                f"CASE WHEN c{i} = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE c{i + 1} * 1000000 // c{i} END"
+            )
+        )
+        arms.append(
+            f"SELECT CAST({i + 1} AS INT) AS step, '{name}' AS step_name, "
+            f"c{i + 1} AS n_users, {conv} AS conv_prev_milli FROM c"
+        )
+    union = " UNION ALL ".join(arms)
+    adv = (
+        f"CASE WHEN r.s = (w.acc & {m - 1}) + 1 "
+        f"AND ((w.acc & {m - 1}) = 0 "
+        f"OR r.ts - (w.acc >> {2 * STEP_BITS}) <= {window_us}) "
+        f"THEN (CASE WHEN (w.acc & {m - 1}) = 0 THEN r.ts "
+        f"ELSE (w.acc >> {2 * STEP_BITS}) END) * {m * m} "
+        f"+ greatest((w.acc >> {STEP_BITS}) & {m - 1}, "
+        f"(w.acc & {m - 1}) + 1) * {m} + (w.acc & {m - 1}) + 1 "
+        f"WHEN r.s = 1 THEN r.ts * {m * m} "
+        f"+ greatest((w.acc >> {STEP_BITS}) & {m - 1}, 1) * {m} + 1 "
+        f"ELSE w.acc END"
+    )
+    return f"""
+WITH RECURSIVE enc AS (
+  SELECT user_id,
+         epoch_us(ts) * {m} + CASE event_type {case} END AS e
+  FROM {table} WHERE event_type IN ({in_list})
+), ranked AS (
+  SELECT user_id, e >> {STEP_BITS} AS ts, e % {m} AS s,
+         row_number() OVER (PARTITION BY user_id ORDER BY e) AS rn
+  FROM enc
+), cnt AS (SELECT user_id, max(rn) AS n FROM ranked GROUP BY user_id
+), walk AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS acc
+  FROM cnt
+  UNION ALL
+  SELECT w.user_id, w.rn + 1, {adv}
+  FROM walk w JOIN ranked r ON r.user_id = w.user_id AND r.rn = w.rn + 1
+), d AS (
+  SELECT (w.acc >> {STEP_BITS}) & {m - 1} AS depth
+  FROM walk w JOIN cnt c ON w.user_id = c.user_id AND w.rn = c.n
+), c AS (SELECT {counts} FROM d)
+SELECT * FROM ({union}) ORDER BY step"""

@@ -1536,6 +1536,24 @@ def _register_llm():
             t(spark, sf, "events"), _SEQ_TYPES, _SEQ_LETTERS, _SEQ_PATTERNS
         )
     )
+    # WINDOWED funnel (complete-within-4h, greedy restart on step one):
+    # the dashboard semantics the unwindowed prefix fold can't answer.
+    # Accumulator packs (chain_start_us, best, cur) into one BIGINT;
+    # same single user-keyed shuffle + engine-side fold.
+    register(
+        "funnel_windowed_conversion",
+        funnel.funnel_windowed_conversion_oracle_sql(
+            _FUNNEL_STEPS, window_us=4 * 3_600_000_000
+        ),
+        "llm",
+        ["events", "funnel", "window", "analytics"],
+    )(
+        lambda spark, sf: funnel.funnel_windowed_conversion(
+            t(spark, sf, "events"),
+            _FUNNEL_STEPS,
+            window_us=4 * 3_600_000_000,
+        )
+    )
     # FUNNEL_COMPLETE_COUNT semantics: disjoint full completions per user
     # (discriminating on dense streams where plain depth saturates),
     # rolled up to a completions histogram. Same shuffle/fold shape.
@@ -5829,7 +5847,11 @@ DRIVER_WINDOW: list[str] = [
     # enter the round-N window). Slot freed by rotating pinot_lineitem_q1
     # (driver-green r3+r5, pinned by the pytest oracle tier + bench's
     # pinot tier every run).
-    "funnel_conversion_steps",  # r6: ordered-prefix funnel depth rollup
+    # (funnel_conversion_steps defers to the pytest tier: its unwindowed
+    # counts saturate on this dense corpus — every user converts — so
+    # the windowed variant below carries strictly more check value:
+    # discriminating counts AND the cross-engine bit arithmetic.)
+    "funnel_windowed_conversion",  # r6: complete-within-window funnel
     "funnel_complete_histogram",  # r6: disjoint FUNNEL_COMPLETE_COUNT dist
     # -- r6 additions (standing rotation rule: round-N queries enter the
     # round-N window) --

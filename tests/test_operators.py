@@ -738,3 +738,34 @@ def test_quantile_sketch_bounds_and_merge(spark):
     true_p90 = exact[(150 - 1) * 90 // 100]
     assert abs(out["est_p50"] - true_p50) <= 8
     assert abs(out["est_p90"] - true_p90) <= 8
+
+
+def test_funnel_windowed_depth_and_restart(spark):
+    from datetime import datetime, timedelta
+
+    from datafusion_pinot_spark.operators import funnel
+
+    t0 = datetime(2024, 1, 1)
+    mk = lambda mins: t0 + timedelta(minutes=mins)  # noqa: E731
+    W = 60 * 60 * 1_000_000  # 1 hour in micros
+    rows = [
+        # u1: view -> click -> purchase all within the hour -> depth 3
+        (1, mk(0), "view"), (1, mk(10), "click"), (1, mk(20), "purchase"),
+        # u2: stale view; click 2h later is OUTSIDE the window -> depth 1
+        (2, mk(0), "view"), (2, mk(120), "click"),
+        # u3: stale view, then a FRESH view restarts the chain and the
+        # click lands within the fresh window -> depth 2
+        (3, mk(0), "view"), (3, mk(120), "view"), (3, mk(130), "click"),
+        # u4: full chain but purchase exceeds the window from chain start
+        # -> depth 2; no second chance
+        (4, mk(0), "view"), (4, mk(10), "click"), (4, mk(90), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = dict(
+        funnel.funnel_windowed_depth(
+            ev, ["view", "click", "purchase"], window_us=W
+        ).collect()
+    )
+    assert got == {1: 3, 2: 1, 3: 2, 4: 2}
