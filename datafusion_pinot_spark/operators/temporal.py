@@ -192,3 +192,327 @@ SELECT {key_col}, n_samples, increase_cents, reset_drop_cents, span_us,
             ELSE increase_cents * 1000000000 // span_us END
          AS rate_milli_cents_per_s
 FROM g ORDER BY {key_col}"""
+
+
+def scd2_user_state(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse each key's ordered
+    state stream into validity intervals (gaps-and-islands).
+
+    Consecutive runs of the same state merge into one version row:
+    ``key, version, state, valid_from_us, valid_to_us (NULL = current),
+    n_events`` — the standard SCD2 dimension a warehouse derives from a
+    change stream. One shuffle on the key; two window passes over each
+    key's timeline (run detection, then interval bounds via LEAD).
+
+    Scale shape: identical to the funnel fold — a 100 TB changelog
+    shuffles once on the key and each timeline is scanned twice, never
+    materialized driver-side.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    runs = events.select(
+        F.col(key_col).alias("key"),
+        us.alias("us"),
+        F.col(id_col).alias("id"),
+        F.col(state_col).alias("state"),
+    ).withColumn(
+        "new_run",
+        F.when(
+            F.lag("state").over(
+                Window.partitionBy("key").orderBy("us", "id")
+            ).eqNullSafe(F.col("state")),
+            0,
+        ).otherwise(1),
+    )
+    w_key = Window.partitionBy("key").orderBy("us", "id")
+    runs = runs.withColumn(
+        "version",
+        F.sum("new_run").over(
+            w_key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+    # state is constant within a run (that's what defines the island), so
+    # min() == the run's state and is order-insensitive, unlike first()
+    iv = runs.groupBy("key", "version").agg(
+        F.min("state").alias("state"),
+        F.min("us").alias("valid_from_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w_iv = Window.partitionBy("key").orderBy("version")
+    return iv.select(
+        F.col("key").alias(key_col),
+        "version",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w_iv).alias("valid_to_us"),
+        "n_events",
+    ).orderBy(key_col, "version")
+
+
+def scd2_user_state_oracle_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+) -> str:
+    """DuckDB gaps-and-islands equivalent of :func:`scd2_user_state`."""
+    return f"""
+WITH s AS (
+  SELECT {key_col} AS key, epoch_us(ts) AS us, event_id AS id,
+         {state_col} AS state,
+         CASE WHEN lag({state_col}) OVER
+                (PARTITION BY {key_col} ORDER BY ts, event_id)
+              IS NOT DISTINCT FROM {state_col} THEN 0 ELSE 1 END AS new_run
+  FROM {table}
+), r AS (
+  SELECT *, CAST(sum(new_run) OVER
+         (PARTITION BY key ORDER BY us, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+         AS version
+  FROM s
+), iv AS (
+  SELECT key, version, min(state) AS state, min(us) AS valid_from_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM r GROUP BY key, version
+)
+SELECT key AS {key_col}, version, state, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY key ORDER BY version)
+         AS valid_to_us,
+       n_events
+FROM iv ORDER BY {key_col}, version"""
+
+
+def scd2_point_in_time(
+    events: DataFrame,
+    fact_state: str = "purchase",
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Point-in-time join of fact rows against the SCD2 dimension built
+    from the key's OTHER events: each ``fact_state`` event is attributed
+    to the state interval containing its timestamp
+    (``valid_from_us <= ts < valid_to_us``, open-ended current version).
+
+    Output per state: ``n_facts, value_cents`` (facts before any interval
+    report state ``'none'``). The join is an equi-join on the key with a
+    range residual — sort-merge/broadcast on the key, never a nested
+    loop, so a 100 TB fact side co-partitions with the dimension.
+    """
+    dims = scd2_user_state(
+        events.filter(F.col(state_col) != fact_state),
+        key_col=key_col,
+        state_col=state_col,
+    ).select(
+        F.col(key_col).alias("d_key"),
+        "state",
+        "valid_from_us",
+        "valid_to_us",
+    )
+    facts = events.filter(F.col(state_col) == fact_state).select(
+        F.col(key_col).alias("f_key"),
+        F.unix_micros(F.col("ts")).alias("f_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cond = (
+        (F.col("f_key") == F.col("d_key"))
+        & (F.col("valid_from_us") <= F.col("f_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("f_us") < F.col("valid_to_us"))
+        )
+    )
+    return (
+        facts.join(dims, cond, "left")
+        .groupBy(F.coalesce(F.col("state"), F.lit("none")).alias("state"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_facts"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .orderBy("state")
+    )
+
+
+def scd2_point_in_time_oracle_sql(
+    table: str = "events",
+    fact_state: str = "purchase",
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+) -> str:
+    return f"""
+WITH s AS (
+  SELECT {key_col} AS key, epoch_us(ts) AS us, event_id AS id,
+         {state_col} AS state,
+         CASE WHEN lag({state_col}) OVER
+                (PARTITION BY {key_col} ORDER BY ts, event_id)
+              IS NOT DISTINCT FROM {state_col} THEN 0 ELSE 1 END AS new_run
+  FROM {table} WHERE {state_col} <> '{fact_state}'
+), r AS (
+  SELECT *, sum(new_run) OVER
+         (PARTITION BY key ORDER BY us, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+  FROM s
+), iv AS (
+  SELECT key, version, min(state) AS state, min(us) AS valid_from_us
+  FROM r GROUP BY key, version
+), dim AS (
+  SELECT key, state, valid_from_us,
+         lead(valid_from_us) OVER (PARTITION BY key ORDER BY version)
+           AS valid_to_us
+  FROM iv
+), f AS (
+  SELECT {key_col} AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM {table} WHERE {state_col} = '{fact_state}'
+)
+SELECT coalesce(d.state, 'none') AS state,
+       CAST(count(*) AS BIGINT) AS n_facts,
+       CAST(sum(f.cents) AS BIGINT) AS value_cents
+FROM f LEFT JOIN dim d
+  ON f.key = d.key AND d.valid_from_us <= f.us
+ AND (d.valid_to_us IS NULL OR f.us < d.valid_to_us)
+GROUP BY coalesce(d.state, 'none') ORDER BY state"""
+
+
+def max_concurrency_daily(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    activity_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Peak concurrent active users per day, sweep-line style.
+
+    Each event opens an activity window ``[ts, ts + activity_us)``;
+    overlapping windows of the same user merge (gaps-and-islands with a
+    running-max end, so chained overlaps merge transitively). Merged
+    intervals are clipped to each day they touch (bounded explode —
+    an interval spans at most ``1 + ceil(activity_us / day)`` days), then
+    each day independently runs the sweep: +1 at interval start, -1 at
+    end, running sum ordered by (us, delta) with the default RANGE frame
+    so ties resolve as a block (ends before starts at the same
+    microsecond — half-open semantics), max over the day.
+
+    Scale shape: one shuffle on the user for the merge, one shuffle on
+    the day for the sweep; both windows scan each partition once. No
+    global ordering exists anywhere — days are independent, which is the
+    property that lets a year of 100 TB events fan out across the
+    cluster.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    day_us = 86_400_000_000
+    w_key = Window.partitionBy("key").orderBy("us")
+    pts = events.select(F.col(key_col).alias("key"), us.alias("us"))
+    # running max of window-end over PRIOR events; a new island starts
+    # when this event begins after every prior window ended
+    prior_end = F.max(F.col("us") + F.lit(activity_us)).over(
+        w_key.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = pts.withColumn(
+        "new_island",
+        F.when(prior_end.isNull() | (F.col("us") >= prior_end), 1).otherwise(
+            0
+        ),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w_key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    intervals = isl.groupBy("key", "island").agg(
+        F.min("us").alias("start_us"),
+        (F.max("us") + F.lit(activity_us)).alias("end_us"),
+    )
+    # explode to touched days, clip to day bounds
+    days = intervals.select(
+        "start_us",
+        "end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {day_us}"),
+                F.expr(f"(end_us - 1) div {day_us}"),
+            )
+        ).alias("day"),
+    ).select(
+        "day",
+        F.greatest(F.col("start_us"), F.expr(f"day * {day_us}")).alias("s"),
+        F.least(F.col("end_us"), F.expr(f"(day + 1) * {day_us}")).alias("e"),
+    )
+    deltas = days.select(
+        "day", F.col("s").alias("us"), F.lit(1).alias("delta")
+    ).unionAll(
+        days.select("day", F.col("e").alias("us"), F.lit(-1).alias("delta"))
+    )
+    w_sweep = Window.partitionBy("day").orderBy("us", "delta")
+    swept = deltas.withColumn("conc", F.sum("delta").over(w_sweep))
+    return (
+        swept.groupBy("day")
+        .agg(
+            F.max("conc").cast("int").alias("max_concurrency"),
+            (F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)))
+            .cast("long")
+            .alias("n_sessions"),
+        )
+        .select(
+            F.to_date(F.timestamp_micros(F.expr(f"day * {day_us}"))).alias(
+                "date"
+            ),
+            "max_concurrency",
+            "n_sessions",
+        )
+        .orderBy("date")
+    )
+
+
+def max_concurrency_daily_oracle_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    activity_us: int = 3_600_000_000,
+) -> str:
+    day_us = 86_400_000_000
+    return f"""
+WITH pts AS (
+  SELECT {key_col} AS key, epoch_us(ts) AS us FROM {table}
+), isl AS (
+  SELECT key, us,
+         CASE WHEN max(us + {activity_us}) OVER
+                (PARTITION BY key ORDER BY us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NULL
+           OR us >= max(us + {activity_us}) OVER
+                (PARTITION BY key ORDER BY us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM pts
+), isl2 AS (
+  SELECT key, us, sum(new_island) OVER
+         (PARTITION BY key ORDER BY us
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), intervals AS (
+  SELECT key, island, min(us) AS start_us,
+         max(us) + {activity_us} AS end_us
+  FROM isl2 GROUP BY key, island
+), clipped AS (
+  SELECT d.day,
+         greatest(start_us, d.day * {day_us}) AS s,
+         least(end_us, (d.day + 1) * {day_us}) AS e
+  FROM intervals, LATERAL (
+    SELECT unnest(range(start_us // {day_us},
+                        (end_us - 1) // {day_us} + 1)) AS day) d
+), deltas AS (
+  SELECT day, s AS us, 1 AS delta FROM clipped
+  UNION ALL
+  SELECT day, e AS us, -1 AS delta FROM clipped
+), swept AS (
+  SELECT day, delta, sum(delta) OVER
+         (PARTITION BY day ORDER BY us, delta) AS conc
+  FROM deltas
+)
+SELECT CAST(epoch_ms((day * {day_us}) // 1000) AS DATE) AS date,
+       CAST(max(conc) AS INTEGER) AS max_concurrency,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions
+FROM swept GROUP BY day ORDER BY date"""

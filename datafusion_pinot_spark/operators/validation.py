@@ -1,0 +1,273 @@
+"""Dataset validation operators: one-pass constraint reports, distribution
+drift (PSI), and equi-depth histograms.
+
+A training-data pipeline gates ingestion on table-level quality checks
+(Deequ-style) and on distribution drift between snapshots. Both are
+expressed as plain aggregates so they stay inside whole-stage codegen:
+
+- *Constraint report*: every row-local constraint is a CASE-sum inside ONE
+  aggregate over ONE scan (a 100 TB table is read once no matter how many
+  constraints are declared); the single-row result is unpivoted to a
+  per-constraint report with ``stack``. The only constraint that needs a
+  shuffle is key uniqueness (exact distinct on the key pair), computed as a
+  second single-row aggregate and combined via a 1x1 cross join — both
+  sides are one row, so the join is free at any scale.
+- *PSI drift*: period shares are integer parts-per-million (exact under any
+  partitioning); only the final ``ln`` is floating point, rounded to 6
+  decimals — the same both-engines-agree contract the cosine operators use.
+  Periods derive from pure epoch arithmetic (``epoch_day div 7`` parity),
+  not calendar-week functions, so any engine computes the same split.
+- *Equi-depth histogram*: a proportional-cut bucket over the global rank
+  of (value, id), with the rank computed by bucketed two-pass prefix
+  sums — no single-partition sort; bucket stats are exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# (name, boolean SQL over lineitem columns) — row-local constraints share
+# one scan/aggregate. SQL strings are valid in both Spark SQL and DuckDB.
+LINEITEM_CONSTRAINTS: list[tuple[str, str]] = [
+    ("orderkey_not_null", "l_orderkey IS NOT NULL"),
+    ("quantity_range_1_50", "l_quantity BETWEEN 1 AND 50"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("discount_range_0_01", "l_discount BETWEEN 0 AND 0.1"),
+    ("tax_nonnegative", "l_tax >= 0"),
+    ("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    ("linestatus_domain", "l_linestatus IN ('O', 'F')"),
+    ("shipdate_not_null", "l_shipdate IS NOT NULL"),
+]
+
+
+def data_quality_report(
+    lineitem: DataFrame,
+    constraints: list[tuple[str, str]] = LINEITEM_CONSTRAINTS,
+) -> DataFrame:
+    """Deequ-style one-pass constraint report over ``lineitem``.
+
+    Output: one row per constraint — ``check_name, n_pass, n_fail,
+    pass_rate_bp`` (basis points, integer-exact ``n_pass * 10000 div
+    total``) — plus a ``key_unique`` row checking (l_orderkey,
+    l_linenumber) uniqueness, whose pass count is the number of distinct
+    keys (fail = duplicate rows).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("_total")]
+    for name, cond in constraints:
+        aggs.append(
+            F.sum(F.when(F.expr(cond), 1).otherwise(0))
+            .cast("long")
+            .alias(f"p_{name}")
+        )
+    row = lineitem.agg(*aggs)
+
+    uniq = lineitem.agg(
+        F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        .cast("long")
+        .alias("p_key_unique")
+    )
+    row = row.crossJoin(F.broadcast(uniq))
+
+    names = [n for n, _ in constraints] + ["key_unique"]
+    stack = ", ".join(f"'{n}', p_{n}" for n in names)
+    return (
+        row.selectExpr(
+            "_total", f"stack({len(names)}, {stack}) AS (check_name, n_pass)"
+        )
+        .select(
+            "check_name",
+            F.col("n_pass"),
+            (F.col("_total") - F.col("n_pass")).cast("long").alias("n_fail"),
+            F.expr("n_pass * 10000L div _total").alias("pass_rate_bp"),
+        )
+        .orderBy("check_name")
+    )
+
+
+def data_quality_report_oracle_sql(
+    table: str = "lineitem",
+    constraints: list[tuple[str, str]] = LINEITEM_CONSTRAINTS,
+) -> str:
+    selects = [
+        f"SELECT '{name}' AS check_name, "
+        f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, "
+        f"CAST(count(*) AS BIGINT) AS total FROM {table}"
+        for name, cond in constraints
+    ]
+    selects.append(
+        "SELECT 'key_unique' AS check_name, "
+        "CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_pass, "
+        f"CAST(count(*) AS BIGINT) AS total FROM {table}"
+    )
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH c AS ({union})
+SELECT check_name, n_pass, CAST(total - n_pass AS BIGINT) AS n_fail,
+       n_pass * 10000 // total AS pass_rate_bp
+FROM c ORDER BY check_name"""
+
+
+def psi_drift(
+    events: DataFrame,
+    category_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Population-stability-index drift of the ``category_col`` mix between
+    two interleaved periods (even vs odd epoch-weeks of ``ts_col``).
+
+    Shares are integer parts-per-million per period (exact under any
+    partitioning); ``psi_contrib = (p - q) * ln(p / q)`` on the ppm shares
+    is the only floating-point step and is rounded to 6 decimals. One
+    category-keyed aggregate — a 100 TB event log reduces map-side to
+    (category, period) partial counts before the shuffle.
+    """
+    # epoch_day div 7 parity; unix_micros is integer so div stays exact
+    period = F.expr(
+        f"(unix_micros({ts_col}) div 86400000000) div 7 % 2"
+    ).cast("int")
+    counts = (
+        events.groupBy(F.col(category_col).alias("category"))
+        .agg(
+            F.sum(F.when(period == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_even"),
+            F.sum(F.when(period == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_odd"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_even").cast("long").alias("t_even"),
+        F.sum("n_odd").cast("long").alias("t_odd"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.expr("n_even * 1000000L div t_even")
+    q = F.expr("n_odd * 1000000L div t_odd")
+    return (
+        j.select(
+            "category",
+            p.alias("p_ppm"),
+            q.alias("q_ppm"),
+        )
+        .withColumn(
+            "psi_contrib",
+            F.round(
+                (F.col("p_ppm") - F.col("q_ppm"))
+                / F.lit(1_000_000.0)
+                * F.log(F.col("p_ppm") / F.col("q_ppm")),
+                6,
+            ),
+        )
+        .orderBy("category")
+    )
+
+
+def psi_drift_oracle_sql(
+    table: str = "events",
+    category_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    return f"""
+WITH c AS (
+  SELECT {category_col} AS category,
+         CAST(sum(CASE WHEN (epoch_us({ts_col}) // 86400000000) // 7 % 2 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+         CAST(sum(CASE WHEN (epoch_us({ts_col}) // 86400000000) // 7 % 2 = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+  FROM {table} GROUP BY {category_col}
+), t AS (
+  SELECT CAST(sum(n_even) AS BIGINT) AS t_even,
+         CAST(sum(n_odd) AS BIGINT) AS t_odd FROM c
+)
+SELECT category,
+       n_even * 1000000 // t_even AS p_ppm,
+       n_odd * 1000000 // t_odd AS q_ppm,
+       round((n_even * 1000000 // t_even - n_odd * 1000000 // t_odd)
+             / 1000000.0
+             * ln(CAST(n_even * 1000000 // t_even AS DOUBLE)
+                  / CAST(n_odd * 1000000 // t_odd AS DOUBLE)), 6)
+         AS psi_contrib
+FROM c CROSS JOIN t ORDER BY category"""
+
+
+def equi_depth_histogram(
+    lineitem: DataFrame,
+    value_col: str = "l_extendedprice",
+    id_cols: tuple[str, str] = ("l_orderkey", "l_linenumber"),
+    buckets: int = 8,
+    range_span_cents: int = 100_000,
+) -> DataFrame:
+    """Exact equi-depth (quantile) histogram of ``value_col``.
+
+    Global rank over the total order (cents, ids) computed with the same
+    bucketed two-pass prefix sums as ``sequence_pack_bins`` — stage 1
+    counts rows per ``range_span_cents`` value range, stage 2 runs the
+    prefix window over ranges only (one tiny task), stage 3 broadcasts
+    the prefixes back and finishes with a within-range ``row_number``.
+    The depth bucket is then pure arithmetic — the proportional cut
+    ``(rank - 1) * buckets div total + 1`` (bucket sizes differ by at
+    most 1, like ``ntile``, but the odd rows interleave instead of
+    front-loading; the oracle uses the identical formula). No corpus-wide
+    single-partition sort exists in the plan.
+    """
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    base = lineitem.select(cents.alias("cents"), *id_cols).withColumn(
+        "vrange", F.expr(f"cents div {range_span_cents}")
+    )
+    range_counts = base.groupBy("vrange").agg(
+        F.count(F.lit(1)).alias("rn")
+    )
+    w_prefix = Window.orderBy("vrange").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefixes = range_counts.select(
+        "vrange",
+        F.coalesce(F.sum("rn").over(w_prefix), F.lit(0)).alias("prefix"),
+        F.sum("rn").over(
+            Window.orderBy("vrange").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    w_local = Window.partitionBy("vrange").orderBy(
+        F.col("cents"), *[F.col(c) for c in id_cols]
+    )
+    ranked = base.join(F.broadcast(prefixes), "vrange").withColumn(
+        "rank", F.col("prefix") + F.row_number().over(w_local)
+    )
+    return (
+        ranked.withColumn(
+            "bucket",
+            F.expr(f"(rank - 1) * {buckets} div total + 1").cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def equi_depth_histogram_oracle_sql(
+    table: str = "lineitem",
+    value_col: str = "l_extendedprice",
+    id_cols: tuple[str, str] = ("l_orderkey", "l_linenumber"),
+    buckets: int = 8,
+) -> str:
+    ids = ", ".join(id_cols)
+    return f"""
+WITH s AS (
+  SELECT CAST(round({value_col} * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY CAST(round({value_col} * 100, 0)
+                            AS BIGINT), {ids}) AS rank,
+         count(*) OVER () AS total
+  FROM {table}
+)
+SELECT CAST((rank - 1) * {buckets} // total + 1 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(cents) AS lo_cents, max(cents) AS hi_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM s GROUP BY 1 ORDER BY bucket"""

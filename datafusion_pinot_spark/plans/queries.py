@@ -2039,6 +2039,55 @@ def _register_llm():
 _register_llm()
 
 
+def _register_validation():
+    """Dataset-validation + warehouse-history operators (r6 continuation-4):
+    one-pass constraint report, PSI drift, equi-depth histogram (bucketed
+    two-pass global rank), SCD2 gaps-and-islands build + point-in-time
+    join, and daily sweep-line peak concurrency."""
+    from datafusion_pinot_spark.operators import validation
+    from datafusion_pinot_spark.operators import temporal
+
+    register(
+        "data_quality_report",
+        validation.data_quality_report_oracle_sql(),
+        "llm",
+        ["validation", "lineitem", "agg"],
+    )(lambda spark, sf: validation.data_quality_report(t(spark, sf, "lineitem")))
+    register(
+        "psi_drift_event_mix",
+        validation.psi_drift_oracle_sql(),
+        "llm",
+        ["validation", "events", "drift"],
+    )(lambda spark, sf: validation.psi_drift(t(spark, sf, "events")))
+    register(
+        "equi_depth_price_histogram",
+        validation.equi_depth_histogram_oracle_sql(),
+        "llm",
+        ["validation", "lineitem", "histogram"],
+    )(lambda spark, sf: validation.equi_depth_histogram(t(spark, sf, "lineitem")))
+    register(
+        "scd2_user_state",
+        temporal.scd2_user_state_oracle_sql(),
+        "llm",
+        ["events", "scd2", "analytics"],
+    )(lambda spark, sf: temporal.scd2_user_state(t(spark, sf, "events")))
+    register(
+        "scd2_point_in_time",
+        temporal.scd2_point_in_time_oracle_sql(),
+        "llm",
+        ["events", "scd2", "join"],
+    )(lambda spark, sf: temporal.scd2_point_in_time(t(spark, sf, "events")))
+    register(
+        "max_concurrency_daily",
+        temporal.max_concurrency_daily_oracle_sql(),
+        "llm",
+        ["events", "sweepline", "analytics"],
+    )(lambda spark, sf: temporal.max_concurrency_daily(t(spark, sf, "events")))
+
+
+_register_validation()
+
+
 # ---------------------------------------------------------------------------
 # §4 Temporal joins + quantiles + LIKE-predicate joins (added coverage)
 # ---------------------------------------------------------------------------
@@ -5867,7 +5916,7 @@ DRIVER_WINDOW: list[str] = [
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q11_important_parts",
-    "q13_customer_distribution",
+    "data_quality_report",  # r6c4: Deequ-style one-pass constraint report
     "q16_supplier_part_counts",
     "q20_majority_supplier",
     "q22_dormant_customers",
@@ -5900,11 +5949,11 @@ DRIVER_WINDOW: list[str] = [
     "pinot_upsert_latest",  # r6: upsert-table last-wins read
     "pinot_upsert_partial",  # r6: partial-upsert non-null column merge
     "training_shard_assignment",  # r6: deterministic export shuffle
-    "cluster_balanced_sample",  # r6: embedding-diversity sampling
-    "dataset_card_by_source",  # r6: per-source corpus report
+    "psi_drift_event_mix",  # r6c4: PSI drift, integer ppm shares
+    "equi_depth_price_histogram",  # r6c4: two-pass global-rank quantile hist
     "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
-    "pinot_string_prefix_scan",  # r6: LIKE pushdown (dict-accelerated)
-    "word_commonness_score",  # r6: integer-exact unigram quality signal
+    "scd2_user_state",  # r6c4: gaps-and-islands SCD2 build
+    "scd2_point_in_time",  # r6c4: PIT join against SCD2 intervals
     "pinot_sql_join_storage",  # r6: multi-table SQL over pinot catalog
     # (pinot_hll_sketch_rollup deferred to the pytest tier: rows-only by
     # design — Datasketches binaries have no DuckDB equivalent — so its
@@ -5928,7 +5977,7 @@ DRIVER_WINDOW: list[str] = [
     # oracle; nine other TPC-H shapes remain in the window and all 22
     # stay pytest-pinned.)
     "value_histogram",  # r6: Pinot HISTOGRAM equal-width bins
-    "source_length_trim",  # r6: discrete-rank p05/p95 outlier trim
+    "max_concurrency_daily",  # r6c4: per-day sweep-line peak concurrency
     # (simhash_dup_groups rotated out for the r6 funnel pair: rows-only by
     # design — the driver row could only ever prove "runs, returns rows" —
     # while its hash-gated md5 sibling simhash_md5_dup_groups stays in the
