@@ -666,3 +666,172 @@ WITH RECURSIVE enc AS (
   FROM walk w JOIN cnt c ON w.user_id = c.user_id AND w.rn = c.n
 ), c AS (SELECT {counts} FROM d)
 SELECT * FROM ({union}) ORDER BY step"""
+
+
+def funnel_time_to_convert(
+    events: DataFrame,
+    steps: list[str],
+    window_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    rank_span_us: int = 300_000_000,
+) -> DataFrame:
+    """Fastest conversion latency per user under the completion window,
+    rolled up to one row of exact order statistics: ``n_funnel_users,
+    n_converted, min_lat_us, p50_lat_us, p90_lat_us, max_lat_us``.
+
+    The fold mirrors :func:`funnel_windowed_depth`'s greedy-restart state
+    machine but carries a STRUCT accumulator ``(start, cur, lat)`` — on
+    each full completion it takes ``min(lat, complete_ts - chain_start)``,
+    so ``lat`` is the user's fastest window-compliant conversion.
+
+    Scale shape: the same single user-keyed shuffle + engine-side fold as
+    every funnel here; the latency quantiles then use the bucketed
+    two-pass global rank (``rank_span_us``-wide latency buckets, prefix
+    window over at most ``window_us / rank_span_us + 1`` bucket rows) —
+    exact p50/p90 as order statistics with no single-partition sort over
+    the users.
+    """
+    per_user = _per_user_sorted_encs(
+        events, steps, user_col, type_col, ts_col, None
+    )
+    m = _STEP_MOD
+    n = len(steps)
+
+    def _acc(start, cur, lat):
+        return F.struct(
+            start.alias("start"), cur.alias("cur"), lat.alias("lat")
+        )
+
+    def trans(acc, e):
+        ts_ = F.shiftright(e, STEP_BITS)
+        s = e.bitwiseAND(F.lit(m - 1))
+        start = acc.getField("start")
+        cur = acc.getField("cur")
+        lat = acc.getField("lat")
+        adv = (s == cur + 1) & (
+            (cur == 0) | (ts_ - start <= F.lit(window_us))
+        )
+        new_start = F.when(cur == 0, ts_).otherwise(start)
+        this_lat = ts_ - new_start
+        new_lat = F.when(
+            adv & (s == n),
+            F.when(lat.isNull(), this_lat).otherwise(F.least(lat, this_lat)),
+        ).otherwise(lat)
+        adv_acc = _acc(new_start, cur + 1, new_lat)
+        rst_acc = _acc(ts_, F.lit(1).cast("long"), lat)
+        return F.when(adv, adv_acc).otherwise(
+            F.when(s == 1, rst_acc).otherwise(acc)
+        )
+
+    init = _acc(
+        F.lit(0).cast("long"),
+        F.lit(0).cast("long"),
+        F.lit(None).cast("long"),
+    )
+    folded = per_user.select(
+        "user_id", F.aggregate("encs", init, trans).getField("lat").alias("lat_us")
+    )
+
+    totals = folded.agg(F.count(F.lit(1)).cast("long").alias("n_funnel_users"))
+    lats = folded.filter(F.col("lat_us").isNotNull())
+    buck = lats.withColumn("b", F.expr(f"lat_us div {rank_span_us}"))
+    bc = buck.groupBy("b").agg(F.count(F.lit(1)).alias("bn"))
+    from pyspark.sql import Window
+
+    w_prefix = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    w_total = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prefixes = bc.select(
+        "b",
+        F.coalesce(F.sum("bn").over(w_prefix), F.lit(0)).alias("prefix"),
+        F.sum("bn").over(w_total).alias("n_conv"),
+    )
+    w_local = Window.partitionBy("b").orderBy("lat_us", "user_id")
+    ranked = buck.join(F.broadcast(prefixes), "b").withColumn(
+        "rn", F.col("prefix") + F.row_number().over(w_local)
+    )
+    k50 = F.expr("(n_conv - 1) * 50 div 100 + 1")
+    k90 = F.expr("(n_conv - 1) * 90 div 100 + 1")
+    stats = ranked.agg(
+        F.max("n_conv").cast("long").alias("n_converted"),
+        F.min("lat_us").alias("min_lat_us"),
+        F.min(F.when(F.col("rn") == k50, F.col("lat_us"))).alias("p50_lat_us"),
+        F.min(F.when(F.col("rn") == k90, F.col("lat_us"))).alias("p90_lat_us"),
+        F.max("lat_us").alias("max_lat_us"),
+    )
+    return totals.crossJoin(F.broadcast(stats)).select(
+        "n_funnel_users",
+        F.coalesce(F.col("n_converted"), F.lit(0).cast("long")).alias(
+            "n_converted"
+        ),
+        "min_lat_us",
+        "p50_lat_us",
+        "p90_lat_us",
+        "max_lat_us",
+    )
+
+
+def funnel_time_to_convert_oracle_sql(
+    steps: list[str], window_us: int, table: str = "events"
+) -> str:
+    """DuckDB oracle: the identical (start, cur, lat) state machine as a
+    recursive-CTE walk with three accumulator COLUMNS (no packing — the
+    walk can carry columns; no list lambdas, per the v1.0 hazard), then
+    plain global order statistics (oracle scale permits the single
+    sort)."""
+    m = _STEP_MOD
+    n = len(steps)
+    case = " ".join(
+        f"WHEN '{s}' THEN CAST({i + 1} AS BIGINT)" for i, s in enumerate(steps)
+    )
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    adv = (
+        f"(r.s = w.cur + 1 AND (w.cur = 0 OR r.ts - w.start <= {window_us}))"
+    )
+    new_start = f"CASE WHEN w.cur = 0 THEN r.ts ELSE w.start END"
+    return f"""
+WITH RECURSIVE enc AS (
+  SELECT user_id,
+         epoch_us(ts) * {m} + (CASE event_type {case} END) AS e
+  FROM {table} WHERE event_type IN ({in_list})
+), ranked AS (
+  SELECT user_id, e // {m} AS ts, e % {m} AS s,
+         row_number() OVER (PARTITION BY user_id ORDER BY e) AS rn
+  FROM enc
+), cnt AS (SELECT user_id, max(rn) AS nmax FROM ranked GROUP BY user_id
+), walk AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS start,
+         CAST(0 AS BIGINT) AS cur, CAST(NULL AS BIGINT) AS lat
+  FROM cnt
+  UNION ALL
+  SELECT w.user_id, w.rn + 1,
+         CASE WHEN {adv} THEN {new_start}
+              WHEN r.s = 1 THEN r.ts ELSE w.start END,
+         CASE WHEN {adv} THEN w.cur + 1
+              WHEN r.s = 1 THEN CAST(1 AS BIGINT) ELSE w.cur END,
+         CASE WHEN {adv} AND r.s = {n}
+              THEN least(coalesce(w.lat, CAST(4611686018427387904 AS BIGINT)),
+                         r.ts - ({new_start}))
+              ELSE w.lat END
+  FROM walk w JOIN ranked r ON r.user_id = w.user_id AND r.rn = w.rn + 1
+), d AS (
+  SELECT w.user_id, w.lat AS lat_us
+  FROM walk w JOIN cnt c ON w.user_id = c.user_id AND w.rn = c.nmax
+), conv AS (
+  SELECT lat_us, user_id,
+         row_number() OVER (ORDER BY lat_us, user_id) AS rn,
+         count(*) OVER () AS n_conv
+  FROM d WHERE lat_us IS NOT NULL
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_funnel_users,
+       coalesce(CAST(max(n_conv) AS BIGINT), 0) AS n_converted,
+       min(lat_us) AS min_lat_us,
+       min(CASE WHEN rn = (n_conv - 1) * 50 // 100 + 1 THEN lat_us END)
+         AS p50_lat_us,
+       min(CASE WHEN rn = (n_conv - 1) * 90 // 100 + 1 THEN lat_us END)
+         AS p90_lat_us,
+       max(lat_us) AS max_lat_us
+FROM conv"""

@@ -2083,6 +2083,23 @@ def _register_validation():
         "llm",
         ["events", "sweepline", "analytics"],
     )(lambda spark, sf: temporal.max_concurrency_daily(t(spark, sf, "events")))
+    # Funnel-family capstone: fastest window-compliant conversion latency
+    # per user (struct-accumulator fold), exact p50/p90 via the bucketed
+    # two-pass global rank.
+    from datafusion_pinot_spark.operators import funnel
+
+    _TTC_STEPS = ["view", "click", "purchase"]
+    _TTC_W = 4 * 3_600_000_000
+    register(
+        "funnel_time_to_convert",
+        funnel.funnel_time_to_convert_oracle_sql(_TTC_STEPS, _TTC_W),
+        "llm",
+        ["events", "funnel", "quantile", "analytics"],
+    )(
+        lambda spark, sf: funnel.funnel_time_to_convert(
+            t(spark, sf, "events"), _TTC_STEPS, _TTC_W
+        )
+    )
 
 
 _register_validation()
@@ -5917,7 +5934,7 @@ DRIVER_WINDOW: list[str] = [
     "q9_product_type_profit",
     "q11_important_parts",
     "data_quality_report",  # r6c4: Deequ-style one-pass constraint report
-    "q16_supplier_part_counts",
+    "funnel_time_to_convert",  # r6c4: struct-fold latency + 2-pass quantiles
     "q20_majority_supplier",
     "q22_dormant_customers",
     "paragraph_dedup_reassemble",  # r6: Dolma/C4 paragraph dedup + reassembly

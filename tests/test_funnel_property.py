@@ -98,3 +98,76 @@ def test_heavy_hitters_match_exact_reference(spark, docs_tokens, k):
         key=lambda tc: (-tc[1], tc[0]),
     )
     assert got == want, (k, total, cnt)
+
+
+def _py_min_latency(seq_with_ts, window_us):
+    """(ts_us, step_name) list -> fastest window-compliant conversion
+    latency in us, or None; greedy restart on step one."""
+    start, cur, lat = 0, 0, None
+    for ts, s in seq_with_ts:
+        if s not in STEPS:
+            continue
+        step = STEPS.index(s) + 1
+        if step == cur + 1 and (cur == 0 or ts - start <= window_us):
+            if cur == 0:
+                start = ts
+            cur += 1
+            if cur == len(STEPS):
+                this = ts - start
+                lat = this if lat is None else min(lat, this)
+        elif step == 1:
+            start, cur = ts, 1
+    return lat
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=1, max_value=5),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=50),  # minutes
+                st.sampled_from(TYPES),
+            ),
+            min_size=0,
+            max_size=12,
+            unique_by=lambda t: t[0],  # distinct minutes => unique order
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_time_to_convert_matches_python_reference(spark, streams):
+    from datafusion_pinot_spark.operators import funnel
+
+    window_us = 10 * 60 * 1_000_000  # 10 minutes: tight enough to expire
+    rows, expect = [], {}
+    for uid, seq in streams.items():
+        seq = sorted(seq)
+        for minute, s in seq:
+            rows.append(
+                (uid, datetime(2024, 1, 1) + timedelta(minutes=minute), s)
+            )
+        lat = _py_min_latency(
+            [(m * 60_000_000, s) for m, s in seq], window_us
+        )
+        if any(s in STEPS for _, s in seq):
+            expect[uid] = lat
+    if not rows:
+        return
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    row = funnel.funnel_time_to_convert(ev, STEPS, window_us).collect()[0]
+    lats = [v for v in expect.values() if v is not None]
+    assert row["n_funnel_users"] == len(expect)
+    assert row["n_converted"] == len(lats)
+    if lats:
+        assert row["min_lat_us"] == min(lats)
+        assert row["max_lat_us"] == max(lats)
+        k50 = (len(lats) - 1) * 50 // 100
+        k90 = (len(lats) - 1) * 90 // 100
+        assert row["p50_lat_us"] == sorted(lats)[k50]
+        assert row["p90_lat_us"] == sorted(lats)[k90]
+    else:
+        assert row["min_lat_us"] is None
