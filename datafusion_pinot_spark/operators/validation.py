@@ -271,3 +271,103 @@ SELECT CAST((rank - 1) * {buckets} // total + 1 AS INTEGER) AS bucket,
        min(cents) AS lo_cents, max(cents) AS hi_cents,
        CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM s GROUP BY 1 ORDER BY bucket"""
+
+
+def mad_anomaly_days(
+    events: DataFrame,
+    category_col: str = "event_type",
+    ts_col: str = "ts",
+    k_mad: int = 3,
+) -> DataFrame:
+    """Robust daily-volume anomaly detection per category: flag days whose
+    event count deviates from the category's median by more than
+    ``k_mad`` median-absolute-deviations.
+
+    Median and MAD are exact low-median order statistics (discrete rank,
+    pure integers — no float drift), each via one window pass PARTITIONED
+    BY the category, so frames are days-per-category (tiny) regardless of
+    event volume; the only full-data work is the first (category, day)
+    count aggregate, which combines map-side. A category whose MAD is 0
+    (constant volume) flags any deviating day.
+
+    Output: ``category, date, n_events, median_n, mad_n`` for anomalous
+    days only.
+    """
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000")
+    daily = events.groupBy(
+        F.col(category_col).alias("category"), day.alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def _low_median(df, val_col, out_col):
+        w = Window.partitionBy("category").orderBy(val_col, "day")
+        cnt = Window.partitionBy("category")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_nd", F.count(F.lit(1)).over(cnt))
+            .withColumn(
+                out_col,
+                F.max(
+                    F.when(
+                        F.col("_rn")
+                        == F.expr("(_nd - 1) * 50 div 100 + 1"),
+                        F.col(val_col),
+                    )
+                ).over(cnt),
+            )
+            .drop("_rn", "_nd")
+        )
+
+    with_med = _low_median(daily, "n", "median_n")
+    with_dev = with_med.withColumn(
+        "dev", F.abs(F.col("n") - F.col("median_n"))
+    )
+    with_mad = _low_median(with_dev, "dev", "mad_n")
+    return (
+        with_mad.filter(F.col("dev") > F.lit(k_mad) * F.col("mad_n"))
+        .select(
+            "category",
+            F.to_date(F.timestamp_micros(F.expr("day * 86400000000"))).alias(
+                "date"
+            ),
+            F.col("n").alias("n_events"),
+            "median_n",
+            "mad_n",
+        )
+        .orderBy("category", "date")
+    )
+
+
+def mad_anomaly_days_oracle_sql(
+    table: str = "events",
+    category_col: str = "event_type",
+    ts_col: str = "ts",
+    k_mad: int = 3,
+) -> str:
+    return f"""
+WITH daily AS (
+  SELECT {category_col} AS category,
+         epoch_us({ts_col}) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1, 2
+), med AS (
+  SELECT *, max(CASE WHEN rn = (nd - 1) * 50 // 100 + 1 THEN n END)
+              OVER (PARTITION BY category) AS median_n
+  FROM (SELECT *,
+          row_number() OVER (PARTITION BY category ORDER BY n, day) AS rn,
+          count(*) OVER (PARTITION BY category) AS nd
+        FROM daily)
+), dev AS (
+  SELECT category, day, n, median_n, abs(n - median_n) AS dev FROM med
+), mad AS (
+  SELECT *, max(CASE WHEN rn = (nd - 1) * 50 // 100 + 1 THEN dev END)
+              OVER (PARTITION BY category) AS mad_n
+  FROM (SELECT *,
+          row_number() OVER (PARTITION BY category ORDER BY dev, day) AS rn,
+          count(*) OVER (PARTITION BY category) AS nd
+        FROM dev)
+)
+SELECT category,
+       CAST(epoch_ms((day * 86400000000) // 1000) AS DATE) AS date,
+       n AS n_events, median_n, mad_n
+FROM mad WHERE dev > {k_mad} * mad_n
+ORDER BY category, date"""

@@ -2083,6 +2083,12 @@ def _register_validation():
         "llm",
         ["events", "sweepline", "analytics"],
     )(lambda spark, sf: temporal.max_concurrency_daily(t(spark, sf, "events")))
+    register(
+        "mad_anomaly_days",
+        validation.mad_anomaly_days_oracle_sql(),
+        "llm",
+        ["events", "anomaly", "timeseries"],
+    )(lambda spark, sf: validation.mad_anomaly_days(t(spark, sf, "events")))
     # Funnel-family capstone: fastest window-compliant conversion latency
     # per user (struct-accumulator fold), exact p50/p90 via the bucketed
     # two-pass global rank.
@@ -5993,7 +5999,7 @@ DRIVER_WINDOW: list[str] = [
     # (q12_late_shipment_priority rotated out: r5-green on its fixed
     # oracle; nine other TPC-H shapes remain in the window and all 22
     # stay pytest-pinned.)
-    "value_histogram",  # r6: Pinot HISTOGRAM equal-width bins
+    "mad_anomaly_days",  # r6c4: exact-median MAD daily anomaly flags
     "max_concurrency_daily",  # r6c4: per-day sweep-line peak concurrency
     # (simhash_dup_groups rotated out for the r6 funnel pair: rows-only by
     # design — the driver row could only ever prove "runs, returns rows" —

@@ -173,3 +173,32 @@ def test_psi_drift_zero_when_identical(spark):
         "a": 666666,
         "b": 333333,
     }
+
+
+def test_mad_anomaly_flags_spike_only(spark):
+    from datafusion_pinot_spark.operators.validation import mad_anomaly_days
+
+    # 9 quiet days (2 events) + one 40-event spike; second category flat
+    rows, eid = [], 0
+    for d in range(1, 10):
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, 1, "a", _ts(f"2024-01-0{d}T12:00:00")))
+    for _ in range(40):
+        eid += 1
+        rows.append((eid, 1, "a", _ts("2024-01-10T12:00:00")))
+    for d in range(1, 10):
+        eid += 1
+        rows.append((eid, 1, "b", _ts(f"2024-01-0{d}T12:00:00")))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = mad_anomaly_days(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["category"], str(r["date"]), r["n_events"]) == (
+        "a",
+        "2024-01-10",
+        40,
+    )
+    assert r["median_n"] == 2 and r["mad_n"] == 0
