@@ -180,6 +180,35 @@ def pinot_format_queries(spark, sf_dir: str):
         "raw", "okey,ts"
     ).option("bloom", "l_orderkey").save(out_bloom)
 
+    # Fourth + fifth layouts (r6 continuation-4): the same 2D dims written
+    # linearly (sorted by dim 1 only) vs Z-ordered (functions.zorder_key
+    # interleave), for the multi-dimensional zone-map probe pair — a
+    # predicate on dim 2 prunes nothing on the linear layout and 3/4 of
+    # the z-blocks on the Morton layout. Built untimed.
+    from datafusion_pinot_spark.functions import zorder_key
+
+    li2d = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_partkey") % 256).alias("a"),
+        (F.col("l_suppkey") % 256).alias("b"),
+        "l_extendedprice",
+    )
+    out_lin2d = os.path.join(
+        tempfile.mkdtemp(prefix="bench_pinot_lin2d_"), "li_OFFLINE"
+    )
+    li2d.repartitionByRange(8, "a").sortWithinPartitions("a").write.format(
+        "pinot"
+    ).mode("overwrite").save(out_lin2d)
+    out_z = os.path.join(tempfile.mkdtemp(prefix="bench_pinot_z_"), "li_OFFLINE")
+    (
+        li2d.withColumn("z", zorder_key(["a", "b"], bits=8))
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out_z)
+    )
+
     # The Python DS API has no prune-columns callback, so the `columns`
     # read option IS this source's projection pushdown — each shape requests
     # exactly the columns it touches (the reference gets the same pruning
@@ -189,7 +218,7 @@ def pinot_format_queries(spark, sf_dir: str):
             spark.read.format("pinot").option("columns", cols).load(table)
         )
 
-    return out, out_rng, out_bloom, {
+    return out, out_rng, out_bloom, out_lin2d, out_z, {
         "pinot_write_segments": write,
         # Empty projection → metadata-only count (no forward-index decode),
         # the same path as the reference's 3.97 ms COUNT(*) (exec.rs:92-95).
@@ -255,6 +284,8 @@ def marginal_tier(
     table_dir: str,
     rng_table_dir: str,
     bloom_table_dir: str,
+    lin2d_table_dir: str,
+    z_table_dir: str,
     copies: int = 16,
 ) -> dict:
     """Reference shapes on the duplicated table; ns/row vs BASELINE.md.
@@ -368,6 +399,8 @@ def marginal_tier(
     # -- index probes: one selective predicate, four execution paths --------
     big_rng = duplicate_table(rng_table_dir, copies)
     big_bloom = duplicate_table(bloom_table_dir, copies)
+    big_lin2d = duplicate_table(lin2d_table_dir, copies)
+    big_z = duplicate_table(z_table_dir, copies)
 
     def rd(table, cols="l_orderkey,l_extendedprice", **opts):
         # project only the filter + agg columns (see the `columns` note
@@ -451,6 +484,22 @@ def marginal_tier(
         "filter_in_bloom": lambda: agg(
             rd(big_bloom).filter(F.col("l_orderkey").isin(7, 513, 1154))
         ),
+        # second-dimension range on the dim1-sorted linear layout: the b
+        # zone maps span the full domain in every segment — nothing prunes,
+        # all segments decode + mask (the classic multi-dim pain)
+        "filter_dim2_linear": lambda: agg(
+            rd(big_lin2d, "b,l_extendedprice").filter(
+                (F.col("b") >= 32) & (F.col("b") <= 63)
+            )
+        ),
+        # the same predicate on the Z-ordered (Morton) layout: interleaved
+        # bits give every segment a tight b-block, so 3/4 of the z-blocks
+        # prune at planning from the same ordinary zone maps
+        "filter_dim2_zorder": lambda: agg(
+            rd(big_z, "b,l_extendedprice").filter(
+                (F.col("b") >= 32) & (F.col("b") <= 63)
+            )
+        ),
         # exact distinct over the high-cardinality key WITHOUT layout help:
         # count(DISTINCT) shuffles every distinct value once
         "distinct_global": lambda: rd(big, "l_orderkey").agg(
@@ -478,6 +527,7 @@ def marginal_tier(
         ("filter_eq_inverted", "filter_eq_fullscan"),
         ("filter_ts_pruned", "filter_ts_fullscan"),
         ("filter_in_bloom", "filter_in_fullscan"),
+        ("filter_dim2_zorder", "filter_dim2_linear"),
         ("distinct_bitmap", "distinct_global"),
     ):
         probe_out[pruned]["speedup_vs_fullscan"] = round(
@@ -490,6 +540,8 @@ def marginal_tier(
     shutil.rmtree(big, ignore_errors=True)
     shutil.rmtree(big_rng, ignore_errors=True)
     shutil.rmtree(big_bloom, ignore_errors=True)
+    shutil.rmtree(big_lin2d, ignore_errors=True)
+    shutil.rmtree(big_z, ignore_errors=True)
     return out
 
 
@@ -732,9 +784,14 @@ def main() -> None:
     # (it is ~10x the cost of the read shapes); reads build the DataFrame
     # once (schema resolution, like the parquet tier's cached listing) and
     # time execution median-of-5.
-    table_dir, rng_table_dir, bloom_table_dir, pinot = pinot_format_queries(
-        spark, sf_dir
-    )
+    (
+        table_dir,
+        rng_table_dir,
+        bloom_table_dir,
+        lin2d_table_dir,
+        z_table_dir,
+        pinot,
+    ) = pinot_format_queries(spark, sf_dir)
     write = pinot.pop("pinot_write_segments")
     write(spark)  # untimed warmup (also creates the table for the reads)
     record("pinot_write_segments", lambda: write(spark), runs=3)
@@ -743,7 +800,10 @@ def main() -> None:
         materialize(frame)  # JIT/codegen warmup
         record(name, lambda: materialize(frame))
 
-    marginal = marginal_tier(spark, table_dir, rng_table_dir, bloom_table_dir)
+    marginal = marginal_tier(
+        spark, table_dir, rng_table_dir, bloom_table_dir,
+        lin2d_table_dir, z_table_dir,
+    )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

@@ -77,3 +77,27 @@ def davg(col, scale: int = 4) -> Column:
     return F.round(
         (F.sum(money(col)).cast("double") / F.count(col)), scale
     )
+
+
+def zorder_key(cols, bits: int = 8) -> Column:
+    """Morton (Z-order) key: bit-interleave the low ``bits`` bits of each
+    column so that sorting by the key clusters rows in ALL dimensions at
+    once. Written segments then carry tight per-segment min/max on every
+    interleaved column, so zone maps prune multi-dimensional range
+    predicates — including predicates that touch only the second or third
+    dimension, where a single-column sort layout prunes nothing.
+
+    Pure integer Column arithmetic (shift/and/or), whole-stage-codegen
+    friendly; ``bits * len(cols)`` must fit a LONG (<= 63).
+    """
+    if bits * len(cols) > 63:
+        raise ValueError("zorder_key: bits * len(cols) must be <= 63")
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            if isinstance(c, str):
+                c = F.col(c)
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * n + j)
+    return z

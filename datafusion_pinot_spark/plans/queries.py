@@ -2089,6 +2089,64 @@ def _register_validation():
         "llm",
         ["events", "anomaly", "timeseries"],
     )(lambda spark, sf: validation.mad_anomaly_days(t(spark, sf, "events")))
+
+    def _q_pinot_zorder_scan(spark, sf):
+        """Z-order (Morton) data layout: lineitem-derived 2D dims
+        ``a = l_partkey % 256, b = l_suppkey % 256`` are bit-interleaved
+        (functions.zorder_key) and the table is range-partitioned + sorted
+        by the interleaved key into v3 segments. Every segment then holds
+        a tight min/max block on BOTH dims, so the pushed 2D box
+        predicate prunes segments through the ordinary manifest zone maps
+        — including selectivity on the second dimension, which a
+        single-column sort layout cannot prune at all (probe pair
+        filter_dim2_zorder vs filter_dim2_linear in bench.py; pruning
+        proof in tests/test_zorder.py). Beyond the reference (it ignores
+        filters entirely, table.rs:163)."""
+        import tempfile
+
+        from datafusion_pinot_spark.functions import zorder_key
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = os.path.join(tempfile.mkdtemp(prefix="zorder_"), "li_OFFLINE")
+        li = t(spark, sf, "lineitem").select(
+            (F.col("l_partkey") % 256).alias("a"),
+            (F.col("l_suppkey") % 256).alias("b"),
+            "l_quantity",
+        )
+        (
+            li.withColumn("z", zorder_key(["a", "b"], bits=8))
+            .repartitionByRange(16, "z")
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.format("pinot")
+            .mode("overwrite")
+            .save(out)
+        )
+        back = spark.read.format("pinot").load(out)
+        return (
+            back.filter(
+                F.col("a").between(64, 95) & F.col("b").between(128, 159)
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(money("l_quantity")).cast("double"), 2
+                ).alias("sum_qty"),
+            )
+        )
+
+    register(
+        "pinot_zorder_scan",
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+                  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE), 2) AS sum_qty
+           FROM lineitem
+           WHERE l_partkey % 256 BETWEEN 64 AND 95
+             AND l_suppkey % 256 BETWEEN 128 AND 159""",
+        "parity",
+        ["pinot", "storage", "zorder", "filter"],
+    )(_q_pinot_zorder_scan)
     # Funnel-family capstone: fastest window-compliant conversion latency
     # per user (struct-accumulator fold), exact p50/p90 via the bucketed
     # two-pass global rank.
@@ -5924,7 +5982,7 @@ DRIVER_WINDOW: list[str] = [
     # the windowed variant below carries strictly more check value:
     # discriminating counts AND the cross-engine bit arithmetic.)
     "funnel_windowed_conversion",  # r6: complete-within-window funnel
-    "funnel_complete_histogram",  # r6: disjoint FUNNEL_COMPLETE_COUNT dist
+    "pinot_zorder_scan",  # r6c4: Morton layout, 2D zone-map pruning
     # -- r6 additions (standing rotation rule: round-N queries enter the
     # round-N window) --
     "pinot_timestamp_range_scan",  # r6: TIMESTAMP pushdown + zone maps
