@@ -516,3 +516,161 @@ SELECT CAST(epoch_ms((day * {day_us}) // 1000) AS DATE) AS date,
        CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_sessions
 FROM swept GROUP BY day ORDER BY date"""
+
+
+def ohlc_bars(
+    events: DataFrame,
+    category_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bar_us: int = 86_400_000_000,
+) -> DataFrame:
+    """OHLC bars per (category, bar): open/close are the first/last value
+    in strict (ts, id) order — deterministic under ties, unlike
+    ``min_by``/``arg_min`` whose tie-breaking is engine-defined — plus
+    high/low/volume/n, all integer cents.
+
+    One shuffle on (category, bar); the open/close ranks come from a
+    single window pass over each bar (rn ascending + the bar's row count
+    give both ends). The canonical time-series rollup a Pinot
+    metrics table serves.
+    """
+    bar = F.expr(f"unix_micros({ts_col}) div {bar_us}")
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    base = events.select(
+        F.col(category_col).alias("category"),
+        bar.alias("bar"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(id_col).alias("id"),
+        cents.alias("cents"),
+    )
+    w = Window.partitionBy("category", "bar").orderBy("us", "id")
+    wc = Window.partitionBy("category", "bar")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wc)
+    )
+    return (
+        ranked.groupBy("category", "bar")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("cents"))).alias(
+                "open_cents"
+            ),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.min(F.when(F.col("rn") == F.col("cnt"), F.col("cents"))).alias(
+                "close_cents"
+            ),
+            F.sum("cents").cast("long").alias("volume_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "category",
+            F.to_date(
+                F.timestamp_micros(F.expr(f"bar * {bar_us}"))
+            ).alias("bar_date"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "volume_cents",
+            "n_events",
+        )
+        .orderBy("category", "bar_date")
+    )
+
+
+def ohlc_bars_oracle_sql(
+    table: str = "events",
+    category_col: str = "event_type",
+    bar_us: int = 86_400_000_000,
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {category_col} AS category,
+         epoch_us(ts) // {bar_us} AS bar,
+         epoch_us(ts) AS us, event_id AS id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM {table}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY category, bar
+                               ORDER BY us, id) AS rn,
+         count(*) OVER (PARTITION BY category, bar) AS cnt
+  FROM base
+)
+SELECT category,
+       CAST(epoch_ms((bar * {bar_us}) // 1000) AS DATE) AS bar_date,
+       min(CASE WHEN rn = 1 THEN cents END) AS open_cents,
+       max(cents) AS high_cents,
+       min(cents) AS low_cents,
+       min(CASE WHEN rn = cnt THEN cents END) AS close_cents,
+       CAST(sum(cents) AS BIGINT) AS volume_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ranked GROUP BY category, bar
+ORDER BY category, bar_date"""
+
+
+def time_weighted_average(
+    events: DataFrame,
+    category_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per category: each sample's value holds until
+    the category's next sample (step interpolation); the last sample has
+    no duration and drops out. Weights are whole seconds; the weighted
+    sum accumulates as DECIMAL(38,0) (order-independent, no BIGINT
+    overflow at any scale) and only the final ratio goes through a
+    rounded double.
+
+    One shuffle on the category, one LEAD pass per timeline, then a
+    map-side-combining aggregate.
+    """
+    w = Window.partitionBy("category").orderBy("us", "id")
+    base = events.select(
+        F.col(category_col).alias("category"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(id_col).alias("id"),
+        F.round(F.col(value_col) * 100, 0).cast("long").alias("cents"),
+    )
+    stepped = base.withColumn(
+        "dur_s", F.expr("(lead(us) OVER (PARTITION BY category "
+                        "ORDER BY us, id) - us) div 1000000")
+    ).filter(F.col("dur_s").isNotNull())
+    big = (F.col("cents") * F.col("dur_s")).cast("decimal(38,0)")
+    return (
+        stepped.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("dur_s").cast("long").alias("total_dur_s"),
+            F.round(
+                (F.sum(big).cast("double") / F.sum("dur_s")) / 100.0, 4
+            ).alias("twa_value"),
+        )
+        .orderBy("category")
+    )
+
+
+def time_weighted_average_oracle_sql(
+    table: str = "events",
+    category_col: str = "event_type",
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {category_col} AS category, epoch_us(ts) AS us, event_id AS id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM {table}
+), stepped AS (
+  SELECT category, cents,
+         (lead(us) OVER (PARTITION BY category ORDER BY us, id) - us)
+           // 1000000 AS dur_s
+  FROM base
+)
+SELECT category,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dur_s) AS BIGINT) AS total_dur_s,
+       round((CAST(sum(CAST(cents AS HUGEINT) * dur_s) AS DOUBLE)
+              / sum(dur_s)) / 100.0, 4) AS twa_value
+FROM stepped WHERE dur_s IS NOT NULL
+GROUP BY category ORDER BY category"""

@@ -2147,6 +2147,18 @@ def _register_validation():
         "parity",
         ["pinot", "storage", "zorder", "filter"],
     )(_q_pinot_zorder_scan)
+    register(
+        "ohlc_daily_bars",
+        temporal.ohlc_bars_oracle_sql(),
+        "llm",
+        ["events", "timeseries", "ohlc"],
+    )(lambda spark, sf: temporal.ohlc_bars(t(spark, sf, "events")))
+    register(
+        "time_weighted_average",
+        temporal.time_weighted_average_oracle_sql(),
+        "llm",
+        ["events", "timeseries", "twa"],
+    )(lambda spark, sf: temporal.time_weighted_average(t(spark, sf, "events")))
     # Funnel-family capstone: fastest window-compliant conversion latency
     # per user (struct-accumulator fold), exact p50/p90 via the bucketed
     # two-pass global rank.
@@ -6018,13 +6030,13 @@ DRIVER_WINDOW: list[str] = [
     "pinot_bigdecimal_roundtrip",  # r6: BIG_DECIMAL exact-decimal columns
     "incremental_dedup_bloom",  # r6: corpus-bloom prefiltered exact dedup
     "pinot_text_match_scan",  # r6: text-index keyword probe through storage
-    "ann_pq_adc_topk",  # r6: product-quantization ADC top-k (hash-checked)
+    "time_weighted_average",  # r6c4: step-interp TWA, decimal38 weights
     "ann_pq_pinot_codes_topk",  # r6: PQ codes persisted + served via storage
     "pinot_range_index_scan",  # r6: range-index scan on unclustered dict col
     "pinot_json_match_scan",  # r6: JSON-index path=value probe
     "pinot_startree_agg",  # r6: star-tree prefix-level pre-aggregation
     "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
-    "pinot_compacted_agg",  # r6: distributed segment compaction
+    "ohlc_daily_bars",  # r6c4: deterministic first/last OHLC rollup
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
     "pinot_rollup_compacted_agg",  # r6: merge-rollup during compaction
     "pinot_upsert_latest",  # r6: upsert-table last-wins read

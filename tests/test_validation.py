@@ -202,3 +202,46 @@ def test_mad_anomaly_flags_spike_only(spark):
         40,
     )
     assert r["median_n"] == 2 and r["mad_n"] == 0
+
+
+def test_ohlc_deterministic_ties(spark):
+    from datafusion_pinot_spark.operators.temporal import ohlc_bars
+
+    # two events at the SAME microsecond: event_id breaks the tie, so
+    # open is id 1's value and close is id 4's
+    ev = spark.createDataFrame(
+        [
+            (2, 1, "m", _ts("2024-01-01T00:00:00"), 5.0),
+            (1, 1, "m", _ts("2024-01-01T00:00:00"), 3.0),
+            (3, 1, "m", _ts("2024-01-01T12:00:00"), 9.0),
+            (4, 1, "m", _ts("2024-01-01T23:59:59"), 1.0),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    )
+    r = ohlc_bars(ev).collect()[0]
+    assert (r["open_cents"], r["high_cents"], r["low_cents"], r["close_cents"]) == (
+        300,
+        900,
+        100,
+        100,
+    )
+    assert r["volume_cents"] == 1800 and r["n_events"] == 4
+
+
+def test_time_weighted_average_step_semantics(spark):
+    from datafusion_pinot_spark.operators.temporal import time_weighted_average
+
+    # value 10 holds 3600s, value 20 holds 1800s, final sample drops:
+    # twa = (1000*3600 + 2000*1800) / 5400 / 100 = 13.3333
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "m", _ts("2024-01-01T00:00:00"), 10.0),
+            (2, 1, "m", _ts("2024-01-01T01:00:00"), 20.0),
+            (3, 1, "m", _ts("2024-01-01T01:30:00"), 99.0),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    )
+    r = time_weighted_average(ev).collect()[0]
+    assert r["n_intervals"] == 2
+    assert r["total_dur_s"] == 5400
+    assert r["twa_value"] == 13.3333
