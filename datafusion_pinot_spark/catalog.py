@@ -473,3 +473,81 @@ def describe_table(spark, table_dir: str):
         "col_name string, dtype string, total_docs long, "
         "min_val string, max_val string",
     )
+
+
+def estimate_scan_cost(
+    table_dir: str,
+    filters=(),
+    columns=None,
+) -> dict:
+    """Planning-time scan-cost preview from the manifest: how many
+    segments a filtered scan would keep after zone-map / partition-map
+    pruning, and the row/byte volume those survivors would decode —
+    without launching a job or (when the manifest is fresh) opening a
+    single segment. The admission-control primitive a 100 TB cluster
+    gates expensive queries with.
+
+    ``filters`` accepts the data source's Filter objects or convenience
+    triples ``(col, op, value)`` with op in ``== != > >= < <= in``.
+    ``columns`` (optional) scales the byte estimate by the projected
+    fraction of single-value columns; segment bytes come from one
+    ``stat`` of each survivor's ``columns.psf`` (no open).
+
+    Returns ``{"n_segments", "n_survivors", "est_rows", "est_bytes",
+    "pruned_pct"}``.
+    """
+    from pinot_segment.manifest import _segment_v3_dirs, stats_for_segments
+
+    from datafusion_pinot_spark.sources.pinot_datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+        Not,
+        _segment_can_be_skipped,
+    )
+
+    _OPS = {
+        "==": lambda c, v: EqualTo((c,), v),
+        "!=": lambda c, v: Not(EqualTo((c,), v)),
+        ">": lambda c, v: GreaterThan((c,), v),
+        ">=": lambda c, v: GreaterThanOrEqual((c,), v),
+        "<": lambda c, v: LessThan((c,), v),
+        "<=": lambda c, v: LessThanOrEqual((c,), v),
+        "in": lambda c, v: In((c,), tuple(v)),
+    }
+    fs = [
+        _OPS[f[1]](f[0], f[2]) if isinstance(f, tuple) else f
+        for f in filters
+    ]
+    segs = _segment_v3_dirs(table_dir)
+    stats = stats_for_segments(segs)
+    survivors, est_rows, est_bytes = [], 0, 0
+    for v3 in segs:
+        s = stats.get(v3)
+        if fs and _segment_can_be_skipped(v3, fs, s):
+            continue
+        survivors.append(v3)
+        if s:
+            est_rows += int(s.get("total_docs", 0))
+            ncols = max(1, len(s.get("columns", {})))
+        else:
+            ncols = 1
+        psf = os.path.join(v3, "columns.psf")
+        try:
+            nbytes = os.stat(psf).st_size
+        except OSError:
+            nbytes = 0
+        if columns:
+            nbytes = nbytes * min(len(columns), ncols) // ncols
+        est_bytes += nbytes
+    n = len(segs)
+    return {
+        "n_segments": n,
+        "n_survivors": len(survivors),
+        "est_rows": est_rows,
+        "est_bytes": est_bytes,
+        "pruned_pct": 0 if n == 0 else (n - len(survivors)) * 100 // n,
+    }
