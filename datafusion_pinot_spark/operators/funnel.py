@@ -734,24 +734,16 @@ def funnel_time_to_convert(
         "user_id", F.aggregate("encs", init, trans).getField("lat").alias("lat_us")
     )
 
+    from datafusion_pinot_spark.operators.ranking import global_rank
+
     totals = folded.agg(F.count(F.lit(1)).cast("long").alias("n_funnel_users"))
     lats = folded.filter(F.col("lat_us").isNotNull())
-    buck = lats.withColumn("b", F.expr(f"lat_us div {rank_span_us}"))
-    bc = buck.groupBy("b").agg(F.count(F.lit(1)).alias("bn"))
-    from pyspark.sql import Window
-
-    w_prefix = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    w_total = Window.orderBy("b").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    prefixes = bc.select(
-        "b",
-        F.coalesce(F.sum("bn").over(w_prefix), F.lit(0)).alias("prefix"),
-        F.sum("bn").over(w_total).alias("n_conv"),
-    )
-    w_local = Window.partitionBy("b").orderBy("lat_us", "user_id")
-    ranked = buck.join(F.broadcast(prefixes), "b").withColumn(
-        "rn", F.col("prefix") + F.row_number().over(w_local)
+    ranked = global_rank(
+        lats,
+        F.expr(f"lat_us div {rank_span_us}"),
+        ["lat_us", "user_id"],
+        rank_col="rn",
+        total_col="n_conv",
     )
     k50 = F.expr("(n_conv - 1) * 50 div 100 + 1")
     k90 = F.expr("(n_conv - 1) * 90 div 100 + 1")

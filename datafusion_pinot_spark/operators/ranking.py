@@ -1,0 +1,67 @@
+"""Distributed exact global ranking: the bucketed two-pass prefix-sum
+pattern shared by sequence packing, equi-depth histograms, funnel
+latency quantiles, and RFM segmentation.
+
+A global ``row_number() OVER (ORDER BY ...)`` puts the whole table in one
+partition — the one shape this repo bans. The two-pass form instead:
+
+1. buckets rows by a coarse expression that is MONOTONE in the order
+   (so buckets are contiguous runs of the global order),
+2. counts rows per bucket and runs the prefix window over the tiny
+   per-bucket frame (the only single-partition exchange — thousands of
+   rows at most),
+3. broadcasts the prefixes back and finishes with a within-bucket
+   ``row_number``, partitioned by bucket.
+
+``global_rank`` returns the input plus a ``rank`` column (1-based, dense
+over the total order) and a ``total`` count column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    total_col: str = "total",
+) -> DataFrame:
+    """Exact global 1-based rank over ``order_cols`` without a global
+    sort. ``bucket`` must be monotone non-decreasing in the
+    ``order_cols`` order (e.g. ``value div span`` when ranking by
+    (value, id)); rows with equal order keys get distinct ranks in an
+    order determined by the (deterministic) trailing order columns."""
+    b = df.withColumn("__bucket", bucket)
+    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    w_prefix = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prefixes = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__bn").over(w_prefix), F.lit(0)).alias("__prefix"),
+        F.sum("__bn").over(w_all).alias(total_col),
+    )
+    w_local = Window.partitionBy("__bucket").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        b.join(F.broadcast(prefixes), "__bucket")
+        .withColumn(rank_col, F.col("__prefix") + F.row_number().over(w_local))
+        .drop("__bucket", "__prefix")
+    )
+
+
+def proportional_bucket(
+    rank_col: str, total_col: str, buckets: int
+) -> Column:
+    """Equi-depth bucket of a 1-based rank: ``(rank - 1) * buckets div
+    total + 1`` — sizes differ by at most one, odd rows interleave."""
+    return F.expr(f"({rank_col} - 1) * {buckets} div {total_col} + 1").cast(
+        "int"
+    )

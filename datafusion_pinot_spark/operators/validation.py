@@ -210,35 +210,21 @@ def equi_depth_histogram(
     front-loading; the oracle uses the identical formula). No corpus-wide
     single-partition sort exists in the plan.
     """
+    from datafusion_pinot_spark.operators.ranking import (
+        global_rank,
+        proportional_bucket,
+    )
+
     cents = F.round(F.col(value_col) * 100, 0).cast("long")
-    base = lineitem.select(cents.alias("cents"), *id_cols).withColumn(
-        "vrange", F.expr(f"cents div {range_span_cents}")
-    )
-    range_counts = base.groupBy("vrange").agg(
-        F.count(F.lit(1)).alias("rn")
-    )
-    w_prefix = Window.orderBy("vrange").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    prefixes = range_counts.select(
-        "vrange",
-        F.coalesce(F.sum("rn").over(w_prefix), F.lit(0)).alias("prefix"),
-        F.sum("rn").over(
-            Window.orderBy("vrange").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
-    )
-    w_local = Window.partitionBy("vrange").orderBy(
-        F.col("cents"), *[F.col(c) for c in id_cols]
-    )
-    ranked = base.join(F.broadcast(prefixes), "vrange").withColumn(
-        "rank", F.col("prefix") + F.row_number().over(w_local)
+    base = lineitem.select(cents.alias("cents"), *id_cols)
+    ranked = global_rank(
+        base,
+        F.expr(f"cents div {range_span_cents}"),
+        ["cents", *id_cols],
     )
     return (
         ranked.withColumn(
-            "bucket",
-            F.expr(f"(rank - 1) * {buckets} div total + 1").cast("int"),
+            "bucket", proportional_bucket("rank", "total", buckets)
         )
         .groupBy("bucket")
         .agg(

@@ -2147,6 +2147,20 @@ def _register_validation():
         "parity",
         ["pinot", "storage", "zorder", "filter"],
     )(_q_pinot_zorder_scan)
+    from datafusion_pinot_spark.operators import experiment
+
+    register(
+        "ab_test_conversion",
+        experiment.ab_test_conversion_oracle_sql(),
+        "llm",
+        ["events", "experiment", "stats"],
+    )(lambda spark, sf: experiment.ab_test_conversion(t(spark, sf, "events")))
+    register(
+        "rfm_segments",
+        experiment.rfm_segments_oracle_sql(),
+        "llm",
+        ["events", "rfm", "segmentation"],
+    )(lambda spark, sf: experiment.rfm_segments(t(spark, sf, "events")))
     register(
         "ohlc_daily_bars",
         temporal.ohlc_bars_oracle_sql(),
@@ -6028,7 +6042,7 @@ DRIVER_WINDOW: list[str] = [
     # pure Spark-SQL builtin breadth, low cross-engine drift risk; the
     # slot goes to the new storage data type below.)
     "pinot_bigdecimal_roundtrip",  # r6: BIG_DECIMAL exact-decimal columns
-    "incremental_dedup_bloom",  # r6: corpus-bloom prefiltered exact dedup
+    "rfm_segments",  # r6c4: three two-pass quartile ranks over users
     "pinot_text_match_scan",  # r6: text-index keyword probe through storage
     "time_weighted_average",  # r6c4: step-interp TWA, decimal38 weights
     "ann_pq_pinot_codes_topk",  # r6: PQ codes persisted + served via storage
@@ -6040,7 +6054,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
     "pinot_rollup_compacted_agg",  # r6: merge-rollup during compaction
     "pinot_upsert_latest",  # r6: upsert-table last-wins read
-    "pinot_upsert_partial",  # r6: partial-upsert non-null column merge
+    "ab_test_conversion",  # r6c4: median-split A/B with pooled z
     "training_shard_assignment",  # r6: deterministic export shuffle
     "psi_drift_event_mix",  # r6c4: PSI drift, integer ppm shares
     "equi_depth_price_histogram",  # r6c4: two-pass global-rank quantile hist

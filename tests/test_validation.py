@@ -148,9 +148,9 @@ def test_equi_depth_no_single_partition_sort(spark, testdata):
     # frame — and it feeds the range-keyed aggregate, not the table
     assert plan.count("Exchange SinglePartition") == 1
     tail = plan.split("Exchange SinglePartition")[1]
-    assert "HashAggregate(keys=[vrange" in tail
-    # the table-side row_number window partitions by vrange
-    assert "windowspecdefinition(vrange" in plan
+    assert "HashAggregate(keys=[__bucket" in tail
+    # the table-side row_number window partitions by the range bucket
+    assert "windowspecdefinition(__bucket" in plan
 
 
 def test_psi_drift_zero_when_identical(spark):
@@ -245,3 +245,44 @@ def test_time_weighted_average_step_semantics(spark):
     assert r["n_intervals"] == 2
     assert r["total_dur_s"] == 5400
     assert r["twa_value"] == 13.3333
+
+
+def test_ab_test_median_split(spark):
+    from datafusion_pinot_spark.operators.experiment import ab_test_conversion
+
+    # 4 users: spends 10, 20, 30, 40 -> low-median 20; converted = {3, 4}
+    # (u=3 odd -> variant B, u=4 even -> variant A)
+    rows = []
+    eid = 0
+    for u, spend in ((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)):
+        eid += 1
+        rows.append((eid, u, "purchase", _ts("2024-01-01T00:00:00"), spend))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    r = ab_test_conversion(ev).collect()[0]
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (2, 1, 2, 1)
+    assert r["rate_a_ppm"] == 500000 and r["rate_b_ppm"] == 500000
+    assert r["z_stat"] == 0.0  # identical rates
+
+
+def test_rfm_codes(spark):
+    from datafusion_pinot_spark.operators.experiment import rfm_segments
+
+    # 4 users, fully ordered on every dimension; quartiles of 4 users
+    # put one user per score. User 4: most recent + most events + top
+    # spend -> code 111; user 1: oldest, fewest, least -> 444.
+    rows = []
+    eid = 0
+    for u in (1, 2, 3, 4):
+        for k in range(u):  # frequency: u events
+            eid += 1
+            rows.append(
+                (eid, u, "purchase", _ts(f"2024-01-0{u}T0{k}:00:00"),
+                 float(u) * 10)
+            )
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    out = {r["rfm_code"]: r["n_users"] for r in rfm_segments(ev).collect()}
+    assert out == {111: 1, 222: 1, 333: 1, 444: 1}
