@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, n_frames int, checksum long"
@@ -185,3 +185,200 @@ SELECT doc_id,
                                     i -> unicode(text[i]))) % 2147483648 AS BIGINT) AS checksum
 FROM b
 """
+
+
+# 32-bit fake perceptual hash: wide enough that the 8-bit LSH bands give
+# 4 x 256 buckets (a 16-bit hash's 4-bit bands collapse to 64 buckets —
+# every bucket overflows the cap once the corpus passes a few thousand
+# rows and the join silently finds nothing); a production pHash would be
+# 64-bit with the same banding
+PHASH_BITS = 32
+PHASH_CHUNK_HEX = 16  # 8 payload bytes per voting chunk
+PHASH_BANDS = 4  # 8 bits per band; pigeonhole covers hamming <= 3
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """Deterministic stand-in perceptual hash over the binary payload:
+    the payload's hex encoding is cut into 8-byte chunks, each chunk's
+    md5 votes on ``PHASH_BITS`` bits (simhash-style bit votes — similar
+    payloads share most chunks, so their hashes land within a small
+    hamming distance). The md5 family keeps every stage reproducible in
+    DuckDB (the same oracle trick as :func:`dedup.simhash48_md5`); a
+    real pHash would slot into the decode seam (``real_decode``).
+
+    Scale shape: narrow per-row map (hex + substring chunking via one
+    sequence explode) and ONE media-keyed vote aggregation."""
+    chunks = (
+        media.select("doc_id", F.hex(F.col("payload")).alias("hx"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (length(hx) - 1) div {PHASH_CHUNK_HEX}),"
+                    f" i -> substring(hx, i * {PHASH_CHUNK_HEX} + 1, {PHASH_CHUNK_HEX}))"
+                )
+            ).alias("chunk"),
+        )
+        .select("doc_id", F.md5("chunk").alias("h"))
+    )
+    digits = chunks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h", i + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"d{i}")
+            for i in range(PHASH_BITS // 4)
+        ],
+    )
+    votes = digits.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(PHASH_BITS)
+        ]
+    )
+    fp = sum(
+        (
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(1, PHASH_BITS)
+        ),
+        F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return votes.select("doc_id", fp.cast("long").alias("phash"))
+
+
+def media_phash_near_dup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash hamming distance,
+    via banded LSH — NOT an all-pairs comparison.
+
+    The 32-bit phash splits into ``PHASH_BANDS`` 8-bit bands; by the
+    pigeonhole principle any pair within hamming ``max_hamming`` (< the
+    band count) agrees exactly on at least one band, so candidates come
+    from an equi-join on (band index, band value), viral buckets capped
+    at ``max_bucket_size``, and only candidates pay the exact
+    ``bit_count(xor)`` verify — the same bucket-join discipline as the
+    MinHash pipeline (:func:`dedup.minhash_lsh_candidate_pairs`).
+
+    Output: ``doc_a < doc_b, hamming`` for verified pairs."""
+    ph = media_phash(with_binary_payload(docs))
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("phash"), 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "phash", "bv.band", "bv.val")
+    sized = bands.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "val")),
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select(
+        F.col("band"),
+        F.col("val"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+    )
+    b = sized.select(
+        F.col("band"),
+        F.col("val"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    ).cast("int")
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def media_phash_near_dup_oracle_sql(
+    max_hamming: int = 3, max_bucket_size: int = 64
+) -> str:
+    nd = PHASH_BITS // 4
+    digits = ",\n         ".join(
+        f"strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS d{i}"
+        for i in range(nd)
+    )
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (d{b // 4} >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS b{b}"
+        for b in range(PHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(PHASH_BITS)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, phash, {i} AS band,"
+        f" (phash >> {8 * i}) & 255 AS val FROM f"
+        for i in range(PHASH_BANDS)
+    )
+    return f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+), c AS (
+  -- LATERAL range unnest, NOT list_transform: DuckDB v1.0 computes list
+  -- lambdas over rows of unequal lengths incorrectly (SCALE.md hazard)
+  SELECT doc_id,
+         substr(hx, r.i * {PHASH_CHUNK_HEX} + 1, {PHASH_CHUNK_HEX}) AS chunk
+  FROM hx, LATERAL (
+    SELECT unnest(range(0, (length(hx) - 1) // {PHASH_CHUNK_HEX} + 1)) AS i
+  ) r
+), h AS (
+  SELECT doc_id, md5(chunk) AS h FROM c
+), d AS (
+  SELECT doc_id,
+         {digits}
+  FROM h
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM d GROUP BY doc_id
+), f AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS phash FROM v
+), bands AS (
+  {bands}
+), sized AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, val) AS bucket_n FROM bands)
+  WHERE bucket_n <= {max_bucket_size}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS ph_a, b.phash AS ph_b
+  FROM sized a JOIN sized b ON a.band = b.band AND a.val = b.val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= {max_hamming}
+ORDER BY doc_a, doc_b"""

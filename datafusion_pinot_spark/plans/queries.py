@@ -2147,6 +2147,18 @@ def _register_validation():
         "parity",
         ["pinot", "storage", "zorder", "filter"],
     )(_q_pinot_zorder_scan)
+    from datafusion_pinot_spark.operators import multimodal
+
+    register(
+        "media_phash_near_dup",
+        multimodal.media_phash_near_dup_oracle_sql(),
+        "llm",
+        ["multimodal", "dedup", "lsh"],
+    )(
+        lambda spark, sf: multimodal.media_phash_near_dup(
+            _docs(spark, sf)
+        )
+    )
     from datafusion_pinot_spark.operators import experiment
 
     register(
@@ -6029,7 +6041,7 @@ DRIVER_WINDOW: list[str] = [
     "q22_dormant_customers",
     "paragraph_dedup_reassemble",  # r6: Dolma/C4 paragraph dedup + reassembly
     "duplicate_span_coverage",  # r6: exact duplicate-substring (n-gram join)
-    "ngram_repetition_stats",  # r6: Gopher duplicate/top n-gram fractions
+    "media_phash_near_dup",  # r6c4: banded hamming-LSH over fake pHash
     "pii_redact_events",  # r6: PII detection + chained masking
     "quality_filter_pipeline",  # r6: FineWeb-style keep/drop gate
     "theta_sketch_intersection",  # r6: KMV theta intersection (estimator)
