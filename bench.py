@@ -533,6 +533,16 @@ def marginal_tier(
         probe_out[pruned]["speedup_vs_fullscan"] = round(
             probe_out[base]["sec"] / probe_out[pruned]["sec"], 2
         )
+    # planning-level evidence for the dim2 pair (the task-level timing is
+    # floor-dominated locally): how many segments each layout actually
+    # decodes for the same predicate, via the zero-open cost preview
+    from datafusion_pinot_spark.catalog import estimate_scan_cost
+
+    b_pred = [("b", ">=", 32), ("b", "<=", 63)]
+    probe_out["dim2_prune"] = {
+        "linear": estimate_scan_cost(big_lin2d, filters=b_pred),
+        "zorder": estimate_scan_cost(big_z, filters=b_pred),
+    }
     out["index_probes"] = probe_out
 
     out["storage_micro"] = storage_micro(rng_table_dir, bloom_table_dir)
