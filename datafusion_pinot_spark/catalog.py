@@ -524,17 +524,37 @@ def estimate_scan_cost(
     ]
     segs = _segment_v3_dirs(table_dir)
     stats = stats_for_segments(segs)
-    survivors, est_rows, est_bytes = [], 0, 0
+    survivors, est_rows, est_bytes, stale = [], 0, 0, 0
     for v3 in segs:
         s = stats.get(v3)
         if fs and _segment_can_be_skipped(v3, fs, s):
             continue
         survivors.append(v3)
-        if s:
+        if s is None:
+            # stale/missing manifest entry: the degraded path already
+            # paid a segment open inside the skip check above, so one
+            # more open for the row count is the honest estimate — a
+            # silent est_rows=0 would make an admission-control caller
+            # ADMIT exactly the full-table scan it should reject
+            stale += 1
+            from pinot_segment import SegmentReader
+
+            try:
+                reader = SegmentReader.open(v3)
+                est_rows += reader.total_docs()
+                ncols = max(
+                    1,
+                    sum(
+                        1
+                        for cm in reader.metadata.columns.values()
+                        if cm.is_single_value
+                    ),
+                )
+            except Exception:
+                ncols = 1
+        else:
             est_rows += int(s.get("total_docs", 0))
             ncols = max(1, len(s.get("columns", {})))
-        else:
-            ncols = 1
         psf = os.path.join(v3, "columns.psf")
         try:
             nbytes = os.stat(psf).st_size
@@ -544,10 +564,13 @@ def estimate_scan_cost(
             nbytes = nbytes * min(len(columns), ncols) // ncols
         est_bytes += nbytes
     n = len(segs)
-    return {
+    out = {
         "n_segments": n,
         "n_survivors": len(survivors),
         "est_rows": est_rows,
         "est_bytes": est_bytes,
         "pruned_pct": 0 if n == 0 else (n - len(survivors)) * 100 // n,
     }
+    if stale:
+        out["stale_segments"] = stale
+    return out

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from datafusion_pinot_spark.operators.ranking import (
     global_rank,
+    percentile_rank,
     proportional_bucket,
 )
 
@@ -44,13 +45,13 @@ def ab_test_conversion(
             .alias("cents"),
         )
         .groupBy("u")
-        .agg(F.sum("cents").cast("long").alias("cents"))
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("cents"))
     )
     ranked = global_rank(
         spend, F.expr("cents div 1000000"), ["cents", "u"]
     )
     med = ranked.filter(
-        F.col("rank") == F.expr("(total - 1) * 50 div 100 + 1")
+        F.col("rank") == percentile_rank("total", 50)
     ).select(F.col("cents").alias("median_cents"))
     per_user = (
         ranked.crossJoin(F.broadcast(med))
@@ -78,11 +79,17 @@ def ab_test_conversion(
         "conv_a",
         "n_b",
         "conv_b",
-        F.expr("conv_a * 1000000L div n_a").alias("rate_a_ppm"),
-        F.expr("conv_b * 1000000L div n_b").alias("rate_b_ppm"),
+        F.expr(
+            "CASE WHEN n_a = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE conv_a * 1000000L div n_a END"
+        ).alias("rate_a_ppm"),
+        F.expr(
+            "CASE WHEN n_b = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE conv_b * 1000000L div n_b END"
+        ).alias("rate_b_ppm"),
         F.round(
             F.expr(
-                "CASE WHEN conv_a + conv_b = 0 "
+                "CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0 "
                 "OR conv_a + conv_b = n_a + n_b THEN 0.0 ELSE "
                 "(conv_a / n_a - conv_b / n_b) / "
                 "sqrt(((conv_a + conv_b) / (n_a + n_b)) "
@@ -126,9 +133,11 @@ WITH spend AS (
   FROM per_user
 )
 SELECT n_a, conv_a, n_b, conv_b,
-       conv_a * 1000000 // n_a AS rate_a_ppm,
-       conv_b * 1000000 // n_b AS rate_b_ppm,
-       round(CASE WHEN conv_a + conv_b = 0
+       CASE WHEN n_a = 0 THEN 0 ELSE conv_a * 1000000 // n_a END
+         AS rate_a_ppm,
+       CASE WHEN n_b = 0 THEN 0 ELSE conv_b * 1000000 // n_b END
+         AS rate_b_ppm,
+       round(CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
                   OR conv_a + conv_b = n_a + n_b THEN 0.0 ELSE
              (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
              / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
@@ -160,11 +169,14 @@ def rfm_segments(
     per_user = events.groupBy(F.col(user_col).alias("u")).agg(
         F.max(us).alias("last_us"),
         F.count(F.lit(1)).cast("long").alias("freq"),
-        F.sum(
-            F.when(
-                F.col(type_col) == value_type,
-                F.round(F.col("value") * 100, 0).cast("long"),
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col(type_col) == value_type,
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("cents"),

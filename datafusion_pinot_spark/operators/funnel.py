@@ -745,8 +745,10 @@ def funnel_time_to_convert(
         rank_col="rn",
         total_col="n_conv",
     )
-    k50 = F.expr("(n_conv - 1) * 50 div 100 + 1")
-    k90 = F.expr("(n_conv - 1) * 90 div 100 + 1")
+    from datafusion_pinot_spark.operators.ranking import percentile_rank
+
+    k50 = percentile_rank("n_conv", 50)
+    k90 = percentile_rank("n_conv", 90)
     stats = ranked.agg(
         F.max("n_conv").cast("long").alias("n_converted"),
         F.min("lat_us").alias("min_lat_us"),

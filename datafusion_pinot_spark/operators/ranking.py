@@ -33,7 +33,13 @@ def global_rank(
     sort. ``bucket`` must be monotone non-decreasing in the
     ``order_cols`` order (e.g. ``value div span`` when ranking by
     (value, id)); rows with equal order keys get distinct ranks in an
-    order determined by the (deterministic) trailing order columns."""
+    order determined by the (deterministic) trailing order columns.
+
+    PRECONDITION: the bucket and order keys must be NON-NULL. A NULL
+    bucket would be counted into ``total`` and every prefix by the
+    nulls-first window but never matched by the equi-join, silently
+    dropping the row and shifting every rank — callers coalesce or
+    filter NULLs first (all in-repo callers guarantee this)."""
     b = df.withColumn("__bucket", bucket)
     counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bn"))
     w_prefix = Window.orderBy("__bucket").rowsBetween(
@@ -65,3 +71,11 @@ def proportional_bucket(
     return F.expr(f"({rank_col} - 1) * {buckets} div {total_col} + 1").cast(
         "int"
     )
+
+
+def percentile_rank(total_col: str, pct: int) -> Column:
+    """The 1-based rank holding the exact low-``pct``-percentile order
+    statistic of ``total_col`` rows: ``(total - 1) * pct div 100 + 1``.
+    The single formula behind every exact median/quantile in the repo
+    (A/B median split, funnel latency p50/p90, MAD medians)."""
+    return F.expr(f"({total_col} - 1) * {pct} div 100 + 1")

@@ -638,7 +638,10 @@ def time_weighted_average(
         "dur_s", F.expr("(lead(us) OVER (PARTITION BY category "
                         "ORDER BY us, id) - us) div 1000000")
     ).filter(F.col("dur_s").isNotNull())
-    big = (F.col("cents") * F.col("dur_s")).cast("decimal(38,0)")
+    # cast BEFORE multiplying: a BIGINT product cents * dur_s can overflow
+    # (ANSI throws; the DuckDB oracle multiplies in HUGEINT), a
+    # DECIMAL(38,0) product cannot at any realistic scale
+    big = F.col("cents").cast("decimal(38,0)") * F.col("dur_s")
     return (
         stepped.groupBy("category")
         .agg(

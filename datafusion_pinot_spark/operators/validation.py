@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from datafusion_pinot_spark.operators.ranking import percentile_rank
+
 # (name, boolean SQL over lineitem columns) — row-local constraints share
 # one scan/aggregate. SQL strings are valid in both Spark SQL and DuckDB.
 LINEITEM_CONSTRAINTS: list[tuple[str, str]] = [
@@ -294,8 +296,7 @@ def mad_anomaly_days(
                 out_col,
                 F.max(
                     F.when(
-                        F.col("_rn")
-                        == F.expr("(_nd - 1) * 50 div 100 + 1"),
+                        F.col("_rn") == percentile_rank("_nd", 50),
                         F.col(val_col),
                     )
                 ).over(cnt),

@@ -89,3 +89,23 @@ def test_estimate_empty_table(tmp_path):
         "est_bytes": 0,
         "pruned_pct": 0,
     }
+
+
+def test_estimate_without_manifest_still_counts_rows(tmp_path):
+    """Stale/missing manifest: survivors must still report their true row
+    volume (a silent est_rows=0 would admit the very scan the preview
+    exists to reject), flagged via stale_segments."""
+    from datafusion_pinot_spark.catalog import estimate_scan_cost
+
+    td = tmp_path / "s_OFFLINE"
+    for i in range(2):
+        write_segment(
+            td / f"seg{i}",
+            f"seg{i}",
+            "s",
+            [ColumnSpec("k", DataType.LONG, np.arange(i * 10, i * 10 + 10))],
+        )
+    out = estimate_scan_cost(str(td), filters=[("k", ">=", 0)])
+    assert out["n_survivors"] == 2
+    assert out["est_rows"] == 20
+    assert out["stale_segments"] == 2
