@@ -2187,6 +2187,118 @@ def _register_validation():
         "llm",
         ["events", "timeseries", "twa"],
     )(lambda spark, sf: temporal.time_weighted_average(t(spark, sf, "events")))
+    def _q_forecast_backtest(spark, sf):
+        """Seasonal-naive forecast backtest: predict each hour's event
+        count per type with the count one week (168 h) earlier, scored
+        only over hours where both actual and forecast exist. Errors are
+        integer-exact: mae_milli (mean absolute error in thousandths)
+        and wape_ppm (weighted absolute percentage error in ppm). One
+        (type, hour) count aggregate + a self equi-join on the shifted
+        hour — both shuffle on the same key."""
+        ev = t(spark, sf, "events")
+        hours = ev.groupBy(
+            F.col("event_type").alias("et"),
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        fc = hours.select(
+            "et", (F.col("h") + 168).alias("h"), F.col("n").alias("f_n")
+        )
+        j = hours.join(fc, ["et", "h"])
+        err = F.abs(F.col("n") - F.col("f_n"))
+        return (
+            j.groupBy(F.col("et").alias("event_type"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_hours"),
+                F.expr(
+                    f"sum(abs(n - f_n)) * 1000L div count(*)"
+                ).alias("mae_milli"),
+                F.expr(
+                    "CASE WHEN sum(n) = 0 THEN CAST(0 AS BIGINT) "
+                    "ELSE sum(abs(n - f_n)) * 1000000L div sum(n) END"
+                ).alias("wape_ppm"),
+            )
+            .orderBy("event_type")
+        )
+
+    register(
+        "forecast_backtest_weekly",
+        """WITH hours AS (
+             SELECT event_type AS et, epoch_us(ts) // 3600000000 AS h,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM events GROUP BY 1, 2),
+           j AS (
+             SELECT a.et, a.n, f.n AS f_n
+             FROM hours a JOIN hours f
+               ON a.et = f.et AND a.h = f.h + 168)
+           SELECT et AS event_type,
+                  CAST(count(*) AS BIGINT) AS n_hours,
+                  CAST(sum(abs(n - f_n)) * 1000 // count(*) AS BIGINT)
+                    AS mae_milli,
+                  CAST(CASE WHEN sum(n) = 0 THEN 0
+                       ELSE sum(abs(n - f_n)) * 1000000 // sum(n) END
+                       AS BIGINT) AS wape_ppm
+           FROM j GROUP BY et ORDER BY event_type""",
+        "llm",
+        ["events", "forecast", "timeseries"],
+    )(_q_forecast_backtest)
+
+    def _q_missing_hours(spark, sf):
+        """Gap detection, the complement of events_gapfill_hourly: hourly
+        buckets with ZERO events between each type's first and last
+        active hour. Engine-side sequence grid + left anti join — the
+        grid is hours-per-type (tiny), the event table reduces to
+        (type, hour) first."""
+        ev = t(spark, sf, "events")
+        hours = ev.groupBy(
+            F.col("event_type").alias("et"),
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+        span = hours.groupBy("et").agg(
+            F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+        )
+        grid = span.select(
+            "et",
+            F.explode(F.sequence(F.col("h_lo"), F.col("h_hi"))).alias("h"),
+        )
+        missing = grid.join(hours, ["et", "h"], "left_anti")
+        return (
+            missing.groupBy(F.col("et").alias("event_type"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_missing_hours"),
+                F.timestamp_micros(
+                    F.min("h") * F.lit(3_600_000_000)
+                ).alias("first_gap"),
+                F.timestamp_micros(
+                    F.max("h") * F.lit(3_600_000_000)
+                ).alias("last_gap"),
+            )
+            .orderBy("event_type")
+        )
+
+    register(
+        "events_missing_hours",
+        """WITH hours AS (
+             SELECT event_type AS et, epoch_us(ts) // 3600000000 AS h
+             FROM events GROUP BY 1, 2),
+           span AS (
+             SELECT et, min(h) AS h_lo, max(h) AS h_hi
+             FROM hours GROUP BY et),
+           grid AS (
+             SELECT et, g.h FROM span,
+                  LATERAL (SELECT unnest(range(h_lo, h_hi + 1)) AS h) g),
+           missing AS (
+             SELECT g.et, g.h FROM grid g
+             LEFT JOIN hours x ON g.et = x.et AND g.h = x.h
+             WHERE x.h IS NULL)
+           SELECT et AS event_type,
+                  CAST(count(*) AS BIGINT) AS n_missing_hours,
+                  epoch_ms(min(h) * 3600000) AS first_gap,
+                  epoch_ms(max(h) * 3600000) AS last_gap
+           FROM missing GROUP BY et ORDER BY event_type""",
+        "llm",
+        ["events", "gaps", "timeseries"],
+    )(_q_missing_hours)
+
     # Funnel-family capstone: fastest window-compliant conversion latency
     # per user (struct-accumulator fold), exact p50/p90 via the bucketed
     # two-pass global rank.
@@ -6039,14 +6151,14 @@ DRIVER_WINDOW: list[str] = [
     "q11_important_parts",
     "data_quality_report",  # r6c4: Deequ-style one-pass constraint report
     "funnel_time_to_convert",  # r6c4: struct-fold latency + 2-pass quantiles
-    "q20_majority_supplier",
+    "forecast_backtest_weekly",  # r6c4: seasonal-naive backtest, integer errors
     "q22_dormant_customers",
     "paragraph_dedup_reassemble",  # r6: Dolma/C4 paragraph dedup + reassembly
     "duplicate_span_coverage",  # r6: exact duplicate-substring (n-gram join)
     "media_phash_near_dup",  # r6c4: banded hamming-LSH over fake pHash
     "pii_redact_events",  # r6: PII detection + chained masking
     "quality_filter_pipeline",  # r6: FineWeb-style keep/drop gate
-    "theta_sketch_intersection",  # r6: KMV theta intersection (estimator)
+    "events_missing_hours",  # r6c4: grid anti-join gap detection
     # (window_value_functions deferred to the pytest oracle tier: pure
     # Spark-SQL window breadth with low cross-engine drift risk; the slot
     # goes to the Java-vs-RE2 regex query below, where engine drift is
