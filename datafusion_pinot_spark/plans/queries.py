@@ -2187,6 +2187,137 @@ def _register_validation():
         "llm",
         ["events", "timeseries", "twa"],
     )(lambda spark, sf: temporal.time_weighted_average(t(spark, sf, "events")))
+    def _q_stable_moments(spark, sf):
+        """Exact second moments per event type: population variance and
+        stddev of the value column computed from integer cents sums —
+        sum and sum-of-squares accumulate as DECIMAL(38,0) (order
+        independent under any partitioning, unlike a double Welford or
+        naive double sums, which drift with partition count), and only
+        the final variance/stddev division goes through rounded
+        doubles. One map-side-combining aggregate."""
+        ev = t(spark, sf, "events")
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        d38 = "decimal(38,0)"
+        return (
+            ev.select(F.col("event_type"), cents.alias("c"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("c").cast(d38)).alias("_s"),
+                F.sum(
+                    (F.col("c").cast(d38) * F.col("c")).cast(d38)
+                ).alias("_ss"),
+            )
+            .select(
+                "event_type",
+                "n",
+                F.round(
+                    (
+                        F.col("_ss").cast("double") / F.col("n")
+                        - (F.col("_s").cast("double") / F.col("n"))
+                        * (F.col("_s").cast("double") / F.col("n"))
+                    )
+                    / 10000.0,
+                    4,
+                ).alias("var_value"),
+                F.round(
+                    F.sqrt(
+                        F.col("_ss").cast("double") / F.col("n")
+                        - (F.col("_s").cast("double") / F.col("n"))
+                        * (F.col("_s").cast("double") / F.col("n"))
+                    )
+                    / 100.0,
+                    4,
+                ).alias("stddev_value"),
+            )
+            .orderBy("event_type")
+        )
+
+    register(
+        "stable_moments",
+        """WITH s AS (
+             SELECT event_type,
+                    CAST(round(value * 100, 0) AS BIGINT) AS c
+             FROM events),
+           g AS (
+             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    sum(CAST(c AS HUGEINT)) AS s,
+                    sum(CAST(c AS HUGEINT) * c) AS ss
+             FROM s GROUP BY event_type)
+           SELECT event_type, n,
+                  round((CAST(ss AS DOUBLE) / n
+                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                        / 10000.0, 4) AS var_value,
+                  round(sqrt(CAST(ss AS DOUBLE) / n
+                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                        / 100.0, 4) AS stddev_value
+           FROM g ORDER BY event_type""",
+        "llm",
+        ["events", "stats", "moments"],
+    )(_q_stable_moments)
+
+    def _q_benford_digit_test(spark, sf):
+        """Benford first-digit audit of l_extendedprice: observed counts
+        per leading digit vs the Benford expectation, plus the chi-square
+        statistic. Digit extraction is pure integer arithmetic on cents
+        (no string formatting drift); expected counts use ln ratios
+        rounded late. The canonical fabricated-data screen."""
+        li = t(spark, sf, "lineitem")
+        cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        # leading digit via the decimal string of the positive integer —
+        # no float power/log in the digit itself (identical in DuckDB)
+        digit = F.expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)")
+        counts = (
+            li.select(cents.alias("cents"))
+            .filter(F.col("cents") > 0)
+            .withColumn("digit", digit)
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+        )
+        tot = counts.agg(F.sum("observed").cast("long").alias("total"))
+        j = counts.crossJoin(F.broadcast(tot))
+        expected = F.col("total") * F.log(
+            10.0, (F.col("digit") + 1) / F.col("digit")
+        )
+        return (
+            j.select(
+                "digit",
+                "observed",
+                F.round(expected, 2).alias("expected"),
+                F.round(
+                    (F.col("observed") - expected)
+                    * (F.col("observed") - expected)
+                    / expected,
+                    4,
+                ).alias("chi2_contrib"),
+            )
+            .orderBy("digit")
+        )
+
+    register(
+        "benford_digit_test",
+        """WITH c AS (
+             SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+             FROM lineitem),
+           d AS (
+             SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit
+             FROM c WHERE cents > 0),
+           g AS (
+             SELECT digit, CAST(count(*) AS BIGINT) AS observed
+             FROM d GROUP BY digit),
+           t AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM g)
+           SELECT digit, observed,
+                  round(total * log10((digit + 1.0) / digit), 2) AS expected,
+                  round((observed - total * log10((digit + 1.0) / digit))
+                        * (observed - total * log10((digit + 1.0) / digit))
+                        / (total * log10((digit + 1.0) / digit)), 4)
+                    AS chi2_contrib
+           FROM g CROSS JOIN t ORDER BY digit""",
+        "llm",
+        ["lineitem", "stats", "quality"],
+    )(_q_benford_digit_test)
+
     def _q_forecast_backtest(spark, sf):
         """Seasonal-naive forecast backtest: predict each hour's event
         count per type with the count one week (168 h) earlier, scored
@@ -6157,13 +6288,13 @@ DRIVER_WINDOW: list[str] = [
     "duplicate_span_coverage",  # r6: exact duplicate-substring (n-gram join)
     "media_phash_near_dup",  # r6c4: banded hamming-LSH over fake pHash
     "pii_redact_events",  # r6: PII detection + chained masking
-    "quality_filter_pipeline",  # r6: FineWeb-style keep/drop gate
+    "benford_digit_test",  # r6c4: first-digit audit, string-exact digits
     "events_missing_hours",  # r6c4: grid anti-join gap detection
     # (window_value_functions deferred to the pytest oracle tier: pure
     # Spark-SQL window breadth with low cross-engine drift risk; the slot
     # goes to the Java-vs-RE2 regex query below, where engine drift is
     # the actual hazard the driver check exists to catch.)
-    "event_sequence_regex",  # r6: MATCH_RECOGNIZE-lite per-user sequences
+    "stable_moments",  # r6c4: decimal38 exact variance/stddev
     # (scalar_functions_extended deferred to the pytest oracle tier:
     # pure Spark-SQL builtin breadth, low cross-engine drift risk; the
     # slot goes to the new storage data type below.)
