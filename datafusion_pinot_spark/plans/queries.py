@@ -2187,6 +2187,19 @@ def _register_validation():
         "llm",
         ["events", "timeseries", "twa"],
     )(lambda spark, sf: temporal.time_weighted_average(t(spark, sf, "events")))
+    from datafusion_pinot_spark.streaming import windowed as _wnd
+
+    register(
+        "stream_left_outer_closed",
+        _wnd.stream_stream_left_outer_closed_oracle_sql(),
+        "llm",
+        ["streaming", "join", "watermark"],
+    )(
+        lambda spark, sf: _wnd.stream_stream_left_outer_closed(
+            spark, f"{sf}/events.parquet"
+        )
+    )
+
     def _q_stable_moments(spark, sf):
         """Exact second moments per event type: population variance and
         stddev of the value column computed from integer cents sums —
@@ -6285,7 +6298,7 @@ DRIVER_WINDOW: list[str] = [
     "forecast_backtest_weekly",  # r6c4: seasonal-naive backtest, integer errors
     "q22_dormant_customers",
     "paragraph_dedup_reassemble",  # r6: Dolma/C4 paragraph dedup + reassembly
-    "duplicate_span_coverage",  # r6: exact duplicate-substring (n-gram join)
+    "stream_left_outer_closed",  # r6c4: watermarked outer join, closed subset
     "media_phash_near_dup",  # r6c4: banded hamming-LSH over fake pHash
     "pii_redact_events",  # r6: PII detection + chained masking
     "benford_digit_test",  # r6c4: first-digit audit, string-exact digits

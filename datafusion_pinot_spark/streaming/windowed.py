@@ -288,3 +288,135 @@ def stream_stream_conversions(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_stream_left_outer_closed(
+    spark: SparkSession,
+    events_parquet: str,
+    cut: str = "2024-01-18 00:00:00",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join (clicks left-joined to
+    purchases by user within ``horizon``), restricted to clicks whose
+    outer deadline the watermark has PROVABLY passed — the closed-subset
+    trick of :func:`watermarked_closed_windows` applied to outer joins.
+
+    The input splits at ``cut`` into two ordered micro-batches. After
+    batch 1 the watermark is ``wm1 = max(ts <= cut) - watermark``; kept
+    clicks satisfy ``c_ts + horizon <= wm1``, so (a) their join state is
+    expired during batch 2 (a data batch — it always runs), emitting the
+    null-extended row if unmatched, and (b) any qualifying purchase has
+    ``p_ts < c_ts + horizon <= wm1 < cut`` and therefore sits in batch 1
+    — batch-2 rows cannot match them. The kept subset thus equals a
+    plain batch LEFT JOIN of the full data, which DuckDB reproduces
+    row-for-row.
+
+    Scale: watermarks bound the join state to the horizon on both sides
+    (the canonical attribution-join shape); the split/utime here is test
+    scaffolding, not an operator path."""
+    import os
+    import tempfile
+
+    ev = _with_ts(spark.read.parquet(events_parquet))
+    split_dir = tempfile.mkdtemp(prefix="ss_louter_")
+    cut_ts = F.lit(cut).cast("timestamp")
+    p1 = os.path.join(split_dir, "part1")
+    p2 = os.path.join(split_dir, "part2")
+    ev.filter(F.col("ts") <= cut_ts).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p1)
+    ev.filter(F.col("ts") > cut_ts).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p2)
+    now = 1_000_000_000
+    for sub, mtime in ((p1, now - 100), (p2, now)):
+        for f in os.listdir(sub):
+            if not f.startswith((".", "_")):
+                os.utime(os.path.join(sub, f), (mtime, mtime))
+
+    schema = spark.read.parquet(p1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(split_dir)
+    )
+    stream = _with_ts(stream)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select(
+        "c_id",
+        "c_user",
+        F.unix_micros(F.col("c_ts")).alias("c_us"),
+        F.unix_micros(F.col("p_ts")).alias("p_us"),
+    )
+    name = f"stream_lo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    part1_max = spark.read.parquet(p1).agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    wm1_us = (
+        part1_max.replace(tzinfo=dt.timezone.utc)
+        - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    ) // dt.timedelta(microseconds=1) - 2 * 3600 * 1_000_000
+    horizon_us = 3600 * 1_000_000
+    return (
+        spark.table(name)
+        .filter(F.col("c_us") + horizon_us <= F.lit(wm1_us))
+        .select("c_id", "c_user", "c_us", "p_us")
+    )
+
+
+def stream_stream_left_outer_closed_oracle_sql(
+    cut: str = "2024-01-18 00:00:00",
+    horizon_us: int = 3_600_000_000,
+    watermark_us: int = 7_200_000_000,
+) -> str:
+    """Batch LEFT JOIN over the full data, restricted to the clicks whose
+    outer deadline is below the batch-1 watermark (see the operator
+    docstring for why the kept subset is exactly closed)."""
+    return f"""
+WITH wm AS (
+  SELECT max(epoch_us(ts)) - {watermark_us} AS wm1_us
+  FROM events WHERE ts <= TIMESTAMP '{cut}'
+), c AS (
+  SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id AS p_user, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.c_id, c.c_user, c.c_us, p.p_us
+FROM c
+LEFT JOIN p ON c.c_user = p.p_user
+           AND p.p_us >= c.c_us AND p.p_us < c.c_us + {horizon_us}
+CROSS JOIN wm
+WHERE c.c_us + {horizon_us} <= wm.wm1_us"""
