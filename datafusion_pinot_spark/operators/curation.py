@@ -439,3 +439,73 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        CAST(len(ctoks) AS INT) AS n_chunk_tokens,
        md5(array_to_string(ctoks, ' ')) AS chunk_md5
 FROM c"""
+
+
+def pps_systematic_sample(
+    docs: DataFrame, k: int = 100, bucket_span: int = BUCKET_SPAN
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sample of ~``k`` docs,
+    weighted by ``n_chars`` — the weighted corpus downsampling step of a
+    training-data pipeline, with NO floating point anywhere: a document
+    occupying cumulative-weight interval ``(cum - w, cum]`` is selected
+    iff the interval contains a stratum boundary, i.e. ``(cum * k) div W
+    > ((cum - w) * k) div W``; ``n_slots`` counts boundaries covered
+    (total slots across the corpus is exactly ``k``). Deterministic
+    start-at-zero variant: reproducible across engines and runs by
+    construction.
+
+    Scale shape: the global cumulative weight uses the same bucketed
+    two-pass prefix sums as :func:`sequence_pack_bins` — no
+    corpus-wide single-partition sort; the total weight broadcast is one
+    row."""
+    w = docs.select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    ).filter(F.col("w") > 0)
+    bucketed = w.withColumn("bucket", F.expr(f"doc_id div {bucket_span}"))
+    bucket_sums = bucketed.groupBy("bucket").agg(F.sum("w").alias("bw"))
+    w_prefix = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prefixes = bucket_sums.select(
+        "bucket",
+        F.coalesce(F.sum("bw").over(w_prefix), F.lit(0)).alias("prefix"),
+        F.sum("bw").over(w_all).alias("total_w"),
+    )
+    w_local = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bucketed.join(F.broadcast(prefixes), "bucket").withColumn(
+        "cum", F.col("prefix") + F.sum("w").over(w_local)
+    )
+    hi = F.expr(f"cum * {k} div total_w")
+    lo = F.expr(f"(cum - w) * {k} div total_w")
+    return (
+        cum.withColumn("n_slots", (hi - lo).cast("long"))
+        .filter(F.col("n_slots") > 0)
+        .select("doc_id", "w", "n_slots")
+        .orderBy("doc_id")
+    )
+
+
+def pps_systematic_sample_oracle_sql(k: int = 100) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents
+  WHERE n_chars > 0
+), c AS (
+  SELECT doc_id, w,
+         sum(w) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(w) OVER () AS total_w
+  FROM w
+)
+SELECT doc_id, w,
+       CAST(cum * {k} // total_w - (cum - w) * {k} // total_w AS BIGINT)
+         AS n_slots
+FROM c
+WHERE cum * {k} // total_w > (cum - w) * {k} // total_w
+ORDER BY doc_id"""

@@ -2187,6 +2187,15 @@ def _register_validation():
         "llm",
         ["events", "timeseries", "twa"],
     )(lambda spark, sf: temporal.time_weighted_average(t(spark, sf, "events")))
+    from datafusion_pinot_spark.operators import curation as _cur
+
+    register(
+        "pps_systematic_sample",
+        _cur.pps_systematic_sample_oracle_sql(),
+        "llm",
+        ["documents", "sampling", "curation"],
+    )(lambda spark, sf: _cur.pps_systematic_sample(_docs(spark, sf)))
+
     from datafusion_pinot_spark.streaming import windowed as _wnd
 
     register(
@@ -6286,7 +6295,7 @@ DRIVER_WINDOW: list[str] = [
     "streaming_watermarked_closed",  # r6: closed-window watermark oracle
     "ann_ivf_pinot_index_topk",  # r6: IVF inverted lists through storage
     "embedding_binary_storage_stats",  # r6: packed-binary embedding storage
-    "mixture_temperature_sample",  # r6: domain-mixture sampling
+    "pps_systematic_sample",  # r6c4: integer-exact weighted PPS sampling
     # -- r6 TPC-H completion: the remaining query shapes (Q2/Q9/Q11/Q13/
     # Q16/Q20/Q22 adapted to the testdata schema — no partsupp, so
     # lineitem's distinct (part, supplier) pairs stand in for it) --
