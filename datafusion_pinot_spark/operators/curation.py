@@ -29,6 +29,48 @@ PROBE_MAX_DOC = 20  # doc_id < this = the "benchmark" probe set
 CONTAM_PCT = 5  # contaminated iff hit_shingles/total >= 5%
 
 
+def _bucketed_prefix_sum(
+    weighted: DataFrame,
+    weight_col: str,
+    bucket_span: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Global cumulative sum of ``weight_col`` in ``order_col`` order via
+    the bucketed two-pass prefix pattern (stage 1: per-bucket sums;
+    stage 2: prefix window over the tiny bucket frame — the only
+    single-partition exchange; stage 3: broadcast back + within-bucket
+    window). Adds ``cum`` (inclusive running sum) and ``total`` columns.
+    Shared by sequence packing and PPS sampling — the scale-critical
+    plan shape is defined once."""
+    bucketed = weighted.withColumn(
+        "__bucket", F.expr(f"{order_col} div {bucket_span}")
+    )
+    sums = bucketed.groupBy("__bucket").agg(
+        F.sum(weight_col).alias("__bw")
+    )
+    w_prefix = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prefixes = sums.select(
+        "__bucket",
+        F.coalesce(F.sum("__bw").over(w_prefix), F.lit(0)).alias("__prefix"),
+        F.sum("__bw").over(w_all).alias("total"),
+    )
+    w_local = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(prefixes), "__bucket")
+        .withColumn("cum", F.col("__prefix") + F.sum(weight_col).over(w_local))
+        .drop("__bucket", "__prefix")
+    )
+
+
 def sequence_pack_bins(
     docs: DataFrame, seq_len: int = SEQ_LEN, bucket_span: int = BUCKET_SPAN
 ) -> DataFrame:
@@ -51,27 +93,7 @@ def sequence_pack_bins(
     tok = docs.select(
         "doc_id", F.size(tokens(F.col("text"))).alias("n")
     ).filter(F.col("n") > 0)
-    bucketed = tok.withColumn("bucket", F.expr(f"doc_id div {bucket_span}"))
-
-    bucket_sums = bucketed.groupBy("bucket").agg(F.sum("n").alias("bn"))
-    w_prefix = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prefixes = bucket_sums.select(
-        "bucket",
-        F.coalesce(F.sum("bn").over(w_prefix), F.lit(0)).alias("prefix"),
-    )
-
-    w_local = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = (
-        bucketed.join(F.broadcast(prefixes), "bucket")
-        .withColumn("cum", F.col("prefix") + F.sum("n").over(w_local))
-    )
+    cum = _bucketed_prefix_sum(tok, "n", bucket_span)
     first_bin = F.expr(f"(cum - n) div {seq_len}")
     last_bin = F.expr(f"(cum - 1) div {seq_len}")
     return (
@@ -461,27 +483,12 @@ def pps_systematic_sample(
     w = docs.select(
         "doc_id", F.col("n_chars").cast("long").alias("w")
     ).filter(F.col("w") > 0)
-    bucketed = w.withColumn("bucket", F.expr(f"doc_id div {bucket_span}"))
-    bucket_sums = bucketed.groupBy("bucket").agg(F.sum("w").alias("bw"))
-    w_prefix = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_all = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    prefixes = bucket_sums.select(
-        "bucket",
-        F.coalesce(F.sum("bw").over(w_prefix), F.lit(0)).alias("prefix"),
-        F.sum("bw").over(w_all).alias("total_w"),
-    )
-    w_local = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = bucketed.join(F.broadcast(prefixes), "bucket").withColumn(
-        "cum", F.col("prefix") + F.sum("w").over(w_local)
-    )
-    hi = F.expr(f"cum * {k} div total_w")
-    lo = F.expr(f"(cum - w) * {k} div total_w")
+    cum = _bucketed_prefix_sum(w, "w", bucket_span)
+    # DECIMAL(38,0) multiply: cum * k in BIGINT overflows once
+    # total_weight * k passes 2^63 (the DuckDB oracle's HUGEINT window
+    # sums would not) — decimal keeps both engines exact
+    hi = F.expr(f"CAST(cum AS DECIMAL(38,0)) * {k} div total")
+    lo = F.expr(f"CAST(cum - w AS DECIMAL(38,0)) * {k} div total")
     return (
         cum.withColumn("n_slots", (hi - lo).cast("long"))
         .filter(F.col("n_slots") > 0)

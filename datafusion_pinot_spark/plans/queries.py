@@ -2230,25 +2230,27 @@ def _register_validation():
                     (F.col("c").cast(d38) * F.col("c")).cast(d38)
                 ).alias("_ss"),
             )
+            .withColumn(
+                # n*ss - s*s is non-negative by Cauchy-Schwarz and EXACT in
+                # decimal — the ss/n - (s/n)^2 double form can go slightly
+                # negative for near-constant groups (NaN stddev in Spark, a
+                # hard sqrt error in DuckDB)
+                "_d",
+                (
+                    F.col("n").cast(d38) * F.col("_ss")
+                    - F.col("_s") * F.col("_s")
+                ).cast("double"),
+            )
             .select(
                 "event_type",
                 "n",
                 F.round(
-                    (
-                        F.col("_ss").cast("double") / F.col("n")
-                        - (F.col("_s").cast("double") / F.col("n"))
-                        * (F.col("_s").cast("double") / F.col("n"))
-                    )
-                    / 10000.0,
+                    F.col("_d") / F.col("n") / F.col("n") / F.lit(10000.0),
                     4,
                 ).alias("var_value"),
                 F.round(
-                    F.sqrt(
-                        F.col("_ss").cast("double") / F.col("n")
-                        - (F.col("_s").cast("double") / F.col("n"))
-                        * (F.col("_s").cast("double") / F.col("n"))
-                    )
-                    / 100.0,
+                    F.sqrt(F.col("_d") / F.col("n") / F.col("n"))
+                    / F.lit(100.0),
                     4,
                 ).alias("stddev_value"),
             )
@@ -2267,11 +2269,9 @@ def _register_validation():
                     sum(CAST(c AS HUGEINT) * c) AS ss
              FROM s GROUP BY event_type)
            SELECT event_type, n,
-                  round((CAST(ss AS DOUBLE) / n
-                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
-                        / 10000.0, 4) AS var_value,
-                  round(sqrt(CAST(ss AS DOUBLE) / n
-                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                  round(CAST(n * ss - s * s AS DOUBLE) / n / n / 10000.0, 4)
+                    AS var_value,
+                  round(sqrt(CAST(n * ss - s * s AS DOUBLE) / n / n)
                         / 100.0, 4) AS stddev_value
            FROM g ORDER BY event_type""",
         "llm",
@@ -2365,10 +2365,11 @@ def _register_validation():
                 F.expr(
                     f"sum(abs(n - f_n)) * 1000L div count(*)"
                 ).alias("mae_milli"),
-                F.expr(
-                    "CASE WHEN sum(n) = 0 THEN CAST(0 AS BIGINT) "
-                    "ELSE sum(abs(n - f_n)) * 1000000L div sum(n) END"
-                ).alias("wape_ppm"),
+                # sum(n) >= count(*) >= 1 whenever the group exists, so
+                # the division needs no zero guard
+                F.expr("sum(abs(n - f_n)) * 1000000L div sum(n)").alias(
+                    "wape_ppm"
+                ),
             )
             .orderBy("event_type")
         )
@@ -2387,9 +2388,8 @@ def _register_validation():
                   CAST(count(*) AS BIGINT) AS n_hours,
                   CAST(sum(abs(n - f_n)) * 1000 // count(*) AS BIGINT)
                     AS mae_milli,
-                  CAST(CASE WHEN sum(n) = 0 THEN 0
-                       ELSE sum(abs(n - f_n)) * 1000000 // sum(n) END
-                       AS BIGINT) AS wape_ppm
+                  CAST(sum(abs(n - f_n)) * 1000000 // sum(n) AS BIGINT)
+                    AS wape_ppm
            FROM j GROUP BY et ORDER BY event_type""",
         "llm",
         ["events", "forecast", "timeseries"],
@@ -2402,10 +2402,10 @@ def _register_validation():
         grid is hours-per-type (tiny), the event table reduces to
         (type, hour) first."""
         ev = t(spark, sf, "events")
-        hours = ev.groupBy(
+        hours = ev.select(
             F.col("event_type").alias("et"),
             F.expr("unix_micros(ts) div 3600000000").alias("h"),
-        ).agg(F.count(F.lit(1)).alias("n"))
+        ).distinct()
         span = hours.groupBy("et").agg(
             F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
         )
@@ -6312,10 +6312,9 @@ DRIVER_WINDOW: list[str] = [
     "pii_redact_events",  # r6: PII detection + chained masking
     "benford_digit_test",  # r6c4: first-digit audit, string-exact digits
     "events_missing_hours",  # r6c4: grid anti-join gap detection
-    # (window_value_functions deferred to the pytest oracle tier: pure
-    # Spark-SQL window breadth with low cross-engine drift risk; the slot
-    # goes to the Java-vs-RE2 regex query below, where engine drift is
-    # the actual hazard the driver check exists to catch.)
+    # (window_value_functions and event_sequence_regex deferred to the
+    # pytest oracle tier; the slot goes to the exact-moments query, whose
+    # decimal-vs-double accumulation is a real cross-engine hazard.)
     "stable_moments",  # r6c4: decimal38 exact variance/stddev
     # (scalar_functions_extended deferred to the pytest oracle tier:
     # pure Spark-SQL builtin breadth, low cross-engine drift risk; the

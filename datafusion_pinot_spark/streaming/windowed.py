@@ -135,6 +135,62 @@ def watermarked_stream_agg(
     return spark.table(name)
 
 
+def _interval_us(interval: str) -> int:
+    """Microseconds of a simple Spark interval string ("2 hours",
+    "30 minutes", "1 day") — shared by the closed-subset fixtures so the
+    watermark arithmetic always matches the string handed to Spark."""
+    n, unit = interval.strip().split()
+    mult = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }[unit.rstrip("s")]
+    return int(n) * mult
+
+
+def _two_batch_split_stream(spark: SparkSession, events_parquet: str, cut: str):
+    """The ordered two-micro-batch fixture behind every closed-subset
+    streaming oracle here: split the parquet at ``cut`` into two files,
+    force their modification order, and return ``(stream, wm1_base_us)``
+    where ``stream`` replays them as two ordered batches
+    (maxFilesPerTrigger=1) and ``wm1_base_us`` is ``max(ts <= cut)`` in
+    epoch micros — callers subtract their own watermark delay."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    ev = _with_ts(spark.read.parquet(events_parquet))
+    split_dir = tempfile.mkdtemp(prefix="split2_")
+    cut_ts = F.lit(cut).cast("timestamp")
+    p1 = os.path.join(split_dir, "part1")
+    p2 = os.path.join(split_dir, "part2")
+    ev.filter(F.col("ts") <= cut_ts).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p1)
+    ev.filter(F.col("ts") > cut_ts).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p2)
+    now = 1_000_000_000
+    for sub, mtime in ((p1, now - 100), (p2, now)):
+        for f in os.listdir(sub):
+            if not f.startswith((".", "_")):
+                os.utime(os.path.join(sub, f), (mtime, mtime))
+    schema = spark.read.parquet(p1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(split_dir)
+    )
+    part1_max = spark.read.parquet(p1).agg(F.max("ts")).collect()[0][0]
+    wm1_base_us = (
+        part1_max.replace(tzinfo=dt.timezone.utc)
+        - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    ) // dt.timedelta(microseconds=1)
+    return stream, wm1_base_us
+
+
 def watermarked_closed_windows(
     spark: SparkSession,
     events_parquet: str,
@@ -158,30 +214,7 @@ def watermarked_closed_windows(
     no-data flush may or may not have emitted before the stream drained sit
     strictly above the filter and never reach the output.
     """
-    import os
-    import tempfile
-
-    ev = _with_ts(spark.read.parquet(events_parquet))
-    split_dir = tempfile.mkdtemp(prefix="wm_closed_")
-    cut_ts = F.lit(cut).cast("timestamp")
-    p1 = os.path.join(split_dir, "part1")
-    p2 = os.path.join(split_dir, "part2")
-    ev.filter(F.col("ts") <= cut_ts).coalesce(1).write.mode("overwrite").parquet(p1)
-    ev.filter(F.col("ts") > cut_ts).coalesce(1).write.mode("overwrite").parquet(p2)
-    # file source orders batches by modification time: part1 strictly older
-    now = 1_000_000_000
-    for sub, mtime in ((p1, now - 100), (p2, now)):
-        for f in os.listdir(sub):
-            if not f.startswith((".", "_")):
-                os.utime(os.path.join(sub, f), (mtime, mtime))
-
-    schema = spark.read.parquet(p1).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(split_dir)
-    )
+    stream, wm1_base_us = _two_batch_split_stream(spark, events_parquet, cut)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
@@ -204,15 +237,8 @@ def watermarked_closed_windows(
         q.processAllAvailable()
     finally:
         q.stop()
-    # the batch-1 watermark, micro-exact (one scalar collect — fixture
-    # bound, not an operator path)
-    part1_max = spark.read.parquet(p1).agg(F.max("ts")).collect()[0][0]
-    import datetime as dt
-
-    wm_us = (
-        part1_max.replace(tzinfo=dt.timezone.utc)
-        - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
-    ) // dt.timedelta(microseconds=1) - 2 * 3600 * 1_000_000
+    # the batch-1 watermark, micro-exact, honoring the watermark PARAM
+    wm_us = wm1_base_us - _interval_us(watermark)
     return (
         spark.table(name)
         .filter(F.col("bucket_end") * 1_000_000 <= F.lit(wm_us))
@@ -315,33 +341,7 @@ def stream_stream_left_outer_closed(
     Scale: watermarks bound the join state to the horizon on both sides
     (the canonical attribution-join shape); the split/utime here is test
     scaffolding, not an operator path."""
-    import os
-    import tempfile
-
-    ev = _with_ts(spark.read.parquet(events_parquet))
-    split_dir = tempfile.mkdtemp(prefix="ss_louter_")
-    cut_ts = F.lit(cut).cast("timestamp")
-    p1 = os.path.join(split_dir, "part1")
-    p2 = os.path.join(split_dir, "part2")
-    ev.filter(F.col("ts") <= cut_ts).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(p1)
-    ev.filter(F.col("ts") > cut_ts).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(p2)
-    now = 1_000_000_000
-    for sub, mtime in ((p1, now - 100), (p2, now)):
-        for f in os.listdir(sub):
-            if not f.startswith((".", "_")):
-                os.utime(os.path.join(sub, f), (mtime, mtime))
-
-    schema = spark.read.parquet(p1).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(split_dir)
-    )
+    stream, wm1_base_us = _two_batch_split_stream(spark, events_parquet, cut)
     stream = _with_ts(stream)
     clicks = (
         stream.filter(F.col("event_type") == "click")
@@ -380,14 +380,11 @@ def stream_stream_left_outer_closed(
         q.processAllAvailable()
     finally:
         q.stop()
-    part1_max = spark.read.parquet(p1).agg(F.max("ts")).collect()[0][0]
-    import datetime as dt
-
-    wm1_us = (
-        part1_max.replace(tzinfo=dt.timezone.utc)
-        - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
-    ) // dt.timedelta(microseconds=1) - 2 * 3600 * 1_000_000
-    horizon_us = 3600 * 1_000_000
+    # closed-subset threshold honoring the ACTUAL parameters (a
+    # hardcoded delay here would silently break the guarantee for any
+    # non-default horizon/watermark)
+    wm1_us = wm1_base_us - _interval_us(watermark)
+    horizon_us = _interval_us(horizon)
     return (
         spark.table(name)
         .filter(F.col("c_us") + horizon_us <= F.lit(wm1_us))

@@ -163,9 +163,9 @@ def test_sequence_packing_has_no_corpus_wide_single_partition(q):
     assert plan.count("Exchange SinglePartition") == 1
     # the single-partition exchange sits below a bucket-keyed aggregate
     tail = plan.split("Exchange SinglePartition")[1]
-    assert "HashAggregate(keys=[bucket" in tail
-    # the corpus-side window partitions by bucket (never a global sort)
-    assert "windowspecdefinition(bucket" in plan
+    assert "HashAggregate(keys=[__bucket" in tail
+    # the corpus-side window partitions by the bucket (never a global sort)
+    assert "windowspecdefinition(__bucket" in plan
 
 
 def test_q2_broadcasts_dims_single_pair_shuffle(q):
