@@ -183,3 +183,41 @@ def test_streaming_funnel_skips_nonfunnel_only_users(spark, tmp_path):
         for r in streaming_funnel_totals(spark, path).collect()
     }
     assert got == {1: (1, 0)}
+
+
+def test_interval_us_parses_spark_intervals():
+    from datafusion_pinot_spark.streaming.windowed import _interval_us
+
+    assert _interval_us("1 hour") == 3_600_000_000
+    assert _interval_us("30 minutes") == 1_800_000_000
+    assert _interval_us("2 hours") == 7_200_000_000
+    assert _interval_us("1 day") == 86_400_000_000
+
+
+def test_left_outer_closed_honors_nondefault_params(spark, testdata):
+    """The closed-subset threshold must derive from the ACTUAL horizon and
+    watermark (both were once hardcoded to the defaults): run with
+    30min/1h and compare against a DuckDB oracle built with the SAME
+    parameters."""
+    import duckdb
+
+    from datafusion_pinot_spark.streaming.windowed import (
+        stream_stream_left_outer_closed,
+        stream_stream_left_outer_closed_oracle_sql,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = sorted(
+        tuple(r)
+        for r in stream_stream_left_outer_closed(
+            spark, path, horizon="30 minutes", watermark="1 hour"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    sql = stream_stream_left_outer_closed_oracle_sql(
+        horizon_us=1_800_000_000, watermark_us=3_600_000_000
+    )
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert got == want
+    assert len(got) > 0
