@@ -2187,6 +2187,60 @@ def _register_validation():
         "llm",
         ["events", "timeseries", "twa"],
     )(lambda spark, sf: temporal.time_weighted_average(t(spark, sf, "events")))
+    def _q_pinot_mv_inverted(spark, sf):
+        """MV inverted index (Pinot parity: inverted indexes on multi-value
+        columns): each doc carries an array<int> of derived mods written
+        with `.option("inverted", "mods")` — bitmap i marks the DOCS whose
+        array contains dictionary value i — and the `mv_contains` read
+        option answers array-containment from those bitmaps without
+        decoding the MV forward index (decode-and-membership fallback on
+        unindexed segments, same result). The oracle applies
+        list_contains to the same derived arrays in DuckDB."""
+        import tempfile
+
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = os.path.join(tempfile.mkdtemp(prefix="mvinv_"), "docs_OFFLINE")
+        (
+            _docs(spark, sf)
+            .select(
+                "doc_id",
+                "lang",
+                F.array(
+                    (F.col("n_chars") % 10).cast("int"),
+                    (F.col("n_chars") % 7).cast("int"),
+                ).alias("mods"),
+            )
+            .repartition(4)
+            .write.format("pinot")
+            .mode("overwrite")
+            .option("inverted", "mods")
+            .save(out)
+        )
+        back = (
+            spark.read.format("pinot")
+            .option("mv_contains", "mods:3")
+            .load(out)
+        )
+        return (
+            back.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("lang")
+        )
+
+    register(
+        "pinot_mv_inverted_scan",
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents
+           WHERE list_contains(
+             [CAST(n_chars % 10 AS INTEGER), CAST(n_chars % 7 AS INTEGER)],
+             3)
+           GROUP BY lang ORDER BY lang""",
+        "parity",
+        ["pinot", "storage", "multivalue", "inverted"],
+    )(_q_pinot_mv_inverted)
+
     from datafusion_pinot_spark.operators import curation as _cur
 
     register(
@@ -6325,7 +6379,7 @@ DRIVER_WINDOW: list[str] = [
     "time_weighted_average",  # r6c4: step-interp TWA, decimal38 weights
     "ann_pq_pinot_codes_topk",  # r6: PQ codes persisted + served via storage
     "pinot_range_index_scan",  # r6: range-index scan on unclustered dict col
-    "pinot_json_match_scan",  # r6: JSON-index path=value probe
+    "pinot_mv_inverted_scan",  # r6c4: MV inverted index + mv_contains
     "pinot_startree_agg",  # r6: star-tree prefix-level pre-aggregation
     "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
     "ohlc_daily_bars",  # r6c4: deterministic first/last OHLC rollup

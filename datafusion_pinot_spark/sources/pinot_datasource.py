@@ -180,6 +180,12 @@ class PinotInputPartition(InputPartition):
     # (column, path, canonical-value) triple from the `json_match` read
     # option, or None. Postings when indexed, parse-and-probe otherwise.
     json_match: "tuple[str, str, str] | None" = None
+    # MV containment probe (Pinot's MV inverted index): a (column, value)
+    # pair from the `mv_contains` read option, or None. Answered from the
+    # column's inverted bitmaps (bitmap i = docs whose array CONTAINS
+    # dictionary value i) when present, by decode-and-membership-test
+    # otherwise.
+    mv_contains: "tuple[str, str] | None" = None
 
 
 class PinotDataSource(DataSource):
@@ -249,7 +255,20 @@ class PinotDataSource(DataSource):
             spp,
             self._text_match_option(),
             self._json_match_option(),
+            self._mv_contains_option(),
         )
+
+    def _mv_contains_option(self):
+        """Parse `mv_contains` = "col:value" into (col, value); the value
+        stays a string here and is cast to the column's storage type at
+        read time (the segment knows its own dtype)."""
+        opt = self.options.get("mv_contains")
+        if not opt:
+            return None
+        col, sep, value = opt.partition(":")
+        if not sep or not col.strip() or not value:
+            raise ValueError("mv_contains must look like 'column:value'")
+        return (col.strip(), value)
 
     def _json_match_option(self):
         """Parse `json_match` = "col:$.path=value" into (col, path, value);
@@ -382,6 +401,7 @@ class PinotDataSourceReader(DataSourceReader):
         segments_per_partition: int = 1,
         text_match: "tuple[str, tuple[str, ...], bool] | None" = None,
         json_match: "tuple[str, str, str] | None" = None,
+        mv_contains: "tuple[str, str] | None" = None,
     ) -> None:
         self._schema = schema
         self._columns = tuple(f.name for f in schema.fields)
@@ -390,6 +410,7 @@ class PinotDataSourceReader(DataSourceReader):
         self._spp = segments_per_partition
         self._text_match = text_match
         self._json_match = json_match
+        self._mv_contains = mv_contains
         self._pushed: list[Filter] = []
 
     # -- filter pushdown (rebuild improvement over table.rs:163) ------------
@@ -534,7 +555,7 @@ class PinotDataSourceReader(DataSourceReader):
             return [
                 PinotInputPartition(
                     (), self._columns, (), self._ctypes,
-                    self._text_match, self._json_match,
+                    self._text_match, self._json_match, self._mv_contains,
                 )
             ]
         pushed = tuple(self._pushed)
@@ -559,6 +580,7 @@ class PinotDataSourceReader(DataSourceReader):
                         PinotInputPartition(
                             tuple(bucket), self._columns, pushed,
                             self._ctypes, self._text_match, self._json_match,
+                            self._mv_contains,
                         )
                     )
                     bucket, docs = [], 0
@@ -569,6 +591,7 @@ class PinotDataSourceReader(DataSourceReader):
                     PinotInputPartition(
                         tuple(bucket), self._columns, pushed,
                         self._ctypes, self._text_match, self._json_match,
+                        self._mv_contains,
                     )
                 )
             return parts
@@ -578,6 +601,7 @@ class PinotDataSourceReader(DataSourceReader):
             and not self._pushed
             and self._text_match is None
             and self._json_match is None
+            and self._mv_contains is None
             and spp == 1
         ):
             spp = self._COUNT_PACK
@@ -589,6 +613,7 @@ class PinotDataSourceReader(DataSourceReader):
                 self._ctypes,
                 self._text_match,
                 self._json_match,
+                self._mv_contains,
             )
             for i in range(0, len(survivors), spp)
         ]
@@ -607,6 +632,7 @@ class PinotDataSourceReader(DataSourceReader):
             and not partition.filters
             and partition.text_match is None
             and partition.json_match is None
+            and partition.mv_contains is None
         ):
             # Unfiltered metadata-only COUNT(*): parse metadata.properties
             # alone (no index_map / columns.psf open — the reference's
@@ -679,6 +705,12 @@ class PinotDataSourceReader(DataSourceReader):
                 # JSON_MATCH probe: same composition contract as text_match.
                 jm = _json_match_rows(reader, partition.json_match, rng)
                 mask = jm if mask is None else (mask & jm)
+                if not mask.any():
+                    continue
+            if partition.mv_contains is not None:
+                # MV containment probe: same composition contract.
+                mm = _mv_contains_rows(reader, partition.mv_contains, rng)
+                mask = mm if mask is None else (mask & mm)
                 if not mask.any():
                     continue
             if not partition.columns:
@@ -1091,12 +1123,11 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
             # (var-length BYTES dictionary); list them in the `raw` option
             # for the var-byte path (the right call for high-cardinality
             # payloads — media blobs, embeddings).
-            if f.name in inverted_columns and (
-                f.name in raw_columns or t in _MV_WRITE_TYPES
-            ):
+            # MV dict columns take inverted indexes too (Pinot parity:
+            # bitmap i = docs whose array contains dictionary value i)
+            if f.name in inverted_columns and f.name in raw_columns:
                 raise ValueError(
-                    f"inverted index requires a single-value dictionary "
-                    f"column: {f.name}"
+                    f"inverted index requires a dictionary column: {f.name}"
                 )
             if f.name in bloom_columns and t in _MV_WRITE_TYPES:
                 raise ValueError(
@@ -1759,6 +1790,44 @@ def _text_match_rows(reader, text_match, row_range=None):
             nm = reader.null_mask(col)
             if nm is not None:
                 m &= ~nm
+    if row_range is not None:
+        m = m[row_range[0] : row_range[1]]
+    return m
+
+
+def _mv_contains_rows(reader, mv_contains, row_range=None):
+    """Per-doc mask for the mv_contains read option, clipped to the sorted
+    row range: answered from the MV column's inverted bitmaps (bitmap i
+    marks docs whose array contains dictionary value i) when present,
+    by MV decode + per-row membership test otherwise. A column this
+    segment predates matches nothing; the probe value casts to the
+    column's storage type."""
+    import numpy as np
+
+    from pinot_segment.metadata import DataType
+
+    col, raw_value = mv_contains
+    n = reader.total_docs()
+    if col not in reader.metadata.columns:
+        m = np.zeros(n, dtype=bool)
+    else:
+        cm = reader.metadata.get_column(col)
+        if cm.is_single_value:
+            raise ValueError(
+                f"mv_contains requires a multi-value column, got {col}"
+            )
+        if cm.data_type in (DataType.INT, DataType.LONG):
+            value = int(raw_value)
+        elif cm.data_type in (DataType.FLOAT, DataType.DOUBLE):
+            value = float(raw_value)
+        else:
+            value = raw_value
+        m = reader.inverted_match_mask(col, [value])
+        if m is None:
+            vals = reader.read_column(col)
+            m = np.fromiter(
+                (value in row for row in vals), dtype=bool, count=n
+            )
     if row_range is not None:
         m = m[row_range[0] : row_range[1]]
     return m

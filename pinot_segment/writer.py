@@ -156,11 +156,12 @@ class ColumnSpec:
             raise ValueError(
                 f"column '{name}': bloom filter requires a single-value column"
             )
-        if inverted and (raw or multi_value):
-            # The inverted index maps dict ids -> doc bitmaps, so it only
-            # exists for single-value dictionary-encoded columns.
+        if inverted and raw:
+            # The inverted index maps dict ids -> doc bitmaps, so it needs
+            # a dictionary. Multi-value dict columns ARE supported (Pinot
+            # parity): bitmap i marks docs whose ARRAY contains value i.
             raise ValueError(
-                f"column '{name}': inverted index requires a single-value "
+                f"column '{name}': inverted index requires a "
                 "dictionary-encoded column"
             )
         if null_mask is not None:
@@ -493,14 +494,26 @@ def write_segment(
                 f"column '{spec.name}': inverted index over {card} distinct "
                 "values would be larger than the column itself; cap is 65536"
             )
-        n = len(dict_ids)
+        if spec.multi_value:
+            # one entry per flattened value; bitmap i marks the DOCS whose
+            # array contains dictionary value i (Pinot's MV inverted index)
+            lens = [len(row) for row in spec.values]
+            doc_of_entry = np.repeat(np.arange(len(lens)), lens)
+            n = len(lens)
+        else:
+            doc_of_entry = None
+            n = len(dict_ids)
         bitmap_bytes = (n + 7) // 8
         out = bytearray(_FWD_MAGIC)
         out += card.to_bytes(4, "big") + bitmap_bytes.to_bytes(4, "big")
-        positions = np.arange(n)
+        positions = np.arange(len(dict_ids))
         for i in range(card):
             bits = np.zeros(n, dtype=np.uint8)
-            bits[positions[dict_ids == i]] = 1
+            hits = positions[dict_ids == i]
+            if doc_of_entry is not None:
+                bits[np.unique(doc_of_entry[hits])] = 1
+            else:
+                bits[hits] = 1
             out += np.packbits(bits).tobytes()
         start = len(psf)
         psf.extend(out)
