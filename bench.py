@@ -749,6 +749,33 @@ def storage_micro(rng_table_dir: str, bloom_table_dir: str | None = None) -> dic
         )(np.asarray(SegmentReader.open(str(rseg)).read_column("k")))
     )
 
+    # MV inverted index (r6 continuation-4): array-containment from doc
+    # bitmaps vs MV decode + per-row membership (the fallback every
+    # unindexed segment pays). 200k docs x 4-element INT arrays.
+    mv_rng = np.random.RandomState(1)
+    mv_rows = [list(r) for r in mv_rng.randint(0, 1000, (200_000, 4))]
+    mvseg = write_segment(
+        tempfile.mkdtemp(prefix="mvmicro_"),
+        "mv",
+        "mv",
+        [ColumnSpec("tags", DataType.INT, mv_rows, multi_value=True,
+                    inverted=True)],
+    )
+    mvr = SegmentReader.open(str(mvseg))
+    out["mv_docs"] = len(mv_rows)
+    out["mv_contains_postings_ms"] = med_ms(
+        lambda: mvr.inverted_match_mask("tags", [7])
+    )
+    out["mv_contains_scan_ms"] = med_ms(
+        lambda: np.fromiter(
+            (7 in row for row in
+             SegmentReader.open(str(mvseg)).read_column("tags")),
+            dtype=bool,
+            count=len(mv_rows),
+        ),
+        runs=3,
+    )
+
     for pair in (
         ("mask_inverted_ms", "mask_forward_ms"),
         ("decode_selection_ms", "decode_dense_filter_ms"),
@@ -757,6 +784,7 @@ def storage_micro(rng_table_dir: str, bloom_table_dir: str | None = None) -> dic
         ("bloom_miss_probe_ms", "bloom_fullscan_mask_ms"),
         ("text_match_postings_ms", "text_match_scan_ms"),
         ("range_index_mask_ms", "range_fullscan_mask_ms"),
+        ("mv_contains_postings_ms", "mv_contains_scan_ms"),
     ):
         if pair[0] in out and pair[1] in out and out[pair[0]]:
             out[f"speedup_{pair[0][:-3]}"] = round(out[pair[1]] / out[pair[0]], 2)
