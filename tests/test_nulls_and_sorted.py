@@ -257,13 +257,15 @@ def test_inverted_absent_value_is_all_false(inverted_segment):
     assert reader.inverted_match_mask("num", [999]).sum() == 0
 
 
-def test_inverted_rejects_raw_and_mv():
+def test_inverted_rejects_raw_but_allows_mv():
     with pytest.raises(ValueError, match="inverted index requires"):
         ColumnSpec("x", DataType.STRING, ["a"], raw=True, inverted=True)
-    with pytest.raises(ValueError, match="inverted index requires"):
-        ColumnSpec(
-            "x", DataType.INT, [[1], [2]], multi_value=True, inverted=True
-        )
+    # MV dict columns take inverted indexes (r6c4, Pinot parity): bitmap i
+    # marks docs whose array contains value i — tests/test_mv_inverted.py
+    spec = ColumnSpec(
+        "x", DataType.INT, [[1], [2]], multi_value=True, inverted=True
+    )
+    assert spec.inverted and spec.multi_value
 
 
 def test_spark_filters_map_to_sorted_range(sorted_segment):
