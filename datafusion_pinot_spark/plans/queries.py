@@ -2187,6 +2187,49 @@ def _register_validation():
         "llm",
         ["events", "timeseries", "twa"],
     )(lambda spark, sf: temporal.time_weighted_average(t(spark, sf, "events")))
+    def _q_table_fingerprint(spark, sf):
+        """Order-independent table fingerprint for replica reconciliation
+        (detect drift between two copies of a table without moving data):
+        each row canonicalizes to a string of INTEGERS ONLY (cents, epoch
+        micros, keys — float/date formatting differs between engines, so
+        none of it appears), hashes through the md5 family both engines
+        share, and the first 12 hex digits sum as plain BIGINTs. Sum is
+        commutative => identical under any partitioning or row order;
+        two replicas differing in any row disagree with probability
+        ~1 - 2^-48. One map-side-combining aggregate, one row out."""
+        li = t(spark, sf, "lineitem")
+        canon = F.concat_ws(
+            "|",
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.round(F.col("l_quantity") * 100, 0).cast("long"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+            F.unix_micros(F.col("l_shipdate")),
+        )
+        h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+        return li.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(h).cast("long").alias("fingerprint"),
+        )
+
+    register(
+        "table_fingerprint",
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CAST(concat('0x',
+                         substr(md5(concat_ws('|',
+                           l_orderkey, l_linenumber,
+                           CAST(round(l_quantity * 100, 0) AS BIGINT),
+                           CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+                           l_returnflag, l_linestatus,
+                           epoch_us(l_shipdate))), 1, 12)) AS BIGINT))
+                       AS BIGINT) AS fingerprint
+           FROM lineitem""",
+        "llm",
+        ["lineitem", "reconciliation", "fingerprint"],
+    )(_q_table_fingerprint)
+
     def _q_pinot_mv_inverted(spark, sf):
         """MV inverted index (Pinot parity: inverted indexes on multi-value
         columns): each doc carries an array<int> of derived mods written
@@ -6375,7 +6418,7 @@ DRIVER_WINDOW: list[str] = [
     # slot goes to the new storage data type below.)
     "pinot_bigdecimal_roundtrip",  # r6: BIG_DECIMAL exact-decimal columns
     "rfm_segments",  # r6c4: three two-pass quartile ranks over users
-    "pinot_text_match_scan",  # r6: text-index keyword probe through storage
+    "table_fingerprint",  # r6c4: order-independent replica checksum
     "time_weighted_average",  # r6c4: step-interp TWA, decimal38 weights
     "ann_pq_pinot_codes_topk",  # r6: PQ codes persisted + served via storage
     "pinot_range_index_scan",  # r6: range-index scan on unclustered dict col
