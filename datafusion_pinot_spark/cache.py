@@ -2,11 +2,14 @@
 driver-side): a query over a Pinot table can reuse its materialized
 result for as long as the table's segment set is bit-identical.
 
-The cache key digests (segment name, fingerprint) for every segment —
-fingerprints are the manifest's (size, mtime_ns, md5-of-metadata)
-triples, computed WITHOUT opening segments — plus a caller-supplied
-query key. Any segment added, removed, or rewritten changes the digest,
-so staleness is structural, not TTL-based. Results persist as parquet
+The cache key digests, for every segment, the manifest fingerprint of
+metadata.properties (size, mtime_ns, md5) PLUS the (size, mtime_ns) of
+columns.psf — computed without opening segments — so a data-only
+rewrite whose metadata is byte-identical still changes the key. Any
+segment added, removed, or rewritten changes the digest; staleness is
+structural, not TTL-based. (An mtime-AND-size-preserving in-place data
+corruption is the one event this cannot see — the same boundary the
+manifest itself documents.) Results persist as parquet
 under the cache dir with a staged-rename commit (same discipline as the
 segment sink), so concurrent writers of the same key are idempotent.
 """
@@ -31,6 +34,11 @@ def table_state_digest(table_dir: str) -> str:
         fp = _fingerprint(v3)
         h.update(_seg_key(v3).encode())
         h.update(repr(fp).encode())
+        try:
+            st = os.stat(os.path.join(v3, "columns.psf"))
+            h.update(repr((st.st_size, st.st_mtime_ns)).encode())
+        except OSError:
+            h.update(b"<no-psf>")
     return h.hexdigest()
 
 

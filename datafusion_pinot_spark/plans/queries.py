@@ -2209,9 +2209,15 @@ def _register_validation():
             F.unix_micros(F.col("l_shipdate")),
         )
         h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
-        return li.agg(
+        # sum in DECIMAL(38,0): a BIGINT sum of ~2^47-mean hashes wraps
+        # (Spark, silently) or errors (DuckDB HUGEINT cast) past ~65k
+        # rows; the final modulo folds back to a comparable BIGINT
+        return li.select(h.alias("h")).agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(h).cast("long").alias("fingerprint"),
+            F.expr(
+                "CAST(sum(CAST(h AS DECIMAL(38,0))) % 4611686018427387904 "
+                "AS BIGINT)"
+            ).alias("fingerprint"),
         )
 
     register(
@@ -2224,7 +2230,7 @@ def _register_validation():
                            CAST(round(l_extendedprice * 100, 0) AS BIGINT),
                            l_returnflag, l_linestatus,
                            epoch_us(l_shipdate))), 1, 12)) AS BIGINT))
-                       AS BIGINT) AS fingerprint
+                       % 4611686018427387904 AS BIGINT) AS fingerprint
            FROM lineitem""",
         "llm",
         ["lineitem", "reconciliation", "fingerprint"],

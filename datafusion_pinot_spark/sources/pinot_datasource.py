@@ -1233,6 +1233,7 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                         DataType(_MV_WRITE_TYPES[t]),
                         col.to_pylist(),
                         multi_value=True,
+                        inverted=f.name in self._inverted,
                     )
                 )
                 continue
@@ -1820,6 +1821,8 @@ def _mv_contains_rows(reader, mv_contains, row_range=None):
             value = int(raw_value)
         elif cm.data_type in (DataType.FLOAT, DataType.DOUBLE):
             value = float(raw_value)
+        elif cm.data_type is DataType.BOOLEAN:
+            value = raw_value.strip().lower() == "true"
         else:
             value = raw_value
         m = reader.inverted_match_mask(col, [value])

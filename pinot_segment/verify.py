@@ -10,9 +10,10 @@ cascade into noise:
    columns.psf);
 2. index map — every entry's [startOffset, startOffset+size) lies inside
    columns.psf and entries do not overlap;
-3. per column — metadata agrees with the index map (dictionary present
-   iff hasDictionary, forward index present, declared index regions
-   exist), dictionary magic + sortedness, doc counts consistent;
+3. per column — metadata agrees with the index map (forward index
+   present, dictionary present iff hasDictionary, inverted entry present
+   iff hasInvertedIndex, no orphan regions for unknown columns) and the
+   dictionary magic bytes are intact;
 4. decode — every column decodes end-to-end and yields total_docs values
    (the strongest check, optional via ``decode=False`` for huge
    segments).
@@ -25,7 +26,9 @@ from __future__ import annotations
 
 import os
 
-_DICT_MAGIC = bytes.fromhex("deadbeefdeafbead")
+from pinot_segment.dictionary import MAGIC_MARKER
+
+_DICT_MAGIC = MAGIC_MARKER.to_bytes(8, "big")
 
 
 def verify_segment(v3_dir: str, decode: bool = True) -> list[str]:
@@ -74,6 +77,12 @@ def verify_segment(v3_dir: str, decode: bool = True) -> list[str]:
     if findings:
         return findings
 
+    for col, kind in imap.indexes:
+        if col not in meta.columns:
+            findings.append(
+                f"{col}.{kind}: index region for a column metadata "
+                "does not declare"
+            )
     for name, cm in meta.columns.items():
         fwd = imap.get_index(name, "forward_index")
         if fwd is None:

@@ -91,3 +91,32 @@ def test_mv_contains_rows_index_and_fallback_agree(tmp_path):
     # the indexed segment really answers from bitmaps
     assert indexed.inverted_match_mask("mods", [3]) is not None
     assert plain.inverted_match_mask("mods", [3]) is None
+
+
+def test_spark_sink_writes_mv_inverted(spark, tmp_path):
+    """The Spark write path must THREAD the inverted option to MV
+    columns (it silently dropped it once): the landed segment carries
+    real bitmaps, not just the decode fallback."""
+    import os
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "t_OFFLINE")
+    df = spark.createDataFrame(
+        [(1, [1, 2]), (2, [2, 3]), (3, [7])],
+        "doc_id long, mods array<int>",
+    )
+    df.coalesce(1).write.format("pinot").mode("overwrite").option(
+        "inverted", "mods"
+    ).save(out)
+    segs = [
+        os.path.join(out, d, "v3")
+        for d in os.listdir(out)
+        if os.path.isdir(os.path.join(out, d, "v3"))
+    ]
+    assert len(segs) == 1
+    r = SegmentReader.open(segs[0])
+    m = r.inverted_match_mask("mods", [2])
+    assert m is not None, "sink dropped the MV inverted flag"
+    assert sorted(np.asarray(r.read_column("doc_id"))[m].tolist()) == [1, 2]
