@@ -2187,6 +2187,57 @@ def _register_validation():
         "llm",
         ["events", "timeseries", "twa"],
     )(lambda spark, sf: temporal.time_weighted_average(t(spark, sf, "events")))
+    def _q_pinot_head_topk(spark, sf):
+        """Top-k head pushdown over a sorted layout: `.option("head",
+        "l_orderkey:100")` lets planning drop every segment provably past
+        the first 100 rows (manifest min/max/docs) and each surviving
+        sorted segment decode only its first 100 rows extended through
+        the trailing tie group — so the ORDER BY ... LIMIT 100 on top
+        reads O(k) rows per survivor instead of the table. The oracle
+        runs the same ORDER BY LIMIT on the parquet."""
+        import tempfile
+
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = os.path.join(tempfile.mkdtemp(prefix="head_"), "li_OFFLINE")
+        (
+            t(spark, sf, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity")
+            .repartitionByRange(8, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.format("pinot")
+            .mode("overwrite")
+            .save(out)
+        )
+        back = (
+            spark.read.format("pinot")
+            .option("head", "l_orderkey:100")
+            .load(out)
+        )
+        top = back.orderBy("l_orderkey", "l_linenumber").limit(100)
+        return top.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("l_orderkey").alias("max_key"),
+            F.round(F.sum(money("l_quantity")).cast("double"), 2).alias(
+                "sum_qty"
+            ),
+        )
+
+    register(
+        "pinot_head_topk",
+        """WITH top AS (
+             SELECT l_orderkey, l_quantity FROM lineitem
+             ORDER BY l_orderkey, l_linenumber LIMIT 100)
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  max(l_orderkey) AS max_key,
+                  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE), 2) AS sum_qty
+           FROM top""",
+        "parity",
+        ["pinot", "storage", "topk", "sorted"],
+    )(_q_pinot_head_topk)
+
     def _q_table_fingerprint(spark, sf):
         """Order-independent table fingerprint for replica reconciliation
         (detect drift between two copies of a table without moving data):
@@ -6429,7 +6480,7 @@ DRIVER_WINDOW: list[str] = [
     "ann_pq_pinot_codes_topk",  # r6: PQ codes persisted + served via storage
     "pinot_range_index_scan",  # r6: range-index scan on unclustered dict col
     "pinot_mv_inverted_scan",  # r6c4: MV inverted index + mv_contains
-    "pinot_startree_agg",  # r6: star-tree prefix-level pre-aggregation
+    "pinot_head_topk",  # r6c4: sorted-layout top-k head pushdown
     "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
     "ohlc_daily_bars",  # r6c4: deterministic first/last OHLC rollup
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune

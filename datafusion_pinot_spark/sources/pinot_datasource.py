@@ -186,6 +186,14 @@ class PinotInputPartition(InputPartition):
     # dictionary value i) when present, by decode-and-membership-test
     # otherwise.
     mv_contains: "tuple[str, str] | None" = None
+    # Top-k head pushdown for sorted tables: a (column, k) pair from the
+    # `head` read option, or None. Planning prunes segments that provably
+    # sit entirely past the first k rows (manifest min/max/docs); each
+    # surviving sorted segment decodes only its first k rows extended
+    # through the trailing tie group, so a Spark-side
+    # orderBy(col, ...).limit(k) stays exact. Unsorted segments decode
+    # fully (correct, just unaccelerated).
+    head: "tuple[str, int] | None" = None
 
 
 class PinotDataSource(DataSource):
@@ -256,7 +264,23 @@ class PinotDataSource(DataSource):
             self._text_match_option(),
             self._json_match_option(),
             self._mv_contains_option(),
+            self._head_option(),
         )
+
+    def _head_option(self):
+        """Parse `head` = "col:k" into (col, k) — the first k rows of the
+        table in `col` order (plus the trailing tie group), for
+        ORDER BY col LIMIT k over sorted layouts."""
+        opt = self.options.get("head")
+        if not opt:
+            return None
+        col, sep, k = opt.partition(":")
+        if not sep or not col.strip() or not k.strip().isdigit():
+            raise ValueError("head must look like 'column:k'")
+        k = int(k)
+        if k < 1:
+            raise ValueError("head k must be >= 1")
+        return (col.strip(), k)
 
     def _mv_contains_option(self):
         """Parse `mv_contains` = "col:value" into (col, value); the value
@@ -402,6 +426,7 @@ class PinotDataSourceReader(DataSourceReader):
         text_match: "tuple[str, tuple[str, ...], bool] | None" = None,
         json_match: "tuple[str, str, str] | None" = None,
         mv_contains: "tuple[str, str] | None" = None,
+        head: "tuple[str, int] | None" = None,
     ) -> None:
         self._schema = schema
         self._columns = tuple(f.name for f in schema.fields)
@@ -411,6 +436,7 @@ class PinotDataSourceReader(DataSourceReader):
         self._text_match = text_match
         self._json_match = json_match
         self._mv_contains = mv_contains
+        self._head = head
         self._pushed: list[Filter] = []
 
     # -- filter pushdown (rebuild improvement over table.rs:163) ------------
@@ -537,7 +563,7 @@ class PinotDataSourceReader(DataSourceReader):
         # 10^5-segment scale; segments the manifest doesn't cover fall back
         # to the per-segment open.
         stats = None
-        if self._pushed or self._spp == 0:
+        if self._pushed or self._spp == 0 or self._head is not None:
             from pinot_segment.manifest import stats_for_segments
 
             stats = stats_for_segments(self._segments)
@@ -549,6 +575,8 @@ class PinotDataSourceReader(DataSourceReader):
             ]
         else:
             survivors = list(self._segments)
+        if self._head is not None and survivors:
+            survivors = _head_prune(survivors, stats, self._head)
         if not survivors:
             # All segments zone-map-pruned. Spark still schedules one task for
             # an empty partitions list (passing None), so hand it a sentinel.
@@ -556,6 +584,7 @@ class PinotDataSourceReader(DataSourceReader):
                 PinotInputPartition(
                     (), self._columns, (), self._ctypes,
                     self._text_match, self._json_match, self._mv_contains,
+                    self._head,
                 )
             ]
         pushed = tuple(self._pushed)
@@ -580,7 +609,7 @@ class PinotDataSourceReader(DataSourceReader):
                         PinotInputPartition(
                             tuple(bucket), self._columns, pushed,
                             self._ctypes, self._text_match, self._json_match,
-                            self._mv_contains,
+                            self._mv_contains, self._head,
                         )
                     )
                     bucket, docs = [], 0
@@ -591,7 +620,7 @@ class PinotDataSourceReader(DataSourceReader):
                     PinotInputPartition(
                         tuple(bucket), self._columns, pushed,
                         self._ctypes, self._text_match, self._json_match,
-                        self._mv_contains,
+                        self._mv_contains, self._head,
                     )
                 )
             return parts
@@ -602,6 +631,7 @@ class PinotDataSourceReader(DataSourceReader):
             and self._text_match is None
             and self._json_match is None
             and self._mv_contains is None
+            and self._head is None
             and spp == 1
         ):
             spp = self._COUNT_PACK
@@ -614,6 +644,7 @@ class PinotDataSourceReader(DataSourceReader):
                 self._text_match,
                 self._json_match,
                 self._mv_contains,
+                self._head,
             )
             for i in range(0, len(survivors), spp)
         ]
@@ -633,6 +664,7 @@ class PinotDataSourceReader(DataSourceReader):
             and partition.text_match is None
             and partition.json_match is None
             and partition.mv_contains is None
+            and partition.head is None
         ):
             # Unfiltered metadata-only COUNT(*): parse metadata.properties
             # alone (no index_map / columns.psf open — the reference's
@@ -689,6 +721,14 @@ class PinotDataSourceReader(DataSourceReader):
             rng = _sorted_row_range(reader, filters)
             if rng is not None and rng[0] >= rng[1]:
                 continue  # provably empty
+            if partition.head is not None:
+                hr = _head_row_range(reader, partition.head)
+                if hr is not None:
+                    rng = hr if rng is None else (
+                        max(rng[0], hr[0]), min(rng[1], hr[1])
+                    )
+                    if rng[0] >= rng[1]:
+                        continue
             mask = _row_mask(reader, filters, rng)
             if mask is not None and not mask.any():
                 continue
@@ -1714,6 +1754,53 @@ def _bloom_says_absent(reader, filters) -> bool:
         if hit is False:
             return True
     return False
+
+
+def _head_prune(survivors, stats, head):
+    """Drop segments that provably contain NONE of the table's first k
+    rows in `col` order: with segments sorted by their manifest min,
+    a segment prunes when the docs of segments wholly before it
+    (max <= its min) already reach k. Segments without fresh stats are
+    conservatively kept and count nothing toward the cutoffs."""
+    col, k = head
+    info = []
+    for seg in survivors:
+        st = stats.get(seg)
+        cs = (st or {}).get("columns", {}).get(col)
+        if st and cs and "min" in cs and "max" in cs:
+            info.append((seg, cs["min"], cs["max"], int(st["total_docs"])))
+        else:
+            info.append((seg, None, None, 0))
+    known = sorted(
+        (x for x in info if x[1] is not None), key=lambda x: (x[1], x[0])
+    )
+    kept = {seg for seg, mn, mx, nd in info if mn is None}
+    for seg, mn, mx, nd in known:
+        before = sum(
+            nd2 for _, mn2, mx2, nd2 in known if mx2 is not None and mx2 <= mn
+        ) - (nd if mx is not None and mx <= mn else 0)
+        if before < k:
+            kept.add(seg)
+    return [seg for seg in survivors if seg in kept]
+
+
+def _head_row_range(reader, head):
+    """(0, cutoff) covering the segment's first k rows in `col` order,
+    extended through the trailing tie group so a Spark-side
+    orderBy(col, tiebreak).limit(k) stays exact; None when the segment
+    is not sorted by `col` (full decode — correct, unaccelerated)."""
+    import numpy as np
+
+    col, k = head
+    cm = reader.metadata.columns.get(col)
+    if cm is None or not cm.is_sorted or not cm.is_single_value:
+        return None
+    n = reader.total_docs()
+    if n <= k:
+        return None
+    vals = np.asarray(reader.read_column(col))
+    cutoff = int(np.searchsorted(vals, vals[k - 1], side="right"))
+    return (0, cutoff)
 
 
 def _sorted_row_range(reader, filters):

@@ -1,0 +1,87 @@
+"""Top-k head pushdown: planning-time segment pruning and the
+tie-extended per-segment row slice, Spark-free."""
+
+import numpy as np
+import pytest
+
+from pinot_segment import manifest as M
+from pinot_segment.metadata import DataType
+from pinot_segment.segment_reader import SegmentReader
+from pinot_segment.writer import ColumnSpec, write_segment
+
+
+@pytest.fixture()
+def table(tmp_path):
+    """4 range-partitioned sorted segments of 100 rows each: keys
+    [0,100), [100,200), ..."""
+    td = tmp_path / "t_OFFLINE"
+    for i in range(4):
+        lo = i * 100
+        write_segment(
+            td / f"seg{i}",
+            f"seg{i}",
+            "t",
+            [ColumnSpec("k", DataType.LONG, np.arange(lo, lo + 100))],
+        )
+    M.write_manifest(str(td), M.build_manifest(str(td)))
+    return str(td)
+
+
+def _reader(table, head):
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from datafusion_pinot_spark.sources import pinot_datasource as ds
+
+    segs = sorted(
+        os.path.join(table, d, "v3")
+        for d in os.listdir(table)
+        if os.path.isdir(os.path.join(table, d, "v3"))
+    )
+    return ds.PinotDataSourceReader(
+        StructType([StructField("k", LongType())]), segs, head=head
+    )
+
+
+def test_head_prunes_later_segments(table):
+    r = _reader(table, ("k", 150))
+    parts = r.partitions()
+    kept = [d for p in parts for d in p.segment_dirs]
+    # 150 rows need seg0 (100 docs) + seg1; seg2/seg3 provably later
+    assert len(kept) == 2
+
+
+def test_head_k1_keeps_one_segment(table):
+    r = _reader(table, ("k", 1))
+    kept = [d for p in r.partitions() for d in p.segment_dirs]
+    assert len(kept) == 1
+
+
+def test_head_rows_are_sliced_and_exact(table):
+    rows = []
+    r = _reader(table, ("k", 150))
+    for p in r.partitions():
+        for batch in r.read(p):
+            rows.extend(batch.column(0).to_pylist())
+    # every one of the global first-150 keys present; each sorted segment
+    # decoded at most ~k rows (seg0 all 100, seg1 sliced to 150)
+    assert sorted(rows)[:150] == list(range(150))
+    assert len(rows) <= 250
+
+
+def test_head_tie_group_extends_slice(tmp_path):
+    """First-k cut landing inside a tie group must extend through it, so
+    an order-by-with-tiebreak limit stays exact."""
+    td = tmp_path / "ties_OFFLINE"
+    vals = np.array([0, 1, 2, 2, 2, 2, 3, 4], dtype=np.int64)
+    write_segment(
+        td / "seg0", "seg0", "t", [ColumnSpec("k", DataType.LONG, vals)]
+    )
+    M.write_manifest(str(td), M.build_manifest(str(td)))
+    r = _reader(str(td), ("k", 4))  # cut lands inside the run of 2s
+    rows = []
+    for p in r.partitions():
+        for batch in r.read(p):
+            rows.extend(batch.column(0).to_pylist())
+    assert rows == [0, 1, 2, 2, 2, 2]  # whole tie group included
