@@ -484,6 +484,19 @@ def marginal_tier(
         "filter_in_bloom": lambda: agg(
             rd(big_bloom).filter(F.col("l_orderkey").isin(7, 513, 1154))
         ),
+        # ORDER BY key LIMIT 1000 WITHOUT head pushdown: every segment
+        # decodes fully before the TakeOrdered
+        "topk_fullscan": lambda: rd(big_rng)
+        .orderBy("l_orderkey")
+        .limit(1000)
+        .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")),
+        # same query WITH `.option("head", "l_orderkey:1000")`: planning
+        # keeps only the leading segments and each survivor decodes O(k)
+        # rows (tie-extended slice)
+        "topk_head": lambda: rd(big_rng, head="l_orderkey:1000")
+        .orderBy("l_orderkey")
+        .limit(1000)
+        .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")),
         # second-dimension range on the dim1-sorted linear layout: the b
         # zone maps span the full domain in every segment — nothing prunes,
         # all segments decode + mask (the classic multi-dim pain)
@@ -528,6 +541,7 @@ def marginal_tier(
         ("filter_ts_pruned", "filter_ts_fullscan"),
         ("filter_in_bloom", "filter_in_fullscan"),
         ("filter_dim2_zorder", "filter_dim2_linear"),
+        ("topk_head", "topk_fullscan"),
         ("distinct_bitmap", "distinct_global"),
     ):
         probe_out[pruned]["speedup_vs_fullscan"] = round(
