@@ -1771,14 +1771,22 @@ def _head_prune(survivors, stats, head):
             info.append((seg, cs["min"], cs["max"], int(st["total_docs"])))
         else:
             info.append((seg, None, None, 0))
-    known = sorted(
-        (x for x in info if x[1] is not None), key=lambda x: (x[1], x[0])
-    )
+    import bisect
+
+    known = [x for x in info if x[1] is not None]
     kept = {seg for seg, mn, mx, nd in info if mn is None}
+    # O(n log n), not O(n^2): docs wholly before a segment = prefix sum of
+    # segments' docs ordered by max, up to the probe segment's min
+    by_max = sorted(((mx, nd, seg) for seg, mn, mx, nd in known))
+    maxes = [x[0] for x in by_max]
+    prefix = [0]
+    for _, nd, _ in by_max:
+        prefix.append(prefix[-1] + nd)
     for seg, mn, mx, nd in known:
-        before = sum(
-            nd2 for _, mn2, mx2, nd2 in known if mx2 is not None and mx2 <= mn
-        ) - (nd if mx is not None and mx <= mn else 0)
+        i = bisect.bisect_right(maxes, mn)
+        before = prefix[i]
+        if mx is not None and mx <= mn:
+            before -= nd  # a min==max segment must not count itself
         if before < k:
             kept.add(seg)
     return [seg for seg in survivors if seg in kept]

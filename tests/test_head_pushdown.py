@@ -85,3 +85,26 @@ def test_head_tie_group_extends_slice(tmp_path):
         for batch in r.read(p):
             rows.extend(batch.column(0).to_pylist())
     assert rows == [0, 1, 2, 2, 2, 2]  # whole tie group included
+
+
+def test_head_prune_scales_to_many_segments():
+    """The pruning arithmetic itself is O(n log n): 20k synthetic stats
+    entries plan in well under a second (the O(n^2) form took minutes)."""
+    import time
+
+    from datafusion_pinot_spark.sources.pinot_datasource import _head_prune
+
+    n = 20_000
+    segs = [f"/t/seg{i}/v3" for i in range(n)]
+    stats = {
+        s: {
+            "total_docs": 100,
+            "columns": {"k": {"min": i * 100, "max": i * 100 + 99}},
+        }
+        for i, s in enumerate(segs)
+    }
+    t0 = time.perf_counter()
+    kept = _head_prune(segs, stats, ("k", 250))
+    took = time.perf_counter() - t0
+    assert len(kept) == 3  # 250 rows -> first three 100-doc segments
+    assert took < 1.0, f"head pruning took {took:.2f}s for {n} segments"
