@@ -486,15 +486,20 @@ def marginal_tier(
         ),
         # ORDER BY key LIMIT 1000 WITHOUT head pushdown: every segment
         # decodes fully before the TakeOrdered
-        "topk_fullscan": lambda: rd(big_rng)
-        .orderBy("l_orderkey")
+        "topk_fullscan": lambda: rd(
+            big_rng, "l_orderkey,l_partkey,l_extendedprice"
+        )
+        .orderBy("l_orderkey", "l_partkey")
         .limit(1000)
         .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")),
         # same query WITH `.option("head", "l_orderkey:1000")`: planning
         # keeps only the leading segments and each survivor decodes O(k)
         # rows (tie-extended slice)
-        "topk_head": lambda: rd(big_rng, head="l_orderkey:1000")
-        .orderBy("l_orderkey")
+        "topk_head": lambda: rd(
+            big_rng, "l_orderkey,l_partkey,l_extendedprice",
+            head="l_orderkey:1000",
+        )
+        .orderBy("l_orderkey", "l_partkey")
         .limit(1000)
         .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")),
         # second-dimension range on the dim1-sorted linear layout: the b

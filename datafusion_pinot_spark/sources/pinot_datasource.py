@@ -575,8 +575,19 @@ class PinotDataSourceReader(DataSourceReader):
             ]
         else:
             survivors = list(self._segments)
-        if self._head is not None and survivors:
-            survivors = _head_prune(survivors, stats, self._head)
+        # head composes ONLY with a predicate-free top-k: "first k physical
+        # rows" is not "first k rows of a filtered result", so any pushed
+        # filter or probe disables the pushdown (correct, unaccelerated)
+        head = (
+            self._head
+            if not self._pushed
+            and self._text_match is None
+            and self._json_match is None
+            and self._mv_contains is None
+            else None
+        )
+        if head is not None and survivors:
+            survivors = _head_prune(survivors, stats, head)
         if not survivors:
             # All segments zone-map-pruned. Spark still schedules one task for
             # an empty partitions list (passing None), so hand it a sentinel.
@@ -584,7 +595,7 @@ class PinotDataSourceReader(DataSourceReader):
                 PinotInputPartition(
                     (), self._columns, (), self._ctypes,
                     self._text_match, self._json_match, self._mv_contains,
-                    self._head,
+                    head,
                 )
             ]
         pushed = tuple(self._pushed)
@@ -609,7 +620,7 @@ class PinotDataSourceReader(DataSourceReader):
                         PinotInputPartition(
                             tuple(bucket), self._columns, pushed,
                             self._ctypes, self._text_match, self._json_match,
-                            self._mv_contains, self._head,
+                            self._mv_contains, head,
                         )
                     )
                     bucket, docs = [], 0
@@ -620,7 +631,7 @@ class PinotDataSourceReader(DataSourceReader):
                     PinotInputPartition(
                         tuple(bucket), self._columns, pushed,
                         self._ctypes, self._text_match, self._json_match,
-                        self._mv_contains, self._head,
+                        self._mv_contains, head,
                     )
                 )
             return parts
@@ -644,7 +655,7 @@ class PinotDataSourceReader(DataSourceReader):
                 self._text_match,
                 self._json_match,
                 self._mv_contains,
-                self._head,
+                head,
             )
             for i in range(0, len(survivors), spp)
         ]
@@ -1783,10 +1794,12 @@ def _head_prune(survivors, stats, head):
     for _, nd, _ in by_max:
         prefix.append(prefix[-1] + nd)
     for seg, mn, mx, nd in known:
-        i = bisect.bisect_right(maxes, mn)
+        # STRICTLY max < min: a segment whose max ties the probe's min may
+        # hold rows tied with the probe's first rows — counting it as
+        # "wholly before" would prune boundary-tied segments (and, for a
+        # constant column, every segment would prune every other)
+        i = bisect.bisect_left(maxes, mn)
         before = prefix[i]
-        if mx is not None and mx <= mn:
-            before -= nd  # a min==max segment must not count itself
         if before < k:
             kept.add(seg)
     return [seg for seg in survivors if seg in kept]
@@ -1796,19 +1809,32 @@ def _head_row_range(reader, head):
     """(0, cutoff) covering the segment's first k rows in `col` order,
     extended through the trailing tie group so a Spark-side
     orderBy(col, tiebreak).limit(k) stays exact; None when the segment
-    is not sorted by `col` (full decode — correct, unaccelerated)."""
-    import numpy as np
+    is not sorted by `col` (full decode — correct, unaccelerated).
 
+    Only rows [0, k) of the sort column decode to find the k-th value
+    (O(k), not O(segment)); the tie-extended cutoff then comes from
+    ``reader.sorted_row_range`` — which also carries the nullable-column
+    bail-out and the exact string bisect (numpy '<U' strips trailing
+    NULs) this path must not re-implement."""
     col, k = head
     cm = reader.metadata.columns.get(col)
-    if cm is None or not cm.is_sorted or not cm.is_single_value:
+    if (
+        cm is None
+        or not cm.is_sorted
+        or not cm.is_single_value
+        or cm.has_null_values
+    ):
         return None
     n = reader.total_docs()
     if n <= k:
         return None
-    vals = np.asarray(reader.read_column(col))
-    cutoff = int(np.searchsorted(vals, vals[k - 1], side="right"))
-    return (0, cutoff)
+    kth = reader.read_columns_arrow([col], row_range=(0, k)).column(0)[
+        k - 1
+    ].as_py()
+    rng = reader.sorted_row_range(col, hi=kth, hi_inclusive=True)
+    if rng is None:
+        return None
+    return (0, rng[1])
 
 
 def _sorted_row_range(reader, filters):

@@ -108,3 +108,49 @@ def test_head_prune_scales_to_many_segments():
     took = time.perf_counter() - t0
     assert len(kept) == 3  # 250 rows -> first three 100-doc segments
     assert took < 1.0, f"head pruning took {took:.2f}s for {n} segments"
+
+
+def test_head_prune_keeps_boundary_tied_segments():
+    """A segment whose max EQUALS another's min may hold tied rows the
+    top-k needs — strictly-before counting only (bisect_left)."""
+    from datafusion_pinot_spark.sources.pinot_datasource import _head_prune
+
+    segs = ["/t/a/v3", "/t/b/v3"]
+    stats = {
+        "/t/a/v3": {"total_docs": 100,
+                    "columns": {"k": {"min": 1, "max": 5}}},
+        "/t/b/v3": {"total_docs": 100,
+                    "columns": {"k": {"min": 5, "max": 9}}},
+    }
+    assert _head_prune(segs, stats, ("k", 100)) == segs  # b ties at 5
+
+
+def test_head_prune_constant_column_keeps_everything():
+    """All-equal values: nothing is provably before anything — the
+    bisect_right form pruned EVERY segment here (each counted the other
+    as wholly before) and returned zero rows."""
+    from datafusion_pinot_spark.sources.pinot_datasource import _head_prune
+
+    segs = [f"/t/s{i}/v3" for i in range(3)]
+    stats = {
+        s: {"total_docs": 100, "columns": {"k": {"min": 5, "max": 5}}}
+        for s in segs
+    }
+    assert _head_prune(segs, stats, ("k", 50)) == segs
+
+
+def test_head_disabled_under_pushed_filters(table):
+    """head + a pushed filter would cap segments at their first k
+    PHYSICAL rows, not the first k filtered rows — the reader must drop
+    the pushdown when any filter is pushed."""
+    from datafusion_pinot_spark.sources import pinot_datasource as ds
+
+    r = _reader(table, ("k", 10))
+    list(r.pushFilters([ds.GreaterThanOrEqual(("k",), 250)]))
+    rows = []
+    for p in r.partitions():
+        assert p.head is None  # pushdown disabled, not half-applied
+        for batch in p and r.read(p) or []:
+            rows.extend(batch.column(0).to_pylist())
+    # the filtered result is complete: ALL 150 rows >= 250, not 10
+    assert sorted(rows) == list(range(250, 400))
