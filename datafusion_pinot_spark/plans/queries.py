@@ -2238,6 +2238,62 @@ def _register_validation():
         ["pinot", "storage", "topk", "sorted"],
     )(_q_pinot_head_topk)
 
+    def _q_pinot_tail_latest(spark, sf):
+        """Latest-N via tail pushdown — THE canonical Pinot dashboard
+        query (`... ORDER BY ts DESC LIMIT 200`): over a time-ordered
+        layout, `.option("tail", "ts_ms:200")` planning-prunes every
+        segment provably before the last 200 rows and each survivor
+        decodes only its trailing slice (extended through the leading
+        tie group). Time is stored as epoch-millis LONG (the sink's
+        TIMESTAMP encoding) so the oracle shares the integer order."""
+        import tempfile
+
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = os.path.join(tempfile.mkdtemp(prefix="tail_"), "ev_OFFLINE")
+        (
+            t(spark, sf, "events")
+            .select(
+                F.col("event_id"),
+                F.unix_millis(F.col("ts")).alias("ts_ms"),
+                F.col("event_type"),
+            )
+            .repartitionByRange(8, "ts_ms")
+            .sortWithinPartitions("ts_ms")
+            .write.format("pinot")
+            .mode("overwrite")
+            .save(out)
+        )
+        back = (
+            spark.read.format("pinot")
+            .option("tail", "ts_ms:200")
+            .load(out)
+        )
+        latest = back.orderBy(
+            F.desc("ts_ms"), F.desc("event_id")
+        ).limit(200)
+        return (
+            latest.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min("ts_ms").alias("oldest_ms"),
+            )
+            .orderBy("event_type")
+        )
+
+    register(
+        "pinot_tail_latest",
+        """WITH latest AS (
+             SELECT event_type, epoch_ms(ts) AS ts_ms FROM events
+             ORDER BY epoch_ms(ts) DESC, event_id DESC LIMIT 200)
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  min(ts_ms) AS oldest_ms
+           FROM latest GROUP BY event_type ORDER BY event_type""",
+        "parity",
+        ["pinot", "storage", "topk", "tail"],
+    )(_q_pinot_tail_latest)
+
     def _q_table_fingerprint(spark, sf):
         """Order-independent table fingerprint for replica reconciliation
         (detect drift between two copies of a table without moving data):
@@ -6481,7 +6537,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_range_index_scan",  # r6: range-index scan on unclustered dict col
     "pinot_mv_inverted_scan",  # r6c4: MV inverted index + mv_contains
     "pinot_head_topk",  # r6c4: sorted-layout top-k head pushdown
-    "pinot_bloom_point_lookup",  # r6: bloom-filter segment skipping
+    "pinot_tail_latest",  # r6c4: latest-N tail pushdown
     "ohlc_daily_bars",  # r6c4: deterministic first/last OHLC rollup
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
     "pinot_rollup_compacted_agg",  # r6: merge-rollup during compaction

@@ -194,6 +194,9 @@ class PinotInputPartition(InputPartition):
     # orderBy(col, ...).limit(k) stays exact. Unsorted segments decode
     # fully (correct, just unaccelerated).
     head: "tuple[str, int] | None" = None
+    # Mirror-image `tail` option for the LAST k rows — the canonical
+    # "latest N events" Pinot query: orderBy(col DESC, ...).limit(k).
+    tail: "tuple[str, int] | None" = None
 
 
 class PinotDataSource(DataSource):
@@ -264,22 +267,23 @@ class PinotDataSource(DataSource):
             self._text_match_option(),
             self._json_match_option(),
             self._mv_contains_option(),
-            self._head_option(),
+            self._head_option("head"),
+            self._head_option("tail"),
         )
 
-    def _head_option(self):
-        """Parse `head` = "col:k" into (col, k) — the first k rows of the
-        table in `col` order (plus the trailing tie group), for
-        ORDER BY col LIMIT k over sorted layouts."""
-        opt = self.options.get("head")
+    def _head_option(self, which: str = "head"):
+        """Parse `head`/`tail` = "col:k" into (col, k) — the first/last k
+        rows of the table in `col` order (plus the adjoining tie group),
+        for ORDER BY col [DESC] LIMIT k over sorted layouts."""
+        opt = self.options.get(which)
         if not opt:
             return None
         col, sep, k = opt.partition(":")
         if not sep or not col.strip() or not k.strip().isdigit():
-            raise ValueError("head must look like 'column:k'")
+            raise ValueError(f"{which} must look like 'column:k'")
         k = int(k)
         if k < 1:
-            raise ValueError("head k must be >= 1")
+            raise ValueError(f"{which} k must be >= 1")
         return (col.strip(), k)
 
     def _mv_contains_option(self):
@@ -427,6 +431,7 @@ class PinotDataSourceReader(DataSourceReader):
         json_match: "tuple[str, str, str] | None" = None,
         mv_contains: "tuple[str, str] | None" = None,
         head: "tuple[str, int] | None" = None,
+        tail: "tuple[str, int] | None" = None,
     ) -> None:
         self._schema = schema
         self._columns = tuple(f.name for f in schema.fields)
@@ -437,6 +442,7 @@ class PinotDataSourceReader(DataSourceReader):
         self._json_match = json_match
         self._mv_contains = mv_contains
         self._head = head
+        self._tail = tail
         self._pushed: list[Filter] = []
 
     # -- filter pushdown (rebuild improvement over table.rs:163) ------------
@@ -563,7 +569,12 @@ class PinotDataSourceReader(DataSourceReader):
         # 10^5-segment scale; segments the manifest doesn't cover fall back
         # to the per-segment open.
         stats = None
-        if self._pushed or self._spp == 0 or self._head is not None:
+        if (
+            self._pushed
+            or self._spp == 0
+            or self._head is not None
+            or self._tail is not None
+        ):
             from pinot_segment.manifest import stats_for_segments
 
             stats = stats_for_segments(self._segments)
@@ -578,16 +589,18 @@ class PinotDataSourceReader(DataSourceReader):
         # head composes ONLY with a predicate-free top-k: "first k physical
         # rows" is not "first k rows of a filtered result", so any pushed
         # filter or probe disables the pushdown (correct, unaccelerated)
-        head = (
-            self._head
-            if not self._pushed
+        probes_clear = (
+            not self._pushed
             and self._text_match is None
             and self._json_match is None
             and self._mv_contains is None
-            else None
         )
+        head = self._head if probes_clear else None
+        tail = self._tail if probes_clear else None
         if head is not None and survivors:
             survivors = _head_prune(survivors, stats, head)
+        if tail is not None and survivors:
+            survivors = _head_prune(survivors, stats, tail, reverse=True)
         if not survivors:
             # All segments zone-map-pruned. Spark still schedules one task for
             # an empty partitions list (passing None), so hand it a sentinel.
@@ -595,7 +608,7 @@ class PinotDataSourceReader(DataSourceReader):
                 PinotInputPartition(
                     (), self._columns, (), self._ctypes,
                     self._text_match, self._json_match, self._mv_contains,
-                    head,
+                    head, tail,
                 )
             ]
         pushed = tuple(self._pushed)
@@ -620,7 +633,7 @@ class PinotDataSourceReader(DataSourceReader):
                         PinotInputPartition(
                             tuple(bucket), self._columns, pushed,
                             self._ctypes, self._text_match, self._json_match,
-                            self._mv_contains, head,
+                            self._mv_contains, head, tail,
                         )
                     )
                     bucket, docs = [], 0
@@ -631,7 +644,7 @@ class PinotDataSourceReader(DataSourceReader):
                     PinotInputPartition(
                         tuple(bucket), self._columns, pushed,
                         self._ctypes, self._text_match, self._json_match,
-                        self._mv_contains, head,
+                        self._mv_contains, head, tail,
                     )
                 )
             return parts
@@ -643,6 +656,7 @@ class PinotDataSourceReader(DataSourceReader):
             and self._json_match is None
             and self._mv_contains is None
             and self._head is None
+            and self._tail is None
             and spp == 1
         ):
             spp = self._COUNT_PACK
@@ -656,6 +670,7 @@ class PinotDataSourceReader(DataSourceReader):
                 self._json_match,
                 self._mv_contains,
                 head,
+                tail,
             )
             for i in range(0, len(survivors), spp)
         ]
@@ -676,6 +691,7 @@ class PinotDataSourceReader(DataSourceReader):
             and partition.json_match is None
             and partition.mv_contains is None
             and partition.head is None
+            and partition.tail is None
         ):
             # Unfiltered metadata-only COUNT(*): parse metadata.properties
             # alone (no index_map / columns.psf open — the reference's
@@ -737,6 +753,14 @@ class PinotDataSourceReader(DataSourceReader):
                 if hr is not None:
                     rng = hr if rng is None else (
                         max(rng[0], hr[0]), min(rng[1], hr[1])
+                    )
+                    if rng[0] >= rng[1]:
+                        continue
+            if partition.tail is not None:
+                tr = _head_row_range(reader, partition.tail, reverse=True)
+                if tr is not None:
+                    rng = tr if rng is None else (
+                        max(rng[0], tr[0]), min(rng[1], tr[1])
                     )
                     if rng[0] >= rng[1]:
                         continue
@@ -1767,19 +1791,27 @@ def _bloom_says_absent(reader, filters) -> bool:
     return False
 
 
-def _head_prune(survivors, stats, head):
-    """Drop segments that provably contain NONE of the table's first k
-    rows in `col` order: with segments sorted by their manifest min,
-    a segment prunes when the docs of segments wholly before it
-    (max <= its min) already reach k. Segments without fresh stats are
-    conservatively kept and count nothing toward the cutoffs."""
+def _head_prune(survivors, stats, head, reverse: bool = False):
+    """Drop segments that provably contain NONE of the table's first
+    (``reverse=False``) or last (``reverse=True``) k rows in `col`
+    order: with segments ordered along the probe direction, a segment
+    prunes when the docs of segments wholly before it in that direction
+    already reach k. Segments without fresh stats are conservatively
+    kept and count nothing toward the cutoffs. Boundary TIES never count
+    as before (strict inequality) — tied rows may belong to the top-k
+    under a tiebreak order."""
     col, k = head
     info = []
     for seg in survivors:
         st = stats.get(seg)
         cs = (st or {}).get("columns", {}).get(col)
         if st and cs and "min" in cs and "max" in cs:
-            info.append((seg, cs["min"], cs["max"], int(st["total_docs"])))
+            mn, mx = cs["min"], cs["max"]
+            if reverse:
+                # mirror the axis: the LAST k rows become the first k of
+                # the negated order; swap and negate the bounds
+                mn, mx = _neg(mx), _neg(mn)
+            info.append((seg, mn, mx, int(st["total_docs"])))
         else:
             info.append((seg, None, None, 0))
     import bisect
@@ -1805,7 +1837,29 @@ def _head_prune(survivors, stats, head):
     return [seg for seg in survivors if seg in kept]
 
 
-def _head_row_range(reader, head):
+class _Neg:
+    """Order-reversing wrapper for non-numeric (string) bounds."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __le__(self, other):
+        return other.v <= self.v
+
+    def __eq__(self, other):
+        return isinstance(other, _Neg) and other.v == self.v
+
+
+def _neg(v):
+    return -v if isinstance(v, (int, float)) else _Neg(v)
+
+
+def _head_row_range(reader, head, reverse: bool = False):
     """(0, cutoff) covering the segment's first k rows in `col` order,
     extended through the trailing tie group so a Spark-side
     orderBy(col, tiebreak).limit(k) stays exact; None when the segment
@@ -1828,6 +1882,14 @@ def _head_row_range(reader, head):
     n = reader.total_docs()
     if n <= k:
         return None
+    if reverse:
+        kth = reader.read_columns_arrow(
+            [col], row_range=(n - k, n)
+        ).column(0)[0].as_py()
+        rng = reader.sorted_row_range(col, lo=kth, lo_inclusive=True)
+        if rng is None:
+            return None
+        return (rng[0], n)
     kth = reader.read_columns_arrow([col], row_range=(0, k)).column(0)[
         k - 1
     ].as_py()

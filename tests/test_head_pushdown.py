@@ -154,3 +154,54 @@ def test_head_disabled_under_pushed_filters(table):
             rows.extend(batch.column(0).to_pylist())
     # the filtered result is complete: ALL 150 rows >= 250, not 10
     assert sorted(rows) == list(range(250, 400))
+
+
+def test_tail_prunes_early_segments_and_slices(table):
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from datafusion_pinot_spark.sources import pinot_datasource as ds
+
+    segs = sorted(
+        os.path.join(table, d, "v3")
+        for d in os.listdir(table)
+        if os.path.isdir(os.path.join(table, d, "v3"))
+    )
+    r = ds.PinotDataSourceReader(
+        StructType([StructField("k", LongType())]), segs, tail=("k", 150)
+    )
+    parts = r.partitions()
+    kept = [d for p in parts for d in p.segment_dirs]
+    assert len(kept) == 2  # only the last two segments hold the last 150
+    rows = []
+    for p in parts:
+        for batch in r.read(p):
+            rows.extend(batch.column(0).to_pylist())
+    # every one of the global LAST 150 keys present, bounded decode
+    assert sorted(rows)[-150:] == list(range(250, 400))
+    assert len(rows) <= 250
+
+
+def test_tail_tie_group_extends_slice(tmp_path):
+    td = tmp_path / "tt_OFFLINE"
+    vals = np.array([0, 1, 2, 2, 2, 2, 3, 4], dtype=np.int64)
+    write_segment(
+        td / "seg0", "seg0", "t", [ColumnSpec("k", DataType.LONG, vals)]
+    )
+    M.write_manifest(str(td), M.build_manifest(str(td)))
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from datafusion_pinot_spark.sources import pinot_datasource as ds
+
+    segs = [os.path.join(str(td), "seg0", "v3")]
+    r = ds.PinotDataSourceReader(
+        StructType([StructField("k", LongType())]), segs, tail=("k", 4)
+    )
+    rows = []
+    for p in r.partitions():
+        for batch in r.read(p):
+            rows.extend(batch.column(0).to_pylist())
+    assert rows == [2, 2, 2, 2, 3, 4]  # leading tie group included
