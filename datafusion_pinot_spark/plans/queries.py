@@ -2238,6 +2238,151 @@ def _register_validation():
         ["pinot", "storage", "topk", "sorted"],
     )(_q_pinot_head_topk)
 
+    def _q_survival_km(spark, sf):
+        """Kaplan-Meier survival of time-to-purchase after a click, with
+        right-censoring: each click's duration runs to the user's NEXT
+        purchase (event) or to the global observation end (censored).
+        Durations bucket to whole days; at each day d the at-risk count
+        n_d (durations >= d) and event count e_d fold into the product
+        S(d) = prod(1 - e/n) — computed as exp of the ordered running
+        sum of ln terms, the one float step, rounded to 6 (both engines
+        accumulate in the same ORDER BY, so the rounding path matches).
+
+        Scale shape: one user-keyed window pass finds each click's next
+        purchase, the rest aggregates over at most O(days) rows (the
+        survival curve's domain), with the day frame's running sum over
+        that tiny set only."""
+        ev = t(spark, sf, "events")
+        us = F.unix_micros(F.col("ts"))
+        w_next = (
+            Window.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        base = ev.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("et"),
+            us.alias("us"),
+        )
+        horizon = base.agg(F.max("us").alias("end_us"))
+        nexts = base.withColumn(
+            "p_us",
+            F.min(F.when(F.col("et") == "purchase", F.col("us"))).over(
+                w_next
+            ),
+        )
+        clicks = (
+            nexts.filter(F.col("et") == "click")
+            .crossJoin(F.broadcast(horizon))
+            .select(
+                F.expr(
+                    "CAST(coalesce(p_us - us, end_us - us) "
+                    "div 86400000000 AS INT)"
+                ).alias("day"),
+                F.when(F.col("p_us").isNotNull(), 1)
+                .otherwise(0)
+                .alias("event"),
+            )
+        )
+        daily = clicks.groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("event").cast("long").alias("n_events"),
+        )
+        w_ord = Window.orderBy("day")
+        w_risk = Window.orderBy("day").rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        km = (
+            daily.withColumn(
+                "n_risk", F.sum("n_total").over(w_risk).cast("long")
+            )
+            .withColumn(
+                # ln(1 - e/n) is -inf when a day consumes everyone at
+                # risk (the curve's terminal drop to 0) — flag it and
+                # pin survival to exactly 0.0 from that day on
+                "zeroed",
+                F.max(
+                    (F.col("n_events") == F.col("n_risk")).cast("int")
+                ).over(
+                    w_ord.rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ),
+            )
+            .withColumn(
+                "surv",
+                F.when(F.col("zeroed") == 1, F.lit(0.0)).otherwise(
+                    F.round(
+                        F.exp(
+                            F.sum(
+                                F.when(
+                                    F.col("n_events") < F.col("n_risk"),
+                                    F.log(
+                                        1.0
+                                        - F.col("n_events")
+                                        / F.col("n_risk")
+                                    ),
+                                ).otherwise(0.0)
+                            ).over(w_ord)
+                        ),
+                        6,
+                    )
+                ),
+            )
+            .filter(F.col("n_events") > 0)
+        )
+        return km.select(
+            "day", "n_risk", "n_events", F.col("surv").alias("survival")
+        ).orderBy("day")
+
+    register(
+        "survival_time_to_purchase",
+        """WITH base AS (
+             SELECT user_id, event_id, event_type AS et, epoch_us(ts) AS us
+             FROM events),
+           horizon AS (SELECT max(us) AS end_us FROM base),
+           nexts AS (
+             SELECT *, min(CASE WHEN et = 'purchase' THEN us END)
+                    OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS p_us
+             FROM base),
+           clicks AS (
+             SELECT CAST(coalesce(p_us - us, end_us - us)
+                         // 86400000000 AS INTEGER) AS day,
+                    CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS event
+             FROM nexts CROSS JOIN horizon WHERE et = 'click'),
+           daily AS (
+             SELECT day, CAST(count(*) AS BIGINT) AS n_total,
+                    CAST(sum(event) AS BIGINT) AS n_events
+             FROM clicks GROUP BY day),
+           risk AS (
+             SELECT day, n_events,
+                    CAST(sum(n_total) OVER (ORDER BY day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                         AS BIGINT) AS n_risk
+             FROM daily),
+           km AS (
+             SELECT day, n_events, n_risk,
+                    CASE WHEN max(CASE WHEN n_events = n_risk
+                                  THEN 1 ELSE 0 END)
+                              OVER (ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) = 1
+                         THEN 0.0
+                         ELSE round(exp(sum(CASE WHEN n_events < n_risk
+                                   THEN ln(1.0 - CAST(n_events AS DOUBLE)
+                                           / CAST(n_risk AS DOUBLE))
+                                   ELSE 0.0 END)
+                               OVER (ORDER BY day)), 6) END AS survival
+             FROM risk)
+           SELECT day, n_risk, n_events, survival
+           FROM km WHERE n_events > 0 ORDER BY day""",
+        "llm",
+        ["events", "survival", "analytics"],
+    )(_q_survival_km)
+
     def _q_pinot_tail_latest(spark, sf):
         """Latest-N via tail pushdown — THE canonical Pinot dashboard
         query (`... ORDER BY ts DESC LIMIT 200`): over a time-ordered
@@ -6516,7 +6661,7 @@ DRIVER_WINDOW: list[str] = [
     "funnel_time_to_convert",  # r6c4: struct-fold latency + 2-pass quantiles
     "forecast_backtest_weekly",  # r6c4: seasonal-naive backtest, integer errors
     "q22_dormant_customers",
-    "paragraph_dedup_reassemble",  # r6: Dolma/C4 paragraph dedup + reassembly
+    "survival_time_to_purchase",  # r6c4: Kaplan-Meier with censoring
     "stream_left_outer_closed",  # r6c4: watermarked outer join, closed subset
     "media_phash_near_dup",  # r6c4: banded hamming-LSH over fake pHash
     "pii_redact_events",  # r6: PII detection + chained masking
