@@ -205,3 +205,66 @@ def test_tail_tie_group_extends_slice(tmp_path):
         for batch in r.read(p):
             rows.extend(batch.column(0).to_pylist())
     assert rows == [2, 2, 2, 2, 3, 4]  # leading tie group included
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seg_rows=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=30), min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    k=st.integers(min_value=1, max_value=15),
+    reverse=st.booleans(),
+)
+def test_head_tail_pushdown_never_loses_topk_rows(
+    tmp_path_factory, seg_rows, k, reverse
+):
+    """Against random range-layouts with duplicates and overlaps: the
+    rows surviving head/tail pruning + slicing must CONTAIN the exact
+    global top-k (by value with any tiebreak) — the invariant that makes
+    a Spark-side orderBy().limit(k) correct. Over-decode is allowed,
+    loss is not."""
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from datafusion_pinot_spark.sources import pinot_datasource as ds
+
+    tmp = tmp_path_factory.mktemp("ht")
+    td = tmp / "t_OFFLINE"
+    all_vals = []
+    for i, rows in enumerate(seg_rows):
+        vals = np.array(sorted(rows), dtype=np.int64)  # in-segment sorted
+        all_vals.extend(vals.tolist())
+        write_segment(
+            td / f"seg{i}", f"seg{i}", "t",
+            [ColumnSpec("k", DataType.LONG, vals)],
+        )
+    M.write_manifest(str(td), M.build_manifest(str(td)))
+    segs = sorted(
+        os.path.join(str(td), d, "v3")
+        for d in os.listdir(str(td))
+        if os.path.isdir(os.path.join(str(td), d, "v3"))
+    )
+    kw = {"tail": ("k", k)} if reverse else {"head": ("k", k)}
+    r = ds.PinotDataSourceReader(
+        StructType([StructField("k", LongType())]), segs, **kw
+    )
+    got = []
+    for p in r.partitions():
+        for batch in r.read(p):
+            got.extend(batch.column(0).to_pylist())
+    want = sorted(all_vals, reverse=reverse)[: min(k, len(all_vals))]
+    have = sorted(got, reverse=reverse)
+    # multiset containment: the top-k values (with duplicates) all present
+    from collections import Counter
+
+    cw, ch = Counter(want), Counter(have[: len(want)])
+    assert all(ch[v] >= 0 for v in cw)
+    assert sorted(have[: len(want)]) == sorted(want), (seg_rows, k, reverse)
