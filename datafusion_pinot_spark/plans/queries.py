@@ -2238,6 +2238,84 @@ def _register_validation():
         ["pinot", "storage", "topk", "sorted"],
     )(_q_pinot_head_topk)
 
+    def _q_hourly_value_bands(spark, sf):
+        """p50/p95 value bands per (event_type, hour-of-day): exact
+        discrete quantiles computed from the VALUE HISTOGRAM — counts per
+        (type, hod, cents) reduce map-side, then the rank windows run
+        over DISTINCT cent values per group (bounded by the value
+        domain, not the event count — the shape that survives 100 TB,
+        where ranking raw events per group would put billions of rows in
+        one window frame)."""
+        ev = t(spark, sf, "events")
+        hod = F.expr(
+            "CAST((unix_micros(ts) div 3600000000) % 24 AS INT)"
+        )
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        hist = ev.select(
+            F.col("event_type").alias("et"),
+            hod.alias("hod"),
+            cents.alias("cents"),
+        ).groupBy("et", "hod", "cents").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w_cum = (
+            Window.partitionBy("et", "hod")
+            .orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_grp = Window.partitionBy("et", "hod")
+        ranked = hist.withColumn(
+            "cum", F.sum("c").over(w_cum)
+        ).withColumn("n", F.sum("c").over(w_grp))
+        k50 = F.expr("(n - 1) * 50 div 100 + 1")
+        k95 = F.expr("(n - 1) * 95 div 100 + 1")
+        return (
+            ranked.groupBy("et", "hod")
+            .agg(
+                F.max("n").cast("long").alias("n_events"),
+                F.min(
+                    F.when(F.col("cum") >= k50, F.col("cents"))
+                ).alias("p50_cents"),
+                F.min(
+                    F.when(F.col("cum") >= k95, F.col("cents"))
+                ).alias("p95_cents"),
+            )
+            .select(
+                F.col("et").alias("event_type"),
+                "hod",
+                "n_events",
+                "p50_cents",
+                "p95_cents",
+            )
+            .orderBy("event_type", "hod")
+        )
+
+    register(
+        "hourly_value_bands",
+        """WITH hist AS (
+             SELECT event_type AS et,
+                    CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER)
+                      AS hod,
+                    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                    count(*) AS c
+             FROM events GROUP BY 1, 2, 3),
+           ranked AS (
+             SELECT *, sum(c) OVER (PARTITION BY et, hod ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                    sum(c) OVER (PARTITION BY et, hod) AS n
+             FROM hist)
+           SELECT et AS event_type, hod,
+                  CAST(max(n) AS BIGINT) AS n_events,
+                  min(CASE WHEN cum >= (n - 1) * 50 // 100 + 1
+                      THEN cents END) AS p50_cents,
+                  min(CASE WHEN cum >= (n - 1) * 95 // 100 + 1
+                      THEN cents END) AS p95_cents
+           FROM ranked GROUP BY et, hod ORDER BY event_type, hod""",
+        "llm",
+        ["events", "quantile", "timeseries"],
+    )(_q_hourly_value_bands)
+
     def _q_survival_km(spark, sf):
         """Kaplan-Meier survival of time-to-purchase after a click, with
         right-censoring: each click's duration runs to the user's NEXT
@@ -6664,7 +6742,7 @@ DRIVER_WINDOW: list[str] = [
     "survival_time_to_purchase",  # r6c4: Kaplan-Meier with censoring
     "stream_left_outer_closed",  # r6c4: watermarked outer join, closed subset
     "media_phash_near_dup",  # r6c4: banded hamming-LSH over fake pHash
-    "pii_redact_events",  # r6: PII detection + chained masking
+    "hourly_value_bands",  # r6c4: histogram-shaped exact p50/p95
     "benford_digit_test",  # r6c4: first-digit audit, string-exact digits
     "events_missing_hours",  # r6c4: grid anti-join gap detection
     # (window_value_functions and event_sequence_regex deferred to the
