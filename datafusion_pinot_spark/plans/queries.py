@@ -2238,6 +2238,72 @@ def _register_validation():
         ["pinot", "storage", "topk", "sorted"],
     )(_q_pinot_head_topk)
 
+    def _q_weekly_growth_accounting(spark, sf):
+        """Growth accounting per epoch-week: active users split into NEW
+        (first-ever event falls in the week) vs RETURNING, plus the new
+        share in ppm. Two map-side-combining aggregates — per-user first
+        timestamp, then per-(week, user) activity — joined on the user;
+        pure epoch arithmetic for the week (engine-agnostic, like
+        psi_drift)."""
+        ev = t(spark, sf, "events")
+        wk = F.expr("(unix_micros(ts) div 86400000000) div 7")
+        per_user_week = (
+            ev.select(F.col("user_id").alias("u"), wk.alias("week"))
+            .distinct()
+        )
+        firsts = ev.groupBy(F.col("user_id").alias("u")).agg(
+            F.expr(
+                "min((unix_micros(ts) div 86400000000) div 7)"
+            ).alias("first_week")
+        )
+        j = per_user_week.join(firsts, "u")
+        return (
+            j.groupBy("week")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_active"),
+                F.sum(
+                    (F.col("week") == F.col("first_week")).cast("int")
+                )
+                .cast("long")
+                .alias("n_new"),
+            )
+            .select(
+                "week",
+                "n_active",
+                "n_new",
+                (F.col("n_active") - F.col("n_new"))
+                .cast("long")
+                .alias("n_returning"),
+                F.expr("n_new * 1000000L div n_active").alias(
+                    "new_share_ppm"
+                ),
+            )
+            .orderBy("week")
+        )
+
+    register(
+        "weekly_growth_accounting",
+        """WITH puw AS (
+             SELECT DISTINCT user_id AS u,
+                    (epoch_us(ts) // 86400000000) // 7 AS week
+             FROM events),
+           firsts AS (
+             SELECT user_id AS u,
+                    min((epoch_us(ts) // 86400000000) // 7) AS first_week
+             FROM events GROUP BY user_id),
+           g AS (
+             SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+                    CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_new
+             FROM puw JOIN firsts USING (u) GROUP BY week)
+           SELECT week, n_active, n_new,
+                  CAST(n_active - n_new AS BIGINT) AS n_returning,
+                  n_new * 1000000 // n_active AS new_share_ppm
+           FROM g ORDER BY week""",
+        "llm",
+        ["events", "growth", "analytics"],
+    )(_q_weekly_growth_accounting)
+
     def _q_hourly_value_bands(spark, sf):
         """p50/p95 value bands per (event_type, hour-of-day): exact
         discrete quantiles computed from the VALUE HISTOGRAM — counts per
@@ -6766,7 +6832,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_rollup_compacted_agg",  # r6: merge-rollup during compaction
     "pinot_upsert_latest",  # r6: upsert-table last-wins read
     "ab_test_conversion",  # r6c4: median-split A/B with pooled z
-    "training_shard_assignment",  # r6: deterministic export shuffle
+    "weekly_growth_accounting",  # r6c4: new-vs-returning per epoch week
     "psi_drift_event_mix",  # r6c4: PSI drift, integer ppm shares
     "equi_depth_price_histogram",  # r6c4: two-pass global-rank quantile hist
     "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
