@@ -2238,6 +2238,53 @@ def _register_validation():
         ["pinot", "storage", "topk", "sorted"],
     )(_q_pinot_head_topk)
 
+    def _q_topk_with_other(spark, sf):
+        """Top-5 sources by character volume with everything else rolled
+        into an OTHER bucket — the dashboard staple. Rank ties break on
+        the source name (deterministic); one group aggregate, a
+        broadcast-size rank over |sources| rows, then a 6-row reduce."""
+        docs = _docs(spark, sf)
+        per_src = docs.groupBy("source").agg(
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        w = Window.orderBy(F.desc("chars"), F.asc("source"))
+        ranked = per_src.withColumn("rn", F.row_number().over(w))
+        return (
+            ranked.withColumn(
+                "bucket",
+                F.when(F.col("rn") <= 5, F.col("source")).otherwise(
+                    F.lit("OTHER")
+                ),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum("chars").cast("long").alias("chars"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.count(F.lit(1)).cast("long").alias("n_sources"),
+            )
+            .orderBy(F.desc("chars"), F.asc("bucket"))
+        )
+
+    register(
+        "topk_sources_with_other",
+        """WITH per_src AS (
+             SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars,
+                    CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY source),
+           ranked AS (
+             SELECT *, row_number() OVER (ORDER BY chars DESC, source)
+                    AS rn
+             FROM per_src)
+           SELECT CASE WHEN rn <= 5 THEN source ELSE 'OTHER' END AS bucket,
+                  CAST(sum(chars) AS BIGINT) AS chars,
+                  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                  CAST(count(*) AS BIGINT) AS n_sources
+           FROM ranked GROUP BY 1 ORDER BY chars DESC, bucket""",
+        "llm",
+        ["documents", "topk", "analytics"],
+    )(_q_topk_with_other)
+
     def _q_weekly_growth_accounting(spark, sf):
         """Growth accounting per epoch-week: active users split into NEW
         (first-ever event falls in the week) vs RETURNING, plus the new
@@ -6829,7 +6876,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_tail_latest",  # r6c4: latest-N tail pushdown
     "ohlc_daily_bars",  # r6c4: deterministic first/last OHLC rollup
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
-    "pinot_rollup_compacted_agg",  # r6: merge-rollup during compaction
+    "topk_sources_with_other",  # r6c4: top-5 + OTHER dashboard rollup
     "pinot_upsert_latest",  # r6: upsert-table last-wins read
     "ab_test_conversion",  # r6c4: median-split A/B with pooled z
     "weekly_growth_accounting",  # r6c4: new-vs-returning per epoch week
