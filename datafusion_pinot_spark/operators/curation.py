@@ -516,3 +516,82 @@ SELECT doc_id, w,
 FROM c
 WHERE cum * {k} // total_w > (cum - w) * {k} // total_w
 ORDER BY doc_id"""
+
+
+def curriculum_schedule(docs: DataFrame, k: int = 200) -> DataFrame:
+    """Deterministic curriculum ordering for training: docs are scored
+    (here: ``n_chars`` as the easiness proxy — longest first), cut into
+    exact global deciles, and within each decile round-robined across
+    sources so no contiguous stretch of the schedule is single-source.
+    Returns the first ``k`` schedule slots as (doc_id, source, decile,
+    curriculum_pos).
+
+    Scale shape: both global orderings go through
+    :func:`~datafusion_pinot_spark.operators.ranking.global_rank` (the
+    bucketed two-pass prefix sum — no single-partition global window). The
+    decile pass buckets by the coarse score; the schedule pass buckets by
+    (decile, round) pairs, each of which holds at most one row per source,
+    so the within-bucket window is bounded by the source count regardless
+    of corpus size."""
+    from datafusion_pinot_spark.operators.ranking import (
+        global_rank,
+        proportional_bucket,
+    )
+    from pyspark.sql import Window
+
+    # the desc n_chars ordering enters global_rank as an explicit negated
+    # column (monotone with its coarse bucket)
+    ranked = (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            F.expr("-n_chars").alias("__negchars"),
+        )
+        .transform(
+            lambda d: global_rank(
+                d, bucket=F.expr("__negchars div 64"),
+                order_cols=["__negchars", "doc_id"],
+            )
+        )
+        .withColumn("decile", proportional_bucket("rank", "total", 10))
+    )
+    rr = F.row_number().over(
+        Window.partitionBy("decile", "source").orderBy("doc_id")
+    )
+    sched = ranked.select("doc_id", "source", "decile").withColumn("rr", rr)
+    out = global_rank(
+        sched,
+        bucket=F.expr("decile * 1000000000 + rr"),
+        order_cols=["decile", "rr", "source", "doc_id"],
+        rank_col="curriculum_pos",
+        total_col="__t2",
+    )
+    return (
+        out.filter(F.col("curriculum_pos") <= k)
+        .select("doc_id", "source", "decile", "curriculum_pos")
+        .orderBy("curriculum_pos")
+    )
+
+
+def curriculum_schedule_oracle_sql(k: int = 200) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rnk,
+         count(*) OVER () AS total
+  FROM documents
+), dec AS (
+  SELECT doc_id, source,
+         CAST((rnk - 1) * 10 // total + 1 AS INTEGER) AS decile
+  FROM ranked
+), rrd AS (
+  SELECT doc_id, source, decile,
+         row_number() OVER (PARTITION BY decile, source ORDER BY doc_id) AS rr
+  FROM dec
+)
+SELECT doc_id, source, decile,
+       row_number() OVER (ORDER BY decile, rr, source, doc_id)
+         AS curriculum_pos
+FROM rrd
+QUALIFY curriculum_pos <= {k}
+ORDER BY curriculum_pos
+"""

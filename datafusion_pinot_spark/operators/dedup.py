@@ -979,3 +979,72 @@ WHERE ({new_pred})
                   WHERE ({corpus_pred}) AND c.text = d.text)
 ORDER BY d.doc_id
 """
+
+
+def shingle_containment_pairs(
+    docs: DataFrame, n: int = 3, threshold_pct: int = 80
+) -> DataFrame:
+    """Asymmetric near-dup detection: ``(doc_a, doc_b)`` where at least
+    ``threshold_pct``% of doc_a's word ``n``-gram shingles also occur in
+    doc_b — the quote/excerpt/boilerplate-inclusion case Jaccard misses (a
+    short doc fully contained in a long one has low Jaccard but 100%
+    containment). Directional, so both orientations can appear.
+
+    Same bounded shape as :func:`ngram_jaccard_pairs` (explode + shingle
+    equi-join restricted to co-occurring shingles), with the containment
+    ratio kept in exact integer percent (``100*|A∩B| div |A|``) so the
+    threshold cut is bit-identical cross-engine. The production-scale
+    variant buckets through MinHash-LSH first exactly like
+    :func:`lsh_verified_pairs`; this is the verify kernel."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", F.explode(word_shingles(F.col("toks"), n)).alias("s")
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    return (
+        inter.join(sa, "doc_a")
+        .withColumn("containment_pct", F.expr("(100 * inter) div sz_a"))
+        .filter(F.col("containment_pct") >= threshold_pct)
+        .select("doc_a", "doc_b", "containment_pct")
+    )
+
+
+def shingle_containment_pairs_oracle_sql(
+    n: int = 3, threshold_pct: int = 80
+) -> str:
+    joined = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - {n - 1}), i -> {joined})) AS s
+  FROM t WHERE len(w) >= {n}
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, (100 * inter) // sa.sz AS containment_pct
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+WHERE (100 * inter) // sa.sz >= {threshold_pct}
+"""

@@ -1,0 +1,168 @@
+"""Graph operators over relationally-derived edge sets.
+
+A 100 TB corpus's graph problems (link analysis over a customer-product
+bipartite graph, co-occurrence mining over user behavior) are join+groupBy
+shapes in Spark — no graph runtime needed. Everything here is *integer
+arithmetic only*: PageRank mass is scaled to ``SCALE = 10^12`` and moved
+with floor division, so the per-node ranks are bit-identical across engines
+(floating PageRank would accumulate in shuffle order and never hash-match a
+DuckDB oracle). Two unrolled iterations keep the oracle a plain CTE chain;
+the engine-side :func:`pagerank_iterations` loop runs any number with one
+shuffle per round and a ``localCheckpoint`` to cut the growing lineage —
+the same pattern as the near-dup connected-components operator
+(operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 10**12
+PART_BASE = 10_000_000  # part node-id offset: disjoint from customer keys
+
+
+def customer_part_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Undirected customer<->part edge list (both directions materialized)
+    from the order history: one distinct hash shuffle."""
+    cp = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_partkey") + F.lit(PART_BASE)).alias("p"),
+        )
+        .distinct()
+    )
+    return cp.select(F.col("c").alias("src"), F.col("p").alias("dst")).unionAll(
+        cp.select(F.col("p").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+def _one_round(pr: DataFrame, edges: DataFrame, deg: DataFrame, n_nodes) -> DataFrame:
+    """pr' = 15%*(SCALE//N) + 85% * sum(incoming pr//outdeg), all floor-div."""
+    contrib = (
+        pr.join(deg, "node")
+        .withColumn("give", F.expr("pr div outdeg"))
+        .join(edges, F.col("node") == F.col("src"))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("give").alias("got"))
+    )
+    return contrib.select(
+        "node",
+        (
+            F.expr(f"(15 * ({SCALE} div {n_nodes})) div 100")
+            + F.expr("(85 * got) div 100")
+        ).alias("pr"),
+    )
+
+
+def pagerank_two_iter(orders: DataFrame, lineitem: DataFrame, k: int = 20) -> DataFrame:
+    """Top-``k`` nodes by integer-scaled PageRank after exactly two rounds
+    over the customer-part purchase graph. Deterministic: integer mass,
+    integer teleport, (pr desc, node asc) tiebreak."""
+    edges = customer_part_edges(orders, lineitem)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    n_nodes = deg.count()  # driver-side scalar: one small agg, not a loop
+    pr0 = deg.select("node", F.lit(SCALE // n_nodes).cast("long").alias("pr"))
+    pr1 = _one_round(pr0, edges, deg, n_nodes)
+    pr2 = _one_round(pr1, edges, deg, n_nodes)
+    return (
+        pr2.orderBy(F.desc("pr"), F.asc("node"))
+        .limit(k)
+        .select("node", "pr")
+    )
+
+
+def pagerank_iterations(
+    orders: DataFrame, lineitem: DataFrame, rounds: int = 10, k: int = 20
+) -> DataFrame:
+    """The production loop: same round function, arbitrary depth, lineage
+    cut per round. Not oracle-able as SQL beyond a few unrolled rounds —
+    pinned instead by the pytest equivalence test against
+    :func:`pagerank_two_iter` at rounds=2."""
+    edges = customer_part_edges(orders, lineitem)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    # one shuffle to co-locate: every round joins pr on node==src
+    edges = edges.repartition("src").localCheckpoint()
+    deg = deg.localCheckpoint()
+    n_nodes = deg.count()
+    pr = deg.select("node", F.lit(SCALE // n_nodes).cast("long").alias("pr"))
+    for _ in range(rounds):
+        pr = _one_round(pr, edges, deg, n_nodes).localCheckpoint()
+    return pr.orderBy(F.desc("pr"), F.asc("node")).limit(k).select("node", "pr")
+
+
+def pagerank_two_iter_oracle_sql(k: int = 20) -> str:
+    return f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey + {PART_BASE} AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT c AS src, p AS dst FROM cp UNION ALL SELECT p AS src, c AS dst FROM cp
+), deg AS (
+  SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
+), n AS (
+  SELECT count(*) AS n_nodes FROM deg
+), pr0 AS (
+  SELECT node, {SCALE} // (SELECT n_nodes FROM n) AS pr FROM deg
+), pr1 AS (
+  SELECT e.dst AS node,
+         (15 * ({SCALE} // (SELECT n_nodes FROM n))) // 100
+         + (85 * sum(p.pr // d.outdeg)) // 100 AS pr
+  FROM pr0 p JOIN deg d ON p.node = d.node JOIN edges e ON e.src = p.node
+  GROUP BY e.dst
+), pr2 AS (
+  SELECT e.dst AS node,
+         (15 * ({SCALE} // (SELECT n_nodes FROM n))) // 100
+         + (85 * sum(p.pr // d.outdeg)) // 100 AS pr
+  FROM pr1 p JOIN deg d ON p.node = d.node JOIN edges e ON e.src = p.node
+  GROUP BY e.dst
+)
+SELECT node, pr FROM pr2 ORDER BY pr DESC, node ASC LIMIT {k}
+"""
+
+
+def itemset_pair_support(events: DataFrame) -> DataFrame:
+    """Pairwise event-type co-occurrence (the 2-itemset support level of
+    market-basket mining): for every unordered type pair, how many users
+    exhibit both, in basis points of all active users. Distinct-reduce
+    first (the only corpus-sized shuffle), then a per-user self-join whose
+    fan-out is bounded by the tiny per-user distinct-type count."""
+    ut = events.select("user_id", "event_type").distinct()
+    total = ut.select("user_id").distinct().count()
+    a, b = ut.alias("a"), ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .withColumn("support_bp", F.expr(f"(n_users * 10000) div {total}"))
+        .orderBy(F.desc("n_users"), F.asc("type_a"), F.asc("type_b"))
+    )
+
+
+def itemset_pair_support_oracle_sql() -> str:
+    return """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), total AS (
+  SELECT count(DISTINCT user_id) AS t FROM ut
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_users,
+       (count(*) * 10000) // (SELECT t FROM total) AS support_bp
+FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+ORDER BY n_users DESC, type_a ASC, type_b ASC
+"""

@@ -502,3 +502,46 @@ SELECT doc_id, n_tokens, avg_len_milli, dup2_milli, top_tok_milli,
        (CASE {conds} ELSE '' END) = '' AS keep
 FROM joined ORDER BY doc_id
 """
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Top-``k`` adjacent token pairs by corpus frequency — the statistic
+    the first BPE merge iteration maximizes (tokenizer training's inner
+    loop). Pure narrow map (token split + adjacent zip) into one count
+    shuffle; at 100 TB this is the canonical map-side-combine shape, and
+    the top-k is a TakeOrdered over the pair counts, never a global sort.
+    Ties break lexicographically so the cut is deterministic."""
+    toks = docs.select(tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS l,"
+                "             element_at(w, i + 1) AS r))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.l").alias("l"), F.col("p.r").alias("r")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+        .limit(k)
+    )
+
+
+def bpe_pair_counts_oracle_sql(k: int = 20) -> str:
+    return f"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+), p AS (
+  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM t WHERE len(w) >= 2
+)
+SELECT w[i] AS l, w[i+1] AS r, count(*) AS cnt
+FROM p GROUP BY w[i], w[i+1]
+ORDER BY cnt DESC, l ASC, r ASC LIMIT {k}
+"""

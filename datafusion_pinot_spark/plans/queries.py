@@ -3020,6 +3020,153 @@ def _register_validation():
 _register_validation()
 
 
+def _register_round7():
+    """r7: record linkage, spatial join, graph analytics, tokenizer-training
+    statistics, containment dedup, curriculum scheduling, session paths."""
+    from datafusion_pinot_spark.operators import (
+        curation,
+        dedup,
+        graph,
+        linkage,
+        text,
+    )
+
+    # Fuzzy record linkage: brand-blocked levenshtein pair verify. The
+    # oracle is the naive within-block quadratic, so green proves the
+    # capped/blocked engine plan loses no pair.
+    register(
+        "record_linkage_fuzzy",
+        linkage.blocked_levenshtein_pairs_oracle_sql(),
+        "llm",
+        ["linkage", "join", "blocking"],
+    )(
+        lambda spark, sf: linkage.blocked_levenshtein_pairs(
+            t(spark, sf, "part")
+        )
+    )
+    # Gridded spatial radius join (integer-metric plane, no trig): the
+    # engine runs the 3x3-neighbor-cell equi-join; the oracle is the naive
+    # all-pairs distance filter — green proves the grid covers the radius.
+    register(
+        "geo_radius_join",
+        linkage.geo_radius_counts_oracle_sql(),
+        "relational",
+        ["spatial", "join", "grid"],
+    )(
+        lambda spark, sf: linkage.geo_radius_counts(
+            t(spark, sf, "customer"), t(spark, sf, "supplier")
+        )
+    )
+    # Integer-scaled PageRank, two unrolled rounds over the customer-part
+    # purchase graph; the any-depth production loop (pagerank_iterations)
+    # is pinned by pytest equivalence at rounds=2.
+    register(
+        "pagerank_two_iter",
+        graph.pagerank_two_iter_oracle_sql(),
+        "relational",
+        ["graph", "iterative", "join"],
+    )(
+        lambda spark, sf: graph.pagerank_two_iter(
+            t(spark, sf, "orders"), t(spark, sf, "lineitem")
+        )
+    )
+    # 2-itemset co-occurrence support over user behavior (market-basket
+    # level 2): distinct-reduce then per-user bounded self-join.
+    register(
+        "itemset_pair_support",
+        graph.itemset_pair_support_oracle_sql(),
+        "relational",
+        ["graph", "cooccurrence", "agg"],
+    )(lambda spark, sf: graph.itemset_pair_support(t(spark, sf, "events")))
+    # Adjacent-token-pair frequencies: the first BPE merge iteration's
+    # argmax statistic (tokenizer training inner loop).
+    register(
+        "bpe_merge_candidates",
+        text.bpe_pair_counts_oracle_sql(),
+        "llm",
+        ["text", "tokenizer", "topk"],
+    )(lambda spark, sf: text.bpe_pair_counts(_docs(spark, sf)))
+    # Asymmetric shingle containment: the doc-inside-doc near-dup case
+    # Jaccard misses; exact integer-percent threshold.
+    register(
+        "shingle_containment_pairs",
+        dedup.shingle_containment_pairs_oracle_sql(),
+        "llm",
+        ["dedup", "containment", "shingle"],
+    )(
+        lambda spark, sf: dedup.shingle_containment_pairs(_docs(spark, sf))
+    )
+    # Deterministic curriculum schedule: exact global deciles (two-pass
+    # rank) round-robined across sources.
+    register(
+        "curriculum_schedule",
+        curation.curriculum_schedule_oracle_sql(),
+        "llm",
+        ["curation", "ordering", "rank"],
+    )(lambda spark, sf: curation.curriculum_schedule(_docs(spark, sf)))
+
+    # Top session event-paths: sessionize (same 30-min gap as the
+    # sessionization query), concatenate the ordered per-session type
+    # sequence, count identical paths. Ordered collect is an
+    # array_sort(collect_list(struct)) — deterministic because (ts,
+    # event_id) is a total order — never a sort within the aggregation.
+    def _q_top_event_paths(spark, sf):
+        t(spark, sf, "events").createOrReplaceTempView("events")
+        return spark.sql(
+            """WITH e AS (
+                 SELECT user_id, ts, event_id, event_type,
+                        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                  OR unix_timestamp(ts)
+                                     - unix_timestamp(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                             THEN 1 ELSE 0 END AS new_s
+                 FROM events
+               ), s AS (
+                 SELECT user_id, ts, event_id, event_type,
+                        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                 FROM e
+               ), paths AS (
+                 SELECT user_id, session_id,
+                        array_join(transform(
+                          array_sort(collect_list(struct(ts, event_id, event_type))),
+                          x -> x.event_type), '>') AS path
+                 FROM s GROUP BY user_id, session_id
+               )
+               SELECT path, count(*) AS n_sessions
+               FROM paths GROUP BY path
+               ORDER BY n_sessions DESC, path ASC LIMIT 10"""
+        )
+
+    register(
+        "top_event_paths",
+        """WITH e AS (
+             SELECT user_id, ts, event_id, event_type,
+                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                              OR CAST(floor(epoch(ts)) AS BIGINT)
+                                 - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+                         THEN 1 ELSE 0 END AS new_s
+             FROM events
+           ), s AS (
+             SELECT user_id, ts, event_id, event_type,
+                    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             FROM e
+           ), paths AS (
+             SELECT user_id, session_id,
+                    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+             FROM s GROUP BY user_id, session_id
+           )
+           SELECT path, count(*) AS n_sessions
+           FROM paths GROUP BY path
+           ORDER BY n_sessions DESC, path ASC LIMIT 10""",
+        "relational",
+        ["window", "path", "topk"],
+    )(_q_top_event_paths)
+
+
+_register_round7()
+
+
 # ---------------------------------------------------------------------------
 # §4 Temporal joins + quantiles + LIKE-predicate joins (added coverage)
 # ---------------------------------------------------------------------------
