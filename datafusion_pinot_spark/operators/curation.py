@@ -560,7 +560,7 @@ def curriculum_schedule(docs: DataFrame, k: int = 200) -> DataFrame:
     sched = ranked.select("doc_id", "source", "decile").withColumn("rr", rr)
     out = global_rank(
         sched,
-        bucket=F.expr("decile * 1000000000 + rr"),
+        bucket=F.expr("cast(decile as bigint) * 1000000000 + rr"),
         order_cols=["decile", "rr", "source", "doc_id"],
         rank_col="curriculum_pos",
         total_col="__t2",

@@ -62,6 +62,8 @@ def pagerank_two_iter(orders: DataFrame, lineitem: DataFrame, k: int = 20) -> Da
     over the customer-part purchase graph. Deterministic: integer mass,
     integer teleport, (pr desc, node asc) tiebreak."""
     edges = customer_part_edges(orders, lineitem)
+    # cache the distinct+join subtree: it feeds deg plus both rounds (3 uses)
+    edges = edges.repartition("src").localCheckpoint()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("outdeg")
     )
@@ -112,14 +114,14 @@ WITH cp AS (
   SELECT node, {SCALE} // (SELECT n_nodes FROM n) AS pr FROM deg
 ), pr1 AS (
   SELECT e.dst AS node,
-         (15 * ({SCALE} // (SELECT n_nodes FROM n))) // 100
-         + (85 * sum(p.pr // d.outdeg)) // 100 AS pr
+         CAST((15 * ({SCALE} // (SELECT n_nodes FROM n))) // 100
+              + (85 * sum(p.pr // d.outdeg)) // 100 AS BIGINT) AS pr
   FROM pr0 p JOIN deg d ON p.node = d.node JOIN edges e ON e.src = p.node
   GROUP BY e.dst
 ), pr2 AS (
   SELECT e.dst AS node,
-         (15 * ({SCALE} // (SELECT n_nodes FROM n))) // 100
-         + (85 * sum(p.pr // d.outdeg)) // 100 AS pr
+         CAST((15 * ({SCALE} // (SELECT n_nodes FROM n))) // 100
+              + (85 * sum(p.pr // d.outdeg)) // 100 AS BIGINT) AS pr
   FROM pr1 p JOIN deg d ON p.node = d.node JOIN edges e ON e.src = p.node
   GROUP BY e.dst
 )

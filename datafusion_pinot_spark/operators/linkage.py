@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def blocked_levenshtein_pairs(
-    part: DataFrame, max_dist: int = 2, block_cap: int = 10_000
+    part: DataFrame, max_dist: int = 2, block_cap: int = 10_000,
+    warn_dropped: bool = True,
 ) -> DataFrame:
     """Fuzzy record linkage over part names: block on ``p_brand``, then an
     exact edit-distance verify *within* each block.
@@ -35,9 +36,27 @@ def blocked_levenshtein_pairs(
 
     Spark's ``levenshtein`` and DuckDB's agree on classic unit-cost edit
     distance, so the threshold join is oracle-exact.
+
+    The naive oracle has no cap, so a dropped block is an engine/oracle
+    divergence by design: with ``warn_dropped`` (default) the operator
+    counts over-cap blocks driver-side (one tiny extra agg over the
+    blocking key) and emits a ``warnings.warn`` naming them, so the
+    divergence is detectable rather than silent. At driver SF no brand
+    block approaches the 10k cap (tests pin the drop behavior directly).
     """
+    import warnings
+
     # block sizes first: a block over the cap is excluded from pairing
     sizes = part.groupBy("p_brand").agg(F.count("*").alias("_bsz"))
+    if warn_dropped:
+        dropped = sizes.filter(F.col("_bsz") > block_cap).count()
+        if dropped:
+            warnings.warn(
+                f"blocked_levenshtein_pairs: {dropped} block(s) exceed "
+                f"block_cap={block_cap} and are dropped from pairing; "
+                "the naive oracle WILL diverge — re-block on a finer key",
+                stacklevel=2,
+            )
     ok = part.join(
         F.broadcast(sizes.filter(F.col("_bsz") <= block_cap)), "p_brand"
     )

@@ -6960,6 +6960,23 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
+    # -- r7 additions (standing rotation rule: round-N queries enter the
+    # window at the first driver run after they land; none of these 8 have
+    # ever been driver-checked — r7 ended mid-flight before the rotation).
+    # Slots freed by rotating out 8 once-green r07 veterans, each pinned
+    # by the pytest oracle tier: q2_min_cost_supplier,
+    # q9_product_type_profit, q11_important_parts, q22_dormant_customers
+    # (all 22 TPC-H shapes stay pytest-pinned; q1 additionally benched),
+    # benford_digit_test, events_missing_hours, topk_sources_with_other,
+    # ohlc_daily_bars. --
+    "record_linkage_fuzzy",  # r7: blocked levenshtein linkage vs naive oracle
+    "geo_radius_join",  # r7: 3x3 grid spatial join vs naive radius oracle
+    "pagerank_two_iter",  # r7: integer-mass pagerank (r8: BIGINT oracle fix)
+    "itemset_pair_support",  # r7: 2-itemset support over user baskets
+    "bpe_merge_candidates",  # r7: adjacent-pair counts (BPE merge step)
+    "shingle_containment_pairs",  # r7: shingle containment verify kernel
+    "curriculum_schedule",  # r7: decile round-robin (r8: int64 bucket fix)
+    "top_event_paths",  # r7: top session paths
     # (pinot_roundtrip_agg rotated out for doc_chunk_windows: driver-green
     # in every round r1-r5 and pinned by the pytest oracle tier; the
     # storage end-to-end path stays window-covered by the r6 storage
@@ -6992,19 +7009,13 @@ DRIVER_WINDOW: list[str] = [
     # -- r6 TPC-H completion: the remaining query shapes (Q2/Q9/Q11/Q13/
     # Q16/Q20/Q22 adapted to the testdata schema — no partsupp, so
     # lineitem's distinct (part, supplier) pairs stand in for it) --
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_parts",
     "data_quality_report",  # r6c4: Deequ-style one-pass constraint report
     "funnel_time_to_convert",  # r6c4: struct-fold latency + 2-pass quantiles
     "forecast_backtest_weekly",  # r6c4: seasonal-naive backtest, integer errors
-    "q22_dormant_customers",
     "survival_time_to_purchase",  # r6c4: Kaplan-Meier with censoring
     "stream_left_outer_closed",  # r6c4: watermarked outer join, closed subset
     "media_phash_near_dup",  # r6c4: banded hamming-LSH over fake pHash
     "hourly_value_bands",  # r6c4: histogram-shaped exact p50/p95
-    "benford_digit_test",  # r6c4: first-digit audit, string-exact digits
-    "events_missing_hours",  # r6c4: grid anti-join gap detection
     # (window_value_functions and event_sequence_regex deferred to the
     # pytest oracle tier; the slot goes to the exact-moments query, whose
     # decimal-vs-double accumulation is a real cross-engine hazard.)
@@ -7021,9 +7032,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_mv_inverted_scan",  # r6c4: MV inverted index + mv_contains
     "pinot_head_topk",  # r6c4: sorted-layout top-k head pushdown
     "pinot_tail_latest",  # r6c4: latest-N tail pushdown
-    "ohlc_daily_bars",  # r6c4: deterministic first/last OHLC rollup
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
-    "topk_sources_with_other",  # r6c4: top-5 + OTHER dashboard rollup
     "pinot_upsert_latest",  # r6: upsert-table last-wins read
     "ab_test_conversion",  # r6c4: median-split A/B with pooled z
     "weekly_growth_accounting",  # r6c4: new-vs-returning per epoch week
