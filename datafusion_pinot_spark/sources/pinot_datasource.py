@@ -1457,6 +1457,19 @@ def _specs_stats(specs, total_docs: int) -> dict:
             "dtype": spec.declared_dtype().value,
             "has_nulls": nm is not None and bool(np.asarray(nm).any()),
         }
+        if not spec.raw:
+            # dict-encoded: cardinality = dictionary entry count (values
+            # already carry the null fill, matching metadata.properties'
+            # own `cardinality`), so distinct-serving strategies
+            # (operators/segment_distinct.py) work from this manifest
+            # without opening the segment
+            entry["has_dictionary"] = True
+            try:
+                entry["cardinality"] = int(
+                    np.unique(np.asarray(spec.values)).size
+                )
+            except (TypeError, ValueError):
+                entry["cardinality"] = len(set(spec.values))
         cols[spec.name] = entry
         if spec.declared_dtype().value not in _STATS_DTYPES:
             continue  # entry still carries dtype + nullability

@@ -88,6 +88,12 @@ def collect_segment_stats(v3_dir: str) -> dict:
         entry: dict = {
             "dtype": cm.data_type.value,
             "has_nulls": bool(cm.has_null_values),
+            # dictionary layout facts: a dict-encoded null-free column's
+            # dictionary IS its distinct value set, so planning can serve
+            # exact-distinct questions from these two fields alone
+            # (operators/segment_distinct.py) without touching data
+            "has_dictionary": bool(cm.has_dictionary),
+            "cardinality": int(cm.cardinality),
         }
         cols[name] = entry
         if cm.data_type.value not in _STATS_DTYPES:

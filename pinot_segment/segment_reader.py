@@ -365,6 +365,24 @@ class SegmentReader:
 
     # -- zone maps (rebuild improvement: segment/filter pruning) ------------
 
+    def dictionary_values(self, name: str):
+        """The dictionary entries of a dict-encoded single-value column —
+        for a Pinot-built (or this writer's) segment the dictionary is
+        built FROM the segment's values, so every entry occurs in >= 1 row
+        and the array is exactly the segment's distinct value set (sorted).
+        Reads only the dictionary blob: no forward-index decode. None when
+        the column is not dict-encoded / not single-value. Callers that
+        need "distinct NON-NULL values" must also check
+        ``has_null_values`` — a nullable column's dictionary contains the
+        type-default fill standing in for NULL slots.
+        """
+        col = self.metadata.get_column(name)
+        if not col.is_single_value or not col.has_dictionary:
+            return None
+        if self.index_map.get_dictionary(name) is None:
+            return None
+        return self._dictionary(col).values
+
     def column_min_max(self, name: str):
         """(min, max) for a dict-encoded column via its sorted dictionary,
         or via the metadata ``minValue``/``maxValue`` stats the writer

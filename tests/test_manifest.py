@@ -51,6 +51,8 @@ def test_build_load_roundtrip(table_dir):
     assert s0["columns"]["k"] == {
         "dtype": "LONG",
         "has_nulls": False,
+        "has_dictionary": True,
+        "cardinality": 50,
         "min": 0,
         "max": 49,
     }

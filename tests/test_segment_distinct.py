@@ -94,3 +94,107 @@ def test_bitmap_distinct_matches_exact_on_random(spark):
     df = spark.createDataFrame([(int(v),) for v in vals], "k long").repartition(8)
     got = bitmap_distinct_sum(df, "k", 100, 4999).collect()[0]["n_distinct"]
     assert got == len(set(vals))
+
+
+# -- r8: dictionary-served strategies ---------------------------------------
+
+
+def _dict_seg(table, name, keys, num=8, partitioned=True, nulls=None):
+    return write_segment(
+        table / name,
+        name,
+        "t",
+        [
+            ColumnSpec(
+                "k",
+                DataType.LONG,
+                np.asarray(keys, dtype=np.int64),
+                partition_config=("Modulo", num) if partitioned else None,
+                null_mask=nulls,
+            ),
+        ],
+    )
+
+
+def test_metadata_cardinality_no_job(spark, tmp_path):
+    """Partition-exclusive + dict-encoded + null-free: the router answers
+    from manifest cardinalities — and the number is exact."""
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        metadata_distinct_count,
+    )
+
+    table = tmp_path / "t_OFFLINE"
+    _dict_seg(table, "s0", [0, 8, 16, 8])      # residue 0: 3 distinct
+    _dict_seg(table, "s1", [1, 9, 17, 1, 9])   # residue 1: 3 distinct
+    _dict_seg(table, "s2", [2, 10])            # residue 2: 2 distinct
+    assert metadata_distinct_count(str(table), "k") == 8
+    df, method = distinct_count(spark, str(table), "k")
+    assert method == "metadata_cardinality"
+    assert df.collect()[0]["n_distinct"] == 8
+
+
+def test_dictionary_union_dedups_across_segments(spark, tmp_path):
+    """Dict-encoded but NOT layout-exclusive: values repeat across
+    segments, so cardinalities cannot be summed — the dictionary-union
+    path still answers exactly without decoding any rows."""
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        dictionary_union_distinct,
+    )
+
+    table = tmp_path / "t_OFFLINE"
+    _dict_seg(table, "s0", [0, 8, 8, 24], partitioned=False)
+    _dict_seg(table, "s1", [16, 0, 8], partitioned=False)   # 0 and 8 repeat
+    df = dictionary_union_distinct(spark, str(table), "k")
+    assert df is not None
+    assert df.collect()[0]["n_distinct"] == 4  # {0, 8, 16, 24}
+    df2, method = distinct_count(spark, str(table), "k")
+    assert method == "dictionary_union"
+    assert df2.collect()[0]["n_distinct"] == 4
+
+
+def test_nullable_dictionary_not_served(spark, tmp_path):
+    """A nullable column's dictionary carries the NULL fill entry, so the
+    dictionary strategies must decline (count(DISTINCT) excludes NULLs);
+    auto falls through to the exact global path."""
+    table = tmp_path / "t_OFFLINE"
+    mask = np.array([False, True, False], dtype=bool)
+    _dict_seg(table, "s0", [5, 0, 7], partitioned=False, nulls=mask)
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        dictionary_union_distinct,
+        metadata_distinct_count,
+    )
+
+    assert metadata_distinct_count(str(table), "k") is None
+    assert dictionary_union_distinct(spark, str(table), "k") is None
+    df, method = distinct_count(spark, str(table), "k")
+    assert method == "global_distinct"
+    assert df.collect()[0]["n_distinct"] == 2  # {5, 7}; the NULL slot is out
+
+
+def test_raw_column_skips_dictionary_strategies(spark, tmp_path):
+    """RAW (no-dictionary) columns can't use either dictionary strategy;
+    the partition proof still serves the summed per-partition path."""
+    table = tmp_path / "t_OFFLINE"
+    _seg(table, "s0", [0, 8, 16, 8])
+    _seg(table, "s1", [1, 9, 17])
+    df, method = distinct_count(spark, str(table), "k")
+    assert method == "segment_partitioned"
+    assert df.collect()[0]["n_distinct"] == 6
+
+
+def test_dictionary_union_string_column(spark, tmp_path):
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        dictionary_union_distinct,
+    )
+
+    table = tmp_path / "t_OFFLINE"
+    for name, vals in (("s0", ["a", "b", "a"]), ("s1", ["b", "c"])):
+        write_segment(
+            table / name,
+            name,
+            "t",
+            [ColumnSpec("s", DataType.STRING, vals)],
+        )
+    df = dictionary_union_distinct(spark, str(table), "s")
+    assert df is not None
+    assert df.collect()[0]["n_distinct"] == 3  # {a, b, c}
