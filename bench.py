@@ -550,13 +550,18 @@ def marginal_tier(
         "distinct_bitmap": lambda: bitmap_distinct_sum(
             rd(big, "l_orderkey"), "l_orderkey", int(klo), int(khi)
         ),
-        # same answer from the segment DICTIONARIES alone (r8): l_orderkey
-        # is dict-encoded, so each segment's dictionary IS its distinct
-        # set — tasks read the dictionary byte-range only (kilobytes) and
-        # the forward index never decodes; count(DISTINCT) runs over
-        # sum(cardinality) dictionary entries instead of all rows
-        "distinct_dict": lambda: dictionary_union_distinct(
-            spark, big, "l_orderkey"
+        # dictionary-union distinct (r8) probed on l_partkey — the column
+        # with real key repetition (rows >> per-segment distincts), which
+        # is the regime the strategy serves: each segment's dictionary IS
+        # its distinct set, so tasks read only the dictionary byte-range
+        # (no forward-index decode) and count(DISTINCT) runs over
+        # sum(cardinality) entries instead of all rows. (On l_orderkey the
+        # per-segment dict is nearly as big as the rows — no win to have.)
+        "distinct_part_global": lambda: rd(big, "l_partkey").agg(
+            F.count_distinct("l_partkey").alias("n")
+        ),
+        "distinct_part_dict": lambda: dictionary_union_distinct(
+            spark, big, "l_partkey"
         ),
     }
     probe_out: dict[str, dict] = {"rows": rows}
@@ -578,7 +583,7 @@ def marginal_tier(
         ("filter_dim2_zorder", "filter_dim2_linear"),
         ("topk_head", "topk_fullscan"),
         ("distinct_bitmap", "distinct_global"),
-        ("distinct_dict", "distinct_global"),
+        ("distinct_part_dict", "distinct_part_global"),
     ):
         probe_out[pruned]["speedup_vs_fullscan"] = round(
             probe_out[base]["sec"] / probe_out[pruned]["sec"], 2
@@ -592,6 +597,31 @@ def marginal_tier(
     probe_out["dim2_prune"] = {
         "linear": estimate_scan_cost(big_lin2d, filters=b_pred),
         "zorder": estimate_scan_cost(big_z, filters=b_pred),
+    }
+    # planning-level evidence for the segment-sparse equality probe (r8):
+    # the range layout's tag zone maps drop the non-owning segments before
+    # any task launches; the hash layout keeps all of them. At local[32]
+    # the e2e timing above is part task-floor — these survivor counts are
+    # the floor-free planning truth (same treatment as dim2_prune).
+    eq_pred = [("tag", "==", "rare")]
+    probe_out["eq_prune"] = {
+        "hash": estimate_scan_cost(big, filters=eq_pred),
+        "range": estimate_scan_cost(big_rng, filters=eq_pred),
+    }
+    # same floor-free truth for the dictionary-union distinct: values that
+    # must cross the scan for the exact answer — all rows (global) vs the
+    # summed dictionary cardinalities (dictionary_only read option)
+    from pinot_segment.manifest import load_manifest
+
+    mseg = load_manifest(big) or {}
+    probe_out["distinct_values_scanned"] = {
+        "global_rows": rows,
+        "dict_entries": sum(
+            (st.get("columns", {}).get("l_partkey") or {}).get(
+                "cardinality", 0
+            )
+            for st in mseg.values()
+        ),
     }
     out["index_probes"] = probe_out
 

@@ -258,47 +258,31 @@ def dictionary_union_distinct(
     segment (None otherwise): a nullable column's dictionary contains the
     NULL fill entry, which would overcount.
 
-    Scale shape: one task per ~``_DICT_SEGS_PER_TASK`` segments over a
-    seg-path frame — executors open only the dictionary byte-range of
-    ``columns.psf``. Driver ships paths, never values."""
+    Scale shape: the entry stream flows through the normal pinot scan
+    (``dictionary_only`` read option — Arrow batches, packed tasks), so
+    executors open only the dictionary byte-range of ``columns.psf``;
+    the driver ships segment paths, never values."""
+    import math
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
     got = _dict_nullfree_everywhere(table_dir, col)
     if got is None:
         return None
     dirs = got[0]
     if not dirs:
         return spark.range(1).select(F.lit(0).cast("long").alias("n_distinct"))
-    par = spark.sparkContext.defaultParallelism
-    paths = spark.createDataFrame(
-        [(d,) for d in dirs], "seg string"
-    ).repartition(min(len(dirs), par))
-
-    def gen(batches):
-        import pandas as pd
-
-        from pinot_segment import SegmentReader
-
-        for pdf in batches:
-            for seg in pdf["seg"]:
-                vals = SegmentReader.open(seg).dictionary_values(col)
-                if vals is None:
-                    raise ValueError(
-                        f"{col} lost its dictionary in {seg} after planning"
-                    )
-                yield pd.DataFrame({"v": pd.Series(list(vals))})
-
-    # dtype comes out of the dictionary (int64/float64/object); declare the
-    # Spark type from the first segment's metadata
-    from pinot_segment import SegmentReader as _SR
-
-    dtype = _SR.open(dirs[0]).metadata.columns[col].data_type.value
-    spark_t = {
-        "INT": "int", "LONG": "long", "FLOAT": "float",
-        "DOUBLE": "double", "STRING": "string", "TIMESTAMP": "long",
-    }.get(dtype)
-    if spark_t is None:
-        return None
-    ents = paths.mapInPandas(gen, f"v {spark_t}")
-    return ents.agg(F.count_distinct("v").alias("n_distinct"))
+    register_pinot_source(spark)
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    spp = max(1, math.ceil(len(dirs) / par))
+    ents = (
+        spark.read.format("pinot")
+        .option("dictionary_only", col)
+        .option("segments", ",".join(dirs))
+        .option("segments_per_partition", str(spp))
+        .load()
+    )
+    return ents.agg(F.count_distinct(col).alias("n_distinct"))
 
 
 def _table_min_max(table_dir: str, col: str):

@@ -545,3 +545,103 @@ SELECT w[i] AS l, w[i+1] AS r, count(*) AS cnt
 FROM p GROUP BY w[i], w[i+1]
 ORDER BY cnt DESC, l ASC, r ASC LIMIT {k}
 """
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03, the MOSS algorithm): hash every ``k``-token gram, slide a
+    window of ``w`` consecutive gram hashes over each document, and keep
+    the minimum hash of each window. The selected set is the document's
+    fingerprint: any shared substring of at least ``k + w - 1`` tokens
+    between two documents is GUARANTEED to contribute at least one common
+    fingerprint, at ~1/w the storage of all gram hashes — the standard
+    boilerplate/plagiarism/near-dup fingerprint for a 100 TB corpus.
+
+    Cross-engine determinism: gram hash = first 12 hex chars of md5
+    (lowercase-hex strings order identically in Spark and DuckDB, so the
+    per-window lexicographic min is bit-identical — the same md5-family
+    trick as the simhash/minhash oracles). Window starts are restricted
+    to FULL windows (the classic definition), i.e. gram positions
+    ``pos <= n_grams - w``.
+
+    Scale shape: gram explode is a narrow map; the window min runs
+    per-document (``partitionBy(doc_id)`` — bounded by document length,
+    never corpus-sized); the DISTINCT collapses per doc. One hash shuffle
+    on doc_id total.
+
+    Returns (doc_id, fp) — one row per distinct fingerprint per doc.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= k + w - 1
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {k - 1}),"
+                f" i -> concat_ws(' ', slice(t, i, {k})))"
+            )
+        ).alias("pos", "g"),
+    )
+    hashed = grams.select(
+        "doc_id", "pos", F.substring(F.md5("g"), 1, 12).alias("h")
+    )
+    dwin = Window.partitionBy("doc_id")
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        hashed.withColumn("ng", F.count("*").over(dwin))
+        .withColumn("mh", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("ng") - w)  # full windows only
+        .select("doc_id", F.col("mh").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_common_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 4, top: int = 20
+) -> DataFrame:
+    """Top shared winnowing fingerprints across the corpus — the
+    boilerplate detector: a fingerprint appearing in many documents marks
+    a repeated k+w-1-token span (header, license blurb, template). Ties
+    break on the fingerprint hex so the cut is deterministic."""
+    fps = winnow_fingerprints(docs, k, w)
+    return (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), F.asc("fp"))
+        .limit(top)
+    )
+
+
+def winnow_common_fingerprints_oracle_sql(
+    k: int = 4, w: int = 4, top: int = 20
+) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= {k + w - 1}
+), grams AS (
+  SELECT doc_id, i, substr(md5({gram}), 1, 12) AS h,
+         len(t) - {k - 1} AS ng
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {k - 1})) AS i
+        FROM toks)
+), wins AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh,
+         i, ng
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, mh AS fp FROM wins WHERE i <= ng - {w - 1}
+)
+SELECT fp, count(*) AS n_docs
+FROM fps GROUP BY fp HAVING count(*) > 1
+ORDER BY n_docs DESC, fp ASC LIMIT {top}
+"""

@@ -3086,6 +3086,14 @@ def _register_round7():
         "llm",
         ["text", "tokenizer", "topk"],
     )(lambda spark, sf: text.bpe_pair_counts(_docs(spark, sf)))
+    # Winnowing (MOSS) fingerprints: per-window min of md5 k-gram hashes;
+    # the top shared fingerprints are the corpus's boilerplate detector.
+    register(
+        "winnow_boilerplate_fps",
+        text.winnow_common_fingerprints_oracle_sql(),
+        "llm",
+        ["text", "fingerprint", "winnowing", "dedup"],
+    )(lambda spark, sf: text.winnow_common_fingerprints(_docs(spark, sf)))
     # Asymmetric shingle containment: the doc-inside-doc near-dup case
     # Jaccard misses; exact integer-percent threshold.
     register(

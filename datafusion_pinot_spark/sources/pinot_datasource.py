@@ -220,6 +220,25 @@ class PinotDataSource(DataSource):
         segments = self._segments()
         first = segments[0]
         md = SegmentMetadata.from_file(os.path.join(first, "metadata.properties"))
+        dcol = self.options.get("dictionary_only")
+        if dcol:
+            # dictionary scan (r8): rows are the column's DICTIONARY
+            # entries, one batch per segment — the distinct-value stream
+            # of a dict-encoded column without any forward-index decode
+            # (operators/segment_distinct.py::dictionary_union_distinct).
+            cm = md.columns.get(dcol)
+            if cm is None:
+                raise ValueError(f"dictionary_only column not in segment: {dcol}")
+            if not cm.is_single_value or cm.data_type.value not in (
+                "INT", "LONG", "FLOAT", "DOUBLE", "STRING"
+            ):
+                raise ValueError(
+                    "dictionary_only supports single-value "
+                    f"INT/LONG/FLOAT/DOUBLE/STRING columns: {dcol}"
+                )
+            return StructType(
+                [StructField(dcol, _SPARK_TYPES[cm.data_type.value], False)]
+            )
         names = md.column_names()
         if "columns" in self.options:
             requested = [c.strip() for c in self.options["columns"].split(",") if c.strip()]
@@ -252,6 +271,7 @@ class PinotDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "PinotDataSourceReader":
         raw = self.options.get("segments_per_partition", "1") or "1"
+        dict_only = self.options.get("dictionary_only") or None
         if raw == "auto":
             spp = 0  # sentinel: manifest-driven packing at partitions() time
         else:
@@ -269,6 +289,7 @@ class PinotDataSource(DataSource):
             self._mv_contains_option(),
             self._head_option("head"),
             self._head_option("tail"),
+            dict_only,
         )
 
     def _head_option(self, which: str = "head"):
@@ -432,6 +453,7 @@ class PinotDataSourceReader(DataSourceReader):
         mv_contains: "tuple[str, str] | None" = None,
         head: "tuple[str, int] | None" = None,
         tail: "tuple[str, int] | None" = None,
+        dict_only: "str | None" = None,
     ) -> None:
         self._schema = schema
         self._columns = tuple(f.name for f in schema.fields)
@@ -443,11 +465,20 @@ class PinotDataSourceReader(DataSourceReader):
         self._mv_contains = mv_contains
         self._head = head
         self._tail = tail
+        self._dict_only = dict_only
         self._pushed: list[Filter] = []
 
     # -- filter pushdown (rebuild improvement over table.rs:163) ------------
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        if self._dict_only:
+            # dictionary scan: predicates apply to dictionary ENTRIES, not
+            # docs — zone maps / sorted ranges / doc bitmaps are all
+            # doc-space machinery, so nothing pushes; Spark filters the
+            # (tiny) entry stream above the scan
+            self._pushed = []
+            yield from filters
+            return
         # TIMESTAMP filters are pushed by converting the datetime.datetime
         # operands Spark hands over into the stored epoch-millis domain
         # (_convert_ts_filter — exact, including sub-millisecond bounds), so
@@ -683,6 +714,32 @@ class PinotDataSourceReader(DataSourceReader):
         from pinot_segment import SegmentReader
 
         if partition is None:
+            return
+        if self._dict_only:
+            col = self._dict_only
+            for segment_dir in partition.segment_dirs:
+                r = SegmentReader.open(segment_dir)
+                cm = r.metadata.columns.get(col)
+                if cm is None:
+                    # schema evolution: a pre-column segment reads as
+                    # all-NULL — it contributes no dictionary entries
+                    continue
+                if cm.has_null_values:
+                    raise ValueError(
+                        f"dictionary_only on nullable column {col}: the "
+                        "dictionary contains the NULL fill entry and "
+                        "cannot stand in for the distinct value set"
+                    )
+                vals = r.dictionary_values(col)
+                if vals is None:
+                    raise ValueError(
+                        f"dictionary_only: {col} is not dict-encoded in "
+                        f"{segment_dir}"
+                    )
+                if len(vals):
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(vals)], names=[col]
+                    )
             return
         if (
             not partition.columns
