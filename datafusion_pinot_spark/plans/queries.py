@@ -7157,7 +7157,10 @@ DRIVER_WINDOW: list[str] = [
     # (q12_late_shipment_priority rotated out: r5-green on its fixed
     # oracle; nine other TPC-H shapes remain in the window and all 22
     # stay pytest-pinned.)
-    "mad_anomaly_days",  # r6c4: exact-median MAD daily anomaly flags
+    # (mad_anomaly_days rotated out for the r8 winnowing query: r07-green
+    # and its exact-median machinery stays window-covered by
+    # hourly_value_bands + equi_depth_price_histogram.)
+    "winnow_boilerplate_fps",  # r8: MOSS winnowing shared-fingerprint top-k
     "max_concurrency_daily",  # r6c4: per-day sweep-line peak concurrency
     # (simhash_dup_groups rotated out for the r6 funnel pair: rows-only by
     # design — the driver row could only ever prove "runs, returns rows" —

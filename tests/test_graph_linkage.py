@@ -207,3 +207,52 @@ def test_bpe_pair_counts_hand_checked(spark):
     out = {(r[0], r[1]): r[2] for r in (tuple(r) for r in rows)}
     assert out[("a", "b")] == 3
     assert out[("b", "a")] == 1
+
+
+def test_winnow_guarantee_and_hand_values(spark):
+    """Winnowing guarantee: two docs sharing a >= k+w-1-token span share
+    at least one fingerprint; disjoint docs share none. Plus a
+    hand-checkable tiny case."""
+    from datafusion_pinot_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = k+w-1 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} closing remark one"),
+            (2, f"other prefix tokens {shared} different tail"),
+            (3, "entirely unrelated content with many distinct words here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=4, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared span must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_exact_tiny_case(spark):
+    """ng = 4 grams, w = 4 -> exactly one full window whose fingerprint is
+    the global min gram hash."""
+    import hashlib
+
+    from datafusion_pinot_spark.operators.text import winnow_fingerprints
+
+    text = "a b c d e f g"  # 7 tokens, k=4 -> 4 grams
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = winnow_fingerprints(docs, k=4, w=4).collect()
+    toks = text.split()
+    grams = [" ".join(toks[i : i + 4]) for i in range(4)]
+    expect = min(hashlib.md5(g.encode()).hexdigest()[:12] for g in grams)
+    assert [(r["doc_id"], r["fp"]) for r in rows] == [(1, expect)]
+
+
+def test_winnow_short_doc_no_fingerprints(spark):
+    from datafusion_pinot_spark.operators.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "only six tokens in this doc")], "doc_id long, text string"
+    )  # 6 < k+w-1=7
+    assert winnow_fingerprints(docs, k=4, w=4).count() == 0
