@@ -6804,6 +6804,60 @@ def q_pinot_hll_sketch_rollup(spark, sf):
 
 
 @register(
+    "pinot_hll_estimate_bounds",
+    """SELECT source, count(*) AS n_rows, TRUE AS within_5pct
+       FROM documents GROUP BY source ORDER BY source""",
+    "parity",
+    ["pinot", "storage", "sketch", "approx"],
+)
+def q_pinot_hll_estimate_bounds(spark, sf):
+    """r8: the deterministic PROJECTION of the rows-only HLL rollup
+    (r7 verdict stretch #9): the stored-sketch rollup's per-source
+    estimate is hash-gated to lie within 5% of the true distinct count.
+    Spark computes both the sketch-merge estimate (through pinot storage,
+    same pipeline as pinot_hll_sketch_rollup) AND the exact per-source
+    distinct, emitting the boolean; the oracle asserts TRUE with the
+    exact group keys and row counts. A sketch-accuracy regression, a
+    wrong merge, or a storage corruption flips the boolean and fails the
+    driver's hash gate — turning the previously unverifiable sketch row
+    into a checked claim. (doc_id is unique, so exact distinct = group
+    row count; HLL lgK=12 standard error ~0.8% makes 5% a >5-sigma
+    bound — deterministic in practice for a fixed input set.)"""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="hllb_"), "sk_OFFLINE")
+    docs = _docs(spark, sf)
+    (
+        docs.groupBy("source", "lang")
+        .agg(F.hll_sketch_agg("doc_id").alias("sk"), F.count("*").alias("n"))
+        .repartition(2)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("raw", "sk")
+        .save(out)
+    )
+    back = spark.read.format("pinot").load(out)
+    est = back.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("n").alias("n_rows"),
+    )
+    return (
+        est.select(
+            "source",
+            "n_rows",
+            (
+                F.abs(F.col("est") - F.col("n_rows")) * 100
+                <= F.col("n_rows") * 5
+            ).alias("within_5pct"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "pinot_timestamp_range_scan",
     """SELECT event_type, count(*) AS n,
               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
@@ -7161,7 +7215,9 @@ DRIVER_WINDOW: list[str] = [
     # and its exact-median machinery stays window-covered by
     # hourly_value_bands + equi_depth_price_histogram.)
     "winnow_boilerplate_fps",  # r8: MOSS winnowing shared-fingerprint top-k
-    "max_concurrency_daily",  # r6c4: per-day sweep-line peak concurrency
+    # (max_concurrency_daily rotated out for the r8 HLL accuracy gate:
+    # r07-green; sweep-line shape stays pytest-pinned.)
+    "pinot_hll_estimate_bounds",  # r8: hash-gated sketch-accuracy claim
     # (simhash_dup_groups rotated out for the r6 funnel pair: rows-only by
     # design — the driver row could only ever prove "runs, returns rows" —
     # while its hash-gated md5 sibling simhash_md5_dup_groups stays in the

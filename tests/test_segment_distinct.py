@@ -198,3 +198,27 @@ def test_dictionary_union_string_column(spark, tmp_path):
     df = dictionary_union_distinct(spark, str(table), "s")
     assert df is not None
     assert df.collect()[0]["n_distinct"] == 3  # {a, b, c}
+
+
+def test_dictionary_only_scan_direct(spark, tmp_path):
+    """The dictionary_only read option surfaces each segment's dictionary
+    entries as rows through the normal scan; filters apply to entries
+    above the scan."""
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    table = tmp_path / "t_OFFLINE"
+    _dict_seg(table, "s0", [5, 1, 5, 3], partitioned=False)
+    _dict_seg(table, "s1", [3, 9], partitioned=False)
+    df = (
+        spark.read.format("pinot")
+        .option("dictionary_only", "k")
+        .load(str(table))
+    )
+    # entries per segment: {1,3,5} + {3,9} (3 appears once per segment)
+    vals = sorted(r["k"] for r in df.collect())
+    assert vals == [1, 3, 3, 5, 9]
+    assert df.schema["k"].dataType.simpleString() == "bigint"
+    assert not df.schema["k"].nullable
+    # filters evaluate on the entry stream
+    assert sorted(r["k"] for r in df.filter("k > 2").collect()) == [3, 3, 5, 9]
