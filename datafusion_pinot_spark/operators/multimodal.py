@@ -382,3 +382,101 @@ WITH hx AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
 FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= {max_hamming}
 ORDER BY doc_a, doc_b"""
+
+
+AUDIO_SCHEMA = "doc_id long, win_idx int, energy long, voiced boolean"
+
+
+def audio_energy_windows(
+    media: DataFrame, win: int = 32, threshold: int = 60000
+) -> DataFrame:
+    """Framed audio-energy extraction (the VAD / silence-trim kernel):
+    treat the opaque payload as 8-bit PCM, cut it into non-overlapping
+    ``win``-sample frames (trailing partial frame dropped, as a real
+    framer does), and emit each frame's integer energy
+    ``sum((sample-128)^2)`` plus a voiced flag at ``threshold``.
+
+    Same plumbing contract as the image/video kernels above: Arrow-batched
+    ``mapInPandas``, numpy-vectorized per batch (one frombuffer + reshape
+    per payload — no Python per-sample loop), partition-streaming so a
+    100 TB audio corpus processes at bounded memory. The energy kernel is
+    pure integer arithmetic, so the whole frame stream is cross-engine
+    checkable — unusual for a media pipeline, and exactly why the fake
+    payload keeps the real decode seam (`real_decode`) separate."""
+    import numpy as np
+
+    def run(batches):
+        for pdf in batches:
+            ids, wins, energies = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(payload, dtype=np.uint8)
+                n = (len(a) // win) * win
+                if n == 0:
+                    continue
+                d = a[:n].astype(np.int64) - 128
+                e = (d * d).reshape(-1, win).sum(axis=1)
+                ids.append(np.full(len(e), doc_id, dtype=np.int64))
+                wins.append(np.arange(len(e), dtype=np.int64))
+                energies.append(e)
+            if ids:
+                e = np.concatenate(energies)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "win_idx": np.concatenate(wins),
+                        "energy": e,
+                        "voiced": e > threshold,
+                    }
+                )
+
+    return media.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+def audio_vad_summary(
+    docs: DataFrame, win: int = 32, threshold: int = 60000, top: int = 20
+) -> DataFrame:
+    """Per-doc VAD rollup over the framed energies: voiced-frame count,
+    total frames, and peak frame energy for the ``top`` docs by voiced
+    count (ties: doc_id). The headline audio-curation statistic — how
+    much of each clip is signal vs silence."""
+    frames = audio_energy_windows(with_binary_payload(docs), win, threshold)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("voiced").cast("long")).alias("n_voiced"),
+            F.count("*").alias("n_frames"),
+            F.max("energy").alias("peak_energy"),
+        )
+        .orderBy(F.desc("n_voiced"), F.asc("doc_id"))
+        .limit(top)
+    )
+
+
+def audio_vad_summary_oracle_sql(
+    win: int = 32, threshold: int = 60000, top: int = 20
+) -> str:
+    """The same framed integer-energy kernel in SQL: the payload is the
+    utf-8 text bytes and the corpus text is ASCII, so ``ascii(substr)``
+    recovers each byte. Frame f covers 1-based byte positions
+    [f*win+1, (f+1)*win]."""
+    return f"""
+WITH frames AS (
+  SELECT doc_id, f AS win_idx,
+         CAST((SELECT sum((ascii(substr(d.text, p, 1)) - 128)
+                      * (ascii(substr(d.text, p, 1)) - 128))
+               FROM unnest(generate_series(f * {win} + 1, (f + 1) * {win}))
+                 AS u(p)
+              ) AS BIGINT) AS energy
+  FROM documents d,
+       unnest(generate_series(0, CAST(length(text) // {win} AS INTEGER) - 1))
+         AS w(f)
+  WHERE length(text) >= {win}
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN energy > {threshold} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_voiced,
+       count(*) AS n_frames,
+       max(energy) AS peak_energy
+FROM frames GROUP BY doc_id
+ORDER BY n_voiced DESC, doc_id ASC LIMIT {top}
+"""

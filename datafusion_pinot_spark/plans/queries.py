@@ -2019,6 +2019,15 @@ def _register_llm():
             multimodal.with_binary_payload(_docs(spark, sf)), 3
         )
     )
+    # r8: framed audio-energy / VAD rollup — the kernel is pure integer
+    # arithmetic over the payload bytes, so the whole frame pipeline is
+    # hash-checked (rare for a media op; the decode seam stays stubbed).
+    register(
+        "audio_vad_summary",
+        multimodal.audio_vad_summary_oracle_sql(),
+        "llm",
+        ["multimodal", "audio", "vad"],
+    )(lambda spark, sf: multimodal.audio_vad_summary(_docs(spark, sf)))
 
     # Structured Streaming versions — the streaming result must equal the
     # batch SQL oracle (complete mode drains the whole file source).
@@ -6804,6 +6813,43 @@ def q_pinot_hll_sketch_rollup(spark, sf):
 
 
 @register(
+    "pinot_dictionary_values_scan",
+    """SELECT DISTINCT l_returnflag AS flag FROM lineitem ORDER BY flag""",
+    "parity",
+    ["pinot", "storage", "distinct", "dictionary"],
+)
+def q_pinot_dictionary_values_scan(spark, sf):
+    """r8: SELECT DISTINCT served from dictionaries — the dictionary_only
+    read option surfaces each segment's dictionary entries as the row
+    stream, so the distinct VALUES (not just the count) of a dict-encoded
+    column come back without any forward-index decode; a dropDuplicates
+    over sum(cardinality) entries replaces one over all rows. The same
+    plan shape Pinot serves DISTINCT queries with when a dictionary
+    exists. Oracle: plain SELECT DISTINCT over the source parquet."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="dvs_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select(F.col("l_returnflag").alias("flag"))
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    return (
+        spark.read.format("pinot")
+        .option("dictionary_only", "flag")
+        .load(out)
+        .distinct()
+        .orderBy("flag")
+    )
+
+
+@register(
     "pinot_hll_estimate_bounds",
     """SELECT source, count(*) AS n_rows, TRUE AS within_5pct
        FROM documents GROUP BY source ORDER BY source""",
@@ -7154,7 +7200,9 @@ DRIVER_WINDOW: list[str] = [
     # Q16/Q20/Q22 adapted to the testdata schema — no partsupp, so
     # lineitem's distinct (part, supplier) pairs stand in for it) --
     "data_quality_report",  # r6c4: Deequ-style one-pass constraint report
-    "funnel_time_to_convert",  # r6c4: struct-fold latency + 2-pass quantiles
+    # (funnel_time_to_convert rotated out for the r8 audio kernel:
+    # r07-green; two funnel rows and three quantile-family rows remain.)
+    "audio_vad_summary",  # r8: framed integer-energy VAD, hash-checked
     "forecast_backtest_weekly",  # r6c4: seasonal-naive backtest, integer errors
     "survival_time_to_purchase",  # r6c4: Kaplan-Meier with censoring
     "stream_left_outer_closed",  # r6c4: watermarked outer join, closed subset
@@ -7207,7 +7255,10 @@ DRIVER_WINDOW: list[str] = [
     # streaming_watermarked_closed stays in the window.)
     # (sequence_pack_bins rotated out: r5-green, pinned by the pytest
     # oracle tier + tests/test_oracle_types.py every run.)
-    "cohort_retention_weekly",  # r6: weekly cohort-retention matrix
+    # (cohort_retention_weekly rotated out for the r8 dictionary-values
+    # scan: r07-green; the retention matrix stays pytest-pinned and the
+    # weekly-cohort shape stays window-covered by weekly_growth_accounting.)
+    "pinot_dictionary_values_scan",  # r8: SELECT DISTINCT from dictionaries
     # (q12_late_shipment_priority rotated out: r5-green on its fixed
     # oracle; nine other TPC-H shapes remain in the window and all 22
     # stay pytest-pinned.)

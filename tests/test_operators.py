@@ -769,3 +769,34 @@ def test_funnel_windowed_depth_and_restart(spark):
         ).collect()
     )
     assert got == {1: 3, 2: 1, 3: 2, 4: 2}
+
+
+def test_audio_energy_windows_hand_values(spark):
+    """Framed PCM energy: payload 'aaaa'*8 (32 bytes of 0x61=97) has one
+    win=32 frame with energy 32*(97-128)^2 = 30752; a 40-byte payload
+    drops its 8-byte tail; docs shorter than one frame emit nothing."""
+    from datafusion_pinot_spark.operators.multimodal import (
+        audio_energy_windows,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a" * 32),
+            (2, "a" * 40),   # one frame + dropped tail
+            (3, "a" * 64),   # two frames
+            (4, "a" * 10),   # below one frame -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    rows = audio_energy_windows(
+        with_binary_payload(docs), win=32, threshold=30000
+    ).collect()
+    out = {(r["doc_id"], r["win_idx"]): (r["energy"], r["voiced"]) for r in rows}
+    e = 32 * (97 - 128) ** 2
+    assert out == {
+        (1, 0): (e, True),
+        (2, 0): (e, True),
+        (3, 0): (e, True),
+        (3, 1): (e, True),
+    }
