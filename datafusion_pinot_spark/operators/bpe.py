@@ -1,0 +1,167 @@
+"""BPE tokenizer training as a distributed Spark loop.
+
+The reference engine stops at scan/filter/agg relational coverage
+(/root/reference README.md:311-315); tokenizer training is part of the
+LLM-data-pipeline tier this repo adds on top. The algorithm is classic
+byte-pair encoding (Sennrich et al. 2016, public): repeatedly find the
+most frequent adjacent symbol pair in the corpus vocabulary and merge it
+into one symbol.
+
+Scale shape (the map-reduce BPE scheme): the corpus is touched ONCE — a
+narrow tokenize map into one (word, freq) count shuffle. Every merge
+round after that runs over the *vocabulary* table only (distinct words:
+tens of millions of rows at 100 TB, i.e. thousands of times smaller than
+the corpus), as one weighted pair-count aggregation plus a narrow
+`replace` map. The per-round argmax is a single collected row — a driver
+scalar broadcast into the next round's literal, the same legitimate
+pattern as pagerank's node count (operators/graph.py). The vocabulary is
+localCheckpoint-ed per round so lineage stays flat at any merge depth.
+
+Symbol sequences are encoded as delimiter-framed strings:
+``~~s1~~s2~~...~~`` (symbols are ``[a-z]+`` so ``~`` can never collide).
+Merging pair (l, r) is then the plain string replace
+``~l~~r~  ->  ~lr~``, which both Spark and DuckDB apply left-to-right
+non-overlapping — exactly BPE's greedy within-word merge order — and
+which preserves the double-delimiter framing invariant on both sides of
+the merged symbol. No regex, no escaping hazard, engine-identical
+semantics (the cross-engine string-function drift class that broke
+rounds 1/3 is structurally avoided).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Double delimiter separates symbols; a single delimiter on each side of a
+# pair addresses exactly one merge site (see module docstring).
+SEP = "~~"
+
+
+def _word_freqs(docs: DataFrame) -> DataFrame:
+    """(word, freq) over lowercase ``[a-z]+`` runs — the one corpus pass."""
+    return (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _initial_seqs(words: DataFrame) -> DataFrame:
+    """Frame each word's character sequence: ``~~c1~~c2~~...~~``."""
+    chars = F.filter(F.split("w", ""), lambda x: x != "")
+    return words.select(
+        F.concat(F.lit(SEP), F.array_join(chars, SEP), F.lit(SEP)).alias(
+            "seq"
+        ),
+        "freq",
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the framed sequences."""
+    syms = F.filter(F.split("seq", "~"), lambda x: x != "")
+    return (
+        vocab.select("freq", syms.alias("syms"))
+        .filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS l,"
+                    "             element_at(syms, i + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_learn_merges(docs: DataFrame, rounds: int = 2) -> DataFrame:
+    """Learn ``rounds`` BPE merges; returns (round, l, r, cnt) — the merge
+    table a tokenizer would persist, where ``cnt`` is the weighted corpus
+    frequency that made (l, r) the argmax at that round. Ties break
+    (cnt desc, l asc, r asc) so the learned table is deterministic."""
+    spark = docs.sparkSession
+    vocab = _initial_seqs(_word_freqs(docs)).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary fully merged — nothing adjacent remains
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((rnd, l, r, cnt))
+        vocab = vocab.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"~{l}{SEP}{r}~"),
+                F.lit(f"~{l}{r}~"),
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round int, l string, r string, cnt bigint"
+    )
+
+
+def bpe_two_merges(docs: DataFrame) -> DataFrame:
+    """The oracle-checkable depth: exactly two learned merges."""
+    return bpe_learn_merges(docs, rounds=2)
+
+
+def bpe_two_merges_oracle_sql() -> str:
+    """DuckDB unrolls the two rounds as CTE stages; `replace` there has
+    the same left-to-right non-overlapping greedy semantics as Spark's."""
+    return """
+WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+  ) GROUP BY w
+), seq0 AS (
+  SELECT freq,
+         '~~' || array_to_string(regexp_split_to_array(w, ''), '~~') || '~~'
+           AS seq
+  FROM words
+), s1 AS (
+  SELECT freq, list_filter(string_split(seq, '~'), x -> x <> '') AS syms
+  FROM seq0
+), p1 AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms)-1)) AS i
+        FROM s1 WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+), b1 AS (
+  SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+), seq1 AS (
+  SELECT freq,
+         replace(seq,
+                 '~' || (SELECT l FROM b1) || '~~' || (SELECT r FROM b1) || '~',
+                 '~' || (SELECT l FROM b1) || (SELECT r FROM b1) || '~') AS seq
+  FROM seq0
+), s2 AS (
+  SELECT freq, list_filter(string_split(seq, '~'), x -> x <> '') AS syms
+  FROM seq1
+), p2 AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms)-1)) AS i
+        FROM s2 WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+), b2 AS (
+  SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+)
+SELECT 1 AS round, l, r, cnt FROM b1
+UNION ALL
+SELECT 2 AS round, l, r, cnt FROM b2
+ORDER BY round
+"""

@@ -595,3 +595,77 @@ FROM rrd
 QUALIFY curriculum_pos <= {k}
 ORDER BY curriculum_pos
 """
+
+
+def domain_token_budget(docs: DataFrame, budget: int = 100_000) -> DataFrame:
+    """Exact largest-remainder (Hamilton) apportionment of a global token
+    budget across sources — the data-mixing step that turns "sample 2B
+    tokens proportionally to domain size" into per-domain integer targets
+    that provably sum to the budget (floor quotas can undershoot by up to
+    n_sources-1; the leftover goes to the largest fractional remainders,
+    ties broken by source name so the allocation is deterministic).
+
+    Scale shape: one corpus aggregation (map-side-combined sum of
+    per-document token counts per source) collapses 100 TB to one row per
+    source; the apportionment windows run over that tiny table. All
+    arithmetic is BIGINT-exact — no floating shares to drift cross-engine.
+    """
+    from datafusion_pinot_spark.functions import tokens
+
+    per = (
+        docs.select("source", F.size(tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("tokens"))
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    b = F.lit(budget).cast("bigint")
+    per = per.select(
+        "source",
+        "tokens",
+        F.expr(f"CAST({budget} AS BIGINT) * tokens DIV sum(tokens) OVER ()")
+            .alias("quota"),
+        F.expr(f"CAST({budget} AS BIGINT) * tokens % sum(tokens) OVER ()")
+            .alias("rem"),
+    )
+    leftover = b - F.sum("quota").over(w_all)
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("rem"), F.asc("source"))
+    )
+    return (
+        per.withColumn("extra", (rank <= leftover).cast("bigint"))
+        .select(
+            "source",
+            "tokens",
+            (F.col("quota") + F.col("extra")).alias("alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+def domain_token_budget_oracle_sql(budget: int = 100_000) -> str:
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+')) END)
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), q AS (
+  SELECT source, tokens,
+         CAST({budget} AS BIGINT) * tokens // sum(tokens) OVER () AS quota,
+         CAST({budget} AS BIGINT) * tokens % sum(tokens) OVER () AS rem
+  FROM per
+), r AS (
+  SELECT source, tokens, quota,
+         {budget} - sum(quota) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rnk
+  FROM q
+)
+SELECT source, tokens,
+       CAST(quota + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r ORDER BY source
+"""

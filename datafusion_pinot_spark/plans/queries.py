@@ -2029,6 +2029,28 @@ def _register_llm():
         ["multimodal", "audio", "vad"],
     )(lambda spark, sf: multimodal.audio_vad_summary(_docs(spark, sf)))
 
+    # r8: BPE tokenizer training — the corpus collapses to a (word, freq)
+    # vocabulary once, then each merge round is one weighted pair-count agg
+    # over the tiny vocab plus a greedy left-to-right `replace` map (string
+    # semantics engine-identical; see operators/bpe.py). The any-depth loop
+    # is the engine; two unrolled rounds are the DuckDB oracle.
+    from datafusion_pinot_spark.operators import bpe
+
+    register(
+        "bpe_two_merges",
+        bpe.bpe_two_merges_oracle_sql(),
+        "llm",
+        ["text", "tokenizer", "iterative"],
+    )(lambda spark, sf: bpe.bpe_two_merges(_docs(spark, sf)))
+    # r8: largest-remainder token-budget apportionment across sources —
+    # the data-mixing allocation step, BIGINT-exact end to end.
+    register(
+        "domain_token_budget",
+        curation.domain_token_budget_oracle_sql(),
+        "llm",
+        ["curation", "mixing", "allocation"],
+    )(lambda spark, sf: curation.domain_token_budget(_docs(spark, sf)))
+
     # Structured Streaming versions — the streaming result must equal the
     # batch SQL oracle (complete mode drains the whole file source).
     from datafusion_pinot_spark.streaming import windowed

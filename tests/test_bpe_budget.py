@@ -1,0 +1,77 @@
+"""Unit tests for BPE merge learning (operators/bpe.py) and the
+largest-remainder token-budget apportionment (operators/curation.py) on
+tiny hand-computed inputs, independent of the DuckDB oracle tier."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def bpe_docs(spark):
+    # word freqs: aa:1, ab:1, aaab:3, b:1
+    rows = [(1, "aa ab aaab"), (2, "aaab AAAB b")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_two_merges_hand_computed(bpe_docs):
+    """Round 1: (a,a) appears 1 (aa) + 2*3 (aaab) = 7 times, beating
+    (a,b) at 4. After merging 'aa' greedily, round 2's argmax is (a,b):
+    ab:1 + [aa,a,b]x3 -> 4, beating (aa,a) at 3."""
+    from datafusion_pinot_spark.operators.bpe import bpe_learn_merges
+
+    got = [tuple(r) for r in bpe_learn_merges(bpe_docs, rounds=2).collect()]
+    assert got == [(1, "a", "a", 7), (2, "a", "b", 4)]
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    """'aaaa' must merge to [aa, aa] (positions 1-2 and 3-4), never the
+    overlapping middle pair — round 2's argmax is then (aa, aa)."""
+    from datafusion_pinot_spark.operators.bpe import bpe_learn_merges
+
+    docs = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_learn_merges(docs, rounds=2).collect()]
+    assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+
+def test_bpe_stops_when_fully_merged(spark):
+    """Single-symbol vocabulary has no adjacent pairs: the loop stops
+    early instead of erroring or emitting phantom merges."""
+    from datafusion_pinot_spark.operators.bpe import bpe_learn_merges
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_learn_merges(docs, rounds=5).collect()]
+    assert got == [(1, "a", "b", 2)]  # after 'ab' merges, nothing remains
+
+
+def test_token_budget_sums_exactly_and_breaks_ties_by_source(spark):
+    """budget=10 over tokens {a:1, b:1, c:1}: quotas floor to 3 each,
+    leftover 1 goes to the lexicographically first source (equal
+    remainders); allocations must sum to exactly the budget."""
+    from datafusion_pinot_spark.operators.curation import domain_token_budget
+
+    rows = [(1, "x", "a"), (2, "y", "b"), (3, "z", "c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r["alloc"] for r in
+           domain_token_budget(docs, budget=10).collect()}
+    assert out == {"a": 4, "b": 3, "c": 3}
+    assert sum(out.values()) == 10
+
+
+def test_token_budget_proportional_with_remainders(spark):
+    """budget=10 over tokens {a:5, b:3, c:1}: exact quotas 50/9, 30/9,
+    10/9 floor to 5, 3, 1 = 9; the leftover token goes to the largest
+    remainder (b: 3/9 vs a: 5/9 vs c: 1/9 -> a)."""
+    from datafusion_pinot_spark.operators.curation import domain_token_budget
+
+    rows = (
+        [(i, "w " * 5, "a") for i in range(1)]
+        + [(10 + i, "w w w", "b") for i in range(1)]
+        + [(20, "w", "c")]
+    )
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: (r["tokens"], r["alloc"]) for r in
+           domain_token_budget(docs, budget=10).collect()}
+    assert out == {"a": (5, 6), "b": (3, 3), "c": (1, 1)}
