@@ -1061,3 +1061,113 @@ def pq_stored_adc_topk(
         .select("q_id", "vec_id", "adist", "rnk")
         .orderBy("q_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication by cluster-then-threshold
+# ---------------------------------------------------------------------------
+# Abbas et al. 2023 (public): cluster the embedding space, then inside each
+# cluster drop all but one of every group of vectors whose pairwise cosine
+# exceeds a threshold. Clustering bounds the candidate set so the quadratic
+# pair scan never crosses cluster boundaries — the embedding-space analogue
+# of MinHash-LSH's banded buckets (operators/dedup.py).
+
+
+def semdedup_drops(
+    embeddings: DataFrame, k_clusters: int = 8, threshold: float = 0.4
+) -> DataFrame:
+    """SemDeDup drop list: (cluster, drop_vec, canonical_vec) for every
+    vector that has a lower-id same-cluster neighbor with cosine >=
+    ``threshold``; ``canonical_vec`` is its lowest-id such neighbor.
+    Dropping every listed vector keeps exactly the per-group minimum id.
+
+    Centroids are the ``k_clusters`` lowest-``vec_id`` embeddings — a
+    deterministic seeding that keeps the whole operator (assignment
+    included) DuckDB-oracle-checkable; the production path would feed
+    k-means centroids from :func:`kmeans_centroids` (ann_ivf_kmeans_topk)
+    and scale ``k_clusters`` with N so per-cluster candidate sets stay
+    bounded. Assignment broadcasts the centroid table (k rows) against the
+    corpus — a narrow map, no shuffle of the big side; the only corpus
+    shuffle is the within-cluster self-join key. Similarities are rounded
+    to 6 decimals BEFORE the argmax and the threshold compare, so the
+    assignment and the drop set are bit-stable across engines.
+
+    The default threshold is tuned to the synthetic testdata (random-ish
+    embeddings: within-cluster cosines top out near 0.47, so 0.4 yields a
+    discriminating non-empty drop set at both driver SFs); a real corpus
+    with planted paraphrases would run at the paper's ~0.9+."""
+    emb = embeddings.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k_clusters)
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_v"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "c_id",
+        F.round(cosine_similarity(F.col("v"), F.col("c_v")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("c_id").alias("cluster"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(
+                cosine_similarity(F.col("a.v"), F.col("b.v")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    return (
+        pairs.groupBy("cluster", F.col("vb").alias("drop_vec"))
+        .agg(F.min("va").alias("canonical_vec"))
+        .orderBy("drop_vec")
+    )
+
+
+def semdedup_drops_oracle_sql(
+    k_clusters: int = 8, threshold: float = 0.4
+) -> str:
+    sim_c = _cosine_sql("e.v", "c.c_v")
+    sim_p = _cosine_sql("a.v", "b.v")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS c_id, v AS c_v FROM emb ORDER BY vec_id LIMIT {k_clusters}
+), scored AS (
+  SELECT e.vec_id, e.v, c.c_id, round({sim_c}, 6) AS sim
+  FROM emb e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, v, c_id AS cluster FROM (
+    SELECT vec_id, v, c_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, c_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb, round({sim_p}, 6) AS sim
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT cluster, vb AS drop_vec, CAST(min(va) AS BIGINT) AS canonical_vec
+FROM pairs WHERE sim >= {threshold}
+GROUP BY cluster, vb
+ORDER BY drop_vec
+"""

@@ -2050,6 +2050,17 @@ def _register_llm():
         "llm",
         ["curation", "mixing", "allocation"],
     )(lambda spark, sf: curation.domain_token_budget(_docs(spark, sf)))
+    # r8: SemDeDup — cluster-then-threshold semantic dedup over embeddings;
+    # deterministic seed centroids keep the assignment oracle-checkable
+    # (the production path feeds k-means centroids, see similarity.py).
+    register(
+        "semdedup_drops",
+        similarity.semdedup_drops_oracle_sql(),
+        "llm",
+        ["dedup", "embedding", "cluster"],
+    )(
+        lambda spark, sf: similarity.semdedup_drops(_emb(spark, sf))
+    )
 
     # Structured Streaming versions — the streaming result must equal the
     # batch SQL oracle (complete mode drains the whole file source).

@@ -75,3 +75,27 @@ def test_token_budget_proportional_with_remainders(spark):
     out = {r["source"]: (r["tokens"], r["alloc"]) for r in
            domain_token_budget(docs, budget=10).collect()}
     assert out == {"a": (5, 6), "b": (3, 3), "c": (1, 1)}
+
+
+def test_semdedup_drops_hand_computed(spark):
+    """2D toy: centroids are vecs 1 and 2 (lowest ids). Vec 2's sims to
+    both centroids round to 1.0 at 6 decimals, so the c_id tiebreak puts
+    it in cluster 1 with vec 1 (near-identical: it drops, canonical 1).
+    Vecs 3, 4, 5 land with centroid 2 (tiny positive cosine beats 0);
+    the y-axis group exceeds the threshold, so 4 and 5 drop with
+    canonical min id 3."""
+    from datafusion_pinot_spark.operators.similarity import semdedup_drops
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.001]),
+        (3, [0.0, 1.0]),
+        (4, [0.001, 1.0]),
+        (5, [0.0, 0.999]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [
+        (r["cluster"], r["drop_vec"], r["canonical_vec"])
+        for r in semdedup_drops(emb, k_clusters=2, threshold=0.9).collect()
+    ]
+    assert got == [(1, 2, 1), (2, 4, 3), (2, 5, 3)]
