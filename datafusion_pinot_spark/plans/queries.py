@@ -23,6 +23,7 @@ both dialects (the driver's hash compare requires it).
 from __future__ import annotations
 
 import os
+import tempfile
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -2074,6 +2075,25 @@ def _register_llm():
     )(
         lambda spark, sf: windowed.streaming_tumbling_window(
             spark, f"{sf}/events.parquet", "1 hour"
+        )
+    )
+    # r8: stream-static enrichment against a pinot UPSERT dimension — the
+    # realtime lookup-join shape; the dim is written twice (v1 poisoned,
+    # v2 correct), so the hash gate proves last-wins upsert semantics AND
+    # the broadcast stream-static join in one query.
+    register(
+        "stream_upsert_enrich",
+        """SELECT user_id % 5 AS tier, event_type,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY tier, event_type
+           ORDER BY tier, event_type""",
+        "llm",
+        ["streaming", "pinot", "upsert", "join"],
+    )(
+        lambda spark, sf: windowed.stream_upsert_enrich(
+            spark,
+            f"{sf}/events.parquet",
+            tempfile.mkdtemp(prefix="enrich_dim_"),
         )
     )
 

@@ -10,6 +10,7 @@ against the batch SQL.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -417,3 +418,73 @@ LEFT JOIN p ON c.c_user = p.p_user
            AND p.p_us >= c.c_us AND p.p_us < c.c_us + {horizon_us}
 CROSS JOIN wm
 WHERE c.c_us + {horizon_us} <= wm.wm1_us"""
+
+
+def stream_upsert_enrich(
+    spark: SparkSession, events_parquet: str, dim_root: str
+) -> DataFrame:
+    """Stream-static enrichment against a pinot UPSERT dimension — the
+    lookup-join shape of a realtime enrichment pipeline: the event stream
+    inner-joins a last-wins user dimension served from pinot storage, and
+    a complete-mode aggregation rolls the enriched stream up per
+    (tier, event_type).
+
+    The dimension is written TWICE (the upsert point): version 1 carries a
+    poisoned tier of -1 for every user, version 2 the real ``user_id % 5``.
+    Only a correct last-wins upsert read (``load_upsert_table`` on compare
+    column ``ver``) yields the oracle's tiers, so the query's hash gate
+    covers the storage upsert semantics AND the stream-static join in one
+    pass. Scale shape: the dim is broadcast-joined per micro-batch (small
+    side by construction); stream state is the aggregation's, bounded by
+    the (tier, type) group count.
+
+    Spark disallows stateful aggregation directly over a stream-static
+    join in complete mode only when the static side is itself streaming;
+    here the static side is a batch DataFrame, the supported shape."""
+    from datafusion_pinot_spark.catalog import PinotCatalog
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(dim_root, "userdim_OFFLINE")
+    users = (
+        spark.read.parquet(events_parquet).select("user_id").distinct()
+    )
+    v1 = users.select(
+        "user_id",
+        F.lit(-1).cast("long").alias("tier"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+    v2 = users.select(
+        "user_id",
+        (F.col("user_id") % 5).alias("tier"),
+        F.lit(2).cast("long").alias("ver"),
+    )
+    (
+        v1.unionAll(v2)
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    dim = PinotCatalog.filesystem(dim_root).load_upsert_table(
+        spark, "userdim", "user_id", "ver"
+    )
+    stream = _with_ts(_file_stream(spark, events_parquet))
+    enriched = stream.join(
+        F.broadcast(dim.select("user_id", "tier")), "user_id"
+    )
+    agg = enriched.groupBy("tier", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("tier", "event_type")

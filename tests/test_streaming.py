@@ -221,3 +221,28 @@ def test_left_outer_closed_honors_nondefault_params(spark, testdata):
     want = sorted(tuple(r) for r in con.sql(sql).fetchall())
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_upsert_enrich_last_wins_and_counts(spark, tmp_path):
+    """The poisoned v1 dim rows (tier -1) must be superseded by v2's
+    last-wins read before the stream joins them: no output tier is -1,
+    and the enriched counts equal the batch groupBy."""
+    from datafusion_pinot_spark.plans.queries import t
+    from datafusion_pinot_spark.streaming.windowed import stream_upsert_enrich
+    from pyspark.sql import functions as F
+
+    out = stream_upsert_enrich(
+        spark, f"{SF_SMOKE}/events.parquet", str(tmp_path)
+    )
+    rows = out.collect()
+    assert rows and all(r["tier"] >= 0 for r in rows)
+    batch = {
+        (r["tier"], r["event_type"]): r["n"]
+        for r in t(spark, SF_SMOKE, "events")
+        .groupBy(
+            (F.col("user_id") % 5).alias("tier"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {(r["tier"], r["event_type"]): r["n"] for r in rows} == batch
