@@ -7230,6 +7230,19 @@ DRIVER_WINDOW: list[str] = [
     # streaming funnel, whose PER-USER output is the only window row
     # sensitive to cross-group permutation — exactly the class of
     # cross-engine failure that exposed the DuckDB list-lambda bug.)
+    # -- r8 additions (standing rotation rule: round-N queries enter the
+    # window at the first driver run after they land). Slots freed by
+    # rotating out four once-green r07 veterans, each pinned by the
+    # pytest oracle tier: funnel_windowed_conversion (streaming_funnel_
+    # totals keeps the funnel family window-covered), media_phash_near_dup
+    # (banded-LSH shape stays covered by simhash_md5_dup_groups +
+    # winnow_boilerplate_fps), ab_test_conversion and
+    # forecast_backtest_weekly (the stats tier stays covered by
+    # data_quality_report + psi_drift_event_mix). --
+    "bpe_two_merges",  # r8: BPE merge learning, 2-round unrolled oracle
+    "domain_token_budget",  # r8: largest-remainder token apportionment
+    "semdedup_drops",  # r8: cluster-then-threshold embedding dedup
+    "stream_upsert_enrich",  # r8: stream-static join over upsert dim
     "streaming_funnel_totals",  # r6: stateful streaming funnel, per-user
     # r6-continuation funnel analytics (standing rule: round-N queries
     # enter the round-N window). Slot freed by rotating pinot_lineitem_q1
@@ -7239,7 +7252,6 @@ DRIVER_WINDOW: list[str] = [
     # counts saturate on this dense corpus — every user converts — so
     # the windowed variant below carries strictly more check value:
     # discriminating counts AND the cross-engine bit arithmetic.)
-    "funnel_windowed_conversion",  # r6: complete-within-window funnel
     "pinot_zorder_scan",  # r6c4: Morton layout, 2D zone-map pruning
     # -- r6 additions (standing rotation rule: round-N queries enter the
     # round-N window) --
@@ -7256,10 +7268,8 @@ DRIVER_WINDOW: list[str] = [
     # (funnel_time_to_convert rotated out for the r8 audio kernel:
     # r07-green; two funnel rows and three quantile-family rows remain.)
     "audio_vad_summary",  # r8: framed integer-energy VAD, hash-checked
-    "forecast_backtest_weekly",  # r6c4: seasonal-naive backtest, integer errors
     "survival_time_to_purchase",  # r6c4: Kaplan-Meier with censoring
     "stream_left_outer_closed",  # r6c4: watermarked outer join, closed subset
-    "media_phash_near_dup",  # r6c4: banded hamming-LSH over fake pHash
     "hourly_value_bands",  # r6c4: histogram-shaped exact p50/p95
     # (window_value_functions and event_sequence_regex deferred to the
     # pytest oracle tier; the slot goes to the exact-moments query, whose
@@ -7283,7 +7293,6 @@ DRIVER_WINDOW: list[str] = [
     "pinot_tail_latest",  # r6c4: latest-N tail pushdown
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
     "pinot_upsert_latest",  # r6: upsert-table last-wins read
-    "ab_test_conversion",  # r6c4: median-split A/B with pooled z
     "weekly_growth_accounting",  # r6c4: new-vs-returning per epoch week
     "psi_drift_event_mix",  # r6c4: PSI drift, integer ppm shares
     "equi_depth_price_histogram",  # r6c4: two-pass global-rank quantile hist
