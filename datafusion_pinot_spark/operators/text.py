@@ -645,3 +645,74 @@ SELECT fp, count(*) AS n_docs
 FROM fps GROUP BY fp HAVING count(*) > 1
 ORDER BY n_docs DESC, fp ASC LIMIT {top}
 """
+
+
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Per-document fluency score from a bigram language model trained on
+    the corpus itself — the LM-filtering idea of CCNet/KenLM pipelines
+    (public), made integer-exact so it hash-checks across engines: each
+    bigram occurrence scores its conditional probability in ppm
+    (``count(l,r) * 1e6 div count(l-as-left)``, floor division), and a
+    document's score is the floor mean over its bigram occurrences.
+    Repetitive or formulaic documents (high-probability transitions) score
+    high; incoherent token soup scores low — the cheap in-corpus proxy for
+    "does a language model find this text predictable".
+
+    Scale shape: one corpus pass builds the bigram table (map-side
+    combined count shuffle); the left-token totals are a second agg over
+    the same exploded stream; scoring is one shuffle join of the corpus
+    bigram stream against the LM table on the bigram key, then a per-doc
+    agg. Documents with fewer than two tokens are excluded (no bigrams to
+    score). The LM table is corpus-vocabulary-sized — it stays
+    distributed; nothing collects to the driver."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS l,"
+                "             element_at(w, i + 1) AS r))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.l", "p.r")
+    lm = bg.groupBy("l", "r").agg(F.count("*").alias("c_lr"))
+    left = bg.groupBy("l").agg(F.count("*").alias("c_l"))
+    lm2 = lm.join(left, "l")
+    return (
+        bg.join(lm2, ["l", "r"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr(
+                "CAST(sum(c_lr * 1000000 DIV c_l) DIV count(*) AS BIGINT)"
+            ).alias("lm_score_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bigram_lm_score_oracle_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id, w[i] AS l, w[i+1] AS r
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+        FROM t WHERE len(w) >= 2)
+), lm AS (
+  SELECT l, r, count(*) AS c_lr FROM bg GROUP BY l, r
+), lft AS (
+  SELECT l, count(*) AS c_l FROM bg GROUP BY l
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(c_lr * 1000000 // c_l) // count(*) AS BIGINT)
+         AS lm_score_ppm
+FROM bg JOIN lm USING (l, r) JOIN lft USING (l)
+GROUP BY doc_id ORDER BY doc_id
+"""

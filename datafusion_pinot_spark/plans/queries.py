@@ -2062,6 +2062,14 @@ def _register_llm():
     )(
         lambda spark, sf: similarity.semdedup_drops(_emb(spark, sf))
     )
+    # r8: in-corpus bigram LM fluency scoring (the CCNet/KenLM filtering
+    # idea), integer-ppm conditional probabilities so it hash-checks.
+    register(
+        "bigram_lm_score",
+        text.bigram_lm_score_oracle_sql(),
+        "llm",
+        ["text", "lm", "quality", "join"],
+    )(lambda spark, sf: text.bigram_lm_score(_docs(spark, sf)))
 
     # Structured Streaming versions — the streaming result must equal the
     # batch SQL oracle (complete mode drains the whole file source).

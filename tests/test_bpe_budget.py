@@ -99,3 +99,16 @@ def test_semdedup_drops_hand_computed(spark):
         for r in semdedup_drops(emb, k_clusters=2, threshold=0.9).collect()
     ]
     assert got == [(1, 2, 1), (2, 4, 3), (2, 5, 3)]
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Corpus bigrams: (a,b) x2, (b,a) x1, (a,c) x1; 'a' is left of 3.
+    doc1 = 'a b a b': (666666 + 1000000 + 666666) // 3 = 777777.
+    doc2 = 'a c': 333333. Single-token doc 3 is excluded (no bigrams)."""
+    from datafusion_pinot_spark.operators.text import bigram_lm_score
+
+    rows = [(1, "a b a b"), (2, "a c"), (3, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["lm_score_ppm"])
+           for r in bigram_lm_score(docs).collect()}
+    assert got == {1: (3, 777777), 2: (1, 333333)}
