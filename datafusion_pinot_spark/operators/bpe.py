@@ -165,3 +165,127 @@ UNION ALL
 SELECT 2 AS round, l, r, cnt FROM b2
 ORDER BY round
 """
+
+
+def bpe_apply_compression(docs: DataFrame, rounds: int = 2) -> DataFrame:
+    """Tokenizer APPLICATION: learn ``rounds`` merges, then encode the
+    whole corpus with them and report per-source compression —
+    (source, symbols_before, symbols_after, saved_permille). This is the
+    inference half of BPE (what a trained tokenizer does to every
+    document at ingest), and the statistic a curation pipeline uses to
+    compare tokenizer fit across domains.
+
+    Scale shape: the merge table is ``rounds`` driver rows (broadcast as
+    literals into the encode expressions); encoding is a pure narrow map
+    over the exploded word stream — no shuffle until the final per-source
+    aggregation. Word occurrences (not the distinct vocab) are encoded, so
+    the counts weight by real corpus frequency."""
+    merges = [
+        (row["l"], row["r"])
+        for row in bpe_learn_merges(docs, rounds=rounds).collect()
+    ]
+    words = docs.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w"),
+    )
+    chars = F.filter(F.split("w", ""), lambda x: x != "")
+    seq = F.concat(F.lit(SEP), F.array_join(chars, SEP), F.lit(SEP))
+    for l, r in merges:
+        seq = F.replace(seq, F.lit(f"~{l}{SEP}{r}~"), F.lit(f"~{l}{r}~"))
+    enc = words.select(
+        "source",
+        F.length("w").cast("bigint").alias("nb"),
+        F.size(F.filter(F.split(seq, "~"), lambda x: x != ""))
+        .cast("bigint")
+        .alias("na"),
+    )
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.sum("nb").alias("symbols_before"),
+            F.sum("na").alias("symbols_after"),
+        )
+        .select(
+            "source",
+            "symbols_before",
+            "symbols_after",
+            F.expr(
+                "CAST((symbols_before - symbols_after) * 1000"
+                " DIV symbols_before AS BIGINT)"
+            ).alias("saved_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+def bpe_apply_compression_oracle_sql() -> str:
+    """Unrolls learn (the b1/b2 CTEs of the learning oracle) AND apply."""
+    return """
+WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+  ) GROUP BY w
+), seq0 AS (
+  SELECT freq,
+         '~~' || array_to_string(regexp_split_to_array(w, ''), '~~') || '~~'
+           AS seq
+  FROM words
+), s1 AS (
+  SELECT freq, list_filter(string_split(seq, '~'), x -> x <> '') AS syms
+  FROM seq0
+), p1 AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt
+  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms)-1)) AS i
+        FROM s1 WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+), b1 AS (
+  SELECT l, r FROM p1 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+), seq1 AS (
+  SELECT freq,
+         replace(seq,
+                 '~' || (SELECT l FROM b1) || '~~' || (SELECT r FROM b1) || '~',
+                 '~' || (SELECT l FROM b1) || (SELECT r FROM b1) || '~') AS seq
+  FROM seq0
+), s2 AS (
+  SELECT freq, list_filter(string_split(seq, '~'), x -> x <> '') AS syms
+  FROM seq1
+), p2 AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt
+  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms)-1)) AS i
+        FROM s2 WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+), b2 AS (
+  SELECT l, r FROM p2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+), wocc AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), wseq AS (
+  SELECT source, length(w) AS nb,
+         '~~' || array_to_string(regexp_split_to_array(w, ''), '~~') || '~~'
+           AS seq
+  FROM wocc
+), ap1 AS (
+  SELECT source, nb,
+         replace(seq,
+                 '~' || (SELECT l FROM b1) || '~~' || (SELECT r FROM b1) || '~',
+                 '~' || (SELECT l FROM b1) || (SELECT r FROM b1) || '~') AS seq
+  FROM wseq
+), ap2 AS (
+  SELECT source, nb,
+         replace(seq,
+                 '~' || (SELECT l FROM b2) || '~~' || (SELECT r FROM b2) || '~',
+                 '~' || (SELECT l FROM b2) || (SELECT r FROM b2) || '~') AS seq
+  FROM ap1
+)
+SELECT source,
+       CAST(sum(nb) AS BIGINT) AS symbols_before,
+       CAST(sum(len(list_filter(string_split(seq, '~'), x -> x <> '')))
+            AS BIGINT) AS symbols_after,
+       CAST((sum(nb) - sum(len(list_filter(string_split(seq, '~'),
+                                           x -> x <> '')))) * 1000
+            // sum(nb) AS BIGINT) AS saved_permille
+FROM ap2 GROUP BY source ORDER BY source
+"""

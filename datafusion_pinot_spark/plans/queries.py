@@ -2070,6 +2070,15 @@ def _register_llm():
         "llm",
         ["text", "lm", "quality", "join"],
     )(lambda spark, sf: text.bigram_lm_score(_docs(spark, sf)))
+    # r8: the inference half of BPE — encode the corpus with the learned
+    # merges and report per-source compression (narrow-map encode; the
+    # merge table is driver rows broadcast as literals).
+    register(
+        "bpe_apply_compression",
+        bpe.bpe_apply_compression_oracle_sql(),
+        "llm",
+        ["text", "tokenizer", "encode"],
+    )(lambda spark, sf: bpe.bpe_apply_compression(_docs(spark, sf)))
 
     # Structured Streaming versions — the streaming result must equal the
     # batch SQL oracle (complete mode drains the whole file source).

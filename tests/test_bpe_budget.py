@@ -112,3 +112,20 @@ def test_bigram_lm_score_hand_computed(spark):
     got = {r["doc_id"]: (r["n_bigrams"], r["lm_score_ppm"])
            for r in bigram_lm_score(docs).collect()}
     assert got == {1: (3, 777777), 2: (1, 333333)}
+
+
+def test_bpe_apply_compression_hand_computed(spark):
+    """Merges learned on {aa x1, ab x1, aaab x3, b x1} are (a,a) then
+    (a,b). Encoding: 'aa'->1 sym (2 chars), 'ab'->1 (2), 'aaab'->2
+    ([aa, ab], 4 chars), 'b'->1 (1). src1 = {aa, ab, aaab}: before 8,
+    after 4. src2 = {aaab x2, b}: before 9, after 5."""
+    from datafusion_pinot_spark.operators.bpe import bpe_apply_compression
+
+    rows = [(1, "aa ab aaab", "s1"), (2, "aaab aaab b", "s2")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = {r["source"]: (r["symbols_before"], r["symbols_after"],
+                         r["saved_permille"])
+           for r in bpe_apply_compression(docs, rounds=2).collect()}
+    assert got == {"s1": (8, 4, 500), "s2": (9, 5, 444)}
