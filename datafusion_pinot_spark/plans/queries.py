@@ -6491,6 +6491,93 @@ def q_pinot_describe_table(spark, sf):
 
 
 @register(
+    "pinot_table_diff",
+    """WITH base AS (
+         SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS vi
+         FROM events WHERE event_id % 5 <> 0
+       ), upd AS (
+         SELECT event_id,
+                CAST(floor((CASE WHEN user_id % 7 = 0 THEN value + 100
+                                 ELSE value END) * 1000) AS BIGINT) AS vi
+         FROM events WHERE event_id % 11 <> 0
+       ), d AS (
+         SELECT CASE WHEN b.event_id IS NULL THEN 'insert'
+                     WHEN u.event_id IS NULL THEN 'delete'
+                     WHEN b.vi <> u.vi THEN 'update'
+                     ELSE 'same' END AS op
+         FROM base b FULL OUTER JOIN upd u ON b.event_id = u.event_id
+       )
+       SELECT op, CAST(count(*) AS BIGINT) AS n_keys
+       FROM d WHERE op <> 'same' GROUP BY op ORDER BY op""",
+    "parity",
+    ["pinot", "storage", "diff", "join"],
+)
+def q_pinot_table_diff(spark, sf):
+    """r8: snapshot diff between two pinot table versions — the
+    reconciliation companion to table_fingerprint (which only says the
+    replicas DIFFER, not where): a full-outer join on the key classifies
+    every row as insert / delete / update and rolls counts up per op.
+    Both snapshots are materialized v3 tables read back through the pinot
+    source, so the diff also proves the storage round-trip on both sides.
+    Values compare on floor(value*1000) (exact integer-domain compare;
+    Spark/DuckDB CAST rounding semantics differ on raw doubles). Scale
+    shape: one co-shuffled full-outer join on the unique key, counts
+    map-side-combined. The synthetic edit script: base drops
+    event_id%5==0 (becomes inserts), the update run drops event_id%11==0
+    (deletes) and bumps value by 100 where user_id%7==0 (updates)."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    data_dir = tempfile.mkdtemp(prefix="tdiff_")
+    ev = t(spark, sf, "events").select("event_id", "user_id", "value")
+    base = ev.filter(F.col("event_id") % 5 != 0)
+    upd = ev.filter(F.col("event_id") % 11 != 0).withColumn(
+        "value",
+        F.when(F.col("user_id") % 7 == 0, F.col("value") + 100).otherwise(
+            F.col("value")
+        ),
+    )
+    paths = {}
+    for name, df in (("base", base), ("upd", upd)):
+        out = os.path.join(data_dir, f"{name}_OFFLINE")
+        (
+            df.repartition(4)
+            .write.format("pinot")
+            .mode("overwrite")
+            .option("raw", "event_id")
+            .save(out)
+        )
+        paths[name] = out
+    vi = F.floor(F.col("value") * 1000).cast("bigint")
+    b = (
+        spark.read.format("pinot")
+        .load(paths["base"])
+        .select(F.col("event_id").alias("k_b"), vi.alias("vi_b"))
+    )
+    u = (
+        spark.read.format("pinot")
+        .load(paths["upd"])
+        .select(F.col("event_id").alias("k_u"), vi.alias("vi_u"))
+    )
+    j = b.join(u, F.col("k_b") == F.col("k_u"), "full_outer")
+    op = (
+        F.when(F.col("k_b").isNull(), F.lit("insert"))
+        .when(F.col("k_u").isNull(), F.lit("delete"))
+        .when(F.col("vi_b") != F.col("vi_u"), F.lit("update"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.select(op.alias("op"))
+        .filter(F.col("op") != "same")
+        .groupBy("op")
+        .agg(F.count("*").alias("n_keys"))
+        .orderBy("op")
+    )
+
+
+@register(
     "pinot_upsert_changelog",
     """WITH ranked AS (
          SELECT user_id, event_id,
