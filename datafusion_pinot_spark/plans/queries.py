@@ -7342,8 +7342,18 @@ DRIVER_WINDOW: list[str] = [
     # (banded-LSH shape stays covered by simhash_md5_dup_groups +
     # winnow_boilerplate_fps), ab_test_conversion and
     # forecast_backtest_weekly (the stats tier stays covered by
-    # data_quality_report + psi_drift_event_mix). --
+    # data_quality_report + psi_drift_event_mix). For the second r8 batch
+    # (bpe_apply_compression, bigram_lm_score, pinot_table_diff) three
+    # more once-green r07 veterans rotate to the pytest oracle tier:
+    # hourly_value_bands + psi_drift_event_mix (exact-quantile and
+    # stats-report families stay window-covered by
+    # equi_depth_price_histogram + data_quality_report) and
+    # weekly_growth_accounting (epoch-week windowing stays covered by
+    # scd2_user_state). --
     "bpe_two_merges",  # r8: BPE merge learning, 2-round unrolled oracle
+    "bpe_apply_compression",  # r8: BPE encode, per-source compression
+    "bigram_lm_score",  # r8: integer-ppm bigram LM fluency scoring
+    "pinot_table_diff",  # r8: full-outer snapshot diff over storage
     "domain_token_budget",  # r8: largest-remainder token apportionment
     "semdedup_drops",  # r8: cluster-then-threshold embedding dedup
     "stream_upsert_enrich",  # r8: stream-static join over upsert dim
@@ -7374,7 +7384,6 @@ DRIVER_WINDOW: list[str] = [
     "audio_vad_summary",  # r8: framed integer-energy VAD, hash-checked
     "survival_time_to_purchase",  # r6c4: Kaplan-Meier with censoring
     "stream_left_outer_closed",  # r6c4: watermarked outer join, closed subset
-    "hourly_value_bands",  # r6c4: histogram-shaped exact p50/p95
     # (window_value_functions and event_sequence_regex deferred to the
     # pytest oracle tier; the slot goes to the exact-moments query, whose
     # decimal-vs-double accumulation is a real cross-engine hazard.)
@@ -7397,8 +7406,6 @@ DRIVER_WINDOW: list[str] = [
     "pinot_tail_latest",  # r6c4: latest-N tail pushdown
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
     "pinot_upsert_latest",  # r6: upsert-table last-wins read
-    "weekly_growth_accounting",  # r6c4: new-vs-returning per epoch week
-    "psi_drift_event_mix",  # r6c4: PSI drift, integer ppm shares
     "equi_depth_price_histogram",  # r6c4: two-pass global-rank quantile hist
     "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
     "scd2_user_state",  # r6c4: gaps-and-islands SCD2 build
