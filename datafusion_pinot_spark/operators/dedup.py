@@ -1048,3 +1048,73 @@ SELECT doc_a, doc_b, (100 * inter) // sa.sz AS containment_pct
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a
 WHERE (100 * inter) // sa.sz >= {threshold_pct}
 """
+
+
+def lsh_quality_audit(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Meta-quality audit of the LSH dedup pipeline itself: one row of
+    (n_candidates, n_verified, n_true, precision_ppm, recall_ppm), where
+    candidates come from the banded md5-MinHash buckets, verified =
+    candidates whose exact n-gram Jaccard clears ``threshold``, and true =
+    ALL pairs clearing it (the shingle-join ground truth — any pair with
+    jaccard > 0 shares a shingle, so the equi-join truth set is complete
+    above any positive threshold). Precision tells you how much exact
+    verification work the bands waste; recall tells you what the bands
+    miss — the two numbers that justify (or re-tune) k/bands before
+    spending the verify pass on 100 TB.
+
+    Scale shape: each leg is the already-bounded pipeline stage
+    (banded buckets / semi-join-restricted verify / shingle equi-join);
+    the audit adds only three 1-row count aggregates cross-joined at the
+    end. Integer ppm floor-division keeps the row hash-exact."""
+    cands = minhash_lsh_candidates_md5(docs, k, bands, n)
+    verified = ngram_jaccard_verify(docs, cands, n, threshold)
+    truth = ngram_jaccard_pairs(docs, n, threshold)
+    c = cands.agg(F.count("*").alias("n_candidates"))
+    v = verified.agg(F.count("*").alias("n_verified"))
+    tr = truth.agg(F.count("*").alias("n_true"))
+    return (
+        c.crossJoin(v)
+        .crossJoin(tr)
+        .select(
+            "n_candidates",
+            "n_verified",
+            "n_true",
+            F.expr(
+                "CAST(CASE WHEN n_candidates = 0 THEN 0"
+                " ELSE n_verified * 1000000 DIV n_candidates END AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(CASE WHEN n_true = 0 THEN 0"
+                " ELSE n_verified * 1000000 DIV n_true END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def lsh_quality_audit_oracle_sql(
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> str:
+    cand = minhash_lsh_candidates_md5_oracle_sql(k, bands, n)
+    ver = lsh_verified_pairs_oracle_sql(k, bands, n, threshold)
+    true = ngram_jaccard_pairs_oracle_sql(n, threshold)
+    return f"""
+SELECT n_candidates, n_verified, n_true,
+       CAST(CASE WHEN n_candidates = 0 THEN 0
+            ELSE n_verified * 1000000 // n_candidates END AS BIGINT)
+         AS precision_ppm,
+       CAST(CASE WHEN n_true = 0 THEN 0
+            ELSE n_verified * 1000000 // n_true END AS BIGINT)
+         AS recall_ppm
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM ({cand})),
+     (SELECT CAST(count(*) AS BIGINT) AS n_verified FROM ({ver})),
+     (SELECT CAST(count(*) AS BIGINT) AS n_true FROM ({true}))
+"""

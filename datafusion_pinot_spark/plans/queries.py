@@ -2079,6 +2079,14 @@ def _register_llm():
         "llm",
         ["text", "tokenizer", "encode"],
     )(lambda spark, sf: bpe.bpe_apply_compression(_docs(spark, sf)))
+    # r8: meta-quality audit of the LSH dedup pipeline — candidate count,
+    # verified count, ground-truth count, precision/recall in exact ppm.
+    register(
+        "lsh_quality_audit",
+        dedup.lsh_quality_audit_oracle_sql(),
+        "llm",
+        ["dedup", "lsh", "audit"],
+    )(lambda spark, sf: dedup.lsh_quality_audit(_docs(spark, sf)))
 
     # Structured Streaming versions — the streaming result must equal the
     # batch SQL oracle (complete mode drains the whole file source).

@@ -129,3 +129,24 @@ def test_bpe_apply_compression_hand_computed(spark):
                          r["saved_permille"])
            for r in bpe_apply_compression(docs, rounds=2).collect()}
     assert got == {"s1": (8, 4, 500), "s2": (9, 5, 444)}
+
+
+def test_lsh_quality_audit_counts_false_candidates(spark):
+    """Docs 1=2 exactly; doc 3 differs by one word (jaccard ~0.56 on
+    3-gram shingles), doc 4 is unrelated. At threshold 0.7 the bands
+    still bucket all three near-dup pairs (candidates 3) but only the
+    exact pair verifies: precision 333333 ppm, recall 1000000 ppm."""
+    from datafusion_pinot_spark.operators.dedup import lsh_quality_audit
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "the quick brown fox jumps over the lazy cat tonight"),
+        (4, "completely different text about spark analytics engines here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    [r] = lsh_quality_audit(docs, threshold=0.7).collect()
+    assert (
+        r["n_candidates"], r["n_verified"], r["n_true"],
+        r["precision_ppm"], r["recall_ppm"],
+    ) == (3, 1, 1, 333333, 1000000)
