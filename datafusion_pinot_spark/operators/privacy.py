@@ -76,3 +76,62 @@ def pii_redact_oracle_sql(
         f"SELECT {keep_cols}{counts},\n       {redacted} AS redacted\n"
         f"FROM {table}"
     )
+
+
+def k_anonymity_audit(events: DataFrame, k: int = 5) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (Sweeney 2002, public):
+    a user whose (event_type, hour-of-day, value-band) combination is
+    shared by fewer than ``k`` users is re-identifiable from those
+    attributes alone. The audit reports, per event_type, how many
+    quasi-identifier groups and users fall below the threshold — the
+    release-gating statistic a privacy review needs before exporting an
+    interaction dataset.
+
+    Scale shape: two map-side-combined aggregations (distinct users per
+    quasi-id tuple, then the per-type rollup); the quasi-id space is
+    bounded (types x 24 hours x value bands), so the intermediate is tiny
+    regardless of corpus size. All arithmetic integer."""
+    qid = events.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.floor(F.col("value") / 50).cast("bigint").alias("vband"),
+        "user_id",
+    )
+    groups = qid.groupBy("event_type", "hr", "vband").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    return (
+        groups.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum((F.col("n_users") < k).cast("bigint")).alias(
+                "small_groups"
+            ),
+            F.sum(
+                F.when(F.col("n_users") < k, F.col("n_users")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("exposed_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def k_anonymity_audit_oracle_sql(k: int = 5) -> str:
+    return f"""
+WITH qid AS (
+  SELECT event_type, extract(hour FROM ts) AS hr,
+         CAST(floor(value / 50) AS BIGINT) AS vband, user_id
+  FROM events
+), groups AS (
+  SELECT event_type, hr, vband, count(DISTINCT user_id) AS n_users
+  FROM qid GROUP BY event_type, hr, vband
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_users < {k} THEN 1 ELSE 0 END) AS BIGINT)
+         AS small_groups,
+       CAST(sum(CASE WHEN n_users < {k} THEN n_users ELSE 0 END) AS BIGINT)
+         AS exposed_users
+FROM groups GROUP BY event_type ORDER BY event_type
+"""

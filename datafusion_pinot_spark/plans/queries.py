@@ -2087,6 +2087,14 @@ def _register_llm():
         "llm",
         ["dedup", "lsh", "audit"],
     )(lambda spark, sf: dedup.lsh_quality_audit(_docs(spark, sf)))
+    # r8: k-anonymity audit over quasi-identifiers — the release-gating
+    # privacy statistic; bounded quasi-id space, two integer aggs.
+    register(
+        "k_anonymity_audit",
+        privacy.k_anonymity_audit_oracle_sql(),
+        "llm",
+        ["privacy", "audit", "agg"],
+    )(lambda spark, sf: privacy.k_anonymity_audit(t(spark, sf, "events")))
 
     # Structured Streaming versions — the streaming result must equal the
     # batch SQL oracle (complete mode drains the whole file source).

@@ -150,3 +150,27 @@ def test_lsh_quality_audit_counts_false_candidates(spark):
         r["n_candidates"], r["n_verified"], r["n_true"],
         r["precision_ppm"], r["recall_ppm"],
     ) == (3, 1, 1, 333333, 1000000)
+
+
+def test_k_anonymity_audit_hand_computed(spark):
+    """Type 'a' hour 0 band 0: users {1,2} -> below k=3 (2 exposed).
+    Type 'a' hour 1 band 0: users {1,2,3} -> safe. Type 'b' has one
+    group of a single user -> 1 small group, 1 exposed."""
+    from datetime import datetime
+    from datafusion_pinot_spark.operators.privacy import k_anonymity_audit
+
+    mk = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    rows = [
+        (1, mk(0), 1, "a", 10.0), (2, mk(0, 30), 2, "a", 20.0),
+        (3, mk(1), 1, "a", 10.0), (4, mk(1), 2, "a", 20.0),
+        (5, mk(1), 3, "a", 30.0),
+        (6, mk(5), 9, "b", 10.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double",
+    )
+    got = {r["event_type"]: (r["n_groups"], r["small_groups"],
+                             r["exposed_users"])
+           for r in k_anonymity_audit(ev, k=3).collect()}
+    assert got == {"a": (2, 1, 2), "b": (1, 1, 1)}
