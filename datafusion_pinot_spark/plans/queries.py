@@ -7365,11 +7365,19 @@ DRIVER_WINDOW: list[str] = [
     # stats-report families stay window-covered by
     # equi_depth_price_histogram + data_quality_report) and
     # weekly_growth_accounting (epoch-week windowing stays covered by
-    # scd2_user_state). --
+    # scd2_user_state). Third r8 batch (lsh_quality_audit,
+    # k_anonymity_audit): time_weighted_average rotates out (decimal38
+    # exactness stays window-covered by stable_moments +
+    # pinot_bigdecimal_roundtrip) and survival_time_to_purchase rotates
+    # out (the global_rank quantile machinery stays covered by
+    # equi_depth_price_histogram); both once-green r07 and pinned by the
+    # pytest oracle tier. --
     "bpe_two_merges",  # r8: BPE merge learning, 2-round unrolled oracle
     "bpe_apply_compression",  # r8: BPE encode, per-source compression
     "bigram_lm_score",  # r8: integer-ppm bigram LM fluency scoring
     "pinot_table_diff",  # r8: full-outer snapshot diff over storage
+    "lsh_quality_audit",  # r8: LSH precision/recall in exact ppm
+    "k_anonymity_audit",  # r8: quasi-identifier privacy audit
     "domain_token_budget",  # r8: largest-remainder token apportionment
     "semdedup_drops",  # r8: cluster-then-threshold embedding dedup
     "stream_upsert_enrich",  # r8: stream-static join over upsert dim
@@ -7398,7 +7406,6 @@ DRIVER_WINDOW: list[str] = [
     # (funnel_time_to_convert rotated out for the r8 audio kernel:
     # r07-green; two funnel rows and three quantile-family rows remain.)
     "audio_vad_summary",  # r8: framed integer-energy VAD, hash-checked
-    "survival_time_to_purchase",  # r6c4: Kaplan-Meier with censoring
     "stream_left_outer_closed",  # r6c4: watermarked outer join, closed subset
     # (window_value_functions and event_sequence_regex deferred to the
     # pytest oracle tier; the slot goes to the exact-moments query, whose
@@ -7414,7 +7421,6 @@ DRIVER_WINDOW: list[str] = [
     # covered by equi_depth_price_histogram.)
     "pinot_metadata_distinct",  # r8: manifest-arithmetic exact distinct
     "pinot_dictionary_distinct",  # r8: dictionary-union exact distinct
-    "time_weighted_average",  # r6c4: step-interp TWA, decimal38 weights
     "ann_pq_pinot_codes_topk",  # r6: PQ codes persisted + served via storage
     "pinot_range_index_scan",  # r6: range-index scan on unclustered dict col
     "pinot_mv_inverted_scan",  # r6c4: MV inverted index + mv_contains
