@@ -168,3 +168,102 @@ FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
 GROUP BY a.event_type, b.event_type
 ORDER BY n_users DESC, type_a ASC, type_b ASC
 """
+
+
+def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
+    """Global clustering profile of the part co-purchase graph: nodes are
+    parts, an (undirected) edge joins two parts bought in the same order.
+    One summary row: node/edge counts, open-wedge count, triangle count,
+    and the global clustering coefficient in exact ppm
+    (``3 * triangles * 1e6 div wedges``) — all integer arithmetic, so it
+    hash-checks across engines.
+
+    Scale shape (ref has no graph ops; this EXCEEDS): per-order part
+    pairs come from ONE self-equi-join of the distinct (order, part)
+    stream on the order key with ``a < b`` — per-order fanout is bounded
+    by order width (TPC-H ≤ 7 lines), never corpus-quadratic. Triangle
+    counting is the standard two-join closure over the id-oriented edge
+    list (each triangle a < b < c counted exactly once): edges(a,b) ⋈
+    edges(b,c) builds directed wedges, closed by a semi-check against
+    edges(a,c). Both joins key on single node columns — at 100 TB this is
+    the join-based triangle enumeration used by Cohen's MapReduce
+    algorithm (public); a skewed hub node would orient by (degree, id)
+    instead, same plan shape. The edge list is reused three times, so it
+    is localCheckpoint-materialized once."""
+    op = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    ecnt = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        node_stats.crossJoin(ecnt)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CAST(CASE WHEN n_wedges > 0"
+                " THEN 3 * n_triangles * 1000000 DIV n_wedges"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("gcc_ppm"),
+        )
+    )
+
+
+def copurchase_triangles_oracle_sql() -> str:
+    return """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges
+  ) GROUP BY n
+), ns AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+), ec AS (
+  SELECT count(*) AS n_edges FROM edges
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  WHERE EXISTS (SELECT 1 FROM edges e3
+                WHERE e3.u = e1.u AND e3.v = e2.v)
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CAST(CASE WHEN n_wedges > 0
+                 THEN 3 * n_triangles * 1000000 // n_wedges
+                 ELSE 0 END AS BIGINT) AS gcc_ppm
+FROM ns, ec, tri"""

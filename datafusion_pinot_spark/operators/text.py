@@ -716,3 +716,184 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM bg JOIN lm USING (l, r) JOIN lft USING (l)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# -- hashed linear classifier inference (fastText-style quality gate) -------
+
+CLF_BUCKETS = 4096  # feature-hash dimensionality
+CLF_WEIGHT_RANGE = 2001  # weights span [-1000, 1000] milli-units
+
+
+def classifier_weights(spark) -> DataFrame:
+    """The model table for :func:`hashed_classifier_score`: one weight per
+    feature-hash bucket, in integer milli-units. Weights here are derived
+    deterministically from ``md5(bucket)`` so the whole inference path is
+    oracle-checkable end to end; a production pipeline would load a trained
+    model's weights as exactly this shape (bucket BIGINT, weight BIGINT)
+    and everything downstream is unchanged."""
+    return spark.range(CLF_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % CLF_WEIGHT_RANGE
+            - (CLF_WEIGHT_RANGE - 1) // 2
+        ).alias("weight"),
+    )
+
+
+def hashed_classifier_score(docs: DataFrame) -> DataFrame:
+    """fastText-style linear text classifier *inference* over hashed
+    bag-of-words features — the model-based quality gate every web-scale
+    curation pipeline runs (CCNet / DCLM-style fasttext filters, public).
+    Each token hashes into one of ``CLF_BUCKETS`` buckets (first 4 hex
+    digits of md5, mod buckets); the document logit is the integer sum of
+    the bucket weights over token *occurrences*, normalized per token in
+    milli-units (floor division), and the keep/drop label thresholds the
+    normalized score at 0.
+
+    Scale shape: the weights table is model-sized (``CLF_BUCKETS`` rows) —
+    broadcast to every executor, so scoring is a narrow per-token map
+    (md5 + conv stay in codegen) plus ONE doc-keyed partial-aggregated
+    shuffle. No corpus-sized state anywhere; 100 TB of text streams
+    through at scan speed. Zero-token documents are excluded (no features
+    to score)."""
+    w = F.broadcast(classifier_weights(docs.sparkSession))
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+            % CLF_BUCKETS
+        ).alias("bucket"),
+    )
+    return (
+        toks.join(w, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("weight").cast("long").alias("logit_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logit_milli",
+            F.expr(
+                "CAST(CASE WHEN logit_milli >= 0 THEN logit_milli DIV n_tokens"
+                " ELSE -((-logit_milli) DIV n_tokens) END AS BIGINT)"
+            ).alias("score_milli"),
+            F.when(F.col("logit_milli") >= 0, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def hashed_classifier_score_oracle_sql() -> str:
+    def hex4(h: str) -> str:
+        return " + ".join(
+            f"(CAST(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1"
+            f" AS BIGINT) * {16 ** (3 - i)})"
+            for i in range(4)
+        )
+
+    half = (CLF_WEIGHT_RANGE - 1) // 2
+    return f"""
+WITH wtab AS (
+  SELECT b AS bucket,
+         ({hex4("md5(CAST(b AS VARCHAR))")}) % {CLF_WEIGHT_RANGE} - {half}
+           AS weight
+  FROM (SELECT unnest(generate_series(0, {CLF_BUCKETS - 1})) AS b)
+), toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''))
+           AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), feats AS (
+  SELECT doc_id, ({hex4("md5(tok)")}) % {CLF_BUCKETS} AS bucket FROM toks
+), scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(weight) AS BIGINT) AS logit_milli
+  FROM feats JOIN wtab USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, logit_milli,
+       CAST(CASE WHEN logit_milli >= 0 THEN logit_milli // n_tokens
+                 ELSE -((-logit_milli) // n_tokens) END AS BIGINT)
+         AS score_milli,
+       CASE WHEN logit_milli >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM scored ORDER BY doc_id"""
+
+
+# -- cross-source vocabulary overlap ----------------------------------------
+
+
+def source_vocab_jaccard(docs: DataFrame) -> DataFrame:
+    """Pairwise Jaccard similarity between the token *vocabularies* of each
+    document source, in exact ppm — the corpus-composition diagnostic for
+    mixture design (how much does crawl A's vocabulary overlap crawl B's?).
+
+    Scale shape: the per-source vocabulary is ONE distinct shuffle keyed on
+    (source, token) — Zipf-bounded, vastly smaller than the corpus; the
+    pairwise intersection is a self-equi-join of that vocabulary table on
+    the token (never on the corpus), with sources ordered a < b so each
+    pair counts once. With S sources the output is S*(S-1)/2 rows — the
+    join's key space is the shared vocabulary, not all token pairs."""
+    vocab = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n_vocab").alias("vocab_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n_vocab").alias("vocab_b")))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_inter",
+            F.expr(
+                "CAST(n_inter * 1000000 DIV (vocab_a + vocab_b - n_inter)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_vocab_jaccard_oracle_sql() -> str:
+    return """
+WITH vocab AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''))
+           AS w
+  FROM documents WHERE length(trim(text)) > 0
+), sizes AS (
+  SELECT source, count(*) AS n_vocab FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+  FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       sa.n_vocab AS vocab_a, sb.n_vocab AS vocab_b, n_inter,
+       CAST(n_inter * 1000000 // (sa.n_vocab + sb.n_vocab - n_inter)
+            AS BIGINT) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
+ORDER BY source_a, source_b"""

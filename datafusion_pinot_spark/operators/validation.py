@@ -358,3 +358,70 @@ SELECT category,
        n AS n_events, median_n, mad_n
 FROM mad WHERE dev > {k_mad} * mad_n
 ORDER BY category, date"""
+
+
+def daily_ols_trend(events: DataFrame) -> DataFrame:
+    """Per-event-type ordinary-least-squares trend of the *daily event
+    count* — the drift detector that answers "is this event type growing
+    or dying?" without a forecasting library. x is the epoch day, y the
+    day's event count; the least-squares slope and intercept are reported
+    as exact integer fractions (``slope = slope_num / den``,
+    ``intercept = icept_num / den`` with the shared denominator
+    ``n*Sxx - Sx^2``) so the result is bit-identical across engines and
+    partitionings — a float slope would hang the hash gate on summation
+    order. Days are centered on the per-type minimum day before squaring,
+    keeping every product far inside BIGINT.
+
+    Scale shape: ONE partial-aggregated shuffle builds the (type, day)
+    counts — at 100 TB that is the only corpus-sized pass; the OLS sums
+    reduce the per-type day series (thousands of rows per type at most)
+    with a second tiny agg. No windows, no sorts."""
+    daily = (
+        events.withColumn("day", F.expr("CAST(to_date(ts) - DATE '1970-01-01' AS BIGINT)"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    base = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
+    return (
+        daily.join(F.broadcast(base), "event_type")
+        .withColumn("x", F.col("day") - F.col("day0"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.col("sy").cast("long").alias("total_events"),
+            F.expr("CAST(n_days * sxy - sx * sy AS BIGINT)").alias("slope_num"),
+            F.expr("CAST(sy * sxx - sx * sxy AS BIGINT)").alias("icept_num"),
+            F.expr("CAST(n_days * sxx - sx * sx AS BIGINT)").alias("den"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def daily_ols_trend_oracle_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         count(*) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), based AS (
+  SELECT event_type, day - min(day) OVER (PARTITION BY event_type) AS x, y
+  FROM daily
+), s AS (
+  SELECT event_type, count(*) AS n_days,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM based GROUP BY event_type
+)
+SELECT event_type, n_days, CAST(sy AS BIGINT) AS total_events,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(sy * sxx - sx * sxy AS BIGINT) AS icept_num,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS den
+FROM s ORDER BY event_type"""
