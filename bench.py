@@ -434,6 +434,7 @@ def marginal_tier(
     )
     from datafusion_pinot_spark.operators.segment_distinct import (
         bitmap_distinct_sum,
+        dictionary_groupby_count,
         dictionary_union_distinct,
     )
 
@@ -563,6 +564,16 @@ def marginal_tier(
         "distinct_part_dict": lambda: dictionary_union_distinct(
             spark, big, "l_partkey"
         ),
+        # dictionary-served GROUP BY (r8): per-value counts from the
+        # inverted-index bitmap popcounts / forward-id bincount — no
+        # per-row value materialization, dictionary-volume exchange —
+        # vs the plain scan+groupBy over the same table and column.
+        "groupby_flag_scan": lambda: rd(big_rng, "flag")
+        .groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "groupby_flag_dict": lambda: dictionary_groupby_count(
+            spark, big_rng, "flag"
+        ),
     }
     probe_out: dict[str, dict] = {"rows": rows}
     for name, mk in probes.items():
@@ -584,6 +595,7 @@ def marginal_tier(
         ("topk_head", "topk_fullscan"),
         ("distinct_bitmap", "distinct_global"),
         ("distinct_part_dict", "distinct_part_global"),
+        ("groupby_flag_dict", "groupby_flag_scan"),
     ):
         probe_out[pruned]["speedup_vs_fullscan"] = round(
             probe_out[base]["sec"] / probe_out[pruned]["sec"], 2

@@ -135,3 +135,57 @@ SELECT event_type,
          AS exposed_users
 FROM groups GROUP BY event_type ORDER BY event_type
 """
+
+
+def l_diversity_audit(events: DataFrame, l: int = 3) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, public) — the
+    companion check to :func:`k_anonymity_audit`: a quasi-identifier
+    group is l-diverse when its SENSITIVE attribute (here the event's
+    value band as a stand-in for a sensitive category) takes at least
+    ``l`` distinct values; a k-anonymous group whose members all share
+    one sensitive value still leaks it (homogeneity attack). Reports,
+    per event_type, the group count, how many groups fall below ``l``
+    distinct sensitive values, and the minimum diversity observed.
+
+    Scale shape: identical to the k-anonymity audit — two map-side-
+    combined aggregations over a bounded quasi-id space (types x 24
+    hours); the sensitive-diversity count is an exact distinct inside
+    each tiny group. All arithmetic integer."""
+    qid = events.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.floor(F.col("value") / 50).cast("bigint").alias("sens"),
+    )
+    groups = qid.groupBy("event_type", "hr").agg(
+        F.count_distinct("sens").alias("n_sens")
+    )
+    return (
+        groups.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum((F.col("n_sens") < l).cast("bigint")).alias(
+                "low_diversity_groups"
+            ),
+            F.min("n_sens").alias("min_diversity"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def l_diversity_audit_oracle_sql(l: int = 3) -> str:
+    return f"""
+WITH qid AS (
+  SELECT event_type, extract(hour FROM ts) AS hr,
+         CAST(floor(value / 50) AS BIGINT) AS sens
+  FROM events
+), groups AS (
+  SELECT event_type, hr, count(DISTINCT sens) AS n_sens
+  FROM qid GROUP BY event_type, hr
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_sens < {l} THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_diversity_groups,
+       CAST(min(n_sens) AS BIGINT) AS min_diversity
+FROM groups GROUP BY event_type ORDER BY event_type
+"""

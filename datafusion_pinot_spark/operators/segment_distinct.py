@@ -371,3 +371,76 @@ def bitmap_distinct_sum(df: DataFrame, col: str, lo: int, hi: int) -> DataFrame:
 
 # max bitmap domain the router will allocate per task (2^26 bits = 8 MB)
 BITMAP_MAX_DOMAIN = 1 << 26
+
+
+def dictionary_groupby_count(
+    spark: SparkSession, table_dir: str, col: str
+) -> "DataFrame | None":
+    """Exact ``GROUP BY col, COUNT(*)`` served from per-segment
+    dictionaries — Pinot's dictionary-based group-by optimization: each
+    task emits one (value, count) row per segment-local distinct (counts
+    from inverted-index bitmap popcounts when the column carries one,
+    else a forward-id bincount — SegmentReader.dict_value_counts; either
+    way no per-row value is ever materialized), and the global answer is
+    a SUM over those pre-counted rows. The shuffle carries
+    sum(per-segment cardinality) rows instead of sum(rows): on a 100 TB
+    key-ish column that is the difference between a corpus-volume
+    exchange and a dictionary-volume one, and the per-task work drops
+    from decode+hash-per-row to one bincount/popcount pass.
+
+    Same serve-or-fallback contract as the distinct strategies: requires
+    dict-encoded + null-free in every segment (None otherwise — a NULL
+    fill entry would absorb null rows into a real value's count)."""
+    import math
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    got = _dict_nullfree_everywhere(table_dir, col)
+    if got is None:
+        return None
+    dirs = got[0]
+    if not dirs:
+        return None
+    register_pinot_source(spark)
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    spp = max(1, math.ceil(len(dirs) / par))
+    per_seg = (
+        spark.read.format("pinot")
+        .option("value_counts", col)
+        .option("segments", ",".join(dirs))
+        .option("segments_per_partition", str(spp))
+        .load()
+    )
+    return per_seg.groupBy(col).agg(F.sum("cnt").cast("long").alias("n"))
+
+
+def metadata_min_max_count(spark: SparkSession, table_dir: str, col: str):
+    """Zero-data-read ``MIN(col), MAX(col), COUNT(*)`` — Pinot's
+    metadata-based aggregation: for an unfiltered query, the global min
+    and max are the fold of per-segment zone maps (manifest stats when
+    fresh, per-segment metadata.properties otherwise) and the row count
+    is the sum of segment doc counts. No job touches columns.psf; on a
+    100 TB table this is O(segments) driver arithmetic. None when any
+    segment lacks INT/LONG bounds for the column (caller falls back to a
+    real scan). SQL semantics match exactly: stored bounds cover NON-NULL
+    values (min/max ignore nulls) and doc counts include null rows
+    (count(*) counts them)."""
+    from pinot_segment.manifest import _segment_v3_dirs, load_manifest
+
+    mm = _table_min_max(table_dir, col)
+    if mm is None:
+        return None
+    segs = load_manifest(table_dir)
+    if segs is not None:
+        n = sum(int(s.get("total_docs", 0)) for s in segs.values())
+    else:
+        from pinot_segment import SegmentReader
+
+        n = sum(
+            SegmentReader.open(v3).total_docs()
+            for v3 in _segment_v3_dirs(table_dir)
+        )
+    return spark.createDataFrame(
+        [(int(mm[0]), int(mm[1]), int(n))],
+        "min_v long, max_v long, n long",
+    )

@@ -2097,6 +2097,14 @@ def _register_llm():
     )(lambda spark, sf: privacy.k_anonymity_audit(t(spark, sf, "events")))
     from datafusion_pinot_spark.operators import graph, validation
 
+    # r8: l-diversity audit — the homogeneity-attack companion to the
+    # k-anonymity audit; same bounded quasi-id aggregation shape.
+    register(
+        "l_diversity_audit",
+        privacy.l_diversity_audit_oracle_sql(),
+        "llm",
+        ["privacy", "audit", "agg"],
+    )(lambda spark, sf: privacy.l_diversity_audit(t(spark, sf, "events")))
     # r8: fastText-style hashed linear classifier inference — the
     # model-based quality gate (broadcast model table, codegen'd feature
     # hashing, one doc-keyed shuffle); md5-derived weights keep the whole
@@ -6248,6 +6256,89 @@ def q_pinot_dictionary_distinct(spark, sf):
 
 
 @register(
+    "pinot_metadata_minmax",
+    """SELECT min(l_orderkey) AS min_v, max(l_orderkey) AS max_v,
+              count(*) AS n FROM lineitem""",
+    "parity",
+    ["pinot", "storage", "metadata", "agg"],
+)
+def q_pinot_metadata_minmax(spark, sf):
+    """r8: Pinot's metadata-based aggregation — an unfiltered
+    MIN/MAX/COUNT(*) answered entirely from per-segment zone maps and doc
+    counts (manifest-first, zero segment opens; per-segment
+    metadata.properties fallback): no job ever touches columns.psf, so a
+    100 TB table answers in O(segments) driver arithmetic
+    (segment_distinct.metadata_min_max_count). The hash gate proves the
+    folded bounds equal a real aggregation over the source parquet."""
+    import tempfile
+
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        metadata_min_max_count,
+    )
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="mmc_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey")
+        .repartition(8)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    df = metadata_min_max_count(spark, out, "l_orderkey")
+    assert df is not None, "metadata bounds must exist for this write"
+    return df
+
+
+@register(
+    "pinot_groupby_from_dict",
+    """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY l_suppkey ORDER BY n DESC, l_suppkey LIMIT 25""",
+    "parity",
+    ["pinot", "storage", "groupby", "dictionary", "inverted"],
+)
+def q_pinot_groupby_from_dict(spark, sf):
+    """r8: GROUP BY served from dictionaries — Pinot's dictionary-based
+    group-by optimization (the reference delegates all aggregation,
+    README.md:152-154, so this is beyond-parity): each task emits one
+    (value, count) row per segment-local distinct, with counts taken from
+    inverted-index bitmap popcounts (the table is written with
+    `.option("inverted", ...)`) or a forward-id bincount — no per-row
+    value is ever materialized, and the exchange carries dictionary-volume
+    rows instead of corpus-volume rows
+    (segment_distinct.dictionary_groupby_count). The hash gate proves the
+    popcount/bincount arithmetic equals a real GROUP BY COUNT(*) over the
+    source parquet."""
+    import tempfile
+
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        dictionary_groupby_count,
+    )
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="gbd_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_suppkey")
+        .repartition(8)
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("inverted", "l_suppkey")
+        .save(out)
+    )
+    served = dictionary_groupby_count(spark, out, "l_suppkey")
+    assert served is not None, "dict-groupby preconditions must hold here"
+    return (
+        served.select("l_suppkey", F.col("n"))
+        .orderBy(F.desc("n"), F.asc("l_suppkey"))
+        .limit(25)
+    )
+
+
+@register(
     "pinot_compacted_agg",
     """SELECT l_returnflag, count(*) AS n,
               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
@@ -7448,7 +7539,10 @@ DRIVER_WINDOW: list[str] = [
     # (heavy_hitter_tokens rotated out for the r8 OLS trend: r07-green,
     # benched every run, and pigeonhole+verify stays pytest-pinned.)
     "daily_ols_trend",  # r8: integer-fraction per-type daily OLS trend
-    "pps_systematic_sample",  # r6c4: integer-exact weighted PPS sampling
+    # (pps_systematic_sample rotated out for the r8 l-diversity audit:
+    # r07-green; the weighted-sampling family stays pytest-pinned and the
+    # curation tier stays window-covered by domain_token_budget.)
+    "l_diversity_audit",  # r8: homogeneity-attack privacy audit
     # -- r6 TPC-H completion: the remaining query shapes (Q2/Q9/Q11/Q13/
     # Q16/Q20/Q22 adapted to the testdata schema — no partsupp, so
     # lineitem's distinct (part, supplier) pairs stand in for it) --
@@ -7460,7 +7554,10 @@ DRIVER_WINDOW: list[str] = [
     # (window_value_functions and event_sequence_regex deferred to the
     # pytest oracle tier; the slot goes to the exact-moments query, whose
     # decimal-vs-double accumulation is a real cross-engine hazard.)
-    "stable_moments",  # r6c4: decimal38 exact variance/stddev
+    # (stable_moments rotated out for the r8 metadata aggregation:
+    # r07-green; decimal38 exactness stays window-covered by
+    # pinot_bigdecimal_roundtrip.)
+    "pinot_metadata_minmax",  # r8: zone-map-folded MIN/MAX/COUNT, zero reads
     # (scalar_functions_extended deferred to the pytest oracle tier:
     # pure Spark-SQL builtin breadth, low cross-engine drift risk; the
     # slot goes to the new storage data type below.)
@@ -7476,7 +7573,11 @@ DRIVER_WINDOW: list[str] = [
     "pinot_mv_inverted_scan",  # r6c4: MV inverted index + mv_contains
     "pinot_head_topk",  # r6c4: sorted-layout top-k head pushdown
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
-    "pinot_upsert_latest",  # r6: upsert-table last-wins read
+    # (pinot_upsert_latest rotated out for the r8 dictionary group-by:
+    # r07-green, and last-wins upsert semantics stay window-covered by
+    # stream_upsert_enrich, whose hash gate reads through the same
+    # upsert dimension.)
+    "pinot_groupby_from_dict",  # r8: GROUP BY served from dictionaries
     "equi_depth_price_histogram",  # r6c4: two-pass global-rank quantile hist
     "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
     "scd2_user_state",  # r6c4: gaps-and-islands SCD2 build

@@ -239,6 +239,29 @@ class PinotDataSource(DataSource):
             return StructType(
                 [StructField(dcol, _SPARK_TYPES[cm.data_type.value], False)]
             )
+        vcol = self.options.get("value_counts")
+        if vcol:
+            # dictionary group-by scan (r8): rows are (distinct value,
+            # row count) per segment — Pinot's dictionary-based GROUP BY
+            # optimization; counts come from inverted-index bitmap
+            # popcounts or a forward-id bincount, never a value decode
+            # (SegmentReader.dict_value_counts).
+            cm = md.columns.get(vcol)
+            if cm is None:
+                raise ValueError(f"value_counts column not in segment: {vcol}")
+            if not cm.is_single_value or cm.data_type.value not in (
+                "INT", "LONG", "FLOAT", "DOUBLE", "STRING"
+            ):
+                raise ValueError(
+                    "value_counts supports single-value "
+                    f"INT/LONG/FLOAT/DOUBLE/STRING columns: {vcol}"
+                )
+            return StructType(
+                [
+                    StructField(vcol, _SPARK_TYPES[cm.data_type.value], False),
+                    StructField("cnt", LongType(), False),
+                ]
+            )
         names = md.column_names()
         if "columns" in self.options:
             requested = [c.strip() for c in self.options["columns"].split(",") if c.strip()]
@@ -272,6 +295,11 @@ class PinotDataSource(DataSource):
     def reader(self, schema: StructType) -> "PinotDataSourceReader":
         raw = self.options.get("segments_per_partition", "1") or "1"
         dict_only = self.options.get("dictionary_only") or None
+        value_counts = self.options.get("value_counts") or None
+        if dict_only and value_counts:
+            raise ValueError(
+                "dictionary_only and value_counts are mutually exclusive"
+            )
         if raw == "auto":
             spp = 0  # sentinel: manifest-driven packing at partitions() time
         else:
@@ -290,6 +318,7 @@ class PinotDataSource(DataSource):
             self._head_option("head"),
             self._head_option("tail"),
             dict_only,
+            value_counts,
         )
 
     def _head_option(self, which: str = "head"):
@@ -454,6 +483,7 @@ class PinotDataSourceReader(DataSourceReader):
         head: "tuple[str, int] | None" = None,
         tail: "tuple[str, int] | None" = None,
         dict_only: "str | None" = None,
+        value_counts: "str | None" = None,
     ) -> None:
         self._schema = schema
         self._columns = tuple(f.name for f in schema.fields)
@@ -466,16 +496,18 @@ class PinotDataSourceReader(DataSourceReader):
         self._head = head
         self._tail = tail
         self._dict_only = dict_only
+        self._value_counts = value_counts
         self._pushed: list[Filter] = []
 
     # -- filter pushdown (rebuild improvement over table.rs:163) ------------
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        if self._dict_only:
-            # dictionary scan: predicates apply to dictionary ENTRIES, not
-            # docs — zone maps / sorted ranges / doc bitmaps are all
-            # doc-space machinery, so nothing pushes; Spark filters the
-            # (tiny) entry stream above the scan
+        if self._dict_only or self._value_counts:
+            # dictionary/value-count scan: predicates apply to dictionary
+            # ENTRIES (or per-value count rows), not docs — zone maps /
+            # sorted ranges / doc bitmaps are all doc-space machinery, so
+            # nothing pushes; Spark filters the (tiny) entry stream above
+            # the scan
             self._pushed = []
             yield from filters
             return
@@ -739,6 +771,28 @@ class PinotDataSourceReader(DataSourceReader):
                 if len(vals):
                     yield pa.RecordBatch.from_arrays(
                         [pa.array(vals)], names=[col]
+                    )
+            return
+        if self._value_counts:
+            col = self._value_counts
+            for segment_dir in partition.segment_dirs:
+                r = SegmentReader.open(segment_dir)
+                cm = r.metadata.columns.get(col)
+                if cm is None:
+                    # schema evolution: a pre-column segment holds only
+                    # NULL rows for the column — no counted values
+                    continue
+                got = r.dict_value_counts(col)
+                if got is None:
+                    raise ValueError(
+                        f"value_counts needs {col} dict-encoded and "
+                        f"null-free in every segment: {segment_dir}"
+                    )
+                vals, counts = got
+                if len(vals):
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(vals), pa.array(counts)],
+                        names=[col, "cnt"],
                     )
             return
         if (

@@ -383,6 +383,55 @@ class SegmentReader:
             return None
         return self._dictionary(col).values
 
+    def dict_value_counts(self, name: str):
+        """``(values, counts)`` — the per-distinct-value row counts of a
+        dict-encoded null-free single-value column, WITHOUT materializing
+        any per-row value: served from the inverted index when present
+        (one popcount per dict-id bitmap — writer.py emit_inverted packs
+        MSB-first with zero padding, so byte popcounts are exact and no
+        forward-index byte is touched), else from one ``bincount`` over
+        the packed forward dict ids (no dictionary take, no value
+        materialization). This is the segment-local kernel behind Pinot's
+        dictionary-based GROUP BY optimization: a ``GROUP BY col,
+        COUNT(*)`` over 100 TB ships one (value, count) row per distinct
+        per segment instead of every data row. None when the column is
+        not dict-encoded / not single-value / nullable (the NULL fill
+        entry would absorb null rows into a real value's count)."""
+        col = self.metadata.get_column(name)
+        if not col.is_single_value or not col.has_dictionary:
+            return None
+        if col.has_null_values or self.null_mask(name) is not None:
+            return None
+        if self.index_map.get_dictionary(name) is None:
+            return None
+        card = col.cardinality
+        values = self._dictionary(col).values
+        n = col.total_docs
+        counts = None
+        loc = (
+            self.index_map.get_index(name, "inverted_index")
+            if col.has_inverted_index
+            else None
+        )
+        if loc is not None:
+            with open(self._psf, "rb") as f:
+                f.seek(loc.start_offset)
+                blob = f.read(loc.size)
+            if blob[:8] != bytes.fromhex("deadbeefdeafbead"):
+                raise InvalidFormatError(f"Bad inverted-index magic for {name}")
+            bitmap_bytes = int.from_bytes(blob[12:16], "big")
+            body = np.frombuffer(
+                blob, dtype=np.uint8, count=card * bitmap_bytes, offset=16
+            ).reshape(card, bitmap_bytes)
+            counts = np.unpackbits(body, axis=1).sum(axis=1, dtype=np.int64)
+            if int(counts.sum()) != n:
+                # a foreign segment with nonzero padding bits — fall back
+                counts = None
+        if counts is None:
+            ids = self._dict_ids(col)
+            counts = np.bincount(ids, minlength=card).astype(np.int64)
+        return values, counts
+
     def column_min_max(self, name: str):
         """(min, max) for a dict-encoded column via its sorted dictionary,
         or via the metadata ``minValue``/``maxValue`` stats the writer

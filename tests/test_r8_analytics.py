@@ -111,3 +111,24 @@ def test_daily_ols_trend_perfect_line(spark):
     b = out["buy"]
     assert (b["n_days"], b["total_events"]) == (1, 7)
     assert (b["slope_num"], b["den"]) == (0, 0)
+
+
+def test_l_diversity_hand_values(spark):
+    from datafusion_pinot_spark.operators.privacy import l_diversity_audit
+
+    # one event type, two hours: hour 1 has sensitive bands {0,1,2}
+    # (diverse), hour 2 has only {0} (homogeneous)
+    rows = [
+        ("click", datetime.datetime(2024, 1, 1, 1, 0), 10.0),
+        ("click", datetime.datetime(2024, 1, 1, 1, 5), 60.0),
+        ("click", datetime.datetime(2024, 1, 1, 1, 9), 110.0),
+        ("click", datetime.datetime(2024, 1, 1, 2, 0), 10.0),
+        ("click", datetime.datetime(2024, 1, 1, 2, 5), 20.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    r = l_diversity_audit(ev, l=3).first()
+    assert (r["n_groups"], r["low_diversity_groups"], r["min_diversity"]) == (
+        2,
+        1,
+        1,
+    )

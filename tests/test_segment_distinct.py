@@ -222,3 +222,127 @@ def test_dictionary_only_scan_direct(spark, tmp_path):
     assert not df.schema["k"].nullable
     # filters evaluate on the entry stream
     assert sorted(r["k"] for r in df.filter("k > 2").collect()) == [3, 3, 5, 9]
+
+
+def _inv_seg(table, name, keys, inverted=True, nulls=None):
+    return write_segment(
+        table / name,
+        name,
+        "t",
+        [
+            ColumnSpec(
+                "k",
+                DataType.LONG,
+                np.asarray(keys, dtype=np.int64),
+                inverted=inverted,
+                null_mask=nulls,
+            ),
+        ],
+    )
+
+
+def test_dict_value_counts_popcount_equals_bincount(tmp_path):
+    """The inverted-index popcount path and the forward-id bincount path
+    must agree with each other and with the true per-value counts."""
+    from pinot_segment import SegmentReader
+
+    keys = [7, 3, 7, 7, 3, 9, 9, 9, 9, 1]
+    truth = {1: 1, 3: 2, 7: 3, 9: 4}
+    inv = _inv_seg(tmp_path / "t_OFFLINE", "s_inv", keys, inverted=True)
+    plain = _inv_seg(tmp_path / "t_OFFLINE", "s_plain", keys, inverted=False)
+    for v3 in (inv, plain):
+        r = SegmentReader.open(v3)
+        vals, counts = r.dict_value_counts("k")
+        assert dict(zip(list(vals), list(counts))) == truth
+        assert int(np.sum(counts)) == len(keys)
+    # the inverted segment really has the index (popcount path exercised)
+    assert SegmentReader.open(inv).metadata.get_column("k").has_inverted_index
+    assert not (
+        SegmentReader.open(plain).metadata.get_column("k").has_inverted_index
+    )
+
+
+def test_dict_value_counts_declines_nullable_and_raw(tmp_path):
+    from pinot_segment import SegmentReader
+
+    table = tmp_path / "t_OFFLINE"
+    mask = np.array([False, True, False], dtype=bool)
+    v3n = _inv_seg(table, "s_null", [5, 0, 7], inverted=False, nulls=mask)
+    assert SegmentReader.open(v3n).dict_value_counts("k") is None
+    v3r = _seg(table, "s_raw", [5, 6, 7], partitioned=False)
+    assert SegmentReader.open(v3r).dict_value_counts("k") is None
+
+
+def test_dictionary_groupby_count_across_segments(spark, tmp_path):
+    """Counts sum across segments for shared values; result equals the
+    plain GROUP BY over the same data."""
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        dictionary_groupby_count,
+    )
+
+    table = tmp_path / "t_OFFLINE"
+    _inv_seg(table, "s0", [0, 8, 8, 24])
+    _inv_seg(table, "s1", [16, 0, 8], inverted=False)  # mixed index presence
+    df = dictionary_groupby_count(spark, str(table), "k")
+    assert df is not None
+    got = {r["k"]: r["n"] for r in df.collect()}
+    assert got == {0: 2, 8: 3, 16: 1, 24: 1}
+
+
+def test_dictionary_groupby_declines_nullable(spark, tmp_path):
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        dictionary_groupby_count,
+    )
+
+    table = tmp_path / "t_OFFLINE"
+    mask = np.array([False, True, False], dtype=bool)
+    _inv_seg(table, "s0", [5, 0, 7], inverted=False, nulls=mask)
+    assert dictionary_groupby_count(spark, str(table), "k") is None
+
+
+def test_value_counts_option_validation(spark, tmp_path):
+    import pytest
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    table = tmp_path / "t_OFFLINE"
+    _inv_seg(table, "s0", [1, 2, 2])
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.read.format("pinot")
+            .option("value_counts", "k")
+            .option("dictionary_only", "k")
+            .load(str(table))
+            .collect()
+        )
+    with pytest.raises(Exception, match="not in segment"):
+        (
+            spark.read.format("pinot")
+            .option("value_counts", "zz")
+            .load(str(table))
+            .collect()
+        )
+
+
+def test_metadata_min_max_count_no_data_read(spark, tmp_path):
+    """MIN/MAX/COUNT folded from per-segment bounds + doc counts — and
+    exact; a STRING column (no INT/LONG bounds) declines."""
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        metadata_min_max_count,
+    )
+
+    table = tmp_path / "t_OFFLINE"
+    _seg(table, "s0", [5, 42, 17], partitioned=False)
+    _seg(table, "s1", [-3, 9], partitioned=False)
+    r = metadata_min_max_count(spark, str(table), "k").first()
+    assert (r["min_v"], r["max_v"], r["n"]) == (-3, 42, 5)
+
+    stable = tmp_path / "s_OFFLINE"
+    write_segment(
+        stable / "s0",
+        "s0",
+        "t",
+        [ColumnSpec("w", DataType.STRING, ["a", "b"])],
+    )
+    assert metadata_min_max_count(spark, str(stable), "w") is None
