@@ -395,10 +395,13 @@ def dictionary_groupby_count(
 
     from datafusion_pinot_spark.sources import register_pinot_source
 
-    got = _dict_nullfree_everywhere(table_dir, col)
-    if got is None:
-        return None
-    dirs = got[0]
+    names = [c.strip() for c in col.split(",")] if isinstance(col, str) else list(col)
+    dirs = None
+    for name in names:
+        got = _dict_nullfree_everywhere(table_dir, name)
+        if got is None:
+            return None
+        dirs = got[0]
     if not dirs:
         return None
     register_pinot_source(spark)
@@ -406,12 +409,12 @@ def dictionary_groupby_count(
     spp = max(1, math.ceil(len(dirs) / par))
     per_seg = (
         spark.read.format("pinot")
-        .option("value_counts", col)
+        .option("value_counts", ",".join(names))
         .option("segments", ",".join(dirs))
         .option("segments_per_partition", str(spp))
         .load()
     )
-    return per_seg.groupBy(col).agg(F.sum("cnt").cast("long").alias("n"))
+    return per_seg.groupBy(*names).agg(F.sum("cnt").cast("long").alias("n"))
 
 
 def metadata_min_max_count(spark: SparkSession, table_dir: str, col: str):

@@ -6339,6 +6339,47 @@ def q_pinot_groupby_from_dict(spark, sf):
 
 
 @register(
+    "pinot_groupby_pair_from_dict",
+    """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    "parity",
+    ["pinot", "storage", "groupby", "dictionary"],
+)
+def q_pinot_groupby_pair_from_dict(spark, sf):
+    """r8: composite-key GROUP BY served from dictionaries — the
+    mixed-radix combined dict-id is grouped with ONE np.unique pass over
+    the packed forward ids per segment, and only the occurring
+    combinations decode through the dictionaries
+    (SegmentReader.dict_value_counts_multi; `value_counts` takes a
+    comma list). Same dictionary-volume-exchange contract as
+    pinot_groupby_from_dict, extended to the multi-column keys real
+    dashboards group on."""
+    import tempfile
+
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        dictionary_groupby_count,
+    )
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="gbp_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .repartition(8)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    served = dictionary_groupby_count(
+        spark, out, ["l_returnflag", "l_linestatus"]
+    )
+    assert served is not None, "dict-groupby preconditions must hold here"
+    return served.orderBy("l_returnflag", "l_linestatus")
+
+
+@register(
     "pinot_compacted_agg",
     """SELECT l_returnflag, count(*) AS n,
               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
@@ -7569,7 +7610,10 @@ DRIVER_WINDOW: list[str] = [
     "pinot_metadata_distinct",  # r8: manifest-arithmetic exact distinct
     "pinot_dictionary_distinct",  # r8: dictionary-union exact distinct
     "ann_pq_pinot_codes_topk",  # r6: PQ codes persisted + served via storage
-    "pinot_range_index_scan",  # r6: range-index scan on unclustered dict col
+    # (pinot_range_index_scan rotated out for the r8 composite dictionary
+    # group-by: r07-green and heavily pytest-pinned (test_range_index.py);
+    # five sibling index-scan queries remain in the window.)
+    "pinot_groupby_pair_from_dict",  # r8: composite-key dict-served GROUP BY
     "pinot_mv_inverted_scan",  # r6c4: MV inverted index + mv_contains
     "pinot_head_topk",  # r6c4: sorted-layout top-k head pushdown
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune

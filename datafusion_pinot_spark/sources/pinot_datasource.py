@@ -241,27 +241,32 @@ class PinotDataSource(DataSource):
             )
         vcol = self.options.get("value_counts")
         if vcol:
-            # dictionary group-by scan (r8): rows are (distinct value,
+            # dictionary group-by scan (r8): rows are (distinct value(s),
             # row count) per segment — Pinot's dictionary-based GROUP BY
             # optimization; counts come from inverted-index bitmap
-            # popcounts or a forward-id bincount, never a value decode
-            # (SegmentReader.dict_value_counts).
-            cm = md.columns.get(vcol)
-            if cm is None:
-                raise ValueError(f"value_counts column not in segment: {vcol}")
-            if not cm.is_single_value or cm.data_type.value not in (
-                "INT", "LONG", "FLOAT", "DOUBLE", "STRING"
-            ):
-                raise ValueError(
-                    "value_counts supports single-value "
-                    f"INT/LONG/FLOAT/DOUBLE/STRING columns: {vcol}"
+            # popcounts / a forward-id bincount (single column) or one
+            # np.unique over the mixed-radix combined dict-id (composite
+            # key), never a per-row value decode
+            # (SegmentReader.dict_value_counts / dict_value_counts_multi).
+            fields = []
+            for name in [c.strip() for c in vcol.split(",") if c.strip()]:
+                cm = md.columns.get(name)
+                if cm is None:
+                    raise ValueError(
+                        f"value_counts column not in segment: {name}"
+                    )
+                if not cm.is_single_value or cm.data_type.value not in (
+                    "INT", "LONG", "FLOAT", "DOUBLE", "STRING"
+                ):
+                    raise ValueError(
+                        "value_counts supports single-value "
+                        f"INT/LONG/FLOAT/DOUBLE/STRING columns: {name}"
+                    )
+                fields.append(
+                    StructField(name, _SPARK_TYPES[cm.data_type.value], False)
                 )
-            return StructType(
-                [
-                    StructField(vcol, _SPARK_TYPES[cm.data_type.value], False),
-                    StructField("cnt", LongType(), False),
-                ]
-            )
+            fields.append(StructField("cnt", LongType(), False))
+            return StructType(fields)
         names = md.column_names()
         if "columns" in self.options:
             requested = [c.strip() for c in self.options["columns"].split(",") if c.strip()]
@@ -774,25 +779,30 @@ class PinotDataSourceReader(DataSourceReader):
                     )
             return
         if self._value_counts:
-            col = self._value_counts
+            names = [c.strip() for c in self._value_counts.split(",") if c.strip()]
             for segment_dir in partition.segment_dirs:
                 r = SegmentReader.open(segment_dir)
-                cm = r.metadata.columns.get(col)
-                if cm is None:
+                if any(r.metadata.columns.get(c) is None for c in names):
                     # schema evolution: a pre-column segment holds only
                     # NULL rows for the column — no counted values
                     continue
-                got = r.dict_value_counts(col)
+                if len(names) == 1:
+                    got = r.dict_value_counts(names[0])
+                    if got is not None:
+                        got = ([got[0]], got[1])
+                else:
+                    got = r.dict_value_counts_multi(names)
                 if got is None:
                     raise ValueError(
-                        f"value_counts needs {col} dict-encoded and "
+                        f"value_counts needs {names} dict-encoded and "
                         f"null-free in every segment: {segment_dir}"
                     )
-                vals, counts = got
-                if len(vals):
+                value_arrays, counts = got
+                if len(counts):
                     yield pa.RecordBatch.from_arrays(
-                        [pa.array(vals), pa.array(counts)],
-                        names=[col, "cnt"],
+                        [pa.array(v) for v in value_arrays]
+                        + [pa.array(counts)],
+                        names=names + ["cnt"],
                     )
             return
         if (

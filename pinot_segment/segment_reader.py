@@ -432,6 +432,39 @@ class SegmentReader:
             counts = np.bincount(ids, minlength=card).astype(np.int64)
         return values, counts
 
+    def dict_value_counts_multi(self, names: list):
+        """Multi-column ``GROUP BY`` kernel: ``(value_arrays, counts)`` for
+        a composite key of dict-encoded null-free single-value columns —
+        the combined dict-id (mixed-radix over the per-column
+        cardinalities) is grouped with one ``np.unique`` pass over the
+        packed forward ids, then only the OCCURRING combinations decode
+        through the dictionaries (never per-row values, never the
+        cardinality cross-product). Same preconditions and None contract
+        as :meth:`dict_value_counts`."""
+        cols = [self.metadata.get_column(n) for n in names]
+        for c, n in zip(cols, names):
+            if not c.is_single_value or not c.has_dictionary:
+                return None
+            if c.has_null_values or self.null_mask(n) is not None:
+                return None
+            if self.index_map.get_dictionary(n) is None:
+                return None
+        combined = self._dict_ids(cols[0]).astype(np.int64)
+        for c in cols[1:]:
+            combined = combined * c.cardinality + self._dict_ids(c)
+        keys, counts = np.unique(combined, return_counts=True)
+        out_values = []
+        for c in reversed(cols):
+            idx = keys % c.cardinality
+            keys = keys // c.cardinality
+            vals = self._dictionary(c).values
+            if isinstance(vals, np.ndarray):
+                out_values.append(vals[idx])
+            else:
+                out_values.append([vals[i] for i in idx])
+        out_values.reverse()
+        return out_values, counts.astype(np.int64)
+
     def column_min_max(self, name: str):
         """(min, max) for a dict-encoded column via its sorted dictionary,
         or via the metadata ``minValue``/``maxValue`` stats the writer

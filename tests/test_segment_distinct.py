@@ -346,3 +346,39 @@ def test_metadata_min_max_count_no_data_read(spark, tmp_path):
         [ColumnSpec("w", DataType.STRING, ["a", "b"])],
     )
     assert metadata_min_max_count(spark, str(stable), "w") is None
+
+
+def test_dict_value_counts_multi_and_composite_groupby(spark, tmp_path):
+    """Composite-key kernel: mixed-radix np.unique grouping equals the
+    hand-counted pair histogram; the operator sums across segments."""
+    from pinot_segment import SegmentReader
+
+    from datafusion_pinot_spark.operators.segment_distinct import (
+        dictionary_groupby_count,
+    )
+
+    table = tmp_path / "t_OFFLINE"
+
+    def seg(name, a_vals, b_vals):
+        return write_segment(
+            table / name,
+            name,
+            "t",
+            [
+                ColumnSpec("a", DataType.LONG, np.asarray(a_vals, dtype=np.int64)),
+                ColumnSpec("b", DataType.STRING, list(b_vals)),
+            ],
+        )
+
+    v3 = seg("s0", [1, 1, 2, 1], ["x", "y", "x", "x"])
+    seg("s1", [2, 1], ["x", "x"])
+    vals, counts = SegmentReader.open(v3).dict_value_counts_multi(["a", "b"])
+    got = {
+        (int(vals[0][i]), vals[1][i]): int(counts[i])
+        for i in range(len(counts))
+    }
+    assert got == {(1, "x"): 2, (1, "y"): 1, (2, "x"): 1}
+    df = dictionary_groupby_count(spark, str(table), ["a", "b"])
+    assert df is not None
+    total = {(r["a"], r["b"]): r["n"] for r in df.collect()}
+    assert total == {(1, "x"): 3, (1, "y"): 1, (2, "x"): 2}
