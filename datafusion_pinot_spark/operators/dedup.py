@@ -1118,3 +1118,35 @@ FROM (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM ({cand})),
      (SELECT CAST(count(*) AS BIGINT) AS n_verified FROM ({ver})),
      (SELECT CAST(count(*) AS BIGINT) AS n_true FROM ({true}))
 """
+
+
+def dup_group_size_histogram(docs: DataFrame) -> DataFrame:
+    """Histogram of exact-duplicate group sizes — the one-page dedup
+    report ("how much of the corpus is 2x copies vs 1000x boilerplate?"):
+    per group size, the number of content-hash groups of that size and
+    the total docs they account for. Rides :func:`exact_dedup`'s hash
+    groupBy; the histogram is a second tiny aggregation over
+    group-count-many rows."""
+    groups = exact_dedup(docs)
+    return (
+        groups.groupBy(F.col("n_copies").alias("group_size"))
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .select(
+            "group_size",
+            "n_groups",
+            F.expr("CAST(group_size * n_groups AS BIGINT)").alias("n_docs"),
+        )
+        .orderBy("group_size")
+    )
+
+
+def dup_group_size_histogram_oracle_sql() -> str:
+    return """
+WITH groups AS (
+  SELECT md5(text) AS h, count(*) AS n_copies
+  FROM documents GROUP BY md5(text)
+)
+SELECT n_copies AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(n_copies * count(*) AS BIGINT) AS n_docs
+FROM groups GROUP BY n_copies ORDER BY group_size"""

@@ -425,3 +425,118 @@ SELECT event_type, n_days, CAST(sy AS BIGINT) AS total_events,
        CAST(sy * sxx - sx * sxy AS BIGINT) AS icept_num,
        CAST(n_days * sxx - sx * sx AS BIGINT) AS den
 FROM s ORDER BY event_type"""
+
+
+def gini_source_concentration(docs: DataFrame) -> DataFrame:
+    """Gini coefficient of the corpus's document distribution across
+    sources, as an exact integer fraction + ppm — the inequality audit a
+    mixture designer reads before training ("is 90% of the corpus one
+    crawl?"). Uses the rank formulation over sources sorted by ascending
+    count: ``G = (2*sum(i*n_i) - (S+1)*total) / (S*total)``; every term
+    is BIGINT, so the row is bit-identical across engines.
+
+    Scale shape: the corpus collapses to one (source, count) row per
+    source in ONE map-side-combined aggregation; the rank window and the
+    final fold run on that S-row frame (sources are dozens-to-thousands
+    at any scale) — a single-partition window over a provably tiny frame,
+    not a corpus sort."""
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = Window.orderBy(F.asc("n_s"), F.asc("source"))
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("n_s").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(2 * sum(i * n_s) - (count(*) + 1) * sum(n_s) AS BIGINT)"
+        ).alias("gini_num"),
+        F.expr("CAST(count(*) * sum(n_s) AS BIGINT)").alias("gini_den"),
+    ).select(
+        "n_sources",
+        "n_docs",
+        "gini_num",
+        "gini_den",
+        F.expr("CAST(gini_num * 1000000 DIV gini_den AS BIGINT)").alias(
+            "gini_ppm"
+        ),
+    )
+
+
+def gini_source_concentration_oracle_sql() -> str:
+    return """
+WITH counts AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+), ranked AS (
+  SELECT n_s, row_number() OVER (ORDER BY n_s ASC, source ASC) AS i
+  FROM counts
+), agg AS (
+  SELECT count(*) AS n_sources, CAST(sum(n_s) AS BIGINT) AS n_docs,
+         CAST(2 * sum(i * n_s) - (count(*) + 1) * sum(n_s) AS BIGINT)
+           AS gini_num,
+         CAST(count(*) * sum(n_s) AS BIGINT) AS gini_den
+  FROM ranked
+)
+SELECT n_sources, n_docs, gini_num, gini_den,
+       CAST(gini_num * 1000000 // gini_den AS BIGINT) AS gini_ppm
+FROM agg"""
+
+
+def daily_dispersion_index(events: DataFrame) -> DataFrame:
+    """Variance-to-mean ratio (index of dispersion) of the daily event
+    count per event type, as exact integer fractions — the burstiness
+    detector that separates Poisson-like steady traffic (D ≈ 1) from
+    bursty/campaign-driven types (D >> 1): ``D = var/mean =
+    (n*Σy² - (Σy)²) / ((n-1)*Σy)``. Shares the one-pass daily-count
+    reduction with :func:`daily_ols_trend`; a single-day series reports
+    den 0 (undefined dispersion) rather than a fake value."""
+    daily = (
+        events.withColumn(
+            "day", F.expr("CAST(to_date(ts) - DATE '1970-01-01' AS BIGINT)")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("y").cast("long").alias("n_events"),
+            F.expr(
+                "CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT)"
+            ).alias("disp_num"),
+            F.expr("CAST((count(*) - 1) * sum(y) AS BIGINT)").alias(
+                "disp_den"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "n_events",
+            "disp_num",
+            "disp_den",
+            F.expr(
+                "CAST(CASE WHEN disp_den > 0"
+                " THEN disp_num * 1000 DIV disp_den ELSE 0 END AS BIGINT)"
+            ).alias("dispersion_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def daily_dispersion_index_oracle_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         count(*) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), s AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(y) AS BIGINT) AS n_events,
+         CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS disp_num,
+         CAST((count(*) - 1) * sum(y) AS BIGINT) AS disp_den
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days, n_events, disp_num, disp_den,
+       CAST(CASE WHEN disp_den > 0 THEN disp_num * 1000 // disp_den
+                 ELSE 0 END AS BIGINT) AS dispersion_milli
+FROM s ORDER BY event_type"""

@@ -2097,6 +2097,29 @@ def _register_llm():
     )(lambda spark, sf: privacy.k_anonymity_audit(t(spark, sf, "events")))
     from datafusion_pinot_spark.operators import graph, validation
 
+    # r8: Gini coefficient of the source distribution — the corpus
+    # inequality audit, exact integer fractions over an S-row frame.
+    register(
+        "gini_source_concentration",
+        validation.gini_source_concentration_oracle_sql(),
+        "llm",
+        ["stats", "diversity", "agg"],
+    )(lambda spark, sf: validation.gini_source_concentration(_docs(spark, sf)))
+    # r8: variance-to-mean dispersion of daily counts per event type —
+    # burstiness detection as exact integer fractions.
+    register(
+        "daily_dispersion_index",
+        validation.daily_dispersion_index_oracle_sql(),
+        "llm",
+        ["stats", "trend", "agg"],
+    )(lambda spark, sf: validation.daily_dispersion_index(t(spark, sf, "events")))
+    # r8: exact-duplicate group-size histogram — the dedup report rollup.
+    register(
+        "dup_group_size_histogram",
+        dedup.dup_group_size_histogram_oracle_sql(),
+        "llm",
+        ["dedup", "report", "agg"],
+    )(lambda spark, sf: dedup.dup_group_size_histogram(_docs(spark, sf)))
     # r8: l-diversity audit — the homogeneity-attack companion to the
     # k-anonymity audit; same bounded quasi-id aggregation shape.
     register(
@@ -7563,8 +7586,14 @@ DRIVER_WINDOW: list[str] = [
     # -- r6 additions (standing rotation rule: round-N queries enter the
     # round-N window) --
     "pinot_timestamp_range_scan",  # r6: TIMESTAMP pushdown + zone maps
-    "simhash_md5_dup_groups",  # r6: oracle-checked simhash family
-    "streaming_watermarked_closed",  # r6: closed-window watermark oracle
+    # (simhash_md5_dup_groups rotated out for the r8 dedup report:
+    # r07-green; the hash-family dedup tier stays window-covered by
+    # winnow_boilerplate_fps + lsh_quality_audit.)
+    "dup_group_size_histogram",  # r8: exact-dup group-size histogram
+    # (streaming_watermarked_closed rotated out for the r8 Gini audit:
+    # r07-green; watermark-closed semantics stay window-covered by
+    # stream_left_outer_closed.)
+    "gini_source_concentration",  # r8: corpus inequality audit
     "ann_ivf_pinot_index_topk",  # r6: IVF inverted lists through storage
     # (embedding_binary_storage_stats rotated out for the r8 classifier:
     # r07-green; packed-embedding storage stays window-covered by
@@ -7587,7 +7616,10 @@ DRIVER_WINDOW: list[str] = [
     # -- r6 TPC-H completion: the remaining query shapes (Q2/Q9/Q11/Q13/
     # Q16/Q20/Q22 adapted to the testdata schema — no partsupp, so
     # lineitem's distinct (part, supplier) pairs stand in for it) --
-    "data_quality_report",  # r6c4: Deequ-style one-pass constraint report
+    # (data_quality_report rotated out for the r8 dispersion index:
+    # r07-green; the validation tier stays window-covered by
+    # daily_ols_trend + the new dispersion row.)
+    "daily_dispersion_index",  # r8: burstiness as integer fractions
     # (funnel_time_to_convert rotated out for the r8 audio kernel:
     # r07-green; two funnel rows and three quantile-family rows remain.)
     "audio_vad_summary",  # r8: framed integer-energy VAD, hash-checked

@@ -132,3 +132,65 @@ def test_l_diversity_hand_values(spark):
         1,
         1,
     )
+
+
+def test_gini_hand_values(spark):
+    from datafusion_pinot_spark.operators.validation import (
+        gini_source_concentration,
+    )
+
+    # perfectly equal: 2 sources x 2 docs -> gini 0
+    eq = spark.createDataFrame(
+        [(1, "t", "en", "A", 1), (2, "t", "en", "A", 1),
+         (3, "t", "en", "B", 1), (4, "t", "en", "B", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = gini_source_concentration(eq).first()
+    assert (r["n_sources"], r["n_docs"], r["gini_num"], r["gini_ppm"]) == (
+        2, 4, 0, 0,
+    )
+    # maximally unequal 2-source split 1 vs 9: G = (2*(1*1+2*9) - 3*10)
+    # / (2*10) = 8/20 = 0.4
+    uneq = spark.createDataFrame(
+        [(i, "t", "en", "B" if i else "A", 1) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r2 = gini_source_concentration(uneq).first()
+    assert (r2["gini_num"], r2["gini_den"], r2["gini_ppm"]) == (8, 20, 400_000)
+
+
+def test_daily_dispersion_hand_values(spark):
+    from datafusion_pinot_spark.operators.validation import (
+        daily_dispersion_index,
+    )
+
+    def rows_on(day, n, et):
+        return [(et, datetime.datetime(2024, 1, day, 9, 0))] * n
+
+    # steady: 2,2,2 -> variance 0 -> D = 0
+    # bursty: 1,1,10 -> var_num = 3*102 - 144 = 162, den = 2*12 = 24,
+    # D = 6.75 -> 6750 milli
+    data = (
+        rows_on(1, 2, "steady") + rows_on(2, 2, "steady") + rows_on(3, 2, "steady")
+        + rows_on(1, 1, "bursty") + rows_on(2, 1, "bursty") + rows_on(3, 10, "bursty")
+    )
+    ev = spark.createDataFrame(data, "event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in daily_dispersion_index(ev).collect()}
+    assert out["steady"]["disp_num"] == 0
+    assert out["steady"]["dispersion_milli"] == 0
+    b = out["bursty"]
+    assert (b["disp_num"], b["disp_den"], b["dispersion_milli"]) == (162, 24, 6750)
+
+
+def test_dup_group_size_histogram_hand_values(spark):
+    from datafusion_pinot_spark.operators.dedup import dup_group_size_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "c"), (6, "c")],
+        "doc_id long, text string",
+    )
+    rows = {r["group_size"]: r for r in dup_group_size_histogram(docs).collect()}
+    # sizes: "a"x3, "c"x2, "b"x1 -> histogram {1: 1 group, 2: 1, 3: 1}
+    assert rows[1]["n_groups"] == 1 and rows[1]["n_docs"] == 1
+    assert rows[2]["n_groups"] == 1 and rows[2]["n_docs"] == 2
+    assert rows[3]["n_groups"] == 1 and rows[3]["n_docs"] == 3
