@@ -730,6 +730,17 @@ def storage_micro(rng_table_dir: str, bloom_table_dir: str | None = None) -> dic
         )
         out["sorted_full_ms"] = med_ms(lambda: r.read_columns_arrow(cols))
         out["sorted_slice_rows"] = rng[1] - rng[0]
+    # Dictionary-served GROUP BY kernel (r8 cont.): per-value counts from
+    # the inverted-index bitmap popcounts (dict_value_counts — zero
+    # forward-index bytes on `flag`, which carries the index) vs the
+    # value-level work a plain group-by task pays per segment (decode the
+    # column, then hash/unique over the values).
+    out["groupby_dict_counts_ms"] = med_ms(
+        lambda: r.dict_value_counts("flag")
+    )
+    out["groupby_value_level_ms"] = med_ms(
+        lambda: np.unique(np.asarray(r.read_column("flag")), return_counts=True)
+    )
     # Bloom skip vs the work it avoids: a definite-miss probe on the
     # bloom-table segment vs the forward decode + IN mask a bloomless
     # point lookup pays on every non-owning segment (at 100 TB that is
