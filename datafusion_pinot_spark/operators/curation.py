@@ -669,3 +669,88 @@ SELECT source, tokens,
          AS alloc
 FROM r ORDER BY source
 """
+
+
+def epoch_upsample_report(docs: DataFrame) -> DataFrame:
+    """Materialized per-source upsampling to a common document target —
+    the "repeat rare domains" step of mixture training (epochs per
+    source, public practice in LLM data recipes): every source is
+    brought to the size of the LARGEST source by repeating its corpus
+    ``target DIV n_s`` full epochs plus one extra copy of the
+    ``target MOD n_s`` docs ranked first by ``md5(doc_id)`` (a
+    deterministic, engine-agnostic pseudo-random pick). The report
+    aggregates the ACTUALLY materialized stream — count and doc-id sum
+    per source — so the hash gate proves both the arithmetic and the
+    exact extra-copy selection.
+
+    Scale shape: per-source counts are one map-side-combined agg; the
+    per-doc rank is a window partitioned by source over the md5 key
+    (bounded by the largest source, the same shuffle any per-source
+    operation pays); the repetition itself is a narrow
+    ``explode(sequence())`` — no shuffle, output rows stream straight
+    into the next stage (here the final per-source agg). At 100 TB the
+    materialization would feed the training-shard writer instead of an
+    aggregate, with an identical plan below it."""
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    target = counts.agg(F.max("n_s").alias("target"))
+    ranked = (
+        docs.select("doc_id", "source")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+                )
+            ),
+        )
+        .join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(target))
+        .withColumn(
+            "n_rep",
+            F.expr(
+                "target DIV n_s + CASE WHEN rk <= target % n_s THEN 1"
+                " ELSE 0 END"
+            ),
+        )
+    )
+    emitted = ranked.select(
+        "source",
+        "doc_id",
+        F.explode(F.expr("sequence(1, n_rep)")).alias("epoch"),
+    )
+    return (
+        emitted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_emitted"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.countDistinct("doc_id").alias("n_unique"),
+        )
+        .orderBy("source")
+    )
+
+
+def epoch_upsample_report_oracle_sql() -> str:
+    return """
+WITH counts AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+), tgt AS (
+  SELECT max(n_s) AS target FROM counts
+), ranked AS (
+  SELECT d.doc_id, d.source, c.n_s, t.target,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+  FROM documents d JOIN counts c USING (source) CROSS JOIN tgt t
+), reps AS (
+  SELECT source, doc_id,
+         target // n_s + CASE WHEN rk <= target % n_s THEN 1 ELSE 0 END
+           AS n_rep
+  FROM ranked
+), emitted AS (
+  SELECT source, doc_id, unnest(generate_series(1, n_rep)) AS epoch
+  FROM reps WHERE n_rep > 0
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_emitted,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_unique
+FROM emitted GROUP BY source ORDER BY source"""

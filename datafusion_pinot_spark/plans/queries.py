@@ -2097,6 +2097,16 @@ def _register_llm():
     )(lambda spark, sf: privacy.k_anonymity_audit(t(spark, sf, "events")))
     from datafusion_pinot_spark.operators import graph, validation
 
+    # r8: per-source epoch upsampling to a common target, materialized
+    # via explode(sequence) — the "repeat rare domains" mixture step;
+    # the report aggregates the actual emitted stream so the hash gate
+    # proves the exact extra-copy selection too.
+    register(
+        "epoch_upsample_report",
+        curation.epoch_upsample_report_oracle_sql(),
+        "llm",
+        ["curation", "mixing", "upsample"],
+    )(lambda spark, sf: curation.epoch_upsample_report(_docs(spark, sf)))
     # r8: Gini coefficient of the source distribution — the corpus
     # inequality audit, exact integer fractions over an S-row frame.
     register(
@@ -7664,7 +7674,11 @@ DRIVER_WINDOW: list[str] = [
     # deterministic quantile-sketch rollup, the same store-then-merge
     # economics under the full hash gate.)
     "pinot_quantile_sketch_rollup",  # r6: rank-sampled quantile columns
-    "pinot_partitioned_distinct_count",  # r6: layout-proven no-shuffle distinct
+    # (pinot_partitioned_distinct_count rotated out for the r8 upsampler:
+    # r07-green, and the distinct-strategy router is window-covered by
+    # pinot_metadata_distinct + pinot_dictionary_distinct, which check
+    # the same layout proof plus the dictionary invariant.)
+    "epoch_upsample_report",  # r8: materialized per-source epoch upsampling
     # -- streaming ops --
     # (stateful_user_totals rotated out: r5-green on the fixed oracle and
     # pinned by the pytest oracle tier; applyInPandasWithState semantics

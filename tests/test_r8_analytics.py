@@ -194,3 +194,22 @@ def test_dup_group_size_histogram_hand_values(spark):
     assert rows[1]["n_groups"] == 1 and rows[1]["n_docs"] == 1
     assert rows[2]["n_groups"] == 1 and rows[2]["n_docs"] == 2
     assert rows[3]["n_groups"] == 1 and rows[3]["n_docs"] == 3
+
+
+def test_epoch_upsample_exact_target(spark):
+    from datafusion_pinot_spark.operators.curation import epoch_upsample_report
+
+    # A has 4 docs (the target), B has 3: B gets one full epoch + 1 extra
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "A", 1) for i in range(4)]
+        + [(i, "t", "en", "B", 1) for i in range(10, 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in epoch_upsample_report(docs).collect()}
+    # every source lands exactly on the target
+    assert out["A"]["n_emitted"] == 4 and out["B"]["n_emitted"] == 4
+    assert out["A"]["n_unique"] == 4 and out["B"]["n_unique"] == 3
+    # A emitted once each: sum = 0+1+2+3; B = one epoch (10+11+12) + one
+    # extra doc (md5-ranked first), so sum is 33 + one of {10,11,12}
+    assert out["A"]["sum_doc_id"] == 6
+    assert out["B"]["sum_doc_id"] - 33 in (10, 11, 12)
