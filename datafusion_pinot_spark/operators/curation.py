@@ -621,13 +621,18 @@ def domain_token_budget(docs: DataFrame, budget: int = 100_000) -> DataFrame:
 
     w_all = Window.partitionBy()
     b = F.lit(budget).cast("bigint")
+    # Degenerate-corpus guard: an all-empty-text corpus makes the divisor
+    # sum(tokens) zero — Spark's DIV would yield NULL rows while DuckDB's
+    # // errors, a cross-engine divergence. A zero-token corpus has no
+    # apportionment; drop it before dividing (empty result both engines).
+    per = per.withColumn("_total", F.sum("tokens").over(w_all)).filter(
+        F.col("_total") > 0
+    )
     per = per.select(
         "source",
         "tokens",
-        F.expr(f"CAST({budget} AS BIGINT) * tokens DIV sum(tokens) OVER ()")
-            .alias("quota"),
-        F.expr(f"CAST({budget} AS BIGINT) * tokens % sum(tokens) OVER ()")
-            .alias("rem"),
+        F.expr(f"CAST({budget} AS BIGINT) * tokens DIV _total").alias("quota"),
+        F.expr(f"CAST({budget} AS BIGINT) * tokens % _total").alias("rem"),
     )
     leftover = b - F.sum("quota").over(w_all)
     rank = F.row_number().over(
@@ -653,11 +658,13 @@ WITH per AS (
                                                       '\\s+')) END)
               AS BIGINT) AS tokens
   FROM documents GROUP BY source
+), tot AS (
+  SELECT source, tokens, sum(tokens) OVER () AS total FROM per
 ), q AS (
   SELECT source, tokens,
-         CAST({budget} AS BIGINT) * tokens // sum(tokens) OVER () AS quota,
-         CAST({budget} AS BIGINT) * tokens % sum(tokens) OVER () AS rem
-  FROM per
+         CAST({budget} AS BIGINT) * tokens // total AS quota,
+         CAST({budget} AS BIGINT) * tokens % total AS rem
+  FROM tot WHERE total > 0
 ), r AS (
   SELECT source, tokens, quota,
          {budget} - sum(quota) OVER () AS leftover,
@@ -713,10 +720,28 @@ def epoch_upsample_report(docs: DataFrame) -> DataFrame:
             ),
         )
     )
-    emitted = ranked.select(
-        "source",
-        "doc_id",
-        F.explode(F.expr("sequence(1, n_rep)")).alias("epoch"),
+    # Repetition is exploded in two bounded levels rather than one
+    # sequence(1, n_rep): a tiny source upsampled toward a huge target
+    # would otherwise materialize an n_rep-element array per row (array
+    # cap / executor memory at extreme ratios). Level 1 emits one row per
+    # 4096-epoch chunk, level 2 expands each chunk — per-row array size
+    # is capped at max(4096, n_rep/4096), i.e. 4096 for any n_rep up to
+    # ~16.7M epochs, and rows still stream straight into the next stage.
+    _CH = 4096
+    emitted = (
+        ranked.withColumn(
+            "chunk", F.explode(F.expr(f"sequence(0, (n_rep - 1) DIV {_CH})"))
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"sequence(chunk * {_CH} + 1,"
+                    f" least(n_rep, (chunk + 1) * {_CH}))"
+                )
+            ).alias("epoch"),
+        )
     )
     return (
         emitted.groupBy("source")

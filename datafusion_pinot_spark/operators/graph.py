@@ -267,3 +267,107 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
                  THEN 3 * n_triangles * 1000000 // n_wedges
                  ELSE 0 END AS BIGINT) AS gcc_ppm
 FROM ns, ec, tri"""
+
+
+def _label_round(lab: DataFrame, edges: DataFrame) -> DataFrame:
+    """lab'(node) = min(lab(node), min over in-neighbors lab(nbr)) — one
+    synchronous min-label round: a join keyed on src (edges are already
+    co-partitioned on src by the caller) and a map-side-combined min."""
+    incoming = (
+        lab.join(edges, F.col("node") == F.col("src"))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min("lab").alias("in_min"))
+    )
+    return (
+        lab.join(incoming.withColumnRenamed("node", "n2"),
+                 F.col("node") == F.col("n2"), "left")
+        .select("node", F.least("lab", F.coalesce("in_min", "lab")).alias("lab"))
+    )
+
+
+def label_prop_two_round(
+    orders: DataFrame, lineitem: DataFrame, k: int = 20
+) -> DataFrame:
+    """Community sizes after exactly TWO synchronous min-label-propagation
+    rounds over the customer-part purchase graph (Raghavan et al. 2007's
+    label propagation, made deterministic by propagating the MINIMUM
+    neighbor label instead of the most-frequent — the same determinism
+    trick as the connected-components operator in operators/dedup.py,
+    whose fixpoint this iteration converges to). Two rounds unrolled keep
+    the oracle a plain CTE chain — the engine-side
+    :func:`label_prop_iterations` runs any depth. Top-``k`` communities
+    by (size desc, label asc); all label arithmetic is on BIGINT node
+    ids, bit-identical across engines.
+
+    Scale shape: one distinct shuffle builds the edges; each round is one
+    co-partitioned join + map-side-combined min + one bounded left join —
+    the canonical iterate-in-Spark shape, no driver data path."""
+    edges = customer_part_edges(orders, lineitem)
+    edges = edges.repartition("src").localCheckpoint()
+    lab = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    lab = _label_round(lab, edges)
+    lab = _label_round(lab, edges)
+    return (
+        lab.groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("lab"))
+        .limit(k)
+    )
+
+
+def label_prop_iterations(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    rounds: int = 10,
+    k: int = 20,
+) -> DataFrame:
+    """The production loop: same round function, arbitrary depth, lineage
+    cut per round (converged labels ARE the connected components — on the
+    bipartite purchase graph the diameter is small, so ~10 rounds
+    saturate). Not oracle-able as SQL beyond a few unrolled rounds —
+    pinned by tests/test_round9.py's equivalence test against
+    :func:`label_prop_two_round` at rounds=2."""
+    edges = customer_part_edges(orders, lineitem)
+    edges = edges.repartition("src").localCheckpoint()
+    lab = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(rounds):
+        lab = _label_round(lab, edges).localCheckpoint()
+    return (
+        lab.groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("lab"))
+        .limit(k)
+    )
+
+
+def label_prop_two_round_oracle_sql(k: int = 20) -> str:
+    return f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey + {PART_BASE} AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT c AS src, p AS dst FROM cp UNION ALL SELECT p AS src, c AS dst FROM cp
+), lab0 AS (
+  SELECT DISTINCT src AS node, src AS lab FROM edges
+), lab1 AS (
+  SELECT l.node,
+         least(l.lab, coalesce(min(nl.lab), l.lab)) AS lab
+  FROM lab0 l
+  LEFT JOIN edges e ON e.dst = l.node
+  LEFT JOIN lab0 nl ON nl.node = e.src
+  GROUP BY l.node, l.lab
+), lab2 AS (
+  SELECT l.node,
+         least(l.lab, coalesce(min(nl.lab), l.lab)) AS lab
+  FROM lab1 l
+  LEFT JOIN edges e ON e.dst = l.node
+  LEFT JOIN lab1 nl ON nl.node = e.src
+  GROUP BY l.node, l.lab
+)
+SELECT lab, CAST(count(*) AS BIGINT) AS n_members
+FROM lab2 GROUP BY lab ORDER BY n_members DESC, lab ASC LIMIT {k}
+"""

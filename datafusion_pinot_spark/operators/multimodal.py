@@ -480,3 +480,120 @@ SELECT doc_id,
 FROM frames GROUP BY doc_id
 ORDER BY n_voiced DESC, doc_id ASC LIMIT {top}
 """
+
+
+SCENE_SCHEMA = "doc_id long, frame_idx long, fsum long"
+
+
+def video_frame_signatures(media: DataFrame, frame_len: int = 64) -> DataFrame:
+    """Per-frame integer signature extraction (the scene-cut kernel's
+    front half): treat the opaque payload as a raw frame stream, cut it
+    into non-overlapping ``frame_len``-byte frames (trailing partial frame
+    dropped) and emit each frame's byte SUM — the cheapest luminance
+    proxy a real decoder would hand back per frame.
+
+    Same plumbing contract as :func:`audio_energy_windows`: Arrow-batched
+    ``mapInPandas``, numpy-vectorized per batch (one frombuffer + reshape
+    per payload, no per-byte Python), partition-streaming so a 100 TB
+    video corpus processes at bounded memory. A real decoder drops in at
+    the payload→array seam (`real_decode`); the signature arithmetic and
+    every stage above it are engine-checkable integers."""
+    import numpy as np
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(payload, dtype=np.uint8)
+                n = (len(a) // frame_len) * frame_len
+                if n == 0:
+                    continue
+                s = a[:n].astype(np.int64).reshape(-1, frame_len).sum(axis=1)
+                ids.append(np.full(len(s), doc_id, dtype=np.int64))
+                idxs.append(np.arange(len(s), dtype=np.int64))
+                sums.append(s)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "frame_idx": np.concatenate(idxs),
+                        "fsum": np.concatenate(sums),
+                    }
+                )
+
+    return media.mapInPandas(run, schema=SCENE_SCHEMA)
+
+
+def video_scene_cuts(
+    docs: DataFrame,
+    frame_len: int = 64,
+    threshold: int = 600,
+    top: int = 20,
+) -> DataFrame:
+    """Scene-cut report per video: a cut is a frame whose signature jumps
+    by more than ``threshold`` from the previous frame (the classic
+    inter-frame-difference shot detector). Reports, for the ``top`` docs
+    by cut count (ties: doc_id), the frame count, cut count, and the
+    maximum inter-frame delta. The kernel emits per-frame rows; the
+    delta/lag and the rollup are plain window + agg — Spark-side, so the
+    per-frame stream never concentrates on one machine.
+
+    Scale shape: the lag window partitions BY DOC (each video's frames
+    sort locally — the natural key; no global sort), the rollup is one
+    map-side-combined agg, and the top-k is a TakeOrdered. All integer."""
+    frames = video_frame_signatures(with_binary_payload(docs), frame_len)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = frames.withColumn(
+        "delta", F.abs(F.col("fsum") - F.lag("fsum").over(w))
+    )
+    return (
+        deltas.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(
+                (F.coalesce(F.col("delta"), F.lit(0)) > threshold).cast(
+                    "bigint"
+                )
+            ).alias("n_cuts"),
+            F.coalesce(F.max("delta"), F.lit(0)).cast("long").alias(
+                "max_delta"
+            ),
+        )
+        .orderBy(F.desc("n_cuts"), F.asc("doc_id"))
+        .limit(top)
+    )
+
+
+def video_scene_cuts_oracle_sql(
+    frame_len: int = 64, threshold: int = 600, top: int = 20
+) -> str:
+    """The same framed byte-sum kernel in SQL: the payload is the utf-8
+    text bytes and the corpus text is ASCII, so ``ascii(substr)`` recovers
+    each byte; frame f covers 1-based byte positions
+    [f*frame_len+1, (f+1)*frame_len]."""
+    return f"""
+WITH frames AS (
+  SELECT doc_id, f AS frame_idx,
+         CAST((SELECT sum(ascii(substr(d.text, p, 1)))
+               FROM unnest(generate_series(f * {frame_len} + 1,
+                                           (f + 1) * {frame_len}))
+                 AS u(p)
+              ) AS BIGINT) AS fsum
+  FROM documents d,
+       unnest(generate_series(
+         0, CAST(length(text) // {frame_len} AS INTEGER) - 1)) AS w(f)
+  WHERE length(text) >= {frame_len}
+), deltas AS (
+  SELECT doc_id,
+         abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+           AS delta
+  FROM frames
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN coalesce(delta, 0) > {threshold} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cuts,
+       CAST(coalesce(max(delta), 0) AS BIGINT) AS max_delta
+FROM deltas GROUP BY doc_id
+ORDER BY n_cuts DESC, doc_id ASC LIMIT {top}
+"""

@@ -189,3 +189,101 @@ SELECT event_type,
        CAST(min(n_sens) AS BIGINT) AS min_diversity
 FROM groups GROUP BY event_type ORDER BY event_type
 """
+
+
+def t_closeness_audit(events: DataFrame, t_ppm: int = 200_000) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007, public) — the
+    third leg of the release-gating trio with :func:`k_anonymity_audit`
+    and :func:`l_diversity_audit`: an l-diverse quasi-identifier group
+    still leaks when its sensitive-value DISTRIBUTION is skewed far from
+    the table-wide one (skewness attack). Per quasi-id group
+    (event_type, hour) the audit computes the total variation distance
+    between the group's sensitive-band distribution and the global one,
+    in exact ppm:
+
+        tvd_g = Σ_v |c_gv·N − c_v·N_g| · 10^6  DIV  (2·N·N_g)
+
+    — BIGINT throughout, so rows are bit-identical across engines.
+    Values ABSENT from a group still contribute (|0 − c_v·N_g|), which is
+    why the group frame is the groups×values cross product, not just the
+    observed pairs. Reports per event_type: group count, worst (max) TVD,
+    and how many groups exceed the ``t_ppm`` threshold.
+
+    Scale shape: three map-side-combined aggregations over the corpus
+    (global value counts, per-group totals, per-(group,value) counts) —
+    each collapses 100 TB to a bounded frame (types × 24 hours × value
+    bands); the cross product and the |·| fold run on those tiny frames
+    with both small sides broadcast. No corpus-sized shuffle beyond the
+    three aggs."""
+    qid = events.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.floor(F.col("value") / 50).cast("bigint").alias("sens"),
+    )
+    global_v = qid.groupBy("sens").agg(F.count(F.lit(1)).alias("c_v"))
+    n_total = qid.agg(F.count(F.lit(1)).alias("n")).select("n")
+    groups = qid.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    cell = qid.groupBy("event_type", "hr", "sens").agg(
+        F.count(F.lit(1)).alias("c_gv")
+    )
+    full = (
+        groups.join(F.broadcast(global_v))
+        .join(F.broadcast(n_total))
+        .join(cell, ["event_type", "hr", "sens"], "left")
+        .withColumn("c_gv", F.coalesce(F.col("c_gv"), F.lit(0)))
+    )
+    tvd = full.groupBy("event_type", "hr").agg(
+        F.expr(
+            "CAST(sum(abs(c_gv * n - c_v * n_g)) * 1000000"
+            " DIV (2 * any_value(n) * any_value(n_g)) AS BIGINT)"
+        ).alias("tvd_ppm")
+    )
+    return (
+        tvd.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max("tvd_ppm").alias("max_tvd_ppm"),
+            F.sum((F.col("tvd_ppm") > t_ppm).cast("bigint")).alias(
+                "groups_over_t"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def t_closeness_audit_oracle_sql(t_ppm: int = 200_000) -> str:
+    return f"""
+WITH qid AS (
+  SELECT event_type, extract(hour FROM ts) AS hr,
+         CAST(floor(value / 50) AS BIGINT) AS sens
+  FROM events
+), global_v AS (
+  SELECT sens, count(*) AS c_v FROM qid GROUP BY sens
+), tot AS (
+  SELECT count(*) AS n FROM qid
+), groups AS (
+  SELECT event_type, hr, count(*) AS n_g FROM qid GROUP BY event_type, hr
+), cell AS (
+  SELECT event_type, hr, sens, count(*) AS c_gv
+  FROM qid GROUP BY event_type, hr, sens
+), full_grid AS (
+  SELECT g.event_type, g.hr, v.sens, g.n_g, v.c_v, t.n,
+         coalesce(c.c_gv, 0) AS c_gv
+  FROM groups g CROSS JOIN global_v v CROSS JOIN tot t
+  LEFT JOIN cell c ON c.event_type = g.event_type AND c.hr = g.hr
+                  AND c.sens = v.sens
+), tvd AS (
+  SELECT event_type, hr,
+         CAST(sum(abs(c_gv * n - c_v * n_g)) * 1000000
+              // (2 * any_value(n) * any_value(n_g)) AS BIGINT) AS tvd_ppm
+  FROM full_grid GROUP BY event_type, hr
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(max(tvd_ppm) AS BIGINT) AS max_tvd_ppm,
+       CAST(sum(CASE WHEN tvd_ppm > {t_ppm} THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_over_t
+FROM tvd GROUP BY event_type ORDER BY event_type
+"""

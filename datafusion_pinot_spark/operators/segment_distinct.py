@@ -401,6 +401,14 @@ def dictionary_groupby_count(
         got = _dict_nullfree_everywhere(table_dir, name)
         if got is None:
             return None
+        # Every column must be provable over the SAME segment set: the
+        # helper fails (None) rather than skips absent-column segments
+        # today, so the lists can only be identical — assert that
+        # invariant instead of silently keeping the last column's list,
+        # so a future skip-style change in the helper cannot make this
+        # plan scan the wrong segments.
+        if dirs is not None and got[0] != dirs:
+            return None
         dirs = got[0]
     if not dirs:
         return None

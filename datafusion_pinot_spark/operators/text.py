@@ -897,3 +897,106 @@ FROM inter
 JOIN sizes sa ON sa.source = inter.source_a
 JOIN sizes sb ON sb.source = inter.source_b
 ORDER BY source_a, source_b"""
+
+
+def token_lift_pairs(
+    docs: DataFrame,
+    vocab_top: int = 40,
+    min_pair_docs: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` token pairs by co-occurrence LIFT over the corpus —
+    association mining for vocabulary/topic diagnostics: lift is PMI's
+    ratio without the log, ``P(x,y)/(P(x)P(y)) = n_xy·N / (n_x·n_y)``,
+    kept as an exact integer in ppm so rows hash-match across engines
+    (log-PMI is transcendental and engine-dependent). Document-level
+    co-occurrence on DISTINCT per-doc tokens; pairs below
+    ``min_pair_docs`` shared docs are noise and dropped.
+
+    Scale guard: the pair space is restricted to the ``vocab_top`` most
+    document-frequent tokens (ties: token asc), broadcast to the doc-token
+    table — the self-join on doc_id then carries at most ``vocab_top``
+    rows per document, so the pair explosion is bounded by
+    docs × C(vocab_top, 2) / docs, never vocabulary². One distinct
+    shuffle builds the doc-token set; everything after runs on bounded
+    frames. Top-``k`` by (lift desc, token_a, token_b)."""
+    from datafusion_pinot_spark.functions import tokens
+
+    dt = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .distinct()
+    )
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    topv = (
+        dt.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .orderBy(F.desc("n_w"), F.asc("w"))
+        .limit(vocab_top)
+    )
+    dtt = dt.join(F.broadcast(topv), "w")
+    a = dtt.select(
+        "doc_id", F.col("w").alias("wa"), F.col("n_w").alias("n_a")
+    )
+    b = dtt.select(
+        "doc_id", F.col("w").alias("wb"), F.col("n_w").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(
+            F.count(F.lit(1)).alias("n_xy"),
+            F.any_value("n_a").alias("n_a"),
+            F.any_value("n_b").alias("n_b"),
+        )
+        .filter(F.col("n_xy") >= min_pair_docs)
+    )
+    return (
+        pairs.join(F.broadcast(n_total))
+        .select(
+            F.col("wa").alias("token_a"),
+            F.col("wb").alias("token_b"),
+            "n_xy",
+            F.col("n_a").alias("n_x"),
+            F.col("n_b").alias("n_y"),
+            F.expr(
+                "CAST(n_xy * n_docs * 1000000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), F.asc("token_a"), F.asc("token_b"))
+        .limit(k)
+    )
+
+
+def token_lift_pairs_oracle_sql(
+    vocab_top: int = 40, min_pair_docs: int = 3, k: int = 20
+) -> str:
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''))
+           AS w
+  FROM documents WHERE length(trim(text)) > 0
+), tot AS (
+  SELECT count(*) AS n_docs FROM documents
+), topv AS (
+  SELECT w, count(*) AS n_w FROM dt GROUP BY w
+  ORDER BY n_w DESC, w ASC LIMIT {vocab_top}
+), dtt AS (
+  SELECT dt.doc_id, dt.w, topv.n_w FROM dt JOIN topv USING (w)
+), pairs AS (
+  SELECT a.w AS wa, b.w AS wb, count(*) AS n_xy,
+         any_value(a.n_w) AS n_a, any_value(b.n_w) AS n_b
+  FROM dtt a JOIN dtt b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+  HAVING count(*) >= {min_pair_docs}
+)
+SELECT wa AS token_a, wb AS token_b,
+       CAST(n_xy AS BIGINT) AS n_xy,
+       CAST(n_a AS BIGINT) AS n_x, CAST(n_b AS BIGINT) AS n_y,
+       CAST(n_xy * (SELECT n_docs FROM tot) * 1000000
+            // (n_a * n_b) AS BIGINT) AS lift_ppm
+FROM pairs
+ORDER BY lift_ppm DESC, token_a ASC, token_b ASC LIMIT {k}
+"""

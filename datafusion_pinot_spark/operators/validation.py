@@ -540,3 +540,149 @@ SELECT event_type, n_days, n_events, disp_num, disp_den,
        CAST(CASE WHEN disp_den > 0 THEN disp_num * 1000 // disp_den
                  ELSE 0 END AS BIGINT) AS dispersion_milli
 FROM s ORDER BY event_type"""
+
+
+def simpson_source_diversity(docs: DataFrame) -> DataFrame:
+    """Simpson concentration of the corpus's source distribution, as exact
+    integer fractions — the companion to :func:`gini_source_concentration`
+    (Gini measures inequality of the size CURVE; Simpson measures the
+    probability two random documents share a source, which is what
+    repeated-sampling bias during training actually depends on). Uses the
+    unbiased finite-sample form ``λ = Σ n_i(n_i-1) / (N(N-1))`` plus the
+    inverse-Simpson "effective number of sources" ``den/num`` in milli
+    (how many equally-sized sources the corpus behaves like). Every term
+    is BIGINT, so the single output row is bit-identical across engines.
+
+    Scale shape: identical to the Gini audit — one map-side-combined
+    (source, count) aggregation collapses the corpus to an S-row frame;
+    the fold is a single agg over that tiny frame. A one-document corpus
+    (N(N-1) = 0) reports den 0 and effective 0 rather than dividing."""
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("n_s").cast("long").alias("n_docs"),
+        F.expr("CAST(sum(n_s * (n_s - 1)) AS BIGINT)").alias("simpson_num"),
+        F.expr(
+            "CAST(sum(n_s) * (sum(n_s) - 1) AS BIGINT)"
+        ).alias("simpson_den"),
+    ).select(
+        "n_sources",
+        "n_docs",
+        "simpson_num",
+        "simpson_den",
+        F.expr(
+            "CAST(CASE WHEN simpson_den > 0"
+            " THEN simpson_num * 1000000 DIV simpson_den"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("simpson_ppm"),
+        F.expr(
+            "CAST(CASE WHEN simpson_num > 0"
+            " THEN simpson_den * 1000 DIV simpson_num"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("effective_sources_milli"),
+    )
+
+
+def simpson_source_diversity_oracle_sql() -> str:
+    return """
+WITH counts AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+), s AS (
+  SELECT count(*) AS n_sources, CAST(sum(n_s) AS BIGINT) AS n_docs,
+         CAST(sum(n_s * (n_s - 1)) AS BIGINT) AS simpson_num,
+         CAST(sum(n_s) * (sum(n_s) - 1) AS BIGINT) AS simpson_den
+  FROM counts
+)
+SELECT n_sources, n_docs, simpson_num, simpson_den,
+       CAST(CASE WHEN simpson_den > 0
+                 THEN simpson_num * 1000000 // simpson_den
+                 ELSE 0 END AS BIGINT) AS simpson_ppm,
+       CAST(CASE WHEN simpson_num > 0
+                 THEN simpson_den * 1000 // simpson_num
+                 ELSE 0 END AS BIGINT) AS effective_sources_milli
+FROM s"""
+
+
+def halflife_event_mass(events: DataFrame, horizon_days: int = 30) -> DataFrame:
+    """Recency-decayed event mass per event type with a one-day half-life,
+    in EXACT integer arithmetic — the freshness-weighting primitive behind
+    "recent data counts more" sampling and trending-topic scoring. Floating
+    ``0.5^age`` sums are shuffle-order-dependent; instead each event aged
+    ``a`` days (vs the corpus's max day) contributes the integer weight
+    ``2^(horizon_days - a)`` (0 beyond the horizon), so the per-type mass
+    is a BIGINT sum of powers of two, decimal(38,0)-accumulated to be
+    overflow-proof at any corpus size, and the half-life ratio structure
+    is preserved exactly: weight(age)/weight(age+1) == 2 always.
+
+    Scale shape: the max-day scalar is one map-side-combined agg joined
+    back as a one-row broadcast (no driver round-trip, no collect); the
+    mass is one more map-side-combined agg. The ppm share is ONE IEEE double
+    multiply+divide over the two exactly-agreed masses (deterministic,
+    unlike a float accumulation) — all rows bit-identical across engines."""
+    days = events.select(
+        "event_type",
+        F.expr("CAST(to_date(ts) - DATE '1970-01-01' AS BIGINT)").alias("day"),
+    )
+    maxd = days.agg(F.max("day").alias("maxday"))
+    per = (
+        days.join(F.broadcast(maxd))
+        .withColumn("age", F.expr("maxday - day"))
+        .withColumn(
+            "w",
+            F.expr(
+                f"CASE WHEN age <= {horizon_days}"
+                f" THEN CAST(1 AS BIGINT) << ({horizon_days} - age)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("w").cast("decimal(38,0)")).alias("mass"),
+        )
+    )
+    w_all = Window.partitionBy()
+    # share in ppm: a SINGLE double multiply+divide over two exactly-agreed
+    # decimal scalars is IEEE-deterministic in both engines (unlike a
+    # float ACCUMULATION, which is shuffle-order-dependent); a decimal
+    # multiply here would instead hit DuckDB's strict width-addition cap.
+    return (
+        per.withColumn("_total", F.sum("mass").over(w_all))
+        .select(
+            "event_type",
+            "n_events",
+            F.col("mass").cast("decimal(38,0)").alias("mass"),
+            F.expr(
+                "CAST(CASE WHEN _total > 0"
+                " THEN floor(CAST(mass AS DOUBLE) * 1000000.0"
+                " / CAST(_total AS DOUBLE))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def halflife_event_mass_oracle_sql(horizon_days: int = 30) -> str:
+    return f"""
+WITH days AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+  FROM events
+), aged AS (
+  SELECT event_type,
+         (SELECT max(day) FROM days) - day AS age
+  FROM days
+), per AS (
+  SELECT event_type, count(*) AS n_events,
+         CAST(sum(CASE WHEN age <= {horizon_days}
+                       THEN CAST(1 AS BIGINT) << ({horizon_days} - age)
+                       ELSE 0 END) AS DECIMAL(38,0)) AS mass
+  FROM aged GROUP BY event_type
+)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events, mass,
+       CAST(CASE WHEN sum(mass) OVER () > 0
+                 THEN floor(CAST(mass AS DOUBLE) * 1000000.0
+                            / CAST(sum(mass) OVER () AS DOUBLE))
+                 ELSE 0 END AS BIGINT) AS share_ppm
+FROM per ORDER BY event_type"""

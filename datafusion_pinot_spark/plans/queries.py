@@ -2208,6 +2208,73 @@ def _register_llm():
         )
     )
 
+    # ---- round 9 ----
+    from datafusion_pinot_spark.operators import multimodal, privacy
+
+    # r9: Simpson concentration + inverse-Simpson effective source count
+    # in exact integer fractions — the repeated-sampling-bias companion
+    # to the Gini audit; one map-side-combined agg then an S-row fold.
+    register(
+        "simpson_source_diversity",
+        validation.simpson_source_diversity_oracle_sql(),
+        "llm",
+        ["stats", "diversity", "agg"],
+    )(
+        lambda spark, sf: validation.simpson_source_diversity(
+            _docs(spark, sf)
+        )
+    )
+    # r9: recency-decayed event mass with a one-day half-life as exact
+    # powers of two (decimal-accumulated) — freshness weighting without
+    # shuffle-order float drift; share via one deterministic IEEE divide.
+    register(
+        "halflife_event_mass",
+        validation.halflife_event_mass_oracle_sql(),
+        "llm",
+        ["stats", "temporal", "agg"],
+    )(lambda spark, sf: validation.halflife_event_mass(t(spark, sf, "events")))
+    # r9: t-closeness audit — third leg of the privacy trio (skewness
+    # attack): per-group sensitive-distribution TVD vs global, exact ppm
+    # over the groups×values grid so absent values count too.
+    register(
+        "t_closeness_audit",
+        privacy.t_closeness_audit_oracle_sql(),
+        "llm",
+        ["privacy", "audit", "agg"],
+    )(lambda spark, sf: privacy.t_closeness_audit(t(spark, sf, "events")))
+    # r9: two-round synchronous min-label propagation over the
+    # customer-part graph — deterministic community detection; the
+    # any-depth engine loop is pinned by the tests/test_round9.py
+    # equivalence test at rounds=2.
+    register(
+        "label_prop_communities",
+        graph.label_prop_two_round_oracle_sql(),
+        "llm",
+        ["graph", "iterative", "join"],
+    )(
+        lambda spark, sf: graph.label_prop_two_round(
+            t(spark, sf, "orders"), t(spark, sf, "lineitem")
+        )
+    )
+    # r9: top token pairs by exact integer co-occurrence lift (PMI minus
+    # the log) — association mining bounded to the top-V vocabulary so
+    # the pair space never goes vocabulary-quadratic.
+    register(
+        "token_lift_pairs",
+        text.token_lift_pairs_oracle_sql(),
+        "llm",
+        ["text", "association", "join"],
+    )(lambda spark, sf: text.token_lift_pairs(_docs(spark, sf)))
+    # r9: inter-frame-difference scene-cut detection over the framed
+    # binary payload — per-frame integer signatures from the Arrow-batched
+    # kernel, lag window per doc, hash-gated end to end.
+    register(
+        "video_scene_cuts",
+        multimodal.video_scene_cuts_oracle_sql(),
+        "llm",
+        ["multimodal", "window", "kernel"],
+    )(lambda spark, sf: multimodal.video_scene_cuts(_docs(spark, sf)))
+
 
 _register_llm()
 
@@ -7525,6 +7592,27 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
+    # -- r9 additions (standing rotation rule: round-N queries enter the
+    # window at the first driver run after they land). Slots freed by
+    # rotating out six TWICE-green (r07+r08) veterans, each pinned by the
+    # pytest oracle tier: ann_ivf_pinot_index_topk (ANN-through-storage
+    # stays window-covered by ann_pq_pinot_codes_topk),
+    # pinot_timestamp_range_scan (TIMESTAMP pushdown stays benched every
+    # round via filter_ts_pruned and pytest-pinned by test_ts_pushdown),
+    # pinot_mv_inverted_scan (test_mv_inverted.py + the storage_micro
+    # mv probe), equi_depth_price_histogram (two-pass global-rank shape
+    # stays window-covered by pinot_quantile_sketch_rollup),
+    # pinot_schema_evolution_scan (pytest-pinned; the evolved-segment
+    # contract is additionally enforced by the new value_counts raise
+    # test in test_round9.py), stream_left_outer_closed (watermark-closed
+    # semantics stay window-covered by streaming_funnel_totals +
+    # stream_upsert_enrich). --
+    "simpson_source_diversity",  # r9: Simpson/effective-source diversity
+    "halflife_event_mass",  # r9: power-of-two recency decay mass
+    "t_closeness_audit",  # r9: sensitive-distribution TVD privacy audit
+    "label_prop_communities",  # r9: 2-round min-label propagation
+    "token_lift_pairs",  # r9: integer co-occurrence lift, top-V bounded
+    "video_scene_cuts",  # r9: inter-frame-delta shot detection, hash-gated
     # -- r7 additions (standing rotation rule: round-N queries enter the
     # window at the first driver run after they land; none of these 8 have
     # ever been driver-checked — r7 ended mid-flight before the rotation).
@@ -7595,7 +7683,7 @@ DRIVER_WINDOW: list[str] = [
     "pinot_zorder_scan",  # r6c4: Morton layout, 2D zone-map pruning
     # -- r6 additions (standing rotation rule: round-N queries enter the
     # round-N window) --
-    "pinot_timestamp_range_scan",  # r6: TIMESTAMP pushdown + zone maps
+    # (r9 rotation, twice-green) "pinot_timestamp_range_scan",  # r6: TIMESTAMP pushdown + zone maps
     # (simhash_md5_dup_groups rotated out for the r8 dedup report:
     # r07-green; the hash-family dedup tier stays window-covered by
     # winnow_boilerplate_fps + lsh_quality_audit.)
@@ -7604,7 +7692,7 @@ DRIVER_WINDOW: list[str] = [
     # r07-green; watermark-closed semantics stay window-covered by
     # stream_left_outer_closed.)
     "gini_source_concentration",  # r8: corpus inequality audit
-    "ann_ivf_pinot_index_topk",  # r6: IVF inverted lists through storage
+    # (r9 rotation, twice-green) "ann_ivf_pinot_index_topk",  # r6: IVF inverted lists through storage
     # (embedding_binary_storage_stats rotated out for the r8 classifier:
     # r07-green; packed-embedding storage stays window-covered by
     # ann_pq_pinot_codes_topk and pytest-pinned.)
@@ -7633,7 +7721,7 @@ DRIVER_WINDOW: list[str] = [
     # (funnel_time_to_convert rotated out for the r8 audio kernel:
     # r07-green; two funnel rows and three quantile-family rows remain.)
     "audio_vad_summary",  # r8: framed integer-energy VAD, hash-checked
-    "stream_left_outer_closed",  # r6c4: watermarked outer join, closed subset
+    # (r9 rotation, twice-green) "stream_left_outer_closed",  # r6c4: watermarked outer join, closed subset
     # (window_value_functions and event_sequence_regex deferred to the
     # pytest oracle tier; the slot goes to the exact-moments query, whose
     # decimal-vs-double accumulation is a real cross-engine hazard.)
@@ -7656,7 +7744,7 @@ DRIVER_WINDOW: list[str] = [
     # group-by: r07-green and heavily pytest-pinned (test_range_index.py);
     # five sibling index-scan queries remain in the window.)
     "pinot_groupby_pair_from_dict",  # r8: composite-key dict-served GROUP BY
-    "pinot_mv_inverted_scan",  # r6c4: MV inverted index + mv_contains
+    # (r9 rotation, twice-green) "pinot_mv_inverted_scan",  # r6c4: MV inverted index + mv_contains
     "pinot_head_topk",  # r6c4: sorted-layout top-k head pushdown
     "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
     # (pinot_upsert_latest rotated out for the r8 dictionary group-by:
@@ -7664,8 +7752,8 @@ DRIVER_WINDOW: list[str] = [
     # stream_upsert_enrich, whose hash gate reads through the same
     # upsert dimension.)
     "pinot_groupby_from_dict",  # r8: GROUP BY served from dictionaries
-    "equi_depth_price_histogram",  # r6c4: two-pass global-rank quantile hist
-    "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
+    # (r9 rotation, twice-green) "equi_depth_price_histogram",  # r6c4: two-pass global-rank quantile hist
+    # (r9 rotation, twice-green) "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
     "scd2_user_state",  # r6c4: gaps-and-islands SCD2 build
     "pinot_sql_join_storage",  # r6: multi-table SQL over pinot catalog
     # (pinot_hll_sketch_rollup deferred to the pytest tier: rows-only by

@@ -782,10 +782,22 @@ class PinotDataSourceReader(DataSourceReader):
             names = [c.strip() for c in self._value_counts.split(",") if c.strip()]
             for segment_dir in partition.segment_dirs:
                 r = SegmentReader.open(segment_dir)
-                if any(r.metadata.columns.get(c) is None for c in names):
-                    # schema evolution: a pre-column segment holds only
-                    # NULL rows for the column — no counted values
-                    continue
+                missing = [c for c in names if r.metadata.columns.get(c) is None]
+                if missing:
+                    # schema evolution: a pre-column segment holds only NULL
+                    # rows for the column. SQL GROUP BY would emit a
+                    # NULL-keyed group here, which dictionary counts cannot
+                    # represent — silently skipping the segment would return
+                    # incomplete counts, so refuse (the same contract as the
+                    # nullable check below; dictionary_groupby_count's
+                    # precondition gate rejects such tables before planning).
+                    raise ValueError(
+                        f"value_counts: {missing} absent from segment "
+                        f"{segment_dir} (pre-schema-evolution rows would be "
+                        "silently dropped); value_counts requires the "
+                        "column(s) present, dict-encoded and null-free in "
+                        "every segment"
+                    )
                 if len(names) == 1:
                     got = r.dict_value_counts(names[0])
                     if got is not None:

@@ -429,9 +429,11 @@ def stream_upsert_enrich(
     a complete-mode aggregation rolls the enriched stream up per
     (tier, event_type).
 
-    The dimension is written TWICE (the upsert point): version 1 carries a
-    poisoned tier of -1 for every user, version 2 the real ``user_id % 5``.
-    Only a correct last-wins upsert read (``load_upsert_table`` on compare
+    The dimension is written TWICE — two sequential sink commits, not one
+    unioned write (the upsert point): version 1 (overwrite) carries a
+    poisoned tier of -1 for every user; version 2 (append) lands as later
+    segments with the real ``user_id % 5``. Only a correct last-wins
+    upsert read ACROSS segment writes (``load_upsert_table`` on compare
     column ``ver``) yields the oracle's tiers, so the query's hash gate
     covers the storage upsert semantics AND the stream-static join in one
     pass. Scale shape: the dim is broadcast-joined per micro-batch (small
@@ -459,13 +461,8 @@ def stream_upsert_enrich(
         (F.col("user_id") % 5).alias("tier"),
         F.lit(2).cast("long").alias("ver"),
     )
-    (
-        v1.unionAll(v2)
-        .repartition(4)
-        .write.format("pinot")
-        .mode("overwrite")
-        .save(out)
-    )
+    v1.repartition(2).write.format("pinot").mode("overwrite").save(out)
+    v2.repartition(2).write.format("pinot").mode("append").save(out)
     dim = PinotCatalog.filesystem(dim_root).load_upsert_table(
         spark, "userdim", "user_id", "ver"
     )

@@ -1,0 +1,297 @@
+"""Unit-level semantics tests for the round-9 operators (Simpson
+diversity, half-life decay mass, t-closeness, label propagation, token
+lift, video scene cuts) plus regression tests for the round-9 ADVICE
+fixes — independent of the DuckDB oracle tier, which cross-checks the
+same operators against sf0.001/sf0.01."""
+
+import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows, 1)],
+        DOCS_SCHEMA,
+    )
+
+
+def test_simpson_hand_values(spark):
+    from datafusion_pinot_spark.operators.validation import (
+        simpson_source_diversity,
+    )
+
+    # sources A:3 docs, B:1 doc -> N=4, num = 3*2 + 0 = 6, den = 4*3 = 12
+    docs = _docs(spark, [("x", "A"), ("y", "A"), ("z", "A"), ("w", "B")])
+    r = simpson_source_diversity(docs).first()
+    assert (r["n_sources"], r["n_docs"]) == (2, 4)
+    assert (r["simpson_num"], r["simpson_den"]) == (6, 12)
+    assert r["simpson_ppm"] == 500_000
+    assert r["effective_sources_milli"] == 2000  # 12/6 = 2.0 effective
+
+
+def test_simpson_degenerate_single_doc(spark):
+    from datafusion_pinot_spark.operators.validation import (
+        simpson_source_diversity,
+    )
+
+    r = simpson_source_diversity(_docs(spark, [("only", "A")])).first()
+    # N(N-1) = 0: report zeros, never divide
+    assert (r["simpson_den"], r["simpson_ppm"]) == (0, 0)
+    assert r["effective_sources_milli"] == 0
+
+
+def test_halflife_mass_hand_values(spark):
+    from datafusion_pinot_spark.operators.validation import (
+        halflife_event_mass,
+    )
+
+    day = lambda d: datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+    events = spark.createDataFrame(
+        # type a: 1 event on the max day (age 0) + 1 one day older;
+        # type b: 1 event beyond the horizon (age 31 at horizon 30) -> 0
+        [(1, day(31), 1, "a", 0.0), (2, day(30), 2, "a", 0.0),
+         (3, day(0), 3, "b", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = {r["event_type"]: r for r in halflife_event_mass(events).collect()}
+    # weights: age0 -> 2^30, age1 -> 2^29, age31 -> 0
+    assert int(rows["a"]["mass"]) == (1 << 30) + (1 << 29)
+    assert int(rows["b"]["mass"]) == 0
+    assert rows["a"]["share_ppm"] == 1_000_000
+    assert rows["b"]["share_ppm"] == 0
+    # exact half-life structure: adjacent ages differ by exactly 2x
+    assert (1 << 30) == 2 * (1 << 29)
+
+
+def test_t_closeness_hand_values(spark):
+    from datafusion_pinot_spark.operators.privacy import t_closeness_audit
+
+    ts = lambda h: datetime.datetime(2024, 1, 1, h, 0, 0)
+    # one event_type, two hour-groups; sensitive band = floor(value/50)
+    # global: band0 x2, band1 x2 (N=4)
+    # group hr=0: {band0 x2} N_g=2 -> tvd = (|2*4-2*2| + |0*4-2*2|)/(2*4*2)
+    #            = (4+4)/16 = 0.5 -> 500000 ppm
+    # group hr=1: {band1 x2} -> symmetric, 500000 ppm
+    events = spark.createDataFrame(
+        [(1, ts(0), 1, "a", 0.0), (2, ts(0), 2, "a", 10.0),
+         (3, ts(1), 3, "a", 60.0), (4, ts(1), 4, "a", 70.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = t_closeness_audit(events, t_ppm=400_000).first()
+    assert r["n_groups"] == 2
+    assert r["max_tvd_ppm"] == 500_000
+    assert r["groups_over_t"] == 2
+    # threshold above the worst group -> none flagged
+    r2 = t_closeness_audit(events, t_ppm=600_000).first()
+    assert r2["groups_over_t"] == 0
+
+
+def test_t_closeness_uniform_group_is_zero(spark):
+    from datafusion_pinot_spark.operators.privacy import t_closeness_audit
+
+    ts = datetime.datetime(2024, 1, 1, 5, 0, 0)
+    # a single group whose distribution IS the global one -> TVD 0
+    events = spark.createDataFrame(
+        [(1, ts, 1, "a", 0.0), (2, ts, 2, "a", 60.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = t_closeness_audit(events).first()
+    assert (r["max_tvd_ppm"], r["groups_over_t"]) == (0, 0)
+
+
+def test_label_prop_iterations_matches_two_round(spark, testdata):
+    """The any-depth loop at rounds=2 must equal the unrolled two-round
+    query row-for-row (same contract as the pagerank equivalence test)."""
+    from datafusion_pinot_spark.operators.graph import (
+        label_prop_iterations,
+        label_prop_two_round,
+    )
+
+    orders, lineitem = testdata["orders"], testdata["lineitem"]
+    a = label_prop_two_round(orders, lineitem).collect()
+    b = label_prop_iterations(orders, lineitem, rounds=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_label_prop_converges_to_components(spark):
+    """On a graph of two disjoint chains, enough rounds label every node
+    with its component's minimum id, i.e. exact connected components."""
+    from datafusion_pinot_spark.operators.graph import _label_round
+
+    edges_undir = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(
+        edges_undir + [(b, a) for a, b in edges_undir], "src long, dst long"
+    )
+    lab = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+    )
+    for _ in range(4):
+        lab = _label_round(lab, edges)
+    got = {r["node"]: r["lab"] for r in lab.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_token_lift_hand_values(spark):
+    from datafusion_pinot_spark.operators.text import token_lift_pairs
+
+    # 4 docs; x and y co-occur in 2 of 4 docs, each appears in 2 docs:
+    # lift = (2*4)/(2*2) = 2.0 -> 2_000_000 ppm.
+    # x and z never co-occur -> pair absent.
+    docs = _docs(
+        spark,
+        [("x y", "A"), ("x y", "A"), ("z w", "A"), ("z w q", "A")],
+    )
+    rows = {
+        (r["token_a"], r["token_b"]): r
+        for r in token_lift_pairs(docs, min_pair_docs=2).collect()
+    }
+    assert ("x", "z") not in rows
+    xy = rows[("x", "y")]
+    assert (xy["n_xy"], xy["n_x"], xy["n_y"]) == (2, 2, 2)
+    assert xy["lift_ppm"] == 2_000_000
+    zw = rows[("w", "z")]  # ordered a < b
+    assert zw["lift_ppm"] == 2_000_000
+    # min_pair_docs prunes: require 3 shared docs -> nothing survives
+    assert token_lift_pairs(docs, min_pair_docs=3).count() == 0
+
+
+def test_token_lift_dup_tokens_count_once_per_doc(spark):
+    from datafusion_pinot_spark.operators.text import token_lift_pairs
+
+    # doc-level DISTINCT: repeating "x y" inside one doc must not inflate
+    docs = _docs(spark, [("x y x y x", "A"), ("x y", "A")])
+    r = token_lift_pairs(docs, min_pair_docs=1).first()
+    assert (r["n_xy"], r["n_x"], r["n_y"]) == (2, 2, 2)
+    # lift = 2*2/(2*2) = 1.0
+    assert r["lift_ppm"] == 1_000_000
+
+
+def test_video_frame_signatures_match_numpy(spark):
+    from datafusion_pinot_spark.operators.multimodal import (
+        video_frame_signatures,
+        with_binary_payload,
+    )
+
+    text = "abcdefgh" * 5  # 40 bytes -> 5 frames of 8, no remainder
+    docs = _docs(spark, [(text, "A"), ("short", "A")])
+    out = video_frame_signatures(
+        with_binary_payload(docs), frame_len=8
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], r["fsum"]))
+    # doc 2 is 5 bytes < frame_len -> no frames at all
+    assert set(by_doc) == {1}
+    a = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+    expect = a.reshape(-1, 8).sum(axis=1)
+    got = [s for _, s in sorted(by_doc[1])]
+    assert got == expect.tolist()
+
+
+def test_video_scene_cuts_detects_jump(spark):
+    from datafusion_pinot_spark.operators.multimodal import video_scene_cuts
+
+    # frame 0: 8 x 'a' (sum 776), frame 1: 8 x 'z' (sum 976) -> delta 200
+    quiet = "aaaaaaaa" * 3
+    jumpy = "aaaaaaaa" + "zzzzzzzz" + "aaaaaaaa"
+    docs = _docs(spark, [(quiet, "A"), (jumpy, "A")])
+    rows = {
+        r["doc_id"]: r
+        for r in video_scene_cuts(docs, frame_len=8, threshold=150).collect()
+    }
+    assert rows[1]["n_cuts"] == 0 and rows[1]["max_delta"] == 0
+    assert rows[2]["n_cuts"] == 2  # a->z and z->a
+    assert rows[2]["max_delta"] == 8 * (ord("z") - ord("a"))
+    assert rows[2]["n_frames"] == 3
+
+
+# ---- regression tests for the round-9 ADVICE fixes ----
+
+
+def test_epoch_upsample_chunked_explode_crosses_chunk_boundary(spark):
+    """A tiny source upsampled far past the 4096-epoch chunk size must
+    emit exactly target-many rows — the chunked two-level explode is
+    semantically identical to the old single sequence()."""
+    from datafusion_pinot_spark.operators.curation import (
+        epoch_upsample_report,
+    )
+
+    big_n, small_n = 9000, 2  # n_rep per small doc = 4500 > 4096
+    rows = [(f"doc {i}", "big") for i in range(big_n)] + [
+        ("tiny one", "small"),
+        ("tiny two", "small"),
+    ]
+    docs = _docs(spark, rows)
+    got = {r["source"]: r for r in epoch_upsample_report(docs).collect()}
+    assert got["big"]["n_emitted"] == big_n
+    assert got["small"]["n_emitted"] == big_n  # 2 docs x 4500 epochs
+    assert got["small"]["n_unique"] == small_n
+
+
+def test_domain_token_budget_zero_token_corpus_is_empty(spark):
+    from datafusion_pinot_spark.operators.curation import domain_token_budget
+
+    docs = _docs(spark, [("", "A"), ("   ", "B")])
+    assert domain_token_budget(docs).count() == 0
+
+
+def test_value_counts_raises_on_missing_column_segment(spark, tmp_path):
+    """A segment written before the column existed must fail the
+    value_counts read loudly (silently skipping it would return
+    incomplete GROUP BY counts)."""
+    from datafusion_pinot_spark.sources import register_pinot_source
+    from pinot_segment.metadata import DataType
+    from pinot_segment.writer import ColumnSpec, write_segment
+
+    register_pinot_source(spark)
+    table = tmp_path / "t_OFFLINE"
+    write_segment(
+        str(table / "seg_old"),
+        "seg_old",
+        "t",
+        [ColumnSpec("k", DataType.INT, [1, 2])],
+    )
+    write_segment(
+        str(table / "seg_new"),
+        "seg_new",
+        "t",
+        [
+            ColumnSpec("k", DataType.INT, [3, 4]),
+            ColumnSpec("extra", DataType.INT, [7, 8]),
+        ],
+    )
+    with pytest.raises(Exception, match="absent from segment"):
+        (
+            spark.read.format("pinot")
+            .option("value_counts", "extra")
+            .load(str(table))
+            .collect()
+        )
+
+
+def test_dictionary_groupby_composite_requires_common_segments(spark):
+    """The composite-key dict group-by must validate every key column over
+    the SAME segment set (guards the dirs-overwrite hazard)."""
+    from datafusion_pinot_spark.operators import segment_distinct as sd
+
+    calls = []
+    real = sd._dict_nullfree_everywhere
+
+    def fake(table_dir, name):
+        calls.append(name)
+        # simulate a helper that returns DIFFERENT segment lists per column
+        return (["/seg/a"], 2) if name == "x" else (["/seg/b"], 2)
+
+    sd._dict_nullfree_everywhere, orig = fake, real
+    try:
+        assert sd.dictionary_groupby_count(spark, "/nowhere", "x,y") is None
+    finally:
+        sd._dict_nullfree_everywhere = orig
+    assert calls == ["x", "y"]
