@@ -225,3 +225,163 @@ def purge_segments(
 
         _update_manifest_after_commit(table_dir, {})
     return {"removed_segments": sorted(removed), "kept_segments": kept}
+
+
+def delete_rows(
+    spark: SparkSession, table_dir: str, column: str, lo, hi
+) -> dict:
+    """Row-level range deletion (GDPR erasure / predicate delete, beyond
+    the reference): physically remove every row with ``lo <= column <=
+    hi`` (NULLs never match, SQL semantics). Pinot itself has no row
+    deletes outside upsert-tombstones; this is the lakehouse-grade
+    rewrite, triaged by zone maps so the work is proportional to the
+    AFFECTED data, not the table:
+
+    - *Driver-side triage is O(segments) over the manifest* (zero opens
+      when fresh): a segment whose [min, max] misses the range entirely
+      is UNTOUCHED (bytes never read or written); one fully inside the
+      range with no NULLs is DROPPED whole (directory remove, no row
+      work — the purge_segments economics); only straddlers REWRITE.
+    - *Rewrites fan out one Spark task per segment* (``mapInPandas`` over
+      the straddler list, the compact_table pattern): each task reads its
+      segment, builds the keep mask, and writes the replacement through
+      ``pinot_segment.compact.filter_segment`` — which preserves the
+      physical column config (RAW/dict, MV, nulls, indexes, partition
+      map) and keeps sorted segments sorted. No data moves through the
+      driver.
+    - *Commit is rename-based* under the reader-skipped ``tmp/`` dir,
+      then members drop and the manifest updates incrementally from
+      task-computed stats — same non-atomicity caveat as compact_table
+      (run in a maintenance window).
+
+    Returns {"dropped": [...], "rewritten": [...], "untouched": N,
+    "rows_deleted": int}.
+    """
+    from datafusion_pinot_spark.sources.pinot_datasource import (
+        _update_manifest_after_commit,
+    )
+    from pinot_segment import SegmentReader, manifest as M
+
+    stats = M.load_manifest(table_dir) or {}
+    drop: list[str] = []
+    rewrite: list[str] = []
+    untouched = 0
+    dropped_rows = 0
+    for v3 in M._segment_v3_dirs(table_dir):
+        key = M._seg_key(v3)
+        st = stats.get(key) or {}
+        cs = st.get("columns", {}).get(column)
+        if cs is not None and "min" in cs and "max" in cs:
+            mn, mx = cs["min"], cs["max"]
+            has_nulls = bool(cs.get("has_nulls", True))
+            docs = int(st.get("total_docs", 0))
+        else:
+            reader = SegmentReader.open(v3)
+            mm = reader.column_min_max(column)
+            cm = reader.metadata.get_column(column)
+            docs = reader.total_docs()
+            if mm is None or cm is None:
+                rewrite.append(key)  # no stats: inspect rows, never guess
+                continue
+            mn, mx = (v.item() if hasattr(v, "item") else v for v in mm)
+            has_nulls = bool(cm.has_null_values)
+        if mx < lo or mn > hi:
+            untouched += 1
+        elif lo <= mn and mx <= hi and not has_nulls:
+            # provably all rows match and none are NULL -> whole-segment
+            # drop, the purge economics (no row-level work at all)
+            drop.append(key)
+            dropped_rows += docs
+        else:
+            rewrite.append(key)
+
+    table_name = os.path.basename(table_dir.rstrip("/")).replace(
+        "_OFFLINE", ""
+    ).replace("_REALTIME", "")
+    tmp_dir = os.path.join(table_dir, "tmp")
+    new_stats: dict = {}
+    rewritten: list[str] = []
+    if rewrite:
+        os.makedirs(tmp_dir, exist_ok=True)
+        rows = [(i, name) for i, name in enumerate(sorted(rewrite))]
+        sdf = spark.createDataFrame(
+            rows, "task_id int, segment string"
+        ).repartition(len(rows), "task_id")
+
+        def rewrite_one(batches):
+            import uuid
+
+            import numpy as np
+            import pandas as pd
+
+            from pinot_segment.compact import filter_segment
+            from pinot_segment.manifest import collect_segment_stats
+
+            for pdf in batches:
+                out = []
+                for _, row in pdf.iterrows():
+                    seg = row["segment"]
+                    v3 = os.path.join(table_dir, seg, "v3")
+                    reader = SegmentReader.open(v3)
+                    vals = np.asarray(reader.read_column(column))
+                    matches = (vals >= lo) & (vals <= hi)
+                    nm = reader.null_mask(column)
+                    if nm is not None:
+                        matches &= ~nm  # NULL never matches the predicate
+                    keep = ~matches
+                    if keep.all():
+                        out.append(
+                            {"segment": seg, "new_name": "", "stats": "",
+                             "deleted": 0}
+                        )
+                        continue
+                    if not keep.any():
+                        out.append(
+                            {"segment": seg, "new_name": None, "stats": "",
+                             "deleted": int(len(keep))}
+                        )
+                        continue
+                    name = f"{seg}_del{uuid.uuid4().hex[:8]}"
+                    staged = os.path.join(tmp_dir, name)
+                    nv3 = filter_segment(v3, staged, name, table_name, keep)
+                    out.append(
+                        {
+                            "segment": seg,
+                            "new_name": name,
+                            "stats": json.dumps(
+                                collect_segment_stats(str(nv3))
+                            ),
+                            "deleted": int((~keep).sum()),
+                        }
+                    )
+                yield pd.DataFrame(out)
+
+        results = sdf.mapInPandas(
+            rewrite_one,
+            "segment string, new_name string, stats string, deleted long",
+        ).collect()
+        for r in results:
+            dropped_rows += int(r["deleted"])
+            if r["new_name"] == "":
+                continue  # zone maps were conservative; nothing matched
+            if r["new_name"] is None:
+                drop.append(r["segment"])  # every row matched after all
+                continue
+            os.replace(
+                os.path.join(tmp_dir, r["new_name"]),
+                os.path.join(table_dir, r["new_name"]),
+            )
+            shutil.rmtree(
+                os.path.join(table_dir, r["segment"]), ignore_errors=True
+            )
+            rewritten.append(r["segment"])
+            new_stats[r["new_name"]] = json.loads(r["stats"])
+    for seg in drop:
+        shutil.rmtree(os.path.join(table_dir, seg), ignore_errors=True)
+    _update_manifest_after_commit(table_dir, new_stats)
+    return {
+        "dropped": sorted(drop),
+        "rewritten": sorted(rewritten),
+        "untouched": untouched,
+        "rows_deleted": dropped_rows,
+    }

@@ -1150,3 +1150,55 @@ SELECT n_copies AS group_size,
        CAST(count(*) AS BIGINT) AS n_groups,
        CAST(n_copies * count(*) AS BIGINT) AS n_docs
 FROM groups GROUP BY n_copies ORDER BY group_size"""
+
+
+def canonical_keep_report(docs: DataFrame) -> DataFrame:
+    """Canonical-document selection over exact-duplicate groups — the
+    retention step that follows dedup detection in a real pipeline: each
+    md5(text) group keeps ONE canonical copy (the longest document,
+    ``n_chars`` desc, ties broken by smallest doc_id — "best quality
+    wins" with a deterministic tiebreak) and drops the rest. The report
+    rolls kept/dropped counts up per source, which is the number a
+    mixture designer actually reads (which crawls are net losers to
+    dedup?).
+
+    Scale shape: one hash shuffle on the content key, a row_number
+    window inside each (bounded) duplicate group, then a map-side-
+    combined per-source rollup. No pairwise comparisons anywhere —
+    this is the grouping half of dedup, the LSH tiers handle near-dups."""
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("key"),
+        "n_chars",
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("key").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rk") == 1).cast("bigint")).alias("n_kept"),
+            F.sum((F.col("rk") > 1).cast("bigint")).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+def canonical_keep_report_oracle_sql() -> str:
+    return """
+WITH ranked AS (
+  SELECT source,
+         row_number() OVER (
+           PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY source ORDER BY source"""

@@ -7,7 +7,7 @@ per-row maps with no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from datafusion_pinot_spark.functions import tokens
 
@@ -1000,3 +1000,80 @@ SELECT wa AS token_a, wb AS token_b,
 FROM pairs
 ORDER BY lift_ppm DESC, token_a ASC, token_b ASC LIMIT {k}
 """
+
+
+def vocab_growth_curve(docs: DataFrame, bucket_docs: int = 100) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct-token count
+    vs cumulative token count over the corpus in ingestion order
+    (``doc_id``), bucketed every ``bucket_docs`` documents — the
+    diagnostic that says whether a crawl is still contributing new
+    vocabulary or has gone redundant (sub-linear growth flattening is the
+    "diminishing returns" signal mixture designers act on).
+
+    Exact integers throughout: a token's first sighting is ``min(doc_id)``
+    (one map-side-combined agg over the doc-token distinct set — no
+    order-dependent scan), so new-type counts per bucket are
+    deterministic; the cumulative sums run over the tiny bucket frame.
+
+    Scale shape: one distinct shuffle on (token) with a min combiner, one
+    map-side-combined occurrence count per bucket, then windows over
+    N/bucket_docs rows. The corpus never sorts globally."""
+    from datafusion_pinot_spark.functions import tokens
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    bucket = lambda c: F.expr(f"CAST(({c} - 1) DIV {bucket_docs} AS BIGINT)")
+    first = (
+        toks.groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .select(bucket("first_doc").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    occ = (
+        toks.select(bucket("doc_id").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        occ.join(first, "bucket", "left")
+        .withColumn("new_types", F.coalesce("new_types", F.lit(0)))
+        .select(
+            "bucket",
+            "n_tokens",
+            "new_types",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_types").over(w).cast("long").alias("cum_types"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def vocab_growth_curve_oracle_sql(bucket_docs: int = 100) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''))
+           AS w
+  FROM documents WHERE length(trim(text)) > 0
+), first AS (
+  SELECT CAST((first_doc - 1) // {bucket_docs} AS BIGINT) AS bucket,
+         count(*) AS new_types
+  FROM (SELECT w, min(doc_id) AS first_doc FROM toks GROUP BY w) f
+  GROUP BY 1
+), occ AS (
+  SELECT CAST((doc_id - 1) // {bucket_docs} AS BIGINT) AS bucket,
+         count(*) AS n_tokens
+  FROM toks GROUP BY 1
+)
+SELECT o.bucket, CAST(o.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(f.new_types, 0) AS BIGINT) AS new_types,
+       CAST(sum(o.n_tokens) OVER (ORDER BY o.bucket) AS BIGINT)
+         AS cum_tokens,
+       CAST(sum(coalesce(f.new_types, 0)) OVER (ORDER BY o.bucket)
+            AS BIGINT) AS cum_types
+FROM occ o LEFT JOIN first f ON o.bucket = f.bucket
+ORDER BY o.bucket"""

@@ -2274,9 +2274,82 @@ def _register_llm():
         "llm",
         ["multimodal", "window", "kernel"],
     )(lambda spark, sf: multimodal.video_scene_cuts(_docs(spark, sf)))
+    # r9: Heaps'-law vocabulary growth curve — cumulative distinct tokens
+    # vs cumulative token count in ingestion order; the crawl-redundancy
+    # diagnostic. First-sighting via min(doc_id), all integers.
+    register(
+        "vocab_growth_curve",
+        text.vocab_growth_curve_oracle_sql(),
+        "llm",
+        ["text", "diversity", "window"],
+    )(lambda spark, sf: text.vocab_growth_curve(_docs(spark, sf)))
+    # r9: canonical-document selection over exact-dup groups (longest
+    # wins, deterministic tiebreak) rolled up per source — the retention
+    # step after dedup detection.
+    register(
+        "canonical_keep_report",
+        dedup.canonical_keep_report_oracle_sql(),
+        "llm",
+        ["dedup", "curation", "window"],
+    )(lambda spark, sf: dedup.canonical_keep_report(_docs(spark, sf)))
 
 
 _register_llm()
+
+
+@register(
+    "pinot_predicate_delete",
+    """WITH kept AS (
+         SELECT l_orderkey, l_partkey, l_returnflag FROM lineitem
+         WHERE NOT (l_orderkey >= 200 AND l_orderkey <= 1700)
+       )
+       SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+              CAST(sum(l_partkey) AS BIGINT) AS sum_pkey
+       FROM kept GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "parity",
+    ["pinot", "storage", "maintenance", "delete"],
+)
+def q_pinot_predicate_delete(spark, sf):
+    """r9: row-level range deletion (GDPR erasure) through storage — the
+    lineitem projection lands as a RANGE-partitioned pinot table (8
+    segments with disjoint l_orderkey zones), ``maintenance.delete_rows``
+    erases l_orderkey in [200, 1700], and the surviving table reads back
+    through the pinot source for a per-flag rollup. The zone-map triage
+    is exercised for real: with disjoint ranges some segments drop whole
+    (fully inside), one straddles (rewrites through
+    pinot_segment.compact.filter_segment), and the rest never open. The
+    hash gate proves byte-level erasure correctness end to end: rewrite
+    the wrong rows anywhere and the rollup hash diverges."""
+    import tempfile
+
+    from datafusion_pinot_spark.maintenance import delete_rows
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="pdel_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_returnflag")
+        .repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    delete_rows(spark, out, "l_orderkey", 200, 1700)
+    return (
+        spark.read.format("pinot")
+        .option("segments_per_partition", "2")
+        .load(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").cast("long").alias("sum_okey"),
+            F.sum("l_partkey").cast("long").alias("sum_pkey"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 def _register_validation():
@@ -7608,6 +7681,17 @@ DRIVER_WINDOW: list[str] = [
     # semantics stay window-covered by streaming_funnel_totals +
     # stream_upsert_enrich). --
     "simpson_source_diversity",  # r9: Simpson/effective-source diversity
+    # -- r9 batch 2. Slots freed by rotating out three more twice-green
+    # (r07+r08) veterans: pinot_partition_pruned_lookup (partition-map
+    # planning stays pytest-pinned by test_partition_map.py),
+    # pinot_sql_join_storage (multi-table SQL over storage stays
+    # window-covered by pinot_table_diff + stream_upsert_enrich),
+    # pinot_head_topk (head/tail pushdown stays benched every round via
+    # the topk_head probe pair and pytest-pinned by
+    # test_head_pushdown.py). --
+    "pinot_predicate_delete",  # r9: GDPR range delete via zone-map triage
+    "vocab_growth_curve",  # r9: Heaps-law cumulative vocabulary curve
+    "canonical_keep_report",  # r9: keep-best-per-dup-group retention
     "halflife_event_mass",  # r9: power-of-two recency decay mass
     "t_closeness_audit",  # r9: sensitive-distribution TVD privacy audit
     "label_prop_communities",  # r9: 2-round min-label propagation
@@ -7745,8 +7829,8 @@ DRIVER_WINDOW: list[str] = [
     # five sibling index-scan queries remain in the window.)
     "pinot_groupby_pair_from_dict",  # r8: composite-key dict-served GROUP BY
     # (r9 rotation, twice-green) "pinot_mv_inverted_scan",  # r6c4: MV inverted index + mv_contains
-    "pinot_head_topk",  # r6c4: sorted-layout top-k head pushdown
-    "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
+    # (r9 rotation, twice-green) "pinot_head_topk",  # r6c4: sorted-layout top-k head pushdown
+    # (r9 rotation, twice-green) "pinot_partition_pruned_lookup",  # r6: partition-map planning prune
     # (pinot_upsert_latest rotated out for the r8 dictionary group-by:
     # r07-green, and last-wins upsert semantics stay window-covered by
     # stream_upsert_enrich, whose hash gate reads through the same
@@ -7755,7 +7839,7 @@ DRIVER_WINDOW: list[str] = [
     # (r9 rotation, twice-green) "equi_depth_price_histogram",  # r6c4: two-pass global-rank quantile hist
     # (r9 rotation, twice-green) "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
     "scd2_user_state",  # r6c4: gaps-and-islands SCD2 build
-    "pinot_sql_join_storage",  # r6: multi-table SQL over pinot catalog
+    # (r9 rotation, twice-green) "pinot_sql_join_storage",  # r6: multi-table SQL over pinot catalog
     # (pinot_hll_sketch_rollup deferred to the pytest tier: rows-only by
     # design — Datasketches binaries have no DuckDB equivalent — so its
     # driver row could only prove "runs"; the slot goes to the

@@ -282,3 +282,95 @@ def _writeback(cols: dict, frame) -> None:
             cols[name]["values"] = list(out)
         else:
             cols[name]["values"] = out
+
+
+def filter_segment(
+    member_dir: str,
+    segment_dir: str | Path,
+    segment_name: str,
+    table_name: str,
+    keep_mask: np.ndarray,
+) -> Path:
+    """Rewrite ONE segment keeping only the rows where ``keep_mask`` is
+    True — the storage kernel of row-level deletion (GDPR erasure /
+    predicate delete). Preserves each column's physical configuration the
+    same way :func:`merge_segments` does (RAW vs dictionary, multi-value,
+    nullability, index set, partition map); sortedness is re-detected by
+    the writer and a sorted segment stays sorted (filtering preserves
+    order). Spark-free, like everything in this module — orchestration
+    (zone-map triage, fan-out, commit) lives in maintenance.delete_rows.
+    """
+    reader = SegmentReader.open(member_dir)
+    n = reader.total_docs()
+    keep_mask = np.asarray(keep_mask, dtype=bool)
+    if keep_mask.shape != (n,):
+        raise ValueError(
+            f"keep_mask length {keep_mask.shape} != total_docs {n}"
+        )
+    if not keep_mask.any():
+        raise ValueError(
+            "filter_segment keeps zero rows — drop the whole segment "
+            "instead of writing an empty one"
+        )
+    idx = np.flatnonzero(keep_mask)
+
+    specs = []
+    for name in reader.column_names():
+        m = reader.metadata.get_column(name)
+        dt = m.data_type
+        raw = not m.has_dictionary
+        mv = not m.is_single_value
+        values = reader.read_column(name)
+        if mv:
+            values = [values[i] for i in idx]
+        elif isinstance(values, np.ndarray):
+            values = values[keep_mask]
+        else:
+            values = [values[i] for i in idx]
+        null_mask = None
+        if m.has_null_values:
+            nm = reader.null_mask(name)
+            if nm is not None:
+                nm = nm[keep_mask]
+                null_mask = nm if nm.any() else None
+        partition_config = (
+            (m.partition_function, m.num_partitions)
+            if m.partition_function is not None
+            else None
+        )
+        compression = (
+            LZ4_LENGTH_PREFIXED
+            if raw and dt in (DataType.STRING, DataType.BYTES)
+            else PASS_THROUGH
+        )
+        specs.append(
+            ColumnSpec(
+                name,
+                dt,
+                values,
+                raw=raw,
+                compression=compression,
+                multi_value=mv,
+                null_mask=null_mask,
+                inverted=m.has_inverted_index and not raw and not mv,
+                bloom=m.has_bloom_filter and not mv,
+                text_index=m.has_text_index
+                and not mv
+                and dt is DataType.STRING,
+                range_index=m.has_range_index
+                and not mv
+                and dt
+                in (
+                    DataType.INT,
+                    DataType.LONG,
+                    DataType.TIMESTAMP,
+                    DataType.FLOAT,
+                    DataType.DOUBLE,
+                ),
+                json_index=m.has_json_index
+                and not mv
+                and dt is DataType.STRING,
+                partition_config=partition_config,
+            )
+        )
+    return write_segment(segment_dir, segment_name, table_name, specs)

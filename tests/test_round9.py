@@ -295,3 +295,165 @@ def test_dictionary_groupby_composite_requires_common_segments(spark):
     finally:
         sd._dict_nullfree_everywhere = orig
     assert calls == ["x", "y"]
+
+
+# ---- round-9 batch 2: predicate delete, vocab growth, canonical keep ----
+
+
+def test_filter_segment_preserves_layout(tmp_path):
+    """Storage kernel: filtering keeps values/nulls aligned, preserves
+    the physical config, and keeps a sorted segment sorted."""
+    import numpy as np
+
+    from pinot_segment import SegmentReader
+    from pinot_segment.compact import filter_segment
+    from pinot_segment.metadata import DataType
+    from pinot_segment.writer import ColumnSpec, write_segment
+
+    nulls = np.array([False, True, False, False, False, False], dtype=bool)
+    v3 = write_segment(
+        str(tmp_path / "s0"),
+        "s0",
+        "t",
+        [
+            ColumnSpec(
+                "k",
+                DataType.LONG,
+                np.array([1, 2, 3, 4, 5, 6], dtype=np.int64),
+                inverted=True,
+            ),
+            ColumnSpec(
+                "v",
+                DataType.LONG,
+                np.array([10, 0, 30, 40, 50, 60], dtype=np.int64),
+                null_mask=nulls,
+            ),
+            ColumnSpec("s", DataType.STRING, list("abcdef")),
+        ],
+    )
+    keep = np.array([True, True, False, False, True, True])
+    nv3 = filter_segment(str(v3), str(tmp_path / "s0f"), "s0f", "t", keep)
+    r = SegmentReader.open(str(nv3))
+    assert r.total_docs() == 4
+    assert list(r.read_column("k")) == [1, 2, 5, 6]
+    assert list(r.read_column("s")) == ["a", "b", "e", "f"]
+    nm = r.null_mask("v")
+    assert nm is not None and list(nm) == [False, True, False, False]
+    km = r.metadata.get_column("k")
+    assert km.has_inverted_index
+    assert km.is_sorted  # order preserved -> writer re-detects sorted
+    # zero-row filters are refused (caller drops the segment instead)
+    with pytest.raises(ValueError, match="zero rows"):
+        filter_segment(
+            str(v3), str(tmp_path / "s0z"), "s0z", "t", np.zeros(6, bool)
+        )
+
+
+def test_delete_rows_triage_and_results(spark, tmp_path):
+    """Zone-map triage: disjoint segments never touched, fully-covered
+    segments drop whole, straddlers rewrite — and the surviving rows are
+    exactly NOT (lo <= k <= hi)."""
+    import numpy as np
+
+    from datafusion_pinot_spark.maintenance import delete_rows
+    from datafusion_pinot_spark.sources import register_pinot_source
+    from pinot_segment.manifest import refresh_manifest
+    from pinot_segment.metadata import DataType
+    from pinot_segment.writer import ColumnSpec, write_segment
+
+    register_pinot_source(spark)
+    table = tmp_path / "t_OFFLINE"
+    ranges = {"s_low": (0, 9), "s_mid": (10, 19), "s_high": (20, 29)}
+    for name, (a, b) in ranges.items():
+        ks = np.arange(a, b + 1, dtype=np.int64)
+        write_segment(
+            str(table / name),
+            name,
+            "t",
+            [
+                ColumnSpec("k", DataType.LONG, ks),
+                ColumnSpec("v", DataType.LONG, ks * 100),
+            ],
+        )
+    refresh_manifest(str(table))
+    # delete k in [10, 24]: s_low untouched, s_mid dropped whole,
+    # s_high straddles (20..24 go, 25..29 stay)
+    out = delete_rows(spark, str(table), "k", 10, 24)
+    assert out["untouched"] == 1
+    assert out["dropped"] == ["s_mid"]
+    assert out["rewritten"] == ["s_high"]
+    assert out["rows_deleted"] == 15
+    got = sorted(
+        r["k"]
+        for r in spark.read.format("pinot").load(str(table)).collect()
+    )
+    assert got == list(range(0, 10)) + list(range(25, 30))
+    # deleting an absent range is a metadata-only no-op
+    out2 = delete_rows(spark, str(table), "k", 1000, 2000)
+    assert out2["rows_deleted"] == 0 and not out2["rewritten"]
+
+
+def test_delete_rows_keeps_null_rows(spark, tmp_path):
+    """NULL never matches the predicate: a fully-covered segment with a
+    nullable delete column must REWRITE (keeping null rows), not drop."""
+    import numpy as np
+
+    from datafusion_pinot_spark.maintenance import delete_rows
+    from datafusion_pinot_spark.sources import register_pinot_source
+    from pinot_segment.manifest import refresh_manifest
+    from pinot_segment.metadata import DataType
+    from pinot_segment.writer import ColumnSpec, write_segment
+
+    register_pinot_source(spark)
+    table = tmp_path / "t_OFFLINE"
+    nulls = np.array([False, False, True, False], dtype=bool)
+    write_segment(
+        str(table / "s0"),
+        "s0",
+        "t",
+        [
+            ColumnSpec(
+                "k", DataType.LONG, np.array([1, 2, 0, 3], dtype=np.int64),
+                null_mask=nulls,
+            ),
+            ColumnSpec(
+                "tag", DataType.LONG, np.array([7, 8, 9, 10], dtype=np.int64)
+            ),
+        ],
+    )
+    refresh_manifest(str(table))
+    out = delete_rows(spark, str(table), "k", 0, 100)
+    assert out["dropped"] == [] and len(out["rewritten"]) == 1
+    assert out["rows_deleted"] == 3
+    rows = spark.read.format("pinot").load(str(table)).collect()
+    assert len(rows) == 1 and rows[0]["k"] is None and rows[0]["tag"] == 9
+
+
+def test_vocab_growth_hand_values(spark):
+    from datafusion_pinot_spark.operators.text import vocab_growth_curve
+
+    # bucket_docs=2: bucket0 = docs 1-2, bucket1 = docs 3-4
+    docs = _docs(
+        spark, [("a b", "s"), ("a c", "s"), ("a b", "s"), ("d", "s")]
+    )
+    rows = {r["bucket"]: r for r in vocab_growth_curve(docs, 2).collect()}
+    b0, b1 = rows[0], rows[1]
+    assert (b0["n_tokens"], b0["new_types"]) == (4, 3)  # a,b,c new
+    assert (b1["n_tokens"], b1["new_types"]) == (3, 1)  # only d new
+    assert (b1["cum_tokens"], b1["cum_types"]) == (7, 4)
+
+
+def test_canonical_keep_hand_values(spark):
+    from datafusion_pinot_spark.operators.dedup import canonical_keep_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "en", "A", 9),
+            (2, "same text", "en", "B", 9),  # dup of 1 -> loses (doc_id)
+            (3, "unique", "en", "B", 6),
+        ],
+        DOCS_SCHEMA,
+    )
+    rows = {r["source"]: r for r in canonical_keep_report(docs).collect()}
+    assert (rows["A"]["n_kept"], rows["A"]["n_dropped"]) == (1, 0)
+    assert (rows["B"]["n_kept"], rows["B"]["n_dropped"]) == (1, 1)
