@@ -1202,3 +1202,118 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM ranked GROUP BY source ORDER BY source"""
+
+
+def jaccard_prefix_join(
+    docs: DataFrame, t_ppm: int = 600_000, k: int = 50
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join via prefix filtering
+    (PPJoin-family, Chaudhuri et al. 2006 / Xiao et al. 2008, public) —
+    the lossless alternative to MinHash-LSH: two documents with
+    ``J >= t`` must share at least one token among each side's first
+    ``floor((1-t)|d|) + 1`` tokens in a GLOBAL rarest-first order, so
+    candidate generation only joins on those prefix tokens and the
+    verified result equals the naive all-token join exactly (which is
+    what the DuckDB oracle computes — hash-equality IS the losslessness
+    proof). Top-``k`` pairs by (jaccard desc, doc_a, doc_b), similarity
+    as exact integer ppm.
+
+    Scale shape: one distinct shuffle builds the doc-token set; the
+    global frequency order is a broadcast-joined count; prefix tokens
+    are by construction the RAREST in each document, so the candidate
+    equi-join fans out by rare-token frequency, not vocabulary size —
+    the standard prefix-filter bound. Verification joins full token sets
+    only for candidate pairs (semi-join pushdown), never all pairs."""
+    from datafusion_pinot_spark.functions import tokens
+
+    dt = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).distinct()
+    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = dt.groupBy("w").agg(F.count(F.lit(1)).alias("fr"))
+    ranked = (
+        dt.join(F.broadcast(freq), "w")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.asc("fr"), F.asc("w")
+                )
+            ),
+        )
+        .join(F.broadcast(sizes), "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.expr(f"CAST(floor((1000000 - {t_ppm}) * sz / 1000000) AS INT) + 1")
+    ).select("doc_id", "w")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(dt.select(F.col("doc_id").alias("da"), "w"), "da")
+        .join(dt.select(F.col("doc_id").alias("db"), "w"), ["db", "w"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = F.broadcast(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("size_a")))
+    sb = F.broadcast(sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("size_b")))
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "n_inter",
+            "size_a",
+            "size_b",
+            F.expr(
+                "CAST(n_inter * 1000000 DIV (size_a + size_b - n_inter)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= t_ppm)
+        .orderBy(F.desc("jaccard_ppm"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(k)
+    )
+
+
+def jaccard_prefix_join_oracle_sql(t_ppm: int = 600_000, k: int = 50) -> str:
+    """The NAIVE all-token join — no prefix filter. Hash-equality with the
+    engine result proves the prefix filter is lossless."""
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''))
+           AS w
+  FROM documents WHERE length(trim(text)) > 0
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM dt a JOIN dt b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), scored AS (
+  SELECT doc_a, doc_b, n_inter, sa.sz AS size_a, sb.sz AS size_b,
+         CAST(n_inter * 1000000 // (sa.sz + sb.sz - n_inter) AS BIGINT)
+           AS jaccard_ppm
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(size_a AS BIGINT) AS size_a, CAST(size_b AS BIGINT) AS size_b,
+       jaccard_ppm
+FROM scored WHERE jaccard_ppm >= {t_ppm}
+ORDER BY jaccard_ppm DESC, doc_a ASC, doc_b ASC LIMIT {k}
+"""

@@ -2292,9 +2292,78 @@ def _register_llm():
         "llm",
         ["dedup", "curation", "window"],
     )(lambda spark, sf: dedup.canonical_keep_report(_docs(spark, sf)))
+    # r9: EXACT set-similarity join via prefix filtering (PPJoin family)
+    # — the oracle is the NAIVE all-token join, so hash equality proves
+    # the prefix filter lossless.
+    register(
+        "jaccard_prefix_join",
+        dedup.jaccard_prefix_join_oracle_sql(),
+        "llm",
+        ["dedup", "similarity", "join"],
+    )(lambda spark, sf: dedup.jaccard_prefix_join(_docs(spark, sf)))
 
 
 _register_llm()
+
+
+@register(
+    "pinot_rollup_refresh",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(l_orderkey) AS BIGINT) AS sum_l_orderkey,
+              CAST(sum(l_partkey) AS BIGINT) AS sum_l_partkey,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    "parity",
+    ["pinot", "storage", "maintenance", "mv"],
+)
+def q_pinot_rollup_refresh(spark, sf):
+    """r9: incremental materialized-view maintenance through storage —
+    the base table lands in two INGESTS (initial write, then an append
+    of the held-out third), and ``maintenance.refresh_rollup_mv`` folds
+    each ingest into a keyed SUM/COUNT rollup MV reading ONLY the delta
+    segments (the second refresh never reopens the first ingest's
+    segments). The returned MV must hash-equal a full GROUP BY over all
+    of lineitem — associative folding proven end to end, the 100 TB
+    refresh economics (rescan yesterday's ingest, not the corpus)."""
+    import tempfile
+
+    from datafusion_pinot_spark.maintenance import refresh_rollup_mv
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    root = tempfile.mkdtemp(prefix="mvr_")
+    base = os.path.join(root, "li_OFFLINE")
+    mv_dir = os.path.join(root, "li_mv")
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_linestatus"
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    metrics = ["l_orderkey", "l_partkey"]
+    (
+        li.filter(F.col("l_orderkey") % 3 != 0)
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(base)
+    )
+    refresh_rollup_mv(spark, base, mv_dir, keys, metrics)
+    (
+        li.filter(F.col("l_orderkey") % 3 == 0)
+        .repartition(2)
+        .write.format("pinot")
+        .mode("append")
+        .save(base)
+    )
+    out = refresh_rollup_mv(spark, base, mv_dir, keys, metrics)
+    assert out["refreshed"] and len(out["delta_segments"]) == 2
+    return (
+        spark.read.format("pinot")
+        .load(os.path.join(mv_dir, "mv_OFFLINE"))
+        .select("l_returnflag", "l_linestatus", "sum_l_orderkey",
+                "sum_l_partkey", "cnt")
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 @register(
@@ -7692,6 +7761,14 @@ DRIVER_WINDOW: list[str] = [
     "pinot_predicate_delete",  # r9: GDPR range delete via zone-map triage
     "vocab_growth_curve",  # r9: Heaps-law cumulative vocabulary curve
     "canonical_keep_report",  # r9: keep-best-per-dup-group retention
+    # -- r9 batch 3. Slots freed by rotating out two more twice-green
+    # (r07+r08) veterans: scd2_user_state (gaps-and-islands SCD2 stays
+    # pytest-pinned; the point-in-time sibling is too) and
+    # pinot_quantile_sketch_rollup (rank-sampled quantile columns stay
+    # pytest-pinned; the store-then-merge MV economics are now
+    # window-covered by pinot_rollup_refresh itself). --
+    "jaccard_prefix_join",  # r9: lossless prefix-filtered set-sim join
+    "pinot_rollup_refresh",  # r9: incremental MV refresh, delta-only read
     "halflife_event_mass",  # r9: power-of-two recency decay mass
     "t_closeness_audit",  # r9: sensitive-distribution TVD privacy audit
     "label_prop_communities",  # r9: 2-round min-label propagation
@@ -7838,14 +7915,14 @@ DRIVER_WINDOW: list[str] = [
     "pinot_groupby_from_dict",  # r8: GROUP BY served from dictionaries
     # (r9 rotation, twice-green) "equi_depth_price_histogram",  # r6c4: two-pass global-rank quantile hist
     # (r9 rotation, twice-green) "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
-    "scd2_user_state",  # r6c4: gaps-and-islands SCD2 build
+    # (r9 rotation, twice-green) "scd2_user_state",  # r6c4: gaps-and-islands SCD2 build
     # (r9 rotation, twice-green) "pinot_sql_join_storage",  # r6: multi-table SQL over pinot catalog
     # (pinot_hll_sketch_rollup deferred to the pytest tier: rows-only by
     # design — Datasketches binaries have no DuckDB equivalent — so its
     # driver row could only prove "runs"; the slot goes to the
     # deterministic quantile-sketch rollup, the same store-then-merge
     # economics under the full hash gate.)
-    "pinot_quantile_sketch_rollup",  # r6: rank-sampled quantile columns
+    # (r9 rotation, twice-green) "pinot_quantile_sketch_rollup",  # r6: rank-sampled quantile columns
     # (pinot_partitioned_distinct_count rotated out for the r8 upsampler:
     # r07-green, and the distinct-strategy router is window-covered by
     # pinot_metadata_distinct + pinot_dictionary_distinct, which check

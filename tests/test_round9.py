@@ -457,3 +457,84 @@ def test_canonical_keep_hand_values(spark):
     rows = {r["source"]: r for r in canonical_keep_report(docs).collect()}
     assert (rows["A"]["n_kept"], rows["A"]["n_dropped"]) == (1, 0)
     assert (rows["B"]["n_kept"], rows["B"]["n_dropped"]) == (1, 1)
+
+
+# ---- round-9 batch 3: incremental rollup MV, prefix-filter Jaccard ----
+
+
+def test_refresh_rollup_mv_incremental(spark, tmp_path):
+    from datafusion_pinot_spark.maintenance import refresh_rollup_mv
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    base = str(tmp_path / "b_OFFLINE")
+    mv_dir = str(tmp_path / "mv")
+    df1 = spark.createDataFrame(
+        [("x", 1, 10), ("x", 2, 20), ("y", 3, 30)], "k string, a long, b long"
+    )
+    df1.coalesce(1).write.format("pinot").mode("overwrite").save(base)
+    r1 = refresh_rollup_mv(spark, base, mv_dir, ["k"], ["a", "b"])
+    assert r1["refreshed"] and len(r1["delta_segments"]) == 1
+    # append a second ingest; refresh must fold ONLY the new segment
+    df2 = spark.createDataFrame(
+        [("x", 4, 40), ("z", 5, 50)], "k string, a long, b long"
+    )
+    df2.coalesce(1).write.format("pinot").mode("append").save(base)
+    r2 = refresh_rollup_mv(spark, base, mv_dir, ["k"], ["a", "b"])
+    assert r2["refreshed"] and len(r2["delta_segments"]) == 1
+    assert r2["delta_segments"][0] not in r1["delta_segments"]
+    got = {
+        r["k"]: (r["sum_a"], r["sum_b"], r["cnt"])
+        for r in spark.read.format("pinot")
+        .load(mv_dir + "/mv_OFFLINE")
+        .collect()
+    }
+    assert got == {"x": (7, 70, 3), "y": (3, 30, 1), "z": (5, 50, 1)}
+    # no new segments -> refresh is a no-op
+    r3 = refresh_rollup_mv(spark, base, mv_dir, ["k"], ["a", "b"])
+    assert not r3["refreshed"] and r3["delta_segments"] == []
+
+
+def test_jaccard_prefix_join_lossless_vs_bruteforce(spark):
+    """The prefix-filtered join must return EXACTLY the pairs the naive
+    all-pairs computation finds — losslessness on a seeded corpus."""
+    import itertools
+    import random
+
+    from datafusion_pinot_spark.operators.dedup import jaccard_prefix_join
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.sample(vocab, rng.randint(4, 10))) for _ in range(40)
+    ]
+    texts[5] = texts[3]  # exact dup -> J = 1.0
+    docs = _docs(spark, [(t, "s") for t in texts])
+    t_ppm = 400_000
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_ppm"]
+        for r in jaccard_prefix_join(docs, t_ppm=t_ppm, k=10_000).collect()
+    }
+    sets = {i + 1: set(t.split()) for i, t in enumerate(texts)}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        ppm = inter * 1_000_000 // (len(sets[a]) + len(sets[b]) - inter)
+        if ppm >= t_ppm:
+            want[(a, b)] = ppm
+    assert got == want
+    assert got[(4, 6)] == 1_000_000  # the planted exact dup
+
+
+def test_jaccard_prefix_join_threshold_edges(spark):
+    from datafusion_pinot_spark.operators.dedup import jaccard_prefix_join
+
+    # J({a,b,c},{a,b,d}) = 2/4 = 0.5 exactly: included at t=500000 (>=),
+    # excluded at t=500001
+    docs = _docs(spark, [("a b c", "s"), ("a b d", "s")])
+    at = jaccard_prefix_join(docs, t_ppm=500_000).collect()
+    assert len(at) == 1 and at[0]["jaccard_ppm"] == 500_000
+    above = jaccard_prefix_join(docs, t_ppm=500_001).collect()
+    assert above == []
