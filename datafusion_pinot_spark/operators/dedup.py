@@ -1219,11 +1219,15 @@ def jaccard_prefix_join(
     as exact integer ppm.
 
     Scale shape: one distinct shuffle builds the doc-token set; the
-    global frequency order is a broadcast-joined count; prefix tokens
-    are by construction the RAREST in each document, so the candidate
-    equi-join fans out by rare-token frequency, not vocabulary size —
-    the standard prefix-filter bound. Verification joins full token sets
-    only for candidate pairs (semi-join pushdown), never all pairs."""
+    global frequency order and the per-doc sizes join back as PLAIN
+    shuffle joins (both are corpus-derived — vocabulary-sized and
+    doc-count-sized — so forcing a broadcast would be the classic
+    blow-up-the-driver mistake; AQE still picks broadcast when they
+    measure small). Prefix tokens are by construction the RAREST in each
+    document, so the candidate equi-join fans out by rare-token
+    frequency, not vocabulary size — the standard prefix-filter bound.
+    Verification joins full token sets only for candidate pairs
+    (semi-join pushdown), never all pairs."""
     from datafusion_pinot_spark.functions import tokens
 
     dt = docs.select(
@@ -1232,7 +1236,7 @@ def jaccard_prefix_join(
     sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     freq = dt.groupBy("w").agg(F.count(F.lit(1)).alias("fr"))
     ranked = (
-        dt.join(F.broadcast(freq), "w")
+        dt.join(freq, "w")
         .withColumn(
             "rk",
             F.row_number().over(
@@ -1241,7 +1245,7 @@ def jaccard_prefix_join(
                 )
             ),
         )
-        .join(F.broadcast(sizes), "doc_id")
+        .join(sizes, "doc_id")
     )
     prefix = ranked.filter(
         F.col("rk")
@@ -1265,8 +1269,8 @@ def jaccard_prefix_join(
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = F.broadcast(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("size_a")))
-    sb = F.broadcast(sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("size_b")))
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("size_b"))
     return (
         inter.join(sa, "da")
         .join(sb, "db")

@@ -301,3 +301,61 @@ def test_segment_partitioned_distinct_no_value_shuffle(spark, tmp_path):
     # the sum of per-partition counts is a single-row final aggregate;
     # no exchange is keyed on the value column k
     assert "hashpartitioning(k" not in plan
+
+
+# ---- round-9 plan shapes ----
+
+
+def test_t_closeness_broadcasts_bounded_frames(q):
+    # the groups x values grid joins broadcast the bounded global-values
+    # and one-row total frames; the corpus never re-shuffles for them
+    plan = _plan(q("t_closeness_audit"))
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2
+
+
+def test_token_lift_broadcasts_topv_only(q):
+    # the top-V vocabulary (LIMIT 40) broadcasts back to the doc-token
+    # set; the doc_id self-join is a real shuffle join (corpus-sized)
+    plan = _plan(q("token_lift_pairs"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_jaccard_prefix_join_no_forced_broadcast(spark, q):
+    # frequency and size tables are corpus-derived: the operator must not
+    # FORCE a broadcast hint on them — AQE may still pick one at runtime
+    from datafusion_pinot_spark.operators.dedup import jaccard_prefix_join
+    from datafusion_pinot_spark.plans.queries import _docs
+
+    logical = jaccard_prefix_join(
+        _docs(spark, SF_SMOKE)
+    )._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+    plan = _plan(q("jaccard_prefix_join"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_growth_single_bucket_window(q):
+    # the cumulative window runs over the tiny bucket frame, after two
+    # map-side-combined aggs (partial_count before the exchange)
+    plan = _plan(q("vocab_growth_curve"))
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "Window" in plan
+
+
+def test_video_scene_cuts_partitions_window_by_doc(q):
+    # the lag window partitions by doc_id — no single-partition global
+    # sort of the frame stream
+    plan = _plan(q("video_scene_cuts"))
+    assert "MapInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_label_prop_reuses_checkpointed_edges(q):
+    # the two rounds run against the localCheckpointed edge table: the
+    # plan shows scans of an ExistingRDD/LogicalRDD, not three rebuilds
+    # of the distinct+join subtree
+    plan = _plan(q("label_prop_communities"))
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
