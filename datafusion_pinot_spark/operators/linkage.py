@@ -189,3 +189,93 @@ SELECT s.s_suppkey, coalesce(hits.n_customers, 0) AS n_customers
 FROM (SELECT s_suppkey FROM supplier) s
 LEFT JOIN hits ON hits.s_suppkey = s.s_suppkey
 """
+
+
+def entity_cluster_sizes(part: DataFrame, max_dist: int = 2) -> DataFrame:
+    """Entity resolution, completed: connected components over the fuzzy
+    match edges (same-brand names within ``max_dist`` edits), iterated TO
+    CONVERGENCE — not a fixed round count — then rolled up as a cluster
+    size histogram (size, n_clusters), singletons included. This is the
+    step that turns pairwise linkage into entities: A~B and B~C merge
+    A,B,C even when A and C differ by more than the threshold.
+
+    The iteration is synchronous min-label propagation
+    (operators/graph.py's round kernel) with a driver-side convergence
+    check (one count per round — a scalar, not a data path); each round
+    joins against the localCheckpoint'd edge list and cuts lineage. The
+    DuckDB oracle computes the SAME fixpoint non-iteratively via a
+    recursive transitive-closure CTE — the catalog's only converged-
+    fixpoint hash gate, so the loop's termination condition itself is
+    verified, not just K unrolled rounds.
+
+    Scale shape: edges come from the blocked join (sum-of-squares over
+    block sizes, capped); each round is one co-partitioned join +
+    map-side-combined min over the node set. Rounds ~ component
+    diameter, which linkage graphs keep tiny."""
+    from datafusion_pinot_spark.operators.graph import _label_round
+
+    pairs = blocked_levenshtein_pairs(part, max_dist, warn_dropped=False)
+    e = pairs.select(F.col("a_key").alias("src"), F.col("b_key").alias("dst"))
+    edges = (
+        e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint()
+    )
+    lab = (
+        part.select(F.col("p_partkey").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint()
+    )
+    while True:
+        new = _label_round(lab, edges).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()  # driver scalar per round: the convergence check
+        )
+        lab = new
+        if changed == 0:
+            break
+    sizes = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def entity_cluster_sizes_oracle_sql(max_dist: int = 2) -> str:
+    """The same fixpoint, non-iteratively: recursive transitive closure
+    (UNION-dedup semantics terminate it), component id = min reachable
+    node, then the size histogram."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS a_key, b.p_partkey AS b_key
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= {max_dist}
+), edges AS (
+  SELECT a_key AS src, b_key AS dst FROM pairs
+  UNION ALL
+  SELECT b_key AS src, a_key AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT p.p_partkey AS node,
+         least(p.p_partkey, coalesce(m.mn, p.p_partkey)) AS lab
+  FROM part p
+  LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+    ON m.src = p.p_partkey
+), sizes AS (
+  SELECT lab, count(*) AS cluster_size FROM comp GROUP BY lab
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""

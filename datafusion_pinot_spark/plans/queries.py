@@ -2301,6 +2301,18 @@ def _register_llm():
         "llm",
         ["dedup", "similarity", "join"],
     )(lambda spark, sf: dedup.jaccard_prefix_join(_docs(spark, sf)))
+    # r9: entity resolution completed — connected components over the
+    # fuzzy-linkage edges iterated TO CONVERGENCE (driver-checked
+    # fixpoint), hash-gated against a DuckDB recursive-CTE transitive
+    # closure: the catalog's only converged-fixpoint oracle.
+    from datafusion_pinot_spark.operators import linkage
+
+    register(
+        "entity_cluster_sizes",
+        linkage.entity_cluster_sizes_oracle_sql(),
+        "llm",
+        ["linkage", "graph", "iterative"],
+    )(lambda spark, sf: linkage.entity_cluster_sizes(t(spark, sf, "part")))
 
 
 _register_llm()
@@ -7769,6 +7781,10 @@ DRIVER_WINDOW: list[str] = [
     # window-covered by pinot_rollup_refresh itself). --
     "jaccard_prefix_join",  # r9: lossless prefix-filtered set-sim join
     "pinot_rollup_refresh",  # r9: incremental MV refresh, delta-only read
+    # (pinot_zorder_scan rotated out for the converged-fixpoint entity
+    # clustering: twice-green r07+r08; the Morton layout stays pinned by
+    # test_zorder.py and planning-proven every bench via dim2_prune.)
+    "entity_cluster_sizes",  # r9: converged components vs recursive oracle
     "halflife_event_mass",  # r9: power-of-two recency decay mass
     "t_closeness_audit",  # r9: sensitive-distribution TVD privacy audit
     "label_prop_communities",  # r9: 2-round min-label propagation
@@ -7841,7 +7857,7 @@ DRIVER_WINDOW: list[str] = [
     # counts saturate on this dense corpus — every user converts — so
     # the windowed variant below carries strictly more check value:
     # discriminating counts AND the cross-engine bit arithmetic.)
-    "pinot_zorder_scan",  # r6c4: Morton layout, 2D zone-map pruning
+    # (r9 rotation, twice-green) "pinot_zorder_scan",  # r6c4: Morton layout, 2D zone-map pruning
     # -- r6 additions (standing rotation rule: round-N queries enter the
     # round-N window) --
     # (r9 rotation, twice-green) "pinot_timestamp_range_scan",  # r6: TIMESTAMP pushdown + zone maps

@@ -538,3 +538,27 @@ def test_jaccard_prefix_join_threshold_edges(spark):
     assert len(at) == 1 and at[0]["jaccard_ppm"] == 500_000
     above = jaccard_prefix_join(docs, t_ppm=500_001).collect()
     assert above == []
+
+
+def test_entity_cluster_transitivity(spark):
+    """A~B and B~C must land in ONE cluster even when A and C differ by
+    more than the edit threshold — the property pairwise linkage lacks."""
+    from datafusion_pinot_spark.operators.linkage import entity_cluster_sizes
+
+    part = spark.createDataFrame(
+        [
+            (1, "widget aa", "B1"),
+            (2, "widget ab", "B1"),  # dist(1,2)=1
+            (3, "widget bb", "B1"),  # dist(2,3)=1, dist(1,3)=2
+            (4, "widget bc", "B1"),  # chain continues: dist(3,4)=1
+            (5, "zzzzzzzzz", "B1"),  # singleton
+            (6, "widget aa", "B2"),  # other brand: blocked apart
+        ],
+        "p_partkey long, p_name string, p_brand string",
+    )
+    got = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in entity_cluster_sizes(part, max_dist=2).collect()
+    }
+    # one 4-chain cluster {1,2,3,4}, singletons {5} and {6}
+    assert got == {1: 2, 4: 1}
