@@ -82,6 +82,13 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "funnel_complete_histogram",  # r6: per-user sorted-array integer fold
     "heavy_hitter_tokens",  # r6: candidate sketch + exact verify (2 passes)
+    # (jaccard_prefix_join intentionally NOT benched: the synthetic corpus
+    # has a ~few-hundred-token vocabulary, so every document shares
+    # prefix tokens with most others and the EXACT join is genuinely
+    # quadratic — ~12.5M candidate pairs at sf0.1, ~135 s. That is the
+    # honest cost of exactness on that corpus, not a regression signal;
+    # MinHash-LSH is the benched scale path for low-diversity corpora.)
+    "video_scene_cuts",  # r9: Arrow-batched frame kernel + lag window
 ]
 
 # Reference per-row cost (BASELINE.md: ms per shape / 97,889 rows -> ns/row).

@@ -1230,9 +1230,14 @@ def jaccard_prefix_join(
     (semi-join pushdown), never all pairs."""
     from datafusion_pinot_spark.functions import tokens
 
-    dt = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
-    ).distinct()
+    # materialized once: the doc-token set feeds the ranking, both sides
+    # of the candidate join, and both sides of the verify join — without
+    # the checkpoint Spark would recompute the distinct subtree per use
+    dt = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .localCheckpoint()
+    )
     sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     freq = dt.groupBy("w").agg(F.count(F.lit(1)).alias("fr"))
     ranked = (
@@ -1250,13 +1255,24 @@ def jaccard_prefix_join(
     prefix = ranked.filter(
         F.col("rk")
         <= F.expr(f"CAST(floor((1000000 - {t_ppm}) * sz / 1000000) AS INT) + 1")
-    ).select("doc_id", "w")
+    ).select("doc_id", "w", "sz")
+    # size filter (the second standard prefix-join prune): J(a,b) >= t
+    # forces t*|a| <= |b| when |a| <= |b|, so wildly different sizes can
+    # never qualify and are cut before the distinct
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.col("b.sz") * F.lit(1_000_000)
+                >= F.col("a.sz") * F.lit(t_ppm)
+            )
+            & (
+                F.col("a.sz") * F.lit(1_000_000)
+                >= F.col("b.sz") * F.lit(t_ppm)
+            ),
         )
         .select(
             F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
