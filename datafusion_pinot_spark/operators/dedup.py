@@ -1337,3 +1337,102 @@ SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
 FROM scored WHERE jaccard_ppm >= {t_ppm}
 ORDER BY jaccard_ppm DESC, doc_a ASC, doc_b ASC LIMIT {k}
 """
+
+
+def boilerplate_strip_report(
+    docs: DataFrame, words_per_chunk: int = 10, pct: int = 30
+) -> DataFrame:
+    """Frequency-based boilerplate removal report (the CCNet/RefinedWeb
+    line-dedup stage, distinct from :func:`chunk_dedup`'s first-wins
+    GLOBAL dedup): a chunk is boilerplate WITHIN A SOURCE when it occurs
+    in at least ``pct`` percent of that source's documents (and in ≥2
+    docs) — nav bars, license headers, template footers. The report
+    gives, per source, the doc count, total chunk occurrences, how many
+    occurrences a strip would remove, and the removal rate in exact ppm
+    (the number a curation run reviews before committing the strip).
+
+    Scale shape: chunking is the same narrow per-row split as
+    chunk_dedup; the per-(source, chunk) doc-frequency is one
+    map-side-combined distinct agg; flagging joins that (source, chunk)
+    table back to the occurrence stream on its own key — Zipf-bounded,
+    never corpus-quadratic. All integers."""
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(words_per_chunk)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(words, i * words_per_chunk + 1, words_per_chunk), " "
+        ),
+    )
+    occ = docs.select(
+        "doc_id", "source", F.explode(chunks).alias("chunk")
+    )
+    ndocs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    cfreq = (
+        occ.select("source", "chunk", "doc_id")
+        .distinct()
+        .groupBy("source", "chunk")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    flagged = cfreq.join(ndocs, "source").withColumn(
+        "is_boiler",
+        (F.col("df") >= 2) & (F.col("df") * 100 >= F.col("n_docs") * pct),
+    )
+    scored = occ.join(
+        flagged.select("source", "chunk", "is_boiler"), ["source", "chunk"]
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.sum(F.col("is_boiler").cast("bigint")).alias("n_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_occurrences",
+            "n_removed",
+            F.expr(
+                "CAST(n_removed * 1000000 DIV n_occurrences AS BIGINT)"
+            ).alias("removed_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def boilerplate_strip_report_oracle_sql(
+    words_per_chunk: int = 10, pct: int = 30
+) -> str:
+    w = words_per_chunk
+    return f"""
+WITH words AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+occ AS (
+  SELECT doc_id, source, string_agg(w, ' ' ORDER BY pos) AS chunk
+  FROM words GROUP BY doc_id, source, (pos - 1) // {w}),
+ndocs AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+cfreq AS (
+  SELECT source, chunk, count(DISTINCT doc_id) AS df
+  FROM occ GROUP BY source, chunk),
+flagged AS (
+  SELECT c.source, c.chunk,
+         (c.df >= 2 AND c.df * 100 >= n.n_docs * {pct}) AS is_boiler
+  FROM cfreq c JOIN ndocs n ON c.source = n.source),
+scored AS (
+  SELECT o.source, o.doc_id, f.is_boiler
+  FROM occ o JOIN flagged f ON o.source = f.source AND o.chunk = f.chunk)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS removed_ppm
+FROM scored GROUP BY source ORDER BY source
+"""

@@ -2313,6 +2313,15 @@ def _register_llm():
         "llm",
         ["linkage", "graph", "iterative"],
     )(lambda spark, sf: linkage.entity_cluster_sizes(t(spark, sf, "part")))
+    # r9: frequency-based boilerplate strip report — the per-source
+    # line/chunk-dedup stage (nav bars, license headers), distinct from
+    # chunk_dedup's first-wins global dedup; exact ppm removal rate.
+    register(
+        "boilerplate_strip_report",
+        dedup.boilerplate_strip_report_oracle_sql(),
+        "llm",
+        ["dedup", "text", "curation"],
+    )(lambda spark, sf: dedup.boilerplate_strip_report(_docs(spark, sf)))
 
 
 _register_llm()
@@ -7785,6 +7794,11 @@ DRIVER_WINDOW: list[str] = [
     # clustering: twice-green r07+r08; the Morton layout stays pinned by
     # test_zorder.py and planning-proven every bench via dim2_prune.)
     "entity_cluster_sizes",  # r9: converged components vs recursive oracle
+    # (pinot_bigdecimal_roundtrip rotated out for the r9 boilerplate
+    # report: twice-green r07+r08; BIG_DECIMAL exactness stays pinned at
+    # the byte level by the storage unit tests + test_oracle_types, and
+    # stable_moments stays in the pytest oracle tier.)
+    "boilerplate_strip_report",  # r9: per-source frequency boilerplate strip
     "halflife_event_mass",  # r9: power-of-two recency decay mass
     "t_closeness_audit",  # r9: sensitive-distribution TVD privacy audit
     "label_prop_communities",  # r9: 2-round min-label propagation
@@ -7909,7 +7923,7 @@ DRIVER_WINDOW: list[str] = [
     # (scalar_functions_extended deferred to the pytest oracle tier:
     # pure Spark-SQL builtin breadth, low cross-engine drift risk; the
     # slot goes to the new storage data type below.)
-    "pinot_bigdecimal_roundtrip",  # r6: BIG_DECIMAL exact-decimal columns
+    # (r9 rotation, twice-green) "pinot_bigdecimal_roundtrip",  # r6: BIG_DECIMAL exact-decimal columns
     # (rfm_segments + table_fingerprint rotated out for the two r8
     # distinct-strategy queries: both once-green r07 and pinned by the
     # pytest oracle tier; the two-pass global-rank shape stays window-

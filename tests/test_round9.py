@@ -562,3 +562,30 @@ def test_entity_cluster_transitivity(spark):
     }
     # one 4-chain cluster {1,2,3,4}, singletons {5} and {6}
     assert got == {1: 2, 4: 1}
+
+
+def test_boilerplate_strip_hand_values(spark):
+    from datafusion_pinot_spark.operators.dedup import (
+        boilerplate_strip_report,
+    )
+
+    # 4 docs in source A: the 2-word chunk "nav bar" opens 3 of 4 docs
+    # (75% >= 30% and df>=2 -> boilerplate); unique bodies are kept.
+    rows = [
+        ("nav bar alpha one", "A"),
+        ("nav bar beta two", "A"),
+        ("nav bar gamma xyz", "A"),
+        ("clean text only here", "A"),
+        ("nav bar", "B"),  # df=1 in B -> never boilerplate there
+    ]
+    docs = _docs(spark, rows)
+    out = {
+        r["source"]: r
+        for r in boilerplate_strip_report(docs, words_per_chunk=2).collect()
+    }
+    a = out["A"]
+    # each A doc = 2 chunks -> 8 occurrences; "nav bar" removed 3x
+    assert (a["n_docs"], a["n_occurrences"], a["n_removed"]) == (4, 8, 3)
+    assert a["removed_ppm"] == 375_000
+    b = out["B"]
+    assert (b["n_occurrences"], b["n_removed"]) == (1, 0)
