@@ -686,3 +686,168 @@ SELECT event_type, CAST(n_events AS BIGINT) AS n_events, mass,
                             / CAST(sum(mass) OVER () AS DOUBLE))
                  ELSE 0 END AS BIGINT) AS share_ppm
 FROM per ORDER BY event_type"""
+
+
+def ks_source_drift(events: DataFrame) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between each event
+    type's value distribution and the remainder of the corpus, in integer
+    ppm — the distribution-shift audit that catches shape changes PSI's
+    fixed bands blur. For type t with n_t values vs the other n_o values:
+
+        KS = max over observed v of |cum_t(v)·n_o − cum_o(v)·n_t|
+             · 10^6 DIV (n_t·n_o)
+
+    Values discretize to floor(value·1000) (exact integer domain — raw
+    double comparisons would hash-drift cross-engine); the sup runs over
+    the merged observed support, so the statistic is the true ECDF sup,
+    not a banded approximation. All arithmetic BIGINT.
+
+    Scale shape: one map-side-combined count per (type, value-milli) —
+    the support is value-bounded, far smaller than the corpus — then
+    per-type windows over that bounded frame for the cumulative sums and
+    the max. No corpus-wide sort; the window partitions by type."""
+    v = events.select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("vm"),
+    )
+    per = v.groupBy("event_type", "vm").agg(
+        F.count(F.lit(1)).alias("c_t")
+    )
+    tot_all = v.groupBy("vm").agg(F.count(F.lit(1)).alias("c_all"))
+    n_t = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    n_all = v.agg(F.count(F.lit(1)).alias("n_all"))
+    # per type: the merged support with both counts (absent values -> 0)
+    grid = (
+        n_t.join(F.broadcast(n_all))
+        .join(tot_all)
+        .join(per, ["event_type", "vm"], "left")
+        .withColumn("c_t", F.coalesce("c_t", F.lit(0)))
+        .withColumn("c_o", F.col("c_all") - F.col("c_t"))
+        .withColumn("n_o", F.col("n_all") - F.col("n_t"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "event_type",
+        "n_t",
+        "n_o",
+        F.sum("c_t").over(w).alias("cum_t"),
+        F.sum("c_o").over(w).alias("cum_o"),
+    ).withColumn("d", F.expr("abs(cum_t * n_o - cum_o * n_t)"))
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.any_value("n_t").alias("n_type"),
+            F.any_value("n_o").alias("n_rest"),
+            F.expr(
+                "CAST(max(d) * 1000000"
+                " DIV (any_value(n_t) * any_value(n_o)) AS BIGINT)"
+            ).alias("ks_ppm"),
+        )
+        .select("event_type", "n_type", "n_rest", "ks_ppm")
+        .orderBy("event_type")
+    )
+
+
+def ks_source_drift_oracle_sql() -> str:
+    return """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+), per AS (
+  SELECT event_type, vm, count(*) AS c_t FROM v GROUP BY event_type, vm
+), tot_all AS (
+  SELECT vm, count(*) AS c_all FROM v GROUP BY vm
+), n_t AS (
+  SELECT event_type, count(*) AS n_t FROM v GROUP BY event_type
+), n_all AS (
+  SELECT count(*) AS n_all FROM v
+), grid AS (
+  SELECT t.event_type, a.vm, t.n_t, (SELECT n_all FROM n_all) - t.n_t AS n_o,
+         coalesce(p.c_t, 0) AS c_t,
+         a.c_all - coalesce(p.c_t, 0) AS c_o
+  FROM n_t t CROSS JOIN tot_all a
+  LEFT JOIN per p ON p.event_type = t.event_type AND p.vm = a.vm
+), cum AS (
+  SELECT event_type, n_t, n_o,
+         sum(c_t) OVER (PARTITION BY event_type ORDER BY vm) AS cum_t,
+         sum(c_o) OVER (PARTITION BY event_type ORDER BY vm) AS cum_o
+  FROM grid
+)
+SELECT event_type,
+       CAST(any_value(n_t) AS BIGINT) AS n_type,
+       CAST(any_value(n_o) AS BIGINT) AS n_rest,
+       CAST(max(abs(cum_t * n_o - cum_o * n_t)) * 1000000
+            // (any_value(n_t) * any_value(n_o)) AS BIGINT) AS ks_ppm
+FROM cum GROUP BY event_type ORDER BY event_type"""
+
+
+def trimmed_mean_robust(events: DataFrame, trim_pct: int = 10) -> DataFrame:
+    """Per-type trimmed mean (drop the lowest and highest ``trim_pct``
+    percent of values by exact rank) in exact integer milli-units — the
+    robust central tendency a quality dashboard wants when MAD flags
+    outliers. Trim counts use floor(n·pct/100) on EXACT ranks
+    (row_number over (value-milli, event_id) — a total order, so both
+    engines cut identical rows), and the mean of the kept values is an
+    integer division of exact sums.
+
+    Scale shape: the rank window partitions per type (no global sort);
+    the trim filter and the final agg are narrow. Values discretize to
+    milli first, keeping every comparison and sum integer-exact."""
+    v = events.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("vm"),
+    )
+    ranked = v.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("vm", "event_id")
+        ),
+    ).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    cut = F.expr(f"n * {trim_pct} DIV 100")
+    kept = ranked.filter((F.col("rk") > cut) & (F.col("rk") <= F.col("n") - cut))
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.any_value("n").alias("n_values"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vm").cast("long").alias("sum_milli"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            "n_kept",
+            F.expr("CAST(sum_milli DIV n_kept AS BIGINT)").alias(
+                "trimmed_mean_milli"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def trimmed_mean_robust_oracle_sql(trim_pct: int = 10) -> str:
+    return f"""
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events
+), ranked AS (
+  SELECT event_type, vm,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY vm, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+), kept AS (
+  SELECT * FROM ranked
+  WHERE rk > n * {trim_pct} // 100 AND rk <= n - n * {trim_pct} // 100
+)
+SELECT event_type,
+       CAST(any_value(n) AS BIGINT) AS n_values,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(vm) // count(*) AS BIGINT) AS trimmed_mean_milli
+FROM kept GROUP BY event_type ORDER BY event_type"""

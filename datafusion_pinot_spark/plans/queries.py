@@ -2322,6 +2322,22 @@ def _register_llm():
         "llm",
         ["dedup", "text", "curation"],
     )(lambda spark, sf: dedup.boilerplate_strip_report(_docs(spark, sf)))
+    # r9: exact two-sample KS statistic per event type vs the rest — the
+    # true ECDF sup over the merged support, integer ppm (no banding).
+    register(
+        "ks_source_drift",
+        validation.ks_source_drift_oracle_sql(),
+        "llm",
+        ["stats", "drift", "window"],
+    )(lambda spark, sf: validation.ks_source_drift(t(spark, sf, "events")))
+    # r9: per-type trimmed mean on exact ranks — robust central tendency
+    # with engine-identical trim cuts (total order on (milli, event_id)).
+    register(
+        "trimmed_mean_values",
+        validation.trimmed_mean_robust_oracle_sql(),
+        "llm",
+        ["stats", "robust", "window"],
+    )(lambda spark, sf: validation.trimmed_mean_robust(t(spark, sf, "events")))
 
 
 _register_llm()
@@ -7799,6 +7815,16 @@ DRIVER_WINDOW: list[str] = [
     # the byte level by the storage unit tests + test_oracle_types, and
     # stable_moments stays in the pytest oracle tier.)
     "boilerplate_strip_report",  # r9: per-source frequency boilerplate strip
+    # -- r9 batch 4. No twice-green veterans remain, so two ONCE-green
+    # (r08) rows rotate out whose check value is strictly subsumed by
+    # stronger in-window siblings: shingle_containment_pairs (the LSH
+    # verify kernel — jaccard_prefix_join now hash-proves the same
+    # kernel at full exactness against a naive oracle) and
+    # bpe_merge_candidates (adjacent-pair counting IS step one of
+    # bpe_two_merges, which stays in the window; both remain
+    # pytest-pinned). --
+    "ks_source_drift",  # r9: exact two-sample KS sup over merged support
+    "trimmed_mean_values",  # r9: robust trimmed mean on exact ranks
     "halflife_event_mass",  # r9: power-of-two recency decay mass
     "t_closeness_audit",  # r9: sensitive-distribution TVD privacy audit
     "label_prop_communities",  # r9: 2-round min-label propagation
@@ -7817,8 +7843,8 @@ DRIVER_WINDOW: list[str] = [
     "geo_radius_join",  # r7: 3x3 grid spatial join vs naive radius oracle
     "pagerank_two_iter",  # r7: integer-mass pagerank (r8: BIGINT oracle fix)
     "itemset_pair_support",  # r7: 2-itemset support over user baskets
-    "bpe_merge_candidates",  # r7: adjacent-pair counts (BPE merge step)
-    "shingle_containment_pairs",  # r7: shingle containment verify kernel
+    # (r9 rotation, subsumed in-window) "bpe_merge_candidates",  # r7: adjacent-pair counts (BPE merge step)
+    # (r9 rotation, subsumed in-window) "shingle_containment_pairs",  # r7: shingle containment verify kernel
     "curriculum_schedule",  # r7: decile round-robin (r8: int64 bucket fix)
     "top_event_paths",  # r7: top session paths
     # (pinot_roundtrip_agg rotated out for doc_chunk_windows: driver-green

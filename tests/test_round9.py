@@ -589,3 +589,47 @@ def test_boilerplate_strip_hand_values(spark):
     assert a["removed_ppm"] == 375_000
     b = out["B"]
     assert (b["n_occurrences"], b["n_removed"]) == (1, 0)
+
+
+def test_ks_drift_hand_values(spark):
+    """Two types with disjoint supports: KS = 1.0 exactly."""
+    import datetime as dtm
+
+    from datafusion_pinot_spark.operators.validation import ks_source_drift
+
+    ts = dtm.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(1, ts, 1, "a", 0.001), (2, ts, 2, "a", 0.002),
+         (3, ts, 3, "b", 5.0), (4, ts, 4, "b", 6.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = {r["event_type"]: r for r in ks_source_drift(events).collect()}
+    assert rows["a"]["ks_ppm"] == 1_000_000
+    assert rows["b"]["ks_ppm"] == 1_000_000
+    # identical distributions: KS = 0
+    ev2 = spark.createDataFrame(
+        [(1, ts, 1, "a", 1.0), (2, ts, 2, "b", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows2 = {r["event_type"]: r for r in ks_source_drift(ev2).collect()}
+    assert rows2["a"]["ks_ppm"] == 0 and rows2["b"]["ks_ppm"] == 0
+
+
+def test_trimmed_mean_hand_values(spark):
+    import datetime as dtm
+
+    from datafusion_pinot_spark.operators.validation import (
+        trimmed_mean_robust,
+    )
+
+    ts = dtm.datetime(2024, 1, 1)
+    # 10 values 1..9 plus one 1000x outlier; 10% trim cuts exactly the
+    # min and the outlier -> mean of 2..9 even though the raw mean is huge
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 9000.0]
+    events = spark.createDataFrame(
+        [(i, ts, i, "a", v) for i, v in enumerate(vals, 1)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = trimmed_mean_robust(events, trim_pct=10).first()
+    assert (r["n_values"], r["n_kept"]) == (10, 8)
+    assert r["trimmed_mean_milli"] == (sum(range(2, 10)) * 1000) // 8
