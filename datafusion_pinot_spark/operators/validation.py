@@ -851,3 +851,49 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(vm) // count(*) AS BIGINT) AS trimmed_mean_milli
 FROM kept GROUP BY event_type ORDER BY event_type"""
+
+
+def dow_seasonality_index(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonality index per event type, exact integer ppm —
+    the cheapest seasonal decomposition a traffic dashboard runs:
+    ``index(dow) = count(dow)·7·10^6 DIV total`` (1,000,000 = a flat
+    day). Day-of-week derives from pure epoch arithmetic
+    (``(epoch_day + 3) % 7``, 0 = Monday; 1970-01-01 was a Thursday, so
+    day 0 maps to 3), not locale-dependent calendar functions, so every
+    engine computes the same bucket.
+
+    Scale shape: ONE map-side-combined (type, dow) count; the index math
+    runs on that 7-rows-per-type frame."""
+    dow = F.expr(
+        "CAST(((unix_micros(ts) div 86400000000) + 3) % 7 AS BIGINT)"
+    )
+    counts = events.groupBy(
+        F.col("event_type"), dow.alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return (
+        counts.withColumn("total", F.sum("n").over(w))
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            F.expr("CAST(n * 7 * 1000000 DIV total AS BIGINT)").alias(
+                "index_ppm"
+            ),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+def dow_seasonality_index_oracle_sql() -> str:
+    return """
+WITH c AS (
+  SELECT event_type,
+         CAST(((epoch_us(ts) // 86400000000) + 3) % 7 AS BIGINT) AS dow,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+       CAST(n * 7 * 1000000
+            // sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS index_ppm
+FROM c ORDER BY event_type, dow"""

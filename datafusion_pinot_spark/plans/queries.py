@@ -2338,6 +2338,18 @@ def _register_llm():
         "llm",
         ["stats", "robust", "window"],
     )(lambda spark, sf: validation.trimmed_mean_robust(t(spark, sf, "events")))
+    # r9: day-of-week seasonality index in exact ppm — epoch-arithmetic
+    # dow (engine-identical), one (type, dow) map-side-combined count.
+    register(
+        "dow_seasonality_index",
+        validation.dow_seasonality_index_oracle_sql(),
+        "llm",
+        ["stats", "temporal", "agg"],
+    )(
+        lambda spark, sf: validation.dow_seasonality_index(
+            t(spark, sf, "events")
+        )
+    )
 
 
 _register_llm()
@@ -7825,6 +7837,11 @@ DRIVER_WINDOW: list[str] = [
     # pytest-pinned). --
     "ks_source_drift",  # r9: exact two-sample KS sup over merged support
     "trimmed_mean_values",  # r9: robust trimmed mean on exact ranks
+    # (daily_dispersion_index rotated out, once-green r08: the daily
+    # epoch-count reduction family stays window-covered by
+    # daily_ols_trend, and the new dow row checks the same epoch-day
+    # arithmetic plus the per-type partitioned window; pytest-pinned.)
+    "dow_seasonality_index",  # r9: epoch-arithmetic weekly seasonality
     "halflife_event_mass",  # r9: power-of-two recency decay mass
     "t_closeness_audit",  # r9: sensitive-distribution TVD privacy audit
     "label_prop_communities",  # r9: 2-round min-label propagation
@@ -7934,7 +7951,7 @@ DRIVER_WINDOW: list[str] = [
     # (data_quality_report rotated out for the r8 dispersion index:
     # r07-green; the validation tier stays window-covered by
     # daily_ols_trend + the new dispersion row.)
-    "daily_dispersion_index",  # r8: burstiness as integer fractions
+    # (r9 rotation, family-covered) "daily_dispersion_index",  # r8: burstiness as integer fractions
     # (funnel_time_to_convert rotated out for the r8 audio kernel:
     # r07-green; two funnel rows and three quantile-family rows remain.)
     "audio_vad_summary",  # r8: framed integer-energy VAD, hash-checked

@@ -633,3 +633,24 @@ def test_trimmed_mean_hand_values(spark):
     r = trimmed_mean_robust(events, trim_pct=10).first()
     assert (r["n_values"], r["n_kept"]) == (10, 8)
     assert r["trimmed_mean_milli"] == (sum(range(2, 10)) * 1000) // 8
+
+
+def test_dow_seasonality_hand_values(spark):
+    import datetime as dtm
+
+    from datafusion_pinot_spark.operators.validation import (
+        dow_seasonality_index,
+    )
+
+    # 1970-01-05 was a Monday (epoch day 4 -> (4+3)%7 == 0)
+    mon = dtm.datetime(1970, 1, 5)
+    events = spark.createDataFrame(
+        # type a: 6 events Monday, 1 event Tuesday -> Monday index 6M
+        [(i, mon, i, "a", 0.0) for i in range(6)]
+        + [(9, mon + dtm.timedelta(days=1), 9, "a", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = {r["dow"]: r for r in dow_seasonality_index(events).collect()}
+    assert rows[0]["n"] == 6 and rows[1]["n"] == 1
+    assert rows[0]["index_ppm"] == 6 * 7 * 1_000_000 // 7
+    assert rows[1]["index_ppm"] == 1 * 7 * 1_000_000 // 7
