@@ -597,3 +597,117 @@ SELECT doc_id,
 FROM deltas GROUP BY doc_id
 ORDER BY n_cuts DESC, doc_id ASC LIMIT {top}
 """
+
+
+TILE_SCHEMA = "doc_id long, tile int, tsum long"
+
+
+def image_tile_sums(
+    media: DataFrame, side: int = 16, grid: int = 4
+) -> DataFrame:
+    """Per-tile integer pooling over the payload viewed as a ``side``×
+    ``side`` 8-bit image cut into a ``grid``×``grid`` tile grid (the
+    grid-pooling step of patch-based vision preprocessing). Payloads
+    shorter than side² bytes produce no rows (a real loader would pad or
+    reject; the framer's drop contract matches the audio/video kernels).
+
+    Same plumbing contract as the audio/video kernels: Arrow-batched
+    ``mapInPandas``, one frombuffer + 4-D reshape + axis-sum per payload
+    (no per-pixel Python), partition streaming. Integer sums end to end,
+    so the tile stream is cross-engine checkable."""
+    import numpy as np
+
+    t = side // grid
+
+    def run(batches):
+        for pdf in batches:
+            ids, tiles, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(payload, dtype=np.uint8)
+                if len(a) < side * side:
+                    continue
+                img = a[: side * side].astype(np.int64).reshape(side, side)
+                ts = img.reshape(grid, t, grid, t).sum(axis=(1, 3)).ravel()
+                ids.append(np.full(len(ts), doc_id, dtype=np.int64))
+                tiles.append(np.arange(len(ts), dtype=np.int64))
+                sums.append(ts)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "tile": np.concatenate(tiles).astype("int32"),
+                        "tsum": np.concatenate(sums),
+                    }
+                )
+
+    return media.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+def image_tile_contrast(
+    docs: DataFrame, side: int = 16, grid: int = 4, top: int = 20
+) -> DataFrame:
+    """Tile-contrast report per image: brightest-tile index (ties: lowest
+    index), plus the max-min tile-sum spread — the cheap "is there
+    structure or is it flat" screen a vision-data curation pass runs
+    before spending decode budget. Top ``top`` docs by (contrast desc,
+    doc_id)."""
+    tiles = image_tile_sums(with_binary_payload(docs), side, grid)
+    ranked = tiles.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.desc("tsum"), F.asc("tile")
+            )
+        ),
+    )
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.max("tsum").alias("max_tile_sum"),
+        F.min("tsum").alias("min_tile_sum"),
+        F.max(F.when(F.col("rk") == 1, F.col("tile"))).alias(
+            "brightest_tile"
+        ),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "brightest_tile",
+            "max_tile_sum",
+            (F.col("max_tile_sum") - F.col("min_tile_sum")).alias(
+                "contrast"
+            ),
+        )
+        .orderBy(F.desc("contrast"), F.asc("doc_id"))
+        .limit(top)
+    )
+
+
+def image_tile_contrast_oracle_sql(
+    side: int = 16, grid: int = 4, top: int = 20
+) -> str:
+    """The same tile pooling in SQL: byte p (0-based) of the side×side
+    image belongs to tile (p DIV side DIV t)*grid + (p % side) DIV t."""
+    t = side // grid
+    return f"""
+WITH tiles AS (
+  SELECT doc_id,
+         CAST(((p // {side}) // {t}) * {grid} + (p % {side}) // {t} AS INT)
+           AS tile,
+         CAST(sum(ascii(substr(d.text, p + 1, 1))) AS BIGINT) AS tsum
+  FROM documents d,
+       unnest(generate_series(0, {side * side - 1})) AS u(p)
+  WHERE length(text) >= {side * side}
+  GROUP BY doc_id, 2
+), ranked AS (
+  SELECT doc_id, tile, tsum,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tsum DESC, tile ASC) AS rk
+  FROM tiles
+), per_doc AS (
+  SELECT doc_id, max(tsum) AS max_tile_sum, min(tsum) AS min_tile_sum,
+         max(CASE WHEN rk = 1 THEN tile END) AS brightest_tile
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id, brightest_tile, max_tile_sum,
+       CAST(max_tile_sum - min_tile_sum AS BIGINT) AS contrast
+FROM per_doc ORDER BY contrast DESC, doc_id ASC LIMIT {top}
+"""

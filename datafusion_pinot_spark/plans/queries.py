@@ -2274,6 +2274,14 @@ def _register_llm():
         "llm",
         ["multimodal", "window", "kernel"],
     )(lambda spark, sf: multimodal.video_scene_cuts(_docs(spark, sf)))
+    # r9: grid-pooled image tile contrast — the third distinct media
+    # kernel (audio energy, video frames, image tiles); hash-gated.
+    register(
+        "image_tile_contrast",
+        multimodal.image_tile_contrast_oracle_sql(),
+        "llm",
+        ["multimodal", "kernel", "window"],
+    )(lambda spark, sf: multimodal.image_tile_contrast(_docs(spark, sf)))
     # r9: Heaps'-law vocabulary growth curve — cumulative distinct tokens
     # vs cumulative token count in ingestion order; the crawl-redundancy
     # diagnostic. First-sighting via min(doc_id), all integers.
@@ -7847,6 +7855,11 @@ DRIVER_WINDOW: list[str] = [
     "label_prop_communities",  # r9: 2-round min-label propagation
     "token_lift_pairs",  # r9: integer co-occurrence lift, top-V bounded
     "video_scene_cuts",  # r9: inter-frame-delta shot detection, hash-gated
+    # (audio_vad_summary rotated out, once-green r08: the framed-media
+    # kernel family stays window-covered by video_scene_cuts + the new
+    # tile row below, which exercise the same Arrow-batched plumbing
+    # plus a lag window / grid pooling on top; pytest-pinned.)
+    "image_tile_contrast",  # r9: grid-pooled tile contrast, 3rd media kernel
     # -- r7 additions (standing rotation rule: round-N queries enter the
     # window at the first driver run after they land; none of these 8 have
     # ever been driver-checked — r7 ended mid-flight before the rotation).
@@ -7954,7 +7967,7 @@ DRIVER_WINDOW: list[str] = [
     # (r9 rotation, family-covered) "daily_dispersion_index",  # r8: burstiness as integer fractions
     # (funnel_time_to_convert rotated out for the r8 audio kernel:
     # r07-green; two funnel rows and three quantile-family rows remain.)
-    "audio_vad_summary",  # r8: framed integer-energy VAD, hash-checked
+    # (r9 rotation, family-covered) "audio_vad_summary",  # r8: framed integer-energy VAD, hash-checked
     # (r9 rotation, twice-green) "stream_left_outer_closed",  # r6c4: watermarked outer join, closed subset
     # (window_value_functions and event_sequence_regex deferred to the
     # pytest oracle tier; the slot goes to the exact-moments query, whose

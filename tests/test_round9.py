@@ -654,3 +654,38 @@ def test_dow_seasonality_hand_values(spark):
     assert rows[0]["n"] == 6 and rows[1]["n"] == 1
     assert rows[0]["index_ppm"] == 6 * 7 * 1_000_000 // 7
     assert rows[1]["index_ppm"] == 1 * 7 * 1_000_000 // 7
+
+
+def test_image_tile_sums_match_numpy(spark):
+    from datafusion_pinot_spark.operators.multimodal import (
+        image_tile_sums,
+        with_binary_payload,
+    )
+
+    # 256-byte payload = 16x16 image; tile grid 4x4 -> 16 tiles of 4x4
+    text = "".join(chr(65 + (i % 26)) for i in range(256))
+    docs = _docs(spark, [(text, "A"), ("tiny", "A")])
+    rows = image_tile_sums(with_binary_payload(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["tile"]] = r["tsum"]
+    assert set(by_doc) == {1}  # doc 2 is under 256 bytes -> dropped
+    img = np.frombuffer(text.encode(), np.uint8).astype(np.int64)
+    want = img.reshape(16, 16).reshape(4, 4, 4, 4).sum(axis=(1, 3)).ravel()
+    assert [by_doc[1][t] for t in range(16)] == want.tolist()
+
+
+def test_image_tile_contrast_flat_image_is_zero(spark):
+    from datafusion_pinot_spark.operators.multimodal import (
+        image_tile_contrast,
+    )
+
+    flat = "a" * 256
+    # last 16 bytes = bottom ROW of the 16x16 image: 4 'z' bytes land in
+    # each of tiles 12..15 (tie -> lowest index 12), contrast = 4*(z-a)
+    spot = "a" * 240 + "z" * 16
+    docs = _docs(spark, [(flat, "A"), (spot, "A")])
+    rows = {r["doc_id"]: r for r in image_tile_contrast(docs).collect()}
+    assert rows[1]["contrast"] == 0 and rows[1]["brightest_tile"] == 0
+    assert rows[2]["contrast"] == 4 * (ord("z") - ord("a"))
+    assert rows[2]["brightest_tile"] == 12
