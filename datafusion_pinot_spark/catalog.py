@@ -299,6 +299,7 @@ class PinotCatalog:
         compare_column: str,
         tiebreakers: "list[str] | tuple[str, ...]" = (),
         mode: str = "full",
+        delete_column: "str | None" = None,
     ):
         """Pinot upsert-table semantics (upsertConfig, beyond the reference
         AND beyond the reference's roadmap): a query sees only the LATEST
@@ -325,12 +326,26 @@ class PinotCatalog:
         merged row back-fills them from older versions); the comparison
         column itself surfaces as its max. One grouped aggregate — still
         a single shuffle on the keys — using ``max_by(col, (compare,
-        tiebreakers...)) FILTER (WHERE col IS NOT NULL)``."""
+        tiebreakers...)) FILTER (WHERE col IS NOT NULL)``.
+
+        ``delete_column`` is Pinot's upsert ``deleteRecordColumn``
+        (tombstones): when the LATEST record of a key has the boolean
+        column true, the key disappears from query results entirely —
+        the ingest-side way to erase an entity from an append-only
+        stream. Resolution order matters and is Pinot's: last-wins
+        FIRST, then the tombstone test on the winner (an old tombstone
+        superseded by a newer live record does NOT hide the key). Full
+        mode only — the same filter after the same single key shuffle."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         if isinstance(key_columns, str):
             key_columns = [key_columns]
+        if delete_column is not None and mode != "full":
+            raise ValueError(
+                "delete_column (deleteRecordColumn tombstones) is only "
+                "defined for mode='full' last-wins reads"
+            )
         df = self.load_table(spark, name)
         if mode == "partial":
             order_cols = ", ".join([compare_column, *tiebreakers])
@@ -374,11 +389,18 @@ class PinotCatalog:
             )
         if mode != "full":
             raise ValueError(f"unknown upsert mode: {mode!r}")
-        return (
+        latest = (
             df.withColumn("__upsert_rn", F.row_number().over(w))
             .filter(F.col("__upsert_rn") == 1)
             .drop("__upsert_rn")
         )
+        if delete_column is not None:
+            # tombstone test on the WINNER only (Pinot's deleteRecordColumn):
+            # a superseded tombstone does not hide the key
+            latest = latest.filter(
+                ~F.coalesce(F.col(delete_column), F.lit(False))
+            )
+        return latest
 
     def count_star(self, name: str) -> int:
         """Metadata-only COUNT(*): sum of ``segment.total.docs`` over the

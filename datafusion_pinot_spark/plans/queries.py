@@ -6845,6 +6845,75 @@ def q_pinot_upsert_latest(spark, sf):
 
 
 @register(
+    "pinot_upsert_tombstone",
+    """WITH u AS (SELECT DISTINCT user_id FROM events)
+       SELECT user_id % 5 AS tier,
+              CAST(count(*) AS BIGINT) AS n_live,
+              CAST(sum(user_id) AS BIGINT) AS sum_uid
+       FROM u WHERE user_id % 4 <> 0
+       GROUP BY user_id % 5 ORDER BY tier""",
+    "parity",
+    ["pinot", "storage", "upsert", "tombstone"],
+)
+def q_pinot_upsert_tombstone(spark, sf):
+    """r9: upsert DELETE tombstones (Pinot's deleteRecordColumn, public
+    upsertConfig surface): three record versions per key land in the
+    table — v1 poisoned, v2 live values, v3 a tombstone for every
+    user_id % 4 == 0 — and the upsert read with ``delete_column`` must
+    surface exactly the non-tombstoned keys at their v2 values.
+    Resolution order is the feature under test: last-wins FIRST, then
+    the tombstone test on the winner. The hash gate fails if a
+    superseded record leaks, a tombstoned key survives, or the filter
+    runs before the version resolution."""
+    import tempfile
+
+    from datafusion_pinot_spark.catalog import PinotCatalog
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    data_dir = tempfile.mkdtemp(prefix="tomb_")
+    out = os.path.join(data_dir, "userdim_OFFLINE")
+    users = t(spark, sf, "events").select("user_id").distinct()
+    v1 = users.select(
+        "user_id",
+        F.lit(-1).cast("long").alias("tier"),
+        F.lit(1).cast("long").alias("ver"),
+        F.lit(False).alias("deleted"),
+    )
+    v2 = users.select(
+        "user_id",
+        (F.col("user_id") % 5).alias("tier"),
+        F.lit(2).cast("long").alias("ver"),
+        F.lit(False).alias("deleted"),
+    )
+    v3 = users.filter(F.col("user_id") % 4 == 0).select(
+        "user_id",
+        (F.col("user_id") % 5).alias("tier"),
+        F.lit(3).cast("long").alias("ver"),
+        F.lit(True).alias("deleted"),
+    )
+    (
+        v1.unionAll(v2)
+        .unionAll(v3)
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    live = PinotCatalog.filesystem(data_dir).load_upsert_table(
+        spark, "userdim", "user_id", "ver", delete_column="deleted"
+    )
+    return (
+        live.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum("user_id").cast("long").alias("sum_uid"),
+        )
+        .orderBy("tier")
+    )
+
+
+@register(
     "pinot_bitmap_distinct_count",
     "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
     "FROM events",
@@ -7826,6 +7895,12 @@ DRIVER_WINDOW: list[str] = [
     # window-covered by pinot_rollup_refresh itself). --
     "jaccard_prefix_join",  # r9: lossless prefix-filtered set-sim join
     "pinot_rollup_refresh",  # r9: incremental MV refresh, delta-only read
+    # (pinot_metadata_distinct rotated out, once-green r08: the
+    # layout-proven distinct family stays window-covered by
+    # pinot_dictionary_distinct and pytest-pinned by
+    # test_segment_distinct.py; the slot goes to the tombstone read,
+    # which checks a new upsert semantic rather than a sibling shape.)
+    "pinot_upsert_tombstone",  # r9: deleteRecordColumn last-wins-then-filter
     # (pinot_zorder_scan rotated out for the converged-fixpoint entity
     # clustering: twice-green r07+r08; the Morton layout stays pinned by
     # test_zorder.py and planning-proven every bench via dim2_prune.)
@@ -7984,7 +8059,7 @@ DRIVER_WINDOW: list[str] = [
     # distinct-strategy queries: both once-green r07 and pinned by the
     # pytest oracle tier; the two-pass global-rank shape stays window-
     # covered by equi_depth_price_histogram.)
-    "pinot_metadata_distinct",  # r8: manifest-arithmetic exact distinct
+    # (r9 rotation, family-covered) "pinot_metadata_distinct",  # r8: manifest-arithmetic exact distinct
     "pinot_dictionary_distinct",  # r8: dictionary-union exact distinct
     "ann_pq_pinot_codes_topk",  # r6: PQ codes persisted + served via storage
     # (pinot_range_index_scan rotated out for the r8 composite dictionary

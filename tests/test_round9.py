@@ -689,3 +689,40 @@ def test_image_tile_contrast_flat_image_is_zero(spark):
     assert rows[1]["contrast"] == 0 and rows[1]["brightest_tile"] == 0
     assert rows[2]["contrast"] == 4 * (ord("z") - ord("a"))
     assert rows[2]["brightest_tile"] == 12
+
+
+def test_upsert_tombstone_resolution_order(spark, tmp_path):
+    """Last-wins resolves FIRST, then the tombstone test on the winner: a
+    superseded tombstone must NOT hide the key; a winning one must."""
+    from datafusion_pinot_spark.catalog import PinotCatalog
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "d_OFFLINE")
+    rows = [
+        # key 1: tombstone at v2 superseded by live v3 -> SURVIVES as v3
+        (1, 10, 1, False), (1, 0, 2, True), (1, 30, 3, False),
+        # key 2: live v1 then tombstone v2 wins -> GONE
+        (2, 20, 1, False), (2, 0, 2, True),
+        # key 3: only live -> survives
+        (3, 33, 1, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, val long, ver long, deleted boolean"
+    )
+    df.coalesce(1).write.format("pinot").mode("overwrite").save(out)
+    cat = PinotCatalog.filesystem(str(tmp_path))
+    live = {
+        r["k"]: r["val"]
+        for r in cat.load_upsert_table(
+            spark, "d", "k", "ver", delete_column="deleted"
+        ).collect()
+    }
+    assert live == {1: 30, 3: 33}
+    # guard: tombstones only defined for full mode
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="only.*full"):
+        cat.load_upsert_table(
+            spark, "d", "k", "ver", mode="changelog", delete_column="deleted"
+        )
