@@ -677,3 +677,104 @@ SELECT category,
               / sum(dur_s)) / 100.0, 4) AS twa_value
 FROM stepped WHERE dur_s IS NOT NULL
 GROUP BY category ORDER BY category"""
+
+
+CLAMP_SCHEMA = (
+    "user_id long, n_events long, final_balance_milli long,"
+    " n_clamps long, max_balance_milli long"
+)
+
+
+def clamped_balance_report(events, k: int = 20):
+    """Floor-clamped running balance per user (the wallet/inventory fold:
+    balance never goes below zero; a draw against an empty balance clamps
+    and counts) — the canonical ORDER-DEPENDENT stateful kernel that no
+    window function expresses (the clamp makes each prefix depend on
+    every earlier clamp decision). Implemented as Spark's batch
+    ``groupBy().applyInPandas``: sequential per key BY THE PROBLEM'S
+    NATURE, parallel across keys — exactly that API's contract, and the
+    Arrow batch transfer keeps the per-group fold in numpy/pandas, not
+    row-at-a-time Python through the JVM boundary.
+
+    Deltas: +floor(value·1000) milli for even event_ids, − for odd (a
+    deterministic credit/debit split); order is the (ts, event_id) total
+    order. Reports the ``k`` richest users (final balance desc, user
+    asc) with clamp counts and the running max. The DuckDB oracle
+    replays the SAME fold as a recursive CTE over row-number-ordered
+    events — the second converged/sequential oracle in the catalog after
+    entity_cluster_sizes.
+
+    Scale shape: ONE shuffle on user_id; each group folds locally
+    (depth = events-per-user, bounded by user activity, never corpus
+    length); the report is a TakeOrdered."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        mags = np.floor(pdf["value"].to_numpy() * 1000).astype(np.int64)
+        signs = np.where(pdf["event_id"].to_numpy() % 2 == 0, 1, -1)
+        deltas = mags * signs
+        b = 0
+        clamps = 0
+        mx = 0
+        for d in deltas:
+            b += int(d)
+            if b < 0:
+                b = 0
+                clamps += 1
+            if b > mx:
+                mx = b
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n_events": len(pdf),
+                    "final_balance_milli": b,
+                    "n_clamps": clamps,
+                    "max_balance_milli": mx,
+                }
+            ]
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, schema=CLAMP_SCHEMA)
+        .orderBy(F.desc("final_balance_milli"), F.asc("user_id"))
+        .limit(k)
+    )
+
+
+def clamped_balance_report_oracle_sql(k: int = 20) -> str:
+    """The same fold as a recursive CTE: one recursion step per event in
+    (ts, event_id) order within each user."""
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS i,
+         CASE WHEN event_id % 2 = 0
+              THEN CAST(floor(value * 1000) AS BIGINT)
+              ELSE -CAST(floor(value * 1000) AS BIGINT) END AS delta
+  FROM events
+), nn AS (
+  SELECT user_id, max(i) AS n FROM ev GROUP BY user_id
+), bal(user_id, i, b, clamps, maxb) AS (
+  SELECT user_id, i, greatest(0, delta),
+         CASE WHEN delta < 0 THEN 1 ELSE 0 END,
+         greatest(0, delta)
+  FROM ev WHERE i = 1
+  UNION ALL
+  SELECT b.user_id, e.i, greatest(0, b.b + e.delta),
+         b.clamps + CASE WHEN b.b + e.delta < 0 THEN 1 ELSE 0 END,
+         greatest(b.maxb, greatest(0, b.b + e.delta))
+  FROM bal b JOIN ev e ON e.user_id = b.user_id AND e.i = b.i + 1
+)
+SELECT bal.user_id, CAST(nn.n AS BIGINT) AS n_events,
+       CAST(b AS BIGINT) AS final_balance_milli,
+       CAST(clamps AS BIGINT) AS n_clamps,
+       CAST(maxb AS BIGINT) AS max_balance_milli
+FROM bal JOIN nn ON bal.user_id = nn.user_id AND bal.i = nn.n
+ORDER BY final_balance_milli DESC, bal.user_id ASC LIMIT {k}
+"""

@@ -2358,6 +2358,22 @@ def _register_llm():
             t(spark, sf, "events")
         )
     )
+    # r9: floor-clamped running balance — the order-dependent stateful
+    # fold no window function expresses, via batch applyInPandas
+    # (sequential per key by nature, parallel across keys); the oracle
+    # replays the fold as a recursive CTE.
+    from datafusion_pinot_spark.operators import temporal
+
+    register(
+        "clamped_balance_topk",
+        temporal.clamped_balance_report_oracle_sql(),
+        "llm",
+        ["temporal", "stateful", "applyinpandas"],
+    )(
+        lambda spark, sf: temporal.clamped_balance_report(
+            t(spark, sf, "events")
+        )
+    )
 
 
 _register_llm()
@@ -7925,6 +7941,12 @@ DRIVER_WINDOW: list[str] = [
     # daily_ols_trend, and the new dow row checks the same epoch-day
     # arithmetic plus the per-type partitioned window; pytest-pinned.)
     "dow_seasonality_index",  # r9: epoch-arithmetic weekly seasonality
+    # (pinot_dictionary_values_scan rotated out, once-green r08: the
+    # dictionary-served family stays window-covered by
+    # pinot_dictionary_distinct + pinot_groupby_from_dict and
+    # pytest-pinned by test_segment_distinct.py; the slot goes to the
+    # catalog's first batch-applyInPandas surface.)
+    "clamped_balance_topk",  # r9: order-dependent fold vs recursive oracle
     "halflife_event_mass",  # r9: power-of-two recency decay mass
     "t_closeness_audit",  # r9: sensitive-distribution TVD privacy audit
     "label_prop_communities",  # r9: 2-round min-label propagation
@@ -8101,7 +8123,7 @@ DRIVER_WINDOW: list[str] = [
     # (cohort_retention_weekly rotated out for the r8 dictionary-values
     # scan: r07-green; the retention matrix stays pytest-pinned and the
     # weekly-cohort shape stays window-covered by weekly_growth_accounting.)
-    "pinot_dictionary_values_scan",  # r8: SELECT DISTINCT from dictionaries
+    # (r9 rotation, family-covered) "pinot_dictionary_values_scan",  # r8: SELECT DISTINCT from dictionaries
     # (q12_late_shipment_priority rotated out: r5-green on its fixed
     # oracle; nine other TPC-H shapes remain in the window and all 22
     # stay pytest-pinned.)

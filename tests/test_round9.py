@@ -726,3 +726,34 @@ def test_upsert_tombstone_resolution_order(spark, tmp_path):
         cat.load_upsert_table(
             spark, "d", "k", "ver", mode="changelog", delete_column="deleted"
         )
+
+
+def test_clamped_balance_hand_values(spark):
+    import datetime as dtm
+
+    from datafusion_pinot_spark.operators.temporal import (
+        clamped_balance_report,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+    tick = lambda i: t0 + dtm.timedelta(minutes=i)
+    # user 1 in ts order: +5, -8 (clamps to 0), +3, -1 -> final 2,
+    # clamps 1, max 5 (milli-scaled)
+    rows = [
+        (2, tick(0), 1, "e", 5.0),   # even id -> +5000
+        (1, tick(1), 1, "e", 8.0),   # odd id  -> -8000, clamp
+        (4, tick(2), 1, "e", 3.0),   # +3000
+        (3, tick(3), 1, "e", 1.0),   # -1000
+        # user 2: single debit clamps immediately -> 0 balance, 1 clamp
+        (5, tick(0), 2, "e", 9.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {r["user_id"]: r for r in clamped_balance_report(events).collect()}
+    u1 = got[1]
+    assert (u1["final_balance_milli"], u1["n_clamps"]) == (2000, 1)
+    assert u1["max_balance_milli"] == 5000 and u1["n_events"] == 4
+    u2 = got[2]
+    assert (u2["final_balance_milli"], u2["n_clamps"]) == (0, 1)
