@@ -1077,3 +1077,84 @@ SELECT o.bucket, CAST(o.n_tokens AS BIGINT) AS n_tokens,
             AS BIGINT) AS cum_types
 FROM occ o LEFT JOIN first f ON o.bucket = f.bucket
 ORDER BY o.bucket"""
+
+
+def word_runs_topk(spark, docs: DataFrame, k: int = 20) -> DataFrame:
+    """Consecutive-word run detection via a Python UDTF + SQL LATERAL —
+    the table-function surface of §2.10 (the catalog's UDF story is
+    otherwise Arrow-batched pandas_udf / mapInPandas / applyInPandas;
+    this completes the triple). The UDTF is a per-row sequential scanner
+    emitting one row per maximal run of a repeated word (run_len ≥ 2) —
+    the stutter/repetition shapes a cleaning pass wants positions for,
+    not just counts.
+
+    Honest cost note: Python UDTFs evaluate row-at-a-time (Arrow
+    transfer when spark.sql.execution.pythonUDTF.arrow.enabled is on,
+    which this operator sets); at corpus scale the SAME scan belongs in
+    a mapInPandas kernel like the media framers — this operator exists
+    to prove the UDTF + LATERAL surface works end to end, hash-gated
+    against a gaps-and-islands SQL replay. Top-``k`` runs by (run_len
+    desc, doc_id, start_pos)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, run_len int, start_pos int")
+    class WordRuns:
+        def eval(self, text: str):
+            if not text:
+                return
+            words = text.strip().lower().split()
+            i = 0
+            n = len(words)
+            while i < n:
+                j = i
+                while j + 1 < n and words[j + 1] == words[i]:
+                    j += 1
+                if j > i:
+                    yield (words[i], j - i + 1, i + 1)
+                i = j + 1
+
+    try:
+        spark.conf.set(
+            "spark.sql.execution.pythonUDTF.arrow.enabled", "true"
+        )
+    except Exception:
+        pass
+    spark.udtf.register("word_runs", WordRuns)
+    docs.createOrReplaceTempView("__docs_runs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, r.word, r.run_len, r.start_pos
+        FROM __docs_runs d, LATERAL word_runs(d.text) r
+        ORDER BY r.run_len DESC, d.doc_id ASC, r.start_pos ASC
+        LIMIT {k}
+        """
+    )
+
+
+def word_runs_topk_oracle_sql(k: int = 20) -> str:
+    """The same maximal runs via gaps-and-islands: island id = position −
+    dense rank of the position within (doc, word)."""
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''))
+           AS w,
+         generate_subscripts(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''), 1)
+           AS pos
+  FROM documents WHERE length(trim(text)) > 0
+), islands AS (
+  SELECT doc_id, w, pos,
+         pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos)
+           AS isl
+  FROM words
+), runs AS (
+  SELECT doc_id, w AS word, CAST(count(*) AS INT) AS run_len,
+         CAST(min(pos) AS INT) AS start_pos
+  FROM islands GROUP BY doc_id, w, isl
+  HAVING count(*) >= 2
+)
+SELECT doc_id, word, run_len, start_pos
+FROM runs ORDER BY run_len DESC, doc_id ASC, start_pos ASC LIMIT {k}
+"""

@@ -2374,6 +2374,16 @@ def _register_llm():
             t(spark, sf, "events")
         )
     )
+    # r9: consecutive-word runs via Python UDTF + SQL LATERAL — the
+    # table-function surface of §2.10, hash-gated against a
+    # gaps-and-islands replay. (Arrow-batched kernels remain the
+    # production path; this proves the UDTF entry point end to end.)
+    register(
+        "word_runs_udtf",
+        text.word_runs_topk_oracle_sql(),
+        "llm",
+        ["text", "udtf", "lateral"],
+    )(lambda spark, sf: text.word_runs_topk(spark, _docs(spark, sf)))
 
 
 _register_llm()
@@ -7947,6 +7957,11 @@ DRIVER_WINDOW: list[str] = [
     # pytest-pinned by test_segment_distinct.py; the slot goes to the
     # catalog's first batch-applyInPandas surface.)
     "clamped_balance_topk",  # r9: order-dependent fold vs recursive oracle
+    # (pinot_hll_estimate_bounds rotated out, once-green r08: the sketch
+    # accuracy gate stays pytest-pinned and its rows-only sibling never
+    # was window material; the slot completes the §2.10 UDF/UDAF/UDTF
+    # triple with the catalog's only UDTF + SQL LATERAL surface.)
+    "word_runs_udtf",  # r9: Python UDTF + LATERAL vs gaps-and-islands
     "halflife_event_mass",  # r9: power-of-two recency decay mass
     "t_closeness_audit",  # r9: sensitive-distribution TVD privacy audit
     "label_prop_communities",  # r9: 2-round min-label propagation
@@ -8133,7 +8148,7 @@ DRIVER_WINDOW: list[str] = [
     "winnow_boilerplate_fps",  # r8: MOSS winnowing shared-fingerprint top-k
     # (max_concurrency_daily rotated out for the r8 HLL accuracy gate:
     # r07-green; sweep-line shape stays pytest-pinned.)
-    "pinot_hll_estimate_bounds",  # r8: hash-gated sketch-accuracy claim
+    # (r9 rotation, pytest-pinned) "pinot_hll_estimate_bounds",  # r8: hash-gated sketch-accuracy claim
     # (simhash_dup_groups rotated out for the r6 funnel pair: rows-only by
     # design — the driver row could only ever prove "runs, returns rows" —
     # while its hash-gated md5 sibling simhash_md5_dup_groups stays in the

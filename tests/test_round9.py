@@ -757,3 +757,20 @@ def test_clamped_balance_hand_values(spark):
     assert u1["max_balance_milli"] == 5000 and u1["n_events"] == 4
     u2 = got[2]
     assert (u2["final_balance_milli"], u2["n_clamps"]) == (0, 1)
+
+
+def test_word_runs_udtf_hand_values(spark):
+    from datafusion_pinot_spark.operators.text import word_runs_topk
+
+    docs = _docs(
+        spark,
+        [
+            ("go go go stop stop now", "A"),  # runs: go x3 @1, stop x2 @4
+            ("all distinct words here", "A"),  # no runs
+        ],
+    )
+    rows = [
+        (r["doc_id"], r["word"], r["run_len"], r["start_pos"])
+        for r in word_runs_topk(spark, docs).collect()
+    ]
+    assert rows == [(1, "go", 3, 1), (1, "stop", 2, 4)]
