@@ -1158,3 +1158,87 @@ WITH words AS (
 SELECT doc_id, word, run_len, start_pos
 FROM runs ORDER BY run_len DESC, doc_id ASC, start_pos ASC LIMIT {k}
 """
+
+
+def lm_quality_gate(docs: DataFrame) -> DataFrame:
+    """LM-score quality gate (the CCNet filtering step composed end to
+    end): score every document with the in-corpus bigram LM
+    (:func:`bigram_lm_score`), cut at the corpus MEDIAN score (exact
+    rank median over the (score, doc_id) total order — no float
+    percentile), and report per source how many documents each side of
+    the gate holds plus the per-source mean score in ppm. The gate
+    threshold itself is emitted so the report is self-describing.
+
+    Scale shape: the LM scoring's shuffles (see bigram_lm_score) plus
+    one rank window over the per-doc score frame (docs-sized, not
+    corpus-token-sized) and a map-side-combined per-source rollup."""
+    scores = bigram_lm_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w_all = Window.partitionBy()
+    ranked = scores.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy().orderBy("lm_score_ppm", "doc_id")
+        ),
+    ).withColumn("n", F.count(F.lit(1)).over(w_all))
+    med = ranked.filter(
+        F.col("rk") == F.expr("(n + 1) DIV 2")
+    ).select(F.col("lm_score_ppm").alias("gate_ppm"))
+    return (
+        scores.join(F.broadcast(med))
+        .groupBy("source")
+        .agg(
+            F.any_value("gate_ppm").alias("gate_ppm"),
+            F.sum(
+                (F.col("lm_score_ppm") >= F.col("gate_ppm")).cast("bigint")
+            ).alias("n_kept"),
+            F.sum(
+                (F.col("lm_score_ppm") < F.col("gate_ppm")).cast("bigint")
+            ).alias("n_dropped"),
+            F.expr(
+                "CAST(sum(lm_score_ppm) DIV count(*) AS BIGINT)"
+            ).alias("mean_score_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def lm_quality_gate_oracle_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+  WHERE len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        x -> x <> '')) >= 2
+), bg AS (
+  SELECT doc_id, source, w[i] AS l, w[i + 1] AS r
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)
+), lm AS (
+  SELECT l, r, count(*) AS c_lr FROM bg GROUP BY l, r
+), lt AS (
+  SELECT l, count(*) AS c_l FROM bg GROUP BY l
+), scores AS (
+  SELECT bg.doc_id, any_value(bg.source) AS source,
+         CAST(sum(c_lr * 1000000 // c_l) // count(*) AS BIGINT)
+           AS lm_score_ppm
+  FROM bg JOIN lm USING (l, r) JOIN lt USING (l)
+  GROUP BY bg.doc_id
+), med AS (
+  SELECT lm_score_ppm AS gate_ppm FROM (
+    SELECT lm_score_ppm,
+           row_number() OVER (ORDER BY lm_score_ppm, doc_id) AS rk,
+           count(*) OVER () AS n
+    FROM scores)
+  WHERE rk = (n + 1) // 2
+)
+SELECT source,
+       CAST(any_value(gate_ppm) AS BIGINT) AS gate_ppm,
+       CAST(sum(CASE WHEN lm_score_ppm >= gate_ppm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN lm_score_ppm < gate_ppm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(sum(lm_score_ppm) // count(*) AS BIGINT) AS mean_score_ppm
+FROM scores CROSS JOIN med GROUP BY source ORDER BY source"""

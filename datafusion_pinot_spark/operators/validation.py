@@ -897,3 +897,88 @@ SELECT event_type, dow, CAST(n AS BIGINT) AS n,
        CAST(n * 7 * 1000000
             // sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS index_ppm
 FROM c ORDER BY event_type, dow"""
+
+
+def theil_sen_daily_trend(events: DataFrame) -> DataFrame:
+    """Theil–Sen robust trend of the daily event count per type: the
+    MEDIAN of all pairwise slopes (dy/dx over day pairs) — the
+    outlier-resistant companion to :func:`daily_ols_trend` (one spike
+    day drags OLS; the slope median shrugs it off). The median pair is
+    selected by exact rank over a deterministic total order (slope as
+    one IEEE double division per pair — identical cross-engine — with
+    (dy, dx) tiebreakers), and the reported slope is the pair's exact
+    integer fraction plus a floor-milli rendering.
+
+    Scale shape: the corpus collapses to one (type, day, count) row per
+    day in ONE map-side-combined agg; the O(days²) pair join and the
+    rank window run on that bounded frame (days, not events — ~100 days
+    → ~5k pairs per type at any corpus size)."""
+    daily = (
+        events.withColumn(
+            "day", F.expr("CAST(to_date(ts) - DATE '1970-01-01' AS BIGINT)")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (F.col("b.y") - F.col("a.y")).alias("dy"),
+            (F.col("b.day") - F.col("a.day")).alias("dx"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.expr("CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE)"),
+        F.asc("dy"),
+        F.asc("dx"),
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = pairs.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_pairs", F.count(F.lit(1)).over(wn)
+    )
+    return (
+        ranked.filter(F.col("rk") == F.expr("(n_pairs + 1) DIV 2"))
+        .select(
+            "event_type",
+            "n_pairs",
+            F.col("dy").alias("slope_num"),
+            F.col("dx").alias("slope_den"),
+            F.expr(
+                "CAST(floor(CAST(dy AS DOUBLE) * 1000.0"
+                " / CAST(dx AS DOUBLE)) AS BIGINT)"
+            ).alias("slope_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def theil_sen_daily_trend_oracle_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         count(*) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), pairs AS (
+  SELECT a.event_type, b.y - a.y AS dy, b.day - a.day AS dx
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), ranked AS (
+  SELECT event_type, dy, dx,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE),
+                                     dy ASC, dx ASC) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM pairs
+)
+SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(dy AS BIGINT) AS slope_num, CAST(dx AS BIGINT) AS slope_den,
+       CAST(floor(CAST(dy AS DOUBLE) * 1000.0 / CAST(dx AS DOUBLE))
+            AS BIGINT) AS slope_milli
+FROM ranked WHERE rk = (n_pairs + 1) // 2 ORDER BY event_type"""

@@ -2384,6 +2384,26 @@ def _register_llm():
         "llm",
         ["text", "udtf", "lateral"],
     )(lambda spark, sf: text.word_runs_topk(spark, _docs(spark, sf)))
+    # r9 (pytest-tier; the r9 window already carries 21 first-check
+    # entries — further once-green rotations would cut net check value,
+    # so these two defer to the r10 window per the precedent of earlier
+    # documented deferrals): LM-median quality gate; Theil-Sen trend.
+    register(
+        "lm_quality_gate",
+        text.lm_quality_gate_oracle_sql(),
+        "llm",
+        ["text", "quality", "gate"],
+    )(lambda spark, sf: text.lm_quality_gate(_docs(spark, sf)))
+    register(
+        "theil_sen_daily_trend",
+        validation.theil_sen_daily_trend_oracle_sql(),
+        "llm",
+        ["stats", "robust", "trend"],
+    )(
+        lambda spark, sf: validation.theil_sen_daily_trend(
+            t(spark, sf, "events")
+        )
+    )
 
 
 _register_llm()

@@ -774,3 +774,47 @@ def test_word_runs_udtf_hand_values(spark):
         for r in word_runs_topk(spark, docs).collect()
     ]
     assert rows == [(1, "go", 3, 1), (1, "stop", 2, 4)]
+
+
+def test_theil_sen_outlier_resistance(spark):
+    """One spike day drags OLS but not the slope median: a flat series
+    with one huge day must report slope 0."""
+    import datetime as dtm
+
+    from datafusion_pinot_spark.operators.validation import (
+        theil_sen_daily_trend,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(9):  # 3 events/day, flat
+        for _ in range(3):
+            eid += 1
+            rows.append((eid, dtm.datetime(2024, 1, 1 + d), eid, "a", 0.0))
+    for _ in range(300):  # day 10: spike
+        eid += 1
+        rows.append((eid, dtm.datetime(2024, 1, 10), eid, "a", 0.0))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = theil_sen_daily_trend(events).first()
+    assert r["n_pairs"] == 45  # C(10, 2)
+    assert (r["slope_num"], r["slope_milli"]) == (0, 0)
+
+
+def test_lm_quality_gate_partitions_at_median(spark):
+    from datafusion_pinot_spark.operators.text import lm_quality_gate
+
+    # "a a a a" scores 1.0 (every bigram is the corpus's dominant one);
+    # mixed docs score lower; kept + dropped must equal scoreable docs
+    docs = _docs(
+        spark,
+        [("a a a a", "X"), ("a a a a", "X"), ("a b c d", "Y"),
+         ("b c d e", "Y"), ("one", "Z")],  # 1 token -> not scoreable
+    )
+    rows = {r["source"]: r for r in lm_quality_gate(docs).collect()}
+    assert "Z" not in rows  # no bigrams, excluded entirely
+    total = sum(r["n_kept"] + r["n_dropped"] for r in rows.values())
+    assert total == 4
+    assert rows["X"]["n_kept"] == 2  # top scorers are all kept
