@@ -1171,3 +1171,93 @@ FROM pairs WHERE sim >= {threshold}
 GROUP BY cluster, vb
 ORDER BY drop_vec
 """
+
+
+def sq8_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Scalar-quantized (SQ8) top-k — the fourth quantization tier after
+    brute/LSH/IVF/PQ: each vector quantizes independently to int8 codes
+    ``q_i = floor(x_i · 127 / max|x|)`` (one deterministic IEEE divide +
+    floor per element), and similarity is the INTEGER dot product of the
+    codes — BIGINT-exact, shuffle-order-independent, so unlike the
+    float-cosine tiers the whole ranking hash-checks without rounding.
+    This is the memory/speed trade faiss's SQ8 index makes: 4x smaller
+    than float32, dot products in integer SIMD; the ranking is the
+    quantized one by construction (that IS the index's answer).
+
+    Scale shape: quantization is a narrow JVM-side array transform
+    (whole-stage codegen, no Python); the probe set broadcasts; top-k is
+    a per-query WindowGroupLimit. No shuffle beyond the top-k."""
+    from datafusion_pinot_spark.functions import as_double_array
+
+    def q8(col):
+        v = as_double_array(col)
+        maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        return F.when(
+            maxabs > 0,
+            F.transform(
+                v,
+                lambda x: F.floor(x * F.lit(127.0) / maxabs).cast("long"),
+            ),
+        ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+
+    emb = embeddings.select("vec_id", q8(F.col("embedding")).alias("q"))
+    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("q_q")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("q_q"), F.col("q"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "qdot", "rnk")
+    )
+
+
+def sq8_topk_oracle_sql(query_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), mx AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS maxabs
+  FROM emb
+), q8 AS (
+  SELECT vec_id,
+         CASE WHEN maxabs > 0
+              THEN list_transform(v, x -> CAST(floor(x * 127.0 / maxabs)
+                                               AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+  FROM mx
+), probes AS (
+  SELECT vec_id AS q_id, q AS q_q FROM q8 WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT p.q_id, e.vec_id,
+         CAST(list_sum(list_transform(generate_series(1, len(e.q)),
+                                      i -> p.q_q[i] * e.q[i])) AS BIGINT)
+           AS qdot
+  FROM q8 e CROSS JOIN probes p WHERE e.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, qdot, rnk FROM (
+  SELECT q_id, vec_id, qdot,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY qdot DESC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""

@@ -2404,6 +2404,21 @@ def _register_llm():
             t(spark, sf, "events")
         )
     )
+    # r9 (pytest-tier, r10-window deferral as above): SQ8 scalar-quantized
+    # ANN — integer code dot products, the only fully hash-exact ranking
+    # in the ANN family (no float rounding contract needed).
+    from datafusion_pinot_spark.operators import similarity
+
+    register(
+        "ann_sq8_topk",
+        similarity.sq8_topk_oracle_sql([1, 2, 3]),
+        "llm",
+        ["ann", "similarity", "quantization"],
+    )(
+        lambda spark, sf: similarity.sq8_topk(
+            t(spark, sf, "embeddings"), [1, 2, 3]
+        )
+    )
 
 
 _register_llm()

@@ -818,3 +818,31 @@ def test_lm_quality_gate_partitions_at_median(spark):
     total = sum(r["n_kept"] + r["n_dropped"] for r in rows.values())
     assert total == 4
     assert rows["X"]["n_kept"] == 2  # top scorers are all kept
+
+
+def test_sq8_quantization_properties(spark):
+    """SQ8 codes are scale-invariant per vector (2x the vector -> same
+    codes) and the integer ranking is deterministic."""
+    from datafusion_pinot_spark.operators.similarity import sq8_topk
+
+    base = [1.0, -0.5, 0.25, 0.0]
+    emb = spark.createDataFrame(
+        [
+            (1, base, 0),
+            (2, [2 * x for x in base], 0),  # same direction, 2x scale
+            (3, [-x for x in base], 0),  # opposite direction
+            (4, [0.0, 0.0, 0.0, 0.0], 0),  # zero vector -> zero codes
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = sq8_topk(emb, [1], k=3).collect()
+    ranked = [(r["vec_id"], r["qdot"]) for r in rows]
+    # 2x-scaled twin quantizes to the SAME codes -> qdot == self-dot of
+    # codes [127, -64, 31, 0] (floor semantics) = 127^2+64^2+31^2
+    want_self = 127 * 127 + (-64) * (-64) + 31 * 31
+    assert ranked[0] == (2, want_self)
+    assert ranked[1][0] == 4 and ranked[1][1] == 0  # zero vec: dot 0
+    # the negated vector's codes floor ASYMMETRICALLY
+    # (floor(0.5*127)=63 vs floor(-0.5*127)=-64): [-127, 63, -32, 0]
+    want_neg = 127 * -127 + (-64) * 63 + 31 * -32
+    assert ranked[2] == (3, want_neg)
