@@ -466,3 +466,105 @@ def refresh_rollup_mv(
     with open(state_path, "w") as f:
         json.dump({"segments": sorted(seen | set(delta))}, f)
     return {"delta_segments": delta, "mv_rows": n, "refreshed": True}
+
+
+def reindex_table(
+    spark: SparkSession, table_dir: str, column: str, index: str = "inverted"
+) -> dict:
+    """Index lifecycle management (Pinot's reload-after-index-config-change,
+    minion-rebuilt): add ``index`` on ``column`` to every segment that
+    does not already carry it. Data is bit-identical after the rebuild —
+    only the index set changes — which is exactly what the hash-gated
+    ``pinot_reindex_scan`` query proves (the post-reindex scan must equal
+    the plain-SQL answer), while the unit tests assert the metadata flag
+    and the index files actually appear.
+
+    Scale shape: the triage is O(segments) over per-segment metadata
+    (which segments lack the index — manifest stats don't carry index
+    flags, so this reads metadata.properties per segment: still no
+    column data opens); the rebuilds fan out ONE SPARK TASK PER SEGMENT
+    (the delete_rows/compact pattern) through the storage kernel
+    ``pinot_segment.compact.reindex_segment``; commit is rename-based
+    under ``tmp/``, manifest updated incrementally from task stats.
+
+    Returns {"reindexed": [...], "skipped": N}.
+    """
+    from datafusion_pinot_spark.sources.pinot_datasource import (
+        _update_manifest_after_commit,
+    )
+    from pinot_segment import SegmentReader, manifest as M
+
+    flag_attr = {
+        "inverted": "has_inverted_index",
+        "bloom": "has_bloom_filter",
+        "range": "has_range_index",
+        "text": "has_text_index",
+        "json": "has_json_index",
+    }[index]
+    todo: list[str] = []
+    skipped = 0
+    for v3 in M._segment_v3_dirs(table_dir):
+        cm = SegmentReader.open(v3).metadata.get_column(column)
+        if cm is None:
+            raise ValueError(f"column not in segment: {column} ({v3})")
+        if getattr(cm, flag_attr):
+            skipped += 1
+        else:
+            todo.append(M._seg_key(v3))
+    if not todo:
+        return {"reindexed": [], "skipped": skipped}
+
+    table_name = os.path.basename(table_dir.rstrip("/")).replace(
+        "_OFFLINE", ""
+    ).replace("_REALTIME", "")
+    tmp_dir = os.path.join(table_dir, "tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    rows = [(i, name) for i, name in enumerate(sorted(todo))]
+    sdf = spark.createDataFrame(
+        rows, "task_id int, segment string"
+    ).repartition(len(rows), "task_id")
+
+    def rebuild_one(batches):
+        import uuid
+
+        import pandas as pd
+
+        from pinot_segment.compact import reindex_segment
+        from pinot_segment.manifest import collect_segment_stats
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                seg = row["segment"]
+                v3 = os.path.join(table_dir, seg, "v3")
+                name = f"{seg}_ix{uuid.uuid4().hex[:8]}"
+                staged = os.path.join(tmp_dir, name)
+                nv3 = reindex_segment(
+                    v3, staged, name, table_name, column, index
+                )
+                out.append(
+                    {
+                        "segment": seg,
+                        "new_name": name,
+                        "stats": json.dumps(collect_segment_stats(str(nv3))),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    results = sdf.mapInPandas(
+        rebuild_one, "segment string, new_name string, stats string"
+    ).collect()
+    new_stats: dict = {}
+    reindexed: list[str] = []
+    for r in results:
+        os.replace(
+            os.path.join(tmp_dir, r["new_name"]),
+            os.path.join(table_dir, r["new_name"]),
+        )
+        shutil.rmtree(
+            os.path.join(table_dir, r["segment"]), ignore_errors=True
+        )
+        reindexed.append(r["segment"])
+        new_stats[r["new_name"]] = json.loads(r["stats"])
+    _update_manifest_after_commit(table_dir, new_stats)
+    return {"reindexed": sorted(reindexed), "skipped": skipped}

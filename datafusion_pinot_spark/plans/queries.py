@@ -6906,6 +6906,55 @@ def q_pinot_upsert_latest(spark, sf):
 
 
 @register(
+    "pinot_reindex_scan",
+    """SELECT l_returnflag,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(l_orderkey) AS BIGINT) AS sum_okey
+       FROM lineitem WHERE l_returnflag = 'R'
+       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "parity",
+    ["pinot", "storage", "maintenance", "index"],
+)
+def q_pinot_reindex_scan(spark, sf):
+    """r9: index lifecycle management (Pinot's reload-with-new-index) —
+    the table lands WITHOUT an inverted index on l_returnflag,
+    ``maintenance.reindex_table`` rebuilds every segment adding one (one
+    Spark task per segment through the storage kernel), and the
+    post-reindex selective scan must hash-equal the plain SQL answer:
+    the rebuild changed only the index set, never the data. The unit
+    tests additionally assert the metadata flag + index file appear and
+    that an already-indexed segment is skipped."""
+    import tempfile
+
+    from datafusion_pinot_spark.maintenance import reindex_table
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="reix_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_returnflag")
+        .repartition(4)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    res = reindex_table(spark, out, "l_returnflag", "inverted")
+    assert len(res["reindexed"]) == 4 and res["skipped"] == 0
+    return (
+        spark.read.format("pinot")
+        .load(out)
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").cast("long").alias("sum_okey"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "pinot_upsert_tombstone",
     """WITH u AS (SELECT DISTINCT user_id FROM events)
        SELECT user_id % 5 AS tier,
@@ -7962,6 +8011,12 @@ DRIVER_WINDOW: list[str] = [
     # test_segment_distinct.py; the slot goes to the tombstone read,
     # which checks a new upsert semantic rather than a sibling shape.)
     "pinot_upsert_tombstone",  # r9: deleteRecordColumn last-wins-then-filter
+    # (pinot_groupby_pair_from_dict rotated out, once-green r08: the
+    # dictionary group-by family stays window-covered by
+    # pinot_groupby_from_dict and the composite-key variant is
+    # pytest-pinned by test_segment_distinct.py; the slot goes to the
+    # index-lifecycle rebuild, a new storage semantic.)
+    "pinot_reindex_scan",  # r9: reload-with-new-index rebuild, data-equal
     # (pinot_zorder_scan rotated out for the converged-fixpoint entity
     # clustering: twice-green r07+r08; the Morton layout stays pinned by
     # test_zorder.py and planning-proven every bench via dim2_prune.)
@@ -8137,7 +8192,7 @@ DRIVER_WINDOW: list[str] = [
     # (pinot_range_index_scan rotated out for the r8 composite dictionary
     # group-by: r07-green and heavily pytest-pinned (test_range_index.py);
     # five sibling index-scan queries remain in the window.)
-    "pinot_groupby_pair_from_dict",  # r8: composite-key dict-served GROUP BY
+    # (r9 rotation, family-covered) "pinot_groupby_pair_from_dict",  # r8: composite-key dict-served GROUP BY
     # (r9 rotation, twice-green) "pinot_mv_inverted_scan",  # r6c4: MV inverted index + mv_contains
     # (r9 rotation, twice-green) "pinot_head_topk",  # r6c4: sorted-layout top-k head pushdown
     # (r9 rotation, twice-green) "pinot_partition_pruned_lookup",  # r6: partition-map planning prune

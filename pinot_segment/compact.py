@@ -374,3 +374,86 @@ def filter_segment(
             )
         )
     return write_segment(segment_dir, segment_name, table_name, specs)
+
+
+_INDEX_KINDS = ("inverted", "bloom", "range", "text", "json")
+
+
+def reindex_segment(
+    member_dir: str,
+    segment_dir: str | Path,
+    segment_name: str,
+    table_name: str,
+    column: str,
+    index: str = "inverted",
+) -> Path:
+    """Rewrite ONE segment with ``index`` ADDED on ``column`` — the
+    storage kernel of Pinot's reload-with-new-index-config lifecycle
+    (table config gains an index, minions rebuild segments; the data is
+    bit-identical, only the index set changes). All other columns keep
+    their physical configuration; the target column keeps its encoding
+    and gains the requested index where valid (same validity matrix as
+    :func:`merge_segments`' index union).
+
+    Spark-free; orchestration (which segments, fan-out, commit) lives in
+    maintenance.reindex_table."""
+    if index not in _INDEX_KINDS:
+        raise ValueError(f"unknown index kind: {index!r}")
+    reader = SegmentReader.open(member_dir)
+    if reader.metadata.get_column(column) is None:
+        raise ValueError(f"column not in segment: {column}")
+
+    specs = []
+    for name in reader.column_names():
+        m = reader.metadata.get_column(name)
+        dt = m.data_type
+        raw = not m.has_dictionary
+        mv = not m.is_single_value
+        values = reader.read_column(name)
+        null_mask = (
+            reader.null_mask(name) if m.has_null_values else None
+        )
+        add = name == column
+        inverted = (m.has_inverted_index or (add and index == "inverted"))
+        bloom = m.has_bloom_filter or (add and index == "bloom")
+        text_index = m.has_text_index or (add and index == "text")
+        range_index = m.has_range_index or (add and index == "range")
+        json_index = m.has_json_index or (add and index == "json")
+        compression = (
+            LZ4_LENGTH_PREFIXED
+            if raw and dt in (DataType.STRING, DataType.BYTES)
+            else PASS_THROUGH
+        )
+        specs.append(
+            ColumnSpec(
+                name,
+                dt,
+                values,
+                raw=raw,
+                compression=compression,
+                multi_value=mv,
+                null_mask=null_mask,
+                inverted=inverted and not raw and not mv,
+                bloom=bloom and not mv,
+                text_index=text_index and not mv and dt is DataType.STRING,
+                range_index=range_index
+                and not mv
+                and dt
+                in (
+                    DataType.INT,
+                    DataType.LONG,
+                    DataType.TIMESTAMP,
+                    DataType.FLOAT,
+                    DataType.DOUBLE,
+                ),
+                json_index=json_index
+                and not mv
+                and dt is DataType.STRING,
+                partition_config=(
+                    (m.partition_function, m.num_partitions)
+                    if m.partition_function is not None
+                    else None
+                ),
+            )
+        )
+    return write_segment(segment_dir, segment_name, table_name, specs)

@@ -846,3 +846,36 @@ def test_sq8_quantization_properties(spark):
     # (floor(0.5*127)=63 vs floor(-0.5*127)=-64): [-127, 63, -32, 0]
     want_neg = 127 * -127 + (-64) * 63 + 31 * -32
     assert ranked[2] == (3, want_neg)
+
+
+def test_reindex_table_adds_inverted_index(spark, tmp_path):
+    from datafusion_pinot_spark.maintenance import reindex_table
+    from datafusion_pinot_spark.sources import register_pinot_source
+    from pinot_segment import SegmentReader, manifest as M
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "t_OFFLINE")
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}") for i in range(30)], "a long, k string"
+    )
+    df.repartition(2).write.format("pinot").mode("overwrite").save(out)
+    for v3 in M._segment_v3_dirs(out):
+        assert not SegmentReader.open(v3).metadata.get_column(
+            "k"
+        ).has_inverted_index
+    res = reindex_table(spark, out, "k", "inverted")
+    assert len(res["reindexed"]) == 2 and res["skipped"] == 0
+    rows_after = []
+    for v3 in M._segment_v3_dirs(out):
+        cm = SegmentReader.open(v3).metadata.get_column("k")
+        assert cm.has_inverted_index  # flag present
+        rows_after.append(SegmentReader.open(v3).total_docs())
+    assert sum(rows_after) == 30  # data bit-identical in count
+    got = sorted(
+        (r["a"], r["k"])
+        for r in spark.read.format("pinot").load(out).collect()
+    )
+    assert got == sorted((i, f"k{i % 3}") for i in range(30))
+    # idempotence: a second call skips every segment
+    res2 = reindex_table(spark, out, "k", "inverted")
+    assert res2["reindexed"] == [] and res2["skipped"] == 2
