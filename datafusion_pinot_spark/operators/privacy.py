@@ -16,7 +16,7 @@ masked narrower match (e.g. the digits of an ``email`` local part).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Detection patterns, deliberately conservative (low false-positive) —
 # a production pipeline would layer checksummed validators (Luhn etc.)
@@ -287,3 +287,87 @@ SELECT event_type,
          AS groups_over_t
 FROM tvd GROUP BY event_type ORDER BY event_type
 """
+
+
+def contribution_sensitivity_audit(
+    events: DataFrame, clip: int = 10
+) -> DataFrame:
+    """User-contribution sensitivity audit — the number a differential-
+    privacy release needs BEFORE choosing noise: per event_type, the
+    maximum events any single user contributes (the unbounded L1
+    sensitivity of a count query), the exact median per-user
+    contribution, and what clipping contributions at ``clip`` would cost
+    (users touched, rows lost). Deterministic and integer-exact — the DP
+    noise itself is random and does not belong in a hash-gated catalog;
+    the sensitivity accounting that sizes it does.
+
+    Scale shape: one map-side-combined (type, user) count collapses the
+    corpus; the per-type rollup and the exact rank median run on that
+    users-sized frame, windowed per type (no global sort)."""
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_u")
+    )
+    w = Window.partitionBy("event_type").orderBy("n_u", "user_id")
+    wn = Window.partitionBy("event_type")
+    ranked = per_user.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_users", F.count(F.lit(1)).over(wn)
+    )
+    med = (
+        ranked.filter(F.col("rk") == F.expr("(n_users + 1) DIV 2"))
+        .select("event_type", F.col("n_u").alias("median_contrib"))
+    )
+    agg = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.max("n_u").alias("max_contrib"),
+        F.sum(
+            F.when(F.col("n_u") > clip, F.col("n_u") - clip).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("rows_lost_at_clip"),
+        F.sum((F.col("n_u") > clip).cast("bigint")).alias(
+            "users_clipped"
+        ),
+    )
+    return (
+        agg.join(med, "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            "max_contrib",
+            "median_contrib",
+            "users_clipped",
+            "rows_lost_at_clip",
+        )
+        .orderBy("event_type")
+    )
+
+
+def contribution_sensitivity_audit_oracle_sql(clip: int = 10) -> str:
+    return f"""
+WITH per_user AS (
+  SELECT event_type, user_id, count(*) AS n_u
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, n_u,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n_u, user_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_users
+  FROM per_user
+), med AS (
+  SELECT event_type, n_u AS median_contrib
+  FROM ranked WHERE rk = (n_users + 1) // 2
+), agg AS (
+  SELECT event_type, count(*) AS n_users, max(n_u) AS max_contrib,
+         CAST(sum(CASE WHEN n_u > {clip} THEN n_u - {clip} ELSE 0 END)
+              AS BIGINT) AS rows_lost_at_clip,
+         CAST(sum(CASE WHEN n_u > {clip} THEN 1 ELSE 0 END) AS BIGINT)
+           AS users_clipped
+  FROM per_user GROUP BY event_type
+)
+SELECT a.event_type,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(max_contrib AS BIGINT) AS max_contrib,
+       CAST(median_contrib AS BIGINT) AS median_contrib,
+       users_clipped, rows_lost_at_clip
+FROM agg a JOIN med m ON a.event_type = m.event_type
+ORDER BY a.event_type"""

@@ -2419,6 +2419,18 @@ def _register_llm():
             t(spark, sf, "embeddings"), [1, 2, 3]
         )
     )
+    # r9 (pytest-tier, r10-window deferral as above): DP clipping-bound
+    # sensitivity audit — max/median per-user contribution + clip cost.
+    register(
+        "contribution_sensitivity_audit",
+        privacy.contribution_sensitivity_audit_oracle_sql(),
+        "llm",
+        ["privacy", "audit", "window"],
+    )(
+        lambda spark, sf: privacy.contribution_sensitivity_audit(
+            t(spark, sf, "events")
+        )
+    )
 
 
 _register_llm()

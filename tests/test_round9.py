@@ -879,3 +879,27 @@ def test_reindex_table_adds_inverted_index(spark, tmp_path):
     # idempotence: a second call skips every segment
     res2 = reindex_table(spark, out, "k", "inverted")
     assert res2["reindexed"] == [] and res2["skipped"] == 2
+
+
+def test_contribution_sensitivity_hand_values(spark):
+    import datetime as dtm
+
+    from datafusion_pinot_spark.operators.privacy import (
+        contribution_sensitivity_audit,
+    )
+
+    ts = dtm.datetime(2024, 1, 1)
+    # type a: user 1 -> 12 events, user 2 -> 3, user 3 -> 1
+    rows = (
+        [(i, ts, 1, "a", 0.0) for i in range(12)]
+        + [(100 + i, ts, 2, "a", 0.0) for i in range(3)]
+        + [(200, ts, 3, "a", 0.0)]
+    )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = contribution_sensitivity_audit(events, clip=10).first()
+    assert (r["n_users"], r["max_contrib"], r["median_contrib"]) == (3, 12, 3)
+    # clipping at 10: only user 1 is touched, losing 12-10 = 2 rows
+    assert (r["users_clipped"], r["rows_lost_at_clip"]) == (1, 2)
