@@ -558,12 +558,16 @@ def simpson_source_diversity(docs: DataFrame) -> DataFrame:
     the fold is a single agg over that tiny frame. A one-document corpus
     (N(N-1) = 0) reports den 0 and effective 0 rather than dividing."""
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    # coalesce the sums: on an EMPTY corpus sum() is NULL, and the audit
+    # must report zeros, not NULL-propagate (degenerate-input contract)
     return counts.agg(
         F.count(F.lit(1)).alias("n_sources"),
-        F.sum("n_s").cast("long").alias("n_docs"),
-        F.expr("CAST(sum(n_s * (n_s - 1)) AS BIGINT)").alias("simpson_num"),
+        F.expr("CAST(coalesce(sum(n_s), 0) AS BIGINT)").alias("n_docs"),
         F.expr(
-            "CAST(sum(n_s) * (sum(n_s) - 1) AS BIGINT)"
+            "CAST(coalesce(sum(n_s * (n_s - 1)), 0) AS BIGINT)"
+        ).alias("simpson_num"),
+        F.expr(
+            "CAST(coalesce(sum(n_s) * (sum(n_s) - 1), 0) AS BIGINT)"
         ).alias("simpson_den"),
     ).select(
         "n_sources",
@@ -588,9 +592,11 @@ def simpson_source_diversity_oracle_sql() -> str:
 WITH counts AS (
   SELECT source, count(*) AS n_s FROM documents GROUP BY source
 ), s AS (
-  SELECT count(*) AS n_sources, CAST(sum(n_s) AS BIGINT) AS n_docs,
-         CAST(sum(n_s * (n_s - 1)) AS BIGINT) AS simpson_num,
-         CAST(sum(n_s) * (sum(n_s) - 1) AS BIGINT) AS simpson_den
+  SELECT count(*) AS n_sources,
+         CAST(coalesce(sum(n_s), 0) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(n_s * (n_s - 1)), 0) AS BIGINT) AS simpson_num,
+         CAST(coalesce(sum(n_s) * (sum(n_s) - 1), 0) AS BIGINT)
+           AS simpson_den
   FROM counts
 )
 SELECT n_sources, n_docs, simpson_num, simpson_den,
