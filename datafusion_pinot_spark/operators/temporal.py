@@ -778,3 +778,141 @@ SELECT bal.user_id, CAST(nn.n AS BIGINT) AS n_events,
 FROM bal JOIN nn ON bal.user_id = nn.user_id AND bal.i = nn.n
 ORDER BY final_balance_milli DESC, bal.user_id ASC LIMIT {k}
 """
+
+
+def user_inactivity_gaps(events, k: int = 20):
+    """Longest inactivity gap per user in exact seconds (churn-risk
+    screen): the max lag-gap between a user's consecutive events, plus
+    first/last activity and event count, top-``k`` by (gap desc, user
+    asc). Pure epoch arithmetic (unix_micros DIV), bit-identical across
+    engines; single-event users report gap 0, never NULL.
+
+    Scale shape: one shuffle on user_id for the lag window (the same
+    partitioning sessionization pays); the report is a TakeOrdered."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 1000000").alias("ts_s"),
+        "event_id",
+    ).withColumn(
+        "gap_s",
+        F.col("ts_s")
+        - F.lag(F.col("ts_s")).over(
+            Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        ),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(F.max("gap_s"), F.lit(0)).cast("long").alias(
+                "max_gap_s"
+            ),
+            F.min("ts_s").cast("long").alias("first_s"),
+            F.max("ts_s").cast("long").alias("last_s"),
+        )
+        .orderBy(F.desc("max_gap_s"), F.asc("user_id"))
+        .limit(k)
+    )
+
+
+def user_inactivity_gaps_oracle_sql(k: int = 20) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS ts_s, event_id FROM events
+), g AS (
+  SELECT user_id, ts_s,
+         ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                ORDER BY ts_s, event_id) AS gap_s
+  FROM e
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(max(gap_s), 0) AS BIGINT) AS max_gap_s,
+       CAST(min(ts_s) AS BIGINT) AS first_s,
+       CAST(max(ts_s) AS BIGINT) AS last_s
+FROM g GROUP BY user_id
+ORDER BY max_gap_s DESC, user_id ASC LIMIT {k}
+"""
+
+
+def session_bounce_rate(events, gap_minutes: int = 30):
+    """Per-event-type bounce rate: sessions (30-min inactivity splits,
+    the sessionization convention this repo uses) containing exactly ONE
+    event, as an exact ppm of that type's sessions. The engagement-
+    quality headline of traffic analytics.
+
+    Scale shape: the session ids derive from one lag window per (user,
+    type) — same shuffle as sessionization — then two map-side-combined
+    aggs. All integer."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    marked = events.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        "event_id",
+    ).withColumn(
+        "new_sess",
+        (
+            F.coalesce(
+                F.col("ts_us") - F.lag("ts_us").over(w), F.lit(gap_us + 1)
+            )
+            > gap_us
+        ).cast("bigint"),
+    )
+    sess = marked.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_sess = sess.groupBy("event_type", "user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    return (
+        per_sess.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_ev") == 1).cast("bigint")).alias("n_bounces"),
+        )
+        .select(
+            "event_type",
+            "n_sessions",
+            "n_bounces",
+            F.expr(
+                "CAST(n_bounces * 1000000 DIV n_sessions AS BIGINT)"
+            ).alias("bounce_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def session_bounce_rate_oracle_sql(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+), marked AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         CASE WHEN coalesce(ts_us - lag(ts_us) OVER
+                     (PARTITION BY user_id, event_type
+                      ORDER BY ts_us, event_id), {gap_us + 1}) > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+), sess AS (
+  SELECT user_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts_us, event_id) AS sess_id
+  FROM marked
+), per_sess AS (
+  SELECT event_type, user_id, sess_id, count(*) AS n_ev
+  FROM sess GROUP BY event_type, user_id, sess_id
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS bounce_ppm
+FROM per_sess GROUP BY event_type ORDER BY event_type"""

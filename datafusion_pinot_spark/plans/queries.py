@@ -2431,6 +2431,28 @@ def _register_llm():
             t(spark, sf, "events")
         )
     )
+    # r9 (pytest-tier, r10-window deferral as above): churn-risk gap
+    # screen and session bounce rate — exact epoch arithmetic.
+    register(
+        "user_inactivity_gaps",
+        temporal.user_inactivity_gaps_oracle_sql(),
+        "llm",
+        ["temporal", "window", "churn"],
+    )(
+        lambda spark, sf: temporal.user_inactivity_gaps(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "session_bounce_rate",
+        temporal.session_bounce_rate_oracle_sql(),
+        "llm",
+        ["temporal", "session", "agg"],
+    )(
+        lambda spark, sf: temporal.session_bounce_rate(
+            t(spark, sf, "events")
+        )
+    )
 
 
 _register_llm()

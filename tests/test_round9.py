@@ -903,3 +903,46 @@ def test_contribution_sensitivity_hand_values(spark):
     assert (r["n_users"], r["max_contrib"], r["median_contrib"]) == (3, 12, 3)
     # clipping at 10: only user 1 is touched, losing 12-10 = 2 rows
     assert (r["users_clipped"], r["rows_lost_at_clip"]) == (1, 2)
+
+
+def test_bounce_rate_hand_values(spark):
+    import datetime as dtm
+
+    from datafusion_pinot_spark.operators.temporal import session_bounce_rate
+
+    t0 = dtm.datetime(2024, 1, 1)
+    mins = lambda m: t0 + dtm.timedelta(minutes=m)
+    rows = [
+        # user 1 type a: 2 events 5 min apart -> ONE session, no bounce
+        (1, mins(0), 1, "a", 0.0), (2, mins(5), 1, "a", 0.0),
+        # then a 60-min gap -> a second session with 1 event -> bounce
+        (3, mins(65), 1, "a", 0.0),
+        # user 2 type a: single event -> bounce
+        (4, mins(0), 2, "a", 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = session_bounce_rate(events).first()
+    assert (r["n_sessions"], r["n_bounces"]) == (3, 2)
+    assert r["bounce_ppm"] == 2 * 1_000_000 // 3
+
+
+def test_inactivity_gap_single_event_user_is_zero(spark):
+    import datetime as dtm
+
+    from datafusion_pinot_spark.operators.temporal import (
+        user_inactivity_gaps,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(1, t0, 7, "a", 0.0),
+         (2, t0, 8, "a", 0.0),
+         (3, t0 + dtm.timedelta(seconds=90), 8, "a", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = {r["user_id"]: r for r in user_inactivity_gaps(events).collect()}
+    assert rows[7]["max_gap_s"] == 0 and rows[7]["n_events"] == 1
+    assert rows[8]["max_gap_s"] == 90
