@@ -916,3 +916,72 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000000
             // count(*) AS BIGINT) AS bounce_ppm
 FROM per_sess GROUP BY event_type ORDER BY event_type"""
+
+
+def dau_wau_stickiness(events):
+    """DAU / trailing-7-day WAU stickiness per day — THE product-
+    engagement ratio — in exact ppm. Exact distinct throughout: the
+    corpus collapses to distinct (user, day) pairs once; each day's WAU
+    is the distinct users over a 7-day trailing range computed by
+    joining the pair table to the (bounded) day list on the range —
+    days × active-pairs, never events × events. Epoch-day arithmetic,
+    engine-identical.
+
+    Scale shape: ONE distinct shuffle on (user, day); the day list is a
+    tiny broadcast; the range join fans each active pair out to ≤7 day
+    rows before the count-distinct combine. No corpus re-scan per day."""
+    active = (
+        events.select(
+            "user_id",
+            F.expr(
+                "CAST(to_date(ts) - DATE '1970-01-01' AS BIGINT)"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    days = active.select("day").distinct().select(
+        F.col("day").alias("d")
+    )
+    dau = active.groupBy(F.col("day").alias("d")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    wau = (
+        active.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("d")) & (F.col("day") >= F.col("d") - 6),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.expr("CAST(dau * 1000000 DIV wau AS BIGINT)").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def dau_wau_stickiness_oracle_sql() -> str:
+    return """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+  FROM events
+), days AS (
+  SELECT DISTINCT day AS d FROM active
+), dau AS (
+  SELECT day AS d, count(*) AS dau FROM active GROUP BY day
+), wau AS (
+  SELECT days.d, count(DISTINCT a.user_id) AS wau
+  FROM days JOIN active a ON a.day <= days.d AND a.day >= days.d - 6
+  GROUP BY days.d
+)
+SELECT dau.d AS day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau ON dau.d = wau.d ORDER BY day"""

@@ -2453,6 +2453,18 @@ def _register_llm():
             t(spark, sf, "events")
         )
     )
+    # r9 (pytest-tier, r10-window deferral as above): DAU/WAU stickiness
+    # — exact trailing-7-day distinct actives via a bounded range join.
+    register(
+        "dau_wau_stickiness",
+        temporal.dau_wau_stickiness_oracle_sql(),
+        "llm",
+        ["temporal", "engagement", "distinct"],
+    )(
+        lambda spark, sf: temporal.dau_wau_stickiness(
+            t(spark, sf, "events")
+        )
+    )
 
 
 _register_llm()

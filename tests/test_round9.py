@@ -946,3 +946,29 @@ def test_inactivity_gap_single_event_user_is_zero(spark):
     rows = {r["user_id"]: r for r in user_inactivity_gaps(events).collect()}
     assert rows[7]["max_gap_s"] == 0 and rows[7]["n_events"] == 1
     assert rows[8]["max_gap_s"] == 90
+
+
+def test_dau_wau_stickiness_hand_values(spark):
+    import datetime as dtm
+
+    from datafusion_pinot_spark.operators.temporal import dau_wau_stickiness
+
+    day = lambda d, u: (
+        d * 100 + u,
+        dtm.datetime(2024, 1, 1) + dtm.timedelta(days=d),
+        u,
+        "a",
+        0.0,
+    )
+    # day0: users 1,2; day1: user 1 (twice -> still 1 DAU)
+    events = spark.createDataFrame(
+        [day(0, 1), day(0, 2), day(1, 1), (999, dtm.datetime(2024, 1, 2, 5), 1, "a", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = {r["day"]: r for r in dau_wau_stickiness(events).collect()}
+    d0, d1 = sorted(rows)
+    assert (rows[d0]["dau"], rows[d0]["wau"]) == (2, 2)
+    assert rows[d0]["stickiness_ppm"] == 1_000_000
+    # day1: dau 1 (dup events collapse), trailing wau still 2
+    assert (rows[d1]["dau"], rows[d1]["wau"]) == (1, 2)
+    assert rows[d1]["stickiness_ppm"] == 500_000
