@@ -972,3 +972,23 @@ def test_dau_wau_stickiness_hand_values(spark):
     # day1: dau 1 (dup events collapse), trailing wau still 2
     assert (rows[d1]["dau"], rows[d1]["wau"]) == (1, 2)
     assert rows[d1]["stickiness_ppm"] == 500_000
+
+
+def test_driver_window_invariants():
+    """Static guards for the rotation workflow: exactly 50 unique names,
+    every one registered, every one carrying a DuckDB oracle (a window
+    slot spent on a rows-only check would waste its hash gate), and
+    ordered_queries() actually serves the window first."""
+    from datafusion_pinot_spark.plans.queries import (
+        DRIVER_WINDOW,
+        QUERIES,
+        ordered_queries,
+    )
+
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+    assert not missing, missing
+    no_oracle = [n for n in DRIVER_WINDOW if QUERIES[n].oracle is None]
+    assert not no_oracle, no_oracle
+    assert list(ordered_queries())[:50] == DRIVER_WINDOW
