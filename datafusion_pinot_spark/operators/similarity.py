@@ -1261,3 +1261,112 @@ SELECT q_id, vec_id, qdot, rnk FROM (
   FROM scored
 ) WHERE rnk <= {k}
 """
+
+
+def sq8_recall_audit(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Quantization-quality audit under the FULL hash gate: recall@k of
+    the SQ8 integer ranking against the exact float-cosine ranking, per
+    probe, in exact ppm. Most ANN recall numbers are unverifiable
+    spot-checks; here BOTH rankings are deterministic and SQL-
+    expressible (SQ8 codes are engine-exact integers; the cosine tier
+    uses the repo's 6-decimal rounding contract), so the overlap count
+    itself is what DuckDB re-derives — the audit of the index is as
+    hash-checked as the index.
+
+    Scale shape: two broadcast-probe rankings over the same corpus scan
+    economics as their parent operators, then a (q_id, vec_id) equi-join
+    of two k-row-per-probe frames — trivially small."""
+    exact = brute_force_topk(embeddings, query_ids, k).select(
+        "q_id", "vec_id"
+    )
+    quant = sq8_topk(embeddings, query_ids, k).select(
+        "q_id", F.col("vec_id").alias("vec_id_q")
+    )
+    hits = exact.join(
+        quant,
+        (exact["q_id"] == quant["q_id"])
+        & (exact["vec_id"] == quant["vec_id_q"]),
+    ).groupBy(exact["q_id"].alias("qid")).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    base = exact.groupBy(F.col("q_id").alias("qid")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        base.join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("q_id"),
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "CAST(coalesce(n_hits, 0) * 1000000 DIV n_exact AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def sq8_recall_audit_oracle_sql(query_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS q_v FROM emb WHERE vec_id IN ({ids})
+), cos_scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(CASE WHEN sqrt(list_sum(list_transform(q.q_v, x -> x*x)))
+                         * sqrt(list_sum(list_transform(e.v, x -> x*x))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(
+                           generate_series(1, len(e.v)),
+                           i -> q.q_v[i] * e.v[i]))
+                         / (sqrt(list_sum(list_transform(q.q_v, x -> x*x)))
+                            * sqrt(list_sum(list_transform(e.v, x -> x*x))))
+               END, 6) AS sim
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id
+), exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, vec_id ASC) AS rnk
+    FROM cos_scored) WHERE rnk <= {k}
+), mx AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+  FROM emb
+), q8 AS (
+  SELECT vec_id,
+         CASE WHEN maxabs > 0
+              THEN list_transform(v, x -> CAST(floor(x * 127.0 / maxabs)
+                                               AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+  FROM mx
+), probes AS (
+  SELECT vec_id AS q_id, q AS q_q FROM q8 WHERE vec_id IN ({ids})
+), quant AS (
+  SELECT q_id, vec_id FROM (
+    SELECT p.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY p.q_id
+                              ORDER BY CAST(list_sum(list_transform(
+                                generate_series(1, len(e.q)),
+                                i -> p.q_q[i] * e.q[i])) AS BIGINT) DESC,
+                              e.vec_id ASC) AS rnk
+    FROM q8 e CROSS JOIN probes p WHERE e.vec_id <> p.q_id) t
+  WHERE rnk <= {k}
+), hits AS (
+  SELECT exact.q_id, count(*) AS n_hits
+  FROM exact JOIN quant ON exact.q_id = quant.q_id
+                       AND exact.vec_id = quant.vec_id
+  GROUP BY exact.q_id
+), base AS (
+  SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id
+)
+SELECT b.q_id, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // n_exact AS BIGINT)
+         AS recall_ppm
+FROM base b LEFT JOIN hits h ON b.q_id = h.q_id
+ORDER BY b.q_id"""

@@ -2465,6 +2465,19 @@ def _register_llm():
             t(spark, sf, "events")
         )
     )
+    # r9 (pytest-tier, r10-window deferral as above): hash-gated ANN
+    # quality audit — recall@k of the SQ8 integer ranking against the
+    # exact cosine ranking; BOTH rankings re-derived by the oracle.
+    register(
+        "sq8_recall_audit",
+        similarity.sq8_recall_audit_oracle_sql([1, 2, 3]),
+        "llm",
+        ["ann", "audit", "quantization"],
+    )(
+        lambda spark, sf: similarity.sq8_recall_audit(
+            t(spark, sf, "embeddings"), [1, 2, 3]
+        )
+    )
 
 
 _register_llm()

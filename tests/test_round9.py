@@ -992,3 +992,26 @@ def test_driver_window_invariants():
     no_oracle = [n for n in DRIVER_WINDOW if QUERIES[n].oracle is None]
     assert not no_oracle, no_oracle
     assert list(ordered_queries())[:50] == DRIVER_WINDOW
+
+
+def test_sq8_recall_perfect_on_axis_aligned(spark):
+    """On vectors whose direction is fully captured by the codes (axis-
+    aligned one-hot), the SQ8 ranking equals the cosine ranking exactly
+    -> recall 1.0; and recall is always in [0, 1]."""
+    from datafusion_pinot_spark.operators.similarity import sq8_recall_audit
+
+    rows = []
+    for i in range(12):
+        v = [0.0] * 8
+        v[i % 8] = 1.0 + (i // 8) * 0.5  # same direction per axis class
+        rows.append((i + 1, v, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = sq8_recall_audit(emb, [1], k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_exact"] == 3
+    assert 0 <= r["n_hits"] <= 3
+    # axis-aligned codes preserve the cosine order exactly
+    assert r["recall_ppm"] == 1_000_000
