@@ -1436,3 +1436,132 @@ SELECT source,
             // count(*) AS BIGINT) AS removed_ppm
 FROM scored GROUP BY source ORDER BY source
 """
+
+
+def minhash_estimate_error(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash ESTIMATION-ERROR audit, fully hash-gated: over the banded
+    LSH candidate pairs, compare the signature-estimated Jaccard
+    (matching components / k, in ppm) against the exact shingle-set
+    Jaccard, and report the corpus-level error profile — pair count,
+    mean estimated vs mean exact, mean absolute error and worst error
+    (all exact integer ppm). The textbook MinHash accuracy claim
+    (unbiased, sd ~ 1/sqrt(k)) as a MEASURED number the oracle
+    re-derives — the dedup-side analog of the SQ8 recall audit.
+
+    Scale shape: candidates are the capped banded buckets (never
+    all-pairs); the estimate is a k-column compare on the candidate
+    frame; the exact verify joins shingles for candidate docs only —
+    the same economics as lsh_verified_pairs, plus one tiny rollup."""
+    sig = minhash_signatures(docs, k, n)
+    cand = minhash_lsh_candidates_md5(docs, k, bands, n)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(k)
+    )
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (matches * F.lit(1_000_000 // k)).alias("est_ppm"),
+    )
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(word_shingles(F.col("toks"), n)).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a"
+        )
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    exact = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(inter * 1000000 DIV (sz_a + sz_b - inter) AS BIGINT)"
+            ).alias("exact_ppm"),
+        )
+    )
+    per_pair = est.join(exact, ["doc_a", "doc_b"]).withColumn(
+        "err_ppm", F.abs(F.col("est_ppm") - F.col("exact_ppm"))
+    )
+    return per_pair.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("CAST(sum(est_ppm) DIV count(*) AS BIGINT)").alias(
+            "mean_est_ppm"
+        ),
+        F.expr("CAST(sum(exact_ppm) DIV count(*) AS BIGINT)").alias(
+            "mean_exact_ppm"
+        ),
+        F.expr("CAST(sum(err_ppm) DIV count(*) AS BIGINT)").alias(
+            "mean_abs_err_ppm"
+        ),
+        F.max("err_ppm").cast("long").alias("max_err_ppm"),
+    )
+
+
+def minhash_estimate_error_oracle_sql(
+    k: int = MINHASH_K, bands: int = LSH_BANDS, n: int = 3
+) -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return _lsh_candidate_ctes(k, bands, n) + f""", est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(({match_sum}) * {1_000_000 // k} AS BIGINT) AS est_ppm
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+), sh2 AS (
+  SELECT DISTINCT doc_id, unnest(sh) AS s FROM s
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh2 a ON a.doc_id = c.doc_a
+  JOIN sh2 b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+), exact AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(coalesce(i.inter, 0) * 1000000
+              // (sa.sz + sb.sz - coalesce(i.inter, 0)) AS BIGINT)
+           AS exact_ppm
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+), per_pair AS (
+  SELECT e.doc_a, e.doc_b, e.est_ppm, x.exact_ppm,
+         abs(e.est_ppm - x.exact_ppm) AS err_ppm
+  FROM est e JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(est_ppm) // count(*) AS BIGINT) AS mean_est_ppm,
+       CAST(sum(exact_ppm) // count(*) AS BIGINT) AS mean_exact_ppm,
+       CAST(sum(err_ppm) // count(*) AS BIGINT) AS mean_abs_err_ppm,
+       CAST(max(err_ppm) AS BIGINT) AS max_err_ppm
+FROM per_pair"""

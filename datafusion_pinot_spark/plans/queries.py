@@ -2478,6 +2478,15 @@ def _register_llm():
             t(spark, sf, "embeddings"), [1, 2, 3]
         )
     )
+    # r9 (pytest-tier, r10-window deferral as above): MinHash estimation
+    # error — signature-estimated vs exact Jaccard over the LSH
+    # candidates, the measured form of the 1/sqrt(k) accuracy claim.
+    register(
+        "minhash_estimate_error",
+        dedup.minhash_estimate_error_oracle_sql(),
+        "llm",
+        ["dedup", "audit", "minhash"],
+    )(lambda spark, sf: dedup.minhash_estimate_error(_docs(spark, sf)))
 
 
 _register_llm()

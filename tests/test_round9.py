@@ -1015,3 +1015,17 @@ def test_sq8_recall_perfect_on_axis_aligned(spark):
     assert 0 <= r["n_hits"] <= 3
     # axis-aligned codes preserve the cosine order exactly
     assert r["recall_ppm"] == 1_000_000
+
+
+def test_minhash_estimate_error_exact_dups_are_errorless(spark):
+    """Exact duplicates share every shingle AND every signature component:
+    est = exact = 1.0, error 0 — the audit's fixed point."""
+    from datafusion_pinot_spark.operators.dedup import minhash_estimate_error
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(spark, [(text, "A"), (text, "A"), (text, "A")])
+    r = minhash_estimate_error(docs).first()
+    assert r["n_pairs"] == 3  # all three pairs collide in every band
+    assert r["mean_est_ppm"] == 1_000_000
+    assert r["mean_exact_ppm"] == 1_000_000
+    assert (r["mean_abs_err_ppm"], r["max_err_ppm"]) == (0, 0)
