@@ -371,3 +371,52 @@ WITH cp AS (
 SELECT lab, CAST(count(*) AS BIGINT) AS n_members
 FROM lab2 GROUP BY lab ORDER BY n_members DESC, lab ASC LIMIT {k}
 """
+
+
+def degree_distribution(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Log2-bucketed degree distribution of the customer-part purchase
+    graph — the power-law fingerprint (straight line in log-log ⇒
+    scale-free) read before choosing partitioning/salting strategies for
+    graph workloads. Bucket = floor(log2(degree)) computed EXACTLY as
+    ``length(bin(degree)) - 1`` (binary-string length, engine-identical
+    integer semantics — no floating log). Reports per bucket: node
+    count, min/max degree observed, and total edge endpoints covered.
+
+    Scale shape: one distinct edge shuffle (shared with the pagerank /
+    label-prop operators), one map-side-combined degree count, then the
+    bucket rollup on the nodes-sized frame."""
+    edges = customer_part_edges(orders, lineitem)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        deg.withColumn(
+            "bucket", (F.length(F.bin("degree")) - 1).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("degree").cast("long").alias("min_degree"),
+            F.max("degree").cast("long").alias("max_degree"),
+            F.sum("degree").cast("long").alias("sum_degree"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def degree_distribution_oracle_sql() -> str:
+    return f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey + {PART_BASE} AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT c AS src, p AS dst FROM cp UNION ALL SELECT p AS src, c AS dst FROM cp
+), deg AS (
+  SELECT src AS node, count(*) AS degree FROM edges GROUP BY src
+)
+SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(degree) AS BIGINT) AS min_degree,
+       CAST(max(degree) AS BIGINT) AS max_degree,
+       CAST(sum(degree) AS BIGINT) AS sum_degree
+FROM deg GROUP BY 1 ORDER BY bucket"""

@@ -2487,6 +2487,18 @@ def _register_llm():
         "llm",
         ["dedup", "audit", "minhash"],
     )(lambda spark, sf: dedup.minhash_estimate_error(_docs(spark, sf)))
+    # r9 (pytest-tier, r10-window deferral as above): log2 degree
+    # distribution of the purchase graph — exact buckets via bin().
+    register(
+        "degree_distribution",
+        graph.degree_distribution_oracle_sql(),
+        "llm",
+        ["graph", "stats", "agg"],
+    )(
+        lambda spark, sf: graph.degree_distribution(
+            t(spark, sf, "orders"), t(spark, sf, "lineitem")
+        )
+    )
 
 
 _register_llm()

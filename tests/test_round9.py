@@ -1029,3 +1029,23 @@ def test_minhash_estimate_error_exact_dups_are_errorless(spark):
     assert r["mean_est_ppm"] == 1_000_000
     assert r["mean_exact_ppm"] == 1_000_000
     assert (r["mean_abs_err_ppm"], r["max_err_ppm"]) == (0, 0)
+
+
+def test_degree_distribution_buckets(spark):
+    from datafusion_pinot_spark.operators.graph import degree_distribution
+
+    # customer 1 buys parts 1,2,3 (degree 3 -> bucket 1); customer 2 buys
+    # part 1 (degree 1 -> bucket 0). Part 1 has degree 2 (bucket 1).
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (11, 1)],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = {r["bucket"]: r for r in degree_distribution(orders, lineitem).collect()}
+    # bucket 0 (degree 1): customer 2 + parts 2,3 -> 3 nodes
+    assert rows[0]["n_nodes"] == 3 and rows[0]["max_degree"] == 1
+    # bucket 1 (degrees 2-3): customer 1 (3) + part 1 (2) -> 2 nodes
+    assert rows[1]["n_nodes"] == 2
+    assert (rows[1]["min_degree"], rows[1]["max_degree"]) == (2, 3)
