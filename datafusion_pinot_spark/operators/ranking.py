@@ -79,3 +79,78 @@ def percentile_rank(total_col: str, pct: int) -> Column:
     The single formula behind every exact median/quantile in the repo
     (A/B median split, funnel latency p50/p90, MAD medians)."""
     return F.expr(f"({total_col} - 1) * {pct} div 100 + 1")
+
+
+def pareto_revenue_share(
+    orders, top_pct: int = 10
+) -> "DataFrame":
+    """Pareto concentration audit (the 80/20 check): what share of total
+    order revenue do the top ``top_pct`` percent of customers hold?
+    Exact decimal revenue sums (DECIMAL(18,2) — no float accumulation),
+    exact rank cutoff ``ceil(n·pct/100)`` over (revenue desc, custkey
+    asc), share in integer ppm via one floor division of exact decimals
+    cast to BIGINT cents.
+
+    Scale shape: one map-side-combined per-customer revenue agg
+    collapses the order log; the rank window and the two-way rollup run
+    on the customers-sized frame."""
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    wn = Window.partitionBy()
+    ranked = per.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    cut = F.expr(f"CAST((n * {top_pct} + 99) DIV 100 AS BIGINT)")
+    return (
+        ranked.withColumn("is_top", (F.col("rk") <= cut).cast("bigint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("is_top").cast("long").alias("n_top"),
+            F.expr(
+                "CAST(sum(CASE WHEN is_top = 1 THEN rev ELSE 0 END) * 100"
+                " AS BIGINT)"
+            ).alias("top_rev_cents"),
+            F.expr("CAST(sum(rev) * 100 AS BIGINT)").alias(
+                "total_rev_cents"
+            ),
+        )
+        .select(
+            "n_customers",
+            "n_top",
+            "top_rev_cents",
+            "total_rev_cents",
+            F.expr(
+                "CAST(top_rev_cents * 1000000 DIV total_rev_cents"
+                " AS BIGINT)"
+            ).alias("top_share_ppm"),
+        )
+    )
+
+
+def pareto_revenue_share_oracle_sql(top_pct: int = 10) -> str:
+    return f"""
+WITH per AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS rk,
+         count(*) OVER () AS n
+  FROM per
+), marked AS (
+  SELECT rev, CASE WHEN rk <= (n * {top_pct} + 99) // 100
+                   THEN 1 ELSE 0 END AS is_top
+  FROM ranked
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(is_top) AS BIGINT) AS n_top,
+       CAST(sum(CASE WHEN is_top = 1 THEN rev ELSE 0 END) * 100 AS BIGINT)
+         AS top_rev_cents,
+       CAST(sum(rev) * 100 AS BIGINT) AS total_rev_cents,
+       CAST(CAST(sum(CASE WHEN is_top = 1 THEN rev ELSE 0 END) * 100
+                 AS BIGINT) * 1000000
+            // CAST(sum(rev) * 100 AS BIGINT) AS BIGINT) AS top_share_ppm
+FROM marked"""

@@ -2499,6 +2499,20 @@ def _register_llm():
             t(spark, sf, "orders"), t(spark, sf, "lineitem")
         )
     )
+    # r9 (pytest-tier, r10-window deferral as above): Pareto 80/20
+    # revenue-concentration audit — exact decimal sums, exact rank cut.
+    from datafusion_pinot_spark.operators import ranking
+
+    register(
+        "pareto_revenue_share",
+        ranking.pareto_revenue_share_oracle_sql(),
+        "llm",
+        ["ranking", "stats", "window"],
+    )(
+        lambda spark, sf: ranking.pareto_revenue_share(
+            t(spark, sf, "orders")
+        )
+    )
 
 
 _register_llm()

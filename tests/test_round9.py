@@ -1049,3 +1049,18 @@ def test_degree_distribution_buckets(spark):
     # bucket 1 (degrees 2-3): customer 1 (3) + part 1 (2) -> 2 nodes
     assert rows[1]["n_nodes"] == 2
     assert (rows[1]["min_degree"], rows[1]["max_degree"]) == (2, 3)
+
+
+def test_pareto_share_hand_values(spark):
+    from datafusion_pinot_spark.operators.ranking import pareto_revenue_share
+
+    # 10 customers: one whale with 910.00, nine with 10.00 each
+    rows = [(1, 910.0)] + [(i, 10.0) for i in range(2, 11)]
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_totalprice double"
+    )
+    r = pareto_revenue_share(orders, top_pct=10).first()
+    assert (r["n_customers"], r["n_top"]) == (10, 1)
+    assert r["total_rev_cents"] == 100_000  # 1000.00
+    assert r["top_rev_cents"] == 91_000
+    assert r["top_share_ppm"] == 910_000  # whale holds 91%
