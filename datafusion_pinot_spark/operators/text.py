@@ -1242,3 +1242,65 @@ SELECT source,
             AS BIGINT) AS n_dropped,
        CAST(sum(lm_score_ppm) // count(*) AS BIGINT) AS mean_score_ppm
 FROM scores CROSS JOIN med GROUP BY source ORDER BY source"""
+
+
+def zipf_rank_frequency(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Zipf's-law audit of the corpus vocabulary: the top-``k`` tokens by
+    occurrence count with their rank, frequency, the rank×frequency
+    product (≈ constant under Zipf — the eyeball test for natural vs
+    synthetic/templated text), and each token's frequency as ppm of the
+    rank-1 frequency. All exact integers; ranks break ties by token.
+
+    Scale shape: one map-side-combined token count (the same shuffle
+    every vocabulary operator pays); the rank window runs on the
+    vocabulary frame — Zipf-bounded, far smaller than the corpus — with
+    the top-k filter applied after the deterministic rank."""
+    from datafusion_pinot_spark.functions import tokens
+
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("w"))
+    wtop = Window.partitionBy()
+    ranked = freq.withColumn("rank", F.row_number().over(w)).withColumn(
+        "top_freq", F.max("freq").over(wtop)
+    )
+    return (
+        ranked.filter(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("w").alias("token"),
+            "freq",
+            (F.col("rank") * F.col("freq")).cast("long").alias(
+                "rank_x_freq"
+            ),
+            F.expr(
+                "CAST(freq * 1000000 DIV top_freq AS BIGINT)"
+            ).alias("rel_freq_ppm"),
+        )
+        .orderBy("rank")
+    )
+
+
+def zipf_rank_frequency_oracle_sql(k: int = 20) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''))
+           AS w
+  FROM documents WHERE length(trim(text)) > 0
+), freq AS (
+  SELECT w, count(*) AS freq FROM toks GROUP BY w
+), ranked AS (
+  SELECT w, freq,
+         row_number() OVER (ORDER BY freq DESC, w ASC) AS rank,
+         max(freq) OVER () AS top_freq
+  FROM freq
+)
+SELECT CAST(rank AS BIGINT) AS rank, w AS token,
+       CAST(freq AS BIGINT) AS freq,
+       CAST(rank * freq AS BIGINT) AS rank_x_freq,
+       CAST(freq * 1000000 // top_freq AS BIGINT) AS rel_freq_ppm
+FROM ranked WHERE rank <= {k} ORDER BY rank"""

@@ -2513,6 +2513,14 @@ def _register_llm():
             t(spark, sf, "orders")
         )
     )
+    # r9 (pytest-tier, r10-window deferral as above): Zipf rank-frequency
+    # audit — the natural-vs-templated-text eyeball test, exact integers.
+    register(
+        "zipf_rank_frequency",
+        text.zipf_rank_frequency_oracle_sql(),
+        "llm",
+        ["text", "stats", "window"],
+    )(lambda spark, sf: text.zipf_rank_frequency(_docs(spark, sf)))
 
 
 _register_llm()
