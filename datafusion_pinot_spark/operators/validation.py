@@ -988,3 +988,63 @@ SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
        CAST(floor(CAST(dy AS DOUBLE) * 1000.0 / CAST(dx AS DOUBLE))
             AS BIGINT) AS slope_milli
 FROM ranked WHERE rk = (n_pairs + 1) // 2 ORDER BY event_type"""
+
+
+def source_lang_independence(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Contingency-table independence audit over (source, lang): for each
+    cell, the exact signed deviation ``obs·N − row_total·col_total``
+    (the chi-square numerator before squaring/scaling — kept unsquared
+    and integer so the row is bit-identical across engines and the SIGN
+    says over- vs under-represented). The corpus-composition question
+    this answers: is the language mix a property of the corpus or of
+    individual sources? Top-``k`` cells by |deviation| (ties: source,
+    lang).
+
+    Scale shape: one map-side-combined (source, lang) count collapses
+    the corpus; the margins are two aggregations of that tiny cell
+    frame joined back; everything after is cells-sized."""
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    rows_m = cells.groupBy("source").agg(F.sum("obs").alias("row_total"))
+    cols_m = cells.groupBy("lang").agg(F.sum("obs").alias("col_total"))
+    n = cells.agg(F.sum("obs").alias("n_total"))
+    return (
+        cells.join(rows_m, "source")
+        .join(cols_m, "lang")
+        .join(F.broadcast(n))
+        .select(
+            "source",
+            "lang",
+            "obs",
+            F.col("row_total").cast("long").alias("row_total"),
+            F.col("col_total").cast("long").alias("col_total"),
+            F.expr(
+                "CAST(obs * n_total - row_total * col_total AS BIGINT)"
+            ).alias("deviation"),
+        )
+        .orderBy(F.abs(F.col("deviation")).desc(), "source", "lang")
+        .limit(k)
+    )
+
+
+def source_lang_independence_oracle_sql(k: int = 20) -> str:
+    return f"""
+WITH cells AS (
+  SELECT source, lang, count(*) AS obs FROM documents GROUP BY source, lang
+), rm AS (
+  SELECT source, sum(obs) AS row_total FROM cells GROUP BY source
+), cm AS (
+  SELECT lang, sum(obs) AS col_total FROM cells GROUP BY lang
+), n AS (
+  SELECT sum(obs) AS n_total FROM cells
+)
+SELECT c.source, c.lang, CAST(obs AS BIGINT) AS obs,
+       CAST(row_total AS BIGINT) AS row_total,
+       CAST(col_total AS BIGINT) AS col_total,
+       CAST(obs * n_total - row_total * col_total AS BIGINT) AS deviation
+FROM cells c JOIN rm ON c.source = rm.source
+JOIN cm ON c.lang = cm.lang CROSS JOIN n
+ORDER BY abs(obs * n_total - row_total * col_total) DESC,
+         c.source ASC, c.lang ASC
+LIMIT {k}"""

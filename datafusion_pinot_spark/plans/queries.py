@@ -2521,6 +2521,18 @@ def _register_llm():
         "llm",
         ["text", "stats", "window"],
     )(lambda spark, sf: text.zipf_rank_frequency(_docs(spark, sf)))
+    # r9 (pytest-tier, r10-window deferral as above): contingency-table
+    # independence audit over (source, lang) — exact signed deviations.
+    register(
+        "source_lang_independence",
+        validation.source_lang_independence_oracle_sql(),
+        "llm",
+        ["stats", "composition", "agg"],
+    )(
+        lambda spark, sf: validation.source_lang_independence(
+            _docs(spark, sf)
+        )
+    )
 
 
 _register_llm()

@@ -1064,3 +1064,34 @@ def test_pareto_share_hand_values(spark):
     assert r["total_rev_cents"] == 100_000  # 1000.00
     assert r["top_rev_cents"] == 91_000
     assert r["top_share_ppm"] == 910_000  # whale holds 91%
+
+
+def test_source_lang_independence_hand_values(spark):
+    from datafusion_pinot_spark.operators.validation import (
+        source_lang_independence,
+    )
+
+    # source A is all-en, source B all-fr (max dependence):
+    # cell (A,en): obs=2, N=4, row=2, col=2 -> dev = 2*4 - 2*2 = +4
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "en", "A", 1), (2, "y", "en", "A", 1),
+            (3, "z", "fr", "B", 1), (4, "w", "fr", "B", 1),
+        ],
+        DOCS_SCHEMA,
+    )
+    rows = {
+        (r["source"], r["lang"]): r["deviation"]
+        for r in source_lang_independence(docs).collect()
+    }
+    assert rows[("A", "en")] == 4 and rows[("B", "fr")] == 4
+    # perfectly independent table -> every deviation is 0
+    docs2 = spark.createDataFrame(
+        [
+            (1, "x", "en", "A", 1), (2, "y", "fr", "A", 1),
+            (3, "z", "en", "B", 1), (4, "w", "fr", "B", 1),
+        ],
+        DOCS_SCHEMA,
+    )
+    devs = {r["deviation"] for r in source_lang_independence(docs2).collect()}
+    assert devs == {0}
