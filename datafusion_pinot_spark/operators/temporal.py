@@ -985,3 +985,66 @@ WITH active AS (
 SELECT dau.d AS day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
        CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
 FROM dau JOIN wau ON dau.d = wau.d ORDER BY day"""
+
+
+def interevent_gap_histogram(events):
+    """Log2-bucketed histogram of per-user inter-event gaps (seconds) per
+    event type — the burstiness/memorylessness fingerprint (a Poisson
+    process gives a geometric bucket decay; heavy right tails say
+    sessions + long silences). Buckets are EXACT:
+    ``length(bin(gap_s)) - 1`` for gap_s >= 1, with zero-second gaps in
+    their own bucket -1 — integer binary-string semantics, no floating
+    log. Reports per (event_type, bucket): gap count and min/max gap.
+
+    Scale shape: one (user, type) lag window — the sessionization
+    shuffle — then a map-side-combined rollup on the bounded bucket
+    frame."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_s", "event_id"
+    )
+    gaps = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts) DIV 1000000").alias("ts_s"),
+            "event_id",
+        )
+        .withColumn("gap_s", F.col("ts_s") - F.lag("ts_s").over(w))
+        .filter(F.col("gap_s").isNotNull())
+    )
+    bucket = F.when(F.col("gap_s") == 0, F.lit(-1)).otherwise(
+        F.length(F.bin("gap_s")) - 1
+    )
+    return (
+        gaps.withColumn("bucket", bucket.cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+def interevent_gap_histogram_oracle_sql() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS ts_s, event_id
+  FROM events
+), g AS (
+  SELECT event_type,
+         ts_s - lag(ts_s) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts_s, event_id) AS gap_s
+  FROM e
+), b AS (
+  SELECT event_type, gap_s,
+         CASE WHEN gap_s = 0 THEN -1
+              ELSE length(bin(gap_s)) - 1 END AS bucket
+  FROM g WHERE gap_s IS NOT NULL
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket"""

@@ -2533,6 +2533,18 @@ def _register_llm():
             _docs(spark, sf)
         )
     )
+    # r9 (pytest-tier, r10-window deferral as above): log2 inter-event
+    # gap histogram — the Poisson-vs-bursty fingerprint, exact buckets.
+    register(
+        "interevent_gap_histogram",
+        temporal.interevent_gap_histogram_oracle_sql(),
+        "llm",
+        ["temporal", "stats", "window"],
+    )(
+        lambda spark, sf: temporal.interevent_gap_histogram(
+            t(spark, sf, "events")
+        )
+    )
 
 
 _register_llm()
