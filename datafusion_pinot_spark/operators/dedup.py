@@ -1565,3 +1565,74 @@ SELECT CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(err_ppm) // count(*) AS BIGINT) AS mean_abs_err_ppm,
        CAST(max(err_ppm) AS BIGINT) AS max_err_ppm
 FROM per_pair"""
+
+
+def dedup_token_yield(docs: DataFrame) -> DataFrame:
+    """Net TOKEN yield per source after exact dedup — the budget number a
+    mixture designer actually needs (doc counts lie when duplicates are
+    long): per source, total tokens, tokens surviving canonical
+    selection (longest-doc-wins per md5 group, the
+    :func:`canonical_keep_report` convention), and the retained fraction
+    in exact ppm.
+
+    Scale shape: one token-size narrow map, one hash shuffle on the
+    content key for the canonical window, one map-side-combined per-
+    source rollup — the same plan as the keep report plus a size column."""
+    from datafusion_pinot_spark.functions import tokens
+
+    ranked = docs.select(
+        "source",
+        F.md5(F.col("text")).alias("key"),
+        "n_chars",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("key").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("rk") == 1, F.col("n_tok")).otherwise(F.lit(0))
+            ).cast("long").alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "kept_tokens",
+            F.expr(
+                "CAST(CASE WHEN total_tokens > 0"
+                " THEN kept_tokens * 1000000 DIV total_tokens"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("retained_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def dedup_token_yield_oracle_sql() -> str:
+    return """
+WITH ranked AS (
+  SELECT source, doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END
+           AS n_tok,
+         row_number() OVER (
+           PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT source,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN rk = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(CASE WHEN sum(n_tok) > 0
+                 THEN sum(CASE WHEN rk = 1 THEN n_tok ELSE 0 END) * 1000000
+                      // sum(n_tok)
+                 ELSE 0 END AS BIGINT) AS retained_ppm
+FROM ranked GROUP BY source ORDER BY source"""

@@ -2545,6 +2545,14 @@ def _register_llm():
             t(spark, sf, "events")
         )
     )
+    # r9 (pytest-tier, r10-window deferral as above): net token yield per
+    # source after canonical exact dedup — the mixture budget number.
+    register(
+        "dedup_token_yield",
+        dedup.dedup_token_yield_oracle_sql(),
+        "llm",
+        ["dedup", "curation", "tokens"],
+    )(lambda spark, sf: dedup.dedup_token_yield(_docs(spark, sf)))
 
 
 _register_llm()
