@@ -1370,3 +1370,83 @@ SELECT b.q_id, CAST(n_exact AS BIGINT) AS n_exact,
          AS recall_ppm
 FROM base b LEFT JOIN hits h ON b.q_id = h.q_id
 ORDER BY b.q_id"""
+
+
+def knn_label_consistency(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """kNN label-consistency check — the standard embedding-quality probe
+    (do nearest neighbors share the probe's label?): for each probe, the
+    fraction of its exact cosine top-``k`` neighbors carrying the same
+    ``label``, in exact ppm. Low consistency says the embedding space
+    does not separate the labels — the go/no-go before trusting ANN
+    retrieval for classification-adjacent work.
+
+    Scale shape: the exact top-k ranking's economics (broadcast probes,
+    per-query WindowGroupLimit), then a labels join on the k-row frame."""
+    top = brute_force_topk(embeddings, query_ids, k).select(
+        "q_id", "vec_id"
+    )
+    labels = embeddings.select("vec_id", "label")
+    qlab = labels.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    return (
+        top.join(labels, "vec_id")
+        .join(F.broadcast(qlab), "q_id")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(
+                (F.col("label") == F.col("q_label")).cast("bigint")
+            ).alias("n_same_label"),
+        )
+        .select(
+            "q_id",
+            "n_neighbors",
+            "n_same_label",
+            F.expr(
+                "CAST(n_same_label * 1000000 DIV n_neighbors AS BIGINT)"
+            ).alias("consistency_ppm"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def knn_label_consistency_oracle_sql(
+    query_ids: list[int], k: int = 10
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, label AS q_label, v AS q_v
+  FROM emb WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         round(CASE WHEN sqrt(list_sum(list_transform(q.q_v, x -> x*x)))
+                         * sqrt(list_sum(list_transform(e.v, x -> x*x))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(
+                           generate_series(1, len(e.v)),
+                           i -> q.q_v[i] * e.v[i]))
+                         / (sqrt(list_sum(list_transform(q.q_v, x -> x*x)))
+                            * sqrt(list_sum(list_transform(e.v, x -> x*x))))
+               END, 6) AS sim
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id
+), top AS (
+  SELECT q_id, q_label, label FROM (
+    SELECT q_id, q_label, label,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, vec_id ASC) AS rnk
+    FROM scored) WHERE rnk <= {k}
+)
+SELECT q_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+       CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_label,
+       CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS consistency_ppm
+FROM top GROUP BY q_id ORDER BY q_id"""

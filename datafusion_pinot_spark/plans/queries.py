@@ -2553,6 +2553,18 @@ def _register_llm():
         "llm",
         ["dedup", "curation", "tokens"],
     )(lambda spark, sf: dedup.dedup_token_yield(_docs(spark, sf)))
+    # r9 (pytest-tier, r10-window deferral as above): kNN label
+    # consistency — does the embedding space separate the labels?
+    register(
+        "knn_label_consistency",
+        similarity.knn_label_consistency_oracle_sql([1, 2, 3]),
+        "llm",
+        ["ann", "audit", "labels"],
+    )(
+        lambda spark, sf: similarity.knn_label_consistency(
+            t(spark, sf, "embeddings"), [1, 2, 3]
+        )
+    )
 
 
 _register_llm()
