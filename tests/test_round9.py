@@ -1095,3 +1095,66 @@ def test_source_lang_independence_hand_values(spark):
     )
     devs = {r["deviation"] for r in source_lang_independence(docs2).collect()}
     assert devs == {0}
+
+
+def test_zipf_and_token_yield_hand_values(spark):
+    from datafusion_pinot_spark.operators.dedup import dedup_token_yield
+    from datafusion_pinot_spark.operators.text import zipf_rank_frequency
+
+    docs = _docs(
+        spark,
+        [("a a a b b c", "S"), ("a a a b b c", "S"), ("d", "T")],
+    )
+    z = {r["rank"]: r for r in zipf_rank_frequency(docs, k=4).collect()}
+    assert z[1]["token"] == "a" and z[1]["freq"] == 6
+    assert z[1]["rel_freq_ppm"] == 1_000_000
+    assert z[2]["token"] == "b" and z[2]["rank_x_freq"] == 8
+    y = {r["source"]: r for r in dedup_token_yield(docs).collect()}
+    # S: two identical 6-token docs -> keep one: 6 of 12 tokens retained
+    assert (y["S"]["total_tokens"], y["S"]["kept_tokens"]) == (12, 6)
+    assert y["S"]["retained_ppm"] == 500_000
+    assert y["T"]["retained_ppm"] == 1_000_000
+
+
+def test_gap_histogram_and_knn_consistency(spark):
+    import datetime as dtm
+
+    from datafusion_pinot_spark.operators.similarity import (
+        knn_label_consistency,
+    )
+    from datafusion_pinot_spark.operators.temporal import (
+        interevent_gap_histogram,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+    # user 1 type a: gaps of 0s, 1s, 5s -> buckets -1, 0, 2
+    evs = [
+        (1, t0, 1, "a", 0.0),
+        (2, t0, 1, "a", 0.0),
+        (3, t0 + dtm.timedelta(seconds=1), 1, "a", 0.0),
+        (4, t0 + dtm.timedelta(seconds=6), 1, "a", 0.0),
+    ]
+    events = spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = {
+        r["bucket"]: r["n_gaps"]
+        for r in interevent_gap_histogram(events).collect()
+    }
+    assert rows == {-1: 1, 0: 1, 2: 1}
+
+    # embeddings: probe 1 (label 0); axis-aligned so nearest = same axis
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),  # close, same label
+            (3, [0.8, 0.2], 1),  # close, other label
+            (4, [0.0, 1.0], 1),  # far
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = knn_label_consistency(emb, [1], k=2).first()
+    # top-2 by cosine: vec 2 (label 0) and vec 3 (label 1) -> 50%
+    assert (r["n_neighbors"], r["n_same_label"]) == (2, 1)
+    assert r["consistency_ppm"] == 500_000
