@@ -1048,3 +1048,101 @@ JOIN cm ON c.lang = cm.lang CROSS JOIN n
 ORDER BY abs(obs * n_total - row_total * col_total) DESC,
          c.source ASC, c.lang ASC
 LIMIT {k}"""
+
+
+def monthly_revenue_momentum(orders: DataFrame) -> DataFrame:
+    """Monthly revenue with month-over-month momentum — the business
+    time-series headline: per calendar month (epoch-exact
+    ``year*12+month`` key, engine-identical), revenue in exact DECIMAL
+    cents, the MoM delta in cents, and the delta as ppm of the prior
+    month (floor; first month reports 0 delta / 0 ppm rather than NULL).
+
+    Scale shape: one map-side-combined monthly agg collapses the order
+    log; the lag window runs over the months frame (hundreds of rows at
+    any corpus size)."""
+    monthly = (
+        orders.select(
+            F.expr(
+                "CAST(year(o_orderdate) * 12 + month(o_orderdate)"
+                " AS BIGINT)"
+            ).alias("month_key"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("month_key")
+        .agg(F.expr("CAST(sum(p) * 100 AS BIGINT)").alias("rev_cents"))
+    )
+    w = Window.orderBy("month_key")
+    return (
+        monthly.withColumn("prev", F.lag("rev_cents").over(w))
+        .select(
+            "month_key",
+            "rev_cents",
+            F.coalesce(
+                F.col("rev_cents") - F.col("prev"), F.lit(0)
+            ).cast("long").alias("delta_cents"),
+            F.expr(
+                "CAST(CASE WHEN prev IS NULL OR prev = 0 THEN 0"
+                " ELSE (rev_cents - prev) * 1000000 DIV prev END"
+                " AS BIGINT)"
+            ).alias("mom_ppm"),
+        )
+        .orderBy("month_key")
+    )
+
+
+def monthly_revenue_momentum_oracle_sql() -> str:
+    return """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+           AS month_key,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT month_key, rev_cents,
+         lag(rev_cents) OVER (ORDER BY month_key) AS prev
+  FROM monthly
+)
+SELECT month_key, rev_cents,
+       CAST(coalesce(rev_cents - prev, 0) AS BIGINT) AS delta_cents,
+       CAST(CASE WHEN prev IS NULL OR prev = 0 THEN 0
+                 ELSE (rev_cents - prev) * 1000000 // prev END AS BIGINT)
+         AS mom_ppm
+FROM lagged ORDER BY month_key"""
+
+
+def cross_field_integrity_audit(docs: DataFrame) -> DataFrame:
+    """Cross-field ingest-integrity audit: the ``n_chars`` column must
+    equal ``length(text)`` on every row — the redundant-field consistency
+    check a pipeline runs after any transform that touches either field.
+    Per source: rows checked, mismatches, worst absolute discrepancy.
+    (The denormalized column exists precisely so scans can prune `text`;
+    this audit is what keeps that denormalization trustworthy.)
+
+    Scale shape: one narrow comparison map + one map-side-combined
+    rollup; nothing shuffles but the per-source partials."""
+    checked = docs.select(
+        "source",
+        (F.col("n_chars") != F.length("text")).cast("bigint").alias("bad"),
+        F.abs(F.col("n_chars") - F.length("text")).cast("long").alias(
+            "disc"
+        ),
+    )
+    return (
+        checked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("bad").cast("long").alias("n_mismatches"),
+            F.max("disc").cast("long").alias("max_discrepancy"),
+        )
+        .orderBy("source")
+    )
+
+
+def cross_field_integrity_audit_oracle_sql() -> str:
+    return """
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatches,
+       CAST(max(abs(n_chars - length(text))) AS BIGINT) AS max_discrepancy
+FROM documents GROUP BY source ORDER BY source"""

@@ -2565,6 +2565,28 @@ def _register_llm():
             t(spark, sf, "embeddings"), [1, 2, 3]
         )
     )
+    # r9 (pytest-tier, r10-window deferral as above): monthly revenue
+    # momentum and the n_chars/text cross-field integrity audit.
+    register(
+        "monthly_revenue_momentum",
+        validation.monthly_revenue_momentum_oracle_sql(),
+        "llm",
+        ["temporal", "business", "window"],
+    )(
+        lambda spark, sf: validation.monthly_revenue_momentum(
+            t(spark, sf, "orders")
+        )
+    )
+    register(
+        "cross_field_integrity_audit",
+        validation.cross_field_integrity_audit_oracle_sql(),
+        "llm",
+        ["validation", "integrity", "agg"],
+    )(
+        lambda spark, sf: validation.cross_field_integrity_audit(
+            _docs(spark, sf)
+        )
+    )
 
 
 _register_llm()
