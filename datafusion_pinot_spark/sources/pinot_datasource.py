@@ -1550,14 +1550,19 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
             if getattr(m, "stats", None) is not None:
                 new_stats[m.segment_name] = m.stats
         tmp = os.path.join(self._path, "tmp")
-        if os.path.isdir(tmp) and not os.listdir(tmp):
-            try:
+        try:
+            # the isdir/listdir probes race with a concurrent committer's
+            # rmdir exactly like the rmdir itself does, so the WHOLE
+            # cleanup sits in one try (a bare listdir outside it leaked
+            # FileNotFoundError under the two-committer stress test)
+            if os.path.isdir(tmp) and not os.listdir(tmp):
                 os.rmdir(tmp)
-            except OSError:
-                # TOCTOU with a concurrent committer (another writer also
-                # saw the empty staging dir, or staged something new into
-                # it) — both outcomes are fine, readers skip `tmp` anyway
-                pass
+        except OSError:
+            # TOCTOU with a concurrent committer (another writer also
+            # saw the empty staging dir, removed it first, or staged
+            # something new into it) — both outcomes are fine, readers
+            # skip `tmp` anyway
+            pass
         _update_manifest_after_commit(self._path, new_stats)
 
     def abort(self, messages) -> None:
