@@ -158,3 +158,48 @@ def test_label_prop_fixpoint_equals_union_find(spark, pairs):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in {x for e in pairs for x in e}}
     assert cur == want, pairs
+
+
+# ---- reindex_segment: data preserved byte-exactly under index adds ----
+
+reix_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**30), max_value=2**30),
+        st.sampled_from(["x", "yy", "zzz", ""]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(reix_rows, st.sampled_from(["inverted", "bloom", "range"]))
+def test_reindex_segment_preserves_data(tmp_path_factory, rows, index):
+    from pinot_segment import SegmentReader
+    from pinot_segment.compact import reindex_segment
+    from pinot_segment.metadata import DataType
+    from pinot_segment.writer import ColumnSpec, write_segment
+
+    tmp = tmp_path_factory.mktemp("reix")
+    ks = np.array([r[0] for r in rows], dtype=np.int64)
+    ss = [r[1] for r in rows]
+    v3 = write_segment(
+        str(tmp / "s"),
+        "s",
+        "t",
+        [
+            ColumnSpec("k", DataType.LONG, ks),
+            ColumnSpec("s", DataType.STRING, ss),
+        ],
+    )
+    nv3 = reindex_segment(str(v3), str(tmp / "si"), "si", "t", "k", index)
+    r = SegmentReader.open(str(nv3))
+    assert list(r.read_column("k")) == list(ks)
+    assert list(r.read_column("s")) == ss
+    cm = r.metadata.get_column("k")
+    flag = {
+        "inverted": cm.has_inverted_index,
+        "bloom": cm.has_bloom_filter,
+        "range": cm.has_range_index,
+    }[index]
+    assert flag, (index, rows)
