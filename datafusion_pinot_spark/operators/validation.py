@@ -622,9 +622,15 @@ def halflife_event_mass(events: DataFrame, horizon_days: int = 30) -> DataFrame:
 
     Scale shape: the max-day scalar is one map-side-combined agg joined
     back as a one-row broadcast (no driver round-trip, no collect); the
-    mass is one more map-side-combined agg. The ppm share is ONE IEEE double
-    multiply+divide over the two exactly-agreed masses (deterministic,
-    unlike a float accumulation) — all rows bit-identical across engines."""
+    mass is one more map-side-combined agg. The ppm share is PURE integer
+    arithmetic end to end: ``(mass * 1000000) div total`` on
+    decimal(38,0) in Spark vs HUGEINT ``//`` in DuckDB — both compute
+    the exact integral quotient, so results are identical across engine
+    versions (r9 lesson: a decimal->double conversion before a floor is
+    NOT version-stable; hugeint->double rounding differs across DuckDB
+    builds). Exact while ``total < 10^32`` (≈10^23 events at
+    weight 2^30 — unreachable; beyond it Spark's decimal multiply would
+    overflow to NULL rather than silently drift)."""
     days = events.select(
         "event_type",
         F.expr("CAST(to_date(ts) - DATE '1970-01-01' AS BIGINT)").alias("day"),
@@ -648,10 +654,12 @@ def halflife_event_mass(events: DataFrame, horizon_days: int = 30) -> DataFrame:
         )
     )
     w_all = Window.partitionBy()
-    # share in ppm: a SINGLE double multiply+divide over two exactly-agreed
-    # decimal scalars is IEEE-deterministic in both engines (unlike a
-    # float ACCUMULATION, which is shuffle-order-dependent); a decimal
-    # multiply here would instead hit DuckDB's strict width-addition cap.
+    # share in ppm: exact integral quotient (mass*1e6) div total on
+    # decimal(38,0) — Spark's `div` returns the BIGINT integral part and
+    # DuckDB's HUGEINT `//` floors identically for non-negative values.
+    # No floating intermediate anywhere: decimal->double conversion of a
+    # >2^53 accumulator is engine-version-sensitive (the r9 driver-hash
+    # failure), while integer division is bit-stable everywhere.
     return (
         per.withColumn("_total", F.sum("mass").over(w_all))
         .select(
@@ -660,8 +668,7 @@ def halflife_event_mass(events: DataFrame, horizon_days: int = 30) -> DataFrame:
             F.col("mass").cast("decimal(38,0)").alias("mass"),
             F.expr(
                 "CAST(CASE WHEN _total > 0"
-                " THEN floor(CAST(mass AS DOUBLE) * 1000000.0"
-                " / CAST(_total AS DOUBLE))"
+                " THEN (mass * CAST(1000000 AS DECIMAL(38,0))) div _total"
                 " ELSE 0 END AS BIGINT)"
             ).alias("share_ppm"),
         )
@@ -688,8 +695,8 @@ WITH days AS (
 )
 SELECT event_type, CAST(n_events AS BIGINT) AS n_events, mass,
        CAST(CASE WHEN sum(mass) OVER () > 0
-                 THEN floor(CAST(mass AS DOUBLE) * 1000000.0
-                            / CAST(sum(mass) OVER () AS DOUBLE))
+                 THEN CAST(mass AS HUGEINT) * 1000000
+                      // CAST(sum(mass) OVER () AS HUGEINT)
                  ELSE 0 END AS BIGINT) AS share_ppm
 FROM per ORDER BY event_type"""
 

@@ -8138,6 +8138,48 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
+    # -- r10: drain the 18-query first-check backlog (r9 VERDICT item #2:
+    # every r9 query that never saw a driver check enters now; NO new
+    # catalog queries were added this round until the backlog cleared).
+    # Slots freed by rotating out 18 TWICE-green (r08+r09) veterans, each
+    # pinned by the pytest oracle tier, with family coverage staying
+    # in-window: record_linkage_fuzzy + geo_radius_join (linkage family
+    # covered by entity_cluster_sizes), pagerank_two_iter +
+    # copurchase_triangles (graph family covered by label_prop_communities
+    # + degree_distribution entering), itemset_pair_support (co-occurrence
+    # covered by token_lift_pairs), curriculum_schedule +
+    # domain_token_budget (curation covered by epoch_upsample_report),
+    # top_event_paths (funnel/path covered by session_bounce_rate +
+    # user_inactivity_gaps + dau_wau_stickiness entering), bpe_two_merges
+    # + bpe_apply_compression + bigram_lm_score (BPE/LM covered by
+    # lm_quality_gate entering, which composes the bigram LM),
+    # pinot_table_diff (storage e2e covered by the four staying r9
+    # storage rows), lsh_quality_audit (LSH accuracy covered by
+    # minhash_estimate_error entering + jaccard_prefix_join staying),
+    # k_anonymity_audit + l_diversity_audit (privacy covered by
+    # t_closeness_audit + contribution_sensitivity_audit entering),
+    # semdedup_drops + dup_group_size_histogram (dedup covered by
+    # dedup_token_yield entering + canonical_keep_report staying),
+    # gini_source_concentration (concentration covered by
+    # pareto_revenue_share + zipf_rank_frequency entering). --
+    "lm_quality_gate",  # r9: bigram-LM median fluency gate (first check)
+    "theil_sen_daily_trend",  # r9: median-of-slopes robust trend (first check)
+    "ann_sq8_topk",  # r9: int8 scalar-quantized ANN (first check)
+    "contribution_sensitivity_audit",  # r9: DP per-user sensitivity (first check)
+    "user_inactivity_gaps",  # r9: churn gap distribution (first check)
+    "session_bounce_rate",  # r9: single-event session share (first check)
+    "dau_wau_stickiness",  # r9: DAU/WAU engagement ratio (first check)
+    "sq8_recall_audit",  # r9: SQ8 recall@10 vs exact cosine (first check)
+    "minhash_estimate_error",  # r9: MinHash Jaccard estimation error (first check)
+    "degree_distribution",  # r9: graph degree histogram (first check)
+    "pareto_revenue_share",  # r9: top-p% revenue concentration (first check)
+    "zipf_rank_frequency",  # r9: token rank-frequency Zipf fit (first check)
+    "source_lang_independence",  # r9: chi-square independence audit (first check)
+    "interevent_gap_histogram",  # r9: log2-bucketed inter-event gaps (first check)
+    "dedup_token_yield",  # r9: dedup token-savings rollup (first check)
+    "knn_label_consistency",  # r9: kNN label-agreement probe (first check)
+    "monthly_revenue_momentum",  # r9: MoM revenue momentum (first check)
+    "cross_field_integrity_audit",  # r9: cross-field constraint audit (first check)
     # -- r9 additions (standing rotation rule: round-N queries enter the
     # window at the first driver run after they land). Slots freed by
     # rotating out six TWICE-green (r07+r08) veterans, each pinned by the
@@ -8239,14 +8281,14 @@ DRIVER_WINDOW: list[str] = [
     # (all 22 TPC-H shapes stay pytest-pinned; q1 additionally benched),
     # benford_digit_test, events_missing_hours, topk_sources_with_other,
     # ohlc_daily_bars. --
-    "record_linkage_fuzzy",  # r7: blocked levenshtein linkage vs naive oracle
-    "geo_radius_join",  # r7: 3x3 grid spatial join vs naive radius oracle
-    "pagerank_two_iter",  # r7: integer-mass pagerank (r8: BIGINT oracle fix)
-    "itemset_pair_support",  # r7: 2-itemset support over user baskets
+    # (r10 rotation, twice-green r08+r09) "record_linkage_fuzzy",  # r7: blocked levenshtein linkage vs naive oracle
+    # (r10 rotation, twice-green r08+r09) "geo_radius_join",  # r7: 3x3 grid spatial join vs naive radius oracle
+    # (r10 rotation, twice-green r08+r09) "pagerank_two_iter",  # r7: integer-mass pagerank (r8: BIGINT oracle fix)
+    # (r10 rotation, twice-green r08+r09) "itemset_pair_support",  # r7: 2-itemset support over user baskets
     # (r9 rotation, subsumed in-window) "bpe_merge_candidates",  # r7: adjacent-pair counts (BPE merge step)
     # (r9 rotation, subsumed in-window) "shingle_containment_pairs",  # r7: shingle containment verify kernel
-    "curriculum_schedule",  # r7: decile round-robin (r8: int64 bucket fix)
-    "top_event_paths",  # r7: top session paths
+    # (r10 rotation, twice-green r08+r09) "curriculum_schedule",  # r7: decile round-robin (r8: int64 bucket fix)
+    # (r10 rotation, twice-green r08+r09) "top_event_paths",  # r7: top session paths
     # (pinot_roundtrip_agg rotated out for doc_chunk_windows: driver-green
     # in every round r1-r5 and pinned by the pytest oracle tier; the
     # storage end-to-end path stays window-covered by the r6 storage
@@ -8279,14 +8321,14 @@ DRIVER_WINDOW: list[str] = [
     # out (the global_rank quantile machinery stays covered by
     # equi_depth_price_histogram); both once-green r07 and pinned by the
     # pytest oracle tier. --
-    "bpe_two_merges",  # r8: BPE merge learning, 2-round unrolled oracle
-    "bpe_apply_compression",  # r8: BPE encode, per-source compression
-    "bigram_lm_score",  # r8: integer-ppm bigram LM fluency scoring
-    "pinot_table_diff",  # r8: full-outer snapshot diff over storage
-    "lsh_quality_audit",  # r8: LSH precision/recall in exact ppm
-    "k_anonymity_audit",  # r8: quasi-identifier privacy audit
-    "domain_token_budget",  # r8: largest-remainder token apportionment
-    "semdedup_drops",  # r8: cluster-then-threshold embedding dedup
+    # (r10 rotation, twice-green r08+r09) "bpe_two_merges",  # r8: BPE merge learning, 2-round unrolled oracle
+    # (r10 rotation, twice-green r08+r09) "bpe_apply_compression",  # r8: BPE encode, per-source compression
+    # (r10 rotation, twice-green r08+r09) "bigram_lm_score",  # r8: integer-ppm bigram LM fluency scoring
+    # (r10 rotation, twice-green r08+r09) "pinot_table_diff",  # r8: full-outer snapshot diff over storage
+    # (r10 rotation, twice-green r08+r09) "lsh_quality_audit",  # r8: LSH precision/recall in exact ppm
+    # (r10 rotation, twice-green r08+r09) "k_anonymity_audit",  # r8: quasi-identifier privacy audit
+    # (r10 rotation, twice-green r08+r09) "domain_token_budget",  # r8: largest-remainder token apportionment
+    # (r10 rotation, twice-green r08+r09) "semdedup_drops",  # r8: cluster-then-threshold embedding dedup
     "stream_upsert_enrich",  # r8: stream-static join over upsert dim
     "streaming_funnel_totals",  # r6: stateful streaming funnel, per-user
     # r6-continuation funnel analytics (standing rule: round-N queries
@@ -8304,11 +8346,11 @@ DRIVER_WINDOW: list[str] = [
     # (simhash_md5_dup_groups rotated out for the r8 dedup report:
     # r07-green; the hash-family dedup tier stays window-covered by
     # winnow_boilerplate_fps + lsh_quality_audit.)
-    "dup_group_size_histogram",  # r8: exact-dup group-size histogram
+    # (r10 rotation, twice-green r08+r09) "dup_group_size_histogram",  # r8: exact-dup group-size histogram
     # (streaming_watermarked_closed rotated out for the r8 Gini audit:
     # r07-green; watermark-closed semantics stay window-covered by
     # stream_left_outer_closed.)
-    "gini_source_concentration",  # r8: corpus inequality audit
+    # (r10 rotation, twice-green r08+r09) "gini_source_concentration",  # r8: corpus inequality audit
     # (r9 rotation, twice-green) "ann_ivf_pinot_index_topk",  # r6: IVF inverted lists through storage
     # (embedding_binary_storage_stats rotated out for the r8 classifier:
     # r07-green; packed-embedding storage stays window-covered by
@@ -8320,14 +8362,14 @@ DRIVER_WINDOW: list[str] = [
     # (pinot_tail_latest rotated out for the r8 triangle census:
     # r07-green; the sorted-layout pushdown pair stays window-covered by
     # pinot_head_topk.)
-    "copurchase_triangles",  # r8: triangle census + clustering coefficient
+    # (r10 rotation, twice-green r08+r09) "copurchase_triangles",  # r8: triangle census + clustering coefficient
     # (heavy_hitter_tokens rotated out for the r8 OLS trend: r07-green,
     # benched every run, and pigeonhole+verify stays pytest-pinned.)
     "daily_ols_trend",  # r8: integer-fraction per-type daily OLS trend
     # (pps_systematic_sample rotated out for the r8 l-diversity audit:
     # r07-green; the weighted-sampling family stays pytest-pinned and the
     # curation tier stays window-covered by domain_token_budget.)
-    "l_diversity_audit",  # r8: homogeneity-attack privacy audit
+    # (r10 rotation, twice-green r08+r09) "l_diversity_audit",  # r8: homogeneity-attack privacy audit
     # -- r6 TPC-H completion: the remaining query shapes (Q2/Q9/Q11/Q13/
     # Q16/Q20/Q22 adapted to the testdata schema — no partsupp, so
     # lineitem's distinct (part, supplier) pairs stand in for it) --

@@ -26,7 +26,17 @@ TABLES = (
 
 def norm_value(v):
     if isinstance(v, Decimal):
-        return float(v)
+        # EXACT comparison (r9 lesson: Decimal->float here hid a
+        # driver-visible hash mismatch — a decimal(38,0) above 2^53
+        # loses bits in float, so two values that differ by 1 ULP of
+        # the engine's own decimal->double conversion normalized to
+        # the same float and passed four local sweeps while failing
+        # the driver's hash). Integral decimals compare as exact ints
+        # (also unifies Decimal vs BIGINT column-type differences);
+        # non-integral decimals compare via a canonical exact string.
+        if v == v.to_integral_value():
+            return int(v)
+        return ("dec", str(v.normalize()))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
