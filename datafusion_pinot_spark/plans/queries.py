@@ -7754,8 +7754,19 @@ _set_quantile_sketch_oracle()
 
 @register(
     "pinot_hll_sketch_rollup",
-    None,  # rows-only: Datasketches HLL binaries are Spark-specific;
-    # exactness is pinned by tests/test_datasource.py::test_hll_sketch_*
+    # r10 (r9 verdict #8): the raw HLL estimate has no DuckDB equivalent,
+    # but its deterministic PROJECTION does — the exact per-source distinct
+    # plus a sketch-accuracy bound flag. DuckDB recomputes the exact
+    # distinct independently and asserts the flag TRUE, so the whole
+    # store-sketch -> read -> merge -> estimate pipeline is now under the
+    # full rows+schema+hash gate (estimate within 10% of exact; measured
+    # HLL lgK-default error is ~1.6%, so the bound is 6x slack, not tight).
+    """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_docs_exact,
+       TRUE AS est_within_10pct
+FROM documents GROUP BY source ORDER BY source""",
     "parity",
     ["pinot", "storage", "sketch", "approx"],
 )
@@ -7788,13 +7799,31 @@ def q_pinot_hll_sketch_rollup(spark, sf):
         .save(out)
     )
     back = spark.read.format("pinot").load(out)
+    est = back.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+            "distinct_docs_est"
+        ),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+    # exact per-source distinct, independently recomputed from the raw
+    # docs: the hash gate then proves the stored-sketch estimate lands
+    # within the accuracy bound (not just "returns rows").
+    exact = docs.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("distinct_docs_exact")
+    )
     return (
-        back.groupBy("source")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-                "distinct_docs_est"
-            ),
-            F.sum("n").alias("n_rows"),
+        est.join(exact, "source")
+        .select(
+            "source",
+            "n_rows",
+            "distinct_docs_exact",
+            (
+                F.abs(
+                    F.col("distinct_docs_est")
+                    - F.col("distinct_docs_exact")
+                )
+                <= 0.1 * F.col("distinct_docs_exact")
+            ).alias("est_within_10pct"),
         )
         .orderBy("source")
     )

@@ -83,3 +83,116 @@ class TestHalflifeIntegerPpm:
         osrc = validation.halflife_event_mass_oracle_sql()
         assert "AS DOUBLE" not in src
         assert "AS DOUBLE" not in osrc
+
+
+class TestNormValueProperties:
+    """Property tests for the exact-comparison gate: norm_value must be
+    injective on exact numerics (no two distinct Decimals collapse) and
+    must unify only genuine value-equality across type representations."""
+
+    def test_decimal_injective_near_powers_of_two(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @given(
+            exp=st.integers(min_value=50, max_value=126),
+            delta=st.integers(min_value=-3, max_value=3),
+        )
+        @settings(max_examples=200, deadline=None)
+        def prop(exp, delta):
+            a = Decimal(2**exp)
+            b = Decimal(2**exp + delta)
+            if delta == 0:
+                assert norm_value(a) == norm_value(b)
+            else:
+                assert norm_value(a) != norm_value(b)
+
+        prop()
+
+    def test_decimal_int_unification_is_value_equality(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @given(st.integers(min_value=-(10**30), max_value=10**30))
+        @settings(max_examples=200, deadline=None)
+        def prop(n):
+            assert norm_value(Decimal(n)) == norm_value(n)
+
+        prop()
+
+    def test_scaled_decimal_representations_unify(self):
+        # decimal(38,6) '5.000000' from one engine vs decimal(12,1) '5.0'
+        # from the other is the same value — must compare equal.
+        assert norm_value(Decimal("5.000000")) == norm_value(Decimal("5.0"))
+        assert norm_value(Decimal("5.000000")) == norm_value(Decimal(5))
+
+
+class TestControllerSegmentErrorMatrix:
+    """list_segments error-path matrix, mirroring the reference's wiremock
+    tier (controller_client_tests.rs:107-212): success per type, empty,
+    404/500 HTTP errors, invalid JSON, and requested-type-missing."""
+
+    def _client(self, body=None, exc=None):
+        from datafusion_pinot_spark.catalog import PinotControllerClient
+
+        def fake_get(url):
+            if exc is not None:
+                raise exc
+            return body
+
+        return PinotControllerClient("http://ctrl:9000", http_get=fake_get)
+
+    def test_offline_success(self):
+        c = self._client('[{"OFFLINE": ["seg_0", "seg_1"]}]')
+        assert c.list_segments("t", "OFFLINE") == ["seg_0", "seg_1"]
+
+    def test_realtime_success(self):
+        c = self._client('[{"REALTIME": ["seg_r0"]}]')
+        assert c.list_segments("t", "REALTIME") == ["seg_r0"]
+
+    def test_empty_response_list(self):
+        c = self._client("[]")
+        assert c.list_segments("t", "OFFLINE") == []
+
+    def test_type_not_in_response(self):
+        # asked for REALTIME, controller only lists OFFLINE
+        # (controller_client_tests.rs:193-212: must be [], not an error)
+        c = self._client('[{"OFFLINE": ["seg_0"]}]')
+        assert c.list_segments("t", "REALTIME") == []
+
+    def test_http_404(self):
+        import urllib.error
+
+        err = urllib.error.HTTPError("http://x", 404, "Not Found", {}, None)
+        c = self._client(exc=err)
+        import pytest
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.list_segments("t", "OFFLINE")
+        assert ei.value.code == 404
+
+    def test_http_500(self):
+        import urllib.error
+
+        err = urllib.error.HTTPError("http://x", 500, "Server Error", {}, None)
+        c = self._client(exc=err)
+        import pytest
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.list_segments("t", "OFFLINE")
+        assert ei.value.code == 500
+
+    def test_invalid_json(self):
+        import pytest
+
+        c = self._client("this is not json")
+        with pytest.raises(RuntimeError, match="Invalid JSON"):
+            c.list_segments("t", "OFFLINE")
+
+    def test_non_list_payload_is_empty(self):
+        # a dict where a list is expected: tolerated as "no segments"
+        # rather than a crash (same shape-tolerance as the reference's
+        # deserializer defaulting missing sides to empty)
+        c = self._client('{"OFFLINE": ["seg_0"]}')
+        assert c.list_segments("t", "OFFLINE") == []
+
