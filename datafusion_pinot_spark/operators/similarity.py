@@ -1277,7 +1277,10 @@ def sq8_recall_audit(
 
     Scale shape: two broadcast-probe rankings over the same corpus scan
     economics as their parent operators, then a (q_id, vec_id) equi-join
-    of two k-row-per-probe frames — trivially small."""
+    of two k-row-per-probe frames — trivially small, and BROADCAST
+    explicitly (r10): Spark can't size a windowed top-k output, so
+    without the hint both |probes|*k-row frames went through
+    SortMergeJoin shuffles."""
     exact = brute_force_topk(embeddings, query_ids, k).select(
         "q_id", "vec_id"
     )
@@ -1285,7 +1288,7 @@ def sq8_recall_audit(
         "q_id", F.col("vec_id").alias("vec_id_q")
     )
     hits = exact.join(
-        quant,
+        F.broadcast(quant),
         (exact["q_id"] == quant["q_id"])
         & (exact["vec_id"] == quant["vec_id_q"]),
     ).groupBy(exact["q_id"].alias("qid")).agg(
@@ -1295,7 +1298,7 @@ def sq8_recall_audit(
         F.count(F.lit(1)).alias("n_exact")
     )
     return (
-        base.join(hits, "qid", "left")
+        base.join(F.broadcast(hits), "qid", "left")
         .select(
             F.col("qid").alias("q_id"),
             "n_exact",

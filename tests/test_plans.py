@@ -359,3 +359,47 @@ def test_label_prop_reuses_checkpointed_edges(q):
     # of the distinct+join subtree
     plan = _plan(q("label_prop_communities"))
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_halflife_broadcasts_scalar_no_shuffle_join(q):
+    # the max-day scalar joins back as a one-row broadcast; the corpus
+    # never shuffles for it
+    plan = _plan(q("halflife_event_mass"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_sq8_recall_audit_joins_all_broadcast(q):
+    # r10: the two |probes|*k-row ranking frames must join broadcast —
+    # Spark can't size a windowed top-k output, so without explicit
+    # hints both tiny frames went through SortMergeJoin shuffles
+    plan = _plan(q("sq8_recall_audit"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_label_consistency_broadcasts_probe_labels(q):
+    plan = _plan(q("knn_label_consistency"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dau_wau_bounded_day_join_no_cartesian(q):
+    # the trailing-7-day join is a bounded day-range join over the
+    # distinct (user, day) frame — never a cartesian product
+    plan = _plan(q("dau_wau_stickiness"))
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_estimate_error_no_cartesian(q):
+    # candidates come from banded LSH buckets (equi-joins), never from
+    # an all-pairs product
+    plan = _plan(q("minhash_estimate_error"))
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_share_is_window_only(q):
+    # one per-customer agg + rank window + tiny rollup: no join at all
+    plan = _plan(q("pareto_revenue_share"))
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert j not in plan
