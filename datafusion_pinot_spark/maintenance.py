@@ -34,6 +34,14 @@ import shutil
 from pyspark.sql import SparkSession
 
 
+def _retire(table_dir: str, name: str) -> None:
+    """Move a replaced segment to the snapshot retired store instead of
+    deleting it (see pinot_segment/snapshot.py)."""
+    from pinot_segment.snapshot import retire_segment
+
+    retire_segment(table_dir, name)
+
+
 def _segment_doc_counts(table_dir: str) -> dict[str, int]:
     """{segment_name: total_docs} from the manifest when fresh, else from
     per-segment metadata.properties (still no columns.psf opens)."""
@@ -79,6 +87,7 @@ def compact_table(
     min_group: int = 2,
     rollup: "tuple[list[str], dict[str, str]] | None" = None,
     keep_latest: "tuple[list[str], str, tuple] | None" = None,
+    retain_replaced: bool = False,
 ) -> dict:
     """Compact ``table_dir`` in place; returns a summary dict
     {"groups": N, "merged_segments": [...], "removed_segments": [...]}.
@@ -96,7 +105,13 @@ def compact_table(
     record versions are physically dropped within each merged segment;
     `catalog.load_upsert_table` results are unchanged (last-wins is
     idempotent) while storage and scan cost shrink to the live-version
-    count."""
+    count.
+
+    ``retain_replaced=True`` (r10) RETIRES the merged members into
+    ``{table}/retired/`` instead of deleting them, so snapshot readers
+    (``.option("as_of", N)``, pinot_segment/snapshot.py) and in-flight
+    scans planned against the pre-compaction segment list keep working;
+    reclaim space later with ``snapshot.vacuum``."""
     from datafusion_pinot_spark.sources.pinot_datasource import (
         _update_manifest_after_commit,
     )
@@ -160,13 +175,18 @@ def compact_table(
     ).collect()
 
     # -- driver-side commit: rename merged in, drop members, fix manifest --
+    from pinot_segment.snapshot import retire_segment
+
     merged, removed, new_stats = [], [], {}
     for r in results:
         os.replace(os.path.join(tmp_dir, r["name"]), os.path.join(table_dir, r["name"]))
         merged.append(r["name"])
         new_stats[r["name"]] = json.loads(r["stats"])
         for m in json.loads(r["members"]):
-            shutil.rmtree(os.path.join(table_dir, m), ignore_errors=True)
+            if retain_replaced:
+                retire_segment(table_dir, m)
+            else:
+                shutil.rmtree(os.path.join(table_dir, m), ignore_errors=True)
             removed.append(m)
     _update_manifest_after_commit(table_dir, new_stats)
     return {
@@ -228,7 +248,12 @@ def purge_segments(
 
 
 def delete_rows(
-    spark: SparkSession, table_dir: str, column: str, lo, hi
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    lo,
+    hi,
+    retain_replaced: bool = False,
 ) -> dict:
     """Row-level range deletion (GDPR erasure / predicate delete, beyond
     the reference): physically remove every row with ``lo <= column <=
@@ -253,6 +278,10 @@ def delete_rows(
       then members drop and the manifest updates incrementally from
       task-computed stats — same non-atomicity caveat as compact_table
       (run in a maintenance window).
+
+    ``retain_replaced=True`` (r10) retires dropped and rewritten
+    segments into ``{table}/retired/`` for snapshot readers instead of
+    deleting them (pinot_segment/snapshot.py; reclaim with ``vacuum``).
 
     Returns {"dropped": [...], "rewritten": [...], "untouched": N,
     "rows_deleted": int}.
@@ -371,13 +400,19 @@ def delete_rows(
                 os.path.join(tmp_dir, r["new_name"]),
                 os.path.join(table_dir, r["new_name"]),
             )
-            shutil.rmtree(
-                os.path.join(table_dir, r["segment"]), ignore_errors=True
-            )
+            if retain_replaced:
+                _retire(table_dir, r["segment"])
+            else:
+                shutil.rmtree(
+                    os.path.join(table_dir, r["segment"]), ignore_errors=True
+                )
             rewritten.append(r["segment"])
             new_stats[r["new_name"]] = json.loads(r["stats"])
     for seg in drop:
-        shutil.rmtree(os.path.join(table_dir, seg), ignore_errors=True)
+        if retain_replaced:
+            _retire(table_dir, seg)
+        else:
+            shutil.rmtree(os.path.join(table_dir, seg), ignore_errors=True)
     _update_manifest_after_commit(table_dir, new_stats)
     return {
         "dropped": sorted(drop),

@@ -2707,6 +2707,86 @@ def q_pinot_predicate_delete(spark, sf):
     )
 
 
+@register(
+    "pinot_snapshot_asof_diff",
+    """WITH base AS (
+         SELECT l_orderkey, l_partkey, l_returnflag FROM lineitem
+       ), v1 AS (
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_v1,
+                CAST(sum(l_orderkey) AS BIGINT) AS sum_okey_v1
+         FROM base GROUP BY l_returnflag
+       ), latest AS (
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_latest
+         FROM base
+         WHERE NOT (l_orderkey >= 200 AND l_orderkey <= 1700)
+         GROUP BY l_returnflag
+       )
+       SELECT v1.l_returnflag, n_v1, sum_okey_v1, n_latest,
+              CAST(n_v1 - n_latest AS BIGINT) AS n_deleted
+       FROM v1 JOIN latest ON v1.l_returnflag = latest.l_returnflag
+       ORDER BY v1.l_returnflag""",
+    "parity",
+    ["pinot", "storage", "snapshot", "timetravel"],
+)
+def q_pinot_snapshot_asof_diff(spark, sf):
+    """r10: snapshot isolation / time travel through storage
+    (pinot_segment/snapshot.py — beyond the read-only reference, and
+    beyond Pinot itself; the Iceberg-style answer to the maintenance
+    read-write race): the lineitem projection lands as a pinot table
+    (snapshot 1), a range DELETE rewrites it with ``retain_replaced``
+    (replaced segments retire instead of dying; snapshot 2), and the
+    query reads BOTH versions — ``.option("as_of", 1)`` resolves the
+    pre-delete segment list from the snapshot log (live + retired dirs)
+    while the plain read sees the post-delete table. The hash gate
+    proves the time-travel contract end to end: the as-of view must be
+    bit-identical to the original data (erasure never leaks into it)
+    and the diff must equal exactly the deleted range."""
+    import tempfile
+
+    from datafusion_pinot_spark.maintenance import delete_rows
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="snap_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_returnflag")
+        .repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    delete_rows(spark, out, "l_orderkey", 200, 1700, retain_replaced=True)
+    v1 = (
+        spark.read.format("pinot")
+        .option("as_of", "1")
+        .load(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_v1"),
+            F.sum("l_orderkey").cast("long").alias("sum_okey_v1"),
+        )
+    )
+    latest = (
+        spark.read.format("pinot")
+        .load(out)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_latest"))
+    )
+    return (
+        v1.join(F.broadcast(latest), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_v1",
+            "sum_okey_v1",
+            "n_latest",
+            (F.col("n_v1") - F.col("n_latest")).alias("n_deleted"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def _register_validation():
     """Dataset-validation + warehouse-history operators (r6 continuation-4):
     one-pass constraint report, PSI drift, equi-depth histogram (bucketed

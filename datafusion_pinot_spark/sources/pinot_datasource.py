@@ -212,6 +212,15 @@ class PinotDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("pinot source requires a path or 'segments' option")
+        as_of = self.options.get("as_of")
+        if as_of:
+            # time travel: resolve the segment list from the table's
+            # snapshot log (live or retired dirs) instead of the current
+            # directory walk — a repeatable read of the table as of that
+            # committed mutation, immune to concurrent compaction/delete
+            from pinot_segment.snapshot import segments_as_of
+
+            return segments_as_of(path, int(as_of))
         return _discover_segments(path)
 
     def schema(self) -> StructType:
@@ -1654,6 +1663,20 @@ def _update_manifest_after_commit(path: str, new_stats: dict) -> None:
     import logging
 
     from pinot_segment.errors import InvalidFormatError, UnsupportedFeatureError
+
+    # Snapshot log first (pinot_segment/snapshot.py): every committed
+    # mutation records its post-commit segment set, enabling
+    # .option("as_of", N) reads and maintenance-immune long scans. Like
+    # the manifest, best-effort — a log write failure must not fail the
+    # commit the segments already landed for.
+    try:
+        from pinot_segment.snapshot import append_snapshot
+
+        append_snapshot(path)
+    except OSError as exc:
+        logging.getLogger(__name__).warning(
+            "pinot commit: snapshot log skipped for %s: %s", path, exc
+        )
 
     try:
         from pinot_segment import manifest as M

@@ -421,7 +421,10 @@ def test_purge_segments_retention(tmp_path):
     out = purge_segments(str(table), "k", older_than=150)
     # only 'old' (max 99) is provably expired; 'mid' straddles and stays
     assert out == {"removed_segments": ["old"], "kept_segments": 2}
-    assert sorted(os.listdir(table)) == ["mid", "new", "segment_stats.json"]
+    # r10: commits also append the snapshot log (snapshots.json)
+    assert sorted(os.listdir(table)) == [
+        "mid", "new", "segment_stats.json", "snapshots.json",
+    ]
     # manifest rewritten for the survivors — still loadable/fresh
     assert set(M.load_manifest(str(table))) == {"mid", "new"}
 

@@ -1,0 +1,164 @@
+"""Snapshot-versioned reads (pinot_segment/snapshot.py + the reader's
+``as_of`` option): time travel across sink commits and maintenance ops,
+retirement instead of deletion, and vacuum reclaim.
+
+The scale problem under test: compaction/delete commit by replacing
+segment dirs, so a reader planned against the old list dies mid-scan.
+With ``retain_replaced=True`` the replaced segments retire (invisible to
+the live walk, addressable by snapshot) and ``as_of`` reads are
+repeatable and maintenance-immune until vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinot_segment import snapshot as S
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "snap_OFFLINE")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df.coalesce(2).write.format("pinot").mode("overwrite").save(out)
+    return out
+
+
+def read(spark, path, **opts):
+    r = spark.read.format("pinot")
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load(path)
+
+
+class TestSnapshotLog:
+    def test_sink_commit_appends_snapshot(self, spark, table):
+        log = S.load_snapshot_log(table)
+        assert log is not None and len(log["snapshots"]) == 1
+        assert S.current_snapshot_id(table) == 1
+        assert sorted(log["snapshots"][0]["segments"]) == sorted(
+            S._live_segment_names(table)
+        )
+
+    def test_append_write_appends_snapshot(self, spark, table):
+        spark.range(100, 150).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(1).write.format("pinot").mode("append").save(table)
+        assert S.current_snapshot_id(table) == 2
+        # v1 still resolves to the original two segments
+        assert len(S.segments_as_of(table, 1)) == 2
+        assert len(S.segments_as_of(table, 2)) == 3
+
+    def test_unknown_snapshot_raises(self, table):
+        with pytest.raises(ValueError, match="Unknown snapshot"):
+            S.segments_as_of(table, 99)
+
+    def test_no_log_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError, match="No snapshot log"):
+            S.segments_as_of(str(tmp_path), 1)
+
+
+class TestAsOfReads:
+    def test_as_of_survives_compaction(self, spark, table):
+        from datafusion_pinot_spark.maintenance import compact_table
+
+        before = sorted(
+            (r["k"], r["v"]) for r in read(spark, table).collect()
+        )
+        res = compact_table(
+            spark, table, target_docs=1000, retain_replaced=True
+        )
+        assert res["groups"] == 1 and len(res["removed_segments"]) == 2
+        # retired members are out of the live walk but still addressable
+        assert S._live_segment_names(table) == res["merged_segments"]
+        v1 = sorted(
+            (r["k"], r["v"])
+            for r in read(spark, table, as_of=1).collect()
+        )
+        latest = sorted(
+            (r["k"], r["v"]) for r in read(spark, table).collect()
+        )
+        assert v1 == before  # bit-identical pre-compaction view
+        assert latest == before  # compaction preserves data
+
+    def test_as_of_shows_deleted_rows(self, spark, table):
+        from datafusion_pinot_spark.maintenance import delete_rows
+
+        res = delete_rows(
+            spark, table, "k", 10, 39, retain_replaced=True
+        )
+        assert res["rows_deleted"] == 30
+        latest_ks = {r["k"] for r in read(spark, table).collect()}
+        assert latest_ks == set(range(0, 10)) | set(range(40, 100))
+        v1_ks = {
+            r["k"] for r in read(spark, table, as_of=1).collect()
+        }
+        assert v1_ks == set(range(100))
+
+    def test_as_of_pushdown_still_applies(self, spark, table):
+        from datafusion_pinot_spark.maintenance import delete_rows
+
+        delete_rows(spark, table, "k", 0, 49, retain_replaced=True)
+        df = read(spark, table, as_of=1).filter(F.col("k") < 5)
+        assert sorted(r["k"] for r in df.collect()) == [0, 1, 2, 3, 4]
+
+
+class TestVacuum:
+    def test_vacuum_keeps_referenced_retired(self, spark, table):
+        from datafusion_pinot_spark.maintenance import compact_table
+
+        compact_table(spark, table, target_docs=1000, retain_replaced=True)
+        # keep_last=2 covers snapshots {1, 2}: v1's members stay
+        out = S.vacuum(table, keep_last=2)
+        assert out["removed"] == []
+        assert len(read(spark, table, as_of=1).collect()) == 100
+
+    def test_vacuum_reclaims_unreferenced(self, spark, table):
+        from datafusion_pinot_spark.maintenance import compact_table
+
+        compact_table(spark, table, target_docs=1000, retain_replaced=True)
+        out = S.vacuum(table, keep_last=1)
+        assert len(out["removed"]) == 2  # both retired members reclaimed
+        assert not os.path.isdir(os.path.join(table, S.RETIRED_DIR))
+        # pruned log: v1 is gone
+        with pytest.raises(ValueError, match="Unknown snapshot"):
+            S.segments_as_of(table, 1)
+        # live reads unaffected
+        assert len(read(spark, table).collect()) == 100
+
+    def test_vacuum_never_touches_live(self, spark, table):
+        out = S.vacuum(table, keep_last=1)
+        assert out["removed"] == []
+        assert len(S._live_segment_names(table)) == 2
+
+
+class TestStreamSnapshots:
+    def test_each_stream_batch_commits_a_snapshot(self, spark, tmp_path):
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "ss_OFFLINE")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        spark.range(0, 10).selectExpr("id AS k").coalesce(1).write.json(
+            os.path.join(src, "a")
+        )
+        stream = (
+            spark.readStream.schema("k long")
+            .json(os.path.join(src, "*"))
+            .writeStream.format("pinot")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+        q = stream.start()
+        q.awaitTermination(120)
+        sid = S.current_snapshot_id(out)
+        assert sid is not None and sid >= 1
+        assert len(S.segments_as_of(out, sid)) >= 1
