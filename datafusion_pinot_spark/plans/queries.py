@@ -8496,7 +8496,11 @@ DRIVER_WINDOW: list[str] = [
     # (stable_moments rotated out for the r8 metadata aggregation:
     # r07-green; decimal38 exactness stays window-covered by
     # pinot_bigdecimal_roundtrip.)
-    "pinot_metadata_minmax",  # r8: zone-map-folded MIN/MAX/COUNT, zero reads
+    # (r10 rotation, twice-green r08+r09: zone-map MIN/MAX folding stays
+    # pytest-pinned and planning-proven every bench via the manifest
+    # probes; the slot goes to the round's one new storage semantic, the
+    # snapshot/time-travel read.) "pinot_metadata_minmax",
+    "pinot_snapshot_asof_diff",  # r10: as_of time travel vs live read diff
     # (scalar_functions_extended deferred to the pytest oracle tier:
     # pure Spark-SQL builtin breadth, low cross-engine drift risk; the
     # slot goes to the new storage data type below.)
