@@ -95,6 +95,32 @@ _SPARK_TYPES = {
 }
 
 
+
+def _open_segment(segment_dir: str):
+    """``SegmentReader.open`` with a retired-store fallback: a segment
+    RETIRED by a snapshot-retaining maintenance commit between this scan's
+    planning and its execution has moved from ``{table}/{seg}/v3`` to
+    ``{table}/retired/{seg}/v3`` — resolve it there, so an in-flight scan
+    survives the segment swap and dies only at ``vacuum`` (the documented
+    storage-reclaim grace boundary)."""
+    from pinot_segment import SegmentReader
+
+    try:
+        return SegmentReader.open(segment_dir)
+    except OSError:
+        norm = os.path.normpath(segment_dir)
+        seg_parent = os.path.dirname(norm)
+        retired = os.path.join(
+            os.path.dirname(seg_parent),
+            "retired",
+            os.path.basename(seg_parent),
+            "v3",
+        )
+        if os.path.isdir(retired):
+            return SegmentReader.open(retired)
+        raise
+
+
 def _discover_segments(path: str) -> list[str]:
     """Resolve a path to a sorted list of v3 segment dirs.
 
@@ -764,7 +790,7 @@ class PinotDataSourceReader(DataSourceReader):
         if self._dict_only:
             col = self._dict_only
             for segment_dir in partition.segment_dirs:
-                r = SegmentReader.open(segment_dir)
+                r = _open_segment(segment_dir)
                 cm = r.metadata.columns.get(col)
                 if cm is None:
                     # schema evolution: a pre-column segment reads as
@@ -790,7 +816,7 @@ class PinotDataSourceReader(DataSourceReader):
         if self._value_counts:
             names = [c.strip() for c in self._value_counts.split(",") if c.strip()]
             for segment_dir in partition.segment_dirs:
-                r = SegmentReader.open(segment_dir)
+                r = _open_segment(segment_dir)
                 missing = [c for c in names if r.metadata.columns.get(c) is None]
                 if missing:
                     # schema evolution: a pre-column segment holds only NULL
@@ -851,7 +877,7 @@ class PinotDataSourceReader(DataSourceReader):
                     )
             return
         for segment_dir in partition.segment_dirs:
-            reader = SegmentReader.open(segment_dir)
+            reader = _open_segment(segment_dir)
             # Schema evolution (Pinot's add-column behavior, beyond the
             # reference): a segment written before a column existed reads
             # as all-NULL for it. Consequences for pushed filters: any
@@ -1132,7 +1158,7 @@ class PinotStreamReader(DataSourceStreamReader):
         from pinot_segment import SegmentReader
 
         for segment_dir in partition.segment_dirs:
-            reader = SegmentReader.open(segment_dir)
+            reader = _open_segment(segment_dir)
             # Schema evolution, same as the batch path: stream with the
             # evolved schema and pre-column segments surface the new
             # columns as all-NULL.

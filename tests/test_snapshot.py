@@ -108,6 +108,40 @@ class TestAsOfReads:
         assert sorted(r["k"] for r in df.collect()) == [0, 1, 2, 3, 4]
 
 
+class TestInFlightScanSurvival:
+    def test_stale_planned_scan_survives_retirement(self, spark, table):
+        """The read-write race itself: Spark caches (partitions, read
+        function) per DataFrame object, so a df executed once holds the
+        OLD segment paths. A snapshot-retaining compaction moves those
+        dirs into retired/ — the re-execution must fall back there
+        (pinot_datasource._open_segment) and return the same rows."""
+        from datafusion_pinot_spark.maintenance import compact_table
+
+        df = read(spark, table)
+        before = sorted((r["k"], r["v"]) for r in df.collect())
+        compact_table(spark, table, target_docs=1000, retain_replaced=True)
+        # both original segment dirs are gone from the live table dir
+        assert all(
+            not os.path.isdir(os.path.join(table, n))
+            for n in S.load_snapshot_log(table)["snapshots"][0]["segments"]
+        )
+        again = sorted((r["k"], r["v"]) for r in df.collect())
+        assert again == before
+
+    def test_stale_scan_dies_only_at_vacuum(self, spark, table):
+        from datafusion_pinot_spark.maintenance import compact_table
+
+        df = read(spark, table)
+        df.collect()
+        compact_table(spark, table, target_docs=1000, retain_replaced=True)
+        S.vacuum(table, keep_last=1)
+        # reclaim is the documented grace boundary: the stale scan's
+        # executor-side open fails (FileNotFoundError through whatever
+        # wrapper the Spark version uses)
+        with pytest.raises(Exception, match="No such file|FileNotFound"):
+            df.collect()
+
+
 class TestVacuum:
     def test_vacuum_keeps_referenced_retired(self, spark, table):
         from datafusion_pinot_spark.maintenance import compact_table
