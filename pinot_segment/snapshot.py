@@ -28,6 +28,18 @@ rebuild's answer, Iceberg-style and deliberately tiny:
 Scale shape: the log holds segment NAMES only — O(segments) bytes, one
 small JSON read at plan time (same order as the stats manifest the
 planner already reads); no per-row or per-query cost anywhere.
+
+Concurrency contract (same stance as the stats manifest): the log write
+is atomic (rename), so readers always see a VALID log, but two
+committers appending simultaneously race read-modify-write — the loser's
+intermediate entry may be skipped. That is harmless for the isolation
+guarantee: the surviving entry records the post-both-commits live set
+(each committer walks the directory AFTER its segments landed), so every
+recorded snapshot is a real, consistent table state; only an
+intermediate version number may never exist. A fleet deployment would
+put the log behind the metastore's conditional-put instead of a
+filesystem rename — the file layout and reader are unchanged by that
+swap.
 """
 
 from __future__ import annotations

@@ -191,6 +191,24 @@ def test_concurrent_commits_never_corrupt(tmp_path):
             os.path.basename(os.path.dirname(s)) for s in seg_dirs
         }
 
+    # snapshot log (r10): valid JSON (atomic rename — never torn). Every
+    # recorded snapshot lists segments that truly existed at its walk
+    # (subset of the final live set here — nothing is ever deleted in
+    # this scenario), so any as_of read of it is a real table state. The
+    # read-modify-write race may skip/overwrite an intermediate entry
+    # (documented in snapshot.py); the NEXT commit re-converges the head.
+    from pinot_segment import snapshot as S
+
+    log = S.load_snapshot_log(table)
+    assert log is not None and log["snapshots"]
+    live = {os.path.basename(os.path.dirname(s)) for s in seg_dirs}
+    for snap in log["snapshots"]:
+        assert set(snap["segments"]) <= live
+        assert S.segments_as_of(table, snap["id"])  # all resolvable
+    # convergence: one more (serial) commit records the full live set
+    assert S.append_snapshot(table) >= log["snapshots"][-1]["id"]
+    assert set(S.load_snapshot_log(table)["snapshots"][-1]["segments"]) == live
+
 
 def test_commit_backfill_cap_skips_manifest(tmp_path, monkeypatch):
     """A commit into a table with more uncovered legacy segments than the
