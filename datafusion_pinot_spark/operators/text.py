@@ -1304,3 +1304,108 @@ SELECT CAST(rank AS BIGINT) AS rank, w AS token,
        CAST(rank * freq AS BIGINT) AS rank_x_freq,
        CAST(freq * 1000000 // top_freq AS BIGINT) AS rel_freq_ppm
 FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
+def charclass_profile(docs: DataFrame) -> DataFrame:
+    """Per-source character-class composition — the cheap encoding-health
+    signal a crawl-ingest pipeline gates on (a "text" source whose
+    non-ASCII or punctuation share jumps between snapshots usually means a
+    charset-detection or extraction regression upstream).
+
+    Five classes partition every character exactly once: ASCII letters,
+    digits, ASCII whitespace, other printable ASCII (punctuation), and
+    everything else (non-ASCII). Counts come from length deltas under
+    ``regexp_replace`` (engine-side, codegen'd — no per-char explode), and
+    shares are exact integer ppm of the source's total characters, so the
+    row is hash-gateable bit-for-bit.
+
+    Scale shape: one narrow map over ``text`` + one map-side-combined
+    per-source rollup; nothing shuffles but the per-source partials.
+    """
+
+    def n_matching(pattern: str):
+        return F.length("text") - F.length(
+            F.regexp_replace(F.col("text"), pattern, F.lit(""))
+        )
+
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("long").alias("chars"),
+        n_matching("[A-Za-z]").cast("long").alias("letters"),
+        n_matching("[0-9]").cast("long").alias("digits"),
+        n_matching("[ \\t\\n\\r]").cast("long").alias("spaces"),
+        # printable-ASCII range (space..tilde) plus the whitespace chars;
+        # anything outside is non-ASCII for this audit's purposes
+        n_matching("[^ -~\\t\\n\\r]").cast("long").alias("nonascii"),
+    )
+    rolled = per_doc.groupBy("source").agg(
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.sum("letters").cast("long").alias("letters"),
+        F.sum("digits").cast("long").alias("digits"),
+        F.sum("spaces").cast("long").alias("spaces"),
+        F.sum("nonascii").cast("long").alias("nonascii"),
+    )
+    ppm = lambda c: F.expr(  # noqa: E731
+        f"CASE WHEN total_chars = 0 THEN 0L ELSE {c} * 1000000L div total_chars END"
+    ).alias(f"{c}_ppm" if c != "punct" else "punct_ppm")
+    return (
+        rolled.withColumn(
+            "punct",
+            (
+                F.col("total_chars")
+                - F.col("letters")
+                - F.col("digits")
+                - F.col("spaces")
+                - F.col("nonascii")
+            ).cast("long"),
+        )
+        .select(
+            "source",
+            "total_chars",
+            ppm("letters"),
+            ppm("digits"),
+            ppm("spaces"),
+            ppm("punct"),
+            ppm("nonascii"),
+        )
+        .orderBy("source")
+    )
+
+
+def charclass_profile_oracle_sql() -> str:
+    # 'g' flag: DuckDB regexp_replace is single-match by default (Spark's
+    # replaces all). CAST(SUM(...) AS BIGINT): DuckDB rolls BIGINT sums
+    # into HUGEINT.
+    return r"""
+WITH per_doc AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS chars,
+    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+         AS BIGINT) AS letters,
+    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         AS BIGINT) AS digits,
+    CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+         AS BIGINT) AS spaces,
+    CAST(length(text) - length(regexp_replace(text, '[^ -~\t\n\r]', '', 'g'))
+         AS BIGINT) AS nonascii
+  FROM documents),
+rolled AS (
+  SELECT source,
+         CAST(sum(chars) AS BIGINT) AS total_chars,
+         CAST(sum(letters) AS BIGINT) AS letters,
+         CAST(sum(digits) AS BIGINT) AS digits,
+         CAST(sum(spaces) AS BIGINT) AS spaces,
+         CAST(sum(nonascii) AS BIGINT) AS nonascii
+  FROM per_doc GROUP BY source)
+SELECT source, total_chars,
+  CASE WHEN total_chars = 0 THEN 0
+       ELSE letters * 1000000 // total_chars END AS letters_ppm,
+  CASE WHEN total_chars = 0 THEN 0
+       ELSE digits * 1000000 // total_chars END AS digits_ppm,
+  CASE WHEN total_chars = 0 THEN 0
+       ELSE spaces * 1000000 // total_chars END AS spaces_ppm,
+  CASE WHEN total_chars = 0 THEN 0
+       ELSE (total_chars - letters - digits - spaces - nonascii)
+            * 1000000 // total_chars END AS punct_ppm,
+  CASE WHEN total_chars = 0 THEN 0
+       ELSE nonascii * 1000000 // total_chars END AS nonascii_ppm
+FROM rolled ORDER BY source"""

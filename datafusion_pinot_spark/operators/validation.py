@@ -1153,3 +1153,198 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
             AS BIGINT) AS n_mismatches,
        CAST(max(abs(n_chars - length(text))) AS BIGINT) AS max_discrepancy
 FROM documents GROUP BY source ORDER BY source"""
+
+
+def mann_whitney_length_shift(docs: DataFrame) -> DataFrame:
+    """Mann-Whitney rank-sum location test between every pair of sources,
+    over the document-length column — the rank-based complement to
+    ``ks_source_drift`` (KS measures the worst pointwise CDF gap; U asks
+    the sharper curation question "does source A systematically produce
+    longer documents than source B?").
+
+    Everything stays exact integer so the result is hash-gateable: with
+    ties the midrank is a half-integer, so the statistic is carried as
+    ``u2 = 2*U`` (for a tie group occupying pooled positions lo..hi the
+    doubled midrank is ``lo + hi``, an integer). The common-language effect
+    size ``P(len_A > len_B) + 0.5*P(=)`` is then ``u2 / (2*n1*n2)``,
+    reported in exact ppm via integer division.
+
+    Scale shape (100 TB): the corpus collapses FIRST to a per-(source,
+    length) count profile — one map-side-combined aggregation, the only
+    full-corpus shuffle. All pair arithmetic runs on that profile
+    (sources x distinct lengths, thousands of rows), so the k^2 pair
+    fan-out never touches documents. The doubled rank-sum fits BIGINT up
+    to ~10^7 docs/source; past that, switch the two products to
+    decimal(38,0).
+    """
+    v = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    srcs = v.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("s1"))
+        .join(
+            srcs.select(F.col("source").alias("s2")),
+            F.col("s1") < F.col("s2"),
+        )
+    )
+    g1 = pairs.join(
+        v.select(F.col("source").alias("s1"), "n_chars", F.col("cnt").alias("cnt1")),
+        "s1",
+    )
+    g2 = pairs.join(
+        v.select(F.col("source").alias("s2"), "n_chars", F.col("cnt").alias("cnt2")),
+        "s2",
+    )
+    g = (
+        g1.join(g2, ["s1", "s2", "n_chars"], "full_outer")
+        .na.fill(0, ["cnt1", "cnt2"])
+    )
+    w = (
+        Window.partitionBy("s1", "s2")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(
+        F.sum(F.col("cnt1") + F.col("cnt2")).over(w), F.lit(0).cast("long")
+    )
+    # tie group of size cnt1+cnt2 after `before` pooled docs: each member's
+    # doubled midrank is 2*before + cnt1 + cnt2 + 1
+    contrib = F.col("cnt1") * (
+        F.lit(2) * before + F.col("cnt1") + F.col("cnt2") + F.lit(1)
+    )
+    return (
+        g.withColumn("contrib", contrib)
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum("cnt1").cast("long").alias("n1"),
+            F.sum("cnt2").cast("long").alias("n2"),
+            F.sum("contrib").cast("long").alias("r1_2"),
+        )
+        .withColumn(
+            "u2",
+            (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).cast("long"),
+        )
+        .withColumn(
+            "cles_ppm",
+            F.expr("u2 * 1000000L div (2 * n1 * n2)").cast("long"),
+        )
+        .select("s1", "s2", "n1", "n2", "u2", "cles_ppm")
+        .orderBy("s1", "s2")
+    )
+
+
+def mann_whitney_length_shift_oracle_sql() -> str:
+    # CAST(SUM(...) AS BIGINT): DuckDB sums BIGINT into HUGEINT.
+    return """
+WITH v AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source, n_chars),
+srcs AS (SELECT DISTINCT source FROM documents),
+pairs AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM srcs a JOIN srcs b ON a.source < b.source),
+g AS (
+  SELECT p.s1, p.s2, v.n_chars,
+         CAST(sum(CASE WHEN v.source = p.s1 THEN v.cnt ELSE 0 END)
+              AS BIGINT) AS cnt1,
+         CAST(sum(CASE WHEN v.source = p.s2 THEN v.cnt ELSE 0 END)
+              AS BIGINT) AS cnt2
+  FROM pairs p JOIN v ON v.source IN (p.s1, p.s2)
+  GROUP BY p.s1, p.s2, v.n_chars),
+ranked AS (
+  SELECT s1, s2, cnt1, cnt2,
+         coalesce(CAST(sum(cnt1 + cnt2) OVER (
+           PARTITION BY s1, s2 ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS before
+  FROM g),
+agg AS (
+  SELECT s1, s2,
+         CAST(sum(cnt1) AS BIGINT) AS n1,
+         CAST(sum(cnt2) AS BIGINT) AS n2,
+         CAST(sum(cnt1 * (2 * before + cnt1 + cnt2 + 1)) AS BIGINT) AS r1_2
+  FROM ranked GROUP BY s1, s2)
+SELECT s1, s2, n1, n2,
+       CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+       CAST((r1_2 - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n2) AS BIGINT)
+         AS cles_ppm
+FROM agg ORDER BY s1, s2"""
+
+
+def benford_first_digit(lineitem: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit over ``l_extendedprice`` — the
+    classic synthetic-/fabricated-data detector: naturally occurring
+    monetary amounts follow ``P(d) = log10(1 + 1/d)``; generated or
+    tampered columns usually don't. Reports, per leading digit, the
+    observed share and the absolute deviation from Benford, all in exact
+    integer ppm (the Benford expectations are hardcoded floor(log10(1 +
+    1/d) * 1e6) constants, so no float crosses an engine boundary).
+
+    Scale shape: one narrow map (first digit via integer->string, no
+    float log) + one 9-group map-side-combined aggregate; the whole-frame
+    total is a window over the 9-row aggregate, not a second scan.
+    """
+    digits = (
+        lineitem.filter(F.col("l_extendedprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    total = F.sum("n_rows").over(Window.partitionBy())
+    benford = F.element_at(
+        F.array(
+            *[
+                F.lit(v)
+                for v in (
+                    301029,
+                    176091,
+                    124938,
+                    96910,
+                    79181,
+                    66946,
+                    57991,
+                    51152,
+                    45757,
+                )
+            ]
+        ),
+        F.col("digit"),
+    ).cast("long")
+    return (
+        counts.withColumn("total", total.cast("long"))
+        .withColumn("obs_ppm", F.expr("n_rows * 1000000L div total").cast("long"))
+        .drop("total")
+        .withColumn("benford_ppm", benford)
+        .withColumn(
+            "dev_ppm", F.abs(F.col("obs_ppm") - F.col("benford_ppm")).cast("long")
+        )
+        .orderBy("digit")
+    )
+
+
+def benford_first_digit_oracle_sql() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem WHERE l_extendedprice >= 1),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_rows FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c)
+SELECT digit, n_rows,
+       CAST(n_rows * 1000000 // total AS BIGINT) AS obs_ppm,
+       CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+            WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+            WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+            ELSE 45757 END AS BIGINT) AS benford_ppm,
+       CAST(abs(n_rows * 1000000 // total -
+            CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+            WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+            WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+            ELSE 45757 END) AS BIGINT) AS dev_ppm
+FROM c, t ORDER BY digit"""

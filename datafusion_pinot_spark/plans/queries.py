@@ -2587,6 +2587,35 @@ def _register_llm():
             _docs(spark, sf)
         )
     )
+    # r10 (landed after the r10 window's final sweep; r11 first-check
+    # backlog — 3 entries, well under one round's rotation capacity):
+    # rank-based drift, char-class encoding health, Benford fraud audit.
+    register(
+        "mann_whitney_length_shift",
+        validation.mann_whitney_length_shift_oracle_sql(),
+        "llm",
+        ["validation", "drift", "ranking", "window"],
+    )(
+        lambda spark, sf: validation.mann_whitney_length_shift(
+            _docs(spark, sf)
+        )
+    )
+    register(
+        "benford_first_digit",
+        validation.benford_first_digit_oracle_sql(),
+        "llm",
+        ["validation", "audit", "agg"],
+    )(
+        lambda spark, sf: validation.benford_first_digit(
+            t(spark, sf, "lineitem")
+        )
+    )
+    register(
+        "charclass_profile",
+        text.charclass_profile_oracle_sql(),
+        "llm",
+        ["text", "quality", "agg"],
+    )(lambda spark, sf: text.charclass_profile(_docs(spark, sf)))
 
 
 _register_llm()
@@ -8247,6 +8276,12 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
+    # r11 FIRST-CHECK BACKLOG (3 entries, well under one round's rotation
+    # capacity): mann_whitney_length_shift, benford_first_digit,
+    # charclass_profile — landed late in r10 AFTER this window's final
+    # sf0.001+sf0.01 sweep, so they take their first driver check in r11
+    # (the documented-deferral path the r9->r10 rotation used). All three
+    # are exact-integer contracts, oracle-green in the pytest tier.
     # -- r10: drain the 18-query first-check backlog (r9 VERDICT item #2:
     # every r9 query that never saw a driver check enters now; NO new
     # catalog queries were added this round until the backlog cleared).
