@@ -603,3 +603,61 @@ def reindex_table(
         new_stats[r["new_name"]] = json.loads(r["stats"])
     _update_manifest_after_commit(table_dir, new_stats)
     return {"reindexed": sorted(reindexed), "skipped": skipped}
+
+
+def changes_between(
+    spark: SparkSession,
+    table_dir: str,
+    from_id: int,
+    to_id: int | None = None,
+    change_col: str = "_change_type",
+):
+    """Incremental (CDC-style) read between two snapshots — the Delta-CDF
+    analogue for the snapshot log (beyond the read-only reference AND
+    beyond Pinot, which exposes no changed-data feed): rows from segments
+    ADDED between ``from_id`` and ``to_id`` are tagged ``insert``, rows
+    from segments REMOVED (retired) are tagged ``delete``.
+
+    Granularity is the segment, deliberately: a rewrite (compaction,
+    range delete) emits its surviving rows as delete+insert pairs that
+    cancel under any additive aggregate — so a downstream incremental
+    refresh folds the feed with ``sum(sign * x)`` and lands on exactly
+    the as-of diff, while having scanned ONLY the changed segments'
+    bytes. At 100 TB that is the whole point: the alternative (two
+    ``as_of`` reads + an anti-join) reads the table twice and shuffles
+    it once; this reads the delta and shuffles nothing.
+
+    Returns a DataFrame with the table's schema plus ``change_col``;
+    empty diff (from == to, or log-recorded no-op) yields an empty frame
+    with the same schema.
+    """
+    from pyspark.sql import functions as F
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+    from pinot_segment.snapshot import changed_segments, resolve_segment_dirs
+
+    register_pinot_source(spark)
+    diff = changed_segments(table_dir, from_id, to_id)
+    ctx = f"CDC {diff['from_id']}->{diff['to_id']}"
+
+    def read_tagged(names: list[str], tag: str):
+        dirs = resolve_segment_dirs(table_dir, names, ctx)
+        return (
+            spark.read.format("pinot")
+            .option("segments", ",".join(dirs))
+            .load()
+            .withColumn(change_col, F.lit(tag))
+        )
+
+    sides = []
+    if diff["added"]:
+        sides.append(read_tagged(diff["added"], "insert"))
+    if diff["removed"]:
+        sides.append(read_tagged(diff["removed"], "delete"))
+    if not sides:
+        empty = spark.read.format("pinot").load(table_dir).limit(0)
+        return empty.withColumn(change_col, F.lit("insert")).limit(0)
+    out = sides[0]
+    for s in sides[1:]:
+        out = out.unionByName(s)
+    return out

@@ -2816,6 +2816,68 @@ def q_pinot_snapshot_asof_diff(spark, sf):
     )
 
 
+@register(
+    "pinot_snapshot_changes",
+    """SELECT l_returnflag,
+              CAST(-count(*) AS BIGINT) AS net_rows,
+              CAST(-sum(l_orderkey) AS BIGINT) AS net_sum_okey
+       FROM lineitem
+       WHERE l_orderkey >= 200 AND l_orderkey <= 1700
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag""",
+    "parity",
+    ["pinot", "storage", "snapshot", "cdc"],
+)
+def q_pinot_snapshot_changes(spark, sf):
+    """r10: incremental (CDC-style) reads off the snapshot log
+    (maintenance.changes_between — the Delta-CDF analogue; beyond the
+    read-only reference and beyond Pinot itself): after a range DELETE
+    rewrites the table (snapshot 1 -> 2), the changed-data feed reads
+    ONLY the segments added/retired between the two snapshots — rows
+    from added segments tagged insert, from retired segments tagged
+    delete. Granularity is the segment, so a rewrite emits its
+    surviving rows as delete+insert pairs that cancel under additive
+    aggregation; the hash gate proves exactly that: folding the feed
+    with sum(sign * x) must land bit-for-bit on the deleted range's
+    negated aggregates, while the scan touched only delta bytes (at
+    100 TB: the delta, not two full table reads plus an anti-join)."""
+    import tempfile
+
+    from datafusion_pinot_spark.maintenance import changes_between, delete_rows
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="cdc_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_returnflag")
+        .repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    delete_rows(spark, out, "l_orderkey", 200, 1700, retain_replaced=True)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        changes_between(spark, out, 1, 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(sign).cast("long").alias("net_rows"),
+            F.sum(sign * F.col("l_orderkey")).cast("long").alias(
+                "net_sum_okey"
+            ),
+        )
+        # flags whose changed-segment rows fully cancel (present in a
+        # rewritten segment but nothing deleted) net to zero and drop out
+        # — exactly the set the oracle's deleted-range GROUP BY produces
+        .filter(F.col("net_rows") != 0)
+        .orderBy("l_returnflag")
+    )
+
+
 def _register_validation():
     """Dataset-validation + warehouse-history operators (r6 continuation-4):
     one-pass constraint report, PSI drift, equi-depth histogram (bucketed
@@ -8276,12 +8338,13 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
-    # r11 FIRST-CHECK BACKLOG (3 entries, well under one round's rotation
+    # r11 FIRST-CHECK BACKLOG (4 entries, well under one round's rotation
     # capacity): mann_whitney_length_shift, benford_first_digit,
-    # charclass_profile — landed late in r10 AFTER this window's final
-    # sf0.001+sf0.01 sweep, so they take their first driver check in r11
-    # (the documented-deferral path the r9->r10 rotation used). All three
-    # are exact-integer contracts, oracle-green in the pytest tier.
+    # charclass_profile, pinot_snapshot_changes — landed late in r10 AFTER
+    # this window's final sf0.001+sf0.01 sweep, so they take their first
+    # driver check in r11 (the documented-deferral path the r9->r10
+    # rotation used). All four are exact-integer contracts, oracle-green
+    # in the pytest tier.
     # -- r10: drain the 18-query first-check backlog (r9 VERDICT item #2:
     # every r9 query that never saw a driver check enters now; NO new
     # catalog queries were added this round until the backlog cleared).

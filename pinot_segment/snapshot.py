@@ -116,10 +116,7 @@ def current_snapshot_id(table_dir: str) -> Optional[int]:
     return log["snapshots"][-1]["id"]
 
 
-def segments_as_of(table_dir: str, snapshot_id: int) -> list[str]:
-    """v3 dirs of the segments in snapshot ``snapshot_id`` — live ones
-    from the table dir, replaced ones from ``retired/``. Raises if the
-    snapshot is unknown or any member was vacuumed away."""
+def _log_entry(table_dir: str, snapshot_id: int) -> dict:
     log = load_snapshot_log(table_dir)
     if log is None:
         raise FileNotFoundError(
@@ -134,9 +131,17 @@ def segments_as_of(table_dir: str, snapshot_id: int) -> list[str]:
         raise ValueError(
             f"Unknown snapshot id {snapshot_id}; log has {known}"
         )
+    return entry
+
+
+def resolve_segment_dirs(
+    table_dir: str, names: list[str], context: str
+) -> list[str]:
+    """v3 dirs for segment ``names`` — live ones from the table dir,
+    replaced ones from ``retired/``. Raises if any was vacuumed away."""
     out = []
     missing = []
-    for name in entry["segments"]:
+    for name in names:
         live = os.path.join(table_dir, name, "v3")
         retired = os.path.join(table_dir, RETIRED_DIR, name, "v3")
         if os.path.isdir(live):
@@ -147,10 +152,45 @@ def segments_as_of(table_dir: str, snapshot_id: int) -> list[str]:
             missing.append(name)
     if missing:
         raise FileNotFoundError(
-            f"Snapshot {snapshot_id} references vacuumed segments: "
+            f"{context} references vacuumed segments: "
             f"{missing} (raise vacuum keep_last, or read a newer snapshot)"
         )
     return out
+
+
+def segments_as_of(table_dir: str, snapshot_id: int) -> list[str]:
+    """v3 dirs of the segments in snapshot ``snapshot_id`` — live ones
+    from the table dir, replaced ones from ``retired/``. Raises if the
+    snapshot is unknown or any member was vacuumed away."""
+    entry = _log_entry(table_dir, snapshot_id)
+    return resolve_segment_dirs(
+        table_dir, entry["segments"], f"Snapshot {snapshot_id}"
+    )
+
+
+def changed_segments(
+    table_dir: str, from_id: int, to_id: Optional[int] = None
+) -> dict:
+    """Segment-level diff between two snapshots — the planning step of an
+    incremental (CDC-style) read: ``added`` are segments present in
+    ``to_id`` but not ``from_id``, ``removed`` the reverse. ``to_id``
+    defaults to the latest snapshot. Names only (O(changed) bytes from
+    the same one-file log the as_of reader uses); a downstream refresh
+    then scans ONLY these segments' bytes instead of diffing two full
+    table views — at 100 TB that is the difference between reading the
+    delta and reading the table twice."""
+    if to_id is None:
+        to_id = current_snapshot_id(table_dir)
+        if to_id is None:
+            raise FileNotFoundError(f"No snapshot log in {table_dir}")
+    old = set(_log_entry(table_dir, from_id)["segments"])
+    new = set(_log_entry(table_dir, to_id)["segments"])
+    return {
+        "added": sorted(new - old),
+        "removed": sorted(old - new),
+        "from_id": from_id,
+        "to_id": to_id,
+    }
 
 
 def retire_segment(table_dir: str, name: str) -> None:
