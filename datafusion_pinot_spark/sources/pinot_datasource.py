@@ -223,6 +223,10 @@ class PinotInputPartition(InputPartition):
     # Mirror-image `tail` option for the LAST k rows — the canonical
     # "latest N events" Pinot query: orderBy(col DESC, ...).limit(k).
     tail: "tuple[str, int] | None" = None
+    # CDC stream tag ('insert' / 'delete') when the partition belongs to a
+    # changed-data micro-batch; None for every batch-read partition. Kept
+    # LAST so existing positional constructions stay valid.
+    change_tag: "str | None" = None
 
 
 class PinotDataSource(DataSource):
@@ -330,9 +334,24 @@ class PinotDataSource(DataSource):
             # nullability was wrong: a null-bearing later segment under a
             # non-nullable table schema NPEs inside Spark codegen.
             fields.append(StructField(n, typ, nullable=n in nullable_cols))
+        if self._cdc_enabled():
+            # CDC stream schema: the table's columns plus the change tag
+            fields.append(
+                StructField("_change_type", StringType(), nullable=False)
+            )
         return StructType(fields)
 
+    def _cdc_enabled(self) -> bool:
+        return (self.options.get("cdc") or "").lower() in ("true", "1", "yes")
+
     def reader(self, schema: StructType) -> "PinotDataSourceReader":
+        if self._cdc_enabled():
+            raise ValueError(
+                "cdc reads are streaming-only: use "
+                "spark.readStream.format('pinot').option('cdc', 'true'); "
+                "for a one-shot diff between two snapshots use "
+                "maintenance.changes_between"
+            )
         raw = self.options.get("segments_per_partition", "1") or "1"
         dict_only = self.options.get("dictionary_only") or None
         value_counts = self.options.get("value_counts") or None
@@ -434,6 +453,15 @@ class PinotDataSource(DataSource):
         spp = int(self.options.get("segments_per_partition", "1") or "1")
         if spp < 1:
             raise ValueError("segments_per_partition must be >= 1")
+        if self._cdc_enabled():
+            initial = (
+                self.options.get("initial_snapshot") or "earliest"
+            ).lower()
+            if initial not in ("earliest", "latest"):
+                raise ValueError(
+                    "initial_snapshot must be 'earliest' or 'latest'"
+                )
+            return PinotCdcStreamReader(schema, path, spp, initial)
         return PinotStreamReader(schema, path, spp)
 
     def _column_set_option(self, name: str) -> set:
@@ -1176,6 +1204,131 @@ class PinotStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up; segments are immutable
+
+    def stop(self) -> None:
+        pass
+
+
+class PinotCdcStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("pinot").option("cdc", "true")`` — the
+    changed-data feed as a stream, with snapshot-log ids as offsets.
+
+    Why it exists: the plain segment-arrival stream above is append-only —
+    after a compaction/delete rewrite, the replacement segments appear as
+    brand-new inserts with no compensating deletes, so any downstream
+    incremental materialization double-counts the rewritten rows. This
+    reader diffs the snapshot LOG instead of the directory: each
+    micro-batch is ``changed_segments(start, end)`` — rows from added
+    segments tagged ``insert``, rows from retired segments tagged
+    ``delete`` (schema = table columns + ``_change_type``). A rewrite's
+    surviving rows arrive as delete+insert pairs that cancel under
+    additive aggregation, so ``foreachBatch`` + ``sum(sign * x)``
+    maintains an exactly-consistent downstream view through compaction,
+    predicate deletes, and plain appends alike.
+
+    Offsets are single integers (the snapshot id) — O(1) checkpoint state
+    no matter how many segments the table holds, vs the seen-set offsets
+    of the append-only reader. ``initial_snapshot='earliest'`` starts from
+    the virtual empty snapshot 0 (first batch = the whole current view as
+    inserts — the bootstrap path); ``'latest'`` starts at the current id
+    (changes only). Requires the table's maintenance to run with
+    ``retain_replaced=True`` and ``vacuum`` keep windows longer than the
+    stream's max batch lag — a vacuumed-away endpoint fails the batch with
+    an explicit error rather than silently dropping deletes.
+    """
+
+    def __init__(
+        self,
+        schema: StructType,
+        path: str,
+        segments_per_partition: int = 1,
+        initial: str = "earliest",
+    ) -> None:
+        # _change_type is synthesized per-partition, never decoded
+        self._data_fields = [
+            f for f in schema.fields if f.name != "_change_type"
+        ]
+        self._columns = tuple(f.name for f in self._data_fields)
+        self._ctypes = tuple(
+            f.dataType.simpleString() for f in self._data_fields
+        )
+        self._path = path
+        self._spp = segments_per_partition
+        self._initial = initial
+
+    def _current_id(self) -> int:
+        from pinot_segment.snapshot import current_snapshot_id
+
+        return current_snapshot_id(self._path) or 0
+
+    def initialOffset(self) -> dict:
+        if self._initial == "latest":
+            return {"snapshot_id": self._current_id()}
+        return {"snapshot_id": 0}
+
+    def latestOffset(self) -> dict:
+        return {"snapshot_id": self._current_id()}
+
+    def _empty_batch(self) -> list[PinotInputPartition]:
+        # Spark requires >= 1 partition per micro-batch
+        return [
+            PinotInputPartition(
+                (), self._columns, (), self._ctypes, change_tag="insert"
+            )
+        ]
+
+    def partitions(self, start: dict, end: dict) -> list[PinotInputPartition]:
+        from pinot_segment.snapshot import (
+            changed_segments,
+            resolve_segment_dirs,
+        )
+
+        s, e = int(start["snapshot_id"]), int(end["snapshot_id"])
+        if s == e or e == 0:
+            return self._empty_batch()
+        diff = changed_segments(self._path, s, e)
+        parts = []
+        for names, tag in ((diff["added"], "insert"), (diff["removed"], "delete")):
+            if not names:
+                continue
+            dirs = resolve_segment_dirs(
+                self._path, names, f"CDC stream batch {s}->{e}"
+            )
+            parts.extend(
+                PinotInputPartition(
+                    tuple(dirs[i : i + self._spp]),
+                    self._columns,
+                    (),
+                    self._ctypes,
+                    change_tag=tag,
+                )
+                for i in range(0, len(dirs), self._spp)
+            )
+        return parts or self._empty_batch()
+
+    def read(self, partition: PinotInputPartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        for segment_dir in partition.segment_dirs:
+            reader = _open_segment(segment_dir)
+            decode_cols = [
+                c for c in partition.columns if c in reader.metadata.columns
+            ]
+            table = reader.read_columns_arrow(decode_cols)
+            if len(decode_cols) != len(partition.columns):
+                table = _fill_missing_columns(
+                    reader, partition, table, None, None
+                )
+            tag = pa.array(
+                [partition.change_tag] * table.num_rows, pa.string()
+            )
+            table = table.append_column(
+                pa.field("_change_type", pa.string(), nullable=False), tag
+            )
+            yield from table.to_batches(max_chunksize=BATCH_ROWS)
+
+    def commit(self, end: dict) -> None:
+        pass  # retired-segment reclaim belongs to vacuum, not the stream
 
     def stop(self) -> None:
         pass

@@ -183,8 +183,19 @@ def changed_segments(
         to_id = current_snapshot_id(table_dir)
         if to_id is None:
             raise FileNotFoundError(f"No snapshot log in {table_dir}")
-    old = set(_log_entry(table_dir, from_id)["segments"])
-    new = set(_log_entry(table_dir, to_id)["segments"])
+    # id 0 is the virtual pre-history snapshot (empty table): diffing from
+    # it emits the whole `to_id` view as additions — how a CDC consumer
+    # bootstraps a downstream materialization from scratch.
+    old = (
+        set()
+        if from_id == 0
+        else set(_log_entry(table_dir, from_id)["segments"])
+    )
+    new = (
+        set()
+        if to_id == 0
+        else set(_log_entry(table_dir, to_id)["segments"])
+    )
     return {
         "added": sorted(new - old),
         "removed": sorted(old - new),
