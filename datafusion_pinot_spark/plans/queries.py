@@ -2878,6 +2878,37 @@ def q_pinot_snapshot_changes(spark, sf):
     )
 
 
+@register(
+    "pinot_stream_cdc_fold",
+    """SELECT l_returnflag,
+              CAST(count(*) AS BIGINT) AS n_after,
+              CAST(sum(l_orderkey) AS BIGINT) AS sum_okey_after
+       FROM lineitem
+       WHERE NOT (l_orderkey >= 200 AND l_orderkey <= 1700)
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag""",
+    "parity",
+    ["pinot", "storage", "snapshot", "cdc", "streaming"],
+)
+def q_pinot_stream_cdc_fold(spark, sf):
+    """r10: the CDC STREAM under the hash gate (streaming/windowed.py::
+    stream_cdc_fold) — bootstrap inserts + a rewrite's delete+insert
+    pairs, consumed through readStream.option("cdc","true") and folded
+    with sum(sign*x), must equal the post-delete table bit-for-bit. One
+    row leaked, replayed, or double-counted in any micro-batch and the
+    hash misses; this is the streaming sibling of pinot_snapshot_changes
+    (which gates the same feed through the batch changes_between)."""
+    import tempfile
+
+    from datafusion_pinot_spark.streaming.windowed import stream_cdc_fold
+
+    return stream_cdc_fold(
+        spark,
+        f"{sf}/lineitem.parquet",
+        tempfile.mkdtemp(prefix="cdc_fold_"),
+    )
+
+
 def _register_validation():
     """Dataset-validation + warehouse-history operators (r6 continuation-4):
     one-pass constraint report, PSI drift, equi-depth histogram (bucketed
@@ -8338,13 +8369,13 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
-    # r11 FIRST-CHECK BACKLOG (4 entries, well under one round's rotation
+    # r11 FIRST-CHECK BACKLOG (5 entries, well under one round's rotation
     # capacity): mann_whitney_length_shift, benford_first_digit,
-    # charclass_profile, pinot_snapshot_changes — landed late in r10 AFTER
-    # this window's final sf0.001+sf0.01 sweep, so they take their first
-    # driver check in r11 (the documented-deferral path the r9->r10
-    # rotation used). All four are exact-integer contracts, oracle-green
-    # in the pytest tier.
+    # charclass_profile, pinot_snapshot_changes, pinot_stream_cdc_fold —
+    # landed late in r10 AFTER this window's final sf0.001+sf0.01 sweep,
+    # so they take their first driver check in r11 (the
+    # documented-deferral path the r9->r10 rotation used). All five are
+    # exact-integer contracts, oracle-green in the pytest tier.
     # -- r10: drain the 18-query first-check backlog (r9 VERDICT item #2:
     # every r9 query that never saw a driver check enters now; NO new
     # catalog queries were added this round until the backlog cleared).

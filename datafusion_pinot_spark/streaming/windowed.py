@@ -485,3 +485,62 @@ def stream_upsert_enrich(
     finally:
         q.stop()
     return spark.table(name).orderBy("tier", "event_type")
+
+
+def stream_cdc_fold(
+    spark: SparkSession, lineitem_parquet: str, table_root: str
+) -> DataFrame:
+    """Streaming CDC consistency, end to end: a lineitem projection lands
+    as a pinot table (snapshot 1), a retained range DELETE rewrites it
+    (snapshot 2), and the table's CDC STREAM
+    (``readStream.format("pinot").option("cdc", "true")``, bootstrapping
+    from the virtual empty snapshot) is folded per flag with
+    ``sum(sign * x)`` in a complete-mode stateful aggregation. The hash
+    gate proves the whole feed contract through the streaming path: the
+    bootstrap inserts plus the rewrite's delete+insert pairs must fold to
+    EXACTLY the post-delete table — one leaked or double-counted row in
+    any micro-batch and the hash misses.
+
+    Scale shape: each micro-batch scans only changed segments (the
+    snapshot-log diff); stream state is the aggregation's, bounded by the
+    flag cardinality; offsets are one snapshot id."""
+    from datafusion_pinot_spark.maintenance import delete_rows
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(table_root, "cdcli_OFFLINE")
+    (
+        spark.read.parquet(lineitem_parquet)
+        .select("l_orderkey", "l_returnflag")
+        .repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    delete_rows(spark, out, "l_orderkey", 200, 1700, retain_replaced=True)
+
+    feed = (
+        spark.readStream.format("pinot").option("cdc", "true").load(out)
+    )
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    agg = feed.groupBy("l_returnflag").agg(
+        F.sum(sign).cast("long").alias("n_after"),
+        F.sum(sign * F.col("l_orderkey")).cast("long").alias(
+            "sum_okey_after"
+        ),
+    )
+    name = f"cdc_fold_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("l_returnflag")
