@@ -829,3 +829,111 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_funnel_users,
          AS p90_lat_us,
        max(lat_us) AS max_lat_us
 FROM conv"""
+
+
+def conversion_attribution(
+    events: DataFrame, convert_type: str = "purchase"
+) -> DataFrame:
+    """First-touch vs last-touch conversion attribution — the marketing
+    analytics staple over an event stream: every ``convert_type`` event
+    credits the channel (event_type) of the user's EARLIEST prior
+    non-conversion touch (first-touch model) and of the LATEST one
+    (last-touch model). Reports both models side by side per channel:
+    attributed conversion counts and attributed revenue in integer cents
+    (``floor(value * 100 + 0.5)`` applied PER EVENT, so the sums are
+    order-independent integers and the hash gate holds; the one double
+    multiply-and-floor is the same single-IEEE-op contract the cosine
+    operators use). Conversions with no prior touch are unattributable
+    and drop out (documented, matches the oracle).
+
+    Scale shape: one window pass per model over (user, ts)-sorted events
+    — a running first/last IGNORE NULLS carry, no self-join, no explode —
+    then one map-side-combined rollup keyed by the attributed channel.
+    State per user is O(1); ties break on event_id so any engine sorts
+    identically."""
+    from pyspark.sql import Window
+
+    is_touch = F.col("event_type") != convert_type
+    touch_type = F.when(is_touch, F.col("event_type"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.first(touch_type, ignorenulls=True).over(w).alias("first_ch"),
+        F.last(touch_type, ignorenulls=True).over(w).alias("last_ch"),
+    )
+    conv = carried.filter(
+        (F.col("event_type") == convert_type) & F.col("first_ch").isNotNull()
+    )
+    # melt each conversion into its two (model, channel) credits, then ONE
+    # conditional rollup keyed on channel — a single scan + window pass +
+    # shuffle, no per-model branch recomputation and no join (the naive
+    # two-groupBy + full-outer shape scans and windows the corpus twice)
+    melted = conv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first").alias("model"),
+                    F.col("first_ch").alias("channel"),
+                    F.col("cents"),
+                ),
+                F.struct(
+                    F.lit("last").alias("model"),
+                    F.col("last_ch").alias("channel"),
+                    F.col("cents"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.*")
+    is_first = (F.col("model") == "first").cast("long")
+    is_last = (F.col("model") == "last").cast("long")
+    return (
+        melted.groupBy("channel")
+        .agg(
+            F.sum(is_first).cast("long").alias("n_first"),
+            F.sum(is_first * F.col("cents")).cast("long").alias("cents_first"),
+            F.sum(is_last).cast("long").alias("n_last"),
+            F.sum(is_last * F.col("cents")).cast("long").alias("cents_last"),
+        )
+        .orderBy("channel")
+    )
+
+
+def conversion_attribution_oracle_sql(convert_type: str = "purchase") -> str:
+    return f"""
+WITH carried AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         first_value(CASE WHEN event_type <> '{convert_type}'
+                          THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS first_ch,
+         last_value(CASE WHEN event_type <> '{convert_type}'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_ch
+  FROM events),
+conv AS (
+  SELECT * FROM carried
+  WHERE event_type = '{convert_type}' AND first_ch IS NOT NULL),
+f AS (
+  SELECT first_ch AS channel, CAST(count(*) AS BIGINT) AS n_first,
+         CAST(sum(cents) AS BIGINT) AS cents_first
+  FROM conv GROUP BY first_ch),
+l AS (
+  SELECT last_ch AS channel, CAST(count(*) AS BIGINT) AS n_last,
+         CAST(sum(cents) AS BIGINT) AS cents_last
+  FROM conv GROUP BY last_ch)
+SELECT coalesce(f.channel, l.channel) AS channel,
+       coalesce(n_first, 0) AS n_first,
+       coalesce(cents_first, 0) AS cents_first,
+       coalesce(n_last, 0) AS n_last,
+       coalesce(cents_last, 0) AS cents_last
+FROM f FULL OUTER JOIN l ON f.channel = l.channel
+ORDER BY channel"""

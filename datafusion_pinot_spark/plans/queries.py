@@ -2616,6 +2616,16 @@ def _register_llm():
         "llm",
         ["text", "quality", "agg"],
     )(lambda spark, sf: text.charclass_profile(_docs(spark, sf)))
+    register(
+        "conversion_attribution",
+        funnel.conversion_attribution_oracle_sql(),
+        "llm",
+        ["funnel", "attribution", "window"],
+    )(
+        lambda spark, sf: funnel.conversion_attribution(
+            t(spark, sf, "events")
+        )
+    )
 
 
 _register_llm()
@@ -8369,13 +8379,14 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
-    # r11 FIRST-CHECK BACKLOG (5 entries, well under one round's rotation
+    # r11 FIRST-CHECK BACKLOG (6 entries, well under one round's rotation
     # capacity): mann_whitney_length_shift, benford_first_digit,
-    # charclass_profile, pinot_snapshot_changes, pinot_stream_cdc_fold —
-    # landed late in r10 AFTER this window's final sf0.001+sf0.01 sweep,
-    # so they take their first driver check in r11 (the
-    # documented-deferral path the r9->r10 rotation used). All five are
-    # exact-integer contracts, oracle-green in the pytest tier.
+    # charclass_profile, pinot_snapshot_changes, pinot_stream_cdc_fold,
+    # conversion_attribution — landed late in r10 AFTER this window's
+    # final sf0.001+sf0.01 sweep, so they take their first driver check
+    # in r11 (the documented-deferral path the r9->r10 rotation used).
+    # All six are exact-integer contracts, oracle-green in the pytest
+    # tier at sf0.001, sf0.01, and sf0.1.
     # -- r10: drain the 18-query first-check backlog (r9 VERDICT item #2:
     # every r9 query that never saw a driver check enters now; NO new
     # catalog queries were added this round until the backlog cleared).

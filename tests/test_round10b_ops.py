@@ -195,10 +195,79 @@ class TestCharclassProfile:
 
 @pytest.mark.parametrize(
     "name",
-    ["mann_whitney_length_shift", "benford_first_digit", "charclass_profile"],
+    [
+        "mann_whitney_length_shift",
+        "benford_first_digit",
+        "charclass_profile",
+        "conversion_attribution",
+    ],
 )
 def test_registered_with_oracle(name):
     from datafusion_pinot_spark.plans import QUERIES
 
     assert name in QUERIES
     assert QUERIES[name].oracle is not None
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double"
+)
+
+
+class TestConversionAttribution:
+    def _events(self, spark, rows):
+        import datetime
+
+        base = datetime.datetime(2026, 1, 1)
+        return spark.createDataFrame(
+            [
+                (i, base + datetime.timedelta(minutes=i), u, t, v)
+                for i, (u, t, v) in enumerate(rows)
+            ],
+            EVENTS_SCHEMA,
+        )
+
+    def test_hand_attribution(self, spark):
+        """u1: view, click, purchase($5) -> first=view, last=click.
+        u2: purchase with no prior touch -> dropped.
+        u3: signup, purchase($2.50), click, purchase($1.25) ->
+            conv1 first=last=signup; conv2 first=signup, last=click."""
+        from datafusion_pinot_spark.operators import funnel
+
+        ev = self._events(
+            spark,
+            [
+                (1, "view", 10.0),
+                (1, "click", 0.0),
+                (1, "purchase", 5.0),
+                (2, "purchase", 3.0),
+                (3, "signup", 0.0),
+                (3, "purchase", 2.5),
+                (3, "click", 0.0),
+                (3, "purchase", 1.25),
+            ],
+        )
+        out = {
+            r.channel: r
+            for r in funnel.conversion_attribution(ev).collect()
+        }
+        assert set(out) == {"view", "click", "signup"}
+        assert (out["view"].n_first, out["view"].cents_first) == (1, 500)
+        assert (out["view"].n_last, out["view"].cents_last) == (0, 0)
+        assert (out["click"].n_last, out["click"].cents_last) == (2, 625)
+        assert out["click"].n_first == 0
+        assert (out["signup"].n_first, out["signup"].cents_first) == (2, 375)
+        assert (out["signup"].n_last, out["signup"].cents_last) == (1, 250)
+
+    def test_no_conversions(self, spark):
+        from datafusion_pinot_spark.operators import funnel
+
+        ev = self._events(spark, [(1, "view", 1.0), (2, "click", 2.0)])
+        assert funnel.conversion_attribution(ev).count() == 0
+
+    def test_empty(self, spark):
+        from datafusion_pinot_spark.operators import funnel
+
+        empty = spark.createDataFrame([], EVENTS_SCHEMA)
+        assert funnel.conversion_attribution(empty).count() == 0
