@@ -205,3 +205,51 @@ def test_checkpoint_restart_resumes_not_replays(spark, table, tmp_path):
     assert 100 < feed.count() < 300
     [r] = feed.agg(F.sum(_sign()).alias("nr")).collect()
     assert r.nr == 100 - 31
+
+
+def test_cdc_stream_schema_evolution(spark, tmp_path):
+    """CDC stream with an evolved user-supplied schema: pre-column
+    segments bootstrap with the new column NULL-filled (the
+    _fill_missing_columns path under the CDC reader), and post-evolution
+    appends flow with real values. The user schema must carry
+    ``_change_type`` LAST (the reader synthesizes it after the data
+    columns)."""
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "cdcevo_OFFLINE")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(
+        1
+    ).write.format("pinot").mode("append").save(out)
+
+    stream = (
+        spark.readStream.format("pinot")
+        .option("cdc", "true")
+        .schema("k long, v string, extra double, _change_type string")
+        .load(out)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdcevo_t")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["k"]: (r["v"], r["extra"], r["_change_type"])
+            for r in spark.table("cdcevo_t").collect()
+        }
+        assert got == {1: ("a", None, "insert"), 2: ("b", None, "insert")}
+
+        spark.createDataFrame(
+            [(3, "c", 3.5)], "k long, v string, extra double"
+        ).coalesce(1).write.format("pinot").mode("append").save(out)
+        q.processAllAvailable()
+        got = spark.table("cdcevo_t").count()
+        assert got == 3
+        [r3] = spark.table("cdcevo_t").filter("k = 3").collect()
+        assert (r3["extra"], r3["_change_type"]) == (3.5, "insert")
+    finally:
+        q.stop()
