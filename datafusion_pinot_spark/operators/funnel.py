@@ -937,3 +937,55 @@ SELECT coalesce(f.channel, l.channel) AS channel,
        coalesce(cents_last, 0) AS cents_last
 FROM f FULL OUTER JOIN l ON f.channel = l.channel
 ORDER BY channel"""
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    — the behavioral-model complement to the full-path strings of
+    ``top_event_paths``: for every (event_type -> next event_type) edge,
+    the transition count and its exact-ppm share of the FROM type's
+    outgoing edges (each matrix row sums to ~1e6). The edge a product
+    analyst reads off it: "after a view, 22% of next actions are
+    purchases".
+
+    Scale shape: one ``lead`` window over (user, ts, event_id)-sorted
+    events (O(1) state per user, unique tie-break so every engine sorts
+    identically) + one map-side-combined rollup on the edge pair; the
+    row-sum denominator is a window over the |types|^2-row aggregate,
+    not a second scan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    edges = (
+        events.select("event_type", nxt.alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    row_total = F.sum("n_trans").over(Window.partitionBy("event_type"))
+    return (
+        edges.withColumn("row_total", row_total.cast("long"))
+        .withColumn(
+            "row_ppm", F.expr("n_trans * 1000000L div row_total").cast("long")
+        )
+        .drop("row_total")
+        .orderBy("event_type", "next_type")
+    )
+
+
+def event_transition_matrix_oracle_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+edges AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type)
+SELECT event_type, next_type, n_trans,
+       CAST(n_trans * 1000000 //
+            sum(n_trans) OVER (PARTITION BY event_type) AS BIGINT) AS row_ppm
+FROM edges ORDER BY event_type, next_type"""

@@ -1348,3 +1348,78 @@ SELECT digit, n_rows,
             WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
             ELSE 45757 END) AS BIGINT) AS dev_ppm
 FROM c, t ORDER BY digit"""
+
+
+def spearman_length_vocab(docs: DataFrame) -> DataFrame:
+    """Spearman rank correlation, per source, between document length
+    (``n_chars``) and per-document distinct-word count — the monotone-
+    association audit that complements the location tests (Mann-Whitney)
+    and shape tests (KS): a source where longer documents stop adding new
+    vocabulary (template expansion, log spam) shows a low rho against the
+    organic-text near-1 baseline.
+
+    Exact integers end to end: midranks are carried doubled
+    (``2*rank() + ties - 1`` — integral even inside tie groups), the
+    doubled rank differences square-sum to ``s4 = 4 * sum(d^2)``, and the
+    classic ``rho = 1 - 6*sum(d^2) / (n(n^2-1))`` becomes
+    ``rho_ppm = 1e6 - (1_500_000 * s4) div (n(n^2-1))`` — one integer
+    division, no float crosses an engine boundary. (With ties this is the
+    textbook no-ties formula applied to midranks — deterministic, which
+    is what the hash gate needs.)
+
+    Scale shape: two rank windows partitioned by source + one rollup; the
+    BIGINT product bounds ``n`` at ~10^4 docs/source (4n^3 * 1.5e6 <
+    2^63) — past that, lift s4 and the product to decimal(38,0), same
+    doubled-rank carry."""
+    per_doc = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("y"),
+    )
+    r2 = lambda c: (  # noqa: E731  — doubled midrank of column c in source
+        2 * F.rank().over(Window.partitionBy("source").orderBy(c))
+        + F.count(F.lit(1)).over(Window.partitionBy("source", c))
+        - 1
+    ).cast("long")
+    ranked = per_doc.select(
+        "source", (r2("x") - r2("y")).alias("d2r")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("d2r") * F.col("d2r")).cast("long").alias("s4"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .withColumn(
+            "rho_ppm",
+            F.expr(
+                "1000000L - (1500000L * s4)"
+                " div (n_docs * (n_docs * n_docs - 1))"
+            ).cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+def spearman_length_vocab_oracle_sql() -> str:
+    return """
+WITH per_doc AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+  FROM documents),
+ranked AS (
+  SELECT source,
+         (2 * rank() OVER (PARTITION BY source ORDER BY x)
+          + count(*) OVER (PARTITION BY source, x) - 1)
+         - (2 * rank() OVER (PARTITION BY source ORDER BY y)
+            + count(*) OVER (PARTITION BY source, y) - 1) AS d2r
+  FROM per_doc),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(d2r * d2r) AS BIGINT) AS s4
+  FROM ranked GROUP BY source HAVING count(*) > 1)
+SELECT source, n_docs, s4,
+       CAST(1000000 - (1500000 * s4)
+            // (n_docs * (n_docs * n_docs - 1)) AS BIGINT) AS rho_ppm
+FROM agg ORDER BY source"""

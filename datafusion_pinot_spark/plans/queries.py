@@ -2626,6 +2626,26 @@ def _register_llm():
             t(spark, sf, "events")
         )
     )
+    register(
+        "spearman_length_vocab",
+        validation.spearman_length_vocab_oracle_sql(),
+        "llm",
+        ["validation", "correlation", "ranking", "window"],
+    )(
+        lambda spark, sf: validation.spearman_length_vocab(
+            _docs(spark, sf)
+        )
+    )
+    register(
+        "event_transition_matrix",
+        funnel.event_transition_matrix_oracle_sql(),
+        "llm",
+        ["funnel", "markov", "window"],
+    )(
+        lambda spark, sf: funnel.event_transition_matrix(
+            t(spark, sf, "events")
+        )
+    )
 
 
 _register_llm()
@@ -8379,13 +8399,14 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
-    # r11 FIRST-CHECK BACKLOG (6 entries, well under one round's rotation
+    # r11 FIRST-CHECK BACKLOG (8 entries, under one round's rotation
     # capacity): mann_whitney_length_shift, benford_first_digit,
     # charclass_profile, pinot_snapshot_changes, pinot_stream_cdc_fold,
-    # conversion_attribution — landed late in r10 AFTER this window's
+    # conversion_attribution, spearman_length_vocab,
+    # event_transition_matrix — landed late in r10 AFTER this window's
     # final sf0.001+sf0.01 sweep, so they take their first driver check
     # in r11 (the documented-deferral path the r9->r10 rotation used).
-    # All six are exact-integer contracts, oracle-green in the pytest
+    # All eight are exact-integer contracts, oracle-green in the pytest
     # tier at sf0.001, sf0.01, and sf0.1.
     # -- r10: drain the 18-query first-check backlog (r9 VERDICT item #2:
     # every r9 query that never saw a driver check enters now; NO new

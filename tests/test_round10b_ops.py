@@ -200,6 +200,8 @@ class TestCharclassProfile:
         "benford_first_digit",
         "charclass_profile",
         "conversion_attribution",
+        "spearman_length_vocab",
+        "event_transition_matrix",
     ],
 )
 def test_registered_with_oracle(name):
@@ -271,3 +273,87 @@ class TestConversionAttribution:
 
         empty = spark.createDataFrame([], EVENTS_SCHEMA)
         assert funnel.conversion_attribution(empty).count() == 0
+
+
+class TestSpearman:
+    def test_perfect_monotone(self, spark):
+        """Length and distinct-word count perfectly aligned -> s4 = 0,
+        rho = 1e6 exactly."""
+        from datafusion_pinot_spark.operators import validation
+
+        docs = _docs(spark, [("s1", "a"), ("s1", "a b"), ("s1", "a b c")])
+        [r] = validation.spearman_length_vocab(docs).collect()
+        assert (r.n_docs, r.s4, r.rho_ppm) == (3, 0, 1_000_000)
+
+    def test_perfect_inverse(self, spark):
+        """x up, y down (n=2): doubled ranks (2,4) vs (4,2) -> s4 = 8,
+        rho = 1e6 - 1_500_000*8/(2*3) = -1e6."""
+        from datafusion_pinot_spark.operators import validation
+
+        docs = _docs(spark, [("s1", "a b"), ("s1", "c c c")])
+        [r] = validation.spearman_length_vocab(docs).collect()
+        assert (r.s4, r.rho_ppm) == (8, -1_000_000)
+
+    def test_constant_y_midrank_artifact(self, spark):
+        """y constant: every y doubled-midrank is 2*1+3-1 = 4; x doubled
+        ranks 2,4,6 -> s4 = 8, rho = 1e6 - 12e6/24 = 500000 (the
+        documented deterministic value of the no-ties formula under a
+        degenerate variable)."""
+        from datafusion_pinot_spark.operators import validation
+
+        docs = _docs(spark, [("s1", "a"), ("s1", "a a"), ("s1", "a a a")])
+        [r] = validation.spearman_length_vocab(docs).collect()
+        assert (r.s4, r.rho_ppm) == (8, 500_000)
+
+    def test_single_doc_source_dropped(self, spark):
+        from datafusion_pinot_spark.operators import validation
+
+        docs = _docs(spark, [("s1", "a"), ("s2", "x"), ("s2", "x y")])
+        out = validation.spearman_length_vocab(docs).collect()
+        assert [r.source for r in out] == ["s2"]
+
+    def test_empty(self, spark):
+        from datafusion_pinot_spark.operators import validation
+
+        empty = spark.createDataFrame([], DOCS_SCHEMA)
+        assert validation.spearman_length_vocab(empty).count() == 0
+
+
+class TestTransitionMatrix:
+    def test_hand_matrix(self, spark):
+        """u1: view->click->purchase, u2: view->view.
+        view row: click 500000, view 500000; click row: purchase 1e6."""
+        from datafusion_pinot_spark.operators import funnel
+        import datetime
+
+        base = datetime.datetime(2026, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                (i, base + datetime.timedelta(minutes=i), u, t, 1.0)
+                for i, (u, t) in enumerate(
+                    [
+                        (1, "view"),
+                        (1, "click"),
+                        (1, "purchase"),
+                        (2, "view"),
+                        (2, "view"),
+                    ]
+                )
+            ],
+            EVENTS_SCHEMA,
+        )
+        out = {
+            (r.event_type, r.next_type): (r.n_trans, r.row_ppm)
+            for r in funnel.event_transition_matrix(ev).collect()
+        }
+        assert out == {
+            ("view", "click"): (1, 500_000),
+            ("view", "view"): (1, 500_000),
+            ("click", "purchase"): (1, 1_000_000),
+        }
+
+    def test_empty(self, spark):
+        from datafusion_pinot_spark.operators import funnel
+
+        empty = spark.createDataFrame([], EVENTS_SCHEMA)
+        assert funnel.event_transition_matrix(empty).count() == 0
