@@ -253,3 +253,76 @@ def test_cdc_stream_schema_evolution(spark, tmp_path):
         assert (r3["extra"], r3["_change_type"]) == (3.5, "insert")
     finally:
         q.stop()
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_cdc_fold_equals_live_table_under_random_maintenance(
+    spark, tmp_path, seed
+):
+    """Property: after ANY sequence of maintenance ops (appends, retained
+    range deletes, retained compactions), folding the batch CDC feed from
+    the virtual empty snapshot with sum(sign) per row reconstructs the
+    live table EXACTLY — every row nets to its live multiplicity, every
+    deleted row nets to zero. This is the invariant every downstream
+    incremental materialization relies on."""
+    import random
+
+    from datafusion_pinot_spark.maintenance import (
+        changes_between,
+        compact_table,
+        delete_rows,
+    )
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    rng = random.Random(seed)
+    register_pinot_source(spark)
+    out = str(tmp_path / f"cdcprop{seed}_OFFLINE")
+    (
+        spark.range(0, 80)
+        .select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    next_key = 80
+    for _ in range(4):
+        op = rng.choice(["append", "delete", "compact"])
+        if op == "append":
+            n = rng.randint(5, 25)
+            (
+                spark.range(next_key, next_key + n)
+                .select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+                .coalesce(rng.randint(1, 2))
+                .write.format("pinot")
+                .mode("append")
+                .save(out)
+            )
+            next_key += n
+        elif op == "delete":
+            lo = rng.randint(0, max(0, next_key - 10))
+            delete_rows(
+                spark, out, "k", lo, lo + rng.randint(3, 20),
+                retain_replaced=True,
+            )
+        else:
+            compact_table(
+                spark, out, target_docs=rng.choice([40, 200]),
+                retain_replaced=True,
+            )
+
+    cdc = changes_between(spark, out, 0)
+    folded = (
+        cdc.groupBy("k", "v")
+        .agg(F.sum(_sign()).cast("long").alias("mult"))
+        .filter(F.col("mult") != 0)
+    )
+    live = (
+        spark.read.format("pinot")
+        .load(out)
+        .groupBy("k", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("mult"))
+    )
+    assert folded.exceptAll(live).count() == 0
+    assert live.exceptAll(folded).count() == 0
