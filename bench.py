@@ -636,6 +636,7 @@ def marginal_tier(
     # from an assertion into a measured trend.
     big3 = duplicate_table(table_dir, copies * 3, suffix="big3")
     big3_rng = duplicate_table(rng_table_dir, copies * 3, suffix="big3")
+    big3_bloom = duplicate_table(bloom_table_dir, copies * 3, suffix="big3")
     rows3 = rows * 3
     trend = {}
     for tname, tbl in (
@@ -661,14 +662,39 @@ def marginal_tier(
         probe_out["filter_eq_inverted"].get("speedup_vs_fullscan"),
         trend["filter_eq_inverted_3x"]["speedup_vs_fullscan"],
     ]
+    # r11 (r10 verdict #7): the bloom e2e payoff is plan-floor-capped at
+    # bench scale (1.04x despite the 10.7x micro win) — measure the same
+    # amortization trend for the IN-probe pair so the claim is a curve,
+    # not an assertion.
+    for tname, tbl in (
+        ("filter_in_fullscan_3x", big3),
+        ("filter_in_bloom_3x", big3_bloom),
+    ):
+        frame = agg(rd(tbl).filter(F.col("l_orderkey").isin(7, 513, 1154)))
+        materialize(frame)
+        med, lo, hi = timed(lambda: materialize(frame), runs=5)
+        trend[tname] = {
+            "sec": round(med, 4),
+            "spread": [round(lo, 4), round(hi, 4)],
+            "ns_per_row": round(med * 1e9 / rows3, 1),
+        }
+    trend["filter_in_bloom_3x"]["speedup_vs_fullscan"] = round(
+        trend["filter_in_fullscan_3x"]["sec"]
+        / trend["filter_in_bloom_3x"]["sec"],
+        2,
+    )
     shutil.rmtree(big3, ignore_errors=True)
     shutil.rmtree(big3_rng, ignore_errors=True)
+    shutil.rmtree(big3_bloom, ignore_errors=True)
     # r10: third trend point at 10x (~32M rows for the two probe columns —
     # comfortably in-memory) so the amortization curve is a curve, not a
     # segment: a real index must show monotone speedup growth 1x->3x->10x
     # as the constant plan/dispatch floor shrinks relative to scan work.
     big10 = duplicate_table(table_dir, copies * 10, suffix="big10")
     big10_rng = duplicate_table(rng_table_dir, copies * 10, suffix="big10")
+    big10_bloom = duplicate_table(
+        bloom_table_dir, copies * 10, suffix="big10"
+    )
     rows10 = rows * 10
     for tname, tbl in (
         ("filter_eq_fullscan_10x", big10),
@@ -694,9 +720,32 @@ def marginal_tier(
         trend["filter_eq_inverted_3x"]["speedup_vs_fullscan"],
         trend["filter_eq_inverted_10x"]["speedup_vs_fullscan"],
     ]
+    for tname, tbl in (
+        ("filter_in_fullscan_10x", big10),
+        ("filter_in_bloom_10x", big10_bloom),
+    ):
+        frame = agg(rd(tbl).filter(F.col("l_orderkey").isin(7, 513, 1154)))
+        materialize(frame)
+        med, lo, hi = timed(lambda: materialize(frame), runs=5)
+        trend[tname] = {
+            "sec": round(med, 4),
+            "spread": [round(lo, 4), round(hi, 4)],
+            "ns_per_row": round(med * 1e9 / rows10, 1),
+        }
+    trend["filter_in_bloom_10x"]["speedup_vs_fullscan"] = round(
+        trend["filter_in_fullscan_10x"]["sec"]
+        / trend["filter_in_bloom_10x"]["sec"],
+        2,
+    )
+    trend["bloom_speedup_trend_1x_to_10x"] = [
+        probe_out["filter_in_bloom"].get("speedup_vs_fullscan"),
+        trend["filter_in_bloom_3x"]["speedup_vs_fullscan"],
+        trend["filter_in_bloom_10x"]["speedup_vs_fullscan"],
+    ]
     probe_out["eq_scale_trend"] = trend
     shutil.rmtree(big10, ignore_errors=True)
     shutil.rmtree(big10_rng, ignore_errors=True)
+    shutil.rmtree(big10_bloom, ignore_errors=True)
     # same floor-free truth for the dictionary-union distinct: values that
     # must cross the scan for the exact answer — all rows (global) vs the
     # summed dictionary cardinalities (dictionary_only read option)

@@ -629,7 +629,12 @@ def changes_between(
 
     Returns a DataFrame with the table's schema plus ``change_col``;
     empty diff (from == to, or log-recorded no-op) yields an empty frame
-    with the same schema.
+    with the same schema. Schema evolution between the endpoints is
+    handled like the streaming CDC reader's ``_fill_missing_columns``:
+    the union is by name with ``allowMissingColumns=True``, so delete
+    rows read from pre-evolution segments carry NULL for columns they
+    predate (and vice versa for dropped columns) instead of raising
+    AnalysisException (r10 advice, medium).
     """
     from pyspark.sql import functions as F
 
@@ -659,5 +664,9 @@ def changes_between(
         return empty.withColumn(change_col, F.lit("insert")).limit(0)
     out = sides[0]
     for s in sides[1:]:
-        out = out.unionByName(s)
+        # allowMissingColumns: the insert side infers its schema from NEW
+        # segments, the delete side from RETIRED ones — after a column add
+        # between the endpoints the frames differ; NULL-fill matches the
+        # streaming reader's semantics (pinot_datasource._fill_missing_columns)
+        out = out.unionByName(s, allowMissingColumns=True)
     return out

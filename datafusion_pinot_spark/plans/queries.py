@@ -8399,15 +8399,33 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
-    # r11 FIRST-CHECK BACKLOG (8 entries, under one round's rotation
-    # capacity): mann_whitney_length_shift, benford_first_digit,
-    # charclass_profile, pinot_snapshot_changes, pinot_stream_cdc_fold,
-    # conversion_attribution, spearman_length_vocab,
-    # event_transition_matrix — landed late in r10 AFTER this window's
-    # final sf0.001+sf0.01 sweep, so they take their first driver check
-    # in r11 (the documented-deferral path the r9->r10 rotation used).
-    # All eight are exact-integer contracts, oracle-green in the pytest
-    # tier at sf0.001, sf0.01, and sf0.1.
+    # -- r11: drain the 8-query first-check backlog (r10 VERDICT item #3).
+    # Slots freed by rotating out 8 THRICE-green (r08+r09+r10) veterans,
+    # each pinned by the pytest oracle tier, with family coverage staying
+    # in-window: stream_upsert_enrich (streaming covered by
+    # streaming_funnel_totals staying + pinot_stream_cdc_fold entering;
+    # upsert semantics by pinot_upsert_tombstone), hashed_classifier_score
+    # (model-inference surface covered by lm_quality_gate),
+    # source_vocab_jaccard (vocabulary overlap covered by
+    # vocab_growth_curve + token_lift_pairs), daily_ols_trend (trend
+    # family covered by theil_sen_daily_trend + monthly_revenue_momentum),
+    # pinot_dictionary_distinct + pinot_groupby_from_dict (dictionary-
+    # served family pytest-pinned by test_segment_distinct.py AND benched
+    # every round via the pinot_dictionary_distinct/pinot_groupby_from_dict
+    # bench probes), ann_pq_pinot_codes_topk (ANN-through-storage
+    # pytest-pinned; ANN window coverage by ann_sq8_topk + sq8_recall_audit
+    # + knn_label_consistency), winnow_boilerplate_fps (boilerplate family
+    # covered by boilerplate_strip_report). All 19 once-green r10 window
+    # entrants STAY for their second check (standing rule: veterans rotate
+    # only when twice-green). --
+    "mann_whitney_length_shift",  # r10: rank-sum location test, doubled-midrank exact
+    "benford_first_digit",  # r10: first-digit law audit, hardcoded ppm constants
+    "charclass_profile",  # r10: per-source character-class composition
+    "pinot_snapshot_changes",  # r10: batch CDC feed via changes_between
+    "pinot_stream_cdc_fold",  # r10: STREAMING CDC, snapshot-id offsets (first stream-CDC driver check)
+    "conversion_attribution",  # r10: first/last-touch attribution
+    "spearman_length_vocab",  # r10: rank correlation, doubled-midrank exact
+    "event_transition_matrix",  # r10: Markov transition counts + row ppm
     # -- r10: drain the 18-query first-check backlog (r9 VERDICT item #2:
     # every r9 query that never saw a driver check enters now; NO new
     # catalog queries were added this round until the backlog cleared).
@@ -8599,7 +8617,7 @@ DRIVER_WINDOW: list[str] = [
     # (r10 rotation, twice-green r08+r09) "k_anonymity_audit",  # r8: quasi-identifier privacy audit
     # (r10 rotation, twice-green r08+r09) "domain_token_budget",  # r8: largest-remainder token apportionment
     # (r10 rotation, twice-green r08+r09) "semdedup_drops",  # r8: cluster-then-threshold embedding dedup
-    "stream_upsert_enrich",  # r8: stream-static join over upsert dim
+    # (r11 rotation, thrice-green r08+r09+r10) "stream_upsert_enrich",  # r8: stream-static join over upsert dim
     "streaming_funnel_totals",  # r6: stateful streaming funnel, per-user
     # r6-continuation funnel analytics (standing rule: round-N queries
     # enter the round-N window). Slot freed by rotating pinot_lineitem_q1
@@ -8625,17 +8643,17 @@ DRIVER_WINDOW: list[str] = [
     # (embedding_binary_storage_stats rotated out for the r8 classifier:
     # r07-green; packed-embedding storage stays window-covered by
     # ann_pq_pinot_codes_topk and pytest-pinned.)
-    "hashed_classifier_score",  # r8: hashed linear classifier inference
+    # (r11 rotation, thrice-green r08+r09+r10) "hashed_classifier_score",  # r8: hashed linear classifier inference
     # (scd2_point_in_time rotated out for the r8 vocab overlap: r07-green;
     # the SCD2 family stays window-covered by scd2_user_state.)
-    "source_vocab_jaccard",  # r8: pairwise source-vocabulary Jaccard ppm
+    # (r11 rotation, thrice-green r08+r09+r10) "source_vocab_jaccard",  # r8: pairwise source-vocabulary Jaccard ppm
     # (pinot_tail_latest rotated out for the r8 triangle census:
     # r07-green; the sorted-layout pushdown pair stays window-covered by
     # pinot_head_topk.)
     # (r10 rotation, twice-green r08+r09) "copurchase_triangles",  # r8: triangle census + clustering coefficient
     # (heavy_hitter_tokens rotated out for the r8 OLS trend: r07-green,
     # benched every run, and pigeonhole+verify stays pytest-pinned.)
-    "daily_ols_trend",  # r8: integer-fraction per-type daily OLS trend
+    # (r11 rotation, thrice-green r08+r09+r10) "daily_ols_trend",  # r8: integer-fraction per-type daily OLS trend
     # (pps_systematic_sample rotated out for the r8 l-diversity audit:
     # r07-green; the weighted-sampling family stays pytest-pinned and the
     # curation tier stays window-covered by domain_token_budget.)
@@ -8671,8 +8689,8 @@ DRIVER_WINDOW: list[str] = [
     # pytest oracle tier; the two-pass global-rank shape stays window-
     # covered by equi_depth_price_histogram.)
     # (r9 rotation, family-covered) "pinot_metadata_distinct",  # r8: manifest-arithmetic exact distinct
-    "pinot_dictionary_distinct",  # r8: dictionary-union exact distinct
-    "ann_pq_pinot_codes_topk",  # r6: PQ codes persisted + served via storage
+    # (r11 rotation, thrice-green r08+r09+r10) "pinot_dictionary_distinct",  # r8: dictionary-union exact distinct
+    # (r11 rotation, thrice-green r08+r09+r10) "ann_pq_pinot_codes_topk",  # r6: PQ codes persisted + served via storage
     # (pinot_range_index_scan rotated out for the r8 composite dictionary
     # group-by: r07-green and heavily pytest-pinned (test_range_index.py);
     # five sibling index-scan queries remain in the window.)
@@ -8684,7 +8702,7 @@ DRIVER_WINDOW: list[str] = [
     # r07-green, and last-wins upsert semantics stay window-covered by
     # stream_upsert_enrich, whose hash gate reads through the same
     # upsert dimension.)
-    "pinot_groupby_from_dict",  # r8: GROUP BY served from dictionaries
+    # (r11 rotation, thrice-green r08+r09+r10) "pinot_groupby_from_dict",  # r8: GROUP BY served from dictionaries
     # (r9 rotation, twice-green) "equi_depth_price_histogram",  # r6c4: two-pass global-rank quantile hist
     # (r9 rotation, twice-green) "pinot_schema_evolution_scan",  # r6: add-column NULL fill per segment
     # (r9 rotation, twice-green) "scd2_user_state",  # r6c4: gaps-and-islands SCD2 build
@@ -8719,7 +8737,7 @@ DRIVER_WINDOW: list[str] = [
     # (mad_anomaly_days rotated out for the r8 winnowing query: r07-green
     # and its exact-median machinery stays window-covered by
     # hourly_value_bands + equi_depth_price_histogram.)
-    "winnow_boilerplate_fps",  # r8: MOSS winnowing shared-fingerprint top-k
+    # (r11 rotation, thrice-green r08+r09+r10) "winnow_boilerplate_fps",  # r8: MOSS winnowing shared-fingerprint top-k
     # (max_concurrency_daily rotated out for the r8 HLL accuracy gate:
     # r07-green; sweep-line shape stays pytest-pinned.)
     # (r9 rotation, pytest-pinned) "pinot_hll_estimate_bounds",  # r8: hash-gated sketch-accuracy claim

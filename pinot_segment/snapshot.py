@@ -151,9 +151,19 @@ def resolve_segment_dirs(
         else:
             missing.append(name)
     if missing:
+        # Three distinct causes share this symptom (r10 advice): vacuum
+        # reclaimed the retired dir; maintenance (compact_table /
+        # delete_rows) ran with the default retain_replaced=False, which
+        # silently invalidates older snapshots and running CDC streams; or
+        # mode('overwrite') deleted the segments outright.
         raise FileNotFoundError(
-            f"{context} references vacuumed segments: "
-            f"{missing} (raise vacuum keep_last, or read a newer snapshot)"
+            f"{context} references segments no longer on disk: {missing}. "
+            "Likely causes: vacuum reclaimed them (raise vacuum keep_last), "
+            "or compact_table/delete_rows ran with the default "
+            "retain_replaced=False (pass retain_replaced=True to keep older "
+            "snapshots and CDC feeds readable), or mode('overwrite') removed "
+            "them. Recovery: read a newer snapshot / restart the stream "
+            "from a live snapshot id."
         )
     return out
 

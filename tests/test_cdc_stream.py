@@ -326,3 +326,74 @@ def test_cdc_fold_equals_live_table_under_random_maintenance(
     )
     assert folded.exceptAll(live).count() == 0
     assert live.exceptAll(folded).count() == 0
+
+
+def test_mid_schema_change_type_refuses(spark, table):
+    """A user-supplied schema carrying _change_type anywhere but LAST
+    would misalign columns positionally (the reader appends the tag after
+    the data columns) — streamReader must refuse it up front (r10
+    advice)."""
+    q = (
+        spark.readStream.format("pinot")
+        .option("cdc", "true")
+        .schema("k long, _change_type string, v long")
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("cdc_mid_schema")
+        .start()
+    )
+    try:
+        # streamReader() runs lazily in the data-source worker: the
+        # refusal surfaces on the first micro-batch, not at start()
+        with pytest.raises(Exception, match="FINAL field"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_restart_after_vacuum_pruned_checkpoint_fails_fast(
+    spark, table, tmp_path
+):
+    """Vacuum/retirement under the CDC window (r10 verdict #6): when the
+    CHECKPOINTED snapshot id has been pruned from the log by vacuum, a
+    restarted stream must fail fast with the documented recovery message
+    — the missed window's deletes are physically gone, so a silent resume
+    would be wrong, and a silent re-bootstrap on the OLD checkpoint would
+    double-count."""
+    from datafusion_pinot_spark.maintenance import delete_rows
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "feed_parquet")
+
+    def start():
+        stream = (
+            spark.readStream.format("pinot").option("cdc", "true").load(table)
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()  # bootstrap; checkpoint commits id 1
+    finally:
+        q.stop()
+
+    # two maintenance rounds while the stream is down, then a vacuum
+    # window too short to cover the stream's lag: id 1 leaves the log
+    delete_rows(spark, table, "k", 10, 20, retain_replaced=True)
+    delete_rows(spark, table, "k", 30, 40, retain_replaced=True)
+    S.vacuum(table, keep_last=1)
+    assert [s["id"] for s in S.load_snapshot_log(table)["snapshots"]] == [3]
+
+    q = start()
+    try:
+        with pytest.raises(Exception, match="initial_snapshot='earliest'"):
+            q.processAllAvailable()
+    finally:
+        q.stop()

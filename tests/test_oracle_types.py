@@ -33,8 +33,13 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-# int128 types the driver's hash would mismatch against Spark's BIGINT
-FORBIDDEN_EVERYWHERE = ("HUGEINT", "UHUGEINT")
+# int128 types the driver's hash would mismatch against Spark's BIGINT;
+# DECIMAL added in r11: the catalog's single Decimal-typed output column
+# (halflife_event_mass.mass, since BIGINT-cast) was the only driver hash
+# failure of rounds 9 AND 10 with values verified bit-identical — Decimal
+# cell canonicalization differs between engines' client libraries, so the
+# type may never cross a registered query's output boundary.
+FORBIDDEN_EVERYWHERE = ("HUGEINT", "UHUGEINT", "DECIMAL")
 # pandas sort_values crashes on unhashable cells; only fatal when the driver
 # actually canonicalizes the query (i.e. it is inside the window)
 UNHASHABLE_PREFIXES = ("STRUCT", "MAP")
@@ -61,8 +66,9 @@ def test_oracle_column_types(con, name, sql):
     types = [str(t).upper() for t in rel.types]
     for col, typ in zip(rel.columns, types):
         assert not any(bad in typ for bad in FORBIDDEN_EVERYWHERE), (
-            f"{name}.{col} is {typ}: DuckDB int128 hash-mismatches Spark's "
-            f"BIGINT — wrap the expression in CAST(... AS BIGINT)"
+            f"{name}.{col} is {typ}: DuckDB int128/DECIMAL cells hash-"
+            f"mismatch the driver's canonicalization of Spark's output — "
+            f"wrap the expression in CAST(... AS BIGINT) (or DOUBLE)"
         )
         if name in DRIVER_WINDOW:
             assert not typ.endswith("[]") and not any(

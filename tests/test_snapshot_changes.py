@@ -162,3 +162,41 @@ class TestChangesBetween:
         S.vacuum(table, keep_last=1)
         with pytest.raises((FileNotFoundError, ValueError)):
             changes_between(spark, table, 1, 2)
+
+    def test_schema_evolution_between_endpoints(self, spark, tmp_path):
+        """Column added between from_id and to_id (r10 advice, medium):
+        the insert side infers its schema from post-evolution segments,
+        the delete side from retired pre-evolution ones — the union must
+        NULL-fill the missing column on the delete rows (the streaming
+        reader's _fill_missing_columns semantics), not raise
+        AnalysisException."""
+        from datafusion_pinot_spark.maintenance import (
+            changes_between,
+            delete_rows,
+        )
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = str(tmp_path / "cdcevo_batch_OFFLINE")
+        # snap 1: pre-evolution segment (k, v)
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "k long, v long"
+        ).coalesce(1).write.format("pinot").mode("append").save(out)
+        # snap 2: evolved segment adds `extra`
+        spark.createDataFrame(
+            [(3, 30, 3.5)], "k long, v long, extra double"
+        ).coalesce(1).write.format("pinot").mode("append").save(out)
+        # snap 3: retire the pre-evolution segment whole (k 1..2 is the
+        # entire segment -> dropped, no rewritten survivor)
+        delete_rows(spark, out, "k", 1, 2, retain_replaced=True)
+
+        cdc = changes_between(spark, out, 1)
+        assert set(cdc.columns) == {"k", "v", "extra", "_change_type"}
+        got = {
+            (r["k"], r["_change_type"]): (r["v"], r["extra"])
+            for r in cdc.collect()
+        }
+        # insert side carries the evolved column; delete rows predate it
+        assert got[(3, "insert")] == (30, 3.5)
+        assert got[(1, "delete")] == (10, None)
+        assert got[(2, "delete")] == (20, None)

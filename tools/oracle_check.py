@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import sys
 import time
 from datetime import date, datetime
@@ -22,6 +23,79 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+# Output-type contract (r10 verdict #2): registered queries may emit only
+# these Spark dtypes (plus arrays of them, outside the driver window).
+# Decimal is the headline ban — the ONLY Decimal-typed output column in the
+# 278-query catalog was the only driver hash failure of rounds 9 AND 10,
+# with values verified bit-identical: the driver's hash canonicalization of
+# a Decimal cell differs between engines' client libraries, so the type must
+# never cross the output boundary. Binary/struct/map are banned because the
+# driver's pandas canonicalizer cannot sort/hash them.
+ALLOWED_SPARK_BASE = re.compile(
+    r"^(string|boolean|date|timestamp(_ntz)?|tinyint|smallint|int|bigint"
+    r"|float|double)$"
+)
+
+
+def lint_spark_schema(name: str, schema) -> list[str]:
+    """Return a list of 'col:dtype' violations of the output-type contract.
+    Arrays are unwrapped (an array<decimal(38,0)> is as unhashable to the
+    driver as a bare decimal)."""
+    bad = []
+    for f in schema.fields:
+        dt = f.dataType.simpleString()
+        base = dt
+        while base.startswith("array<") and base.endswith(">"):
+            base = base[6:-1]
+        if not ALLOWED_SPARK_BASE.match(base):
+            bad.append(f"{f.name}:{dt}")
+    return bad
+
+
+def _type_class(v) -> str:
+    """Engine-neutral type class of a result cell, for the cross-engine
+    column-type consistency check. bool before int (bool is an int
+    subclass); Decimal gets its own class so a DECIMAL-vs-DOUBLE column
+    divergence fails loudly as a TYPE mismatch instead of surfacing as a
+    confusing value/sort mismatch (r10 advice: norm_value unifies integral
+    numerics for VALUE comparison, which made it structurally blind to the
+    type-representation divergence a type-sensitive driver hash can see)."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, Decimal):
+        return "decimal"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, datetime):
+        return "datetime"
+    if isinstance(v, date):
+        return "date"
+    if isinstance(v, (list, tuple)):
+        return "list"
+    return type(v).__name__
+
+
+def column_type_classes(cols: list[str], rows) -> dict[str, str]:
+    """First non-null type class per column ('null' if the column is all
+    NULL in this sample)."""
+    out = {c: "null" for c in cols}
+    for r in rows:
+        pending = False
+        for i, c in enumerate(cols):
+            if out[c] == "null":
+                tc = _type_class(r[i])
+                if tc != "null":
+                    out[c] = tc
+                else:
+                    pending = True
+        if not pending:
+            break
+    return out
 
 
 def norm_value(v):
@@ -40,7 +114,17 @@ def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        r = round(v, 9)
+        # Integral floats normalize to int, mirroring the Decimal rule
+        # (r10 advice): otherwise a 2.0-vs-2 cell sorts as "2.0" vs "2"
+        # and norm_rows can order the two sides differently, reporting a
+        # spurious value mismatch for equal values. Cross-engine TYPE
+        # divergence is still caught — loudly — by the type-class check.
+        if r == int(r):
+            return int(r)
+        return r
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
@@ -84,6 +168,15 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            bad_types = lint_spark_schema(name, sdf.schema)
+            if bad_types:
+                failures.append(name)
+                print(
+                    f"FAIL {name}: output-type lint: {bad_types} — registered "
+                    f"queries may emit only str/int/float/date/bool columns "
+                    f"(Decimal cells are driver-hash-unsafe; see r10 verdict)"
+                )
+                continue
             srows = sdf.collect()
         except Exception as e:
             failures.append(name)
@@ -103,6 +196,21 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             failures.append(name)
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            continue
+        stypes = column_type_classes(scols, srows)
+        dtypes = column_type_classes(dcols, drows)
+        type_mismatch = {
+            c: (stypes[c], dtypes[c])
+            for c in stypes
+            if "null" not in (stypes[c], dtypes[c]) and stypes[c] != dtypes[c]
+        }
+        if type_mismatch:
+            failures.append(name)
+            print(
+                f"FAIL {name}: cross-engine column type mismatch "
+                f"{{col: (spark, duckdb)}}: {type_mismatch} — the driver's "
+                f"hash is type-sensitive even when values are equal"
+            )
             continue
         sn = norm_rows(scols, srows)
         dn = norm_rows(dcols, drows)
