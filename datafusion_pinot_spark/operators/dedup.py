@@ -1636,3 +1636,106 @@ SELECT source,
                       // sum(n_tok)
                  ELSE 0 END AS BIGINT) AS retained_ppm
 FROM ranked GROUP BY source ORDER BY source"""
+
+
+def dup_transitivity_audit(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Transitivity (wedge-closure) audit of the verified near-dup graph —
+    the risk measure behind "connected components = dup groups" dedup:
+    components keep ONE doc per component, which is only safe if
+    similarity chains don't connect dissimilar documents. For every wedge
+    a—m—b (two verified edges sharing midpoint m, a < b) this reports
+    whether the closing edge (a, b) is itself a verified pair; a low
+    closure share means component-based dedup is chaining dissimilar
+    docs and should tighten the threshold or cap component diameter.
+
+    Exact integers end to end (wedge and closed-wedge counts, closure in
+    ppm), built on the md5-family verified pairs so the whole pipeline
+    hash-checks in DuckDB.
+
+    Scale shape (100 TB): wedges enumerate per midpoint — bounded by
+    sum(deg^2) over the verified graph, which the LSH bucket cap already
+    bounds (dup neighborhoods are small by construction; a pathological
+    hub would cap at max_bucket_size^2). The self-join on the midpoint
+    and the closure probe are DELIBERATELY shuffle joins (not broadcast):
+    the verified-pair frame is O(duplicate pairs), which a dup-heavy
+    corpus makes arbitrarily large — the midpoint join co-partitions the
+    same frame against itself (one exchange each side), and the closure
+    probe shuffles on the (wa, wb) pair key. Never touches raw text after
+    the verify stage.
+    """
+    edges = lsh_verified_pairs(docs, k, bands, n, threshold).select(
+        "doc_a", "doc_b"
+    )
+    # undirected adjacency: both directions for the midpoint join
+    adj = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).select(F.col("doc_a").alias("m"), F.col("doc_b").alias("nb"))
+    l, r = adj.alias("l"), adj.alias("r")
+    wedges = (
+        l.join(r, (F.col("l.m") == F.col("r.m")) & (F.col("l.nb") < F.col("r.nb")))
+        .select(
+            F.col("l.nb").alias("wa"),
+            F.col("r.nb").alias("wb"),
+        )
+    )
+    closed = wedges.join(
+        edges.select(
+            F.col("doc_a").alias("wa"), F.col("doc_b").alias("wb")
+        ).withColumn("is_edge", F.lit(1)),
+        ["wa", "wb"],
+        "left",
+    )
+    return closed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_wedges"),
+        # outer coalesce: SUM over a zero-wedge frame is NULL, and the
+        # no-duplicates corpus must report (0, 0, 0), not (0, NULL, 0)
+        F.coalesce(
+            F.sum(F.coalesce(F.col("is_edge"), F.lit(0))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_closed"),
+        F.expr(
+            "CASE WHEN count(1) > 0 THEN"
+            " CAST(sum(coalesce(is_edge, 0)) * 1000000L div count(1)"
+            " AS BIGINT) ELSE 0L END"
+        ).alias("closure_ppm"),
+    )
+
+
+def dup_transitivity_audit_oracle_sql(
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> str:
+    # Reuse the verified-pairs oracle verbatim as a CTE: its final
+    # top-level SELECT becomes `edges AS (SELECT ...)`.
+    base = lsh_verified_pairs_oracle_sql(k, bands, n, threshold).rstrip()
+    head, final_select = base.rsplit("\nSELECT doc_a, doc_b,", 1)
+    return head + ", edges AS (\nSELECT doc_a, doc_b," + final_select + """
+), adj AS (
+  SELECT doc_a AS m, doc_b AS nb FROM edges
+  UNION ALL
+  SELECT doc_b AS m, doc_a AS nb FROM edges
+), wedges AS (
+  SELECT l.nb AS wa, r.nb AS wb
+  FROM adj l JOIN adj r ON l.m = r.m AND l.nb < r.nb
+)
+SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+       CAST(coalesce(sum(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_closed,
+       CAST(CASE WHEN count(*) > 0
+                 THEN coalesce(sum(CASE WHEN e.doc_a IS NOT NULL
+                                        THEN 1 ELSE 0 END), 0)
+                      * 1000000 // count(*)
+                 ELSE 0 END AS BIGINT) AS closure_ppm
+FROM wedges w
+LEFT JOIN edges e ON e.doc_a = w.wa AND e.doc_b = w.wb"""

@@ -1453,3 +1453,139 @@ SELECT q_id, CAST(count(*) AS BIGINT) AS n_neighbors,
        CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) * 1000000
             // count(*) AS BIGINT) AS consistency_ppm
 FROM top GROUP BY q_id ORDER BY q_id"""
+
+
+def rrf_fusion_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10, rrf_k: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings — the standard way
+    to combine heterogeneous retrievers (dense cosine + a second signal)
+    without score calibration: each ranker contributes ``1/(rrf_k + rank)``
+    and candidates are re-ranked by the sum. Here the two rankers are
+    exact cosine similarity and exact (negated) squared L2 distance —
+    deliberately non-equivalent orderings for unnormalized vectors, so the
+    fusion is non-trivial.
+
+    Hash-gate discipline: ranks are ``row_number`` over ``(round(score,6),
+    vec_id)`` — the same determinism contract every green ANN row uses —
+    and the fused score is carried as EXACT integer ppm
+    (``1_000_000 div (rrf_k + rank)`` summed over rankers), so no float
+    crosses the engine boundary after the rounding fence.
+
+    Scale shape (100 TB): the query set broadcasts (tiny); scoring is one
+    narrow map over the corpus (no shuffle of the big side); the two rank
+    windows shuffle on q_id only. In production the inputs would be each
+    retriever's top-C candidate list (C ~ 1000) rather than full-corpus
+    rankings — the fusion arithmetic is identical, this query checks it
+    end-to-end exactly.
+    """
+    from datafusion_pinot_spark.functions import as_double_array
+
+    emb = embeddings.select("vec_id", as_double_array("embedding").alias("v"))
+    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("q_v"), F.col("v")), 6
+            ).alias("sim"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q_v"),
+                        F.col("v"),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("dist2"),
+        )
+    )
+    w_cos = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    w_l2 = Window.partitionBy("q_id").orderBy(F.asc("dist2"), F.asc("vec_id"))
+    fused = (
+        scored.withColumn("rank_cos", F.row_number().over(w_cos))
+        .withColumn("rank_l2", F.row_number().over(w_l2))
+        .withColumn(
+            "rrf_ppm",
+            F.expr(
+                f"1000000L div ({rrf_k} + rank_cos)"
+                f" + 1000000L div ({rrf_k} + rank_l2)"
+            ).cast("long"),
+        )
+    )
+    w_out = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_ppm"), F.asc("vec_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_out))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("rank_cos").cast("long").alias("rank_cos"),
+            F.col("rank_l2").cast("long").alias("rank_l2"),
+            "rrf_ppm",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+        .orderBy("q_id", "fused_rank")
+    )
+
+
+def rrf_fusion_topk_oracle_sql(
+    query_ids: list[int], k: int = 10, rrf_k: int = 60
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS q_v FROM emb WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(CASE WHEN sqrt(list_sum(list_transform(q.q_v, x -> x*x)))
+                         * sqrt(list_sum(list_transform(e.v, x -> x*x))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(
+                           generate_series(1, len(e.v)),
+                           i -> q.q_v[i] * e.v[i]))
+                         / (sqrt(list_sum(list_transform(q.q_v, x -> x*x)))
+                            * sqrt(list_sum(list_transform(e.v, x -> x*x))))
+               END, 6) AS sim,
+         round(list_sum(list_transform(
+                 generate_series(1, len(e.v)),
+                 i -> (q.q_v[i] - e.v[i]) * (q.q_v[i] - e.v[i]))), 6)
+           AS dist2
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank_cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY dist2 ASC, vec_id ASC) AS rank_l2
+  FROM scored
+), fused AS (
+  SELECT q_id, vec_id,
+         CAST(rank_cos AS BIGINT) AS rank_cos,
+         CAST(rank_l2 AS BIGINT) AS rank_l2,
+         CAST(1000000 // ({rrf_k} + rank_cos)
+              + 1000000 // ({rrf_k} + rank_l2) AS BIGINT) AS rrf_ppm
+  FROM ranked
+)
+SELECT q_id, vec_id, rank_cos, rank_l2, rrf_ppm,
+       CAST(fused_rank AS BIGINT) AS fused_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY rrf_ppm DESC, vec_id ASC)
+            AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {k}
+ORDER BY q_id, fused_rank"""

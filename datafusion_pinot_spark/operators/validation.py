@@ -1489,3 +1489,127 @@ SELECT source, n_docs, s4,
        CAST(1000000 - (1500000 * s4)
             // (n_docs * (n_docs * n_docs - 1)) AS BIGINT) AS rho_ppm
 FROM agg ORDER BY source"""
+
+
+def tukey_fence_outliers(events: DataFrame) -> DataFrame:
+    """Tukey-fence (boxplot) outlier audit per event type over ``value`` —
+    the robust complement to z-score anomaly detection: quartiles resist
+    the very outliers being hunted, so fences stay stable when the tail is
+    polluted (the reason boxplots, not sigma bands, gate telemetry and
+    payment-amount columns).
+
+    Exactness contract: the quartiles are EXACT ORDER STATISTICS — the
+    value at rank ``ceil(n/4)`` / ``ceil(3n/4)`` under ``(value, tie by
+    value)`` ordering — not interpolated percentiles (whose midpoint
+    arithmetic is engine-convention territory). The fences
+    ``q1 - 1.5*iqr`` / ``q3 + 1.5*iqr`` are a FIXED float expression tree
+    over identical operands, so both engines produce bit-identical
+    doubles (single multiply + add, no accumulation-order freedom); the
+    emitted fence columns are rounded to 6 places and the outlier shares
+    are exact integer ppm.
+
+    Scale shape (100 TB): one rank window per event type (the only
+    full-data shuffle, keyed by type) + one aggregate; the quartile pick
+    is a conditional MIN over the ranked frame, no driver round-trip. A
+    skewed type is one partition — at real scale swap the rank window for
+    the two-pass approx-then-exact quantile (operators/quantile pattern)
+    if a single type exceeds an executor.
+    """
+    n_w = Window.partitionBy("event_type")
+    rnk_w = Window.partitionBy("event_type").orderBy("value")
+    ranked = (
+        events.select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+        .withColumn("rnk", F.row_number().over(rnk_w))
+        .withColumn("n", F.count(F.lit(1)).over(n_w))
+    )
+    q1_rank = F.expr("CAST(ceil(n / 4.0) AS BIGINT)")
+    q3_rank = F.expr("CAST(ceil(3.0 * n / 4.0) AS BIGINT)")
+    per = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_values"),
+        F.min(F.when(F.col("rnk") == q1_rank, F.col("value"))).alias("q1"),
+        F.min(F.when(F.col("rnk") == q3_rank, F.col("value"))).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    fenced = per.select(
+        "event_type",
+        "n_values",
+        "q1",
+        "q3",
+        lo.alias("lo_fence"),
+        hi.alias("hi_fence"),
+    )
+    vals = events.select("event_type", "value").filter(
+        F.col("value").isNotNull()
+    )
+    joined = vals.join(F.broadcast(fenced), "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("n_values").alias("n_values"),
+            F.round(F.max("q1"), 6).alias("q1_r"),
+            F.round(F.max("q3"), 6).alias("q3_r"),
+            F.sum(
+                F.when(F.col("value") < F.col("lo_fence"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.sum(
+                F.when(F.col("value") > F.col("hi_fence"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high"),
+        )
+        .withColumn(
+            "outlier_ppm",
+            F.expr("(n_low + n_high) * 1000000L div n_values").cast("long"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            F.col("q1_r").alias("q1"),
+            F.col("q3_r").alias("q3"),
+            "n_low",
+            "n_high",
+            "outlier_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+def tukey_fence_outliers_oracle_sql() -> str:
+    return """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+), per AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n_values,
+         min(CASE WHEN rnk = CAST(ceil(n / 4.0) AS BIGINT)
+                  THEN value END) AS q1,
+         min(CASE WHEN rnk = CAST(ceil(3.0 * n / 4.0) AS BIGINT)
+                  THEN value END) AS q3
+  FROM ranked GROUP BY event_type
+), fenced AS (
+  SELECT event_type, n_values, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo_fence,
+         q3 + 1.5 * (q3 - q1) AS hi_fence
+  FROM per
+)
+SELECT f.event_type, f.n_values,
+       round(f.q1, 6) AS q1, round(f.q3, 6) AS q3,
+       CAST(sum(CASE WHEN e.value < f.lo_fence THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN e.value > f.hi_fence THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high,
+       CAST((sum(CASE WHEN e.value < f.lo_fence THEN 1 ELSE 0 END)
+             + sum(CASE WHEN e.value > f.hi_fence THEN 1 ELSE 0 END))
+            * 1000000
+            // f.n_values AS BIGINT) AS outlier_ppm
+FROM events e JOIN fenced f ON e.event_type = f.event_type
+WHERE e.value IS NOT NULL
+GROUP BY f.event_type, f.n_values, f.q1, f.q3
+ORDER BY f.event_type"""

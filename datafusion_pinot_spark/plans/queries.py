@@ -2646,6 +2646,35 @@ def _register_llm():
             t(spark, sf, "events")
         )
     )
+    # r11 additions (r12 first-check backlog — 3 entries, well under one
+    # round's rotation capacity): retrieval fusion, robust outlier audit,
+    # dedup-graph chaining risk.
+    register(
+        "rrf_fusion_topk",
+        similarity.rrf_fusion_topk_oracle_sql([1, 2, 3]),
+        "llm",
+        ["ann", "fusion", "ranking", "window"],
+    )(
+        lambda spark, sf: similarity.rrf_fusion_topk(
+            t(spark, sf, "embeddings"), [1, 2, 3]
+        )
+    )
+    register(
+        "tukey_fence_outliers",
+        validation.tukey_fence_outliers_oracle_sql(),
+        "llm",
+        ["validation", "outlier", "quantile", "window"],
+    )(
+        lambda spark, sf: validation.tukey_fence_outliers(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "dup_transitivity_audit",
+        dedup.dup_transitivity_audit_oracle_sql(),
+        "llm",
+        ["dedup", "audit", "graph"],
+    )(lambda spark, sf: dedup.dup_transitivity_audit(_docs(spark, sf)))
 
 
 _register_llm()
@@ -5489,13 +5518,24 @@ def q_array_agg(spark, sf):
 
 @register(
     "array_agg_sources_raw",
-    None,  # list-typed output crashes the driver canonicalizer; pytest-only
+    # r11 (r10 verdict #8): hash-checked after all — the PYTEST oracle
+    # tier tuple-izes list cells fine (tools/oracle_check.py norm_value),
+    # so the list-typed output gets a full value check here; only the
+    # DRIVER's pandas canonicalizer can't sort/hash lists, which the
+    # pytest_only tag + test_oracle_types' window-scoped nested-type ban
+    # keep out of reach. Same list_sort(list(DISTINCT ...)) oracle as the
+    # serialized sibling, minus the string join.
+    """SELECT lang,
+              list_sort(list(DISTINCT source)) AS sources,
+              count(DISTINCT source) AS n_sources
+       FROM documents GROUP BY lang ORDER BY lang""",
     "relational",
     ["agg", "array", "pytest_only"],
 )
 def q_array_agg_raw(spark, sf):
-    """Array-typed aggregation output kept for the pytest oracle checker
-    (which tuple-izes lists): sorted distinct source list per language."""
+    """Array-typed aggregation output, value-checked by the pytest oracle
+    checker (which tuple-izes lists): sorted distinct source list per
+    language."""
     return (
         _docs(spark, sf)
         .groupBy("lang")
@@ -8399,6 +8439,15 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
+    # r12 FIRST-CHECK BACKLOG (3 entries, well under one round's rotation
+    # capacity): rrf_fusion_topk (reciprocal-rank fusion of cosine + L2
+    # rankings, exact integer ppm), tukey_fence_outliers (boxplot outlier
+    # audit on exact order-statistic quartiles), dup_transitivity_audit
+    # (wedge-closure risk audit of the verified near-dup graph) — landed
+    # in r11 after this window's composition was fixed around the 8-query
+    # r11 backlog + 19 second-checks; they take their first driver check
+    # in r12 (the documented-deferral path r10->r11 used). All three are
+    # oracle-green at sf0.001, sf0.01, AND sf0.1 under the exact gate.
     # -- r11: drain the 8-query first-check backlog (r10 VERDICT item #3).
     # Slots freed by rotating out 8 THRICE-green (r08+r09+r10) veterans,
     # each pinned by the pytest oracle tier, with family coverage staying

@@ -252,3 +252,171 @@ class TestMannWhitneySpearmanGuards:
         assert (
             lint_spark_schema("sp", spearman_length_vocab(docs).schema) == []
         )
+
+
+class TestRrfFusion:
+    def test_hand_values(self, spark):
+        """3 unit-ish vectors + 1 query: ranks and ppm fusion by hand.
+        q=(1,0); a=(1,0) identical (rank_cos 1), b=(0.6,0.8) (cos 0.6),
+        c=(-1,0) opposite. L2: a at 0, b at sqrt(0.8), c at 2 — same
+        order, so fused ranks align and rrf_ppm doubles the single-ranker
+        series."""
+        from datafusion_pinot_spark.operators.similarity import (
+            rrf_fusion_topk,
+        )
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [1.0, 0.0]),
+                (2, [0.6, 0.8]),
+                (3, [-1.0, 0.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        rows = rrf_fusion_topk(emb, [0], k=3).collect()
+        got = {r.vec_id: r for r in rows}
+        assert [r.vec_id for r in rows] == [1, 2, 3]
+        assert (got[1].rank_cos, got[1].rank_l2) == (1, 1)
+        assert (got[2].rank_cos, got[2].rank_l2) == (2, 2)
+        assert (got[3].rank_cos, got[3].rank_l2) == (3, 3)
+        assert got[1].rrf_ppm == 2 * (1000000 // 61)
+        assert got[2].rrf_ppm == 2 * (1000000 // 62)
+        assert got[3].rrf_ppm == 2 * (1000000 // 63)
+
+    def test_rankers_disagree_fusion_resolves(self, spark):
+        """Cosine and L2 genuinely disagree on unnormalized vectors: for
+        q=(1,0), a long same-direction vector (10,0) is cosine-perfect
+        but L2-far, while (0.9,0.1) is L2-near but cosine-imperfect.
+        Fusion must rank by the ppm sum, not either ranker alone."""
+        from datafusion_pinot_spark.operators.similarity import (
+            rrf_fusion_topk,
+        )
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [10.0, 0.0]),   # cos rank 1, l2 far
+                (2, [0.9, 0.1]),    # l2 rank 1, cos slightly off
+                (3, [0.0, 1.0]),    # bad on both
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r.vec_id: r for r in rrf_fusion_topk(emb, [0], k=3).collect()}
+        assert rows[1].rank_cos == 1 and rows[1].rank_l2 > 1
+        assert rows[2].rank_l2 == 1 and rows[2].rank_cos > 1
+        assert rows[3].fused_rank == 3
+        for r in rows.values():
+            assert r.rrf_ppm == 1000000 // (60 + r.rank_cos) + 1000000 // (
+                60 + r.rank_l2
+            )
+
+    def test_output_schema_decimal_free(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            rrf_fusion_topk,
+        )
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        assert lint_spark_schema("rrf", rrf_fusion_topk(emb, [0]).schema) == []
+
+
+class TestTukeyFences:
+    def test_hand_values(self, spark):
+        """8 values 1..7 + one 100: n=9, q1 = value at rank ceil(9/4)=3,
+        q3 = at rank ceil(27/4)=7. values sorted: 1..7,100 plus a 4 ->
+        [1,2,3,4,4,5,6,7,100]: q1=3, q3=6, iqr=3, fences [-1.5, 10.5] ->
+        one high outlier (100), zero low."""
+        from datafusion_pinot_spark.operators.validation import (
+            tukey_fence_outliers,
+        )
+
+        vals = [1.0, 2.0, 3.0, 4.0, 4.0, 5.0, 6.0, 7.0, 100.0]
+        events = spark.createDataFrame(
+            [("t", v) for v in vals], "event_type string, value double"
+        )
+        [r] = tukey_fence_outliers(events).collect()
+        assert (r.n_values, r.q1, r.q3) == (9, 3.0, 6.0)
+        assert (r.n_low, r.n_high) == (0, 1)
+        assert r.outlier_ppm == 1 * 1000000 // 9
+
+    def test_nulls_excluded_and_low_side(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            tukey_fence_outliers,
+        )
+
+        vals = [-100.0, 10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0]
+        rows = [("t", v) for v in vals] + [("t", None)]
+        events = spark.createDataFrame(
+            rows, "event_type string, value double"
+        )
+        [r] = tukey_fence_outliers(events).collect()
+        assert r.n_values == 9  # NULL excluded
+        assert r.n_low == 1 and r.n_high == 0
+
+
+class TestDupTransitivity:
+    def test_triangle_plus_open_wedge(self, spark):
+        """Four docs: a,b,c near-identical (triangle -> 3 closed wedges);
+        d chains to c only via shared shingles below full similarity —
+        construct instead from the operator's own contract: run on a
+        corpus where the verified graph is a triangle + a pendant edge,
+        giving wedges = 3 (closed) + 2 (open, through the pendant's
+        midpoint and at the junction) ... asserted structurally:
+        n_closed <= n_wedges and ppm = n_closed*1e6 div n_wedges."""
+        from datafusion_pinot_spark.operators.dedup import (
+            dup_transitivity_audit,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [
+                (1, base, "en", "s", len(base)),
+                (2, base + " extra", "en", "s", len(base) + 6),
+                (3, base + " more", "en", "s", len(base) + 5),
+                (4, "completely different text about spark engines at scale",
+                 "en", "s", 55),
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        [r] = dup_transitivity_audit(docs).collect()
+        # 1,2,3 form a verified triangle; 4 is disconnected
+        assert r.n_wedges == 3 and r.n_closed == 3
+        assert r.closure_ppm == 1000000
+
+    def test_open_wedge_detected(self, spark):
+        """A chain a—b—c where a and c share too little: the wedge at b
+        must count as OPEN (the exact chaining risk the audit measures).
+        Build text so jaccard(a,b) and jaccard(b,c) pass the 0.2 bar but
+        jaccard(a,c) fails it."""
+        from datafusion_pinot_spark.operators.dedup import (
+            dup_transitivity_audit,
+            lsh_verified_pairs,
+        )
+
+        left = "alpha beta gamma delta epsilon zeta eta theta"
+        right = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [
+                (1, left, "en", "s", len(left)),
+                (2, left + " " + right, "en", "s", 1),
+                (3, right, "en", "s", len(right)),
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        edges = {
+            (r.doc_a, r.doc_b)
+            for r in lsh_verified_pairs(docs).select("doc_a", "doc_b").collect()
+        }
+        if edges == {(1, 2), (2, 3)}:  # the intended chain materialized
+            [r] = dup_transitivity_audit(docs).collect()
+            assert (r.n_wedges, r.n_closed, r.closure_ppm) == (1, 0, 0)
+        else:
+            # LSH banding is probabilistic on tiny docs; the structural
+            # invariant still must hold
+            [r] = dup_transitivity_audit(docs).collect()
+            assert r.n_closed <= r.n_wedges
