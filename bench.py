@@ -191,16 +191,23 @@ def pinot_format_queries(spark, sf_dir: str):
         "inverted", "flag,tag"
     ).save(out_rng)
 
-    # Third layout (r6): hash-partitioned WITH a bloom filter on the key —
-    # the unclustered-high-card point-lookup case where zone maps are
-    # useless (every segment spans the full key range). Built untimed so
-    # pinot_write_segments stays the plain write, comparable across rounds.
+    # Third layout (r6; r11 fix): hash-partitioned ON THE KEY with a bloom
+    # filter — the unclustered-high-card point-lookup case where zone maps
+    # are useless (every segment still spans the full key RANGE, so
+    # min/max prunes nothing) but each key lives in exactly one segment
+    # per copy group, which is what a bloom filter can prove. The r6-r10
+    # layout used round-robin repartition(8), which scattered a key's
+    # rows across segments — every segment might-contain some probe key
+    # and the bloom pruned ~nothing e2e (the flat 1.04x the r10 verdict
+    # flagged) while the micro probe showed the real 10.7x per-segment
+    # win. Built untimed so pinot_write_segments stays the plain write,
+    # comparable across rounds.
     out_bloom = os.path.join(
         tempfile.mkdtemp(prefix="bench_pinot_bloom_"), "li_OFFLINE"
     )
-    li.repartition(8).write.format("pinot").mode("overwrite").option(
-        "raw", "okey,ts"
-    ).option("bloom", "l_orderkey").save(out_bloom)
+    li.repartition(8, "l_orderkey").write.format("pinot").mode(
+        "overwrite"
+    ).option("raw", "okey,ts").option("bloom", "l_orderkey").save(out_bloom)
 
     # Fourth + fifth layouts (r6 continuation-4): the same 2D dims written
     # linearly (sorted by dim 1 only) vs Z-ordered (functions.zorder_key

@@ -403,3 +403,31 @@ def test_pareto_share_is_window_only(q):
     plan = _plan(q("pareto_revenue_share"))
     for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert j not in plan
+
+
+def test_rrf_fusion_broadcasts_queries_and_pushes_topk(q):
+    # r11: the probe set must broadcast (the corpus never shuffles for
+    # scoring) and the final per-query top-k must compile to a
+    # WindowGroupLimit, not a full sort of the fused frame
+    plan = _plan(q("rrf_fusion_topk"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_tukey_fences_broadcast_fence_join(q):
+    # r11: the |event types|-row fence frame joins broadcast; the rank
+    # window is the only full-data shuffle
+    plan = _plan(q("tukey_fence_outliers"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_transitivity_no_cartesian(q):
+    # r11: wedges come from a midpoint equi-self-join and the closure
+    # probe from a pair-key equi-join — shuffle joins are the DESIGNED
+    # strategy (the verified-pair frame is unbounded on dup-heavy
+    # corpora), but an all-pairs product must never appear
+    plan = _plan(q("dup_transitivity_audit"))
+    assert "CartesianProduct" not in plan

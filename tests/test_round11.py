@@ -420,3 +420,69 @@ class TestDupTransitivity:
             # invariant still must hold
             [r] = dup_transitivity_audit(docs).collect()
             assert r.n_closed <= r.n_wedges
+
+
+class TestNewOperatorDegenerateInputs:
+    def test_rrf_empty_corpus(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            rrf_fusion_topk,
+        )
+
+        emb = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>"
+        )
+        assert rrf_fusion_topk(emb, [0]).count() == 0
+
+    def test_rrf_query_id_absent(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            rrf_fusion_topk,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        # probe id 99 not in the corpus: no query rows -> empty result
+        assert rrf_fusion_topk(emb, [99]).count() == 0
+
+    def test_tukey_empty_and_all_null(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            tukey_fence_outliers,
+        )
+
+        empty = spark.createDataFrame([], "event_type string, value double")
+        assert tukey_fence_outliers(empty).count() == 0
+        nulls = spark.createDataFrame(
+            [("t", None), ("t", None)], "event_type string, value double"
+        )
+        assert tukey_fence_outliers(nulls).count() == 0
+
+    def test_tukey_single_value_type(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            tukey_fence_outliers,
+        )
+
+        one = spark.createDataFrame(
+            [("t", 5.0)], "event_type string, value double"
+        )
+        [r] = tukey_fence_outliers(one).collect()
+        # n=1: q1 = q3 = the value, iqr 0, fences degenerate to the value
+        assert (r.n_values, r.q1, r.q3, r.n_low, r.n_high) == (
+            1, 5.0, 5.0, 0, 0,
+        )
+        assert r.outlier_ppm == 0
+
+    def test_transitivity_no_duplicates_corpus(self, spark):
+        from datafusion_pinot_spark.operators.dedup import (
+            dup_transitivity_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon", "en", "s", 30),
+                (2, "one two three four five six", "en", "s", 27),
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        [r] = dup_transitivity_audit(docs).collect()
+        assert (r.n_wedges, r.n_closed, r.closure_ppm) == (0, 0, 0)
