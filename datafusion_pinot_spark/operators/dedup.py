@@ -1739,3 +1739,99 @@ SELECT CAST(count(*) AS BIGINT) AS n_wedges,
                  ELSE 0 END AS BIGINT) AS closure_ppm
 FROM wedges w
 LEFT JOIN edges e ON e.doc_a = w.wa AND e.doc_b = w.wb"""
+
+
+def dedup_survivorship_psi(docs: DataFrame) -> DataFrame:
+    """Source-mix drift introduced by exact dedup — the survivorship-bias
+    audit every dedup stage should ship with: dedup keeps one canonical
+    doc per content hash, so sources whose content is heavily mirrored
+    elsewhere lose share, silently re-weighting the training mixture.
+    Reports, per source, the corpus share before vs after dedup (exact
+    integer ppm) and the PSI contribution of the shift (the house
+    ``(p - q) * ln(p / q)`` with the same round-6 float fence as
+    ``psi_drift``; ppm values clamped to >= 1 inside the log so a
+    fully-deduped-away source yields a finite, engine-identical
+    contribution instead of ln(0)).
+
+    Attribution rule: a surviving hash group belongs to the source of
+    its CANONICAL doc (min doc_id) — the same doc the dedup stage would
+    physically keep.
+
+    Scale shape (100 TB): the before-counts are one map-side-combined
+    aggregate; the after-side reuses exact_dedup's hash shuffle and
+    joins the kept ids back on doc_id (shuffle equi-join — the kept set
+    is O(distinct docs), deliberately NOT broadcast); the share/PSI
+    arithmetic runs on the |sources|-row profile with one broadcast
+    totals row.
+    """
+    before = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    kept = exact_dedup(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    after = (
+        kept.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+    )
+    j = before.join(after, "source", "left").na.fill(0, ["n_after"])
+    tot = j.agg(
+        F.sum("n_before").cast("long").alias("t_before"),
+        F.sum("n_after").cast("long").alias("t_after"),
+    )
+    out = j.join(F.broadcast(tot))
+    p = F.expr("n_before * 1000000L div t_before")
+    q = F.expr("n_after * 1000000L div t_after")
+    return (
+        out.select(
+            "source",
+            "n_before",
+            "n_after",
+            p.cast("long").alias("share_before_ppm"),
+            q.cast("long").alias("share_after_ppm"),
+        )
+        .withColumn(
+            "psi_contrib",
+            F.round(
+                (F.col("share_before_ppm") - F.col("share_after_ppm"))
+                / F.lit(1_000_000.0)
+                * F.log(
+                    F.greatest(F.col("share_before_ppm"), F.lit(1))
+                    / F.greatest(F.col("share_after_ppm"), F.lit(1))
+                ),
+                6,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def dedup_survivorship_psi_oracle_sql() -> str:
+    return """
+WITH before AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_before
+  FROM documents GROUP BY source
+), kept AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), after AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_after
+  FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+  GROUP BY d.source
+), j AS (
+  SELECT b.source, b.n_before,
+         CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after
+  FROM before b LEFT JOIN after a ON a.source = b.source
+), t AS (
+  SELECT CAST(sum(n_before) AS BIGINT) AS t_before,
+         CAST(sum(n_after) AS BIGINT) AS t_after FROM j
+)
+SELECT source, n_before, n_after,
+       CAST(n_before * 1000000 // t_before AS BIGINT) AS share_before_ppm,
+       CAST(n_after * 1000000 // t_after AS BIGINT) AS share_after_ppm,
+       round((n_before * 1000000 // t_before
+              - n_after * 1000000 // t_after) / 1000000.0
+             * ln(CAST(greatest(n_before * 1000000 // t_before, 1) AS DOUBLE)
+                  / CAST(greatest(n_after * 1000000 // t_after, 1)
+                         AS DOUBLE)), 6) AS psi_contrib
+FROM j CROSS JOIN t ORDER BY source"""

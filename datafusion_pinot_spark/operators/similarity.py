@@ -1589,3 +1589,96 @@ FROM (
   FROM fused
 ) WHERE fused_rank <= {k}
 ORDER BY q_id, fused_rank"""
+
+
+def embedding_centroid_shift(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding-centroid drift between two interleaved corpus
+    halves (even vs odd vec_id) — the embedding-space analogue of the
+    PSI mix audit: a label whose even-half and odd-half centroids sit far
+    apart is drifting in representation (encoder change, upstream content
+    shift) even when its row-count mix is stable.
+
+    Exactness contract: components quantize to milli-ints via
+    ``floor(x * 1000 + 0.5)`` — float->double widening, one multiply, one
+    add, one floor: a fixed IEEE expression tree, bit-identical across
+    engines — then everything is integer: per-(label, dim, half) sums,
+    per-dim truncated-div means, and the L1 shift
+    ``sum_dims |mean_even - mean_odd|`` in exact milli units.
+
+    Scale shape (100 TB): posexplode fans each vector into (label, dim)
+    rows — 64x rows but a NARROW map feeding a map-side-combined
+    aggregate, so the shuffle carries |labels| x dims partial rows, not
+    the corpus (the zip_with/fold alternative keeps rows 1x but runs
+    interpreted HOFs over every component — the documented 10x trap).
+    The final rollup is |labels| x dims -> |labels|.
+    """
+    comp = embeddings.select(
+        "label",
+        F.expr("vec_id % 2").cast("int").alias("half"),
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("xm"),
+    )
+    per_dim = comp.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("xm"))).alias("s_even"),
+        F.sum(F.when(F.col("half") == 1, F.col("xm"))).alias("s_odd"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c_even"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c_odd"),
+    )
+    shift = F.expr(
+        "abs(CASE WHEN c_even > 0 THEN s_even div c_even ELSE 0 END"
+        " - CASE WHEN c_odd > 0 THEN s_odd div c_odd ELSE 0 END)"
+    )
+    return (
+        per_dim.withColumn("dim_shift", shift)
+        .groupBy("label")
+        .agg(
+            F.expr("CAST(max(c_even) AS BIGINT)").alias("n_even"),
+            F.expr("CAST(max(c_odd) AS BIGINT)").alias("n_odd"),
+            F.sum("dim_shift").cast("long").alias("l1_shift_milli"),
+            F.max("dim_shift").cast("long").alias("max_dim_shift_milli"),
+        )
+        .orderBy("label")
+    )
+
+
+def embedding_centroid_shift_oracle_sql() -> str:
+    return """
+WITH comp AS (
+  -- no WITH ORDINALITY in this DuckDB: index via generate_series, the
+  -- same order-safe pattern the ANN oracles use
+  SELECT label, CAST(vec_id % 2 AS INT) AS half,
+         t.i - 1 AS dim,
+         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS xm
+  FROM embeddings,
+       UNNEST(generate_series(1, len(embedding))) AS t(i)
+), per_dim AS (
+  SELECT label, dim,
+         CAST(sum(CASE WHEN half = 0 THEN xm END) AS BIGINT) AS s_even,
+         CAST(sum(CASE WHEN half = 1 THEN xm END) AS BIGINT) AS s_odd,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_even,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_odd
+  FROM comp GROUP BY label, dim
+), shifts AS (
+  SELECT label, c_even, c_odd,
+         abs(CASE WHEN c_even > 0 THEN s_even // c_even ELSE 0 END
+             - CASE WHEN c_odd > 0 THEN s_odd // c_odd ELSE 0 END)
+           AS dim_shift
+  FROM per_dim
+)
+SELECT label,
+       CAST(max(c_even) AS BIGINT) AS n_even,
+       CAST(max(c_odd) AS BIGINT) AS n_odd,
+       CAST(sum(dim_shift) AS BIGINT) AS l1_shift_milli,
+       CAST(max(dim_shift) AS BIGINT) AS max_dim_shift_milli
+FROM shifts GROUP BY label ORDER BY label"""

@@ -2675,6 +2675,22 @@ def _register_llm():
         "llm",
         ["dedup", "audit", "graph"],
     )(lambda spark, sf: dedup.dup_transitivity_audit(_docs(spark, sf)))
+    register(
+        "dedup_survivorship_psi",
+        dedup.dedup_survivorship_psi_oracle_sql(),
+        "llm",
+        ["dedup", "audit", "curation"],
+    )(lambda spark, sf: dedup.dedup_survivorship_psi(_docs(spark, sf)))
+    register(
+        "embedding_centroid_shift",
+        similarity.embedding_centroid_shift_oracle_sql(),
+        "llm",
+        ["ann", "drift", "audit"],
+    )(
+        lambda spark, sf: similarity.embedding_centroid_shift(
+            t(spark, sf, "embeddings")
+        )
+    )
 
 
 _register_llm()
@@ -8439,15 +8455,19 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
-    # r12 FIRST-CHECK BACKLOG (3 entries, well under one round's rotation
+    # r12 FIRST-CHECK BACKLOG (5 entries, under one round's rotation
     # capacity): rrf_fusion_topk (reciprocal-rank fusion of cosine + L2
     # rankings, exact integer ppm), tukey_fence_outliers (boxplot outlier
     # audit on exact order-statistic quartiles), dup_transitivity_audit
-    # (wedge-closure risk audit of the verified near-dup graph) — landed
-    # in r11 after this window's composition was fixed around the 8-query
-    # r11 backlog + 19 second-checks; they take their first driver check
-    # in r12 (the documented-deferral path r10->r11 used). All three are
-    # oracle-green at sf0.001, sf0.01, AND sf0.1 under the exact gate.
+    # (wedge-closure risk audit of the verified near-dup graph),
+    # dedup_survivorship_psi (source-mix drift introduced by dedup — PSI
+    # between before/after shares), embedding_centroid_shift (per-label
+    # centroid L1 drift between corpus halves on milli-quantized
+    # components) — landed in r11 after this window's composition was
+    # fixed around the 8-query r11 backlog + 19 second-checks; they take
+    # their first driver check in r12 (the documented-deferral path
+    # r10->r11 used). All five are oracle-green at sf0.001, sf0.01, AND
+    # sf0.1 under the exact gate.
     # -- r11: drain the 8-query first-check backlog (r10 VERDICT item #3).
     # Slots freed by rotating out 8 THRICE-green (r08+r09+r10) veterans,
     # each pinned by the pytest oracle tier, with family coverage staying

@@ -431,3 +431,18 @@ def test_dup_transitivity_no_cartesian(q):
     # corpora), but an all-pairs product must never appear
     plan = _plan(q("dup_transitivity_audit"))
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_survivorship_no_cartesian(q):
+    # r11: the kept-id join is a shuffle equi-join by design (the kept
+    # set is O(distinct docs)); the only broadcast is the 1-row totals
+    plan = _plan(q("dedup_survivorship_psi"))
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_shift_is_explode_plus_agg(q):
+    # r11: posexplode -> map-side-combined agg; no join of any kind
+    plan = _plan(q("embedding_centroid_shift"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Generate" in plan  # the posexplode
