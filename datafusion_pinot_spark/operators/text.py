@@ -1409,3 +1409,49 @@ SELECT source, total_chars,
   CASE WHEN total_chars = 0 THEN 0
        ELSE nonascii * 1000000 // total_chars END AS nonascii_ppm
 FROM rolled ORDER BY source"""
+
+
+def lang_confusion_matrix(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of the stopword-marker language guesser against
+    the labeled ``lang`` column — the router-quality audit a corpus
+    pipeline runs before trusting lang-id for mixture decisions: each
+    (actual, guessed) cell with its count and its share of the actual
+    language's rows in exact ppm (so per-language recall sits on the
+    diagonal).
+
+    Scale shape (100 TB): the guess is a codegen'd CASE over
+    array_contains hits (no Python, no explode); one (lang, lang_guess)
+    map-side-combined aggregate; the per-language denominator is a window
+    over the |langs| x |guesses| cell frame, never a second scan.
+    """
+    g = lang_id(docs)
+    cells = g.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cells.withColumn("_t", F.sum("n_docs").over(w))
+        .select(
+            "lang",
+            "lang_guess",
+            "n_docs",
+            F.expr("n_docs * 1000000L div _t").cast("long").alias(
+                "row_share_ppm"
+            ),
+        )
+        .orderBy("lang", "lang_guess")
+    )
+
+
+def lang_confusion_matrix_oracle_sql() -> str:
+    return f"""
+WITH g AS ({lang_id_oracle_sql()}),
+cells AS (
+  SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+  FROM g GROUP BY lang, lang_guess
+)
+SELECT lang, lang_guess, n_docs,
+       CAST(n_docs * 1000000
+            // sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+         AS row_share_ppm
+FROM cells ORDER BY lang, lang_guess"""

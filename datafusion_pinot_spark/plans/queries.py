@@ -2691,6 +2691,12 @@ def _register_llm():
             t(spark, sf, "embeddings")
         )
     )
+    register(
+        "lang_confusion_matrix",
+        text.lang_confusion_matrix_oracle_sql(),
+        "llm",
+        ["text", "langid", "audit"],
+    )(lambda spark, sf: text.lang_confusion_matrix(_docs(spark, sf)))
 
 
 _register_llm()
@@ -8455,7 +8461,7 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
-    # r12 FIRST-CHECK BACKLOG (5 entries, under one round's rotation
+    # r12 FIRST-CHECK BACKLOG (6 entries, under one round's rotation
     # capacity): rrf_fusion_topk (reciprocal-rank fusion of cosine + L2
     # rankings, exact integer ppm), tukey_fence_outliers (boxplot outlier
     # audit on exact order-statistic quartiles), dup_transitivity_audit
@@ -8463,11 +8469,12 @@ DRIVER_WINDOW: list[str] = [
     # dedup_survivorship_psi (source-mix drift introduced by dedup — PSI
     # between before/after shares), embedding_centroid_shift (per-label
     # centroid L1 drift between corpus halves on milli-quantized
-    # components) — landed in r11 after this window's composition was
-    # fixed around the 8-query r11 backlog + 19 second-checks; they take
-    # their first driver check in r12 (the documented-deferral path
-    # r10->r11 used). All five are oracle-green at sf0.001, sf0.01, AND
-    # sf0.1 under the exact gate.
+    # components), lang_confusion_matrix (lang-id router quality vs the
+    # labeled column, per-cell ppm) — landed in r11 after this window's
+    # composition was fixed around the 8-query r11 backlog + 19
+    # second-checks; they take their first driver check in r12 (the
+    # documented-deferral path r10->r11 used). All six are oracle-green
+    # at sf0.001, sf0.01, AND sf0.1 under the exact gate.
     # -- r11: drain the 8-query first-check backlog (r10 VERDICT item #3).
     # Slots freed by rotating out 8 THRICE-green (r08+r09+r10) veterans,
     # each pinned by the pytest oracle tier, with family coverage staying

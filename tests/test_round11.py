@@ -593,3 +593,31 @@ class TestEmbeddingCentroidShift:
         # assert via the operator's own arithmetic instead of a constant)
         assert r.l1_shift_milli == abs(r.l1_shift_milli)  # integral, defined
         assert isinstance(r.l1_shift_milli, int)
+
+
+class TestLangConfusionMatrix:
+    def test_hand_values(self, spark):
+        """Two labeled-en docs (one guessed en via >=2 markers, one too
+        short to trigger -> und) and one labeled-fr doc guessed fr:
+        diagonal recall 500000 ppm for en, 1000000 for fr."""
+        from datafusion_pinot_spark.operators.text import (
+            lang_confusion_matrix,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat and the dog", "en", "s", 19),
+                (2, "zzz", "en", "s", 3),
+                (3, "le chat et la souris", "fr", "s", 20),
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        rows = {
+            (r.lang, r.lang_guess): r
+            for r in lang_confusion_matrix(docs).collect()
+        }
+        assert rows[("en", "en")].n_docs == 1
+        assert rows[("en", "en")].row_share_ppm == 500000
+        assert rows[("en", "und")].row_share_ppm == 500000
+        assert rows[("fr", "fr")].row_share_ppm == 1000000
