@@ -1,0 +1,183 @@
+"""Property tests for the round-11 operators against transparent
+pure-Python references: Tukey fences (exact order-statistic quartiles +
+fence counts vs a sorted-list reference), RRF fusion (rank + ppm
+arithmetic vs an O(n^2) reference), and the survivorship PSI share
+arithmetic (vs a dict-based reference). One Spark job per example —
+examples batch into a single DataFrame."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+
+# ---- tukey_fence_outliers vs sorted-list reference ----
+
+values = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _tukey_ref(vals: list[float]):
+    s = sorted(vals)
+    n = len(s)
+    q1 = s[math.ceil(n / 4.0) - 1]
+    q3 = s[math.ceil(3.0 * n / 4.0) - 1]
+    lo = q1 - 1.5 * (q3 - q1)
+    hi = q3 + 1.5 * (q3 - q1)
+    return (
+        n,
+        q1,
+        q3,
+        sum(1 for v in vals if v < lo),
+        sum(1 for v in vals if v > hi),
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(values)
+def test_tukey_matches_sorted_reference(spark, vals):
+    from datafusion_pinot_spark.operators.validation import (
+        tukey_fence_outliers,
+    )
+
+    events = spark.createDataFrame(
+        [("t", float(v)) for v in vals], "event_type string, value double"
+    )
+    [r] = tukey_fence_outliers(events).collect()
+    n, q1, q3, n_low, n_high = _tukey_ref(vals)
+    assert r.n_values == n
+    assert r.q1 == round(q1, 6) and r.q3 == round(q3, 6)
+    assert (r.n_low, r.n_high) == (n_low, n_high)
+    assert r.outlier_ppm == (n_low + n_high) * 1000000 // n
+
+
+# ---- rrf_fusion_topk vs O(n^2) reference ----
+
+vecs = st.lists(
+    st.tuples(
+        st.floats(min_value=-8, max_value=8, allow_nan=False, width=32),
+        st.floats(min_value=-8, max_value=8, allow_nan=False, width=32),
+    ),
+    min_size=2,
+    max_size=25,
+    unique=True,
+)
+
+
+def _rrf_ref(rows, qid, k=10, rrf_k=60):
+    q = dict(rows)[qid]
+
+    def cos(a, b):
+        na = math.sqrt(a[0] * a[0] + a[1] * a[1])
+        nb = math.sqrt(b[0] * b[0] + b[1] * b[1])
+        if na * nb == 0:
+            return 0.0
+        return round((a[0] * b[0] + a[1] * b[1]) / (na * nb), 6)
+
+    def d2(a, b):
+        return round(
+            (a[0] - b[0]) * (a[0] - b[0]) + (a[1] - b[1]) * (a[1] - b[1]), 6
+        )
+
+    cands = [(i, v) for i, v in rows if i != qid]
+    by_cos = sorted(cands, key=lambda iv: (-cos(q, iv[1]), iv[0]))
+    by_l2 = sorted(cands, key=lambda iv: (d2(q, iv[1]), iv[0]))
+    rc = {i: r + 1 for r, (i, _) in enumerate(by_cos)}
+    rl = {i: r + 1 for r, (i, _) in enumerate(by_l2)}
+    fused = sorted(
+        (
+            (
+                1000000 // (rrf_k + rc[i]) + 1000000 // (rrf_k + rl[i]),
+                i,
+            )
+            for i, _ in cands
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return {
+        i: (rc[i], rl[i], ppm, rank + 1)
+        for rank, (ppm, i) in enumerate(fused[:k])
+    }
+
+
+@settings(max_examples=10, deadline=None)
+@given(vecs)
+def test_rrf_matches_quadratic_reference(spark, rows):
+    from datafusion_pinot_spark.operators.similarity import rrf_fusion_topk
+
+    indexed = list(enumerate(rows))
+    emb = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in indexed],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.rank_cos, r.rank_l2, r.rrf_ppm, r.fused_rank)
+        for r in rrf_fusion_topk(emb, [0], k=10).collect()
+    }
+    # the reference must see the FLOAT32-rounded coordinates Spark stores
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    ref_rows = [(i, (f32(a), f32(b))) for i, (a, b) in indexed]
+    want = _rrf_ref(ref_rows, 0)
+    assert got == want
+
+
+# ---- dedup_survivorship_psi share arithmetic vs dict reference ----
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["t1", "t2", "t3", "t4", "t5", "t6"]),  # text
+        st.sampled_from(["A", "B", "C"]),  # source
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs_strategy)
+def test_survivorship_psi_matches_dict_reference(spark, rows):
+    from datafusion_pinot_spark.operators.dedup import dedup_survivorship_psi
+
+    docs = spark.createDataFrame(
+        [
+            (i, text, src, "en", len(text))
+            for i, (text, src) in enumerate(rows)
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    got = {r.source: r for r in dedup_survivorship_psi(docs).collect()}
+
+    before: dict[str, int] = {}
+    keep: dict[str, int] = {}
+    for i, (text, src) in enumerate(rows):
+        before[src] = before.get(src, 0) + 1
+        if text not in keep:
+            keep[text] = i
+    after: dict[str, int] = {}
+    for text, i in keep.items():
+        src = rows[i][1]
+        after[src] = after.get(src, 0) + 1
+    t_before = sum(before.values())
+    t_after = sum(after.values())
+    assert set(got) == set(before)
+    for src, r in got.items():
+        nb, na = before[src], after.get(src, 0)
+        assert (r.n_before, r.n_after) == (nb, na)
+        p = nb * 1000000 // t_before
+        q = na * 1000000 // t_after
+        assert (r.share_before_ppm, r.share_after_ppm) == (p, q)
+        want_psi = round(
+            (p - q) / 1e6 * math.log(max(p, 1) / max(q, 1)), 6
+        )
+        assert r.psi_contrib == pytest.approx(want_psi, abs=1e-9)
