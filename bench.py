@@ -645,13 +645,19 @@ def marginal_tier(
     big3_rng = duplicate_table(rng_table_dir, copies * 3, suffix="big3")
     big3_bloom = duplicate_table(bloom_table_dir, copies * 3, suffix="big3")
     rows3 = rows * 3
+    # pack tasks ~ cores at EACH scale (r11): reusing the 1x spp at 3x/10x
+    # under-packs (320 tasks at 10x) and the trend then partially measures
+    # driver dispatch, not decode amortization
+    spp3 = str(spp * 3)
+    spp10 = str(spp * 10)
     trend = {}
     for tname, tbl in (
         ("filter_eq_fullscan_3x", big3),
         ("filter_eq_inverted_3x", big3_rng),
     ):
         frame = agg(
-            rd(tbl, "tag,l_extendedprice").filter(F.col("tag") == "rare")
+            rd(tbl, "tag,l_extendedprice",
+               segments_per_partition=spp3).filter(F.col("tag") == "rare")
         )
         materialize(frame)
         med, lo, hi = timed(lambda: materialize(frame), runs=5)
@@ -677,7 +683,11 @@ def marginal_tier(
         ("filter_in_fullscan_3x", big3),
         ("filter_in_bloom_3x", big3_bloom),
     ):
-        frame = agg(rd(tbl).filter(F.col("l_orderkey").isin(7, 513, 1154)))
+        frame = agg(
+            rd(tbl, segments_per_partition=spp3).filter(
+                F.col("l_orderkey").isin(7, 513, 1154)
+            )
+        )
         materialize(frame)
         med, lo, hi = timed(lambda: materialize(frame), runs=5)
         trend[tname] = {
@@ -708,7 +718,8 @@ def marginal_tier(
         ("filter_eq_inverted_10x", big10_rng),
     ):
         frame = agg(
-            rd(tbl, "tag,l_extendedprice").filter(F.col("tag") == "rare")
+            rd(tbl, "tag,l_extendedprice",
+               segments_per_partition=spp10).filter(F.col("tag") == "rare")
         )
         materialize(frame)
         med, lo, hi = timed(lambda: materialize(frame), runs=5)
@@ -731,7 +742,11 @@ def marginal_tier(
         ("filter_in_fullscan_10x", big10),
         ("filter_in_bloom_10x", big10_bloom),
     ):
-        frame = agg(rd(tbl).filter(F.col("l_orderkey").isin(7, 513, 1154)))
+        frame = agg(
+            rd(tbl, segments_per_partition=spp10).filter(
+                F.col("l_orderkey").isin(7, 513, 1154)
+            )
+        )
         materialize(frame)
         med, lo, hi = timed(lambda: materialize(frame), runs=5)
         trend[tname] = {
