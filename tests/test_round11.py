@@ -621,3 +621,22 @@ class TestLangConfusionMatrix:
         assert rows[("en", "en")].row_share_ppm == 500000
         assert rows[("en", "und")].row_share_ppm == 500000
         assert rows[("fr", "fr")].row_share_ppm == 1000000
+
+    def test_empty_and_unknown_lang(self, spark):
+        from datafusion_pinot_spark.operators.text import (
+            lang_confusion_matrix,
+        )
+
+        empty = spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        assert lang_confusion_matrix(empty).count() == 0
+        # a doc matching no marker set lands in the 'und' column
+        docs = spark.createDataFrame(
+            [(1, "xyzzy plugh", "de", "s", 11)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        [r] = lang_confusion_matrix(docs).collect()
+        assert (r.lang, r.lang_guess, r.row_share_ppm) == ("de", "und", 1000000)
