@@ -2233,6 +2233,34 @@ def _register_llm():
         "llm",
         ["stats", "temporal", "agg"],
     )(lambda spark, sf: validation.halflife_event_mass(t(spark, sf, "events")))
+    # r11 CONTINGENCY DIAGNOSTIC (r10 verdict #5): every halflife output
+    # cell CAST to STRING in both engines. If halflife_event_mass were to
+    # hash-fail a THIRD time despite the BIGINT fix, swap this into the
+    # r12 window: string cells remove every numeric-canonicalization
+    # degree of freedom, so a green sibling + red original pins the
+    # driver's numeric hashing, while a red sibling names the exact
+    # diverging CELL in its value diff. Pytest-tier only until needed.
+    register(
+        "halflife_event_mass_cells",
+        """SELECT CAST(event_type AS VARCHAR) AS event_type,
+                  CAST(n_events AS VARCHAR) AS n_events_s,
+                  CAST(mass AS VARCHAR) AS mass_s,
+                  CAST(share_ppm AS VARCHAR) AS share_ppm_s
+           FROM ("""
+        + validation.halflife_event_mass_oracle_sql()
+        + ") ORDER BY event_type",
+        "llm",
+        ["stats", "diagnostic", "pytest_only"],
+    )(
+        lambda spark, sf: validation.halflife_event_mass(
+            t(spark, sf, "events")
+        ).select(
+            F.col("event_type").cast("string").alias("event_type"),
+            F.col("n_events").cast("string").alias("n_events_s"),
+            F.col("mass").cast("string").alias("mass_s"),
+            F.col("share_ppm").cast("string").alias("share_ppm_s"),
+        )
+    )
     # r9: t-closeness audit — third leg of the privacy trio (skewness
     # attack): per-group sensitive-distribution TVD vs global, exact ppm
     # over the groups×values grid so absent values count too.
