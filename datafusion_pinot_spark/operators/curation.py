@@ -779,3 +779,92 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_emitted,
        CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_unique
 FROM emitted GROUP BY source ORDER BY source"""
+
+
+def split_leakage_audit(
+    docs: DataFrame, valid_mod: int = 10, bits: int = 48
+) -> DataFrame:
+    """Train/valid split leakage audit — the eval-hygiene check a
+    pretraining pipeline runs before trusting its held-out loss: the
+    split is a deterministic hash of doc_id (``h % valid_mod == valid_mod
+    - 1`` -> valid, i.e. a 90/10 split at the default), but exact
+    duplicates of a validation document sitting in TRAIN leak its content
+    across the boundary, silently deflating eval loss. Reports the split
+    sizes, the number of exact-dup groups straddling the boundary, the
+    count of valid docs whose content also appears in train, and that
+    count as exact ppm of the validation set.
+
+    The split hash is the house md5-prefix integer (bit-identical in
+    DuckDB, like training_shard_assignment); content identity is
+    md5(text) (the exact_dedup key). Scale shape: one narrow map (two
+    md5s) + one content-hash shuffle + a 1-row rollup; never quadratic.
+    """
+    nd = bits // 4
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, nd), 16, 10
+    ).cast("long")
+    tagged = docs.select(
+        F.md5("text").alias("h"),
+        (hv % valid_mod == valid_mod - 1).cast("int").alias("is_valid"),
+    )
+    groups = tagged.groupBy("h").agg(
+        F.sum("is_valid").cast("long").alias("n_valid_g"),
+        F.sum(1 - F.col("is_valid")).cast("long").alias("n_train_g"),
+    )
+    cross = (F.col("n_valid_g") > 0) & (F.col("n_train_g") > 0)
+    return groups.agg(
+        F.sum("n_train_g").cast("long").alias("n_train"),
+        F.sum("n_valid_g").cast("long").alias("n_valid"),
+        F.coalesce(F.sum(cross.cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_cross_groups"),
+        F.coalesce(
+            F.sum(F.when(cross, F.col("n_valid_g")).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_valid_leaked"),
+    ).withColumn(
+        "leak_ppm",
+        F.expr(
+            "CASE WHEN n_valid > 0"
+            " THEN CAST(n_valid_leaked * 1000000L div n_valid AS BIGINT)"
+            " ELSE 0L END"
+        ),
+    )
+
+
+def split_leakage_audit_oracle_sql(
+    valid_mod: int = 10, bits: int = 48
+) -> str:
+    nd = bits // 4
+    hv = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr(hid, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (nd - 1 - i)})"
+        for i in range(nd)
+    )
+    return f"""
+WITH tagged AS (
+  SELECT md5(text) AS h,
+         CASE WHEN ({hv}) % {valid_mod} = {valid_mod - 1}
+              THEN 1 ELSE 0 END AS is_valid
+  FROM (SELECT text, md5(CAST(doc_id AS VARCHAR)) AS hid FROM documents)
+), groups AS (
+  SELECT h,
+         CAST(sum(is_valid) AS BIGINT) AS n_valid_g,
+         CAST(sum(1 - is_valid) AS BIGINT) AS n_train_g
+  FROM tagged GROUP BY h
+)
+SELECT CAST(sum(n_train_g) AS BIGINT) AS n_train,
+       CAST(sum(n_valid_g) AS BIGINT) AS n_valid,
+       CAST(coalesce(sum(CASE WHEN n_valid_g > 0 AND n_train_g > 0
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_cross_groups,
+       CAST(coalesce(sum(CASE WHEN n_valid_g > 0 AND n_train_g > 0
+                              THEN n_valid_g ELSE 0 END), 0) AS BIGINT)
+         AS n_valid_leaked,
+       CAST(CASE WHEN sum(n_valid_g) > 0
+                 THEN coalesce(sum(CASE WHEN n_valid_g > 0 AND n_train_g > 0
+                                        THEN n_valid_g ELSE 0 END), 0)
+                      * 1000000 // sum(n_valid_g)
+                 ELSE 0 END AS BIGINT) AS leak_ppm
+FROM groups"""

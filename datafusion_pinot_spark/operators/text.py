@@ -1455,3 +1455,90 @@ SELECT lang, lang_guess, n_docs,
             // sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
          AS row_share_ppm
 FROM cells ORDER BY lang, lang_guess"""
+
+
+def quality_yield_curve(
+    docs: DataFrame, thresholds_milli: tuple[int, ...] = tuple(range(0, 1000, 100))
+) -> DataFrame:
+    """Token-yield curve over the quality gate — the "pick the threshold"
+    planning table for a corpus filter: for each candidate quality cutoff
+    t, how many documents and tokens survive ``quality >= t``, and what
+    share of the corpus that is (exact ppm). Curation teams read this
+    curve to trade corpus size against quality before committing a gate.
+
+    Determinism: the quality score is the house exact-decimal compute
+    (text_stats) rounded to 4 decimals — the SAME doubles in both
+    engines — and each threshold is ``milli / 1000.0``, the same IEEE
+    division in both engines, so every comparison lands identically.
+    Counts and ppm shares are exact integers.
+
+    Scale shape (100 TB): one narrow scoring map, a 10x explode of the
+    (doc, score, tokens) PROFILE (three columns, not the text), and one
+    map-side-combined aggregate per threshold — the shuffle carries
+    |thresholds| rows per partition.
+    """
+    stats = text_stats(docs).select("doc_id", "n_tokens", "quality")
+    th = F.array(*[F.lit(int(m)) for m in thresholds_milli])
+    fanned = stats.select(
+        "n_tokens",
+        "quality",
+        F.explode(th).alias("threshold_milli"),
+    )
+    keep = F.col("quality") >= F.col("threshold_milli").cast("double") / 1000.0
+    per = fanned.groupBy("threshold_milli").agg(
+        F.sum(keep.cast("long")).cast("long").alias("n_docs_kept"),
+        F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens_kept"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return (
+        per.select(
+            F.col("threshold_milli").cast("int").alias("threshold_milli"),
+            "n_docs_kept",
+            "n_tokens_kept",
+            F.expr(
+                "CASE WHEN n_docs > 0"
+                " THEN CAST(n_docs_kept * 1000000L div n_docs AS BIGINT)"
+                " ELSE 0L END"
+            ).alias("docs_yield_ppm"),
+            F.expr(
+                "CASE WHEN n_tokens > 0"
+                " THEN CAST(n_tokens_kept * 1000000L div n_tokens AS BIGINT)"
+                " ELSE 0L END"
+            ).alias("tokens_yield_ppm"),
+        )
+        .orderBy("threshold_milli")
+    )
+
+
+def quality_yield_curve_oracle_sql(
+    thresholds_milli: tuple[int, ...] = tuple(range(0, 1000, 100))
+) -> str:
+    ths = ", ".join(str(m) for m in thresholds_milli)
+    return f"""
+WITH stats AS (
+  SELECT doc_id, n_tokens, quality FROM ({text_stats_oracle_sql()})
+), fanned AS (
+  SELECT s.n_tokens, s.quality, t.m AS threshold_milli
+  FROM stats s, UNNEST([{ths}]) AS t(m)
+), per AS (
+  SELECT threshold_milli,
+         CAST(sum(CASE WHEN quality >= threshold_milli / 1000.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+         CAST(sum(CASE WHEN quality >= threshold_milli / 1000.0
+                       THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM fanned GROUP BY threshold_milli
+)
+SELECT CAST(threshold_milli AS INTEGER) AS threshold_milli,
+       n_docs_kept, n_tokens_kept,
+       CAST(CASE WHEN n_docs > 0
+                 THEN n_docs_kept * 1000000 // n_docs ELSE 0 END AS BIGINT)
+         AS docs_yield_ppm,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN n_tokens_kept * 1000000 // n_tokens
+                 ELSE 0 END AS BIGINT) AS tokens_yield_ppm
+FROM per ORDER BY threshold_milli"""

@@ -2725,6 +2725,18 @@ def _register_llm():
         "llm",
         ["text", "langid", "audit"],
     )(lambda spark, sf: text.lang_confusion_matrix(_docs(spark, sf)))
+    register(
+        "split_leakage_audit",
+        curation.split_leakage_audit_oracle_sql(),
+        "llm",
+        ["curation", "dedup", "audit"],
+    )(lambda spark, sf: curation.split_leakage_audit(_docs(spark, sf)))
+    register(
+        "quality_yield_curve",
+        text.quality_yield_curve_oracle_sql(),
+        "llm",
+        ["text", "quality", "curation"],
+    )(lambda spark, sf: text.quality_yield_curve(_docs(spark, sf)))
 
 
 _register_llm()
@@ -8489,20 +8501,27 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
-    # r12 FIRST-CHECK BACKLOG (6 entries, under one round's rotation
-    # capacity): rrf_fusion_topk (reciprocal-rank fusion of cosine + L2
-    # rankings, exact integer ppm), tukey_fence_outliers (boxplot outlier
-    # audit on exact order-statistic quartiles), dup_transitivity_audit
-    # (wedge-closure risk audit of the verified near-dup graph),
-    # dedup_survivorship_psi (source-mix drift introduced by dedup — PSI
-    # between before/after shares), embedding_centroid_shift (per-label
-    # centroid L1 drift between corpus halves on milli-quantized
-    # components), lang_confusion_matrix (lang-id router quality vs the
-    # labeled column, per-cell ppm) — landed in r11 after this window's
+    # r12 FIRST-CHECK BACKLOG (8 entries — exactly one round's rotation
+    # capacity, the r11 precedent): rrf_fusion_topk (reciprocal-rank
+    # fusion of cosine + L2 rankings, exact integer ppm),
+    # tukey_fence_outliers (boxplot outlier audit on exact
+    # order-statistic quartiles), dup_transitivity_audit (wedge-closure
+    # risk audit of the verified near-dup graph), dedup_survivorship_psi
+    # (source-mix drift introduced by dedup — PSI between before/after
+    # shares), embedding_centroid_shift (per-label centroid L1 drift
+    # between corpus halves on milli-quantized components),
+    # lang_confusion_matrix (lang-id router quality vs the labeled
+    # column, per-cell ppm), split_leakage_audit (exact-dup content
+    # crossing the hash train/valid boundary, leak in ppm of the valid
+    # set), quality_yield_curve (docs/tokens surviving the quality gate
+    # per candidate threshold) — landed in r11 after this window's
     # composition was fixed around the 8-query r11 backlog + 19
     # second-checks; they take their first driver check in r12 (the
-    # documented-deferral path r10->r11 used). All six are oracle-green
-    # at sf0.001, sf0.01, AND sf0.1 under the exact gate.
+    # documented-deferral path r10->r11 used). All eight are oracle-green
+    # at sf0.001, sf0.01, AND sf0.1 under the exact gate. (The pre-
+    # registered halflife_event_mass_cells diagnostic is NOT backlog —
+    # pytest-tier only unless halflife reds a third time, per r10
+    # verdict #5.)
     # -- r11: drain the 8-query first-check backlog (r10 VERDICT item #3).
     # Slots freed by rotating out 8 THRICE-green (r08+r09+r10) veterans,
     # each pinned by the pytest oracle tier, with family coverage staying

@@ -640,3 +640,110 @@ class TestLangConfusionMatrix:
         )
         [r] = lang_confusion_matrix(docs).collect()
         assert (r.lang, r.lang_guess, r.row_share_ppm) == ("de", "und", 1000000)
+
+
+class TestSplitLeakageAudit:
+    def test_hand_values(self, spark):
+        """Force the split with known doc_ids, then plant one dup pair
+        across the boundary. With valid_mod=1 every doc is valid (h%1==0)
+        — use that degenerate to pin arithmetic, then a real split case
+        asserts the leak detection structurally."""
+        from datafusion_pinot_spark.operators.curation import (
+            split_leakage_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "same", "A", "en", 4),
+                (2, "same", "A", "en", 4),
+                (3, "other", "A", "en", 5),
+            ],
+            "doc_id long, text string, source string, lang string,"
+            " n_chars long",
+        )
+        # valid_mod=1: everything valid, nothing in train -> no cross
+        [r] = split_leakage_audit(docs, valid_mod=1).collect()
+        assert (r.n_train, r.n_valid) == (0, 3)
+        assert (r.n_cross_groups, r.n_valid_leaked, r.leak_ppm) == (0, 0, 0)
+
+    def test_cross_boundary_dup_detected(self, spark):
+        """Find two doc_ids on opposite sides of the default 90/10 split,
+        give them identical text: the audit must count 1 cross group and
+        1 leaked valid doc."""
+        import hashlib
+
+        from datafusion_pinot_spark.operators.curation import (
+            split_leakage_audit,
+        )
+
+        def side(doc_id, valid_mod=10, bits=48):
+            h = hashlib.md5(str(doc_id).encode()).hexdigest()[: bits // 4]
+            return int(h, 16) % valid_mod == valid_mod - 1
+
+        train_id = next(i for i in range(1, 100) if not side(i))
+        valid_id = next(i for i in range(1, 100) if side(i))
+        docs = spark.createDataFrame(
+            [
+                (train_id, "leaked content", "A", "en", 14),
+                (valid_id, "leaked content", "A", "en", 14),
+                (train_id + 100 if not side(train_id + 100) else train_id
+                 + 101, "clean", "A", "en", 5),
+            ],
+            "doc_id long, text string, source string, lang string,"
+            " n_chars long",
+        )
+        [r] = split_leakage_audit(docs).collect()
+        assert r.n_valid >= 1 and r.n_train >= 1
+        assert r.n_cross_groups == 1
+        assert r.n_valid_leaked == 1
+        assert r.leak_ppm == 1 * 1000000 // r.n_valid
+
+    def test_empty_corpus(self, spark):
+        from datafusion_pinot_spark.operators.curation import (
+            split_leakage_audit,
+        )
+
+        empty = spark.createDataFrame(
+            [], "doc_id long, text string, source string, lang string,"
+            " n_chars long",
+        )
+        [r] = split_leakage_audit(empty).collect()
+        assert (r.n_cross_groups, r.n_valid_leaked, r.leak_ppm) == (0, 0, 0)
+
+
+class TestQualityYieldCurve:
+    def test_monotone_and_endpoints(self, spark):
+        from datafusion_pinot_spark.operators.text import quality_yield_curve
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over a lazy dog today", "en",
+                 "s", 48),
+                (2, "x", "en", "s", 1),
+                (3, "!!!! ???? ;;;;", "en", "s", 14),
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        rows = quality_yield_curve(docs).collect()
+        assert [r.threshold_milli for r in rows] == list(range(0, 1000, 100))
+        kept = [r.n_docs_kept for r in rows]
+        # monotone non-increasing in the threshold
+        assert all(a >= b for a, b in zip(kept, kept[1:]))
+        # threshold 0 keeps everything
+        assert rows[0].n_docs_kept == 3
+        assert rows[0].docs_yield_ppm == 1000000
+        # token yield consistent with doc membership
+        assert rows[0].n_tokens_kept >= rows[-1].n_tokens_kept
+
+    def test_custom_thresholds(self, spark):
+        from datafusion_pinot_spark.operators.text import quality_yield_curve
+
+        docs = spark.createDataFrame(
+            [(1, "good clean prose with many plain words here", "en", "s", 44)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        rows = quality_yield_curve(docs, thresholds_milli=(0, 999)).collect()
+        assert rows[0].threshold_milli == 0 and rows[0].n_docs_kept == 1
+        assert rows[1].threshold_milli == 999
