@@ -446,3 +446,19 @@ def test_centroid_shift_is_explode_plus_agg(q):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "Generate" in plan  # the posexplode
+
+
+def test_split_leakage_single_shuffle_no_join(q):
+    # r11: two md5s in one narrow map, one content-hash aggregate, a
+    # 1-row rollup — no join anywhere
+    plan = _plan(q("split_leakage_audit"))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_quality_yield_fans_profile_not_text(q):
+    # r11: the threshold explode runs over (n_tokens, quality) — the
+    # text column must be pruned out before the Generate
+    plan = _plan(q("quality_yield_curve"))
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan
