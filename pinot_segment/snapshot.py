@@ -224,32 +224,55 @@ def retire_segment(table_dir: str, name: str) -> None:
     )
 
 
-def vacuum(table_dir: str, keep_last: int = 1) -> dict:
+def vacuum(table_dir: str, keep_last: int = 1, dry_run: bool = False) -> dict:
     """Delete retired segments referenced by none of the last
     ``keep_last`` snapshots, and prune the log to that window. Live
     segments are never touched. Returns {"removed": [...],
-    "kept_snapshots": [...]}."""
+    "kept_snapshots": [...], "pruned_snapshots": [...], "dry_run": bool}.
+
+    ``dry_run=True`` (r11) reports exactly what a real run would remove
+    and which snapshot ids it would prune — WITHOUT touching disk or the
+    log. Vacuum is the one irreversible operation in the maintenance
+    surface (it invalidates older ``as_of`` reads and any CDC stream
+    checkpointed before the kept window), so operators preview it: the
+    ``pruned_snapshots`` list is precisely the set of checkpoint ids a
+    running stream must NOT hold for the reclaim to be safe."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     log = load_snapshot_log(table_dir)
     retired_parent = os.path.join(table_dir, RETIRED_DIR)
     if log is None or not log["snapshots"]:
-        return {"removed": [], "kept_snapshots": []}
+        return {
+            "removed": [],
+            "kept_snapshots": [],
+            "pruned_snapshots": [],
+            "dry_run": dry_run,
+        }
     kept = log["snapshots"][-keep_last:]
+    pruned = [s["id"] for s in log["snapshots"][:-keep_last]]
     referenced = {name for s in kept for name in s["segments"]}
     removed = []
     if os.path.isdir(retired_parent):
         for entry in sorted(os.listdir(retired_parent)):
             if entry not in referenced:
-                shutil.rmtree(
-                    os.path.join(retired_parent, entry), ignore_errors=True
-                )
+                if not dry_run:
+                    shutil.rmtree(
+                        os.path.join(retired_parent, entry),
+                        ignore_errors=True,
+                    )
                 removed.append(entry)
-        try:
-            if not os.listdir(retired_parent):
-                os.rmdir(retired_parent)
-        except OSError:
-            pass
-    log["snapshots"] = kept
-    _write_log(table_dir, log)
-    return {"removed": removed, "kept_snapshots": [s["id"] for s in kept]}
+        if not dry_run:
+            try:
+                if not os.listdir(retired_parent):
+                    os.rmdir(retired_parent)
+            except OSError:
+                pass
+    if not dry_run:
+        log["snapshots"] = kept
+        _write_log(table_dir, log)
+    return {
+        "removed": removed,
+        "kept_snapshots": [s["id"] for s in kept],
+        "pruned_snapshots": pruned,
+        "dry_run": dry_run,
+    }

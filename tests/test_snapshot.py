@@ -196,3 +196,57 @@ class TestStreamSnapshots:
         sid = S.current_snapshot_id(out)
         assert sid is not None and sid >= 1
         assert len(S.segments_as_of(out, sid)) >= 1
+
+
+class TestVacuumDryRun:
+    def test_dry_run_reports_without_touching_disk(self, spark, tmp_path):
+        """vacuum(dry_run=True) (r11): same removed/pruned report as a
+        real run, zero disk/log mutation — the operator preview for the
+        one irreversible maintenance op. pruned_snapshots is exactly the
+        checkpoint-id set a running CDC stream must not hold."""
+        import json
+        import os
+
+        from datafusion_pinot_spark.maintenance import delete_rows
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = str(tmp_path / "vdr_OFFLINE")
+        spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v").repartition(
+            2
+        ).write.format("pinot").mode("overwrite").save(out)
+        delete_rows(spark, out, "k", 0, 10, retain_replaced=True)
+
+        log_before = json.dumps(S.load_snapshot_log(out), sort_keys=True)
+        retired = os.path.join(out, S.RETIRED_DIR)
+        retired_before = sorted(os.listdir(retired))
+
+        preview = S.vacuum(out, keep_last=1, dry_run=True)
+        assert preview["dry_run"] is True
+        assert preview["removed"]  # something is reclaimable
+        assert preview["pruned_snapshots"] == [1]
+        # nothing changed on disk or in the log
+        assert sorted(os.listdir(retired)) == retired_before
+        assert json.dumps(S.load_snapshot_log(out), sort_keys=True) == log_before
+        # the older snapshot still reads fine after the dry run
+        assert (
+            spark.read.format("pinot").option("as_of", "1").load(out).count()
+            == 50
+        )
+
+        real = S.vacuum(out, keep_last=1)
+        assert real["dry_run"] is False
+        assert real["removed"] == preview["removed"]
+        assert real["pruned_snapshots"] == preview["pruned_snapshots"]
+        assert [s["id"] for s in S.load_snapshot_log(out)["snapshots"]] == real[
+            "kept_snapshots"
+        ]
+
+    def test_dry_run_on_empty_log(self, tmp_path):
+        out = str(tmp_path)
+        assert S.vacuum(out, keep_last=3, dry_run=True) == {
+            "removed": [],
+            "kept_snapshots": [],
+            "pruned_snapshots": [],
+            "dry_run": True,
+        }
