@@ -181,3 +181,51 @@ def test_survivorship_psi_matches_dict_reference(spark, rows):
             (p - q) / 1e6 * math.log(max(p, 1) / max(q, 1)), 6
         )
         assert r.psi_contrib == pytest.approx(want_psi, abs=1e-9)
+
+
+# ---- halflife_event_mass vs dict reference (the two-round red cell:
+# pin its full arithmetic path, not just hand cases) ----
+
+event_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["click", "view", "buy"]),
+        st.integers(min_value=0, max_value=90),  # days before anchor
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(event_rows)
+def test_halflife_matches_dict_reference(spark, rows):
+    from datafusion_pinot_spark.operators.validation import (
+        halflife_event_mass,
+    )
+
+    anchor = 19000  # days since epoch, far from any boundary
+    events = spark.createDataFrame(
+        [
+            (t, (anchor - back) * 86400 * 1000000)
+            for t, back in rows
+        ],
+        "event_type string, us long",
+    ).selectExpr("event_type", "timestamp_micros(us) AS ts")
+    got = {r.event_type: r for r in halflife_event_mass(events).collect()}
+
+    maxday = anchor - min(back for _, back in rows)
+    mass: dict[str, int] = {}
+    n: dict[str, int] = {}
+    for t, back in rows:
+        day = anchor - back
+        age = maxday - day
+        w = (1 << (30 - age)) if age <= 30 else 0
+        mass[t] = mass.get(t, 0) + w
+        n[t] = n.get(t, 0) + 1
+    total = sum(mass.values())
+    assert set(got) == set(mass)
+    for t, r in got.items():
+        assert (r.n_events, r.mass) == (n[t], mass[t])
+        want_ppm = mass[t] * 1000000 // total if total > 0 else 0
+        assert r.share_ppm == want_ppm
+        assert isinstance(r.mass, int)
