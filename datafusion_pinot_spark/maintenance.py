@@ -647,6 +647,26 @@ def changes_between(
 
     def read_tagged(names: list[str], tag: str):
         dirs = resolve_segment_dirs(table_dir, names, ctx)
+        # Anchor the side's schema on its WIDEST segment (r11): the data
+        # source infers the column set from the first segment, so a
+        # pre-evolution segment sorting first would silently DROP the
+        # evolved column from the whole feed. O(changed) metadata parses
+        # — the same planning budget the diff itself costs. (Divergent
+        # drop-column evolution still anchors on the widest set; a column
+        # absent from the anchor is absent from the feed — documented.)
+        if len(dirs) > 1:
+            from pinot_segment import SegmentMetadata
+
+            widths = {
+                d: len(
+                    SegmentMetadata.from_file(
+                        os.path.join(d, "metadata.properties")
+                    ).columns
+                )
+                for d in dirs
+            }
+            anchor = max(dirs, key=lambda d: widths[d])
+            dirs = [anchor] + [d for d in dirs if d != anchor]
         return (
             spark.read.format("pinot")
             .option("segments", ",".join(dirs))

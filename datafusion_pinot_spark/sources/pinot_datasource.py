@@ -145,30 +145,41 @@ def _discover_segments(path: str) -> list[str]:
     return segs
 
 
-def _table_nullable_columns(segments: list[str], sv_names: set) -> set:
+def _table_nullable_columns(
+    segments: list[str], sv_names: set, all_names: tuple = ()
+) -> set:
     """Columns nullable in ANY segment — table-level nullability is the OR
     (a non-nullable schema over null-bearing batches NPEs in Spark
-    codegen). Answered from each table's segment_stats.json manifest when
-    fresh (one file read; the manifest records has_nulls for every
-    single-value column); segments the manifest doesn't cover — or whose
-    entry predates the all-columns manifest format (< the sv_names set,
-    e.g. missing BYTES/BOOLEAN columns) — pay a metadata.properties
-    parse."""
+    codegen). Two sources of nulls per segment: a null-vector index on a
+    column it HAS, and — r11, found by the CDC schema-evolution property
+    test — a column the segment PREDATES entirely (the read path
+    NULL-fills it, so a non-nullable field produces 'Value at index is
+    null' inside Spark's ArrowColumnVector when any pre-evolution segment
+    sits behind an evolved first segment). Answered from each table's
+    segment_stats.json manifest when fresh (one file read; the manifest
+    records has_nulls for every single-value column); segments the
+    manifest doesn't cover — or whose entry predates the all-columns
+    manifest format / lacks a requested column — pay a
+    metadata.properties parse."""
     from pinot_segment import SegmentMetadata
     from pinot_segment.manifest import stats_for_segments
 
+    want = set(all_names) | sv_names
     stats = stats_for_segments(segments)
     nullable: set = set()
     for seg in segments:
         st = stats.get(seg)
         cols = (st or {}).get("columns")
-        if cols is None or not sv_names <= set(cols):
+        if cols is None or not want <= set(cols):
             md = SegmentMetadata.from_file(
                 os.path.join(seg, "metadata.properties")
             )
             for name, cm in md.columns.items():
                 if cm.has_null_values:
                     nullable.add(name)
+            # schema evolution: a requested column this segment predates
+            # is all-NULL in its batches
+            nullable.update(n for n in want if n not in md.columns)
         else:
             for name, cs in cols.items():
                 if cs.get("has_nulls"):
@@ -314,7 +325,9 @@ class PinotDataSource(DataSource):
                 raise ValueError(f"columns not in segment: {missing}")
             names = requested
         sv_names = {n for n in names if md.columns[n].is_single_value}
-        nullable_cols = _table_nullable_columns(segments, sv_names)
+        nullable_cols = _table_nullable_columns(
+            segments, sv_names, tuple(names)
+        )
         fields = []
         for n in names:
             col = md.columns[n]

@@ -443,3 +443,80 @@ def test_two_concurrent_cdc_streams_independent_checkpoints(
         [r] = feed.agg(F.sum(_sign()).alias("nr")).collect()
         # bootstrap 100, minus 31 (k 10..40), minus 11 (k 50..60)
         assert r.nr == 100 - 31 - 11
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_cdc_fold_invariant_under_schema_evolution(spark, tmp_path, seed):
+    """Property (r11): the fold invariant survives schema evolution —
+    random sequences of plain appends, EVOLVED appends (extra column),
+    and retained deletes; the feed unions by name with NULL-fill for
+    pre-evolution delete rows (the changes_between fix), and folding on
+    the stable (k, v) columns still reconstructs the live table exactly."""
+    import random
+
+    from datafusion_pinot_spark.maintenance import changes_between, delete_rows
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    rng = random.Random(seed)
+    register_pinot_source(spark)
+    out = str(tmp_path / f"cdcevo{seed}_OFFLINE")
+    (
+        spark.range(0, 60)
+        .select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+        .repartitionByRange(3, "k")
+        .sortWithinPartitions("k")
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    next_key = 60
+    evolved = False
+    for _ in range(4):
+        op = rng.choice(["append", "append_evolved", "delete"])
+        if op == "append":
+            n = rng.randint(5, 15)
+            (
+                spark.range(next_key, next_key + n)
+                .select(F.col("k"), (F.col("k") * 7).alias("v"))
+                if False
+                else spark.range(next_key, next_key + n)
+                .select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+            ).coalesce(1).write.format("pinot").mode("append").save(out)
+            next_key += n
+        elif op == "append_evolved":
+            n = rng.randint(5, 15)
+            (
+                spark.range(next_key, next_key + n)
+                .select(
+                    F.col("id").alias("k"),
+                    (F.col("id") * 7).alias("v"),
+                    (F.col("id") * 1.5).alias("extra"),
+                )
+                .coalesce(1)
+                .write.format("pinot")
+                .mode("append")
+                .save(out)
+            )
+            next_key += n
+            evolved = True
+        else:
+            lo = rng.randint(0, max(0, next_key - 10))
+            delete_rows(
+                spark, out, "k", lo, lo + rng.randint(3, 15),
+                retain_replaced=True,
+            )
+
+    cdc = changes_between(spark, out, 0)
+    if evolved:
+        assert "extra" in cdc.columns  # union carried the evolved column
+    folded = (
+        cdc.groupBy("k", "v")
+        .agg(F.sum(_sign()).cast("long").alias("mult"))
+        .filter(F.col("mult") != 0)
+    )
+    live_rows = {}
+    for seg_df in [spark.read.format("pinot").load(out).select("k", "v")]:
+        for r in seg_df.collect():
+            live_rows[(r.k, r.v)] = live_rows.get((r.k, r.v), 0) + 1
+    got = {(r.k, r.v): r.mult for r in folded.collect()}
+    assert got == live_rows
