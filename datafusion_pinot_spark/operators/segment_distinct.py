@@ -198,6 +198,9 @@ def _dict_nullfree_everywhere(table_dir: str, col: str):
             if (
                 not cs.get("has_dictionary")
                 or cs.get("has_nulls")
+                # r11: manifests now carry MV entries too (is_single_value
+                # False); the dictionary-scan read is SV-only
+                or cs.get("is_single_value", True) is False
                 or "cardinality" not in cs
             ):
                 return None
@@ -212,7 +215,12 @@ def _dict_nullfree_everywhere(table_dir: str, col: str):
         if r.total_docs() == 0:
             continue
         cm = r.metadata.columns.get(col)
-        if cm is None or not cm.has_dictionary or cm.has_null_values:
+        if (
+            cm is None
+            or not cm.has_dictionary
+            or cm.has_null_values
+            or not cm.is_single_value
+        ):
             return None
         dirs.append(v3)
         cards.append(int(cm.cardinality))

@@ -83,8 +83,6 @@ def collect_segment_stats(v3_dir: str) -> dict:
     reader = SegmentReader.open(v3_dir)
     cols = {}
     for name, cm in reader.metadata.columns.items():
-        if not cm.is_single_value:
-            continue
         entry: dict = {
             "dtype": cm.data_type.value,
             "has_nulls": bool(cm.has_null_values),
@@ -96,6 +94,16 @@ def collect_segment_stats(v3_dir: str) -> dict:
             "cardinality": int(cm.cardinality),
         }
         cols[name] = entry
+        if not cm.is_single_value:
+            # MV columns get a stats-free entry (r11): schema() needs the
+            # COMPLETE column census per segment so evolution (a segment
+            # missing a requested column -> NULL-filled -> must be
+            # nullable) is answerable from the one manifest read; before
+            # this, any MV table fell back to a per-segment metadata parse
+            # at planning time. No min/max: zone-map pruning treats the
+            # entry as no-stats and conservatively keeps the segment.
+            entry["is_single_value"] = False
+            continue
         if cm.data_type.value not in _STATS_DTYPES:
             # no meaningful/json-safe min-max, but the entry still carries
             # dtype + nullability (schema() derives table-level

@@ -252,3 +252,35 @@ def test_fingerprint_stat_cache_and_cross_process_detection(table_dir):
     fp2 = M._fingerprint(v3)
     assert fp2[:2] == fp1[:2]  # stat pair identical...
     assert fp2[2] != fp1[2]  # ...but the content hash catches it
+
+
+def test_manifest_records_mv_columns(tmp_path):
+    """r11: MV columns get a stats-free manifest entry (dtype, nullability,
+    is_single_value=False, no min/max) so schema() answers the full column
+    census — including evolution NULL-fill nullability — from the one
+    manifest read instead of per-segment metadata parses."""
+    from pinot_segment.manifest import load_manifest, refresh_manifest
+    from pinot_segment.metadata import DataType
+    from pinot_segment.writer import ColumnSpec, write_segment
+
+    table = tmp_path / "mv_OFFLINE"
+    write_segment(
+        str(table / "s0"), "s0", "t",
+        [
+            ColumnSpec("k", DataType.LONG, [1, 2]),
+            ColumnSpec(
+                "tags", DataType.STRING, [["a", "b"], ["c"]], multi_value=True
+            ),
+        ],
+    )
+    refresh_manifest(str(table))
+    m = load_manifest(str(table))
+    [entry] = m.values()  # one segment
+    cols = entry["columns"]
+    assert "tags" in cols
+    assert cols["tags"]["is_single_value"] is False
+    assert "min" not in cols["tags"]
+    assert "has_nulls" in cols["tags"]
+    # SV entries unchanged: no is_single_value key, min/max present
+    assert "is_single_value" not in cols["k"]
+    assert "min" in cols["k"]
