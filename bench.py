@@ -1139,6 +1139,15 @@ def main() -> None:
     with open(bench_path, "w") as f:
         json.dump(payload, f, indent=1)
 
+    # r11: reclaim the per-run layout temp dirs — repeated bench runs were
+    # leaving ~120 MB of pinot tables in /tmp each (120 dirs after a busy
+    # round), and a polluted /tmp is one more source of run-to-run drift
+    for t in (
+        table_dir, rng_table_dir, bloom_table_dir, lin2d_table_dir,
+        z_table_dir,
+    ):
+        shutil.rmtree(os.path.dirname(t.rstrip("/")), ignore_errors=True)
+
     print(json.dumps(payload))
 
 
