@@ -229,3 +229,58 @@ def test_halflife_matches_dict_reference(spark, rows):
         want_ppm = mass[t] * 1000000 // total if total > 0 else 0
         assert r.share_ppm == want_ppm
         assert isinstance(r.mass, int)
+
+
+# ---- quality_yield_curve: threshold counting consistent with the
+# engine's own text_stats scores (no formula re-implementation — the
+# formula itself is pinned by the text_stats oracle) ----
+
+texts = st.lists(
+    st.sampled_from(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "x",
+            "!!!! ???? ;;;;",
+            "plain readable prose with several common words in it",
+            "",
+            "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+            "numbers 123 456 789 mixed with words and, punctuation.",
+        ]
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts)
+def test_yield_curve_counts_match_scored_profile(spark, rows):
+    from datafusion_pinot_spark.operators.text import (
+        quality_yield_curve,
+        text_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    profile = [
+        (r.n_tokens, r.quality) for r in text_stats(docs).collect()
+    ]
+    got = {r.threshold_milli: r for r in quality_yield_curve(docs).collect()}
+    n_docs = len(profile)
+    n_tokens = sum(t for t, _ in profile)
+    for m in range(0, 1000, 100):
+        t = m / 1000.0
+        kept = [(nt, q) for nt, q in profile if q >= t]
+        r = got[m]
+        assert r.n_docs_kept == len(kept)
+        assert r.n_tokens_kept == sum(nt for nt, _ in kept)
+        assert r.docs_yield_ppm == (
+            len(kept) * 1000000 // n_docs if n_docs else 0
+        )
+        assert r.tokens_yield_ppm == (
+            sum(nt for nt, _ in kept) * 1000000 // n_tokens
+            if n_tokens
+            else 0
+        )
