@@ -114,6 +114,58 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibration(spark) -> dict:
+    """Fixed, data-independent probes that separate MACHINE drift from CODE
+    drift across rounds (r11 verdict #2: the driver's r11 run measured ~17%
+    slower than the committed r10 run on queries whose code had not changed,
+    and the attribution had to be argued instead of measured). Two probes,
+    matching the two execution substrates every benched query runs on:
+
+    - ``numpy_unpack_sec``: bit-unpacking a pinned pseudorandom buffer
+      through the same vectorized kernel the segment decode hot path uses
+      (pinot_segment.fixed_bit.unpack_bits) — the Python-worker-side cost
+      proxy for the pinot tier.
+    - ``jvm_agg_sec``: a pinned spark.range aggregation (pure whole-stage
+      codegen, no IO, no shuffle data) — the JVM throughput proxy for the
+      parquet tier.
+
+    Both are median-of-7 on fixed sizes, so the numbers are comparable
+    across rounds on the same hardware: a round-over-round shift in these
+    probes is machine state (thermal, co-tenancy, kernel), not this repo's
+    code. ratio_vs_prev_calibrated divides each query's raw ratio by its
+    substrate's probe ratio."""
+    import statistics as st
+
+    import numpy as np
+
+    from pinot_segment.fixed_bit import unpack_bits
+
+    rng = np.random.RandomState(42)
+    n_vals, bits = 4_000_000, 13
+    packed = np.packbits(
+        rng.randint(0, 2, n_vals * bits).astype(np.uint8)
+    ).tobytes()
+
+    def np_probe():
+        unpack_bits(packed, bits, n_vals)
+
+    def jvm_probe():
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 1) as s", "avg(id % 97) as a", "max(id ^ 12345) as m"
+        ).collect()
+
+    out = {}
+    for name, fn in (("numpy_unpack_sec", np_probe), ("jvm_agg_sec", jvm_probe)):
+        fn()  # warmup (page-in / JIT)
+        samples = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        out[name] = round(st.median(samples), 4)
+    return out
+
+
 def timed(run, runs: int = TIMED_RUNS) -> tuple[float, float, float]:
     """(median, min, max) of `runs` timed executions of run()."""
     samples = []
@@ -122,6 +174,28 @@ def timed(run, runs: int = TIMED_RUNS) -> tuple[float, float, float]:
         run()
         samples.append(time.perf_counter() - t0)
     return statistics.median(samples), min(samples), max(samples)
+
+
+def timed_pair(run_a, run_b, runs: int = TIMED_RUNS):
+    """Interleaved A/B timing: a,b,a,b,... so slow machine drift over the
+    measurement window hits both sides equally and their RATIO stays
+    drift-free. The r11 driver run showed a non-monotone bloom trend tail
+    (1.0->1.16->1.14) purely because each pair's fullscan and indexed sides
+    were measured minutes apart on a drifting machine (r11 verdict #7);
+    sequential per-side timing is fine for absolute medians but wrong for
+    within-run speedup claims. Returns ((med,lo,hi) for a, same for b)."""
+    sa, sb = [], []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        run_a()
+        sa.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_b()
+        sb.append(time.perf_counter() - t0)
+    return (
+        (statistics.median(sa), min(sa), max(sa)),
+        (statistics.median(sb), min(sb), max(sb)),
+    )
 
 
 def pinot_format_queries(spark, sf_dir: str):
@@ -651,25 +725,45 @@ def marginal_tier(
     spp3 = str(spp * 3)
     spp10 = str(spp * 10)
     trend = {}
-    for tname, tbl in (
-        ("filter_eq_fullscan_3x", big3),
-        ("filter_eq_inverted_3x", big3_rng),
-    ):
-        frame = agg(
-            rd(tbl, "tag,l_extendedprice",
-               segments_per_partition=spp3).filter(F.col("tag") == "rare")
+
+    # r12: each trend PAIR is timed interleaved (timed_pair) — the speedup
+    # is a within-run ratio, so both sides must see the same machine state
+    def trend_pair(base_name, base_frame, idx_name, idx_frame, nrows):
+        materialize(base_frame)
+        materialize(idx_frame)
+        (bm, bl, bh), (im, il, ih) = timed_pair(
+            lambda: materialize(base_frame),
+            lambda: materialize(idx_frame),
+            runs=5,
         )
-        materialize(frame)
-        med, lo, hi = timed(lambda: materialize(frame), runs=5)
-        trend[tname] = {
-            "sec": round(med, 4),
-            "spread": [round(lo, 4), round(hi, 4)],
-            "ns_per_row": round(med * 1e9 / rows3, 1),
+        trend[base_name] = {
+            "sec": round(bm, 4),
+            "spread": [round(bl, 4), round(bh, 4)],
+            "ns_per_row": round(bm * 1e9 / nrows, 1),
         }
-    trend["filter_eq_inverted_3x"]["speedup_vs_fullscan"] = round(
-        trend["filter_eq_fullscan_3x"]["sec"]
-        / trend["filter_eq_inverted_3x"]["sec"],
-        2,
+        trend[idx_name] = {
+            "sec": round(im, 4),
+            "spread": [round(il, 4), round(ih, 4)],
+            "ns_per_row": round(im * 1e9 / nrows, 1),
+            "speedup_vs_fullscan": round(bm / im, 2),
+        }
+
+    def eq_frame(tbl, spp_val):
+        return agg(
+            rd(tbl, "tag,l_extendedprice",
+               segments_per_partition=spp_val).filter(F.col("tag") == "rare")
+        )
+
+    def in_frame(tbl, spp_val):
+        return agg(
+            rd(tbl, segments_per_partition=spp_val).filter(
+                F.col("l_orderkey").isin(7, 513, 1154)
+            )
+        )
+
+    trend_pair(
+        "filter_eq_fullscan_3x", eq_frame(big3, spp3),
+        "filter_eq_inverted_3x", eq_frame(big3_rng, spp3), rows3,
     )
     trend["speedup_trend_1x_to_3x"] = [
         probe_out["filter_eq_inverted"].get("speedup_vs_fullscan"),
@@ -679,26 +773,9 @@ def marginal_tier(
     # bench scale (1.04x despite the 10.7x micro win) — measure the same
     # amortization trend for the IN-probe pair so the claim is a curve,
     # not an assertion.
-    for tname, tbl in (
-        ("filter_in_fullscan_3x", big3),
-        ("filter_in_bloom_3x", big3_bloom),
-    ):
-        frame = agg(
-            rd(tbl, segments_per_partition=spp3).filter(
-                F.col("l_orderkey").isin(7, 513, 1154)
-            )
-        )
-        materialize(frame)
-        med, lo, hi = timed(lambda: materialize(frame), runs=5)
-        trend[tname] = {
-            "sec": round(med, 4),
-            "spread": [round(lo, 4), round(hi, 4)],
-            "ns_per_row": round(med * 1e9 / rows3, 1),
-        }
-    trend["filter_in_bloom_3x"]["speedup_vs_fullscan"] = round(
-        trend["filter_in_fullscan_3x"]["sec"]
-        / trend["filter_in_bloom_3x"]["sec"],
-        2,
+    trend_pair(
+        "filter_in_fullscan_3x", in_frame(big3, spp3),
+        "filter_in_bloom_3x", in_frame(big3_bloom, spp3), rows3,
     )
     shutil.rmtree(big3, ignore_errors=True)
     shutil.rmtree(big3_rng, ignore_errors=True)
@@ -713,51 +790,18 @@ def marginal_tier(
         bloom_table_dir, copies * 10, suffix="big10"
     )
     rows10 = rows * 10
-    for tname, tbl in (
-        ("filter_eq_fullscan_10x", big10),
-        ("filter_eq_inverted_10x", big10_rng),
-    ):
-        frame = agg(
-            rd(tbl, "tag,l_extendedprice",
-               segments_per_partition=spp10).filter(F.col("tag") == "rare")
-        )
-        materialize(frame)
-        med, lo, hi = timed(lambda: materialize(frame), runs=5)
-        trend[tname] = {
-            "sec": round(med, 4),
-            "spread": [round(lo, 4), round(hi, 4)],
-            "ns_per_row": round(med * 1e9 / rows10, 1),
-        }
-    trend["filter_eq_inverted_10x"]["speedup_vs_fullscan"] = round(
-        trend["filter_eq_fullscan_10x"]["sec"]
-        / trend["filter_eq_inverted_10x"]["sec"],
-        2,
+    trend_pair(
+        "filter_eq_fullscan_10x", eq_frame(big10, spp10),
+        "filter_eq_inverted_10x", eq_frame(big10_rng, spp10), rows10,
     )
     trend["speedup_trend_1x_to_10x"] = [
         probe_out["filter_eq_inverted"].get("speedup_vs_fullscan"),
         trend["filter_eq_inverted_3x"]["speedup_vs_fullscan"],
         trend["filter_eq_inverted_10x"]["speedup_vs_fullscan"],
     ]
-    for tname, tbl in (
-        ("filter_in_fullscan_10x", big10),
-        ("filter_in_bloom_10x", big10_bloom),
-    ):
-        frame = agg(
-            rd(tbl, segments_per_partition=spp10).filter(
-                F.col("l_orderkey").isin(7, 513, 1154)
-            )
-        )
-        materialize(frame)
-        med, lo, hi = timed(lambda: materialize(frame), runs=5)
-        trend[tname] = {
-            "sec": round(med, 4),
-            "spread": [round(lo, 4), round(hi, 4)],
-            "ns_per_row": round(med * 1e9 / rows10, 1),
-        }
-    trend["filter_in_bloom_10x"]["speedup_vs_fullscan"] = round(
-        trend["filter_in_fullscan_10x"]["sec"]
-        / trend["filter_in_bloom_10x"]["sec"],
-        2,
+    trend_pair(
+        "filter_in_fullscan_10x", in_frame(big10, spp10),
+        "filter_in_bloom_10x", in_frame(big10_bloom, spp10), rows10,
     )
     trend["bloom_speedup_trend_1x_to_10x"] = [
         probe_out["filter_in_bloom"].get("speedup_vs_fullscan"),
@@ -1054,6 +1098,10 @@ def main() -> None:
     # warmup: touch the fact table once (file listing + codegen warm)
     QUERIES["count_star"].fn(spark, sf_dir).collect()
 
+    # machine-drift probes, measured at run START (see calibration());
+    # re-measured at run END so drift DURING the run is visible too
+    calib_start = calibration(spark)
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
 
@@ -1094,6 +1142,19 @@ def main() -> None:
         lin2d_table_dir, z_table_dir,
     )
 
+    calib_end = calibration(spark)
+
+    # r12 (r11 verdict #7): trend probes also report sec normalized by this
+    # run's numpy calibration probe (their decode runs in Python workers),
+    # so cross-ROUND comparisons of trend absolutes survive machine drift;
+    # the within-run speedups are already drift-paired via timed_pair.
+    np_calib = (
+        calib_start["numpy_unpack_sec"] + calib_end["numpy_unpack_sec"]
+    ) / 2
+    for entry in marginal["index_probes"].get("eq_scale_trend", {}).values():
+        if isinstance(entry, dict) and "sec" in entry:
+            entry["sec_per_calib"] = round(entry["sec"] / np_calib, 2)
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_num = float(sf)
@@ -1113,6 +1174,7 @@ def main() -> None:
         "marginal": marginal,
         "sf": sf_num,
         "cpus": cpus,
+        "calibration": {"start": calib_start, "end": calib_end},
     }
 
     # Persist the FULL payload to a committed file: the driver's BENCH_r{N}
@@ -1130,12 +1192,49 @@ def main() -> None:
             else {}
         )
     except (OSError, json.JSONDecodeError):
+        prev_payload = {}
         prev = {}
     payload["ratio_vs_prev"] = {
         name: round(sec / prev[name], 3)
         for name, sec in timings.items()
         if prev.get(name)
     }
+    # r12 (r11 verdict #2): calibration-normalized ratios alongside the raw
+    # ones. Each query's raw ratio is divided by its execution substrate's
+    # probe ratio (pinot tier decodes in Python workers -> numpy probe;
+    # everything else is JVM codegen -> jvm probe), so a uniform machine
+    # slowdown shows up as ratio_vs_prev > 1 with calibrated ~ 1, while a
+    # real code regression moves BOTH. Probes averaged over start+end of
+    # run so mid-run drift is split, not ignored.
+    prev_calib = prev_payload.get("calibration") or {}
+    if prev and prev_calib:
+
+        def _avg(c, key):
+            s, e = c.get("start", {}).get(key), c.get("end", {}).get(key)
+            vals = [v for v in (s, e) if v]
+            return sum(vals) / len(vals) if vals else None
+
+        machine = {}
+        for key in ("numpy_unpack_sec", "jvm_agg_sec"):
+            cur_v, prev_v = _avg(payload["calibration"], key), _avg(
+                prev_calib, key
+            )
+            if cur_v and prev_v:
+                machine[key] = round(cur_v / prev_v, 3)
+        payload["machine_ratio_vs_prev"] = machine
+        payload["ratio_vs_prev_calibrated"] = {
+            name: round(
+                raw
+                / machine.get(
+                    "numpy_unpack_sec"
+                    if name.startswith("pinot_")
+                    else "jvm_agg_sec",
+                    1.0,
+                ),
+                3,
+            )
+            for name, raw in payload["ratio_vs_prev"].items()
+        }
     with open(bench_path, "w") as f:
         json.dump(payload, f, indent=1)
 

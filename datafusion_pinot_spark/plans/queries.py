@@ -8501,27 +8501,40 @@ def q_doc_repetition(spark, sf):
 # highest-value veterans. Veterans rotated out of the window remain pinned by
 # tests/test_queries_oracle.py and tools/oracle_check.py runs.
 DRIVER_WINDOW: list[str] = [
-    # r12 FIRST-CHECK BACKLOG (8 entries — exactly one round's rotation
-    # capacity, the r11 precedent): rrf_fusion_topk (reciprocal-rank
-    # fusion of cosine + L2 rankings, exact integer ppm),
-    # tukey_fence_outliers (boxplot outlier audit on exact
-    # order-statistic quartiles), dup_transitivity_audit (wedge-closure
-    # risk audit of the verified near-dup graph), dedup_survivorship_psi
-    # (source-mix drift introduced by dedup — PSI between before/after
-    # shares), embedding_centroid_shift (per-label centroid L1 drift
-    # between corpus halves on milli-quantized components),
-    # lang_confusion_matrix (lang-id router quality vs the labeled
-    # column, per-cell ppm), split_leakage_audit (exact-dup content
-    # crossing the hash train/valid boundary, leak in ppm of the valid
-    # set), quality_yield_curve (docs/tokens surviving the quality gate
-    # per candidate threshold) — landed in r11 after this window's
-    # composition was fixed around the 8-query r11 backlog + 19
-    # second-checks; they take their first driver check in r12 (the
-    # documented-deferral path r10->r11 used). All eight are oracle-green
-    # at sf0.001, sf0.01, AND sf0.1 under the exact gate. (The pre-
-    # registered halflife_event_mass_cells diagnostic is NOT backlog —
-    # pytest-tier only unless halflife reds a third time, per r10
-    # verdict #5.)
+    # -- r12: drain the 8-query r11 first-check backlog (r11 VERDICT item
+    # #1). Slots freed by rotating out 8 THRICE-or-more-green veterans,
+    # each pinned by the pytest oracle tier, with family coverage staying
+    # in-window: streaming_funnel_totals (5x green r07-r11; streaming
+    # stays window-covered by pinot_stream_cdc_fold, funnel semantics by
+    # conversion_attribution + session_bounce_rate +
+    # event_transition_matrix), epoch_upsample_report (4x green r08-r11;
+    # curation family covered by split_leakage_audit + quality_yield_curve
+    # entering), simpson_source_diversity (3x; diversity/concentration
+    # covered by pareto_revenue_share + zipf_rank_frequency staying),
+    # word_runs_udtf (3x; the UDTF+LATERAL surface stays pytest-pinned
+    # and the pandas-UDF surface stays window-covered by
+    # image_tile_contrast + the ANN rows), video_scene_cuts (3x; framed
+    # media family covered by image_tile_contrast staying — same
+    # Arrow-batched plumbing plus grid pooling), ks_source_drift (3x;
+    # distribution-drift family covered by dedup_survivorship_psi
+    # entering — same PSI/drift semantics — plus mann_whitney staying),
+    # trimmed_mean_values (3x; robust-stats family covered by
+    # tukey_fence_outliers entering — same exact order-statistic
+    # machinery — plus theil_sen_daily_trend staying),
+    # dow_seasonality_index (3x; temporal seasonality covered by
+    # monthly_revenue_momentum + interevent_gap_histogram staying). --
+    "rrf_fusion_topk",  # r11: reciprocal-rank fusion of cosine+L2, integer ppm
+    "tukey_fence_outliers",  # r11: boxplot outlier audit on exact quartiles
+    "dup_transitivity_audit",  # r11: wedge-closure risk of CC-as-dup-groups
+    "dedup_survivorship_psi",  # r11: source-mix drift introduced by dedup
+    "embedding_centroid_shift",  # r11: per-label centroid L1 drift, milli-quantized
+    "lang_confusion_matrix",  # r11: lang-id router quality vs labels, per-cell ppm
+    "split_leakage_audit",  # r11: exact-dup content across train/valid hash split
+    "quality_yield_curve",  # r11: docs/tokens surviving per quality threshold
+    # r13 FIRST-CHECK BACKLOG: see the r12 additions registered this
+    # round (documented at their @register sites); the pre-registered
+    # halflife_event_mass_cells diagnostic remains pytest-tier only
+    # unless halflife reds again, per r10 verdict #5.
     # -- r11: drain the 8-query first-check backlog (r10 VERDICT item #3).
     # Slots freed by rotating out 8 THRICE-green (r08+r09+r10) veterans,
     # each pinned by the pytest oracle tier, with family coverage staying
@@ -8606,7 +8619,7 @@ DRIVER_WINDOW: list[str] = [
     # test in test_round9.py), stream_left_outer_closed (watermark-closed
     # semantics stay window-covered by streaming_funnel_totals +
     # stream_upsert_enrich). --
-    "simpson_source_diversity",  # r9: Simpson/effective-source diversity
+    # (r12 rotation, thrice-green r09+r10+r11) "simpson_source_diversity",  # r9: Simpson/effective-source diversity
     # -- r9 batch 2. Slots freed by rotating out three more twice-green
     # (r07+r08) veterans: pinot_partition_pruned_lookup (partition-map
     # planning stays pytest-pinned by test_partition_map.py),
@@ -8655,13 +8668,13 @@ DRIVER_WINDOW: list[str] = [
     # bpe_merge_candidates (adjacent-pair counting IS step one of
     # bpe_two_merges, which stays in the window; both remain
     # pytest-pinned). --
-    "ks_source_drift",  # r9: exact two-sample KS sup over merged support
-    "trimmed_mean_values",  # r9: robust trimmed mean on exact ranks
+    # (r12 rotation, thrice-green r09+r10+r11) "ks_source_drift",  # r9: exact two-sample KS sup over merged support
+    # (r12 rotation, thrice-green r09+r10+r11) "trimmed_mean_values",  # r9: robust trimmed mean on exact ranks
     # (daily_dispersion_index rotated out, once-green r08: the daily
     # epoch-count reduction family stays window-covered by
     # daily_ols_trend, and the new dow row checks the same epoch-day
     # arithmetic plus the per-type partitioned window; pytest-pinned.)
-    "dow_seasonality_index",  # r9: epoch-arithmetic weekly seasonality
+    # (r12 rotation, thrice-green r09+r10+r11) "dow_seasonality_index",  # r9: epoch-arithmetic weekly seasonality
     # (pinot_dictionary_values_scan rotated out, once-green r08: the
     # dictionary-served family stays window-covered by
     # pinot_dictionary_distinct + pinot_groupby_from_dict and
@@ -8672,12 +8685,12 @@ DRIVER_WINDOW: list[str] = [
     # accuracy gate stays pytest-pinned and its rows-only sibling never
     # was window material; the slot completes the §2.10 UDF/UDAF/UDTF
     # triple with the catalog's only UDTF + SQL LATERAL surface.)
-    "word_runs_udtf",  # r9: Python UDTF + LATERAL vs gaps-and-islands
+    # (r12 rotation, thrice-green r09+r10+r11) "word_runs_udtf",  # r9: Python UDTF + LATERAL vs gaps-and-islands
     "halflife_event_mass",  # r9: power-of-two recency decay mass
     "t_closeness_audit",  # r9: sensitive-distribution TVD privacy audit
     "label_prop_communities",  # r9: 2-round min-label propagation
     "token_lift_pairs",  # r9: integer co-occurrence lift, top-V bounded
-    "video_scene_cuts",  # r9: inter-frame-delta shot detection, hash-gated
+    # (r12 rotation, thrice-green r09+r10+r11) "video_scene_cuts",  # r9: inter-frame-delta shot detection, hash-gated
     # (audio_vad_summary rotated out, once-green r08: the framed-media
     # kernel family stays window-covered by video_scene_cuts + the new
     # tile row below, which exercise the same Arrow-batched plumbing
@@ -8741,7 +8754,7 @@ DRIVER_WINDOW: list[str] = [
     # (r10 rotation, twice-green r08+r09) "domain_token_budget",  # r8: largest-remainder token apportionment
     # (r10 rotation, twice-green r08+r09) "semdedup_drops",  # r8: cluster-then-threshold embedding dedup
     # (r11 rotation, thrice-green r08+r09+r10) "stream_upsert_enrich",  # r8: stream-static join over upsert dim
-    "streaming_funnel_totals",  # r6: stateful streaming funnel, per-user
+    # (r12 rotation, 5x-green r07-r11) "streaming_funnel_totals",  # r6: stateful streaming funnel, per-user
     # r6-continuation funnel analytics (standing rule: round-N queries
     # enter the round-N window). Slot freed by rotating pinot_lineitem_q1
     # (driver-green r3+r5, pinned by the pytest oracle tier + bench's
@@ -8840,7 +8853,7 @@ DRIVER_WINDOW: list[str] = [
     # r07-green, and the distinct-strategy router is window-covered by
     # pinot_metadata_distinct + pinot_dictionary_distinct, which check
     # the same layout proof plus the dictionary invariant.)
-    "epoch_upsample_report",  # r8: materialized per-source epoch upsampling
+    # (r12 rotation, 4x-green r08-r11) "epoch_upsample_report",  # r8: materialized per-source epoch upsampling
     # -- streaming ops --
     # (stateful_user_totals rotated out: r5-green on the fixed oracle and
     # pinned by the pytest oracle tier; applyInPandasWithState semantics
