@@ -605,6 +605,36 @@ def reindex_table(
     return {"reindexed": sorted(reindexed), "skipped": skipped}
 
 
+def _anchor_widest(dirs: list[str]) -> list[str]:
+    """Reorder segment dirs so the WIDEST (most columns) segment comes
+    first (r11): the data source infers the column set from the first
+    segment, so a pre-evolution segment sorting first would silently DROP
+    the evolved column from the whole feed. O(dirs) metadata parses — the
+    same planning budget the diff itself costs. (Divergent drop-column
+    evolution still anchors on the widest set; a column absent from the
+    anchor is absent from the feed — documented.) Moves exactly ONE
+    occurrence of the anchor to the front (r11 advice: a `!= anchor`
+    filter would drop every duplicate occurrence — harmless while
+    changes_between yields unique names, silent row loss if a caller
+    ever passes duplicates)."""
+    if len(dirs) <= 1:
+        return dirs
+    from pinot_segment import SegmentMetadata
+
+    widths = {
+        d: len(
+            SegmentMetadata.from_file(
+                os.path.join(d, "metadata.properties")
+            ).columns
+        )
+        for d in dirs
+    }
+    anchor = max(dirs, key=lambda d: widths[d])
+    rest = list(dirs)
+    rest.remove(anchor)
+    return [anchor] + rest
+
+
 def changes_between(
     spark: SparkSession,
     table_dir: str,
@@ -646,27 +676,7 @@ def changes_between(
     ctx = f"CDC {diff['from_id']}->{diff['to_id']}"
 
     def read_tagged(names: list[str], tag: str):
-        dirs = resolve_segment_dirs(table_dir, names, ctx)
-        # Anchor the side's schema on its WIDEST segment (r11): the data
-        # source infers the column set from the first segment, so a
-        # pre-evolution segment sorting first would silently DROP the
-        # evolved column from the whole feed. O(changed) metadata parses
-        # — the same planning budget the diff itself costs. (Divergent
-        # drop-column evolution still anchors on the widest set; a column
-        # absent from the anchor is absent from the feed — documented.)
-        if len(dirs) > 1:
-            from pinot_segment import SegmentMetadata
-
-            widths = {
-                d: len(
-                    SegmentMetadata.from_file(
-                        os.path.join(d, "metadata.properties")
-                    ).columns
-                )
-                for d in dirs
-            }
-            anchor = max(dirs, key=lambda d: widths[d])
-            dirs = [anchor] + [d for d in dirs if d != anchor]
+        dirs = _anchor_widest(resolve_segment_dirs(table_dir, names, ctx))
         return (
             spark.read.format("pinot")
             .option("segments", ",".join(dirs))

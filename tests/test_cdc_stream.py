@@ -477,9 +477,6 @@ def test_cdc_fold_invariant_under_schema_evolution(spark, tmp_path, seed):
             n = rng.randint(5, 15)
             (
                 spark.range(next_key, next_key + n)
-                .select(F.col("k"), (F.col("k") * 7).alias("v"))
-                if False
-                else spark.range(next_key, next_key + n)
                 .select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
             ).coalesce(1).write.format("pinot").mode("append").save(out)
             next_key += n

@@ -1,0 +1,135 @@
+"""Round 12: gate hardening + advice fixes made structural.
+
+- The output-type lint bans timestamp_ntz DELIBERATELY (r11 verdict #6):
+  the t() loader casts NTZ parquet reads to session-tz TIMESTAMP at the
+  source, so an NTZ output column can only mean a query bypassed the
+  loader — and whether the driver's canonicalizer hashes Spark NTZ
+  identically to DuckDB's naive TIMESTAMP is unverifiable from here.
+- norm_rows sorts on a (class_rank, repr) key so a float column mixing
+  finite / NaN / Inf / int-coerced cells stays deterministically
+  sortable (r11 advice #2).
+- The CDC widest-anchor reorder keeps duplicate segment-dir occurrences
+  (r11 advice #3).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, TimestampNTZType
+
+from tools.oracle_check import lint_spark_schema, norm_rows
+
+
+class TestNtzLint:
+    def test_rejects_timestamp_ntz(self):
+        schema = StructType([StructField("ts", TimestampNTZType())])
+        assert lint_spark_schema("q", schema) == ["ts:timestamp_ntz"]
+
+    def test_rejects_ntz_inside_array(self, spark):
+        df = spark.sql(
+            "SELECT array(TIMESTAMP_NTZ '2020-01-01 00:00:00') AS xs"
+        )
+        assert lint_spark_schema("q", df.schema) == [
+            "xs:array<timestamp_ntz>"
+        ]
+
+    def test_no_registered_query_declares_ntz(self):
+        # the t() loader normalizes events.ts to TIMESTAMP regardless of
+        # how the parquet reader surfaced it; a grep-level assertion that
+        # the catalog itself never constructs NTZ outputs
+        import inspect
+
+        from datafusion_pinot_spark.plans import queries as qmod
+
+        src = inspect.getsource(qmod)
+        assert "to_timestamp_ntz" not in src
+        assert 'cast("timestamp_ntz")' not in src
+
+
+class TestNormRowsSortKey:
+    def test_mixed_nan_inf_int_float_rows_sort(self):
+        # one float column whose normalized cells span str ("NaN"/"Inf"),
+        # int (integral coercion), and float — the r11 key could only
+        # order these because str() flattened everything; the r12 key is
+        # explicitly (class_rank, repr)
+        rows = [
+            (float("nan"),),
+            (float("inf"),),
+            (float("-inf"),),
+            (2.0,),
+            (2.5,),
+            (None,),
+            (-1.0,),
+        ]
+        out = norm_rows(["v"], rows)
+        assert len(out) == 7
+        # determinism: same multiset in any input order sorts identically
+        assert norm_rows(["v"], list(reversed(rows))) == out
+        # None sorts first (class_rank 0)
+        assert out[0] == (None,)
+
+    def test_int_and_str_cells_do_not_collide(self):
+        # 2 (int) and "2" (str) must get DISTINCT sort keys — with the old
+        # str(x) key they collided and kept unstable input order
+        a = norm_rows(["v"], [(2,), ("2",)])
+        b = norm_rows(["v"], [("2",), (2,)])
+        assert a == b
+        assert a[0] != a[1]
+
+
+class TestAnchorReorderKeepsDuplicates:
+    def test_duplicate_anchor_occurrences_survive(self, spark, tmp_path):
+        # build a 2-segment evolved table where the widest segment sorts
+        # LAST, then hand _anchor_widest a dirs list duplicating the
+        # anchor: the reorder must keep every occurrence (r11 advice —
+        # the old `!= anchor` filter dropped duplicates silently)
+        import os
+
+        from datafusion_pinot_spark.maintenance import _anchor_widest
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = str(tmp_path / "t_OFFLINE")
+        (
+            spark.range(0, 10)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+            .write.format("pinot")
+            .mode("overwrite")
+            .save(out)
+        )
+        (
+            spark.range(10, 20)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") * 2).alias("v"),
+                (F.col("id") * 1.5).alias("extra"),
+            )
+            .coalesce(1)
+            .write.format("pinot")
+            .mode("append")
+            .save(out)
+        )
+        # _anchor_widest takes v3 dirs, the shape resolve_segment_dirs yields
+        segs = sorted(
+            os.path.join(out, d, "v3")
+            for d in os.listdir(out)
+            if os.path.isdir(os.path.join(out, d, "v3"))
+        )
+        wide = _anchor_widest(segs)[0]
+        narrow = next(d for d in segs if d != wide)
+
+        ordered = _anchor_widest([narrow, wide, wide])
+        assert ordered[0] == wide
+        assert len(ordered) == 3, "duplicate anchor occurrence was dropped"
+        assert sorted(ordered) == sorted([narrow, wide, wide])
+
+        # the evolved-table CDC feed itself still anchors on the wide side
+        from datafusion_pinot_spark.maintenance import changes_between
+        from pinot_segment.snapshot import load_snapshot_log
+
+        snaps = [s["id"] for s in load_snapshot_log(out)["snapshots"]]
+        feed = changes_between(spark, out, snaps[0], snaps[-1])
+        assert "extra" in feed.columns
+        assert feed.count() == 10

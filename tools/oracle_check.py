@@ -32,8 +32,15 @@ TABLES = (
 # a Decimal cell differs between engines' client libraries, so the type must
 # never cross the output boundary. Binary/struct/map are banned because the
 # driver's pandas canonicalizer cannot sort/hash them.
+# timestamp_ntz is ALSO banned (r11 verdict #6, a deliberate decision, not
+# the regex accident it was in r11): no registered query emits it — the t()
+# loader casts NTZ parquet reads to session-tz TIMESTAMP at the source —
+# and whether the driver's canonicalizer hashes a Spark NTZ cell identically
+# to DuckDB's naive TIMESTAMP is unverifiable from here, so a query that
+# bypasses the loader and leaks NTZ should fail THIS lint loudly rather
+# than gamble on the driver's hash.
 ALLOWED_SPARK_BASE = re.compile(
-    r"^(string|boolean|date|timestamp(_ntz)?|tinyint|smallint|int|bigint"
+    r"^(string|boolean|date|timestamp|tinyint|smallint|int|bigint"
     r"|float|double)$"
 )
 
@@ -134,10 +141,29 @@ def norm_value(v):
     return v
 
 
+def _sort_key(x):
+    """Order-safe homogeneous sort key for a NORMALIZED cell (r11 advice):
+    norm_value can map a float column's cells to a mix of str ("NaN"/"Inf"),
+    int (integral coercion), and float — a (class_rank, canonical_string)
+    tuple keeps every pair comparable and, because both engines' rows pass
+    through the same normalization, equal multisets sort identically. The
+    string leg is repr (not str) so 2 and "2" cannot collide into the same
+    key and sort by unstable input order."""
+    if x is None:
+        return (0, "")
+    if isinstance(x, bool):
+        return (1, repr(x))
+    if isinstance(x, (int, float)):
+        return (2, repr(x))
+    if isinstance(x, str):
+        return (3, x)
+    return (4, repr(x))
+
+
 def norm_rows(cols: list[str], rows) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_value(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    out.sort(key=lambda t: tuple(_sort_key(x) for x in t))
     return out
 
 
