@@ -157,10 +157,13 @@ def _table_nullable_columns(
     null' inside Spark's ArrowColumnVector when any pre-evolution segment
     sits behind an evolved first segment). Answered from each table's
     segment_stats.json manifest when fresh (one file read; the manifest
-    records has_nulls for every single-value column); segments the
-    manifest doesn't cover — or whose entry predates the all-columns
-    manifest format / lacks a requested column — pay a
-    metadata.properties parse."""
+    records has_nulls for every column). An entry carrying the r12
+    ``all_columns`` marker is a COMPLETE census, so a requested column
+    absent from it is evolution NULL-fill — answerable with ZERO
+    metadata.properties parses even on evolved tables. Only segments the
+    manifest doesn't cover, or whose entry predates the marker AND lacks
+    a requested column, pay a metadata parse (pre-r12 manifests omitted
+    MV columns on the sink path, so absence there is ambiguous)."""
     from pinot_segment import SegmentMetadata
     from pinot_segment.manifest import stats_for_segments
 
@@ -170,7 +173,8 @@ def _table_nullable_columns(
     for seg in segments:
         st = stats.get(seg)
         cols = (st or {}).get("columns")
-        if cols is None or not want <= set(cols):
+        complete = bool((st or {}).get("all_columns"))
+        if cols is None or (not complete and not want <= set(cols)):
             md = SegmentMetadata.from_file(
                 os.path.join(seg, "metadata.properties")
             )
@@ -184,6 +188,8 @@ def _table_nullable_columns(
             for name, cs in cols.items():
                 if cs.get("has_nulls"):
                     nullable.add(name)
+            # complete census: absence == the segment predates the column
+            nullable.update(n for n in want if n not in cols)
     return nullable
 
 
@@ -1829,6 +1835,18 @@ def _specs_stats(specs, total_docs: int) -> dict:
     cols = {}
     for spec in specs:
         if spec.multi_value:
+            # MV columns get a stats-free entry (r12 — parity with
+            # collect_segment_stats' r11 fix): schema() needs the COMPLETE
+            # column census per segment, and the sink path skipping MV
+            # meant sink-WRITTEN MV tables still paid a per-segment
+            # metadata parse at planning that rebuilt manifests did not
+            mv_nm = spec.null_mask
+            cols[spec.name] = {
+                "dtype": spec.declared_dtype().value,
+                "has_nulls": mv_nm is not None
+                and bool(np.asarray(mv_nm).any()),
+                "is_single_value": False,
+            }
             continue
         nm = spec.null_mask
         entry = {
@@ -1873,7 +1891,10 @@ def _specs_stats(specs, total_docs: int) -> dict:
                 "num": num,
                 "values": [int(p) for p in pids],
             }
-    return {"total_docs": total_docs, "columns": cols}
+    # all_columns: this map is the segment's COMPLETE column census (MV
+    # included, r12) — planning may treat a column ABSENT from it as one
+    # the segment predates (evolution NULL-fill) without a metadata parse
+    return {"total_docs": total_docs, "columns": cols, "all_columns": True}
 
 
 # Cap on driver-side segment opens during a commit-time manifest merge: a

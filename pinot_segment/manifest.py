@@ -127,6 +127,12 @@ def collect_segment_stats(v3_dir: str) -> dict:
         "fingerprint": _fingerprint(v3_dir),
         "total_docs": reader.total_docs(),
         "columns": cols,
+        # the columns map above is the segment's COMPLETE column census
+        # (r12): planning may treat a requested column ABSENT from it as
+        # one the segment predates (evolution NULL-fill) without falling
+        # back to a metadata.properties parse. Entries written before this
+        # marker existed stay conservative (the census re-parses them).
+        "all_columns": True,
     }
 
 

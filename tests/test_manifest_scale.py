@@ -340,3 +340,128 @@ def test_partition_map_prune_zero_opens_at_1k_segments(
     assert len(kept) == len(expected)
     assert all(f"seg{i:04d}" in d for i, d in zip(expected, kept))
     assert elapsed < 2.0  # manifest walk, not 1k opens
+
+
+def _counting_from_file(monkeypatch):
+    """Patch SegmentMetadata.from_file with a call counter; returns the
+    list of paths parsed."""
+    from pinot_segment.metadata import SegmentMetadata
+
+    parsed: list[str] = []
+    real = SegmentMetadata.from_file.__func__
+
+    def counting(cls, path):
+        parsed.append(str(path))
+        return real(cls, path)
+
+    monkeypatch.setattr(SegmentMetadata, "from_file", classmethod(counting))
+    return parsed
+
+
+def test_schema_census_zero_metadata_opens_fresh_manifest(
+    big_table, monkeypatch
+):
+    """r11 verdict #3: the nullability census (_table_nullable_columns)
+    must stay off the per-plan hot path. On a fresh-manifest table,
+    schema() parses metadata.properties exactly ONCE (the first-segment
+    anchor its column list comes from) — the census itself contributes
+    ZERO parses, independent of segment count."""
+    parsed = _counting_from_file(monkeypatch)
+    src = ds.PinotDataSource(options={"path": big_table})
+    schema = src.schema()
+    assert [f.name for f in schema.fields] == ["k"]
+    anchor_parses = [p for p in parsed if "metadata.properties" in p]
+    assert len(anchor_parses) == 1, (
+        f"schema() on a fresh-manifest table must be O(1) metadata parses, "
+        f"got {len(anchor_parses)}"
+    )
+
+
+def test_schema_census_zero_opens_on_evolved_schema(
+    tmp_path, monkeypatch
+):
+    """The evolved-schema extension (r11 verdict #3): when the anchor
+    segment is POST-evolution, the requested column set includes a column
+    pre-evolution segments lack. With the r12 all_columns manifest marker
+    the census answers 'those segments NULL-fill it -> nullable' from the
+    one manifest read — zero extra metadata parses. Without a manifest the
+    fallback parses per segment but lands on the same nullability."""
+    table = tmp_path / "evo_OFFLINE"
+    # seg0000 is WIDE (k, extra) and sorts first -> anchors the schema
+    write_segment(
+        table / "seg0000",
+        "seg0000",
+        "evo",
+        [
+            ColumnSpec("k", DataType.LONG, np.arange(8, dtype=np.int64)),
+            ColumnSpec(
+                "extra", DataType.LONG, np.arange(8, dtype=np.int64) * 3
+            ),
+        ],
+    )
+    for i in range(1, 40):
+        write_segment(
+            table / f"seg{i:04d}",
+            f"seg{i:04d}",
+            "evo",
+            [
+                ColumnSpec(
+                    "k",
+                    DataType.LONG,
+                    np.arange(i * 10, i * 10 + 8, dtype=np.int64),
+                )
+            ],
+        )
+    M.write_manifest(str(table), M.build_manifest(str(table)))
+
+    parsed = _counting_from_file(monkeypatch)
+    src = ds.PinotDataSource(options={"path": str(table)})
+    schema = src.schema()
+    by_name = {f.name: f for f in schema.fields}
+    assert set(by_name) == {"k", "extra"}
+    # pre-evolution segments NULL-fill extra -> it MUST surface nullable
+    assert by_name["extra"].nullable
+    md_parses = [p for p in parsed if "metadata.properties" in p]
+    assert len(md_parses) == 1, (
+        f"evolved-schema schema() with a fresh r12 manifest must stay O(1) "
+        f"metadata parses (got {len(md_parses)}) — a manifest-format drift "
+        f"has reintroduced the O(segments) census fallback"
+    )
+
+    # fallback correctness: no manifest -> per-segment parses, same answer
+    os.unlink(os.path.join(str(table), M.MANIFEST_NAME))
+    parsed.clear()
+    schema2 = ds.PinotDataSource(options={"path": str(table)}).schema()
+    by_name2 = {f.name: f for f in schema2.fields}
+    assert by_name2["extra"].nullable
+    assert len([p for p in parsed if "metadata.properties" in p]) > 10
+
+
+def test_sink_manifest_records_mv_columns_with_marker(spark, tmp_path):
+    """The r12 parity fix: the SINK's task-computed stats (_specs_stats)
+    must record MV columns (stats-free) and carry the all_columns marker,
+    exactly like rebuilt manifests — otherwise sink-written MV tables pay
+    a per-segment metadata parse at every plan."""
+    from pyspark.sql import functions as F
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "mv_OFFLINE")
+    (
+        spark.range(0, 100)
+        .select(
+            F.col("id").alias("k"),
+            F.array(F.col("id"), F.col("id") * 2).alias("tags"),
+        )
+        .coalesce(2)
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+    manifest = M.load_manifest(out)
+    assert manifest, "sink write must leave a fresh manifest"
+    for seg, st in manifest.items():
+        assert st.get("all_columns") is True, seg
+        assert "tags" in st["columns"], seg
+        assert st["columns"]["tags"].get("is_single_value") is False, seg
