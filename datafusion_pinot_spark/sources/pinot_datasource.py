@@ -1259,6 +1259,17 @@ class PinotCdcStreamReader(DataSourceStreamReader):
     maintains an exactly-consistent downstream view through compaction,
     predicate deletes, and plain appends alike.
 
+    Ordering guarantee for stateful consumers (r12, pinned by
+    test_cdc_fold_through_stateful_operator): a maintenance rewrite
+    commits its retire+add as ONE snapshot (append_snapshot records the
+    live set once, after both halves land), and offsets are snapshot ids,
+    so a rewrite's delete half and its compensating insert ALWAYS arrive
+    in the same micro-batch — a batch window (s, e] either contains the
+    rewrite's id or it doesn't. Within that batch the per-key rows reach
+    a stateful operator (applyInPandasWithState) in arbitrary order, so
+    the state fold must be order-insensitive WITHIN a batch (sign-additive
+    folds are); it never needs cross-batch commutativity for rewrites.
+
     Offsets are single integers (the snapshot id) — O(1) checkpoint state
     no matter how many segments the table holds, vs the seen-set offsets
     of the append-only reader. ``initial_snapshot='earliest'`` starts from

@@ -517,3 +517,134 @@ def test_cdc_fold_invariant_under_schema_evolution(spark, tmp_path, seed):
             live_rows[(r.k, r.v)] = live_rows.get((r.k, r.v), 0) + 1
     got = {(r.k, r.v): r.mult for r in folded.collect()}
     assert got == live_rows
+
+
+def test_cdc_fold_through_stateful_operator(spark, tmp_path):
+    """r11 verdict #4 — the CDC x stateful COMPOSE contract, pinned: a
+    rewrite's retire+add commit as ONE snapshot and offsets are snapshot
+    ids, so the delete half reaches a downstream stateful operator in the
+    SAME micro-batch as its compensating insert (a batch window (s, e]
+    either contains the rewrite's id or it doesn't). Within the batch the
+    per-key row order is arbitrary, so the state fold must be
+    order-insensitive within a batch — sign-additive folds are — and
+    never needs cross-batch commutativity for rewrites.
+
+    Two queries over one rewrite: (1) foreachBatch records per-batch
+    per-key net row counts — the rewrite batch must net to ZERO for every
+    rewritten key (delete and insert both present); (2) an
+    applyInPandasWithState sign-fold whose final per-key state must equal
+    the live table exactly, through the rewrite."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from datafusion_pinot_spark.maintenance import compact_table
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = str(tmp_path / "cdcstate_OFFLINE")
+    (
+        spark.range(0, 100)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+        .write.format("pinot")
+        .mode("overwrite")
+        .save(out)
+    )
+
+    # -- query 1: per-batch composition recorder ---------------------------
+    batches: list[dict] = []
+
+    def record(batch_df, batch_id):
+        rows = (
+            batch_df.groupBy("k")
+            .agg(
+                F.sum(
+                    F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+                ).alias("net"),
+                F.sum(
+                    F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+                ).alias("deletes"),
+            )
+            .collect()
+        )
+        if rows:
+            batches.append(
+                {
+                    "id": batch_id,
+                    "nets": {r.k: r.net for r in rows},
+                    "deletes": sum(r.deletes for r in rows),
+                }
+            )
+
+    feed = spark.readStream.format("pinot").option("cdc", "true").load(out)
+    q1 = feed.writeStream.foreachBatch(record).start()
+
+    # -- query 2: stateful sign-fold ---------------------------------------
+    def fold(key, pdfs, state: GroupState):
+        (k,) = key
+        n, s, u = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            sign = pdf["_change_type"].map({"insert": 1, "delete": -1})
+            n += int(sign.sum())
+            s += int((sign * pdf["v"]).sum())
+        u += 1
+        state.update((n, s, u))
+        yield pd.DataFrame({"k": [k], "n": [n], "s": [s], "u": [u]})
+
+    folded = (
+        spark.readStream.format("pinot")
+        .option("cdc", "true")
+        .load(out)
+        .groupBy("k")
+        .applyInPandasWithState(
+            fold,
+            outputStructType="k long, n long, s long, u long",
+            stateStructType="n long, s long, u long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q2 = (
+        folded.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cdc_state_fold")
+        .start()
+    )
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+
+        # the rewrite: one compaction commit (retire 4, add 1)
+        compact_table(spark, out, target_docs=1000, retain_replaced=True)
+        assert S.current_snapshot_id(out) == 2, "compaction must commit once"
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+
+        # (1) same-micro-batch: the batch carrying deletes nets to zero
+        # for EVERY key — its compensating inserts are in the same batch
+        rewrite_batches = [b for b in batches if b["deletes"]]
+        assert rewrite_batches, "rewrite batch never reached the stream"
+        for b in rewrite_batches:
+            assert all(v == 0 for v in b["nets"].values()), (
+                f"batch {b['id']} carried deletes whose compensating "
+                f"inserts were NOT in the same micro-batch: {b['nets']}"
+            )
+
+        # (2) the stateful fold lands on the live table exactly: latest
+        # state row per key (highest update counter) == (1, v)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("k").orderBy(F.desc("u"))
+        final = (
+            spark.table("cdc_state_fold")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("k", "n", "s")
+            .collect()
+        )
+        assert len(final) == 100
+        assert all(r.n == 1 and r.s == 2 * r.k for r in final)
+    finally:
+        q1.stop()
+        q2.stop()
