@@ -2737,6 +2737,14 @@ def _register_llm():
         "llm",
         ["text", "quality", "curation"],
     )(lambda spark, sf: text.quality_yield_curve(_docs(spark, sf)))
+    # -- r12 additions (r13 first-check backlog; enter DRIVER_WINDOW at the
+    # first driver run after landing, per the standing rotation rule) --
+    register(
+        "dedup_pipeline_report",
+        dedup.dedup_pipeline_report_oracle_sql(),
+        "llm",
+        ["dedup", "lsh", "graph", "curation", "flagship"],
+    )(lambda spark, sf: dedup.dedup_pipeline_report(_docs(spark, sf)))
 
 
 _register_llm()

@@ -462,3 +462,17 @@ def test_quality_yield_fans_profile_not_text(q):
     plan = _plan(q("quality_yield_curve"))
     assert "CartesianProduct" not in plan
     assert "Generate" in plan
+
+
+def test_dedup_pipeline_no_allpairs_and_deliberate_shuffle_join(q):
+    """The flagship composed pipeline (r12): no cartesian/nested-loop join
+    anywhere — candidates come from banded bucket EQUI-joins, verify
+    touches only candidates — and the label frame joins back to the
+    corpus as a SHUFFLE equi-join (labels are O(dup members), unbounded
+    on dup-heavy corpora; broadcasting them would be the 100 TB mistake)."""
+    plan = _plan(q("dedup_pipeline_report"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the doc_id label join is present and NOT broadcast: at least one
+    # SortMergeJoin survives (labels side), alongside the bucket equi-joins
+    assert "SortMergeJoin" in plan

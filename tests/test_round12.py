@@ -133,3 +133,61 @@ class TestAnchorReorderKeepsDuplicates:
         feed = changes_between(spark, out, snaps[0], snaps[-1])
         assert "extra" in feed.columns
         assert feed.count() == 10
+
+
+class TestDedupPipelineReport:
+    def test_hand_values_exact_dup_components(self, spark):
+        # exact duplicates guarantee LSH candidacy (identical signatures
+        # -> identical band keys) and verify at jaccard 1.0, so the
+        # hand-computable component is {1, 2, 4} with canonical doc 1
+        from datafusion_pinot_spark.operators.dedup import (
+            dedup_pipeline_report,
+        )
+
+        rows = [
+            (1, "s1", "the quick brown fox jumps"),
+            (2, "s1", "the quick brown fox jumps"),
+            (3, "s1", "unrelated text entirely different words"),
+            (4, "s2", "the quick brown fox jumps"),
+            (5, "s2", "another unique document text here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {r.source: r for r in dedup_pipeline_report(docs).collect()}
+        s1, s2 = out["s1"], out["s2"]
+        assert (s1.n_docs, s1.n_dup_members, s1.n_kept) == (3, 2, 2)
+        assert (s2.n_docs, s2.n_dup_members, s2.n_kept) == (2, 1, 1)
+        # 5 tokens per doc: s1 keeps docs 1+3 (10 of 15 tokens)
+        assert (s1.total_tokens, s1.kept_tokens, s1.retained_ppm) == (
+            15, 10, 666666,
+        )
+        assert (s2.total_tokens, s2.kept_tokens, s2.retained_ppm) == (
+            10, 5, 500000,
+        )
+
+    def test_degenerate_no_dups(self, spark):
+        from datafusion_pinot_spark.operators.dedup import (
+            dedup_pipeline_report,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "s1", "alpha beta gamma delta epsilon"),
+                (2, "s1", "one two three four five six"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        [r] = dedup_pipeline_report(docs).collect()
+        assert (r.n_docs, r.n_dup_members, r.n_kept) == (2, 0, 2)
+        assert r.retained_ppm == 1_000_000
+
+    def test_output_passes_type_lint(self, spark):
+        from datafusion_pinot_spark.operators.dedup import (
+            dedup_pipeline_report,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "s1", "a b c")], "doc_id long, source string, text string"
+        )
+        assert (
+            lint_spark_schema("dp", dedup_pipeline_report(docs).schema) == []
+        )
