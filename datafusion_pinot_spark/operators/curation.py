@@ -868,3 +868,161 @@ SELECT CAST(sum(n_train_g) AS BIGINT) AS n_train,
                       * 1000000 // sum(n_valid_g)
                  ELSE 0 END AS BIGINT) AS leak_ppm
 FROM groups"""
+
+
+def training_mixture_report(docs: DataFrame, budget: int = 100_000) -> DataFrame:
+    """Composed curation pipeline (r12) — the mixture-planning counterpart
+    of ``dedup_pipeline_report``: corpus → exact dedup (canonical keep,
+    longest-doc-wins per md5 group) → quality gate (the FineWeb-style
+    ``quality_filter`` rule chain over the SURVIVORS) → per-source report
+    with an exact largest-remainder apportionment of a global token budget
+    across the cleaned corpus. One query answers "after cleaning, how many
+    docs/tokens does each source contribute, and what budget does it get".
+
+    Per source: raw doc count, docs surviving dedup, docs surviving the
+    quality gate, surviving tokens (the ``tokens()`` convention), and the
+    Hamilton-apportioned ``alloc_tokens`` (BIGINT-exact; allocations
+    provably sum to ``budget`` when any tokens survive).
+
+    Scale shape: one md5 hash shuffle for the canonical window; the
+    quality signals are (doc_id, token/gram) shuffles bounded by document
+    length, computed only over dedup survivors; everything after is a
+    map-side-combined per-source rollup plus windows over the |sources|-
+    row profile (the deliberate single-partition window the family's
+    other reports use)."""
+    from pyspark.sql import Window
+
+    from datafusion_pinot_spark.functions import tokens
+    from datafusion_pinot_spark.operators.text import quality_filter
+
+    ranked = docs.select(
+        "doc_id", "source", "text", "n_chars", F.md5("text").alias("key")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("key").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        ),
+    )
+    surv = ranked.filter(F.col("rk") == 1).select("doc_id", "source", "text")
+    qf = quality_filter(surv).select("doc_id", "keep")
+    kept = (
+        surv.join(qf, "doc_id")
+        .filter(F.col("keep"))
+        .select(
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+    )
+    per_kept = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_quality_kept"),
+        F.sum("n_tok").cast("long").alias("kept_tokens"),
+    )
+    # largest-remainder apportionment over the kept-token profile (the
+    # domain_token_budget convention, run on the CLEANED corpus)
+    w_all = Window.partitionBy()
+    alloc = (
+        per_kept.withColumn(
+            "_total", F.sum("kept_tokens").over(w_all)
+        )
+        .filter(F.col("_total") > 0)
+        .select(
+            "source",
+            F.expr(
+                f"CAST({budget} AS BIGINT) * kept_tokens DIV _total"
+            ).alias("quota"),
+            F.expr(
+                f"CAST({budget} AS BIGINT) * kept_tokens % _total"
+            ).alias("rem"),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("rem"), F.asc("source"))
+    )
+    leftover = F.lit(budget).cast("bigint") - F.sum("quota").over(w_all)
+    alloc = alloc.withColumn("extra", (rank <= leftover).cast("bigint")).select(
+        "source", (F.col("quota") + F.col("extra")).alias("alloc_tokens")
+    )
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    ded = surv.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_dedup_kept")
+    )
+    return (
+        raw.join(ded, "source", "left")
+        .join(per_kept, "source", "left")
+        .join(alloc, "source", "left")
+        .na.fill(
+            0,
+            ["n_dedup_kept", "n_quality_kept", "kept_tokens", "alloc_tokens"],
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dedup_kept",
+            "n_quality_kept",
+            "kept_tokens",
+            "alloc_tokens",
+        )
+        .orderBy("source")
+    )
+
+
+def training_mixture_report_oracle_sql(budget: int = 100_000) -> str:
+    from datafusion_pinot_spark.operators.text import quality_signal_ctes
+
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (
+           PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+), surv AS (
+  SELECT doc_id, source, text FROM ranked WHERE rk = 1
+), {quality_signal_ctes("surv")},
+kept AS (
+  SELECT s.source,
+         CAST(CASE WHEN length(trim(lower(s.text))) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(s.text)), '\\s+'))
+              END AS BIGINT) AS n_tok
+  FROM surv s JOIN qdecision q USING (doc_id) WHERE q.keep
+), per_kept AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_quality_kept,
+         CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY source
+), tot AS (
+  SELECT source, n_quality_kept, kept_tokens,
+         sum(kept_tokens) OVER () AS total
+  FROM per_kept
+), q2 AS (
+  SELECT source,
+         CAST({budget} AS BIGINT) * kept_tokens // total AS quota,
+         CAST({budget} AS BIGINT) * kept_tokens % total AS rem
+  FROM tot WHERE total > 0
+), r2 AS (
+  SELECT source, quota,
+         {budget} - sum(quota) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rnk
+  FROM q2
+), alloc AS (
+  SELECT source,
+         CAST(quota + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc_tokens
+  FROM r2
+), raw AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), ded AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_dedup_kept
+  FROM surv GROUP BY source
+)
+SELECT raw.source, raw.n_docs,
+       CAST(coalesce(ded.n_dedup_kept, 0) AS BIGINT) AS n_dedup_kept,
+       CAST(coalesce(pk.n_quality_kept, 0) AS BIGINT) AS n_quality_kept,
+       CAST(coalesce(pk.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(coalesce(a.alloc_tokens, 0) AS BIGINT) AS alloc_tokens
+FROM raw
+LEFT JOIN ded ON ded.source = raw.source
+LEFT JOIN per_kept pk ON pk.source = raw.source
+LEFT JOIN alloc a ON a.source = raw.source
+ORDER BY raw.source"""

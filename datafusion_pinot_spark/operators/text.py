@@ -460,14 +460,19 @@ def quality_filter(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def quality_filter_oracle_sql() -> str:
+def quality_signal_ctes(rel: str = "documents") -> str:
+    """The quality-gate CTE chain (words -> signals -> per-doc keep/reason)
+    over any relation with (doc_id, text) — shared by the standalone
+    quality_filter oracle and composed pipelines (r12:
+    training_mixture_report runs it over the dedup-survivor CTE). Ends
+    with CTE ``qdecision(doc_id, n_tokens, avg_len_milli, dup2_milli,
+    top_tok_milli, reason, keep)``."""
     conds = " ".join(
         f"WHEN {cond} THEN '{name}'"
         for name, cond in QUALITY_RULES
     )
-    return f"""
-WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+    return f"""words AS (
+  SELECT doc_id, string_split(text, ' ') AS w, text FROM {rel}),
 base AS (
   SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
          CAST(CASE WHEN len(w) = 0 THEN 0 ELSE
@@ -491,16 +496,25 @@ per_g AS (
            AS dup2_milli
   FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
   GROUP BY doc_id),
-joined AS (
+qjoined AS (
   SELECT b.doc_id, b.n_tokens, b.avg_len_milli,
-         CAST(coalesce(t.top_tok_milli, 0) AS BIGINT) AS top_tok_milli,
-         CAST(coalesce(p.dup2_milli, 0) AS BIGINT) AS dup2_milli
+         CAST(coalesce(p.dup2_milli, 0) AS BIGINT) AS dup2_milli,
+         CAST(coalesce(t.top_tok_milli, 0) AS BIGINT) AS top_tok_milli
   FROM base b
-  LEFT JOIN per_tok t USING (doc_id) LEFT JOIN per_g p USING (doc_id))
+  LEFT JOIN per_tok t USING (doc_id) LEFT JOIN per_g p USING (doc_id)),
+qdecision AS (
+  SELECT doc_id, n_tokens, avg_len_milli, dup2_milli, top_tok_milli,
+         CASE {conds} ELSE '' END AS reason,
+         (CASE {conds} ELSE '' END) = '' AS keep
+  FROM qjoined)"""
+
+
+def quality_filter_oracle_sql() -> str:
+    return f"""
+WITH {quality_signal_ctes("documents")}
 SELECT doc_id, n_tokens, avg_len_milli, dup2_milli, top_tok_milli,
-       CASE {conds} ELSE '' END AS reason,
-       (CASE {conds} ELSE '' END) = '' AS keep
-FROM joined ORDER BY doc_id
+       reason, keep
+FROM qdecision ORDER BY doc_id
 """
 
 

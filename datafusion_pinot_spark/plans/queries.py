@@ -981,7 +981,9 @@ def _register_llm():
     # The xxhash64 production path, registered so bench.py times the fast
     # variant (codegen'd long hashes; the md5 family above exists for the
     # hash gate and is ~10x slower — md5 hex strings per shingle per hash).
-    # rows-only by design: xxhash64 has no DuckDB equivalent.
+    # rows-only by design: xxhash64 has no DuckDB equivalent. Hash-checked
+    # sibling: minhash_lsh_candidates_md5 (same banding code, md5 family)
+    # and ngram_jaccard_pairs (the full verified pipeline under the gate).
     register(
         "minhash_lsh_pairs_xxh64",
         None,
@@ -997,6 +999,9 @@ def _register_llm():
         "llm",
         ["dedup", "jaccard", "lsh"],
     )(lambda spark, sf: dedup.lsh_verified_pairs(_docs(spark, sf)))
+    # rows-only by design (xxhash64 fingerprints have no DuckDB
+    # equivalent). Hash-checked sibling: simhash_md5_dup_groups below —
+    # the same banding/grouping code under the exact gate.
     register("simhash_dup_groups", None, "llm", ["dedup", "simhash"])(
         lambda spark, sf: dedup.simhash_dup_groups(_docs(spark, sf))
     )
@@ -2745,6 +2750,12 @@ def _register_llm():
         "llm",
         ["dedup", "lsh", "graph", "curation", "flagship"],
     )(lambda spark, sf: dedup.dedup_pipeline_report(_docs(spark, sf)))
+    register(
+        "training_mixture_report",
+        curation.training_mixture_report_oracle_sql(),
+        "llm",
+        ["curation", "dedup", "quality", "flagship"],
+    )(lambda spark, sf: curation.training_mixture_report(_docs(spark, sf)))
 
 
 _register_llm()
@@ -5037,7 +5048,9 @@ def q_session_window(spark, sf):
 
 @register(
     "streaming_watermarked_agg",
-    None,  # append mode withholds windows past the watermark by design
+    None,  # append mode withholds windows past the watermark by design;
+    # hash-checked sibling: streaming_watermarked_closed (the closed
+    # subset of the same windows, fully under the exact gate)
     "llm",
     ["streaming", "watermark"],
 )
