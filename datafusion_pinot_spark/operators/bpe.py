@@ -220,9 +220,12 @@ def bpe_apply_compression(docs: DataFrame, rounds: int = 2) -> DataFrame:
     )
 
 
-def bpe_apply_compression_oracle_sql() -> str:
-    """Unrolls learn (the b1/b2 CTEs of the learning oracle) AND apply."""
-    return """
+def _bpe_learn_apply_ctes(group_col: str) -> str:
+    """Shared DuckDB CTE chain: learn two merges on the whole corpus
+    (words..b2), then encode every word occurrence keeping ``group_col``
+    (source for the compression report, lang for the fertility audit).
+    Ends with CTE ``ap2(group, nb, seq)``."""
+    return f"""
 WITH words AS (
   SELECT w, count(*) AS freq FROM (
     SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
@@ -260,26 +263,31 @@ WITH words AS (
 ), b2 AS (
   SELECT l, r FROM p2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
 ), wocc AS (
-  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  SELECT {group_col}, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
   FROM documents
 ), wseq AS (
-  SELECT source, length(w) AS nb,
+  SELECT {group_col}, length(w) AS nb,
          '~~' || array_to_string(regexp_split_to_array(w, ''), '~~') || '~~'
            AS seq
   FROM wocc
 ), ap1 AS (
-  SELECT source, nb,
+  SELECT {group_col}, nb,
          replace(seq,
                  '~' || (SELECT l FROM b1) || '~~' || (SELECT r FROM b1) || '~',
                  '~' || (SELECT l FROM b1) || (SELECT r FROM b1) || '~') AS seq
   FROM wseq
 ), ap2 AS (
-  SELECT source, nb,
+  SELECT {group_col}, nb,
          replace(seq,
                  '~' || (SELECT l FROM b2) || '~~' || (SELECT r FROM b2) || '~',
                  '~' || (SELECT l FROM b2) || (SELECT r FROM b2) || '~') AS seq
   FROM ap1
-)
+)"""
+
+
+def bpe_apply_compression_oracle_sql() -> str:
+    """Unrolls learn (the b1/b2 CTEs of the learning oracle) AND apply."""
+    return _bpe_learn_apply_ctes("source") + """
 SELECT source,
        CAST(sum(nb) AS BIGINT) AS symbols_before,
        CAST(sum(len(list_filter(string_split(seq, '~'), x -> x <> '')))
@@ -288,4 +296,83 @@ SELECT source,
                                            x -> x <> '')))) * 1000
             // sum(nb) AS BIGINT) AS saved_permille
 FROM ap2 GROUP BY source ORDER BY source
+"""
+
+
+def bpe_fertility_by_lang(docs: DataFrame, rounds: int = 2) -> DataFrame:
+    """Tokenizer-equity audit (r12): a BPE vocabulary learned on the WHOLE
+    corpus encodes different languages with different FERTILITY (symbols
+    per word) — over-segmented languages pay more sequence length per
+    unit of content, skewing both cost and effective mixture weights.
+    Reports, per lang: word occurrences, raw chars, encoded symbols,
+    fertility in exact milli symbols-per-word, and milli chars-per-symbol.
+
+    Scale shape: identical to :func:`bpe_apply_compression` — the merge
+    table is ``rounds`` driver rows folded into codegen'd replace
+    expressions; encoding is a narrow map over the exploded word stream;
+    one map-side-combined per-lang rollup."""
+    merges = [
+        (row["l"], row["r"])
+        for row in bpe_learn_merges(docs, rounds=rounds).collect()
+    ]
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w"),
+    )
+    chars = F.filter(F.split("w", ""), lambda x: x != "")
+    seq = F.concat(F.lit(SEP), F.array_join(chars, SEP), F.lit(SEP))
+    for l, r in merges:
+        seq = F.replace(seq, F.lit(f"~{l}{SEP}{r}~"), F.lit(f"~{l}{r}~"))
+    enc = words.select(
+        "lang",
+        F.length("w").cast("bigint").alias("nb"),
+        F.size(F.filter(F.split(seq, "~"), lambda x: x != ""))
+        .cast("bigint")
+        .alias("na"),
+    )
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nb").alias("n_chars"),
+            F.sum("na").alias("n_symbols"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_chars",
+            "n_symbols",
+            F.expr(
+                "CAST(CASE WHEN n_words > 0"
+                " THEN n_symbols * 1000 DIV n_words ELSE 0 END AS BIGINT)"
+            ).alias("fertility_milli"),
+            F.expr(
+                "CAST(CASE WHEN n_symbols > 0"
+                " THEN n_chars * 1000 DIV n_symbols ELSE 0 END AS BIGINT)"
+            ).alias("chars_per_symbol_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+def bpe_fertility_by_lang_oracle_sql() -> str:
+    return _bpe_learn_apply_ctes("lang") + """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(nb) AS BIGINT) AS n_chars,
+       CAST(sum(len(list_filter(string_split(seq, '~'), x -> x <> '')))
+            AS BIGINT) AS n_symbols,
+       CAST(CASE WHEN count(*) > 0
+                 THEN sum(len(list_filter(string_split(seq, '~'),
+                                          x -> x <> ''))) * 1000 // count(*)
+                 ELSE 0 END AS BIGINT) AS fertility_milli,
+       CAST(CASE WHEN sum(len(list_filter(string_split(seq, '~'),
+                                          x -> x <> ''))) > 0
+                 THEN sum(nb) * 1000
+                      // sum(len(list_filter(string_split(seq, '~'),
+                                             x -> x <> '')))
+                 ELSE 0 END AS BIGINT) AS chars_per_symbol_milli
+FROM ap2 GROUP BY lang ORDER BY lang
 """

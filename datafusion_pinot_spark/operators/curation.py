@@ -1026,3 +1026,103 @@ LEFT JOIN ded ON ded.source = raw.source
 LEFT JOIN per_kept pk ON pk.source = raw.source
 LEFT JOIN alloc a ON a.source = raw.source
 ORDER BY raw.source"""
+
+
+def temporal_split_leakage(
+    events: DataFrame, train_frac_pct: int = 80
+) -> DataFrame:
+    """Temporal train/valid split leakage audit (r12) — the time-based
+    sibling of ``split_leakage_audit``: models trained on events up to a
+    cutoff and evaluated after it leak when the SAME USERS appear on both
+    sides (user-level memorization contaminates a user-held-out eval; a
+    time-held-out eval must at least report the overlap it accepts).
+    The cutoff is data-derived but exact: the epoch-day at
+    ``train_frac_pct`` percent of the observed day RANGE (integer
+    arithmetic on day numbers — no quantile estimation, no floats).
+
+    Per event_type: events and distinct users on each side, users seen on
+    BOTH sides, and the overlap as ppm of valid-side users.
+
+    Scale shape (100 TB): one map-side-combined reduce for the day bounds
+    (broadcast back as a 1-row frame), one shuffle on (event_type,
+    user_id) to flag each user's side membership, one rollup. No joins
+    against raw events."""
+    days = events.select(
+        "event_type",
+        "user_id",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+    )
+    bounds = days.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    cut = F.expr(f"dmin + (dmax - dmin) * {train_frac_pct} DIV 100")
+    flagged = (
+        days.join(F.broadcast(bounds))
+        .withColumn("is_train", (F.col("day") <= cut).cast("bigint"))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.max("is_train").alias("in_train"),
+            F.max(F.lit(1) - F.col("is_train")).alias("in_valid"),
+            F.sum("is_train").alias("n_train_ev"),
+            F.sum(F.lit(1) - F.col("is_train")).alias("n_valid_ev"),
+        )
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.sum("n_train_ev").cast("long").alias("train_events"),
+            F.sum("n_valid_ev").cast("long").alias("valid_events"),
+            F.sum("in_train").cast("long").alias("train_users"),
+            F.sum("in_valid").cast("long").alias("valid_users"),
+            F.sum(F.col("in_train") * F.col("in_valid"))
+            .cast("long")
+            .alias("overlap_users"),
+        )
+        .select(
+            "event_type",
+            "train_events",
+            "valid_events",
+            "train_users",
+            "valid_users",
+            "overlap_users",
+            F.expr(
+                "CAST(CASE WHEN valid_users > 0"
+                " THEN overlap_users * 1000000 DIV valid_users"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("leak_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def temporal_split_leakage_oracle_sql(train_frac_pct: int = 80) -> str:
+    return f"""
+WITH days AS (
+  SELECT event_type, user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+), bounds AS (
+  SELECT min(day) AS dmin, max(day) AS dmax FROM days
+), flagged AS (
+  SELECT event_type, user_id,
+         max(CASE WHEN day <= dmin + (dmax - dmin) * {train_frac_pct} // 100
+             THEN 1 ELSE 0 END) AS in_train,
+         max(CASE WHEN day <= dmin + (dmax - dmin) * {train_frac_pct} // 100
+             THEN 0 ELSE 1 END) AS in_valid,
+         sum(CASE WHEN day <= dmin + (dmax - dmin) * {train_frac_pct} // 100
+             THEN 1 ELSE 0 END) AS n_train_ev,
+         sum(CASE WHEN day <= dmin + (dmax - dmin) * {train_frac_pct} // 100
+             THEN 0 ELSE 1 END) AS n_valid_ev
+  FROM days CROSS JOIN bounds
+  GROUP BY event_type, user_id
+)
+SELECT event_type,
+       CAST(sum(n_train_ev) AS BIGINT) AS train_events,
+       CAST(sum(n_valid_ev) AS BIGINT) AS valid_events,
+       CAST(sum(in_train) AS BIGINT) AS train_users,
+       CAST(sum(in_valid) AS BIGINT) AS valid_users,
+       CAST(sum(in_train * in_valid) AS BIGINT) AS overlap_users,
+       CAST(CASE WHEN sum(in_valid) > 0
+                 THEN sum(in_train * in_valid) * 1000000 // sum(in_valid)
+                 ELSE 0 END AS BIGINT) AS leak_ppm
+FROM flagged GROUP BY event_type ORDER BY event_type"""

@@ -1968,3 +1968,99 @@ SELECT source,
                       * 1000000 // sum(n_tok)
                  ELSE 0 END AS BIGINT) AS retained_ppm
 FROM j GROUP BY source ORDER BY source"""
+
+
+def ngram_novelty_curve(docs: DataFrame, n: int = 3, buckets: int = 10) -> DataFrame:
+    """Shingle-novelty curve across ingestion order (r12): Heaps' law
+    tracks new VOCABULARY; a crawl's marginal value to training is new
+    CONTENT — the fraction of a batch's distinct word-n-gram shingles
+    never seen in any earlier batch. A flattening curve says additional
+    data from this pipeline is mostly re-crawl; the number feeds the
+    stop-crawling / re-weight decision.
+
+    Batching is exact and sort-free: ``bucket = (doc_id - min_id) *
+    buckets DIV (max_id - min_id + 1)`` over the observed doc_id range
+    (ingestion ids are monotone in the synthetic corpus, the common
+    production case).
+
+    Scale shape (100 TB): doc -> distinct shingles is the dedup family's
+    explode; distinct (shingle, bucket) pairs and the per-shingle
+    first-bucket min are both map-side-combined shuffles ON THE SHINGLE
+    (bounded by corpus shingle volume, the same key dedup itself hashes
+    on); the novelty join is shingle-keyed equi-join of two already-
+    shingle-partitioned frames — one shuffle reused, no re-partitioning."""
+    from datafusion_pinot_spark.functions import tokens, word_shingles
+
+    bounds = docs.agg(
+        F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id")
+    )
+    sh = (
+        docs.join(F.broadcast(bounds))
+        .select(
+            F.expr(
+                f"(doc_id - min_id) * {buckets}"
+                " DIV (max_id - min_id + 1)"
+            ).cast("bigint").alias("bucket"),
+            F.explode(
+                word_shingles(tokens(F.col("text")), n)
+            ).alias("shingle"),
+        )
+        .distinct()  # (bucket, shingle) pairs
+    )
+    first = sh.groupBy("shingle").agg(F.min("bucket").alias("first_bucket"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("bucket") == F.col("first_bucket")).cast("bigint")
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "bucket",
+            "n_shingles",
+            "n_novel",
+            F.expr(
+                "CAST(CASE WHEN n_shingles > 0"
+                " THEN n_novel * 1000000 DIV n_shingles"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def ngram_novelty_curve_oracle_sql(n: int = 3, buckets: int = 10) -> str:
+    joined = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    shingles = (
+        f"CASE WHEN len(w) < {n} THEN [] "
+        f"ELSE list_distinct(list_transform("
+        f"generate_series(1, len(w) - {n - 1}), i -> {joined})) END"
+    )
+    return f"""
+WITH bounds AS (
+  SELECT min(doc_id) AS min_id, max(doc_id) AS max_id FROM documents
+), tks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(lower(text))) > 0
+), sh AS (
+  SELECT DISTINCT
+         (d.doc_id - b.min_id) * {buckets} // (b.max_id - b.min_id + 1)
+           AS bucket,
+         s.shingle
+  FROM tks d CROSS JOIN bounds b,
+       LATERAL unnest({shingles}) AS s(shingle)
+), first AS (
+  SELECT shingle, min(bucket) AS first_bucket FROM sh GROUP BY shingle
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN bucket = first_bucket THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(CASE WHEN count(*) > 0
+                 THEN sum(CASE WHEN bucket = first_bucket THEN 1 ELSE 0 END)
+                      * 1000000 // count(*)
+                 ELSE 0 END AS BIGINT) AS novelty_ppm
+FROM sh JOIN first USING (shingle)
+GROUP BY bucket ORDER BY bucket"""

@@ -1682,3 +1682,77 @@ SELECT label,
        CAST(sum(dim_shift) AS BIGINT) AS l1_shift_milli,
        CAST(max(dim_shift) AS BIGINT) AS max_dim_shift_milli
 FROM shifts GROUP BY label ORDER BY label"""
+
+
+def embedding_norm_audit(embeddings: DataFrame) -> DataFrame:
+    """Embedding L2-norm hygiene audit (r12): cosine retrieval assumes
+    unit-ish norms — a batch of zero/near-zero vectors (encoder failures,
+    padding rows) silently poisons ANN results, and a scale drift between
+    ingestion batches breaks dot-product ranking. Reports, per label, the
+    norm-squared distribution in exact integer micro units plus counts of
+    degenerate (norm2 < 0.25) and inflated (norm2 > 4.0) vectors.
+
+    Exactness contract: components quantize to milli-ints via
+    ``floor(x * 1000 + 0.5)`` (the house fixed IEEE tree); norm2 is then
+    the integer ``sum(xm * xm)`` per vector — micro units, exact across
+    engines; the per-label mean is a truncated integer div.
+
+    Scale shape (100 TB): posexplode fans components into a narrow map
+    feeding a map-side-combined (vec_id, label) partial sum — components
+    of one vector sit in one partition, so the combine collapses them
+    locally and the shuffle carries one row per vector; the label rollup
+    is map-side-combined again."""
+    comp = embeddings.select(
+        "vec_id",
+        "label",
+        F.explode(F.col("embedding")).alias("x"),
+    ).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("xm"),
+    )
+    per_vec = comp.groupBy("vec_id", "label").agg(
+        F.sum(F.expr("xm * xm")).cast("long").alias("n2")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("n2").cast("long").alias("min_norm2_micro"),
+            F.max("n2").cast("long").alias("max_norm2_micro"),
+            F.expr("CAST(sum(n2) DIV count(*) AS BIGINT)").alias(
+                "avg_norm2_micro"
+            ),
+            F.sum((F.col("n2") < 250_000).cast("bigint"))
+            .cast("long")
+            .alias("n_degenerate"),
+            F.sum((F.col("n2") > 4_000_000).cast("bigint"))
+            .cast("long")
+            .alias("n_inflated"),
+        )
+        .orderBy("label")
+    )
+
+
+def embedding_norm_audit_oracle_sql() -> str:
+    return """
+WITH comp AS (
+  SELECT vec_id, label,
+         CAST(floor(CAST(t.x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS xm
+  FROM embeddings, LATERAL unnest(embedding) AS t(x)
+), per_vec AS (
+  SELECT vec_id, label, CAST(sum(xm * xm) AS BIGINT) AS n2
+  FROM comp GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(n2) AS BIGINT) AS min_norm2_micro,
+       CAST(max(n2) AS BIGINT) AS max_norm2_micro,
+       CAST(sum(n2) // count(*) AS BIGINT) AS avg_norm2_micro,
+       CAST(sum(CASE WHEN n2 < 250000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_degenerate,
+       CAST(sum(CASE WHEN n2 > 4000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inflated
+FROM per_vec GROUP BY label ORDER BY label"""

@@ -1613,3 +1613,56 @@ FROM events e JOIN fenced f ON e.event_type = f.event_type
 WHERE e.value IS NOT NULL
 GROUP BY f.event_type, f.n_values, f.q1, f.q3
 ORDER BY f.event_type"""
+
+
+def join_skew_audit(df: DataFrame, key_cols=("user_id",), k: int = 10) -> DataFrame:
+    """Shuffle-key skew audit (r12) — the planning probe run BEFORE a big
+    join/groupBy ships: every shuffle hashes on its key, so one viral key
+    = one straggler task no matter how many executors exist. Reports the
+    ``k`` hottest keys with exact share (ppm of all rows) and hot-factor
+    (the key's row count as a ppm multiple of the mean per-key count) —
+    the two numbers that decide between a plain shuffle, AQE skew
+    handling, broadcast, or salting.
+
+    Scale shape: one map-side-combined count per key (the profile is
+    O(distinct keys), never the corpus), a 1-row broadcast of the totals,
+    and a TakeOrdered top-k — no full sort, no second pass."""
+    per = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("rows"))
+    tot = per.agg(
+        F.sum("rows").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            *key_cols,
+            F.col("rows").cast("long").alias("rows"),
+            "total_rows",
+            "n_keys",
+            F.expr("rows * 1000000 DIV total_rows").alias("share_ppm"),
+            # rows / (total/n_keys) in ppm == rows * n_keys * 1e6 / total
+            F.expr("rows * n_keys * 1000000 DIV total_rows").alias(
+                "hot_factor_ppm"
+            ),
+        )
+        .orderBy(F.desc("rows"), *[F.asc(c) for c in key_cols])
+        .limit(k)
+    )
+
+
+def join_skew_audit_oracle_sql(key: str = "user_id", k: int = 10) -> str:
+    return f"""
+WITH per AS (
+  SELECT {key}, CAST(count(*) AS BIGINT) AS rows
+  FROM events GROUP BY {key}
+), tot AS (
+  SELECT CAST(sum(rows) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM per
+)
+SELECT {key}, rows, total_rows, n_keys,
+       CAST(rows * 1000000 // total_rows AS BIGINT) AS share_ppm,
+       CAST(rows * n_keys * 1000000 // total_rows AS BIGINT)
+         AS hot_factor_ppm
+FROM per CROSS JOIN tot
+ORDER BY rows DESC, {key} ASC LIMIT {k}"""

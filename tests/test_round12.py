@@ -191,3 +191,198 @@ class TestDedupPipelineReport:
         assert (
             lint_spark_schema("dp", dedup_pipeline_report(docs).schema) == []
         )
+
+
+class TestTrainingMixtureReport:
+    def test_hand_values(self, spark):
+        from datafusion_pinot_spark.operators.curation import (
+            training_mixture_report,
+        )
+
+        # s1: a 20-token good doc duplicated (dedup drops one copy),
+        # plus a too-short doc the quality gate drops; s2: one good doc.
+        good = " ".join(f"w{i}" for i in range(20))
+        good2 = " ".join(f"v{i}" for i in range(20))
+        rows = [
+            (1, "s1", good, len(good)),
+            (2, "s1", good, len(good)),
+            (3, "s1", "tiny doc", 8),
+            (4, "s2", good2, len(good2)),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string, n_chars int"
+        )
+        out = {
+            r.source: r
+            for r in training_mixture_report(docs, budget=100).collect()
+        }
+        s1, s2 = out["s1"], out["s2"]
+        assert (s1.n_docs, s1.n_dedup_kept, s1.n_quality_kept) == (3, 2, 1)
+        assert (s2.n_docs, s2.n_dedup_kept, s2.n_quality_kept) == (1, 1, 1)
+        assert s1.kept_tokens == 20 and s2.kept_tokens == 20
+        # Hamilton split of 100 over equal 20/20 token shares
+        assert s1.alloc_tokens + s2.alloc_tokens == 100
+        assert s1.alloc_tokens == 50 and s2.alloc_tokens == 50
+
+    def test_degenerate_all_filtered(self, spark):
+        # every doc fails the quality gate -> zero kept, zero alloc, but
+        # raw/dedup counts still report
+        from datafusion_pinot_spark.operators.curation import (
+            training_mixture_report,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "s1", "too short", 9), (2, "s1", "also tiny", 9)],
+            "doc_id long, source string, text string, n_chars int",
+        )
+        [r] = training_mixture_report(docs).collect()
+        assert (r.n_docs, r.n_dedup_kept, r.n_quality_kept) == (2, 2, 0)
+        assert r.kept_tokens == 0 and r.alloc_tokens == 0
+
+
+class TestTemporalSplitLeakage:
+    def test_hand_values(self, spark):
+        import datetime as dt
+
+        from datafusion_pinot_spark.operators.curation import (
+            temporal_split_leakage,
+        )
+
+        # days 0..9 (range 10): cut at day 0 + 9*80//100 = day 7.
+        # user 1: train-only; user 2: both sides (leak); user 3: valid-only
+        def ts(day):
+            return dt.datetime(2020, 1, 1) + dt.timedelta(days=day)
+
+        rows = [
+            (1, "view", ts(0)),
+            (1, "view", ts(3)),
+            (2, "view", ts(5)),
+            (2, "view", ts(9)),
+            (3, "view", ts(8)),
+            (3, "view", ts(9)),
+        ]
+        events = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        [r] = temporal_split_leakage(events).collect()
+        assert (r.train_events, r.valid_events) == (3, 3)
+        assert (r.train_users, r.valid_users, r.overlap_users) == (2, 2, 1)
+        assert r.leak_ppm == 500_000
+
+    def test_degenerate_single_day(self, spark):
+        # dmin == dmax: everything lands on the train side, no valid set
+        import datetime as dt
+
+        from datafusion_pinot_spark.operators.curation import (
+            temporal_split_leakage,
+        )
+
+        events = spark.createDataFrame(
+            [(1, "view", dt.datetime(2020, 1, 1))],
+            "user_id long, event_type string, ts timestamp",
+        )
+        [r] = temporal_split_leakage(events).collect()
+        assert (r.train_events, r.valid_events, r.leak_ppm) == (1, 0, 0)
+
+
+class TestEmbeddingNormAudit:
+    def test_hand_values(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            embedding_norm_audit,
+        )
+
+        rows = [
+            (1, [1.0, 0.0], "a"),     # norm2 = 1.0 -> 1_000_000 micro
+            (2, [0.0, 0.0], "a"),     # degenerate
+            (3, [3.0, 0.0], "a"),     # inflated (9.0)
+            (4, [0.6, 0.8], "b"),     # unit: 360000+640000 = 1_000_000
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label string"
+        )
+        out = {r.label: r for r in embedding_norm_audit(emb).collect()}
+        a, b = out["a"], out["b"]
+        assert a.n_vecs == 3
+        assert (a.min_norm2_micro, a.max_norm2_micro) == (0, 9_000_000)
+        assert (a.n_degenerate, a.n_inflated) == (1, 1)
+        assert (b.n_vecs, b.min_norm2_micro, b.max_norm2_micro) == (
+            1, 1_000_000, 1_000_000,
+        )
+        assert (b.n_degenerate, b.n_inflated) == (0, 0)
+
+
+class TestJoinSkewAudit:
+    def test_hand_values(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            join_skew_audit,
+        )
+
+        # user 1: 6 rows of 10 total over 5 keys -> share 600000 ppm,
+        # hot factor 6 / (10/5) = 3x -> 3_000_000 ppm
+        rows = [(1,)] * 6 + [(2,), (3,), (4,), (5,)]
+        df = spark.createDataFrame(rows, "user_id long")
+        out = join_skew_audit(df, ("user_id",), k=3).collect()
+        assert [r.user_id for r in out] == [1, 2, 3]
+        top = out[0]
+        assert (top.rows, top.total_rows, top.n_keys) == (6, 10, 5)
+        assert top.share_ppm == 600_000
+        assert top.hot_factor_ppm == 3_000_000
+
+
+class TestNgramNoveltyCurve:
+    def test_hand_values(self, spark):
+        from datafusion_pinot_spark.operators.dedup import (
+            ngram_novelty_curve,
+        )
+
+        # 2 buckets over doc_id range [0, 3]: docs 0,1 -> bucket 0,
+        # docs 2,3 -> bucket 1. doc2 repeats doc0's shingle (not novel),
+        # doc3 brings a new one (novel).
+        rows = [
+            (0, "a b c"),       # shingle "a b c"
+            (1, "d e f"),       # shingle "d e f"
+            (2, "a b c"),       # repeat
+            (3, "g h i"),       # novel
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.bucket: r for r in ngram_novelty_curve(docs, 3, 2).collect()}
+        b0, b1 = out[0], out[1]
+        assert (b0.n_shingles, b0.n_novel, b0.novelty_ppm) == (
+            2, 2, 1_000_000,
+        )
+        assert (b1.n_shingles, b1.n_novel, b1.novelty_ppm) == (2, 1, 500_000)
+
+    def test_degenerate_short_docs(self, spark):
+        # all docs shorter than the shingle width -> empty result
+        from datafusion_pinot_spark.operators.dedup import (
+            ngram_novelty_curve,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a b"), (1, "c")], "doc_id long, text string"
+        )
+        assert ngram_novelty_curve(docs).collect() == []
+
+
+class TestBpeFertilityByLang:
+    def test_hand_values(self, spark):
+        from datafusion_pinot_spark.operators.bpe import (
+            bpe_fertility_by_lang,
+        )
+
+        # corpus dominated by "ab": merges learn (a,b) then (ab, something)
+        # — whatever the second merge is, "ab" encodes to 1 symbol while
+        # "xy" (never merged unless learned) stays at 2. Use frequencies
+        # that force merge 1 = (a,b): "ab ab ab ab" vs one "xz".
+        rows = [
+            (1, "en", "ab ab ab ab"),
+            (2, "fr", "xz"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = {r.lang: r for r in bpe_fertility_by_lang(docs).collect()}
+        en, fr = out["en"], out["fr"]
+        assert en.n_words == 4 and en.n_chars == 8
+        # "ab" merged to a single symbol -> fertility 1000 milli/word
+        assert en.n_symbols == 4 and en.fertility_milli == 1000
+        assert fr.n_words == 1 and fr.n_chars == 2
+        assert fr.fertility_milli == fr.n_symbols * 1000
