@@ -1,0 +1,150 @@
+"""Property tests for the round-12 operators against transparent
+pure-Python references: the ngram novelty curve (bucketed first-seen
+shingle accounting vs a dict reference), temporal split leakage
+(day-range cut + per-side user sets vs a set reference), and the join
+skew audit's exact share/hot-factor arithmetic (vs a Counter
+reference). One Spark job per example."""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+
+
+# ---- ngram_novelty_curve vs dict reference ----
+
+_corpora = st.lists(
+    st.lists(
+        st.sampled_from("abcdefg"), min_size=0, max_size=8
+    ).map(lambda toks: " ".join(toks)),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _novelty_ref(texts: list[str], n: int, buckets: int):
+    min_id, max_id = 0, len(texts) - 1
+    span = max_id - min_id + 1
+    seen_first: dict[str, int] = {}
+    per_bucket: dict[int, set] = {}
+    for doc_id, text in enumerate(texts):
+        toks = text.split()
+        b = (doc_id - min_id) * buckets // span
+        shingles = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+        for s in shingles:
+            per_bucket.setdefault(b, set()).add(s)
+            if s not in seen_first:
+                seen_first[s] = b
+    out = {}
+    for b, sh in sorted(per_bucket.items()):
+        if not sh:
+            continue
+        novel = sum(1 for s in sh if seen_first[s] == b)
+        out[b] = (len(sh), novel, novel * 1_000_000 // len(sh))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_corpora)
+def test_novelty_curve_matches_dict_reference(spark, texts):
+    from datafusion_pinot_spark.operators.dedup import ngram_novelty_curve
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.bucket: (r.n_shingles, r.n_novel, r.novelty_ppm)
+        for r in ngram_novelty_curve(docs, 3, 4).collect()
+    }
+    assert got == _novelty_ref(texts, 3, 4)
+    # global invariant: novel counts sum to the distinct shingle total
+    all_sh = {
+        " ".join(t.split()[i : i + 3])
+        for t in texts
+        for i in range(len(t.split()) - 2)
+    }
+    assert sum(v[1] for v in got.values()) == len(all_sh)
+
+
+# ---- temporal_split_leakage vs set reference ----
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),  # user_id
+        st.integers(min_value=0, max_value=30),  # day
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _leakage_ref(pairs, pct=80):
+    days = [d for _, d in pairs]
+    dmin, dmax = min(days), max(days)
+    cut = dmin + (dmax - dmin) * pct // 100
+    train_u = {u for u, d in pairs if d <= cut}
+    valid_u = {u for u, d in pairs if d > cut}
+    overlap = train_u & valid_u
+    return (
+        sum(1 for _, d in pairs if d <= cut),
+        sum(1 for _, d in pairs if d > cut),
+        len(train_u),
+        len(valid_u),
+        len(overlap),
+        (len(overlap) * 1_000_000 // len(valid_u)) if valid_u else 0,
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(_events)
+def test_temporal_leakage_matches_set_reference(spark, pairs):
+    from datafusion_pinot_spark.operators.curation import (
+        temporal_split_leakage,
+    )
+
+    base = dt.datetime(2021, 6, 1)
+    events = spark.createDataFrame(
+        [(u, "e", base + dt.timedelta(days=d)) for u, d in pairs],
+        "user_id long, event_type string, ts timestamp",
+    )
+    [r] = temporal_split_leakage(events).collect()
+    ref = _leakage_ref(pairs)
+    assert (
+        r.train_events,
+        r.valid_events,
+        r.train_users,
+        r.valid_users,
+        r.overlap_users,
+        r.leak_ppm,
+    ) == ref
+    # conservation + bound invariants
+    assert r.train_events + r.valid_events == len(pairs)
+    assert r.overlap_users <= min(r.train_users, r.valid_users)
+
+
+# ---- join_skew_audit vs Counter reference ----
+
+_keys = st.lists(
+    st.integers(min_value=1, max_value=8), min_size=1, max_size=80
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_keys)
+def test_join_skew_matches_counter_reference(spark, keys):
+    from datafusion_pinot_spark.operators.validation import join_skew_audit
+
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    out = join_skew_audit(df, ("user_id",), k=5).collect()
+    c = Counter(keys)
+    total, n_keys = len(keys), len(c)
+    expected = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r.user_id, r.rows) for r in out] == expected
+    for r in out:
+        assert r.total_rows == total and r.n_keys == n_keys
+        assert r.share_ppm == r.rows * 1_000_000 // total
+        assert r.hot_factor_ppm == r.rows * n_keys * 1_000_000 // total
