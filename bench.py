@@ -133,7 +133,14 @@ def calibration(spark) -> dict:
     across rounds on the same hardware: a round-over-round shift in these
     probes is machine state (thermal, co-tenancy, kernel), not this repo's
     code. ratio_vs_prev_calibrated divides each query's raw ratio by its
-    substrate's probe ratio."""
+    substrate's probe ratio.
+
+    Known asymmetry (measured r12: jvm 0.22s at start vs 0.11s at end of
+    the same run): the START jvm probe runs on a freshly-warmed but
+    overall-cold JVM, the END probe on a fully hot one — the start/end
+    delta is mostly JIT warmth, NOT mid-run machine drift. Cross-round
+    comparisons stay valid because each round measures at the same two
+    lifecycle points; the normalization uses the start+end average."""
     import statistics as st
 
     import numpy as np
