@@ -114,6 +114,44 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibrated_ratios(
+    raw_ratios: dict, cur_calib: dict, prev_calib: dict
+) -> tuple[dict, dict]:
+    """(machine_ratio_vs_prev, ratio_vs_prev_calibrated): each query's raw
+    round-over-round ratio divided by its execution substrate's probe
+    ratio — pinot-tier queries decode in Python workers (numpy probe),
+    everything else is JVM codegen (jvm probe). A uniform machine slowdown
+    then shows as raw > 1 with calibrated ~ 1, while a real code
+    regression moves BOTH. Probes are averaged over run start+end so
+    mid-run drift is split, not ignored; a probe missing on either side
+    leaves that substrate un-normalized (factor 1.0)."""
+
+    def _avg(c, key):
+        s, e = c.get("start", {}).get(key), c.get("end", {}).get(key)
+        vals = [v for v in (s, e) if v]
+        return sum(vals) / len(vals) if vals else None
+
+    machine = {}
+    for key in ("numpy_unpack_sec", "jvm_agg_sec"):
+        cur_v, prev_v = _avg(cur_calib, key), _avg(prev_calib, key)
+        if cur_v and prev_v:
+            machine[key] = round(cur_v / prev_v, 3)
+    calibrated = {
+        name: round(
+            raw
+            / machine.get(
+                "numpy_unpack_sec"
+                if name.startswith("pinot_")
+                else "jvm_agg_sec",
+                1.0,
+            ),
+            3,
+        )
+        for name, raw in raw_ratios.items()
+    }
+    return machine, calibrated
+
+
 def calibration(spark) -> dict:
     """Fixed, data-independent probes that separate MACHINE drift from CODE
     drift across rounds (r11 verdict #2: the driver's r11 run measured ~17%
@@ -1207,41 +1245,14 @@ def main() -> None:
         if prev.get(name)
     }
     # r12 (r11 verdict #2): calibration-normalized ratios alongside the raw
-    # ones. Each query's raw ratio is divided by its execution substrate's
-    # probe ratio (pinot tier decodes in Python workers -> numpy probe;
-    # everything else is JVM codegen -> jvm probe), so a uniform machine
-    # slowdown shows up as ratio_vs_prev > 1 with calibrated ~ 1, while a
-    # real code regression moves BOTH. Probes averaged over start+end of
-    # run so mid-run drift is split, not ignored.
+    # ones (see calibrated_ratios).
     prev_calib = prev_payload.get("calibration") or {}
     if prev and prev_calib:
-
-        def _avg(c, key):
-            s, e = c.get("start", {}).get(key), c.get("end", {}).get(key)
-            vals = [v for v in (s, e) if v]
-            return sum(vals) / len(vals) if vals else None
-
-        machine = {}
-        for key in ("numpy_unpack_sec", "jvm_agg_sec"):
-            cur_v, prev_v = _avg(payload["calibration"], key), _avg(
-                prev_calib, key
-            )
-            if cur_v and prev_v:
-                machine[key] = round(cur_v / prev_v, 3)
+        machine, cal = calibrated_ratios(
+            payload["ratio_vs_prev"], payload["calibration"], prev_calib
+        )
         payload["machine_ratio_vs_prev"] = machine
-        payload["ratio_vs_prev_calibrated"] = {
-            name: round(
-                raw
-                / machine.get(
-                    "numpy_unpack_sec"
-                    if name.startswith("pinot_")
-                    else "jvm_agg_sec",
-                    1.0,
-                ),
-                3,
-            )
-            for name, raw in payload["ratio_vs_prev"].items()
-        }
+        payload["ratio_vs_prev_calibrated"] = cal
     with open(bench_path, "w") as f:
         json.dump(payload, f, indent=1)
 

@@ -386,3 +386,55 @@ class TestBpeFertilityByLang:
         assert en.n_symbols == 4 and en.fertility_milli == 1000
         assert fr.n_words == 1 and fr.n_chars == 2
         assert fr.fertility_milli == fr.n_symbols * 1000
+
+
+class TestCalibratedRatios:
+    def test_uniform_machine_drift_normalizes_to_one(self):
+        import bench
+
+        cur = {
+            "start": {"numpy_unpack_sec": 0.15, "jvm_agg_sec": 0.30},
+            "end": {"numpy_unpack_sec": 0.15, "jvm_agg_sec": 0.30},
+        }
+        prev = {
+            "start": {"numpy_unpack_sec": 0.10, "jvm_agg_sec": 0.20},
+            "end": {"numpy_unpack_sec": 0.10, "jvm_agg_sec": 0.20},
+        }
+        # machine 1.5x slower on both substrates; queries measured 1.5x
+        # slower -> calibrated says "no code change"
+        raw = {"q1_pricing_summary": 1.5, "pinot_agg": 1.5}
+        machine, cal = bench.calibrated_ratios(raw, cur, prev)
+        assert machine == {"numpy_unpack_sec": 1.5, "jvm_agg_sec": 1.5}
+        assert cal == {"q1_pricing_summary": 1.0, "pinot_agg": 1.0}
+
+    def test_code_regression_survives_normalization(self):
+        import bench
+
+        same = {
+            "start": {"numpy_unpack_sec": 0.1, "jvm_agg_sec": 0.2},
+            "end": {"numpy_unpack_sec": 0.1, "jvm_agg_sec": 0.2},
+        }
+        machine, cal = bench.calibrated_ratios(
+            {"q1_pricing_summary": 1.4}, same, same
+        )
+        assert machine == {"numpy_unpack_sec": 1.0, "jvm_agg_sec": 1.0}
+        assert cal["q1_pricing_summary"] == 1.4
+
+    def test_substrate_routing_and_missing_probe(self):
+        import bench
+
+        cur = {
+            "start": {"numpy_unpack_sec": 0.2},  # jvm probe missing
+            "end": {"numpy_unpack_sec": 0.2},
+        }
+        prev = {
+            "start": {"numpy_unpack_sec": 0.1, "jvm_agg_sec": 0.2},
+            "end": {"numpy_unpack_sec": 0.1, "jvm_agg_sec": 0.2},
+        }
+        machine, cal = bench.calibrated_ratios(
+            {"pinot_agg": 2.0, "q1_pricing_summary": 2.0}, cur, prev
+        )
+        # pinot tier normalized by the numpy probe; jvm tier left raw
+        # (factor 1.0) because its probe is missing on one side
+        assert machine == {"numpy_unpack_sec": 2.0}
+        assert cal == {"pinot_agg": 1.0, "q1_pricing_summary": 2.0}
