@@ -438,3 +438,67 @@ class TestCalibratedRatios:
         # (factor 1.0) because its probe is missing on one side
         assert machine == {"numpy_unpack_sec": 2.0}
         assert cal == {"pinot_agg": 1.0, "q1_pricing_summary": 2.0}
+
+
+class TestMvEvolutionNullFill:
+    def test_mv_column_added_by_evolution_reads_null_filled(self, spark, tmp_path):
+        """End-to-end pin of the r12 census path for MULTI-VALUE columns:
+        a segment that predates an MV (array) column must surface it
+        all-NULL, the table schema must mark it nullable (answered from
+        the manifest alone — the all_columns marker covers MV entries on
+        the sink path now), and the evolved segment's arrays decode."""
+        from pyspark.sql import functions as F
+
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = str(tmp_path / "mvevo_OFFLINE")
+        (
+            spark.range(0, 5)
+            .select(F.col("id").alias("k"))
+            .coalesce(1)
+            .write.format("pinot")
+            .mode("overwrite")
+            .save(out)
+        )
+        (
+            spark.range(5, 10)
+            .select(
+                F.col("id").alias("k"),
+                F.array(F.col("id"), F.col("id") * 2).alias("tags"),
+            )
+            .coalesce(1)
+            .write.format("pinot")
+            .mode("append")
+            .save(out)
+        )
+        # anchor on the EVOLVED segment so `tags` is in the projection
+        import os
+
+        segs = sorted(
+            os.path.join(out, d, "v3")
+            for d in os.listdir(out)
+            if os.path.isdir(os.path.join(out, d, "v3"))
+        )
+        wide = next(
+            s
+            for s in segs
+            if "tags"
+            in spark.read.format("pinot").option("segments", s).load().columns
+        )
+        narrow = next(s for s in segs if s != wide)
+        df = (
+            spark.read.format("pinot")
+            .option("segments", ",".join([wide, narrow]))
+            .load()
+        )
+        by_name = {f.name: f for f in df.schema.fields}
+        assert by_name["tags"].nullable, (
+            "pre-evolution segments NULL-fill tags -> field must be nullable"
+        )
+        rows = {r.k: r.tags for r in df.collect()}
+        assert len(rows) == 10
+        for k in range(5):
+            assert rows[k] is None
+        for k in range(5, 10):
+            assert list(rows[k]) == [k, 2 * k]
