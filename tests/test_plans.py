@@ -476,3 +476,31 @@ def test_dedup_pipeline_no_allpairs_and_deliberate_shuffle_join(q):
     # the doc_id label join is present and NOT broadcast: at least one
     # SortMergeJoin survives (labels side), alongside the bucket equi-joins
     assert "SortMergeJoin" in plan
+
+
+def test_temporal_split_broadcasts_bounds(q):
+    """r12: the day-bounds frame is ONE row — it must broadcast back to
+    the events scan (any shuffle here would be a corpus-wide mistake),
+    and membership flagging is one partial/final aggregate pair."""
+    plan = _plan(q("temporal_split_leakage"))
+    assert "Broadcast" in plan  # 1-row bounds join
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_embedding_norm_audit_partial_aggregates(q):
+    """r12: both the per-vector partial sum and the label rollup must
+    map-side combine (partial HashAggregate before each Exchange) — the
+    shuffle carries one row per vector, never 64x component rows."""
+    plan = _plan(q("embedding_norm_audit"))
+    # partial + final per aggregation level
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_join_skew_audit_take_ordered(q):
+    """r12: the hot-key probe must TakeOrdered its top-k (no full sort)
+    and the totals frame joins broadcast (1 row)."""
+    plan = _plan(q("join_skew_audit"))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
