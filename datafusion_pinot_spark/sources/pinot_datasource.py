@@ -1144,12 +1144,20 @@ class PinotStreamReader(DataSourceStreamReader):
     a segment is only visible complete, so source and sink compose into an
     end-to-end segment pipeline).
 
-    Offsets are the sorted set of seen segment names (JSON-encoded — Spark
-    checkpoints them; restart resumes from the checkpoint). A micro-batch
+    Offsets (r12, O(1) checkpoint state at 100 TB): ``{"log_id": N,
+    "extra": [...]}`` — the snapshot-log id plus the (normally EMPTY)
+    list of segments present in the directory but not covered by that
+    snapshot. Sink-written tables commit a snapshot per write, so their
+    offsets are a single integer no matter how many segments the table
+    holds; tables written out-of-band (no log append) degrade gracefully:
+    their unlogged segments ride in ``extra``, reproducing the legacy
+    seen-set behavior exactly. Legacy checkpoints (``{"seen": [...]}``
+    from pre-r12 runs) are still accepted as a batch START offset, so a
+    restart across the upgrade resumes without replay. A micro-batch
     gets one input partition per new segment, read on executors with the
-    same column reader as the batch path. This is exactly a file-source with
-    segment granularity, so watermarks/windows/stateful ops above it work
-    unchanged.
+    same column reader as the batch path. This is exactly a file-source
+    with segment granularity, so watermarks/windows/stateful ops above it
+    work unchanged.
     """
 
     def __init__(
@@ -1172,21 +1180,53 @@ class PinotStreamReader(DataSourceStreamReader):
         # v3 dir → segment dir name (the stable identity)
         return sorted(os.path.basename(os.path.dirname(s)) for s in segs)
 
+    def _offset_names(self, off: dict) -> set:
+        """Segment-name set an offset denotes: as-of(log_id) ∪ extra for
+        the r12 form, the literal set for a legacy {"seen": ...}
+        checkpoint."""
+        import json
+
+        from pinot_segment.snapshot import snapshot_segment_names
+
+        if "seen" in off:  # legacy (pre-r12) checkpoint
+            return set(json.loads(off["seen"]))
+        names: set = set(json.loads(off.get("extra", "[]")))
+        log_id = int(off.get("log_id", 0))
+        if log_id > 0:
+            names.update(snapshot_segment_names(self._path, log_id))
+        return names
+
     def initialOffset(self) -> dict:
         import json
 
-        return {"seen": json.dumps([])}
+        return {"log_id": 0, "extra": json.dumps([])}
 
     def latestOffset(self) -> dict:
         import json
 
-        return {"seen": json.dumps(self._names(self._current_segments()))}
+        from pinot_segment.snapshot import (
+            current_snapshot_id,
+            snapshot_segment_names,
+        )
+
+        names = set(self._names(self._current_segments()))
+        log_id = current_snapshot_id(self._path) or 0
+        covered = (
+            set(snapshot_segment_names(self._path, log_id))
+            if log_id
+            else set()
+        )
+        # extra is EMPTY for sink-written tables (every write commits a
+        # snapshot) — the offset is then one integer; out-of-band segments
+        # keep riding explicitly so nothing is ever silently skipped
+        return {
+            "log_id": log_id,
+            "extra": json.dumps(sorted(names - covered)),
+        }
 
     def partitions(self, start: dict, end: dict) -> list[PinotInputPartition]:
-        import json
-
-        seen = set(json.loads(start["seen"]))
-        new = [n for n in json.loads(end["seen"]) if n not in seen]
+        seen = self._offset_names(start)
+        new = [n for n in sorted(self._offset_names(end)) if n not in seen]
         # Map offset names back to real v3 paths via the same discovery the
         # offsets came from — `{path}/{name}/v3` reconstruction would be wrong
         # for the single-segment-dir / bare-v3 layouts _discover_segments also

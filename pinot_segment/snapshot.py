@@ -168,6 +168,14 @@ def resolve_segment_dirs(
     return out
 
 
+def snapshot_segment_names(table_dir: str, snapshot_id: int) -> list[str]:
+    """Segment NAMES recorded in snapshot ``snapshot_id`` — no directory
+    resolution, so members that were later compacted/vacuumed away don't
+    raise (the append-only stream's offset arithmetic only needs the name
+    set; resolution happens for the NEW names it actually reads)."""
+    return list(_log_entry(table_dir, snapshot_id)["segments"])
+
+
 def segments_as_of(table_dir: str, snapshot_id: int) -> list[str]:
     """v3 dirs of the segments in snapshot ``snapshot_id`` — live ones
     from the table dir, replaced ones from ``retired/``. Raises if the

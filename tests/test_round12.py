@@ -502,3 +502,111 @@ class TestMvEvolutionNullFill:
             assert rows[k] is None
         for k in range(5, 10):
             assert list(rows[k]) == [k, 2 * k]
+
+
+class TestStreamOffsetsO1:
+    def _reader(self, spark, out):
+        from datafusion_pinot_spark.sources.pinot_datasource import (
+            PinotDataSource,
+        )
+
+        src = PinotDataSource({"path": out})
+        return src.streamReader(src.schema())
+
+    def test_sink_written_table_has_o1_offsets(self, spark, tmp_path):
+        """r12: the append-only stream's checkpoint state is a snapshot-log
+        id + an EMPTY extra list on sink-written tables — one integer no
+        matter how many segments exist (the legacy seen-set was
+        O(segments) checkpoint state at 100 TB)."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = str(tmp_path / "o1_OFFLINE")
+        (
+            spark.range(0, 40)
+            .select(F.col("id").alias("k"))
+            .repartition(4)
+            .write.format("pinot")
+            .mode("overwrite")
+            .save(out)
+        )
+        r = self._reader(spark, out)
+        off = r.latestOffset()
+        assert off["log_id"] >= 1
+        assert json.loads(off["extra"]) == []
+        parts = r.partitions(r.initialOffset(), off)
+        assert sum(len(p.segment_dirs) for p in parts) == 4
+
+    def test_legacy_seen_checkpoint_resumes_without_replay(
+        self, spark, tmp_path
+    ):
+        """A pre-r12 checkpoint ({"seen": [...]}) must still be accepted
+        as a START offset: only segments NOT in the legacy set stream."""
+        import json
+        import os
+
+        from pyspark.sql import functions as F
+
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = str(tmp_path / "legacy_OFFLINE")
+        (
+            spark.range(0, 10)
+            .select(F.col("id").alias("k"))
+            .coalesce(1)
+            .write.format("pinot")
+            .mode("overwrite")
+            .save(out)
+        )
+        first = sorted(
+            d
+            for d in os.listdir(out)
+            if os.path.isdir(os.path.join(out, d, "v3"))
+        )
+        (
+            spark.range(10, 20)
+            .select(F.col("id").alias("k"))
+            .coalesce(1)
+            .write.format("pinot")
+            .mode("append")
+            .save(out)
+        )
+        r = self._reader(spark, out)
+        legacy_start = {"seen": json.dumps(first)}
+        parts = r.partitions(legacy_start, r.latestOffset())
+        new_dirs = [d for p in parts for d in p.segment_dirs]
+        assert len(new_dirs) == 1  # only the appended segment, no replay
+        assert first[0] not in new_dirs[0]
+
+    def test_out_of_band_segments_ride_in_extra(self, spark, tmp_path):
+        """A segment written WITHOUT a snapshot append (direct
+        write_segment — no log entry) must still stream: it rides in the
+        offset's extra list instead of being silently skipped."""
+        import json
+
+        import numpy as np
+
+        from pinot_segment.metadata import DataType
+        from pinot_segment.writer import ColumnSpec, write_segment
+
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = tmp_path / "oob_OFFLINE"
+        write_segment(
+            out / "manual0",
+            "manual0",
+            "oob",
+            [ColumnSpec("k", DataType.LONG, np.arange(7, dtype=np.int64))],
+        )
+        r = self._reader(spark, str(out))
+        off = r.latestOffset()
+        assert off["log_id"] == 0  # no log at all
+        assert json.loads(off["extra"]) == ["manual0"]
+        parts = r.partitions(r.initialOffset(), off)
+        assert sum(len(p.segment_dirs) for p in parts) == 1
