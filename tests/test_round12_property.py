@@ -148,3 +148,129 @@ def test_join_skew_matches_counter_reference(spark, keys):
         assert r.total_rows == total and r.n_keys == n_keys
         assert r.share_ppm == r.rows * 1_000_000 // total
         assert r.hot_factor_ppm == r.rows * n_keys * 1_000_000 // total
+
+
+# ---- dedup_pipeline_report vs a full pure-Python reference ----
+# Replicates every stage bit-for-bit: tokens = trim(lower()).split(),
+# shingles = DISTINCT 3-grams, mh_i = min md5("s{i}|"+s) hex, band key =
+# md5("|".join 4 row hashes), bucket pairs, exact jaccard with the
+# round(.,6) >= 0.2 fence, min-label components, canonical keep, ppm.
+
+import hashlib
+import itertools
+import re as _re
+
+_K, _BANDS, _N, _T = 8, 2, 3, 0.2
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _toks(text: str) -> list[str]:
+    t = text.lower().strip()
+    return _re.split(r"\s+", t) if t else []
+
+
+def _shingles(text: str) -> set:
+    w = _toks(text)
+    return {" ".join(w[i : i + _N]) for i in range(len(w) - _N + 1)}
+
+
+def _pipeline_ref(rows):
+    sh = {d: _shingles(t) for d, _, t in rows}
+    sigs = {
+        d: [min(_md5(f"s{i}|" + s) for s in ss) for i in range(_K)]
+        for d, ss in sh.items()
+        if ss
+    }
+    rpb = _K // _BANDS
+    buckets: dict = {}
+    for d, sig in sigs.items():
+        for b in range(_BANDS):
+            key = _md5("|".join(sig[b * rpb + r] for r in range(rpb)))
+            buckets.setdefault((b, key), []).append(d)
+    cand = {
+        pair
+        for ids in buckets.values()
+        if len(ids) > 1
+        for pair in itertools.combinations(sorted(ids), 2)
+    }
+    verified = set()
+    for a, b in cand:
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        if union and round(inter / union, 6) >= _T:
+            verified.add((a, b))
+    # union-find -> min-label components
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = {d for p in verified for d in p}
+    label = {d: find(d) for d in members}
+    out: dict = {}
+    for d, src, text in rows:
+        n_tok = len(_toks(text))
+        e = out.setdefault(
+            src, {"n_docs": 0, "dup": 0, "kept": 0, "tot": 0, "kt": 0}
+        )
+        dropped = d in label and label[d] != d
+        e["n_docs"] += 1
+        e["dup"] += d in members
+        e["kept"] += not dropped
+        e["tot"] += n_tok
+        e["kt"] += 0 if dropped else n_tok
+    return {
+        s: (
+            e["n_docs"],
+            e["dup"],
+            e["kept"],
+            e["tot"],
+            e["kt"],
+            (e["kt"] * 1_000_000 // e["tot"]) if e["tot"] else 0,
+        )
+        for s, e in out.items()
+    }
+
+
+_texts = st.lists(
+    st.sampled_from("abcd"), min_size=0, max_size=7
+).map(lambda toks: " ".join(toks))
+
+_corpus = st.lists(
+    st.tuples(st.sampled_from(["s1", "s2"]), _texts),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus)
+def test_dedup_pipeline_matches_python_reference(spark, items):
+    from datafusion_pinot_spark.operators.dedup import dedup_pipeline_report
+
+    rows = [(i, src, text) for i, (src, text) in enumerate(items)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    got = {
+        r.source: (
+            r.n_docs,
+            r.n_dup_members,
+            r.n_kept,
+            r.total_tokens,
+            r.kept_tokens,
+            r.retained_ppm,
+        )
+        for r in dedup_pipeline_report(docs).collect()
+    }
+    assert got == _pipeline_ref(rows)
