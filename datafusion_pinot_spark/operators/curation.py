@@ -1047,7 +1047,10 @@ def temporal_split_leakage(
     (broadcast back as a 1-row frame), one shuffle on (event_type,
     user_id) to flag each user's side membership, one rollup. No joins
     against raw events."""
-    days = events.select(
+    # NULL-ts rows carry no side information and would diverge across
+    # engines (Spark's (null <= cut) casts to NULL, SQL's CASE lands in
+    # ELSE 0) — excluded identically on both sides
+    days = events.filter(F.col("ts").isNotNull()).select(
         "event_type",
         "user_id",
         F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
@@ -1100,7 +1103,7 @@ def temporal_split_leakage_oracle_sql(train_frac_pct: int = 80) -> str:
 WITH days AS (
   SELECT event_type, user_id,
          epoch_us(ts) // 86400000000 AS day
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), bounds AS (
   SELECT min(day) AS dmin, max(day) AS dmax FROM days
 ), flagged AS (

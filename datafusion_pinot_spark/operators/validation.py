@@ -1626,8 +1626,16 @@ def join_skew_audit(df: DataFrame, key_cols=("user_id",), k: int = 10) -> DataFr
 
     Scale shape: one map-side-combined count per key (the profile is
     O(distinct keys), never the corpus), a 1-row broadcast of the totals,
-    and a TakeOrdered top-k — no full sort, no second pass."""
-    per = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("rows"))
+    and a TakeOrdered top-k — no full sort, no second pass.
+
+    NULL keys are excluded — semantically (an equi-join drops them, so
+    they contribute no join skew) and defensively (a NULL landing in the
+    top-k would hit Spark's nulls-first vs DuckDB's nulls-last ORDER BY
+    divergence)."""
+    nn = df
+    for c in key_cols:
+        nn = nn.filter(F.col(c).isNotNull())
+    per = nn.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("rows"))
     tot = per.agg(
         F.sum("rows").cast("long").alias("total_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
@@ -1654,7 +1662,7 @@ def join_skew_audit_oracle_sql(key: str = "user_id", k: int = 10) -> str:
     return f"""
 WITH per AS (
   SELECT {key}, CAST(count(*) AS BIGINT) AS rows
-  FROM events GROUP BY {key}
+  FROM events WHERE {key} IS NOT NULL GROUP BY {key}
 ), tot AS (
   SELECT CAST(sum(rows) AS BIGINT) AS total_rows,
          CAST(count(*) AS BIGINT) AS n_keys

@@ -610,3 +610,37 @@ class TestStreamOffsetsO1:
         assert json.loads(off["extra"]) == ["manual0"]
         parts = r.partitions(r.initialOffset(), off)
         assert sum(len(p.segment_dirs) for p in parts) == 1
+
+
+class TestR12NullHazards:
+    def test_temporal_split_ignores_null_ts(self, spark):
+        import datetime as dt
+
+        from datafusion_pinot_spark.operators.curation import (
+            temporal_split_leakage,
+        )
+
+        def ts(day):
+            return dt.datetime(2020, 1, 1) + dt.timedelta(days=day)
+
+        events = spark.createDataFrame(
+            [(1, "view", ts(0)), (2, "view", None), (3, "view", ts(9))],
+            "user_id long, event_type string, ts timestamp",
+        )
+        [r] = temporal_split_leakage(events).collect()
+        # the NULL-ts row contributes to NEITHER side
+        assert r.train_events + r.valid_events == 2
+
+    def test_join_skew_excludes_null_keys(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            join_skew_audit,
+        )
+
+        df = spark.createDataFrame(
+            [(1,), (1,), (None,), (None,), (None,), (2,)],
+            "user_id long",
+        )
+        out = join_skew_audit(df, ("user_id",), k=5).collect()
+        # NULLs never match an equi-join; they must not dominate the audit
+        assert [r.user_id for r in out] == [1, 2]
+        assert out[0].total_rows == 3 and out[0].n_keys == 2
