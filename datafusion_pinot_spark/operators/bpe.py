@@ -224,7 +224,15 @@ def _bpe_learn_apply_ctes(group_col: str) -> str:
     """Shared DuckDB CTE chain: learn two merges on the whole corpus
     (words..b2), then encode every word occurrence keeping ``group_col``
     (source for the compression report, lang for the fertility audit).
-    Ends with CTE ``ap2(group, nb, seq)``."""
+    Ends with CTE ``ap2(group, nb, seq)``.
+
+    Precondition: the corpus must yield TWO learnable merges (any corpus
+    with a 3+-letter word or two distinct pairs does; the testdata corpus
+    always does). On a degenerate corpus where round 2 finds no adjacent
+    pair, b2's scalar subquery is NULL and the unrolled replace() NULLs
+    the seq — the Spark side (which applies however many merges were
+    learned) would diverge. Registered queries only ever run this on the
+    documents corpus, where the precondition holds."""
     return f"""
 WITH words AS (
   SELECT w, count(*) AS freq FROM (
