@@ -274,3 +274,112 @@ def test_dedup_pipeline_matches_python_reference(spark, items):
         for r in dedup_pipeline_report(docs).collect()
     }
     assert got == _pipeline_ref(rows)
+
+
+# ---- training_mixture_report vs a full pure-Python reference ----
+# Mirrors every stage exactly: canonical keep = longest-n_chars-wins per
+# md5(text) group (doc_id tiebreak); the quality gate's signals use
+# split(text, ' ') LITERALLY (empty strings count as words — the
+# operator's convention); budget tokens use tokens() = trim(lower())
+# \s+ split; Hamilton largest-remainder over sources WITH kept docs.
+
+
+def _q_keep(text: str) -> bool:
+    w = text.split(" ")
+    n = len(w)
+    if n < 15 or n > 10000:
+        return False
+    avg = (sum(len(x) for x in w) * 1000) // n if n else 0
+    if avg < 2000 or avg > 12000:
+        return False
+    grams = [" ".join(w[i : i + 2]) for i in range(n - 1)]
+    if grams:
+        c = Counter(grams)
+        tot = sum(c.values())
+        if (tot - len(c)) * 1_000_000 // tot > 300_000:
+            return False
+    c = Counter(w)
+    tot = sum(c.values())
+    if tot and max(c.values()) * 1_000_000 // tot > 200_000:
+        return False
+    return True
+
+
+def _mix_ref(rows, budget):
+    groups: dict = {}
+    for d, s, t, nc in rows:
+        groups.setdefault(_md5(t), []).append((d, s, t, nc))
+    surv = []
+    for g in groups.values():
+        g.sort(key=lambda r: (-r[3], r[0]))
+        surv.append(g[0])
+    kept = [(d, s, t) for d, s, t, _ in surv if _q_keep(t)]
+    per_kept: dict = {}
+    for _, s, t in kept:
+        n_tok = len(_toks(t))
+        e = per_kept.setdefault(s, [0, 0])
+        e[0] += 1
+        e[1] += n_tok
+    total = sum(v[1] for v in per_kept.values())
+    alloc = {}
+    if total > 0:
+        quotas = {
+            s: (budget * v[1] // total, budget * v[1] % total, s)
+            for s, v in per_kept.items()
+        }
+        leftover = budget - sum(q for q, _, _ in quotas.values())
+        ranked = sorted(quotas.items(), key=lambda kv: (-kv[1][1], kv[0]))
+        for i, (s, (q, _, _)) in enumerate(ranked):
+            alloc[s] = q + (1 if i < leftover else 0)
+    out = {}
+    for d, s, t, nc in rows:
+        out.setdefault(s, [0, 0, 0, 0, 0])[0] += 1
+    for d, s, t, nc in surv:
+        out[s][1] += 1
+    for s, (nq, kt) in per_kept.items():
+        out[s][2] = nq
+        out[s][3] = kt
+    for s, a in alloc.items():
+        out[s][4] = a
+    return {s: tuple(v) for s, v in out.items()}
+
+
+_mix_texts = st.lists(
+    st.sampled_from(["alpha", "bravo", "charlie", "delta", "echo", "fox"]),
+    min_size=0,
+    max_size=25,
+).map(lambda toks: " ".join(toks))
+
+_mix_corpus = st.lists(
+    st.tuples(st.sampled_from(["s1", "s2", "s3"]), _mix_texts),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_mix_corpus)
+def test_mixture_report_matches_python_reference(spark, items):
+    from datafusion_pinot_spark.operators.curation import (
+        training_mixture_report,
+    )
+
+    rows = [(i, src, text, len(text)) for i, (src, text) in enumerate(items)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars int"
+    )
+    got = {
+        r.source: (
+            r.n_docs,
+            r.n_dedup_kept,
+            r.n_quality_kept,
+            r.kept_tokens,
+            r.alloc_tokens,
+        )
+        for r in training_mixture_report(docs, budget=100).collect()
+    }
+    ref = _mix_ref(rows, 100)
+    assert got == ref
+    # Hamilton invariant: allocations sum to the budget when anything kept
+    if any(v[3] for v in ref.values()):
+        assert sum(v[4] for v in got.values()) == 100
