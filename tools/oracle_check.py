@@ -170,6 +170,11 @@ def norm_rows(cols: list[str], rows) -> list[tuple]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    if "--window" in only:
+        # the exact 50 names the driver's gate hash-checks, in order
+        from datafusion_pinot_spark.plans.queries import DRIVER_WINDOW
+
+        only = (only - {"--window"}) | set(DRIVER_WINDOW)
 
     import __spark_entry__ as entry
     from datafusion_pinot_spark.session import get_spark
