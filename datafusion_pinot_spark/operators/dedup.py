@@ -1984,33 +1984,37 @@ def ngram_novelty_curve(docs: DataFrame, n: int = 3, buckets: int = 10) -> DataF
     production case).
 
     Scale shape (100 TB): doc -> distinct shingles is the dedup family's
-    explode; distinct (shingle, bucket) pairs and the per-shingle
-    first-bucket min are both map-side-combined shuffles ON THE SHINGLE
-    (bounded by corpus shingle volume, the same key dedup itself hashes
-    on); the novelty join is shingle-keyed equi-join of two already-
-    shingle-partitioned frames — one shuffle reused, no re-partitioning."""
+    explode; then exactly TWO map-side-combined shuffles — one ON THE
+    SHINGLE collecting each shingle's distinct bucket set (collect_set
+    partial-aggregates, so the shuffle carries per-partition shingle
+    rows, not occurrences), one on the bucket for the rollup after the
+    first-bucket min and membership explode run narrowly on the
+    per-shingle rows. No join, no third shuffle (an earlier draft
+    distinct-ed (bucket, shingle) pairs and self-joined — one more
+    shuffle AND a join for the same answer)."""
     from datafusion_pinot_spark.functions import tokens, word_shingles
 
     bounds = docs.agg(
         F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id")
     )
-    sh = (
-        docs.join(F.broadcast(bounds))
-        .select(
-            F.expr(
-                f"(doc_id - min_id) * {buckets}"
-                " DIV (max_id - min_id + 1)"
-            ).cast("bigint").alias("bucket"),
-            F.explode(
-                word_shingles(tokens(F.col("text")), n)
-            ).alias("shingle"),
-        )
-        .distinct()  # (bucket, shingle) pairs
+    sh = docs.join(F.broadcast(bounds)).select(
+        F.expr(
+            f"(doc_id - min_id) * {buckets}"
+            " DIV (max_id - min_id + 1)"
+        ).cast("bigint").alias("bucket"),
+        F.explode(
+            word_shingles(tokens(F.col("text")), n)
+        ).alias("shingle"),
     )
-    first = sh.groupBy("shingle").agg(F.min("bucket").alias("first_bucket"))
+    per_shingle = sh.groupBy("shingle").agg(
+        F.collect_set("bucket").alias("bs")
+    )
+    member = per_shingle.select(
+        F.array_min("bs").alias("first_bucket"),
+        F.explode("bs").alias("bucket"),
+    )
     return (
-        sh.join(first, "shingle")
-        .groupBy("bucket")
+        member.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(
