@@ -504,3 +504,14 @@ def test_join_skew_audit_take_ordered(q):
     plan = _plan(q("join_skew_audit"))
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_novelty_curve_no_shuffle_join(q):
+    """r12 rewrite: the novelty curve is two aggregates (shingle, then
+    bucket) plus the 1-row broadcast bounds join — the earlier
+    distinct+self-join shape (an extra shuffle AND a shuffle join for
+    the same answer) must not come back."""
+    plan = _plan(q("ngram_novelty_curve"))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
