@@ -1647,11 +1647,30 @@ def join_skew_audit(df: DataFrame, key_cols=("user_id",), k: int = 10) -> DataFr
             F.col("rows").cast("long").alias("rows"),
             "total_rows",
             "n_keys",
-            F.expr("rows * 1000000 DIV total_rows").alias("share_ppm"),
+            # decimal(38,0) carries (house doctrine): at the 100 TB shape
+            # this probe targets, rows*1e6 passes 2^63 once a key holds
+            # >9.2e12 rows, and rows*n_keys*1e6 passes it far earlier —
+            # BIGINT math would wrap silently (non-ANSI) on exactly the
+            # viral key the audit exists to surface. share_ppm <= 1e6 so
+            # its BIGINT cast is always safe; hot_factor_ppm gets an
+            # exact cross-multiplied overflow guard (quotient > BIGINT
+            # max iff rows*n_keys*1e6 >= (max+1)*total) that fails
+            # LOUDLY instead of emitting a wrapped/NULL cell.
+            F.expr(
+                "CAST(CAST(rows AS DECIMAL(38,0)) * 1000000"
+                " div total_rows AS BIGINT)"
+            ).alias("share_ppm"),
             # rows / (total/n_keys) in ppm == rows * n_keys * 1e6 / total
-            F.expr("rows * n_keys * 1000000 DIV total_rows").alias(
-                "hot_factor_ppm"
-            ),
+            F.expr(
+                "CASE WHEN CAST(rows AS DECIMAL(38,0)) * n_keys * 1000000"
+                " >= (CAST(9223372036854775807 AS DECIMAL(38,0)) + 1)"
+                "    * total_rows"
+                " THEN CAST(raise_error('join_skew_audit: hot_factor_ppm"
+                " exceeds BIGINT — a single key dominates a corpus with"
+                " >9.2e12 effective key-slots') AS BIGINT)"
+                " ELSE CAST(CAST(rows AS DECIMAL(38,0)) * n_keys * 1000000"
+                "      div total_rows AS BIGINT) END"
+            ).alias("hot_factor_ppm"),
         )
         .orderBy(F.desc("rows"), *[F.asc(c) for c in key_cols])
         .limit(k)
@@ -1669,8 +1688,9 @@ WITH per AS (
   FROM per
 )
 SELECT {key}, rows, total_rows, n_keys,
-       CAST(rows * 1000000 // total_rows AS BIGINT) AS share_ppm,
-       CAST(rows * n_keys * 1000000 // total_rows AS BIGINT)
-         AS hot_factor_ppm
+       CAST(CAST(rows AS HUGEINT) * 1000000 // total_rows AS BIGINT)
+         AS share_ppm,
+       CAST(CAST(rows AS HUGEINT) * n_keys * 1000000 // total_rows
+            AS BIGINT) AS hot_factor_ppm
 FROM per CROSS JOIN tot
 ORDER BY rows DESC, {key} ASC LIMIT {k}"""

@@ -1153,7 +1153,12 @@ class PinotStreamReader(DataSourceStreamReader):
     their unlogged segments ride in ``extra``, reproducing the legacy
     seen-set behavior exactly. Legacy checkpoints (``{"seen": [...]}``
     from pre-r12 runs) are still accepted as a batch START offset, so a
-    restart across the upgrade resumes without replay. A micro-batch
+    restart across the upgrade resumes without replay. The flip side of
+    log-relative offsets: if vacuum prunes the checkpointed snapshot id
+    while the stream is down, the processed-set is unrecoverable and the
+    reader fails fast with a recovery contract (fresh checkpoint = full
+    replay; raise vacuum ``keep_last``) — same stance as the CDC reader,
+    where the legacy self-contained seen-set was immune but O(segments). A micro-batch
     gets one input partition per new segment, read on executors with the
     same column reader as the batch path. This is exactly a file-source
     with segment granularity, so watermarks/windows/stateful ops above it
@@ -1193,7 +1198,30 @@ class PinotStreamReader(DataSourceStreamReader):
         names: set = set(json.loads(off.get("extra", "[]")))
         log_id = int(off.get("log_id", 0))
         if log_id > 0:
-            names.update(snapshot_segment_names(self._path, log_id))
+            try:
+                names.update(snapshot_segment_names(self._path, log_id))
+            except (ValueError, FileNotFoundError) as ex:
+                # Checkpointed snapshot id pruned from the log: vacuum
+                # outran the stream (same hazard class as the CDC reader,
+                # which fails the same way — the legacy seen-set
+                # checkpoints were self-contained and immune). On an
+                # append-only table vacuum removed no DATA, but the
+                # processed-set the pruned entry recorded is gone, so any
+                # guess would silently skip or replay segments. Fail loud
+                # with the recovery contract instead.
+                raise ValueError(
+                    f"pinot stream restart: checkpoint references snapshot "
+                    f"id {log_id}, which is no longer in the snapshot log "
+                    f"({ex}) — vacuum's keep_last window passed it while "
+                    "the stream was down. The exact processed-segment set "
+                    "cannot be reconstructed, so resuming would risk "
+                    "skipping or replaying segments. Recover by restarting "
+                    "with a NEW checkpoint dir (full replay — safe for "
+                    "idempotent/dedup-keyed sinks), and raise vacuum "
+                    "keep_last above the stream's max expected downtime; "
+                    "vacuum(dry_run=True).pruned_snapshots previews the "
+                    "checkpoint ids a reclaim would strand"
+                ) from ex
         return names
 
     def initialOffset(self) -> dict:

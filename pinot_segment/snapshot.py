@@ -241,10 +241,12 @@ def vacuum(table_dir: str, keep_last: int = 1, dry_run: bool = False) -> dict:
     ``dry_run=True`` (r11) reports exactly what a real run would remove
     and which snapshot ids it would prune — WITHOUT touching disk or the
     log. Vacuum is the one irreversible operation in the maintenance
-    surface (it invalidates older ``as_of`` reads and any CDC stream
-    checkpointed before the kept window), so operators preview it: the
-    ``pruned_snapshots`` list is precisely the set of checkpoint ids a
-    running stream must NOT hold for the reclaim to be safe."""
+    surface (it invalidates older ``as_of`` reads and any stream —
+    append-only OR CDC — checkpointed before the kept window; both
+    readers fail fast with a documented recovery contract rather than
+    guessing), so operators preview it: the ``pruned_snapshots`` list is
+    precisely the set of checkpoint ids a running stream must NOT hold
+    for the reclaim to be safe."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     log = load_snapshot_log(table_dir)

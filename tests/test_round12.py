@@ -583,6 +583,44 @@ class TestStreamOffsetsO1:
         assert len(new_dirs) == 1  # only the appended segment, no replay
         assert first[0] not in new_dirs[0]
 
+    def test_vacuum_pruned_checkpoint_fails_with_recovery_contract(
+        self, spark, tmp_path
+    ):
+        """If vacuum prunes the snapshot id a stream checkpoint holds,
+        the exact processed-set is unrecoverable — the reader must fail
+        FAST with the recovery contract (same stance as the CDC reader),
+        not wedge on a bare 'Unknown snapshot id' or silently guess."""
+        import json
+
+        import pytest
+
+        from pyspark.sql import functions as F
+
+        from pinot_segment.snapshot import vacuum
+
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = str(tmp_path / "pruned_OFFLINE")
+        for lo, hi, mode in ((0, 10, "overwrite"), (10, 20, "append")):
+            (
+                spark.range(lo, hi)
+                .select(F.col("id").alias("k"))
+                .coalesce(1)
+                .write.format("pinot")
+                .mode(mode)
+                .save(out)
+            )
+        res = vacuum(out, keep_last=1)
+        assert res["pruned_snapshots"]  # snapshot 1 left the log
+        r = self._reader(spark, out)
+        stale = {
+            "log_id": res["pruned_snapshots"][0],
+            "extra": json.dumps([]),
+        }
+        with pytest.raises(ValueError, match="NEW checkpoint dir"):
+            r.partitions(stale, r.latestOffset())
+
     def test_out_of_band_segments_ride_in_extra(self, spark, tmp_path):
         """A segment written WITHOUT a snapshot append (direct
         write_segment — no log entry) must still stream: it rides in the

@@ -168,13 +168,21 @@ def norm_rows(cols: list[str], rows) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    if "--window" in only:
+    # flags may appear anywhere; everything else is [sf_dir, query...]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    unknown = flags - {"--window"}
+    if unknown:
+        print(f"usage: oracle_check.py [sf_dir] [query ...] [--window]")
+        print(f"unknown flag(s): {sorted(unknown)}")
+        return 2
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    if "--window" in flags:
         # the exact 50 names the driver's gate hash-checks, in order
         from datafusion_pinot_spark.plans.queries import DRIVER_WINDOW
 
-        only = (only - {"--window"}) | set(DRIVER_WINDOW)
+        only |= set(DRIVER_WINDOW)
 
     import __spark_entry__ as entry
     from datafusion_pinot_spark.session import get_spark

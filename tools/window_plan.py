@@ -42,6 +42,9 @@ def green_history() -> dict[str, list[tuple[str, bool]]]:
                 isinstance(v, dict)
                 and v.get("err") is None
                 and bool(v.get("rows_match"))
+                # schema/hash may be absent (rows-only checks) — absent
+                # passes, an explicit false (type-class red) does not
+                and v.get("schema_match") in (True, None)
                 and v.get("hash_match") in (True, None)
             )
             hist.setdefault(name, []).append((rnd, green))
