@@ -1129,3 +1129,365 @@ SELECT event_type,
                  THEN sum(in_train * in_valid) * 1000000 // sum(in_valid)
                  ELSE 0 END AS BIGINT) AS leak_ppm
 FROM flagged GROUP BY event_type ORDER BY event_type"""
+
+
+PACK_CTX_LENS = (32, 64, 128, 256, 512)
+
+
+def packing_waste_curve(
+    docs: DataFrame, ctx_lens: tuple[int, ...] = PACK_CTX_LENS
+) -> DataFrame:
+    """Context-length planning table for one-document-per-sequence training
+    (SFT / instruction tuning, where documents are NOT packed end to end):
+    for each candidate context length L, how many documents truncate, how
+    many tokens truncation loses, how much padding the short documents
+    cost, and the resulting utilization in ppm. The complement of
+    :func:`sequence_pack_bins` (which models the packed-pretraining
+    layout); together they answer "pack or pad, and at what L?".
+
+    All integer: kept = min(n, L), pad = L - kept, util_ppm =
+    (sum(kept) * 1e6) div (n_docs * L).
+
+    Scale shape (100 TB): one narrow token-count map, a |ctx_lens|-way
+    explode (a constant fanout of 4, not a join), and one
+    map-side-combined groupBy over |ctx_lens| groups. No shuffle carries
+    text; the explode carries two BIGINTs per row."""
+    tok = docs.select(
+        F.size(tokens(F.col("text"))).cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    lens = F.array(*[F.lit(l) for l in ctx_lens])
+    per = tok.select(
+        "n", F.explode(lens).alias("ctx_len")
+    ).select(
+        "n", F.col("ctx_len").cast("long").alias("ctx_len")
+    ).select(
+        "ctx_len",
+        "n",
+        F.least(F.col("n"), F.col("ctx_len")).alias("kept"),
+        F.greatest(F.col("n") - F.col("ctx_len"), F.lit(0).cast("long")).alias(
+            "trunc"
+        ),
+    )
+    return (
+        per.groupBy("ctx_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("trunc") > 0).cast("long")).alias("n_truncated"),
+            F.sum("n").alias("tokens_total"),
+            F.sum("kept").alias("tokens_kept"),
+            F.sum("trunc").alias("tokens_trunc"),
+            F.sum(F.col("ctx_len") - F.col("kept")).alias("pad_tokens"),
+        )
+        .select(
+            "ctx_len",
+            "n_docs",
+            "n_truncated",
+            "tokens_total",
+            "tokens_kept",
+            "tokens_trunc",
+            "pad_tokens",
+            F.expr(
+                "CAST((tokens_kept * CAST(1000000 AS BIGINT))"
+                " div (n_docs * ctx_len) AS BIGINT)"
+            ).alias("util_ppm"),
+        )
+        .orderBy("ctx_len")
+    )
+
+
+def packing_waste_curve_oracle_sql(
+    ctx_lens: tuple[int, ...] = PACK_CTX_LENS
+) -> str:
+    lens = ", ".join(f"({l})" for l in ctx_lens)
+    return f"""
+WITH tok AS (
+  SELECT CASE WHEN length(trim(lower(text))) = 0 THEN 0
+              ELSE CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS BIGINT) END AS n
+  FROM documents
+), nz AS (
+  SELECT n FROM tok WHERE n > 0
+), lens(ctx_len) AS (VALUES {lens}),
+per AS (
+  SELECT CAST(ctx_len AS BIGINT) AS ctx_len, n,
+         least(n, ctx_len) AS kept,
+         greatest(n - ctx_len, 0) AS trunc
+  FROM nz CROSS JOIN lens
+)
+SELECT ctx_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN trunc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(sum(n) AS BIGINT) AS tokens_total,
+       CAST(sum(kept) AS BIGINT) AS tokens_kept,
+       CAST(sum(trunc) AS BIGINT) AS tokens_trunc,
+       CAST(sum(ctx_len - kept) AS BIGINT) AS pad_tokens,
+       CAST((sum(kept) * 1000000) // (count(*) * ctx_len) AS BIGINT)
+         AS util_ppm
+FROM per GROUP BY ctx_len ORDER BY ctx_len"""
+
+
+# (name, min_tokens, max_top_tok_milli, max_dup2_milli) — DELIBERATELY
+# non-nested gates (length-only / repetition-only / balanced) so the mask
+# profile exposes genuine crossings: which rule family kills which docs.
+ABLATION_CONFIGS = (
+    ("len_gate", 30, 1_000_000, 1_000_000),
+    ("rep_gate", 0, 180_000, 250_000),
+    ("balanced", 15, 200_000, 300_000),
+)
+
+
+def quality_config_ablation(
+    docs: DataFrame,
+    configs: tuple[tuple[str, int, int, int], ...] = ABLATION_CONFIGS,
+) -> DataFrame:
+    """Curation-config ablation: evaluate several candidate quality gates
+    over the SAME per-document signal frame and report the retained-set
+    profile per agreement mask — bit i set means config i keeps the doc.
+    The mask histogram answers the planning questions a threshold table
+    cannot: how much do the gates overlap, which rule family uniquely
+    kills which token mass, and what a config swap would actually change
+    (the |A ∖ B| cells), all in one pass with no per-config rerun.
+
+    Signals come from :func:`~datafusion_pinot_spark.operators.text.
+    quality_signals` (exact integer millionths), so every keep decision is
+    an integer comparison — nothing to drift between engines.
+
+    Scale shape (100 TB): signals are computed ONCE (the expensive
+    (doc, token) shuffles amortize across all configs); each config is a
+    codegen'd boolean column; the profile is one map-side-combined
+    groupBy over at most 2^|configs| groups."""
+    from datafusion_pinot_spark.operators.text import quality_signals
+
+    sig = quality_signals(docs)
+    keeps = [
+        (
+            (F.col("n_tokens") >= mint)
+            & (F.col("top_tok_milli") <= maxtop)
+            & (F.col("dup2_milli") <= maxdup)
+        ).alias(f"keep_{name}")
+        for name, mint, maxtop, maxdup in configs
+    ]
+    flagged = sig.select("n_tokens", *keeps)
+    mask = sum(
+        F.col(f"keep_{name}").cast("int") * (1 << i)
+        for i, (name, *_rest) in enumerate(configs)
+    )
+    return (
+        flagged.select(mask.alias("mask"), "n_tokens", *[
+            F.col(f"keep_{name}") for name, *_r in configs
+        ])
+        .groupBy("mask", *[f"keep_{name}" for name, *_r in configs])
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .orderBy("mask")
+    )
+
+
+def quality_config_ablation_oracle_sql(
+    configs: tuple[tuple[str, int, int, int], ...] = ABLATION_CONFIGS,
+) -> str:
+    from datafusion_pinot_spark.operators.text import quality_signal_ctes
+
+    keeps = ", ".join(
+        f"(n_tokens >= {mint} AND top_tok_milli <= {maxtop}"
+        f" AND dup2_milli <= {maxdup}) AS keep_{name}"
+        for name, mint, maxtop, maxdup in configs
+    )
+    mask = " + ".join(
+        f"(CASE WHEN keep_{name} THEN {1 << i} ELSE 0 END)"
+        for i, (name, *_r) in enumerate(configs)
+    )
+    keep_cols = ", ".join(f"keep_{name}" for name, *_r in configs)
+    return f"""
+WITH {quality_signal_ctes("documents")},
+flagged AS (
+  SELECT n_tokens, {keeps} FROM qjoined
+)
+SELECT CAST({mask} AS INTEGER) AS mask, {keep_cols},
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens
+FROM flagged GROUP BY mask, {keep_cols} ORDER BY mask"""
+
+
+BLOOM_M = 16384  # bloom bits
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos(col, j: int, m: int):
+    """Bloom bit position j for a shingle: md5-prefix integer mod m —
+    48-bit prefix, exact in BIGINT, bit-identical in DuckDB via the
+    strpos polynomial (the training_shard_assignment trick)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"b{j}|"), col)), 1, 12), 16, 10)
+        .cast("long")
+        % m
+    )
+
+
+def _bloom_pos_sql(expr: str, j: int, m: int) -> str:
+    h = f"md5('b{j}|' || {expr})"
+    poly = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (12 - 1 - i)})"
+        for i in range(12)
+    )
+    return f"(({poly}) % {m})"
+
+
+def bloom_decontam_audit(
+    docs: DataFrame,
+    probe_max_doc: int = PROBE_MAX_DOC,
+    n: int = 3,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """GPT-3-style Bloom-filter decontamination, audited against the exact
+    semi-join it approximates. The benchmark ("probe") documents' shingles
+    populate an m-bit Bloom filter with k hash functions; a corpus document
+    is BLOOM-flagged when any of its shingles hits all k bits, and
+    EXACT-flagged when any shingle is truly in the probe set. Per source:
+    how many docs each method flags and the false-positive gap — the table
+    that says whether m/k are sized right BEFORE burning a 100 TB pass.
+    Blooms have no false negatives, so exact_flagged <= bloom_flagged
+    row-by-row (pinned in tests).
+
+    Determinism: the filter is simulated EXACTLY — the set bits are a
+    materialized table of distinct positions (at most m rows), membership
+    is a k-way position join — so both engines agree bit-for-bit; md5 is
+    the hash family, as everywhere in this repo (xxhash64 is the
+    production swap).
+
+    Scale shape (100 TB): the bit table is bounded by m (2 KB of bitset here —
+    ALWAYS broadcastable, that is the point of the data structure); the
+    corpus side is one distinct-shingle scan, a k-way explode of bit
+    positions (constant fanout), one broadcast join, and two
+    map-side-combined rollups. The exact leg broadcasts the probe shingle
+    set, small by construction (it is the benchmark). Nothing all-pairs,
+    nothing shuffled by content."""
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(tokens(F.col("text")), n)).alias("s"),
+    )
+    probe_sh = (
+        sh.filter(F.col("doc_id") < probe_max_doc).select("s").distinct()
+    )
+    # the simulated filter: every bit any probe shingle sets (<= m rows)
+    bits = (
+        probe_sh.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("s"), j, m) for j in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= probe_max_doc)
+    # per corpus shingle: does it pass the bloom (all k positions set)?
+    cand = corpus.select(
+        "doc_id",
+        "source",
+        "s",
+        F.posexplode(
+            F.array(*[_bloom_pos(F.col("s"), j, m) for j in range(k)])
+        ).alias("j", "pos"),
+    )
+    passes = (
+        cand.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "source", "s")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) == k).alias("bloom_hit"))
+    )
+    exact = corpus.join(F.broadcast(probe_sh), "s", "left_semi").select(
+        "doc_id", F.lit(True).alias("exact_hit")
+    ).distinct()
+    per_doc = (
+        passes.groupBy("doc_id", "source")
+        .agg(F.max(F.col("bloom_hit").cast("int")).alias("bloom_flag"))
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "bloom_flag",
+            F.coalesce(F.col("exact_hit").cast("int"), F.lit(0)).alias(
+                "exact_flag"
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bloom_flag").cast("long").alias("bloom_flagged"),
+            F.sum("exact_flag").cast("long").alias("exact_flagged"),
+            F.sum(
+                ((F.col("bloom_flag") == 1) & (F.col("exact_flag") == 0)).cast(
+                    "long"
+                )
+            ).alias("false_pos_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def bloom_decontam_audit_oracle_sql(
+    probe_max_doc: int = PROBE_MAX_DOC,
+    n: int = 3,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> str:
+    joined = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    shingles = (
+        f"CASE WHEN len(w) < {n} THEN [] "
+        f"ELSE list_distinct(list_transform(generate_series(1, len(w) - {n - 1}), "
+        f"i -> {joined})) END"
+    )
+    pos_rows = " UNION ALL ".join(
+        f"SELECT s, {_bloom_pos_sql('s', j, m)} AS pos FROM probe_sh"
+        for j in range(k)
+    )
+    cand_rows = " UNION ALL ".join(
+        f"SELECT doc_id, source, s, {_bloom_pos_sql('s', j, m)} AS pos"
+        " FROM corpus"
+        for j in range(k)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+), sarr AS (
+  SELECT doc_id, source, {shingles} AS sh FROM t
+), e AS (
+  SELECT DISTINCT doc_id, source, unnest(sh) AS s FROM sarr
+), probe_sh AS (
+  SELECT DISTINCT s FROM e WHERE doc_id < {probe_max_doc}
+), bits AS (
+  SELECT DISTINCT pos FROM ({pos_rows})
+), corpus AS (
+  SELECT doc_id, source, s FROM e WHERE doc_id >= {probe_max_doc}
+), cand AS (
+  {cand_rows}
+), passes AS (
+  SELECT c.doc_id, c.source, c.s,
+         (sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = {k})
+           AS bloom_hit
+  FROM cand c LEFT JOIN bits b USING (pos)
+  GROUP BY c.doc_id, c.source, c.s
+), exact AS (
+  SELECT DISTINCT doc_id, 1 AS exact_flag
+  FROM corpus JOIN probe_sh USING (s)
+), per_doc AS (
+  SELECT p.doc_id, p.source,
+         max(CASE WHEN p.bloom_hit THEN 1 ELSE 0 END) AS bloom_flag,
+         coalesce(any_value(x.exact_flag), 0) AS exact_flag
+  FROM passes p LEFT JOIN exact x USING (doc_id)
+  GROUP BY p.doc_id, p.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(bloom_flag) AS BIGINT) AS bloom_flagged,
+       CAST(sum(exact_flag) AS BIGINT) AS exact_flagged,
+       CAST(sum(CASE WHEN bloom_flag = 1 AND exact_flag = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS false_pos_docs
+FROM per_doc GROUP BY source ORDER BY source"""

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from datafusion_pinot_spark.functions import money
+
 
 def asof_join(
     left: DataFrame,
@@ -1048,3 +1050,100 @@ SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
        CAST(min(gap_s) AS BIGINT) AS min_gap_s,
        CAST(max(gap_s) AS BIGINT) AS max_gap_s
 FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket"""
+
+
+def cusum_changepoint_daily(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint scan over the daily event-value series: for each
+    day, the cumulative deviation of daily value mass from the series mean,
+    and a flag on the day(s) where |CUSUM| peaks — the classic single-
+    changepoint estimate (Page 1954, public): a level shift at day d makes
+    |S_d| maximal there.
+
+    Exactness contract: the textbook S_d = sum_{i<=d}(x_i - mean) needs a
+    float mean; this emits the N-SCALED statistic instead —
+    ``cusum_scaled = N * prefix_d - d * total`` (identically
+    N * S_d) — which is pure BIGINT arithmetic on cent-quantized values,
+    so the peak day and every cell are bit-identical across engines. The
+    argmax is invariant to the positive N scaling.
+
+    Scale shape (100 TB): the raw stream collapses to O(days) rows in ONE
+    map-side-combined groupBy; the prefix window and the two scalar aggs
+    run on that tiny frame (a deliberate single-task window over ~1e3
+    rows, not the corpus), and the scalars join back as one-row
+    broadcasts. Overflow: N * prefix_cents stays exact while
+    days * total_cents < 2^63 — ~9e14 dollars over a 1000-day series;
+    past it Spark's long multiply wraps, so a raise_error guard trips
+    LOUDLY at total_cents > 2^63 / max(N,1) first."""
+    daily = (
+        events.select(
+            F.to_date("ts").alias("day"),
+            (money("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("x_cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        "x_cents",
+        F.sum("x_cents").over(w).alias("prefix"),
+        F.row_number().over(Window.orderBy("day")).alias("d"),
+    )
+    tot = pre.agg(
+        F.max("d").alias("n_days"), F.sum("x_cents").alias("total")
+    )
+    cus = (
+        pre.join(F.broadcast(tot))
+        .withColumn(
+            "_guard",
+            F.expr(
+                "CASE WHEN total > CAST(9223372036854775807 AS BIGINT)"
+                " div GREATEST(CAST(n_days AS BIGINT), CAST(1 AS BIGINT))"
+                " THEN raise_error('cusum_changepoint_daily: N * total"
+                " exceeds BIGINT — re-quantize to dollars') ELSE '' END"
+            ),
+        )
+        .select(
+            "day",
+            "x_cents",
+            (F.col("n_days").cast("long") * F.col("prefix")
+             - F.col("d").cast("long") * F.col("total")).alias("cusum_scaled"),
+        )
+    )
+    peak = cus.agg(F.max(F.abs("cusum_scaled")).alias("peak_abs"))
+    return (
+        cus.join(F.broadcast(peak))
+        .select(
+            "day",
+            "x_cents",
+            "cusum_scaled",
+            (F.abs("cusum_scaled") == F.col("peak_abs")).alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )
+
+
+def cusum_changepoint_daily_oracle_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x_cents
+  FROM events GROUP BY 1
+), pre AS (
+  SELECT day, x_cents,
+         sum(x_cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prefix,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS d
+  FROM daily
+), tot AS (
+  SELECT CAST(max(d) AS BIGINT) AS n_days,
+         CAST(sum(x_cents) AS BIGINT) AS total FROM pre
+), cus AS (
+  SELECT day, x_cents,
+         CAST(n_days * prefix - d * total AS BIGINT) AS cusum_scaled
+  FROM pre, tot
+)
+SELECT day, x_cents, cusum_scaled,
+       abs(cusum_scaled) = (SELECT max(abs(cusum_scaled)) FROM cus)
+         AS is_changepoint
+FROM cus ORDER BY day"""

@@ -379,18 +379,15 @@ QUALITY_RULES = (
 )
 
 
-def quality_filter(docs: DataFrame) -> DataFrame:
-    """Composite keep/drop quality gate — the FineWeb-style filter chain
-    over purely engine-side signals (token count, mean token length,
-    duplicate-2-gram fraction, dominant-token share), all in exact integer
-    millionths. Emits every doc with ``keep`` and the FIRST failing rule
-    as ``reason`` ('' when kept) — the audit trail a curation run needs.
+def quality_signals(docs: DataFrame) -> DataFrame:
+    """Per-document quality signals (doc_id, n_tokens, avg_len_milli,
+    top_tok_milli, dup2_milli), all exact integer millionths — the shared
+    substrate of :func:`quality_filter` and the r13 config-ablation audit
+    (curation.py::quality_config_ablation). Oracle twin: the ``qjoined``
+    CTE inside :func:`quality_signal_ctes`.
 
-    Scale: signal computation is one (doc_id, gram/token) shuffle pair
-    bounded by document length; the rule evaluation is a codegen'd CASE
-    chain. Filtered corpora at 100 TB keep the same shape — no new
-    shuffles over the survivors.
-    """
+    Scale: one (doc_id, gram/token) shuffle pair bounded by document
+    length; everything else is a codegen'd narrow map."""
     words = F.split(F.col("text"), " ")
     n_tokens = F.size(words).cast("long")
     avg_len_milli = F.expr(
@@ -446,6 +443,22 @@ def quality_filter(docs: DataFrame) -> DataFrame:
             F.coalesce("dup2_milli", F.lit(0).cast("long")).alias("dup2_milli"),
         )
     )
+    return joined
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """Composite keep/drop quality gate — the FineWeb-style filter chain
+    over purely engine-side signals (token count, mean token length,
+    duplicate-2-gram fraction, dominant-token share), all in exact integer
+    millionths. Emits every doc with ``keep`` and the FIRST failing rule
+    as ``reason`` ('' when kept) — the audit trail a curation run needs.
+
+    Scale: signal computation is one (doc_id, gram/token) shuffle pair
+    bounded by document length; the rule evaluation is a codegen'd CASE
+    chain. Filtered corpora at 100 TB keep the same shape — no new
+    shuffles over the survivors.
+    """
+    joined = quality_signals(docs)
     reason = F.lit("")
     for name, cond in reversed(QUALITY_RULES):
         reason = F.when(F.expr(cond), F.lit(name)).otherwise(reason)

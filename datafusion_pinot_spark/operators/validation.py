@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from datafusion_pinot_spark.functions import money
 from datafusion_pinot_spark.operators.ranking import percentile_rank
 
 # (name, boolean SQL over lineitem columns) — row-local constraints share
@@ -1694,3 +1695,111 @@ SELECT {key}, rows, total_rows, n_keys,
             AS BIGINT) AS hot_factor_ppm
 FROM per CROSS JOIN tot
 ORDER BY rows DESC, {key} ASC LIMIT {k}"""
+
+
+def kendall_tau_daily(orders: DataFrame) -> DataFrame:
+    """Kendall rank correlation (tau-a on the pair scale, with the tie
+    decomposition reported alongside) between two daily series from the
+    orders stream: order COUNT per day vs revenue CENTS per day. The
+    concordance question — "do busier days reliably earn more?" —
+    complements Spearman (validation.py::spearman_length_vocab): tau's
+    pair-counting form is exact integer arithmetic with NO rank midpoint
+    construction at all, so it is the most hash-gate-friendly of the rank
+    statistics, and its tie counts (ties_x/ties_y/ties_both) are the
+    inputs a tau-b consumer needs downstream.
+
+    Exactness: concordant/discordant/tie counts are integers; tau_a_ppm is
+    sign-split — ``sign(C-D) * ((|C-D| * 1e6) div n_pairs)`` — because
+    Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors,
+    which DISAGREE on negative numerators; on the non-negative |C-D| they
+    are the same operation (the Mann-Whitney lesson applied to a signed
+    statistic).
+
+    Scale shape (100 TB): the corpus collapses to O(days) rows in one
+    map-side-combined groupBy; the all-pairs comparison is a broadcast
+    self-join of that tiny frame with a ``d1 < d2`` filter — the pair
+    space is O(days^2), bounded by the CALENDAR (a 7-year series is
+    ~3.3M pairs), independent of row count. Counts stay under 2^63 for
+    any series shorter than ~3e9 days."""
+    daily = (
+        orders.select(
+            F.col("o_orderdate").alias("day"),
+            (money("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum("cents").alias("y"),
+        )
+    )
+    a = daily.select(
+        F.col("day").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = daily.select(
+        F.col("day").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    pairs = a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+    sx = F.signum(F.col("x1") - F.col("x2")).cast("int")
+    sy = F.signum(F.col("y1") - F.col("y2")).cast("int")
+    agg = pairs.select(sx.alias("sx"), sy.alias("sy")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(((F.col("sx") * F.col("sy")) == 1).cast("long")).alias("concordant"),
+        F.sum(((F.col("sx") * F.col("sy")) == -1).cast("long")).alias("discordant"),
+        F.sum(((F.col("sx") == 0) & (F.col("sy") != 0)).cast("long")).alias("ties_x"),
+        F.sum(((F.col("sx") != 0) & (F.col("sy") == 0)).cast("long")).alias("ties_y"),
+        F.sum(((F.col("sx") == 0) & (F.col("sy") == 0)).cast("long")).alias(
+            "ties_both"
+        ),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        agg.join(F.broadcast(n_days))
+        .select(
+            "n_days",
+            "n_pairs",
+            "concordant",
+            "discordant",
+            "ties_x",
+            "ties_y",
+            "ties_both",
+            F.expr(
+                "CAST(CASE WHEN concordant >= discordant THEN 1 ELSE -1 END"
+                " * ((abs(concordant - discordant) * CAST(1000000 AS BIGINT))"
+                " div n_pairs) AS BIGINT)"
+            ).alias("tau_a_ppm"),
+        )
+    )
+
+
+def kendall_tau_daily_oracle_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT CAST(sign(a.x - b.x) AS INTEGER) AS sx,
+         CAST(sign(a.y - b.y) AS INTEGER) AS sy
+  FROM daily a JOIN daily b ON a.day < b.day
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS discordant,
+         CAST(sum(CASE WHEN sx = 0 AND sy != 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ties_x,
+         CAST(sum(CASE WHEN sx != 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ties_y,
+         CAST(sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ties_both
+  FROM p
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       n_pairs, concordant, discordant, ties_x, ties_y, ties_both,
+       CAST(CASE WHEN concordant >= discordant THEN 1 ELSE -1 END
+            * ((abs(concordant - discordant) * 1000000) // n_pairs)
+            AS BIGINT) AS tau_a_ppm
+FROM agg"""

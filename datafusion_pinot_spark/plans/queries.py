@@ -2798,6 +2798,48 @@ def _register_llm():
         "llm",
         ["bpe", "text", "lang", "audit"],
     )(lambda spark, sf: bpe.bpe_fertility_by_lang(_docs(spark, sf)))
+    # -- r13 additions (r14 first-check backlog; enter DRIVER_WINDOW at the
+    # first driver run after landing, per the standing rotation rule) --
+    from datafusion_pinot_spark.operators import temporal, validation
+
+    register(
+        "cusum_changepoint_daily",
+        temporal.cusum_changepoint_daily_oracle_sql(),
+        "analytics",
+        ["temporal", "changepoint", "anomaly"],
+    )(
+        lambda spark, sf: temporal.cusum_changepoint_daily(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "kendall_tau_daily",
+        validation.kendall_tau_daily_oracle_sql(),
+        "analytics",
+        ["stats", "correlation", "temporal"],
+    )(
+        lambda spark, sf: validation.kendall_tau_daily(
+            t(spark, sf, "orders")
+        )
+    )
+    register(
+        "packing_waste_curve",
+        curation.packing_waste_curve_oracle_sql(),
+        "llm",
+        ["curation", "packing", "planning"],
+    )(lambda spark, sf: curation.packing_waste_curve(_docs(spark, sf)))
+    register(
+        "quality_config_ablation",
+        curation.quality_config_ablation_oracle_sql(),
+        "llm",
+        ["curation", "quality", "ablation"],
+    )(lambda spark, sf: curation.quality_config_ablation(_docs(spark, sf)))
+    register(
+        "bloom_decontam_audit",
+        curation.bloom_decontam_audit_oracle_sql(),
+        "llm",
+        ["curation", "contamination", "bloom", "audit"],
+    )(lambda spark, sf: curation.bloom_decontam_audit(_docs(spark, sf)))
 
 
 _register_llm()
