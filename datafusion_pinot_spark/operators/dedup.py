@@ -2068,3 +2068,102 @@ SELECT bucket,
                  ELSE 0 END AS BIGINT) AS novelty_ppm
 FROM sh JOIN first USING (shingle)
 GROUP BY bucket ORDER BY bucket"""
+
+
+LSH_TUNING_BANDS = (1, 2, 4)  # configs over the same k=8 signature
+
+
+def lsh_band_tuning_curve(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands_list: tuple[int, ...] = LSH_TUNING_BANDS,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """The (bands, rows-per-band) tuning table for the MinHash-LSH
+    pipeline: :func:`lsh_quality_audit` evaluated across band configs over
+    the SAME k-hash signature, one row per config — candidates generated,
+    exact-verified survivors, ground-truth pair count, precision and
+    recall in exact ppm. The S-curve tradeoff made measurable: more bands
+    with fewer rows each collide more (recall up, precision down); this
+    is the table you read BEFORE committing a (b, r) to a 100 TB dedup
+    run, and it subsumes the single-config audit the way the yield curve
+    subsumes a single quality threshold.
+
+    Scale shape: each config leg is the already-bounded LSH pipeline
+    (banded buckets, semi-join-restricted verify); the ground-truth leg
+    is computed ONCE and cross-joined into every config row as a 1-row
+    broadcast. The |configs| legs share the signature SUBTREE — a
+    production run would persist the signature frame once (and run the
+    audit on a sample); the audit's cost model is |configs| x the
+    candidate pipeline, never all-pairs."""
+    tr = ngram_jaccard_pairs(docs, n, threshold).agg(
+        F.count("*").alias("n_true")
+    )
+    legs = []
+    for bands in bands_list:
+        cands = minhash_lsh_candidates_md5(docs, k, bands, n)
+        verified = ngram_jaccard_verify(docs, cands, n, threshold)
+        c = cands.agg(F.count("*").alias("n_candidates"))
+        v = verified.agg(F.count("*").alias("n_verified"))
+        legs.append(
+            c.crossJoin(v).select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(k // bands).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+            )
+        )
+    curve = legs[0]
+    for leg in legs[1:]:
+        curve = curve.unionByName(leg)
+    return (
+        curve.crossJoin(F.broadcast(tr))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_verified",
+            "n_true",
+            F.expr(
+                "CAST(CASE WHEN n_candidates = 0 THEN 0"
+                " ELSE n_verified * 1000000 DIV n_candidates END AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(CASE WHEN n_true = 0 THEN 0"
+                " ELSE n_verified * 1000000 DIV n_true END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("bands")
+    )
+
+
+def lsh_band_tuning_curve_oracle_sql(
+    k: int = MINHASH_K,
+    bands_list: tuple[int, ...] = LSH_TUNING_BANDS,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> str:
+    true = ngram_jaccard_pairs_oracle_sql(n, threshold)
+    legs = []
+    for bands in bands_list:
+        cand = minhash_lsh_candidates_md5_oracle_sql(k, bands, n)
+        ver = lsh_verified_pairs_oracle_sql(k, bands, n, threshold)
+        legs.append(
+            f"""SELECT CAST({bands} AS INTEGER) AS bands,
+       CAST({k // bands} AS INTEGER) AS rows_per_band,
+       (SELECT CAST(count(*) AS BIGINT) FROM ({cand})) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM ({ver})) AS n_verified"""
+        )
+    union = " UNION ALL ".join(f"({leg})" for leg in legs)
+    return f"""
+WITH curve AS ({union}),
+tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM ({true}))
+SELECT bands, rows_per_band, n_candidates, n_verified, n_true,
+       CAST(CASE WHEN n_candidates = 0 THEN 0
+            ELSE n_verified * 1000000 // n_candidates END AS BIGINT)
+         AS precision_ppm,
+       CAST(CASE WHEN n_true = 0 THEN 0
+            ELSE n_verified * 1000000 // n_true END AS BIGINT)
+         AS recall_ppm
+FROM curve CROSS JOIN tr ORDER BY bands"""

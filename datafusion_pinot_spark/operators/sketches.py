@@ -163,3 +163,152 @@ SELECT '{grp_a}' AS grp_a, '{grp_b}' AS grp_b,
              / ({num("least(theta_a, theta_b)")}), 4) AS est_intersection
 FROM ba CROSS JOIN bb CROSS JOIN ni
 """
+
+
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 1024  # buckets per row
+CMS_PROBE_K = 20  # audited tokens (top by true frequency)
+
+
+def _cms_pos(col, r: int, w: int):
+    """Count-min bucket for hash row r: 48-bit md5-prefix integer mod w
+    (exact in BIGINT; DuckDB twin is the strpos polynomial)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"c{r}|"), col)), 1, 12), 16, 10)
+        .cast("long")
+        % w
+    )
+
+
+def _cms_pos_sql(expr: str, r: int, w: int) -> str:
+    h = f"md5('c{r}|' || {expr})"
+    poly = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (12 - 1 - i)})"
+        for i in range(12)
+    )
+    return f"(({poly}) % {w})"
+
+
+def cms_frequency_audit(
+    docs: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    probe_k: int = CMS_PROBE_K,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public) frequency
+    estimation audited against exact counts: build a depth x width CMS
+    over the corpus word-3-gram stream (every occurrence, not per-doc
+    distinct — the heavy-hitter phrase workload; single tokens would be
+    degenerate on this corpus's 31-word vocabulary), then for the
+    top-``probe_k`` true-frequency grams report the exact count, the CMS
+    estimate
+    (min over rows of the hashed bucket's mass), and the overestimate —
+    CMS never underestimates, so ``over_est >= 0`` row-by-row (pinned in
+    tests). This is the sizing table for the streaming heavy-hitter path:
+    it says whether width is adequate BEFORE deploying the sketch.
+
+    All integer; md5 hash family for the cross-engine gate (xxhash64 is
+    the production swap, as with MinHash).
+
+    Scale shape (100 TB): token counts are one map-side-combined groupBy
+    (O(vocab) rows out); the sketch is a depth-way constant fanout of that
+    frame into a (row, bucket) rollup of AT MOST depth*width rows — a
+    fixed-size table (32 KB here) that broadcasts to the probe join. The
+    probe set is a TakeOrdered top-k, never a global sort. Nothing in the
+    plan grows with corpus size except the first groupBy."""
+    from datafusion_pinot_spark.functions import tokens
+
+    toks = docs.select(tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 3
+    )
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("w", i),
+                    F.element_at("w", i + 1),
+                    F.element_at("w", i + 2),
+                ),
+            )
+        ).alias("tok")
+    )
+    tf = grams.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    buckets = (
+        tf.select(
+            "cnt",
+            F.posexplode(
+                F.array(*[_cms_pos(F.col("tok"), r, width) for r in range(depth)])
+            ).alias("r", "pos"),
+        )
+        .groupBy("r", "pos")
+        .agg(F.sum("cnt").alias("bucket_cnt"))
+    )
+    probe = tf.orderBy(F.desc("cnt"), F.asc("tok")).limit(probe_k)
+    probed = probe.select(
+        "tok",
+        "cnt",
+        F.posexplode(
+            F.array(*[_cms_pos(F.col("tok"), r, width) for r in range(depth)])
+        ).alias("r", "pos"),
+    )
+    est = (
+        probed.join(F.broadcast(buckets), ["r", "pos"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("bucket_cnt").alias("cms_est"))
+    )
+    return est.select(
+        F.col("tok").alias("gram"),
+        F.col("cnt").alias("true_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("cnt")).alias("over_est"),
+        F.expr(
+            "CAST((cms_est - cnt) * CAST(1000000 AS BIGINT) div cnt AS BIGINT)"
+        ).alias("over_ppm"),
+    ).orderBy(F.desc("true_cnt"), F.asc("gram"))
+
+
+def cms_frequency_audit_oracle_sql(
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    probe_k: int = CMS_PROBE_K,
+) -> str:
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_pos_sql('tok', r, width)} AS pos, cnt FROM tf"
+        for r in range(depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT tok, cnt, {r} AS r, {_cms_pos_sql('tok', r, width)} AS pos"
+        " FROM probe"
+        for r in range(depth)
+    )
+    return f"""
+WITH words AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(lower(text))) > 0
+), grams AS (
+  SELECT w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS tok
+  FROM words, LATERAL unnest(range(0, greatest(len(w) - 2, 0))) AS t(i)
+  WHERE len(w) >= 3
+), tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM grams GROUP BY tok
+), fanned AS (
+  {bucket_rows}
+), buckets AS (
+  SELECT r, pos, CAST(sum(cnt) AS BIGINT) AS bucket_cnt
+  FROM fanned GROUP BY r, pos
+), probe AS (
+  SELECT tok, cnt FROM tf ORDER BY cnt DESC, tok ASC LIMIT {probe_k}
+), probed AS (
+  {probe_rows}
+), est AS (
+  SELECT p.tok, p.cnt, min(b.bucket_cnt) AS cms_est
+  FROM probed p JOIN buckets b USING (r, pos)
+  GROUP BY p.tok, p.cnt
+)
+SELECT tok AS gram, cnt AS true_cnt, cms_est,
+       cms_est - cnt AS over_est,
+       CAST((cms_est - cnt) * 1000000 // cnt AS BIGINT) AS over_ppm
+FROM est ORDER BY true_cnt DESC, gram ASC"""

@@ -1147,3 +1147,113 @@ SELECT day, x_cents, cusum_scaled,
        abs(cusum_scaled) = (SELECT max(abs(cusum_scaled)) FROM cus)
          AS is_changepoint
 FROM cus ORDER BY day"""
+
+
+def asof_join_tolerance(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "view",
+    tolerance_s: int = 3600,
+) -> DataFrame:
+    """As-of join with a time tolerance (pandas ``merge_asof(tolerance=)``
+    semantics, which plain :func:`asof_join` lacks): for each ``left_type``
+    event, the most recent ``right_type`` event by the same user at or
+    before it — but the match only COUNTS when the gap is within
+    ``tolerance_s`` (attribution windows: a view an hour old doesn't
+    explain a purchase). Emits the raw prior gap unconditionally (the
+    distribution a window-tuning pass reads) plus the tolerance-gated
+    match id and flag.
+
+    Determinism with ties: right rows are pre-aggregated to one per
+    (user, ts) keeping the max event_id, so the carried (ts, id) pair is
+    unique per timestamp and both carried columns come from the same row;
+    a right row at exactly the left timestamp matches (>= semantics).
+
+    Scale shape (100 TB): the union-and-window as-of formulation — ONE
+    shuffle on user_id, each user's timeline swept once by a running
+    ``last(ignorenulls)``; no point-lookup join, no L x R pair blowup,
+    and the tolerance is a post-filter on the carried timestamp, not a
+    range join."""
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    right = (
+        ev.filter(F.col("event_type") == right_type)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("b_id"))
+    )
+    lhs = ev.filter(F.col("event_type") == left_type).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_left"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("b_ts_val"),
+        F.lit(None).cast(dict(ev.dtypes)["event_id"]).alias("b_id_val"),
+    )
+    rhs = right.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_left"),
+        F.lit(None).cast(dict(ev.dtypes)["event_id"]).alias("event_id"),
+        F.col("ts").alias("b_ts_val"),
+        F.col("b_id").alias("b_id_val"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = lhs.unionByName(rhs).select(
+        "*",
+        F.last("b_ts_val", ignorenulls=True).over(w).alias("last_b_ts"),
+        F.last("b_id_val", ignorenulls=True).over(w).alias("last_b_id"),
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("last_b_ts")
+    matched = F.col("last_b_ts").isNotNull() & (gap <= tolerance_s)
+    return (
+        merged.filter(F.col("is_left") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            gap.cast("long").alias("prior_gap_s"),
+            matched.alias("matched"),
+            F.when(matched, F.col("last_b_id")).alias("asof_event_id"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def asof_join_tolerance_oracle_sql(
+    left_type: str = "purchase",
+    right_type: str = "view",
+    tolerance_s: int = 3600,
+) -> str:
+    return f"""
+WITH r AS (
+  SELECT user_id, ts, max(event_id) AS b_id
+  FROM events WHERE event_type = '{right_type}' GROUP BY user_id, ts
+), l AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = '{left_type}'
+), j AS (
+  SELECT l.event_id, l.user_id, l.ts,
+         (SELECT max(r.ts) FROM r
+          WHERE r.user_id = l.user_id AND r.ts <= l.ts) AS b_ts
+  FROM l
+), g AS (
+  SELECT j.*,
+         CAST(epoch_us(j.ts) // 1000000
+              - epoch_us(j.b_ts) // 1000000 AS BIGINT) AS prior_gap_s
+  FROM j
+)
+SELECT g.event_id, g.user_id, g.ts, g.prior_gap_s,
+       (g.b_ts IS NOT NULL AND g.prior_gap_s <= {tolerance_s}) AS matched,
+       CASE WHEN g.b_ts IS NOT NULL AND g.prior_gap_s <= {tolerance_s}
+            THEN (SELECT r.b_id FROM r
+                  WHERE r.user_id = g.user_id AND r.ts = g.b_ts)
+            END AS asof_event_id
+FROM g ORDER BY g.event_id"""

@@ -2840,6 +2840,28 @@ def _register_llm():
         "llm",
         ["curation", "contamination", "bloom", "audit"],
     )(lambda spark, sf: curation.bloom_decontam_audit(_docs(spark, sf)))
+    register(
+        "cms_frequency_audit",
+        sketches.cms_frequency_audit_oracle_sql(),
+        "llm",
+        ["sketch", "cms", "heavy-hitter", "audit"],
+    )(lambda spark, sf: sketches.cms_frequency_audit(_docs(spark, sf)))
+    register(
+        "lsh_band_tuning_curve",
+        dedup.lsh_band_tuning_curve_oracle_sql(),
+        "llm",
+        ["dedup", "lsh", "tuning", "audit"],
+    )(lambda spark, sf: dedup.lsh_band_tuning_curve(_docs(spark, sf)))
+    register(
+        "asof_join_tolerance",
+        temporal.asof_join_tolerance_oracle_sql(),
+        "analytics",
+        ["temporal", "asof", "join", "attribution"],
+    )(
+        lambda spark, sf: temporal.asof_join_tolerance(
+            t(spark, sf, "events")
+        )
+    )
 
 
 _register_llm()
@@ -8742,6 +8764,17 @@ DRIVER_WINDOW: list[str] = [
     # the exact gate; they take their first driver check in r13. (The
     # pre-registered halflife_event_mass_cells diagnostic remains
     # pytest-tier only unless halflife reds again, per r10 verdict #5.)
+    # r14 FIRST-CHECK BACKLOG (8 entries — one round's rotation capacity),
+    # registered in r13, each oracle-green at sf0.001/0.01/0.1 and
+    # hand-value/invariant-tested in tests/test_round13.py:
+    # cusum_changepoint_daily (N-scaled integer CUSUM level-shift scan),
+    # kendall_tau_daily (pair-counting rank correlation, sign-split ppm),
+    # packing_waste_curve (context-length truncation/padding planner),
+    # quality_config_ablation (multi-gate retained-set mask profile),
+    # bloom_decontam_audit (Bloom decontamination vs exact, FP gap),
+    # cms_frequency_audit (count-min overestimate profile on 3-grams),
+    # lsh_band_tuning_curve (precision/recall per (bands, rows) config),
+    # asof_join_tolerance (merge_asof-with-tolerance attribution join).
     # -- r11: drain the 8-query first-check backlog (r10 VERDICT item #3).
     # Slots freed by rotating out 8 THRICE-green (r08+r09+r10) veterans,
     # each pinned by the pytest oracle tier, with family coverage staying

@@ -1,0 +1,398 @@
+"""Round 13 operators: hand-value and invariant tests for the r14
+first-check backlog (CUSUM changepoint, Kendall tau, packing waste curve,
+quality config ablation, Bloom decontamination, CMS audit, LSH band
+tuning, as-of tolerance join). Every operator also runs under the full
+DuckDB hash gate via tests/test_queries_oracle.py; these tests pin the
+SEMANTICS with tiny frames a human can check by hand, plus the
+structural invariants the oracle comparison alone cannot express
+(supersets, monotonicity, no-false-negatives)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+class TestCusumChangepoint:
+    def _events(self, spark, per_day):
+        rows = [
+            Row(ts=datetime.datetime(2024, 1, d + 1, 12, 0, 0), value=float(v))
+            for d, v in enumerate(per_day)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_level_shift_peaks_at_shift_day(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            cusum_changepoint_daily,
+        )
+
+        # 5 days at 10.00 then 5 days at 20.00: |CUSUM| peaks exactly at
+        # the last pre-shift day (day 5)
+        out = cusum_changepoint_daily(
+            self._events(spark, [10] * 5 + [20] * 5)
+        ).collect()
+        assert len(out) == 10
+        flagged = [r.day for r in out if r.is_changepoint]
+        assert flagged == [datetime.date(2024, 1, 5)]
+        # hand value in CENTS: N=10, total=5*1000+5*2000=15000; at day 5
+        # prefix=5000, cusum = 10*5000 - 5*15000 = -25000
+        d5 = next(r for r in out if r.day == datetime.date(2024, 1, 5))
+        assert d5.cusum_scaled == -25000
+        # the last day's CUSUM is identically zero by construction
+        assert out[-1].cusum_scaled == 0
+
+    def test_constant_series_flags_everything_at_zero(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            cusum_changepoint_daily,
+        )
+
+        out = cusum_changepoint_daily(
+            self._events(spark, [7, 7, 7])
+        ).collect()
+        assert [r.cusum_scaled for r in out] == [0, 0, 0]
+        assert all(r.is_changepoint for r in out)
+
+    def test_single_day_degenerate(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            cusum_changepoint_daily,
+        )
+
+        out = cusum_changepoint_daily(self._events(spark, [5])).collect()
+        assert len(out) == 1 and out[0].cusum_scaled == 0
+
+
+class TestKendallTau:
+    def _orders(self, spark, rows):
+        return spark.createDataFrame(
+            [
+                Row(o_orderdate=datetime.date(2024, 1, d), o_totalprice=float(p))
+                for d, p in rows
+            ]
+        )
+
+    def test_perfect_concordance(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            kendall_tau_daily,
+        )
+
+        # day d has d orders each of price d: count and revenue both
+        # strictly increase -> tau_a = 1.0
+        rows = []
+        for d in range(1, 5):
+            rows += [(d, d)] * d
+        out = kendall_tau_daily(self._orders(spark, rows)).collect()[0]
+        assert out.n_days == 4 and out.n_pairs == 6
+        assert out.concordant == 6 and out.discordant == 0
+        assert out.tau_a_ppm == 1_000_000
+
+    def test_perfect_discordance_is_negative(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            kendall_tau_daily,
+        )
+
+        # counts increase with day, revenue decreases: tau = -1; the
+        # sign-split division must emit exactly -1e6 (a floor-division
+        # engine would emit -1000000 too here, but the sign path is what
+        # the non-round cases rely on)
+        rows = []
+        for d, price in ((1, 30.0), (2, 10.0), (3, 3.0)):
+            rows += [(d, price)] * d  # revenue 3000, 2000, 900 cents
+        out = kendall_tau_daily(self._orders(spark, rows)).collect()[0]
+        assert out.concordant == 0 and out.discordant == 3
+        assert out.tau_a_ppm == -1_000_000
+
+    def test_matches_pure_python_on_real_data(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            kendall_tau_daily,
+        )
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        out = kendall_tau_daily(orders).collect()[0]
+        daily = {}
+        for r in orders.select("o_orderdate", "o_totalprice").collect():
+            c, y = daily.get(r.o_orderdate, (0, 0))
+            daily[r.o_orderdate] = (c + 1, y + round(float(r.o_totalprice) * 100))
+        days = sorted(daily)
+        conc = disc = tx = ty = tb = 0
+        for i in range(len(days)):
+            for j in range(i + 1, len(days)):
+                (x1, y1), (x2, y2) = daily[days[i]], daily[days[j]]
+                sx = (x1 > x2) - (x1 < x2)
+                sy = (y1 > y2) - (y1 < y2)
+                if sx * sy == 1:
+                    conc += 1
+                elif sx * sy == -1:
+                    disc += 1
+                elif sx == 0 and sy == 0:
+                    tb += 1
+                elif sx == 0:
+                    tx += 1
+                else:
+                    ty += 1
+        assert (out.concordant, out.discordant) == (conc, disc)
+        assert (out.ties_x, out.ties_y, out.ties_both) == (tx, ty, tb)
+
+
+class TestPackingWasteCurve:
+    def test_hand_values(self, spark):
+        from datafusion_pinot_spark.operators.curation import (
+            packing_waste_curve,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a b c"),  # 3 tokens
+                Row(doc_id=2, text=" ".join(["w"] * 10)),  # 10 tokens
+                Row(doc_id=3, text=""),  # dropped (0 tokens)
+            ]
+        )
+        out = {
+            r.ctx_len: r
+            for r in packing_waste_curve(docs, ctx_lens=(4, 8)).collect()
+        }
+        r4 = out[4]
+        assert r4.n_docs == 2 and r4.n_truncated == 1
+        assert r4.tokens_total == 13
+        assert r4.tokens_kept == 3 + 4 and r4.tokens_trunc == 6
+        assert r4.pad_tokens == 1  # doc 1 pads 1; doc 2 pads 0
+        assert r4.util_ppm == 7 * 1_000_000 // (2 * 4)
+        r8 = out[8]
+        assert r8.tokens_kept == 3 + 8 and r8.pad_tokens == 5
+
+    def test_conservation_invariants_on_corpus(self, spark):
+        from datafusion_pinot_spark.operators.curation import (
+            packing_waste_curve,
+        )
+
+        for r in packing_waste_curve(_docs(spark)).collect():
+            assert r.tokens_kept + r.tokens_trunc == r.tokens_total
+            assert r.tokens_kept + r.pad_tokens == r.n_docs * r.ctx_len
+            assert 0 < r.util_ppm <= 1_000_000
+
+
+class TestQualityConfigAblation:
+    def test_masks_partition_the_corpus(self, spark):
+        from datafusion_pinot_spark.operators.curation import (
+            quality_config_ablation,
+        )
+
+        out = quality_config_ablation(_docs(spark)).collect()
+        assert sum(r.n_docs for r in out) == _docs(spark).count()
+        for r in out:
+            # mask encodes exactly the keep booleans
+            mask = (
+                int(r.keep_len_gate)
+                + 2 * int(r.keep_rep_gate)
+                + 4 * int(r.keep_balanced)
+            )
+            assert r.mask == mask
+
+    def test_hand_doc_crossing_configs(self, spark):
+        from datafusion_pinot_spark.operators.curation import (
+            quality_config_ablation,
+        )
+
+        # 40 distinct tokens: passes len_gate (>=30) and balanced (>=15,
+        # clean) and rep_gate (no repetition) -> mask 7. A 10x-repeated
+        # token doc fails every gate (short AND repetitive) -> mask 0.
+        clean = " ".join(f"tok{i}" for i in range(40))
+        spam = " ".join(["spam"] * 10)
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text=clean), Row(doc_id=2, text=spam)]
+        )
+        out = {r.mask: r for r in quality_config_ablation(docs).collect()}
+        assert set(out) == {0, 7}
+        assert out[7].n_docs == 1 and out[7].tokens == 40
+        assert out[0].n_docs == 1 and out[0].tokens == 10
+
+
+class TestBloomDecontam:
+    def test_no_false_negatives_on_corpus(self, spark):
+        from datafusion_pinot_spark.operators.curation import (
+            bloom_decontam_audit,
+        )
+
+        out = bloom_decontam_audit(_docs(spark)).collect()
+        assert len(out) > 0
+        for r in out:
+            # Bloom filters never miss: exact-flagged docs are always
+            # bloom-flagged, and the gap is exactly the false positives
+            assert r.exact_flagged <= r.bloom_flagged
+            assert r.false_pos_docs == r.bloom_flagged - r.exact_flagged
+            assert r.bloom_flagged <= r.n_docs
+
+    def test_verbatim_copy_is_exact_flagged(self, spark):
+        from datafusion_pinot_spark.operators.curation import (
+            bloom_decontam_audit,
+        )
+
+        bench = "alpha beta gamma delta epsilon zeta"
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, source="bench", text=bench),  # probe
+                Row(doc_id=100, source="corp", text=bench),  # verbatim dup
+                Row(
+                    doc_id=101,
+                    source="corp",
+                    text="one two three four five six seven",
+                ),  # disjoint
+            ]
+        )
+        out = {
+            r.source: r
+            for r in bloom_decontam_audit(docs, probe_max_doc=10).collect()
+        }
+        assert out["corp"].exact_flagged == 1
+        assert out["corp"].bloom_flagged >= 1
+        assert out["corp"].n_docs == 2
+
+
+class TestCmsFrequencyAudit:
+    def test_never_underestimates(self, spark):
+        from datafusion_pinot_spark.operators.sketches import (
+            cms_frequency_audit,
+        )
+
+        out = cms_frequency_audit(_docs(spark)).collect()
+        assert len(out) == 20
+        for r in out:
+            assert r.cms_est >= r.true_cnt
+            assert r.over_est == r.cms_est - r.true_cnt
+            assert r.over_ppm >= 0
+
+    def test_exact_when_no_collisions(self, spark):
+        from datafusion_pinot_spark.operators.sketches import (
+            cms_frequency_audit,
+        )
+
+        # 3 distinct 3-grams in a 1024-wide sketch: collisions would need
+        # two of three specific md5 values to agree mod 1024 in EVERY row
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c d e")]  # grams: "a b c","b c d","c d e"
+        )
+        out = cms_frequency_audit(docs, probe_k=5).collect()
+        assert len(out) == 3
+        for r in out:
+            assert r.cms_est == r.true_cnt == 1 and r.over_est == 0
+
+    def test_width_governs_overestimate(self, spark):
+        from datafusion_pinot_spark.operators.sketches import (
+            cms_frequency_audit,
+        )
+
+        # same corpus, 8x narrower sketch: total overestimate must not
+        # shrink (counter mass is conserved; fewer buckets only merge)
+        wide = cms_frequency_audit(_docs(spark), width=1024).collect()
+        narrow = cms_frequency_audit(_docs(spark), width=128).collect()
+        assert sum(r.over_est for r in narrow) >= sum(
+            r.over_est for r in wide
+        )
+
+
+class TestLshBandTuningCurve:
+    def test_nested_band_configs_are_supersets(self, spark):
+        from datafusion_pinot_spark.operators.dedup import (
+            lsh_band_tuning_curve,
+        )
+
+        # k=8 with bands 1|2|4 NEST: a pair agreeing on an 8-row band
+        # agrees on both 4-row halves, etc. So candidates — and therefore
+        # verified and recall — are monotone nondecreasing in bands, and
+        # precision is monotone nonincreasing-or-equal only in tendency
+        # (not asserted). n_true is config-independent.
+        out = sorted(
+            lsh_band_tuning_curve(_docs(spark)).collect(),
+            key=lambda r: r.bands,
+        )
+        assert [r.bands for r in out] == [1, 2, 4]
+        assert len({r.n_true for r in out}) == 1
+        for a, b in zip(out, out[1:]):
+            assert a.n_candidates <= b.n_candidates
+            assert a.n_verified <= b.n_verified
+            assert a.recall_ppm <= b.recall_ppm
+            assert a.rows_per_band == 2 * b.rows_per_band
+
+    def test_identical_docs_candidate_in_every_config(self, spark):
+        from datafusion_pinot_spark.operators.dedup import (
+            lsh_band_tuning_curve,
+        )
+
+        text = "the quick brown fox jumps over the lazy dog"
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text=text), Row(doc_id=2, text=text)]
+        )
+        for r in lsh_band_tuning_curve(docs).collect():
+            assert r.n_candidates == 1 and r.n_verified == 1
+            assert r.n_true == 1
+            assert r.precision_ppm == 1_000_000
+            assert r.recall_ppm == 1_000_000
+
+
+class TestAsofJoinTolerance:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            [
+                Row(
+                    event_id=i,
+                    user_id=u,
+                    event_type=ty,
+                    ts=datetime.datetime(2024, 1, 1, 0, 0, s),
+                )
+                for i, u, ty, s in rows
+            ]
+        )
+
+    def test_hand_semantics(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            asof_join_tolerance,
+        )
+
+        ev = self._events(
+            spark,
+            [
+                (1, 10, "view", 0),
+                (2, 10, "purchase", 5),  # gap 5s -> matched to view 1
+                (3, 20, "purchase", 30),  # no prior view -> unmatched
+                (4, 30, "view", 10),
+                (5, 30, "purchase", 40),  # gap 30s > tol 10 -> unmatched
+            ],
+        )
+        out = {
+            r.event_id: r
+            for r in asof_join_tolerance(ev, tolerance_s=10).collect()
+        }
+        assert set(out) == {2, 3, 5}
+        assert out[2].matched and out[2].asof_event_id == 1
+        assert out[2].prior_gap_s == 5
+        assert not out[3].matched and out[3].prior_gap_s is None
+        assert out[3].asof_event_id is None
+        assert not out[5].matched and out[5].prior_gap_s == 30
+        assert out[5].asof_event_id is None  # gated by tolerance
+
+    def test_tie_at_same_timestamp_matches_max_id(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            asof_join_tolerance,
+        )
+
+        # two views at EXACTLY the purchase timestamp: >= semantics
+        # matches, deterministic tie-break keeps the max event_id
+        ev = self._events(
+            spark,
+            [
+                (1, 10, "view", 7),
+                (2, 10, "view", 7),
+                (3, 10, "purchase", 7),
+            ],
+        )
+        out = asof_join_tolerance(ev, tolerance_s=60).collect()
+        assert len(out) == 1
+        assert out[0].matched and out[0].prior_gap_s == 0
+        assert out[0].asof_event_id == 2
