@@ -515,3 +515,46 @@ def test_novelty_curve_no_shuffle_join(q):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontam_all_joins_broadcast(q):
+    """r13: every join in the Bloom decontamination audit must broadcast —
+    the bit table is bounded by m, the probe shingle set is the benchmark
+    (small by construction). A sort-merge join anywhere here means the
+    bounded side shuffled the corpus, the 100 TB mistake."""
+    plan = _plan(q("bloom_decontam_audit"))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_audit_broadcast_buckets_and_take_ordered(q):
+    """r13: the CMS bucket table is depth*width rows (fixed size) — the
+    probe join must broadcast it; the probe set itself is a TakeOrdered
+    top-k, never a global sort of the gram counts."""
+    plan = _plan(q("cms_frequency_audit"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kendall_pairs_broadcast_nested_loop(q):
+    """r13: the d1 < d2 pair join runs on the O(days) aggregate — a
+    BroadcastNestedLoopJoin over the tiny frame is the intended shape
+    (the inequality cannot hash-partition); what must NEVER appear is a
+    CartesianProduct (both sides unbroadcast = corpus-scale blowup)."""
+    plan = _plan(q("kendall_tau_daily"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_tolerance_single_key_shuffle_no_joins(q):
+    """r13: the tolerance as-of join is the union-and-window formulation —
+    zero join operators of any kind; the only corpus-scale exchange hashes
+    on user_id for the timeline sweep."""
+    plan = _plan(q("asof_join_tolerance"))
+    for op in ("SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan
+    assert "Window" in plan
