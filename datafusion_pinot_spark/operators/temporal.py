@@ -1153,14 +1153,15 @@ def asof_join_tolerance(
     events: DataFrame,
     left_type: str = "purchase",
     right_type: str = "view",
-    tolerance_s: int = 3600,
+    tolerance_s: int = 100_000,
 ) -> DataFrame:
     """As-of join with a time tolerance (pandas ``merge_asof(tolerance=)``
     semantics, which plain :func:`asof_join` lacks): for each ``left_type``
     event, the most recent ``right_type`` event by the same user at or
     before it — but the match only COUNTS when the gap is within
-    ``tolerance_s`` (attribution windows: a view an hour old doesn't
-    explain a purchase). Emits the raw prior gap unconditionally (the
+    ``tolerance_s`` (attribution windows: a stale view doesn't
+    explain a purchase; the ~28h default brackets the corpus's median
+    view->purchase gap so both match outcomes are exercised). Emits the raw prior gap unconditionally (the
     distribution a window-tuning pass reads) plus the tolerance-gated
     match id and flag.
 
@@ -1230,7 +1231,7 @@ def asof_join_tolerance(
 def asof_join_tolerance_oracle_sql(
     left_type: str = "purchase",
     right_type: str = "view",
-    tolerance_s: int = 3600,
+    tolerance_s: int = 100_000,
 ) -> str:
     return f"""
 WITH r AS (

@@ -2862,6 +2862,28 @@ def _register_llm():
             t(spark, sf, "events")
         )
     )
+    # STREAMING twin of asof_join_tolerance: per-user attribution rollup
+    # maintained incrementally in applyInPandasWithState; the bounded
+    # drained run is hash-gated against batch SQL like
+    # streaming_funnel_totals. Registered in r13; queues for the r15
+    # window (the r14 backlog is at its 8-slot rotation capacity).
+    def _q_stream_asof(spark, sf):
+        from datafusion_pinot_spark.streaming.stateful import (
+            stream_asof_attribution,
+        )
+
+        return stream_asof_attribution(spark, f"{sf}/events.parquet")
+
+    from datafusion_pinot_spark.streaming.stateful import (
+        stream_asof_attribution_oracle_sql,
+    )
+
+    register(
+        "stream_asof_attribution",
+        stream_asof_attribution_oracle_sql(),
+        "streaming",
+        ["streaming", "stateful", "asof", "attribution"],
+    )(_q_stream_asof)
 
 
 _register_llm()

@@ -176,3 +176,157 @@ def streaming_funnel_totals(
         .drop("__rn")
         .orderBy("user_id")
     )
+
+
+ASOF_OUTPUT_SCHEMA = (
+    "user_id long, n_purchases long, n_matched long, n_unmatched long,"
+    " matched_gap_s_sum long"
+)
+ASOF_STATE_SCHEMA = "vts long, vid long, np long, nm long, gs long"
+ASOF_TOLERANCE_S = 100_000  # ~28h: brackets the corpus's median view->purchase gap
+
+
+def _update_asof(tolerance_s: int):
+    def update(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Streaming attribution state: the latest view's (ts_us, max id)
+        plus purchase/matched counters, advanced by each micro-batch's
+        events in (ts, view-before-purchase, id) order — the exact batch
+        order asof_join_tolerance's union-and-window sweep uses (a view
+        at the purchase timestamp matches, >= semantics). Cross-batch
+        correctness relies on in-order batch delivery, the same contract
+        as the streaming funnel above. Gap seconds floor the two epochs
+        INDEPENDENTLY (``us_l//1e6 - us_r//1e6``) because the batch twin
+        diffs unix_timestamp() values, not raw micros."""
+        (user_id,) = key
+        vts, vid, np_, nm, gs = (
+            state.get if state.exists else (None, None, 0, 0, 0)
+        )
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            df = pd.concat(frames)
+            df = df[df["event_type"].isin(("view", "purchase"))]
+            if len(df):
+                micros = (
+                    df["ts"].values.astype("datetime64[ns]").astype("int64")
+                    // 1000
+                )
+                rank = (df["event_type"] == "purchase").astype(int).values
+                ids = df["event_id"].values
+                order = sorted(
+                    zip(micros.tolist(), rank.tolist(), ids.tolist())
+                )
+                for us, r, eid in order:
+                    if r == 0:  # view
+                        if vts is None or us > vts:
+                            vts, vid = us, eid
+                        elif us == vts and eid > vid:
+                            vid = eid
+                    else:  # purchase
+                        np_ += 1
+                        if vts is not None:
+                            gap_s = us // 1_000_000 - vts // 1_000_000
+                            if gap_s <= tolerance_s:
+                                nm += 1
+                                gs += gap_s
+        state.update((vts, vid, np_, nm, gs))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_purchases": [np_],
+                "n_matched": [nm],
+                "n_unmatched": [np_ - nm],
+                "matched_gap_s_sum": [gs],
+            }
+        )
+
+    return update
+
+
+def stream_asof_attribution(
+    spark: SparkSession,
+    events_parquet: str,
+    tolerance_s: int = ASOF_TOLERANCE_S,
+) -> DataFrame:
+    """STREAMING twin of temporal.asof_join_tolerance, rolled up per user:
+    purchases attributed to the latest prior view within ``tolerance_s``,
+    computed incrementally with O(1) state per user — (last view ts, max
+    id at that ts, three counters) — instead of the batch union-and-window
+    sweep. Bounded file-source run drained to completion equals the batch
+    aggregate, so the streaming state machine itself is DuckDB-hash-gated
+    (the streaming_funnel_totals pattern).
+
+    Scale: per-batch shuffle is only that batch's rows to their user
+    partitions; state is 5 longs per user in the state store. The batch
+    twin re-sweeps the timeline per run — this is the always-on version."""
+    stream = _with_ts(_file_stream(spark, events_parquet))
+    from pyspark.sql import functions as F
+
+    stream = stream.where(F.col("event_type").isin(["view", "purchase"]))
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        _update_asof(tolerance_s),
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"sasof_{uuid.uuid4().hex[:8]}"
+    q = (
+        updated.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # final state per user: n_purchases is monotone across batches, and
+    # every output column changes only when a purchase lands, so rows
+    # tied on n_purchases are identical — any first-row pick is exact
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_purchases"))
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        # view-only users carry state but are not attribution rows (the
+        # batch oracle aggregates purchases; emitting (u, 0, ...) would
+        # be a row-set mismatch)
+        .filter(F.col("n_purchases") > 0)
+        .orderBy("user_id")
+    )
+
+
+def stream_asof_attribution_oracle_sql(
+    tolerance_s: int = ASOF_TOLERANCE_S,
+) -> str:
+    return f"""
+WITH v AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.user_id, p.ts,
+         (SELECT max(v.ts) FROM v
+          WHERE v.user_id = p.user_id AND v.ts <= p.ts) AS vts
+  FROM p
+), g AS (
+  SELECT user_id, vts,
+         CAST(epoch_us(ts) // 1000000 - epoch_us(vts) // 1000000
+              AS BIGINT) AS gap_s
+  FROM j
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CASE WHEN vts IS NOT NULL AND gap_s <= {tolerance_s}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN vts IS NULL OR gap_s > {tolerance_s}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+       CAST(sum(CASE WHEN vts IS NOT NULL AND gap_s <= {tolerance_s}
+                     THEN gap_s ELSE 0 END) AS BIGINT)
+         AS matched_gap_s_sum
+FROM g GROUP BY user_id ORDER BY user_id"""

@@ -396,3 +396,85 @@ class TestAsofJoinTolerance:
         assert len(out) == 1
         assert out[0].matched and out[0].prior_gap_s == 0
         assert out[0].asof_event_id == 2
+
+
+class TestStreamAsofAttribution:
+    def test_streaming_equals_batch_twin(self, spark):
+        """The drained streaming state machine must equal the BATCH
+        asof_join_tolerance aggregated per user — two independent
+        implementations (stateful fold vs union-and-window sweep) of the
+        same attribution semantics."""
+        from datafusion_pinot_spark.operators.temporal import (
+            asof_join_tolerance,
+        )
+        from datafusion_pinot_spark.streaming.stateful import (
+            stream_asof_attribution,
+        )
+
+        got = {
+            r.user_id: (
+                r.n_purchases,
+                r.n_matched,
+                r.n_unmatched,
+                r.matched_gap_s_sum,
+            )
+            for r in stream_asof_attribution(
+                spark, f"{SF}/events.parquet"
+            ).collect()
+        }
+        batch = asof_join_tolerance(
+            spark.read.parquet(f"{SF}/events.parquet")
+        ).collect()
+        ref = {}
+        for r in batch:
+            np_, nm, gs = ref.get(r.user_id, (0, 0, 0))
+            np_ += 1
+            if r.matched:
+                nm += 1
+                gs += r.prior_gap_s
+            ref[r.user_id] = (np_, nm, gs)
+        assert got == {
+            u: (np_, nm, np_ - nm, gs) for u, (np_, nm, gs) in ref.items()
+        }
+
+    def test_view_only_user_emits_no_row(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        from datafusion_pinot_spark.streaming.stateful import (
+            stream_asof_attribution,
+        )
+
+        base = dt.datetime(2024, 5, 1)
+        rows = [
+            Row(event_id=1, user_id=1, event_type="view", ts=base),
+            Row(
+                event_id=2,
+                user_id=2,
+                event_type="view",
+                ts=base + dt.timedelta(seconds=5),
+            ),
+            Row(
+                event_id=3,
+                user_id=2,
+                event_type="purchase",
+                ts=base + dt.timedelta(seconds=9),
+            ),
+        ]
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        # the file-source helper streams ONE parquet file (it globs the
+        # basename within the parent dir), so surface a single part file
+        d = tempfile.mkdtemp(prefix="sasof_")
+        spark.createDataFrame(rows).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/out")
+        path = f"{d}/ev.parquet"
+        shutil.move(glob.glob(f"{d}/out/part-*.parquet")[0], path)
+        out = stream_asof_attribution(spark, path, tolerance_s=60).collect()
+        assert [r.user_id for r in out] == [2]
+        assert out[0].n_matched == 1 and out[0].matched_gap_s_sum == 4
