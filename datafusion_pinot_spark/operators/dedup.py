@@ -202,21 +202,17 @@ def _bucket_pair_structs():
     )
 
 
-def minhash_lsh_candidates_md5(
+def _lsh_buckets_md5(
     docs: DataFrame,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs with the *md5* hash family — bit-identical in
-    DuckDB, so the full LSH→verify dedup pipeline is oracle-checkable.
-
-    Same scale shape as :func:`minhash_lsh_pairs` (banded keys, bucket
-    grouping, engine-side pair generation — never an O(N^2) join); the
-    xxhash64 variant remains the production-speed path (codegen'd long
-    hashes vs md5 hex strings).
-    """
+    """(band_idx, key, ids): every LSH bucket (including singletons) with
+    its sorted member array — the shared substrate of candidate-pair
+    generation and the bucket-skew cost planner. One shuffle on the
+    banded key; collect_set bounds memory per bucket by bucket size (the
+    planner exists precisely to measure that bound before a big run)."""
     sig = minhash_signatures(docs, k, shingle_n).filter(F.col("mh0").isNotNull())
     rows_per_band = k // bands
     band_cols = [
@@ -239,10 +235,28 @@ def minhash_lsh_candidates_md5(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band_idx", "bk.key")
-    buckets = (
-        melted.groupBy("band_idx", "key")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    return melted.groupBy("band_idx", "key").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
+
+
+def minhash_lsh_candidates_md5(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs with the *md5* hash family — bit-identical in
+    DuckDB, so the full LSH→verify dedup pipeline is oracle-checkable.
+
+    Same scale shape as :func:`minhash_lsh_pairs` (banded keys, bucket
+    grouping, engine-side pair generation — never an O(N^2) join); the
+    xxhash64 variant remains the production-speed path (codegen'd long
+    hashes vs md5 hex strings).
+    """
+    buckets = _lsh_buckets_md5(docs, k, bands, shingle_n).filter(
+        F.size("ids") > 1
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
@@ -2167,3 +2181,196 @@ SELECT bands, rows_per_band, n_candidates, n_verified, n_true,
             ELSE n_verified * 1000000 // n_true END AS BIGINT)
          AS recall_ppm
 FROM curve CROSS JOIN tr ORDER BY bands"""
+
+
+def source_dedup_matrix(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Cross-source copy matrix over VERIFIED near-duplicate pairs: for
+    every source pair (a <= b), how many exact-Jaccard-verified near-dup
+    links connect them — the provenance table that says which sources
+    mirror which (a crawl re-ingesting another source's dump shows up as
+    a hot off-diagonal row; template boilerplate shows up on the
+    diagonal), so the canonical-keep policy can prefer upstream sources.
+    Exact-hash grouping would be the cheap variant, but this corpus (like
+    real post-dedup crawls) has near-zero verbatim copies — the near-dup
+    graph is where cross-source structure lives.
+
+    Uses bands=4 of the k=8 signature (r=2, the high-recall config from
+    lsh_band_tuning_curve). Scale shape (100 TB): the pair frame is the
+    already-bounded LSH+verify pipeline; attaching sources is two
+    doc_id-keyed joins carrying O(verified pairs) rows; the rollup is at
+    most |sources|^2 rows."""
+    pairs = ngram_jaccard_verify(
+        docs, minhash_lsh_candidates_md5(docs, k, bands, n), n, threshold
+    ).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("source", "source_a")
+        .join(
+            src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "source", "source_b"
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("source_a", "source_b").alias("src_a"),
+            F.greatest("source_a", "source_b").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+def source_dedup_matrix_oracle_sql(
+    k: int = MINHASH_K,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> str:
+    ver = lsh_verified_pairs_oracle_sql(k, bands, n, threshold)
+    return f"""
+WITH vp AS ({ver}),
+labeled AS (
+  SELECT least(da.source, db.source) AS src_a,
+         greatest(da.source, db.source) AS src_b
+  FROM vp
+  JOIN documents da ON da.doc_id = vp.doc_a
+  JOIN documents db ON db.doc_id = vp.doc_b
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM labeled GROUP BY src_a, src_b ORDER BY src_a, src_b"""
+
+
+def dedup_cost_planner(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands_list: tuple[int, ...] = LSH_TUNING_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """LSH shuffle-cost planner: per band config, the bucket-size
+    histogram (log2 buckets) with the implied candidate-pair mass
+    ``sum(s*(s-1)/2)`` — the number the verify stage will actually pay.
+    :func:`lsh_band_tuning_curve` measures QUALITY (precision/recall);
+    this measures COST SKEW: a single 2^20-doc bucket implies ~5e11
+    pairs from one key, which is the "viral boilerplate" failure mode
+    ``max_bucket_size`` exists to cap — this table says whether the cap
+    is needed and where to set it, BEFORE the run.
+
+    All integer. Scale shape (100 TB): per config, one banded-key shuffle
+    into bucket sizes (collect_set is replaced by a plain count — the
+    planner never materializes member arrays, so it is STRICTLY cheaper
+    than the pipeline it plans), then a |configs| x ~32-row histogram
+    rollup."""
+    legs = []
+    for bands in bands_list:
+        sig = minhash_signatures(docs, k, n).filter(F.col("mh0").isNotNull())
+        rows_per_band = k // bands
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        melted = sig.select("doc_id", *band_cols).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.col(f"band{b}").alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk")
+        ).select("bk.band_idx", "bk.key")
+        sizes = melted.groupBy("band_idx", "key").agg(
+            F.count(F.lit(1)).alias("s")
+        )
+        legs.append(
+            sizes.select(
+                F.lit(bands).cast("int").alias("bands"),
+                "s",
+                F.expr(
+                    "CAST(CASE WHEN s = 1 THEN 0"
+                    " ELSE length(bin(s - 1)) END AS INT)"
+                ).alias("size_log2"),
+            )
+        )
+    fanned = legs[0]
+    for leg in legs[1:]:
+        fanned = fanned.unionByName(leg)
+    return (
+        fanned.groupBy("bands", "size_log2")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("s").cast("long").alias("n_entries"),
+            F.sum(F.expr("s * (s - 1) div 2")).cast("long").alias(
+                "implied_pairs"
+            ),
+        )
+        .orderBy("bands", "size_log2")
+    )
+
+
+def dedup_cost_planner_oracle_sql(
+    k: int = MINHASH_K,
+    bands_list: tuple[int, ...] = LSH_TUNING_BANDS,
+    n: int = 3,
+) -> str:
+    legs = []
+    for bands in bands_list:
+        rows_per_band = k // bands
+        band_keys = ", ".join(
+            "md5("
+            + " || '|' || ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            )
+            + f") AS band{b}"
+            for b in range(bands)
+        )
+        melt = " UNION ALL ".join(
+            f"SELECT {b} AS band_idx, band{b} AS key FROM banded_{bands}"
+            for b in range(bands)
+        )
+        legs.append(
+            f"""banded_{bands} AS (
+  SELECT {band_keys} FROM sig WHERE mh0 IS NOT NULL
+), sizes_{bands} AS (
+  SELECT band_idx, key, CAST(count(*) AS BIGINT) AS s
+  FROM ({melt}) GROUP BY band_idx, key
+), leg_{bands} AS (
+  SELECT CAST({bands} AS INTEGER) AS bands, s,
+         CAST(CASE WHEN s = 1 THEN 0
+              ELSE length(bin(s - 1)) - position('1' IN bin(s - 1)) + 1
+              END AS INTEGER) AS size_log2
+  FROM sizes_{bands}
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM leg_{bands}" for bands in bands_list
+    )
+    sig = minhash_signatures_oracle_sql(k, n)
+    return f"""
+WITH sig AS ({sig}),
+{", ".join(legs)}
+SELECT bands, size_log2,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(s) AS BIGINT) AS n_entries,
+       CAST(sum(s * (s - 1) // 2) AS BIGINT) AS implied_pairs
+FROM ({union}) GROUP BY bands, size_log2 ORDER BY bands, size_log2"""

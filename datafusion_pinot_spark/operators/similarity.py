@@ -1756,3 +1756,77 @@ SELECT label,
        CAST(sum(CASE WHEN n2 > 4000000 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_inflated
 FROM per_vec GROUP BY label ORDER BY label"""
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-DIMENSION embedding statistics — the whitening/quantization
+    calibration table (which dims are dead, which dominate, where to clip
+    before SQ8): for each dimension index, exact integer count, sum, sum
+    of squares, min/max (milli-quantized components) and the zero-valued
+    count. A dead dim (min == max) wastes quantization range; a dominant
+    dim distorts L2 ranking — both read straight off this table.
+
+    Exactness: components quantize via the house ``floor(x*1000 + 0.5)``
+    fixed IEEE tree (embedding_norm_audit's contract); every output cell
+    is BIGINT arithmetic after that. Sum of squares stays exact below
+    ~9e18 micro-units (~1e12 vectors at unit scale).
+
+    Scale shape (100 TB): posexplode fans (dim, component) rows into ONE
+    map-side-combined groupBy over |dims| groups — the shuffle carries
+    |dims| partial rows per task, the output is |dims| rows. No joins,
+    no windows."""
+    comp = embeddings.select(
+        F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("xm"),
+    )
+    return (
+        comp.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xm").cast("long").alias("sum_milli"),
+            F.sum(F.expr("xm * xm")).cast("long").alias("sumsq_micro"),
+            F.min("xm").cast("long").alias("min_milli"),
+            F.max("xm").cast("long").alias("max_milli"),
+            F.sum((F.col("xm") == 0).cast("bigint"))
+            .cast("long")
+            .alias("n_zero"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            "sum_milli",
+            "sumsq_micro",
+            "min_milli",
+            "max_milli",
+            "n_zero",
+            (F.col("min_milli") == F.col("max_milli")).alias("is_dead"),
+        )
+        .orderBy("dim")
+    )
+
+
+def embedding_dim_stats_oracle_sql() -> str:
+    return """
+WITH comp AS (
+  SELECT CAST(t.dim - 1 AS INTEGER) AS dim,
+         CAST(floor(CAST(embedding[t.dim] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS xm
+  FROM embeddings,
+       LATERAL unnest(generate_series(1, len(embedding))) AS t(dim)
+), agg AS (
+  SELECT dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xm) AS BIGINT) AS sum_milli,
+         CAST(sum(xm * xm) AS BIGINT) AS sumsq_micro,
+         CAST(min(xm) AS BIGINT) AS min_milli,
+         CAST(max(xm) AS BIGINT) AS max_milli,
+         CAST(sum(CASE WHEN xm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM comp GROUP BY dim
+)
+SELECT dim, n, sum_milli, sumsq_micro, min_milli, max_milli, n_zero,
+       min_milli = max_milli AS is_dead
+FROM agg ORDER BY dim"""

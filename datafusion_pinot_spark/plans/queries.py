@@ -2884,6 +2884,28 @@ def _register_llm():
         "streaming",
         ["streaming", "stateful", "asof", "attribution"],
     )(_q_stream_asof)
+    register(
+        "embedding_dim_stats",
+        similarity.embedding_dim_stats_oracle_sql(),
+        "llm",
+        ["embedding", "quantization", "audit"],
+    )(
+        lambda spark, sf: similarity.embedding_dim_stats(
+            t(spark, sf, "embeddings")
+        )
+    )
+    register(
+        "source_dedup_matrix",
+        dedup.source_dedup_matrix_oracle_sql(),
+        "llm",
+        ["dedup", "provenance", "lsh", "matrix"],
+    )(lambda spark, sf: dedup.source_dedup_matrix(_docs(spark, sf)))
+    register(
+        "dedup_cost_planner",
+        dedup.dedup_cost_planner_oracle_sql(),
+        "llm",
+        ["dedup", "lsh", "planning", "skew"],
+    )(lambda spark, sf: dedup.dedup_cost_planner(_docs(spark, sf)))
 
 
 _register_llm()

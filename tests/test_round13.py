@@ -478,3 +478,122 @@ class TestStreamAsofAttribution:
         out = stream_asof_attribution(spark, path, tolerance_s=60).collect()
         assert [r.user_id for r in out] == [2]
         assert out[0].n_matched == 1 and out[0].matched_gap_s_sum == 4
+
+
+class TestEmbeddingDimStats:
+    def test_hand_values_and_dead_dim(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            embedding_dim_stats,
+        )
+
+        emb = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[1.0, 0.5, 0.0], label="a"),
+                Row(vec_id=2, embedding=[-1.0, 0.5, 0.0], label="b"),
+            ]
+        )
+        out = {r.dim: r for r in embedding_dim_stats(emb).collect()}
+        assert set(out) == {0, 1, 2}
+        d0 = out[0]
+        assert (d0.n, d0.sum_milli, d0.sumsq_micro) == (2, 0, 2_000_000)
+        assert (d0.min_milli, d0.max_milli, d0.is_dead) == (-1000, 1000, False)
+        d1 = out[1]
+        assert d1.is_dead and d1.min_milli == d1.max_milli == 500
+        d2 = out[2]
+        assert d2.is_dead and d2.n_zero == 2
+
+    def test_every_dim_counts_every_vector(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            embedding_dim_stats,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = embedding_dim_stats(emb).collect()
+        n_vecs = emb.count()
+        assert len(out) == 64
+        for r in out:
+            assert r.n == n_vecs
+            assert r.min_milli <= r.max_milli
+            assert r.sumsq_micro >= 0
+
+
+class TestSourceDedupMatrix:
+    def test_cross_source_near_dups_land_off_diagonal(self, spark):
+        from datafusion_pinot_spark.operators.dedup import (
+            source_dedup_matrix,
+        )
+
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, source="s1", text=text),
+                Row(doc_id=2, source="s2", text=text),
+                Row(doc_id=3, source="s1", text=text),
+                Row(
+                    doc_id=4,
+                    source="s3",
+                    text="one two three four five six seven eight",
+                ),
+            ]
+        )
+        out = {(r.src_a, r.src_b): r.n_pairs for r in source_dedup_matrix(docs).collect()}
+        # docs 1,2,3 identical: pairs (1,2) s1-s2, (1,3) s1-s1, (2,3) s1-s2
+        assert out == {("s1", "s2"): 2, ("s1", "s1"): 1}
+
+    def test_pairs_conserved_against_verified_pipeline(self, spark):
+        from datafusion_pinot_spark.operators.dedup import (
+            minhash_lsh_candidates_md5,
+            ngram_jaccard_verify,
+            source_dedup_matrix,
+        )
+
+        docs = _docs(spark)
+        total = (
+            ngram_jaccard_verify(
+                docs, minhash_lsh_candidates_md5(docs, bands=4)
+            ).count()
+        )
+        out = source_dedup_matrix(docs).collect()
+        assert sum(r.n_pairs for r in out) == total
+
+
+class TestDedupCostPlanner:
+    def test_hand_identical_docs(self, spark):
+        from datafusion_pinot_spark.operators.dedup import (
+            dedup_cost_planner,
+        )
+
+        text = "the quick brown fox jumps over the lazy dog"
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text=text), Row(doc_id=2, text=text)]
+        )
+        out = dedup_cost_planner(docs).collect()
+        # per config: every band bucket holds both docs (size 2 ->
+        # log2 bucket 1, implied 1 pair per band)
+        for r in out:
+            assert r.size_log2 == 1
+            assert r.n_buckets == r.bands
+            assert r.n_entries == 2 * r.bands
+            assert r.implied_pairs == r.bands
+
+    def test_entry_conservation_on_corpus(self, spark):
+        from datafusion_pinot_spark.operators.dedup import (
+            dedup_cost_planner,
+            minhash_signatures,
+        )
+
+        docs = _docs(spark)
+        n_sig = (
+            minhash_signatures(docs)
+            .filter(F.col("mh0").isNotNull())
+            .count()
+        )
+        out = dedup_cost_planner(docs).collect()
+        per_bands = {}
+        for r in out:
+            e, p = per_bands.get(r.bands, (0, 0))
+            per_bands[r.bands] = (e + r.n_entries, p + r.implied_pairs)
+        # every signature lands in exactly `bands` buckets
+        for bands, (entries, pairs) in per_bands.items():
+            assert entries == bands * n_sig
+            assert pairs >= 0
