@@ -1491,3 +1491,159 @@ SELECT source,
        CAST(sum(CASE WHEN bloom_flag = 1 AND exact_flag = 0
                      THEN 1 ELSE 0 END) AS BIGINT) AS false_pos_docs
 FROM per_doc GROUP BY source ORDER BY source"""
+
+
+def split_quality_parity(
+    docs: DataFrame, valid_mod: int = 10, bits: int = 48
+) -> DataFrame:
+    """Train/valid QUALITY parity audit — the fairness complement of
+    :func:`split_leakage_audit` (same hash split, same `h % valid_mod ==
+    valid_mod - 1` -> valid rule): per split and per quality-gate outcome
+    (the FineWeb-style reason codes of text.quality_filter, '' = kept),
+    document and token counts plus each reason's within-split share in
+    exact ppm. A fair hash split gives near-identical reason mixes; a
+    skewed table means the held-out loss is measured on systematically
+    different text than training saw — invalid eval, before any model
+    runs.
+
+    Scale shape (100 TB): the quality signals are the one expensive pass
+    (shared machinery, (doc, token) shuffles bounded by document length);
+    the split tag is a narrow md5 map; the rollup is at most
+    2 x |reasons| rows with map-side combine."""
+    from datafusion_pinot_spark.operators.text import quality_filter
+
+    nd = bits // 4
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, nd), 16, 10
+    ).cast("long")
+    qf = quality_filter(docs).select("doc_id", "n_tokens", "reason")
+    tagged = qf.select(
+        F.when(hv % valid_mod == valid_mod - 1, F.lit("valid"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        "n_tokens",
+        "reason",
+    )
+    per = tagged.groupBy("split", "reason").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+    w = Window.partitionBy("split")
+    return (
+        per.withColumn("split_docs", F.sum("n_docs").over(w))
+        .select(
+            "split",
+            "reason",
+            "n_docs",
+            "tokens",
+            F.expr(
+                "CAST(n_docs * CAST(1000000 AS BIGINT) div split_docs"
+                " AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("split", "reason")
+    )
+
+
+def split_quality_parity_oracle_sql(
+    valid_mod: int = 10, bits: int = 48
+) -> str:
+    from datafusion_pinot_spark.operators.text import quality_signal_ctes
+
+    nd = bits // 4
+    hv = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr(hid, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (nd - 1 - i)})"
+        for i in range(nd)
+    )
+    return f"""
+WITH {quality_signal_ctes("documents")},
+tagged AS (
+  SELECT CASE WHEN ({hv}) % {valid_mod} = {valid_mod - 1}
+              THEN 'valid' ELSE 'train' END AS split,
+         q.n_tokens, q.reason
+  FROM qdecision q
+  JOIN (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hid FROM documents)
+    USING (doc_id)
+), per AS (
+  SELECT split, reason,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens
+  FROM tagged GROUP BY split, reason
+)
+SELECT split, reason, n_docs, tokens,
+       CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY split)
+            AS BIGINT) AS share_ppm
+FROM per ORDER BY split, reason"""
+
+
+def quality_pareto_frontier(docs: DataFrame) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) over per-document quality signals:
+    the documents not dominated on (n_tokens MAXIMIZE, dup2_milli
+    MINIMIZE) — no other doc is at least as long AND at least as clean
+    with one strict improvement. The skyline operator: "show me the
+    candidates where every tradeoff is real", here the longest-cleanest
+    envelope a curation policy should sample exemplars from. Spark has no
+    native skyline; the classic sort-scan algorithm maps onto aggregates
+    + a tiny-frame window.
+
+    Dominance resolves per doc with pure integer comparisons:
+    q is dominated iff  min(dup2 | n_tokens > n_q) <= dup2_q
+                    or  min(dup2 | n_tokens = n_q) <  dup2_q.
+
+    Scale shape (100 TB): one groupBy collapses the corpus to the
+    DISTINCT-x frame (n_tokens values — bounded by max document length,
+    not corpus size); the strict-prefix running min runs on that tiny
+    frame (single-task window, deliberate); per-doc dominance is then a
+    broadcast join + codegen'd comparisons. The corpus is never sorted
+    globally and never self-joined."""
+    from datafusion_pinot_spark.operators.text import quality_signals
+
+    sig = quality_signals(docs).select("doc_id", "n_tokens", "dup2_milli")
+    per_x = sig.groupBy("n_tokens").agg(
+        F.min("dup2_milli").alias("min_dup_at_x")
+    )
+    w = (
+        Window.orderBy(F.desc("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    envel = per_x.select(
+        "n_tokens",
+        "min_dup_at_x",
+        F.min("min_dup_at_x").over(w).alias("min_dup_above"),
+    )
+    joined = sig.join(F.broadcast(envel), "n_tokens")
+    dominated = (
+        F.col("min_dup_above").isNotNull()
+        & (F.col("min_dup_above") <= F.col("dup2_milli"))
+    ) | (F.col("min_dup_at_x") < F.col("dup2_milli"))
+    return (
+        joined.filter(~dominated)
+        .select("doc_id", "n_tokens", "dup2_milli")
+        .orderBy(F.desc("n_tokens"), F.asc("dup2_milli"), F.asc("doc_id"))
+    )
+
+
+def quality_pareto_frontier_oracle_sql() -> str:
+    from datafusion_pinot_spark.operators.text import quality_signal_ctes
+
+    return f"""
+WITH {quality_signal_ctes("documents")},
+sig AS (
+  SELECT doc_id, n_tokens, dup2_milli FROM qdecision
+), per_x AS (
+  SELECT n_tokens, min(dup2_milli) AS min_dup_at_x
+  FROM sig GROUP BY n_tokens
+), envel AS (
+  SELECT n_tokens, min_dup_at_x,
+         min(min_dup_at_x) OVER (ORDER BY n_tokens DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS min_dup_above
+  FROM per_x
+)
+SELECT s.doc_id, s.n_tokens, s.dup2_milli
+FROM sig s JOIN envel e USING (n_tokens)
+WHERE NOT ((e.min_dup_above IS NOT NULL
+            AND e.min_dup_above <= s.dup2_milli)
+           OR e.min_dup_at_x < s.dup2_milli)
+ORDER BY s.n_tokens DESC, s.dup2_milli ASC, s.doc_id ASC"""

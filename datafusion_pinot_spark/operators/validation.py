@@ -1803,3 +1803,86 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
             * ((abs(concordant - discordant) * 1000000) // n_pairs)
             AS BIGINT) AS tau_a_ppm
 FROM agg"""
+
+
+def ab_test_srm_check(events: DataFrame, buckets: int = 2) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check — the first gate of experiment
+    hygiene: hash-assign each distinct user to one of ``buckets`` equal
+    arms (md5 mod buckets, the deterministic assignment a real A/B system
+    uses) and, per event-type cohort, test the observed arm counts
+    against the uniform expectation with a chi-square statistic. A
+    triggered flag means the assignment/logging pipeline is biased and
+    every downstream metric comparison is invalid — the audit you run
+    BEFORE reading an experiment.
+
+    Exactness: for two arms the statistic collapses to
+    ``chi2 = (a - b)^2 / n`` — emitted as exact integer milli
+    (``(a-b)^2 * 1000 div n``, non-negative so truncation == floor); the
+    flag compares against the chi-square(1) 5% critical value 3.841 in
+    the same milli units. No float crosses an engine boundary.
+
+    Scale shape (100 TB): one distinct (event_type, user) shuffle with
+    map-side combine, a narrow hash map, and a |event_types|-row rollup.
+    The assignment hash is the md5-prefix integer (DuckDB-identical;
+    xxhash64 is the production swap, as everywhere)."""
+    assert buckets == 2, "milli chi-square closed form is two-arm"
+    cohort = events.select("event_type", "user_id").distinct()
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("arm|"), F.col("user_id").cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    return (
+        cohort.select("event_type", arm.alias("arm"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum((F.col("arm") == 0).cast("long")).alias("n_arm_a"),
+            F.sum((F.col("arm") == 1).cast("long")).alias("n_arm_b"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_arm_a",
+            "n_arm_b",
+            F.expr(
+                "CAST((n_arm_a - n_arm_b) * (n_arm_a - n_arm_b)"
+                " * CAST(1000 AS BIGINT) div n_users AS BIGINT)"
+            ).alias("chi2_milli"),
+            F.expr(
+                "(n_arm_a - n_arm_b) * (n_arm_a - n_arm_b)"
+                " * CAST(1000 AS BIGINT) div n_users > 3841"
+            ).alias("srm_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ab_test_srm_check_oracle_sql(buckets: int = 2) -> str:
+    h = "md5('arm|' || CAST(user_id AS VARCHAR))"
+    poly = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (12 - 1 - i)})"
+        for i in range(12)
+    )
+    return f"""
+WITH cohort AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), assigned AS (
+  SELECT event_type, ({poly}) % {buckets} AS arm FROM cohort
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_arm_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_arm_b
+  FROM assigned GROUP BY event_type
+)
+SELECT event_type, n_users, n_arm_a, n_arm_b,
+       CAST((n_arm_a - n_arm_b) * (n_arm_a - n_arm_b) * 1000 // n_users
+            AS BIGINT) AS chi2_milli,
+       (n_arm_a - n_arm_b) * (n_arm_a - n_arm_b) * 1000 // n_users > 3841
+         AS srm_flag
+FROM agg ORDER BY event_type"""

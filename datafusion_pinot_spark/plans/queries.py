@@ -2865,8 +2865,11 @@ def _register_llm():
     # STREAMING twin of asof_join_tolerance: per-user attribution rollup
     # maintained incrementally in applyInPandasWithState; the bounded
     # drained run is hash-gated against batch SQL like
-    # streaming_funnel_totals. Registered in r13; queues for the r15
-    # window (the r14 backlog is at its 8-slot rotation capacity).
+    # streaming_funnel_totals. Part of the r15 FIRST-CHECK QUEUE (8 =
+    # capacity, all registered in r13 beyond the r14 backlog):
+    # stream_asof_attribution, embedding_dim_stats, source_dedup_matrix,
+    # dedup_cost_planner, ab_test_srm_check, split_quality_parity,
+    # quality_pareto_frontier, stream_cms_buckets.
     def _q_stream_asof(spark, sf):
         from datafusion_pinot_spark.streaming.stateful import (
             stream_asof_attribution,
@@ -2906,6 +2909,48 @@ def _register_llm():
         "llm",
         ["dedup", "lsh", "planning", "skew"],
     )(lambda spark, sf: dedup.dedup_cost_planner(_docs(spark, sf)))
+    register(
+        "ab_test_srm_check",
+        validation.ab_test_srm_check_oracle_sql(),
+        "analytics",
+        ["experiment", "srm", "chi-square", "audit"],
+    )(
+        lambda spark, sf: validation.ab_test_srm_check(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "split_quality_parity",
+        curation.split_quality_parity_oracle_sql(),
+        "llm",
+        ["curation", "split", "quality", "audit"],
+    )(lambda spark, sf: curation.split_quality_parity(_docs(spark, sf)))
+    register(
+        "quality_pareto_frontier",
+        curation.quality_pareto_frontier_oracle_sql(),
+        "llm",
+        ["curation", "skyline", "quality"],
+    )(lambda spark, sf: curation.quality_pareto_frontier(_docs(spark, sf)))
+
+    # STREAMING count-min maintenance: bounded depth*width state no matter
+    # the corpus; drained run hash-equals the batch bucket CTE.
+    def _q_stream_cms(spark, sf):
+        from datafusion_pinot_spark.streaming.windowed import (
+            stream_cms_buckets,
+        )
+
+        return stream_cms_buckets(spark, f"{sf}/documents.parquet")
+
+    from datafusion_pinot_spark.streaming.windowed import (
+        stream_cms_buckets_oracle_sql,
+    )
+
+    register(
+        "stream_cms_buckets",
+        stream_cms_buckets_oracle_sql(),
+        "streaming",
+        ["streaming", "sketch", "cms"],
+    )(_q_stream_cms)
 
 
 _register_llm()

@@ -544,3 +544,92 @@ def stream_cdc_fold(
     finally:
         q.stop()
     return spark.table(name).orderBy("l_returnflag")
+
+
+def stream_cms_buckets(
+    spark: SparkSession,
+    docs_parquet: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """STREAMING count-min sketch maintenance: the CMS bucket table of
+    operators/sketches.py::cms_frequency_audit kept up to date by a
+    Structured Streaming aggregation over the document stream — the
+    always-on heavy-hitter substrate. The whole point of the sketch is
+    that streaming state is BOUNDED at depth x width counters no matter
+    how much text flows through; this is the one sketch shape where
+    complete-mode is scale-correct, because the result set itself is the
+    fixed-size state.
+
+    Built-ins only (tokenize -> 3-gram transform -> constant depth-way
+    fanout -> streaming groupBy count): no custom state function — Spark's
+    own streaming aggregation IS the sketch update rule, so whole-stage
+    codegen applies to the hash map. Drained bounded run hash-equals the
+    batch bucket CTE in DuckDB."""
+    from datafusion_pinot_spark.functions import tokens
+    from datafusion_pinot_spark.operators.sketches import _cms_pos
+
+    stream = _file_stream(spark, docs_parquet)
+    toks = stream.select(tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 3
+    )
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', element_at(w, i),"
+                " element_at(w, i + 1), element_at(w, i + 2)))"
+            )
+        ).alias("tok")
+    )
+    fanned = grams.select(
+        F.posexplode(
+            F.array(*[_cms_pos(F.col("tok"), r, width) for r in range(depth)])
+        ).alias("r", "pos")
+    )
+    agg = fanned.groupBy("r", "pos").agg(
+        F.count(F.lit(1)).alias("bucket_cnt")
+    )
+    name = f"scms_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(
+            F.col("r").cast("int").alias("r"),
+            F.col("pos").cast("long").alias("pos"),
+            F.col("bucket_cnt").cast("long").alias("bucket_cnt"),
+        )
+        .orderBy("r", "pos")
+    )
+
+
+def stream_cms_buckets_oracle_sql(depth: int = 4, width: int = 1024) -> str:
+    from datafusion_pinot_spark.operators.sketches import _cms_pos_sql
+
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_pos_sql('tok', r, width)} AS pos FROM grams"
+        for r in range(depth)
+    )
+    return f"""
+WITH words AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(lower(text))) > 0
+), grams AS (
+  SELECT w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS tok
+  FROM words, LATERAL unnest(range(0, greatest(len(w) - 2, 0))) AS t(i)
+  WHERE len(w) >= 3
+), fanned AS (
+  {bucket_rows}
+)
+SELECT CAST(r AS INTEGER) AS r, CAST(pos AS BIGINT) AS pos,
+       CAST(count(*) AS BIGINT) AS bucket_cnt
+FROM fanned GROUP BY r, pos ORDER BY r, pos"""

@@ -597,3 +597,168 @@ class TestDedupCostPlanner:
         for bands, (entries, pairs) in per_bands.items():
             assert entries == bands * n_sig
             assert pairs >= 0
+
+
+class TestAbTestSrmCheck:
+    def test_counts_partition_users(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            ab_test_srm_check,
+        )
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        out = ab_test_srm_check(ev).collect()
+        cohorts = (
+            ev.select("event_type", "user_id")
+            .distinct()
+            .groupBy("event_type")
+            .count()
+            .collect()
+        )
+        ref = {r.event_type: r["count"] for r in cohorts}
+        for r in out:
+            assert r.n_arm_a + r.n_arm_b == r.n_users == ref[r.event_type]
+            assert r.chi2_milli == (
+                (r.n_arm_a - r.n_arm_b) ** 2 * 1000
+            ) // r.n_users
+
+    def test_skewed_assignment_trips_flag(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            ab_test_srm_check,
+        )
+
+        # find user ids that all hash to arm 0 so a filtered cohort is
+        # maximally skewed — the failure mode SRM exists to catch
+        import hashlib
+
+        arm0 = [
+            u
+            for u in range(400)
+            if int(hashlib.md5(f"arm|{u}".encode()).hexdigest()[:12], 16) % 2
+            == 0
+        ][:50]
+        ev = spark.createDataFrame(
+            [Row(event_type="exp", user_id=u) for u in arm0]
+        )
+        out = ab_test_srm_check(ev).collect()[0]
+        assert out.n_arm_a == 50 and out.n_arm_b == 0
+        assert out.chi2_milli == 50 * 1000 and out.srm_flag
+
+
+class TestSplitQualityParity:
+    def test_shares_sum_and_split_consistency(self, spark):
+        from datafusion_pinot_spark.operators.curation import (
+            split_leakage_audit,
+            split_quality_parity,
+        )
+
+        out = split_quality_parity(_docs(spark)).collect()
+        by_split = {}
+        for r in out:
+            by_split.setdefault(r.split, []).append(r)
+        assert set(by_split) == {"train", "valid"}
+        # split sizes agree with the leakage audit (same hash rule)
+        leak = split_leakage_audit(_docs(spark)).collect()[0]
+        assert sum(r.n_docs for r in by_split["train"]) == leak.n_train
+        assert sum(r.n_docs for r in by_split["valid"]) == leak.n_valid
+        for split, rows in by_split.items():
+            total = sum(r.n_docs for r in rows)
+            for r in rows:
+                assert r.share_ppm == r.n_docs * 1_000_000 // total
+
+
+class TestQualityParetoFrontier:
+    def test_frontier_is_mutually_nondominated_and_complete(self, spark):
+        from datafusion_pinot_spark.operators.curation import (
+            quality_pareto_frontier,
+        )
+        from datafusion_pinot_spark.operators.text import quality_signals
+
+        frontier = quality_pareto_frontier(_docs(spark)).collect()
+        allpts = [
+            (r.doc_id, r.n_tokens, r.dup2_milli)
+            for r in quality_signals(_docs(spark))
+            .select("doc_id", "n_tokens", "dup2_milli")
+            .collect()
+        ]
+
+        def dominates(p, q):
+            return (
+                p[1] >= q[1]
+                and p[2] <= q[2]
+                and (p[1] > q[1] or p[2] < q[2])
+            )
+
+        fset = {r.doc_id for r in frontier}
+        # brute-force reference frontier over the 500-doc corpus
+        ref = {
+            pid
+            for (pid, x, y) in allpts
+            if not any(
+                dominates(p, (pid, x, y)) for p in allpts if p[0] != pid
+            )
+        }
+        assert fset == ref
+
+    def test_hand_frontier(self, spark):
+        from datafusion_pinot_spark.operators.curation import (
+            quality_pareto_frontier,
+        )
+
+        # doc1: 5 clean tokens; doc2: 3 clean tokens (dominated by doc1);
+        # doc3: 6 tokens but one repeated bigram (tradeoff -> frontier)
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a b c d e"),
+                Row(doc_id=2, text="x y z"),
+                Row(doc_id=3, text="p q p q r s"),
+            ]
+        )
+        out = quality_pareto_frontier(docs).collect()
+        assert [r.doc_id for r in out] == [3, 1]
+
+
+class TestStreamCmsBuckets:
+    def test_streaming_equals_batch_sketch(self, spark):
+        """The drained streaming aggregation must equal the bucket table
+        the batch CMS audit derives — sketch maintenance is exactly a
+        keyed running count, so the streaming engine's own aggregation
+        state IS the sketch."""
+        from datafusion_pinot_spark.streaming.windowed import (
+            stream_cms_buckets,
+        )
+
+        got = {
+            (r.r, r.pos): r.bucket_cnt
+            for r in stream_cms_buckets(
+                spark, f"{SF}/documents.parquet"
+            ).collect()
+        }
+        # batch reference: same fanout computed statically
+        from datafusion_pinot_spark.functions import tokens
+        from datafusion_pinot_spark.operators.sketches import _cms_pos
+
+        toks = _docs(spark).select(tokens(F.col("text")).alias("w")).filter(
+            F.size("w") >= 3
+        )
+        grams = toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', element_at(w, i),"
+                    " element_at(w, i + 1), element_at(w, i + 2)))"
+                )
+            ).alias("tok")
+        )
+        ref = {
+            (r.r, r.pos): r.cnt
+            for r in grams.select(
+                F.posexplode(
+                    F.array(*[_cms_pos(F.col("tok"), j, 1024) for j in range(4)])
+                ).alias("r", "pos")
+            )
+            .groupBy("r", "pos")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert got == ref
+        assert sum(got.values()) % 4 == 0  # every gram lands in 4 rows
