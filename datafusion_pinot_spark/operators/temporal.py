@@ -1090,25 +1090,28 @@ def cusum_changepoint_daily(events: DataFrame) -> DataFrame:
         F.row_number().over(Window.orderBy("day")).alias("d"),
     )
     tot = pre.agg(
-        F.max("d").alias("n_days"), F.sum("x_cents").alias("total")
+        F.max("d").alias("n_days"),
+        F.sum("x_cents").alias("total"),
+        # negative daily values make |prefix| exceed |total| mid-series,
+        # so the overflow bound must see the cumulative extreme too
+        F.max(F.abs(F.col("prefix"))).alias("maxabs_prefix"),
     )
-    cus = (
-        pre.join(F.broadcast(tot))
-        .withColumn(
-            "_guard",
-            F.expr(
-                "CASE WHEN total > CAST(9223372036854775807 AS BIGINT)"
-                " div GREATEST(CAST(n_days AS BIGINT), CAST(1 AS BIGINT))"
-                " THEN raise_error('cusum_changepoint_daily: N * total"
-                " exceeds BIGINT — re-quantize to dollars') ELSE '' END"
-            ),
-        )
-        .select(
-            "day",
-            "x_cents",
-            (F.col("n_days").cast("long") * F.col("prefix")
-             - F.col("d").cast("long") * F.col("total")).alias("cusum_scaled"),
-        )
+    # the overflow guard lives INSIDE the emitted expression — a separate
+    # never-selected guard column would be dead code Catalyst prunes away
+    # (column pruning is exactly the optimization this repo relies on
+    # everywhere else), and the guard would never evaluate
+    cus = pre.join(F.broadcast(tot)).select(
+        "day",
+        "x_cents",
+        F.expr(
+            "CASE WHEN GREATEST(abs(total), maxabs_prefix)"
+            " > CAST(9223372036854775807 AS BIGINT)"
+            " div GREATEST(CAST(n_days AS BIGINT), CAST(1 AS BIGINT))"
+            " THEN CAST(raise_error('cusum_changepoint_daily: N * prefix"
+            " exceeds BIGINT — re-quantize to dollars') AS BIGINT)"
+            " ELSE CAST(n_days AS BIGINT) * prefix"
+            " - CAST(d AS BIGINT) * total END"
+        ).alias("cusum_scaled"),
     )
     peak = cus.agg(F.max(F.abs("cusum_scaled")).alias("peak_abs"))
     return (

@@ -558,3 +558,44 @@ def test_asof_tolerance_single_key_shuffle_no_joins(q):
                "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert op not in plan
     assert "Window" in plan
+
+
+def test_pareto_frontier_broadcast_envelope(q):
+    """r13: the skyline's distinct-x envelope is bounded by max document
+    length — it must broadcast back to the signal frame; the corpus is
+    never globally sorted (no corpus-side SortMergeJoin)."""
+    plan = _plan(q("quality_pareto_frontier"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_srm_check_no_joins_single_rollup(q):
+    """r13: SRM is one distinct shuffle + one rollup — any join operator
+    in this plan is a regression."""
+    plan = _plan(q("ab_test_srm_check"))
+    for op in ("SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan
+    assert "HashAggregate" in plan
+
+
+def test_dedup_cost_planner_no_joins(q):
+    """r13: the cost planner is banded-key counts only — it must be
+    strictly cheaper than the candidate pipeline it plans, i.e. contain
+    NO join operator and no collect_set materialization."""
+    plan = _plan(q("dedup_cost_planner"))
+    for op in ("SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan
+    assert "collect_set" not in plan
+
+
+def test_embedding_dim_stats_no_joins_no_window(q):
+    """r13: posexplode into one map-side-combined rollup — joins or
+    windows here mean the plan grew a corpus-scale stage it doesn't
+    need."""
+    plan = _plan(q("embedding_dim_stats"))
+    for op in ("SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct", "Window"):
+        assert op not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final

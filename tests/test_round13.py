@@ -762,3 +762,34 @@ class TestStreamCmsBuckets:
         }
         assert got == ref
         assert sum(got.values()) % 4 == 0  # every gram lands in 4 rows
+
+
+class TestCusumOverflowGuard:
+    def test_guard_trips_instead_of_wrapping(self, spark):
+        """The N*prefix multiply must fail LOUDLY past the BIGINT bound —
+        and the guard must live inside the emitted expression, because a
+        separate never-selected guard column is dead code Catalyst
+        prunes (verified: the pruned variant silently wrapped)."""
+        import datetime as dt
+
+        from datafusion_pinot_spark.operators.temporal import (
+            cusum_changepoint_daily,
+        )
+
+        # the guard's window: prefix sums still FIT in BIGINT (ANSI mode
+        # would already fail loudly if they didn't — 10 such days trip
+        # ARITHMETIC_OVERFLOW upstream) but N * prefix does not. Four
+        # days of ~9.9e17 cents: prefix tops at ~4e18 < 2^63, while
+        # 4 * 4e18 overflows — the CASE must raise BEFORE multiplying.
+        big = 9.9e15
+        ev = spark.createDataFrame(
+            [
+                Row(
+                    ts=dt.datetime(2024, 1, d + 1, 12, 0, 0),
+                    value=float(big),
+                )
+                for d in range(4)
+            ]
+        )
+        with pytest.raises(Exception, match="cusum_changepoint_daily"):
+            cusum_changepoint_daily(ev).collect()
