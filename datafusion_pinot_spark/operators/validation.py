@@ -1762,10 +1762,13 @@ def kendall_tau_daily(orders: DataFrame) -> DataFrame:
             "ties_x",
             "ties_y",
             "ties_both",
+            # n_pairs = 0 on a single-day series: emit 0, not an ANSI
+            # divide-by-zero
             F.expr(
-                "CAST(CASE WHEN concordant >= discordant THEN 1 ELSE -1 END"
+                "CAST(CASE WHEN n_pairs = 0 THEN 0 ELSE"
+                " CASE WHEN concordant >= discordant THEN 1 ELSE -1 END"
                 " * ((abs(concordant - discordant) * CAST(1000000 AS BIGINT))"
-                " div n_pairs) AS BIGINT)"
+                " div n_pairs) END AS BIGINT)"
             ).alias("tau_a_ppm"),
         )
     )
@@ -1799,9 +1802,10 @@ WITH daily AS (
 )
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
        n_pairs, concordant, discordant, ties_x, ties_y, ties_both,
-       CAST(CASE WHEN concordant >= discordant THEN 1 ELSE -1 END
+       CAST(CASE WHEN n_pairs = 0 THEN 0 ELSE
+            CASE WHEN concordant >= discordant THEN 1 ELSE -1 END
             * ((abs(concordant - discordant) * 1000000) // n_pairs)
-            AS BIGINT) AS tau_a_ppm
+            END AS BIGINT) AS tau_a_ppm
 FROM agg"""
 
 

@@ -793,3 +793,25 @@ class TestCusumOverflowGuard:
         )
         with pytest.raises(Exception, match="cusum_changepoint_daily"):
             cusum_changepoint_daily(ev).collect()
+
+
+class TestKendallDegenerate:
+    def test_single_day_emits_zero_tau(self, spark):
+        """One distinct day -> zero pairs: the tau division must emit 0,
+        not an ANSI divide-by-zero (and DuckDB's // 0 would error the
+        oracle identically)."""
+        import datetime as dt
+
+        from datafusion_pinot_spark.operators.validation import (
+            kendall_tau_daily,
+        )
+
+        orders = spark.createDataFrame(
+            [
+                Row(o_orderdate=dt.date(2024, 1, 1), o_totalprice=5.0),
+                Row(o_orderdate=dt.date(2024, 1, 1), o_totalprice=7.0),
+            ]
+        )
+        out = kendall_tau_daily(orders).collect()[0]
+        assert out.n_days == 1 and out.n_pairs == 0
+        assert out.tau_a_ppm == 0
