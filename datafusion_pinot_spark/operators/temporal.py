@@ -1261,3 +1261,119 @@ SELECT g.event_id, g.user_id, g.ts, g.prior_gap_s,
                   WHERE r.user_id = g.user_id AND r.ts = g.b_ts)
             END AS asof_event_id
 FROM g ORDER BY g.event_id"""
+
+
+def cohort_ltv_curve(events: DataFrame) -> DataFrame:
+    """Cohort lifetime-value curve — the VALUE twin of weekly retention:
+    users cohorted by signup week (first ``signup`` event); for each
+    (cohort_week, weeks_since_signup) cell with purchase activity, the
+    purchasing-user count, the period revenue, the cohort's CUMULATIVE
+    revenue, and cumulative LTV per cohort user in exact milli-cents.
+    The table growth/finance reads to compare acquisition vintages.
+
+    Week bucketing is Monday-start ``date_trunc('week', ...)`` in both
+    engines; revenue quantizes to cents via the house decimal(18,2) tree;
+    pre-signup purchases are excluded (they have no cohort age).
+
+    Scale shape (100 TB): one user-keyed shuffle joins purchases to their
+    signup row (the join the raw data requires); the rollup collapses to
+    O(cohorts x weeks) cells; the cumulative window runs per cohort over
+    that tiny frame; cohort sizes broadcast back. Nothing corpus-scale
+    past the first join."""
+    signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("signup_day"))
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("week", F.col("signup_day"))).alias(
+                "cohort_week"
+            ),
+        )
+    )
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.to_date("ts"))).alias("week"),
+        (money("value") * 100).cast("long").alias("cents"),
+    )
+    cells = (
+        purch.join(signup, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("long")
+            .alias("weeks_since"),
+            "user_id",
+            "cents",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(
+            F.countDistinct("user_id").alias("purchasers"),
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    sizes = signup.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .withColumn("cum_revenue_cents", F.sum("revenue_cents").over(w))
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "cohort_users",
+            "purchasers",
+            "n_purchases",
+            "revenue_cents",
+            "cum_revenue_cents",
+            F.expr(
+                "CAST(cum_revenue_cents * CAST(1000 AS BIGINT)"
+                " div cohort_users AS BIGINT)"
+            ).alias("ltv_milli_cents"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+def cohort_ltv_curve_oracle_sql() -> str:
+    return """
+WITH signup AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(CAST(ts AS DATE))) AS DATE)
+           AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), purch AS (
+  SELECT user_id,
+         CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), cells AS (
+  SELECT s.cohort_week,
+         CAST((p.week - s.cohort_week) // 7 AS BIGINT) AS weeks_since,
+         CAST(count(DISTINCT p.user_id) AS BIGINT) AS purchasers,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+  FROM purch p JOIN signup s USING (user_id)
+  WHERE p.week >= s.cohort_week
+  GROUP BY s.cohort_week, 2
+), sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM signup GROUP BY cohort_week
+)
+SELECT c.cohort_week, c.weeks_since, z.cohort_users, c.purchasers,
+       c.n_purchases, c.revenue_cents,
+       CAST(sum(c.revenue_cents) OVER (PARTITION BY c.cohort_week
+            ORDER BY c.weeks_since ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_revenue_cents,
+       CAST(CAST(sum(c.revenue_cents) OVER (PARTITION BY c.cohort_week
+            ORDER BY c.weeks_since ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            * 1000 // z.cohort_users AS BIGINT) AS ltv_milli_cents
+FROM cells c JOIN sizes z USING (cohort_week)
+ORDER BY c.cohort_week, c.weeks_since"""

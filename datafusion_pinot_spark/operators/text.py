@@ -1569,3 +1569,97 @@ SELECT CAST(threshold_milli AS INTEGER) AS threshold_milli,
                  THEN n_tokens_kept * 1000000 // n_tokens
                  ELSE 0 END AS BIGINT) AS tokens_yield_ppm
 FROM per ORDER BY threshold_milli"""
+
+
+def token_dist_chi2_by_source(docs: DataFrame) -> DataFrame:
+    """Content-drift audit: chi-square distance between each SOURCE's
+    token distribution and the corpus-wide distribution — the token-level
+    complement of ks_source_drift (which sees only document lengths): a
+    source whose text comes from a different generator (spam injection,
+    wrong-language crawl, template farm) shows a large chi2 even when its
+    length profile looks normal.
+
+    Exactness: each cell's term is
+    ``(o*N - n_s*c_t)^2 * 1000 div (N * n_s * c_t)`` in decimal(38,0) —
+    o observed, c_t corpus token count, n_s source total, N corpus total;
+    exact below ~10^15 for o*N (10^38 headroom on the square), i.e.
+    corpora to ~10^7 tokens per cell at 10^9 total — far past this
+    corpus; DuckDB computes the identical HUGEINT term. The flag compares
+    the milli sum to the hardcoded chi-square(30, 0.05) critical value
+    43773 (the corpus vocabulary is 31 tokens; benford_first_digit sets
+    the hardcoded-constant precedent).
+
+    Scale shape (100 TB): one (source, token) count shuffle with map-side
+    combine, one token-keyed join against the corpus token totals, scalar
+    totals broadcast, then a per-source rollup of |sources| x |vocab|
+    term rows. Nothing all-pairs; the join key is the token, so skew
+    follows Zipf and AQE splits the hot fragments."""
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    obs = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("o"))
+    ct = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    big_n = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    # (num*num*1000) div den divides ONCE — dividing num*num by den first
+    # and then scaling would truncate away the sub-integer part per term
+    terms = (
+        obs.join(ct, "tok")
+        .join(F.broadcast(ns), "source")
+        .join(F.broadcast(big_n))
+        .select(
+            "source",
+            F.expr(
+                "CAST((CAST(o AS DECIMAL(38,0)) * n_total"
+                " - CAST(n_s AS DECIMAL(38,0)) * c_t)"
+                " * (CAST(o AS DECIMAL(38,0)) * n_total"
+                " - CAST(n_s AS DECIMAL(38,0)) * c_t)"
+                " * 1000 div (CAST(n_total AS DECIMAL(38,0)) * n_s * c_t)"
+                " AS BIGINT)"
+            ).alias("term_milli"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_present"),
+            F.sum("term_milli").cast("long").alias("chi2_milli"),
+        )
+        .select(
+            "source",
+            "n_tokens_present",
+            "chi2_milli",
+            (F.col("chi2_milli") > 43773).alias("drift_flag"),
+        )
+        .orderBy("source")
+    )
+
+
+def token_dist_chi2_by_source_oracle_sql() -> str:
+    return """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(lower(text))) > 0
+), obs AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS o
+  FROM tok GROUP BY source, tok
+), ct AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c_t FROM tok GROUP BY tok
+), ns AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM tok GROUP BY source
+), nt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok
+), terms AS (
+  SELECT obs.source,
+         CAST((CAST(o AS HUGEINT) * n_total - CAST(n_s AS HUGEINT) * c_t)
+              * (CAST(o AS HUGEINT) * n_total - CAST(n_s AS HUGEINT) * c_t)
+              * 1000 // (CAST(n_total AS HUGEINT) * n_s * c_t) AS BIGINT)
+           AS term_milli
+  FROM obs JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN nt
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens_present,
+       CAST(sum(term_milli) AS BIGINT) AS chi2_milli,
+       sum(term_milli) > 43773 AS drift_flag
+FROM terms GROUP BY source ORDER BY source"""

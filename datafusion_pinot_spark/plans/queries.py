@@ -2951,6 +2951,26 @@ def _register_llm():
         "streaming",
         ["streaming", "sketch", "cms"],
     )(_q_stream_cms)
+    # -- r16 first-check candidates (registered early, enter the window
+    # when rotation capacity reaches them) --
+    register(
+        "cohort_ltv_curve",
+        temporal.cohort_ltv_curve_oracle_sql(),
+        "analytics",
+        ["cohort", "ltv", "temporal", "revenue"],
+    )(
+        lambda spark, sf: temporal.cohort_ltv_curve(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "token_dist_chi2_by_source",
+        text.token_dist_chi2_by_source_oracle_sql(),
+        "llm",
+        ["text", "drift", "chi-square", "audit"],
+    )(
+        lambda spark, sf: text.token_dist_chi2_by_source(_docs(spark, sf))
+    )
 
 
 _register_llm()

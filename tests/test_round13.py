@@ -815,3 +815,94 @@ class TestKendallDegenerate:
         out = kendall_tau_daily(orders).collect()[0]
         assert out.n_days == 1 and out.n_pairs == 0
         assert out.tau_a_ppm == 0
+
+
+class TestCohortLtvCurve:
+    def test_hand_curve(self, spark):
+        import datetime as dt
+
+        from datafusion_pinot_spark.operators.temporal import (
+            cohort_ltv_curve,
+        )
+
+        # two users sign up Mon 2024-01-01 week; u1 buys 10.00 in week 0
+        # and 20.00 in week 1; u2 never buys; u3 (no signup) buys — excluded
+        mk = lambda i, u, ty, day, v: Row(  # noqa: E731
+            event_id=i,
+            user_id=u,
+            event_type=ty,
+            ts=dt.datetime(2024, 1, day, 12, 0, 0),
+            value=float(v),
+        )
+        ev = spark.createDataFrame(
+            [
+                mk(1, 1, "signup", 2, 0),
+                mk(2, 2, "signup", 3, 0),
+                mk(3, 1, "purchase", 4, 10),
+                mk(4, 1, "purchase", 9, 20),
+                mk(5, 3, "purchase", 4, 99),
+            ]
+        )
+        out = {r.weeks_since: r for r in cohort_ltv_curve(ev).collect()}
+        assert set(out) == {0, 1}
+        w0, w1 = out[0], out[1]
+        assert w0.cohort_week == dt.date(2024, 1, 1)
+        assert w0.cohort_users == 2 and w0.purchasers == 1
+        assert w0.revenue_cents == 1000 and w0.cum_revenue_cents == 1000
+        assert w0.ltv_milli_cents == 1000 * 1000 // 2
+        assert w1.revenue_cents == 2000 and w1.cum_revenue_cents == 3000
+        assert w1.ltv_milli_cents == 3000 * 1000 // 2
+
+    def test_cumulative_is_monotone_per_cohort(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            cohort_ltv_curve,
+        )
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        rows = cohort_ltv_curve(ev).collect()
+        last = {}
+        for r in rows:  # already ordered by cohort_week, weeks_since
+            prev = last.get(r.cohort_week, 0)
+            assert r.cum_revenue_cents == prev + r.revenue_cents
+            last[r.cohort_week] = r.cum_revenue_cents
+
+
+class TestTokenDistChi2:
+    def test_uniform_sources_score_zero(self, spark):
+        from datafusion_pinot_spark.operators.text import (
+            token_dist_chi2_by_source,
+        )
+
+        # two sources with IDENTICAL token distributions: every o equals
+        # its expectation exactly -> chi2 == 0
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, source="a", text="x x y"),
+                Row(doc_id=2, source="b", text="x x y"),
+            ]
+        )
+        for r in token_dist_chi2_by_source(docs).collect():
+            assert r.chi2_milli == 0 and not r.drift_flag
+
+    def test_disjoint_source_trips_flag(self, spark):
+        from datafusion_pinot_spark.operators.text import (
+            token_dist_chi2_by_source,
+        )
+
+        # source b uses a token a never emits (and vice versa), many
+        # times over: maximal drift, flag must trip
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, source="a", text=" ".join(["x"] * 200)),
+                Row(doc_id=2, source="b", text=" ".join(["y"] * 200)),
+            ]
+        )
+        out = {r.source: r for r in token_dist_chi2_by_source(docs).collect()}
+        assert out["a"].drift_flag and out["b"].drift_flag
+        # closed form: each source's two terms sum to N/2 * 2 = N... the
+        # exact milli value: term(o=200,c=200,n=200,N=400) = 100_000;
+        # term(o=0) computed only for PRESENT tokens, so each source has
+        # one term of (200*400 - 200*200)^2*1000 // (400*200*200)
+        assert out["a"].chi2_milli == (200 * 400 - 200 * 200) ** 2 * 1000 // (
+            400 * 200 * 200
+        )
