@@ -1377,3 +1377,190 @@ SELECT c.cohort_week, c.weeks_since, z.cohort_users, c.purchasers,
             * 1000 // z.cohort_users AS BIGINT) AS ltv_milli_cents
 FROM cells c JOIN sizes z USING (cohort_week)
 ORDER BY c.cohort_week, c.weeks_since"""
+
+
+def seasonal_decomposition_daily(events: DataFrame) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily value
+    series — trend (centered 7-day moving window), day-of-week effect,
+    residual — entirely in DIVISION-FREE exact integers, so the anomaly
+    question ("which day deviates from trend+seasonality?") is
+    hash-stable across engines:
+
+    - ``trend_x7``   = sum of the 7 calendar days centered on d (a RANGE
+      window on the day ordinal — row frames would silently misalign on
+      calendar gaps); NULL at the edges / across gaps (window count < 7).
+    - ``detrended_x7`` = 7*x_cents - trend_x7 (the deviation, scaled x7).
+    - ``resid_x7n``  = detrended_x7 * n_dow - dow_sum_x7: the residual
+      scaled by 7*n_dow — zero iff the day's deviation equals its
+      day-of-week average, sign/order preserved (positive scaling).
+    - ``dow_effect_milli`` = the day-of-week effect in milli-cents,
+      SIGN-SPLIT (truncate-vs-floor divergence on negatives, the Kendall
+      rule): sign * (|dow_sum_x7| * 1000 div (7 * n_dow)).
+
+    Scale shape (100 TB): the corpus collapses to O(days) rows in one
+    map-side-combined groupBy; the range window and the dow rollup run on
+    the tiny daily frame; the dow table (7 rows) broadcasts back."""
+    daily = (
+        events.select(
+            F.to_date("ts").alias("day"),
+            (money("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("x_cents"))
+        .select(
+            "day",
+            "x_cents",
+            F.expr("CAST(day - DATE '1970-01-01' AS BIGINT)").alias("dn"),
+            F.dayofweek("day").cast("int").alias("dow"),
+        )
+    )
+    w = Window.orderBy("dn").rangeBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "dow",
+        "x_cents",
+        F.when(
+            F.count("x_cents").over(w) == 7, F.sum("x_cents").over(w)
+        ).alias("trend_x7"),
+    ).withColumn(
+        "detrended_x7",
+        F.when(
+            F.col("trend_x7").isNotNull(),
+            7 * F.col("x_cents") - F.col("trend_x7"),
+        ),
+    )
+    dow_stats = (
+        trended.filter(F.col("detrended_x7").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.sum("detrended_x7").alias("dow_sum_x7"),
+            F.count(F.lit(1)).alias("n_dow"),
+        )
+    )
+    return (
+        trended.join(F.broadcast(dow_stats), "dow", "left")
+        .select(
+            "day",
+            "dow",
+            "x_cents",
+            "trend_x7",
+            "detrended_x7",
+            F.expr(
+                "CAST(CASE WHEN dow_sum_x7 IS NULL THEN NULL ELSE"
+                " CASE WHEN dow_sum_x7 >= 0 THEN 1 ELSE -1 END"
+                " * ((abs(dow_sum_x7) * CAST(1000 AS BIGINT))"
+                " div (7 * n_dow)) END AS BIGINT)"
+            ).alias("dow_effect_milli"),
+            F.expr(
+                "CAST(CASE WHEN detrended_x7 IS NULL THEN NULL"
+                " ELSE detrended_x7 * n_dow - dow_sum_x7 END AS BIGINT)"
+            ).alias("resid_x7n"),
+        )
+        .orderBy("day")
+    )
+
+
+def seasonal_decomposition_daily_oracle_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x_cents
+  FROM events GROUP BY 1
+), base AS (
+  SELECT day, x_cents,
+         CAST(day - DATE '1970-01-01' AS BIGINT) AS dn,
+         CAST(dayofweek(day) + 1 AS INTEGER) AS dow
+  FROM daily
+), trended AS (
+  SELECT day, dow, x_cents,
+         CASE WHEN count(x_cents) OVER w = 7
+              THEN sum(x_cents) OVER w END AS trend_x7
+  FROM base
+  WINDOW w AS (ORDER BY dn RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), detr AS (
+  SELECT *, CASE WHEN trend_x7 IS NOT NULL
+                 THEN 7 * x_cents - trend_x7 END AS detrended_x7
+  FROM trended
+), dow_stats AS (
+  SELECT dow, CAST(sum(detrended_x7) AS BIGINT) AS dow_sum_x7,
+         CAST(count(*) AS BIGINT) AS n_dow
+  FROM detr WHERE detrended_x7 IS NOT NULL GROUP BY dow
+)
+SELECT d.day, d.dow, d.x_cents, d.trend_x7, d.detrended_x7,
+       CAST(CASE WHEN s.dow_sum_x7 IS NULL THEN NULL ELSE
+            CASE WHEN s.dow_sum_x7 >= 0 THEN 1 ELSE -1 END
+            * ((abs(s.dow_sum_x7) * 1000) // (7 * s.n_dow)) END
+            AS BIGINT) AS dow_effect_milli,
+       CAST(CASE WHEN d.detrended_x7 IS NULL THEN NULL
+            ELSE d.detrended_x7 * s.n_dow - s.dow_sum_x7 END AS BIGINT)
+         AS resid_x7n
+FROM detr d LEFT JOIN dow_stats s USING (dow)
+ORDER BY d.day"""
+
+
+def interevent_cv2_by_user(events: DataFrame, k: int = 50) -> DataFrame:
+    """Burstiness audit per user: the squared coefficient of variation
+    (CV^2 = variance/mean^2) of inter-event gaps, in exact integer milli —
+    CV^2 = 1000 milli is the Poisson (memoryless) baseline, above it is
+    bursty (sessions, retries, scripted storms), below is regular
+    (schedulers, heartbeats — or bots pretending to be people). The
+    |gaps|-weighted counterpart of interevent_gap_histogram's shape view;
+    bot/abuse triage reads this column directly.
+
+    Exactness: gaps in whole seconds; ``cv2_milli = n * (n*sumsq - sum^2)
+    * 1000 div ((n-1) * sum^2)`` — numerator non-negative by
+    Cauchy-Schwarz, so truncation == floor; carried in decimal(38,0)
+    (n*sumsq*1000 wraps BIGINT past ~10^5 gap-seconds scale, the
+    spearman lesson). Requires n >= 2 gaps and sum > 0.
+
+    Top-``k`` burstiest users by (cv2 desc, user asc) — a TakeOrdered,
+    never a global sort. One user-keyed shuffle + one LAG pass feeds it."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_timestamp("ts")
+    gaps = events.select(
+        "user_id",
+        (secs - F.lag(secs).over(w)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    per = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.expr("gap_s * gap_s")).cast("decimal(38,0)").alias("s2"),
+    )
+    return (
+        per.filter((F.col("n_gaps") >= 2) & (F.col("s1") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            F.expr("CAST(s1 div n_gaps AS BIGINT)").alias("mean_gap_s"),
+            F.expr(
+                "CAST(n_gaps * (n_gaps * s2 - s1 * s1)"
+                " * 1000 div ((n_gaps - 1) * s1 * s1) AS BIGINT)"
+            ).alias("cv2_milli"),
+        )
+        .orderBy(F.desc("cv2_milli"), F.asc("user_id"))
+        .limit(k)
+    )
+
+
+def interevent_cv2_by_user_oracle_sql(k: int = 50) -> str:
+    return f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000
+           - lag(epoch_us(ts) // 1000000)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+), per AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_s) AS HUGEINT) AS s1,
+         CAST(sum(gap_s * gap_s) AS HUGEINT) AS s2
+  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       CAST(s1 // n_gaps AS BIGINT) AS mean_gap_s,
+       CAST(n_gaps * (n_gaps * s2 - s1 * s1) * 1000
+            // ((n_gaps - 1) * s1 * s1) AS BIGINT) AS cv2_milli
+FROM per WHERE n_gaps >= 2 AND s1 > 0
+ORDER BY cv2_milli DESC, user_id ASC LIMIT {k}"""

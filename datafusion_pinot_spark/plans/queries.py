@@ -2971,6 +2971,26 @@ def _register_llm():
     )(
         lambda spark, sf: text.token_dist_chi2_by_source(_docs(spark, sf))
     )
+    register(
+        "seasonal_decomposition_daily",
+        temporal.seasonal_decomposition_daily_oracle_sql(),
+        "analytics",
+        ["temporal", "seasonality", "anomaly"],
+    )(
+        lambda spark, sf: temporal.seasonal_decomposition_daily(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "interevent_cv2_by_user",
+        temporal.interevent_cv2_by_user_oracle_sql(),
+        "analytics",
+        ["temporal", "burstiness", "abuse", "topk"],
+    )(
+        lambda spark, sf: temporal.interevent_cv2_by_user(
+            t(spark, sf, "events")
+        )
+    )
 
 
 _register_llm()

@@ -906,3 +906,145 @@ class TestTokenDistChi2:
         assert out["a"].chi2_milli == (200 * 400 - 200 * 200) ** 2 * 1000 // (
             400 * 200 * 200
         )
+
+
+class TestSeasonalDecomposition:
+    def test_flat_series_decomposes_to_zero(self, spark):
+        import datetime as dt
+
+        from datafusion_pinot_spark.operators.temporal import (
+            seasonal_decomposition_daily,
+        )
+
+        # 14 flat days: trend = 7*x everywhere it exists, detrended = 0,
+        # dow effects = 0, residuals = 0; edges (first/last 3 days) NULL
+        ev = spark.createDataFrame(
+            [
+                Row(
+                    ts=dt.datetime(2024, 1, d, 12, 0, 0), value=10.0
+                )
+                for d in range(1, 15)
+            ]
+        )
+        out = seasonal_decomposition_daily(ev).collect()
+        assert len(out) == 14
+        for i, r in enumerate(out):
+            if 3 <= i < 11:
+                assert r.trend_x7 == 7 * 1000
+                assert r.detrended_x7 == 0
+                assert r.dow_effect_milli == 0 and r.resid_x7n == 0
+            else:
+                assert r.trend_x7 is None and r.detrended_x7 is None
+
+    def test_calendar_gap_voids_trend(self, spark):
+        import datetime as dt
+
+        from datafusion_pinot_spark.operators.temporal import (
+            seasonal_decomposition_daily,
+        )
+
+        # 7 days, then a 3-day hole, then 7 more: no day has a full
+        # 7-day calendar window spanning the hole — a ROW frame would
+        # silently misalign here, the RANGE frame must return NULL
+        days = list(range(1, 8)) + list(range(11, 18))
+        ev = spark.createDataFrame(
+            [
+                Row(ts=dt.datetime(2024, 1, d, 12, 0, 0), value=5.0)
+                for d in days
+            ]
+        )
+        out = {r.day: r for r in seasonal_decomposition_daily(ev).collect()}
+        assert out[datetime.date(2024, 1, 4)].trend_x7 is not None
+        for d in (5, 6, 7, 11, 12, 13):
+            assert out[datetime.date(2024, 1, d)].trend_x7 is None
+        assert out[datetime.date(2024, 1, 14)].trend_x7 is not None
+
+    def test_residual_identity_on_corpus(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            seasonal_decomposition_daily,
+        )
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        rows = [
+            r
+            for r in seasonal_decomposition_daily(ev).collect()
+            if r.detrended_x7 is not None
+        ]
+        assert rows
+        # per dow, residuals (detr*n - sum) sum to zero exactly
+        by_dow = {}
+        for r in rows:
+            by_dow.setdefault(r.dow, []).append(r.resid_x7n)
+        for dow, res in by_dow.items():
+            assert sum(res) == 0
+
+
+class TestInterEventCv2:
+    def test_regular_vs_bursty(self, spark):
+        import datetime as dt
+
+        from datafusion_pinot_spark.operators.temporal import (
+            interevent_cv2_by_user,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # user 1: perfectly regular (gap 60s x 5) -> cv2 = 0
+        for i in range(6):
+            rows.append(
+                Row(
+                    event_id=i,
+                    user_id=1,
+                    event_type="view",
+                    ts=base + dt.timedelta(seconds=60 * i),
+                    value=0.0,
+                )
+            )
+        # user 2: bursty — gaps 1,1,1,237 (mean 60): cv2 >> 1000
+        offs = [0, 1, 2, 3, 240]
+        for i, o in enumerate(offs):
+            rows.append(
+                Row(
+                    event_id=100 + i,
+                    user_id=2,
+                    event_type="view",
+                    ts=base + dt.timedelta(seconds=o),
+                    value=0.0,
+                )
+            )
+        out = {
+            r.user_id: r
+            for r in interevent_cv2_by_user(
+                spark.createDataFrame(rows)
+            ).collect()
+        }
+        assert out[1].cv2_milli == 0 and out[1].mean_gap_s == 60
+        assert out[2].cv2_milli > 1000
+        # exact: gaps (1,1,1,237), n=4, s1=240, s2=56172
+        n, s1, s2 = 4, 240, 1 + 1 + 1 + 237 * 237
+        assert out[2].cv2_milli == n * (n * s2 - s1 * s1) * 1000 // (
+            (n - 1) * s1 * s1
+        )
+
+    def test_single_gap_user_excluded(self, spark):
+        import datetime as dt
+
+        from datafusion_pinot_spark.operators.temporal import (
+            interevent_cv2_by_user,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                Row(event_id=1, user_id=1, event_type="v", ts=base, value=0.0),
+                Row(
+                    event_id=2,
+                    user_id=1,
+                    event_type="v",
+                    ts=base + dt.timedelta(seconds=9),
+                    value=0.0,
+                ),
+            ]
+        )
+        # one gap -> n_gaps = 1 < 2: no variance estimate, no row
+        assert interevent_cv2_by_user(ev).count() == 0
