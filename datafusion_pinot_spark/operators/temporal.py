@@ -1564,3 +1564,110 @@ SELECT user_id, n_gaps,
             // ((n_gaps - 1) * s1 * s1) AS BIGINT) AS cv2_milli
 FROM per WHERE n_gaps >= 2 AND s1 > 0
 ORDER BY cv2_milli DESC, user_id ASC LIMIT {k}"""
+
+
+def daily_acf_lags(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation function of the daily value series at lags
+    1..``max_lag`` — the seasonality detector that picks the period
+    (a weekly cycle shows as a peak at lag 7) BEFORE fitting any model;
+    the diagnostic twin of seasonal_decomposition_daily, which assumes
+    the period this measures.
+
+    Exactness: deviations are N-scaled like the CUSUM scan — d_i =
+    N*x_i - T is an exact BIGINT — so r_k = sum(d_i * d_{i+k}) /
+    sum(d_i^2) is a ratio of exact decimal(38,0) sums; the emitted
+    ``acf_milli`` is sign-split (numerator may be negative; truncate-vs-
+    floor divergence, the Kendall rule). The N^2 scaling cancels in the
+    ratio exactly.
+
+    Scale shape (100 TB): the corpus collapses to O(days); each lag is a
+    self-join of that tiny frame on ``dn + k`` (broadcast); the lag table
+    fans out of ONE frame. Pairs only exist where both days are present,
+    n_pairs says how much data backs each lag."""
+    daily = (
+        events.select(
+            F.to_date("ts").alias("day"),
+            (money("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("x"))
+        .select(
+            F.expr("CAST(day - DATE '1970-01-01' AS BIGINT)").alias("dn"),
+            "x",
+        )
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("t")
+    )
+    dev = daily.join(F.broadcast(tot)).select(
+        "dn",
+        F.expr("CAST(n AS BIGINT) * x - t").alias("d"),
+    )
+    den = dev.agg(
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("den")
+    )
+    lags = dev.select(
+        "dn",
+        "d",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+        ).alias("lag"),
+    )
+    b = dev.select(F.col("dn").alias("dn2"), F.col("d").alias("d2"))
+    num = (
+        lags.join(
+            F.broadcast(b), F.col("dn") + F.col("lag") == F.col("dn2")
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d2")).alias("num"),
+        )
+    )
+    return (
+        num.join(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.expr(
+                "CAST(CASE WHEN den = 0 THEN 0 ELSE"
+                " CASE WHEN num >= 0 THEN 1 ELSE -1 END"
+                " * CAST((abs(num) * 1000) div den AS BIGINT) END"
+                " AS BIGINT)"
+            ).alias("acf_milli"),
+        )
+        .orderBy("lag")
+    )
+
+
+def daily_acf_lags_oracle_sql(max_lag: int = 7) -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t
+  FROM daily
+), dev AS (
+  SELECT dn, n * x - t AS d FROM daily CROSS JOIN tot
+), den AS (
+  SELECT sum(CAST(d AS HUGEINT) * d) AS den FROM dev
+), lags AS (
+  SELECT a.dn, a.d, t.lag
+  FROM dev a, UNNEST(range(1, {max_lag + 1})) AS t(lag)
+), num AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(CAST(a.d AS HUGEINT) * b.d2) AS num
+  FROM lags a JOIN (SELECT dn AS dn2, d AS d2 FROM dev) b
+    ON a.dn + a.lag = b.dn2
+  GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+       CAST(CASE WHEN den = 0 THEN 0 ELSE
+            CASE WHEN num >= 0 THEN 1 ELSE -1 END
+            * CAST((abs(num) * 1000) // den AS BIGINT) END AS BIGINT)
+         AS acf_milli
+FROM num CROSS JOIN den ORDER BY lag"""

@@ -2991,6 +2991,14 @@ def _register_llm():
             t(spark, sf, "events")
         )
     )
+    register(
+        "daily_acf_lags",
+        temporal.daily_acf_lags_oracle_sql(),
+        "analytics",
+        ["temporal", "autocorrelation", "seasonality"],
+    )(
+        lambda spark, sf: temporal.daily_acf_lags(t(spark, sf, "events"))
+    )
 
 
 _register_llm()

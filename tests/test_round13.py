@@ -1048,3 +1048,74 @@ class TestInterEventCv2:
         )
         # one gap -> n_gaps = 1 < 2: no variance estimate, no row
         assert interevent_cv2_by_user(ev).count() == 0
+
+
+class TestDailyAcf:
+    def test_alternating_series_signs(self, spark):
+        import datetime as dt
+
+        from datafusion_pinot_spark.operators.temporal import (
+            daily_acf_lags,
+        )
+
+        # perfect 2-cycle (10, 20, 10, 20, ...): lag-1 ACF is strongly
+        # negative, lag-2 strongly positive, and signs alternate
+        ev = spark.createDataFrame(
+            [
+                Row(
+                    ts=dt.datetime(2024, 1, d + 1, 12, 0, 0),
+                    value=float(10 if d % 2 == 0 else 20),
+                )
+                for d in range(20)
+            ]
+        )
+        out = {r.lag: r for r in daily_acf_lags(ev, max_lag=4).collect()}
+        assert out[1].acf_milli < -800
+        assert out[2].acf_milli > 800
+        assert out[3].acf_milli < -700
+        assert out[4].acf_milli > 700
+        assert out[1].n_pairs == 19 and out[4].n_pairs == 16
+
+    def test_lag_zero_equivalent_is_one(self, spark):
+        import datetime as dt
+
+        from datafusion_pinot_spark.operators.temporal import (
+            daily_acf_lags,
+        )
+
+        # constant series: deviations all zero -> den = 0 -> guarded 0s
+        ev = spark.createDataFrame(
+            [
+                Row(ts=dt.datetime(2024, 1, d + 1), value=5.0)
+                for d in range(10)
+            ]
+        )
+        for r in daily_acf_lags(ev, max_lag=3).collect():
+            assert r.acf_milli == 0
+
+    def test_matches_numpy_reference(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            daily_acf_lags,
+        )
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        out = {r.lag: r.acf_milli for r in daily_acf_lags(ev).collect()}
+        daily = {}
+        for r in ev.select(F.to_date("ts").alias("d"), "value").collect():
+            cents = round(
+                float(__import__("decimal").Decimal(str(r.value)).quantize(
+                    __import__("decimal").Decimal("0.01")
+                ) * 100)
+            )
+            daily[r.d] = daily.get(r.d, 0) + cents
+        days = sorted(daily)
+        n, t = len(days), sum(daily.values())
+        dn = {d: (d - days[0]).days for d in days}
+        dev = {dn[d]: n * daily[d] - t for d in days}
+        den = sum(v * v for v in dev.values())
+        for k in range(1, 8):
+            num = sum(
+                dev[i] * dev[i + k] for i in dev if i + k in dev
+            )
+            sign = 1 if num >= 0 else -1
+            assert out[k] == sign * (abs(num) * 1000 // den)
