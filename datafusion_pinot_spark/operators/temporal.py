@@ -1487,7 +1487,9 @@ WITH daily AS (
          CAST(count(*) AS BIGINT) AS n_dow
   FROM detr WHERE detrended_x7 IS NOT NULL GROUP BY dow
 )
-SELECT d.day, d.dow, d.x_cents, d.trend_x7, d.detrended_x7,
+SELECT d.day, d.dow, d.x_cents,
+       CAST(d.trend_x7 AS BIGINT) AS trend_x7,
+       CAST(d.detrended_x7 AS BIGINT) AS detrended_x7,
        CAST(CASE WHEN s.dow_sum_x7 IS NULL THEN NULL ELSE
             CASE WHEN s.dow_sum_x7 >= 0 THEN 1 ELSE -1 END
             * ((abs(s.dow_sum_x7) * 1000) // (7 * s.n_dow)) END
