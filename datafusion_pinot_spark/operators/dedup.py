@@ -2374,3 +2374,137 @@ SELECT bands, size_log2,
        CAST(sum(s) AS BIGINT) AS n_entries,
        CAST(sum(s * (s - 1) // 2) AS BIGINT) AS implied_pairs
 FROM ({union}) GROUP BY bands, size_log2 ORDER BY bands, size_log2"""
+
+
+def dedup_survival_by_length(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Dedup survivorship by document LENGTH band — the composition audit
+    that catches a silent length bias in the dedup policy (boilerplate
+    and templates cluster short; if the keep rule also favors short docs,
+    the surviving corpus quietly loses its long-document mass, which is
+    exactly what long-context training needs most). Per log2 length band:
+    documents, near-dup-group members, survivors under the canonical
+    min-doc_id keep, and survival in exact ppm for docs AND tokens.
+
+    Survivors = docs minus non-canonical members of verified near-dup
+    groups (connected components of the LSH+verify pair graph, the
+    dedup_pipeline_report contract, bands=4 high-recall config).
+
+    Scale shape (100 TB): the pair graph is the bounded LSH pipeline; the
+    component fold is dedup_groups' label propagation (localCheckpoint
+    rounds); banding is codegen'd bit arithmetic on n_chars — NO quantile
+    sort anywhere (an NTILE here would be a corpus-wide single sort);
+    the rollup is one map-side-combined groupBy over ~20 bands."""
+    pairs = ngram_jaccard_verify(
+        docs, minhash_lsh_candidates_md5(docs, k, bands, n), n, threshold
+    ).select("doc_a", "doc_b")
+    groups = dedup_groups(pairs)  # (doc_id, group_id = min doc in comp)
+    tok = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(CASE WHEN n_chars <= 0 THEN 0"
+            " ELSE length(bin(n_chars)) END AS INT)"
+        ).alias("len_band"),
+    )
+    labeled = tok.join(groups, "doc_id", "left").select(
+        "len_band",
+        "n_tokens",
+        F.col("group_id").isNotNull().alias("in_group"),
+        # canonical keep: group members survive iff they ARE the label
+        (
+            F.col("group_id").isNull()
+            | (F.col("group_id") == F.col("doc_id"))
+        ).alias("kept"),
+    )
+    return (
+        labeled.groupBy("len_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("in_group").cast("long")).alias("n_in_dup_groups"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .select(
+            "len_band",
+            "n_docs",
+            "n_in_dup_groups",
+            "n_kept",
+            "tokens",
+            "tokens_kept",
+            F.expr(
+                "CAST(n_kept * CAST(1000000 AS BIGINT) div n_docs"
+                " AS BIGINT)"
+            ).alias("doc_survival_ppm"),
+            F.expr(
+                "CAST(CASE WHEN tokens = 0 THEN 0 ELSE"
+                " tokens_kept * CAST(1000000 AS BIGINT) div tokens END"
+                " AS BIGINT)"
+            ).alias("token_survival_ppm"),
+        )
+        .orderBy("len_band")
+    )
+
+
+def dedup_survival_by_length_oracle_sql(
+    k: int = MINHASH_K,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> str:
+    ver = lsh_verified_pairs_oracle_sql(k, bands, n, threshold)
+    return f"""
+WITH vp AS ({ver}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM vp
+  UNION ALL SELECT doc_b, doc_a FROM vp
+),
+comp AS (
+  -- connected components as min-reachable-doc labels (recursive closure;
+  -- fine at oracle scale — the Spark side exists because this isn't)
+  WITH RECURSIVE reach(node, lbl) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+    UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+  )
+  SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(regexp_split_to_array(trim(lower(text)),
+                   '\\s+')) AS BIGINT) END AS n_tokens,
+         CAST(CASE WHEN n_chars <= 0 THEN 0
+              ELSE length(bin(n_chars))
+                   - position('1' IN bin(n_chars)) + 1 END AS INTEGER)
+           AS len_band
+  FROM documents
+),
+labeled AS (
+  SELECT t.len_band, t.n_tokens,
+         c.group_id IS NOT NULL AS in_group,
+         (c.group_id IS NULL OR c.group_id = t.doc_id) AS kept
+  FROM tok t LEFT JOIN comp c USING (doc_id)
+)
+SELECT len_band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN in_group THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_dup_groups,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS doc_survival_ppm,
+       CAST(CASE WHEN sum(n_tokens) = 0 THEN 0 ELSE
+            sum(CASE WHEN kept THEN n_tokens ELSE 0 END) * 1000000
+            // sum(n_tokens) END AS BIGINT) AS token_survival_ppm
+FROM labeled GROUP BY len_band ORDER BY len_band"""

@@ -2999,6 +2999,14 @@ def _register_llm():
     )(
         lambda spark, sf: temporal.daily_acf_lags(t(spark, sf, "events"))
     )
+    register(
+        "dedup_survival_by_length",
+        dedup.dedup_survival_by_length_oracle_sql(),
+        "llm",
+        ["dedup", "curation", "audit", "length"],
+    )(
+        lambda spark, sf: dedup.dedup_survival_by_length(_docs(spark, sf))
+    )
 
 
 _register_llm()

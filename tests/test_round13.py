@@ -1119,3 +1119,42 @@ class TestDailyAcf:
             )
             sign = 1 if num >= 0 else -1
             assert out[k] == sign * (abs(num) * 1000 // den)
+
+
+class TestDedupSurvivalByLength:
+    def test_hand_groups(self, spark):
+        from datafusion_pinot_spark.operators.dedup import (
+            dedup_survival_by_length,
+        )
+
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [
+                # three identical docs (one dup group, keep doc 1) at
+                # n_chars 57 -> band 6; one unique long doc -> band 7
+                Row(doc_id=1, text=text, n_chars=57),
+                Row(doc_id=2, text=text, n_chars=57),
+                Row(doc_id=3, text=text, n_chars=57),
+                Row(doc_id=4, text="one two three four five six", n_chars=100),
+            ]
+        )
+        out = {r.len_band: r for r in dedup_survival_by_length(docs).collect()}
+        b6, b7 = out[6], out[7]
+        assert b6.n_docs == 3 and b6.n_in_dup_groups == 3
+        assert b6.n_kept == 1
+        assert b6.doc_survival_ppm == 1_000_000 // 3
+        assert b7.n_docs == 1 and b7.n_in_dup_groups == 0
+        assert b7.n_kept == 1 and b7.doc_survival_ppm == 1_000_000
+
+    def test_conservation_on_corpus(self, spark):
+        from datafusion_pinot_spark.operators.dedup import (
+            dedup_survival_by_length,
+        )
+
+        docs = _docs(spark)
+        out = dedup_survival_by_length(docs).collect()
+        assert sum(r.n_docs for r in out) == docs.count()
+        for r in out:
+            assert r.n_kept <= r.n_docs
+            assert r.n_docs - r.n_kept <= r.n_in_dup_groups
+            assert r.tokens_kept <= r.tokens
