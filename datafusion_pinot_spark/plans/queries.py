@@ -2999,6 +2999,22 @@ def _register_llm():
     )(
         lambda spark, sf: temporal.daily_acf_lags(t(spark, sf, "events"))
     )
+    # STREAMING SRM monitor: built-in streaming dedup state feeding a
+    # running aggregation (two chained stateful operators, no custom
+    # state fn); drained run hash-equals the batch chi-square table.
+    def _q_stream_srm(spark, sf):
+        from datafusion_pinot_spark.streaming.windowed import (
+            stream_srm_monitor,
+        )
+
+        return stream_srm_monitor(spark, f"{sf}/events.parquet")
+
+    register(
+        "stream_srm_monitor",
+        validation.ab_test_srm_check_oracle_sql(),
+        "streaming",
+        ["streaming", "srm", "experiment", "stateful"],
+    )(_q_stream_srm)
     register(
         "dedup_survival_by_length",
         dedup.dedup_survival_by_length_oracle_sql(),

@@ -633,3 +633,73 @@ WITH words AS (
 SELECT CAST(r AS INTEGER) AS r, CAST(pos AS BIGINT) AS pos,
        CAST(count(*) AS BIGINT) AS bucket_cnt
 FROM fanned GROUP BY r, pos ORDER BY r, pos"""
+
+
+def stream_srm_monitor(
+    spark: SparkSession, events_parquet: str, buckets: int = 2
+) -> DataFrame:
+    """STREAMING sample-ratio-mismatch monitor — the always-on twin of
+    validation.ab_test_srm_check: per event-type cohort, arm counts over
+    DISTINCT users maintained by Spark's own streaming deduplication
+    (dropDuplicates state) feeding a running aggregation — two chained
+    built-in stateful operators, no custom state function. The drained
+    bounded run hash-equals the batch chi-square table, so the stateful
+    composition itself is oracle-gated.
+
+    Scale: dedup state is O(distinct (event_type, user)) — the honest
+    price of exact cohort counts on an unbounded stream (a production
+    deployment bounds it with withWatermark + event-time columns or swaps
+    the exact dedup for the CMS sketch above); the aggregation state is
+    |event_types| rows."""
+    stream = _file_stream(spark, events_parquet)
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm|"), F.col("user_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    dedup = stream.select("event_type", "user_id").dropDuplicates(
+        ["event_type", "user_id"]
+    )
+    agg = dedup.select("event_type", arm.alias("arm")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_arm_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_arm_b"),
+    )
+    name = f"ssrm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(
+            "event_type",
+            "n_users",
+            "n_arm_a",
+            "n_arm_b",
+            F.expr(
+                "CAST((n_arm_a - n_arm_b) * (n_arm_a - n_arm_b)"
+                " * CAST(1000 AS BIGINT) div n_users AS BIGINT)"
+            ).alias("chi2_milli"),
+            F.expr(
+                "(n_arm_a - n_arm_b) * (n_arm_a - n_arm_b)"
+                " * CAST(1000 AS BIGINT) div n_users > 3841"
+            ).alias("srm_flag"),
+        )
+        .orderBy("event_type")
+    )

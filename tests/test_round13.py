@@ -1158,3 +1158,29 @@ class TestDedupSurvivalByLength:
             assert r.n_kept <= r.n_docs
             assert r.n_docs - r.n_kept <= r.n_in_dup_groups
             assert r.tokens_kept <= r.tokens
+
+
+class TestStreamSrmMonitor:
+    def test_streaming_equals_batch(self, spark):
+        """Chained streaming dedup + aggregation must equal the batch SRM
+        table — pins the two-stateful-operator composition."""
+        from datafusion_pinot_spark.operators.validation import (
+            ab_test_srm_check,
+        )
+        from datafusion_pinot_spark.streaming.windowed import (
+            stream_srm_monitor,
+        )
+
+        got = [
+            tuple(r)
+            for r in stream_srm_monitor(
+                spark, f"{SF}/events.parquet"
+            ).collect()
+        ]
+        ref = [
+            tuple(r)
+            for r in ab_test_srm_check(
+                spark.read.parquet(f"{SF}/events.parquet")
+            ).collect()
+        ]
+        assert got == ref
