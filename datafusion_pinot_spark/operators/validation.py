@@ -1890,3 +1890,82 @@ SELECT event_type, n_users, n_arm_a, n_arm_b,
        (n_arm_a - n_arm_b) * (n_arm_a - n_arm_b) * 1000 // n_users > 3841
          AS srm_flag
 FROM agg ORDER BY event_type"""
+
+
+def revenue_waterfall_yearly(lineitem: DataFrame) -> DataFrame:
+    """Revenue waterfall per ship year: gross extended price, discount
+    given, tax collected, and net — the finance decomposition behind
+    TPC-H Q1's aggregates, laid out so each step's bridge is explicit and
+    CONSERVATION is checkable row-by-row:
+    ``net = gross - discount + tax`` exactly.
+
+    Exactness: everything is emitted in MICRO-DOLLARS with NO per-line
+    rounding anywhere — ext(18,2) * disc(18,2) is exact at scale 4 and
+    (ext - ext*disc) * tax at scale 6, so scaling by 1e6 yields exact
+    integers (a per-line round-to-cents here was measured to diverge
+    between engines on the half-cent ties their decimal casts break
+    differently). Yearly sums carry in decimal(38,0); the BIGINT output
+    is exact below ~9e12 dollars/year, with a raise_error guard past it.
+
+    Scale shape (100 TB): one narrow map + one map-side-combined groupBy
+    over |years| groups. Nothing else."""
+    ext = money("l_extendedprice")
+    disc4 = ext * money("l_discount")  # scale 4, exact
+    tax6 = (ext - disc4) * money("l_tax")  # scale 6, exact
+    per = lineitem.select(
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        (ext * 1_000_000).cast("decimal(38,0)").alias("gross_u"),
+        (disc4 * 1_000_000).cast("decimal(38,0)").alias("disc_u"),
+        (tax6 * 1_000_000).cast("decimal(38,0)").alias("tax_u"),
+    )
+    def out(col):
+        return F.expr(
+            f"CASE WHEN abs({col}) >"
+            " CAST(9223372036854775807 AS DECIMAL(38,0))"
+            " THEN CAST(raise_error('revenue_waterfall_yearly: sum"
+            " exceeds BIGINT micro-dollars') AS BIGINT)"
+            f" ELSE CAST({col} AS BIGINT) END"
+        )
+    return (
+        per.groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("gross_u").alias("g"),
+            F.sum("disc_u").alias("d"),
+            F.sum("tax_u").alias("t"),
+        )
+        .select(
+            "ship_year",
+            "n_lines",
+            out("g").alias("gross_micro"),
+            out("d").alias("discount_micro"),
+            out("t").alias("tax_micro"),
+            out("g - d + t").alias("net_micro"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def revenue_waterfall_yearly_oracle_sql() -> str:
+    return """
+WITH per AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 1000000 AS HUGEINT)
+           AS gross_u,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2)) * 1000000 AS HUGEINT)
+           AS disc_u,
+         CAST((CAST(l_extendedprice AS DECIMAL(18,2))
+               - CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2)))
+              * CAST(l_tax AS DECIMAL(18,2)) * 1000000 AS HUGEINT)
+           AS tax_u
+  FROM lineitem
+)
+SELECT ship_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(gross_u) AS BIGINT) AS gross_micro,
+       CAST(sum(disc_u) AS BIGINT) AS discount_micro,
+       CAST(sum(tax_u) AS BIGINT) AS tax_micro,
+       CAST(sum(gross_u - disc_u + tax_u) AS BIGINT) AS net_micro
+FROM per GROUP BY ship_year ORDER BY ship_year"""

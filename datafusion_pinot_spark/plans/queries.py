@@ -2999,6 +2999,16 @@ def _register_llm():
     )(
         lambda spark, sf: temporal.daily_acf_lags(t(spark, sf, "events"))
     )
+    register(
+        "revenue_waterfall_yearly",
+        validation.revenue_waterfall_yearly_oracle_sql(),
+        "analytics",
+        ["finance", "waterfall", "tpch", "decimal"],
+    )(
+        lambda spark, sf: validation.revenue_waterfall_yearly(
+            t(spark, sf, "lineitem")
+        )
+    )
     # STREAMING SRM monitor: built-in streaming dedup state feeding a
     # running aggregation (two chained stateful operators, no custom
     # state fn); drained run hash-equals the batch chi-square table.

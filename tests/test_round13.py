@@ -1184,3 +1184,51 @@ class TestStreamSrmMonitor:
             ).collect()
         ]
         assert got == ref
+
+
+class TestRevenueWaterfall:
+    def test_conservation_and_hand_values(self, spark):
+        import datetime as dt
+
+        from datafusion_pinot_spark.operators.validation import (
+            revenue_waterfall_yearly,
+        )
+
+        li = spark.createDataFrame(
+            [
+                Row(
+                    l_extendedprice=100.0,
+                    l_discount=0.05,
+                    l_tax=0.08,
+                    l_shipdate=dt.date(1995, 3, 1),
+                ),
+                Row(
+                    l_extendedprice=200.0,
+                    l_discount=0.0,
+                    l_tax=0.0,
+                    l_shipdate=dt.date(1995, 7, 1),
+                ),
+            ]
+        )
+        out = revenue_waterfall_yearly(li).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.ship_year == 1995 and r.n_lines == 2
+        assert r.gross_micro == 300_000_000
+        assert r.discount_micro == 5_000_000
+        # tax on net: (100 - 5) * 0.08 = 7.60
+        assert r.tax_micro == 7_600_000
+        assert r.net_micro == r.gross_micro - r.discount_micro + r.tax_micro
+
+    def test_conservation_on_corpus(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            revenue_waterfall_yearly,
+        )
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        for r in revenue_waterfall_yearly(li).collect():
+            assert (
+                r.net_micro
+                == r.gross_micro - r.discount_micro + r.tax_micro
+            )
+            assert 0 <= r.discount_micro <= r.gross_micro
