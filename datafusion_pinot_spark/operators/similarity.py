@@ -1830,3 +1830,385 @@ WITH comp AS (
 SELECT dim, n, sum_milli, sumsq_micro, min_milli, max_milli, n_zero,
        min_milli = max_milli AS is_dead
 FROM agg ORDER BY dim"""
+
+
+def _comp_milli(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, dim, xm): per-component milli-int view of the embedding
+    column via the repo's exactness contract ``floor(x * 1000 + 0.5)`` —
+    float->double widening, one multiply, one add, one floor: a fixed
+    IEEE expression tree, bit-identical across engines."""
+    return embeddings.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("xm"),
+    )
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def kmeans_cluster_report(
+    embeddings: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """EXACT-INTEGER Lloyd's k-means under the full hash gate: ``iters``
+    fixed assignment/update rounds over milli-quantized components, then a
+    per-cluster report — size, exact squared-L2 inertia (milli^2 units),
+    and the dominant ground-truth label with its count. The float trainer
+    (``kmeans_centroids``) stays numpy-validated; THIS variant makes the
+    clustering itself cross-engine reproducible: init is deterministic
+    (centroid j = the vector with vec_id j), means are truncated integer
+    divisions, distance ties break on ascending centroid id — every engine
+    lands on bit-identical clusters, so DuckDB re-derives the whole run.
+
+    Scale shape (100 TB): per iteration the corpus appears as the NARROW
+    (vec_id, dim, xm) component stream; distances join it against a
+    broadcast k x dim centroid frame and reduce per (vec_id, c_id) with
+    map-side combine (shuffle carries N*k partial rows, never N*k*dim);
+    the centroid update is one more map-side-combined agg down to k*dim
+    rows. Nothing quadratic in N; k and dim are constants. At production
+    scale the same plan holds with the component stream read straight off
+    a columnar source; inertia sums would carry in decimal(38,0) past
+    ~1e9 vectors (bounded here: |xm|<=2000 -> d2 <= 64*4e6, BIGINT-safe
+    to ~3.6e10 vectors).
+    """
+    comp = _comp_milli(embeddings).localCheckpoint(eager=False)
+    cents = comp.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("dim").alias("c_dim"),
+        F.col("xm").alias("cm"),
+    )
+    assigned = None
+    for _ in range(iters):
+        d2 = (
+            comp.join(
+                F.broadcast(cents), F.col("dim") == F.col("c_dim")
+            )
+            .groupBy("vec_id", "c_id")
+            .agg(
+                F.sum(
+                    (F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))
+                ).alias("d2")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc("d2"), F.asc("c_id")
+        )
+        assigned = (
+            d2.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "c_id", "d2")
+        )
+        cents = (
+            comp.join(
+                F.broadcast(assigned.select("vec_id", "c_id")), "vec_id"
+            )
+            .groupBy("c_id", F.col("dim").alias("c_dim"))
+            .agg(F.expr("sum(xm) div count(*)").alias("cm"))
+        )
+    sizes = assigned.groupBy("c_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("d2").cast("long").alias("inertia_milli2"),
+    )
+    lab = (
+        assigned.select("vec_id", "c_id")
+        .join(embeddings.select("vec_id", "label"), "vec_id")
+        .groupBy("c_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_lab"))
+    )
+    wl = Window.partitionBy("c_id").orderBy(
+        F.desc("n_lab"), F.asc("label")
+    )
+    top_lab = (
+        lab.withColumn("rnk", F.row_number().over(wl))
+        .filter(F.col("rnk") == 1)
+        .select("c_id", F.col("label").alias("top_label"),
+                F.col("n_lab").cast("long").alias("top_label_n"))
+    )
+    return (
+        sizes.join(F.broadcast(top_lab), "c_id")
+        .select(
+            F.col("c_id").cast("long").alias("cluster_id"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            "inertia_milli2",
+            "top_label",
+            "top_label_n",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def kmeans_cluster_report_oracle_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    head = f"""
+WITH comp AS (
+  SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS dim,
+         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS xm
+  FROM embeddings,
+       LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+), cents0 AS (
+  SELECT vec_id AS c_id, dim AS c_dim, xm AS cm FROM comp
+  WHERE vec_id < {k}
+)"""
+    body = ""
+    prev = "cents0"
+    for it in range(iters):
+        body += f""", d2_{it} AS (
+  SELECT comp.vec_id, c.c_id,
+         CAST(sum((comp.xm - c.cm) * (comp.xm - c.cm)) AS BIGINT) AS d2
+  FROM comp JOIN {prev} c ON comp.dim = c.c_dim
+  GROUP BY comp.vec_id, c.c_id
+), assign_{it} AS (
+  SELECT vec_id, c_id, d2 FROM (
+    SELECT vec_id, c_id, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, c_id ASC) AS rnk
+    FROM d2_{it}) WHERE rnk = 1
+), cents_{it + 1} AS (
+  SELECT a.c_id, comp.dim AS c_dim,
+         CAST(sum(comp.xm) // count(*) AS BIGINT) AS cm
+  FROM comp JOIN assign_{it} a ON comp.vec_id = a.vec_id
+  GROUP BY a.c_id, comp.dim
+)"""
+        prev = f"cents_{it + 1}"
+    last = f"assign_{iters - 1}"
+    return head + body + f""", sizes AS (
+  SELECT c_id, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(d2) AS BIGINT) AS inertia_milli2
+  FROM {last} GROUP BY c_id
+), lab AS (
+  SELECT a.c_id, e.label, count(*) AS n_lab
+  FROM {last} a JOIN embeddings e ON a.vec_id = e.vec_id
+  GROUP BY a.c_id, e.label
+), top_lab AS (
+  SELECT c_id, label AS top_label, CAST(n_lab AS BIGINT) AS top_label_n
+  FROM (
+    SELECT c_id, label, n_lab,
+           row_number() OVER (PARTITION BY c_id
+                              ORDER BY n_lab DESC, label ASC) AS rnk
+    FROM lab) WHERE rnk = 1
+)
+SELECT CAST(s.c_id AS BIGINT) AS cluster_id, s.n_vectors,
+       s.inertia_milli2, t.top_label, t.top_label_n
+FROM sizes s JOIN top_lab t ON s.c_id = t.c_id
+ORDER BY cluster_id"""
+
+
+def embedding_dim_correlation(
+    embeddings: DataFrame, top: int = 20
+) -> DataFrame:
+    """Redundant-dimension audit: the ``top`` dimension PAIRS with the
+    largest exact |covariance| over milli-quantized components. Strongly
+    co-varying dims are the PCA/compression headroom signal the per-dim
+    table (``embedding_dim_stats``: dead/dominant dims) cannot see — a
+    pair at high |cov| means the encoder spends two axes on one factor.
+
+    Exactness: with integer components, ``n*Σxy - Σx*Σy`` is an exact
+    BIGINT (n² times the covariance); the emitted ``cov_milli2`` divides
+    by n² with truncating integer division — milli² units, no floats
+    anywhere. Magnitudes: |xm|<=2000 -> |Σxy|<=4e6·n, so the products
+    stay under 2^63 to n ~ 1e6 vectors; past that the sums carry in
+    decimal(38,0) (the house halflife pattern) before the final div.
+
+    Scale shape (100 TB): one narrow posexplode, ONE self-equi-join on
+    vec_id whose fanout is the constant dims²/2 = 2016 (never data-
+    dependent), then a map-side-combined agg down to 2016 groups and a
+    TakeOrdered top-``top``. At production scale the join is avoidable
+    entirely — a single mapInPandas pass accumulating the 64x64 Gram
+    matrix per partition then one 2016-row reduce — but the join form is
+    what both engines can re-derive exactly, and its shuffle is already
+    bounded by dims², not N."""
+    comp = _comp_milli(embeddings)
+    a = comp.alias("a")
+    b = comp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.vec_id") == F.col("b.vec_id"))
+        & (F.col("a.dim") < F.col("b.dim")),
+    ).select(
+        F.col("a.dim").alias("d1"),
+        F.col("b.dim").alias("d2"),
+        F.col("a.xm").alias("x"),
+        F.col("b.xm").alias("y"),
+    )
+    agg = pairs.groupBy("d1", "d2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return (
+        agg.select(
+            F.col("d1").cast("int").alias("d1"),
+            F.col("d2").cast("int").alias("d2"),
+            F.col("n").cast("long").alias("n_vecs"),
+            F.expr("(n * sxy - sx * sy) div (n * n)").alias("cov_milli2"),
+        )
+        .orderBy(
+            F.desc(F.abs(F.col("cov_milli2"))), F.asc("d1"), F.asc("d2")
+        )
+        .limit(top)
+    )
+
+
+def embedding_dim_correlation_oracle_sql(top: int = 20) -> str:
+    return f"""
+WITH comp AS (
+  SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS dim,
+         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS xm
+  FROM embeddings,
+       LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+), pairs AS (
+  SELECT a.dim AS d1, b.dim AS d2, a.xm AS x, b.xm AS y
+  FROM comp a JOIN comp b
+    ON a.vec_id = b.vec_id AND a.dim < b.dim
+), agg AS (
+  SELECT d1, d2, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY d1, d2
+)
+SELECT CAST(d1 AS INTEGER) AS d1, CAST(d2 AS INTEGER) AS d2,
+       n AS n_vecs,
+       CAST((n * sxy - sx * sy) // (n * n) AS BIGINT) AS cov_milli2
+FROM agg
+ORDER BY abs(CAST((n * sxy - sx * sy) // (n * n) AS BIGINT)) DESC,
+         d1 ASC, d2 ASC
+LIMIT {top}"""
+
+
+def ann_mrr_audit(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Ranking-quality audit for the SQ8 index, one step past recall:
+    where in the quantized top-``k`` does the TRUE (exact-cosine) nearest
+    neighbor land? Emits, per probe, the true neighbor, its rank in the
+    SQ8 list (0 = missed), and the reciprocal rank in exact ppm
+    (``1000000 div rank``) plus one ALL row carrying the mean — i.e.
+    MRR@k, the standard retrieval metric — as ``1000000*Σrr div n`` so
+    the summary is as hash-exact as the per-probe rows. Recall@k treats
+    rank 1 and rank k the same; MRR is what a retrieval stack actually
+    feels.
+
+    Scale shape: both rankings are the parent operators' plans (broadcast
+    probes, narrow corpus scan, WindowGroupLimit top-k); the audit join
+    matches |probes| truth rows against |probes|*k candidate rows — both
+    broadcast-sized by construction."""
+    truth = brute_force_topk(embeddings, query_ids, 1).select(
+        "q_id", F.col("vec_id").alias("true_id")
+    )
+    cand = sq8_topk(embeddings, query_ids, k).select(
+        "q_id", F.col("vec_id").alias("cand_id"), "rnk"
+    )
+    per_probe = (
+        truth.join(
+            F.broadcast(cand),
+            (truth["q_id"] == cand["q_id"])
+            & (F.col("true_id") == F.col("cand_id")),
+            "left",
+        )
+        .select(
+            truth["q_id"].alias("q_id"),
+            "true_id",
+            F.coalesce(F.col("rnk"), F.lit(0)).cast("long").alias(
+                "rank_in_sq8"
+            ),
+            F.expr(
+                "CAST(CASE WHEN rnk IS NULL THEN 0"
+                " ELSE 1000000 div rnk END AS BIGINT)"
+            ).alias("rr_ppm"),
+        )
+    )
+    summary = per_probe.agg(
+        F.lit(-1).cast("long").alias("q_id"),
+        F.lit(-1).cast("long").alias("true_id"),
+        F.count(F.lit(1)).alias("rank_in_sq8"),
+        F.expr(
+            "CAST(CASE WHEN count(*) = 0 THEN 0"
+            " ELSE sum(rr_ppm) div count(*) END AS BIGINT)"
+        ).alias("rr_ppm"),
+    )
+    return per_probe.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("true_id").cast("long").alias("true_id"),
+        "rank_in_sq8",
+        "rr_ppm",
+    ).unionByName(summary).orderBy("q_id")
+
+
+def ann_mrr_audit_oracle_sql(query_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS q_v FROM emb WHERE vec_id IN ({ids})
+), cos_scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(CASE WHEN sqrt(list_sum(list_transform(q.q_v, x -> x*x)))
+                         * sqrt(list_sum(list_transform(e.v, x -> x*x))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(
+                           generate_series(1, len(e.v)),
+                           i -> q.q_v[i] * e.v[i]))
+                         / (sqrt(list_sum(list_transform(q.q_v, x -> x*x)))
+                            * sqrt(list_sum(list_transform(e.v, x -> x*x))))
+               END, 6) AS sim
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id
+), truth AS (
+  SELECT q_id, vec_id AS true_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, vec_id ASC) AS rnk
+    FROM cos_scored) WHERE rnk = 1
+), mx AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+  FROM emb
+), q8 AS (
+  SELECT vec_id,
+         CASE WHEN maxabs > 0
+              THEN list_transform(v, x -> CAST(floor(x * 127.0 / maxabs)
+                                               AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+  FROM mx
+), probes AS (
+  SELECT vec_id AS q_id, q AS q_q FROM q8 WHERE vec_id IN ({ids})
+), cand AS (
+  SELECT q_id, vec_id AS cand_id, rnk FROM (
+    SELECT p.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY p.q_id
+                              ORDER BY CAST(list_sum(list_transform(
+                                generate_series(1, len(e.q)),
+                                i -> p.q_q[i] * e.q[i])) AS BIGINT) DESC,
+                              e.vec_id ASC) AS rnk
+    FROM q8 e CROSS JOIN probes p WHERE e.vec_id <> p.q_id) t
+  WHERE rnk <= {k}
+), per_probe AS (
+  SELECT t.q_id, t.true_id,
+         CAST(coalesce(c.rnk, 0) AS BIGINT) AS rank_in_sq8,
+         CAST(CASE WHEN c.rnk IS NULL THEN 0
+              ELSE 1000000 // c.rnk END AS BIGINT) AS rr_ppm
+  FROM truth t LEFT JOIN cand c
+    ON t.q_id = c.q_id AND t.true_id = c.cand_id
+)
+SELECT * FROM (
+  SELECT CAST(q_id AS BIGINT) AS q_id, CAST(true_id AS BIGINT) AS true_id,
+         rank_in_sq8, rr_ppm
+  FROM per_probe
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+         CAST(count(*) AS BIGINT),
+         CAST(CASE WHEN count(*) = 0 THEN 0
+              ELSE sum(rr_ppm) // count(*) END AS BIGINT)
+  FROM per_probe
+) ORDER BY q_id"""

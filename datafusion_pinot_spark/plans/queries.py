@@ -3033,6 +3033,38 @@ def _register_llm():
     )(
         lambda spark, sf: dedup.dedup_survival_by_length(_docs(spark, sf))
     )
+    # -- r17 first-check candidates (registered in r12, queue behind the
+    # r16 batch; enter the window when rotation capacity reaches them) --
+    register(
+        "kmeans_cluster_report",
+        similarity.kmeans_cluster_report_oracle_sql(),
+        "llm",
+        ["ann", "clustering", "kmeans", "flagship"],
+    )(
+        lambda spark, sf: similarity.kmeans_cluster_report(
+            t(spark, sf, "embeddings")
+        )
+    )
+    register(
+        "embedding_dim_correlation",
+        similarity.embedding_dim_correlation_oracle_sql(),
+        "llm",
+        ["ann", "audit", "covariance", "topk"],
+    )(
+        lambda spark, sf: similarity.embedding_dim_correlation(
+            t(spark, sf, "embeddings")
+        )
+    )
+    register(
+        "ann_mrr_audit",
+        similarity.ann_mrr_audit_oracle_sql([1, 2, 3, 4, 5]),
+        "llm",
+        ["ann", "audit", "ranking", "mrr"],
+    )(
+        lambda spark, sf: similarity.ann_mrr_audit(
+            t(spark, sf, "embeddings"), [1, 2, 3, 4, 5]
+        )
+    )
 
 
 _register_llm()
