@@ -420,3 +420,175 @@ SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
        CAST(max(degree) AS BIGINT) AS max_degree,
        CAST(sum(degree) AS BIGINT) AS sum_degree
 FROM deg GROUP BY 1 ORDER BY bucket"""
+
+
+KCORE_KS = (2, 3, 4)
+KCORE_ROUNDS = 2
+
+
+def kcore_peel_profile(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    ks: tuple[int, ...] = KCORE_KS,
+    rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """k-core PEELING profile of the customer-part purchase graph: for
+    each threshold k, repeatedly drop nodes of degree < k (``rounds``
+    fixed iterations) and report the surviving node/edge counts per
+    round — the density-skeleton curve that tells a graph pipeline how
+    much of the graph is hub-structure (survives peeling) vs periphery
+    (evaporates in round 1). True k-core iterates to a fixpoint; a FIXED
+    round count keeps the operator engine-reproducible and SQL-unrollable
+    while exposing the convergence rate itself (a (k, round) cell that
+    still shrinks means the core hasn't stabilized). Round 0 is the raw
+    graph, emitted once under k = 0.
+
+    Scale shape (100 TB): the edge list materializes ONCE
+    (localCheckpoint, shared subtree with pagerank/label-prop); each peel
+    round is one map-side-combined degree count plus two LEFT SEMI joins
+    keyed on the node columns — the classic distributed peel step, no
+    node-side state. |ks| * rounds is a constant (6 here), so the whole
+    profile is a bounded chain of semi-joins over a monotonically
+    SHRINKING edge frame; per-round frames reduce to 1-row aggregates
+    before the union."""
+    edges0 = customer_part_edges(orders, lineitem).localCheckpoint(
+        eager=False
+    )
+    base = edges0.agg(
+        F.lit(0).cast("long").alias("k"),
+        F.lit(0).cast("long").alias("round"),
+        F.countDistinct("src").cast("long").alias("n_nodes"),
+        F.expr("count(*) div 2").alias("n_edges"),
+    )
+    out = base
+    for k in ks:
+        e = edges0
+        for rnd in range(1, rounds + 1):
+            deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            keep = deg.filter(F.col("d") >= k).select(
+                F.col("src").alias("node")
+            )
+            e = e.join(
+                keep, e["src"] == keep["node"], "left_semi"
+            )
+            keep2 = deg.filter(F.col("d") >= k).select(
+                F.col("src").alias("node")
+            )
+            e = e.join(
+                keep2, e["dst"] == keep2["node"], "left_semi"
+            )
+            out = out.unionByName(
+                e.agg(
+                    F.lit(k).cast("long").alias("k"),
+                    F.lit(rnd).cast("long").alias("round"),
+                    F.countDistinct("src").cast("long").alias("n_nodes"),
+                    F.expr("count(*) div 2").alias("n_edges"),
+                )
+            )
+    return out.orderBy("k", "round")
+
+
+def kcore_peel_profile_oracle_sql(
+    ks: tuple[int, ...] = KCORE_KS, rounds: int = KCORE_ROUNDS
+) -> str:
+    ctes = [
+        f"""cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey + {PART_BASE} AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT c AS src, p AS dst FROM cp
+  UNION ALL SELECT p AS src, c AS dst FROM cp
+)"""
+    ]
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS round,"
+        " CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,"
+        " CAST(count(*) // 2 AS BIGINT) AS n_edges FROM edges"
+    ]
+    for k in ks:
+        prev = "edges"
+        for rnd in range(1, rounds + 1):
+            ctes.append(
+                f"""keep_k{k}_r{rnd} AS (
+  SELECT src AS node FROM {prev} GROUP BY src HAVING count(*) >= {k}
+), e_k{k}_r{rnd} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN keep_k{k}_r{rnd} a ON e.src = a.node
+  JOIN keep_k{k}_r{rnd} b ON e.dst = b.node
+)"""
+            )
+            selects.append(
+                f"SELECT CAST({k} AS BIGINT), CAST({rnd} AS BIGINT),"
+                f" CAST(count(DISTINCT src) AS BIGINT),"
+                f" CAST(count(*) // 2 AS BIGINT) FROM e_k{k}_r{rnd}"
+            )
+            prev = f"e_k{k}_r{rnd}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\n) ORDER BY k, round"
+    )
+
+
+def itemset_triple_support(lineitem: DataFrame, top: int = 20) -> DataFrame:
+    """Frequent 3-itemsets over per-order part baskets — the apriori
+    level above ``itemset_pair_support``: the ``top`` part triples most
+    often bought together, by exact order-count support. Triples are the
+    first level where co-occurrence stops being explainable by pairwise
+    popularity, which is what recommendation/basket models actually mine.
+
+    Scale shape (100 TB): enumeration exploits the BOUNDED basket width
+    (TPC-H orders hold <= 7 distinct parts; crawl-style baskets get
+    pre-capped upstream): two self-equi-joins of the distinct
+    (order, part) stream on the ORDER key with ascending part ids yield
+    <= C(w,3) = 35 rows per order — per-order fanout is a constant, never
+    corpus-quadratic (the same bounded-fanout argument as
+    copurchase_triangles). Support counting is one map-side-combined agg
+    on (p1, p2, p3); the top-``top`` is a TakeOrdered, no global sort."""
+    op = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b, c = op.alias("a"), op.alias("b"), op.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.p") < F.col("b.p")),
+        )
+        .join(
+            c,
+            (F.col("a.o") == F.col("c.o"))
+            & (F.col("b.p") < F.col("c.p")),
+        )
+        .select(
+            F.col("a.p").alias("p1"),
+            F.col("b.p").alias("p2"),
+            F.col("c.p").alias("p3"),
+        )
+    )
+    return (
+        triples.groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .orderBy(
+            F.desc("support"), F.asc("p1"), F.asc("p2"), F.asc("p3")
+        )
+        .limit(top)
+    )
+
+
+def itemset_triple_support_oracle_sql(top: int = 20) -> str:
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), triples AS (
+  SELECT a.p AS p1, b.p AS p2, c.p AS p3
+  FROM op a
+  JOIN op b ON a.o = b.o AND a.p < b.p
+  JOIN op c ON a.o = c.o AND b.p < c.p
+)
+SELECT p1, p2, p3, CAST(count(*) AS BIGINT) AS support
+FROM triples GROUP BY p1, p2, p3
+ORDER BY support DESC, p1 ASC, p2 ASC, p3 ASC
+LIMIT {top}"""

@@ -1663,3 +1663,92 @@ SELECT source,
        CAST(sum(term_milli) AS BIGINT) AS chi2_milli,
        sum(term_milli) > 43773 AS drift_flag
 FROM terms GROUP BY source ORDER BY source"""
+
+
+PREFIX_LEN = 10
+
+
+def prefix_suffix_dup_families(
+    docs: DataFrame, n: int = PREFIX_LEN
+) -> DataFrame:
+    """Boilerplate-END dedup audit: documents grouped into FAMILIES by
+    their first ``n`` tokens (shared intros: scraped headers, template
+    openings) and independently by their last ``n`` tokens (shared
+    outros: footers, signatures, license tails). Whole-doc hashing misses
+    these — the middles differ — and MinHash dilutes them when the shared
+    span is a small fraction of the doc; anchoring at the document
+    BOUNDARIES is how crawl pipelines catch template re-use directly.
+    One row per (source, kind in 'prefix'|'suffix'): doc count, family
+    count (fingerprints shared by >= 2 docs), docs inside such families,
+    and the largest family.
+
+    Scale shape (100 TB): fingerprinting is a narrow per-row map (token
+    slice + join — no explode of the token stream); ONE shuffle on
+    (source, kind, fingerprint) with map-side combine, then a rollup on
+    the family-sized frame. Docs shorter than ``n`` tokens fingerprint as
+    their whole token list — boundary dedup degrades to exact dedup
+    there, which is the right family for them."""
+    toks = tokens(F.col("text"))
+    nt = F.size(toks)
+    pre = F.array_join(F.slice(toks, 1, n), " ")
+    suf = F.array_join(
+        F.slice(toks, F.greatest(nt - F.lit(n - 1), F.lit(1)), n), " "
+    )
+    fp = (
+        docs.filter(F.length(F.trim(F.lower(F.col("text")))) > 0)
+        .select(
+            "source",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(F.lit("prefix"), F.lit("suffix")),
+                    F.array(pre, suf),
+                )
+            ).alias("kind", "fp"),
+        )
+    )
+    fam = fp.groupBy("source", "kind", "fp").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        fam.groupBy("source", "kind")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_families"),
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("docs_in_families"),
+            F.max("cnt").cast("long").alias("max_family"),
+        )
+        .orderBy("source", "kind")
+    )
+
+
+def prefix_suffix_dup_families_oracle_sql(n: int = PREFIX_LEN) -> str:
+    return f"""
+WITH base AS (
+  SELECT source,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(lower(text))) > 0
+), fp AS (
+  SELECT source, 'prefix' AS kind,
+         array_to_string(w[1:{n}], ' ') AS fp
+  FROM base
+  UNION ALL
+  SELECT source, 'suffix' AS kind,
+         array_to_string(w[greatest(len(w) - {n - 1}, 1):len(w)], ' ') AS fp
+  FROM base
+), fam AS (
+  SELECT source, kind, fp, count(*) AS cnt
+  FROM fp GROUP BY source, kind, fp
+)
+SELECT source, kind,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_families,
+       CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+         AS docs_in_families,
+       CAST(max(cnt) AS BIGINT) AS max_family
+FROM fam GROUP BY source, kind
+ORDER BY source, kind"""

@@ -3065,6 +3065,34 @@ def _register_llm():
             t(spark, sf, "embeddings"), [1, 2, 3, 4, 5]
         )
     )
+    register(
+        "kcore_peel_profile",
+        graph.kcore_peel_profile_oracle_sql(),
+        "llm",
+        ["graph", "kcore", "audit"],
+    )(
+        lambda spark, sf: graph.kcore_peel_profile(
+            t(spark, sf, "orders"), t(spark, sf, "lineitem")
+        )
+    )
+    register(
+        "itemset_triple_support",
+        graph.itemset_triple_support_oracle_sql(),
+        "llm",
+        ["graph", "itemset", "apriori", "topk"],
+    )(
+        lambda spark, sf: graph.itemset_triple_support(
+            t(spark, sf, "lineitem")
+        )
+    )
+    register(
+        "prefix_suffix_dup_families",
+        text.prefix_suffix_dup_families_oracle_sql(),
+        "llm",
+        ["dedup", "text", "boilerplate", "audit"],
+    )(
+        lambda spark, sf: text.prefix_suffix_dup_families(_docs(spark, sf))
+    )
 
 
 _register_llm()
