@@ -139,3 +139,104 @@ FROM tok, tot
 GROUP BY token, total
 HAVING CAST(count(*) AS BIGINT) * {k} > total
 ORDER BY cnt DESC, token"""
+
+
+TRIPLE_MINSUP_PPM = 500_000
+
+
+def token_triple_support(
+    docs: DataFrame, minsup_ppm: int = TRIPLE_MINSUP_PPM, top: int = 20
+) -> DataFrame:
+    """Frequent 3-itemsets over per-document token baskets — the apriori
+    level above pairwise lift (``text.token_lift_pairs``): the ``top``
+    token TRIPLES co-occurring in the most documents, mined with the
+    classic support-pruning step first (only tokens present in >=
+    ``minsup_ppm`` of documents enumerate — the anti-monotonicity
+    guarantee says no frequent triple can contain an infrequent token, so
+    pruning is lossless for any triple whose support clears the same
+    bar). Triples are the first level where co-occurrence stops being
+    explainable by item popularity alone; collocation mining for
+    prompt-template detection runs exactly this shape.
+
+    Scale shape (100 TB): the frequent-item table is VOCABULARY-sized and
+    broadcast into a semi-join (never a shuffle of the token stream by
+    anything but doc_id); triple enumeration is two self-equi-joins of
+    the pruned (doc, token) stream on the DOC key — per-doc fanout is
+    C(frequent-tokens-in-doc, 3), bounded by the pruned vocabulary, not
+    the corpus; support counting is one map-side-combined agg and the
+    top-``top`` is a TakeOrdered. On an open-vocabulary corpus the
+    minsup prune is what keeps the fanout constant-bounded (Zipf: few
+    tokens clear a per-document-frequency bar)."""
+    toks = (
+        docs.filter(F.length(F.trim(F.lower(F.col("text")))) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias(
+                "tok"
+            ),
+        )
+    )
+    n_docs = toks.select("doc_id").distinct().count()
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") * 1_000_000 >= minsup_ppm * n_docs)
+        .select("tok")
+    )
+    op = toks.join(F.broadcast(freq), "tok").select("doc_id", "tok")
+    a, b, c = op.alias("a"), op.alias("b"), op.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .join(
+            c,
+            (F.col("a.doc_id") == F.col("c.doc_id"))
+            & (F.col("b.tok") < F.col("c.tok")),
+        )
+        .select(
+            F.col("a.tok").alias("t1"),
+            F.col("b.tok").alias("t2"),
+            F.col("c.tok").alias("t3"),
+        )
+    )
+    return (
+        triples.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .orderBy(F.desc("support"), F.asc("t1"), F.asc("t2"), F.asc("t3"))
+        .limit(top)
+    )
+
+
+def token_triple_support_oracle_sql(
+    minsup_ppm: int = TRIPLE_MINSUP_PPM, top: int = 20
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(lower(text))) > 0
+), ndocs AS (
+  SELECT count(DISTINCT doc_id) AS n FROM toks
+), freq AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS df FROM toks GROUP BY tok
+  ) i, ndocs WHERE df * 1000000 >= {minsup_ppm} * n
+), op AS (
+  SELECT doc_id, tok FROM toks WHERE tok IN (SELECT tok FROM freq)
+), baskets AS (
+  SELECT doc_id, list(tok ORDER BY tok) AS ts FROM op GROUP BY doc_id
+), triples AS (
+  SELECT ts[t1.i] AS t1, ts[t2.j] AS t2, ts[t3.m] AS t3
+  FROM baskets,
+       LATERAL unnest(generate_series(1, len(ts))) AS t1(i),
+       LATERAL unnest(generate_series(1, len(ts))) AS t2(j),
+       LATERAL unnest(generate_series(1, len(ts))) AS t3(m)
+  WHERE t1.i < t2.j AND t2.j < t3.m
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS support
+FROM triples GROUP BY t1, t2, t3
+ORDER BY support DESC, t1 ASC, t2 ASC, t3 ASC
+LIMIT {top}"""

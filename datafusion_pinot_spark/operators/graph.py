@@ -530,65 +530,3 @@ def kcore_peel_profile_oracle_sql(
         + "\nUNION ALL\n".join(selects)
         + "\n) ORDER BY k, round"
     )
-
-
-def itemset_triple_support(lineitem: DataFrame, top: int = 20) -> DataFrame:
-    """Frequent 3-itemsets over per-order part baskets — the apriori
-    level above ``itemset_pair_support``: the ``top`` part triples most
-    often bought together, by exact order-count support. Triples are the
-    first level where co-occurrence stops being explainable by pairwise
-    popularity, which is what recommendation/basket models actually mine.
-
-    Scale shape (100 TB): enumeration exploits the BOUNDED basket width
-    (TPC-H orders hold <= 7 distinct parts; crawl-style baskets get
-    pre-capped upstream): two self-equi-joins of the distinct
-    (order, part) stream on the ORDER key with ascending part ids yield
-    <= C(w,3) = 35 rows per order — per-order fanout is a constant, never
-    corpus-quadratic (the same bounded-fanout argument as
-    copurchase_triangles). Support counting is one map-side-combined agg
-    on (p1, p2, p3); the top-``top`` is a TakeOrdered, no global sort."""
-    op = lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b, c = op.alias("a"), op.alias("b"), op.alias("c")
-    triples = (
-        a.join(
-            b,
-            (F.col("a.o") == F.col("b.o"))
-            & (F.col("a.p") < F.col("b.p")),
-        )
-        .join(
-            c,
-            (F.col("a.o") == F.col("c.o"))
-            & (F.col("b.p") < F.col("c.p")),
-        )
-        .select(
-            F.col("a.p").alias("p1"),
-            F.col("b.p").alias("p2"),
-            F.col("c.p").alias("p3"),
-        )
-    )
-    return (
-        triples.groupBy("p1", "p2", "p3")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
-        .orderBy(
-            F.desc("support"), F.asc("p1"), F.asc("p2"), F.asc("p3")
-        )
-        .limit(top)
-    )
-
-
-def itemset_triple_support_oracle_sql(top: int = 20) -> str:
-    return f"""
-WITH op AS (
-  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-), triples AS (
-  SELECT a.p AS p1, b.p AS p2, c.p AS p3
-  FROM op a
-  JOIN op b ON a.o = b.o AND a.p < b.p
-  JOIN op c ON a.o = c.o AND b.p < c.p
-)
-SELECT p1, p2, p3, CAST(count(*) AS BIGINT) AS support
-FROM triples GROUP BY p1, p2, p3
-ORDER BY support DESC, p1 ASC, p2 ASC, p3 ASC
-LIMIT {top}"""

@@ -3075,15 +3075,15 @@ def _register_llm():
             t(spark, sf, "orders"), t(spark, sf, "lineitem")
         )
     )
+    from datafusion_pinot_spark.operators import frequent
+
     register(
-        "itemset_triple_support",
-        graph.itemset_triple_support_oracle_sql(),
+        "token_triple_support",
+        frequent.token_triple_support_oracle_sql(),
         "llm",
-        ["graph", "itemset", "apriori", "topk"],
+        ["text", "itemset", "apriori", "topk"],
     )(
-        lambda spark, sf: graph.itemset_triple_support(
-            t(spark, sf, "lineitem")
-        )
+        lambda spark, sf: frequent.token_triple_support(_docs(spark, sf))
     )
     register(
         "prefix_suffix_dup_families",
@@ -3093,6 +3093,75 @@ def _register_llm():
     )(
         lambda spark, sf: text.prefix_suffix_dup_families(_docs(spark, sf))
     )
+
+    def _q_stream_cluster(spark, sf):
+        from datafusion_pinot_spark.streaming.windowed import (
+            stream_cluster_assign_counts,
+        )
+
+        return stream_cluster_assign_counts(
+            spark, f"{sf}/embeddings.parquet"
+        )
+
+    from datafusion_pinot_spark.streaming.windowed import (
+        stream_cluster_assign_counts_oracle_sql,
+    )
+
+    register(
+        "stream_cluster_assign_counts",
+        stream_cluster_assign_counts_oracle_sql(),
+        "streaming",
+        ["streaming", "ann", "clustering", "inference"],
+    )(_q_stream_cluster)
+
+    def _q_pinot_segment_stats(spark, sf):
+        """Segment-stats system table (r12): documents lands as FOUR
+        appended segments (one per pmod(doc_id, 4) band — each append is
+        a one-task write, so band membership is content-derived and
+        engine-independent), then the `segment_stats` read option
+        surfaces one metadata row per segment — row count, column count,
+        and the doc_id zone-map span — without decoding any column data.
+        This is Pinot's GET /segments/{table}/{segment}/metadata
+        observability endpoint as a queryable relation. Segment NAMES are
+        write-run artifacts, so the query projects the content-derived
+        columns and orders by the zone-map min; the oracle re-derives
+        them as per-band aggregates over the source parquet."""
+        import tempfile
+
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = os.path.join(
+            tempfile.mkdtemp(prefix="segstats_"), "docs_OFFLINE"
+        )
+        docs = _docs(spark, sf).select("doc_id", "source", "n_chars")
+        for b in range(4):
+            (
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == b)
+                .coalesce(1)
+                .write.format("pinot")
+                .mode("overwrite" if b == 0 else "append")
+                .save(out)
+            )
+        return (
+            spark.read.format("pinot")
+            .option("segment_stats", "true")
+            .option("stats_column", "doc_id")
+            .load(out)
+            .select("n_rows", "n_columns", "min_doc_id", "max_doc_id")
+            .orderBy("min_doc_id")
+        )
+
+    register(
+        "pinot_segment_stats",
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(3 AS BIGINT) AS n_columns,
+                  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+                  CAST(max(doc_id) AS BIGINT) AS max_doc_id
+           FROM documents GROUP BY doc_id % 4 ORDER BY min_doc_id""",
+        "parity",
+        ["pinot", "storage", "metadata", "observability"],
+    )(_q_pinot_segment_stats)
 
 
 _register_llm()

@@ -323,6 +323,43 @@ class PinotDataSource(DataSource):
                 )
             fields.append(StructField("cnt", LongType(), False))
             return StructType(fields)
+        if self._segment_stats_enabled():
+            # segment-stats system table (r12): one row per SEGMENT with
+            # its metadata-level stats — Pinot's segment-metadata endpoint
+            # (GET /segments/{table}/{segment}/metadata) surfaced as a
+            # queryable relation, the observability view operators use to
+            # reason about layout (segment sizes, zone-map spans) without
+            # decoding any data. Rows come from the table manifest when
+            # fresh (O(1) planning + O(segments) metadata reads, zero
+            # column decodes); stats_column adds that column's zone-map
+            # min/max (single-value INT/LONG only — exact BIGINT output).
+            fields = [
+                StructField("segment", StringType(), False),
+                StructField("n_rows", LongType(), False),
+                StructField("n_columns", LongType(), False),
+            ]
+            scol = self.options.get("stats_column")
+            if scol:
+                cm = md.columns.get(scol)
+                if cm is None:
+                    raise ValueError(
+                        f"stats_column not in segment: {scol}"
+                    )
+                if not cm.is_single_value or cm.data_type.value not in (
+                    "INT",
+                    "LONG",
+                ):
+                    raise ValueError(
+                        "stats_column supports single-value INT/LONG "
+                        f"columns: {scol}"
+                    )
+                fields.append(
+                    StructField(f"min_{scol}", LongType(), True)
+                )
+                fields.append(
+                    StructField(f"max_{scol}", LongType(), True)
+                )
+            return StructType(fields)
         names = md.column_names()
         if "columns" in self.options:
             requested = [c.strip() for c in self.options["columns"].split(",") if c.strip()]
@@ -363,6 +400,13 @@ class PinotDataSource(DataSource):
     def _cdc_enabled(self) -> bool:
         return (self.options.get("cdc") or "").lower() in ("true", "1", "yes")
 
+    def _segment_stats_enabled(self) -> bool:
+        return (self.options.get("segment_stats") or "").lower() in (
+            "true",
+            "1",
+            "yes",
+        )
+
     def reader(self, schema: StructType) -> "PinotDataSourceReader":
         if self._cdc_enabled():
             raise ValueError(
@@ -374,9 +418,15 @@ class PinotDataSource(DataSource):
         raw = self.options.get("segments_per_partition", "1") or "1"
         dict_only = self.options.get("dictionary_only") or None
         value_counts = self.options.get("value_counts") or None
-        if dict_only and value_counts:
+        seg_stats = (
+            (self.options.get("stats_column") or "")
+            if self._segment_stats_enabled()
+            else None
+        )
+        if sum(x is not None for x in (dict_only, value_counts, seg_stats)) > 1:
             raise ValueError(
-                "dictionary_only and value_counts are mutually exclusive"
+                "dictionary_only, value_counts and segment_stats are "
+                "mutually exclusive"
             )
         if raw == "auto":
             spp = 0  # sentinel: manifest-driven packing at partitions() time
@@ -397,6 +447,7 @@ class PinotDataSource(DataSource):
             self._head_option("tail"),
             dict_only,
             value_counts,
+            seg_stats,
         )
 
     def _head_option(self, which: str = "head"):
@@ -585,6 +636,7 @@ class PinotDataSourceReader(DataSourceReader):
         tail: "tuple[str, int] | None" = None,
         dict_only: "str | None" = None,
         value_counts: "str | None" = None,
+        segment_stats: "str | None" = None,
     ) -> None:
         self._schema = schema
         self._columns = tuple(f.name for f in schema.fields)
@@ -598,17 +650,23 @@ class PinotDataSourceReader(DataSourceReader):
         self._tail = tail
         self._dict_only = dict_only
         self._value_counts = value_counts
+        # "" = stats without a column's min/max; "<col>" = with; None = off
+        self._segment_stats = segment_stats
         self._pushed: list[Filter] = []
 
     # -- filter pushdown (rebuild improvement over table.rs:163) ------------
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        if self._dict_only or self._value_counts:
-            # dictionary/value-count scan: predicates apply to dictionary
-            # ENTRIES (or per-value count rows), not docs — zone maps /
-            # sorted ranges / doc bitmaps are all doc-space machinery, so
-            # nothing pushes; Spark filters the (tiny) entry stream above
-            # the scan
+        if (
+            self._dict_only
+            or self._value_counts
+            or self._segment_stats is not None
+        ):
+            # dictionary/value-count/segment-stats scan: predicates apply
+            # to dictionary ENTRIES (or per-value count / per-segment
+            # stats rows), not docs — zone maps / sorted ranges / doc
+            # bitmaps are all doc-space machinery, so nothing pushes;
+            # Spark filters the (tiny) entry stream above the scan
             self._pushed = []
             yield from filters
             return
@@ -732,6 +790,17 @@ class PinotDataSourceReader(DataSourceReader):
         # difference between O(1) and O(segments) driver-side planning at
         # 10^5-segment scale; segments the manifest doesn't cover fall back
         # to the per-segment open.
+        if self._segment_stats is not None:
+            # segment-stats system table: metadata-only, one row per
+            # segment — a single task covers the whole table (the work is
+            # one manifest read + at worst one metadata parse per
+            # uncovered segment; no column decode anywhere)
+            return [
+                PinotInputPartition(
+                    tuple(self._segments), self._columns, (),
+                    self._ctypes, None, None, None, None, None,
+                )
+            ]
         stats = None
         if (
             self._pushed
@@ -847,6 +916,42 @@ class PinotDataSourceReader(DataSourceReader):
         from pinot_segment import SegmentReader
 
         if partition is None:
+            return
+        if self._segment_stats is not None:
+            from pinot_segment.manifest import (
+                collect_segment_stats,
+                stats_for_segments,
+            )
+
+            scol = self._segment_stats or None
+            manifest = stats_for_segments(list(partition.segment_dirs))
+            names, n_rows, n_cols, mins, maxs = [], [], [], [], []
+            for v3 in partition.segment_dirs:
+                st = manifest.get(v3)
+                if st is None:
+                    # no fresh manifest: open THIS segment's metadata
+                    # (the per-segment fallback, never a data decode)
+                    st = collect_segment_stats(v3)
+                seg_dir = os.path.dirname(v3)
+                names.append(os.path.basename(seg_dir))
+                n_rows.append(int(st["total_docs"]))
+                n_cols.append(len(st["columns"]))
+                if scol:
+                    entry = st["columns"].get(scol) or {}
+                    mn, mx = entry.get("min"), entry.get("max")
+                    mins.append(None if mn is None else int(mn))
+                    maxs.append(None if mx is None else int(mx))
+            arrays = [
+                pa.array(names, pa.string()),
+                pa.array(n_rows, pa.int64()),
+                pa.array(n_cols, pa.int64()),
+            ]
+            if scol:
+                arrays.append(pa.array(mins, pa.int64()))
+                arrays.append(pa.array(maxs, pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=list(self._columns)
+            )
             return
         if self._dict_only:
             col = self._dict_only

@@ -703,3 +703,123 @@ def stream_srm_monitor(
         )
         .orderBy("event_type")
     )
+
+
+def stream_cluster_assign_counts(
+    spark: SparkSession, embeddings_parquet: str, k: int = 4
+) -> DataFrame:
+    """STREAMING cluster-inference monitor — the streaming twin of the
+    batch ``similarity.kmeans_cluster_report``'s assignment step: each
+    arriving embedding is assigned to its nearest of ``k`` FIXED
+    centroids (the model; here the deterministic init vectors, vec_id
+    < k) and a running per-cluster count + exact squared-L2 inertia is
+    maintained — the "is my traffic drifting between clusters?" gauge a
+    production embedding pipeline runs beside the encoder. The drained
+    bounded run hash-equals the batch assignment SQL, so the streaming
+    plan is oracle-gated like the batch one.
+
+    Scale shape: the centroid table is collected ONCE batch-side (k*dim
+    milli ints — bytes, the model-broadcast pattern) and folded into the
+    row expression, so assignment is completely STATELESS and narrow:
+    k integer fold-dot-products per row inside whole-stage codegen, no
+    stream-static join, no per-key state. The only stateful operator is
+    the k-row running aggregation. Quantization uses the repo's milli-int
+    contract (floor(x*1000+0.5)), distances and ties (lowest cluster id)
+    are pure integer ops — bit-identical across engines and batch/stream.
+    """
+    import math
+
+    cent_rows = (
+        spark.read.parquet(embeddings_parquet)
+        .filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = sorted(
+        (
+            r["vec_id"],
+            [int(math.floor(float(x) * 1000.0 + 0.5)) for x in r["embedding"]],
+        )
+        for r in cent_rows
+    )
+    stream = _file_stream(spark, embeddings_parquet)
+    xm = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(1000.0) + F.lit(0.5)
+        ).cast("long"),
+    )
+    with_xm = stream.select(F.col("vec_id"), xm.alias("xm"))
+    d_cols = []
+    for c_id, cm in cents:
+        arr = F.array(*[F.lit(v).cast("long") for v in cm])
+        d = F.aggregate(
+            F.zip_with(F.col("xm"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
+        )
+        d_cols.append((c_id, d))
+    dmin = F.least(*[d for _, d in d_cols])
+    assign = F.lit(None).cast("long")
+    for c_id, d in reversed(d_cols):
+        assign = F.when(d == dmin, F.lit(c_id).cast("long")).otherwise(
+            assign
+        )
+    scored = with_xm.select(
+        assign.alias("cluster_id"), dmin.alias("d2")
+    )
+    agg = scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("d2").alias("inertia_milli2"),
+    )
+    name = f"sclu_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(
+            "cluster_id",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("inertia_milli2").cast("long").alias("inertia_milli2"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def stream_cluster_assign_counts_oracle_sql(k: int = 4) -> str:
+    """Batch oracle: the same fixed-centroid assignment (iteration 0 of
+    the k-means oracle), as one join + argmin + rollup."""
+    return f"""
+WITH comp AS (
+  SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS dim,
+         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS xm
+  FROM embeddings,
+       LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+), cents0 AS (
+  SELECT vec_id AS c_id, dim AS c_dim, xm AS cm FROM comp
+  WHERE vec_id < {k}
+), d2 AS (
+  SELECT comp.vec_id, c.c_id,
+         CAST(sum((comp.xm - c.cm) * (comp.xm - c.cm)) AS BIGINT) AS d2
+  FROM comp JOIN cents0 c ON comp.dim = c.c_dim
+  GROUP BY comp.vec_id, c.c_id
+), assign AS (
+  SELECT vec_id, c_id, d2 FROM (
+    SELECT vec_id, c_id, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, c_id ASC) AS rnk
+    FROM d2) WHERE rnk = 1
+)
+SELECT CAST(c_id AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(d2) AS BIGINT) AS inertia_milli2
+FROM assign GROUP BY c_id ORDER BY cluster_id"""
