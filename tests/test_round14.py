@@ -1,0 +1,557 @@
+"""Round-12-registered operators (the r17 first-check queue): hand-value
+and invariant tests for exact-integer k-means, embedding dim-pair
+covariance, the ANN MRR audit, k-core peeling, token triples,
+prefix/suffix dup families, the streaming cluster monitor, and the
+segment-stats system table. Every operator also runs under the full
+DuckDB hash gate via tests/test_queries_oracle.py; these tests pin the
+SEMANTICS with tiny frames a human can check by hand, plus the
+structural invariants the oracle comparison alone cannot express."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark, vecs, labels=None):
+    labels = labels or ["l"] * len(vecs)
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v], label=lab)
+        for i, (v, lab) in enumerate(zip(vecs, labels))
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestKmeansClusterReport:
+    def test_two_tight_clusters_hand_values(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            kmeans_cluster_report,
+        )
+
+        # init centroids are vec 0 (=0.0) and vec 1 (=1.0); points sit in
+        # two tight groups around them, so assignment is stable from
+        # iteration 0 and the report is hand-computable in milli units
+        vecs = [
+            [0.0, 0.0],
+            [1.0, 1.0],
+            [0.1, 0.0],
+            [0.9, 1.0],
+            [0.0, 0.1],
+        ]
+        out = kmeans_cluster_report(
+            _emb(spark, vecs, ["a", "b", "a", "b", "a"]), k=2, iters=2
+        ).collect()
+        assert [r.cluster_id for r in out] == [0, 1]
+        by = {r.cluster_id: r for r in out}
+        assert by[0].n_vectors == 3 and by[1].n_vectors == 2
+        assert by[0].top_label == "a" and by[1].top_label == "b"
+        # cluster 0 members (milli): (0,0), (100,0), (0,100); after iter-1
+        # centroid = (sum div n) = (33, 33); iter-2 distances:
+        # (33²+33²) + (67²+33²) + (33²+67²) = 2178 + 5578 + 5578 = 13334
+        assert by[0].inertia_milli2 == 2178 + 5578 + 5578
+        # cluster 1 members: (1000,1000), (900,1000); centroid (950,1000);
+        # d2 = 50² + 50² = 5000
+        assert by[1].inertia_milli2 == 5000
+
+    def test_assignments_tie_break_to_lower_centroid(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            kmeans_cluster_report,
+        )
+
+        # a point exactly between two centroids must join the LOWER id
+        vecs = [[0.0], [1.0], [0.5]]
+        out = kmeans_cluster_report(_emb(spark, vecs), k=2, iters=1).collect()
+        by = {r.cluster_id: r for r in out}
+        # midpoint (500) is equidistant (250000) from 0 and 1000 -> c0
+        assert by[0].n_vectors == 2
+
+    def test_inertia_nonincreasing_over_iterations(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            kmeans_cluster_report,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        tot = {
+            it: sum(
+                r.inertia_milli2
+                for r in kmeans_cluster_report(emb, k=4, iters=it).collect()
+            )
+            for it in (1, 2, 3)
+        }
+        # Lloyd's: each assignment+update round can only reduce total
+        # inertia (up to integer-truncation jitter on the means, which is
+        # bounded by one milli per dim — far below these magnitudes)
+        assert tot[2] <= tot[1]
+        assert tot[3] <= tot[2]
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from datafusion_pinot_spark.operators.similarity import (
+            kmeans_cluster_report,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        rows = sorted(
+            emb.select("vec_id", "embedding").collect(),
+            key=lambda r: r.vec_id,
+        )
+        x = np.array(
+            [
+                [math.floor(float(v) * 1000.0 + 0.5) for v in r.embedding]
+                for r in rows
+            ],
+            dtype=np.int64,
+        )
+
+        def trunc_div_mean(m):
+            # truncated integer division toward zero (Spark's `div`)
+            s = m.sum(axis=0)
+            return np.sign(s) * (np.abs(s) // len(m))
+
+        cents = x[:4].copy()
+        assign = d = None
+        for _ in range(2):
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)  # lowest index wins ties, like c_id ASC
+            cents = np.array(
+                [
+                    trunc_div_mean(x[assign == c])
+                    if (assign == c).any()
+                    else cents[c]
+                    for c in range(4)
+                ],
+                dtype=np.int64,
+            )
+        counts = {
+            c: int((assign == c).sum()) for c in range(4) if (assign == c).any()
+        }
+        # the report's inertia is the distance AT assignment time (before
+        # the final centroid update)
+        inertia = {c: int(d[assign == c, c].sum()) for c in counts}
+        out = kmeans_cluster_report(emb, k=4, iters=2).collect()
+        assert {r.cluster_id: r.n_vectors for r in out} == counts
+        assert {r.cluster_id: r.inertia_milli2 for r in out} == inertia
+
+
+class TestEmbeddingDimCorrelation:
+    def test_perfectly_correlated_pair_tops(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            embedding_dim_correlation,
+        )
+
+        # dim0 == dim1 exactly, dim2 is constant: (0,1) must rank first
+        # and any pair with the constant dim has zero covariance
+        vecs = [[0.1, 0.1, 0.5], [0.2, 0.2, 0.5], [0.3, 0.3, 0.5]]
+        out = embedding_dim_correlation(_emb(spark, vecs), top=3).collect()
+        assert (out[0].d1, out[0].d2) == (0, 1)
+        # milli values 100/200/300: n=3, sxy=140000, sx=sy=600
+        # cov = (3*140000 - 360000) div 9 = 60000 div 9 = 6666
+        assert out[0].cov_milli2 == 6666
+        zero = [r for r in out if 2 in (r.d1, r.d2)]
+        assert all(r.cov_milli2 == 0 for r in zero)
+
+    def test_anticorrelated_is_negative(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            embedding_dim_correlation,
+        )
+
+        vecs = [[0.1, -0.1], [0.3, -0.3]]
+        out = embedding_dim_correlation(_emb(spark, vecs), top=1).collect()
+        assert out[0].cov_milli2 < 0
+
+
+class TestAnnMrrAudit:
+    def test_identical_vector_is_rank_one(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            ann_mrr_audit,
+        )
+
+        # vec 3 duplicates probe 0's direction exactly: under BOTH exact
+        # cosine and SQ8 it is the top neighbor -> reciprocal rank 1.0.
+        # (vec 2 must NOT be diagonal: SQ8 normalizes per-vector maxabs,
+        # so a diagonal [x, x] quantizes to [127, 127] and its integer
+        # dot with the probe's [127, 0] TIES the true neighbor's.)
+        vecs = [
+            [1.0, 0.0],
+            [0.0, 1.0],
+            [0.6, 0.8],
+            [0.5, 0.0],
+        ]
+        out = ann_mrr_audit(_emb(spark, vecs), [0], k=3).collect()
+        per = [r for r in out if r.q_id == 0]
+        assert per[0].true_id == 3
+        assert per[0].rank_in_sq8 == 1
+        assert per[0].rr_ppm == 1_000_000
+        summary = [r for r in out if r.q_id == -1][0]
+        assert summary.rr_ppm == 1_000_000
+
+    def test_summary_is_mean_of_probe_rrs(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            ann_mrr_audit,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = ann_mrr_audit(emb, [1, 2, 3, 4, 5], k=10).collect()
+        per = [r for r in out if r.q_id >= 0]
+        summary = [r for r in out if r.q_id == -1][0]
+        assert summary.rank_in_sq8 == len(per) == 5
+        assert summary.rr_ppm == sum(r.rr_ppm for r in per) // len(per)
+        # ranks land in [0, k]
+        assert all(0 <= r.rank_in_sq8 <= 10 for r in per)
+
+
+class TestKcorePeelProfile:
+    def test_star_graph_evaporates_at_k2(self, spark):
+        from datafusion_pinot_spark.operators.graph import (
+            kcore_peel_profile,
+        )
+
+        # one customer buys 3 parts, each part bought only by them:
+        # every part has degree 1 -> k=2 round 1 keeps nothing (the
+        # customer's edges all lose their part endpoint)
+        orders = spark.createDataFrame([Row(o_orderkey=1, o_custkey=1)])
+        lineitem = spark.createDataFrame(
+            [Row(l_orderkey=1, l_partkey=p) for p in (1, 2, 3)]
+        )
+        out = {
+            (r.k, r["round"]): (r.n_nodes, r.n_edges)
+            for r in kcore_peel_profile(orders, lineitem).collect()
+        }
+        assert out[(0, 0)] == (4, 3)  # 1 customer + 3 parts, 3 edges
+        assert out[(2, 1)] == (0, 0)
+        assert out[(2, 2)] == (0, 0)
+
+    def test_complete_bipartite_survives(self, spark):
+        from datafusion_pinot_spark.operators.graph import (
+            kcore_peel_profile,
+        )
+
+        # 3 customers x 3 parts, all pairs: every node has degree 3 ->
+        # the whole graph IS a 3-core; k=2 and k=3 keep everything, k=4
+        # clears it in one round
+        orders = spark.createDataFrame(
+            [Row(o_orderkey=10 * c, o_custkey=c) for c in (1, 2, 3)]
+        )
+        lineitem = spark.createDataFrame(
+            [
+                Row(l_orderkey=10 * c, l_partkey=p)
+                for c in (1, 2, 3)
+                for p in (1, 2, 3)
+            ]
+        )
+        out = {
+            (r.k, r["round"]): (r.n_nodes, r.n_edges)
+            for r in kcore_peel_profile(orders, lineitem).collect()
+        }
+        assert out[(0, 0)] == (6, 9)
+        assert out[(2, 2)] == (6, 9)
+        assert out[(3, 2)] == (6, 9)
+        assert out[(4, 1)] == (0, 0)
+
+    def test_monotone_in_k_and_round(self, spark):
+        from datafusion_pinot_spark.operators.graph import (
+            kcore_peel_profile,
+        )
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        rows = kcore_peel_profile(orders, lineitem).collect()
+        cell = {(r.k, r["round"]): (r.n_nodes, r.n_edges) for r in rows}
+        for k in (2, 3, 4):
+            # peeling only shrinks
+            assert cell[(k, 2)] <= cell[(k, 1)] <= cell[(0, 0)]
+        for rnd in (1, 2):
+            # higher k peels at least as hard
+            assert cell[(4, rnd)] <= cell[(3, rnd)] <= cell[(2, rnd)]
+
+
+class TestTokenTripleSupport:
+    def test_hand_counted_triples(self, spark):
+        from datafusion_pinot_spark.operators.frequent import (
+            token_triple_support,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a b c"),
+                Row(doc_id=2, text="a b c d"),
+                Row(doc_id=3, text="a b d"),
+                Row(doc_id=4, text="x y"),
+            ]
+        )
+        # minsup 50% of 4 docs = 2 docs: frequent = {a:3, b:3, c:2, d:2}
+        out = token_triple_support(docs, minsup_ppm=500_000, top=10).collect()
+        sup = {(r.t1, r.t2, r.t3): r.support for r in out}
+        assert sup == {
+            ("a", "b", "c"): 2,
+            ("a", "b", "d"): 2,
+            ("a", "c", "d"): 1,
+            ("b", "c", "d"): 1,
+        }
+
+    def test_matches_brute_force_python(self, spark):
+        from itertools import combinations
+
+        from datafusion_pinot_spark.operators.frequent import (
+            token_triple_support,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = token_triple_support(docs).collect()
+        rows = docs.select("doc_id", "text").collect()
+        baskets = {
+            r.doc_id: sorted(set(r.text.strip().lower().split()))
+            for r in rows
+            if r.text.strip()
+        }
+        n = len(baskets)
+        from collections import Counter
+
+        df = Counter(t for b in baskets.values() for t in b)
+        freq = {t for t, c in df.items() if c * 1_000_000 >= 500_000 * n}
+        sup = Counter(
+            tri
+            for b in baskets.values()
+            for tri in combinations([t for t in b if t in freq], 3)
+        )
+        expect = sorted(
+            ((c, t) for t, c in sup.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:20]
+        got = [((r.support), (r.t1, r.t2, r.t3)) for r in out]
+        assert got == [(c, t) for c, t in expect]
+
+
+class TestPrefixSuffixDupFamilies:
+    def test_shared_intro_detected(self, spark):
+        from datafusion_pinot_spark.operators.text import (
+            prefix_suffix_dup_families,
+        )
+
+        intro = "one two three four five six seven eight nine ten"
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, source="s", text=f"{intro} alpha beta"),
+                Row(doc_id=2, source="s", text=f"{intro} gamma delta"),
+                Row(doc_id=3, source="s", text="totally different words here"),
+            ]
+        )
+        out = {
+            r.kind: r
+            for r in prefix_suffix_dup_families(docs).collect()
+        }
+        assert out["prefix"].n_docs == 3
+        assert out["prefix"].n_families == 1
+        assert out["prefix"].docs_in_families == 2
+        assert out["prefix"].max_family == 2
+        # suffixes all differ
+        assert out["suffix"].n_families == 0
+        assert out["suffix"].max_family == 1
+
+    def test_short_docs_fall_back_to_exact_dup(self, spark):
+        from datafusion_pinot_spark.operators.text import (
+            prefix_suffix_dup_families,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, source="s", text="tiny doc"),
+                Row(doc_id=2, source="s", text="tiny doc"),
+                Row(doc_id=3, source="s", text=""),
+            ]
+        )
+        out = {
+            r.kind: r for r in prefix_suffix_dup_families(docs).collect()
+        }
+        # the empty doc is excluded; the two short identical docs form one
+        # family under BOTH boundary fingerprints
+        for kind in ("prefix", "suffix"):
+            assert out[kind].n_docs == 2
+            assert out[kind].n_families == 1
+            assert out[kind].docs_in_families == 2
+
+
+class TestStreamClusterAssignCounts:
+    def test_equals_batch_iteration_zero(self, spark, tmp_path):
+        from datafusion_pinot_spark.streaming.windowed import (
+            stream_cluster_assign_counts,
+        )
+
+        src = f"{SF}/embeddings.parquet"
+        out = stream_cluster_assign_counts(spark, src).collect()
+        # batch twin: milli-quantize, assign to init centroids, rollup
+        emb = spark.read.parquet(src)
+        comp = emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "x")
+        ).select(
+            "vec_id",
+            "dim",
+            F.expr(
+                "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+            ).alias("xm"),
+        )
+        cents = comp.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("dim").alias("c_dim"),
+            F.col("xm").alias("cm"),
+        )
+        d2 = (
+            comp.join(cents, F.col("dim") == F.col("c_dim"))
+            .groupBy("vec_id", "c_id")
+            .agg(
+                F.sum(
+                    (F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))
+                ).alias("d2")
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_id"))
+        batch = (
+            d2.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .groupBy("c_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("d2").alias("i"),
+            )
+            .orderBy("c_id")
+            .collect()
+        )
+        assert [(r.cluster_id, r.n_vectors, r.inertia_milli2) for r in out] == [
+            (r.c_id, r.n, r.i) for r in batch
+        ]
+
+
+class TestSegmentStatsTable:
+    def _write(self, spark, tmp_path, with_manifest=True):
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = str(tmp_path / "t_OFFLINE")
+        df = spark.createDataFrame(
+            [Row(k=i, s=f"v{i % 3}") for i in range(20)]
+        )
+        df.filter(F.col("k") < 10).coalesce(1).write.format("pinot").mode(
+            "overwrite"
+        ).save(out)
+        df.filter(F.col("k") >= 10).coalesce(1).write.format("pinot").mode(
+            "append"
+        ).save(out)
+        return out
+
+    def test_rows_and_spans(self, spark, tmp_path):
+        out = self._write(spark, tmp_path)
+        stats = (
+            spark.read.format("pinot")
+            .option("segment_stats", "true")
+            .option("stats_column", "k")
+            .load(out)
+            .orderBy("min_k")
+            .collect()
+        )
+        assert len(stats) == 2
+        assert [(r.n_rows, r.n_columns, r.min_k, r.max_k) for r in stats] == [
+            (10, 2, 0, 9),
+            (10, 2, 10, 19),
+        ]
+        assert all(r.segment for r in stats)
+
+    def test_fallback_without_manifest(self, spark, tmp_path):
+        import os
+
+        out = self._write(spark, tmp_path)
+        os.unlink(os.path.join(out, "segment_stats.json"))
+        stats = (
+            spark.read.format("pinot")
+            .option("segment_stats", "true")
+            .option("stats_column", "k")
+            .load(out)
+            .orderBy("min_k")
+            .collect()
+        )
+        assert [(r.n_rows, r.min_k, r.max_k) for r in stats] == [
+            (10, 0, 9),
+            (10, 10, 19),
+        ]
+
+    def test_option_validation(self, spark, tmp_path):
+        out = self._write(spark, tmp_path)
+        with pytest.raises(Exception, match="stats_column"):
+            (
+                spark.read.format("pinot")
+                .option("segment_stats", "true")
+                .option("stats_column", "s")  # STRING: not INT/LONG
+                .load(out)
+                .collect()
+            )
+        with pytest.raises(Exception, match="mutually exclusive"):
+            (
+                spark.read.format("pinot")
+                .option("segment_stats", "true")
+                .option("dictionary_only", "s")
+                .load(out)
+                .collect()
+            )
+
+    def test_single_planning_partition(self, spark, tmp_path):
+        out = self._write(spark, tmp_path)
+        df = (
+            spark.read.format("pinot")
+            .option("segment_stats", "true")
+            .load(out)
+        )
+        assert df.rdd.getNumPartitions() == 1
+
+
+class TestEmptyInputs:
+    """Degenerate-input sweep: every round-12 operator on an EMPTY input
+    returns an empty (or zero-row-correct) result without raising."""
+
+    DOCS = "doc_id long, text string, lang string, source string, n_chars long"
+    EMB = "vec_id long, embedding array<double>, label string"
+    ORDERS = "o_orderkey long, o_custkey long"
+    LINEITEM = "l_orderkey long, l_partkey long"
+
+    def test_embedding_operators_on_empty(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            ann_mrr_audit,
+            embedding_dim_correlation,
+            kmeans_cluster_report,
+        )
+
+        empty = spark.createDataFrame([], self.EMB)
+        assert kmeans_cluster_report(empty).count() == 0
+        assert embedding_dim_correlation(empty).count() == 0
+        out = ann_mrr_audit(empty, [1, 2, 3]).collect()
+        # the summary row still emits (0 probes, rr 0) — same as the SQL
+        assert [(r.q_id, r.rank_in_sq8, r.rr_ppm) for r in out] == [
+            (-1, 0, 0)
+        ]
+
+    def test_graph_operators_on_empty(self, spark):
+        from datafusion_pinot_spark.operators.graph import kcore_peel_profile
+
+        orders = spark.createDataFrame([], self.ORDERS)
+        lineitem = spark.createDataFrame([], self.LINEITEM)
+        rows = kcore_peel_profile(orders, lineitem).collect()
+        # all 7 (k, round) cells emit, each empty
+        assert len(rows) == 7
+        assert all((r.n_nodes, r.n_edges) == (0, 0) for r in rows)
+
+    def test_text_operators_on_empty(self, spark):
+        from datafusion_pinot_spark.operators.frequent import (
+            token_triple_support,
+        )
+        from datafusion_pinot_spark.operators.text import (
+            prefix_suffix_dup_families,
+        )
+
+        empty = spark.createDataFrame([], self.DOCS)
+        assert token_triple_support(empty).count() == 0
+        assert prefix_suffix_dup_families(empty).count() == 0
