@@ -599,3 +599,53 @@ def test_embedding_dim_stats_no_joins_no_window(q):
                "BroadcastNestedLoopJoin", "CartesianProduct", "Window"):
         assert op not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_kmeans_broadcasts_centroids_every_iteration(q):
+    """r12: each Lloyd iteration joins the component stream against a
+    k x dim centroid frame — EVERY such join must broadcast (two distance
+    joins + two update joins + the label/report joins), and nothing may
+    fall back to a cartesian."""
+    plan = _plan(q("kmeans_cluster_report"))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dim_correlation_single_self_join_topk(q):
+    """r12: one self-equi-join on vec_id (dims² fanout, SortMergeJoin is
+    the right call — both sides are the same corpus-scale frame), one
+    map-side-combined agg, and a TakeOrdered top-k instead of a global
+    sort."""
+    plan = _plan(q("embedding_dim_correlation"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_token_triples_broadcast_prune_and_takeordered(q):
+    """r12: the frequent-item prune joins the token stream against a
+    vocabulary-sized frame — broadcast, never a shuffle of the stream by
+    token — and the final top-k is a TakeOrdered."""
+    plan = _plan(q("token_triple_support"))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_suffix_families_no_joins(q):
+    """r12: boundary fingerprinting is two map-side-combined rollups —
+    any join operator in this plan is a regression."""
+    plan = _plan(q("prefix_suffix_dup_families"))
+    for op in ("SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_kcore_semi_joins_never_cartesian(q):
+    """r12: every peel round is degree-count + two LEFT SEMI joins on
+    node columns; the whole profile must stay equi-join-shaped."""
+    plan = _plan(q("kcore_peel_profile"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
