@@ -3152,6 +3152,38 @@ def _register_llm():
             .orderBy("min_doc_id")
         )
 
+    # -- r18 first-check candidates (registered in r12, queue behind the
+    # r17 batch) --
+    from datafusion_pinot_spark.operators import sketches as _sk
+
+    register(
+        "hll_from_scratch_estimate",
+        _sk.hll_from_scratch_estimate_oracle_sql(),
+        "llm",
+        ["sketch", "hll", "approx", "audit"],
+    )(
+        lambda spark, sf: _sk.hll_from_scratch_estimate(
+            t(spark, sf, "events")
+        )
+    )
+
+    def _q_stream_hll(spark, sf):
+        from datafusion_pinot_spark.streaming.windowed import (
+            stream_hll_registers,
+        )
+
+        return stream_hll_registers(spark, f"{sf}/events.parquet")
+
+    from datafusion_pinot_spark.streaming.windowed import (
+        stream_hll_registers_oracle_sql,
+    )
+
+    register(
+        "stream_hll_registers",
+        stream_hll_registers_oracle_sql(),
+        "streaming",
+        ["streaming", "sketch", "hll", "stateful"],
+    )(_q_stream_hll)
     register(
         "pinot_segment_stats",
         """SELECT CAST(count(*) AS BIGINT) AS n_rows,

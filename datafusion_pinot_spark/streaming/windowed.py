@@ -823,3 +823,60 @@ SELECT CAST(c_id AS BIGINT) AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(sum(d2) AS BIGINT) AS inertia_milli2
 FROM assign GROUP BY c_id ORDER BY cluster_id"""
+
+
+def stream_hll_registers(spark: SparkSession, events_parquet: str) -> DataFrame:
+    """STREAMING HyperLogLog register maintenance — the streaming twin of
+    ``sketches.hll_from_scratch_estimate``'s register build: each arriving
+    event hashes to (bucket, rho) statelessly and a running per-bucket MAX
+    is the ONLY stateful operator. This is the canonical bounded-state
+    streaming sketch: the state store holds exactly m = 64 rows forever,
+    no watermark needed, no per-key growth — the state story the exact
+    streaming-dedup operators cannot offer. The drained bounded run
+    hash-equals the batch register table, so the streaming sketch build
+    is oracle-gated end to end (the estimate itself stays a batch-side
+    read of these registers)."""
+    from datafusion_pinot_spark.operators.sketches import _hll_registers
+
+    stream = _file_stream(spark, events_parquet)
+    keyed = stream.select(F.col("user_id").cast("string").alias("k"))
+    agg = _hll_registers(keyed)
+    name = f"shll_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select("bucket", F.col("register").cast("long").alias("register"))
+        .orderBy("bucket")
+    )
+
+
+def stream_hll_registers_oracle_sql() -> str:
+    from datafusion_pinot_spark.operators.sketches import (
+        HLL_BUCKETS,
+        HLL_REST_BITS,
+    )
+
+    return f"""
+WITH keyed AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+), hashed AS (
+  SELECT CAST(('0x' || substr(md5(k), 1, 12)) AS BIGINT) AS v FROM keyed
+), slotted AS (
+  SELECT CAST(v % {HLL_BUCKETS} AS INTEGER) AS bucket,
+         v // {HLL_BUCKETS} AS rest
+  FROM hashed
+)
+SELECT bucket,
+       CAST(max(CASE WHEN rest = 0 THEN {HLL_REST_BITS + 1}
+                ELSE {HLL_REST_BITS + 1} - length(bin(rest)) END)
+            AS BIGINT) AS register
+FROM slotted GROUP BY bucket ORDER BY bucket"""
