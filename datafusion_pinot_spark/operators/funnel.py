@@ -989,3 +989,180 @@ SELECT event_type, next_type, n_trans,
        CAST(n_trans * 1000000 //
             sum(n_trans) OVER (PARTITION BY event_type) AS BIGINT) AS row_ppm
 FROM edges ORDER BY event_type, next_type"""
+
+
+def seq_pair_support(events: DataFrame) -> DataFrame:
+    """Sequential 2-patterns (the GSP/PrefixSpan level-1 step, one level
+    past the ADJACENT-pair ``event_transition_matrix``): for every ordered
+    event-type pair (a, b), how many users did a STRICTLY before b —
+    first-occurrence ordering, any gap, any events in between. Transition
+    matrices see only consecutive steps; sequence mining asks "does
+    signup EVENTUALLY precede purchase", which is the funnel question at
+    its most general. Users whose first a and first b carry the SAME
+    timestamp count for neither direction (strict <, engine-identical).
+    Emits support (user count) and support_ppm over the users having
+    both types, per ordered pair.
+
+    Scale shape (100 TB): one map-side-combined groupBy collapses the
+    corpus to (user, type, first_ts) — |users| x |types| rows max; the
+    pair join is a self-equi-join ON USER with |types|² bounded fanout;
+    the rollup output is |types|² rows. The corpus is never self-joined
+    at event grain."""
+    firsts = events.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("t0")
+    )
+    a, b = firsts.alias("a"), firsts.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("a"),
+            F.col("b.event_type").alias("b"),
+            (F.col("a.t0") < F.col("b.t0")).cast("long").alias("before"),
+        )
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(
+            F.sum("before").cast("long").alias("support"),
+            F.count(F.lit(1)).cast("long").alias("n_both"),
+        )
+        .select(
+            "a",
+            "b",
+            "support",
+            "n_both",
+            F.expr(
+                "CAST(CASE WHEN n_both > 0 THEN support * 1000000 div n_both"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("support_ppm"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def seq_pair_support_oracle_sql() -> str:
+    return """
+WITH firsts AS (
+  SELECT user_id, event_type, min(epoch_us(ts)) AS t0
+  FROM events GROUP BY user_id, event_type
+), pairs AS (
+  SELECT a.event_type AS a, b.event_type AS b,
+         CAST(a.t0 < b.t0 AS BIGINT) AS before
+  FROM firsts a JOIN firsts b
+    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+)
+SELECT a, b,
+       CAST(sum(before) AS BIGINT) AS support,
+       CAST(count(*) AS BIGINT) AS n_both,
+       CAST(CASE WHEN count(*) > 0
+            THEN sum(before) * 1000000 // count(*) ELSE 0 END AS BIGINT)
+         AS support_ppm
+FROM pairs GROUP BY a, b ORDER BY a, b"""
+
+
+SESSION_THRESHOLDS_MIN = (5, 15, 30, 60)
+
+
+def session_threshold_sensitivity(
+    events: DataFrame, thresholds_min: tuple[int, ...] = SESSION_THRESHOLDS_MIN
+) -> DataFrame:
+    """Session-definition tuning curve: session/bounce counts under each
+    inactivity-gap threshold — the sensitivity table read BEFORE fixing
+    the 30-minute constant every sessionized metric then inherits. A
+    metric that swings hard between 15 and 30 minutes is a gap-definition
+    artifact, not a product change.
+
+    Sessions are counted WITHOUT materializing session ids: an event
+    STARTS a session iff its backward gap exceeds the threshold (or it is
+    the user's first), and a start is a BOUNCE session iff the forward
+    gap also exceeds it (or it is the last) — so one lag/lead pass serves
+    every threshold and the per-threshold work is pure conditional
+    aggregation. All gaps are exact epoch-micro integers.
+
+    Scale shape (100 TB): ONE shuffle (the per-user ordered window,
+    shared across all thresholds), then a single map-side-combined global
+    rollup; |thresholds| output rows via an unpivot of one aggregate row.
+    No joins, no session-id explosion."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    gaps = events.select(
+        (t - F.lag(t).over(w)).alias("gap_prev"),
+        (F.lead(t).over(w) - t).alias("gap_next"),
+    )
+    aggs = []
+    for m in thresholds_min:
+        us = m * 60_000_000
+        start = F.col("gap_prev").isNull() | (F.col("gap_prev") > us)
+        bounce = start & (
+            F.col("gap_next").isNull() | (F.col("gap_next") > us)
+        )
+        aggs.append(F.sum(start.cast("long")).alias(f"s{m}"))
+        aggs.append(F.sum(bounce.cast("long")).alias(f"b{m}"))
+    one = gaps.agg(F.count(F.lit(1)).alias("n_events"), *aggs)
+    stack = ", ".join(
+        f"{m}, s{m}, b{m}" for m in thresholds_min
+    )
+    return (
+        one.select(
+            "n_events",
+            F.expr(
+                f"stack({len(thresholds_min)}, {stack})"
+                " AS (threshold_min, n_sessions, n_bounce)"
+            ),
+        )
+        .select(
+            F.col("threshold_min").cast("long").alias("threshold_min"),
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("n_bounce").cast("long").alias("n_bounce"),
+            F.expr(
+                "CAST(CASE WHEN n_sessions > 0"
+                " THEN n_bounce * 1000000 div n_sessions"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("bounce_ppm"),
+            F.expr(
+                "CAST(CASE WHEN n_sessions > 0"
+                " THEN n_events * 1000 div n_sessions"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("events_per_session_milli"),
+        )
+        .orderBy("threshold_min")
+    )
+
+
+def session_threshold_sensitivity_oracle_sql(
+    thresholds_min: tuple[int, ...] = SESSION_THRESHOLDS_MIN,
+) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({m} AS BIGINT) AS threshold_min,
+       CAST(sum(CASE WHEN gap_prev IS NULL OR gap_prev > {m * 60_000_000}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN (gap_prev IS NULL OR gap_prev > {m * 60_000_000})
+                      AND (gap_next IS NULL OR gap_next > {m * 60_000_000})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM gaps"""
+        for m in thresholds_min
+    )
+    return f"""
+WITH gaps AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_prev,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_next
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), per AS (
+{arms}
+)
+SELECT threshold_min, n_sessions, n_bounce,
+       CAST(CASE WHEN n_sessions > 0
+            THEN n_bounce * 1000000 // n_sessions ELSE 0 END AS BIGINT)
+         AS bounce_ppm,
+       CAST(CASE WHEN n_sessions > 0
+            THEN n_events * 1000 // n_sessions ELSE 0 END AS BIGINT)
+         AS events_per_session_milli
+FROM per ORDER BY threshold_min"""

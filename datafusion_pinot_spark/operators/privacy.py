@@ -371,3 +371,82 @@ SELECT a.event_type,
        users_clipped, rows_lost_at_clip
 FROM agg a JOIN med m ON a.event_type = m.event_type
 ORDER BY a.event_type"""
+
+
+DP_EPSILONS_MILLI = (100, 1000, 10000)
+
+
+def dp_noise_calibration(
+    events: DataFrame, epsilons_milli: tuple[int, ...] = DP_EPSILONS_MILLI
+) -> DataFrame:
+    """Differential-privacy noise PLANNING table (deterministic — the
+    noise itself is random and so never hash-gateable, but the
+    calibration that sizes it is pure arithmetic): per event type, the L1
+    sensitivity of a per-user count query (max events one user
+    contributes — remove that user and the count moves by at most this),
+    the Laplace scale b = sensitivity/epsilon at each epsilon, and the
+    expected relative L1 error of the noised count in ppm
+    (E|Lap(b)| = b, so rel = b / n). The table answers "which epsilon
+    makes this release useless" BEFORE any noise is drawn — companion to
+    contribution_sensitivity_audit, which measures the same bound without
+    pricing it.
+
+    Scale shape: one (event_type, user) map-side-combined count, one
+    rollup to |types| rows, then a constant |epsilons| fanout. All
+    integer: scales in milli units, errors in ppm."""
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_type = per_user.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.max("c").cast("long").alias("sensitivity"),
+    )
+    eps = F.explode(
+        F.array(*[F.lit(e).cast("long") for e in epsilons_milli])
+    ).alias("eps_milli")
+    return (
+        per_type.select("event_type", "n_events", "sensitivity", eps)
+        .select(
+            "event_type",
+            "eps_milli",
+            "n_events",
+            "sensitivity",
+            # b = sensitivity / (eps_milli/1000), in milli units:
+            # b_milli = sensitivity * 1000 * 1000 div eps_milli
+            F.expr(
+                "CAST(sensitivity * 1000000 div eps_milli AS BIGINT)"
+            ).alias("lap_scale_milli"),
+            F.expr(
+                "CAST(CASE WHEN n_events > 0 THEN"
+                " sensitivity * 1000000000 div eps_milli div n_events"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("rel_err_ppm"),
+        )
+        .orderBy("event_type", "eps_milli")
+    )
+
+
+def dp_noise_calibration_oracle_sql(
+    epsilons_milli: tuple[int, ...] = DP_EPSILONS_MILLI,
+) -> str:
+    eps_list = ", ".join(str(e) for e in epsilons_milli)
+    return f"""
+WITH per_user AS (
+  SELECT event_type, user_id, count(*) AS c
+  FROM events GROUP BY event_type, user_id
+), per_type AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(max(c) AS BIGINT) AS sensitivity
+  FROM per_user GROUP BY event_type
+)
+SELECT event_type,
+       CAST(e.eps_milli AS BIGINT) AS eps_milli,
+       n_events, sensitivity,
+       CAST(sensitivity * 1000000 // e.eps_milli AS BIGINT)
+         AS lap_scale_milli,
+       CAST(CASE WHEN n_events > 0 THEN
+            sensitivity * 1000000000 // e.eps_milli // n_events
+            ELSE 0 END AS BIGINT) AS rel_err_ppm
+FROM per_type, unnest(ARRAY[{eps_list}]) AS e(eps_milli)
+ORDER BY event_type, eps_milli"""

@@ -1752,3 +1752,111 @@ SELECT source, kind,
        CAST(max(cnt) AS BIGINT) AS max_family
 FROM fam GROUP BY source, kind
 ORDER BY source, kind"""
+
+
+COVERAGE_TARGETS_PPM = (500_000, 900_000, 950_000, 990_000)
+
+
+def vocab_coverage_curve(
+    docs: DataFrame, targets_ppm: tuple[int, ...] = COVERAGE_TARGETS_PPM
+) -> DataFrame:
+    """Tokenizer-budget planning table: the smallest vocabulary size that
+    covers each target fraction of total token MASS, with the coverage
+    actually achieved at that size — the inverse-CDF companion to
+    ``zipf_rank_frequency`` (which tabulates the rank-frequency law;
+    this answers the budget question a tokenizer design starts from:
+    "how many types buy me 99% of tokens?"). Ranking is deterministic
+    (count desc, token asc); coverage in exact ppm via integer division
+    against the total.
+
+    Scale shape (100 TB): the corpus collapses to the VOCABULARY frame in
+    one map-side-combined groupBy; the cumulative window and per-target
+    min-rank rollups run on that bounded frame (single-task window —
+    deliberate, vocab-sized); targets fan out constant-fold. The token
+    stream is never windowed."""
+    from pyspark.sql import Window
+
+    freq = (
+        docs.filter(F.length(F.trim(F.lower(F.col("text")))) > 0)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = freq.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("tok")))
+        .alias("rank"),
+        F.sum("c").over(w).alias("cum"),
+    )
+    totals = freq.agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    tgt = F.explode(
+        F.array(*[F.lit(p).cast("long") for p in targets_ppm])
+    ).alias("target_ppm")
+    grid = totals.select("total_tokens", "vocab_size", tgt)
+    hit = ranked.join(
+        F.broadcast(grid),
+        F.col("cum") * 1_000_000 >= F.col("target_ppm") * F.col("total_tokens"),
+    )
+    return (
+        hit.groupBy("target_ppm", "total_tokens", "vocab_size")
+        .agg(
+            F.min("rank").cast("long").alias("k_tokens"),
+            F.min(F.struct("rank", "cum")).alias("_first"),
+        )
+        .select(
+            "target_ppm",
+            "k_tokens",
+            F.expr(
+                "CAST(CASE WHEN total_tokens > 0 THEN"
+                " _first.cum * 1000000 div total_tokens"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("achieved_ppm"),
+            "vocab_size",
+            "total_tokens",
+        )
+        .orderBy("target_ppm")
+    )
+
+
+def vocab_coverage_curve_oracle_sql(
+    targets_ppm: tuple[int, ...] = COVERAGE_TARGETS_PPM,
+) -> str:
+    tgt_list = ", ".join(str(p) for p in targets_ppm)
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(lower(text))) > 0
+), freq AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY c DESC, tok ASC) AS rank,
+         sum(c) OVER (ORDER BY c DESC, tok ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM freq
+), totals AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS vocab_size
+  FROM freq
+), grid AS (
+  SELECT total_tokens, vocab_size, CAST(t.p AS BIGINT) AS target_ppm
+  FROM totals, unnest(ARRAY[{tgt_list}]) AS t(p)
+), hit AS (
+  SELECT g.target_ppm, g.total_tokens, g.vocab_size, r.rank, r.cum
+  FROM ranked r JOIN grid g
+    ON r.cum * 1000000 >= g.target_ppm * g.total_tokens
+)
+SELECT target_ppm,
+       CAST(min(rank) AS BIGINT) AS k_tokens,
+       CAST(CASE WHEN max(total_tokens) > 0 THEN
+            min_by(cum, rank) * 1000000 // max(total_tokens)
+            ELSE 0 END AS BIGINT) AS achieved_ppm,
+       max(vocab_size) AS vocab_size,
+       max(total_tokens) AS total_tokens
+FROM hit GROUP BY target_ppm ORDER BY target_ppm"""

@@ -1969,3 +1969,108 @@ SELECT ship_year,
        CAST(sum(tax_u) AS BIGINT) AS tax_micro,
        CAST(sum(gross_u - disc_u + tax_u) AS BIGINT) AS net_micro
 FROM per GROUP BY ship_year ORDER BY ship_year"""
+
+
+def join_cardinality_audit(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """Optimizer-observability audit: the textbook equi-join cardinality
+    estimate ``|A| * |B| / max(ndv_A(k), ndv_B(k))`` against the ACTUAL
+    join output, for the three TPC-H access-path joins — the table a
+    planning layer (or a human sizing a 100 TB shuffle) consults to know
+    how far uniform-key assumptions drift on this corpus. Estimates and
+    errors are exact integers (the estimate IS a truncated division; the
+    signed error is ppm vs actual), so the audit itself hash-checks.
+
+    Scale shape: per join, two map-side-combined (count, ndv) aggregates
+    on the inputs plus the actual join count — the joins are the
+    workload's own (orderkey/custkey/partkey equi-joins); everything
+    reduces to one row per join before the 3-row union."""
+
+    def one(name, left, lk, right, rk):
+        ls = left.agg(
+            F.count(F.lit(1)).alias("n_left"),
+            F.countDistinct(lk).alias("ndv_left"),
+        )
+        rs = right.agg(
+            F.count(F.lit(1)).alias("n_right"),
+            F.countDistinct(rk).alias("ndv_right"),
+        )
+        actual = (
+            left.select(F.col(lk).alias("k"))
+            .join(right.select(F.col(rk).alias("k")), "k")
+            .agg(F.count(F.lit(1)).alias("actual_rows"))
+        )
+        return (
+            ls.crossJoin(rs)
+            .crossJoin(actual)
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("n_left").cast("long").alias("n_left"),
+                F.col("n_right").cast("long").alias("n_right"),
+                F.col("ndv_left").cast("long").alias("ndv_left"),
+                F.col("ndv_right").cast("long").alias("ndv_right"),
+                F.expr(
+                    "CAST(n_left * n_right"
+                    " div greatest(ndv_left, ndv_right) AS BIGINT)"
+                ).alias("est_rows"),
+                F.col("actual_rows").cast("long").alias("actual_rows"),
+            )
+            .select(
+                "*",
+                F.expr(
+                    "CAST(CASE WHEN actual_rows > 0 THEN"
+                    " (est_rows - actual_rows) * 1000000 div actual_rows"
+                    " ELSE 0 END AS BIGINT)"
+                ).alias("err_ppm"),
+            )
+        )
+
+    out = one("customer_orders", customer, "c_custkey", orders, "o_custkey")
+    out = out.unionByName(
+        one("orders_lineitem", orders, "o_orderkey", lineitem, "l_orderkey")
+    )
+    out = out.unionByName(
+        one("part_lineitem", part, "p_partkey", lineitem, "l_partkey")
+    )
+    return out.orderBy("join_name")
+
+
+def join_cardinality_audit_oracle_sql() -> str:
+    def one(name, lt, lk, rt, rk):
+        return f"""
+SELECT '{name}' AS join_name,
+       (SELECT count(*) FROM {lt}) AS n_left,
+       (SELECT count(*) FROM {rt}) AS n_right,
+       (SELECT count(DISTINCT {lk}) FROM {lt}) AS ndv_left,
+       (SELECT count(DISTINCT {rk}) FROM {rt}) AS ndv_right,
+       (SELECT count(*) FROM {lt} JOIN {rt} ON {lt}.{lk} = {rt}.{rk})
+         AS actual_rows"""
+
+    arms = "\nUNION ALL\n".join(
+        [
+            one("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+            one("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+            one("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+        ]
+    )
+    return f"""
+WITH base AS (
+{arms}
+)
+SELECT join_name,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       CAST(ndv_left AS BIGINT) AS ndv_left,
+       CAST(ndv_right AS BIGINT) AS ndv_right,
+       CAST(n_left * n_right // greatest(ndv_left, ndv_right) AS BIGINT)
+         AS est_rows,
+       CAST(actual_rows AS BIGINT) AS actual_rows,
+       CAST(CASE WHEN actual_rows > 0 THEN
+            (n_left * n_right // greatest(ndv_left, ndv_right)
+             - actual_rows) * 1000000 // actual_rows
+            ELSE 0 END AS BIGINT) AS err_ppm
+FROM base ORDER BY join_name"""

@@ -3185,6 +3185,144 @@ def _register_llm():
         ["streaming", "sketch", "hll", "stateful"],
     )(_q_stream_hll)
     register(
+        "seq_pair_support",
+        funnel.seq_pair_support_oracle_sql(),
+        "analytics",
+        ["funnel", "sequence", "mining"],
+    )(lambda spark, sf: funnel.seq_pair_support(t(spark, sf, "events")))
+    register(
+        "session_threshold_sensitivity",
+        funnel.session_threshold_sensitivity_oracle_sql(),
+        "analytics",
+        ["funnel", "session", "tuning", "trend"],
+    )(
+        lambda spark, sf: funnel.session_threshold_sensitivity(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "join_cardinality_audit",
+        validation.join_cardinality_audit_oracle_sql(),
+        "analytics",
+        ["validation", "planning", "join", "ndv"],
+    )(
+        lambda spark, sf: validation.join_cardinality_audit(
+            t(spark, sf, "customer"),
+            t(spark, sf, "orders"),
+            t(spark, sf, "lineitem"),
+            t(spark, sf, "part"),
+        )
+    )
+    register(
+        "dp_noise_calibration",
+        privacy.dp_noise_calibration_oracle_sql(),
+        "llm",
+        ["privacy", "dp", "planning"],
+    )(
+        lambda spark, sf: privacy.dp_noise_calibration(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "vocab_coverage_curve",
+        text.vocab_coverage_curve_oracle_sql(),
+        "llm",
+        ["text", "vocab", "tokenizer", "planning"],
+    )(lambda spark, sf: text.vocab_coverage_curve(_docs(spark, sf)))
+
+    def _q_pinot_compaction_plan(spark, sf):
+        """Key-adjacent compaction PLANNING over the segment-stats system
+        table (r12): documents lands as EIGHT small appended segments
+        (pmod(doc_id, 8) bands), the `segment_stats` relation surfaces
+        their row counts and doc_id spans, and the plan assigns
+        key-adjacent segments to merge groups by prefix-sum bucketing —
+        a segment joins the group its cumulative START falls in, target =
+        total div 3 + 1 rows. This is the minion-style time/key-ordered
+        merge policy (adjacency preserves zone-map locality, unlike the
+        driver-side FFD sibling maintenance.plan_compaction, which packs
+        by size alone). Emits one row per planned output segment: input
+        count, total rows, and the doc_id span it would cover. The oracle
+        re-derives bands, spans, and the same bucketing arithmetic from
+        the source parquet."""
+        import tempfile
+
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = os.path.join(
+            tempfile.mkdtemp(prefix="cplan_"), "docs_OFFLINE"
+        )
+        docs = _docs(spark, sf).select("doc_id", "source")
+        for b in range(8):
+            (
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(8)) == b)
+                .coalesce(1)
+                .write.format("pinot")
+                .mode("overwrite" if b == 0 else "append")
+                .save(out)
+            )
+        stats = (
+            spark.read.format("pinot")
+            .option("segment_stats", "true")
+            .option("stats_column", "doc_id")
+            .load(out)
+            .select("n_rows", "min_doc_id", "max_doc_id")
+        )
+        w = Window.orderBy("min_doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        planned = stats.select(
+            "n_rows",
+            "min_doc_id",
+            "max_doc_id",
+            (F.sum("n_rows").over(w) - F.col("n_rows")).alias("start"),
+            F.sum("n_rows").over(Window.partitionBy()).alias("total"),
+        ).withColumn(
+            "grp", F.expr("start div (total div 3 + 1)")
+        )
+        return (
+            planned.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_inputs"),
+                F.sum("n_rows").cast("long").alias("total_rows"),
+                F.min("min_doc_id").cast("long").alias("span_min"),
+                F.max("max_doc_id").cast("long").alias("span_max"),
+            )
+            .select(
+                F.col("grp").cast("long").alias("grp"),
+                "n_inputs",
+                "total_rows",
+                "span_min",
+                "span_max",
+            )
+            .orderBy("grp")
+        )
+
+    register(
+        "pinot_compaction_plan",
+        """WITH bands AS (
+             SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+                    CAST(max(doc_id) AS BIGINT) AS max_doc_id
+             FROM documents GROUP BY doc_id % 8
+           ), planned AS (
+             SELECT n_rows, min_doc_id, max_doc_id,
+                    sum(n_rows) OVER (ORDER BY min_doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n_rows AS start,
+                    sum(n_rows) OVER () AS total
+             FROM bands
+           )
+           SELECT CAST(start // (total // 3 + 1) AS BIGINT) AS grp,
+                  CAST(count(*) AS BIGINT) AS n_inputs,
+                  CAST(sum(n_rows) AS BIGINT) AS total_rows,
+                  CAST(min(min_doc_id) AS BIGINT) AS span_min,
+                  CAST(max(max_doc_id) AS BIGINT) AS span_max
+           FROM planned GROUP BY 1 ORDER BY grp""",
+        "parity",
+        ["pinot", "storage", "compaction", "planning"],
+    )(_q_pinot_compaction_plan)
+    register(
         "pinot_segment_stats",
         """SELECT CAST(count(*) AS BIGINT) AS n_rows,
                   CAST(3 AS BIGINT) AS n_columns,
