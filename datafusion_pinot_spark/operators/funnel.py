@@ -1102,8 +1102,14 @@ def session_threshold_sensitivity(
         bounce = start & (
             F.col("gap_next").isNull() | (F.col("gap_next") > us)
         )
-        aggs.append(F.sum(start.cast("long")).alias(f"s{m}"))
-        aggs.append(F.sum(bounce.cast("long")).alias(f"b{m}"))
+        # coalesce: sum over ZERO rows is NULL, and an empty stream must
+        # report 0 sessions, not NULL
+        aggs.append(
+            F.coalesce(F.sum(start.cast("long")), F.lit(0)).alias(f"s{m}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(bounce.cast("long")), F.lit(0)).alias(f"b{m}")
+        )
     one = gaps.agg(F.count(F.lit(1)).alias("n_events"), *aggs)
     stack = ", ".join(
         f"{m}, s{m}, b{m}" for m in thresholds_min
@@ -1140,11 +1146,13 @@ def session_threshold_sensitivity_oracle_sql(
 ) -> str:
     arms = "\nUNION ALL\n".join(
         f"""SELECT CAST({m} AS BIGINT) AS threshold_min,
-       CAST(sum(CASE WHEN gap_prev IS NULL OR gap_prev > {m * 60_000_000}
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
-       CAST(sum(CASE WHEN (gap_prev IS NULL OR gap_prev > {m * 60_000_000})
+       CAST(coalesce(sum(CASE WHEN gap_prev IS NULL
+                               OR gap_prev > {m * 60_000_000}
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sessions,
+       CAST(coalesce(sum(CASE WHEN (gap_prev IS NULL
+                                    OR gap_prev > {m * 60_000_000})
                       AND (gap_next IS NULL OR gap_next > {m * 60_000_000})
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bounce,
        CAST(count(*) AS BIGINT) AS n_events
 FROM gaps"""
         for m in thresholds_min

@@ -362,8 +362,11 @@ def hll_from_scratch_estimate(events: DataFrame) -> DataFrame:
     hash-checked, not asserted. The production small-range (linear
     counting) correction needs ln() — transcendental, engine-unstable —
     so the RAW estimator is what's gated; n_empty in the summary row is
-    what the correction would key on. With n >> m = 64 (every SF here)
-    the raw estimator is the operative branch anyway.
+    what the correction would key on, and at the small SFs (15-150
+    distinct users vs m = 64) it fires: the raw estimate biases high
+    there BY DESIGN, identically in both engines — the gate checks the
+    algorithm, and the n >> m accuracy regime is pinned by a
+    2000-key pytest case instead (tests/test_round15.py).
 
     Scale shape (100 TB): one narrow hash map over the key stream, one
     map-side-combined groupBy into 64 groups — registers are the ONLY
