@@ -649,3 +649,43 @@ def test_kcore_semi_joins_never_cartesian(q):
     plan = _plan(q("kcore_peel_profile"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_seq_pair_support_single_equi_join(q):
+    """r12(late): the pair space comes from ONE self-equi-join on user of
+    the (user, type, first_ts) rollup — never a cartesian, never an
+    event-grain self-join."""
+    plan = _plan(q("seq_pair_support"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_session_threshold_no_joins_one_window(q):
+    """r12(late): one per-user window pass shared by all thresholds, then
+    a single global rollup — joins here mean the thresholds stopped
+    sharing the pass."""
+    plan = _plan(q("session_threshold_sensitivity"))
+    for op in ("SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan
+    # exactly one Window node in the operator tree (lag + lead fused)
+    assert plan.count("Window (") == 1
+
+
+def test_hll_registers_no_corpus_joins(q):
+    """r12(late): the register build is hash + one 64-group rollup; the
+    only join in the whole estimate plan is the 1-row exact-count
+    broadcast — nothing may shuffle-join the key stream."""
+    plan = _plan(q("hll_from_scratch_estimate"))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dp_calibration_no_joins(q):
+    """r12(late): two map-side-combined rollups and a constant epsilon
+    fanout — any join is a regression."""
+    plan = _plan(q("dp_noise_calibration"))
+    for op in ("SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan
