@@ -1647,3 +1647,105 @@ WHERE NOT ((e.min_dup_above IS NOT NULL
             AND e.min_dup_above <= s.dup2_milli)
            OR e.min_dup_at_x < s.dup2_milli)
 ORDER BY s.n_tokens DESC, s.dup2_milli ASC, s.doc_id ASC"""
+
+
+def hash_sample_fidelity(docs: DataFrame, rate_pct: int = 10) -> DataFrame:
+    """Debug-sample representativeness audit: the bottom-``rate_pct``%
+    of documents per source BY CONTENT-HASH RANK (md5 of doc_id — the
+    deterministic "take a uniform sample without a seed" idiom every
+    pipeline uses for eyeballing) compared against the full population on
+    mean document length. A hash sample is uniform IN EXPECTATION; this
+    table measures how far the one sample you actually drew sits from
+    the population it stands in for — the number to check before trusting
+    a 10% debug run to predict full-corpus token counts. All exact: the
+    sample is the k = n*rate/100 smallest hashes (rank-based, no float
+    threshold), means in milli-chars via integer division, the gap in
+    signed ppm of the population mean.
+
+    Scale shape (100 TB): one narrow hash map + one per-source rank
+    window (the same shuffle the sample itself would pay), then two
+    map-side-combined rollups to |sources| rows."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    ranked = docs.select(
+        "source", "doc_id", "n_chars", h.alias("h")
+    ).withColumn("rk", F.row_number().over(w))
+    # sample membership needs n per source; join the counts back and cut
+    # at rank <= n * rate / 100 (truncating — an 11-doc source samples 1)
+    cuts = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_pop"),
+    )
+    samp = (
+        ranked.join(F.broadcast(cuts), "source")
+        .filter(F.col("rk") * 100 <= F.col("n_docs") * rate_pct)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_sampled"),
+            F.sum("n_chars").cast("long").alias("chars_sample"),
+        )
+    )
+    return (
+        cuts.join(samp, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("k_sampled", F.lit(0)).cast("long").alias("k_sampled"),
+            F.expr(
+                "CAST(CASE WHEN n_docs > 0 THEN chars_pop * 1000 div n_docs"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("mean_chars_pop_milli"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(k_sampled, 0) > 0"
+                " THEN chars_sample * 1000 div k_sampled"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("mean_chars_sample_milli"),
+        )
+        .withColumn(
+            "gap_ppm",
+            F.expr(
+                "CAST(CASE WHEN mean_chars_pop_milli > 0 AND k_sampled > 0"
+                " THEN (mean_chars_sample_milli - mean_chars_pop_milli)"
+                " * 1000000 div mean_chars_pop_milli"
+                " ELSE 0 END AS BIGINT)"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def hash_sample_fidelity_oracle_sql(rate_pct: int = 10) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY source) AS n_docs
+  FROM documents
+), per AS (
+  SELECT source,
+         CAST(max(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars_pop,
+         CAST(sum(CASE WHEN rk * 100 <= n_docs * {rate_pct}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k_sampled,
+         CAST(sum(CASE WHEN rk * 100 <= n_docs * {rate_pct}
+                  THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sample
+  FROM ranked GROUP BY source
+), means AS (
+  SELECT source, n_docs, k_sampled,
+         CAST(CASE WHEN n_docs > 0 THEN chars_pop * 1000 // n_docs
+              ELSE 0 END AS BIGINT) AS mean_chars_pop_milli,
+         CAST(CASE WHEN k_sampled > 0 THEN chars_sample * 1000 // k_sampled
+              ELSE 0 END AS BIGINT) AS mean_chars_sample_milli
+  FROM per
+)
+SELECT source, n_docs, k_sampled, mean_chars_pop_milli,
+       mean_chars_sample_milli,
+       CAST(CASE WHEN mean_chars_pop_milli > 0 AND k_sampled > 0 THEN
+            (mean_chars_sample_milli - mean_chars_pop_milli) * 1000000
+            // mean_chars_pop_milli
+            ELSE 0 END AS BIGINT) AS gap_ppm
+FROM means ORDER BY source"""

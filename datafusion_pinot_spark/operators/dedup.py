@@ -2508,3 +2508,113 @@ SELECT len_band,
             sum(CASE WHEN kept THEN n_tokens ELSE 0 END) * 1000000
             // sum(n_tokens) END AS BIGINT) AS token_survival_ppm
 FROM labeled GROUP BY len_band ORDER BY len_band"""
+
+
+def containment_superset_pairs(
+    docs: DataFrame, t_ppm: int = 500_000, k: int = 20, shingle_n: int = 3
+) -> DataFrame:
+    """ASYMMETRIC set-similarity join: shingle CONTAINMENT
+    ``C(a in b) = |S(a) ∩ S(b)| / |S(a)| >= t`` — the quotation /
+    subsumption detector. Jaccard and MinHash are symmetric: a short
+    document wholly embedded in a long one scores LOW on both (the union
+    dominates), which is exactly the doc-inside-doc case a curation
+    pipeline wants flagged (quote expansions, concatenated crawls,
+    prompt-wrapped copies). Containment divides by the SMALL side only.
+    Emits the top-``k`` ordered (contained, container) pairs with exact
+    ppm containment.
+
+    Scale shape (100 TB): one distinct (doc, shingle) shuffle; the
+    candidate join keys shingles against shingles — fanout is per-shingle
+    posting frequency, which real text keeps near 1 (3-gram space is
+    enormous); a size prefilter (|b| >= t*|a| is implied by containment
+    only through the intersection, so no symmetric size cut exists — the
+    asymmetry is the point) is replaced by the posting bound itself.
+    Verification counts intersections only for candidate pairs. The
+    31-word synthetic vocabulary keeps unigram sets degenerate (every doc
+    contains most tokens) — shingles restore sparsity, which is also why
+    production containment joins run on shingles, not tokens."""
+    st = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                word_shingles(tokens(F.col("text")), shingle_n)
+            ).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = st.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    cand = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained"),
+            F.col("b.doc_id").alias("container"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("contained"), F.col("sz").alias("size_contained")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("container"), F.col("sz").alias("size_container")
+    )
+    return (
+        cand.join(sa, "contained")
+        .join(sb, "container")
+        .withColumn(
+            "containment_ppm",
+            F.expr("CAST(n_inter * 1000000 div size_contained AS BIGINT)"),
+        )
+        .filter(F.col("containment_ppm") >= t_ppm)
+        .select(
+            "contained",
+            "container",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("size_contained").cast("long").alias("size_contained"),
+            F.col("size_container").cast("long").alias("size_container"),
+            "containment_ppm",
+        )
+        .orderBy(
+            F.desc("containment_ppm"), F.asc("contained"), F.asc("container")
+        )
+        .limit(k)
+    )
+
+
+def containment_superset_pairs_oracle_sql(
+    t_ppm: int = 500_000, k: int = 20, shingle_n: int = 3
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(lower(text))) > 0
+), st AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[t.i + 1:t.i + {shingle_n}], ' ') AS s
+  FROM toks,
+       LATERAL unnest(generate_series(0, len(w) - {shingle_n})) AS t(i)
+  WHERE len(w) >= {shingle_n}
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM st GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS contained, b.doc_id AS container,
+         count(*) AS n_inter
+  FROM st a JOIN st b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT contained, container,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.sz AS BIGINT) AS size_contained,
+       CAST(sb.sz AS BIGINT) AS size_container,
+       CAST(n_inter * 1000000 // sa.sz AS BIGINT) AS containment_ppm
+FROM cand
+JOIN sizes sa ON cand.contained = sa.doc_id
+JOIN sizes sb ON cand.container = sb.doc_id
+WHERE n_inter * 1000000 // sa.sz >= {t_ppm}
+ORDER BY containment_ppm DESC, contained ASC, container ASC
+LIMIT {k}"""

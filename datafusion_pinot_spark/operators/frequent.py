@@ -240,3 +240,97 @@ SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS support
 FROM triples GROUP BY t1, t2, t3
 ORDER BY support DESC, t1 ASC, t2 ASC, t3 ASC
 LIMIT {top}"""
+
+
+RANK_CHURN_TOPK = 10
+
+
+def weekly_rank_churn(events: DataFrame, k: int = RANK_CHURN_TOPK) -> DataFrame:
+    """Leaderboard STABILITY monitor: week-over-week churn of the top-``k``
+    users by event count — how much of this week's heavy-user set is new.
+    Heavy-hitter lists are consumed as if stable (abuse review queues,
+    VIP caches, per-user rate-limit overrides); this table measures the
+    assumption. One row per consecutive week pair: the later week, the
+    top-list sizes, the overlap, and churn in exact ppm. Ranking ties
+    break on ascending user_id; weeks are Monday-anchored date_trunc.
+
+    Scale shape (100 TB): one (week, user) map-side-combined count, a
+    per-week top-k window (WindowGroupLimit pushes the cut), then a
+    self-equi-join of two k-row-per-week frames on (user, adjacent week)
+    — join inputs are |weeks|*k rows, trivially small."""
+    from pyspark.sql import Window
+
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    counts = events.select(wk.alias("week"), "user_id").groupBy(
+        "week", "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("week").orderBy(F.desc("n"), F.asc("user_id"))
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("week", "user_id")
+    )
+    sizes = top.groupBy("week").agg(F.count(F.lit(1)).alias("n_top"))
+    a, b = top.alias("a"), top.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.date_add(F.col("a.week"), 7) == F.col("b.week")),
+        )
+        .groupBy(F.col("b.week").alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    prev_sizes = sizes.select(
+        F.date_add(F.col("week"), 7).alias("week"),
+        F.col("n_top").alias("n_top_prev"),
+    )
+    return (
+        sizes.join(prev_sizes, "week")  # inner: only weeks WITH a prior week
+        .join(common, "week", "left")
+        .select(
+            "week",
+            F.col("n_top").cast("long").alias("n_top"),
+            F.col("n_top_prev").cast("long").alias("n_top_prev"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.expr(
+                "CAST(CASE WHEN n_top > 0 THEN"
+                " (n_top - coalesce(n_common, 0)) * 1000000 div n_top"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("churn_ppm"),
+        )
+        .orderBy("week")
+    )
+
+
+def weekly_rank_churn_oracle_sql(k: int = RANK_CHURN_TOPK) -> str:
+    return f"""
+WITH counts AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, user_id,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), top AS (
+  SELECT week, user_id FROM (
+    SELECT week, user_id,
+           row_number() OVER (PARTITION BY week
+                              ORDER BY n DESC, user_id ASC) AS rk
+    FROM counts) WHERE rk <= {k}
+), sizes AS (
+  SELECT week, count(*) AS n_top FROM top GROUP BY week
+), common AS (
+  SELECT b.week AS week, count(*) AS n_common
+  FROM top a JOIN top b
+    ON a.user_id = b.user_id AND a.week + INTERVAL 7 DAY = b.week
+  GROUP BY b.week
+)
+SELECT s.week,
+       CAST(s.n_top AS BIGINT) AS n_top,
+       CAST(p.n_top AS BIGINT) AS n_top_prev,
+       CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+       CAST(CASE WHEN s.n_top > 0 THEN
+            (s.n_top - coalesce(c.n_common, 0)) * 1000000 // s.n_top
+            ELSE 0 END AS BIGINT) AS churn_ppm
+FROM sizes s
+JOIN sizes p ON p.week + INTERVAL 7 DAY = s.week
+LEFT JOIN common c ON c.week = s.week
+ORDER BY s.week"""

@@ -1174,3 +1174,74 @@ SELECT threshold_min, n_sessions, n_bounce,
             THEN n_events * 1000 // n_sessions ELSE 0 END AS BIGINT)
          AS events_per_session_milli
 FROM per ORDER BY threshold_min"""
+
+
+def audience_overlap_matrix(events: DataFrame) -> DataFrame:
+    """Audience overlap: for every event-type pair, the exact Jaccard of
+    their USER sets in ppm — the segmentation question ("are purchasers a
+    subset of viewers? do error-hitters overlap signups?") asked of the
+    raw event stream. Complements seq_pair_support (which orders the
+    overlap in time) with the pure set view. One row per unordered pair
+    (a < b lexicographically).
+
+    Scale shape (100 TB): one distinct (type, user) rollup — |types| x
+    |users| max — then a self-equi-join ON USER with |types|² bounded
+    fanout and a map-side-combined count per pair; set sizes ride the
+    same rollup. The event stream is never self-joined."""
+    tu = events.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("event_type").alias("ta"), F.col("sz").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("tb"), F.col("sz").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .select(
+            "ta",
+            "tb",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.expr(
+                "CAST(n_inter * 1000000 div (n_a + n_b - n_inter)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+def audience_overlap_matrix_oracle_sql() -> str:
+    return """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS sz FROM tu GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_inter
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT ta, tb,
+       CAST(sa.sz AS BIGINT) AS n_a,
+       CAST(sb.sz AS BIGINT) AS n_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_inter * 1000000 // (sa.sz + sb.sz - n_inter) AS BIGINT)
+         AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON inter.ta = sa.event_type
+JOIN sizes sb ON inter.tb = sb.event_type
+ORDER BY ta, tb"""

@@ -711,3 +711,88 @@ SELECT doc_id, brightest_tile, max_tile_sum,
        CAST(max_tile_sum - min_tile_sum AS BIGINT) AS contrast
 FROM per_doc ORDER BY contrast DESC, doc_id ASC LIMIT {top}
 """
+
+
+AUDIO_TARGET_MS = 4000  # target mean-square (power) for normalization
+
+
+def audio_gain_table(
+    docs: DataFrame, target_ms: int = AUDIO_TARGET_MS
+) -> DataFrame:
+    """Loudness-normalization PLANNING table (the batch front half of an
+    audio ingest's gain stage): per clip, the exact integer mean-square
+    power of the 8-bit PCM payload and the POWER gain (ppm) that would
+    bring it to ``target_ms`` — ``gain = target / ms`` in the power
+    domain, which stays exact-integer; the amplitude gain is its square
+    root and belongs to the (float) DSP stage applying it, not to the
+    plan. ``needs_attenuation`` flags clips already louder than target.
+    Same Arrow-batched plumbing contract as the other media kernels:
+    numpy per batch, no per-sample Python, partition-streaming.
+
+    Scale shape (100 TB): one mapInPandas pass emitting one row per clip
+    (never per sample); the table IS the rollup — no further shuffle."""
+    import numpy as np
+
+    def run(batches):
+        for pdf in batches:
+            ids, ns, mss = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(payload, dtype=np.uint8)
+                if len(a) == 0:
+                    continue
+                d = a.astype(np.int64) - 128
+                e = int((d * d).sum())
+                ids.append(doc_id)
+                ns.append(len(a))
+                mss.append(e // len(a))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.array(ids, dtype=np.int64),
+                        "n_samples": np.array(ns, dtype=np.int64),
+                        "mean_square": np.array(mss, dtype=np.int64),
+                    }
+                )
+
+    table = with_binary_payload(docs).mapInPandas(
+        run, schema="doc_id long, n_samples long, mean_square long"
+    )
+    return (
+        table.select(
+            "doc_id",
+            "n_samples",
+            "mean_square",
+            F.expr(
+                f"CAST(CASE WHEN mean_square > 0"
+                f" THEN CAST({target_ms} AS BIGINT) * 1000000"
+                f" div mean_square"
+                f" ELSE 0 END AS BIGINT)"
+            ).alias("power_gain_ppm"),
+            F.expr(
+                f"mean_square > {target_ms}"
+            ).alias("needs_attenuation"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def audio_gain_table_oracle_sql(target_ms: int = AUDIO_TARGET_MS) -> str:
+    """Same kernel in SQL: the fake payload is the utf-8 text bytes and
+    the corpus text is ASCII, so ascii(substr) recovers each byte."""
+    return f"""
+WITH clip AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_samples,
+         CAST((SELECT sum((ascii(substr(d.text, p, 1)) - 128)
+                      * (ascii(substr(d.text, p, 1)) - 128))
+               FROM unnest(generate_series(1, length(d.text))) AS u(p)
+              ) AS BIGINT) AS energy
+  FROM documents d WHERE length(text) > 0
+), ms AS (
+  SELECT doc_id, n_samples, energy // n_samples AS mean_square FROM clip
+)
+SELECT doc_id, n_samples, mean_square,
+       CAST(CASE WHEN mean_square > 0
+            THEN CAST({target_ms} AS BIGINT) * 1000000 // mean_square
+            ELSE 0 END AS BIGINT) AS power_gain_ppm,
+       mean_square > {target_ms} AS needs_attenuation
+FROM ms ORDER BY doc_id"""

@@ -2212,3 +2212,176 @@ SELECT * FROM (
               ELSE sum(rr_ppm) // count(*) END AS BIGINT)
   FROM per_probe
 ) ORDER BY q_id"""
+
+
+SQ_BITS_LEVELS = (4, 6, 8)
+
+
+def _sq_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int, bits: int
+) -> DataFrame:
+    """sq8_topk generalized to ``bits``-bit scalar quantization: codes are
+    ``floor(x * (2^(bits-1) - 1) / max|x|)`` and similarity is the exact
+    integer code dot product — the same deterministic ranking contract at
+    every width."""
+    levels = (1 << (bits - 1)) - 1
+
+    def q(col):
+        v = as_double_array(col)
+        maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        return F.when(
+            maxabs > 0,
+            F.transform(
+                v,
+                lambda x: F.floor(x * F.lit(float(levels)) / maxabs).cast(
+                    "long"
+                ),
+            ),
+        ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+
+    emb = embeddings.select("vec_id", q(F.col("embedding")).alias("q"))
+    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("q_q")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("q_q"), F.col("q"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id")
+    )
+
+
+def sq_bits_recall_curve(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    bits_levels: tuple[int, ...] = SQ_BITS_LEVELS,
+) -> DataFrame:
+    """Quantization-width DESIGN curve: mean recall@``k`` of ``bits``-bit
+    scalar quantization against the exact float-cosine ranking, one row
+    per width — the memory/recall trade quantified BEFORE an index build
+    commits to int8 (or discovers int4 would have been free). Extends the
+    single-point sq8_recall_audit to the curve a capacity plan actually
+    reads. Mean recall in exact ppm (sum of per-probe hit counts over
+    probes*k).
+
+    Scale shape: the truth ranking computes ONCE and is reused across all
+    widths; per width one quantized broadcast-probe ranking + one
+    broadcast join of k-row-per-probe frames. |widths| is a constant."""
+    truth = brute_force_topk(embeddings, query_ids, k).select(
+        "q_id", "vec_id"
+    ).localCheckpoint(eager=False)
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    out = None
+    for bits in bits_levels:
+        quant = _sq_topk(embeddings, query_ids, k, bits).select(
+            F.col("q_id").alias("qq"), F.col("vec_id").alias("qv")
+        )
+        hits = truth.join(
+            F.broadcast(quant),
+            (truth["q_id"] == F.col("qq")) & (truth["vec_id"] == F.col("qv")),
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        row = (
+            hits.crossJoin(F.broadcast(n_truth))
+            .select(
+                F.lit(bits).cast("long").alias("bits"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.col("n_truth").cast("long").alias("n_truth"),
+                F.expr(
+                    "CAST(CASE WHEN n_truth > 0"
+                    " THEN n_hits * 1000000 div n_truth"
+                    " ELSE 0 END AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bits")
+
+
+def sq_bits_recall_curve_oracle_sql(
+    query_ids: list[int],
+    k: int = 10,
+    bits_levels: tuple[int, ...] = SQ_BITS_LEVELS,
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    arms = []
+    for bits in bits_levels:
+        levels = (1 << (bits - 1)) - 1
+        arms.append(f"""
+  SELECT CAST({bits} AS BIGINT) AS bits, count(*) AS n_hits FROM (
+    SELECT q_id, vec_id FROM (
+      SELECT p.q_id, e.vec_id,
+             row_number() OVER (PARTITION BY p.q_id
+                                ORDER BY CAST(list_sum(list_transform(
+                                  generate_series(1, len(e.q)),
+                                  i -> p.q_q[i] * e.q[i])) AS BIGINT) DESC,
+                                e.vec_id ASC) AS rnk
+      FROM (SELECT vec_id,
+                   CASE WHEN maxabs > 0
+                        THEN list_transform(v, x -> CAST(floor(x * {levels}.0
+                                                               / maxabs)
+                                                         AS BIGINT))
+                        ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+                   END AS q
+            FROM mx) e
+      CROSS JOIN (SELECT vec_id AS q_id,
+                         CASE WHEN maxabs > 0
+                              THEN list_transform(v, x -> CAST(floor(
+                                     x * {levels}.0 / maxabs) AS BIGINT))
+                              ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+                         END AS q_q
+                  FROM mx WHERE vec_id IN ({ids})) p
+      WHERE e.vec_id <> p.q_id) t
+    WHERE rnk <= {k}) quant
+  JOIN exact ON exact.q_id = quant.q_id AND exact.vec_id = quant.vec_id""")
+    arms_sql = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS q_v FROM emb WHERE vec_id IN ({ids})
+), cos_scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(CASE WHEN sqrt(list_sum(list_transform(q.q_v, x -> x*x)))
+                         * sqrt(list_sum(list_transform(e.v, x -> x*x))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(
+                           generate_series(1, len(e.v)),
+                           i -> q.q_v[i] * e.v[i]))
+                         / (sqrt(list_sum(list_transform(q.q_v, x -> x*x)))
+                            * sqrt(list_sum(list_transform(e.v, x -> x*x))))
+               END, 6) AS sim
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id
+), exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, vec_id ASC) AS rnk
+    FROM cos_scored) WHERE rnk <= {k}
+), mx AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+  FROM emb
+), n_truth AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_truth FROM exact
+), per_bits AS (
+{arms_sql}
+)
+SELECT bits, CAST(n_hits AS BIGINT) AS n_hits, n_truth,
+       CAST(CASE WHEN n_truth > 0 THEN n_hits * 1000000 // n_truth
+            ELSE 0 END AS BIGINT) AS recall_ppm
+FROM per_bits, n_truth ORDER BY bits"""

@@ -3229,6 +3229,164 @@ def _register_llm():
         "llm",
         ["text", "vocab", "tokenizer", "planning"],
     )(lambda spark, sf: text.vocab_coverage_curve(_docs(spark, sf)))
+    # -- r19 first-check candidates (registered in r12, queue behind the
+    # r18 batch) --
+    register(
+        "containment_superset_pairs",
+        dedup.containment_superset_pairs_oracle_sql(),
+        "llm",
+        ["dedup", "containment", "similarity", "topk"],
+    )(
+        lambda spark, sf: dedup.containment_superset_pairs(_docs(spark, sf))
+    )
+    register(
+        "hash_sample_fidelity",
+        curation.hash_sample_fidelity_oracle_sql(),
+        "llm",
+        ["curation", "sampling", "audit"],
+    )(lambda spark, sf: curation.hash_sample_fidelity(_docs(spark, sf)))
+    register(
+        "weekly_rank_churn",
+        frequent.weekly_rank_churn_oracle_sql(),
+        "analytics",
+        ["topk", "temporal", "trend", "stability"],
+    )(
+        lambda spark, sf: frequent.weekly_rank_churn(t(spark, sf, "events"))
+    )
+    register(
+        "audience_overlap_matrix",
+        funnel.audience_overlap_matrix_oracle_sql(),
+        "analytics",
+        ["funnel", "audience", "jaccard"],
+    )(
+        lambda spark, sf: funnel.audience_overlap_matrix(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "sq_bits_recall_curve",
+        similarity.sq_bits_recall_curve_oracle_sql([1, 2, 3]),
+        "llm",
+        ["ann", "quantization", "audit", "trend"],
+    )(
+        lambda spark, sf: similarity.sq_bits_recall_curve(
+            t(spark, sf, "embeddings"), [1, 2, 3]
+        )
+    )
+    register(
+        "audio_gain_table",
+        multimodal.audio_gain_table_oracle_sql(),
+        "llm",
+        ["multimodal", "audio", "normalization"],
+    )(lambda spark, sf: multimodal.audio_gain_table(_docs(spark, sf)))
+
+    def _q_pinot_zone_prune_report(spark, sf):
+        """Zone-map pruning PLANNING report (r12): documents lands as four
+        RANGE-banded segments (contiguous doc_id quarters — fixed-width
+        arithmetic both engines re-derive), then for each probe bound
+        (quarter / half of the id space) the report reads the
+        segment_stats relation and says how many segments a `doc_id < X`
+        scan would prune at planning time, alongside the ACTUAL matching
+        row count from a real pushed-filter read of the pinot table — the
+        simulation and the execution in one hash-gated row. The oracle
+        re-derives bands, spans, prune counts, and match counts from the
+        source parquet."""
+        import tempfile
+
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = os.path.join(
+            tempfile.mkdtemp(prefix="zprune_"), "docs_OFFLINE"
+        )
+        docs = _docs(spark, sf).select("doc_id", "source")
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        width = (max_id + 1 + 3) // 4  # fixed-width quarters, last ragged
+        for b in range(4):
+            (
+                docs.filter(
+                    F.expr(f"doc_id div {width}") == b
+                )
+                .coalesce(1)
+                .write.format("pinot")
+                .mode("overwrite" if b == 0 else "append")
+                .save(out)
+            )
+        stats = (
+            spark.read.format("pinot")
+            .option("segment_stats", "true")
+            .option("stats_column", "doc_id")
+            .load(out)
+            .select("min_doc_id", "max_doc_id", "n_rows")
+        )
+        rows = []
+        for kind, x in (
+            ("quarter", (max_id + 1) // 4),
+            ("half", (max_id + 1) // 2),
+        ):
+            plan = stats.agg(
+                F.lit(kind).alias("bound_kind"),
+                F.lit(int(x)).cast("long").alias("bound"),
+                F.count(F.lit(1)).cast("long").alias("n_segments"),
+                F.sum((F.col("min_doc_id") < x).cast("long"))
+                .cast("long")
+                .alias("n_scanned"),
+                F.sum((F.col("min_doc_id") >= x).cast("long"))
+                .cast("long")
+                .alias("n_pruned"),
+            )
+            actual = (
+                spark.read.format("pinot")
+                .load(out)
+                .filter(F.col("doc_id") < x)
+                .agg(F.count(F.lit(1)).cast("long").alias("rows_matching"))
+            )
+            rows.append(plan.crossJoin(actual))
+        res = rows[0]
+        for r in rows[1:]:
+            res = res.unionByName(r)
+        return res.orderBy("bound")
+
+    register(
+        "pinot_zone_prune_report",
+        """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+           bands AS (
+             SELECT doc_id // ((mx + 4) // 4) AS band,
+                    min(doc_id) AS min_id
+             FROM documents, m GROUP BY 1
+           ),
+           bounds AS (
+             SELECT 'quarter' AS bound_kind, (mx + 1) // 4 AS bound FROM m
+             UNION ALL
+             SELECT 'half', (mx + 1) // 2 FROM m
+           )
+           SELECT bound_kind,
+                  CAST(bound AS BIGINT) AS bound,
+                  (SELECT CAST(count(*) AS BIGINT) FROM bands) AS n_segments,
+                  (SELECT CAST(sum(CASE WHEN min_id < bound THEN 1 ELSE 0 END)
+                         AS BIGINT) FROM bands) AS n_scanned,
+                  (SELECT CAST(sum(CASE WHEN min_id >= bound THEN 1 ELSE 0 END)
+                         AS BIGINT) FROM bands) AS n_pruned,
+                  (SELECT CAST(count(*) AS BIGINT) FROM documents
+                   WHERE doc_id < bound) AS rows_matching
+           FROM bounds ORDER BY bound""",
+        "parity",
+        ["pinot", "storage", "pruning", "observability"],
+    )(_q_pinot_zone_prune_report)
+
+    def _q_stream_first_touch(spark, sf):
+        from datafusion_pinot_spark.streaming.windowed import (
+            stream_seq_pair_support,
+        )
+
+        return stream_seq_pair_support(spark, f"{sf}/events.parquet")
+
+    register(
+        "stream_seq_pair_support",
+        funnel.seq_pair_support_oracle_sql(),
+        "streaming",
+        ["streaming", "funnel", "sequence", "stateful"],
+    )(_q_stream_first_touch)
 
     def _q_pinot_compaction_plan(spark, sf):
         """Key-adjacent compaction PLANNING over the segment-stats system

@@ -880,3 +880,71 @@ SELECT bucket,
                 ELSE {HLL_REST_BITS + 1} - length(bin(rest)) END)
             AS BIGINT) AS register
 FROM slotted GROUP BY bucket ORDER BY bucket"""
+
+
+def stream_seq_pair_support(
+    spark: SparkSession, events_parquet: str
+) -> DataFrame:
+    """STREAMING first-touch table feeding sequential-pattern support —
+    the streaming twin of ``funnel.seq_pair_support``: the per-(user,
+    event_type) FIRST timestamp is maintained as a running min (the
+    first-touch attribution state every always-on funnel keeps; state is
+    O(users x types) rows, the honest price of exact first-touch on an
+    unbounded stream), and the drained table feeds the same bounded
+    |types|²-fanout pair join as the batch operator. Hash-equals the
+    batch SQL end to end, so the stateful first-touch maintenance is
+    oracle-gated."""
+    stream = _file_stream(spark, events_parquet)
+    stream = _with_ts(stream)
+    firsts = stream.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    ).groupBy("user_id", "event_type").agg(F.min("t").alias("t0"))
+    name = f"sft_{uuid.uuid4().hex[:8]}"
+    q = (
+        firsts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # two independent reads of the memory table: a self-join of ONE
+    # DataFrame object trips Spark's ambiguous-column resolution here
+    left = spark.table(name)
+    right = spark.table(name).select(
+        F.col("user_id").alias("u2"),
+        F.col("event_type").alias("type_b"),
+        F.col("t0").alias("t0_b"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("event_type") != F.col("type_b")),
+        )
+        .select(
+            F.col("event_type").alias("a"),
+            F.col("type_b").alias("b"),
+            (F.col("t0") < F.col("t0_b")).cast("long").alias("before"),
+        )
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(
+            F.sum("before").cast("long").alias("support"),
+            F.count(F.lit(1)).cast("long").alias("n_both"),
+        )
+        .select(
+            "a",
+            "b",
+            "support",
+            "n_both",
+            F.expr(
+                "CAST(CASE WHEN n_both > 0 THEN support * 1000000 div n_both"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("support_ppm"),
+        )
+        .orderBy("a", "b")
+    )
