@@ -2385,3 +2385,111 @@ SELECT bits, CAST(n_hits AS BIGINT) AS n_hits, n_truth,
        CAST(CASE WHEN n_truth > 0 THEN n_hits * 1000000 // n_truth
             ELSE 0 END AS BIGINT) AS recall_ppm
 FROM per_bits, n_truth ORDER BY bits"""
+
+
+def label_medoid_vectors(embeddings: DataFrame) -> DataFrame:
+    """Per-label MEDOID — the actual member vector minimizing total L1
+    distance to its label-mates (the representative-selection step of
+    k-medoids / exemplar picking; a centroid is a mean that exists
+    nowhere, a medoid is a row you can show someone). Exact milli-int
+    arithmetic end to end.
+
+    The naive medoid is all-pairs (O(n² · dim)); this uses the sorted
+    prefix-sum identity instead: within each (label, dim), for the value
+    x at ascending rank r among n values with prefix sum S_r,
+    ``Σ_u |x - x_u| = x·(2r - n) - 2·S_r + S_n`` — so the total L1 mass
+    from every vector to all label-mates costs ONE window pass per
+    (label, dim) partition plus a rollup, O(N·dim·log) with no pairwise
+    join anywhere. Ties in x are safe: the identity depends only on the
+    multiset, not the tie order.
+
+    Scale shape (100 TB): posexplode to components, one window keyed
+    (label, dim) — dim constant, so partitions are label-sized slices,
+    embarrassingly parallel — then a map-side-combined per-vector rollup
+    and a per-label argmin (WindowGroupLimit). Nothing quadratic."""
+    comp = embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("xm"),
+    )
+    w = Window.partitionBy("label", "dim").orderBy(
+        F.asc("xm"), F.asc("vec_id")
+    )
+    wall = Window.partitionBy("label", "dim")
+    per_comp = comp.select(
+        "vec_id",
+        "label",
+        "dim",
+        "xm",
+        F.row_number().over(w).alias("r"),
+        F.sum("xm").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("s_r"),
+        F.sum("xm").over(wall).alias("s_n"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).select(
+        "vec_id",
+        "label",
+        (
+            F.col("xm") * (2 * F.col("r") - F.col("n"))
+            - 2 * F.col("s_r")
+            + F.col("s_n")
+        ).alias("dist_mass"),
+    )
+    per_vec = per_comp.groupBy("label", "vec_id").agg(
+        F.sum("dist_mass").cast("long").alias("total_l1_milli")
+    )
+    wm = Window.partitionBy("label").orderBy(
+        F.asc("total_l1_milli"), F.asc("vec_id")
+    )
+    return (
+        per_vec.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select(
+            "label",
+            F.col("vec_id").cast("long").alias("medoid_vec_id"),
+            "total_l1_milli",
+        )
+        .orderBy("label")
+    )
+
+
+def label_medoid_vectors_oracle_sql() -> str:
+    return """
+WITH comp AS (
+  SELECT vec_id, label, CAST(t.i - 1 AS INTEGER) AS dim,
+         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS xm
+  FROM embeddings,
+       LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+), per_comp AS (
+  SELECT vec_id, label,
+         xm * (2 * r - n) - 2 * s_r + s_n AS dist_mass
+  FROM (
+    SELECT vec_id, label, xm,
+           row_number() OVER w AS r,
+           sum(xm) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS s_r,
+           sum(xm) OVER (PARTITION BY label, dim) AS s_n,
+           count(*) OVER (PARTITION BY label, dim) AS n
+    FROM comp
+    WINDOW w AS (PARTITION BY label, dim ORDER BY xm ASC, vec_id ASC)
+  )
+), per_vec AS (
+  SELECT label, vec_id, CAST(sum(dist_mass) AS BIGINT) AS total_l1_milli
+  FROM per_comp GROUP BY label, vec_id
+)
+SELECT label, CAST(vec_id AS BIGINT) AS medoid_vec_id, total_l1_milli
+FROM (
+  SELECT label, vec_id, total_l1_milli,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY total_l1_milli ASC, vec_id ASC) AS rk
+  FROM per_vec
+) WHERE rk = 1 ORDER BY label"""

@@ -1673,3 +1673,79 @@ SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
             * CAST((abs(num) * 1000) // den AS BIGINT) END AS BIGINT)
          AS acf_milli
 FROM num CROSS JOIN den ORDER BY lag"""
+
+
+def rolling_wau_exact(events: DataFrame) -> DataFrame:
+    """Daily active users plus the EXACT 7-day rolling distinct-user
+    count — the DAU/WAU pair computed without approximation. Rolling
+    DISTINCT does not decompose over a window (a user active twice in
+    the week counts once), which is why most stacks approximate it with
+    sketches; the exact form here fans each (day, user) activity row to
+    the <= 7 rolling windows it participates in and deduplicates per
+    window — bounded constant fanout, no sketch error to audit. Days
+    with no activity emit no row (same in the oracle).
+
+    Scale shape (100 TB): one map-side-combined distinct collapses the
+    event stream to (day, user) — the DAU grain; the WAU explode is a
+    x7 constant fanout of THAT frame (not the event stream), followed by
+    one distinct + count per day. WAU rows for days past the corpus max
+    are clipped (both engines identically)."""
+    du = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    maxd = du.agg(F.max("day").alias("maxday"))
+    fan = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            "day",
+            "user_id",
+        )
+        .select(F.date_add("day", F.col("off")).alias("wday"), "user_id")
+        .distinct()
+        .crossJoin(F.broadcast(maxd))
+        .filter(F.col("wday") <= F.col("maxday"))
+    )
+    wau = fan.groupBy(F.col("wday").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+            F.expr(
+                "CAST(CASE WHEN wau > 0 THEN dau * 1000000 div wau"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+def rolling_wau_exact_oracle_sql() -> str:
+    return """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM du GROUP BY day
+), m AS (SELECT max(day) AS maxday FROM du),
+fan AS (
+  SELECT DISTINCT du.day + CAST(t.off AS INTEGER) AS wday, du.user_id
+  FROM du, UNNEST(generate_series(0, 6)) AS t(off), m
+  WHERE du.day + CAST(t.off AS INTEGER) <= m.maxday
+), wau AS (
+  SELECT wday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM fan GROUP BY wday
+)
+SELECT dau.day, dau.dau,
+       CAST(coalesce(wau.wau, 0) AS BIGINT) AS wau,
+       CAST(CASE WHEN coalesce(wau.wau, 0) > 0
+            THEN dau.dau * 1000000 // wau.wau
+            ELSE 0 END AS BIGINT) AS stickiness_ppm
+FROM dau LEFT JOIN wau ON dau.day = wau.day
+ORDER BY dau.day"""

@@ -1860,3 +1860,176 @@ SELECT target_ppm,
        max(vocab_size) AS vocab_size,
        max(total_tokens) AS total_tokens
 FROM hit GROUP BY target_ppm ORDER BY target_ppm"""
+
+
+def source_tv_distance_matrix(docs: DataFrame) -> DataFrame:
+    """Pairwise TOTAL-VARIATION distance between source token
+    distributions, in exact ppm — the distributional-shift matrix
+    ("which sources speak the same language?") computed without a single
+    float: TV(P,Q) = ½ Σ|p_i − q_i| becomes the integer identity
+    ``Σ|c_i·T_q − d_i·T_p|  //  (2·T_p·T_q)`` after clearing
+    denominators (c,d per-token counts; T totals). KL/JS need logs —
+    transcendental, engine-unstable; TV is THE f-divergence that stays
+    rational, which is why it is the one this catalog can hash-gate.
+
+    Scale shape (100 TB): the corpus collapses to the (source, token)
+    count frame in one map-side-combined rollup; the matrix join is a
+    FULL-vocabulary-aligned self-join of that VOCABULARY-sized frame
+    (missing tokens zero-fill via the source x vocab grid — |sources| x
+    |vocab| rows, broadcast); output is |sources|²/2 rows. Exact while
+    1e6·2·T_p·T_q < 2^63 (~T of 2e6 tokens per source; past that the
+    sums carry in decimal(38,0))."""
+    toks = (
+        docs.filter(F.length(F.trim(F.lower(F.col("text")))) > 0)
+        .select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    grid = (
+        totals.select("source", "t")
+        .crossJoin(counts.select("tok").distinct())
+        .join(counts, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            "t",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.max(F.col("a.t")).alias("t_a"),
+            F.max(F.col("b.t")).alias("t_b"),
+            F.sum(
+                F.abs(
+                    F.col("a.c") * F.col("b.t")
+                    - F.col("b.c") * F.col("a.t")
+                )
+            ).alias("num"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("t_a").cast("long").alias("tokens_a"),
+            F.col("t_b").cast("long").alias("tokens_b"),
+            F.expr(
+                "CAST(CASE WHEN t_a > 0 AND t_b > 0"
+                " THEN num * 1000000 div (2 * t_a * t_b)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("tv_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_tv_distance_matrix_oracle_sql() -> str:
+    return """
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(lower(text))) > 0
+), counts AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+), totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS t FROM counts GROUP BY source
+), grid AS (
+  SELECT tt.source, v.tok, tt.t, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+  FROM totals tt
+  CROSS JOIN (SELECT DISTINCT tok FROM counts) v
+  LEFT JOIN counts c ON c.source = tt.source AND c.tok = v.tok
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(max(a.t) AS BIGINT) AS tokens_a,
+       CAST(max(b.t) AS BIGINT) AS tokens_b,
+       CAST(CASE WHEN max(a.t) > 0 AND max(b.t) > 0
+            THEN sum(abs(a.c * b.t - b.c * a.t)) * 1000000
+                 // (2 * max(a.t) * max(b.t))
+            ELSE 0 END AS BIGINT) AS tv_ppm
+FROM grid a JOIN grid b ON a.tok = b.tok AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b"""
+
+
+def source_token_lift_topk(
+    docs: DataFrame, top: int = 20, min_count: int = 5
+) -> DataFrame:
+    """Distinctive vocabulary per source: the ``top`` (source, token)
+    pairs whose in-source token RATE most exceeds the corpus rate —
+    exact integer rate-ratio in ppm (``(c_s/T_s) / (C/T)`` cleared of
+    denominators), the log-odds-style "what words mark this source"
+    table without the log. ``min_count`` suppresses one-off tokens whose
+    ratio is all noise. Complements token_lift_pairs (token-token
+    association) with token-SOURCE association.
+
+    Scale shape: two map-side-combined rollups (per-source-token,
+    per-token) joined on token — both vocabulary-bounded — and a
+    TakeOrdered top-k."""
+    toks = (
+        docs.filter(F.length(F.trim(F.lower(F.col("text")))) > 0)
+        .select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot_s = st.groupBy("source").agg(F.sum("c").alias("t_s"))
+    tok_all = st.groupBy("tok").agg(F.sum("c").alias("c_all"))
+    tot_all = st.agg(F.sum("c").alias("t_all"))
+    return (
+        st.filter(F.col("c") >= min_count)
+        .join(tot_s, "source")
+        .join(tok_all, "tok")
+        .crossJoin(F.broadcast(tot_all))
+        .select(
+            "source",
+            "tok",
+            F.col("c").cast("long").alias("n_in_source"),
+            F.col("c_all").cast("long").alias("n_in_corpus"),
+            F.expr(
+                "CAST(c * t_all * 1000000 div (t_s * c_all) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), F.asc("source"), F.asc("tok"))
+        .limit(top)
+    )
+
+
+def source_token_lift_topk_oracle_sql(
+    top: int = 20, min_count: int = 5
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(lower(text))) > 0
+), st AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+), tot_s AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS t_s FROM st GROUP BY source
+), tok_all AS (
+  SELECT tok, CAST(sum(c) AS BIGINT) AS c_all FROM st GROUP BY tok
+), tot_all AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t_all FROM st
+)
+SELECT st.source AS source, st.tok AS tok,
+       st.c AS n_in_source,
+       tok_all.c_all AS n_in_corpus,
+       CAST(st.c * t_all * 1000000 // (t_s * c_all) AS BIGINT) AS lift_ppm
+FROM st
+JOIN tot_s ON st.source = tot_s.source
+JOIN tok_all ON st.tok = tok_all.tok
+CROSS JOIN tot_all
+WHERE st.c >= {min_count}
+ORDER BY lift_ppm DESC, 1 ASC, 2 ASC
+LIMIT {top}"""

@@ -2074,3 +2074,159 @@ SELECT join_name,
              - actual_rows) * 1000000 // actual_rows
             ELSE 0 END AS BIGINT) AS err_ppm
 FROM base ORDER BY join_name"""
+
+
+def value_deciles_by_type(events: DataFrame) -> DataFrame:
+    """Exact per-group decile boundaries of the value column (cents):
+    for each event type, the order statistics at ranks ``(n·k) div 10``
+    for k = 1..9 (clamped to rank 1) — the grouped quantile table
+    sketch-based percentile_approx answers inexactly, pinned exact and
+    deterministic (value asc, event_id tiebreak). The equi-depth
+    histogram operator buckets ONE global column; this is its grouped,
+    boundary-valued sibling.
+
+    Scale shape (100 TB): one rank window per event-type partition
+    (the same shuffle a grouped sort pays), then a broadcast join
+    against the 9-row-per-type rank cut table derived from the counts.
+    Nothing beyond the one partition-sorted pass."""
+    from pyspark.sql import Window
+
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("cents"), F.asc("event_id")
+    )
+    ranked = events.select(
+        "event_type", "event_id", cents.alias("cents")
+    ).withColumn("rk", F.row_number().over(w))
+    counts = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cuts = counts.select(
+        F.col("event_type").alias("et2"),
+        "n",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile"),
+    ).select(
+        "et2",
+        "decile",
+        F.expr("greatest(n * decile div 10, 1)").alias("cut_rank"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(cuts),
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("rk") == F.col("cut_rank")),
+        )
+        .select(
+            "event_type",
+            F.col("decile").cast("long").alias("decile"),
+            F.col("cents").alias("boundary_cents"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+def value_deciles_by_type_oracle_sql() -> str:
+    return """
+WITH ranked AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) ASC,
+                    event_id ASC) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), cuts AS (
+  SELECT DISTINCT event_type, t.d AS decile,
+         greatest(n * t.d // 10, 1) AS cut_rank
+  FROM ranked, unnest(generate_series(1, 9)) AS t(d)
+)
+SELECT r.event_type, CAST(c.decile AS BIGINT) AS decile,
+       r.cents AS boundary_cents
+FROM ranked r JOIN cuts c
+  ON r.event_type = c.event_type AND r.rk = c.cut_rank
+ORDER BY r.event_type, c.decile"""
+
+
+def whale_value_share(events: DataFrame) -> DataFrame:
+    """Revenue-concentration ("whale") audit: per event type, the share
+    of total value carried by the top 1% of users — exact integer cents,
+    the top cohort sized ``greatest(ceil(n_users/100), 1)`` by value-sum
+    rank (ties: user_id asc). The single number a monetization or abuse
+    review reads first; sketch-free and hash-exact.
+
+    Scale shape (100 TB): one (type, user) map-side-combined sum — the
+    per-user grain — a rank window over THAT frame (users, not events),
+    and a |types|-row rollup."""
+    from pyspark.sql import Window
+
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    per_user = events.select(
+        "event_type", "user_id", cents.alias("cents")
+    ).groupBy("event_type", "user_id").agg(
+        F.sum("cents").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("v"), F.asc("user_id")
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n_users"),
+    )
+    is_whale = F.col("rk") <= F.expr(
+        "greatest((n_users + 99) div 100, 1)"
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n_users").cast("long").alias("n_users"),
+            F.sum(is_whale.cast("long")).cast("long").alias("n_whales"),
+            F.sum("v").cast("long").alias("total_cents"),
+            F.sum(F.when(is_whale, F.col("v")).otherwise(0))
+            .cast("long")
+            .alias("whale_cents"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_whales",
+            "total_cents",
+            "whale_cents",
+            F.expr(
+                "CAST(CASE WHEN total_cents > 0"
+                " THEN whale_cents * 1000000 div total_cents"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("whale_share_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def whale_value_share_oracle_sql() -> str:
+    return """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, user_id, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v DESC, user_id ASC) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_users
+  FROM per_user
+)
+SELECT event_type,
+       CAST(max(n_users) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN rk <= greatest((n_users + 99) // 100, 1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_whales,
+       CAST(sum(v) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN rk <= greatest((n_users + 99) // 100, 1)
+                THEN v ELSE 0 END) AS BIGINT) AS whale_cents,
+       CAST(CASE WHEN sum(v) > 0 THEN
+            sum(CASE WHEN rk <= greatest((n_users + 99) // 100, 1)
+                THEN v ELSE 0 END) * 1000000 // sum(v)
+            ELSE 0 END AS BIGINT) AS whale_share_ppm
+FROM ranked GROUP BY event_type ORDER BY event_type"""

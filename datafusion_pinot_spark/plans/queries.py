@@ -3387,6 +3387,137 @@ def _register_llm():
         "streaming",
         ["streaming", "funnel", "sequence", "stateful"],
     )(_q_stream_first_touch)
+    # -- r20 first-check candidates (registered in r12, queue behind the
+    # r19 batch; together the r13..r20 queues exactly fill the remaining
+    # 8-per-round first-check capacity) --
+    register(
+        "label_medoid_vectors",
+        similarity.label_medoid_vectors_oracle_sql(),
+        "llm",
+        ["ann", "clustering", "medoid", "exemplar"],
+    )(
+        lambda spark, sf: similarity.label_medoid_vectors(
+            t(spark, sf, "embeddings")
+        )
+    )
+    register(
+        "rolling_wau_exact",
+        temporal.rolling_wau_exact_oracle_sql(),
+        "analytics",
+        ["temporal", "dau", "distinct", "rolling"],
+    )(
+        lambda spark, sf: temporal.rolling_wau_exact(t(spark, sf, "events"))
+    )
+    register(
+        "source_tv_distance_matrix",
+        text.source_tv_distance_matrix_oracle_sql(),
+        "llm",
+        ["text", "drift", "divergence", "audit"],
+    )(lambda spark, sf: text.source_tv_distance_matrix(_docs(spark, sf)))
+    register(
+        "source_token_lift_topk",
+        text.source_token_lift_topk_oracle_sql(),
+        "llm",
+        ["text", "lift", "topk", "audit"],
+    )(lambda spark, sf: text.source_token_lift_topk(_docs(spark, sf)))
+    register(
+        "value_deciles_by_type",
+        validation.value_deciles_by_type_oracle_sql(),
+        "analytics",
+        ["quantile", "order-stats", "grouped"],
+    )(
+        lambda spark, sf: validation.value_deciles_by_type(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "whale_value_share",
+        validation.whale_value_share_oracle_sql(),
+        "analytics",
+        ["revenue", "concentration", "topk"],
+    )(
+        lambda spark, sf: validation.whale_value_share(t(spark, sf, "events"))
+    )
+
+    def _q_stream_dau(spark, sf):
+        from datafusion_pinot_spark.streaming.windowed import (
+            stream_dau_daily,
+        )
+
+        return stream_dau_daily(spark, f"{sf}/events.parquet")
+
+    from datafusion_pinot_spark.streaming.windowed import (
+        stream_dau_daily_oracle_sql,
+    )
+
+    register(
+        "stream_dau_daily",
+        stream_dau_daily_oracle_sql(),
+        "streaming",
+        ["streaming", "dau", "dedup", "stateful"],
+    )(_q_stream_dau)
+
+    def _q_pinot_layout_health(spark, sf):
+        """Layout-health report over the segment_stats relation (r12):
+        after the same 8 content-banded appends as pinot_compaction_plan
+        uses, one row summarizing segment-size balance — count, min/max/
+        total rows, and the balance factor ``max * n_segments * 1e6 div
+        total`` (1e6 = perfectly even) — the number a table-maintenance
+        policy reads to decide WHETHER to compact before planning how.
+        The oracle re-derives band sizes from the source parquet."""
+        import tempfile
+
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        out = os.path.join(
+            tempfile.mkdtemp(prefix="lhealth_"), "docs_OFFLINE"
+        )
+        docs = _docs(spark, sf).select("doc_id", "source")
+        for b in range(8):
+            (
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(8)) == b)
+                .coalesce(1)
+                .write.format("pinot")
+                .mode("overwrite" if b == 0 else "append")
+                .save(out)
+            )
+        stats = (
+            spark.read.format("pinot")
+            .option("segment_stats", "true")
+            .load(out)
+        )
+        return stats.agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.min("n_rows").cast("long").alias("min_rows"),
+            F.max("n_rows").cast("long").alias("max_rows"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+        ).select(
+            "*",
+            F.expr(
+                "CAST(CASE WHEN total_rows > 0"
+                " THEN max_rows * n_segments * 1000000 div total_rows"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("balance_ppm"),
+        )
+
+    register(
+        "pinot_layout_health",
+        """WITH bands AS (
+             SELECT CAST(count(*) AS BIGINT) AS n_rows
+             FROM documents GROUP BY doc_id % 8
+           )
+           SELECT CAST(count(*) AS BIGINT) AS n_segments,
+                  CAST(min(n_rows) AS BIGINT) AS min_rows,
+                  CAST(max(n_rows) AS BIGINT) AS max_rows,
+                  CAST(sum(n_rows) AS BIGINT) AS total_rows,
+                  CAST(CASE WHEN sum(n_rows) > 0
+                       THEN max(n_rows) * count(*) * 1000000 // sum(n_rows)
+                       ELSE 0 END AS BIGINT) AS balance_ppm
+           FROM bands""",
+        "parity",
+        ["pinot", "storage", "observability", "compaction"],
+    )(_q_pinot_layout_health)
 
     def _q_pinot_compaction_plan(spark, sf):
         """Key-adjacent compaction PLANNING over the segment-stats system

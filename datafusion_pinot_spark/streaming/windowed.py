@@ -948,3 +948,41 @@ def stream_seq_pair_support(
         )
         .orderBy("a", "b")
     )
+
+
+def stream_dau_daily(spark: SparkSession, events_parquet: str) -> DataFrame:
+    """STREAMING daily-active-users maintenance: streaming deduplication
+    on (day, user) feeding a per-day running count — the same two chained
+    built-in stateful operators as the SRM monitor, maintaining the DAU
+    series every growth dashboard tails. Dedup state is O(distinct
+    (day, user)) — bounded per day by the user base, and in production
+    clipped by a watermark on the day column; the drained bounded run
+    hash-equals the batch DISTINCT-count SQL."""
+    stream = _with_ts(_file_stream(spark, events_parquet))
+    dedup = stream.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).dropDuplicates(["day", "user_id"])
+    agg = dedup.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    name = f"sdau_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select("day", F.col("dau").cast("long").alias("dau"))
+        .orderBy("day")
+    )
+
+
+def stream_dau_daily_oracle_sql() -> str:
+    return """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+FROM events GROUP BY 1 ORDER BY day"""
