@@ -689,3 +689,30 @@ def test_dp_calibration_no_joins(q):
     for op in ("SortMergeJoin", "BroadcastHashJoin",
                "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert op not in plan
+
+
+def test_medoid_no_pairwise_join(q):
+    """r12(final): the medoid resolves from rank/prefix-sum windows —
+    ANY join operator here means the O(n²) all-pairs shape crept back."""
+    plan = _plan(q("label_medoid_vectors"))
+    for op in ("SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan
+    assert "Window" in plan
+
+
+def test_rolling_wau_no_event_self_join(q):
+    """r12(final): the x7 fanout explodes the (day, user) frame, never
+    the event stream, and joins only the 1-row max-day broadcast."""
+    plan = _plan(q("rolling_wau_exact"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "Explode" in plan  # day-frame join only
+
+
+def test_whale_share_single_window_rollup(q):
+    """r12(final): per-user sum -> one rank window -> |types| rollup;
+    joins are a regression."""
+    plan = _plan(q("whale_value_share"))
+    for op in ("SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan
