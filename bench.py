@@ -102,6 +102,10 @@ REF_NS_PER_ROW = {
 
 TIMED_RUNS = 5
 
+# Written once per process by calibration() so its start and end probes
+# read the identical segment bytes; see the pinot_e2e_sec probe comment.
+_PINOT_PROBE_DIR = None
+
 # Queries whose hot path is interpreted higher-order array lambdas need
 # several executions before C2 reaches steady state (measured r6 on
 # minhash_lsh_pairs_xxh64: runs 1-3 at 2.0-2.3 s, steady ~1.0 s; one
@@ -132,21 +136,27 @@ def calibrated_ratios(
         return sum(vals) / len(vals) if vals else None
 
     machine = {}
-    for key in ("numpy_unpack_sec", "jvm_agg_sec"):
+    for key in ("numpy_unpack_sec", "jvm_agg_sec", "pinot_e2e_sec"):
         cur_v, prev_v = _avg(cur_calib, key), _avg(prev_calib, key)
         if cur_v and prev_v:
             machine[key] = round(cur_v / prev_v, 3)
-    calibrated = {
-        name: round(
-            raw
-            / machine.get(
-                "numpy_unpack_sec"
-                if name.startswith("pinot_")
-                else "jvm_agg_sec",
-                1.0,
-            ),
-            3,
+
+    def _substrate(name: str) -> str:
+        if not name.startswith("pinot_"):
+            return "jvm_agg_sec"
+        # r13 (r12 verdict #2): the pinot tier normalizes against the
+        # end-to-end datasource probe when both rounds carry it — it is
+        # the only probe that exercises Python-worker dispatch + Arrow
+        # handoff, the path the numpy kernel probe under-captured in r12.
+        # Falls back to the numpy probe against pre-r13 BENCH files.
+        return (
+            "pinot_e2e_sec"
+            if "pinot_e2e_sec" in machine
+            else "numpy_unpack_sec"
         )
+
+    calibrated = {
+        name: round(raw / machine.get(_substrate(name), 1.0), 3)
         for name, raw in raw_ratios.items()
     }
     return machine, calibrated
@@ -199,8 +209,48 @@ def calibration(spark) -> dict:
             "sum(id * 3 + 1) as s", "avg(id % 97) as a", "max(id ^ 12345) as m"
         ).collect()
 
+    # r13 (r12 verdict #2): a pinot-DATASOURCE-shaped probe. The r12 run's
+    # pinot tier stayed 1.56x calibrated after the numpy+jvm probes because
+    # neither exercises the tier's real substrate: Python-worker dispatch +
+    # Arrow batch handoff + segment decode through the DataSource V2 path.
+    # This probe is that path end to end on PINNED data: a deterministic
+    # 2M-row two-column segment written ONCE per process (module cache, so
+    # the start and end probes read identical bytes; the write is outside
+    # all timing), then a sum/min/max scan through the pinot reader.
+    global _PINOT_PROBE_DIR
+    if _PINOT_PROBE_DIR is None:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from datafusion_pinot_spark.sources import register_pinot_source
+
+        register_pinot_source(spark)
+        d = os.path.join(tempfile.mkdtemp(prefix="calib_pinot_"), "p_OFFLINE")
+        (
+            spark.range(0, 2_000_000, 1, 1)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 1000).cast("int").alias("dim"),
+                (F.col("id") * 7 % 99991).alias("v"),
+            )
+            .write.format("pinot")
+            .mode("overwrite")
+            .save(d)
+        )
+        _PINOT_PROBE_DIR = d
+
+    def pinot_probe():
+        spark.read.format("pinot").load(_PINOT_PROBE_DIR).selectExpr(
+            "sum(v) as s", "min(dim) as lo", "max(k) as hi"
+        ).collect()
+
     out = {}
-    for name, fn in (("numpy_unpack_sec", np_probe), ("jvm_agg_sec", jvm_probe)):
+    for name, fn in (
+        ("numpy_unpack_sec", np_probe),
+        ("jvm_agg_sec", jvm_probe),
+        ("pinot_e2e_sec", pinot_probe),
+    ):
         fn()  # warmup (page-in / JIT)
         samples = []
         for _ in range(7):

@@ -176,11 +176,21 @@ def token_triple_support(
             ),
         )
     )
-    n_docs = toks.select("doc_id").distinct().count()
+    # n_docs rides the plan as a 1-row broadcast aggregate (the
+    # vocab_coverage_curve totals pattern) so building this DataFrame
+    # stays lazy — an eager .count() here ran a full corpus scan at
+    # plan-construction time and a second one at execution.
+    totals = toks.agg(
+        F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs")
+    )
     freq = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") * 1_000_000 >= minsup_ppm * n_docs)
+        .crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("df") * F.lit(1_000_000).cast("long")
+            >= F.lit(minsup_ppm).cast("long") * F.col("n_docs")
+        )
         .select("tok")
     )
     op = toks.join(F.broadcast(freq), "tok").select("doc_id", "tok")

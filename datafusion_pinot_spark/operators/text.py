@@ -1995,8 +1995,14 @@ def source_token_lift_topk(
             "tok",
             F.col("c").cast("long").alias("n_in_source"),
             F.col("c_all").cast("long").alias("n_in_corpus"),
+            # DECIMAL(38,0) carry: c * t_all * 1e6 overflows BIGINT once
+            # total corpus tokens reach a few million with a concentrated
+            # token (c*t_all*1e6 > 2^63) — same guard the TV-matrix and
+            # halflife operators use. The quotient is rate-ratio ppm and
+            # fits BIGINT by construction (c <= t_s, c_all <= t_all).
             F.expr(
-                "CAST(c * t_all * 1000000 div (t_s * c_all) AS BIGINT)"
+                "CAST(CAST(c AS DECIMAL(38,0)) * t_all * 1000000"
+                " div (CAST(t_s AS DECIMAL(38,0)) * c_all) AS BIGINT)"
             ).alias("lift_ppm"),
         )
         .orderBy(F.desc("lift_ppm"), F.asc("source"), F.asc("tok"))
@@ -2025,7 +2031,8 @@ WITH toks AS (
 SELECT st.source AS source, st.tok AS tok,
        st.c AS n_in_source,
        tok_all.c_all AS n_in_corpus,
-       CAST(st.c * t_all * 1000000 // (t_s * c_all) AS BIGINT) AS lift_ppm
+       CAST(CAST(st.c AS HUGEINT) * t_all * 1000000
+            // (CAST(t_s AS HUGEINT) * c_all) AS BIGINT) AS lift_ppm
 FROM st
 JOIN tot_s ON st.source = tot_s.source
 JOIN tok_all ON st.tok = tok_all.tok

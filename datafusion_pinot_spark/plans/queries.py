@@ -3557,17 +3557,56 @@ def _register_llm():
             .load(out)
             .select("n_rows", "min_doc_id", "max_doc_id")
         )
-        w = Window.orderBy("min_doc_id").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
+        # Distributed prefix sum (r12 verdict item #5): a bare
+        # Window.orderBy() funnels every segment row through ONE task —
+        # fine at 8 rows, a 1M-row single partition at 100 TB segment
+        # counts. Two-pass scan instead: range-bucket on min_doc_id
+        # (range buckets preserve the global key order, so the result is
+        # bit-identical), per-bucket partitioned prefix sums, then add
+        # broadcast per-bucket offsets. The only unpartitioned window
+        # left runs over the NBKT-row bucket-totals frame — constant.
+        nbkt = 32
+        bounds = stats.agg(
+            F.min("min_doc_id").alias("lo"), F.max("min_doc_id").alias("hi")
         )
-        planned = stats.select(
-            "n_rows",
-            "min_doc_id",
-            "max_doc_id",
-            (F.sum("n_rows").over(w) - F.col("n_rows")).alias("start"),
-            F.sum("n_rows").over(Window.partitionBy()).alias("total"),
-        ).withColumn(
-            "grp", F.expr("start div (total div 3 + 1)")
+        bucketed = stats.crossJoin(F.broadcast(bounds)).withColumn(
+            "bkt",
+            F.expr(
+                f"CAST(least({nbkt - 1}, (CAST(min_doc_id AS BIGINT) - lo)"
+                f" * {nbkt} div greatest(hi - lo + 1, 1)) AS INT)"
+            ),
+        )
+        w_in = (
+            Window.partitionBy("bkt")
+            .orderBy("min_doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bucketed = bucketed.withColumn(
+            "local_cum", F.sum("n_rows").over(w_in)
+        )
+        w_off = Window.orderBy("bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = (
+            bucketed.groupBy("bkt")
+            .agg(F.sum("n_rows").alias("bkt_rows"))
+            .select(
+                "bkt",
+                F.coalesce(F.sum("bkt_rows").over(w_off), F.lit(0)).alias(
+                    "bkt_off"
+                ),
+                F.sum("bkt_rows")
+                .over(Window.partitionBy())
+                .alias("total"),
+            )
+        )
+        planned = (
+            bucketed.join(F.broadcast(offs), "bkt")
+            .withColumn(
+                "start",
+                F.col("bkt_off") + F.col("local_cum") - F.col("n_rows"),
+            )
+            .withColumn("grp", F.expr("start div (total div 3 + 1)"))
         )
         return (
             planned.groupBy("grp")
@@ -9508,21 +9547,47 @@ DRIVER_WINDOW: list[str] = [
     "lang_confusion_matrix",  # r11: lang-id router quality vs labels, per-cell ppm
     "split_leakage_audit",  # r11: exact-dup content across train/valid hash split
     "quality_yield_curve",  # r11: docs/tokens surviving per quality threshold
-    # r13 FIRST-CHECK BACKLOG (8 entries — exactly one round's rotation
-    # capacity, the r10->r11->r12 precedent): dedup_pipeline_report (the
-    # composed MinHash->LSH->verify->components->keep->yield flagship),
-    # training_mixture_report (composed dedup+quality+Hamilton-budget
-    # curation flagship), pinot_cdc_rollup_lifecycle (rollup maintained
-    # through write/append/delete/compaction via the CDC feed only),
-    # temporal_split_leakage (time-cut train/valid user overlap),
-    # embedding_norm_audit (exact integer L2-norm hygiene per label),
-    # join_skew_audit (hot-key shuffle-planning probe),
-    # ngram_novelty_curve (shingle novelty per ingestion decile),
-    # bpe_fertility_by_lang (tokenizer-equity audit on the corpus-learned
-    # BPE). All eight oracle-green at sf0.001, sf0.01, AND sf0.1 under
-    # the exact gate; they take their first driver check in r13. (The
-    # pre-registered halflife_event_mass_cells diagnostic remains
+    # -- r13: drain the 8-query r12 first-check backlog (r12 VERDICT item
+    # #1) plus the two §2-labelled queries that have never had a driver
+    # row (r12 VERDICT item #4). Slots freed by rotating out 10
+    # FOUR-times-green (r09+r10+r11+r12) veterans, each pinned by the
+    # pytest oracle tier, with family coverage staying in-window:
+    # pinot_predicate_delete + pinot_rollup_refresh +
+    # pinot_upsert_tombstone + pinot_reindex_scan (the storage
+    # maintenance family is now window-covered by
+    # pinot_cdc_rollup_lifecycle entering — it composes
+    # write/append/predicate-delete/compaction with an incremental
+    # rollup — plus pinot_snapshot_changes + pinot_snapshot_asof_diff +
+    # pinot_stream_cdc_fold staying), canonical_keep_report +
+    # jaccard_prefix_join + boilerplate_strip_report (the dedup family
+    # is window-covered by dedup_pipeline_report entering — it composes
+    # MinHash->LSH->verify->components->canonical keep — plus
+    # dedup_survivorship_psi + dedup_token_yield + dup_transitivity_audit
+    # + minhash_estimate_error staying), vocab_growth_curve +
+    # token_lift_pairs (vocabulary/co-occurrence covered by
+    # ngram_novelty_curve + bpe_fertility_by_lang entering plus
+    # zipf_rank_frequency + charclass_profile staying),
+    # clamped_balance_topk (the batch-applyInPandas surface stays
+    # window-covered by image_tile_contrast and pytest-pinned by
+    # test_round9.py; top-k shape by join_skew_audit entering). All
+    # eight backlog entrants oracle-green at sf0.001, sf0.01, AND sf0.1
+    # under the exact gate; they take their first driver check in r13.
+    # (The pre-registered halflife_event_mass_cells diagnostic remains
     # pytest-tier only unless halflife reds again, per r10 verdict #5.)
+    "dedup_pipeline_report",  # r12 FLAGSHIP: composed MinHash->LSH->verify->CC->keep->yield
+    "training_mixture_report",  # r12 FLAGSHIP: dedup->quality gate->Hamilton token budget
+    "pinot_cdc_rollup_lifecycle",  # r12 storage FLAGSHIP: rollup via CDC feed through full lifecycle
+    "temporal_split_leakage",  # r12: time-cut train/valid user-overlap audit
+    "embedding_norm_audit",  # r12: exact integer L2-norm hygiene per label
+    "join_skew_audit",  # r12: hot-key shuffle-planning probe, TakeOrdered top-k
+    "ngram_novelty_curve",  # r12: shingle novelty per ingestion decile
+    "bpe_fertility_by_lang",  # r12: tokenizer-equity audit on corpus-learned BPE
+    # The two §2-labelled queries with zero driver history (r12 VERDICT
+    # item #4): pytest-oracle-green every round since r6; one driver row
+    # each closes the last §2 validation gap. They can rotate back out
+    # next round.
+    "scalar_functions_extended",  # r6: §2.8 builtin breadth (first driver check)
+    "window_value_functions",  # r6: §2.5 value-function frames (first driver check)
     # r14 FIRST-CHECK BACKLOG (8 entries — one round's rotation capacity),
     # registered in r13, each oracle-green at sf0.001/0.01/0.1 and
     # hand-value/invariant-tested in tests/test_round13.py:
@@ -9627,29 +9692,29 @@ DRIVER_WINDOW: list[str] = [
     # pinot_head_topk (head/tail pushdown stays benched every round via
     # the topk_head probe pair and pytest-pinned by
     # test_head_pushdown.py). --
-    "pinot_predicate_delete",  # r9: GDPR range delete via zone-map triage
-    "vocab_growth_curve",  # r9: Heaps-law cumulative vocabulary curve
-    "canonical_keep_report",  # r9: keep-best-per-dup-group retention
+    # (r13 rotation, 4x-green r09-r12) "pinot_predicate_delete",  # r9: GDPR range delete via zone-map triage
+    # (r13 rotation, 4x-green r09-r12) "vocab_growth_curve",  # r9: Heaps-law cumulative vocabulary curve
+    # (r13 rotation, 4x-green r09-r12) "canonical_keep_report",  # r9: keep-best-per-dup-group retention
     # -- r9 batch 3. Slots freed by rotating out two more twice-green
     # (r07+r08) veterans: scd2_user_state (gaps-and-islands SCD2 stays
     # pytest-pinned; the point-in-time sibling is too) and
     # pinot_quantile_sketch_rollup (rank-sampled quantile columns stay
     # pytest-pinned; the store-then-merge MV economics are now
     # window-covered by pinot_rollup_refresh itself). --
-    "jaccard_prefix_join",  # r9: lossless prefix-filtered set-sim join
-    "pinot_rollup_refresh",  # r9: incremental MV refresh, delta-only read
+    # (r13 rotation, 4x-green r09-r12) "jaccard_prefix_join",  # r9: lossless prefix-filtered set-sim join
+    # (r13 rotation, 4x-green r09-r12) "pinot_rollup_refresh",  # r9: incremental MV refresh, delta-only read
     # (pinot_metadata_distinct rotated out, once-green r08: the
     # layout-proven distinct family stays window-covered by
     # pinot_dictionary_distinct and pytest-pinned by
     # test_segment_distinct.py; the slot goes to the tombstone read,
     # which checks a new upsert semantic rather than a sibling shape.)
-    "pinot_upsert_tombstone",  # r9: deleteRecordColumn last-wins-then-filter
+    # (r13 rotation, 4x-green r09-r12) "pinot_upsert_tombstone",  # r9: deleteRecordColumn last-wins-then-filter
     # (pinot_groupby_pair_from_dict rotated out, once-green r08: the
     # dictionary group-by family stays window-covered by
     # pinot_groupby_from_dict and the composite-key variant is
     # pytest-pinned by test_segment_distinct.py; the slot goes to the
     # index-lifecycle rebuild, a new storage semantic.)
-    "pinot_reindex_scan",  # r9: reload-with-new-index rebuild, data-equal
+    # (r13 rotation, 4x-green r09-r12) "pinot_reindex_scan",  # r9: reload-with-new-index rebuild, data-equal
     # (pinot_zorder_scan rotated out for the converged-fixpoint entity
     # clustering: twice-green r07+r08; the Morton layout stays pinned by
     # test_zorder.py and planning-proven every bench via dim2_prune.)
@@ -9658,7 +9723,7 @@ DRIVER_WINDOW: list[str] = [
     # report: twice-green r07+r08; BIG_DECIMAL exactness stays pinned at
     # the byte level by the storage unit tests + test_oracle_types, and
     # stable_moments stays in the pytest oracle tier.)
-    "boilerplate_strip_report",  # r9: per-source frequency boilerplate strip
+    # (r13 rotation, 4x-green r09-r12) "boilerplate_strip_report",  # r9: per-source frequency boilerplate strip
     # -- r9 batch 4. No twice-green veterans remain, so two ONCE-green
     # (r08) rows rotate out whose check value is strictly subsumed by
     # stronger in-window siblings: shingle_containment_pairs (the LSH
@@ -9679,7 +9744,7 @@ DRIVER_WINDOW: list[str] = [
     # pinot_dictionary_distinct + pinot_groupby_from_dict and
     # pytest-pinned by test_segment_distinct.py; the slot goes to the
     # catalog's first batch-applyInPandas surface.)
-    "clamped_balance_topk",  # r9: order-dependent fold vs recursive oracle
+    # (r13 rotation, 4x-green r09-r12) "clamped_balance_topk",  # r9: order-dependent fold vs recursive oracle
     # (pinot_hll_estimate_bounds rotated out, once-green r08: the sketch
     # accuracy gate stays pytest-pinned and its rows-only sibling never
     # was window material; the slot completes the §2.10 UDF/UDAF/UDTF
@@ -9688,7 +9753,7 @@ DRIVER_WINDOW: list[str] = [
     "halflife_event_mass",  # r9: power-of-two recency decay mass
     "t_closeness_audit",  # r9: sensitive-distribution TVD privacy audit
     "label_prop_communities",  # r9: 2-round min-label propagation
-    "token_lift_pairs",  # r9: integer co-occurrence lift, top-V bounded
+    # (r13 rotation, 4x-green r09-r12) "token_lift_pairs",  # r9: integer co-occurrence lift, top-V bounded
     # (r12 rotation, thrice-green r09+r10+r11) "video_scene_cuts",  # r9: inter-frame-delta shot detection, hash-gated
     # (audio_vad_summary rotated out, once-green r08: the framed-media
     # kernel family stays window-covered by video_scene_cuts + the new

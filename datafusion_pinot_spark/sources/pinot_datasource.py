@@ -418,6 +418,12 @@ class PinotDataSource(DataSource):
         raw = self.options.get("segments_per_partition", "1") or "1"
         dict_only = self.options.get("dictionary_only") or None
         value_counts = self.options.get("value_counts") or None
+        if self.options.get("stats_column") and not self._segment_stats_enabled():
+            # Without this a misspelled/false-valued segment_stats option
+            # silently degrades to a full data scan with no min/max columns.
+            raise ValueError(
+                "stats_column requires segment_stats=true"
+            )
         seg_stats = (
             (self.options.get("stats_column") or "")
             if self._segment_stats_enabled()
@@ -773,7 +779,15 @@ class PinotDataSourceReader(DataSourceReader):
     # zero-column rows to count them, and that iteration parallelizes across
     # tasks (measured on a 64-segment/4.8M-row table: 1 task 1.10 s,
     # 8 tasks 0.45 s, 32 tasks 0.64 s — 8 won).
-    _COUNT_PACK = 8
+    # Metadata-only COUNT(*) packing. Per-segment work on this path is a
+    # manifest lookup (or one small properties parse on fallback) — tens
+    # of microseconds — while each task costs a Python-worker dispatch +
+    # Arrow handoff (~10s of ms). Measured r13 on the 128-segment
+    # marginal-tier shape: 16 tasks (old pack=8) 60 ms, 8 tasks 36 ms,
+    # 2 tasks 31 ms re-executed median — dispatch dominates until a task
+    # carries hundreds of segments. 64 keeps a 1M-segment table at ~16k
+    # tasks (fine) and collapses bench-scale counts to 1-2 waves.
+    _COUNT_PACK = 64
 
     # Target decoded docs per task for `segments_per_partition=auto` — a
     # few hundred MB of decoded columns at typical widths, large enough to
@@ -1032,11 +1046,22 @@ class PinotDataSourceReader(DataSourceReader):
             # exec.rs:92-95 metadata count). Zero-column nonzero-row batches
             # are valid Arrow and Spark counts them.
             from pinot_segment import SegmentMetadata
+            from pinot_segment.manifest import stats_for_segments
 
+            # Manifest-first (r12 verdict #3, count_star headroom): ONE
+            # table-level stats read covers every fresh segment in the
+            # task, so a 64-segment count task does one JSON read instead
+            # of 64 properties parses; stale/uncovered segments fall back
+            # to their own metadata.properties.
+            manifest = stats_for_segments(list(partition.segment_dirs))
             for segment_dir in partition.segment_dirs:
-                n = SegmentMetadata.from_file(
-                    os.path.join(segment_dir, "metadata.properties")
-                ).total_docs
+                st = manifest.get(segment_dir)
+                if st is not None:
+                    n = int(st["total_docs"])
+                else:
+                    n = SegmentMetadata.from_file(
+                        os.path.join(segment_dir, "metadata.properties")
+                    ).total_docs
                 if n > 0:
                     yield pa.RecordBatch.from_struct_array(
                         pa.nulls(n, pa.struct([]))

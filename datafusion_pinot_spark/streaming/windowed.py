@@ -742,6 +742,14 @@ def stream_cluster_assign_counts(
         )
         for r in cent_rows
     )
+    if not cents:
+        # No rows with vec_id < k → no model. The batch twin's assignment
+        # step returns an empty frame on the same input; mirroring that
+        # here beats the F.least() TypeError a zero-arg build would raise.
+        return spark.createDataFrame(
+            [],
+            "cluster_id long, n_vectors long, inertia_milli2 long",
+        )
     stream = _file_stream(spark, embeddings_parquet)
     xm = F.transform(
         F.col("embedding"),

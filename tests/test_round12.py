@@ -439,6 +439,64 @@ class TestCalibratedRatios:
         assert machine == {"numpy_unpack_sec": 2.0}
         assert cal == {"pinot_agg": 1.0, "q1_pricing_summary": 2.0}
 
+    def test_pinot_e2e_probe_preferred_when_both_rounds_carry_it(self):
+        """r13 (r12 verdict #2): when BOTH rounds have the end-to-end
+        datasource probe, the pinot tier normalizes against it instead of
+        the numpy kernel probe — the datasource path (Python-worker
+        dispatch + Arrow handoff) can drift independently of raw numpy."""
+        import bench
+
+        cur = {
+            "start": {
+                "numpy_unpack_sec": 0.1,
+                "jvm_agg_sec": 0.2,
+                "pinot_e2e_sec": 0.9,
+            },
+            "end": {
+                "numpy_unpack_sec": 0.1,
+                "jvm_agg_sec": 0.2,
+                "pinot_e2e_sec": 0.9,
+            },
+        }
+        prev = {
+            "start": {
+                "numpy_unpack_sec": 0.1,
+                "jvm_agg_sec": 0.2,
+                "pinot_e2e_sec": 0.3,
+            },
+            "end": {
+                "numpy_unpack_sec": 0.1,
+                "jvm_agg_sec": 0.2,
+                "pinot_e2e_sec": 0.3,
+            },
+        }
+        machine, cal = bench.calibrated_ratios(
+            {"pinot_agg": 3.0, "q1_pricing_summary": 3.0}, cur, prev
+        )
+        assert machine == {
+            "numpy_unpack_sec": 1.0,
+            "jvm_agg_sec": 1.0,
+            "pinot_e2e_sec": 3.0,
+        }
+        # pinot tier: 3.0 raw / 3.0 datasource-probe drift = no code change;
+        # jvm tier unchanged substrate -> the 3.0 stands as a regression.
+        assert cal == {"pinot_agg": 1.0, "q1_pricing_summary": 3.0}
+
+    def test_pinot_e2e_probe_fallback_to_numpy_when_prev_lacks_it(self):
+        import bench
+
+        cur = {
+            "start": {"numpy_unpack_sec": 0.2, "pinot_e2e_sec": 0.9},
+            "end": {"numpy_unpack_sec": 0.2, "pinot_e2e_sec": 0.9},
+        }
+        prev = {
+            "start": {"numpy_unpack_sec": 0.1},
+            "end": {"numpy_unpack_sec": 0.1},
+        }
+        machine, cal = bench.calibrated_ratios({"pinot_agg": 2.0}, cur, prev)
+        assert machine == {"numpy_unpack_sec": 2.0}
+        assert cal == {"pinot_agg": 1.0}
+
 
 class TestMvEvolutionNullFill:
     def test_mv_column_added_by_evolution_reads_null_filled(self, spark, tmp_path):
