@@ -6043,20 +6043,35 @@ def q_session_window(spark, sf):
 
 @register(
     "streaming_watermarked_agg",
-    None,  # append mode withholds windows past the watermark by design;
-    # hash-checked sibling: streaming_watermarked_closed (the closed
-    # subset of the same windows, fully under the exact gate)
+    """WITH ev AS (SELECT ts, event_type, event_id FROM events),
+       mx AS (SELECT max(ts) AS m FROM ev),
+       w1 AS (SELECT epoch_us(max(ts) - INTERVAL 2 HOUR) AS w
+              FROM ev, mx WHERE event_id % 2 = 0 AND ts < mx.m)
+       SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                AS bucket_start,
+              event_type, CAST(count(*) AS BIGINT) AS n
+       FROM ev, w1
+       WHERE event_id % 2 = 0
+         AND epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) <= w1.w
+       GROUP BY bucket_start, event_type""",
     "llm",
     ["streaming", "watermark"],
 )
 def q_streaming_watermarked(spark, sf):
-    """Watermarked append-mode windowed count over the events file stream
-    (streaming/windowed.py). Rows-only: append mode intentionally withholds
-    the final windows the watermark has not passed, so the emitted set is a
-    strict prefix of the batch result — correct late-data semantics, not a
-    batch-equal one (the drop behavior itself is pinned by
-    tests/test_streaming.py::test_watermark_drops_late_data). The CLOSED
-    subset is fully oracle-checked by streaming_watermarked_closed below."""
+    """Watermarked append-mode windowed count over a parity-split
+    three-batch events stream — FULLY hash-gated since r13 (r12 verdict
+    #7): batch 1 (even event_ids) spans the whole month, batch 2 (the
+    max-ts pivot row) turns batch 1's watermark into the late-event
+    bound, so batch 3's odd rows arrive almost entirely below it and are
+    genuinely DROPPED; the emitted windows therefore count the even rows
+    alone, which the oracle reproduces in closed form (see
+    streaming/windowed.py::watermarked_stream_agg for the two-watermark
+    mechanics). Unlike the time-split sibling below — whose ordered
+    batches never produce a late row — this hash gate proves the
+    late-drop semantics themselves on ~half the corpus: merged-instead-
+    of-dropped odd rows would re-emit duplicate groups and hash-mismatch.
+    The single-row drop mechanics are additionally pinned by
+    tests/test_streaming.py::test_watermark_drops_late_data."""
     from datafusion_pinot_spark.streaming.windowed import watermarked_stream_agg
 
     return watermarked_stream_agg(spark, f"{sf}/events.parquet")

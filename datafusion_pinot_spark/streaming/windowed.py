@@ -101,23 +101,65 @@ def sliding_window_agg(events: DataFrame, window: str = "1 hour", slide: str = "
 
 
 def watermarked_stream_agg(
-    spark: SparkSession, events_parquet: str, window: str = "1 hour",
+    spark: SparkSession,
+    events_parquet: str,
+    window: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Append-mode watermarked windowed count — the late-data-tolerant shape.
+    """Append-mode watermarked windowed count with a FULL oracle that
+    OBSERVES real late-data drops (r12 verdict #7): the input is split by
+    ``event_id`` PARITY — batch 1 is the even rows spanning the whole
+    month, batch 2 the odd rows — so after batch 1 the watermark sits
+    ``watermark`` below the even-row max ts, i.e. near END of data, and
+    nearly every odd row arrives late.
 
-    Append mode only emits windows the watermark has passed; with a bounded
-    file source the final windows stay pending, which is *correct* streaming
-    semantics (they'd emit on the next trigger past the watermark). Returned
-    for shape/smoke validation rather than full-content oracle checks.
-    """
-    stream = _file_stream(spark, events_parquet)
+    Spark ≥3.4 keeps TWO watermarks per stateful operator: late-event
+    filtering uses the PREVIOUS batch's watermark
+    (``eventTimeWatermarkForLateEvents``) while state eviction uses the
+    current one — so a late row is only dropped from the SECOND batch
+    after the watermark-setting data (measured here: a 2-batch
+    even-then-odd split drops nothing and merges full counts). Three
+    files therefore:
+
+    1. the even rows below the global max ts — after this batch the
+       watermark is ``wm1 = max(batch-1 ts) − watermark``;
+    2. a PIVOT batch holding just the global-max-ts row(s) — a data
+       batch, so it always executes; its eviction (in-force ``wm1``)
+       deterministically emits every window ending at or below ``wm1``
+       with the even-only counts, and after it ``wm1`` becomes the
+       late-event bound;
+    3. the odd rows — every one landing in an emitted window is now
+       genuinely DROPPED (``numRowsDroppedByWatermark`` > 0; were they
+       merged instead, they would re-create evicted windows and re-emit
+       duplicate groups, which the hash gate would catch).
+
+    Windows above ``wm1`` (whose emission rides the race with the final
+    no-data flush and which hold accepted odd rows) are filtered out.
+    The DuckDB oracle reproduces the rest in closed form: even-row
+    counts over windows ending at or below ``wm1`` — a result that
+    differs from the all-rows batch aggregate on almost every window,
+    so the hash gate proves the late-drop semantics themselves, not
+    just the window withholding the time-split sibling checks."""
+    ev = spark.read.parquet(events_parquet)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    mx = F.lit(str(max_ts)).cast("timestamp")
+    parity = F.col("event_id") % 2
+    stream, bases = _ordered_condition_split_stream(
+        spark,
+        events_parquet,
+        [
+            (parity == 0) & (F.col("ts") < mx),
+            F.col("ts") == mx,
+            (parity != 0) & (F.col("ts") < mx),
+        ],
+    )
     agg = (
-        _with_ts(stream).withWatermark("ts", watermark)
+        stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
         .agg(F.count("*").alias("n"))
         .select(
             F.unix_timestamp(F.col("window.start")).alias("bucket_start"),
+            F.unix_timestamp(F.col("window.end")).alias("bucket_end"),
             "event_type",
             "n",
         )
@@ -133,7 +175,14 @@ def watermarked_stream_agg(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    wm1_us = bases[0] - _interval_us(watermark)
+    return (
+        spark.table(name)
+        .filter(F.col("bucket_end") * 1_000_000 <= F.lit(wm1_us))
+        .select(
+            "bucket_start", "event_type", F.col("n").cast("long").alias("n")
+        )
+    )
 
 
 def _interval_us(interval: str) -> int:
@@ -150,46 +199,64 @@ def _interval_us(interval: str) -> int:
     return int(n) * mult
 
 
-def _two_batch_split_stream(spark: SparkSession, events_parquet: str, cut: str):
-    """The ordered two-micro-batch fixture behind every closed-subset
-    streaming oracle here: split the parquet at ``cut`` into two files,
-    force their modification order, and return ``(stream, wm1_base_us)``
-    where ``stream`` replays them as two ordered batches
-    (maxFilesPerTrigger=1) and ``wm1_base_us`` is ``max(ts <= cut)`` in
-    epoch micros — callers subtract their own watermark delay."""
+def _ordered_condition_split_stream(
+    spark: SparkSession, events_parquet: str, conds: list
+):
+    """The ordered micro-batch fixture behind every closed-subset streaming
+    oracle here, generalized to arbitrary row partitions: write one file
+    per boolean condition Column, force their modification order, and
+    return ``(stream, bases_us)`` where ``stream`` replays them as ordered
+    batches (maxFilesPerTrigger=1) and ``bases_us[i]`` is ``max(ts)`` of
+    batch ``i+1`` in epoch micros — callers take running maxima minus
+    their watermark delay to get the watermark in force after each batch.
+    The final batch's max is omitted (no batch runs after it, so its
+    watermark is never in force for data)."""
     import datetime as dt
     import os
     import tempfile
 
     ev = _with_ts(spark.read.parquet(events_parquet))
-    split_dir = tempfile.mkdtemp(prefix="split2_")
-    cut_ts = F.lit(cut).cast("timestamp")
-    p1 = os.path.join(split_dir, "part1")
-    p2 = os.path.join(split_dir, "part2")
-    ev.filter(F.col("ts") <= cut_ts).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(p1)
-    ev.filter(F.col("ts") > cut_ts).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(p2)
+    split_dir = tempfile.mkdtemp(prefix=f"split{len(conds)}_")
+    parts = []
+    for i, cond in enumerate(conds):
+        p = os.path.join(split_dir, f"part{i + 1}")
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(p)
+        parts.append(p)
     now = 1_000_000_000
-    for sub, mtime in ((p1, now - 100), (p2, now)):
+    for i, sub in enumerate(parts):
+        mtime = now - 100 * (len(parts) - i)
         for f in os.listdir(sub):
             if not f.startswith((".", "_")):
                 os.utime(os.path.join(sub, f), (mtime, mtime))
-    schema = spark.read.parquet(p1).schema
+    schema = spark.read.parquet(parts[0]).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
         .parquet(split_dir)
     )
-    part1_max = spark.read.parquet(p1).agg(F.max("ts")).collect()[0][0]
-    wm1_base_us = (
-        part1_max.replace(tzinfo=dt.timezone.utc)
-        - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
-    ) // dt.timedelta(microseconds=1)
-    return stream, wm1_base_us
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    bases_us = []
+    for p in parts[:-1]:
+        part_max = spark.read.parquet(p).agg(F.max("ts")).collect()[0][0]
+        bases_us.append(
+            (part_max.replace(tzinfo=dt.timezone.utc) - epoch)
+            // dt.timedelta(microseconds=1)
+        )
+    return stream, bases_us
+
+
+def _two_batch_split_stream(spark: SparkSession, events_parquet: str, cut: str):
+    """Two-batch time-split wrapper of
+    :func:`_ordered_condition_split_stream` — returns
+    ``(stream, wm1_base_us)`` for the single-cut fixtures."""
+    cut_ts = F.lit(cut).cast("timestamp")
+    stream, bases = _ordered_condition_split_stream(
+        spark,
+        events_parquet,
+        [F.col("ts") <= cut_ts, F.col("ts") > cut_ts],
+    )
+    return stream, bases[0]
 
 
 def watermarked_closed_windows(

@@ -27,6 +27,66 @@ def test_watermarked_append_shape(spark):
     assert df.columns == ["bucket_start", "event_type", "n"]
 
 
+def test_watermarked_parity_drop_rule(spark):
+    """r13: the full-oracle version of watermarked_stream_agg must OBSERVE
+    real late drops, not just window withholding — with the parity split
+    and the max-ts pivot batch, the odd rows land below the late-event
+    watermark and are dropped, so the emitted counts equal the EVEN-row
+    aggregate and sit strictly below the all-rows aggregate on many
+    windows (merged-instead-of-dropped odd rows would re-create evicted
+    windows and show up as duplicate groups)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from datafusion_pinot_spark.plans.queries import t
+    from datafusion_pinot_spark.streaming.windowed import (
+        _interval_us,
+        watermarked_stream_agg,
+    )
+
+    rows = watermarked_stream_agg(spark, f"{SF_SMOKE}/events.parquet").collect()
+    got = {(r["bucket_start"], r["event_type"]): r["n"] for r in rows}
+    assert len(got) == len(rows), "duplicate emitted groups — drops failed"
+    assert len(got) > 0
+
+    ev = t(spark, SF_SMOKE, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "event_id"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    even = ev.filter(
+        (F.col("event_id") % 2 == 0)
+        & (F.col("ts") < F.lit(str(max_ts)).cast("timestamp"))
+    )
+    base = even.agg(F.max("ts")).collect()[0][0]
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    wm1 = (
+        base.replace(tzinfo=dt.timezone.utc) - epoch
+    ) // dt.timedelta(microseconds=1) - _interval_us("2 hours")
+
+    def agg(frame):
+        return {
+            (r["b"], r["event_type"]): r["n"]
+            for r in frame.groupBy(
+                F.unix_timestamp(F.date_trunc("hour", "ts")).alias("b"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    full, even_only = agg(ev), agg(even)
+    want = {
+        k: n
+        for k, n in even_only.items()
+        if (k[0] + 3600) * 1_000_000 <= wm1
+    }
+    assert got == want
+    # the drops must be exercised, not vacuous: at least one emitted
+    # window is missing odd rows the batch aggregate would include
+    assert any(n < full[k] for k, n in got.items())
+
+
 def test_stateful_totals_equal_batch_groupby(spark):
     from datafusion_pinot_spark.plans.queries import t
     from datafusion_pinot_spark.streaming.stateful import stateful_user_totals
