@@ -3584,20 +3584,24 @@ def _register_llm():
         bucketed = bucketed.withColumn(
             "local_cum", F.sum("n_rows").over(w_in)
         )
-        w_off = Window.orderBy("bkt").rowsBetween(
-            Window.unboundedPreceding, -1
+        # Bucket offsets via a triangular self-join of the NBKT-row totals
+        # frame (NBKT² = 1024 intermediate rows) — not a bare-orderBy
+        # window, so the plan carries ZERO all-to-one WindowExec nodes.
+        bkt_tot = bucketed.groupBy("bkt").agg(
+            F.sum("n_rows").alias("bkt_rows")
+        )
+        other = bkt_tot.select(
+            F.col("bkt").alias("obkt"), F.col("bkt_rows").alias("orows")
         )
         offs = (
-            bucketed.groupBy("bkt")
-            .agg(F.sum("n_rows").alias("bkt_rows"))
-            .select(
-                "bkt",
-                F.coalesce(F.sum("bkt_rows").over(w_off), F.lit(0)).alias(
-                    "bkt_off"
-                ),
-                F.sum("bkt_rows")
-                .over(Window.partitionBy())
-                .alias("total"),
+            bkt_tot.crossJoin(F.broadcast(other))
+            .groupBy("bkt")
+            .agg(
+                F.sum(
+                    F.when(F.col("obkt") < F.col("bkt"), F.col("orows"))
+                    .otherwise(F.lit(0))
+                ).alias("bkt_off"),
+                F.sum("orows").alias("total"),
             )
         )
         planned = (

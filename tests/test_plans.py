@@ -716,3 +716,16 @@ def test_whale_share_single_window_rollup(q):
     for op in ("SortMergeJoin", "BroadcastHashJoin",
                "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert op not in plan
+
+
+def test_compaction_plan_no_global_window(q):
+    """r13 (r12 verdict #5): the compaction planner's prefix sum must be
+    the two-pass range-bucketed scan — every WindowExec partitioned (no
+    all-to-one funnel of the segment frame), and no window at all on the
+    offsets path (triangular join instead)."""
+    plan = _plan(q("pinot_compaction_plan"))
+    for line in plan.splitlines():
+        if "Arguments:" in line and "windowspecdefinition" in line.lower():
+            assert "bkt" in line  # partitioned by bucket, never bare
+    # the formatted plan names unpartitioned windows explicitly
+    assert "No Partition Defined" not in plan
