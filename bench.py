@@ -214,9 +214,13 @@ def calibration(spark) -> dict:
     # neither exercises the tier's real substrate: Python-worker dispatch +
     # Arrow batch handoff + segment decode through the DataSource V2 path.
     # This probe is that path end to end on PINNED data: a deterministic
-    # 2M-row two-column segment written ONCE per process (module cache, so
+    # 2M-row three-column table written ONCE per process (module cache, so
     # the start and end probes read identical bytes; the write is outside
-    # all timing), then a sum/min/max scan through the pinot reader.
+    # all timing), then a sum/min/max scan through the pinot reader. EIGHT
+    # 250k-row segments, not one: a single-segment probe rides ONE Python
+    # worker and measured 1.8 s -> 5.9 s start-to-end of the r13 bench
+    # (one tired worker, not the pool); eight tasks average the worker
+    # pool the benched pinot queries actually run on.
     global _PINOT_PROBE_DIR
     if _PINOT_PROBE_DIR is None:
         import tempfile
@@ -228,7 +232,7 @@ def calibration(spark) -> dict:
         register_pinot_source(spark)
         d = os.path.join(tempfile.mkdtemp(prefix="calib_pinot_"), "p_OFFLINE")
         (
-            spark.range(0, 2_000_000, 1, 1)
+            spark.range(0, 2_000_000, 1, 8)
             .select(
                 F.col("id").alias("k"),
                 (F.col("id") % 1000).cast("int").alias("dim"),

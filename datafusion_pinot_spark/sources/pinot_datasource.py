@@ -781,13 +781,17 @@ class PinotDataSourceReader(DataSourceReader):
     # 8 tasks 0.45 s, 32 tasks 0.64 s — 8 won).
     # Metadata-only COUNT(*) packing. Per-segment work on this path is a
     # manifest lookup (or one small properties parse on fallback) — tens
-    # of microseconds — while each task costs a Python-worker dispatch +
-    # Arrow handoff (~10s of ms). Measured r13 on the 128-segment
-    # marginal-tier shape: 16 tasks (old pack=8) 60 ms, 8 tasks 36 ms,
-    # 2 tasks 31 ms re-executed median — dispatch dominates until a task
-    # carries hundreds of segments. 64 keeps a 1M-segment table at ~16k
-    # tasks (fine) and collapses bench-scale counts to 1-2 waves.
-    _COUNT_PACK = 64
+    # of microseconds — so packing trades per-task dispatch against
+    # downstream parallelism over the zero-column row stream. Measured
+    # r13 on the 128-segment marginal shape (9.6M rows, noop-timed):
+    # 64 tasks 0.82 s, 32 tasks 0.49 s, 16 tasks 0.46 s, 8 tasks 0.54 s,
+    # 2 tasks 1.07 s — a clear 16-32-task sweet spot at local[32]. The
+    # pack therefore FLOORS at 8 segments/task and grows with the table
+    # so counts never exceed ~_COUNT_TASKS_TARGET tasks (a 1M-segment
+    # table packs ~31k segments/task — still microseconds of payload
+    # per manifest lookup).
+    _COUNT_PACK = 8
+    _COUNT_TASKS_TARGET = 32
 
     # Target decoded docs per task for `segments_per_partition=auto` — a
     # few hundred MB of decoded columns at typical widths, large enough to
@@ -906,7 +910,10 @@ class PinotDataSourceReader(DataSourceReader):
             and self._tail is None
             and spp == 1
         ):
-            spp = self._COUNT_PACK
+            spp = max(
+                self._COUNT_PACK,
+                -(-len(survivors) // self._COUNT_TASKS_TARGET),
+            )
         return [
             PinotInputPartition(
                 tuple(survivors[i : i + spp]),
