@@ -92,16 +92,22 @@ def pareto_revenue_share(
     cast to BIGINT cents.
 
     Scale shape: one map-side-combined per-customer revenue agg
-    collapses the order log; the rank window and the two-way rollup run
-    on the customers-sized frame."""
+    collapses the order log; the rank then comes from global_rank's
+    bucketed two-pass prefix sum ($10k revenue buckets are monotone in
+    the (rev desc, custkey) order), so the customers-sized frame is
+    never funneled through a single-partition window — r13, replacing
+    the bare row_number() OVER (ORDER BY) this module's header bans."""
     per = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    wn = Window.partitionBy()
-    ranked = per.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
-    )
+    per = per.withColumn("__neg_cents", F.expr("-CAST(rev * 100 AS BIGINT)"))
+    ranked = global_rank(
+        per,
+        F.expr("__neg_cents DIV 1000000"),
+        ["__neg_cents", "o_custkey"],
+        rank_col="rk",
+        total_col="n",
+    ).drop("__neg_cents")
     cut = F.expr(f"CAST((n * {top_pct} + 99) DIV 100 AS BIGINT)")
     return (
         ranked.withColumn("is_top", (F.col("rk") <= cut).cast("bigint"))

@@ -1279,9 +1279,12 @@ def zipf_rank_frequency(docs: DataFrame, k: int = 20) -> DataFrame:
     rank-1 frequency. All exact integers; ranks break ties by token.
 
     Scale shape: one map-side-combined token count (the same shuffle
-    every vocabulary operator pays); the rank window runs on the
-    vocabulary frame — Zipf-bounded, far smaller than the corpus — with
-    the top-k filter applied after the deterministic rank."""
+    every vocabulary operator pays); the top-``k`` prune is a
+    TakeOrderedAndProject (distributed partial top-k per partition, no
+    global sort of the vocabulary — r13: open-vocabulary corpora make
+    the vocab frame corpus-sized, so ranking it through one window was
+    the banned all-to-one shape), and the rank window then runs on the
+    k-row survivor frame — bounded by the parameter, not the data."""
     from datafusion_pinot_spark.functions import tokens
 
     freq = (
@@ -1289,9 +1292,10 @@ def zipf_rank_frequency(docs: DataFrame, k: int = 20) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    topk = freq.orderBy(F.desc("freq"), F.asc("w")).limit(k)
     w = Window.orderBy(F.desc("freq"), F.asc("w"))
     wtop = Window.partitionBy()
-    ranked = freq.withColumn("rank", F.row_number().over(w)).withColumn(
+    ranked = topk.withColumn("rank", F.row_number().over(w)).withColumn(
         "top_freq", F.max("freq").over(wtop)
     )
     return (

@@ -729,3 +729,23 @@ def test_compaction_plan_no_global_window(q):
             assert "bkt" in line  # partitioned by bucket, never bare
     # the formatted plan names unpartitioned windows explicitly
     assert "No Partition Defined" not in plan
+
+
+def test_zipf_topk_prune_before_rank(q):
+    """r13: the rank window must run on the k-row TakeOrdered survivors,
+    never on the full (open-vocabulary) frequency frame."""
+    plan = _plan(q("zipf_rank_frequency"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pareto_rank_is_two_pass(q):
+    """r13: pareto's customer rank comes from global_rank's bucketed
+    two-pass prefix sum — the within-bucket window is partitioned and
+    the broadcast carries the prefixes back."""
+    plan = _plan(q("pareto_revenue_share"))
+    assert "BroadcastHashJoin" in plan
+    # the only windows are the bucket-frame prefix scan and the
+    # partitioned within-bucket row_number — never a bare rank over
+    # the customer frame (which would show row_number ordered by rev
+    # with no partition spec alongside no join)
+    assert "__bucket" in plan
