@@ -1197,18 +1197,23 @@ def lm_quality_gate(docs: DataFrame) -> DataFrame:
     threshold itself is emitted so the report is self-describing.
 
     Scale shape: the LM scoring's shuffles (see bigram_lm_score) plus
-    one rank window over the per-doc score frame (docs-sized, not
-    corpus-token-sized) and a map-side-combined per-source rollup."""
+    the exact median via global_rank's bucketed two-pass prefix sum
+    (r13 — the per-doc score frame is DOCS-sized, so ranking it through
+    one bare-orderBy window was the banned all-to-one shape; 10k-ppm
+    score buckets are monotone in the (score, doc_id) order) and a
+    map-side-combined per-source rollup."""
+    from datafusion_pinot_spark.operators.ranking import global_rank
+
     scores = bigram_lm_score(docs).join(
         docs.select("doc_id", "source"), "doc_id"
     )
-    w_all = Window.partitionBy()
-    ranked = scores.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy().orderBy("lm_score_ppm", "doc_id")
-        ),
-    ).withColumn("n", F.count(F.lit(1)).over(w_all))
+    ranked = global_rank(
+        scores,
+        F.expr("lm_score_ppm DIV 10000"),
+        ["lm_score_ppm", "doc_id"],
+        rank_col="rk",
+        total_col="n",
+    )
     med = ranked.filter(
         F.col("rk") == F.expr("(n + 1) DIV 2")
     ).select(F.col("lm_score_ppm").alias("gate_ppm"))
