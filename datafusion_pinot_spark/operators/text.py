@@ -1779,10 +1779,15 @@ def vocab_coverage_curve(
     against the total.
 
     Scale shape (100 TB): the corpus collapses to the VOCABULARY frame in
-    one map-side-combined groupBy; the cumulative window and per-target
-    min-rank rollups run on that bounded frame (single-task window —
-    deliberate, vocab-sized); targets fan out constant-fold. The token
-    stream is never windowed."""
+    one map-side-combined groupBy; the rank AND the cumulative token
+    mass come from a bucketed two-pass prefix scan (r13 — an open
+    vocabulary makes this frame corpus-sized, so the old bare-orderBy
+    cumulative window was the banned all-to-one shape): tokens bucket
+    by -floor(log2(count)) — ≤ 64 buckets forever, monotone in the
+    (count desc, token asc) order — the bucket frame carries both a
+    row-count and a mass prefix, and the within-bucket windows are
+    partitioned. Targets fan out constant-fold; the token stream is
+    never windowed."""
     from pyspark.sql import Window
 
     freq = (
@@ -1791,14 +1796,40 @@ def vocab_coverage_curve(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.desc("c"), F.asc("tok")).rowsBetween(
+    b = freq.withColumn(
+        "__bucket", F.expr("-CAST(floor(log2(c)) AS BIGINT)")
+    )
+    bcounts = b.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__bn"), F.sum("c").alias("__bc")
+    )
+    w_prefix = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefixes = bcounts.select(
+        "__bucket",
+        F.coalesce(F.sum("__bn").over(w_prefix), F.lit(0)).alias(
+            "__rank_off"
+        ),
+        F.coalesce(F.sum("__bc").over(w_prefix), F.lit(0)).alias(
+            "__cum_off"
+        ),
+    )
+    w_local = Window.partitionBy("__bucket").orderBy(
+        F.desc("c"), F.asc("tok")
+    )
+    w_local_cum = w_local.rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    ranked = freq.select(
-        F.row_number()
-        .over(Window.orderBy(F.desc("c"), F.asc("tok")))
-        .alias("rank"),
-        F.sum("c").over(w).alias("cum"),
+    ranked = (
+        b.join(F.broadcast(prefixes), "__bucket")
+        .select(
+            (F.col("__rank_off") + F.row_number().over(w_local)).alias(
+                "rank"
+            ),
+            (F.col("__cum_off") + F.sum("c").over(w_local_cum)).alias(
+                "cum"
+            ),
+        )
     )
     totals = freq.agg(
         F.sum("c").cast("long").alias("total_tokens"),
