@@ -230,7 +230,14 @@ def calibration(spark) -> dict:
         from datafusion_pinot_spark.sources import register_pinot_source
 
         register_pinot_source(spark)
-        d = os.path.join(tempfile.mkdtemp(prefix="calib_pinot_"), "p_OFFLINE")
+        import atexit
+        import shutil
+
+        root = tempfile.mkdtemp(prefix="calib_pinot_")
+        # the probe table is process-cached; reap it when the bench exits
+        # so repeated runs don't leak 2M-row segment dirs in /tmp
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        d = os.path.join(root, "p_OFFLINE")
         (
             spark.range(0, 2_000_000, 1, 8)
             .select(

@@ -9607,17 +9607,43 @@ DRIVER_WINDOW: list[str] = [
     # next round.
     "scalar_functions_extended",  # r6: §2.8 builtin breadth (first driver check)
     "window_value_functions",  # r6: §2.5 value-function frames (first driver check)
-    # r14 FIRST-CHECK BACKLOG (8 entries — one round's rotation capacity),
-    # registered in r13, each oracle-green at sf0.001/0.01/0.1 and
-    # hand-value/invariant-tested in tests/test_round13.py:
-    # cusum_changepoint_daily (N-scaled integer CUSUM level-shift scan),
-    # kendall_tau_daily (pair-counting rank correlation, sign-split ppm),
-    # packing_waste_curve (context-length truncation/padding planner),
-    # quality_config_ablation (multi-gate retained-set mask profile),
-    # bloom_decontam_audit (Bloom decontamination vs exact, FP gap),
-    # cms_frequency_audit (count-min overestimate profile on 3-grams),
-    # lsh_band_tuning_curve (precision/recall per (bands, rows) config),
-    # asof_join_tolerance (merge_asof-with-tolerance attribution join).
+    # -- r14: drain the 8-query r13 first-check backlog (r13 VERDICT item
+    # #1; all 8 registered in r13, oracle-green at sf0.001/0.01/0.1 since
+    # registration, hand-value/invariant-tested in tests/test_round13.py,
+    # and independently re-verified green by the r13 judge at sf0.001).
+    # Slots freed by rotating out 8 FOUR-or-FIVE-times-green veterans,
+    # each pinned by the pytest oracle tier, with family coverage staying
+    # in-window: entity_cluster_sizes (5x green r09-r13; the graph family
+    # stays window-covered by degree_distribution, and the CC-as-groups
+    # semantics by dup_transitivity_audit + dedup_pipeline_report, which
+    # composes the same converged-components kernel),
+    # label_prop_communities (5x; graph covered by degree_distribution
+    # staying — same edge-gen plumbing — and iterative-fixpoint semantics
+    # by dedup_pipeline_report's CC stage), t_closeness_audit (5x; the
+    # privacy family stays window-covered by
+    # contribution_sensitivity_audit), lm_quality_gate (4x; the quality-
+    # gate family is covered by quality_config_ablation ENTERING — the
+    # multi-gate ablation composes the same gates — plus
+    # quality_yield_curve staying), theil_sen_daily_trend (4x; the robust
+    # daily-trend family is covered by cusum_changepoint_daily +
+    # kendall_tau_daily entering — the same per-day epoch reduction
+    # feeding exact integer statistics — plus monthly_revenue_momentum
+    # staying), sq8_recall_audit (4x; the SQ8 surface stays window-
+    # covered by ann_sq8_topk, and recall-auditing by
+    # knn_label_consistency staying), minhash_estimate_error (4x;
+    # MinHash/LSH accuracy is covered by lsh_band_tuning_curve ENTERING —
+    # it sweeps (bands, rows) precision/recall over the same signatures —
+    # plus dedup_pipeline_report staying), dedup_token_yield (4x; the
+    # yield rollup is a stage INSIDE dedup_pipeline_report staying, plus
+    # dedup_survivorship_psi staying). --
+    "cusum_changepoint_daily",  # r13: N-scaled integer CUSUM level-shift scan
+    "kendall_tau_daily",  # r13: pair-counting rank correlation, sign-split ppm
+    "packing_waste_curve",  # r13: context-length truncation/padding planner
+    "quality_config_ablation",  # r13: multi-gate retained-set mask profile
+    "bloom_decontam_audit",  # r13: Bloom decontamination vs exact, FP gap
+    "cms_frequency_audit",  # r13: count-min overestimate profile on 3-grams
+    "lsh_band_tuning_curve",  # r13: precision/recall per (bands, rows) config
+    "asof_join_tolerance",  # r13: merge_asof-with-tolerance attribution join
     # -- r11: drain the 8-query first-check backlog (r10 VERDICT item #3).
     # Slots freed by rotating out 8 THRICE-green (r08+r09+r10) veterans,
     # each pinned by the pytest oracle tier, with family coverage staying
@@ -9669,21 +9695,21 @@ DRIVER_WINDOW: list[str] = [
     # dedup_token_yield entering + canonical_keep_report staying),
     # gini_source_concentration (concentration covered by
     # pareto_revenue_share + zipf_rank_frequency entering). --
-    "lm_quality_gate",  # r9: bigram-LM median fluency gate (first check)
-    "theil_sen_daily_trend",  # r9: median-of-slopes robust trend (first check)
+    # (r14 rotation, 4x-green r10-r13) "lm_quality_gate",  # r9: bigram-LM median fluency gate (first check)
+    # (r14 rotation, 4x-green r10-r13) "theil_sen_daily_trend",  # r9: median-of-slopes robust trend (first check)
     "ann_sq8_topk",  # r9: int8 scalar-quantized ANN (first check)
     "contribution_sensitivity_audit",  # r9: DP per-user sensitivity (first check)
     "user_inactivity_gaps",  # r9: churn gap distribution (first check)
     "session_bounce_rate",  # r9: single-event session share (first check)
     "dau_wau_stickiness",  # r9: DAU/WAU engagement ratio (first check)
-    "sq8_recall_audit",  # r9: SQ8 recall@10 vs exact cosine (first check)
-    "minhash_estimate_error",  # r9: MinHash Jaccard estimation error (first check)
+    # (r14 rotation, 4x-green r10-r13) "sq8_recall_audit",  # r9: SQ8 recall@10 vs exact cosine (first check)
+    # (r14 rotation, 4x-green r10-r13) "minhash_estimate_error",  # r9: MinHash Jaccard estimation error (first check)
     "degree_distribution",  # r9: graph degree histogram (first check)
     "pareto_revenue_share",  # r9: top-p% revenue concentration (first check)
     "zipf_rank_frequency",  # r9: token rank-frequency Zipf fit (first check)
     "source_lang_independence",  # r9: chi-square independence audit (first check)
     "interevent_gap_histogram",  # r9: log2-bucketed inter-event gaps (first check)
-    "dedup_token_yield",  # r9: dedup token-savings rollup (first check)
+    # (r14 rotation, 4x-green r10-r13) "dedup_token_yield",  # r9: dedup token-savings rollup (first check)
     "knn_label_consistency",  # r9: kNN label-agreement probe (first check)
     "monthly_revenue_momentum",  # r9: MoM revenue momentum (first check)
     "cross_field_integrity_audit",  # r9: cross-field constraint audit (first check)
@@ -9737,7 +9763,7 @@ DRIVER_WINDOW: list[str] = [
     # (pinot_zorder_scan rotated out for the converged-fixpoint entity
     # clustering: twice-green r07+r08; the Morton layout stays pinned by
     # test_zorder.py and planning-proven every bench via dim2_prune.)
-    "entity_cluster_sizes",  # r9: converged components vs recursive oracle
+    # (r14 rotation, 5x-green r09-r13) "entity_cluster_sizes",  # r9: converged components vs recursive oracle
     # (pinot_bigdecimal_roundtrip rotated out for the r9 boilerplate
     # report: twice-green r07+r08; BIG_DECIMAL exactness stays pinned at
     # the byte level by the storage unit tests + test_oracle_types, and
@@ -9770,8 +9796,8 @@ DRIVER_WINDOW: list[str] = [
     # triple with the catalog's only UDTF + SQL LATERAL surface.)
     # (r12 rotation, thrice-green r09+r10+r11) "word_runs_udtf",  # r9: Python UDTF + LATERAL vs gaps-and-islands
     "halflife_event_mass",  # r9: power-of-two recency decay mass
-    "t_closeness_audit",  # r9: sensitive-distribution TVD privacy audit
-    "label_prop_communities",  # r9: 2-round min-label propagation
+    # (r14 rotation, 5x-green r09-r13) "t_closeness_audit",  # r9: sensitive-distribution TVD privacy audit
+    # (r14 rotation, 5x-green r09-r13) "label_prop_communities",  # r9: 2-round min-label propagation
     # (r13 rotation, 4x-green r09-r12) "token_lift_pairs",  # r9: integer co-occurrence lift, top-V bounded
     # (r12 rotation, thrice-green r09+r10+r11) "video_scene_cuts",  # r9: inter-frame-delta shot detection, hash-gated
     # (audio_vad_summary rotated out, once-green r08: the framed-media

@@ -1059,7 +1059,10 @@ class PinotDataSourceReader(DataSourceReader):
             # table-level stats read covers every fresh segment in the
             # task, so a 64-segment count task does one JSON read instead
             # of 64 properties parses; stale/uncovered segments fall back
-            # to their own metadata.properties.
+            # to their own metadata.properties. Verification is scoped to
+            # the task's OWN segments (r13 advice — stats_for_segments
+            # fingerprints only what it serves), so a worker on a
+            # 1M-segment table pays ~31k stat+md5 per task, not 1M.
             manifest = stats_for_segments(list(partition.segment_dirs))
             for segment_dir in partition.segment_dirs:
                 st = manifest.get(segment_dir)

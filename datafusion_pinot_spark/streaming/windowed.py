@@ -140,9 +140,12 @@ def watermarked_stream_agg(
     differs from the all-rows batch aggregate on almost every window,
     so the hash gate proves the late-drop semantics themselves, not
     just the window withholding the time-split sibling checks."""
-    ev = spark.read.parquet(events_parquet)
+    # _with_ts here too: under nanosAsLong the raw read surfaces ts as
+    # bigint, max_ts would collect as int, and str-round-tripping it through
+    # cast('timestamp') yields NULL — turning every split condition NULL.
+    ev = _with_ts(spark.read.parquet(events_parquet))
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    mx = F.lit(str(max_ts)).cast("timestamp")
+    mx = F.lit(max_ts)
     parity = F.col("event_id") % 2
     stream, bases = _ordered_condition_split_stream(
         spark,

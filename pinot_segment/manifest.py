@@ -217,14 +217,25 @@ def load_manifest(table_dir: str, verify: bool = True) -> Optional[dict]:
 
 def stats_for_segments(v3_dirs) -> dict:
     """Map each v3 segment dir to its manifest stats, loading each table
-    dir's manifest at most once. Segments without a fresh manifest map to
-    None — the caller falls back to opening those (and only those)."""
+    dir's manifest at most once and verifying ONLY the requested segments'
+    fingerprints (r13 advice): a count task serving ~31k segments of a
+    1M-segment table must not stat + md5 the other 969k per worker — the
+    per-segment fingerprint pins exactly the metadata bytes the stats were
+    collected from, so staleness elsewhere in the table cannot poison a
+    verified entry. A requested segment missing from the manifest, or whose
+    fingerprint changed, maps to None — the caller opens those (and only
+    those). Whole-table coverage checking stays in
+    ``load_manifest(verify=True)`` for callers that trust the manifest's
+    segment LIST itself (distinct router, maintenance, verify)."""
     out: dict = {}
     by_table: dict = {}
     for v3 in v3_dirs:
         by_table.setdefault(os.path.dirname(os.path.dirname(v3)), []).append(v3)
     for table_dir, segs in by_table.items():
-        manifest = load_manifest(table_dir)
+        manifest = load_manifest(table_dir, verify=False)
         for v3 in segs:
-            out[v3] = None if manifest is None else manifest.get(_seg_key(v3))
+            stats = None if manifest is None else manifest.get(_seg_key(v3))
+            if stats is not None and stats.get("fingerprint") != _fingerprint(v3):
+                stats = None
+            out[v3] = stats
     return out

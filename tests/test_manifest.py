@@ -99,6 +99,65 @@ def test_stats_for_segments_mixed(table_dir, tmp_path):
     assert stats[uncovered[0]] is None
 
 
+def test_stats_for_segments_verifies_only_requested(table_dir, monkeypatch):
+    """r14 (r13 advice): stats_for_segments must fingerprint ONLY the
+    requested segments — a count task on a huge table must not re-verify
+    the whole table per worker — and staleness elsewhere in the table must
+    not poison a verified entry."""
+    M.write_manifest(table_dir, M.build_manifest(table_dir))
+    segs = [os.path.join(table_dir, f"seg{i}", "v3") for i in range(3)]
+
+    checked = []
+    real_fp = M._fingerprint
+
+    def spy(v3):
+        checked.append(v3)
+        return real_fp(v3)
+
+    monkeypatch.setattr(M, "_fingerprint", spy)
+    stats = M.stats_for_segments(segs[:2])
+    assert all(stats[s] is not None for s in segs[:2])
+    assert sorted(checked) == sorted(segs[:2])  # seg2 never fingerprinted
+
+    # a new segment (whole-table set mismatch) must NOT disable stats for
+    # the verified requested segments…
+    write_segment(
+        os.path.join(table_dir, "seg9"),
+        "seg9",
+        "t",
+        [ColumnSpec("k", DataType.LONG, np.arange(5))],
+    )
+    stats = M.stats_for_segments(segs[:2])
+    assert all(stats[s] is not None for s in segs[:2])
+    # …while the uncovered new segment itself falls back
+    assert M.stats_for_segments(
+        [os.path.join(table_dir, "seg9", "v3")]
+    )[os.path.join(table_dir, "seg9", "v3")] is None
+
+
+def test_stats_for_segments_rejects_rewritten_requested(table_dir):
+    """A REQUESTED segment whose metadata changed under the manifest must
+    map to None (fingerprint mismatch), even though siblings stay served."""
+    import shutil
+
+    M.write_manifest(table_dir, M.build_manifest(table_dir))
+    shutil.rmtree(os.path.join(table_dir, "seg1"))
+    write_segment(
+        os.path.join(table_dir, "seg1"),
+        "seg1",
+        "t",
+        [
+            ColumnSpec("k", DataType.LONG, np.arange(7)),
+            ColumnSpec("s", DataType.STRING, ["x"] * 7),
+        ],
+    )
+    M._FP_CACHE.clear()  # fresh process view
+    segs = [os.path.join(table_dir, f"seg{i}", "v3") for i in range(3)]
+    stats = M.stats_for_segments(segs)
+    assert stats[segs[1]] is None
+    assert stats[segs[0]] is not None and stats[segs[2]] is not None
+
+
 def test_planning_does_not_open_segments(table_dir, monkeypatch):
     """With a fresh manifest, zone-map pruning at partitions() time must not
     call SegmentReader.open — the O(segments) walk the manifest removes."""

@@ -87,6 +87,35 @@ def test_watermarked_parity_drop_rule(spark):
     assert any(n < full[k] for k, n in got.items())
 
 
+def test_watermarked_agg_nanos_ts_variant(spark, tmp_path):
+    """r14 (advice): under spark.sql.legacy.parquet.nanosAsLong (set by
+    session.py), a TIMESTAMP(NANOS) events file surfaces ts as BIGINT. The
+    max-ts pivot logic must normalize through _with_ts first — the raw read
+    used to collect max_ts as an int, str-cast it to a NULL timestamp, make
+    all three split conditions NULL, and crash on three empty part files.
+    The nanos result must equal the micros result exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_pinot_spark.streaming.windowed import watermarked_stream_agg
+
+    src = f"{SF_SMOKE}/events.parquet"
+    tbl = pq.read_table(src)
+    i = tbl.schema.get_field_index("ts")
+    ns = tbl.set_column(
+        i, "ts", tbl.column("ts").cast(pa.timestamp("ns"))
+    )
+    dst = str(tmp_path / "events_ns.parquet")
+    pq.write_table(ns, dst, use_deprecated_int96_timestamps=False,
+                   coerce_timestamps=None)
+    assert dict(spark.read.parquet(dst).dtypes)["ts"] == "bigint"
+
+    key = lambda r: (r["bucket_start"], r["event_type"], r["n"])
+    got = sorted(map(key, watermarked_stream_agg(spark, dst).collect()))
+    want = sorted(map(key, watermarked_stream_agg(spark, src).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_stateful_totals_equal_batch_groupby(spark):
     from datafusion_pinot_spark.plans.queries import t
     from datafusion_pinot_spark.streaming.stateful import stateful_user_totals
