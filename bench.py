@@ -627,15 +627,9 @@ def marginal_tier(
         F.sum("l_extendedprice").alias("s"), F.count("*").alias("n")
     )
     from datafusion_pinot_spark.operators.segment_distinct import (
-        bitmap_distinct_sum,
         dictionary_groupby_count,
         dictionary_union_distinct,
-    )
-
-    klo, khi = (
-        rd(big, "l_orderkey")
-        .agg(F.min("l_orderkey"), F.max("l_orderkey"))
-        .collect()[0]
+        distinct_count,
     )
     probes = {
         # hash layout: every segment spans the full key range — zone maps
@@ -737,14 +731,16 @@ def marginal_tier(
         "distinct_global": lambda: rd(big, "l_orderkey").agg(
             F.count_distinct("l_orderkey").alias("n")
         ),
-        # same answer via the bounded-domain bitmap merge: each task ships
-        # only its nonzero bitmap bytes (domain/8 cap, row-count-free).
-        # Measured SLOWER than distinct_global at this scale (r7: 0.32x —
-        # the Arrow hop outweighs the saved shuffle); kept as the honest
-        # record of why the strategy is opt-in, not in the auto router.
-        "distinct_bitmap": lambda: bitmap_distinct_sum(
-            rd(big, "l_orderkey"), "l_orderkey", int(klo), int(khi)
-        ),
+        # same answer via the bounded-domain bitmap merge. r14: the probe
+        # now exercises the real user surface (the router), which serves
+        # the bitmap from DICTIONARY entries when provable — no forward
+        # decode, vectorized bit set, word-granular sparse shuffle. The
+        # r7-r13 row-stream variant measured 0.32-0.35x of distinct_global
+        # (the per-row Arrow hop + unbuffered bitwise_or.at); the
+        # row-stream path remains the raw/nullable-column fallback.
+        "distinct_bitmap": lambda: distinct_count(
+            spark, big, "l_orderkey", strategy="bitmap"
+        )[0],
         # dictionary-union distinct (r8) probed on l_partkey — the column
         # with real key repetition (rows >> per-segment distincts), which
         # is the regime the strategy serves: each segment's dictionary IS

@@ -130,12 +130,14 @@ def distinct_count(
 
     ``strategy="bitmap"`` forces the bounded-domain bitmap merge
     (DISTINCTCOUNTBITMAP shape) when the manifest [min, max] fits
-    :data:`BITMAP_MAX_DOMAIN` bits, else raises. It is NOT in the auto
-    tier by measurement: bench.py's ``distinct_bitmap`` probe shows the
-    Python-source Arrow hop costs ~3x what the saved shuffle wins at
-    local scale — the strategy pays off only where the exchange is the
-    bottleneck (network-bound clusters with very large distinct
-    cardinalities), so callers must ask for it.
+    :data:`BITMAP_MAX_DOMAIN` bits, else raises. r14: when every segment
+    stores the column dict-encoded and null-free, the bitmap is built
+    from the DICTIONARY entries (decode-free — the forward index never
+    opens) and ships word-granular sparse bytes; the row-stream variant
+    remains the fallback for raw/nullable columns. Still opt-in, not in
+    the auto tier: its shuffle is domain-bounded rather than
+    cardinality-bounded, which wins only when distincts-per-segment
+    approach the domain (otherwise ``dictionary_union`` ships less).
 
     Returns (one-row DataFrame, method)."""
     from datafusion_pinot_spark.sources import register_pinot_source
@@ -148,6 +150,18 @@ def distinct_count(
             raise ValueError(
                 f"bitmap strategy needs a provable [min, max] domain of "
                 f"<= {BITMAP_MAX_DOMAIN} bits for {col}"
+            )
+        # r14: decode-free input when provable — each segment's dictionary
+        # IS its distinct set, so the bitmap is built from dictionary
+        # entries (dictionary_only scan: only the dictionary byte-range of
+        # columns.psf opens, the forward index never decodes) instead of
+        # the row stream. Falls back to the row scan when any segment is
+        # raw-encoded or nullable.
+        ents = _dictionary_entry_stream(spark, table_dir, col)
+        if ents is not None:
+            return (
+                bitmap_distinct_sum(ents, col, mm[0], mm[1]),
+                "bitmap_dictionary_merge",
             )
         return bitmap_distinct_sum(df, col, mm[0], mm[1]), "bitmap_merge"
     if strategy != "auto":
@@ -270,27 +284,42 @@ def dictionary_union_distinct(
     (``dictionary_only`` read option — Arrow batches, packed tasks), so
     executors open only the dictionary byte-range of ``columns.psf``;
     the driver ships segment paths, never values."""
+    got = _dict_nullfree_everywhere(table_dir, col)
+    if got is None:
+        return None
+    if not got[0]:
+        return spark.range(1).select(F.lit(0).cast("long").alias("n_distinct"))
+    ents = _dictionary_entry_stream(spark, table_dir, col, _checked=got)
+    return ents.agg(F.count_distinct(col).alias("n_distinct"))
+
+
+def _dictionary_entry_stream(
+    spark: SparkSession, table_dir: str, col: str, _checked=None
+) -> "DataFrame | None":
+    """The per-segment dictionary entries of ``col`` as a DataFrame (one
+    row per segment-local distinct value), or None when any segment is
+    raw-encoded, nullable, or multi-value — the shared decode-free input
+    of :func:`dictionary_union_distinct` and the bitmap strategy."""
     import math
 
     from datafusion_pinot_spark.sources import register_pinot_source
 
-    got = _dict_nullfree_everywhere(table_dir, col)
-    if got is None:
+    got = _checked if _checked is not None else _dict_nullfree_everywhere(
+        table_dir, col
+    )
+    if got is None or not got[0]:
         return None
     dirs = got[0]
-    if not dirs:
-        return spark.range(1).select(F.lit(0).cast("long").alias("n_distinct"))
     register_pinot_source(spark)
     par = max(spark.sparkContext.defaultParallelism, 1)
     spp = max(1, math.ceil(len(dirs) / par))
-    ents = (
+    return (
         spark.read.format("pinot")
         .option("dictionary_only", col)
         .option("segments", ",".join(dirs))
         .option("segments_per_partition", str(spp))
         .load()
     )
-    return ents.agg(F.count_distinct(col).alias("n_distinct"))
 
 
 def _table_min_max(table_dir: str, col: str):
@@ -335,12 +364,17 @@ def bitmap_distinct_sum(df: DataFrame, col: str, lo: int, hi: int) -> DataFrame:
     import numpy as np
 
     width = hi - lo + 1
-    nbytes = (width + 7) // 8
 
     def gen(batches):
         import pandas as pd
 
-        bm = np.zeros(nbytes, dtype=np.uint8)
+        # Vectorized bit set: one bool per domain slot (≤ domain bits
+        # BYTES of working memory per task — 64 MB at the 2^26 cap),
+        # packed little-endian at the end. r14: replaces the unbuffered
+        # np.bitwise_or.at (~100 ns/element) with bulk boolean
+        # assignment + packbits — the per-value cost drops to the
+        # memory-bandwidth floor.
+        bits = np.zeros(width, dtype=bool)
         for pdf in batches:
             # nulls were filtered ENGINE-side below: a null-bearing int64
             # batch would arrive in pandas as float64, silently rounding
@@ -353,25 +387,30 @@ def bitmap_distinct_sum(df: DataFrame, col: str, lo: int, hi: int) -> DataFrame:
                 raise ValueError(
                     f"{col} value outside declared [{lo}, {hi}] domain"
                 )
-            np.bitwise_or.at(
-                bm, idx >> 3, (np.uint8(1) << (idx & 7).astype(np.uint8))
-            )
-        nz = np.nonzero(bm)[0]
+            bits[idx] = True
+        packed = np.packbits(bits, bitorder="little")
+        pad = (-len(packed)) % 8
+        if pad:
+            packed = np.concatenate([packed, np.zeros(pad, np.uint8)])
+        # r14: word-granular (int64) sparse emission — 8x fewer shuffle
+        # rows than the former per-byte pairs for the same bitmap
+        words = packed.view("<i8")
+        nz = np.nonzero(words)[0]
         yield pd.DataFrame(
             {
                 "idx": pd.Series(nz, dtype="int64"),
-                "b": pd.Series(bm[nz], dtype="int64"),
+                "w": pd.Series(words[nz], dtype="int64"),
             }
         )
 
     parts = (
         df.select(col)
         .where(F.col(col).isNotNull())
-        .mapInPandas(gen, "idx long, b long")
+        .mapInPandas(gen, "idx long, w long")
     )
-    merged = parts.groupBy("idx").agg(F.expr("bit_or(b)").alias("b"))
+    merged = parts.groupBy("idx").agg(F.expr("bit_or(w)").alias("w"))
     return merged.agg(
-        F.coalesce(F.sum(F.bit_count("b")), F.lit(0))
+        F.coalesce(F.sum(F.bit_count("w")), F.lit(0))
         .cast("long")
         .alias("n_distinct")
     )

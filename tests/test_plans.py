@@ -749,3 +749,83 @@ def test_pareto_rank_is_two_pass(q):
     # the customer frame (which would show row_number ordered by rev
     # with no partition spec alongside no join)
     assert "__bucket" in plan
+
+
+# -- r14 (r13 verdict #4): the repo-wide bare-window gate ---------------------
+
+# Every all-to-one WindowExec the catalog is ALLOWED to plan, keyed by query
+# and by the window's ORDER-column signature (tools/window_lint.py). Each
+# entry is a documented BOUNDED frame — the r13 audit classified them all:
+#   __bucket      global_rank / bucketed two-pass prefix scans (<=64 or <=k
+#                 bucket rows forever — ranking.py:25-66 and siblings)
+#   day / dn / month_key / bucket   calendar- or log2-bounded series
+#   rem DESC,source    Hamilton apportionment remainders (5 sources)
+#   freq DESC,w        rank over TakeOrdered top-k survivors (zipf)
+#   chars DESC,source  top-k survivor frame (topk_sources_with_other)
+#   n_tokens DESC      distinct doc-length envelope (max-doc-length-bounded)
+#   n_s ASC,source     per-source aggregate frame (#sources rows)
+#   ""                 order-less global windows over already-bounded frames
+#                      (grand totals on per-source / per-digit aggregates)
+# A NEW bare window anywhere in the catalog — or a bare window acquiring a
+# new data-scaled shape — changes this inventory and fails the gate; so does
+# removing one (update the map, keep it exact).
+GLOBAL_WINDOW_ALLOW = {
+    "ab_test_conversion": {"__bucket ASC"},
+    "benford_first_digit": {""},
+    "curriculum_schedule": {"__bucket ASC"},
+    "cusum_changepoint_daily": {"day ASC"},
+    "domain_token_budget": {"", "rem DESC,source ASC"},
+    "equi_depth_price_histogram": {"__bucket ASC"},
+    "funnel_time_to_convert": {"__bucket ASC"},
+    "gini_source_concentration": {"n_s ASC,source ASC"},
+    "halflife_event_mass": {""},
+    "halflife_event_mass_cells": {""},
+    "lm_quality_gate": {"__bucket ASC"},
+    "monthly_revenue_momentum": {"month_key ASC"},
+    "pareto_revenue_share": {"__bucket ASC"},
+    "pps_systematic_sample": {"__bucket ASC"},
+    "quality_pareto_frontier": {"n_tokens DESC"},
+    "rfm_segments": {"__bucket ASC"},
+    "seasonal_decomposition_daily": {"dn ASC"},
+    "sequence_pack_bins": {"__bucket ASC"},
+    "survival_time_to_purchase": {"day ASC"},
+    "topk_sources_with_other": {"chars DESC,source ASC"},
+    "training_mixture_report": {"", "rem DESC,source ASC"},
+    "vocab_coverage_curve": {"__bucket ASC"},
+    "vocab_growth_curve": {"bucket ASC"},
+    "zipf_rank_frequency": {"", "freq DESC,w ASC"},
+}
+
+
+def test_no_unbounded_global_window(spark):
+    """Walk EVERY registered query's physical plan and compare its
+    all-to-one-window inventory against the bounded-frame allow-list. This
+    is the permanent form of the r13 manual audit: a data-scaled
+    Window.orderBy() added anywhere in the catalog fails here, not in a
+    WARN line nobody reads."""
+    from tools.window_lint import scan
+
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    try:
+        got = {k: set(v) for k, v in scan(spark, SF_SMOKE).items()}
+    finally:
+        spark.conf.unset("spark.sql.debug.maxToStringFields")
+    errors = {
+        k: v for k, v in got.items() if any(s.startswith("!error") for s in v)
+    }
+    assert not errors, f"query builders failed during the plan walk: {errors}"
+    new = {
+        k: sorted(v - GLOBAL_WINDOW_ALLOW.get(k, set()))
+        for k, v in got.items()
+        if v - GLOBAL_WINDOW_ALLOW.get(k, set())
+    }
+    assert not new, (
+        "NEW all-to-one window(s) — either refit to a bucketed two-pass "
+        f"or document the bounded frame and extend the allow-list: {new}"
+    )
+    gone = {
+        k: sorted(set(v) - got.get(k, set()))
+        for k, v in GLOBAL_WINDOW_ALLOW.items()
+        if set(v) - got.get(k, set())
+    }
+    assert not gone, f"allow-listed windows no longer planned — prune: {gone}"

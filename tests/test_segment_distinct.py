@@ -82,6 +82,26 @@ def test_huge_domain_rejects_bitmap(spark, tmp_path):
         distinct_count(spark, str(table), "k", strategy="bitmap")
 
 
+def test_bitmap_dictionary_served_when_dict_encoded(spark, tmp_path):
+    """r14 (verdict #7): with every segment dict-encoded + null-free, the
+    bitmap strategy builds its bitmap from dictionary entries (decode-free)
+    — method 'bitmap_dictionary_merge' — and stays exact across
+    overlapping segments."""
+    table = tmp_path / "t_OFFLINE"
+    for name, keys in (
+        ("s0", [5, 9, 13, 9, 5]),
+        ("s1", [9, 21, 5]),
+        ("s2", [100, 13]),
+    ):
+        write_segment(
+            table / name, name, "t",
+            [ColumnSpec("k", DataType.LONG, np.asarray(keys, dtype=np.int64))],
+        )
+    df, method = distinct_count(spark, str(table), "k", strategy="bitmap")
+    assert method == "bitmap_dictionary_merge"
+    assert df.collect()[0]["n_distinct"] == 5  # {5, 9, 13, 21, 100}
+
+
 def test_bitmap_distinct_matches_exact_on_random(spark):
     import numpy as np
 

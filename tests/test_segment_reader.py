@@ -257,6 +257,37 @@ def test_snappy_and_zstd_raw_columns(tmp_path):
     assert r.read_columns_arrow(["sn", "zs"]).column("zs").to_pylist() == vals
 
 
+def test_snappy_zstd_huge_chunks_roundtrip(tmp_path):
+    """r14 (verdict #8): the HUGE-chunk path (one value larger than the
+    chunk target, hugeFlag<<31 in the metadata entry) must round-trip under
+    SNAPPY and ZSTANDARD too — the 0xFFFFFFFF sentinel/offset arithmetic is
+    codec-independent, but each codec's decompress runs on the huge payload."""
+    from pinot_segment.var_byte import SNAPPY, ZSTANDARD
+
+    vals = ["small"] * 10 + ["H" * 5000] + ["tail-%d" % i for i in range(10)]
+    d = tmp_path / "seg"
+    v3 = write_segment(
+        d,
+        "seg",
+        "t",
+        [
+            ColumnSpec("sn", DataType.STRING, vals, raw=True,
+                       compression=SNAPPY, target_chunk_size=256),
+            ColumnSpec("zs", DataType.STRING, vals, raw=True,
+                       compression=ZSTANDARD, target_chunk_size=256),
+        ],
+    )
+    r = SegmentReader.open(v3)
+    assert list(r.read_column("sn")) == vals
+    assert list(r.read_column("zs")) == vals
+    # selection decode (absolute doc ids) crossing the huge boundary
+    # decompresses each codec
+    sel = np.array([9, 10, 11], dtype=np.int64)
+    t = r.read_columns_arrow(["sn", "zs"], selection=sel)
+    assert t.column("sn").to_pylist() == [vals[9], vals[10], vals[11]]
+    assert t.column("zs").to_pylist() == [vals[9], vals[10], vals[11]]
+
+
 def test_boolean_int_relabel_reads_as_bool(tmp_path):
     """BOOLEAN's on-disk encoding IS an INT dictionary of 0/1 (the reference
     declares BOOLEAN but rejects it at read, dictionary.rs:125-134 /
