@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from datafusion_pinot_spark.functions import money
 from datafusion_pinot_spark.operators.ranking import (
     global_rank,
     percentile_rank,
@@ -265,3 +266,378 @@ SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_code,
        CAST(count(*) AS BIGINT) AS n_users,
        CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM scored GROUP BY 1 ORDER BY rfm_code"""
+
+
+# Poisson(1) inverse-CDF thresholds on the 48-bit md5-prefix scale:
+# T[k] = floor(P(X <= k) * 2^48). A uniform u in [0, 2^48) maps to the
+# weight `min k with u < T[k]` (else 9 — P(X > 8) < 1.2e-6, the tail cap).
+# The constants are FIXED literals shared by the Spark and DuckDB sides,
+# so engine parity never depends on runtime float math.
+_POISSON1_T48 = [
+    103548857136060,
+    207097714272121,
+    258872142840152,
+    276130285696162,
+    280444821410164,
+    281307728552965,
+    281451546410098,
+    281472091818260,
+    281474659994280,
+]
+_BOOT_B = 32  # bootstrap replicates
+
+
+def _poisson_weight_case(u_expr: str) -> str:
+    """SQL CASE ladder mapping a 48-bit uniform to a Poisson(1) draw —
+    dialect-neutral (pure integer comparisons), used verbatim by both
+    engines."""
+    whens = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(_POISSON1_T48)
+    )
+    return f"CASE {whens} ELSE 9 END"
+
+
+def bootstrap_ci_aov(orders: DataFrame, b: int = _BOOT_B) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for the average
+    order value — the uncertainty attachment every pipeline metric needs
+    before a go/no-go reading. Classic resampling draws n rows with
+    replacement per replicate, which cannot be expressed as a scan; the
+    Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012 — public) replaces the multinomial
+    with independent Poisson(1) weights per (row, replicate), making each
+    replicate a weighted aggregate over ONE pass.
+
+    Determinism: the weight for (order, replicate) is the Poisson(1)
+    inverse-CDF of the 48-bit md5-prefix uniform of ``'boot|b|orderkey'``
+    against FIXED integer thresholds (``_POISSON1_T48``) — both engines
+    compare the same integers, so the gate sees bit-equal replicates.
+    Replicate means are exact integer milli-cents (weighted DECIMAL(38,0)
+    cent sums, floor division); the interval is the 2nd / 31st order
+    statistic of the 32 replicate means (a ~90.6% CI, documented rather
+    than interpolated — order statistics stay integers).
+
+    Scale shape (100 TB): the explode is a constant 32x map-side fanout
+    (no shuffle until the 32-group aggregate), partial aggregation
+    collapses each partition to <= 32 rows, and the order statistics come
+    from a sort_array over the 32-element collected list — bounded by the
+    replicate parameter, never by data. Weighted sums ride DECIMAL(38,0)
+    (HUGEINT in DuckDB): 9 * cents * rows stays exact past 1e12 rows."""
+    reps = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep")
+    u = (
+        "CAST(conv(substring(md5(concat('boot|', CAST(rep AS STRING), '|',"
+        " CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+    )
+    weighted = orders.select(
+        (money("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    ).select("cents", "o_orderkey", reps).select(
+        "cents",
+        F.expr(_poisson_weight_case(u)).cast("long").alias("w"),
+        "rep",
+    )
+    rep_means = (
+        weighted.groupBy("rep")
+        .agg(
+            F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * cents")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "rep",
+            F.expr(
+                "CAST(CASE WHEN sw > 0 THEN (swc * 1000) div sw"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("rep_mean_milli"),
+        )
+    )
+    point = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "CAST((CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            " AS BIGINT)) AS DECIMAL(38,0)) * 1000) div count(*) AS BIGINT)"
+        ).alias("aov_milli"),
+    )
+    booted = rep_means.agg(
+        F.sort_array(F.collect_list("rep_mean_milli")).alias("ms"),
+        F.count(F.lit(1)).alias("n_replicates"),
+    )
+    return (
+        point.crossJoin(F.broadcast(booted))
+        .select(
+            "n_orders",
+            "n_replicates",
+            "aov_milli",
+            F.element_at("ms", 2).alias("boot_lo_milli"),
+            F.element_at("ms", b - 1).alias("boot_hi_milli"),
+            (F.element_at("ms", b - 1) - F.element_at("ms", 2)).alias(
+                "boot_spread_milli"
+            ),
+        )
+    )
+
+
+def bootstrap_ci_aov_oracle_sql(b: int = _BOOT_B) -> str:
+    h = (
+        "md5('boot|' || CAST(rep AS VARCHAR) || '|'"
+        " || CAST(o_orderkey AS VARCHAR))"
+    )
+    poly = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (12 - 1 - i)})"
+        for i in range(12)
+    )
+    w_case = _poisson_weight_case(f"({poly})")
+    return f"""
+WITH reps AS (
+  SELECT unnest(range({b})) AS rep
+), weighted AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST({w_case} AS BIGINT) AS w, rep
+  FROM orders CROSS JOIN reps
+), rep_means AS (
+  SELECT rep,
+         CAST(CASE WHEN sum(w) > 0
+              THEN (CAST(sum(CAST(w AS HUGEINT) * cents) AS HUGEINT) * 1000)
+                   // sum(w)
+              ELSE 0 END AS BIGINT) AS rep_mean_milli
+  FROM weighted GROUP BY rep
+), booted AS (
+  SELECT list_sort(list(rep_mean_milli)) AS ms,
+         CAST(count(*) AS BIGINT) AS n_replicates
+  FROM rep_means
+), point AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST((CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS HUGEINT) * 1000) // count(*) AS BIGINT)
+           AS aov_milli
+  FROM orders
+)
+SELECT n_orders, n_replicates, aov_milli,
+       CAST(ms[2] AS BIGINT) AS boot_lo_milli,
+       CAST(ms[{b - 1}] AS BIGINT) AS boot_hi_milli,
+       CAST(ms[{b - 1}] - ms[2] AS BIGINT) AS boot_spread_milli
+FROM point, booted"""
+
+
+def cuped_adjusted_lift(events: DataFrame) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi, Walker — "Improving the
+    Sensitivity of Online Controlled Experiments", WSDM 2013, public): use
+    each user's PRE-period activity as a control covariate for their
+    POST-period metric, shrinking the variance of the measured lift by the
+    squared correlation rho^2. The calendar midpoint of the event stream
+    splits pre from post; users hash-assign to two arms (md5-prefix mod 2,
+    the ab_test_srm_check idiom).
+
+    theta = cov(X, Y) / var(X) and rho^2 come out of the five raw moment
+    sums, all rational in integer milli-value sums — products ride
+    DECIMAL(38,0) (HUGEINT in DuckDB). Signed floor divisions are
+    sign-split (``sign * (abs(num) * scale div den)``) because Spark `div`
+    truncates while DuckDB `//` floors — they agree only on non-negative
+    numerators (the kendall_tau lesson). rho2_ppm is the composed floor
+    form ``(|cov|*1e3 div varx) * (|cov|*1e3 div vary)`` — exactly
+    representable in both engines, <= 1e6 by Cauchy-Schwarz — rather than
+    cov^2/(varx*vary), whose 128-bit numerator would overflow DECIMAL(38).
+
+    Scale shape (100 TB): one map-side-combined per-user shuffle collapses
+    the event log; everything after is a single-row moment aggregate plus
+    integer expressions. The midpoint is a 1-row broadcast. Moment-sum
+    bound: n * sum(x*y) stays under 1e38 for any corpus with fewer than
+    ~1e12 users at 1e8 milli-value each — document, don't guard."""
+    ev = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT)").alias(
+            "v"
+        ),
+    )
+    mid = ev.agg(
+        F.expr("CAST((min(us) + max(us)) div 2 AS BIGINT)").alias("mid_us")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN us < mid_us THEN v ELSE 0 END")).alias(
+                "x"
+            ),
+            F.sum(F.expr("CASE WHEN us >= mid_us THEN v ELSE 0 END")).alias(
+                "y"
+            ),
+        )
+        .select(
+            "x",
+            "y",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("cuped|"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+        )
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    moments = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(d.format("x"))).alias("sx"),
+        F.sum(F.expr(d.format("y"))).alias("sy"),
+        F.sum(F.expr(d.format("x") + " * y")).alias("sxy"),
+        F.sum(F.expr(d.format("x") + " * x")).alias("sxx"),
+        F.sum(F.expr(d.format("y") + " * y")).alias("syy"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).alias("n_a"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("n_b"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN x ELSE 0 END")).alias("sxa"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN x ELSE 0 END")).alias("sxb"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN y ELSE 0 END")).alias("sya"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN y ELSE 0 END")).alias("syb"),
+    )
+    derived = moments.select(
+        "*",
+        F.expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy").alias("cov_num"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx").alias("varx_num"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy").alias("vary_num"),
+        F.expr("CAST((sx * 1000) div n AS BIGINT)").alias("mx_milli"),
+        F.expr(
+            "CASE WHEN n_a > 0 THEN CAST((sxa * 1000) div n_a AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("mxa_milli"),
+        F.expr(
+            "CASE WHEN n_b > 0 THEN CAST((sxb * 1000) div n_b AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("mxb_milli"),
+        F.expr(
+            "CASE WHEN n_a > 0 THEN CAST((sya * 1000) div n_a AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("mya_milli"),
+        F.expr(
+            "CASE WHEN n_b > 0 THEN CAST((syb * 1000) div n_b AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("myb_milli"),
+    ).select(
+        "*",
+        F.expr(
+            "CASE WHEN varx_num > 0 THEN"
+            " CAST(CASE WHEN cov_num >= 0 THEN 1 ELSE -1 END"
+            " * ((abs(cov_num) * 1000000) div varx_num) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("theta_ppm"),
+        F.expr(
+            "CASE WHEN varx_num > 0 AND vary_num > 0 THEN"
+            " CAST(((abs(cov_num) * 1000) div varx_num)"
+            " * ((abs(cov_num) * 1000) div vary_num) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("rho2_ppm"),
+    )
+
+    def adj(my: str, mx: str) -> str:
+        # mean_y - theta * (mean_x_arm - mean_x_all), sign-split floor
+        return (
+            f"{my} - (CASE WHEN theta_ppm * ({mx} - mx_milli) >= 0"
+            f" THEN 1 ELSE -1 END)"
+            f" * (abs(theta_ppm * ({mx} - mx_milli)) div 1000000)"
+        )
+
+    return derived.select(
+        F.col("n").alias("n_users"),
+        "n_a",
+        "n_b",
+        "theta_ppm",
+        "rho2_ppm",
+        F.expr("CAST(myb_milli - mya_milli AS BIGINT)").alias(
+            "lift_raw_milli"
+        ),
+        F.expr(
+            "CAST(("
+            + adj("myb_milli", "mxb_milli")
+            + ") - ("
+            + adj("mya_milli", "mxa_milli")
+            + ") AS BIGINT)"
+        ).alias("lift_cuped_milli"),
+    )
+
+
+def cuped_adjusted_lift_oracle_sql() -> str:
+    h = "md5('cuped|' || CAST(user_id AS VARCHAR))"
+    poly = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (12 - 1 - i)})"
+        for i in range(12)
+    )
+    adj_b = (
+        "myb_milli - (CASE WHEN theta_ppm * (mxb_milli - mx_milli) >= 0"
+        " THEN 1 ELSE -1 END)"
+        " * (abs(theta_ppm * (mxb_milli - mx_milli)) // 1000000)"
+    )
+    adj_a = (
+        "mya_milli - (CASE WHEN theta_ppm * (mxa_milli - mx_milli) >= 0"
+        " THEN 1 ELSE -1 END)"
+        " * (abs(theta_ppm * (mxa_milli - mx_milli)) // 1000000)"
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v
+  FROM events
+), mid AS (
+  SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev
+), per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN us < mid_us THEN v ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN us >= mid_us THEN v ELSE 0 END) AS BIGINT) AS y
+  FROM ev CROSS JOIN mid GROUP BY user_id
+), armed AS (
+  SELECT x, y, ({poly}) % 2 AS arm FROM per_user
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         sum(CAST(CASE WHEN arm = 0 THEN x ELSE 0 END AS HUGEINT)) AS sxa,
+         sum(CAST(CASE WHEN arm = 1 THEN x ELSE 0 END AS HUGEINT)) AS sxb,
+         sum(CAST(CASE WHEN arm = 0 THEN y ELSE 0 END AS HUGEINT)) AS sya,
+         sum(CAST(CASE WHEN arm = 1 THEN y ELSE 0 END AS HUGEINT)) AS syb
+  FROM armed
+), der AS (
+  SELECT *,
+         CAST(n AS HUGEINT) * sxy - sx * sy AS cov_num,
+         CAST(n AS HUGEINT) * sxx - sx * sx AS varx_num,
+         CAST(n AS HUGEINT) * syy - sy * sy AS vary_num,
+         CAST((sx * 1000) // n AS BIGINT) AS mx_milli,
+         CASE WHEN n_a > 0 THEN CAST((sxa * 1000) // n_a AS BIGINT)
+              ELSE 0 END AS mxa_milli,
+         CASE WHEN n_b > 0 THEN CAST((sxb * 1000) // n_b AS BIGINT)
+              ELSE 0 END AS mxb_milli,
+         CASE WHEN n_a > 0 THEN CAST((sya * 1000) // n_a AS BIGINT)
+              ELSE 0 END AS mya_milli,
+         CASE WHEN n_b > 0 THEN CAST((syb * 1000) // n_b AS BIGINT)
+              ELSE 0 END AS myb_milli
+  FROM m
+), der2 AS (
+  SELECT *,
+         CASE WHEN varx_num > 0 THEN
+           CAST(CASE WHEN cov_num >= 0 THEN 1 ELSE -1 END
+                * ((abs(cov_num) * 1000000) // varx_num) AS BIGINT)
+           ELSE 0 END AS theta_ppm,
+         CASE WHEN varx_num > 0 AND vary_num > 0 THEN
+           CAST(((abs(cov_num) * 1000) // varx_num)
+                * ((abs(cov_num) * 1000) // vary_num) AS BIGINT)
+           ELSE 0 END AS rho2_ppm
+  FROM der
+)
+SELECT n AS n_users, n_a, n_b, theta_ppm, rho2_ppm,
+       CAST(myb_milli - mya_milli AS BIGINT) AS lift_raw_milli,
+       CAST(({adj_b}) - ({adj_a}) AS BIGINT) AS lift_cuped_milli
+FROM der2"""

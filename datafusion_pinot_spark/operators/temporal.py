@@ -1749,3 +1749,270 @@ SELECT dau.day, dau.dau,
             ELSE 0 END AS BIGINT) AS stickiness_ppm
 FROM dau LEFT JOIN wau ON dau.day = wau.day
 ORDER BY dau.day"""
+
+
+_MARKOV_ITERS = 30
+_MARKOV_PPB = 1_000_000_000
+
+
+def markov_stationary_event_mix(
+    events: DataFrame, iters: int = _MARKOV_ITERS
+) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain —
+    where does a user's session mix settle if today's transition behavior
+    persists? The complement of event_transition_matrix (which reports
+    the one-step counts): a fixed-iteration power method over the same
+    matrix, run in EXACT integer ppb so both engines reproduce every
+    intermediate bit.
+
+    The recurrence (applied identically by the lazy chained plan here and
+    the unrolled-CTE DuckDB oracle): v0 is the uniform ppb vector with
+    the div remainder given to the lexicographically first states
+    (Hamilton-style); each step,
+    ``v'[j] = sum_i floor(v[i] * c[i][j] / rowsum[i])`` for states with
+    outgoing transitions, plus ``floor(v[i] / K)`` from each absorbing
+    state (uniform re-injection — the standard dangling-node fix from
+    PageRank, public). Floor loss makes sum(v) drift a few ppb below 1e9;
+    it is NOT renormalized — determinism beats cosmetics, and the drift
+    is bounded by K per step. ``iters`` is fixed, not convergence-tested:
+    a deterministic output regardless of the chain's mixing time.
+    Products ride DECIMAL(38,0) (HUGEINT in DuckDB): v*c reaches
+    1e9 * |rows|, past BIGINT at trillion-row scale.
+
+    Scale shape (100 TB): ONE user-keyed shuffle builds the transition
+    counts (lag over the user-partitioned, ts-ordered window — never
+    all-to-one); everything after runs on the K x K count matrix
+    (K = |event types|, bounded by the product's event vocabulary). The
+    iteration is a LAZY chain of ``iters`` broadcast-join + K-row
+    aggregate steps — building the DataFrame triggers no job (the
+    token_triple_support rule). CRITICAL plan-shape constraint: each step
+    references the previous vector EXACTLY ONCE — the dangling-state
+    re-injection is folded into a static ROUTING table
+    (absorbing state -> every state with c=1, rs=K, since
+    ``(v*1) div K == v div K``) unioned with the transition matrix, so
+    the logical plan grows linearly in ``iters``; a separate
+    dangling-scalar branch would reference v twice per step and explode
+    the plan 2^iters. The routing/state frames are lazy-localCheckpointed
+    once so the corpus aggregate is not replayed per step. The state rank
+    comes from a K^2 self-join count, not a bare window."""
+    sess_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("nxt")
+        )
+        .withColumn("prv", F.lag("nxt").over(sess_w))
+        .filter(F.col("prv").isNotNull())
+        .groupBy("prv", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    rowsum = trans.groupBy("prv").agg(F.sum("c").alias("rs"))
+    states = (
+        events.select(F.col("event_type").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    kk = states.agg(F.count(F.lit(1)).alias("k"))
+    # lexicographic 1-based rank via a K^2 self-join (no bare window)
+    s2 = states.select(F.col("s").alias("s2"))
+    ranked = (
+        states.join(F.broadcast(s2), F.col("s2") <= F.col("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    v = ranked.crossJoin(F.broadcast(kk)).select(
+        F.col("s").alias("event_type"),
+        F.expr(
+            f"CAST({_MARKOV_PPB} div k"
+            f" + CASE WHEN i - 1 < {_MARKOV_PPB} % k THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("v"),
+    )
+    # unified routing table: real transitions plus, for each absorbing
+    # state, a c=1/rs=K route to every state — one v-reference per step
+    absorbing = states.join(
+        rowsum, states["s"] == rowsum["prv"], "left_anti"
+    ).select(F.col("s").alias("prv"))
+    routes = (
+        trans.join(rowsum, "prv")
+        .select("prv", "nxt", "c", "rs")
+        .unionByName(
+            absorbing.crossJoin(states.select(F.col("s").alias("nxt")))
+            .crossJoin(kk)
+            .select(
+                "prv",
+                "nxt",
+                F.lit(1).cast("long").alias("c"),
+                F.col("k").cast("long").alias("rs"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        v = (
+            v.join(F.broadcast(routes), v["event_type"] == routes["prv"])
+            .select(
+                F.col("nxt"),
+                F.expr(
+                    "CAST((CAST(v AS DECIMAL(38,0)) * c) div rs AS BIGINT)"
+                ).alias("part"),
+            )
+            .groupBy("nxt")
+            .agg(F.sum("part").cast("long").alias("v"))
+            .select(F.col("nxt").alias("event_type"), "v")
+        )
+    return (
+        states.join(v, states["s"] == v["event_type"], "left")
+        .join(rowsum, states["s"] == rowsum["prv"], "left")
+        .select(
+            F.col("s").alias("event_type"),
+            F.coalesce(F.col("rs"), F.lit(0))
+            .cast("long")
+            .alias("out_transitions"),
+            F.coalesce(F.col("v"), F.lit(0))
+            .cast("long")
+            .alias("stationary_ppb"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def markov_stationary_event_mix_oracle_sql(
+    iters: int = _MARKOV_ITERS,
+) -> str:
+    """The identical integer recurrence, unrolled as ``iters`` chained
+    CTEs (DuckDB restricts aggregation over a recursive reference, and an
+    unrolled chain is deterministic by construction)."""
+    steps = []
+    for step in range(iters):
+        prev, cur = f"v{step}", f"v{step + 1}"
+        steps.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT st.event_type,
+         CAST(coalesce((SELECT sum((CAST(p.v AS HUGEINT) * t.c) // r.rs)
+                        FROM {prev} p
+                        JOIN trans t ON t.prv = p.event_type
+                        JOIN rowsum r ON r.prv = p.event_type
+                        WHERE t.nxt = st.event_type), 0)
+              + coalesce((SELECT sum(p.v // (SELECT k FROM kk))
+                          FROM {prev} p
+                          LEFT JOIN rowsum r ON r.prv = p.event_type
+                          WHERE r.prv IS NULL), 0) AS BIGINT) AS v
+  FROM states st
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH trans AS MATERIALIZED (
+  SELECT prv, nxt, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prv,
+           event_type AS nxt
+    FROM events
+  ) WHERE prv IS NOT NULL GROUP BY prv, nxt
+), states AS MATERIALIZED (
+  SELECT DISTINCT event_type FROM events
+), kk AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS k FROM states
+), rowsum AS MATERIALIZED (
+  SELECT prv, CAST(sum(c) AS BIGINT) AS rs FROM trans GROUP BY prv
+), ordered AS MATERIALIZED (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) AS i
+  FROM states
+), v0 AS MATERIALIZED (
+  SELECT o.event_type,
+         CAST({_MARKOV_PPB} // kk.k
+              + CASE WHEN o.i - 1 < {_MARKOV_PPB} % kk.k THEN 1 ELSE 0 END
+              AS BIGINT) AS v
+  FROM ordered o CROSS JOIN kk
+),
+{chain}
+SELECT st.event_type,
+       CAST(coalesce(r.rs, 0) AS BIGINT) AS out_transitions,
+       vf.v AS stationary_ppb
+FROM states st
+JOIN v{iters} vf ON vf.event_type = st.event_type
+LEFT JOIN rowsum r ON r.prv = st.event_type
+ORDER BY st.event_type"""
+
+
+def sax_daily_motifs(orders: DataFrame, top: int = 10) -> DataFrame:
+    """SAX-style motif discovery over the daily-revenue series (Lin,
+    Keogh et al., "A Symbolic Representation of Time Series", DMKD 2003 —
+    public): symbolize each day by its revenue quartile and count the
+    repeating 3-letter words. Classic SAX z-normalizes against Gaussian
+    breakpoints (sqrt + erf — engine-hostile floats); this variant cuts
+    the alphabet at exact EQUI-DEPTH quartiles (the same order-statistic
+    machinery as every median in the repo), which is the
+    distribution-free form of the same idea and hash-checks bit-for-bit.
+
+    Scale shape (100 TB): the order log collapses to O(days) in one
+    map-side-combined aggregate; the quartile cut is the bucketed
+    two-pass rank (no data-scaled bare window), and the 3-gram scan is
+    two leads over the day-ordered CALENDAR-bounded frame (allow-listed).
+    The motif vocabulary is <= 64 words (4^3) — the final count/top-k is
+    driver-trivial."""
+    from datafusion_pinot_spark.operators.ranking import global_rank
+
+    daily = (
+        orders.select(
+            F.col("o_orderdate").alias("day"),
+            (money("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    ranked = global_rank(daily, F.expr("cents div 100000"), ["cents", "day"])
+    sym = ranked.select(
+        "day",
+        F.expr(
+            "substring('abcd', CAST((rank - 1) * 4 div total + 1 AS INT), 1)"
+        ).alias("s"),
+    )
+    w = Window.orderBy("day")  # calendar-bounded frame (allow-listed)
+    motifs = (
+        sym.select(
+            "day",
+            F.concat(
+                F.col("s"), F.lead("s", 1).over(w), F.lead("s", 2).over(w)
+            ).alias("motif"),
+        )
+        .filter(F.col("motif").isNotNull())
+        .groupBy("motif")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("day").alias("first_day"),
+        )
+        .orderBy(F.desc("n_occurrences"), "motif")
+        .limit(top)
+    )
+    return motifs
+
+
+def sax_daily_motifs_oracle_sql(top: int = 10) -> str:
+    return f"""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT day, row_number() OVER (ORDER BY cents, day) AS rank,
+         count(*) OVER () AS total
+  FROM daily
+), sym AS (
+  SELECT day,
+         substr('abcd', CAST((rank - 1) * 4 // total + 1 AS INTEGER), 1) AS s
+  FROM ranked
+), grams AS (
+  SELECT day,
+         s || lead(s, 1) OVER (ORDER BY day)
+           || lead(s, 2) OVER (ORDER BY day) AS motif
+  FROM sym
+)
+SELECT motif, CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(day) AS first_day
+FROM grams WHERE motif IS NOT NULL
+GROUP BY motif
+ORDER BY n_occurrences DESC, motif
+LIMIT {top}"""

@@ -2080,3 +2080,126 @@ CROSS JOIN tot_all
 WHERE st.c >= {min_count}
 ORDER BY lift_ppm DESC, 1 ASC, 2 ASC
 LIMIT {top}"""
+
+
+def bm25_doc_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Okapi BM25 scoring (Robertson & Walker, public; k1=1.2, b=0.75),
+    top-k most distinctive terms per document — tfidf_top_terms' cousin
+    with the two properties tf-idf lacks: tf SATURATION (the 40th "the"
+    adds almost nothing) and document-LENGTH normalization (a term
+    repeated in a short doc outranks the same count in a long one).
+
+    Engine-stable numerics: both BM25 factors are made RATIONAL so the
+    score is exact integer arithmetic end to end (the tfidf_top_terms
+    rule). The saturation term with k1=6/5, b=3/4 multiplies out to
+    ``sat_ppm = (22*tf*sumdl*1e6) div (10*tf*sumdl + 3*sumdl + 9*dl*N)``
+    (derivation in-line below), and the idf keeps Robertson's half-added
+    ratio WITHOUT the log: ``idf_ppm = ((2*(N-df)+1)*1e6) div (2*df+1)``
+    — monotone in df exactly as the log form is, just un-squashed.
+    Products ride DECIMAL(38,0) (HUGEINT in DuckDB): tf*sumdl*22e6
+    passes BIGINT at ~4e5-token corpora; the decimal form is exact to
+    1e38, i.e. past any 100 TB corpus.
+
+    Scale shape (100 TB): one explode + two map-side-combined shuffles
+    (tf on (doc, token), df on token), corpus scalars (N, sumdl) as a
+    1-row broadcast, and the doc-PARTITIONED top-k window is a
+    WindowGroupLimit partial — no global sort, no bare window."""
+    toks = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    corpus = toks.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sumdl"),
+    )
+    # sat = tf*(k1+1) / (tf + k1*(1 - b + b*dl*N/sumdl)); multiply num and
+    # den by 10*sumdl: num = 22*tf*sumdl, den = 10*tf*sumdl + 3*sumdl
+    # + 9*dl*N — every factor integer.
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            "dl",
+            F.expr(
+                "CAST((CAST(22 AS DECIMAL(38,0)) * tf * sumdl * 1000000)"
+                " div (CAST(10 AS DECIMAL(38,0)) * tf * sumdl"
+                " + CAST(3 AS DECIMAL(38,0)) * sumdl"
+                " + CAST(9 AS DECIMAL(38,0)) * dl * n_docs)"
+                " AS BIGINT)"
+            ).alias("sat_ppm"),
+            F.expr(
+                "CAST((CAST(2 AS DECIMAL(38,0)) * (n_docs - df) + 1)"
+                " * 1000000 div (CAST(2 AS DECIMAL(38,0)) * df + 1)"
+                " AS BIGINT)"
+            ).alias("idf_ppm"),
+        )
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            "dl",
+            F.expr(
+                "CAST((CAST(sat_ppm AS DECIMAL(38,0)) * idf_ppm)"
+                " div 1000000 AS BIGINT)"
+            ).alias("bm25_ppm"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("bm25_ppm"), F.desc("tf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("doc_id", F.desc("bm25_ppm"), F.desc("tf"), "token")
+    )
+
+
+def bm25_doc_terms_oracle_sql(k: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len(tl) AS dl, unnest(tl) AS token FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS tl
+    FROM documents WHERE length(trim(lower(text))) > 0
+  )
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf, min(dl) AS dl
+  FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), corpus AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sumdl
+  FROM (SELECT doc_id, min(dl) AS dl FROM toks GROUP BY doc_id)
+), scored AS (
+  SELECT doc_id, tf.token AS token, tf, df, dl,
+         CAST((CAST(22 AS HUGEINT) * tf * sumdl * 1000000)
+              // (CAST(10 AS HUGEINT) * tf * sumdl
+                  + CAST(3 AS HUGEINT) * sumdl
+                  + CAST(9 AS HUGEINT) * dl * n_docs) AS BIGINT) AS sat_ppm,
+         CAST((CAST(2 AS HUGEINT) * (n_docs - df) + 1) * 1000000
+              // (CAST(2 AS HUGEINT) * df + 1) AS BIGINT) AS idf_ppm
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN corpus
+), final AS (
+  SELECT doc_id, token, tf, df, dl,
+         CAST((CAST(sat_ppm AS HUGEINT) * idf_ppm) // 1000000 AS BIGINT)
+           AS bm25_ppm
+  FROM scored
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY bm25_ppm DESC, tf DESC, token
+  ) AS rn FROM final
+)
+SELECT doc_id, token, tf, df, dl, bm25_ppm FROM ranked WHERE rn <= {k}
+ORDER BY doc_id, bm25_ppm DESC, tf DESC, token
+"""

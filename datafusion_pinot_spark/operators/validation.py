@@ -2230,3 +2230,242 @@ SELECT event_type,
                 THEN v ELSE 0 END) * 1000000 // sum(v)
             ELSE 0 END AS BIGINT) AS whale_share_ppm
 FROM ranked GROUP BY event_type ORDER BY event_type"""
+
+
+def runs_test_daily(orders: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue series: are
+    above-median and below-median days randomly interleaved, or does the
+    series trend/cluster? The runs count R over the +/- sign sequence is
+    compared against its null expectation E[R] = 1 + 2*n1*n2/n and
+    variance Var[R] = 2*n1*n2*(2*n1*n2 - n) / (n^2*(n-1)) — BOTH rational
+    in the integer sign counts, so the whole test (including the 5%
+    rejection flag, z^2 > 3.8416 cross-multiplied into integers) crosses
+    the engine boundary exactly; no sqrt, no float.
+
+    The median is the exact low-median order statistic over the daily
+    frame (global_rank bucketed two-pass — no data-scaled bare window);
+    days exactly at the median are excluded, per the classic test. The
+    sign-change scan is a lag over the day-ordered frame — CALENDAR
+    bounded (a century is ~36.5k rows), documented in the plan-lint
+    allow-list.
+
+    Scale shape (100 TB): one map-side-combined day aggregate collapses
+    the order log; everything after runs on O(days) rows. Integer bounds:
+    2*n1*n2*(2*n1*n2 - n)*1000 < 2^63 for any series under ~200k days
+    (five centuries of dailies)."""
+    from datafusion_pinot_spark.operators.ranking import global_rank
+
+    daily = (
+        orders.select(
+            F.col("o_orderdate").alias("day"),
+            (money("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    ranked = global_rank(daily, F.expr("cents div 100000"), ["cents", "day"])
+    med = ranked.filter(F.col("rank") == percentile_rank("total", 50)).select(
+        F.col("cents").alias("median_cents")
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("median_cents"))
+        .select(
+            "day", (F.col("cents") > F.col("median_cents")).cast("int").alias("s")
+        )
+    )
+    w = Window.orderBy("day")  # calendar-bounded frame (allow-listed)
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_eff"),
+        F.sum("s").cast("long").alias("n_plus"),
+        F.sum(F.expr("1 - s")).cast("long").alias("n_minus"),
+        F.sum("new_run").cast("long").alias("runs"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        runs.crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            "n_eff",
+            "n_plus",
+            "n_minus",
+            "runs",
+            F.expr(
+                "CAST(CASE WHEN n_eff > 0 THEN"
+                " 1000 + (2000 * n_plus * n_minus) div n_eff"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("e_runs_milli"),
+            F.expr(
+                "CAST(CASE WHEN n_eff > 1 THEN"
+                " (2 * n_plus * n_minus * (2 * n_plus * n_minus - n_eff)"
+                " * 1000) div (CAST(n_eff AS BIGINT) * n_eff * (n_eff - 1))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("var_runs_milli"),
+            # (R - E)^2 / Var > 3.8416  cross-multiplied: both sides exact
+            # integers in milli^2 units (numerators are non-negative, so
+            # Spark div == DuckDB // without a sign split)
+            F.expr(
+                "CASE WHEN n_eff > 1 AND"
+                " (2 * n_plus * n_minus * (2 * n_plus * n_minus - n_eff)"
+                " * 1000) div (CAST(n_eff AS BIGINT) * n_eff * (n_eff - 1))"
+                " > 0 THEN"
+                " (1000 * runs - (1000 + (2000 * n_plus * n_minus) div n_eff))"
+                " * (1000 * runs - (1000 + (2000 * n_plus * n_minus) div n_eff))"
+                " * 10 >"
+                " 38416 * ((2 * n_plus * n_minus"
+                " * (2 * n_plus * n_minus - n_eff)"
+                " * 1000) div (CAST(n_eff AS BIGINT) * n_eff * (n_eff - 1)))"
+                " ELSE false END"
+            ).alias("reject_5pct"),
+        )
+    )
+
+
+def runs_test_daily_oracle_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, day) AS rank,
+         count(*) OVER () AS total
+  FROM daily
+), med AS (
+  SELECT cents AS median_cents FROM ranked
+  WHERE rank = (total - 1) * 50 // 100 + 1
+), signed AS (
+  SELECT day, CASE WHEN cents > (SELECT median_cents FROM med)
+                   THEN 1 ELSE 0 END AS s
+  FROM daily WHERE cents != (SELECT median_cents FROM med)
+), scanned AS (
+  SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                 OR lag(s) OVER (ORDER BY day) != s
+            THEN 1 ELSE 0 END AS new_run
+  FROM signed
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eff,
+         CAST(sum(s) AS BIGINT) AS n_plus,
+         CAST(sum(1 - s) AS BIGINT) AS n_minus,
+         CAST(sum(new_run) AS BIGINT) AS runs
+  FROM scanned
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       n_eff, n_plus, n_minus, runs,
+       CAST(CASE WHEN n_eff > 0 THEN
+            1000 + (2000 * n_plus * n_minus) // n_eff
+            ELSE 0 END AS BIGINT) AS e_runs_milli,
+       CAST(CASE WHEN n_eff > 1 THEN
+            (2 * n_plus * n_minus * (2 * n_plus * n_minus - n_eff) * 1000)
+            // (n_eff * n_eff * (n_eff - 1))
+            ELSE 0 END AS BIGINT) AS var_runs_milli,
+       CASE WHEN n_eff > 1 AND
+            (2 * n_plus * n_minus * (2 * n_plus * n_minus - n_eff) * 1000)
+            // (n_eff * n_eff * (n_eff - 1)) > 0 THEN
+            (1000 * runs - (1000 + (2000 * n_plus * n_minus) // n_eff))
+            * (1000 * runs - (1000 + (2000 * n_plus * n_minus) // n_eff))
+            * 10 >
+            38416 * ((2 * n_plus * n_minus
+            * (2 * n_plus * n_minus - n_eff) * 1000)
+            // (n_eff * n_eff * (n_eff - 1)))
+            ELSE false END AS reject_5pct
+FROM agg"""
+
+
+def hodges_lehmann_shift(orders: DataFrame) -> DataFrame:
+    """Hodges-Lehmann location-shift estimator between the daily revenue
+    of high-urgency orders (priority 1-URGENT / 2-HIGH) and the rest: the
+    MEDIAN of all pairwise differences d = a_cents - b_cents. The robust
+    companion to mann_whitney_length_shift — MW-U answers "is there a
+    shift?", HL answers "how big is it?" with a statistic immune to
+    outlier days and exactly representable in integer cents.
+
+    Exactness: the pair frame is offset-shifted non-negative
+    (d + 2^50 — daily cents stay far below 2^50 even at 100 TB) so the
+    two-pass bucketed rank (global_rank, 10^5-cent buckets) never sees a
+    truncation-vs-floor boundary; the low-median order statistic is the
+    shared percentile_rank formula, and the shift is recovered by
+    subtracting the offset back out.
+
+    Scale shape (100 TB): the order log collapses to TWO O(days) frames
+    in one map-side-combined aggregate; the pair space is a broadcast
+    cross join bounded by the CALENDAR squared (~5.8M pairs for a decade,
+    independent of row count), and the median over it is the bucketed
+    two-pass rank — no data-scaled bare window, no global sort."""
+    from datafusion_pinot_spark.operators.ranking import global_rank
+
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").alias("day"),
+            hi.alias("hi"),
+            (money("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day", "hi")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    a = daily.filter("hi").select(
+        F.col("day").alias("a_day"), F.col("cents").alias("a_cents")
+    )
+    b = daily.filter(~F.col("hi")).select(
+        F.col("day").alias("b_day"), F.col("cents").alias("b_cents")
+    )
+    offset = 1 << 50
+    pairs = a.join(F.broadcast(b)).select(
+        "a_day",
+        "b_day",
+        (F.col("a_cents") - F.col("b_cents") + F.lit(offset)).alias("dsh"),
+    )
+    ranked = global_rank(
+        pairs, F.expr("dsh div 100000"), ["dsh", "a_day", "b_day"]
+    )
+    counts = a.agg(F.count(F.lit(1)).alias("n_a_days")).crossJoin(
+        b.agg(F.count(F.lit(1)).alias("n_b_days"))
+    )
+    return (
+        ranked.filter(F.col("rank") == percentile_rank("total", 50))
+        .select(
+            F.col("total").alias("n_pairs"),
+            (F.col("dsh") - F.lit(offset)).alias("hl_shift_cents"),
+        )
+        .crossJoin(F.broadcast(counts))
+        .select("n_a_days", "n_b_days", "n_pairs", "hl_shift_cents")
+    )
+
+
+def hodges_lehmann_shift_oracle_sql() -> str:
+    offset = 1 << 50
+    return f"""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), a AS (
+  SELECT day AS a_day, cents AS a_cents FROM daily WHERE hi
+), b AS (
+  SELECT day AS b_day, cents AS b_cents FROM daily WHERE NOT hi
+), pairs AS (
+  SELECT a_day, b_day,
+         a_cents - b_cents + {offset} AS dsh
+  FROM a CROSS JOIN b
+), ranked AS (
+  SELECT dsh, row_number() OVER (ORDER BY dsh, a_day, b_day) AS rank,
+         count(*) OVER () AS total
+  FROM pairs
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a_days,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b_days,
+       CAST(total AS BIGINT) AS n_pairs,
+       CAST(dsh - {offset} AS BIGINT) AS hl_shift_cents
+FROM ranked WHERE rank = (total - 1) * 50 // 100 + 1"""

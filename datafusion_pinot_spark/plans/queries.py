@@ -3664,6 +3664,85 @@ def _register_llm():
         "parity",
         ["pinot", "storage", "metadata", "observability"],
     )(_q_pinot_segment_stats)
+    # -- r14 additions (r21+ first-check candidates — the r13..r20 queues
+    # already fill the remaining 8-per-round driver capacity, so these
+    # eight live on the permanent pytest-oracle tier and enter the window
+    # only if a rotation frees slots; every one is full-oracle-gated at
+    # sf0.001/0.01/0.1 like any window query) --
+    from datafusion_pinot_spark.operators import experiment
+
+    register(
+        "bootstrap_ci_aov",
+        experiment.bootstrap_ci_aov_oracle_sql(),
+        "analytics",
+        ["experiment", "bootstrap", "uncertainty", "resampling"],
+    )(
+        lambda spark, sf: experiment.bootstrap_ci_aov(
+            t(spark, sf, "orders")
+        )
+    )
+    register(
+        "cuped_adjusted_lift",
+        experiment.cuped_adjusted_lift_oracle_sql(),
+        "analytics",
+        ["experiment", "cuped", "variance-reduction"],
+    )(
+        lambda spark, sf: experiment.cuped_adjusted_lift(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "runs_test_daily",
+        validation.runs_test_daily_oracle_sql(),
+        "analytics",
+        ["stats", "randomness", "temporal"],
+    )(
+        lambda spark, sf: validation.runs_test_daily(t(spark, sf, "orders"))
+    )
+    register(
+        "hodges_lehmann_shift",
+        validation.hodges_lehmann_shift_oracle_sql(),
+        "analytics",
+        ["stats", "robust", "shift", "temporal"],
+    )(
+        lambda spark, sf: validation.hodges_lehmann_shift(
+            t(spark, sf, "orders")
+        )
+    )
+    register(
+        "markov_stationary_event_mix",
+        temporal.markov_stationary_event_mix_oracle_sql(),
+        "analytics",
+        ["temporal", "markov", "fixpoint", "behavior"],
+    )(
+        lambda spark, sf: temporal.markov_stationary_event_mix(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "sax_daily_motifs",
+        temporal.sax_daily_motifs_oracle_sql(),
+        "analytics",
+        ["temporal", "sax", "motif", "symbolic"],
+    )(
+        lambda spark, sf: temporal.sax_daily_motifs(t(spark, sf, "orders"))
+    )
+    register(
+        "bm25_doc_terms",
+        text.bm25_doc_terms_oracle_sql(),
+        "llm",
+        ["text", "ranking", "bm25", "quality"],
+    )(lambda spark, sf: text.bm25_doc_terms(_docs(spark, sf)))
+    register(
+        "common_neighbor_link_pred",
+        graph.common_neighbor_link_pred_oracle_sql(),
+        "llm",
+        ["graph", "link-prediction", "recommendation"],
+    )(
+        lambda spark, sf: graph.common_neighbor_link_pred(
+            t(spark, sf, "lineitem")
+        )
+    )
 
 
 _register_llm()

@@ -778,6 +778,11 @@ GLOBAL_WINDOW_ALLOW = {
     "equi_depth_price_histogram": {"__bucket ASC"},
     "funnel_time_to_convert": {"__bucket ASC"},
     "gini_source_concentration": {"n_s ASC,source ASC"},
+    # r14: exact-median bucket frame + the day-ordered sign/symbol scan —
+    # both bounded (<= value-range/1e5 buckets; CALENDAR days)
+    "runs_test_daily": {"__bucket ASC", "day ASC"},
+    "sax_daily_motifs": {"__bucket ASC", "day ASC"},
+    "hodges_lehmann_shift": {"__bucket ASC"},
     "halflife_event_mass": {""},
     "halflife_event_mass_cells": {""},
     "lm_quality_gate": {"__bucket ASC"},
