@@ -1749,3 +1749,170 @@ SELECT source, n_docs, k_sampled, mean_chars_pop_milli,
             // mean_chars_pop_milli
             ELSE 0 END AS BIGINT) AS gap_ppm
 FROM means ORDER BY source"""
+
+
+def length_weighted_ess(docs: DataFrame) -> DataFrame:
+    """Kish effective sample size of each source under LENGTH weighting —
+    the audit a mixture designer runs before token-weighted sampling:
+    when documents are drawn proportionally to their character count, a
+    source whose mass sits in a few huge documents contributes far fewer
+    *effective* documents than its row count suggests. Per source:
+    ``ess = (sum w)^2 / sum w^2`` (Kish 1965, public) floored to an
+    integer, its ratio to the raw count in exact ppm, and the design
+    effect ``deff = n * sum w^2 / (sum w)^2`` in exact ppm — both single
+    floor divisions on DECIMAL(38,0) (HUGEINT in DuckDB), exact to
+    ~1e16-char sources.
+
+    Scale shape (100 TB): ONE map-side-combined aggregation collapses
+    the corpus to |sources| moment rows; everything else is per-row
+    arithmetic on that bounded frame."""
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sw"),
+            F.sum(F.expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars")).alias(
+                "sw2"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sw").alias("total_chars"),
+            F.expr(
+                "CAST(CASE WHEN sw2 = 0 THEN 0 ELSE"
+                " CAST(sw AS DECIMAL(38,0)) * sw div sw2 END AS BIGINT)"
+            ).alias("ess"),
+            F.expr(
+                "CAST(CASE WHEN sw2 = 0 OR n_docs = 0 THEN 0 ELSE"
+                " CAST(sw AS DECIMAL(38,0)) * sw * 1000000"
+                " div (sw2 * n_docs) END AS BIGINT)"
+            ).alias("ess_ratio_ppm"),
+            F.expr(
+                "CAST(CASE WHEN sw = 0 THEN 0 ELSE"
+                " CAST(n_docs AS DECIMAL(38,0)) * sw2 * 1000000"
+                " div (CAST(sw AS DECIMAL(38,0)) * sw) END AS BIGINT)"
+            ).alias("deff_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def length_weighted_ess_oracle_sql() -> str:
+    return """
+WITH m AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sw,
+         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sw2
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, sw AS total_chars,
+       CAST(CASE WHEN sw2 = 0 THEN 0 ELSE
+            CAST(sw AS HUGEINT) * sw // sw2 END AS BIGINT) AS ess,
+       CAST(CASE WHEN sw2 = 0 OR n_docs = 0 THEN 0 ELSE
+            CAST(sw AS HUGEINT) * sw * 1000000 // (sw2 * n_docs)
+            END AS BIGINT) AS ess_ratio_ppm,
+       CAST(CASE WHEN sw = 0 THEN 0 ELSE
+            CAST(n_docs AS HUGEINT) * sw2 * 1000000
+            // (CAST(sw AS HUGEINT) * sw) END AS BIGINT) AS deff_ppm
+FROM m ORDER BY source"""
+
+
+def capture_recapture_estimate(docs: DataFrame) -> DataFrame:
+    """Capture-recapture (Lincoln-Petersen / Chapman, public) estimate of
+    the true distinct-document count from two simulated overlapping
+    crawls — the "how much of the web did my two crawls actually see?"
+    audit. Individuals are distinct content fingerprints (md5 of the
+    normalized text); each is independently "captured" by crawl A / B
+    when the first hex digit of md5(key || salt) falls under 11/16 —
+    deterministic pseudo-uniform capture both engines reproduce exactly.
+    One row: both sample sizes, the overlap, the exact-integer
+    Lincoln-Petersen estimate ``n1*n2 div m``, the bias-corrected
+    Chapman estimate ``(n1+1)(n2+1) div (m+1) - 1``, the TRUE distinct
+    count, and each estimator's absolute error in ppm of truth.
+
+    Scale shape (100 TB): ONE distinct-shuffle on the 32-char key
+    collapses the corpus; the capture flags are two md5s per key inside
+    codegen and the whole audit folds to a single row — no joins at
+    all."""
+    keys = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.md5(F.trim(F.lower(F.col("text")))).alias("k"))
+        .distinct()
+    )
+    flagged = keys.select(
+        (
+            F.conv(F.substring(F.md5(F.concat(F.col("k"), F.lit("a"))), 1, 1), 16, 10)
+            .cast("int")
+            < 11
+        ).alias("in_a"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.col("k"), F.lit("b"))), 1, 1), 16, 10)
+            .cast("int")
+            < 11
+        ).alias("in_b"),
+    )
+    folded = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("in_b"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("m"),
+    )
+    return folded.select(
+        "n1",
+        "n2",
+        "m",
+        "n_true",
+        F.expr(
+            "CAST(CASE WHEN m = 0 THEN 0 ELSE n1 * n2 DIV m END AS BIGINT)"
+        ).alias("lp_estimate"),
+        F.expr(
+            "CAST((n1 + 1) * (n2 + 1) DIV (m + 1) - 1 AS BIGINT)"
+        ).alias("chapman_estimate"),
+        F.expr(
+            "CAST(CASE WHEN m = 0 OR n_true = 0 THEN 0 ELSE"
+            " abs(n1 * n2 DIV m - n_true) * 1000000 DIV n_true END"
+            " AS BIGINT)"
+        ).alias("lp_err_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_true = 0 THEN 0 ELSE"
+            " abs((n1 + 1) * (n2 + 1) DIV (m + 1) - 1 - n_true)"
+            " * 1000000 DIV n_true END AS BIGINT)"
+        ).alias("chapman_err_ppm"),
+    )
+
+
+def capture_recapture_estimate_oracle_sql() -> str:
+    def hexdig(expr: str) -> str:
+        return f"(strpos('0123456789abcdef', substr({expr}, 1, 1)) - 1)"
+
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT md5(trim(lower(text))) AS k
+  FROM documents WHERE length(trim(text)) > 0
+), flagged AS (
+  SELECT {hexdig("md5(k || 'a')")} < 11 AS in_a,
+         {hexdig("md5(k || 'b')")} < 11 AS in_b
+  FROM keys
+), folded AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM flagged
+)
+SELECT n1, n2, m, n_true,
+       CAST(CASE WHEN m = 0 THEN 0 ELSE n1 * n2 // m END AS BIGINT)
+         AS lp_estimate,
+       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+         AS chapman_estimate,
+       CAST(CASE WHEN m = 0 OR n_true = 0 THEN 0 ELSE
+            abs(n1 * n2 // m - n_true) * 1000000 // n_true END AS BIGINT)
+         AS lp_err_ppm,
+       CAST(CASE WHEN n_true = 0 THEN 0 ELSE
+            abs((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true)
+            * 1000000 // n_true END AS BIGINT) AS chapman_err_ppm
+FROM folded"""

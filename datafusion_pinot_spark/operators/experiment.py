@@ -641,3 +641,110 @@ SELECT n AS n_users, n_a, n_b, theta_ppm, rho2_ppm,
        CAST(myb_milli - mya_milli AS BIGINT) AS lift_raw_milli,
        CAST(({adj_b}) - ({adj_a}) AS BIGINT) AS lift_cuped_milli
 FROM der2"""
+
+
+def mde_sample_size_grid(events: DataFrame) -> DataFrame:
+    """Pre-experiment power analysis from pilot data: for a grid of
+    minimum-detectable-effect sizes (1/2/5/10/20% of the mean), the
+    per-arm sample size a two-sample test at alpha=.05 (two-sided),
+    power=.80 needs, computed from the pilot's per-user purchase-spend
+    variance. The closed form ``n = (z_a + z_b)^2 * 2 s^2 / delta^2``
+    (public; z-sum squared carried as the exact rational 7849/1000) is
+    evaluated in one integer ceiling division so the row hash-checks
+    across engines:
+    ``n_req = ceil(156980 * s2_num * n / ((n-1) * m^2 * sx^2))``
+    (coefficient = 7849 * 2 * 1e4 / 1000 — the 1e4 undoes the percent
+    squaring, the 1000 the z-sum's milli carry) with
+    ``s2_num = n*sxx - sx^2`` on DECIMAL(38,0) (HUGEINT in DuckDB)
+    — exact to ~1e34-cent^2 pilot moments, far past any real pilot.
+
+    Scale shape (100 TB): ONE user-keyed partial-aggregated shuffle
+    collapses the event log to per-user spend, a second tiny agg folds
+    the three moments into one row, and the 5-row MDE grid cross-joins
+    that broadcast scalar. Nothing downstream of the first shuffle sees
+    data scale."""
+    spend = (
+        events.select(
+            F.col("user_id").alias("u"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("long"),
+            )
+            .otherwise(0)
+            .alias("cents"),
+        )
+        .groupBy("u")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("cents"))
+    )
+    stats = spend.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(
+            F.expr("CAST(cents AS DECIMAL(38,0)) * cents")
+        ).alias("sxx"),
+    )
+    grid = stats.select(
+        "n",
+        "sx",
+        "sxx",
+        F.explode(
+            F.array(*[F.lit(m) for m in (1, 2, 5, 10, 20)])
+        ).alias("mde_pct"),
+    )
+    return grid.select(
+        F.col("mde_pct").cast("int").alias("mde_pct"),
+        F.col("n").cast("long").alias("n_pilot"),
+        F.expr("CAST(1000 * sx DIV n AS BIGINT)").alias("mean_cents_milli"),
+        F.expr(
+            "CAST(CASE WHEN n <= 1 THEN 0 ELSE"
+            " (CAST(n AS DECIMAL(38,0)) * sxx"
+            "  - CAST(sx AS DECIMAL(38,0)) * sx)"
+            " div (CAST(n AS DECIMAL(38,0)) * (n - 1)) END AS BIGINT)"
+        ).alias("var_cents2"),
+        F.expr("CAST(10 * mde_pct * sx DIV n AS BIGINT)").alias(
+            "delta_cents_milli"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n <= 1 OR sx <= 0 THEN 0 ELSE"
+            " (CAST(156980 AS DECIMAL(38,0))"
+            "   * (CAST(n AS DECIMAL(38,0)) * sxx"
+            "      - CAST(sx AS DECIMAL(38,0)) * sx) * n"
+            "  + CAST(n - 1 AS DECIMAL(38,0)) * mde_pct * mde_pct"
+            "    * sx * sx - 1)"
+            " div (CAST(n - 1 AS DECIMAL(38,0)) * mde_pct * mde_pct"
+            "      * sx * sx) END AS BIGINT)"
+        ).alias("n_required_per_arm"),
+    ).orderBy("mde_pct")
+
+
+def mde_sample_size_grid_oracle_sql() -> str:
+    return """
+WITH spend AS (
+  SELECT user_id AS u,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sx,
+         CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sxx
+  FROM spend
+), grid AS (
+  SELECT n, sx, sxx, unnest([1, 2, 5, 10, 20]) AS mde_pct FROM stats
+)
+SELECT CAST(mde_pct AS INTEGER) AS mde_pct,
+       n AS n_pilot,
+       CAST(1000 * sx // n AS BIGINT) AS mean_cents_milli,
+       CAST(CASE WHEN n <= 1 THEN 0 ELSE
+            (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+            // (CAST(n AS HUGEINT) * (n - 1)) END AS BIGINT) AS var_cents2,
+       CAST(10 * mde_pct * sx // n AS BIGINT) AS delta_cents_milli,
+       CAST(CASE WHEN n <= 1 OR sx <= 0 THEN 0 ELSE
+            (CAST(156980 AS HUGEINT)
+              * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) * n
+             + CAST(n - 1 AS HUGEINT) * mde_pct * mde_pct
+               * sx * sx - 1)
+            // (CAST(n - 1 AS HUGEINT) * mde_pct * mde_pct
+                * sx * sx) END AS BIGINT) AS n_required_per_arm
+FROM grid ORDER BY mde_pct"""

@@ -1245,3 +1245,104 @@ FROM inter
 JOIN sizes sa ON inter.ta = sa.event_type
 JOIN sizes sb ON inter.tb = sb.event_type
 ORDER BY ta, tb"""
+
+
+def markov_next_event_accuracy(events: DataFrame) -> DataFrame:
+    """In-sample top-1 accuracy of the first-order Markov next-event
+    predictor — the audit that tells a behavioral modeler whether the
+    ``event_transition_matrix`` is worth deploying: per FROM type, the
+    argmax next type (count desc, name asc tie-break), how often that
+    guess is right (exact ppm), and the marginal baseline (always guess
+    the globally most common next type) it must beat.
+
+    Scale shape (100 TB): the same single ``lead`` window over
+    (user, ts, event_id) as the transition matrix — O(1) state per user,
+    unique tie-break — then everything runs on the |types|^2-row edge
+    aggregate: the argmax windows partition by FROM type over |types|
+    rows, and the predictor joins back as a broadcast. The corpus is
+    scanned once."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        events.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w_pred = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("next_type")
+    )
+    pred = (
+        edges.withColumn("rk", F.row_number().over(w_pred))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("next_type").alias("pred_next"))
+    )
+    marg = (
+        edges.groupBy("next_type")
+        .agg(F.sum("n").alias("m"))
+        .orderBy(F.desc("m"), F.asc("next_type"))
+        .limit(1)
+        .select(F.col("next_type").alias("base_next"))
+    )
+    return (
+        edges.join(F.broadcast(pred), "event_type")
+        .crossJoin(F.broadcast(marg))
+        .groupBy("event_type", "pred_next")
+        .agg(
+            F.sum("n").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("next_type") == F.col("pred_next"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.sum(F.when(F.col("next_type") == F.col("base_next"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_base"),
+        )
+        .select(
+            "event_type",
+            "pred_next",
+            "n_pairs",
+            "n_correct",
+            F.expr("n_correct * 1000000L div n_pairs").alias("acc_ppm"),
+            F.expr("n_base * 1000000L div n_pairs").alias("base_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def markov_next_event_accuracy_oracle_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+edges AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type),
+pred AS (
+  SELECT event_type, next_type AS pred_next FROM (
+    SELECT event_type, next_type,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY n DESC, next_type ASC) AS rk
+    FROM edges) WHERE rk = 1),
+marg AS (
+  SELECT next_type AS base_next FROM (
+    SELECT next_type, sum(n) AS m FROM edges GROUP BY next_type
+    ORDER BY m DESC, next_type ASC LIMIT 1))
+SELECT e.event_type, p.pred_next,
+       CAST(sum(n) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN e.next_type = p.pred_next THEN n ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN e.next_type = p.pred_next THEN n ELSE 0 END)
+            * 1000000
+            // sum(n) AS BIGINT) AS acc_ppm,
+       CAST(sum(CASE WHEN e.next_type = m.base_next THEN n ELSE 0 END)
+            * 1000000
+            // sum(n) AS BIGINT) AS base_ppm
+FROM edges e JOIN pred p USING (event_type) CROSS JOIN marg m
+GROUP BY e.event_type, p.pred_next
+ORDER BY e.event_type"""

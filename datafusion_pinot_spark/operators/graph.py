@@ -649,3 +649,126 @@ JOIN deg da ON da.u = pa
 JOIN deg db ON db.u = pb
 ORDER BY jaccard_ppm DESC, common_neighbors DESC, part_a, part_b
 LIMIT {top}"""
+
+
+def clustering_coeff_profile(lineitem: DataFrame) -> DataFrame:
+    """LOCAL clustering-coefficient distribution of the part co-purchase
+    graph — the per-node complement to ``copurchase_triangles``' single
+    global number: each node's ``lcc = 2*t(v) / (d(v)*(d(v)-1))`` in
+    exact ppm, folded into eleven fixed deciles (bucket = lcc_ppm div
+    100000, so 1.0 lands in its own bucket 10) plus bucket -1 for
+    degree-1 nodes where lcc is undefined. Per bucket: node count, total
+    degree, total triangle incidences — the "is my graph clumpy or
+    stringy" histogram community-detection work starts from.
+
+    Scale shape (100 TB): same bounded-fanout edge derivation as
+    copurchase_triangles (per-order pair-gen, order width caps the
+    fanout; edge list localCheckpoint'd once, reused four times). The
+    triangle enumeration closes wedges with an INNER join (not the
+    count-only semi) because each triangle must credit its three
+    corners: one explode to 3 rows per triangle, then a node-keyed
+    rollup. All joins key on node/edge columns — no corpus-quadratic
+    step anywhere."""
+    op = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+        )
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u"))
+            & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("n1"),
+            F.col("e1.v").alias("n2"),
+            F.col("e2.v").alias("n3"),
+        )
+    )
+    tri_per_node = (
+        tri.select(F.explode(F.array("n1", "n2", "n3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    lcc = (
+        deg.join(tri_per_node, "node", "left")
+        .withColumn("t", F.coalesce(F.col("t"), F.lit(0)))
+        .select(
+            "node",
+            "d",
+            "t",
+            F.expr(
+                "CASE WHEN d < 2 THEN CAST(-1 AS BIGINT)"
+                " ELSE CAST(2 * t * 1000000 DIV (d * (d - 1)) AS BIGINT) END"
+            ).alias("lcc_ppm"),
+        )
+    )
+    return (
+        lcc.withColumn(
+            "bucket",
+            F.expr(
+                "CAST(CASE WHEN lcc_ppm < 0 THEN -1"
+                " ELSE lcc_ppm DIV 100000 END AS BIGINT)"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("sum_deg"),
+            F.sum("t").cast("long").alias("sum_tri"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def clustering_coeff_profile_oracle_sql() -> str:
+    return """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY node
+), tri AS (
+  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+), tpn AS (
+  SELECT node, count(*) AS t FROM (
+    SELECT n1 AS node FROM tri UNION ALL
+    SELECT n2 AS node FROM tri UNION ALL
+    SELECT n3 AS node FROM tri
+  ) GROUP BY node
+), lcc AS (
+  SELECT deg.node, deg.d, coalesce(tpn.t, 0) AS t,
+         CASE WHEN deg.d < 2 THEN CAST(-1 AS BIGINT)
+              ELSE CAST(2 * coalesce(tpn.t, 0) * 1000000
+                        // (deg.d * (deg.d - 1)) AS BIGINT) END AS lcc_ppm
+  FROM deg LEFT JOIN tpn ON deg.node = tpn.node
+)
+SELECT CAST(CASE WHEN lcc_ppm < 0 THEN -1 ELSE lcc_ppm // 100000 END
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(d) AS BIGINT) AS sum_deg,
+       CAST(sum(t) AS BIGINT) AS sum_tri
+FROM lcc GROUP BY 1 ORDER BY bucket"""

@@ -2493,3 +2493,308 @@ FROM (
                             ORDER BY total_l1_milli ASC, vec_id ASC) AS rk
   FROM per_vec
 ) WHERE rk = 1 ORDER BY label"""
+
+
+def contrastive_pair_mining(
+    embeddings: DataFrame, query_ids: list[int]
+) -> DataFrame:
+    """Hard-pair mining for contrastive training (triplet / InfoNCE data
+    prep, public technique): for each anchor vector, the hardest POSITIVE
+    (most-similar same-label neighbor — the pair the encoder should pull
+    together) and the hardest NEGATIVE (most-similar different-label
+    neighbor — the pair it must push apart), plus the triplet margin.
+    Similarities are cosine rounded to 6 (the repo-wide float boundary);
+    ties break on ascending vec_id so both engines pick the same pair.
+
+    Scale shape (100 TB): the anchor set is a broadcast literal list —
+    ONE corpus scan scores |anchors| x N pairs inside codegen, and the
+    per-(anchor, side) argmax is a WindowGroupLimit partial over the
+    2|anchors| partitions (top-1 per partition folds map-side; nothing
+    corpus-sized shuffles)."""
+    emb = embeddings.select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    anchors = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("q_v"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            (F.col("label") == F.col("q_label")).alias("same"),
+            F.round(
+                cosine_similarity(F.col("q_v"), F.col("v")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id", "same").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return (
+        top.groupBy("q_id")
+        .agg(
+            F.max("q_label").cast("int").alias("label"),
+            F.max(F.when(F.col("same"), F.col("vec_id"))).alias("pos_id"),
+            F.max(F.when(F.col("same"), F.col("sim"))).alias("pos_sim"),
+            F.max(F.when(~F.col("same"), F.col("vec_id"))).alias("neg_id"),
+            F.max(F.when(~F.col("same"), F.col("sim"))).alias("neg_sim"),
+        )
+        .select(
+            "q_id",
+            "label",
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def contrastive_pair_mining_oracle_sql(query_ids: list[int]) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, label AS q_label, v AS q_v
+  FROM emb WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label = q.q_label AS same,
+         round(CASE WHEN sqrt(list_sum(list_transform(q.q_v, x -> x*x)))
+                         * sqrt(list_sum(list_transform(e.v, x -> x*x))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(
+                           generate_series(1, len(e.v)),
+                           i -> q.q_v[i] * e.v[i]))
+                         / (sqrt(list_sum(list_transform(q.q_v, x -> x*x)))
+                            * sqrt(list_sum(list_transform(e.v, x -> x*x))))
+               END, 6) AS sim
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id
+), top AS (
+  SELECT * FROM (
+    SELECT q_id, q_label, vec_id, same, sim,
+           row_number() OVER (PARTITION BY q_id, same
+                              ORDER BY sim DESC, vec_id ASC) AS rk
+    FROM scored) WHERE rk = 1
+)
+SELECT q_id, CAST(max(q_label) AS INTEGER) AS label,
+       max(CASE WHEN same THEN vec_id END) AS pos_id,
+       max(CASE WHEN same THEN sim END) AS pos_sim,
+       max(CASE WHEN NOT same THEN vec_id END) AS neg_id,
+       max(CASE WHEN NOT same THEN sim END) AS neg_sim,
+       round(max(CASE WHEN same THEN sim END)
+             - max(CASE WHEN NOT same THEN sim END), 6) AS margin
+FROM top GROUP BY q_id ORDER BY q_id"""
+
+
+def embedding_pca_power(
+    embeddings: DataFrame, iterations: int = 4, dim: int = EMBEDDING_DIM
+) -> DataFrame:
+    """Dominant principal component of the embedding cloud by a
+    FIXED-iteration power method over the exact integer covariance of
+    SQ8-quantized vectors — the "is there one axis eating my embedding
+    space" audit (anisotropy is the classic failure of contrastive
+    encoders, public). Vectors quantize exactly as ann_sq8_topk does
+    (``floor(x*127/max|x|)``); the centered scaled covariance
+    ``C[i,j] = n*S_ij - S_i*S_j`` is integer-exact on DECIMAL(38,0)
+    (HUGEINT in DuckDB), and each of the ``iterations`` steps is
+    ``v' = floor_signsplit((C @ v) * 1e6 / max|C @ v|)`` — the same
+    recurrence both engines unroll, so the result hash-checks without
+    any convergence question. Output: the direction in exact ppm per
+    dimension plus the explained-variance share
+    ``(v'Cv / v'v) * 1e6 div trace(C)`` (two documented floors).
+
+    Scale shape (100 TB): the Gram pass explodes each vector's upper
+    triangle inside codegen (no self-join — ``transform`` over array
+    slices) and map-side-combines to d(d+1)/2 keys, the ONE corpus-sized
+    stage. The mirrored d^2-row matrix is localCheckpoint'd once, and
+    every iteration is broadcast joins over d-row frames (each step's
+    matvec also checkpointed, keeping the lazy plan linear in
+    ``iterations`` — the markov_stationary_event_mix lesson)."""
+    from datafusion_pinot_spark.functions import as_double_array
+
+    def q8(col):
+        v = as_double_array(col)
+        maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        return F.when(
+            maxabs > 0,
+            F.transform(
+                v, lambda x: F.floor(x * F.lit(127.0) / maxabs).cast("long")
+            ),
+        ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+
+    emb = embeddings.select(q8(F.col("embedding")).alias("q"))
+    upper = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (x, i) ->"
+                " transform(slice(q, i + 1, size(q) - i),"
+                " (y, j0) -> struct(i AS i, i + j0 AS j,"
+                " CAST(x AS BIGINT) * y AS p))))"
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    sums = (
+        emb.select(F.posexplode("q").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum("qi").alias("s"))
+    )
+    n_ = emb.agg(F.count(F.lit(1)).alias("n"))
+    gram = upper.groupBy("i", "j").agg(F.sum("p").alias("sij"))
+    si = sums.select(F.col("i").alias("gi"), F.col("s").alias("s_i"))
+    sj = sums.select(F.col("i").alias("gj"), F.col("s").alias("s_j"))
+    cov_upper = (
+        gram.join(F.broadcast(si), gram.i == si.gi)
+        .join(F.broadcast(sj), gram.j == sj.gj)
+        .crossJoin(F.broadcast(n_))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * sij"
+                " - CAST(s_i AS DECIMAL(38,0)) * s_j"
+            ).alias("c"),
+        )
+    )
+    mat = (
+        cov_upper.unionAll(
+            cov_upper.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "c"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = mat.select("i").distinct().select(
+        F.col("i").alias("dim"), F.lit(1000000).cast("long").alias("v")
+    )
+    w = None
+    for _ in range(iterations):
+        w = (
+            mat.join(F.broadcast(v), mat.j == v.dim)
+            .groupBy("i")
+            .agg(F.sum(F.expr("c * v")).alias("w"))
+            .localCheckpoint(eager=False)
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        prev_v = v
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("dim"),
+                F.expr(
+                    "CAST(CASE WHEN m = 0 THEN 0"
+                    " WHEN w >= 0 THEN (w * 1000000) div m"
+                    " ELSE -(((-w) * 1000000) div m) END AS BIGINT)"
+                ).alias("v"),
+            )
+        )
+    # Rayleigh quotient on the LAST pre-normalization pair (prev_v, w):
+    # rq = (v . w) / (v . v), then its share of trace(C) in ppm.
+    vw = (
+        prev_v.join(w, prev_v.dim == w.i)
+        .agg(
+            F.sum(F.expr("v * w")).alias("svw"),
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("svv"),
+        )
+    )
+    trace = mat.filter(F.col("i") == F.col("j")).agg(
+        F.sum("c").alias("tr")
+    )
+    share = vw.crossJoin(F.broadcast(trace)).select(
+        F.expr(
+            "CAST(CASE WHEN svv = 0 OR tr = 0 THEN 0"
+            " ELSE (svw div svv) * 1000000 div tr END AS BIGINT)"
+        ).alias("explained_share_ppm")
+    )
+    return (
+        v.crossJoin(F.broadcast(share))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("v").alias("v_ppm"),
+            "explained_share_ppm",
+        )
+        .orderBy("dim")
+    )
+
+
+def embedding_pca_power_oracle_sql(
+    iterations: int = 4, dim: int = EMBEDDING_DIM
+) -> str:
+    steps = []
+    prev = "v0"
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT mat.i, sum(mat.c * {prev}.v) AS w
+  FROM mat JOIN {prev} ON mat.j = {prev}.dim GROUP BY mat.i
+), m{k} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w{k}),
+v{k} AS MATERIALIZED (
+  SELECT i AS dim,
+         CAST(CASE WHEN m = 0 THEN 0
+              WHEN w >= 0 THEN (w * 1000000) // m
+              ELSE -(((-w) * 1000000) // m) END AS BIGINT) AS v
+  FROM w{k} CROSS JOIN m{k}
+)"""
+        )
+        prev = f"v{k}"
+    last_v, last_w = f"v{iterations - 1}" if iterations > 1 else "v0", f"w{iterations}"
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT CASE WHEN list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) > 0
+         THEN list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+                     list_max(list_transform(embedding,
+                       y -> abs(CAST(y AS DOUBLE))))) AS BIGINT))
+         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+  FROM embeddings
+), dims AS (SELECT unnest(range(1, {dim + 1})) AS d),
+e AS MATERIALIZED (
+  SELECT rowid AS vid, d - 1 AS i, q[d] AS qi
+  FROM (SELECT row_number() OVER () AS rowid, q FROM emb) CROSS JOIN dims
+), sums AS (
+  SELECT i, CAST(sum(qi) AS BIGINT) AS s FROM e GROUP BY i
+), n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM emb),
+gram AS (
+  SELECT a.i AS i, b.i AS j, sum(a.qi * b.qi) AS sij
+  FROM e a JOIN e b ON a.vid = b.vid AND b.i >= a.i
+  GROUP BY a.i, b.i
+), cov_upper AS (
+  SELECT g.i, g.j,
+         CAST(n AS HUGEINT) * sij
+         - CAST(si.s AS HUGEINT) * sj.s AS c
+  FROM gram g
+  JOIN sums si ON g.i = si.i JOIN sums sj ON g.j = sj.i
+  CROSS JOIN n_
+), mat AS MATERIALIZED (
+  SELECT i, j, c FROM cov_upper
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM cov_upper WHERE i <> j
+), v0 AS (
+  SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS v FROM mat
+), {", ".join(steps)},
+vw AS (
+  SELECT sum(p.v * w.w) AS svw,
+         sum(CAST(p.v AS HUGEINT) * p.v) AS svv
+  FROM {last_v} p JOIN {last_w} w ON p.dim = w.i
+), trace AS (SELECT sum(c) AS tr FROM mat WHERE i = j),
+share AS (
+  SELECT CAST(CASE WHEN svv = 0 OR tr = 0 THEN 0
+              ELSE (svw // svv) * 1000000 // tr END AS BIGINT)
+           AS explained_share_ppm
+  FROM vw CROSS JOIN trace
+)
+SELECT CAST(dim AS INTEGER) AS dim, v AS v_ppm, explained_share_ppm
+FROM v{iterations} CROSS JOIN share ORDER BY dim"""

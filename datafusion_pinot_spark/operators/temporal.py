@@ -2016,3 +2016,110 @@ FROM grams WHERE motif IS NOT NULL
 GROUP BY motif
 ORDER BY n_occurrences DESC, motif
 LIMIT {top}"""
+
+
+def haar_wavelet_energy(orders: DataFrame, levels: int = 7) -> DataFrame:
+    """Unnormalized Haar wavelet energy spectrum of the daily-revenue
+    series (first 2^levels days from the first order date) — which
+    TIMESCALE carries the variation: day-to-day jitter loads level 1,
+    a weekly cycle loads level 3 (2^3 = 8-day pairs straddle it), a
+    regime shift loads the top level. Per level: the detail-coefficient
+    count, the level's share of total detail energy in exact ppm, and
+    the raw energy floored to kilo-dollar^2.
+
+    Exactness: daily revenue floors once to whole dollars; each level's
+    detail is the exact integer pair difference ``d_k = s_2k - s_2k+1``
+    and its energy sums ``d^2`` on DECIMAL(38,0) (HUGEINT in DuckDB).
+    MISSING days need no explicit grid: a signed-sum aggregate over
+    ``k = i div 2`` treats an absent pair member as the zero the padded
+    grid would hold, so the sparse frame and the dense grid compute
+    identical coefficients (and all-missing pairs contribute d = 0).
+
+    Scale shape (100 TB): the corpus collapses to <=2^levels (day, sum)
+    rows in ONE map-side-combined shuffle; the ``levels`` chained
+    aggregations run on 64-then-32-then-... row frames. Nothing after
+    the first shuffle sees data scale."""
+    daily = (
+        orders.select(
+            F.expr(
+                "CAST(to_date(o_orderdate) - DATE '1970-01-01' AS BIGINT)"
+            ).alias("day"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(cents) DIV 100 AS BIGINT)").alias("s"))
+    )
+    base = daily.agg(F.min("day").alias("day0"))
+    cur = (
+        daily.crossJoin(F.broadcast(base))
+        .withColumn("i", F.col("day") - F.col("day0"))
+        .filter(F.col("i") < F.lit(2**levels))
+        .select("i", "s")
+    )
+    energies = None
+    for lvl in range(1, levels + 1):
+        paired = cur.groupBy(F.expr("i DIV 2").alias("i")).agg(
+            F.sum(
+                F.when(F.col("i") % 2 == 0, F.col("s")).otherwise(-F.col("s"))
+            ).alias("d"),
+            F.sum("s").alias("s"),
+        )
+        e = paired.agg(
+            F.lit(lvl).cast("int").alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+            F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("energy"),
+        )
+        energies = e if energies is None else energies.unionAll(e)
+        cur = paired.select("i", "s")
+    total = energies.agg(F.sum("energy").alias("tot"))
+    return (
+        energies.crossJoin(F.broadcast(total))
+        .select(
+            "level",
+            "n_coeffs",
+            F.expr(
+                "CAST(CASE WHEN tot = 0 THEN 0"
+                " ELSE energy * 1000000 div tot END AS BIGINT)"
+            ).alias("energy_share_ppm"),
+            F.expr("CAST(energy div 1000 AS BIGINT)").alias("energy_kd2"),
+        )
+        .orderBy("level")
+    )
+
+
+def haar_wavelet_energy_oracle_sql(levels: int = 7) -> str:
+    parts = [
+        f"""daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // 100
+              AS BIGINT) AS s
+  FROM orders GROUP BY 1
+), lvl0 AS (
+  SELECT day - (SELECT min(day) FROM daily) AS i, s FROM daily
+  WHERE day - (SELECT min(day) FROM daily) < {2**levels}
+)"""
+    ]
+    for lvl in range(1, levels + 1):
+        parts.append(
+            f"""lvl{lvl} AS MATERIALIZED (
+  SELECT i // 2 AS i,
+         CAST(sum(CASE WHEN i % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d,
+         CAST(sum(s) AS BIGINT) AS s
+  FROM lvl{lvl - 1} GROUP BY i // 2
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {lvl} AS level, count(*) AS n_coeffs,
+       CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS energy FROM lvl{lvl}"""
+        for lvl in range(1, levels + 1)
+    )
+    return f"""
+WITH {", ".join(parts)}, energies AS (
+{unions}
+), total AS (SELECT sum(energy) AS tot FROM energies)
+SELECT CAST(level AS INTEGER) AS level,
+       CAST(n_coeffs AS BIGINT) AS n_coeffs,
+       CAST(CASE WHEN tot = 0 THEN 0 ELSE energy * 1000000 // tot END
+            AS BIGINT) AS energy_share_ppm,
+       CAST(energy // 1000 AS BIGINT) AS energy_kd2
+FROM energies CROSS JOIN total ORDER BY level"""

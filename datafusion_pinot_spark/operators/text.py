@@ -2203,3 +2203,93 @@ WITH toks AS (
 SELECT doc_id, token, tf, df, dl, bm25_ppm FROM ranked WHERE rn <= {k}
 ORDER BY doc_id, bm25_ppm DESC, tf DESC, token
 """
+
+
+def readability_by_source(docs: DataFrame) -> DataFrame:
+    """Flesch-style readability profile per source — the classic prose
+    gate (Flesch 1948, public) re-expressed in exact integer milli so the
+    score hash-checks across engines: per document,
+    ``f_milli = 206835 - (1015 * W) div S - (84600 * Y) div W`` with
+    W = whitespace tokens, S = sentence runs (``[.!?]+``, floored at 1),
+    Y = vowel-group syllable proxy (``[aeiouy]+``) — the three regex
+    counts every engine evaluates identically. Per source: doc count,
+    min/avg/max score (avg sign-split floored — scores go negative on
+    run-on text), words-per-sentence and syllables-per-word in milli.
+
+    Scale shape (100 TB): three regexp counters per document inside ONE
+    codegen'd projection (no explode — the token ARRAY is never
+    materialized, just counted), then one map-side-combined rollup to
+    |sources| rows. The cheapest text op in the catalog per byte
+    scanned."""
+    per_doc = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "source",
+            F.expr(
+                "size(split(trim(lower(text)), '\\\\s+'))"
+            ).alias("w"),
+            F.expr(
+                "greatest(regexp_count(lower(text), '[.!?]+'), 1)"
+            ).alias("s"),
+            F.expr("regexp_count(lower(text), '[aeiouy]+')").alias("y"),
+        )
+        .select(
+            "source",
+            "w",
+            "s",
+            "y",
+            F.expr(
+                "206835 - (1015 * w) DIV s - (84600 * y) DIV w"
+            ).alias("f_milli"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_milli").alias("sum_f"),
+            F.min("f_milli").cast("long").alias("min_f_milli"),
+            F.max("f_milli").cast("long").alias("max_f_milli"),
+            F.sum("w").alias("sw"),
+            F.sum("s").alias("ss"),
+            F.sum("y").alias("sy"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(CASE WHEN sum_f >= 0 THEN sum_f DIV n_docs"
+                " ELSE -((-sum_f) DIV n_docs) END AS BIGINT)"
+            ).alias("avg_f_milli"),
+            "min_f_milli",
+            "max_f_milli",
+            F.expr("CAST(1000 * sw DIV ss AS BIGINT)").alias("wps_milli"),
+            F.expr("CAST(1000 * sy DIV sw AS BIGINT)").alias("spw_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+def readability_by_source_oracle_sql() -> str:
+    return r"""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS w,
+         greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+  FROM documents WHERE length(trim(text)) > 0
+), scored AS (
+  SELECT source, w, s, y,
+         206835 - (1015 * w) // s - (84600 * y) // w AS f_milli
+  FROM per_doc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(CASE WHEN sum(f_milli) >= 0 THEN sum(f_milli) // count(*)
+                 ELSE -((-sum(f_milli)) // count(*)) END AS BIGINT)
+         AS avg_f_milli,
+       CAST(min(f_milli) AS BIGINT) AS min_f_milli,
+       CAST(max(f_milli) AS BIGINT) AS max_f_milli,
+       CAST(1000 * sum(w) // sum(s) AS BIGINT) AS wps_milli,
+       CAST(1000 * sum(y) // sum(w) AS BIGINT) AS spw_milli
+FROM scored GROUP BY source ORDER BY source"""

@@ -2469,3 +2469,381 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a_days,
        CAST(total AS BIGINT) AS n_pairs,
        CAST(dsh - {offset} AS BIGINT) AS hl_shift_cents
 FROM ranked WHERE rank = (total - 1) * 50 // 100 + 1"""
+
+
+def cramers_association_audit(docs: DataFrame) -> DataFrame:
+    """Chi-square association between the corpus's two categorical axes
+    (lang x source) with Cramer's V-squared — the one-number answer to
+    "are my languages concentrated in particular crawls?" that a mixture
+    designer checks before stratifying by either axis alone. One summary
+    row: table shape, chi2 in exact integer milli, and V^2 in exact ppm
+    (V^2 = chi2 / (n * (min(R,C) - 1)); the sqrt is left to the reader so
+    the row stays integer-exact across engines).
+
+    Numerics: each cell's contribution is the single-floor rational
+    ``(o*t - r*c)^2 * 1000 div (r*c*t)`` on DECIMAL(38,0) (HUGEINT in
+    DuckDB) — exact while ``(o*t - r*c)^2 * 1000`` stays under 1e38,
+    i.e. up to ~5e8 documents; past that the audit needs a wider carry,
+    not a different algorithm. ZERO cells matter (an empty (lang,source)
+    cell still contributes E = r*c/t), so the grid is the R x C cross
+    join of the marginals, not just the observed cells.
+
+    Scale shape (100 TB): ONE map-side-combined corpus pass builds the
+    (lang, source) cell counts; marginals, the R x C grid (dozens by
+    dozens), and the fold all run on that bounded aggregate. No windows,
+    no corpus-sized joins."""
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    grid = (
+        rows_.crossJoin(cols_)
+        .join(cells, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("t"))
+    folded = (
+        grid.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.expr(
+                "CAST((CAST(o AS DECIMAL(38,0)) * t"
+                " - CAST(r AS DECIMAL(38,0)) * c)"
+                " * (CAST(o AS DECIMAL(38,0)) * t"
+                " - CAST(r AS DECIMAL(38,0)) * c)"
+                " * 1000 div (CAST(r AS DECIMAL(38,0)) * c * t)"
+                " AS BIGINT)"
+            ).alias("cm"),
+        )
+        .agg(
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("cm").cast("long").alias("chi2_milli"),
+        )
+    )
+    return folded.crossJoin(F.broadcast(tot)).select(
+        F.col("t").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.expr(
+            "CAST((n_langs - 1) * (n_sources - 1) AS BIGINT)"
+        ).alias("dof"),
+        "chi2_milli",
+        F.expr(
+            "CAST(CASE WHEN least(n_langs, n_sources) <= 1 OR t = 0"
+            " THEN 0 ELSE chi2_milli * 1000"
+            " div (t * (least(n_langs, n_sources) - 1)) END AS BIGINT)"
+        ).alias("cramers_v2_ppm"),
+    )
+
+
+def cramers_association_audit_oracle_sql() -> str:
+    return """
+WITH cells AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+), rows_ AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY lang
+), cols_ AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY source
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t FROM documents
+), grid AS (
+  SELECT rows_.lang, cols_.source, r, c, coalesce(cells.o, 0) AS o
+  FROM rows_ CROSS JOIN cols_
+  LEFT JOIN cells ON cells.lang = rows_.lang AND cells.source = cols_.source
+), folded AS (
+  SELECT count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources,
+         CAST(sum((CAST(o AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
+                  * (CAST(o AS HUGEINT) * t - CAST(r AS HUGEINT) * c)
+                  * 1000 // (CAST(r AS HUGEINT) * c * t)) AS BIGINT)
+           AS chi2_milli
+  FROM grid CROSS JOIN tot
+)
+SELECT CAST(t AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       CAST((n_langs - 1) * (n_sources - 1) AS BIGINT) AS dof,
+       chi2_milli,
+       CAST(CASE WHEN least(n_langs, n_sources) <= 1 OR t = 0 THEN 0
+                 ELSE chi2_milli * 1000 // (t * (least(n_langs, n_sources) - 1))
+            END AS BIGINT) AS cramers_v2_ppm
+FROM folded CROSS JOIN tot"""
+
+
+def ols_influence_audit(events: DataFrame) -> DataFrame:
+    """Regression-diagnostics audit of the daily event-count trend: per
+    day, the OLS residual (milli, sign-split floored against the shared
+    integer denominator ``den = n*Sxx - Sx^2``), the leverage
+    ``h = (den + (n*x - Sx)^2) / (n*den)`` in exact milli, the day's
+    share of the total squared error in exact ppm, and the standard
+    ``h > 2p/n`` (p=2) high-leverage flag as an integer comparison
+    (``h_num > 4*den``) — which days are dragging the trend line, and
+    which are merely far from it. Everything is rational on the shared
+    denominators, so the rows hash-check across engines; the only
+    repeated floor is resid_milli, squared AFTER flooring in BOTH
+    engines (deterministic by construction, documented).
+
+    Scale shape (100 TB): the corpus collapses to the calendar-bounded
+    (day, count) frame in ONE map-side-combined shuffle; the OLS moments
+    fold that frame to a 1-row broadcast and every diagnostic is per-row
+    arithmetic on the day frame. No windows anywhere."""
+    daily = (
+        events.withColumn(
+            "day", F.expr("CAST(to_date(ts) - DATE '1970-01-01' AS BIGINT)")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    base = daily.agg(F.min("day").alias("day0"))
+    xy = daily.crossJoin(F.broadcast(base)).withColumn(
+        "x", F.col("day") - F.col("day0")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    ).select(
+        "n",
+        "sx",
+        F.expr("CAST(n * sxy - sx * sy AS BIGINT)").alias("slope_num"),
+        F.expr("CAST(sy * sxx - sx * sxy AS BIGINT)").alias("icept_num"),
+        F.expr("CAST(n * sxx - sx * sx AS BIGINT)").alias("den"),
+    )
+    resid = (
+        xy.crossJoin(F.broadcast(s))
+        .filter(F.col("den") > 0)
+        .select(
+            "day",
+            "y",
+            "x",
+            "n",
+            "sx",
+            "den",
+            F.expr("y * den - icept_num - slope_num * x").alias("rnum"),
+            F.expr("den + (n * x - sx) * (n * x - sx)").alias("h_num"),
+        )
+        .select(
+            "day",
+            "y",
+            "den",
+            "h_num",
+            F.expr(
+                "CAST(CASE WHEN rnum >= 0 THEN (1000 * rnum) DIV den"
+                " ELSE -((1000 * -rnum) DIV den) END AS BIGINT)"
+            ).alias("resid_milli"),
+            F.expr("CAST(1000 * h_num DIV (n * den) AS BIGINT)").alias(
+                "h_milli"
+            ),
+            (F.col("h_num") > 4 * F.col("den")).alias("high_leverage"),
+        )
+    )
+    sse = resid.agg(
+        F.sum(
+            F.expr("CAST(resid_milli AS DECIMAL(38,0)) * resid_milli")
+        ).alias("sse")
+    )
+    return (
+        resid.crossJoin(F.broadcast(sse))
+        .select(
+            "day",
+            F.col("y").cast("long").alias("y"),
+            "resid_milli",
+            "h_milli",
+            F.expr(
+                "CAST(CASE WHEN sse = 0 THEN 0 ELSE"
+                " CAST(resid_milli AS DECIMAL(38,0)) * resid_milli * 1000000"
+                " div sse END AS BIGINT)"
+            ).alias("sse_share_ppm"),
+            "high_leverage",
+        )
+        .orderBy("day")
+    )
+
+
+def ols_influence_audit_oracle_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         count(*) AS y
+  FROM events GROUP BY 1
+), xy AS (
+  SELECT day, y, day - (SELECT min(day) FROM daily) AS x FROM daily
+), s AS (
+  SELECT count(*) AS n, sum(x) AS sx,
+         CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+           AS slope_num,
+         CAST(sum(y) * sum(x * x) - sum(x) * sum(x * y) AS BIGINT)
+           AS icept_num,
+         CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS den
+  FROM xy
+), resid AS (
+  SELECT day, y, den, h_num,
+         CAST(CASE WHEN rnum >= 0 THEN (1000 * rnum) // den
+              ELSE -((1000 * -rnum) // den) END AS BIGINT) AS resid_milli,
+         CAST(1000 * h_num // (n * den) AS BIGINT) AS h_milli,
+         h_num > 4 * den AS high_leverage
+  FROM (
+    SELECT day, y, n, sx, den,
+           y * den - icept_num - slope_num * x AS rnum,
+           den + (n * x - sx) * (n * x - sx) AS h_num
+    FROM xy CROSS JOIN s WHERE den > 0)
+), sse AS (
+  SELECT CAST(sum(CAST(resid_milli AS HUGEINT) * resid_milli) AS HUGEINT)
+           AS sse
+  FROM resid
+)
+SELECT day, CAST(y AS BIGINT) AS y, resid_milli, h_milli,
+       CAST(CASE WHEN sse = 0 THEN 0 ELSE
+            CAST(resid_milli AS HUGEINT) * resid_milli * 1000000 // sse
+            END AS BIGINT) AS sse_share_ppm,
+       high_leverage
+FROM resid CROSS JOIN sse ORDER BY day"""
+
+
+def conformal_interval_calibration(events: DataFrame) -> DataFrame:
+    """Split-conformal prediction audit (Vovk et al., public) over event
+    values: the calibration half (even event_id) fits a per-type mean
+    predictor and takes the ceil(0.9*(n+1))-th smallest absolute
+    residual as the 90% conformal radius; the disjoint test half (odd
+    event_id) then measures empirical coverage — the finite-sample
+    guarantee says ~900000 ppm, and the audit shows how close each
+    event type lands. Residuals are exact milli-cents against the
+    single-floored per-type calibration mean; the order statistic is
+    exact (no percentile interpolation), so rows hash-check across
+    engines.
+
+    Scale shape (100 TB): residual scores bucket by ``div 1e6`` (a $10
+    band), per-(type, bucket) counts run the prefix window over the
+    bounded bucket frame, and only the ONE bucket holding the target
+    rank pays a within-bucket ``row_number`` — the same two-pass exact
+    order statistic as lm_quality_gate, partitioned by type throughout
+    (never all-to-one). Coverage is one more map-side-combined agg."""
+    cents = events.select(
+        "event_id",
+        F.col("event_type").alias("etype"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("event_id") % 2 == 0).alias("is_cal"),
+    )
+    mean_ = (
+        cents.filter("is_cal")
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_cal"),
+            F.expr("CAST(1000 * sum(cents) DIV count(*) AS BIGINT)").alias(
+                "mean_milli"
+            ),
+        )
+    )
+    scored = cents.join(F.broadcast(mean_), "etype").select(
+        "etype",
+        "event_id",
+        "is_cal",
+        "n_cal",
+        F.abs(F.col("cents") * 1000 - F.col("mean_milli")).alias("s"),
+    )
+    cal = scored.filter("is_cal").withColumn(
+        "bucket", F.expr("s DIV 1000000")
+    )
+    counts = cal.groupBy("etype", "bucket").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    w_prefix = (
+        Window.partitionBy("etype")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = counts.select(
+        "etype",
+        "bucket",
+        "bn",
+        F.coalesce(F.sum("bn").over(w_prefix), F.lit(0)).alias("prefix"),
+    )
+    ranked = (
+        cal.join(F.broadcast(prefixes), ["etype", "bucket"])
+        .withColumn(
+            "q_rank",
+            F.expr("least(n_cal, (9 * n_cal + 18) DIV 10)"),
+        )
+        .filter(
+            (F.col("prefix") < F.col("q_rank"))
+            & (F.col("q_rank") <= F.col("prefix") + F.col("bn"))
+        )
+    )
+    w_local = Window.partitionBy("etype", "bucket").orderBy(
+        "s", "event_id"
+    )
+    q = (
+        ranked.withColumn(
+            "rk", F.col("prefix") + F.row_number().over(w_local)
+        )
+        .filter(F.col("rk") == F.col("q_rank"))
+        .select("etype", F.col("s").alias("q_milli"))
+    )
+    test = scored.filter(~F.col("is_cal"))
+    return (
+        test.join(F.broadcast(q), "etype")
+        .groupBy("etype")
+        .agg(
+            F.first("n_cal").cast("long").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.first("q_milli").cast("long").alias("q_milli"),
+            F.sum(F.when(F.col("s") <= F.col("q_milli"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "etype",
+            "n_cal",
+            "n_test",
+            "q_milli",
+            F.expr("n_covered * 1000000L div n_test").alias("coverage_ppm"),
+        )
+        .orderBy("etype")
+    )
+
+
+def conformal_interval_calibration_oracle_sql() -> str:
+    return """
+WITH cents AS (
+  SELECT event_id, event_type AS etype,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         event_id % 2 = 0 AS is_cal
+  FROM events
+), mean_ AS (
+  SELECT etype, CAST(count(*) AS BIGINT) AS n_cal,
+         CAST(1000 * sum(cents) // count(*) AS BIGINT) AS mean_milli
+  FROM cents WHERE is_cal GROUP BY etype
+), scored AS (
+  SELECT c.etype, c.event_id, c.is_cal, m.n_cal,
+         abs(c.cents * 1000 - m.mean_milli) AS s
+  FROM cents c JOIN mean_ m USING (etype)
+), cal AS (
+  SELECT *, s // 1000000 AS bucket FROM scored WHERE is_cal
+), prefixes AS (
+  SELECT etype, bucket, count(*) AS bn,
+         coalesce(sum(count(*)) OVER (PARTITION BY etype ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix
+  FROM cal GROUP BY etype, bucket
+), q AS (
+  SELECT etype, s AS q_milli FROM (
+    SELECT cal.etype, cal.s,
+           p.prefix + row_number() OVER (PARTITION BY cal.etype, cal.bucket
+                                         ORDER BY cal.s, cal.event_id) AS rk,
+           least(cal.n_cal, (9 * cal.n_cal + 18) // 10) AS q_rank
+    FROM cal JOIN prefixes p ON cal.etype = p.etype AND cal.bucket = p.bucket
+    WHERE p.prefix < least(cal.n_cal, (9 * cal.n_cal + 18) // 10)
+      AND least(cal.n_cal, (9 * cal.n_cal + 18) // 10) <= p.prefix + p.bn
+  ) WHERE rk = q_rank
+)
+SELECT t.etype, CAST(max(t.n_cal) AS BIGINT) AS n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(max(q.q_milli) AS BIGINT) AS q_milli,
+       CAST(sum(CASE WHEN t.s <= q.q_milli THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS coverage_ppm
+FROM scored t JOIN q USING (etype)
+WHERE NOT t.is_cal
+GROUP BY t.etype ORDER BY t.etype"""

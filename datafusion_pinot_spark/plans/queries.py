@@ -3743,6 +3743,118 @@ def _register_llm():
             t(spark, sf, "lineitem")
         )
     )
+    from datafusion_pinot_spark.operators import funnel
+
+    register(
+        "cramers_association_audit",
+        validation.cramers_association_audit_oracle_sql(),
+        "llm",
+        ["stats", "association", "mixture", "audit"],
+    )(
+        lambda spark, sf: validation.cramers_association_audit(
+            _docs(spark, sf)
+        )
+    )
+    register(
+        "markov_next_event_accuracy",
+        funnel.markov_next_event_accuracy_oracle_sql(),
+        "analytics",
+        ["temporal", "markov", "prediction", "audit"],
+    )(
+        lambda spark, sf: funnel.markov_next_event_accuracy(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "readability_by_source",
+        text.readability_by_source_oracle_sql(),
+        "llm",
+        ["text", "quality", "readability"],
+    )(lambda spark, sf: text.readability_by_source(_docs(spark, sf)))
+    register(
+        "mde_sample_size_grid",
+        experiment.mde_sample_size_grid_oracle_sql(),
+        "analytics",
+        ["experiment", "power", "planning"],
+    )(
+        lambda spark, sf: experiment.mde_sample_size_grid(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "length_weighted_ess",
+        curation.length_weighted_ess_oracle_sql(),
+        "llm",
+        ["curation", "mixture", "weighting", "audit"],
+    )(lambda spark, sf: curation.length_weighted_ess(_docs(spark, sf)))
+    register(
+        "ols_influence_audit",
+        validation.ols_influence_audit_oracle_sql(),
+        "analytics",
+        ["stats", "regression", "diagnostics", "temporal"],
+    )(
+        lambda spark, sf: validation.ols_influence_audit(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "conformal_interval_calibration",
+        validation.conformal_interval_calibration_oracle_sql(),
+        "analytics",
+        ["stats", "conformal", "uncertainty", "calibration"],
+    )(
+        lambda spark, sf: validation.conformal_interval_calibration(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "clustering_coeff_profile",
+        graph.clustering_coeff_profile_oracle_sql(),
+        "llm",
+        ["graph", "clustering", "histogram"],
+    )(
+        lambda spark, sf: graph.clustering_coeff_profile(
+            t(spark, sf, "lineitem")
+        )
+    )
+    register(
+        "capture_recapture_estimate",
+        curation.capture_recapture_estimate_oracle_sql(),
+        "llm",
+        ["dedup", "estimation", "coverage", "audit"],
+    )(
+        lambda spark, sf: curation.capture_recapture_estimate(
+            _docs(spark, sf)
+        )
+    )
+    register(
+        "contrastive_pair_mining",
+        similarity.contrastive_pair_mining_oracle_sql(ann_ids),
+        "llm",
+        ["similarity", "contrastive", "training-pairs"],
+    )(
+        lambda spark, sf: similarity.contrastive_pair_mining(
+            _emb(spark, sf), ann_ids
+        )
+    )
+    register(
+        "haar_wavelet_energy",
+        temporal.haar_wavelet_energy_oracle_sql(),
+        "analytics",
+        ["temporal", "wavelet", "spectral"],
+    )(
+        lambda spark, sf: temporal.haar_wavelet_energy(
+            t(spark, sf, "orders")
+        )
+    )
+    register(
+        "embedding_pca_power",
+        similarity.embedding_pca_power_oracle_sql(),
+        "llm",
+        ["similarity", "pca", "fixpoint", "audit"],
+    )(
+        lambda spark, sf: similarity.embedding_pca_power(_emb(spark, sf))
+    )
 
 
 _register_llm()
