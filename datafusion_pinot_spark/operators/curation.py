@@ -1916,3 +1916,102 @@ SELECT n1, n2, m, n_true,
             abs((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true)
             * 1000000 // n_true END AS BIGINT) AS chapman_err_ppm
 FROM folded"""
+
+
+def quantile_normalization_table(docs: DataFrame) -> DataFrame:
+    """Per-source decile calibration table for the document-length
+    distribution — the lookup a mixture designer uses to quantile-map
+    one source's lengths onto the corpus ("source X's median doc is 0.4x
+    the global median"): for each source and decile d in 1..9, the EXACT
+    order statistic of ``n_chars`` within the source, the global order
+    statistic at the same decile, and their ratio in exact ppm. Order
+    statistics use the repo-wide low-percentile rank
+    ``(n-1)*pct div 100 + 1`` — no interpolation, so rows hash-check.
+
+    Scale shape (100 TB): one pass duplicates each row into its source
+    group and the '__ALL__' group, then ``grouped_rank`` buckets
+    ``n_chars div 256`` (the bucket count is bounded by max document
+    length, not corpus size) — prefix windows per (group, bucket),
+    never all-to-one. The 9-decile grid joins as a broadcast; output is
+    |sources| x 9 rows."""
+    from datafusion_pinot_spark.operators.ranking import grouped_rank
+
+    base = docs.select("doc_id", "source", "n_chars")
+    both = base.unionAll(
+        base.select("doc_id", F.lit("__ALL__").alias("source"), "n_chars")
+    )
+    ranked = grouped_rank(
+        both,
+        ["source"],
+        F.expr("n_chars DIV 256"),
+        ["n_chars", "doc_id"],
+    )
+    deciles = ranked.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    targets = (
+        ranked.groupBy("source")
+        .agg(F.max("total").alias("total"))
+        .crossJoin(F.broadcast(deciles))
+        .select(
+            F.col("source").alias("tsource"),
+            "decile",
+            F.expr("(total - 1) * (decile * 10) DIV 100 + 1").alias("r"),
+        )
+    )
+    at = ranked.join(
+        F.broadcast(targets),
+        (F.col("source") == F.col("tsource")) & (F.col("rank") == F.col("r")),
+    ).select(
+        F.col("tsource").alias("src"),
+        "decile",
+        F.col("n_chars").alias("v"),
+    )
+    glob = at.filter(F.col("src") == "__ALL__").select(
+        F.col("decile").alias("gd"), F.col("v").alias("global_chars")
+    )
+    return (
+        at.filter(F.col("src") != "__ALL__")
+        .join(F.broadcast(glob), F.col("decile") == F.col("gd"))
+        .select(
+            F.col("src").alias("source"),
+            "decile",
+            F.col("v").cast("long").alias("source_chars"),
+            F.col("global_chars").cast("long").alias("global_chars"),
+            F.expr(
+                "CAST(CASE WHEN global_chars = 0 THEN 0"
+                " ELSE v * 1000000 DIV global_chars END AS BIGINT)"
+            ).alias("ratio_ppm"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+def quantile_normalization_table_oracle_sql() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id, '__ALL__' AS source, n_chars FROM documents
+), ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rank,
+         count(*) OVER (PARTITION BY source) AS total
+  FROM base
+), at AS (
+  SELECT r.source AS src, d.decile, r.n_chars AS v
+  FROM ranked r
+  JOIN (SELECT unnest(range(1, 10)) AS decile) d
+    ON r.rank = (r.total - 1) * (d.decile * 10) // 100 + 1
+), gq AS (
+  SELECT decile AS gd, v AS global_chars FROM at WHERE src = '__ALL__'
+)
+SELECT src AS source, CAST(decile AS INTEGER) AS decile,
+       CAST(v AS BIGINT) AS source_chars,
+       CAST(global_chars AS BIGINT) AS global_chars,
+       CAST(CASE WHEN global_chars = 0 THEN 0
+                 ELSE v * 1000000 // global_chars END AS BIGINT) AS ratio_ppm
+FROM at JOIN gq ON at.decile = gq.gd
+WHERE src <> '__ALL__'
+ORDER BY source, decile"""

@@ -160,3 +160,50 @@ SELECT CAST(count(*) AS BIGINT) AS n_customers,
                  AS BIGINT) * 1000000
             // CAST(sum(rev) * 100 AS BIGINT) AS BIGINT) AS top_share_ppm
 FROM marked"""
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket: Column,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    total_col: str = "total",
+) -> DataFrame:
+    """Per-GROUP exact 1-based rank — ``global_rank``'s partitioned
+    sibling: within each ``group_cols`` combination, rows rank by
+    ``order_cols`` without a per-group global sort. Same contract:
+    ``bucket`` must be monotone non-decreasing in the order and, like
+    every key here, NON-NULL. The prefix window partitions by the group
+    and orders by bucket (a bounded per-group bucket frame); the local
+    ``row_number`` partitions by (group, bucket). Neither window is
+    all-to-one, so this passes the repo's bare-window gate at any data
+    scale."""
+    b = df.withColumn("__bucket", bucket)
+    counts = b.groupBy(*group_cols, "__bucket").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    w_prefix = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    prefixes = counts.select(
+        *group_cols,
+        "__bucket",
+        F.coalesce(F.sum("__bn").over(w_prefix), F.lit(0)).alias("__prefix"),
+        F.sum("__bn").over(w_all).alias(total_col),
+    )
+    w_local = Window.partitionBy(*group_cols, "__bucket").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        b.join(F.broadcast(prefixes), [*group_cols, "__bucket"])
+        .withColumn(rank_col, F.col("__prefix") + F.row_number().over(w_local))
+        .drop("__bucket", "__prefix")
+    )

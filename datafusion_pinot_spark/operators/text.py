@@ -2293,3 +2293,129 @@ SELECT source,
        CAST(1000 * sum(w) // sum(s) AS BIGINT) AS wps_milli,
        CAST(1000 * sum(y) // sum(w) AS BIGINT) AS spw_milli
 FROM scored GROUP BY source ORDER BY source"""
+
+
+_RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "be", "this", "that", "are", "was",
+    "from", "but", "not", "have", "has",
+)
+
+
+def rake_keyword_extraction(docs: DataFrame, k: int = 3) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public) — top-k
+    multi-word key phrases per document from DOCUMENT-INTERNAL
+    statistics only, the corpus-free complement to tfidf/BM25: candidate
+    phrases are maximal token runs between stopwords, each word scores
+    ``deg/freq`` (degree = total length of phrases containing it, with
+    multiplicity), and a phrase scores the sum of its word scores — all
+    in exact integer milli, so rows hash-check across engines. Ties
+    break on ascending phrase text.
+
+    Scale shape (100 TB): phrase splitting is pure array codegen
+    (stopwords map to a '|' sentinel, join, split — no UDF); word stats
+    and phrase scores are (doc, word)- and (doc, phrase)-keyed
+    map-side-combined shuffles; top-k is a WindowGroupLimit partial per
+    document. No corpus-wide state at all — the op is embarrassingly
+    document-parallel."""
+    stop_arr = F.array(*[F.lit(w) for w in _RAKE_STOPWORDS])
+    mapped = F.transform(
+        tokens(F.col("text")),
+        lambda t: F.when(F.array_contains(stop_arr, t), F.lit("|")).otherwise(t),
+    )
+    phrases_col = F.filter(
+        F.transform(
+            F.split(F.array_join(mapped, " "), r"\|"), lambda p: F.trim(p)
+        ),
+        lambda p: p != "",
+    )
+    ph = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.explode(phrases_col).alias("phrase")
+    )
+    words = ph.select(
+        "doc_id",
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    ws = (
+        words.groupBy("doc_id", "word")
+        .agg(F.sum("plen").alias("deg"), F.count(F.lit(1)).alias("freq"))
+        .withColumn("wscore_milli", F.expr("1000 * deg DIV freq"))
+    )
+    phr = ph.groupBy("doc_id", "phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    pw = phr.select(
+        "doc_id",
+        "phrase",
+        "n_occ",
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    scored = (
+        pw.join(ws, ["doc_id", "word"])
+        .groupBy("doc_id", "phrase", "n_occ")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum("wscore_milli").cast("long").alias("score_milli"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_milli"), F.asc("phrase")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id", "phrase", "n_words", "n_occ", "score_milli",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+def rake_keyword_extraction_oracle_sql(k: int = 3) -> str:
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             string_split(
+               array_to_string(
+                 list_transform(
+                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   t -> CASE WHEN t IN ({stops}) THEN '|' ELSE t END),
+                 ' '),
+               '|'),
+             p -> trim(p)),
+           p -> p <> '') AS phrases
+  FROM documents WHERE length(trim(lower(text))) > 0
+), ph AS (
+  SELECT doc_id, unnest(phrases) AS phrase FROM toks
+), words AS (
+  SELECT doc_id, len(string_split(phrase, ' ')) AS plen,
+         unnest(string_split(phrase, ' ')) AS word
+  FROM ph
+), ws AS (
+  SELECT doc_id, word, 1000 * sum(plen) // count(*) AS wscore_milli
+  FROM words GROUP BY doc_id, word
+), phr AS (
+  SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS n_occ
+  FROM ph GROUP BY doc_id, phrase
+), pw AS (
+  SELECT doc_id, phrase, n_occ, unnest(string_split(phrase, ' ')) AS word
+  FROM phr
+), scored AS (
+  SELECT pw.doc_id, pw.phrase, pw.n_occ,
+         CAST(count(*) AS INTEGER) AS n_words,
+         CAST(sum(ws.wscore_milli) AS BIGINT) AS score_milli
+  FROM pw JOIN ws ON pw.doc_id = ws.doc_id AND pw.word = ws.word
+  GROUP BY pw.doc_id, pw.phrase, pw.n_occ
+)
+SELECT doc_id, phrase, n_words, n_occ, score_milli,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_milli DESC, phrase ASC) AS rk
+  FROM scored
+) WHERE rk <= {k} ORDER BY doc_id, rk"""

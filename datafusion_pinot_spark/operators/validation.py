@@ -2847,3 +2847,107 @@ SELECT t.etype, CAST(max(t.n_cal) AS BIGINT) AS n_cal,
 FROM scored t JOIN q USING (etype)
 WHERE NOT t.is_cal
 GROUP BY t.etype ORDER BY t.etype"""
+
+
+def winsorized_mean_by_type(events: DataFrame) -> DataFrame:
+    """Winsorized mean per event type — the robust-location counterpart
+    to trimming: values below the exact p05 / above the exact p95 order
+    statistic CLAMP to those bounds (every observation still counts,
+    unlike a trimmed mean that drops the tails). Bounds are exact
+    low-percentile order statistics (the repo-wide
+    ``(n-1)*pct div 100 + 1`` rank), the clamped mean is a single floor
+    to milli-cents, and the raw mean sits beside it so the tail damage
+    is readable per type.
+
+    Scale shape (100 TB): per-type ranking rides ``grouped_rank`` —
+    cents bucket by ``div 10000`` ($100 bands), the prefix window runs
+    per (type, bucket) on the bounded bucket frame, never all-to-one.
+    Two broadcast joins (bounds, then clamp) and two map-side-combined
+    aggs finish it."""
+    from datafusion_pinot_spark.operators.ranking import (
+        grouped_rank,
+        percentile_rank,
+    )
+
+    cents = events.select(
+        "event_id",
+        F.col("event_type").alias("etype"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    ranked = grouped_rank(
+        cents,
+        ["etype"],
+        F.expr("cents DIV 10000"),
+        ["cents", "event_id"],
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("rank") == percentile_rank("total", 5))
+            | (F.col("rank") == percentile_rank("total", 95))
+        )
+        .groupBy("etype")
+        .agg(
+            F.min("cents").cast("long").alias("p05_cents"),
+            F.max("cents").cast("long").alias("p95_cents"),
+        )
+    )
+    clamped = cents.join(F.broadcast(bounds), "etype").select(
+        "etype",
+        "cents",
+        F.expr(
+            "greatest(p05_cents, least(p95_cents, cents))"
+        ).alias("w_cents"),
+    )
+    return (
+        clamped.groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("CAST(1000 * sum(cents) DIV count(*) AS BIGINT)").alias(
+                "raw_mean_milli"
+            ),
+            F.expr("CAST(1000 * sum(w_cents) DIV count(*) AS BIGINT)").alias(
+                "winsorized_mean_milli"
+            ),
+        )
+        .join(F.broadcast(bounds), "etype")
+        .select(
+            "etype",
+            "n",
+            "p05_cents",
+            "p95_cents",
+            "raw_mean_milli",
+            "winsorized_mean_milli",
+        )
+        .orderBy("etype")
+    )
+
+
+def winsorized_mean_by_type_oracle_sql() -> str:
+    return """
+WITH cents AS (
+  SELECT event_id, event_type AS etype,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT etype, cents,
+         row_number() OVER (PARTITION BY etype
+                            ORDER BY cents, event_id) AS rank,
+         count(*) OVER (PARTITION BY etype) AS total
+  FROM cents
+), bounds AS (
+  SELECT etype,
+         CAST(min(cents) AS BIGINT) AS p05_cents,
+         CAST(max(cents) AS BIGINT) AS p95_cents
+  FROM ranked
+  WHERE rank = (total - 1) * 5 // 100 + 1
+     OR rank = (total - 1) * 95 // 100 + 1
+  GROUP BY etype
+)
+SELECT c.etype, CAST(count(*) AS BIGINT) AS n,
+       b.p05_cents, b.p95_cents,
+       CAST(1000 * sum(c.cents) // count(*) AS BIGINT) AS raw_mean_milli,
+       CAST(1000 * sum(greatest(b.p05_cents, least(b.p95_cents, c.cents)))
+            // count(*) AS BIGINT) AS winsorized_mean_milli
+FROM cents c JOIN bounds b USING (etype)
+GROUP BY c.etype, b.p05_cents, b.p95_cents
+ORDER BY c.etype"""

@@ -3855,6 +3855,32 @@ def _register_llm():
     )(
         lambda spark, sf: similarity.embedding_pca_power(_emb(spark, sf))
     )
+    register(
+        "winsorized_mean_by_type",
+        validation.winsorized_mean_by_type_oracle_sql(),
+        "analytics",
+        ["stats", "robust", "quantile"],
+    )(
+        lambda spark, sf: validation.winsorized_mean_by_type(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "quantile_normalization_table",
+        curation.quantile_normalization_table_oracle_sql(),
+        "llm",
+        ["curation", "quantile", "normalization", "mixture"],
+    )(
+        lambda spark, sf: curation.quantile_normalization_table(
+            _docs(spark, sf)
+        )
+    )
+    register(
+        "rake_keyword_extraction",
+        text.rake_keyword_extraction_oracle_sql(),
+        "llm",
+        ["text", "keywords", "rake", "topk"],
+    )(lambda spark, sf: text.rake_keyword_extraction(_docs(spark, sf)))
 
 
 _register_llm()

@@ -346,3 +346,80 @@ class TestEmbeddingPcaPower:
         assert [r.v_ppm for r in rows] == [1_000_000, 0, 0, 0]
         # all variance on axis 0: the top component explains everything
         assert rows[0].explained_share_ppm == 1_000_000
+
+
+class TestGroupedRank:
+    def test_ranks_per_group(self, spark):
+        from pyspark.sql import functions as F
+        from datafusion_pinot_spark.operators.ranking import grouped_rank
+
+        df = spark.createDataFrame(
+            [Row(g=g, v=v) for g in ("a", "b") for v in (30, 10, 20, 40)]
+        )
+        out = grouped_rank(
+            df, ["g"], F.expr("v DIV 25"), ["v"]
+        ).orderBy("g", "rank").collect()
+        assert [(r.g, r.v, r.rank, r.total) for r in out] == [
+            ("a", 10, 1, 4), ("a", 20, 2, 4), ("a", 30, 3, 4), ("a", 40, 4, 4),
+            ("b", 10, 1, 4), ("b", 20, 2, 4), ("b", 30, 3, 4), ("b", 40, 4, 4),
+        ]
+
+
+class TestWinsorizedMean:
+    def test_outlier_clamped(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            winsorized_mean_by_type,
+        )
+
+        ev = _events(
+            spark,
+            [(i, 1, "p", 1, 1.0) for i in range(1, 20)]
+            + [(20, 1, "p", 1, 100.0)],
+        )
+        row = winsorized_mean_by_type(ev).collect()[0]
+        # ranks 1 and 19 of 20 sorted cents both hold 100
+        assert row.p05_cents == 100 and row.p95_cents == 100
+        assert row.raw_mean_milli == 595_000
+        assert row.winsorized_mean_milli == 100_000
+
+
+class TestQuantileNormalization:
+    def test_two_source_deciles(self, spark):
+        from datafusion_pinot_spark.operators.curation import (
+            quantile_normalization_table,
+        )
+
+        docs = _docs_chars(
+            spark,
+            [(i, 100 * i, "s1") for i in range(1, 11)]
+            + [(10 + i, 200 * i, "s2") for i in range(1, 11)],
+        )
+        rows = {(r.source, r.decile): r
+                for r in quantile_normalization_table(docs).collect()}
+        assert len(rows) == 18
+        # s1 median = 500, s2 median = 1000, global median (rank 10 of
+        # 20) = 700
+        assert rows[("s1", 5)].source_chars == 500
+        assert rows[("s2", 5)].source_chars == 1000
+        assert rows[("s1", 5)].global_chars == 700
+        assert rows[("s1", 5)].ratio_ppm == 500 * 1_000_000 // 700
+        assert rows[("s2", 5)].ratio_ppm == 1000 * 1_000_000 // 700
+
+
+class TestRakeKeywords:
+    def test_hand_phrases(self, spark):
+        from datafusion_pinot_spark.operators.text import (
+            rake_keyword_extraction,
+        )
+
+        docs = _docs(
+            spark,
+            [(1, "deep learning of deep learning systems", "en", "s")],
+        )
+        rows = rake_keyword_extraction(docs).collect()
+        # word scores (milli): deep 5000/2, learning 5000/2, systems 3000
+        assert [(r.phrase, r.score_milli, r.rk) for r in rows] == [
+            ("deep learning systems", 8000, 1),
+            ("deep learning", 5000, 2),
+        ]
+        assert rows[0].n_words == 3 and rows[0].n_occ == 1
