@@ -2798,3 +2798,150 @@ share AS (
 )
 SELECT CAST(dim AS INTEGER) AS dim, v AS v_ppm, explained_share_ppm
 FROM v{iterations} CROSS JOIN share ORDER BY dim"""
+
+
+def mmr_diverse_topk(
+    embeddings: DataFrame, anchor_id: int = 0, k: int = 5,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998,
+    public) — the diversity-aware top-k every retrieval/data-curation
+    stack bolts onto plain similarity: items are picked greedily by
+    ``7*rel - 3*max_sim_to_already_selected`` (lambda = 0.7 multiplied
+    out to integers). Relevance and redundancy are SQ8 integer dot
+    products (the ann_sq8_topk quantization), so every comparison is
+    BIGINT-exact and the greedy trace is the same in both engines; ties
+    break on ascending vec_id. The first pick scores ``7*rel`` (empty
+    selected set = zero redundancy).
+
+    Scale shape (100 TB): one corpus scan quantizes and scores
+    relevance against the broadcast anchor (codegen); each of the k-1
+    greedy steps joins candidates to the <=k-row selected set
+    (broadcast) for the redundancy max and takes a TakeOrdered(1) —
+    never a window, never a corpus self-join. Each step's pick is
+    localCheckpoint'd so the lazy plan stays linear in k."""
+    from datafusion_pinot_spark.functions import as_double_array
+
+    def q8(col):
+        v = as_double_array(col)
+        maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        return F.when(
+            maxabs > 0,
+            F.transform(
+                v, lambda x: F.floor(x * F.lit(127.0) / maxabs).cast("long")
+            ),
+        ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+
+    def qdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    emb = embeddings.select("vec_id", q8(F.col("embedding")).alias("q"))
+    anchor = emb.filter(F.col("vec_id") == anchor_id).select(
+        F.col("q").alias("a_q")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != anchor_id)
+        .crossJoin(F.broadcast(anchor))
+        .select("vec_id", "q", qdot(F.col("q"), F.col("a_q")).alias("rel"))
+        .localCheckpoint(eager=False)
+    )
+    first = (
+        scored.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id", "q", "rel",
+            F.expr("7 * rel").alias("mmr_score"),
+            F.lit(1).cast("int").alias("rk"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    selected = first
+    for step in range(2, k + 1):
+        sel_small = selected.select(
+            F.col("vec_id").alias("s_id"), F.col("q").alias("s_q")
+        )
+        red = (
+            scored.join(
+                selected.select(F.col("vec_id").alias("s_id")),
+                F.col("vec_id") == F.col("s_id"),
+                "left_anti",
+            )
+            .crossJoin(F.broadcast(sel_small))
+            .select(
+                "vec_id", "q", "rel",
+                qdot(F.col("q"), F.col("s_q")).alias("sdot"),
+            )
+            .groupBy("vec_id", "q", "rel")
+            .agg(F.max("sdot").alias("max_sel"))
+        )
+        pick = (
+            red.select(
+                "vec_id", "q", "rel",
+                F.expr("7 * rel - 3 * max_sel").alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                "vec_id", "q", "rel", "mmr_score",
+                F.lit(step).cast("int").alias("rk"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        selected = selected.unionAll(pick)
+    return selected.select("rk", "vec_id", "rel", "mmr_score").orderBy("rk")
+
+
+def mmr_diverse_topk_oracle_sql(
+    anchor_id: int = 0, k: int = 5, dim: int = EMBEDDING_DIM
+) -> str:
+    dot = (
+        "list_reduce(list_transform(generate_series(1, {d}),"
+        " i -> {a}[i] * {b}[i]), (p, q) -> p + q)"
+    )
+    steps = []
+    prev_sel = "s1"
+    for step in range(2, k + 1):
+        steps.append(
+            f"""r{step} AS MATERIALIZED (
+  SELECT c.vec_id, c.q, c.rel,
+         max({dot.format(d=dim, a="c.q", b="s.q")}) AS max_sel
+  FROM scored c CROSS JOIN {prev_sel} s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev_sel})
+  GROUP BY c.vec_id, c.q, c.rel
+), p{step} AS MATERIALIZED (
+  SELECT vec_id, q, rel, 7 * rel - 3 * max_sel AS mmr_score,
+         {step} AS rk
+  FROM r{step} ORDER BY mmr_score DESC, vec_id ASC LIMIT 1
+), s{step} AS MATERIALIZED (
+  SELECT vec_id, q, rel, mmr_score, rk FROM {prev_sel}
+  UNION ALL SELECT vec_id, q, rel, mmr_score, rk FROM p{step}
+)"""
+        )
+        prev_sel = f"s{step}"
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) > 0
+         THEN list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+                     list_max(list_transform(embedding,
+                       y -> abs(CAST(y AS DOUBLE))))) AS BIGINT))
+         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+  FROM embeddings
+), anchor AS (SELECT q AS a_q FROM emb WHERE vec_id = {anchor_id}),
+scored AS MATERIALIZED (
+  SELECT e.vec_id, e.q,
+         {dot.format(d=dim, a="e.q", b="a.a_q")} AS rel
+  FROM emb e CROSS JOIN anchor a WHERE e.vec_id <> {anchor_id}
+), s1 AS MATERIALIZED (
+  SELECT vec_id, q, rel, 7 * rel AS mmr_score, 1 AS rk
+  FROM scored ORDER BY rel DESC, vec_id ASC LIMIT 1
+), {", ".join(steps)}
+SELECT CAST(rk AS INTEGER) AS rk, vec_id, CAST(rel AS BIGINT) AS rel,
+       CAST(mmr_score AS BIGINT) AS mmr_score
+FROM {prev_sel} ORDER BY rk"""

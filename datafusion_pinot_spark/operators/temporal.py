@@ -2123,3 +2123,226 @@ SELECT CAST(level AS INTEGER) AS level,
             AS BIGINT) AS energy_share_ppm,
        CAST(energy // 1000 AS BIGINT) AS energy_kd2
 FROM energies CROSS JOIN total ORDER BY level"""
+
+
+def leadlag_xcorr_daily(orders: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Lead-lag cross-correlation sweep between the two faces of the
+    daily order series — volume (count) leading or lagging revenue — for
+    lags -max_lag..+max_lag: at lag L the regression slope of day-(t+L)
+    revenue on day-t volume, as the exact sign-split milli fraction
+    ``beta = 1000 * (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)``, plus the raw
+    covariance numerator and denominator so the reader can judge
+    stability. Pairs form by an equi-join on shifted day keys; days
+    absent from either side of a lag simply drop (n varies by lag, as a
+    real lead-lag audit wants). Products ride DECIMAL(38,0) (HUGEINT in
+    DuckDB).
+
+    Scale shape (100 TB): ONE map-side-combined shuffle collapses the
+    corpus to the calendar-bounded (day, count, revenue) frame; the
+    2*max_lag+1 lag grid explodes per day (a bounded fanout) and joins
+    back on the day key — windows nowhere."""
+    daily = (
+        orders.select(
+            F.expr(
+                "CAST(to_date(o_orderdate) - DATE '1970-01-01' AS BIGINT)"
+            ).alias("day"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.expr("CAST(sum(cents) DIV 100 AS BIGINT)").alias("y"),
+        )
+    )
+    lags = F.explode(
+        F.array(*[F.lit(l) for l in range(-max_lag, max_lag + 1)])
+    ).alias("lag")
+    a = daily.select(F.col("day").alias("a_day"), "x").select(
+        "a_day", "x", lags
+    )
+    b = daily.select(F.col("day").alias("b_day"), "y")
+    pairs = a.join(b, a.a_day + a.lag == b.b_day)
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        )
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").cast("long").alias("n_days"),
+            F.expr("CAST(n * sxy - sx * sy AS DECIMAL(38,0))")
+            .cast("long")
+            .alias("cov_num"),
+            F.expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))")
+            .cast("long")
+            .alias("var_den"),
+            F.expr(
+                "CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0"
+                " WHEN n * sxy - sx * sy >= 0 THEN"
+                " (1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+                " ELSE -((1000 * (sx * sy - n * sxy))"
+                " div (n * sxx - sx * sx)) END AS BIGINT)"
+            ).alias("beta_milli"),
+        )
+        .orderBy("lag")
+    )
+
+
+def leadlag_xcorr_daily_oracle_sql(max_lag: int = 7) -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // 100
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), lags AS (
+  SELECT unnest(range(-{max_lag}, {max_lag + 1})) AS lag
+), pairs AS (
+  SELECT l.lag, a.x, b.y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON a.day + l.lag = b.day
+), s AS (
+  SELECT lag, count(*) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_days,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS var_den,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+            WHEN n * sxy - sx * sy >= 0 THEN
+              (1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+            ELSE -((1000 * (sx * sy - n * sxy))
+              // (n * sxx - sx * sx)) END AS BIGINT) AS beta_milli
+FROM s ORDER BY lag"""
+
+
+def binary_segmentation_split(orders: DataFrame) -> DataFrame:
+    """Single-changepoint detection by binary segmentation (the classic
+    first step of the binseg family, public): over the daily-revenue
+    series, the split day minimizing the two-segment squared error —
+    equivalently maximizing ``gain = B_l/n_l + B_r/n_r`` (B = squared
+    segment sum) since total SSE is constant. The daily series rides in
+    KILODOLLARS (``sum(cents) DIV 100000`` — a deliberate, documented
+    unit choice that keeps every product inside DECIMAL(38,0) and every
+    quotient inside BIGINT up to trillions of dollars of total revenue)
+    and the gain compares in FLOORED kd^2 — both engines floor
+    identically, so the greedy trace matches exactly; ties break on the
+    earliest day. One row: the split day, segment sizes and mean daily
+    revenues (milli-kd), and the variance reduction of the split in ppm
+    (clamped at 0: the floor fuzz on a useless split may dip the exact
+    numerator a few thousand below zero, and trunc-vs-floor division of
+    negatives differs between engines).
+
+    Scale shape (100 TB): the corpus collapses to the calendar-bounded
+    day frame in ONE shuffle; prefix sums ride a single all-to-one
+    window OVER THAT BOUNDED FRAME (allow-listed — same class as
+    cusum_changepoint_daily's day scan), and the argmax is a
+    TakeOrdered(1). Squared sums ride DECIMAL(38,0)/HUGEINT."""
+    daily = (
+        orders.select(
+            F.expr(
+                "CAST(to_date(o_orderdate) - DATE '1970-01-01' AS BIGINT)"
+            ).alias("day"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(cents) DIV 100000 AS BIGINT)").alias("y"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        "y",
+        F.count(F.lit(1)).over(w).alias("nl"),
+        F.sum("y").over(w).alias("cy"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("y").alias("ty"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("ty2"),
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("nn"))
+        .select(
+            "day",
+            "nl",
+            "cy",
+            F.expr("nn - nl").alias("nr"),
+            F.expr("ty - cy").alias("ry"),
+            "nn",
+            "ty",
+            "ty2",
+            F.expr(
+                "(CAST(cy AS DECIMAL(38,0)) * cy) div nl"
+                " + (CAST(ty - cy AS DECIMAL(38,0)) * (ty - cy))"
+                " div (nn - nl)"
+            ).alias("gain_kd2"),
+        )
+    )
+    best = cand.orderBy(F.desc("gain_kd2"), F.asc("day")).limit(1)
+    return best.select(
+        F.col("day").alias("split_day"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.expr("CAST(1000 * cy DIV nl AS BIGINT)").alias("mean_left_kd_milli"),
+        F.expr("CAST(1000 * ry DIV nr AS BIGINT)").alias("mean_right_kd_milli"),
+        F.expr(
+            "CAST(CASE WHEN ty2 * nn - CAST(ty AS DECIMAL(38,0)) * ty <= 0"
+            " THEN 0"
+            " WHEN CAST(gain_kd2 AS DECIMAL(38,0)) * nn"
+            "      <= CAST(ty AS DECIMAL(38,0)) * ty THEN 0"
+            " ELSE"
+            " (CAST(gain_kd2 AS DECIMAL(38,0)) * nn"
+            "  - CAST(ty AS DECIMAL(38,0)) * ty)"
+            " * 1000000 div (ty2 * nn - CAST(ty AS DECIMAL(38,0)) * ty)"
+            " END AS BIGINT)"
+        ).alias("var_reduction_ppm"),
+    )
+
+
+def binary_segmentation_split_oracle_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // 100000
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), pre AS (
+  SELECT day, y,
+         count(*) OVER win AS nl,
+         sum(y) OVER win AS cy
+  FROM daily
+  WINDOW win AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+), tot AS (
+  SELECT count(*) AS nn, CAST(sum(y) AS HUGEINT) AS ty,
+         sum(CAST(y AS HUGEINT) * y) AS ty2
+  FROM daily
+), cand AS (
+  SELECT day, nl, cy, nn - nl AS nr, ty - cy AS ry, nn, ty, ty2,
+         (CAST(cy AS HUGEINT) * cy) // nl
+         + (CAST(ty - cy AS HUGEINT) * (ty - cy)) // (nn - nl)
+           AS gain_kd2
+  FROM pre CROSS JOIN tot WHERE nl < nn
+), best AS (
+  SELECT * FROM cand ORDER BY gain_kd2 DESC, day ASC LIMIT 1
+)
+SELECT day AS split_day,
+       CAST(nl AS BIGINT) AS n_left,
+       CAST(nr AS BIGINT) AS n_right,
+       CAST(1000 * cy // nl AS BIGINT) AS mean_left_kd_milli,
+       CAST(1000 * ry // nr AS BIGINT) AS mean_right_kd_milli,
+       CAST(CASE WHEN ty2 * nn - ty * ty <= 0 THEN 0
+            WHEN CAST(gain_kd2 AS HUGEINT) * nn <= ty * ty THEN 0
+            ELSE (CAST(gain_kd2 AS HUGEINT) * nn - ty * ty)
+            * 1000000 // (ty2 * nn - ty * ty) END AS BIGINT)
+         AS var_reduction_ppm
+FROM best"""

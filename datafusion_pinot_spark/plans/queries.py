@@ -3881,6 +3881,28 @@ def _register_llm():
         "llm",
         ["text", "keywords", "rake", "topk"],
     )(lambda spark, sf: text.rake_keyword_extraction(_docs(spark, sf)))
+    register(
+        "leadlag_xcorr_daily",
+        temporal.leadlag_xcorr_daily_oracle_sql(),
+        "analytics",
+        ["temporal", "correlation", "leadlag"],
+    )(lambda spark, sf: temporal.leadlag_xcorr_daily(t(spark, sf, "orders")))
+    register(
+        "binary_segmentation_split",
+        temporal.binary_segmentation_split_oracle_sql(),
+        "analytics",
+        ["temporal", "changepoint", "binseg"],
+    )(
+        lambda spark, sf: temporal.binary_segmentation_split(
+            t(spark, sf, "orders")
+        )
+    )
+    register(
+        "mmr_diverse_topk",
+        similarity.mmr_diverse_topk_oracle_sql(),
+        "llm",
+        ["similarity", "mmr", "diversity", "topk"],
+    )(lambda spark, sf: similarity.mmr_diverse_topk(_emb(spark, sf)))
 
 
 _register_llm()

@@ -781,6 +781,8 @@ GLOBAL_WINDOW_ALLOW = {
     # r14: exact-median bucket frame + the day-ordered sign/symbol scan —
     # both bounded (<= value-range/1e5 buckets; CALENDAR days)
     "runs_test_daily": {"__bucket ASC", "day ASC"},
+    # r14 batch 6: binseg prefix sums over the CALENDAR-bounded day frame
+    "binary_segmentation_split": {"day ASC"},
     "sax_daily_motifs": {"__bucket ASC", "day ASC"},
     "hodges_lehmann_shift": {"__bucket ASC"},
     "halflife_event_mass": {""},

@@ -555,3 +555,121 @@ class TestEmptyInputs:
         empty = spark.createDataFrame([], self.DOCS)
         assert token_triple_support(empty).count() == 0
         assert prefix_suffix_dup_families(empty).count() == 0
+
+
+def _orders(spark, rows):
+    """rows: (day_offset_from_1995_01_01, o_totalprice) tuples."""
+    return spark.createDataFrame(
+        [
+            Row(
+                o_orderkey=i,
+                o_orderdate=f"1995-01-{1 + d:02d}"
+                if d < 31
+                else f"1995-02-{d - 30:02d}",
+                o_totalprice=float(p),
+            )
+            for i, (d, p) in enumerate(rows)
+        ]
+    ).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_totalprice",
+    )
+
+
+class TestLeadlagXcorrDaily:
+    def test_proportional_series_slope(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            leadlag_xcorr_daily,
+        )
+
+        # day d carries d orders of $10 each -> x=d, y=10*d: at lag 0 the
+        # regression of y on x has exact slope 10 (beta_milli 10000)
+        rows = [(d, 10.0) for d in range(1, 7) for _ in range(d)]
+        out = leadlag_xcorr_daily(_orders(spark, rows), max_lag=2).collect()
+        assert [r.lag for r in out] == [-2, -1, 0, 1, 2]
+        lag0 = next(r for r in out if r.lag == 0)
+        assert lag0.n_days == 6
+        assert lag0.beta_milli == 10000
+        assert lag0.cov_num > 0 and lag0.var_den > 0
+        # lag +/-1 overlap drops one day off each end
+        assert next(r for r in out if r.lag == 1).n_days == 5
+        assert next(r for r in out if r.lag == -1).n_days == 5
+
+    def test_degenerate_constant_volume(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            leadlag_xcorr_daily,
+        )
+
+        # constant x across days -> var_den 0 -> beta_milli clamps to 0
+        rows = [(d, 100.0 * (d + 1)) for d in range(4)]
+        out = leadlag_xcorr_daily(_orders(spark, rows), max_lag=1).collect()
+        assert all(r.var_den == 0 and r.beta_milli == 0 for r in out)
+
+
+class TestBinarySegmentationSplit:
+    def test_obvious_level_shift(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            binary_segmentation_split,
+        )
+
+        # days 0..9 at 1 kd/day, days 10..19 at 100 kd/day: the split
+        # lands after day index 9 with exact segment means
+        rows = [(d, 1000.0) for d in range(10)] + [
+            (d, 100000.0) for d in range(10, 20)
+        ]
+        out = binary_segmentation_split(_orders(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        base = r.split_day - 9  # absolute epoch day of index 9
+        assert r.n_left == 10 and r.n_right == 10
+        assert base >= 0
+        assert r.mean_left_kd_milli == 1000
+        assert r.mean_right_kd_milli == 100000
+        assert 0 < r.var_reduction_ppm <= 1000000
+
+    def test_flat_series_no_spurious_reduction(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            binary_segmentation_split,
+        )
+
+        rows = [(d, 5000.0) for d in range(8)]
+        r = binary_segmentation_split(_orders(spark, rows)).collect()[0]
+        # zero between-variance: the ppm clamp keeps it at exactly 0
+        assert r.var_reduction_ppm == 0
+
+
+class TestMmrDiverseTopk:
+    def test_redundancy_penalty_reorders(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            mmr_diverse_topk,
+        )
+
+        # anchor [1,1]; vecs 1 and 2 are exact duplicates [1,.8], vec 3
+        # mirrors them at [.8,1]. All three quantize to the same
+        # relevance (127*228 = 28956), so plain top-3 with the vec_id
+        # tie-break would emit 1,2,3 — but after picking 1, MMR's
+        # redundancy term is larger for its duplicate 2 (self dot 26330)
+        # than for the mirror 3 (cross dot 25654), so 3 jumps ahead.
+        emb = _emb(
+            spark,
+            [[1.0, 1.0], [1.0, 0.8], [1.0, 0.8], [0.8, 1.0]],
+        )
+        out = mmr_diverse_topk(emb, anchor_id=0, k=3).collect()
+        assert [r.rk for r in out] == [1, 2, 3]
+        assert [r.rel for r in out] == [28956] * 3
+        assert [r.vec_id for r in out] == [1, 3, 2]
+        # first pick scores 7*rel with zero redundancy
+        assert out[0].mmr_score == 7 * out[0].rel
+        assert out[1].mmr_score == 7 * 28956 - 3 * 25654
+        assert out[2].mmr_score == 7 * 28956 - 3 * 26330
+
+    def test_scores_monotone_and_ties_on_vec_id(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            mmr_diverse_topk,
+        )
+
+        # identical corpus vectors: every step is a pure vec_id tie-break
+        emb = _emb(spark, [[1.0, 1.0]] + [[0.5, 0.5]] * 4)
+        out = mmr_diverse_topk(emb, anchor_id=0, k=4).collect()
+        assert [r.vec_id for r in out] == [1, 2, 3, 4]
