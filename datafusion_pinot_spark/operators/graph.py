@@ -772,3 +772,305 @@ SELECT CAST(CASE WHEN lcc_ppm < 0 THEN -1 ELSE lcc_ppm // 100000 END
        CAST(sum(d) AS BIGINT) AS sum_deg,
        CAST(sum(t) AS BIGINT) AS sum_tri
 FROM lcc GROUP BY 1 ORDER BY bucket"""
+
+
+def hits_two_iter(
+    orders: DataFrame, lineitem: DataFrame, k: int = 10
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, public) after exactly
+    two half-steps each way over the DIRECTED customer->part purchase
+    graph: customers are hubs (they point at what they buy), parts are
+    authorities. The usual L2 normalization is replaced by an exact
+    integer max-normalization (``score * SCALE div max(score)``) so every
+    score is a deterministic BIGINT and the (kind, score desc, node asc)
+    top-k trace matches the DuckDB oracle bit for bit — the RANKING is
+    identical to the L2-normalized one because both normalizations are
+    monotone.
+
+    Scale shape (100 TB): one distinct edge shuffle (shared subtree with
+    the pagerank family); each half-step is a map-side-combined groupBy
+    on one endpoint plus a broadcast of the single-row max; output via
+    two TakeOrdered(k) unioned — no windows, no driver loops."""
+    cp = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_partkey") + F.lit(PART_BASE)).alias("p"),
+        )
+        .distinct()
+        .repartition("c")
+        .localCheckpoint(eager=False)
+    )
+
+    def _norm(df, col):
+        mx = df.agg(F.max(col).alias("mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(
+                f"CAST(CAST({col} AS DECIMAL(38,0)) * {SCALE}"
+                " div mx AS BIGINT)"
+            ).alias(col),
+        )
+
+    # a1(p) = sum of h0(c)=SCALE over in-edges, then max-normalize
+    a1 = _norm(
+        cp.groupBy(F.col("p").alias("node")).agg(
+            F.expr(f"count(*) * {SCALE}").alias("a")
+        ),
+        "a",
+    )
+    # h1(c) = sum of a1(p) over out-edges, max-normalized
+    h1 = _norm(
+        cp.join(a1, cp.p == a1.node)
+        .groupBy(F.col("c").alias("node"))
+        .agg(F.sum("a").alias("h")),
+        "h",
+    )
+    # a2(p) = sum of h1(c), max-normalized
+    a2 = _norm(
+        cp.join(h1, cp.c == h1.node)
+        .groupBy(F.col("p").alias("node"))
+        .agg(F.sum("h").alias("a")),
+        "a",
+    )
+    hubs = (
+        h1.orderBy(F.desc("h"), F.asc("node"))
+        .limit(k)
+        .select(F.lit("hub").alias("kind"), "node", F.col("h").alias("score"))
+    )
+    auth = (
+        a2.orderBy(F.desc("a"), F.asc("node"))
+        .limit(k)
+        .select(
+            F.lit("authority").alias("kind"), "node", F.col("a").alias("score")
+        )
+    )
+    return auth.unionAll(hubs).orderBy(
+        "kind", F.desc("score"), F.asc("node")
+    )
+
+
+def hits_two_iter_oracle_sql(k: int = 10) -> str:
+    return f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey + {PART_BASE} AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), a1r AS (
+  SELECT p AS node, count(*) * {SCALE} AS a FROM cp GROUP BY p
+), a1 AS (
+  SELECT node, CAST(CAST(a AS HUGEINT) * {SCALE}
+              // (SELECT max(a) FROM a1r) AS BIGINT) AS a
+  FROM a1r
+), h1r AS (
+  SELECT cp.c AS node, sum(a1.a) AS h
+  FROM cp JOIN a1 ON cp.p = a1.node GROUP BY cp.c
+), h1 AS (
+  SELECT node, CAST(CAST(h AS HUGEINT) * {SCALE}
+              // (SELECT max(h) FROM h1r) AS BIGINT) AS h
+  FROM h1r
+), a2r AS (
+  SELECT cp.p AS node, sum(h1.h) AS a
+  FROM cp JOIN h1 ON cp.c = h1.node GROUP BY cp.p
+), a2 AS (
+  SELECT node, CAST(CAST(a AS HUGEINT) * {SCALE}
+              // (SELECT max(a) FROM a2r) AS BIGINT) AS a
+  FROM a2r
+), topa AS (
+  SELECT 'authority' AS kind, node, a AS score FROM a2
+  ORDER BY score DESC, node ASC LIMIT {k}
+), toph AS (
+  SELECT 'hub' AS kind, node, h AS score FROM h1
+  ORDER BY score DESC, node ASC LIMIT {k}
+)
+SELECT kind, node, CAST(score AS BIGINT) AS score
+FROM (SELECT * FROM topa UNION ALL SELECT * FROM toph)
+ORDER BY kind, score DESC, node ASC"""
+
+
+def degree_assortativity(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Degree assortativity (Newman 2002, public) of the undirected
+    customer-part purchase graph: the Pearson correlation between the
+    degrees at the two ends of each edge. Reported WITHOUT the square
+    root the textbook r needs: the SIGN of the covariance plus r^2 in
+    ppm, both exact under a documented fixed-point scale-down (numerator
+    and both variance factors floor-divide by 10^6 before squaring /
+    multiplying — both engines floor identically, and the scale-down is
+    what keeps a 100-TB graph's 5th-order sums inside DECIMAL(38,0)).
+    Bipartite purchase graphs come out disassortative (hub customers buy
+    niche parts); a positive sign here flags a degenerate crawl.
+
+    Scale shape (100 TB): the edge list and per-node degrees are two
+    map-side-combined shuffles; the per-edge (deg_src, deg_dst) frame is
+    one broadcast-degree join when degrees fit, else a keyed join; the
+    final reduce is a single-row aggregate. No windows."""
+    edges = customer_part_edges(orders, lineitem)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    pairs = (
+        edges.join(deg.select(F.col("node").alias("src"),
+                              F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("node").alias("dst"),
+                         F.col("d").alias("dy")), "dst")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.expr("CAST(dx AS DECIMAL(38,0)) * dy")).alias("sxy"),
+        F.sum(F.expr("CAST(dx AS DECIMAL(38,0)) * dx")).alias("sxx"),
+        F.sum(F.expr("CAST(dy AS DECIMAL(38,0)) * dy")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.expr("CAST(1000 * sx DIV n AS BIGINT)").alias("mean_deg_milli"),
+        F.expr(
+            "CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1"
+            " WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)"
+        ).alias("cov_sign"),
+        F.expr(
+            "CAST(CASE WHEN (n * sxx - sx * sx) div 1000000 = 0"
+            " OR (n * syy - sy * sy) div 1000000 = 0 THEN 0 ELSE"
+            " (abs(n * sxy - sx * sy) div 1000000)"
+            " * (abs(n * sxy - sx * sy) div 1000000) * 1000000"
+            " div (((n * sxx - sx * sx) div 1000000)"
+            " * ((n * syy - sy * sy) div 1000000)) END AS BIGINT)"
+        ).alias("r2_ppm"),
+    )
+
+
+def degree_assortativity_oracle_sql() -> str:
+    return f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey + {PART_BASE} AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT c AS src, p AS dst FROM cp UNION ALL SELECT p AS src, c AS dst FROM cp
+), deg AS (
+  SELECT src AS node, count(*) AS d FROM edges GROUP BY src
+), pairs AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM edges e JOIN deg dx ON e.src = dx.node JOIN deg dy ON e.dst = dy.node
+), s AS (
+  SELECT count(*) AS n,
+         CAST(sum(dx) AS HUGEINT) AS sx, CAST(sum(dy) AS HUGEINT) AS sy,
+         sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+         sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+         sum(CAST(dy AS HUGEINT) * dy) AS syy
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST(1000 * sx // n AS BIGINT) AS mean_deg_milli,
+       CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+            WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS cov_sign,
+       CAST(CASE WHEN (n * sxx - sx * sx) // 1000000 = 0
+            OR (n * syy - sy * sy) // 1000000 = 0 THEN 0 ELSE
+            (abs(n * sxy - sx * sy) // 1000000)
+            * (abs(n * sxy - sx * sy) // 1000000) * 1000000
+            // (((n * sxx - sx * sx) // 1000000)
+            * ((n * syy - sy * sy) // 1000000)) END AS BIGINT) AS r2_ppm
+FROM s"""
+
+
+def modularity_by_nation(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Newman modularity contribution of each NATION over the
+    customer-supplier trade graph (distinct (custkey, suppkey) pairs
+    that share a lineitem): per community c, ``q_c = e_c/m -
+    (d_c/(2m))^2`` in exact floored ppm — e_c = intra-nation edges, d_c
+    = community degree sum, m = total edges. A strongly positive sum
+    says trade clusters inside nations; the per-nation rows show which.
+    The same shape audits label-prop communities at scale.
+
+    Scale shape (100 TB): the fact-fact join shuffles once on orderkey;
+    nation lookups are broadcast dimension joins; everything after is a
+    25-row frame. No windows."""
+    edges = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("cn"),
+            F.col("s_nationkey").cast("long").alias("sn"),
+        )
+    )
+    per = edges.groupBy().agg(F.count(F.lit(1)).alias("m"))
+    ends = edges.select(
+        F.col("cn").alias("nation"),
+        F.expr("CAST(cn = sn AS BIGINT)").alias("internal"),
+    ).unionAll(
+        edges.select(
+            F.col("sn").alias("nation"),
+            F.expr("CAST(cn = sn AS BIGINT)").alias("internal"),
+        )
+    )
+    by_nation = ends.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("d"),
+        # each intra edge contributes an endpoint to its nation twice
+        F.expr("CAST(sum(internal) DIV 2 AS BIGINT)").alias("e_in"),
+    )
+    return (
+        by_nation.crossJoin(F.broadcast(per))
+        .select(
+            F.col("nation").cast("long").alias("nation"),
+            F.col("d").cast("long").alias("degree_sum"),
+            F.col("e_in").cast("long").alias("internal_edges"),
+            F.expr(
+                "CAST(e_in * 1000000 div m"
+                " - (CAST(d AS DECIMAL(38,0)) * d * 1000000)"
+                " div (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)"
+            ).alias("q_contrib_ppm"),
+        )
+        .orderBy("nation")
+    )
+
+
+def modularity_by_nation_oracle_sql() -> str:
+    return """
+WITH cs AS (
+  SELECT DISTINCT o.o_custkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS cn,
+         CAST(s.s_nationkey AS BIGINT) AS sn
+  FROM cs JOIN customer c ON cs.o_custkey = c.c_custkey
+  JOIN supplier s ON cs.l_suppkey = s.s_suppkey
+), per AS (
+  SELECT count(*) AS m FROM edges
+), ends AS (
+  SELECT cn AS nation, CAST(cn = sn AS BIGINT) AS internal FROM edges
+  UNION ALL
+  SELECT sn AS nation, CAST(cn = sn AS BIGINT) AS internal FROM edges
+), by_nation AS (
+  SELECT nation, count(*) AS d,
+         CAST(sum(internal) // 2 AS BIGINT) AS e_in
+  FROM ends GROUP BY nation
+)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(d AS BIGINT) AS degree_sum,
+       CAST(e_in AS BIGINT) AS internal_edges,
+       CAST(e_in * 1000000 // m
+            - (CAST(d AS HUGEINT) * d * 1000000)
+            // (CAST(4 AS HUGEINT) * m * m) AS BIGINT) AS q_contrib_ppm
+FROM by_nation CROSS JOIN per ORDER BY nation"""

@@ -2346,3 +2346,141 @@ SELECT day AS split_day,
             * 1000000 // (ty2 * nn - ty * ty) END AS BIGINT)
          AS var_reduction_ppm
 FROM best"""
+
+
+# Truncated-EWMA fixed-point weights, shared verbatim by the Spark plan
+# and the DuckDB oracle: w_k = floor(2^16 * alpha * (1-alpha)^k), exact
+# integer evaluation. fast alpha=1/2 over 8 lags, slow alpha=1/8 over 16.
+EWMA_FAST = [2 ** (15 - k) for k in range(8)]
+EWMA_SLOW = [(8192 * 7**k) // (8**k) for k in range(16)]
+
+
+def ewma_crossover_daily(orders: DataFrame) -> DataFrame:
+    """Fast/slow EWMA crossover signals on the daily revenue series —
+    the classic trend-change detector, made engine-exact by replacing
+    the infinite recursion with a TRUNCATED EWMA: a fixed-point dot
+    product over the last 8 (fast, alpha=1/2) / 16 (slow, alpha=1/8)
+    calendar days using the precomputed integer weights above,
+    normalized by the weight mass of the days actually present (calendar
+    gaps shrink the mass instead of polluting the average). state is +1
+    when fast > slow, else -1; crossed flags a day whose state differs
+    from the PRECEDING calendar day's (a gap before a day yields no
+    flag — a deliberate, documented choice that keeps the operator a
+    pure equi-join).
+
+    Scale shape (100 TB): one map-side-combined shuffle to the
+    calendar-bounded day frame, a bounded 16-wide lag explode joined
+    back on the day key, one reduce per day, and a day-1 self-join for
+    the flag — no windows anywhere, exactly the leadlag_xcorr_daily
+    shape."""
+    daily = (
+        orders.select(
+            F.expr(
+                "CAST(to_date(o_orderdate) - DATE '1970-01-01' AS BIGINT)"
+            ).alias("day"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(cents) DIV 100 AS BIGINT)").alias("y"))
+    )
+    fast_arr = "array(" + ", ".join(f"{w}L" for w in EWMA_FAST) + ")"
+    slow_arr = "array(" + ", ".join(f"{w}L" for w in EWMA_SLOW) + ")"
+    contrib = daily.select(
+        "day",
+        "y",
+        F.explode(
+            F.expr(f"sequence(0, {len(EWMA_SLOW) - 1})")
+        ).alias("k"),
+    ).select(
+        (F.col("day") + F.col("k")).alias("t_day"),
+        "y",
+        "k",
+        F.expr(
+            f"CASE WHEN k < {len(EWMA_FAST)}"
+            f" THEN element_at({fast_arr}, k + 1) ELSE 0L END"
+        ).alias("wf"),
+        F.expr(f"element_at({slow_arr}, k + 1)").alias("ws"),
+    )
+    ew = (
+        contrib.join(
+            daily.select(F.col("day").alias("t_day"), F.col("y").alias("ty")),
+            "t_day",
+        )
+        .groupBy("t_day")
+        .agg(
+            F.max("ty").alias("y"),
+            F.sum(F.expr("CAST(wf AS DECIMAL(38,0)) * y")).alias("fnum"),
+            F.sum("wf").alias("fden"),
+            F.sum(F.expr("CAST(ws AS DECIMAL(38,0)) * y")).alias("snum"),
+            F.sum("ws").alias("sden"),
+        )
+        .select(
+            F.col("t_day").alias("day"),
+            "y",
+            F.expr("CAST((1000 * fnum) div fden AS BIGINT)").alias(
+                "fast_milli"
+            ),
+            F.expr("CAST((1000 * snum) div sden AS BIGINT)").alias(
+                "slow_milli"
+            ),
+            F.expr(
+                "CAST(CASE WHEN (1000 * fnum) div fden >"
+                " (1000 * snum) div sden THEN 1 ELSE -1 END AS BIGINT)"
+            ).alias("state"),
+        )
+    )
+    prev = ew.select(
+        (F.col("day") + 1).alias("day"), F.col("state").alias("prev_state")
+    )
+    return (
+        ew.join(prev, "day", "left")
+        .select(
+            "day",
+            "y",
+            "fast_milli",
+            "slow_milli",
+            "state",
+            F.expr(
+                "CAST(CASE WHEN prev_state IS NOT NULL"
+                " AND prev_state <> state THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("crossed"),
+        )
+        .orderBy("day")
+    )
+
+
+def ewma_crossover_daily_oracle_sql() -> str:
+    fast_vals = ", ".join(str(w) for w in EWMA_FAST)
+    slow_vals = ", ".join(str(w) for w in EWMA_SLOW)
+    kf = len(EWMA_FAST)
+    ks = len(EWMA_SLOW)
+    return f"""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // 100
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), contrib AS (
+  SELECT d.day + k.k AS t_day, d.y, k.k,
+         CASE WHEN k.k < {kf} THEN ([{fast_vals}])[k.k + 1] ELSE 0 END AS wf,
+         ([{slow_vals}])[k.k + 1] AS ws
+  FROM daily d CROSS JOIN (SELECT unnest(range(0, {ks})) AS k) k
+), ew AS (
+  SELECT c.t_day AS day, max(t.y) AS y,
+         CAST((1000 * sum(CAST(c.wf AS HUGEINT) * c.y)) // sum(c.wf)
+              AS BIGINT) AS fast_milli,
+         CAST((1000 * sum(CAST(c.ws AS HUGEINT) * c.y)) // sum(c.ws)
+              AS BIGINT) AS slow_milli
+  FROM contrib c JOIN daily t ON c.t_day = t.day
+  GROUP BY c.t_day
+), st AS (
+  SELECT day, y, fast_milli, slow_milli,
+         CAST(CASE WHEN fast_milli > slow_milli THEN 1 ELSE -1 END
+              AS BIGINT) AS state
+  FROM ew
+)
+SELECT a.day, a.y, a.fast_milli, a.slow_milli, a.state,
+       CAST(CASE WHEN b.state IS NOT NULL AND b.state <> a.state
+            THEN 1 ELSE 0 END AS BIGINT) AS crossed
+FROM st a LEFT JOIN st b ON a.day = b.day + 1
+ORDER BY a.day"""

@@ -2419,3 +2419,80 @@ FROM (
                                ORDER BY score_milli DESC, phrase ASC) AS rk
   FROM scored
 ) WHERE rk <= {k} ORDER BY doc_id, rk"""
+
+
+def dup_ngram_share(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document duplicate-n-gram share — the repeated-content
+    quality rule from the Gopher/MassiveText filtering recipe (Rae et
+    al. 2021, public): of a document's n-gram OCCURRENCES, the fraction
+    that belong to an n-gram appearing at least twice *in that
+    document*. High shares flag templated boilerplate and decoding
+    loops that the unigram repetition stats (doc_repetition_stats) miss.
+    Exact integers: occurrence counts and a floored ppm share.
+
+    Scale shape (100 TB): one explode to positional (not distinct)
+    n-grams, one map-side-combined shuffle on (doc_id, ngram), one
+    per-doc reduce — the same two-shuffle shape as doc_repetition_stats,
+    never corpus-global."""
+    from datafusion_pinot_spark.functions import tokens
+
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    grams = (
+        toks.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - n),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(F.col("w"), i + k + 1) for k in range(n)],
+                    ),
+                )
+            ).alias("g"),
+        )
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_ngrams"),
+            F.sum(F.expr("CASE WHEN cnt >= 2 THEN cnt ELSE 0 END"))
+            .cast("long")
+            .alias("dup_occurrences"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "dup_occurrences",
+            F.expr(
+                "CAST(dup_occurrences * 1000000 div n_ngrams AS BIGINT)"
+            ).alias("dup_share_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_ngram_share_oracle_sql(n: int = 3) -> str:
+    joined = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+WITH tks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(lower(text))) > 0
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - {n - 1}),
+                               i -> {joined})) AS g
+  FROM tks WHERE len(w) >= {n}
+), per_gram AS (
+  SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+         AS dup_occurrences,
+       CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) * 1000000
+            // sum(cnt) AS BIGINT) AS dup_share_ppm
+FROM per_gram GROUP BY doc_id ORDER BY doc_id"""

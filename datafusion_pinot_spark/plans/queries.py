@@ -3903,6 +3903,57 @@ def _register_llm():
         "llm",
         ["similarity", "mmr", "diversity", "topk"],
     )(lambda spark, sf: similarity.mmr_diverse_topk(_emb(spark, sf)))
+    from datafusion_pinot_spark.operators import graph
+
+    register(
+        "hits_hub_authority",
+        graph.hits_two_iter_oracle_sql(),
+        "analytics",
+        ["graph", "hits", "ranking", "topk"],
+    )(
+        lambda spark, sf: graph.hits_two_iter(
+            t(spark, sf, "orders"), t(spark, sf, "lineitem")
+        )
+    )
+    register(
+        "degree_assortativity",
+        graph.degree_assortativity_oracle_sql(),
+        "analytics",
+        ["graph", "stats", "audit"],
+    )(
+        lambda spark, sf: graph.degree_assortativity(
+            t(spark, sf, "orders"), t(spark, sf, "lineitem")
+        )
+    )
+    register(
+        "modularity_by_nation",
+        graph.modularity_by_nation_oracle_sql(),
+        "analytics",
+        ["graph", "community", "modularity"],
+    )(
+        lambda spark, sf: graph.modularity_by_nation(
+            t(spark, sf, "orders"),
+            t(spark, sf, "lineitem"),
+            t(spark, sf, "customer"),
+            t(spark, sf, "supplier"),
+        )
+    )
+    register(
+        "dup_ngram_share",
+        text.dup_ngram_share_oracle_sql(),
+        "llm",
+        ["text", "quality", "dedup", "gopher"],
+    )(lambda spark, sf: text.dup_ngram_share(_docs(spark, sf)))
+    register(
+        "ewma_crossover_daily",
+        temporal.ewma_crossover_daily_oracle_sql(),
+        "analytics",
+        ["temporal", "ewma", "signal"],
+    )(
+        lambda spark, sf: temporal.ewma_crossover_daily(
+            t(spark, sf, "orders")
+        )
+    )
 
 
 _register_llm()

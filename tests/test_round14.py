@@ -673,3 +673,155 @@ class TestMmrDiverseTopk:
         emb = _emb(spark, [[1.0, 1.0]] + [[0.5, 0.5]] * 4)
         out = mmr_diverse_topk(emb, anchor_id=0, k=4).collect()
         assert [r.vec_id for r in out] == [1, 2, 3, 4]
+
+
+class TestHitsTwoIter:
+    def test_tiny_bipartite_hand_values(self, spark):
+        from datafusion_pinot_spark.operators.graph import (
+            PART_BASE,
+            SCALE,
+            hits_two_iter,
+        )
+
+        # c1 buys parts 1,2,3; c2 buys part 1. Part 1 is the top
+        # authority (both customers), c1 the top hub (three parts).
+        orders = spark.createDataFrame(
+            [Row(o_orderkey=10, o_custkey=1), Row(o_orderkey=20, o_custkey=2)]
+        )
+        lineitem = spark.createDataFrame(
+            [Row(l_orderkey=10, l_partkey=p) for p in (1, 2, 3)]
+            + [Row(l_orderkey=20, l_partkey=1)]
+        )
+        out = hits_two_iter(orders, lineitem, k=2).collect()
+        auth = [r for r in out if r.kind == "authority"]
+        hubs = [r for r in out if r.kind == "hub"]
+        assert auth[0].node == 1 + PART_BASE and auth[0].score == SCALE
+        assert hubs[0].node == 1 and hubs[0].score == SCALE
+        # c2's hub mass is half of c1's: it reaches only the shared part,
+        # whose a1 weight is max -> SCALE, vs c1's SCALE + 2*(SCALE/2)
+        assert hubs[1].node == 2 and hubs[1].score == SCALE // 2
+
+    def test_scores_bounded_by_scale(self, spark):
+        from datafusion_pinot_spark.operators.graph import SCALE, hits_two_iter
+
+        orders = spark.createDataFrame(
+            [Row(o_orderkey=i, o_custkey=i % 3) for i in range(9)]
+        )
+        lineitem = spark.createDataFrame(
+            [Row(l_orderkey=i, l_partkey=(i * 7) % 5) for i in range(9)]
+        )
+        out = hits_two_iter(orders, lineitem, k=10).collect()
+        assert all(0 < r.score <= SCALE for r in out)
+        assert max(r.score for r in out if r.kind == "hub") == SCALE
+        assert max(r.score for r in out if r.kind == "authority") == SCALE
+
+
+class TestDegreeAssortativity:
+    def test_star_is_disassortative(self, spark):
+        from datafusion_pinot_spark.operators.graph import degree_assortativity
+
+        # one customer buys 3 parts: hub-leaf pairs only -> negative cov;
+        # the documented 1e6 fixed-point floors r2 to 0 at toy scale
+        orders = spark.createDataFrame([Row(o_orderkey=10, o_custkey=1)])
+        lineitem = spark.createDataFrame(
+            [Row(l_orderkey=10, l_partkey=p) for p in (1, 2, 3)]
+        )
+        r = degree_assortativity(orders, lineitem).collect()[0]
+        assert r.n_edges == 6
+        assert r.mean_deg_milli == 2000
+        assert r.cov_sign == -1
+        assert r.r2_ppm == 0
+
+
+class TestModularityByNation:
+    def test_two_perfect_communities(self, spark):
+        from datafusion_pinot_spark.operators.graph import modularity_by_nation
+
+        # nation 0 = {c1, s1}, nation 1 = {c2, s2}, one internal edge
+        # each: textbook Q = 1/2, split 250000 ppm per nation
+        orders = spark.createDataFrame(
+            [Row(o_orderkey=10, o_custkey=1), Row(o_orderkey=20, o_custkey=2)]
+        )
+        lineitem = spark.createDataFrame(
+            [Row(l_orderkey=10, l_suppkey=1), Row(l_orderkey=20, l_suppkey=2)]
+        )
+        customer = spark.createDataFrame(
+            [Row(c_custkey=1, c_nationkey=0), Row(c_custkey=2, c_nationkey=1)]
+        )
+        supplier = spark.createDataFrame(
+            [Row(s_suppkey=1, s_nationkey=0), Row(s_suppkey=2, s_nationkey=1)]
+        )
+        out = modularity_by_nation(orders, lineitem, customer, supplier).collect()
+        assert [(r.nation, r.degree_sum, r.internal_edges, r.q_contrib_ppm)
+                for r in out] == [(0, 2, 1, 250000), (1, 2, 1, 250000)]
+
+    def test_cross_nation_edges_go_negative(self, spark):
+        from datafusion_pinot_spark.operators.graph import modularity_by_nation
+
+        # every edge crosses nations: e_in 0, q strictly negative
+        orders = spark.createDataFrame(
+            [Row(o_orderkey=10, o_custkey=1), Row(o_orderkey=20, o_custkey=2)]
+        )
+        lineitem = spark.createDataFrame(
+            [Row(l_orderkey=10, l_suppkey=2), Row(l_orderkey=20, l_suppkey=1)]
+        )
+        customer = spark.createDataFrame(
+            [Row(c_custkey=1, c_nationkey=0), Row(c_custkey=2, c_nationkey=1)]
+        )
+        supplier = spark.createDataFrame(
+            [Row(s_suppkey=1, s_nationkey=0), Row(s_suppkey=2, s_nationkey=1)]
+        )
+        out = modularity_by_nation(orders, lineitem, customer, supplier).collect()
+        assert all(r.internal_edges == 0 and r.q_contrib_ppm < 0 for r in out)
+
+
+class TestDupNgramShare:
+    def test_hand_counted_docs(self, spark):
+        from datafusion_pinot_spark.operators.text import dup_ngram_share
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a b a b a b"),  # every 3-gram repeats
+                Row(doc_id=2, text="x y z w"),      # all distinct
+                Row(doc_id=3, text="a b"),          # too short: dropped
+            ]
+        )
+        out = dup_ngram_share(docs).collect()
+        assert [(r.doc_id, r.n_ngrams, r.dup_occurrences, r.dup_share_ppm)
+                for r in out] == [(1, 4, 4, 1000000), (2, 2, 0, 0)]
+
+
+class TestEwmaCrossoverDaily:
+    def test_constant_series_never_crosses(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            ewma_crossover_daily,
+        )
+
+        rows = [(d, 500.0) for d in range(10)]
+        out = ewma_crossover_daily(_orders(spark, rows)).collect()
+        assert len(out) == 10
+        # fast == slow == 500000 milli on a flat series; ties report -1
+        assert all(
+            r.fast_milli == r.slow_milli == 500000 and r.state == -1
+            and r.crossed == 0
+            for r in out
+        )
+
+    def test_step_up_crosses_exactly_once(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            ewma_crossover_daily,
+        )
+
+        rows = [(d, 100.0) for d in range(10)] + [
+            (d, 10000.0) for d in range(10, 20)
+        ]
+        out = ewma_crossover_daily(_orders(spark, rows)).collect()
+        crossed = [r.day for r in out if r.crossed == 1]
+        first = min(r.day for r in out)
+        assert crossed == [first + 10]
+        # the fast average reacts harder than the slow one from the jump on
+        assert all(
+            r.fast_milli >= r.slow_milli and r.state == 1
+            for r in out
+            if r.day >= first + 10
+        )
