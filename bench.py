@@ -732,12 +732,11 @@ def marginal_tier(
             F.count_distinct("l_orderkey").alias("n")
         ),
         # same answer via the bounded-domain bitmap merge. r14: the probe
-        # now exercises the real user surface (the router), which serves
-        # the bitmap from DICTIONARY entries when provable — no forward
-        # decode, vectorized bit set, word-granular sparse shuffle. The
-        # r7-r13 row-stream variant measured 0.32-0.35x of distinct_global
-        # (the per-row Arrow hop + unbuffered bitwise_or.at); the
-        # row-stream path remains the raw/nullable-column fallback.
+        # exercises the real user surface (the router), which serves the
+        # bitmap from DICTIONARY entries when provable, and the bitmap
+        # itself is now built in whole-stage codegen (word idx + shiftleft
+        # + map-side bit_or) — the mapInPandas hop whose Arrow transfer
+        # kept the r7-r13 probes at 0.32-0.35x of distinct_global is gone.
         "distinct_bitmap": lambda: distinct_count(
             spark, big, "l_orderkey", strategy="bitmap"
         )[0],
