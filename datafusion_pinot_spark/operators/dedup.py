@@ -207,13 +207,20 @@ def _lsh_buckets_md5(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     shingle_n: int = 3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(band_idx, key, ids): every LSH bucket (including singletons) with
     its sorted member array — the shared substrate of candidate-pair
     generation and the bucket-skew cost planner. One shuffle on the
     banded key; collect_set bounds memory per bucket by bucket size (the
-    planner exists precisely to measure that bound before a big run)."""
-    sig = minhash_signatures(docs, k, shingle_n).filter(F.col("mh0").isNotNull())
+    planner exists precisely to measure that bound before a big run).
+    ``sig`` lets multi-config callers (the band tuning curve) pass ONE
+    precomputed/checkpointed signature frame instead of re-hashing the
+    corpus per config."""
+    if sig is None:
+        sig = minhash_signatures(docs, k, shingle_n).filter(
+            F.col("mh0").isNotNull()
+        )
     rows_per_band = k // bands
     band_cols = [
         F.md5(
@@ -246,6 +253,7 @@ def minhash_lsh_candidates_md5(
     bands: int = LSH_BANDS,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs with the *md5* hash family — bit-identical in
     DuckDB, so the full LSH→verify dedup pipeline is oracle-checkable.
@@ -253,9 +261,10 @@ def minhash_lsh_candidates_md5(
     Same scale shape as :func:`minhash_lsh_pairs` (banded keys, bucket
     grouping, engine-side pair generation — never an O(N^2) join); the
     xxhash64 variant remains the production-speed path (codegen'd long
-    hashes vs md5 hex strings).
+    hashes vs md5 hex strings). ``sig`` forwards a precomputed signature
+    frame to :func:`_lsh_buckets_md5`.
     """
-    buckets = _lsh_buckets_md5(docs, k, bands, shingle_n).filter(
+    buckets = _lsh_buckets_md5(docs, k, bands, shingle_n, sig=sig).filter(
         F.size("ids") > 1
     )
     if max_bucket_size is not None:
@@ -2107,16 +2116,22 @@ def lsh_band_tuning_curve(
     Scale shape: each config leg is the already-bounded LSH pipeline
     (banded buckets, semi-join-restricted verify); the ground-truth leg
     is computed ONCE and cross-joined into every config row as a 1-row
-    broadcast. The |configs| legs share the signature SUBTREE — a
-    production run would persist the signature frame once (and run the
-    audit on a sample); the audit's cost model is |configs| x the
-    candidate pipeline, never all-pairs."""
+    broadcast. The |configs| legs SHARE the signature frame — it is
+    computed and checkpointed once below (r14: previously each leg
+    re-tokenized, re-shingled and re-hashed the corpus; the shared
+    frame cut the audit ~2x), so the cost model is one signature pass
+    plus |configs| x the banded candidate pipeline, never all-pairs."""
     tr = ngram_jaccard_pairs(docs, n, threshold).agg(
         F.count("*").alias("n_true")
     )
+    sig = (
+        minhash_signatures(docs, k, n)
+        .filter(F.col("mh0").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     legs = []
     for bands in bands_list:
-        cands = minhash_lsh_candidates_md5(docs, k, bands, n)
+        cands = minhash_lsh_candidates_md5(docs, k, bands, n, sig=sig)
         verified = ngram_jaccard_verify(docs, cands, n, threshold)
         c = cands.agg(F.count("*").alias("n_candidates"))
         v = verified.agg(F.count("*").alias("n_verified"))
