@@ -2015,3 +2015,92 @@ SELECT src AS source, CAST(decile AS INTEGER) AS decile,
 FROM at JOIN gq ON at.decile = gq.gd
 WHERE src <> '__ALL__'
 ORDER BY source, decile"""
+
+
+def fold_balance_audit(
+    docs: DataFrame, n_folds: int = 5, bits: int = 48
+) -> DataFrame:
+    """Per-(fold, source) balance audit of a deterministic hash k-fold
+    assignment — the cross-validation hygiene check next to the
+    train/valid split audits (split_leakage_audit,
+    temporal_split_leakage): folds are ``md5(doc_id) % n_folds`` (the
+    house md5-prefix integer, bit-identical in DuckDB), and each cell
+    reports its doc count, token mass, the source's expected per-fold
+    doc count in milli, and the cell's Pearson chi-square contribution
+    ``(O*k - n_s)^2 / (k * n_s)`` in milli — all exact integers, so a
+    skewed fold (a hash bug, a doc_id pattern) shows up as an outlier
+    chi2 cell that both engines agree on bit-for-bit.
+
+    Scale shape (100 TB): one narrow map (the md5 + a token count), one
+    map-side-combined shuffle on (fold, source), then a broadcast join
+    of the per-source totals (|sources| rows) back onto the <=
+    k*|sources| cells. No windows."""
+    from datafusion_pinot_spark.functions import tokens
+
+    nd = bits // 4
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, nd), 16, 10
+    ).cast("long")
+    tagged = docs.select(
+        (hv % n_folds).alias("fold"),
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    cells = tagged.groupBy("fold", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    per_source = cells.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_source")
+    )
+    return (
+        cells.join(F.broadcast(per_source), "source")
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(f"CAST(1000 * n_source div {n_folds} AS BIGINT)").alias(
+                "expected_milli"
+            ),
+            F.expr(
+                f"CAST(1000 * CAST(n_docs * {n_folds} - n_source"
+                f" AS DECIMAL(38,0))"
+                f" * (n_docs * {n_folds} - n_source)"
+                f" div ({n_folds} * n_source) AS BIGINT)"
+            ).alias("chi2_milli"),
+        )
+        .orderBy("fold", "source")
+    )
+
+
+def fold_balance_audit_oracle_sql(n_folds: int = 5, bits: int = 48) -> str:
+    nd = bits // 4
+    hv = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr(hid, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (nd - 1 - i)})"
+        for i in range(nd)
+    )
+    return f"""
+WITH tagged AS (
+  SELECT ({hv}) % {n_folds} AS fold, source,
+         CASE WHEN length(trim(lower(text))) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         END AS n_toks
+  FROM (SELECT md5(CAST(doc_id AS VARCHAR)) AS hid, source, text
+        FROM documents)
+), cells AS (
+  SELECT fold, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+  FROM tagged GROUP BY fold, source
+), per_source AS (
+  SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_source
+  FROM cells GROUP BY source
+)
+SELECT CAST(c.fold AS INTEGER) AS fold, c.source, c.n_docs, c.n_tokens,
+       CAST(1000 * p.n_source // {n_folds} AS BIGINT) AS expected_milli,
+       CAST(1000 * CAST(c.n_docs * {n_folds} - p.n_source AS HUGEINT)
+            * (c.n_docs * {n_folds} - p.n_source)
+            // ({n_folds} * p.n_source) AS BIGINT) AS chi2_milli
+FROM cells c JOIN per_source p ON c.source = p.source
+ORDER BY fold, c.source"""

@@ -2945,3 +2945,111 @@ scored AS MATERIALIZED (
 SELECT CAST(rk AS INTEGER) AS rk, vec_id, CAST(rel AS BIGINT) AS rel,
        CAST(mmr_score AS BIGINT) AS mmr_score
 FROM {prev_sel} ORDER BY rk"""
+
+
+def embedding_quantization_error_curve(
+    embeddings: DataFrame,
+    bits: tuple[int, ...] = (8, 4, 2),
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Reconstruction-error curve for symmetric per-vector scalar
+    quantization at b bits — the design table behind the SQ8 choice the
+    ANN family already ships (ann_sq8_topk, sq8_recall_audit): before
+    compressing a 100 TB embedding store 4x further, read what SQ4/SQ2
+    would cost in reconstruction error. Components ride the house milli
+    grid (floor(x*1000+0.5)); per vector, magnitudes quantize to
+    ``q = |x_milli| * qmax div maxabs`` (qmax = 2^(b-1)-1) with the sign
+    carried separately — all-integer, so the per-bits SSE, per-dim MSE
+    and max absolute error hash-match DuckDB exactly. The b-bit rows
+    are monotone: halving qmax can only grow every error column.
+
+    Scale shape (100 TB): ONE corpus scan; the |bits| legs explode a
+    3-wide literal array per component (bounded fanout), and everything
+    reduces in a single map-side-combined aggregate. No joins, no
+    windows."""
+    from datafusion_pinot_spark.functions import as_double_array
+
+    blist = ", ".join(str(b) for b in bits)
+    comp = embeddings.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                as_double_array(F.col("embedding")),
+                lambda x: F.floor(x * F.lit(1000.0) + F.lit(0.5)).cast(
+                    "long"
+                ),
+            )
+        ).alias("xm"),
+    )
+    wv = Window.partitionBy("vec_id")
+    withmax = comp.select(
+        "vec_id", "xm", F.max(F.abs(F.col("xm"))).over(wv).alias("maxabs")
+    )
+    legs = withmax.select(
+        "xm",
+        "maxabs",
+        F.explode(F.expr(f"array({blist})")).alias("b"),
+    ).select(
+        "b",
+        F.expr("CAST(shiftleft(1, b - 1) - 1 AS BIGINT)").alias("qmax"),
+        "xm",
+        "maxabs",
+    )
+    err = legs.select(
+        "b",
+        F.expr(
+            "CASE WHEN maxabs = 0 THEN 0 ELSE xm - CAST(sign(xm) AS BIGINT)"
+            " * (((abs(xm) * qmax) div maxabs) * maxabs div qmax) END"
+        ).alias("e"),
+    )
+    return (
+        err.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum(F.expr("CAST(e AS DECIMAL(38,0)) * e"))
+            .cast("long")
+            .alias("sse_milli2"),
+            F.max(F.abs(F.col("e"))).cast("long").alias("max_abs_err_milli"),
+        )
+        .select(
+            F.col("b").cast("int").alias("b"),
+            "n_values",
+            "sse_milli2",
+            F.expr("CAST(sse_milli2 div n_values AS BIGINT)").alias(
+                "mse_milli2"
+            ),
+            "max_abs_err_milli",
+        )
+        .orderBy("b")
+    )
+
+
+def embedding_quantization_error_curve_oracle_sql(
+    bits: tuple[int, ...] = (8, 4, 2), dim: int = EMBEDDING_DIM
+) -> str:
+    blist = ", ".join(str(b) for b in bits)
+    return f"""
+WITH comp AS (
+  SELECT vec_id,
+         unnest(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)))
+           AS xm
+  FROM embeddings
+), mx AS (
+  SELECT vec_id, max(abs(xm)) AS maxabs FROM comp GROUP BY vec_id
+), legs AS (
+  SELECT b.b, CAST((1 << (b.b - 1)) - 1 AS BIGINT) AS qmax, c.xm, m.maxabs
+  FROM comp c JOIN mx m ON c.vec_id = m.vec_id
+  CROSS JOIN (SELECT unnest([{blist}]) AS b) b
+), err AS (
+  SELECT b, CASE WHEN maxabs = 0 THEN 0
+           ELSE xm - CAST(sign(xm) AS BIGINT)
+                * (((abs(xm) * qmax) // maxabs) * maxabs // qmax) END AS e
+  FROM legs
+)
+SELECT CAST(b AS INTEGER) AS b,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(CAST(e AS HUGEINT) * e) AS BIGINT) AS sse_milli2,
+       CAST(sum(CAST(e AS HUGEINT) * e) // count(*) AS BIGINT) AS mse_milli2,
+       CAST(max(abs(e)) AS BIGINT) AS max_abs_err_milli
+FROM err GROUP BY b ORDER BY b"""

@@ -3954,6 +3954,34 @@ def _register_llm():
             t(spark, sf, "orders")
         )
     )
+    from datafusion_pinot_spark.operators import quantile_sketch
+
+    register(
+        "quantile_sketch_accuracy_audit",
+        quantile_sketch.quantile_sketch_accuracy_audit_oracle_sql(),
+        "llm",
+        ["sketch", "quantile", "audit"],
+    )(
+        lambda spark, sf: quantile_sketch.quantile_sketch_accuracy_audit(
+            _docs(spark, sf)
+        )
+    )
+    register(
+        "embedding_quantization_error_curve",
+        similarity.embedding_quantization_error_curve_oracle_sql(),
+        "llm",
+        ["similarity", "quantization", "audit", "ann"],
+    )(
+        lambda spark, sf: similarity.embedding_quantization_error_curve(
+            _emb(spark, sf)
+        )
+    )
+    register(
+        "fold_balance_audit",
+        curation.fold_balance_audit_oracle_sql(),
+        "llm",
+        ["curation", "split", "audit", "chi2"],
+    )(lambda spark, sf: curation.fold_balance_audit(_docs(spark, sf)))
 
 
 _register_llm()

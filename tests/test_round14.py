@@ -825,3 +825,115 @@ class TestEwmaCrossoverDaily:
             for r in out
             if r.day >= first + 10
         )
+
+
+class TestQuantileSketchAccuracyAudit:
+    def test_hand_case_rank_error_inside_bound(self, spark):
+        from datafusion_pinot_spark.operators.quantile_sketch import (
+            quantile_sketch_accuracy_audit,
+        )
+
+        # one (source, lang) group of 17 values 1..17, k=8: samples are
+        # ranks 1, 9, 17 -> merged [1, 9, 17]. p50 reads 9 = exact; p99
+        # reads 9 vs exact 16 -> rank_err 7, inside the k*1 = 8 bound.
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=i, source="a", lang="x", n_chars=i, text="t")
+                for i in range(1, 18)
+            ]
+        )
+        out = quantile_sketch_accuracy_audit(docs).collect()
+        by = {r.p: r for r in out}
+        assert by[50].est == 9 and by[50].exact == 9
+        assert by[50].rank_err == 0 and by[50].bound_ok == 1
+        assert by[99].est == 9 and by[99].exact == 16
+        assert by[99].abs_val_err == 7
+        assert by[99].rank_err == 7 and by[99].bound_ok == 1
+        assert all(r.n_sketches == 1 and r.n_rows == 17 for r in out)
+
+    def test_bound_holds_on_corpus(self, spark):
+        from datafusion_pinot_spark.operators.quantile_sketch import (
+            quantile_sketch_accuracy_audit,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = quantile_sketch_accuracy_audit(docs).collect()
+        assert len(out) > 0
+        assert all(r.bound_ok == 1 for r in out)
+
+
+class TestEmbeddingQuantizationErrorCurve:
+    def test_hand_values_single_vector(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            embedding_quantization_error_curve,
+        )
+
+        emb = _emb(spark, [[1.0, 0.5]])
+        out = embedding_quantization_error_curve(emb).collect()
+        by = {r.b: r for r in out}
+        # maxabs milli 1000: the max component reconstructs exactly at
+        # every b; 500 -> q*1000//qmax gives e=4 (b=8), 72 (b=4), 500 (b=2)
+        assert by[8].sse_milli2 == 16 and by[8].max_abs_err_milli == 4
+        assert by[4].sse_milli2 == 72 * 72 and by[4].max_abs_err_milli == 72
+        assert by[2].sse_milli2 == 500 * 500
+        assert all(r.n_values == 2 for r in out)
+
+    def test_error_monotone_in_bits(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            embedding_quantization_error_curve,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = embedding_quantization_error_curve(emb).collect()
+        rows = sorted(out, key=lambda r: r.b)  # [2, 4, 8]
+        assert rows[0].sse_milli2 >= rows[1].sse_milli2 >= rows[2].sse_milli2
+        assert (
+            rows[0].max_abs_err_milli
+            >= rows[1].max_abs_err_milli
+            >= rows[2].max_abs_err_milli
+        )
+
+    def test_zero_vector_has_zero_error(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            embedding_quantization_error_curve,
+        )
+
+        out = embedding_quantization_error_curve(
+            _emb(spark, [[0.0, 0.0]])
+        ).collect()
+        assert all(r.sse_milli2 == 0 for r in out)
+
+
+class TestFoldBalanceAudit:
+    def test_partition_and_chi2_invariants(self, spark):
+        from datafusion_pinot_spark.operators.curation import (
+            fold_balance_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=i, source="s%d" % (i % 2), text="a b c")
+                for i in range(100)
+            ]
+        )
+        out = fold_balance_audit(docs, n_folds=4).collect()
+        per_source = {}
+        for r in out:
+            assert 0 <= r.fold < 4
+            assert r.chi2_milli >= 0
+            assert r.n_tokens == 3 * r.n_docs
+            per_source[r.source] = per_source.get(r.source, 0) + r.n_docs
+        assert per_source == {"s0": 50, "s1": 50}
+        assert all(r.expected_milli == 1000 * 50 // 4 for r in out)
+
+    def test_single_fold_is_exactly_balanced(self, spark):
+        from datafusion_pinot_spark.operators.curation import (
+            fold_balance_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, source="s", text="x") for i in range(10)]
+        )
+        out = fold_balance_audit(docs, n_folds=1).collect()
+        assert len(out) == 1
+        assert out[0].n_docs == 10 and out[0].chi2_milli == 0
