@@ -2484,3 +2484,71 @@ SELECT a.day, a.y, a.fast_milli, a.slow_milli, a.state,
             THEN 1 ELSE 0 END AS BIGINT) AS crossed
 FROM st a LEFT JOIN st b ON a.day = b.day + 1
 ORDER BY a.day"""
+
+
+def dispersion_index_daily(events: DataFrame) -> DataFrame:
+    """Fano factor (variance-to-mean dispersion index, public textbook
+    statistic) of the DAILY event-count series per event type: the
+    burstiness classifier — ~1000 milli for a Poisson-like arrival
+    process, >1000 overdispersed (bursty/campaign-driven), <1000
+    underdispersed (throttled/quota'd). Exact integers end to end:
+    ``fano_milli = 1000 * (n*Sxx - Sx^2) div ((n-1) * Sx)`` over the
+    calendar-bounded day frame (sample variance over mean), and the
+    mean in milli. Types with one day or zero events report 0.
+
+    Scale shape (100 TB): ONE map-side-combined shuffle to (type, day)
+    counts, one reduce to |types| rows. No windows, no joins."""
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("CAST(to_date(ts) - DATE '1970-01-01' AS BIGINT)").alias(
+                "day"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("sx").cast("long").alias("n_events"),
+            F.expr("CAST(1000 * sx DIV n AS BIGINT)").alias(
+                "mean_daily_milli"
+            ),
+            F.expr(
+                "CAST(CASE WHEN n < 2 OR sx = 0 THEN 0 ELSE"
+                " (1000 * (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx))"
+                " div ((n - 1) * sx) END AS BIGINT)"
+            ).alias("fano_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def dispersion_index_daily_oracle_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         count(*) AS x
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, count(*) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(sx AS BIGINT) AS n_events,
+       CAST(1000 * sx // n AS BIGINT) AS mean_daily_milli,
+       CAST(CASE WHEN n < 2 OR sx = 0 THEN 0 ELSE
+            (1000 * (n * sxx - sx * sx)) // ((n - 1) * sx) END AS BIGINT)
+         AS fano_milli
+FROM s ORDER BY event_type"""

@@ -2951,3 +2951,184 @@ SELECT c.etype, CAST(count(*) AS BIGINT) AS n,
 FROM cents c JOIN bounds b USING (etype)
 GROUP BY c.etype, b.p05_cents, b.p95_cents
 ORDER BY c.etype"""
+
+
+def referential_integrity_audit(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Referential-integrity scorecard for the four TPC-H access-path
+    relations — the first audit any 100 TB ingest runs before joins are
+    trusted: per relation, child rows, orphan child rows (FK with no
+    parent), orphan ppm, and the reverse coverage (parents never
+    referenced, in ppm). On a clean corpus the orphan columns prove ZERO
+    end to end; the unreferenced-parent columns are the load-bearing
+    nonzero signal (dead part/customer rows a curation pass could
+    drop before shipping dimension tables to every executor).
+
+    Scale shape (100 TB): per relation one left-anti count on the FK
+    (the same shuffle the production join pays) plus one distinct
+    left-anti on the parent side; the four relations are independent
+    legs unioned into a 4-row table."""
+
+    def leg(name, child, fk, parent, pk):
+        ch = child.select(F.col(fk).alias("k"))
+        pa = parent.select(F.col(pk).alias("k"))
+        n_child = ch.agg(F.count(F.lit(1)).alias("n")).select(
+            F.col("n").alias("n_child")
+        )
+        orph = (
+            ch.join(pa, "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("n").alias("n_orphans"))
+        )
+        n_parent = pa.agg(F.count(F.lit(1)).alias("n")).select(
+            F.col("n").alias("n_parent")
+        )
+        unref = (
+            pa.join(ch.distinct(), "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("n").alias("n_unreferenced"))
+        )
+        return (
+            n_child.crossJoin(orph)
+            .crossJoin(n_parent)
+            .crossJoin(unref)
+            .select(
+                F.lit(name).alias("relation"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                F.expr(
+                    "CAST(CASE WHEN n_child = 0 THEN 0"
+                    " ELSE n_orphans * 1000000 div n_child END AS BIGINT)"
+                ).alias("orphan_ppm"),
+                F.col("n_parent").cast("long").alias("n_parent"),
+                F.col("n_unreferenced").cast("long").alias("n_unreferenced"),
+                F.expr(
+                    "CAST(CASE WHEN n_parent = 0 THEN 0"
+                    " ELSE n_unreferenced * 1000000 div n_parent END"
+                    " AS BIGINT)"
+                ).alias("unreferenced_ppm"),
+            )
+        )
+
+    legs = [
+        leg("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        leg("lineitem->part", lineitem, "l_partkey", part, "p_partkey"),
+        leg(
+            "lineitem->supplier",
+            lineitem,
+            "l_suppkey",
+            supplier,
+            "s_suppkey",
+        ),
+        leg("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+    ]
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out.orderBy("relation")
+
+
+def referential_integrity_audit_oracle_sql() -> str:
+    def leg(name, child, fk, parent, pk):
+        return f"""
+SELECT '{name}' AS relation,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{pk} = c.{fk})) AS n_orphans,
+       CAST(CASE WHEN (SELECT count(*) FROM {child}) = 0 THEN 0
+            ELSE (SELECT count(*) FROM {child} c
+                  WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                    WHERE p.{pk} = c.{fk})) * 1000000
+                 // (SELECT count(*) FROM {child}) END AS BIGINT)
+         AS orphan_ppm,
+       (SELECT CAST(count(*) AS BIGINT) FROM {parent}) AS n_parent,
+       (SELECT CAST(count(*) AS BIGINT) FROM {parent} p
+        WHERE NOT EXISTS (SELECT 1 FROM {child} c
+                          WHERE c.{fk} = p.{pk})) AS n_unreferenced,
+       CAST(CASE WHEN (SELECT count(*) FROM {parent}) = 0 THEN 0
+            ELSE (SELECT count(*) FROM {parent} p
+                  WHERE NOT EXISTS (SELECT 1 FROM {child} c
+                                    WHERE c.{fk} = p.{pk})) * 1000000
+                 // (SELECT count(*) FROM {parent}) END AS BIGINT)
+         AS unreferenced_ppm"""
+
+    legs = [
+        leg("lineitem->orders", "lineitem", "l_orderkey", "orders",
+            "o_orderkey"),
+        leg("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        leg("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+            "s_suppkey"),
+        leg("orders->customer", "orders", "o_custkey", "customer",
+            "c_custkey"),
+    ]
+    return (
+        "\nUNION ALL\n".join(f"({l})" for l in legs)
+        + "\nORDER BY relation"
+    )
+
+
+def column_profile_table(docs: DataFrame) -> DataFrame:
+    """Generic per-column data profile of the documents table — the
+    one-glance table every ingestion run prints before anything else:
+    per column, row count, nulls, blanks (string columns: empty after
+    trim), distinct count, and lexicographic min/max of the string form.
+    All columns here are string or integral, so the string casts are
+    deterministic across engines (doubles would not be — their
+    formatting differs, which is why this profiler targets typed-clean
+    tables; profile floats through their own numeric audits).
+
+    Scale shape (100 TB): one stack melt (|cols| fanout per row) and one
+    map-side-combined aggregate per column group — count_distinct is the
+    only shuffle-heavy leg and it is per column, exactly what a
+    production profiler pays."""
+    cols = ["doc_id", "source", "lang", "n_chars", "text"]
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in cols
+    )
+    melted = docs.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, v)")
+    )
+    return (
+        melted.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr("CAST(v IS NULL AS BIGINT)"))
+            .cast("long")
+            .alias("n_nulls"),
+            F.sum(
+                F.expr("CAST(v IS NOT NULL AND length(trim(v)) = 0 AS BIGINT)")
+            )
+            .cast("long")
+            .alias("n_blank"),
+            F.count_distinct(F.col("v")).cast("long").alias("n_distinct"),
+            F.min("v").alias("min_str"),
+            F.max("v").alias("max_str"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def column_profile_table_oracle_sql() -> str:
+    cols = ["doc_id", "source", "lang", "n_chars", "text"]
+    legs = []
+    for c in cols:
+        legs.append(
+            f"""SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(sum(CASE WHEN {c} IS NOT NULL
+                AND length(trim(CAST({c} AS VARCHAR))) = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+       CAST(count(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_str,
+       max(CAST({c} AS VARCHAR)) AS max_str
+FROM documents"""
+        )
+    return "\nUNION ALL\n".join(f"({l})" for l in legs) + "\nORDER BY col_name"

@@ -3982,6 +3982,36 @@ def _register_llm():
         "llm",
         ["curation", "split", "audit", "chi2"],
     )(lambda spark, sf: curation.fold_balance_audit(_docs(spark, sf)))
+    register(
+        "dispersion_index_daily",
+        temporal.dispersion_index_daily_oracle_sql(),
+        "analytics",
+        ["temporal", "stats", "burstiness"],
+    )(
+        lambda spark, sf: temporal.dispersion_index_daily(
+            t(spark, sf, "events")
+        )
+    )
+    register(
+        "referential_integrity_audit",
+        validation.referential_integrity_audit_oracle_sql(),
+        "analytics",
+        ["validation", "integrity", "audit"],
+    )(
+        lambda spark, sf: validation.referential_integrity_audit(
+            t(spark, sf, "customer"),
+            t(spark, sf, "orders"),
+            t(spark, sf, "lineitem"),
+            t(spark, sf, "part"),
+            t(spark, sf, "supplier"),
+        )
+    )
+    register(
+        "column_profile_table",
+        validation.column_profile_table_oracle_sql(),
+        "analytics",
+        ["validation", "profiling", "audit"],
+    )(lambda spark, sf: validation.column_profile_table(_docs(spark, sf)))
 
 
 _register_llm()

@@ -937,3 +937,125 @@ class TestFoldBalanceAudit:
         out = fold_balance_audit(docs, n_folds=1).collect()
         assert len(out) == 1
         assert out[0].n_docs == 10 and out[0].chi2_milli == 0
+
+
+class TestDispersionIndexDaily:
+    def test_constant_daily_counts_zero_variance(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            dispersion_index_daily,
+        )
+
+        # 3 events/day for 4 days: variance 0 -> fano 0, mean 3000 milli
+        rows = [
+            Row(
+                event_id=d * 10 + i,
+                ts=f"1995-01-{d + 1:02d} 12:00:0{i}",
+                event_type="a",
+            )
+            for d in range(4)
+            for i in range(3)
+        ]
+        ev = spark.createDataFrame(rows).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+        out = dispersion_index_daily(ev).collect()
+        assert [(r.event_type, r.n_days, r.n_events, r.mean_daily_milli,
+                 r.fano_milli) for r in out] == [("a", 4, 12, 3000, 0)]
+
+    def test_bursty_series_overdispersed(self, spark):
+        from datafusion_pinot_spark.operators.temporal import (
+            dispersion_index_daily,
+        )
+
+        # counts [1, 1, 1, 9]: mean 3, sample var 16 -> fano 5333 milli
+        rows = []
+        eid = 0
+        for d, n in enumerate([1, 1, 1, 9]):
+            for i in range(n):
+                rows.append(
+                    Row(
+                        event_id=eid,
+                        ts=f"1995-01-{d + 1:02d} 12:00:00",
+                        event_type="b",
+                    )
+                )
+                eid += 1
+        ev = spark.createDataFrame(rows).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+        r = dispersion_index_daily(ev).collect()[0]
+        # n=4 sx=12 sxx=84: (1000*(4*84-144)) div (3*12) = 192000 div 36
+        assert r.fano_milli == 5333
+        assert r.fano_milli > 1000  # overdispersed
+
+
+class TestReferentialIntegrityAudit:
+    def test_orphans_and_unreferenced_counted(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            referential_integrity_audit,
+        )
+
+        customer = spark.createDataFrame(
+            [Row(c_custkey=1), Row(c_custkey=2), Row(c_custkey=3)]
+        )
+        orders = spark.createDataFrame(
+            [
+                Row(o_orderkey=10, o_custkey=1),
+                Row(o_orderkey=20, o_custkey=99),  # orphan FK
+            ]
+        )
+        lineitem = spark.createDataFrame(
+            [Row(l_orderkey=10, l_partkey=5, l_suppkey=7)]
+        )
+        part = spark.createDataFrame([Row(p_partkey=5), Row(p_partkey=6)])
+        supplier = spark.createDataFrame([Row(s_suppkey=7)])
+        out = {
+            r.relation: r
+            for r in referential_integrity_audit(
+                customer, orders, lineitem, part, supplier
+            ).collect()
+        }
+        oc = out["orders->customer"]
+        assert oc.n_child == 2 and oc.n_orphans == 1
+        assert oc.orphan_ppm == 500000
+        # customers 2 and 3 are never referenced
+        assert oc.n_parent == 3 and oc.n_unreferenced == 2
+        assert oc.unreferenced_ppm == 666666
+        lp = out["lineitem->part"]
+        assert lp.n_orphans == 0 and lp.n_unreferenced == 1
+
+    def test_clean_corpus_has_zero_orphans(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            referential_integrity_audit,
+        )
+
+        out = referential_integrity_audit(
+            spark.read.parquet(f"{SF}/customer.parquet"),
+            spark.read.parquet(f"{SF}/orders.parquet"),
+            spark.read.parquet(f"{SF}/lineitem.parquet"),
+            spark.read.parquet(f"{SF}/part.parquet"),
+            spark.read.parquet(f"{SF}/supplier.parquet"),
+        ).collect()
+        assert len(out) == 4
+        assert all(r.n_orphans == 0 and r.orphan_ppm == 0 for r in out)
+
+
+class TestColumnProfileTable:
+    def test_profile_hand_values(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            column_profile_table,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, source="web", lang="en", n_chars=5, text="hello"),
+                Row(doc_id=2, source="web", lang=None, n_chars=0, text="  "),
+                Row(doc_id=3, source="book", lang="de", n_chars=5, text="welt!"),
+            ]
+        )
+        out = {r.col_name: r for r in column_profile_table(docs).collect()}
+        assert out["doc_id"].n_rows == 3 and out["doc_id"].n_distinct == 3
+        assert out["lang"].n_nulls == 1 and out["lang"].n_distinct == 2
+        assert out["text"].n_blank == 1
+        assert out["source"].min_str == "book" and out["source"].max_str == "web"
+        assert out["n_chars"].n_distinct == 2
