@@ -3053,3 +3053,172 @@ SELECT CAST(b AS INTEGER) AS b,
        CAST(sum(CAST(e AS HUGEINT) * e) // count(*) AS BIGINT) AS mse_milli2,
        CAST(max(abs(e)) AS BIGINT) AS max_abs_err_milli
 FROM err GROUP BY b ORDER BY b"""
+
+
+def ivf_probe_tuning_curve(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    probes_list: tuple[int, ...] = (1, 2, 4, 8),
+) -> DataFrame:
+    """The nprobe tuning table for the IVF ANN index — the vector twin
+    of lsh_band_tuning_curve: per probe budget, candidates scanned (the
+    cost), exact-cosine hits against the brute-force top-k truth (the
+    quality), and recall in ppm. This is the table you read before
+    committing an nprobe to a 100 TB serving config; the S-curve's knee
+    is usually far below n_centroids.
+
+    Scale shape (100 TB): the list assignment is computed ONCE and
+    checkpointed (the r14 lsh-curve lesson: multi-config audits must
+    share their substrate); each config leg re-ranks only its probed
+    lists' candidates; the brute-force truth leg is the audit's one
+    expensive pass, paid once (production audits run it on a query
+    sample). All counting joins are broadcast-sized."""
+    emb = embeddings.select("vec_id", as_double_array("embedding").alias("v"))
+    centroids, assigned = _ivf_assignments(emb, n_centroids)
+    assigned = assigned.localCheckpoint(eager=True)
+    truth = brute_force_topk(embeddings, query_ids, k).select(
+        "q_id", "vec_id"
+    )
+    truth = truth.localCheckpoint(eager=False)
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nv").alias("q_nv"),
+    )
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        "q_id",
+        "q_v",
+        "q_nv",
+        "c_id",
+        _cosine_with_norms(
+            F.col("q_v"), F.col("c_v"), F.col("q_nv"), F.col("c_nv")
+        ).alias("c_sim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
+    ranked_probes = qc.withColumn("p", F.row_number().over(wq)).select(
+        "q_id", "q_v", "q_nv", "c_id", "p"
+    ).localCheckpoint(eager=False)
+    legs = []
+    for nprobe in probes_list:
+        probes = ranked_probes.filter(F.col("p") <= nprobe).drop("p")
+        cand = assigned.join(
+            F.broadcast(probes),
+            (assigned["c_id"] == probes["c_id"])
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        scored = cand.select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _cosine_with_norms(
+                    F.col("q_v"), F.col("v"), F.col("q_nv"), F.col("nv")
+                ),
+                6,
+            ).alias("sim"),
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+        top = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("q_id", "vec_id")
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_hits = top.join(truth, ["q_id", "vec_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        legs.append(
+            n_cand.crossJoin(n_hits).select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                F.col("n_candidates").cast("long").alias("n_candidates"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+            )
+        )
+    curve = legs[0]
+    for leg in legs[1:]:
+        curve = curve.unionByName(leg)
+    return (
+        curve.crossJoin(F.broadcast(n_truth))
+        .select(
+            "nprobe",
+            "n_candidates",
+            "n_hits",
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.expr(
+                "CAST(CASE WHEN n_truth = 0 THEN 0"
+                " ELSE n_hits * 1000000 div n_truth END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def ivf_probe_tuning_curve_oracle_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    probes_list: tuple[int, ...] = (1, 2, 4, 8),
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    sim_vc = _cosine_sql("e.v", "c.c_v")
+    sim_qc = _cosine_sql("q.q_v", "c.c_v")
+    sim_qe = _cosine_sql("p.q_v", "a.v")
+    sim_bf = _cosine_sql("q.q_v", "e.v")
+    legs = []
+    for nprobe in probes_list:
+        legs.append(
+            f"""SELECT CAST({nprobe} AS INTEGER) AS nprobe,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand WHERE p_max <= {nprobe})
+         AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, vec_id ASC) AS rnk
+            FROM cand WHERE p_max <= {nprobe}
+          ) WHERE rnk <= {k}
+        ) t JOIN truth USING (q_id, vec_id)) AS n_hits"""
+        )
+    union = " UNION ALL ".join(f"({l})" for l in legs)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), centroids AS (
+  SELECT vec_id AS c_id, v AS c_v FROM emb WHERE vec_id < {n_centroids}
+), assigned AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sim_vc} DESC, c.c_id ASC) AS rnk
+    FROM emb e CROSS JOIN centroids c
+  ) WHERE rnk = 1
+), q AS (
+  SELECT vec_id AS q_id, v AS q_v FROM emb WHERE vec_id IN ({ids})
+), probes AS (
+  SELECT q_id, q_v, c_id, p FROM (
+    SELECT q.q_id, q.q_v, c.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {sim_qc} DESC, c.c_id ASC) AS p
+    FROM q CROSS JOIN centroids c
+  )
+), cand AS MATERIALIZED (
+  SELECT p.q_id, a.vec_id, p.p AS p_max, round({sim_qe}, 6) AS sim
+  FROM assigned a JOIN probes p ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+), truth AS MATERIALIZED (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY round({sim_bf}, 6) DESC,
+                                       e.vec_id ASC) AS rnk
+    FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id
+  ) WHERE rnk <= {k}
+)
+SELECT nprobe, n_candidates, n_hits,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0
+            ELSE n_hits * 1000000 // (SELECT count(*) FROM truth)
+            END AS BIGINT) AS recall_ppm
+FROM ({union}) ORDER BY nprobe"""

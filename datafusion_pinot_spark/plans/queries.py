@@ -4012,6 +4012,16 @@ def _register_llm():
         "analytics",
         ["validation", "profiling", "audit"],
     )(lambda spark, sf: validation.column_profile_table(_docs(spark, sf)))
+    register(
+        "ivf_probe_tuning_curve",
+        similarity.ivf_probe_tuning_curve_oracle_sql([0, 1, 2, 3, 4], 10),
+        "llm",
+        ["similarity", "ivf", "tuning", "audit"],
+    )(
+        lambda spark, sf: similarity.ivf_probe_tuning_curve(
+            _emb(spark, sf), [0, 1, 2, 3, 4], 10
+        )
+    )
 
 
 _register_llm()

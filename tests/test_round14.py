@@ -1059,3 +1059,39 @@ class TestColumnProfileTable:
         assert out["text"].n_blank == 1
         assert out["source"].min_str == "book" and out["source"].max_str == "web"
         assert out["n_chars"].n_distinct == 2
+
+
+class TestIvfProbeTuningCurve:
+    def test_full_probe_budget_reaches_full_recall(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            IVF_CENTROIDS,
+            ivf_probe_tuning_curve,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = ivf_probe_tuning_curve(
+            emb, [0, 1, 2], k=5,
+            probes_list=(1, IVF_CENTROIDS),
+        ).collect()
+        by = {r.nprobe: r for r in out}
+        # probing every list IS brute force: recall must be exactly 1
+        assert by[IVF_CENTROIDS].recall_ppm == 1_000_000
+        # candidates and hits are monotone in the probe budget
+        assert by[1].n_candidates <= by[IVF_CENTROIDS].n_candidates
+        assert by[1].n_hits <= by[IVF_CENTROIDS].n_hits
+        assert all(r.n_truth == 15 for r in out)
+
+    def test_monotone_curve_on_corpus_default(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            ivf_probe_tuning_curve,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = sorted(
+            ivf_probe_tuning_curve(emb, [0, 1, 2, 3, 4]).collect(),
+            key=lambda r: r.nprobe,
+        )
+        for a, b in zip(out, out[1:]):
+            assert a.n_candidates <= b.n_candidates
+            assert a.n_hits <= b.n_hits
+            assert a.recall_ppm <= b.recall_ppm
