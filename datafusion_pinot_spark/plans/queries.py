@@ -8338,6 +8338,70 @@ def q_pinot_json_match_scan(spark, sf):
 
 
 @register(
+    "pinot_semijoin_pushdown",
+    """WITH keys AS (SELECT p_partkey FROM part WHERE p_size = 7)
+       SELECT l.l_partkey, count(*) AS n_lines,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DOUBLE), 2) AS sum_qty
+       FROM lineitem l JOIN keys k ON l.l_partkey = k.p_partkey
+       GROUP BY l.l_partkey ORDER BY l.l_partkey""",
+    "parity",
+    ["pinot", "storage", "semijoin", "bloom", "prune"],
+)
+def q_pinot_semijoin_pushdown(spark, sf):
+    """DPP-style semi-join pushdown through pinot storage: the selective
+    dimension predicate (p_size = 7) resolves FIRST, its join keys are
+    collected (bounded by the broadcast-side size — the same bound a
+    broadcast join already accepts; a driver-side scalar list, not a
+    data-scaled collect), and the fact scan receives them as a pushed
+    IN filter, so the bloom index skips whole segments and the zone
+    maps bound the rest at READ time — the runtime analogue of the
+    static pruning pinot_partition_pruned_lookup proves, and at 100 TB
+    the difference between scanning the fact table once and scanning
+    the 0.1% of segments that can match. The key-clustered layout
+    (pmod repartition) is what makes the zone maps selective. The
+    oracle runs the equivalent plain join on the parquet — pushdown
+    must not change a single row."""
+    import tempfile
+
+    from datafusion_pinot_spark.sources import register_pinot_source
+
+    register_pinot_source(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "li_OFFLINE")
+    (
+        t(spark, sf, "lineitem")
+        .select("l_partkey", "l_quantity")
+        .repartition(8, F.pmod(F.col("l_partkey"), F.lit(8)))
+        .write.format("pinot")
+        .mode("overwrite")
+        .option("bloom", "l_partkey")
+        .save(out)
+    )
+    keys = [
+        int(r.p_partkey)
+        for r in t(spark, sf, "part")
+        .filter(F.col("p_size") == 7)
+        .select("p_partkey")
+        .collect()
+    ]
+    back = spark.read.format("pinot").load(out)
+    if not keys:
+        back = back.filter(F.lit(False))
+    else:
+        back = back.filter(F.col("l_partkey").isin(keys))
+    return (
+        back.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(money("l_quantity")).cast("double"), 2).alias(
+                "sum_qty"
+            ),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@register(
     "pinot_partition_pruned_lookup",
     """SELECT l_orderkey, count(*) AS n,
               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
