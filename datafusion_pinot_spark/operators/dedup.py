@@ -288,6 +288,12 @@ def ngram_jaccard_verify(
     equi-joins keyed by (doc, shingle) — cost is O(candidate docs' shingles),
     independent of corpus size. Never run the corpus-wide all-pairs verifier
     (:func:`ngram_jaccard_pairs`) at scale — SCALE.md §jaccard."""
+    # the candidate frame feeds three consumers (both id projections +
+    # the intersection join) and is usually the head of an expensive
+    # LSH pipeline — checkpoint it once instead of re-running that
+    # pipeline per consumer (r14; same for the restricted shingle
+    # stream, which feeds sizes + both sides of the intersection)
+    candidates = candidates.localCheckpoint(eager=False)
     ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -299,6 +305,7 @@ def ngram_jaccard_verify(
         .repartition(par, "doc_id")
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.explode(word_shingles(F.col("toks"), n)).alias("s"))
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
@@ -1695,6 +1702,10 @@ def dup_transitivity_audit(
     edges = lsh_verified_pairs(docs, k, bands, n, threshold).select(
         "doc_a", "doc_b"
     )
+    # the verified-pair frame feeds THREE consumers (both adjacency
+    # directions + the closure probe); checkpoint it once instead of
+    # re-running signature->buckets->verify per consumer (r14: 2x)
+    edges = edges.localCheckpoint(eager=False)
     # undirected adjacency: both directions for the midpoint join
     adj = edges.union(
         edges.select(

@@ -3881,6 +3881,15 @@ def _register_llm():
         "llm",
         ["text", "keywords", "rake", "topk"],
     )(lambda spark, sf: text.rake_keyword_extraction(_docs(spark, sf)))
+    # -- r14 batch 6+ additions (r21+ first-check candidates, same
+    # accounting as the batch above: the r13..r20 queues already fill
+    # the 8-per-round driver capacity, so these live on the permanent
+    # pytest-oracle tier and enter the window only when a rotation
+    # frees slots). Everything from here to the end of _register_llm
+    # (leadlag_xcorr_daily ... ivf_probe_tuning_curve, plus
+    # pinot_semijoin_pushdown below) registered r14, oracle-green at
+    # sf0.001 + sf0.01 since registration, hand-value/invariant-tested
+    # in tests/test_round14.py. --
     register(
         "leadlag_xcorr_daily",
         temporal.leadlag_xcorr_daily_oracle_sql(),
