@@ -526,7 +526,8 @@ def q_window_lag(spark, sf):
               round(last_value(value) OVER w, 6) AS last_v,
               round(nth_value(value, 2) OVER w, 6) AS second_v,
               round(percent_rank() OVER wo, 6) AS prank,
-              round(cume_dist() OVER wo, 6) AS cdist
+              round(cume_dist() OVER wo, 6) AS cdist,
+              CAST(ntile(4) OVER wo AS BIGINT) AS quartile
        FROM events
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING
@@ -538,7 +539,8 @@ def q_window_lag(spark, sf):
 )
 def q_window_value_functions(spark, sf):
     """The window VALUE-function family (first/last/nth_value) plus the
-    distribution functions (percent_rank, cume_dist) — §2.5 breadth.
+    distribution functions (percent_rank, cume_dist, ntile) — §2.5
+    breadth.
     Deterministic: the (ts, event_id) order key is unique, and the
     distribution values are exact rationals both engines compute from
     identical integers before the shared rounding."""
@@ -558,6 +560,7 @@ def q_window_value_functions(spark, sf):
         F.round(F.nth_value("value", 2).over(w), 6).alias("second_v"),
         F.round(F.percent_rank().over(wo), 6).alias("prank"),
         F.round(F.cume_dist().over(wo), 6).alias("cdist"),
+        F.ntile(4).over(wo).cast("long").alias("quartile"),
     ).orderBy("event_id")
 
 
