@@ -807,6 +807,11 @@ def hits_two_iter(
     )
 
     def _norm(df, col):
+        # the raw-score frame feeds BOTH the max-agg and the normalize
+        # projection; without the checkpoint each consumer re-runs the
+        # whole upstream half-step chain, compounding per level (the
+        # r14 plan audit counted 48 exchanges before this line)
+        df = df.localCheckpoint(eager=False)
         mx = df.agg(F.max(col).alias("mx"))
         return df.crossJoin(F.broadcast(mx)).select(
             "node",
