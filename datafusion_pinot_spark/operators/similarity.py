@@ -3126,9 +3126,9 @@ def ivf_probe_tuning_curve(
             .select("q_id", "vec_id")
         )
         n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-        n_hits = top.join(truth, ["q_id", "vec_id"], "left_semi").agg(
-            F.count(F.lit(1)).alias("n_hits")
-        )
+        n_hits = top.join(
+            F.broadcast(truth), ["q_id", "vec_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
         legs.append(
             n_cand.crossJoin(n_hits).select(
                 F.lit(nprobe).cast("int").alias("nprobe"),

@@ -2975,21 +2975,29 @@ def referential_integrity_audit(
     legs unioned into a 4-row table."""
 
     def leg(name, child, fk, parent, pk):
-        ch = child.select(F.col(fk).alias("k"))
-        pa = parent.select(F.col(pk).alias("k"))
-        n_child = ch.agg(F.count(F.lit(1)).alias("n")).select(
-            F.col("n").alias("n_child")
+        # ONE child scan: reduce to per-key counts first, then every
+        # downstream question (total, orphan total, reverse coverage)
+        # reads the keyed frame — at 100 TB the fact scan is the cost
+        ch_keys = (
+            child.select(F.col(fk).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=False)
         )
+        pa = parent.select(F.col(pk).alias("k"))
+        n_child = ch_keys.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n")
+        ).select(F.col("n").alias("n_child"))
         orph = (
-            ch.join(pa, "k", "left_anti")
-            .agg(F.count(F.lit(1)).alias("n"))
+            ch_keys.join(pa, "k", "left_anti")
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"))
             .select(F.col("n").alias("n_orphans"))
         )
         n_parent = pa.agg(F.count(F.lit(1)).alias("n")).select(
             F.col("n").alias("n_parent")
         )
         unref = (
-            pa.join(ch.distinct(), "k", "left_anti")
+            pa.join(ch_keys, "k", "left_anti")
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.col("n").alias("n_unreferenced"))
         )
