@@ -3222,3 +3222,146 @@ SELECT nprobe, n_candidates, n_hits,
             ELSE n_hits * 1000000 // (SELECT count(*) FROM truth)
             END AS BIGINT) AS recall_ppm
 FROM ({union}) ORDER BY nprobe"""
+
+
+def embedding_decontam_audit(
+    embeddings: DataFrame,
+    valid_mod: int = 10,
+    threshold_milli: int = 400,
+    k_pairs: int = 10,
+) -> DataFrame:
+    """Semantic (embedding-space) eval-set contamination audit — the
+    vector-side complement of the n-gram bloom_decontam_audit: split
+    vectors by the deterministic ``vec_id % valid_mod`` rule (the same
+    shape the hash-split audits use), then flag every VALID vector whose
+    max cosine against any TRAIN vector clears ``threshold_milli`` — an
+    eval example that near-duplicates training data measures
+    memorization, not generalization (real deployments calibrate the
+    threshold on their embedding model — 950 milli is typical for
+    near-duplicates; the default 400 sits at the synthetic corpus's
+    upper tail so the audit's pair path stays exercised under the
+    oracle gate). Output: one summary row (q_id=-1:
+    valid size, train size, contaminated count, contamination ppm)
+    followed by the top-``k_pairs`` offending (valid, train) pairs by
+    similarity — the rows a curation pass would actually go read.
+    Cosines round at 6 decimals before any comparison (the house ANN
+    determinism fence); the threshold compares on the exact milli
+    integer ``floor(round(sim,6) * 1000)``.
+
+    Scale shape (100 TB): the audit leg is a |valid| x |train| narrow
+    map with the small (1/valid_mod) side broadcast — the same shape as
+    brute_force_topk, bounded by the split fraction; a full-corpus
+    production run would LSH-bucket the candidates first
+    (lsh_bucketed_topk) and pay this exact scoring only inside buckets.
+    One partitioned argmax window on the valid key; a TakeOrdered tail."""
+    emb = embeddings.select("vec_id", as_double_array("embedding").alias("v"))
+    valid = emb.filter(F.col("vec_id") % valid_mod == valid_mod - 1).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+    )
+    train = emb.filter(F.col("vec_id") % valid_mod != valid_mod - 1)
+    scored = train.crossJoin(F.broadcast(valid)).select(
+        "q_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("q_v"), F.col("v")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    best = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr("CAST(floor(sim * 1000) AS BIGINT)").alias("sim_milli"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_valid = valid.agg(F.count(F.lit(1)).alias("nv"))
+    n_train = train.agg(F.count(F.lit(1)).alias("nt"))
+    contaminated = best.filter(F.col("sim_milli") >= threshold_milli)
+    summary = (
+        contaminated.agg(F.count(F.lit(1)).alias("nc"))
+        .crossJoin(F.broadcast(n_valid))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            F.lit(-1).cast("long").alias("q_id"),
+            F.lit(-1).cast("long").alias("train_id"),
+            F.col("nv").cast("long").alias("n_valid"),
+            F.col("nt").cast("long").alias("n_train"),
+            F.col("nc").cast("long").alias("n_contaminated"),
+            F.expr(
+                "CAST(CASE WHEN nv = 0 THEN 0"
+                " ELSE nc * 1000000 div nv END AS BIGINT)"
+            ).alias("contamination_ppm"),
+            F.lit(-1).cast("long").alias("sim_milli"),
+        )
+    )
+    pairs = (
+        contaminated.orderBy(F.desc("sim_milli"), F.asc("q_id"))
+        .limit(k_pairs)
+        .crossJoin(F.broadcast(n_valid))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("vec_id").cast("long").alias("train_id"),
+            F.col("nv").cast("long").alias("n_valid"),
+            F.col("nt").cast("long").alias("n_train"),
+            F.lit(-1).cast("long").alias("n_contaminated"),
+            F.lit(-1).cast("long").alias("contamination_ppm"),
+            "sim_milli",
+        )
+    )
+    return summary.unionByName(pairs).orderBy(
+        F.asc("q_id"), F.asc("train_id")
+    )
+
+
+def embedding_decontam_audit_oracle_sql(
+    valid_mod: int = 10, threshold_milli: int = 400, k_pairs: int = 10
+) -> str:
+    sim = _cosine_sql("q.q_v", "t.v")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), valid AS (
+  SELECT vec_id AS q_id, v AS q_v FROM emb
+  WHERE vec_id % {valid_mod} = {valid_mod - 1}
+), train AS (
+  SELECT vec_id, v FROM emb WHERE vec_id % {valid_mod} <> {valid_mod - 1}
+), best AS MATERIALIZED (
+  SELECT q_id, vec_id,
+         CAST(floor(sim * 1000) AS BIGINT) AS sim_milli
+  FROM (
+    SELECT q.q_id, t.vec_id, round({sim}, 6) AS sim,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY round({sim}, 6) DESC,
+                                       t.vec_id ASC) AS rnk
+    FROM train t CROSS JOIN valid q
+  ) WHERE rnk = 1
+), nv AS (SELECT count(*) AS nv FROM valid),
+nt AS (SELECT count(*) AS nt FROM train),
+contaminated AS (
+  SELECT * FROM best WHERE sim_milli >= {threshold_milli}
+), summary AS (
+  SELECT CAST(-1 AS BIGINT) AS q_id, CAST(-1 AS BIGINT) AS train_id,
+         CAST(nv AS BIGINT) AS n_valid, CAST(nt AS BIGINT) AS n_train,
+         (SELECT CAST(count(*) AS BIGINT) FROM contaminated)
+           AS n_contaminated,
+         CAST(CASE WHEN nv = 0 THEN 0
+              ELSE (SELECT count(*) FROM contaminated) * 1000000 // nv
+              END AS BIGINT) AS contamination_ppm,
+         CAST(-1 AS BIGINT) AS sim_milli
+  FROM nv CROSS JOIN nt
+), pairs AS (
+  SELECT CAST(c.q_id AS BIGINT) AS q_id,
+         CAST(c.vec_id AS BIGINT) AS train_id,
+         CAST(nv AS BIGINT) AS n_valid, CAST(nt AS BIGINT) AS n_train,
+         CAST(-1 AS BIGINT) AS n_contaminated,
+         CAST(-1 AS BIGINT) AS contamination_ppm,
+         c.sim_milli
+  FROM (SELECT * FROM contaminated
+        ORDER BY sim_milli DESC, q_id ASC LIMIT {k_pairs}) c
+  CROSS JOIN nv CROSS JOIN nt
+)
+SELECT * FROM (SELECT * FROM summary UNION ALL SELECT * FROM pairs)
+ORDER BY q_id ASC, train_id ASC"""

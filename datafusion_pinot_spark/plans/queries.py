@@ -4025,6 +4025,16 @@ def _register_llm():
         ["validation", "profiling", "audit"],
     )(lambda spark, sf: validation.column_profile_table(_docs(spark, sf)))
     register(
+        "embedding_decontam_audit",
+        similarity.embedding_decontam_audit_oracle_sql(),
+        "llm",
+        ["similarity", "contamination", "split", "audit"],
+    )(
+        lambda spark, sf: similarity.embedding_decontam_audit(
+            _emb(spark, sf)
+        )
+    )
+    register(
         "ivf_probe_tuning_curve",
         similarity.ivf_probe_tuning_curve_oracle_sql([0, 1, 2, 3, 4], 10),
         "llm",

@@ -1095,3 +1095,43 @@ class TestIvfProbeTuningCurve:
             assert a.n_candidates <= b.n_candidates
             assert a.n_hits <= b.n_hits
             assert a.recall_ppm <= b.recall_ppm
+
+
+class TestEmbeddingDecontamAudit:
+    def test_planted_duplicate_is_flagged(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            embedding_decontam_audit,
+        )
+
+        # vec 9 (valid under %10) duplicates train vec 3 exactly; vec 19
+        # is orthogonal to everything in train
+        vecs = {i: [0.1 * (i + 1), 1.0] for i in range(8)}
+        vecs[3] = [1.0, 0.0]
+        vecs[9] = [1.0, 0.0]       # valid dup of train 3
+        vecs[19] = [-1.0, 5.0]
+        emb = spark.createDataFrame(
+            [
+                Row(vec_id=i, embedding=[float(x) for x in v], label="l")
+                for i, v in sorted(vecs.items())
+            ]
+        )
+        out = embedding_decontam_audit(
+            emb, threshold_milli=999
+        ).collect()
+        summary = out[0]
+        assert summary.q_id == -1
+        assert summary.n_valid == 2 and summary.n_contaminated == 1
+        assert summary.contamination_ppm == 500000
+        pair = out[1]
+        assert (pair.q_id, pair.train_id) == (9, 3)
+        assert pair.sim_milli >= 999
+
+    def test_clean_split_reports_zero(self, spark):
+        from datafusion_pinot_spark.operators.similarity import (
+            embedding_decontam_audit,
+        )
+
+        emb = _emb(spark, [[1.0, 0.0]] * 9 + [[0.0, 1.0]])
+        out = embedding_decontam_audit(emb, threshold_milli=999).collect()
+        assert len(out) == 1
+        assert out[0].n_contaminated == 0 and out[0].contamination_ppm == 0
