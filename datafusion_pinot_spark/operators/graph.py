@@ -924,8 +924,10 @@ def degree_assortativity(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
     s = pairs.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("dx").alias("sx"),
-        F.sum("dy").alias("sy"),
+        # every sum enters products below: carry them as DECIMAL(38,0)
+        # from the start (sx*sy on a 100 TB graph exceeds BIGINT)
+        F.sum("dx").cast("decimal(38,0)").alias("sx"),
+        F.sum("dy").cast("decimal(38,0)").alias("sy"),
         F.sum(F.expr("CAST(dx AS DECIMAL(38,0)) * dy")).alias("sxy"),
         F.sum(F.expr("CAST(dx AS DECIMAL(38,0)) * dx")).alias("sxx"),
         F.sum(F.expr("CAST(dy AS DECIMAL(38,0)) * dy")).alias("syy"),
@@ -937,12 +939,14 @@ def degree_assortativity(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             "CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1"
             " WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)"
         ).alias("cov_sign"),
+        # the scaled-down quotients are BIGINT; recast to DECIMAL(38,0)
+        # before squaring/multiplying (1e14^2 overflows BIGINT at sf0.1+)
         F.expr(
             "CAST(CASE WHEN (n * sxx - sx * sx) div 1000000 = 0"
             " OR (n * syy - sy * sy) div 1000000 = 0 THEN 0 ELSE"
-            " (abs(n * sxy - sx * sy) div 1000000)"
+            " CAST(abs(n * sxy - sx * sy) div 1000000 AS DECIMAL(38,0))"
             " * (abs(n * sxy - sx * sy) div 1000000) * 1000000"
-            " div (((n * sxx - sx * sx) div 1000000)"
+            " div (CAST((n * sxx - sx * sx) div 1000000 AS DECIMAL(38,0))"
             " * ((n * syy - sy * sy) div 1000000)) END AS BIGINT)"
         ).alias("r2_ppm"),
     )
