@@ -2496,3 +2496,111 @@ SELECT doc_id,
        CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) * 1000000
             // sum(cnt) AS BIGINT) AS dup_share_ppm
 FROM per_gram GROUP BY doc_id ORDER BY doc_id"""
+
+
+def token_trend_momentum(
+    docs: DataFrame, k: int = 20, min_count: int = 5
+) -> DataFrame:
+    """Vocabulary momentum between the two ingestion halves of the
+    corpus — which tokens are RISING or FALLING as the crawl advances:
+    split by the exact doc_id-range rule the novelty curve uses
+    (bucket = (doc_id - min) * 2 DIV (range + 1)), compute each token's
+    share of its half's token mass in ppm, and keep the top-``k`` by
+    absolute share change (ties: token asc). Tokens below ``min_count``
+    total occurrences are dropped (a one-doc token is noise, not
+    trend). The table a curation pass reads to spot topic drift,
+    spam campaigns entering the crawl, or a dying source's vocabulary
+    fading out.
+
+    Scale shape (100 TB): one explode + ONE map-side-combined shuffle
+    on (token) carrying the two per-half counts as conditional sums;
+    the half masses broadcast back as a 1-row frame; TakeOrdered tail.
+    No windows."""
+    from datafusion_pinot_spark.functions import tokens
+
+    bounds = docs.agg(
+        F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id")
+    )
+    toks = (
+        docs.join(F.broadcast(bounds))
+        .select(
+            F.expr("(doc_id - min_id) * 2 DIV (max_id - min_id + 1)")
+            .cast("int")
+            .alias("half"),
+            F.explode(tokens(F.col("text"))).alias("token"),
+        )
+    )
+    per_token = toks.groupBy("token").agg(
+        F.sum(F.expr("CAST(half = 0 AS BIGINT)")).alias("c0"),
+        F.sum(F.expr("CAST(half = 1 AS BIGINT)")).alias("c1"),
+    )
+    mass = per_token.agg(
+        F.sum("c0").alias("m0"), F.sum("c1").alias("m1")
+    )
+    scored = (
+        per_token.filter(F.col("c0") + F.col("c1") >= min_count)
+        .crossJoin(F.broadcast(mass))
+        .select(
+            "token",
+            F.col("c0").cast("long").alias("n_first"),
+            F.col("c1").cast("long").alias("n_second"),
+            F.expr(
+                "CAST(CASE WHEN m0 = 0 THEN 0"
+                " ELSE c0 * 1000000 div m0 END AS BIGINT)"
+            ).alias("share_first_ppm"),
+            F.expr(
+                "CAST(CASE WHEN m1 = 0 THEN 0"
+                " ELSE c1 * 1000000 div m1 END AS BIGINT)"
+            ).alias("share_second_ppm"),
+        )
+        .withColumn(
+            "delta_ppm",
+            F.expr("share_second_ppm - share_first_ppm").cast("long"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc(F.abs(F.col("delta_ppm"))), F.asc("token"))
+        .limit(k)
+        .select(
+            "token",
+            "n_first",
+            "n_second",
+            "share_first_ppm",
+            "share_second_ppm",
+            "delta_ppm",
+        )
+    )
+
+
+def token_trend_momentum_oracle_sql(k: int = 20, min_count: int = 5) -> str:
+    return f"""
+WITH bounds AS (
+  SELECT min(doc_id) AS min_id, max(doc_id) AS max_id FROM documents
+), toks AS (
+  SELECT CAST((doc_id - min_id) * 2 // (max_id - min_id + 1) AS INTEGER)
+           AS half,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents CROSS JOIN bounds
+  WHERE length(trim(lower(text))) > 0
+), per_token AS (
+  SELECT token,
+         sum(CAST(half = 0 AS BIGINT)) AS c0,
+         sum(CAST(half = 1 AS BIGINT)) AS c1
+  FROM toks GROUP BY token
+), mass AS (
+  SELECT sum(c0) AS m0, sum(c1) AS m1 FROM per_token
+), scored AS (
+  SELECT token,
+         CAST(c0 AS BIGINT) AS n_first, CAST(c1 AS BIGINT) AS n_second,
+         CAST(CASE WHEN m0 = 0 THEN 0
+              ELSE c0 * 1000000 // m0 END AS BIGINT) AS share_first_ppm,
+         CAST(CASE WHEN m1 = 0 THEN 0
+              ELSE c1 * 1000000 // m1 END AS BIGINT) AS share_second_ppm
+  FROM per_token CROSS JOIN mass
+  WHERE c0 + c1 >= {min_count}
+)
+SELECT token, n_first, n_second, share_first_ppm, share_second_ppm,
+       CAST(share_second_ppm - share_first_ppm AS BIGINT) AS delta_ppm
+FROM scored
+ORDER BY abs(share_second_ppm - share_first_ppm) DESC, token ASC
+LIMIT {k}"""

@@ -3140,3 +3140,70 @@ def column_profile_table_oracle_sql() -> str:
 FROM documents"""
         )
     return "\nUNION ALL\n".join(f"({l})" for l in legs) + "\nORDER BY col_name"
+
+
+def anova_f_by_source(docs: DataFrame) -> DataFrame:
+    """One-way ANOVA F statistic for document length across sources —
+    the classic "do these groups differ" screen next to the pairwise
+    tests already here (mann_whitney, ks drift): between-group vs
+    within-group variance of n_chars, F in floored milli. All integer:
+    per group (n_g, S_g, Q_g = sum of squares); the between-group sum
+    uses the floored quotients ``S_g^2 div n_g`` (documented — both
+    engines floor identically, and the bias is bounded by k values of
+    < 1 char^2 each); ssb clamps at 0 against floor fuzz. One summary
+    row: group count, total rows, the two floored sums of squares, and
+    ``f_milli = (1000 * ssb * (N-k)) div ((k-1) * ssw)``.
+
+    Scale shape (100 TB): ONE map-side-combined shuffle to |sources|
+    rows, then driver-sized arithmetic. No windows, no joins."""
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars")).alias("q"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(
+            F.expr("CAST(CAST(s AS DECIMAL(38,0)) * s div n AS DECIMAL(38,0))")
+        ).alias("a"),
+    )
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        F.expr(
+            "CAST(greatest(a - CAST(ss AS DECIMAL(38,0)) * ss div nn,"
+            " CAST(0 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("ssb_q"),
+        F.expr("CAST(qq - a AS BIGINT)").alias("ssw_q"),
+        F.expr(
+            "CAST(CASE WHEN k < 2 OR qq - a <= 0 THEN 0 ELSE"
+            " (1000 * greatest(a - CAST(ss AS DECIMAL(38,0)) * ss div nn,"
+            " CAST(0 AS DECIMAL(38,0))) * (nn - k))"
+            " div ((k - 1) * (qq - a)) END AS BIGINT)"
+        ).alias("f_milli"),
+    )
+
+
+def anova_f_by_source_oracle_sql() -> str:
+    return """
+WITH g AS (
+  SELECT source, count(*) AS n, CAST(sum(n_chars) AS HUGEINT) AS s,
+         sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT count(*) AS k, CAST(sum(n) AS HUGEINT) AS nn,
+         sum(s) AS ss, sum(q) AS qq,
+         sum(s * s // n) AS a
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(nn AS BIGINT) AS n_total,
+       CAST(greatest(a - ss * ss // nn, 0) AS BIGINT) AS ssb_q,
+       CAST(qq - a AS BIGINT) AS ssw_q,
+       CAST(CASE WHEN k < 2 OR qq - a <= 0 THEN 0 ELSE
+            (1000 * greatest(a - ss * ss // nn, 0) * (nn - k))
+            // ((k - 1) * (qq - a)) END AS BIGINT) AS f_milli
+FROM tot"""

@@ -4025,6 +4025,18 @@ def _register_llm():
         ["validation", "profiling", "audit"],
     )(lambda spark, sf: validation.column_profile_table(_docs(spark, sf)))
     register(
+        "anova_f_by_source",
+        validation.anova_f_by_source_oracle_sql(),
+        "analytics",
+        ["stats", "anova", "audit"],
+    )(lambda spark, sf: validation.anova_f_by_source(_docs(spark, sf)))
+    register(
+        "token_trend_momentum",
+        text.token_trend_momentum_oracle_sql(),
+        "llm",
+        ["text", "trend", "vocabulary", "topk"],
+    )(lambda spark, sf: text.token_trend_momentum(_docs(spark, sf)))
+    register(
         "embedding_decontam_audit",
         similarity.embedding_decontam_audit_oracle_sql(),
         "llm",

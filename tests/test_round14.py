@@ -1135,3 +1135,85 @@ class TestEmbeddingDecontamAudit:
         out = embedding_decontam_audit(emb, threshold_milli=999).collect()
         assert len(out) == 1
         assert out[0].n_contaminated == 0 and out[0].contamination_ppm == 0
+
+
+class TestAnovaFBySource:
+    def test_identical_groups_zero_f(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            anova_f_by_source,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=i, source="s%d" % (i % 2), n_chars=100)
+                for i in range(20)
+            ]
+        )
+        r = anova_f_by_source(docs).collect()[0]
+        assert r.k_groups == 2 and r.n_total == 20
+        assert r.ssb_q == 0 and r.f_milli == 0
+
+    def test_separated_groups_hand_values(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            anova_f_by_source,
+        )
+
+        # group a: 10,10,20,20 (S=60, Q=1000); group b: 110,110,120,120
+        # (S=460, Q=53000). A = 3600//4 + 211600//4 = 900+52900=53800;
+        # grand S=520, N=8 -> S^2//N = 33800; ssb = 20000;
+        # ssw = (1000+53000) - 53800 = 200
+        # F = (20000/1)/(200/6) = 600 -> f_milli 600000
+        rows = [
+            ("a", 10), ("a", 10), ("a", 20), ("a", 20),
+            ("b", 110), ("b", 110), ("b", 120), ("b", 120),
+        ]
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=i, source=s, n_chars=c)
+                for i, (s, c) in enumerate(rows)
+            ]
+        )
+        r = anova_f_by_source(docs).collect()[0]
+        assert (r.ssb_q, r.ssw_q) == (20000, 200)
+        assert r.f_milli == 600_000
+
+
+class TestTokenTrendMomentum:
+    def test_rising_and_fading_tokens(self, spark):
+        from datafusion_pinot_spark.operators.text import (
+            token_trend_momentum,
+        )
+
+        # doc ids 0..9: first half says "old old stable", second half
+        # "new new stable" -> 'old' falls, 'new' rises, 'stable' flat
+        docs = spark.createDataFrame(
+            [
+                Row(
+                    doc_id=i,
+                    text="old old stable" if i < 5 else "new new stable",
+                )
+                for i in range(10)
+            ]
+        )
+        out = token_trend_momentum(docs, k=5, min_count=1).collect()
+        by = {r.token: r for r in out}
+        assert by["old"].delta_ppm == -by["new"].delta_ppm
+        assert by["new"].share_first_ppm == 0
+        assert by["new"].share_second_ppm == 666666
+        assert by["stable"].delta_ppm == 0
+        # momentum ordering: the movers outrank the stable token
+        assert [r.token for r in out[:2]] == ["new", "old"]
+
+    def test_min_count_drops_rare_tokens(self, spark):
+        from datafusion_pinot_spark.operators.text import (
+            token_trend_momentum,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="common common common rare"),
+                Row(doc_id=1, text="common common common"),
+            ]
+        )
+        out = token_trend_momentum(docs, k=10, min_count=5).collect()
+        assert [r.token for r in out] == ["common"]
