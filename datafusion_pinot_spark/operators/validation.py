@@ -3207,3 +3207,188 @@ SELECT CAST(k AS BIGINT) AS k_groups,
             (1000 * greatest(a - ss * ss // nn, 0) * (nn - k))
             // ((k - 1) * (qq - a)) END AS BIGINT) AS f_milli
 FROM tot"""
+
+
+def welch_t2_by_type(
+    events: DataFrame, type_a: str = "click", type_b: str = "purchase"
+) -> DataFrame:
+    """Welch's unequal-variance two-sample test between two event
+    types' value distributions, reported as t^2 in floored milli — the
+    pairwise follow-up to anova_f_by_source (F answers "any group
+    differs"; this answers "do THESE two differ, variances unequal").
+    Values ride the milli grid; every intermediate (group means, sample
+    variances, the pooled standard error) is a FLOORED integer quotient
+    (documented — both engines floor identically), which keeps every
+    quantity bounded by the VALUE range rather than the row count: the
+    operator cannot overflow at any corpus size.
+
+    Scale shape (100 TB): one filtered map-side-combined aggregate to
+    two rows, then driver-sized arithmetic. No windows, no joins."""
+    vals = events.filter(
+        F.col("event_type").isin([type_a, type_b])
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("x"),
+    )
+    g = vals.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("q"),
+    )
+    per = g.select(
+        "event_type",
+        "n",
+        F.expr("CAST(s div n AS BIGINT)").alias("mean_milli"),
+        F.expr(
+            "CAST(CASE WHEN n < 2 THEN 0 ELSE"
+            " (n * q - CAST(s AS DECIMAL(38,0)) * s)"
+            " div (CAST(n AS DECIMAL(38,0)) * (n - 1)) END AS BIGINT)"
+        ).alias("var_milli2"),
+    )
+    a = per.filter(F.col("event_type") == type_a).select(
+        F.col("n").alias("n_a"),
+        F.col("mean_milli").alias("mean_a_milli"),
+        F.col("var_milli2").alias("var_a_milli2"),
+    )
+    b = per.filter(F.col("event_type") == type_b).select(
+        F.col("n").alias("n_b"),
+        F.col("mean_milli").alias("mean_b_milli"),
+        F.col("var_milli2").alias("var_b_milli2"),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        F.lit(type_a).alias("type_a"),
+        F.lit(type_b).alias("type_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "mean_a_milli",
+        "mean_b_milli",
+        F.expr(
+            "CAST(CASE WHEN var_a_milli2 div n_a + var_b_milli2 div n_b = 0"
+            " THEN 0 ELSE"
+            " 1000 * CAST(mean_a_milli - mean_b_milli AS DECIMAL(38,0))"
+            " * (mean_a_milli - mean_b_milli)"
+            " div (var_a_milli2 div n_a + var_b_milli2 div n_b)"
+            " END AS BIGINT)"
+        ).alias("t2_milli"),
+    )
+
+
+def welch_t2_by_type_oracle_sql(
+    type_a: str = "click", type_b: str = "purchase"
+) -> str:
+    return f"""
+WITH vals AS (
+  SELECT event_type, CAST(round(value * 1000, 0) AS BIGINT) AS x
+  FROM events WHERE event_type IN ('{type_a}', '{type_b}')
+), g AS (
+  SELECT event_type, count(*) AS n, CAST(sum(x) AS HUGEINT) AS s,
+         sum(CAST(x AS HUGEINT) * x) AS q
+  FROM vals GROUP BY event_type
+), per AS (
+  SELECT event_type, n,
+         CAST(s // n AS BIGINT) AS mean_milli,
+         CAST(CASE WHEN n < 2 THEN 0 ELSE
+              (n * q - s * s) // (CAST(n AS HUGEINT) * (n - 1))
+              END AS BIGINT) AS var_milli2
+  FROM g
+)
+SELECT '{type_a}' AS type_a, '{type_b}' AS type_b,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       a.mean_milli AS mean_a_milli, b.mean_milli AS mean_b_milli,
+       CAST(CASE WHEN a.var_milli2 // a.n + b.var_milli2 // b.n = 0
+            THEN 0 ELSE
+            1000 * CAST(a.mean_milli - b.mean_milli AS HUGEINT)
+            * (a.mean_milli - b.mean_milli)
+            // (a.var_milli2 // a.n + b.var_milli2 // b.n)
+            END AS BIGINT) AS t2_milli
+FROM (SELECT * FROM per WHERE event_type = '{type_a}') a
+CROSS JOIN (SELECT * FROM per WHERE event_type = '{type_b}') b"""
+
+
+def proportion_ztest_halves(events: DataFrame) -> DataFrame:
+    """Two-proportion z test (reported as z^2 in floored milli) of the
+    purchase-conversion rate between the two halves of the user-id
+    space — the A/A sanity check every experimentation stack runs
+    before trusting its A/B pipeline: a deterministic split that
+    SHOULD show no effect; a large z^2 here flags instrumentation or
+    assignment bias. Proportions ride exact ppm; the pooled-variance
+    denominator is a floored integer quotient, so the statistic is
+    bit-identical across engines and bounded by the ppm grid at any
+    corpus size.
+
+    Scale shape (100 TB): one distinct-reduce to (user, half,
+    converted), one two-row aggregate, driver-sized arithmetic."""
+    per_user = (
+        events.select(
+            "user_id",
+            F.expr("CAST(user_id % 2 AS INT)").alias("half"),
+            F.expr("CAST(event_type = 'purchase' AS INT)").alias("p"),
+        )
+        .groupBy("user_id", "half")
+        .agg(F.max("p").alias("converted"))
+    )
+    g = per_user.groupBy("half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("c"),
+    )
+    a = g.filter(F.col("half") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("c_a")
+    )
+    b = g.filter(F.col("half") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("c_b")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("c_a").cast("long").alias("n_conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_b").cast("long").alias("n_conv_b"),
+        F.expr("CAST(c_a * 1000000 div n_a AS BIGINT)").alias("rate_a_ppm"),
+        F.expr("CAST(c_b * 1000000 div n_b AS BIGINT)").alias("rate_b_ppm"),
+        # z^2 = (p1-p2)^2 / (p(1-p)(1/n1+1/n2)), all on the ppm grid:
+        # pooled p_ppm, var term v = p(1e6-p)(n_a+n_b) div (n_a*n_b)
+        F.expr(
+            "CAST(CASE WHEN"
+            " CAST((c_a + c_b) * 1000000 div (n_a + n_b) AS DECIMAL(38,0))"
+            " * (1000000 - (c_a + c_b) * 1000000 div (n_a + n_b))"
+            " * (n_a + n_b) div (CAST(n_a AS DECIMAL(38,0)) * n_b) = 0"
+            " THEN 0 ELSE"
+            " 1000 * CAST(c_a * 1000000 div n_a"
+            "   - c_b * 1000000 div n_b AS DECIMAL(38,0))"
+            " * (c_a * 1000000 div n_a - c_b * 1000000 div n_b)"
+            " div (CAST((c_a + c_b) * 1000000 div (n_a + n_b)"
+            " AS DECIMAL(38,0))"
+            " * (1000000 - (c_a + c_b) * 1000000 div (n_a + n_b))"
+            " * (n_a + n_b) div (CAST(n_a AS DECIMAL(38,0)) * n_b))"
+            " END AS BIGINT)"
+        ).alias("z2_milli"),
+    )
+
+
+def proportion_ztest_halves_oracle_sql() -> str:
+    return """
+WITH per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS half,
+         max(CAST(event_type = 'purchase' AS INTEGER)) AS converted
+  FROM events GROUP BY user_id, 2
+), g AS (
+  SELECT half, count(*) AS n, CAST(sum(converted) AS HUGEINT) AS c
+  FROM per_user GROUP BY half
+)
+SELECT CAST(a.n AS BIGINT) AS n_a, CAST(a.c AS BIGINT) AS n_conv_a,
+       CAST(b.n AS BIGINT) AS n_b, CAST(b.c AS BIGINT) AS n_conv_b,
+       CAST(a.c * 1000000 // a.n AS BIGINT) AS rate_a_ppm,
+       CAST(b.c * 1000000 // b.n AS BIGINT) AS rate_b_ppm,
+       CAST(CASE WHEN
+            ((a.c + b.c) * 1000000 // (a.n + b.n))
+            * (1000000 - (a.c + b.c) * 1000000 // (a.n + b.n))
+            * (a.n + b.n) // (CAST(a.n AS HUGEINT) * b.n) = 0
+            THEN 0 ELSE
+            1000 * CAST(a.c * 1000000 // a.n
+              - b.c * 1000000 // b.n AS HUGEINT)
+            * (a.c * 1000000 // a.n - b.c * 1000000 // b.n)
+            // (((a.c + b.c) * 1000000 // (a.n + b.n))
+            * (1000000 - (a.c + b.c) * 1000000 // (a.n + b.n))
+            * (a.n + b.n) // (CAST(a.n AS HUGEINT) * b.n))
+            END AS BIGINT) AS z2_milli
+FROM (SELECT * FROM g WHERE half = 0) a
+CROSS JOIN (SELECT * FROM g WHERE half = 1) b"""

@@ -4025,6 +4025,22 @@ def _register_llm():
         ["validation", "profiling", "audit"],
     )(lambda spark, sf: validation.column_profile_table(_docs(spark, sf)))
     register(
+        "welch_t2_by_type",
+        validation.welch_t2_by_type_oracle_sql(),
+        "analytics",
+        ["stats", "ttest", "experiment"],
+    )(lambda spark, sf: validation.welch_t2_by_type(t(spark, sf, "events")))
+    register(
+        "proportion_ztest_halves",
+        validation.proportion_ztest_halves_oracle_sql(),
+        "analytics",
+        ["stats", "ztest", "experiment", "aa-test"],
+    )(
+        lambda spark, sf: validation.proportion_ztest_halves(
+            t(spark, sf, "events")
+        )
+    )
+    register(
         "anova_f_by_source",
         validation.anova_f_by_source_oracle_sql(),
         "analytics",

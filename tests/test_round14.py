@@ -1217,3 +1217,79 @@ class TestTokenTrendMomentum:
         )
         out = token_trend_momentum(docs, k=10, min_count=5).collect()
         assert [r.token for r in out] == ["common"]
+
+
+class TestWelchT2ByType:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            [
+                Row(event_id=i, event_type=t_, value=float(v), user_id=i)
+                for i, (t_, v) in enumerate(rows)
+            ]
+        )
+
+    def test_identical_distributions_zero(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            welch_t2_by_type,
+        )
+
+        rows = [("click", v) for v in (1, 2, 3)] + [
+            ("purchase", v) for v in (1, 2, 3)
+        ]
+        r = welch_t2_by_type(self._ev(spark, rows)).collect()[0]
+        assert r.mean_a_milli == r.mean_b_milli == 2000
+        assert r.t2_milli == 0
+
+    def test_separated_means_hand_values(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            welch_t2_by_type,
+        )
+
+        # a: 1,3 (mean 2000 milli, var 2e6 milli^2); b: 11,13 (mean
+        # 12000, var 2e6). se2 = 1e6+1e6; t2 = 1e8/2e6 = 50 -> 50000
+        rows = [("click", 1), ("click", 3), ("purchase", 11),
+                ("purchase", 13)]
+        r = welch_t2_by_type(self._ev(spark, rows)).collect()[0]
+        assert (r.mean_a_milli, r.mean_b_milli) == (2000, 12000)
+        assert r.t2_milli == 50_000
+
+
+class TestProportionZtestHalves:
+    def test_perfect_aa_split_zero(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            proportion_ztest_halves,
+        )
+
+        # users 0..19; exactly the even/odd users with id % 4 < 2 buy:
+        # both halves convert at 50% -> z2 exactly 0
+        rows = []
+        for u in range(20):
+            rows.append(Row(event_id=u * 2, user_id=u, event_type="view"))
+            if u % 4 < 2:
+                rows.append(
+                    Row(event_id=u * 2 + 1, user_id=u, event_type="purchase")
+                )
+        ev = spark.createDataFrame(rows)
+        r = proportion_ztest_halves(ev).collect()[0]
+        assert r.n_a == 10 and r.n_b == 10
+        assert r.rate_a_ppm == r.rate_b_ppm == 500000
+        assert r.z2_milli == 0
+
+    def test_skewed_split_flags(self, spark):
+        from datafusion_pinot_spark.operators.validation import (
+            proportion_ztest_halves,
+        )
+
+        # every even user buys, no odd user does: maximal separation
+        rows = []
+        for u in range(40):
+            rows.append(Row(event_id=u * 2, user_id=u, event_type="view"))
+            if u % 2 == 0:
+                rows.append(
+                    Row(event_id=u * 2 + 1, user_id=u, event_type="purchase")
+                )
+        ev = spark.createDataFrame(rows)
+        r = proportion_ztest_halves(ev).collect()[0]
+        assert r.rate_a_ppm == 1_000_000 and r.rate_b_ppm == 0
+        # z^2 = 1 / (0.5*0.5*(1/20+1/20)) = 40 -> 40000 milli
+        assert r.z2_milli == 40_000
