@@ -2604,3 +2604,113 @@ SELECT token, n_first, n_second, share_first_ppm, share_second_ppm,
 FROM scored
 ORDER BY abs(share_second_ppm - share_first_ppm) DESC, token ASC
 LIMIT {k}"""
+
+
+def token_weighted_median_length(docs: DataFrame) -> DataFrame:
+    """Doc-median vs TOKEN-median document length per source — the
+    curation number the plain median hides: training compute is spent
+    per token, so the length of the document the typical TOKEN lives in
+    (token-weighted median) is what batching, packing, and context
+    budgets actually see, and it sits far above the doc median whenever
+    a source mixes tweets with novels. Exact integers: both medians are
+    the smallest n_chars whose cumulative mass reaches half the total
+    (2*cum >= total — no interpolation, engine-identical), and the
+    skew delta is their difference.
+
+    Scale shape (100 TB): one map-side-combined rollup to
+    (source, n_chars) cells, ONE partitioned cumulative window over
+    that bounded cell frame (cells <= |distinct lengths| per source,
+    not rows), a broadcast of per-source totals, one argmin aggregate.
+    """
+    from datafusion_pinot_spark.functions import tokens
+
+    cells = (
+        docs.select(
+            "source",
+            F.col("n_chars").cast("long").alias("len"),
+            # size(NULL array) is -1 in Spark: null text counts 0 tokens
+            F.when(F.col("text").isNull(), F.lit(0))
+            .otherwise(F.size(tokens(F.col("text"))))
+            .cast("long")
+            .alias("toks"),
+        )
+        .groupBy("source", "len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_toks"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "source",
+        "len",
+        "n_docs",
+        "n_toks",
+        F.sum("n_docs").over(w).alias("cum_docs"),
+        F.sum("n_toks").over(w).alias("cum_toks"),
+    )
+    tot = cells.groupBy("source").agg(
+        F.sum("n_docs").alias("tot_docs"),
+        F.sum("n_toks").alias("tot_toks"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("tot_docs").cast("long").alias("n_docs"),
+            F.max("tot_toks").cast("long").alias("n_tokens"),
+            F.min(
+                F.expr("CASE WHEN 2 * cum_docs >= tot_docs THEN len END")
+            )
+            .cast("long")
+            .alias("doc_median_len"),
+            F.min(
+                F.expr("CASE WHEN 2 * cum_toks >= tot_toks THEN len END")
+            )
+            .cast("long")
+            .alias("token_median_len"),
+        )
+        .withColumn(
+            "skew_delta",
+            F.expr("token_median_len - doc_median_len").cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+def token_weighted_median_length_oracle_sql() -> str:
+    return """
+WITH cells AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS len,
+         count(*) AS n_docs,
+         sum(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             END) AS n_toks
+  FROM documents GROUP BY source, 2
+), cum AS (
+  SELECT source, len, n_docs, n_toks,
+         sum(n_docs) OVER win AS cum_docs,
+         sum(n_toks) OVER win AS cum_toks
+  FROM cells
+  WINDOW win AS (PARTITION BY source ORDER BY len
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT source, sum(n_docs) AS tot_docs, sum(n_toks) AS tot_toks
+  FROM cells GROUP BY source
+)
+SELECT c.source,
+       CAST(max(t.tot_docs) AS BIGINT) AS n_docs,
+       CAST(max(t.tot_toks) AS BIGINT) AS n_tokens,
+       CAST(min(CASE WHEN 2 * c.cum_docs >= t.tot_docs THEN c.len END)
+            AS BIGINT) AS doc_median_len,
+       CAST(min(CASE WHEN 2 * c.cum_toks >= t.tot_toks THEN c.len END)
+            AS BIGINT) AS token_median_len,
+       CAST(min(CASE WHEN 2 * c.cum_toks >= t.tot_toks THEN c.len END)
+            - min(CASE WHEN 2 * c.cum_docs >= t.tot_docs THEN c.len END)
+            AS BIGINT) AS skew_delta
+FROM cum c JOIN tot t ON c.source = t.source
+GROUP BY c.source ORDER BY c.source"""

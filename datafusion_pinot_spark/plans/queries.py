@@ -4025,6 +4025,16 @@ def _register_llm():
         ["validation", "profiling", "audit"],
     )(lambda spark, sf: validation.column_profile_table(_docs(spark, sf)))
     register(
+        "token_weighted_median_length",
+        text.token_weighted_median_length_oracle_sql(),
+        "llm",
+        ["text", "curation", "median", "packing"],
+    )(
+        lambda spark, sf: text.token_weighted_median_length(
+            _docs(spark, sf)
+        )
+    )
+    register(
         "welch_t2_by_type",
         validation.welch_t2_by_type_oracle_sql(),
         "analytics",

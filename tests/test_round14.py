@@ -1293,3 +1293,46 @@ class TestProportionZtestHalves:
         assert r.rate_a_ppm == 1_000_000 and r.rate_b_ppm == 0
         # z^2 = 1 / (0.5*0.5*(1/20+1/20)) = 40 -> 40000 milli
         assert r.z2_milli == 40_000
+
+
+class TestTokenWeightedMedianLength:
+    def test_long_docs_pull_token_median_up(self, spark):
+        from datafusion_pinot_spark.operators.text import (
+            token_weighted_median_length,
+        )
+
+        # 3 one-token docs of len 10, 1 hundred-token doc of len 1000:
+        # doc median = 10 (2*cum=6 >= 4 at len 10) but 100 of the 103
+        # tokens live in the long doc -> token median 1000
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=i, source="s", n_chars=10, text="t")
+                for i in range(3)
+            ]
+            + [
+                Row(
+                    doc_id=9, source="s", n_chars=1000,
+                    text=" ".join(["w"] * 100),
+                )
+            ]
+        )
+        r = token_weighted_median_length(docs).collect()[0]
+        assert (r.n_docs, r.n_tokens) == (4, 103)
+        assert r.doc_median_len == 10
+        assert r.token_median_len == 1000
+        assert r.skew_delta == 990
+
+    def test_uniform_corpus_zero_skew(self, spark):
+        from datafusion_pinot_spark.operators.text import (
+            token_weighted_median_length,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=i, source="s", n_chars=50, text="a b c")
+                for i in range(5)
+            ]
+        )
+        r = token_weighted_median_length(docs).collect()[0]
+        assert r.doc_median_len == r.token_median_len == 50
+        assert r.skew_delta == 0
