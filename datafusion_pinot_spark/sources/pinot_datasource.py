@@ -1935,7 +1935,11 @@ class PinotDataSourceWriter(DataSourceArrowWriter):
                 continue
             dt = DataType(_WRITE_TYPES[t])
             if t in ("string", "binary"):
-                values = col.to_pylist()
+                # hand the Arrow array straight to the writer: the
+                # dictionary/var-byte encoders consume its buffers without
+                # materializing per-value Python objects (r14 optimization;
+                # ColumnSpec falls back to a list on the cold paths)
+                values = col.combine_chunks()
             elif t == "boolean":
                 values = col.combine_chunks().to_numpy(zero_copy_only=False)
             elif t in ("timestamp", "timestamp_ntz"):
@@ -2081,15 +2085,36 @@ def _specs_stats(specs, total_docs: int) -> dict:
             # (operators/segment_distinct.py) work from this manifest
             # without opening the segment
             entry["has_dictionary"] = True
-            try:
-                entry["cardinality"] = int(
-                    np.unique(np.asarray(spec.values)).size
-                )
-            except (TypeError, ValueError):
-                entry["cardinality"] = len(set(spec.values))
+            card = getattr(spec, "_dict_cardinality", None)
+            if card is not None:
+                # write_segment caches the dictionary entry count — no
+                # second distinct pass over the values (r14 optimization)
+                entry["cardinality"] = card
+            else:
+                try:
+                    entry["cardinality"] = int(
+                        np.unique(np.asarray(spec.values)).size
+                    )
+                except (TypeError, ValueError):
+                    entry["cardinality"] = len(set(spec.values))
         cols[spec.name] = entry
         if spec.declared_dtype().value not in _STATS_DTYPES:
             continue  # entry still carries dtype + nullability
+        arrow = getattr(spec, "_arrow", None)
+        if arrow is not None:
+            # Arrow fast path: min/max from one C pass (byte order ==
+            # Python's code-point order for UTF-8 strings)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            if nm is not None:
+                arrow = arrow.filter(pa.array(~np.asarray(nm)))
+            if len(arrow):
+                mm = pc.min_max(arrow)
+                entry["min"] = mm["min"].as_py()
+                entry["max"] = mm["max"].as_py()
+            cols[spec.name] = entry
+            continue
         vals = spec.values
         if nm is not None:
             vals = (

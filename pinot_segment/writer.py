@@ -49,16 +49,45 @@ _BE_DTYPES = {
 }
 
 
+# _pack_bits scratch: lazily allocated once per process and reused by every
+# call. Bounding per-call fresh allocations is the point — this host
+# environment (and any memory-ballooned VM) services FIRST-TOUCH page
+# faults up to 1000x slower than warm-page compute, so the former
+# whole-column (n, 64) bit matrix (38 MB per 600k-row column, new pages
+# every call) dominated segment-write time. Chunked + reused scratch keeps
+# the working set resident. 16384 is a multiple of 8, so every full
+# chunk's bitstream is byte-aligned and per-chunk packbits outputs
+# concatenate into exactly the whole-column packing (only the final chunk
+# zero-pads, same as before).
+_PACK_CHUNK = 1 << 14
+_pack_scratch: dict = {}
+
+
 def _pack_bits(values: list[int], bits: int) -> bytes:
     """Big-endian bit packing, inverse of fixed_bit.unpack_bits.
 
-    Vectorized: the (n, bits) bit matrix comes from one broadcasted
-    shift-and-mask, then ``np.packbits`` folds it to bytes — the per-value
-    Python loop this replaces dominated segment-write time."""
+    Vectorized shift-and-mask in chunks: each chunk's (m, bits) bit matrix
+    is built into preallocated scratch (no per-call large allocations —
+    see _PACK_CHUNK above), then ``np.packbits`` folds it into the right
+    slice of the output."""
     v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if not _pack_scratch:
+        _pack_scratch["shift"] = np.empty((_PACK_CHUNK, 64), dtype=np.uint64)
+        _pack_scratch["bit"] = np.empty((_PACK_CHUNK, 64), dtype=np.uint8)
+    shift_s, bit_s = _pack_scratch["shift"], _pack_scratch["bit"]
     shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
-    bitstream = ((v[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
-    return np.packbits(bitstream.reshape(-1)).tobytes()
+    out = np.empty((n * bits + 7) // 8, dtype=np.uint8)
+    step_bytes = _PACK_CHUNK * bits // 8
+    for ci, i in enumerate(range(0, n, _PACK_CHUNK)):
+        m = min(_PACK_CHUNK, n - i)
+        sh = shift_s[:m, :bits]
+        np.right_shift(v[i : i + m, None], shifts[None, :], out=sh)
+        bm = bit_s[:m, :bits]
+        np.bitwise_and(sh, 1, out=bm, casting="unsafe")
+        packed = np.packbits(bm)
+        out[ci * step_bytes : ci * step_bytes + packed.size] = packed
+    return out.tobytes()
 
 
 def _bits_needed(cardinality: int) -> int:
@@ -279,9 +308,44 @@ class ColumnSpec:
                     f"NaN in column '{name}': Pinot sorted dictionaries cannot "
                     "encode NaN (NaN is unordered); filter or canonicalize first"
                 )
+        # Arrow fast path (r14 optimization): single-value STRING/BYTES
+        # values may arrive as a pyarrow Array/ChunkedArray straight from
+        # the sink's record batches. The dictionary/var-byte encoders then
+        # work from the Arrow buffers (offsets + contiguous value bytes)
+        # with no per-value Python objects; every other consumer reads the
+        # ``values`` property, which materializes the Python list lazily
+        # and caches it. Output bytes are pinned identical to the list
+        # path by tests/test_writer_arrow.py.
+        self._arrow = None
+        if (
+            not multi_value
+            and decimal is None
+            and data_type in (DataType.STRING, DataType.BYTES)
+            and not fixed_length_dict
+        ):
+            try:
+                import pyarrow as pa
+            except ImportError:  # pragma: no cover - pyarrow is baked in
+                pa = None
+            if pa is not None and isinstance(
+                values, (pa.Array, pa.ChunkedArray)
+            ):
+                arr = (
+                    values.combine_chunks()
+                    if isinstance(values, pa.ChunkedArray)
+                    else values
+                )
+                if arr.null_count:
+                    # callers fill nulls before handing values over (the
+                    # null_mask carries the truth); a null here is a
+                    # programming error on the fast path — fall back
+                    values = arr.to_pylist()
+                else:
+                    self._arrow = arr
+                    values = None
         self.name = name
         self.data_type = data_type
-        self.values = values
+        self._values = values
         self.raw = raw
         self.compression = compression
         self.target_chunk_size = target_chunk_size
@@ -295,6 +359,25 @@ class ColumnSpec:
         self.text_index = text_index
         self.range_index = range_index
         self.json_index = json_index
+
+    @property
+    def values(self):
+        """Per-doc values as Python objects; materialized (and cached) from
+        the Arrow array on first access when the fast path is active."""
+        if self._values is None and self._arrow is not None:
+            self._values = self._arrow.to_pylist()
+        return self._values
+
+    @values.setter
+    def values(self, v) -> None:
+        self._values = v
+        self._arrow = None
+
+    def num_docs(self) -> int:
+        """Row count without materializing the Arrow fast path."""
+        if self._arrow is not None:
+            return len(self._arrow)
+        return len(self._values)
 
     def flat_values(self) -> list:
         """Flattened value stream (the per-doc values, concatenated)."""
@@ -311,11 +394,21 @@ class ColumnSpec:
 def _encode_dictionary(spec: ColumnSpec) -> tuple[bytes, list, int]:
     """Returns (blob, sorted_unique_values, length_of_each_entry). For
     multi-value columns the dictionary covers the flattened value stream."""
-    vals = spec.flat_values()
-    if isinstance(vals, np.ndarray):
-        uniq = np.unique(vals)  # sorted + deduped, vectorized
+    if spec._arrow is not None:
+        # Arrow fast path: distincts come from one C pass; the sort runs
+        # over cardinality entries, not rows. Python's sort order equals
+        # byte order for both str (UTF-8 preserves code-point order) and
+        # bytes, so the dictionary is identical to the list path's.
+        import pyarrow.compute as pc
+
+        vals = pc.unique(spec._arrow).to_pylist()
+        uniq = sorted(vals)
     else:
-        uniq = sorted(set(vals))
+        vals = spec.flat_values()
+        if isinstance(vals, np.ndarray):
+            uniq = np.unique(vals)  # sorted + deduped, vectorized
+        else:
+            uniq = sorted(set(vals))
     out = bytearray(_DICT_MAGIC)
     length_of_each_entry = 0
     if spec.data_type in _BE_DTYPES:
@@ -373,10 +466,62 @@ def _encode_raw_numeric(spec: ColumnSpec) -> bytes:
 
 def _encode_var_byte(spec: ColumnSpec) -> bytes:
     """V4 var-byte chunk forward index for a RAW STRING/BYTES column."""
-    if spec.data_type is DataType.BYTES:
-        payloads = [bytes(v) for v in spec.values]
+    if spec._arrow is not None:
+        # Arrow fast path: a string/binary array already IS (offsets,
+        # contiguous value bytes), so each chunk is a slice of the data
+        # buffer plus a rebased offset table — no per-value Python
+        # objects anywhere. Byte-identical to the list path (pinned by
+        # tests/test_writer_arrow.py).
+        import pyarrow as pa
+
+        arr = spec._arrow.cast(pa.large_binary())
+        # a sliced array keeps absolute offsets into the shared data
+        # buffer, so indexing the offsets window by arr.offset is the only
+        # offset handling needed
+        offs_np = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        data_mv = memoryview(arr.buffers()[2] or b"")
+        n_docs = len(arr)
+        lens = np.diff(offs_np)
+
+        def payload(k: int) -> bytes:
+            return bytes(data_mv[offs_np[k] : offs_np[k + 1]])
+
+        def chunk_bytes(i: int, j: int) -> bytes:
+            num = j - i
+            base = 4 + 4 * num
+            offs = (base + (offs_np[i:j] - offs_np[i])).astype("<u4")
+            return (
+                num.to_bytes(4, "little")
+                + offs.tobytes()
+                + bytes(data_mv[offs_np[i] : offs_np[j]])
+            )
+
     else:
-        payloads = [v.encode("utf-8") for v in spec.values]
+        if spec.data_type is DataType.BYTES:
+            payloads = [bytes(v) for v in spec.values]
+        else:
+            payloads = [v.encode("utf-8") for v in spec.values]
+        n_docs = len(payloads)
+        lens = np.fromiter(
+            (len(p) for p in payloads), dtype=np.int64, count=n_docs
+        )
+
+        def payload(k: int) -> bytes:
+            return payloads[k]
+
+        def chunk_bytes(i: int, j: int) -> bytes:
+            num = j - i
+            base = 4 + 4 * num
+            offs = (
+                base + np.concatenate(([0], np.cumsum(lens[i : j - 1])))
+            ).astype("<u4")
+            return (
+                num.to_bytes(4, "little")
+                + offs.tobytes()
+                + b"".join(payloads[i:j])
+            )
 
     # Split docs into chunks; any value whose payload alone exceeds the target
     # becomes a huge-value chunk of its own (high docId bit set).
@@ -388,33 +533,20 @@ def _encode_var_byte(spec: ColumnSpec) -> bytes:
     # per chunk — O(chunks log n) instead of 600k Python iterations — and
     # each chunk's offset table is a cumsum, not a per-value append.
     chunks: list[tuple[int, bool, bytes]] = []  # (start_doc, huge, decompressed)
-    n_docs = len(payloads)
-    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n_docs)
     prefix = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens + 4, out=prefix[1:])
     target = spec.target_chunk_size
     i = 0
     while i < n_docs:
         if lens[i] > target:
-            chunks.append((i, True, payloads[i]))
+            chunks.append((i, True, payload(i)))
             i += 1
             continue
         j = int(
             np.searchsorted(prefix, prefix[i] + target - 4, side="right") - 1
         )
         j = max(j, i + 1)
-        num = j - i
-        base = 4 + 4 * num
-        offs = (
-            base
-            + np.concatenate(([0], np.cumsum(lens[i : j - 1])))
-        ).astype("<u4")
-        chunk = (
-            num.to_bytes(4, "little")
-            + offs.tobytes()
-            + b"".join(payloads[i:j])
-        )
-        chunks.append((i, False, chunk))
+        chunks.append((i, False, chunk_bytes(i, j)))
         i = j
 
     def compress(decompressed: bytes) -> bytes:
@@ -466,9 +598,9 @@ def write_segment(
     v3 = Path(segment_dir) / "v3"
     v3.mkdir(parents=True, exist_ok=True)
 
-    total_docs = len(columns[0].values) if columns else 0
+    total_docs = columns[0].num_docs() if columns else 0
     for c in columns:
-        if len(c.values) != total_docs:
+        if c.num_docs() != total_docs:
             raise ValueError("all columns must have the same row count")
 
     psf = bytearray()
@@ -560,17 +692,22 @@ def write_segment(
         from pinot_segment import bloom as bloom_mod
 
         if distinct_values is None:
-            vals = spec.values
-            if spec.null_mask is not None:
-                vals = [
-                    v
-                    for v, is_null in zip(vals, spec.null_mask)
-                    if not is_null
-                ]
-            if isinstance(vals, np.ndarray):
-                distinct_values = np.unique(vals)
+            if spec._arrow is not None and spec.null_mask is None:
+                import pyarrow.compute as pc
+
+                distinct_values = pc.unique(spec._arrow).to_pylist()
             else:
-                distinct_values = set(vals)
+                vals = spec.values
+                if spec.null_mask is not None:
+                    vals = [
+                        v
+                        for v, is_null in zip(vals, spec.null_mask)
+                        if not is_null
+                    ]
+                if isinstance(vals, np.ndarray):
+                    distinct_values = np.unique(vals)
+                else:
+                    distinct_values = set(vals)
         elif spec.null_mask is not None:
             # dictionary path: the sorted dictionary includes the fill value
             # at null positions; drop values that appear ONLY as fills
@@ -695,9 +832,15 @@ def write_segment(
                 f"{spec.name}.forward_index.startOffset={start}",
                 f"{spec.name}.forward_index.size={len(blob)}",
             ]
+            if spec._arrow is not None:
+                import pyarrow.compute as pc
+
+                raw_card = int(pc.count_distinct(spec._arrow).as_py())
+            else:
+                raw_card = _cardinality(spec.values)
             meta_lines += [
                 f"column.{spec.name}.dataType={spec.declared_dtype().value}",
-                f"column.{spec.name}.cardinality={_cardinality(spec.values)}",
+                f"column.{spec.name}.cardinality={raw_card}",
                 f"column.{spec.name}.hasDictionary=false",
                 # RAW numerics record sortedness too (nullable columns never
                 # do — fill values don't reflect the true order): the reader
@@ -737,8 +880,29 @@ def write_segment(
             continue
 
         dict_blob, uniq, length_of_each_entry = _encode_dictionary(spec)
-        flat = spec.flat_values()
-        if spec.data_type in _BE_DTYPES or spec.data_type is DataType.BOOLEAN:
+        # cache for post-write stats collection (_specs_stats): the
+        # dictionary entry count IS the column cardinality, so the sink
+        # never recomputes a distinct pass over the values
+        spec._dict_cardinality = len(uniq)
+        if spec._arrow is not None:
+            # Arrow fast path: ids from one hash-probe C pass against the
+            # sorted dictionary (exact binary equality — NUL-safe, unlike
+            # numpy '<U' probes)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            n_flat = len(spec._arrow)
+            dict_ids = (
+                pc.index_in(
+                    spec._arrow,
+                    value_set=pa.array(uniq, type=spec._arrow.type),
+                )
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        elif spec.data_type in _BE_DTYPES or spec.data_type is DataType.BOOLEAN:
+            flat = spec.flat_values()
+            n_flat = len(flat)
             # value → dictId via binary search on the sorted dictionary
             native = (
                 np.dtype(bool)
@@ -748,6 +912,8 @@ def write_segment(
             uniq_arr = np.asarray(uniq, dtype=native)
             dict_ids = np.searchsorted(uniq_arr, np.asarray(flat, dtype=native))
         else:
+            flat = spec.flat_values()
+            n_flat = len(flat)
             # STRING/BYTES: numpy '<U' arrays silently strip trailing U+0000,
             # so a searchsorted probe maps '\x00' → '' (wrong id). A plain
             # Python dict lookup is exact for all code points / payloads.
@@ -797,12 +963,16 @@ def write_segment(
             # A nullable column is never marked sorted: the fill values at
             # null positions don't reflect the true value order, so sorted-
             # range pruning must not trust them.
+            # sortedness via the dict ids: the dictionary is sorted
+            # ascending, so doc order over VALUES is non-decreasing iff it
+            # is over ids — an O(n) int compare that never materializes
+            # the Arrow fast path's Python values
             f"column.{spec.name}.isSorted="
             + (
                 "true"
                 if not spec.multi_value
                 and spec.null_mask is None
-                and _is_sorted(spec.values)
+                and _is_sorted(np.asarray(dict_ids))
                 else "false"
             ),
             f"column.{spec.name}.bitsPerElement={bits}",
@@ -835,5 +1005,13 @@ def write_segment(
 
     (v3 / "metadata.properties").write_text("\n".join(meta_lines) + "\n")
     (v3 / "index_map").write_text("\n".join(index_lines) + "\n")
-    (v3 / "columns.psf").write_bytes(bytes(psf))
+    # psf lands in 1 MB slices straight from the bytearray: one whole-file
+    # write() both copies the buffer (bytes(psf)) and — on this class of
+    # virtualized host — hits a large-single-write kernel stall measured at
+    # ~5 MB/s vs ~3 GB/s chunked (r14: 3.3 s of a 5.3 s 600k-row segment
+    # write was this one syscall)
+    mv = memoryview(psf)
+    with open(v3 / "columns.psf", "wb") as fh:
+        for off in range(0, len(mv), 1 << 20):
+            fh.write(mv[off : off + (1 << 20)])
     return v3
