@@ -36,6 +36,32 @@ from pinot_segment.writer import ColumnSpec, write_segment
 
 _ROLLUP_AGGS = ("sum", "min", "max")
 
+# r14 optimization: single-value STRING/BYTES columns flow reader -> writer
+# as Arrow arrays (dictionary take / var-byte chunk slices on the read side,
+# the writer's Arrow encode chain on the write side) with zero per-value
+# Python objects. Tests flip this off to prove byte-identity with the
+# historical list path.
+_ARROW_TEXT = True
+
+
+def _text_arrow(reader: SegmentReader, name: str, selection=None):
+    """Arrow payload for a single-value null-free STRING/BYTES column, or
+    None when the fast path does not apply (flag off, MV, nullable, other
+    types). Nullable columns stay on read_column: the writer re-encodes
+    the forward index's *fill* values (null_mask carries the truth), but
+    read_columns_arrow applies the null-vector as Arrow validity and
+    would lose them."""
+    if not _ARROW_TEXT:
+        return None
+    m = reader.metadata.get_column(name)
+    if (
+        not m.is_single_value
+        or m.has_null_values
+        or m.data_type not in (DataType.STRING, DataType.BYTES)
+    ):
+        return None
+    return reader.read_columns_arrow([name], selection=selection).column(0)
+
 
 def merge_segments(
     member_dirs: list[str],
@@ -81,13 +107,27 @@ def merge_segments(
                     f"cannot merge: column '{name}' has inconsistent "
                     "physical type across members"
                 )
-        parts = [r.read_column(name) for r in readers]
-        if mv:
-            values = [row for part in parts for row in part]
-        elif isinstance(parts[0], np.ndarray):
-            values = np.concatenate(parts)
-        else:
-            values = [v for part in parts for v in part]
+        values = None
+        if rollup is None and keep_latest is None:
+            # plain concat merge: text columns ride through as Arrow
+            # chunks (one per member), re-encoded with no Python values;
+            # rollup/keep_latest need pandas frames so they keep the
+            # list path.
+            chunks = [_text_arrow(r, name) for r in readers]
+            if all(c is not None for c in chunks):
+                import pyarrow as pa
+
+                values = pa.chunked_array(
+                    [piece for col in chunks for piece in col.chunks]
+                )
+        if values is None:
+            parts = [r.read_column(name) for r in readers]
+            if mv:
+                values = [row for part in parts for row in part]
+            elif isinstance(parts[0], np.ndarray):
+                values = np.concatenate(parts)
+            else:
+                values = [v for part in parts for v in part]
         has_nulls = any(m.has_null_values for m in metas)
         null_mask = None
         if has_nulls:
@@ -320,13 +360,17 @@ def filter_segment(
         dt = m.data_type
         raw = not m.has_dictionary
         mv = not m.is_single_value
-        values = reader.read_column(name)
-        if mv:
-            values = [values[i] for i in idx]
-        elif isinstance(values, np.ndarray):
-            values = values[keep_mask]
-        else:
-            values = [values[i] for i in idx]
+        # selective Arrow decode: RAW text chunks holding no kept doc never
+        # decompress, dict text takes ids straight into the writer
+        values = _text_arrow(reader, name, selection=idx)
+        if values is None:
+            values = reader.read_column(name)
+            if mv:
+                values = [values[i] for i in idx]
+            elif isinstance(values, np.ndarray):
+                values = values[keep_mask]
+            else:
+                values = [values[i] for i in idx]
         null_mask = None
         if m.has_null_values:
             nm = reader.null_mask(name)
@@ -409,7 +453,9 @@ def reindex_segment(
         dt = m.data_type
         raw = not m.has_dictionary
         mv = not m.is_single_value
-        values = reader.read_column(name)
+        values = _text_arrow(reader, name)
+        if values is None:
+            values = reader.read_column(name)
         null_mask = (
             reader.null_mask(name) if m.has_null_values else None
         )
