@@ -118,6 +118,74 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def condition_memory(spark, cpus: int, budget_sec: float = 150.0) -> dict:
+    """Absorb the host's first-touch page-fault storm before any timing.
+
+    This sandbox class (memory-overcommitted VM) episodically stalls FRESH
+    page faults 100-1000x while already-resident memory runs at full speed
+    (measured r14, OPTIMIZATION_r14.md "machine health"). The storm
+    concentrates exactly where the bench is most vulnerable: the startup
+    allocation burst (driver JVM heap growth + 32 Python workers + first
+    scans) overlaps the first timed queries, and an r14 instrumented run
+    measured the first ~3 minutes of queries inflated 2-5x while the run's
+    tail was healthy. Fix the measurement, not the number: touch fresh
+    pages UNTIMED — driver-side slabs, one numpy slab inside every Python
+    worker via a full-width mapInPandas pass, and a heap-expanding JVM
+    aggregation — until a fresh-allocation probe runs at resident-memory
+    speed twice in a row, bounded by ``budget_sec``. On a healthy host the
+    first probe pair passes and the loop costs one ~2 s sweep; numbers
+    from healthy-host runs are therefore unchanged (methodology note in
+    OPTIMIZATION_r14.md; per-query medians stay comparable with r13).
+    """
+    import numpy as np
+
+    def _touch_workers(it):
+        a = np.empty(1 << 28, dtype=np.uint8)
+        a[::4096] = 1
+        del a
+        for pdf in it:
+            yield pdf
+
+    def probe_sec() -> float:
+        t0 = time.perf_counter()
+        a = np.empty(1 << 26, dtype=np.uint8)
+        a[::4096] = 1
+        del a
+        return time.perf_counter() - t0
+
+    t_start = time.perf_counter()
+    sweeps = 0
+    healthy_streak = 0
+    while time.perf_counter() - t_start < budget_sec:
+        if probe_sec() < 0.1:
+            healthy_streak += 1
+            if healthy_streak >= 2:
+                break
+            continue
+        healthy_streak = 0
+        sweeps += 1
+        # driver-side: 2 GB of fresh pages in 512 MB slabs
+        for _ in range(4):
+            a = np.empty(1 << 29, dtype=np.uint8)
+            a[::4096] = 1
+            del a
+        # worker-side: one 256 MB slab in every Python worker
+        spark.range(0, cpus, 1, cpus).mapInPandas(
+            _touch_workers, "id long"
+        ).write.format("noop").mode("overwrite").save()
+        # JVM-side: expand execution memory (1M-group hash aggregation)
+        spark.range(0, 20_000_000, 1, cpus).selectExpr(
+            "id % 1000000 as g", "id as v"
+        ).groupBy("g").sum("v").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    return {
+        "sweeps": sweeps,
+        "sec": round(time.perf_counter() - t_start, 2),
+        "settled": healthy_streak >= 2,
+    }
+
+
 def calibrated_ratios(
     raw_ratios: dict, cur_calib: dict, prev_calib: dict
 ) -> tuple[dict, dict]:
@@ -1196,6 +1264,9 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
 
+    # untimed: absorb the host's startup page-fault storm (see docstring)
+    conditioning = {"start": condition_memory(spark, cpus)}
+
     # warmup: touch the fact table once (file listing + codegen warm)
     QUERIES["count_star"].fn(spark, sf_dir).collect()
 
@@ -1231,6 +1302,9 @@ def main() -> None:
         pinot,
     ) = pinot_format_queries(spark, sf_dir)
     write = pinot.pop("pinot_write_segments")
+    # untimed: re-settle fresh-page latency before the pinot tier (the
+    # spark tier's allocation growth can re-trigger the host storm)
+    conditioning["pinot_tier"] = condition_memory(spark, cpus, budget_sec=60.0)
     write(spark)  # untimed warmup (also creates the table for the reads)
     record("pinot_write_segments", lambda: write(spark), runs=3)
     for name, fn in pinot.items():
@@ -1276,6 +1350,7 @@ def main() -> None:
         "sf": sf_num,
         "cpus": cpus,
         "calibration": {"start": calib_start, "end": calib_end},
+        "conditioning": conditioning,
     }
 
     # Persist the FULL payload to a committed file: the driver's BENCH_r{N}
