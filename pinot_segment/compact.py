@@ -43,6 +43,27 @@ _ROLLUP_AGGS = ("sum", "min", "max")
 # historical list path.
 _ARROW_TEXT = True
 
+# 32-bit-offset string/binary arrays cap one combined column at 2 GiB of
+# payload; columns whose merged Arrow pieces would exceed this fall back
+# to the any-size list path (r15, ADVICE r14). Module-level so tests can
+# shrink it to exercise the fallback without allocating gigabytes.
+_ARROW_TEXT_MAX_BYTES = (1 << 31) - (1 << 20)
+
+
+def _text_arrow_ok(reader: SegmentReader, name: str) -> bool:
+    """Cheap metadata-only gate for the Arrow text fast path (r15, ADVICE
+    r14: callers check this across ALL members BEFORE doing any Arrow
+    decode, so one nullable member no longer wastes the full decode of
+    every earlier member)."""
+    if not _ARROW_TEXT:
+        return False
+    m = reader.metadata.get_column(name)
+    return (
+        m.is_single_value
+        and not m.has_null_values
+        and m.data_type in (DataType.STRING, DataType.BYTES)
+    )
+
 
 def _text_arrow(reader: SegmentReader, name: str, selection=None):
     """Arrow payload for a single-value null-free STRING/BYTES column, or
@@ -51,14 +72,7 @@ def _text_arrow(reader: SegmentReader, name: str, selection=None):
     the forward index's *fill* values (null_mask carries the truth), but
     read_columns_arrow applies the null-vector as Arrow validity and
     would lose them."""
-    if not _ARROW_TEXT:
-        return None
-    m = reader.metadata.get_column(name)
-    if (
-        not m.is_single_value
-        or m.has_null_values
-        or m.data_type not in (DataType.STRING, DataType.BYTES)
-    ):
+    if not _text_arrow_ok(reader, name):
         return None
     return reader.read_columns_arrow([name], selection=selection).column(0)
 
@@ -113,13 +127,22 @@ def merge_segments(
             # chunks (one per member), re-encoded with no Python values;
             # rollup/keep_latest need pandas frames so they keep the
             # list path.
-            chunks = [_text_arrow(r, name) for r in readers]
-            if all(c is not None for c in chunks):
+            # metadata gate first (r15, ADVICE r14): only when EVERY
+            # member is eligible do the Arrow decodes run — a nullable
+            # late member used to discard the full decode of every
+            # earlier one
+            if all(_text_arrow_ok(r, name) for r in readers):
                 import pyarrow as pa
 
-                values = pa.chunked_array(
-                    [piece for col in chunks for piece in col.chunks]
-                )
+                chunks = [_text_arrow(r, name) for r in readers]
+                pieces = [piece for col in chunks for piece in col.chunks]
+                # r15 (ADVICE r14): past the 32-bit offset cap the
+                # writer's combine_chunks() would raise ArrowInvalid —
+                # fall back to the list path (any size). The size is only
+                # knowable after decode, so this rare path pays a double
+                # read; correctness over speed at the overflow boundary.
+                if sum(p.nbytes for p in pieces) < _ARROW_TEXT_MAX_BYTES:
+                    values = pa.chunked_array(pieces)
         if values is None:
             parts = [r.read_column(name) for r in readers]
             if mv:

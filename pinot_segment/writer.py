@@ -49,42 +49,41 @@ _BE_DTYPES = {
 }
 
 
-# _pack_bits scratch: lazily allocated once per process and reused by every
-# call. Bounding per-call fresh allocations is the point — this host
-# environment (and any memory-ballooned VM) services FIRST-TOUCH page
-# faults up to 1000x slower than warm-page compute, so the former
-# whole-column (n, 64) bit matrix (38 MB per 600k-row column, new pages
-# every call) dominated segment-write time. Chunked + reused scratch keeps
-# the working set resident. 16384 is a multiple of 8, so every full
-# chunk's bitstream is byte-aligned and per-chunk packbits outputs
+# _pack_bits works in 16k-value chunks: bounding per-call fresh
+# allocations matters because this host environment (and any
+# memory-ballooned VM) services FIRST-TOUCH page faults up to 1000x
+# slower than warm-page compute — the original whole-column (n, 64) bit
+# matrix (38 MB per 600k-row column, new pages every call) dominated
+# segment-write time. Per-chunk temporaries stay under ~1 MB, so glibc
+# recycles them from the warm heap. 16384 is a multiple of 8, so every
+# full chunk's bitstream is byte-aligned and per-chunk packbits outputs
 # concatenate into exactly the whole-column packing (only the final chunk
-# zero-pads, same as before).
+# zero-pads, same as a single whole-column pass).
 _PACK_CHUNK = 1 << 14
-_pack_scratch: dict = {}
 
 
 def _pack_bits(values: list[int], bits: int) -> bytes:
     """Big-endian bit packing, inverse of fixed_bit.unpack_bits.
 
-    Vectorized shift-and-mask in chunks: each chunk's (m, bits) bit matrix
-    is built into preallocated scratch (no per-call large allocations —
-    see _PACK_CHUNK above), then ``np.packbits`` folds it into the right
-    slice of the output."""
+    Each chunk is viewed as big-endian bytes and expanded with ONE
+    ``np.unpackbits`` pass (r15; byte-identical to the r14 shift-and-mask
+    loop it replaces — pinned by tests/test_writer_arrow.py's reference —
+    and ~6x faster at 600k values: unpackbits touches 1 byte per bit via
+    SIMD where the shift loop wrote 8-byte uint64 intermediates per bit).
+    A value's big-endian bit expansion IS its MSB-first bit matrix row, so
+    slicing the low ``bits`` columns equals shift-and-mask exactly; values
+    are guaranteed < 2**bits by construction (dict ids < cardinality,
+    MV offsets <= totalEntries)."""
     v = np.asarray(values, dtype=np.uint64)
     n = v.size
-    if not _pack_scratch:
-        _pack_scratch["shift"] = np.empty((_PACK_CHUNK, 64), dtype=np.uint64)
-        _pack_scratch["bit"] = np.empty((_PACK_CHUNK, 64), dtype=np.uint8)
-    shift_s, bit_s = _pack_scratch["shift"], _pack_scratch["bit"]
-    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
+    width = 2 if bits <= 16 else (4 if bits <= 32 else 8)
+    be = {2: ">u2", 4: ">u4", 8: ">u8"}[width]
     out = np.empty((n * bits + 7) // 8, dtype=np.uint8)
     step_bytes = _PACK_CHUNK * bits // 8
     for ci, i in enumerate(range(0, n, _PACK_CHUNK)):
         m = min(_PACK_CHUNK, n - i)
-        sh = shift_s[:m, :bits]
-        np.right_shift(v[i : i + m, None], shifts[None, :], out=sh)
-        bm = bit_s[:m, :bits]
-        np.bitwise_and(sh, 1, out=bm, casting="unsafe")
+        bv = v[i : i + m].astype(be).view(np.uint8).reshape(m, width)
+        bm = np.unpackbits(bv, axis=1)[:, width * 8 - bits :]
         packed = np.packbits(bm)
         out[ci * step_bytes : ci * step_bytes + packed.size] = packed
     return out.tobytes()
@@ -317,6 +316,9 @@ class ColumnSpec:
         # and caches it. Output bytes are pinned identical to the list
         # path by tests/test_writer_arrow.py.
         self._arrow = None
+        # set by _encode_dictionary (numeric/boolean ndarray path, r15):
+        # the np.unique return_inverse ids, consumed once by write_segment
+        self._dict_ids = None
         if (
             not multi_value
             and decimal is None
@@ -330,17 +332,24 @@ class ColumnSpec:
             if pa is not None and isinstance(
                 values, (pa.Array, pa.ChunkedArray)
             ):
-                arr = (
-                    values.combine_chunks()
-                    if isinstance(values, pa.ChunkedArray)
-                    else values
-                )
-                if arr.null_count:
+                try:
+                    arr = (
+                        values.combine_chunks()
+                        if isinstance(values, pa.ChunkedArray)
+                        else values
+                    )
+                except pa.lib.ArrowInvalid:
+                    # r15 (ADVICE r14): >2 GiB of combined payload
+                    # overflows 32-bit string/binary offsets — fall back
+                    # to the list path, which handles any size
+                    arr = None
+                    values = values.to_pylist()
+                if arr is not None and arr.null_count:
                     # callers fill nulls before handing values over (the
                     # null_mask carries the truth); a null here is a
                     # programming error on the fast path — fall back
                     values = arr.to_pylist()
-                else:
+                elif arr is not None:
                     self._arrow = arr
                     values = None
         self.name = name
@@ -372,6 +381,7 @@ class ColumnSpec:
     def values(self, v) -> None:
         self._values = v
         self._arrow = None
+        self._dict_ids = None
 
     def num_docs(self) -> int:
         """Row count without materializing the Arrow fast path."""
@@ -406,7 +416,15 @@ def _encode_dictionary(spec: ColumnSpec) -> tuple[bytes, list, int]:
     else:
         vals = spec.flat_values()
         if isinstance(vals, np.ndarray):
-            uniq = np.unique(vals)  # sorted + deduped, vectorized
+            # r15: one pass yields both the sorted dictionary AND each
+            # doc's dict id (return_inverse); the caller's separate
+            # searchsorted probe over all docs was the writer's dominant
+            # remaining cost (0.59 s of a 1.7 s 600k-row write,
+            # tools/profile_writer.py) and inverse ids are 4.5x cheaper
+            # at that shape. ids identical to searchsorted by definition
+            # (index of each value in the sorted unique array).
+            uniq, inverse = np.unique(vals, return_inverse=True)
+            spec._dict_ids = inverse.astype(np.int64, copy=False)
         else:
             uniq = sorted(set(vals))
     out = bytearray(_DICT_MAGIC)
@@ -903,14 +921,24 @@ def write_segment(
         elif spec.data_type in _BE_DTYPES or spec.data_type is DataType.BOOLEAN:
             flat = spec.flat_values()
             n_flat = len(flat)
-            # value → dictId via binary search on the sorted dictionary
-            native = (
-                np.dtype(bool)
-                if spec.data_type is DataType.BOOLEAN
-                else np.dtype(_BE_DTYPES[spec.data_type]).newbyteorder("=")
-            )
-            uniq_arr = np.asarray(uniq, dtype=native)
-            dict_ids = np.searchsorted(uniq_arr, np.asarray(flat, dtype=native))
+            inverse_ids = getattr(spec, "_dict_ids", None)
+            spec._dict_ids = None  # consume once; never reuse stale ids
+            if inverse_ids is not None:
+                # ids fell out of _encode_dictionary's np.unique
+                # return_inverse pass (r15) — skip the second probe
+                dict_ids = inverse_ids
+            else:
+                # value → dictId via binary search on the sorted
+                # dictionary (MV columns: flat is a Python list)
+                native = (
+                    np.dtype(bool)
+                    if spec.data_type is DataType.BOOLEAN
+                    else np.dtype(_BE_DTYPES[spec.data_type]).newbyteorder("=")
+                )
+                uniq_arr = np.asarray(uniq, dtype=native)
+                dict_ids = np.searchsorted(
+                    uniq_arr, np.asarray(flat, dtype=native)
+                )
         else:
             flat = spec.flat_values()
             n_flat = len(flat)

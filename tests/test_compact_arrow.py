@@ -132,3 +132,74 @@ def test_rollup_keeps_list_path(tmp_path, monkeypatch):
     r = SegmentReader.open(out)
     assert r.read_column("d") == ["a", "b"]
     assert r.read_column("m").tolist() == [4, 6]
+
+
+def test_merge_overflow_cap_falls_back_to_list_path(
+    tmp_path, members, monkeypatch
+):
+    """r15 (ADVICE r14): merged text columns whose Arrow pieces would
+    exceed the 32-bit offset cap take the list path — same bytes out."""
+    monkeypatch.setattr(compact, "_ARROW_TEXT_MAX_BYTES", 1)  # force it
+    capped = compact.merge_segments(
+        members, tmp_path / "capped" / "m", "merged", "tbl"
+    )
+    monkeypatch.setattr(compact, "_ARROW_TEXT", False)
+    listp = compact.merge_segments(
+        members, tmp_path / "list2" / "m", "merged", "tbl"
+    )
+    _assert_identical(capped, listp)
+
+
+def test_merge_nullable_late_member_skips_all_arrow_decodes(
+    tmp_path, monkeypatch
+):
+    """r15 (ADVICE r14): the metadata gate runs across ALL members before
+    any Arrow decode — a column that is null-free in member 0 but
+    nullable in member 1 triggers ZERO read_columns_arrow calls (the old
+    code decoded member 0 in full, then discarded it)."""
+    rng = np.random.RandomState(99)
+
+    def member(tag, nullable):
+        strs = [f"val_{rng.randint(0, 150)}" for _ in range(N)]
+        return write_segment(
+            tmp_path / tag,
+            f"seg_{tag}",
+            "tbl",
+            [
+                ColumnSpec(
+                    "key",
+                    DataType.LONG,
+                    np.arange(30_000, 30_000 + N, dtype=np.int64),
+                ),
+                ColumnSpec(
+                    "dstr",
+                    DataType.STRING,
+                    strs,
+                    null_mask=(rng.rand(N) < 0.1) if nullable else None,
+                ),
+                ColumnSpec(
+                    "always",
+                    DataType.STRING,
+                    [f"a{j % 7}" for j in range(N)],
+                ),
+            ],
+        )
+
+    m0 = member("nf", nullable=False)
+    m1 = member("nu", nullable=True)
+
+    from pinot_segment.segment_reader import SegmentReader
+
+    calls = []
+    real = SegmentReader.read_columns_arrow
+
+    def counting(self, names, selection=None):
+        calls.extend(names)
+        return real(self, names, selection=selection)
+
+    monkeypatch.setattr(SegmentReader, "read_columns_arrow", counting)
+    compact.merge_segments(
+        [m0, m1], tmp_path / "mixmerge" / "m", "merged", "tbl"
+    )
+    assert "dstr" not in calls  # nullable in ONE member -> zero decodes
+    assert calls.count("always") == 2  # eligible column still fast-paths

@@ -159,3 +159,71 @@ def test_pack_bits_matches_shift_and_mask_reference():
             ((v[:, None] >> shifts[None, :]) & 1).astype(np.uint8).reshape(-1)
         ).tobytes()
         assert _pack_bits(list(v), bits) == ref
+
+
+def test_pack_bits_multi_chunk_matches_reference():
+    # r15: the unpackbits-based packer stitches 16k-value chunks; pin the
+    # chunk boundaries (full chunks byte-aligned, final partial chunk
+    # zero-padded) against the original whole-column shift-and-mask.
+    rng = np.random.default_rng(11)
+    for bits in (1, 5, 12, 17, 20, 33):
+        n = (1 << 15) + 257  # two full chunks + a partial tail
+        v = rng.integers(0, 2**bits, size=n, dtype=np.uint64)
+        shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
+        ref = np.packbits(
+            ((v[:, None] >> shifts[None, :]) & 1).astype(np.uint8).reshape(-1)
+        ).tobytes()
+        assert _pack_bits(v, bits) == ref
+
+
+def test_numeric_dict_inverse_ids_match_searchsorted_path(tmp_path):
+    # r15: numeric/boolean dict ids come from np.unique(return_inverse)
+    # instead of a second searchsorted probe. Force the legacy probe by
+    # clearing the cached inverse after _encode_dictionary and pin the
+    # whole segment byte-identical.
+    import pinot_segment.writer as w
+
+    rng = np.random.default_rng(23)
+    n = 40_000
+
+    def cols():
+        return [
+            ColumnSpec(
+                "k_long", DataType.LONG, rng.integers(-500, 500, size=n)
+            ),
+            ColumnSpec(
+                "v_dbl",
+                DataType.DOUBLE,
+                np.round(rng.uniform(-5.0, 5.0, size=n), 2),
+            ),
+            ColumnSpec("b", DataType.BOOLEAN, rng.integers(0, 2, n) == 1),
+            ColumnSpec(
+                "sorted_i",
+                DataType.INT,
+                np.sort(rng.integers(0, 100, size=n)).astype(np.int32),
+            ),
+            ColumnSpec(
+                "nul",
+                DataType.LONG,
+                rng.integers(0, 50, size=n),
+                null_mask=(rng.integers(0, 5, size=n) == 0),
+            ),
+        ]
+
+    rng = np.random.default_rng(23)
+    fast = _segment_bytes(tmp_path, "fast", cols())
+
+    real_encode = w._encode_dictionary
+
+    def no_inverse(spec):
+        out = real_encode(spec)
+        spec._dict_ids = None  # force the searchsorted fallback
+        return out
+
+    rng = np.random.default_rng(23)
+    w._encode_dictionary = no_inverse
+    try:
+        legacy = _segment_bytes(tmp_path, "legacy", cols())
+    finally:
+        w._encode_dictionary = real_encode
+    assert fast == legacy
