@@ -25,9 +25,18 @@ def main() -> None:
 
     spark = get_spark(app_name="batch_size_probe")
     register_pinot_source(spark)
+
+    # r15: self-condition like bench.py — absorb the host's first-touch
+    # page-fault storm in untimed setup so the interleaved rounds compare
+    # warm-memory execution, and report the conditioning outcome so a
+    # still-degraded run is self-flagging.
+    from bench import condition_memory
+
+    cond = condition_memory(spark, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    print(f"conditioning: {cond}")
     d = os.path.join(tempfile.mkdtemp(prefix="bsp_"), "p_OFFLINE")
     (
-        spark.range(0, 2_000_000, 1, 8)
+        spark.range(0, int(os.environ.get("BSP_ROWS", "2000000")), 1, 8)
         .select(
             F.col("id").alias("k"),
             (F.col("id") % 1000).cast("int").alias("dim"),
@@ -49,15 +58,19 @@ def main() -> None:
         df.selectExpr("sum(v)", "min(dim)", "max(k)", "max(s)").collect()
         return time.time() - t0
 
+    rounds = int(os.environ.get("BSP_ROUNDS", "7"))
     results: dict[int, list[float]] = {s: [] for s in sizes}
     probe(True)  # warm workers
-    for _round in range(5):
+    for _round in range(rounds):
         for s in sizes:
             pinot_datasource.BATCH_ROWS = s
             results[s].append(probe(False))
     for s in sizes:
         ts = sorted(results[s])
-        print(f"BATCH_ROWS={s:7d}: min={ts[0]:.3f}s med={ts[len(ts)//2]:.3f}s")
+        print(
+            f"BATCH_ROWS={s:7d}: min={ts[0]:.3f}s med={ts[len(ts)//2]:.3f}s "
+            f"all={['%.2f' % x for x in results[s]]}"
+        )
 
 
 if __name__ == "__main__":
